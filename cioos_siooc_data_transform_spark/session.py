@@ -1,0 +1,92 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N] (single JVM); the configuration is chosen so the
+same logical plans scale to a multi-executor cluster at ~100 TB:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting, and
+  dynamic join-strategy switching (sort-merge → broadcast) replace hand-tuning.
+- Arrow on: every pandas_udf / mapInPandas crossing is Arrow-batched, never
+  per-row pickled.
+- shuffle.partitions is a default for local scale; at cluster scale AQE's
+  coalescing makes the initial number mostly irrelevant as long as it is high
+  enough (set spark.sql.adaptive.coalescePartitions.initialPartitionNum there).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cioos-siooc-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic parquet table, handling nanosecond timestamps.
+
+    Spark's Parquet reader rejects INT64 TIMESTAMP(NANOS) columns (Spark
+    timestamps are microsecond precision). For files containing them we
+    enable spark.sql.legacy.parquet.nanosAsLong (the column arrives as a
+    LongType of epoch-nanos) and truncate to microseconds — the same
+    truncation DuckDB applies when it coerces TIMESTAMP_NS to TIMESTAMP,
+    so both engines see identical values.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = pq.read_schema(path)
+    ns_cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Read the synthetic parquet tables under ``sf_dir`` and return a dict.
+
+    Also registers each as a temp view so spark.sql can reference them.
+    """
+    if names is None:
+        names = (
+            "region",
+            "nation",
+            "customer",
+            "supplier",
+            "part",
+            "orders",
+            "lineitem",
+            "events",
+            "documents",
+            "embeddings",
+        )
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = read_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
