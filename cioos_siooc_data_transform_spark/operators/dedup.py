@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale text pipelines (beyond-reference
+scope, BASELINE.json north star).
+
+All operators are pure DataFrame compositions (no Python UDFs in the hot
+path) so Catalyst plans them and whole-stage codegen executes them.
+
+Scale design (100 TB):
+- exact_dedup: hash-groupBy on a digest — one shuffle keyed by digest,
+  map-side partial aggregation; digest keys are uniform so no skew.
+- MinHash+LSH: per-doc signature is a single hash-agg (one shuffle by
+  doc_id, combiner-friendly mins); candidate generation self-joins the
+  small (doc, band-bucket) projection — the join explodes ONLY within
+  buckets, and mega-buckets are dropped with a windowed count guard, the
+  standard LSH skew control.
+- SimHash: one explode + one hash-agg; bit counters are associative sums,
+  so partial aggregation keeps the shuffle at one row per doc.
+- n-gram Jaccard: inverted-index join (gram → docs) instead of O(n²)
+  pairing; common-gram counting shuffles on gram then on (a, b), both
+  high-cardinality keys.
+
+The md5-based hash family is used where a DuckDB oracle must reproduce the
+result bit-for-bit; xxhash64 (JVM intrinsic, no string materialization) is
+the faster default for production use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+def words_expr(text: Column) -> Column:
+    """Whitespace tokenization (single-space corpora split exactly)."""
+    return F.split(text, " ")
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Overlapping n-word shingles as strings; < n words → empty array.
+
+    Short docs need an explicit guard: Spark's sequence(1, 0) counts DOWN
+    instead of returning empty.
+    """
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
+    )
+    return F.when(F.size(words) >= n, shingle).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical texts by digest; keep the smallest id as keeper."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(
+    exploded: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """One row per doc with columns h1..h{num_hashes} = min hash per fn.
+
+    hash_family='md5' keys the k-th function as md5(shingle || '#k') and
+    takes the lexicographic min of the hex digest — portable to any engine.
+    hash_family='xxhash64' is the fast JVM-side default.
+    """
+    aggs = []
+    for k in range(1, num_hashes + 1):
+        if hash_family == "md5":
+            h = F.md5(F.concat(F.col(shingle_col), F.lit(f"#{k}")))
+        else:
+            h = F.xxhash64(F.col(shingle_col), F.lit(k))
+        aggs.append(F.min(h).alias(f"h{k}"))
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Signature → (doc, bucket) rows; bucket embeds the band index so
+    equal hashes from different bands never collide."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.lit(str(b))] + [
+            F.col(f"h{b * rows + r + 1}").cast("string") for r in range(rows)
+        ]
+        band_cols.append(F.md5(F.concat(*parts)))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, id_col: str, max_bucket_size: int = 50
+) -> DataFrame:
+    """Self-join (doc, bucket) on bucket → distinct candidate pairs a < b.
+
+    Buckets larger than max_bucket_size are dropped (mega-bucket guard —
+    at scale a degenerate bucket would otherwise produce a quadratic
+    explosion inside one task).
+    """
+    w = Window.partitionBy("bucket")
+    guarded = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= max_bucket_size
+    )
+    a = guarded.select(F.col(id_col).alias("doc_a"), "bucket")
+    b = guarded.select(F.col(id_col).alias("doc_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit portable variant; bit width is a parameter)
+# ---------------------------------------------------------------------------
+def simhash_token_value(token: Column, hex_chars: int = 4) -> Column:
+    """Portable token hash: first `hex_chars` of md5 → integer
+    (4 bits per char via position in '0123456789abcdef')."""
+    h = F.md5(token)
+    v = F.lit(0)
+    for i in range(1, hex_chars + 1):
+        nibble = F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+        v = v * 16 + nibble
+    return v.cast("long")
+
+
+def simhash(
+    exploded: DataFrame, id_col: str, token_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-doc SimHash: majority vote of each hash bit over the doc's
+    distinct tokens (+1 if set, −1 if not; bit set iff sum > 0)."""
+    v = simhash_token_value(F.col(token_col), hex_chars=bits // 4)
+    with_v = exploded.withColumn("_v", v)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_v"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    summed = with_v.groupBy(id_col).agg(*bit_sums)
+    hash_expr = F.lit(0).cast("long")
+    for i in range(bits):
+        hash_expr = hash_expr + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return summed.select(F.col(id_col), hash_expr.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard via inverted index (no O(n²) pairing)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    doc_shingles: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """doc_shingles: exploded DISTINCT (doc, shingle) rows.
+    Returns pairs (doc_a < doc_b) with Jaccard ≥ threshold."""
+    sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = doc_shingles.select(F.col(id_col).alias("doc_a"), F.col(shingle_col).alias("s"))
+    b = doc_shingles.select(F.col(id_col).alias("doc_b"), F.col(shingle_col).alias("s"))
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

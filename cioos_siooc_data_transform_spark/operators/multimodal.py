@@ -1,0 +1,95 @@
+"""Multimodal column plumbing (beyond-reference scope).
+
+Images/audio/video are opaque `binary` columns plus typed metadata structs.
+The Spark-side plumbing — schema, Arrow batching, mapInPandas signatures,
+partition sizing — is real and tested; the actual codec step is stubbed
+(image/audio libraries are not in this container) behind
+`decode_image_stub`, which either raises NotImplementedError (real mode)
+or produces a deterministic fake (test mode).
+
+Scale design (100 TB): binary payloads dominate partition size, so
+`maxPartitionBytes`-sized input splits keep Arrow batches bounded;
+mapInPandas streams batches (never materializes a partition); decoded
+features are small fixed-width columns, so the stage output shrinks by
+orders of magnitude — decode early, project immediately.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, payload binary, "
+    "meta struct<mime:string, n_bytes:long, source:string>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, checksum string"
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str, source_col: str) -> DataFrame:
+    """Build a media table from a text corpus: payload = UTF-8 bytes
+    (stands in for real image bytes; the plumbing is identical)."""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("image/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.col(source_col).alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(payload: bytes, fake: bool) -> tuple[int, int]:
+    """Codec boundary. Real decoding needs an image library not present in
+    this container; `fake=True` derives deterministic dimensions from the
+    payload length so the downstream plumbing is exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image codec library; install one and "
+            "replace decode_image_stub"
+        )
+    n = len(payload)
+    width = (n % 64) + 16
+    height = (n % 48) + 16
+    return width, height
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over Arrow batches.
+
+    Streams pandas batches; one python call per batch (not per row); output
+    is narrow fixed-width columns.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            widths, heights, sums = [], [], []
+            for payload in pdf["payload"]:
+                w, h = decode_image_stub(bytes(payload), fake=fake_decode)
+                widths.append(w)
+                heights.append(h)
+                sums.append(hashlib.md5(bytes(payload)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": widths,
+                    "height": heights,
+                    "n_pixels": [w * h for w, h in zip(widths, heights)],
+                    "checksum": sums,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (beyond-reference scope).
+
+Two tiers:
+- brute_force_topk: exact cosine top-k via a broadcast join of the (small)
+  query set against the corpus — at 100 TB the corpus side streams through
+  executors once, no corpus shuffle; cosine is a JVM-side zip_with/aggregate
+  expression (no Python in the loop).
+- IVF (inverted-file) index: deterministic coarse quantizer (seed vectors
+  as centroids), corpus partitioned by nearest-centroid cell; queries probe
+  only their cell(s). At scale the assignment is one broadcast pass and the
+  probe join hits ~1/n_cells of the data — the classic ANN recall/cost
+  trade.
+
+For very large query batches the Arrow/pandas fast path (pandas_topk)
+does blocked numpy matmul per partition via mapInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i as a JVM-side array expression (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    Cosine is rounded to `round_dp` BEFORE ranking so ordering (with the
+    neighbor-id tiebreak) is stable across engines and runs.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max rounded cosine,
+    centroid-id tiebreak). Centroids are broadcast."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine_expr(F.col(vec_col), F.col("cent_vec")), round_dp).alias("cent_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "cent_sim")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """IVF probe: rank only within the query's nearest-centroid cell."""
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col, round_dp)
+    query_cells = ivf_assign(queries, centroids, id_col, vec_col, round_dp)
+    q = query_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("centroid_id"),
+    )
+    c = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("centroid_id"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "centroid_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("q_vec"), F.col("c_vec")), round_dp).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "centroid_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pandas_topk(
+    corpus: DataFrame,
+    query_vectors: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Arrow fast path: blocked numpy matmul of each corpus partition
+    against the broadcast query matrix (mapInPandas). Returns the same
+    schema as brute_force_topk minus global ranking — callers re-rank the
+    per-partition top-k union (standard two-stage top-k)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qids = [int(q[0]) for q in query_vectors]
+    qmat = np.array([q[1] for q in query_vectors], dtype=np.float64)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((qids, qnorm))
+
+    def score(iterator):
+        import pandas as pd
+
+        q_ids, q = bc.value
+        for pdf in iterator:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ q.T  # (n_corpus, n_queries)
+            n = min(k, sims.shape[0])
+            for j, qid in enumerate(q_ids):
+                top = np.argpartition(-sims[:, j], n - 1)[:n]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": pdf[id_col].to_numpy()[top],
+                        "cos_sim": np.round(sims[top, j], 6),
+                    }
+                )
+
+    partial = corpus.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,1 +1,182 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis and multimodal [Q] operators over the documents table
+(beyond-reference scope): language ID, quality scoring, token counting,
+fingerprinting, and the multimodal binary-column plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cioos_siooc_data_transform_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from cioos_siooc_data_transform_spark.operators.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_hit_counts,
+    predict_language,
+    quality_score,
+    token_counts,
+    words_expr,
+)
+from cioos_siooc_data_transform_spark.plans.registry import register
+from cioos_siooc_data_transform_spark.session import read_table as _t
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Language ID: stopword-hit argmax with fixed priority order.
+# ---------------------------------------------------------------------------
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dw FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(len(list_intersect(dw, {_sw_list("en")})) AS BIGINT) AS en_hits,
+             CAST(len(list_intersect(dw, {_sw_list("es")})) AS BIGINT) AS es_hits,
+             CAST(len(list_intersect(dw, {_sw_list("fr")})) AS BIGINT) AS fr_hits,
+             CAST(len(list_intersect(dw, {_sw_list("de")})) AS BIGINT) AS de_hits
+      FROM w
+    )
+    SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+           CASE
+             WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+             WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+             WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+             WHEN de_hits > 0 THEN 'de'
+             ELSE 'und'
+           END AS pred_lang
+    FROM h
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    hits = lang_hit_counts(words)
+    return docs.select(
+        "doc_id",
+        *[hits[lg].cast("long").alias(f"{lg}_hits") for lg in ["en", "es", "fr", "de"]],
+        predict_language(hits).alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / stopword density / word-shape heuristic.
+# ---------------------------------------------------------------------------
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> list_contains({_sw_list("en")}, x))) AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           least(n_tokens, 100) * 4
+           + least(CAST(floor(stop_hits * 1200.0 / n_tokens) AS BIGINT), 300)
+           + least(CAST(floor((n_chars - n_tokens + 1) * 300.0 / (n_tokens * 8)) AS BIGINT), 300)
+             AS quality
+    FROM w
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        quality_score(F.col("text"), words).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws, bpe = token_counts(F.col("text"))
+    return docs.select(
+        "doc_id", ws.cast("long").alias("ws_tokens"), bpe.cast("long").alias("bpe_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting: sorted-distinct-token md5 with cluster sizes.
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fp,
+           count(*) OVER (
+             PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+           ) AS cluster_size
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint(words_expr(F.col("text")))
+    out = docs.select("doc_id", fp.alias("fp"))
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: opaque binary payload + typed metadata (plumbing check).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           lower(hex(substring(text, 1, 8))) AS prefix_hex
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring("text", 1, 8))).alias("prefix_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: mapInPandas feature extraction over Arrow batches with the
+# deterministic fake decoder (real decode is the stubbed codec boundary).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST((strlen(text) % 64) + 16 AS BIGINT) AS width,
+           CAST((strlen(text) % 48) + 16 AS BIGINT) AS height,
+           CAST(((strlen(text) % 64) + 16) * ((strlen(text) % 48) + 16) AS BIGINT) AS n_pixels,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", "source")
+    return extract_features(media, fake_decode=True)
