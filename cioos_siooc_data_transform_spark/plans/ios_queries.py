@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone."""
+"""IOS-parser [Q] entries for the driver harness.
+
+The driver's tables carry no IOS files, so these queries parse a small
+self-authored IOS-format document (same grammar as the reference corpus:
+*FILE section, $TABLE: CHANNELS / CHANNEL DETAIL, fixed-width data block)
+embedded as a literal, through the REAL Spark path (mapInPandas parse →
+explode to long format → pad masking → BODC coding), and the oracle is a
+hand-computed VALUES table — a golden-file check the driver can hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cioos_siooc_data_transform_spark.plans.registry import register
+
+# Self-authored sample (NOT copied from the reference corpus): 3 channels,
+# 4 records, pad -99 in record 2, PDT start time (fixed +7 h offset).
+SAMPLE_IOS = """*2024/01/15 10:00:00.00
+*IOS HEADER VERSION 2.0      2016/04/28 2016/06/13
+
+*FILE
+    START TIME          : PDT 2024/01/10 08:30:00.000
+    TIME INCREMENT      : 0 0 30 0 0  ! (day hr min sec ms)
+    NUMBER OF RECORDS   : 4
+    DATA DESCRIPTION    : CTD
+    PAD                 : -99
+    NUMBER OF CHANNELS  : 3
+
+    $TABLE: CHANNELS
+    ! No Name                 Units           Minimum  Maximum
+    !--- -------------------- --------------- -------- --------
+       1 Pressure             decibar         1.0      4.5
+       2 Temperature:Primary  'deg C (ITS90)' 7.1      9.9
+       3 Salinity:T0:C0       PSS-78          30.1     31.5
+    $END
+
+    $TABLE: CHANNEL DETAIL
+    ! No  Pad   Start  Width  Format  Type  Decimal_Places
+    !---  ----  -----  -----  ------  ----  --------------
+       1  -99   ' '        8  F       ' '     1
+       2  -99   ' '        8  F       ' '     4
+       3  -99   ' '        8  F       ' '     4
+    $END
+
+*ADMINISTRATION
+    MISSION             : 2024-001
+    AGENCY              : Test Agency
+
+*LOCATION
+    STATION             : T1
+    EVENT NUMBER        : 7
+    LATITUDE            :  49  30.00000 N  ! (deg min)
+    LONGITUDE           : 123  15.00000 W  ! (deg min)
+
+*END OF HEADER
+     1.0  7.1000 30.1000
+     2.0  8.2000 30.8000
+     3.0   -99.0 31.2000
+     4.5  9.9000 31.5000
+"""
+
+
+def _parsed_sample(spark: SparkSession) -> DataFrame:
+    from cioos_siooc_data_transform_spark.sources.ios_source import parse_ios
+
+    files = spark.createDataFrame(
+        [("memory://sample-2024-001-0007.ctd", bytearray(SAMPLE_IOS.encode("ascii")))],
+        "path STRING, content BINARY",
+    )
+    return parse_ios(files)
+
+
+@register(
+    "ios_parse_measurements",
+    oracle="""
+    SELECT file_id, record_idx, channel_idx, CAST(v AS DOUBLE) AS value_num
+    FROM (VALUES
+      ('sample-2024-001-0007', 0, 1, 1.0), ('sample-2024-001-0007', 0, 2, 7.1),
+      ('sample-2024-001-0007', 0, 3, 30.1),
+      ('sample-2024-001-0007', 1, 1, 2.0), ('sample-2024-001-0007', 1, 2, 8.2),
+      ('sample-2024-001-0007', 1, 3, 30.8),
+      ('sample-2024-001-0007', 2, 1, 3.0), ('sample-2024-001-0007', 2, 2, NULL),
+      ('sample-2024-001-0007', 2, 3, 31.2),
+      ('sample-2024-001-0007', 3, 1, 4.5), ('sample-2024-001-0007', 3, 2, 9.9),
+      ('sample-2024-001-0007', 3, 3, 31.5)
+    ) AS t(file_id, record_idx, channel_idx, v)
+    """,
+)
+def ios_parse_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full path: mapInPandas parse → posexplode×2 → pad masking (P4/J5).
+    Record 2's temperature (-99.0 == pad) must surface as NULL."""
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_measurements_masked,
+    )
+
+    meas = ios_measurements_masked(_parsed_sample(spark))
+    return meas.select(
+        "file_id",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        F.col("channel_idx").cast("int").alias("channel_idx"),
+        "value_num",
+    )
+
+
+@register(
+    "ios_parse_catalog",
+    oracle="""
+    SELECT 'sample-2024-001-0007' AS file_id,
+           TIMESTAMP '2024-01-10 15:30:00' AS start_ts,  -- PDT + 7 h
+           CAST(1800.0 AS DOUBLE) AS time_increment_s,
+           4 AS n_records, 3 AS n_channels,
+           CAST(49.5 AS DOUBLE) AS latitude,
+           CAST(-123.25 AS DOUBLE) AS longitude,
+           'T1' AS station, '7' AS event_number, '2024-001' AS mission,
+           'fixed_width' AS parse_strategy
+    """,
+)
+def ios_parse_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.sources.ios_source import ios_catalog
+
+    cat = ios_catalog(_parsed_sample(spark))
+    return cat.select(
+        "file_id", "start_ts", "time_increment_s", "n_records", "n_channels",
+        "latitude", "longitude", "station", "event_number", "mission",
+        "parse_strategy",
+    )
+
+
+@register(
+    "ios_bodc_codes",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('sample-2024-001-0007', 1, 'pressure',    'PRESPR01', 'decibar'),
+      ('sample-2024-001-0007', 2, 'temperature', 'TEMPS901', 'deg C'),
+      ('sample-2024-001-0007', 3, 'salinity',    'PSALST01', 'PSS-78')
+    ) AS t(file_id, channel_idx, var_type, var_code, units)
+    """,
+)
+def ios_bodc_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3+W2: routing ladder → BODC mapping → occurrence numbering."""
+    from cioos_siooc_data_transform_spark.operators.bodc import assign_bodc_codes
+    from cioos_siooc_data_transform_spark.sources.ios_source import ios_channels
+
+    codes = assign_bodc_codes(ios_channels(_parsed_sample(spark)))
+    return codes.select(
+        "file_id",
+        F.col("channel_idx").cast("int").alias("channel_idx"),
+        "var_type", "var_code", "units",
+    )
+
+
+@register(
+    "ios_observation_times",
+    oracle="""
+    SELECT 'sample-2024-001-0007' AS file_id,
+           CAST(i AS INT) AS record_idx,
+           TIMESTAMP '2024-01-10 15:30:00' + to_seconds(i * 1800) AS obs_ts
+    FROM unnest(generate_series(0, 3)) AS t(i)
+    """,
+)
+def ios_observation_times_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: obs_ts = start + i·dt, generated executor-side."""
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_observation_times,
+    )
+
+    ot = ios_observation_times(_parsed_sample(spark))
+    return ot.select(
+        "file_id", F.col("record_idx").cast("int").alias("record_idx"), "obs_ts"
+    )

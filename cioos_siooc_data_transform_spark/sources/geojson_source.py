@@ -1,0 +1,105 @@
+"""GeoJSON polygon dimension + point-in-polygon spatial join (SURVEY.md
+§2.1 S12, §2.3 J1).
+
+The polygon set is tiny (51 named ocean areas) → broadcast dimension; the
+containment test is a vectorized numpy ray-casting pandas_udf (shapely is
+not available in this container; the even-odd rule is the same algorithm
+shapely uses for point-in-polygon).
+
+Deliberate divergence (SURVEY.md §1.3.4): matching area names are sorted
+before concatenation (the reference concatenates in dict-insertion order,
+which is non-deterministic across geojson rewrites); names have spaces
+replaced by dashes like the reference (IDT/utils.py:75-81), and no-match
+yields 'None' (IDT/ObsFile.py:396-398).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+
+def read_geojson_polygons(spark: SparkSession, path: str) -> DataFrame:
+    """GeoJSON FeatureCollection → (feature_idx, name, ring_json) rows;
+    Polygon features only, exterior ring only (IDT/utils.py:53-67)."""
+    with open(path) as f:
+        data = json.load(f)
+    rows = []
+    idx = 0
+    for feature in data["features"]:
+        if feature["geometry"]["type"] == "Polygon":
+            rows.append(
+                (
+                    idx,
+                    feature["properties"]["name"],
+                    json.dumps(feature["geometry"]["coordinates"][0]),
+                )
+            )
+            idx += 1
+    return spark.createDataFrame(
+        rows, "feature_idx INT, name STRING, ring_json STRING"
+    )
+
+
+@F.pandas_udf(BooleanType())
+def _contains_udf(lon: pd.Series, lat: pd.Series, ring_json: pd.Series) -> pd.Series:
+    """Vectorized even-odd ray casting; one compiled pass per Arrow batch."""
+    import numpy as np
+
+    out = np.zeros(len(lon), dtype=bool)
+    # group by ring so each polygon's vertex array is built once per batch
+    cache: dict[str, tuple] = {}
+    for rj in ring_json.unique():
+        ring = np.asarray(json.loads(rj), dtype=np.float64)
+        cache[rj] = (ring[:, 0], ring[:, 1])
+    lon_v = lon.to_numpy(dtype=np.float64)
+    lat_v = lat.to_numpy(dtype=np.float64)
+    for rj, (xs, ys) in cache.items():
+        mask = (ring_json == rj).to_numpy()
+        if not mask.any():
+            continue
+        px, py = lon_v[mask], lat_v[mask]
+        inside = np.zeros(px.shape, dtype=bool)
+        n = len(xs)
+        for i in range(n - 1):
+            x1, y1, x2, y2 = xs[i], ys[i], xs[i + 1], ys[i + 1]
+            cond = (y1 > py) != (y2 > py)
+            if not cond.any():
+                continue
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            inside ^= cond & (px < xint)
+        out[mask] = inside
+    return pd.Series(out)
+
+
+def assign_geo_code(
+    points: DataFrame,
+    polygons: DataFrame,
+    key_col: str = "file_id",
+    lon_col: str = "longitude",
+    lat_col: str = "latitude",
+) -> DataFrame:
+    """J1: broadcast containment join; ALL matching areas concatenated
+    (space-joined, names dash-ified, sorted), no match → 'None'.
+
+    Python UDFs are not allowed in outer-join ON clauses, so the left join
+    is expressed as crossJoin(broadcast) + conditional collect_list — same
+    physical shape (BroadcastNestedLoopJoin), identical semantics."""
+    crossed = points.crossJoin(F.broadcast(polygons)).withColumn(
+        "_inside", _contains_udf(F.col(lon_col), F.col(lat_col), F.col("ring_json"))
+    )
+    dashed = F.regexp_replace(F.col("name"), " ", "-")
+    agg = crossed.groupBy(key_col).agg(
+        F.concat_ws(
+            " ",
+            F.sort_array(F.collect_list(F.when(F.col("_inside"), dashed))),
+        ).alias("geo_code")
+    )
+    return agg.withColumn(
+        "geo_code",
+        F.when(F.col("geo_code") == "", F.lit("None")).otherwise(F.col("geo_code")),
+    )
