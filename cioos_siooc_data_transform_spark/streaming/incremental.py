@@ -1,0 +1,84 @@
+"""Incremental IOS ingestion as a Structured Streaming file source
+(SURVEY.md §2.9).
+
+The reference's incremental mode is a 24-hour mtime filter re-run nightly
+(IDT/utils.py:37-43, IDT/ios_data_transform_script.py:53-56) — a heuristic
+that double-processes on overlap and misses on downtime. The streaming
+file source + checkpoint gives exactly-once pickup instead: every file is
+processed once, regardless of batch cadence; Trigger.AvailableNow drains
+the backlog and stops, which is the cron-batch execution shape.
+
+IOS files are ASCII-with-garbage (the reference decodes with
+errors='ignore', IDT/ObsFile.py:47) and the streaming text source insists
+on valid UTF-8 — so the stream carries only PATHS (exactly-once file
+tracking lives in the checkpoint), and each micro-batch re-reads its files
+through the batch binaryFile source + the shared mapInPandas parser.
+
+Scale notes: file-listing state lives in the checkpoint; maxFilesPerTrigger
+bounds per-batch work; the parse plane is identical to batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_ios_paths(
+    spark: SparkSession,
+    root: str,
+    path_glob: str = "*",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """readStream over the file tree, yielding one row per newly-seen file
+    (path only — content is re-read batch-side; see module docstring)."""
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", path_glob)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(root).select(F.input_file_name().alias("path"))
+
+
+def run_incremental_ingest(
+    spark: SparkSession,
+    root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    path_glob: str = "*",
+) -> None:
+    """One AvailableNow drain: parse any not-yet-processed files and append
+    their catalog + long-format measurements to parquet. Blocks until the
+    backlog is drained (the cron-batch shape)."""
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_catalog,
+        ios_measurements_masked,
+        parse_ios,
+    )
+
+    paths_stream = stream_ios_paths(spark, root, path_glob)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        paths = [r["path"] for r in batch_df.select("path").distinct().collect()]
+        if not paths:
+            return
+        files = spark.read.format("binaryFile").load(paths)
+        parsed = parse_ios(files).cache()
+        try:
+            ios_catalog(parsed).write.mode("append").parquet(f"{out_dir}/catalog")
+            ios_measurements_masked(parsed).write.mode("append").parquet(
+                f"{out_dir}/measurements"
+            )
+        finally:
+            parsed.unpersist()
+
+    query = (
+        paths_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -1,0 +1,119 @@
+"""Structured Streaming tests: exactly-once incremental file pickup,
+watermarked tumbling windows, and custom stateful totals — all driven with
+Trigger.AvailableNow so they run to completion deterministically."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+IDT = "/root/reference/cioos_data_transform/ios_data_transform/ios_data_transform/tests/test_files"
+SF = "/root/testdata/sf0.001"
+
+
+def test_incremental_ingest_exactly_once(spark):
+    from cioos_siooc_data_transform_spark.streaming.incremental import (
+        run_incremental_ingest,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src)
+        profiles = sorted(glob.glob(f"{IDT}/ctd_profile/*.ctd"))
+        for p in profiles[:3]:
+            shutil.copy(p, src)
+
+        run_incremental_ingest(spark, src, out, ckpt, path_glob="*.ctd")
+        cat = spark.read.parquet(f"{out}/catalog")
+        assert cat.count() == 3
+
+        # drop one more file; a second drain must process ONLY the new one
+        shutil.copy(profiles[3], src)
+        run_incremental_ingest(spark, src, out, ckpt, path_glob="*.ctd")
+        cat2 = spark.read.parquet(f"{out}/catalog")
+        assert cat2.count() == 4  # 3 + 1, not 3 + 4 (exactly-once)
+        assert cat2.select("file_id").distinct().count() == 4
+
+        meas = spark.read.parquet(f"{out}/measurements")
+        per_file = {
+            r["file_id"]: r["count"]
+            for r in meas.groupBy("file_id").count().collect()
+        }
+        assert per_file["2017-020-0474"] == 189 * 12
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    from cioos_siooc_data_transform_spark.streaming.windows import tumbling_counts
+
+    # events.parquet carries ns timestamps; stream the µs-truncated form
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "stream")
+        from cioos_siooc_data_transform_spark.session import read_table
+
+        read_table(spark, SF, "events").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        result = tumbling_counts(stream)
+        q = (
+            result.writeStream.format("memory")
+            .queryName("tumbling_test")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.sql("SELECT * FROM tumbling_test")
+        batch = (
+            read_table(spark, SF, "events")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        )
+        assert streamed.count() == batch.count()
+        assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stateful_running_totals(spark):
+    from cioos_siooc_data_transform_spark.streaming.windows import running_user_totals
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "stream")
+        events = read_table(spark, SF, "events").filter(F.col("user_id") < 5)
+        events.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        result = running_user_totals(stream)
+        q = (
+            result.writeStream.format("memory")
+            .queryName("stateful_test")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"])
+            for r in spark.sql(
+                "SELECT * FROM stateful_test"
+            ).collect()
+        }
+        expect = {
+            r["user_id"]: (r["n"], round(r["t"], 4))
+            for r in events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert got == expect
