@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes its full plan into the noop sink (no driver collect),
+so the timing covers scan → shuffle → compute, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline queries: the scale-relevant operators (one per family).
+HEADLINE = [
+    "q1_pricing_summary",        # scan + hash agg
+    "broadcast_lookup_join",     # broadcast join chain
+    "semi_join_present",         # shuffled semi join
+    "geo_containment_join",      # broadcast theta join + collect_list
+    "ranking_window_bodc",       # window function
+    "sequence_timeseries",       # generator explode
+    "tumbling_window_hourly",    # time-window agg
+    "session_windows",           # session windows
+    "dedup_exact",               # digest agg
+    "dedup_minhash_lsh",         # shingle explode + minhash + LSH self-join
+    "dedup_simhash",             # token explode + 16 bit-sums
+    "dedup_ngram_jaccard",       # inverted-index join
+    "text_langid",               # array intersections
+    "text_quality_score",        # scalar expressions
+    "text_fingerprint",          # sort+hash + window
+    "similarity_topk_bruteforce",  # cosine ranking
+    "similarity_ivf_topk",       # IVF assign + probe
+    "multimodal_decode_features",  # mapInPandas feature extraction
+]
+
+
+def main() -> None:
+    from cioos_siooc_data_transform_spark.plans import all_queries
+    from cioos_siooc_data_transform_spark.session import get_spark
+
+    spark = get_spark("cioos-siooc-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # JVM/codegen warm-up on a trivial action so q1 isn't charged for it.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

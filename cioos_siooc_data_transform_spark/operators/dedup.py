@@ -86,7 +86,14 @@ def minhash_signature(
     aggs = []
     for k in range(1, num_hashes + 1):
         if hash_family == "md5":
-            h = F.md5(F.concat(F.col(shingle_col), F.lit(f"#{k}")))
+            # 4 hash functions per digest: the 128-bit md5 is sliced into
+            # four independent 8-hex-char (32-bit) chunks, so k functions
+            # cost ceil(k/4) digests instead of k.
+            digest_idx = (k - 1) // 4
+            offset = ((k - 1) % 4) * 8 + 1
+            h = F.substring(
+                F.md5(F.concat(F.col(shingle_col), F.lit(f"#{digest_idx}"))), offset, 8
+            )
         else:
             h = F.xxhash64(F.col(shingle_col), F.lit(k))
         aggs.append(F.min(h).alias(f"h{k}"))
