@@ -22,3 +22,5 @@ from cioos_siooc_data_transform_spark.plans import similarity_queries  # noqa: F
 from cioos_siooc_data_transform_spark.plans import text_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import windowed  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import ios_queries  # noqa: F401,E402
+from cioos_siooc_data_transform_spark.plans import oceanography_queries  # noqa: F401,E402
+from cioos_siooc_data_transform_spark.plans import analytics  # noqa: F401,E402

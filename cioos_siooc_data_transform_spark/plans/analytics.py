@@ -1,0 +1,315 @@
+"""Extended analytics coverage: multi-join aggregations (TPC-H Q3/Q5
+shapes), rollup/cube/grouping sets, distinct aggregation, pivot,
+correlated-aggregate comparison, full outer join, exact percentiles.
+
+The reference never needs these (it has no query engine), but a user
+replacing it with this engine gets the full relational surface Spark
+provides — each shape is oracle-checked like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cioos_siooc_data_transform_spark.plans.registry import register
+from cioos_siooc_data_transform_spark.session import read_table as _t
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "cube_events",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP))
+    """,
+)
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return ev.select("event_type", day).cube("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "distinct_aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def distinct_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return pivoted
+
+
+@register(
+    "correlated_above_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    JOIN (
+      SELECT o_custkey, avg(o_totalprice) AS avg_total
+      FROM orders GROUP BY o_custkey
+    ) a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_total * 1.5
+    """,
+)
+def correlated_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate comparison (decorrelated to a join — the plan
+    Catalyst produces for the subquery form anyway)."""
+    o = _t(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.avg("o_totalprice").alias("avg_total")
+    )
+    return (
+        o.join(avgs, o["o_custkey"] == avgs["ck"])
+        .filter(F.col("o_totalprice") > F.col("avg_total") * 1.5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "full_outer_reconcile",
+    oracle="""
+    WITH big_cust AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ), busy_cust AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+    )
+    SELECT coalesce(b.c_custkey, u.c_custkey) AS custkey,
+           (b.c_custkey IS NOT NULL) AS is_big,
+           (u.c_custkey IS NOT NULL) AS is_busy
+    FROM big_cust b FULL OUTER JOIN busy_cust u ON b.c_custkey = u.c_custkey
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    busy = (
+        o.groupBy(F.col("o_custkey").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+    j = big.join(busy, big["c_custkey"] == busy["bk"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("bk")).alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("is_big"),
+        F.col("bk").isNotNull().alias("is_busy"),
+    )
+
+
+@register(
+    "exact_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part
+    ) WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "union_distinct_sources",
+    oracle="""
+    SELECT custkey, count(*) AS n FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    ) GROUP BY custkey
+    """,
+)
+def union_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    u = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .unionByName(
+            c.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+        )
+    )
+    return u.groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))

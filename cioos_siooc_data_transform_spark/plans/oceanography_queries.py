@@ -1,0 +1,219 @@
+"""GSW/TEOS-10-family derived-variable [Q] operators (SURVEY.md §2.10 U3)
+exercised on synthetic columns with DuckDB oracle twins.
+
+Inputs are constructed deterministically from lineitem columns (cast to
+DOUBLE up front so both engines run identical IEEE arithmetic); formulas
+are mirrored with identical operation order, so results match bit-for-bit
+before the protective rounding. depth_from_pressure involves libm sin()
+(last-ulp differences between JVM and C possible) → rounded to 4 dp; the
+pure-arithmetic formulas round at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cioos_siooc_data_transform_spark.functions.oceanography import (
+    depth_from_pressure,
+    mackenzie_sound_speed,
+    nsquared,
+    potential_temperature,
+    practical_salinity,
+    profile_interp,
+)
+from cioos_siooc_data_transform_spark.plans.registry import register
+from cioos_siooc_data_transform_spark.session import read_table as _t
+
+# Shared synthetic input construction (SQL + Spark mirrors).
+_IN_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity % 30 AS DOUBLE) AS t,
+           CAST(30.0 + l_discount * 50 AS DOUBLE) AS s,
+           CAST(l_linenumber * 150.0 AS DOUBLE) AS d,
+           CAST(l_linenumber * 100.0 AS DOUBLE) AS p,
+           CAST((l_suppkey % 120) - 60 AS DOUBLE) AS lat,
+           CAST(0.5 + l_discount * 5 AS DOUBLE) AS rt
+    FROM lineitem
+"""
+
+
+def _inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") % 30).cast("double").alias("t"),
+        (F.lit(30.0) + F.col("l_discount") * 50).cast("double").alias("s"),
+        (F.col("l_linenumber") * 150.0).cast("double").alias("d"),
+        (F.col("l_linenumber") * 100.0).cast("double").alias("p"),
+        ((F.col("l_suppkey") % 120) - 60).cast("double").alias("lat"),
+        (F.lit(0.5) + F.col("l_discount") * 5).cast("double").alias("rt"),
+    )
+
+
+@register(
+    "gsw_sound_speed",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(1448.96 + 4.591 * t - 5.304e-2 * t * t + 2.374e-4 * t * t * t
+                 + 1.340 * (s - 35.0) + 1.630e-2 * d + 1.675e-7 * d * d
+                 - 1.025e-2 * t * (s - 35.0) - 7.139e-13 * t * d * d * d,
+                 6) AS sound_speed
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_sound_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mackenzie (1981) nine-term equation."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            mackenzie_sound_speed(F.col("t"), F.col("s"), F.col("d")), 6
+        ).alias("sound_speed"),
+    )
+
+
+@register(
+    "gsw_practical_salinity",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(
+             (0.0080 + -0.1692 * sqrt(rt) + 25.3851 * rt + 14.0941 * (sqrt(rt) * rt)
+              + -7.0261 * (rt * rt) + 2.7081 * (rt * rt * sqrt(rt)))
+             + (t - 15.0) / (1.0 + 0.0162 * (t - 15.0))
+               * (0.0005 + -0.0056 * sqrt(rt) + -0.0066 * rt + -0.0375 * (sqrt(rt) * rt)
+                  + 0.0636 * (rt * rt) + -0.0144 * (rt * rt * sqrt(rt))),
+             6) AS sp
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_practical_salinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSS-78 SP(Rt, t) — UNESCO 1983 constants."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(practical_salinity(F.col("rt"), F.col("t")), 6).alias("sp"),
+    )
+
+
+@register(
+    "gsw_potential_temperature",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(
+             t
+             - p * (3.6504e-4 + 8.3198e-5 * t - 5.4065e-7 * t * t + 4.0274e-9 * t * t * t)
+             - p * (s - 35.0) * (1.7439e-5 - 2.9778e-7 * t)
+             - p * p * (8.9309e-7 - 3.1628e-8 * t + 2.1987e-10 * t * t)
+             + 4.1057e-9 * (s - 35.0) * p * p
+             - p * p * p * (-1.6056e-10 + 5.0484e-12 * t),
+             6) AS theta
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_potential_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bryden (1973) polynomial, reference pressure 0."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            potential_temperature(F.col("t"), F.col("s"), F.col("p")), 6
+        ).alias("theta"),
+    )
+
+
+@register(
+    "gsw_depth_from_pressure",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(
+             (9.72659e2 * p - 2.2512e-1 * p * p + 2.279e-4 * p * p * p
+              - 1.82e-7 * p * p * p * p)
+             / (9.780318 * (1.0 + 5.2788e-3 * pow(sin(radians(lat)), 2)
+                            + 2.36e-5 * pow(sin(radians(lat)), 2) * pow(sin(radians(lat)), 2))
+                + 1.092e-4 * p),
+             4) AS depth_m
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_depth_from_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saunders & Fofonoff / UNESCO 1983 (4 dp: sin() is libm-dependent)."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(depth_from_pressure(F.col("p"), F.col("lat")), 4).alias("depth_m"),
+    )
+
+
+@register(
+    "gsw_nsquared_profile",
+    oracle="""
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ), prof AS (
+      SELECT l_orderkey,
+             CAST(rn * 10.0 AS DOUBLE) AS depth,
+             CAST(20.0 + l_quantity * 0.1 + rn * 0.05 AS DOUBLE) AS sigma
+      FROM levels
+    ), lagged AS (
+      SELECT l_orderkey, depth, sigma,
+             lag(sigma) OVER (PARTITION BY l_orderkey ORDER BY depth) AS sigma_prev,
+             lag(depth) OVER (PARTITION BY l_orderkey ORDER BY depth) AS depth_prev
+      FROM prof
+    )
+    SELECT l_orderkey,
+           (depth + depth_prev) / 2.0 AS mid_depth,
+           round(9.80665 / 1025.0 * (sigma - sigma_prev) / (depth - depth_prev), 6)
+             AS n_squared
+    FROM lagged WHERE sigma_prev IS NOT NULL
+    """,
+)
+def gsw_nsquared_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N² between adjacent levels as a window expression (GSW Nsquared's
+    profile-axis shape, SURVEY.md U3)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+    # the profile level is a deterministic row_number — ties on the full
+    # sort key yield identical (depth, sigma) anyway.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    levels = li.withColumn("rn", F.row_number().over(w))
+    prof = levels.select(
+        "l_orderkey",
+        (F.col("rn") * 10.0).cast("double").alias("depth"),
+        (F.lit(20.0) + F.col("l_quantity") * 0.1 + F.col("rn") * 0.05)
+        .cast("double")
+        .alias("sigma"),
+    )
+    out = nsquared(prof, "l_orderkey", "depth", "sigma")
+    return out.select(
+        "l_orderkey",
+        "mid_depth",
+        F.round("n_squared", 6).alias("n_squared"),
+    )
+
+
+@register("gsw_profile_interp")  # applyInPandas — not SQL-expressible; rows-only check
+def gsw_profile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-profile linear resampling onto standard depths (applyInPandas;
+    GSW pchip_interp analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    prof = li.select(
+        F.col("l_orderkey").cast("string").alias("profile_id"),
+        (F.col("l_linenumber") * 10.0).cast("double").alias("depth"),
+        (F.lit(20.0) + F.col("l_quantity") * 0.1).cast("double").alias("sigma"),
+    )
+    return profile_interp(prof, "profile_id", "depth", "sigma", [10.0, 25.0, 40.0, 60.0])
