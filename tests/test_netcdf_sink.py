@@ -1,0 +1,63 @@
+"""NetCDF-3 writer round-trip + CF export of the reference corpus."""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from cioos_siooc_data_transform_spark.sinks.netcdf3 import (
+    NC_CHAR, NC_DOUBLE, NC_FLOAT, NcVariable, read_netcdf3, write_netcdf3,
+)
+
+IDT = "/root/reference/cioos_data_transform/ios_data_transform/ios_data_transform/tests/test_files"
+
+
+def test_netcdf3_roundtrip():
+    dims = {"z": 3, "slen": 8}
+    gattrs = {"title": "test file", "version": 2}
+    variables = [
+        NcVariable("temp", NC_FLOAT, ["z"], {"units": "deg C"},
+                   np.array([1.5, 2.5, float("nan")], dtype="f4")),
+        NcVariable("time", NC_DOUBLE, [], {"standard_name": "time"}, np.asarray(1234.5)),
+        NcVariable("profile", NC_CHAR, ["slen"], {"cf_role": "profile_id"}, "p-00001"),
+    ]
+    buf = write_netcdf3(dims, gattrs, variables)
+    assert buf[:4] == b"CDF\x01"
+    back = read_netcdf3(buf)
+    assert back["dims"] == {"z": 3, "slen": 8}
+    assert back["attrs"]["title"] == "test file"
+    assert back["attrs"]["version"] == [2]
+    t = back["variables"]["temp"]
+    assert t["attrs"]["units"] == "deg C"
+    assert t["data"][0] == np.float32(1.5) and math.isnan(float(t["data"][2]))
+    assert float(back["variables"]["time"]["data"]) == 1234.5  # 0-d scalar
+    assert back["variables"]["profile"]["data"] == "p-00001"
+
+
+def test_cf_netcdf_export(spark):
+    from cioos_siooc_data_transform_spark.sinks.cf_netcdf import write_netcdf_dir
+    from cioos_siooc_data_transform_spark.sources.ios_source import read_ios
+
+    parsed = read_ios(spark, f"{IDT}/ctd_profile", ["ctd"])
+    with tempfile.TemporaryDirectory() as out:
+        n = write_netcdf_dir(parsed, out)
+        assert n == 6
+        path = os.path.join(out, "2017", "2017-020-0474.nc")
+        assert os.path.exists(path)
+        nc = read_netcdf3(open(path, "rb").read())
+        assert nc["dims"]["z"] == 189
+        assert nc["attrs"]["featureType"] == "profile"
+        assert "MISSION" in nc["attrs"]["HEADER"]
+        v = nc["variables"]
+        assert v["longitude"]["attrs"]["standard_name"] == "longitude"  # bug fixed
+        assert abs(float(v["latitude"]["data"]) - 71.3885) < 1e-4
+        temp = v["TEMPS901"]["data"]
+        assert temp.shape == (189,) and abs(float(temp[0]) - 6.2644) < 1e-4
+        assert v["profile"]["data"] == "2017-020-0474"
+        # time scalar: 2017-09-10 01:00:42 UTC
+        assert float(v["time"]["data"]) == pytest.approx(1505005242.0)
