@@ -1,0 +1,97 @@
+"""As-of join and skew-handling joins (beyond-reference scope — the
+custom operators a time-series/event engine needs that Spark lacks as
+built-ins).
+
+as-of join, Spark-first: the naive formulation (range theta join +
+row_number) explodes to O(left × right-per-key) pairs before pruning. The
+union+window formulation here is the scale-correct plan: tag both sides,
+union, one window pass per key ordered by time carrying the latest right
+row forward — one shuffle on the key, zero pair explosion, state bounded
+by one right row per partition stream.
+
+salted join: the standard skew treatment — explode the hot side's key
+space by a salt factor, replicate the small side per salt, join, drop the
+salt. AQE's skew-join split handles sort-merge skew automatically; salting
+is for the cases AQE can't see (e.g. aggregation hot keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.ts <= left.ts for the same key (backward as-of join).
+
+    Implementation: union with a side tag (right sorts before left on
+    timestamp ties so an exactly-equal right row IS matched), then
+    last_value(ignoreNulls) over (key ORDER BY ts, side) carries right
+    values forward onto left rows.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (key, right_ts)]
+
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tag.schema["_left"].dataType
+        ).alias("_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_k",
+        "_ts",
+        "_side",
+        "_left",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in right_cols
+        ],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        F.col("_left.*"),
+        *[F.col(f"_rv_{c}").alias(f"right_{c}") for c in right_cols],
+    )
+    return out
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side's keys into
+    `salt_buckets` sub-keys and replicate the dimension per salt, so one
+    hot key spreads over `salt_buckets` tasks instead of one."""
+    salted_facts = facts.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted_facts.join(exploded_dim, [key, "_salt"]).drop("_salt")

@@ -25,3 +25,4 @@ from cioos_siooc_data_transform_spark.plans import ios_queries  # noqa: F401,E40
 from cioos_siooc_data_transform_spark.plans import oceanography_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import analytics  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import json_queries  # noqa: F401,E402
+from cioos_siooc_data_transform_spark.plans import asof_queries  # noqa: F401,E402

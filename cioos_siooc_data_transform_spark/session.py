@@ -53,6 +53,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
+    # Timestamps must collect as UTC to hash-match the (naive) DuckDB
+    # oracle values, regardless of how the caller's session was built.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = pq.read_schema(path)
     ns_cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
