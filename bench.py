@@ -40,6 +40,9 @@ HEADLINE = [
     "similarity_topk_bruteforce",  # cosine ranking
     "similarity_ivf_topk",       # IVF assign + probe
     "multimodal_decode_features",  # mapInPandas feature extraction
+    "asof_join_events",          # union+window as-of join
+    "q5_supplier_volume",        # 6-table join chain
+    "gsw_sound_speed",           # codegen polynomial throughput
 ]
 
 

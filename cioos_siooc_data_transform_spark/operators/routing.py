@@ -37,6 +37,16 @@ def _contains_any(col: Column, keywords: list[str]) -> Column:
     return expr
 
 
+def dropped_channels(channels, rules=None):
+    """Audit view: channels the routing ladder drops (the reference logs
+    and skips them, IDT/write_ctd_ncfile.py:142-143 — visible in its run
+    log for Transmissivity/PAR/Fluorescence). Returns the unrouted rows so
+    pipelines can surface them instead of losing them silently."""
+    return channels.withColumn(
+        "var_type", route_channels(F.col("name"), rules)
+    ).filter(F.col("var_type").isNull()).drop("var_type")
+
+
 def route_channels(name_col: Column, rules=None) -> Column:
     """CASE WHEN ladder: channel name → var_type (NULL = drop)."""
     if rules is None:

@@ -136,11 +136,24 @@ def to_netcdf_bytes(parsed: DataFrame) -> DataFrame:
 
 def write_netcdf_dir(parsed: DataFrame, out_dir: str) -> int:
     """Materialize one .nc per file under out_dir/<year>/<file_id>.nc.
-    Returns the number of files written."""
-    rows = to_netcdf_bytes(parsed).collect()
-    for r in rows:
-        d = os.path.join(out_dir, str(r["year"]))
-        os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, f"{r['file_id']}.nc"), "wb") as f:
-            f.write(bytes(r["nc_bytes"]))
-    return len(rows)
+
+    Executor-side writes via foreachPartition (no driver collect — file
+    bytes never funnel through one process); a task retry simply rewrites
+    the same paths, so the write is idempotent. Returns the file count.
+    """
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            d = os.path.join(out_dir, str(r["year"]))
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".{r['file_id']}.nc.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["nc_bytes"]))
+            os.replace(tmp, os.path.join(d, f"{r['file_id']}.nc"))
+
+    nc = to_netcdf_bytes(parsed).cache()
+    try:
+        nc.foreachPartition(write_partition)
+        return nc.count()
+    finally:
+        nc.unpersist()

@@ -85,6 +85,22 @@ def test_bodc_codes(parsed):
     }
 
 
+def test_dropped_channels_audit(parsed):
+    from cioos_siooc_data_transform_spark.operators.routing import dropped_channels
+    from cioos_siooc_data_transform_spark.sources.ios_source import ios_channels
+
+    dropped = dropped_channels(ios_channels(parsed))
+    names = {
+        r["name"]
+        for r in dropped.filter(F.col("file_id") == "2017-020-0474").collect()
+    }
+    # same channels the reference's run log shows being dropped
+    assert names == {
+        "Transmissivity", "Fluorescence:URU:Seapoint", "PAR",
+        "Turbidity:Seapoint", "Number_of_bin_records",
+    }
+
+
 def test_geo_code_assignment(spark, parsed):
     from cioos_siooc_data_transform_spark.sources.geojson_source import (
         assign_geo_code,
