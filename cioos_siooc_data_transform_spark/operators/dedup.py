@@ -177,6 +177,88 @@ def simhash(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard via inverted index (no O(n²) pairing)
 # ---------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Union-find over candidate-pair edges via iterative min-label
+    propagation: every node's label converges to the minimum id in its
+    component. Iterations ≈ O(log(diameter)); near-dup clusters are tiny,
+    so this converges in 2-3 rounds. Each round is one shuffle (groupBy
+    node); no driver-side graph materialization.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(10):  # bound; converges in log2(diameter) rounds
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def deduplicate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """End-to-end near-dup removal: MinHash+LSH candidates → exact Jaccard
+    confirmation → connected components → keep the min-id doc per
+    component. Returns docs with `is_keeper` and `component` columns.
+    """
+    shingled = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col(text_col)), 3))
+        ).alias("s"),
+    ).distinct()
+    sig = minhash_signature(shingled, id_col, "s", num_hashes=num_hashes)
+    buckets = lsh_band_buckets(sig, id_col, num_hashes=num_hashes, bands=bands)
+    candidates = lsh_candidate_pairs(buckets, id_col)
+    jac = ngram_jaccard_pairs(shingled, id_col, "s", threshold=jaccard_threshold)
+    cand = candidates.select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
+    )
+    confirmed = jac.join(
+        cand, (jac["doc_a"] == cand["ca"]) & (jac["doc_b"] == cand["cb"]), "left_semi"
+    )
+    components = connected_components(confirmed)
+    out = docs.join(
+        components, docs[id_col] == components["doc_id"], "left"
+    ).drop(components["doc_id"])
+    return out.withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    ).withColumn("is_keeper", F.col("component") == F.col(id_col))
+
+
 def ngram_jaccard_pairs(
     doc_shingles: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -1,0 +1,61 @@
+"""End-to-end dedup pipeline: LSH candidates → Jaccard confirm →
+connected components → keeper selection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_connected_components(spark):
+    from cioos_siooc_data_transform_spark.operators.dedup import connected_components
+
+    # two components: {1,2,3,4} (chain) and {10,11}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["doc_id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_deduplicate_documents(spark):
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        deduplicate_documents,
+        ngram_jaccard_pairs,
+        word_shingles,
+        words_expr,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    docs = read_table(spark, SF, "documents")
+    out = deduplicate_documents(docs).cache()
+    assert out.count() == docs.count()
+
+    keepers = out.filter(F.col("is_keeper")).count()
+    dropped = out.filter(~F.col("is_keeper")).count()
+    assert keepers + dropped == docs.count()
+    assert dropped > 0  # the sf0.01 corpus has near-dup clusters
+
+    # every non-keeper's component head must itself be a keeper
+    comp_heads = {
+        r["component"] for r in out.filter(~F.col("is_keeper")).collect()
+    }
+    keeper_ids = {
+        r["doc_id"] for r in out.filter(F.col("is_keeper")).collect()
+    }
+    assert comp_heads <= keeper_ids
+
+    # components agree with direct high-jaccard pairs: any confirmed pair
+    # must land in one component
+    shingled = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(words_expr(F.col("text")), 3))).alias("s"),
+    ).distinct()
+    jac = ngram_jaccard_pairs(shingled, "doc_id", "s", threshold=0.5)
+    comp = {r["doc_id"]: r["component"] for r in out.collect()}
+    for r in jac.collect():
+        assert comp[r["doc_a"]] == comp[r["doc_b"]], (r["doc_a"], r["doc_b"])
+    out.unpersist()

@@ -1,0 +1,46 @@
+"""Physical-plan regression tests: filter pushdown, column pruning, and
+broadcast joins must survive refactors (the 100 TB properties)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    df = all_queries()[name](spark, SF_DIR_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # column pruning: the scan must not read unused columns
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_broadcast_joins(spark):
+    for name in ["broadcast_lookup_join", "q5_supplier_volume", "positional_schema_join"]:
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_containment_join_broadcasts_dimension(spark):
+    plan = _plan(spark, "geo_containment_join")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semi_and_anti_joins_planned(spark):
+    assert "LeftSemi" in _plan(spark, "semi_join_present")
+    assert "LeftAnti" in _plan(spark, "anti_join_orphans")
+
+
+def test_no_cartesian_in_asof(spark):
+    plan = _plan(spark, "asof_join_events")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # union+window formulation, not a range join
