@@ -196,3 +196,31 @@ def pandas_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Train the IVF coarse quantizer with Spark MLlib KMeans (fixed seed
+    → deterministic). Returns a centroid DataFrame shaped like a corpus
+    (id_col, vec_col) so it plugs straight into ivf_assign / ivf_topk.
+
+    At 100 TB you train on a sample (KMeans cost is per-point·per-center)
+    and broadcast the resulting centers — which is exactly the shape this
+    returns."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = corpus.sparkSession
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, f"{id_col} INT, {vec_col} ARRAY<DOUBLE>")

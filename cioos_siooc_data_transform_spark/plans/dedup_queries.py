@@ -194,3 +194,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= 0.45)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs: hamming distance ≤ 3 over a blocked self-join
+# (block = high byte of the hash — candidates must agree on it, which is
+# the standard multi-index SimHash trick; at 64-bit scale the hash splits
+# into 4 blocks and pairs must match on ≥ 1).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(words) AS t FROM w),
+    val AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
+              (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
+              (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 +
+              (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) AS v
+      FROM tok
+    ),
+    sums AS (SELECT doc_id, {_BIT_SUMS} FROM val GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({_HASH_SUM} AS BIGINT) AS simhash FROM sums),
+    blocked AS (SELECT doc_id, simhash, simhash >> 8 AS block FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_expr(F.col("text")))).alias("t")
+    )
+    sh = simhash(tokens, "doc_id", "t", bits=16).withColumn(
+        "block", F.shiftright(F.col("simhash"), 8)
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "block",
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "block",
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "block")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

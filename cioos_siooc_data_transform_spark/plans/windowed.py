@@ -106,3 +106,36 @@ def daily_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative window frame: running per-user value totals in time order
+# (ROWS UNBOUNDED PRECEDING — the frame-spec coverage).
+# ---------------------------------------------------------------------------
+@register(
+    "running_user_totals_batch",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(row_number() OVER w AS BIGINT) AS n_so_far,
+           round(sum(value) OVER w, 4) AS total_so_far
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def running_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("long")
+        .alias("n_so_far"),
+        F.round(F.sum("value").over(w), 4).alias("total_so_far"),
+    )
