@@ -51,6 +51,22 @@ def wide_profile_view(
     return wide.join(scalars, "file_id")
 
 
+def mooring_timeseries_view(parsed: DataFrame) -> DataFrame:
+    """Mooring/current-meter user view: long-format measurements with the
+    generated observation timestamp attached (W1 ⋈ measurements on
+    (file_id, record_idx)) — one row per (file, instant, channel)."""
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_measurements_masked,
+        ios_observation_times,
+    )
+
+    meas = ios_measurements_masked(parsed)
+    times = ios_observation_times(parsed)
+    return meas.join(times, ["file_id", "record_idx"]).select(
+        "file_id", "record_idx", "obs_ts", "channel_idx", "value_num"
+    )
+
+
 def filter_new_files(files: DataFrame, hours: float = 24.0) -> DataFrame:
     """P3: keep only files modified within the last `hours` (the
     reference's incremental heuristic, IDT/utils.py:37-43) using the

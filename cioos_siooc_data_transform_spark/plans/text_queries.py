@@ -180,3 +180,48 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "doc_id", "text", "source")
     return extract_features(media, fake_decode=True)
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing bag-of-words embedding (hashing trick), long form:
+# (doc_id, bucket, weight) with L2-normalized counts — the deterministic
+# text→vector step a training pipeline runs before similarity search.
+# ---------------------------------------------------------------------------
+@register(
+    "text_hash_embedding",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16 +
+              (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 32 AS bucket
+      FROM tok
+    ), counts AS (
+      SELECT doc_id, bucket, count(*) AS n FROM bucketed GROUP BY 1, 2
+    ), norms AS (
+      SELECT doc_id, sqrt(sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS l2
+      FROM counts GROUP BY doc_id
+    )
+    SELECT c.doc_id, CAST(c.bucket AS BIGINT) AS bucket,
+           round(CAST(c.n AS DOUBLE) / norms.l2, 6) AS weight
+    FROM counts c JOIN norms ON c.doc_id = norms.doc_id
+    """,
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words_expr(F.col("text"))).alias("t"))
+    h = F.md5(F.col("t"))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+    bucket = ((nib(1) * 16 + nib(2)) % 32).cast("long")
+    counts = tok.select("doc_id", bucket.alias("bucket")).groupBy(
+        "doc_id", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norms = counts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("n").cast("double") * F.col("n").cast("double"))).alias("l2")
+    )
+    return counts.join(norms, "doc_id").select(
+        "doc_id",
+        "bucket",
+        F.round(F.col("n").cast("double") / F.col("l2"), 6).alias("weight"),
+    )

@@ -34,3 +34,23 @@ def test_filter_new_files(spark):
     assert filter_new_files(files, 0.0).count() == 0
     # a huge window keeps everything
     assert filter_new_files(files, 1e7).count() == files.count()
+
+
+def test_mooring_timeseries_view(spark):
+    from cioos_siooc_data_transform_spark.operators.views import (
+        mooring_timeseries_view,
+    )
+    from cioos_siooc_data_transform_spark.sources.ios_source import read_ios
+
+    parsed = read_ios(spark, f"{IDT}/ctd_mooring", ["ctd"])
+    ts = mooring_timeseries_view(parsed)
+    first = (
+        ts.filter(
+            (F.col("file_id") == "a1_20080429_20080518_0034m")
+            & (F.col("record_idx") == 1)
+            & (F.col("channel_idx") == 4)
+        ).first()
+    )
+    # second record, Temperature channel: 7.6285 at start+600s
+    assert first["obs_ts"].isoformat() == "2008-04-29T20:50:01"
+    assert first["value_num"] == 7.6285
