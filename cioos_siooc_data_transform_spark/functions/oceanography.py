@@ -98,15 +98,15 @@ def potential_temperature(t: Column, s: Column, p: Column, p_ref: Column | float
 
 def depth_from_pressure(p: Column, lat: Column) -> Column:
     """Saunders & Fofonoff depth (m) from pressure (decibar) and latitude
-    (UNESCO 1983):
-    z = (9.72659e2 p − 2.2512e−1 p² + 2.279e−4 p³ − 1.82e−7 p⁴)
-        / (g(φ) + 1.092e−4 p)
+    (UNESCO 1983 check value: z(10000 dbar, 30°) = 9712.653 m):
+    z = (9.72659 p − 2.2512e−5 p² + 2.279e−10 p³ − 1.82e−15 p⁴)
+        / (g(φ) + 1.092e−6 p)
     g(φ) = 9.780318 (1 + 5.2788e−3 sin²φ + 2.36e−5 sin⁴φ)
     """
     sin2 = F.pow(F.sin(F.radians(lat)), 2)
     g = 9.780318 * (1.0 + 5.2788e-3 * sin2 + 2.36e-5 * sin2 * sin2)
-    num = 9.72659e2 * p - 2.2512e-1 * p * p + 2.279e-4 * p * p * p - 1.82e-7 * p * p * p * p
-    return num / (g + 1.092e-4 * p)
+    num = 9.72659 * p - 2.2512e-5 * p * p + 2.279e-10 * p * p * p - 1.82e-15 * p * p * p * p
+    return num / (g + 1.092e-6 * p)
 
 
 def nsquared(

@@ -131,11 +131,11 @@ def gsw_potential_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
            round(
-             (9.72659e2 * p - 2.2512e-1 * p * p + 2.279e-4 * p * p * p
-              - 1.82e-7 * p * p * p * p)
+             (9.72659 * p - 2.2512e-5 * p * p + 2.279e-10 * p * p * p
+              - 1.82e-15 * p * p * p * p)
              / (9.780318 * (1.0 + 5.2788e-3 * pow(sin(radians(lat)), 2)
                             + 2.36e-5 * pow(sin(radians(lat)), 2) * pow(sin(radians(lat)), 2))
-                + 1.092e-4 * p),
+                + 1.092e-6 * p),
              4) AS depth_m
     FROM ({_IN_SQL})
     """,
