@@ -100,6 +100,35 @@ def ivf_assign(
     )
 
 
+def ivf_assign_multi(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids (query-side
+    multi-probe: recall rises with nprobe at proportional probe cost)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine_expr(F.col(vec_col), F.col("cent_vec")), round_dp).alias("cent_sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .drop("_rn", "cent_sim")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -108,10 +137,13 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_dp: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe: rank only within the query's nearest-centroid cell."""
+    """IVF probe: rank within the query's `nprobe` nearest-centroid cells."""
     corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col, round_dp)
-    query_cells = ivf_assign(queries, centroids, id_col, vec_col, round_dp)
+    query_cells = ivf_assign_multi(
+        queries, centroids, id_col, vec_col, nprobe, round_dp
+    )
     q = query_cells.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),

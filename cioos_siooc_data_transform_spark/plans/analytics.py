@@ -313,3 +313,84 @@ def union_distinct_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return u.groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    SELECT event_id, user_id, round(z, 4) AS zscore FROM (
+      SELECT event_id, user_id,
+             (value - avg(value) OVER (PARTITION BY user_id))
+               / stddev_samp(value) OVER (PARTITION BY user_id) AS z
+      FROM events
+    ) WHERE abs(z) > 2.5
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers — the simplest streaming-compatible
+    anomaly screen (window aggregates over the user partition)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        ev.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select("event_id", "user_id", F.round("z", 4).alias("zscore"))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c.cohort_month,
+           CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+           count(*) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort analysis: customers bucketed by first-order month,
+    activity counted per (cohort, month)."""
+    o = _t(spark, sf_dir, "orders")
+    cohorts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    joined = o.join(cohorts, "o_custkey")
+    return joined.groupBy(
+        "cohort_month",
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+    )
+
+
+@register(
+    "rolling_avg_events",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_avg
+    FROM events
+    """,
+)
+def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame rolling average (ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) in deterministic time order."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
+    )

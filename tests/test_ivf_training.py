@@ -31,6 +31,12 @@ def test_trained_ivf_recall(spark):
     # meaningful but partial recall
     assert recall >= 0.3, recall
 
+    # multi-probe: recall must not decrease, and usually improves
+    multi = ivf_topk(queries, emb, centroids, k=5, nprobe=2)
+    multi_pairs = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
+    recall2 = len(exact_pairs & multi_pairs) / len(exact_pairs)
+    assert recall2 >= recall, (recall, recall2)
+
     # determinism: retraining with the same seed gives identical centers
     again = train_ivf_centroids(emb, n_cells=4)
     a = sorted(map(tuple, (r["embedding"] for r in centroids.collect())))
