@@ -170,3 +170,112 @@ def ios_observation_times_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ot.select(
         "file_id", F.col("record_idx").cast("int").alias("record_idx"), "obs_ts"
     )
+
+
+# ---------------------------------------------------------------------------
+# Mooring variant (S14/A4): END TIME present, TIME INCREMENT absent →
+# dt inferred as (end − start)/(nrec − 1); Date/Time channels stay strings.
+# ---------------------------------------------------------------------------
+SAMPLE_MOORING = """*2024/02/01 09:00:00.00
+*IOS HEADER VERSION 1.10 2011/10/26 2011/10/26
+
+*FILE
+    START TIME          : UTC 2024/01/01 00:00:00.000
+    END TIME            : UTC 2024/01/01 03:00:00.000
+    NUMBER OF RECORDS   : 4
+    DATA DESCRIPTION    : CTD
+    PAD                 : -99
+    NUMBER OF CHANNELS  : 4
+
+    $TABLE: CHANNELS
+    ! No Name            Units        Minimum  Maximum
+    !--- --------------- ------------ -------- --------
+       1 Date            YYYY/MM/DD   0        3
+       2 Time            HH:MM:SS     0        1
+       3 Temperature     'deg C'      6.0      8.0
+       4 Salinity        PSS-78       31.0     32.0
+    $END
+
+    $TABLE: CHANNEL DETAIL
+    ! No  Pad   Start  Width  Format      Type  Decimal_Places
+    !---  ----  -----  -----  ----------  ----  --------------
+       1  -99   ' '    ' '    YYYY/MM/DD  D     ' '
+       2  -99   ' '    ' '    HH:MM:SS    T     ' '
+       3  ' '   ' '        9  f           R4      4
+       4  ' '   ' '        9  f           R4      4
+    $END
+
+*ADMINISTRATION
+    MISSION             : 2024-002
+
+*LOCATION
+    STATION             : M1
+    LATITUDE            :  50  00.00000 N  ! (deg min)
+    LONGITUDE           : 125  00.00000 W  ! (deg min)
+
+*DEPLOYMENT
+    MISSION             : 2024-002
+
+*END OF HEADER
+ 2024/01/01 00:00:00   6.1000  31.1000
+ 2024/01/01 01:00:00   6.5000  31.4000
+ 2024/01/01 02:00:00   7.2000  31.7000
+ 2024/01/01 03:00:00   7.9000  32.0000
+"""
+
+
+def _parsed_mooring(spark: SparkSession) -> DataFrame:
+    from cioos_siooc_data_transform_spark.sources.ios_source import parse_ios
+
+    files = spark.createDataFrame(
+        [("memory://m1_2024.mctd", bytearray(SAMPLE_MOORING.encode("ascii")))],
+        "path STRING, content BINARY",
+    )
+    return parse_ios(files)
+
+
+@register(
+    "ios_mooring_inferred_dt",
+    oracle="""
+    SELECT 'm1_2024' AS file_id,
+           TIMESTAMP '2024-01-01 00:00:00' AS start_ts,
+           TIMESTAMP '2024-01-01 03:00:00' AS end_ts,
+           CAST(3600.0 AS DOUBLE) AS time_increment_s,
+           4 AS n_records
+    """,
+)
+def ios_mooring_inferred_dt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME INCREMENT missing → dt = (end − start)/(nrec − 1)
+    (IDT/ObsFile.py:501-505)."""
+    from cioos_siooc_data_transform_spark.sources.ios_source import ios_catalog
+
+    return ios_catalog(_parsed_mooring(spark)).select(
+        "file_id", "start_ts", "end_ts", "time_increment_s", "n_records"
+    )
+
+
+@register(
+    "ios_mooring_timeseries",
+    oracle="""
+    SELECT 'm1_2024' AS file_id,
+           CAST(i AS INT) AS record_idx,
+           TIMESTAMP '2024-01-01 00:00:00' + to_seconds(i * 3600) AS obs_ts,
+           CAST(t AS DOUBLE) AS temperature
+    FROM (VALUES (0, 6.1), (1, 6.5), (2, 7.2), (3, 7.9)) AS v(i, t)
+    """,
+)
+def ios_mooring_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated obs_ts joined to the Temperature channel — the mooring
+    user view on the embedded sample; timestamps must line up with the
+    file's own Date/Time string channels."""
+    from cioos_siooc_data_transform_spark.operators.views import (
+        mooring_timeseries_view,
+    )
+
+    ts = mooring_timeseries_view(_parsed_mooring(spark))
+    return ts.filter(F.col("channel_idx") == 3).select(
+        "file_id",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        "obs_ts",
+        F.col("value_num").alias("temperature"),
+    )

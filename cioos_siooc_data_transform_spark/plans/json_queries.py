@@ -28,3 +28,46 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", k.alias("k_value"), (k % 10 == 0).alias("k_round"))
         .filter(F.col("k_value") >= 50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions (transform / filter / aggregate / zip_with /
+# sort / flatten) ↔ DuckDB list functions.
+# ---------------------------------------------------------------------------
+@register(
+    "array_functions",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey,
+             list_sort(list(l_quantity ORDER BY l_linenumber, l_partkey, l_quantity)) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INTEGER) AS n,
+           round(list_sum(list_transform(qtys, x -> x * 2.0)), 2) AS doubled_sum,
+           CAST(len(list_filter(qtys, x -> x >= 25.0)) AS INTEGER) AS n_large,
+           qtys[1] AS q_min,
+           qtys[-1] AS q_max
+    FROM base
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.col("l_quantity"))
+        ).alias("qtys")
+    )
+    doubled = F.aggregate(
+        F.transform(F.col("qtys"), lambda x: x * 2.0),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("qtys").alias("n"),
+        F.round(doubled, 2).alias("doubled_sum"),
+        F.size(F.filter(F.col("qtys"), lambda x: x >= 25.0)).alias("n_large"),
+        F.element_at("qtys", 1).alias("q_min"),
+        F.element_at("qtys", -1).alias("q_max"),
+    )
