@@ -69,10 +69,10 @@ def write_cf_dataset(
         "headers": os.path.join(out_dir, "headers"),
         "catalog": os.path.join(out_dir, "catalog"),
     }
-    cf.repartition("year").write.mode(mode).partitionBy("year").parquet(
-        paths["measurements"]
-    )
-    codes.write.mode(mode).parquet(paths["variables"])
+    cf.repartition("year").sortWithinPartitions("file_id", "record_idx").write.mode(
+        mode
+    ).option("compression", "zstd").partitionBy("year").parquet(paths["measurements"])
+    codes.write.mode(mode).option("compression", "zstd").parquet(paths["variables"])
     ios_header_json(parsed).write.mode(mode).parquet(paths["headers"])
     catalog.write.mode(mode).parquet(paths["catalog"])
     return paths

@@ -1,0 +1,44 @@
+"""Bucketed co-located join: same result, zero shuffle in the plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def test_bucketed_join_eliminates_shuffle(spark):
+    from cioos_siooc_data_transform_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    li = read_table(spark, SF_DIR_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = read_table(spark, SF_DIR_SMOKE, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(orders, "b_orders", "l_orderkey", 8)
+
+    # force the non-broadcast path (the tables here are tiny; at scale
+    # the planner picks SMJ on its own) to show the bucketed co-location
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_lineitem", "b_orders", "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]  # zero shuffle either side
+
+        # result parity with the plain shuffled join
+        expected = li.join(orders, "l_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
