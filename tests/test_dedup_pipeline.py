@@ -59,3 +59,38 @@ def test_deduplicate_documents(spark):
     for r in jac.collect():
         assert comp[r["doc_a"]] == comp[r["doc_b"]], (r["doc_a"], r["doc_b"])
     out.unpersist()
+
+
+def test_lsh_identical_docs_always_pair(spark):
+    """Property: documents with identical shingle sets share every band,
+    so LSH must emit them as candidates; disjoint docs never pair."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+        word_shingles,
+        words_expr,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # identical to 1
+            (3, "one two three four five six seven"),      # disjoint
+            (4, "alpha beta gamma delta epsilon eta"),     # near-dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(words_expr(F.col("text")), 3))).alias("s"),
+    )
+    sig = minhash_signature(sh, "doc_id", "s", num_hashes=8)
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(buckets, "doc_id").collect()
+    }
+    assert (1, 2) in pairs          # identical → guaranteed candidate
+    assert (1, 3) not in pairs and (2, 3) not in pairs and (3, 4) not in pairs
