@@ -32,16 +32,23 @@ def read_geojson_polygons(spark: SparkSession, path: str) -> DataFrame:
     idx = 0
     for feature in data["features"]:
         if feature["geometry"]["type"] == "Polygon":
+            ring = feature["geometry"]["coordinates"][0]
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
             rows.append(
                 (
                     idx,
                     feature["properties"]["name"],
-                    json.dumps(feature["geometry"]["coordinates"][0]),
+                    json.dumps(ring),
+                    min(xs), max(xs), min(ys), max(ys),
                 )
             )
             idx += 1
     return spark.createDataFrame(
-        rows, "feature_idx INT, name STRING, ring_json STRING"
+        rows,
+        "feature_idx INT, name STRING, ring_json STRING, "
+        "bbox_min_lon DOUBLE, bbox_max_lon DOUBLE, "
+        "bbox_min_lat DOUBLE, bbox_max_lat DOUBLE",
     )
 
 
@@ -88,18 +95,32 @@ def assign_geo_code(
 
     Python UDFs are not allowed in outer-join ON clauses, so the left join
     is expressed as crossJoin(broadcast) + conditional collect_list — same
-    physical shape (BroadcastNestedLoopJoin), identical semantics."""
-    crossed = points.crossJoin(F.broadcast(polygons)).withColumn(
+    physical shape (BroadcastNestedLoopJoin), identical semantics.
+
+    Scale: the exact ray-casting UDF only evaluates where the JVM-side
+    bounding-box test passes (a point hits ~1-3 of 51 bboxes), so the
+    Python crossing shrinks by an order of magnitude — the poor-man's
+    R-tree the survey calls for (SURVEY.md §4)."""
+    in_bbox = (
+        (F.col(lon_col) >= F.col("bbox_min_lon"))
+        & (F.col(lon_col) <= F.col("bbox_max_lon"))
+        & (F.col(lat_col) >= F.col("bbox_min_lat"))
+        & (F.col(lat_col) <= F.col("bbox_max_lat"))
+    )
+    candidates = (
+        points.select(key_col, lon_col, lat_col)
+        .crossJoin(F.broadcast(polygons))
+        .filter(in_bbox)  # JVM-side prune BEFORE any Python crossing
+    )
+    matched = candidates.withColumn(
         "_inside", _contains_udf(F.col(lon_col), F.col(lat_col), F.col("ring_json"))
-    )
+    ).filter(F.col("_inside"))
     dashed = F.regexp_replace(F.col("name"), " ", "-")
-    agg = crossed.groupBy(key_col).agg(
-        F.concat_ws(
-            " ",
-            F.sort_array(F.collect_list(F.when(F.col("_inside"), dashed))),
-        ).alias("geo_code")
+    agg = matched.groupBy(key_col).agg(
+        F.concat_ws(" ", F.sort_array(F.collect_list(dashed))).alias("geo_code")
     )
-    return agg.withColumn(
-        "geo_code",
-        F.when(F.col("geo_code") == "", F.lit("None")).otherwise(F.col("geo_code")),
+    return (
+        points.select(key_col)
+        .join(agg, key_col, "left")
+        .withColumn("geo_code", F.coalesce(F.col("geo_code"), F.lit("None")))
     )
