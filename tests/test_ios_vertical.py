@@ -148,3 +148,22 @@ def test_header_json(parsed):
     row = hj.filter(F.col("file_id") == "2017-020-0474").first()
     assert '"MISSION"' in row["header_json"]
     assert "2017-020" in row["header_json"]
+
+
+def test_header_udtf(spark):
+    from cioos_siooc_data_transform_spark.plans.ios_queries import SAMPLE_IOS
+    from cioos_siooc_data_transform_spark.sources.header_udtf import (
+        register_header_udtf,
+    )
+
+    register_header_udtf(spark)
+    spark.createDataFrame([(SAMPLE_IOS,)], "text string").createOrReplaceTempView(
+        "_udtf_files"
+    )
+    kv = spark.sql(
+        "SELECT t.* FROM _udtf_files, LATERAL ios_header_kv(_udtf_files.text) t"
+    )
+    rows = {(r["section"], r["key"]): r["value"] for r in kv.collect()}
+    assert rows[("ADMINISTRATION", "MISSION")] == "2024-001"
+    assert rows[("LOCATION", "STATION")] == "T1"
+    assert ("FILE", "$TABLE: CHANNELS") in rows
