@@ -251,3 +251,55 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup pairs: Levenshtein over (lang, length-bucket)
+# blocks — the char-level dedup primitive for short texts; blocking keeps
+# the quadratic comparison inside small buckets (same pattern as LSH).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket,
+             substr(text, 1, 40) AS prefix
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 12
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
+        F.substring("text", 1, 40).alias("prefix"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "len_bucket",
+        F.col("prefix").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("len_bucket").alias("lb_b"),
+        F.col("prefix").alias("pb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("len_bucket") == F.col("lb_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        pairs.withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("doc_a", "doc_b", "edit_dist")
+    )
