@@ -394,3 +394,37 @@ def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("rolling_avg")
     )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey % 100 END AS k
+      FROM orders
+    ), b AS (
+      SELECT DISTINCT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey % 100 END AS k
+      FROM customer
+    )
+    SELECT a.o_orderkey, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys — the semantics plain '=' silently drops."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    a = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 100)
+        .alias("k"),
+    )
+    b = c.select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 100)
+        .alias("kb")
+    ).distinct()
+    return a.join(b, a["k"].eqNullSafe(b["kb"])).select("o_orderkey", "k")

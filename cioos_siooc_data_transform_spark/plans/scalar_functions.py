@@ -280,3 +280,31 @@ def basename_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         basename_key(F.col("path")).alias("file_key"),
         event_id_default(F.lit(None), F.col("path")).alias("event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# String-function breadth: split_part / translate / repeat / reverse /
+# left-right slicing (F7-family beyond trim/upper).
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions",
+    oracle="""
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_num,
+           split_part(o_orderpriority, '-', 2) AS prio_word,
+           translate(o_orderstatus, 'OFP', 'ofp') AS status_lower,
+           repeat(o_orderstatus, 3) AS status_x3,
+           reverse(CAST(o_orderkey AS VARCHAR)) AS key_reversed
+    FROM orders
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1)).alias("prio_num"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(2)).alias("prio_word"),
+        F.translate(F.col("o_orderstatus"), "OFP", "ofp").alias("status_lower"),
+        F.repeat(F.col("o_orderstatus"), 3).alias("status_x3"),
+        F.reverse(F.col("o_orderkey").cast("string")).alias("key_reversed"),
+    )
