@@ -308,3 +308,33 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.col("o_orderstatus"), 3).alias("status_x3"),
         F.reverse(F.col("o_orderkey").cast("string")).alias("key_reversed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Date/time field extraction + day arithmetic (F2/F4-family breadth).
+# ---------------------------------------------------------------------------
+@register(
+    "datetime_functions",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(extract(month FROM o.o_orderdate) AS INTEGER) AS order_month,
+           CAST(extract(day FROM o.o_orderdate) AS INTEGER) AS order_day,
+           CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INTEGER) AS ship_delay_days,
+           CAST(o.o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_delay_days"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+    )
