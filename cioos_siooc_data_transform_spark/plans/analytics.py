@@ -428,3 +428,29 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kb")
     ).distinct()
     return a.join(b, a["k"].eqNullSafe(b["kb"])).select("o_orderkey", "k")
+
+
+@register(
+    "bool_bitwise_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_positive,
+           bool_or(l_discount > 0.09) AS any_high_discount,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS and_lines,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS or_lines,
+           CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS xor_keys
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def bool_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregate functions (every/any, bit_and/or/xor
+    — xor is order-insensitive, so it doubles as a cheap content digest)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.every(F.col("l_quantity") > 0).alias("all_positive"),
+        F.some(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.bit_and(F.col("l_linenumber").cast("long")).alias("and_lines"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("or_lines"),
+        F.bit_xor(F.col("l_orderkey").cast("long")).alias("xor_keys"),
+    )
