@@ -34,8 +34,13 @@ def asof_join(
 
     Implementation: union with a side tag (right sorts before left on
     timestamp ties so an exactly-equal right row IS matched), then
-    last_value(ignoreNulls) over (key ORDER BY ts, side) carries right
-    values forward onto left rows.
+    last_value(ignoreNulls) over (key ORDER BY ts, side) carries the
+    latest right row forward onto left rows.
+
+    All right columns travel as ONE struct (non-null per right row, null
+    per left row) so the carried values always come from the same right
+    row — carrying columns independently would mix columns across right
+    rows whenever the latest right row has a NULL field.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
@@ -45,7 +50,11 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(
+            "struct<" + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_cols
+            ) + ">"
+        ).alias("_right"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -54,7 +63,7 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["_left"].dataType
         ).alias("_left"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_right"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -67,14 +76,11 @@ def asof_join(
         "_ts",
         "_side",
         "_left",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in right_cols
-        ],
+        F.last("_right", ignorenulls=True).over(w).alias("_rv"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         F.col("_left.*"),
-        *[F.col(f"_rv_{c}").alias(f"right_{c}") for c in right_cols],
+        *[F.col(f"_rv.{c}").alias(f"right_{c}") for c in right_cols],
     )
     return out
 

@@ -1,0 +1,42 @@
+"""Regression tests for the as-of join (operators/asof.py).
+
+The critical case: the most recent right row has a NULL column. Carrying
+columns independently would mix fields from different right rows; the
+struct carry must return the latest right row verbatim, NULL fields
+included.
+"""
+
+from __future__ import annotations
+
+from cioos_siooc_data_transform_spark.operators.asof import asof_join
+
+
+def test_asof_null_column_does_not_mix_rows(spark):
+    left = spark.createDataFrame(
+        [(1, 10)], "user_id int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, "old", 100.0), (1, 5, None, 200.0)],
+        "user_id int, ts int, label string, price double",
+    )
+    out = asof_join(left, right, key="user_id", right_cols=["label", "price"])
+    row = out.collect()[0]
+    # Latest right row is (ts=5, label=NULL, price=200.0) — take it whole.
+    assert row["right_label"] is None
+    assert row["right_price"] == 200.0
+
+
+def test_asof_backward_semantics_and_tie(spark):
+    left = spark.createDataFrame(
+        [(1, 0), (1, 5), (1, 7), (2, 3)], "user_id int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 6, 60.0), (3, 1, 99.0)],
+        "user_id int, ts int, price double",
+    )
+    out = asof_join(left, right, key="user_id", right_cols=["price"])
+    got = {(r["user_id"], r["ts"]): r["right_price"] for r in out.collect()}
+    assert got[(1, 0)] is None          # nothing at or before ts=0
+    assert got[(1, 5)] == 50.0          # exact-tie right row matches
+    assert got[(1, 7)] == 60.0          # most recent at ts<=7
+    assert got[(2, 3)] is None          # key with no right rows
