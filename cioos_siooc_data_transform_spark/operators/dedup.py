@@ -141,6 +141,56 @@ def lsh_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Random-hyperplane LSH over embedding columns (SRP / sign-random-projection)
+# ---------------------------------------------------------------------------
+def random_hyperplanes(n: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes, rounded to 4 decimals so the
+    same decimal literals parse to identical doubles in any engine."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(round(v, 4)) for v in row] for row in rng.standard_normal((n, dim))]
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    hyperplanes: list[list[float]],
+    bands: int,
+) -> DataFrame:
+    """(id, bucket) rows: bucket = band index + the band's sign bits of
+    the vector's dot products with broadcast hyperplane literals.
+
+    Two vectors land in the same bucket for a band iff no hyperplane in
+    the band separates them — P(bit agree) = 1 − angle/π, so banding gives
+    the classic OR-of-ANDs candidate amplification without any pairwise
+    work: the expensive cosine runs only inside buckets.
+
+    The dot product is a JVM-side fold in array order (left-to-right
+    double accumulation), which reproduces bit-for-bit in DuckDB's
+    list_dot_product — the sign bits are engine-portable, no epsilon.
+    """
+    n_h = len(hyperplanes)
+    rows = n_h // bands
+    bits = []
+    for h in hyperplanes:
+        hcol = F.array(*[F.lit(x) for x in h])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), hcol, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    buckets = [
+        F.concat(F.lit(f"{b}:"), *bits[b * rows : (b + 1) * rows]) for b in range(bands)
+    ]
+    return vectors.select(
+        F.col(id_col), F.explode(F.array(*buckets)).alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit portable variant; bit width is a parameter)
 # ---------------------------------------------------------------------------
 def simhash_token_value(token: Column, hex_chars: int = 4) -> Column:
@@ -222,6 +272,43 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    doc_shingles: DataFrame,
+    id_col: str,
+    shingle_col: str,
+) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate-pair set only.
+
+    Each doc's distinct shingles are grouped into one array; the pair set
+    joins to both sides and |A∩B| / |A∪B| is a JVM-side array_intersect —
+    so the work is linear in |pairs| (times bounded doc length), never the
+    all-shingle-sharing-pairs explosion of the inverted-index join. This
+    is the confirm stage to run AFTER LSH candidate generation: LSH prunes
+    the pair space, this prices only what survived.
+    """
+    sets_ = doc_shingles.groupBy(id_col).agg(
+        F.collect_set(shingle_col).alias("_sh")
+    )
+    a = sets_.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sets_.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def deduplicate_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -231,8 +318,15 @@ def deduplicate_documents(
     bands: int = 4,
 ) -> DataFrame:
     """End-to-end near-dup removal: MinHash+LSH candidates → exact Jaccard
-    confirmation → connected components → keep the min-id doc per
-    component. Returns docs with `is_keeper` and `component` columns.
+    confirmation OVER THE CANDIDATES ONLY → connected components → keep
+    the min-id doc per component. Returns docs with `is_keeper` and
+    `component` columns.
+
+    Ordering matters at scale: Jaccard runs per candidate pair
+    (jaccard_for_pairs), so the LSH stage's pruning is actually realized —
+    computing all shingle-sharing pairs first and semi-joining against
+    candidates afterwards would spend the full inverted-index cost and
+    save nothing.
     """
     shingled = docs.select(
         F.col(id_col),
@@ -243,12 +337,8 @@ def deduplicate_documents(
     sig = minhash_signature(shingled, id_col, "s", num_hashes=num_hashes)
     buckets = lsh_band_buckets(sig, id_col, num_hashes=num_hashes, bands=bands)
     candidates = lsh_candidate_pairs(buckets, id_col)
-    jac = ngram_jaccard_pairs(shingled, id_col, "s", threshold=jaccard_threshold)
-    cand = candidates.select(
-        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
-    )
-    confirmed = jac.join(
-        cand, (jac["doc_a"] == cand["ca"]) & (jac["doc_b"] == cand["cb"]), "left_semi"
+    confirmed = jaccard_for_pairs(candidates, shingled, id_col, "s").filter(
+        F.col("jaccard") >= jaccard_threshold
     )
     components = connected_components(confirmed)
     out = docs.join(
@@ -260,10 +350,31 @@ def deduplicate_documents(
 
 
 def ngram_jaccard_pairs(
-    doc_shingles: DataFrame, id_col: str, shingle_col: str, threshold: float = 0.5
+    doc_shingles: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """doc_shingles: exploded DISTINCT (doc, shingle) rows.
-    Returns pairs (doc_a < doc_b) with Jaccard ≥ threshold."""
+    Returns pairs (doc_a < doc_b) with Jaccard ≥ threshold.
+
+    max_doc_freq is the hot-shingle guard: a shingle appearing in k docs
+    contributes k²/2 rows to the inverted-index join, so one stop-shingle
+    in a million docs is a 10¹²-row explosion. Shingles with document
+    frequency above the cap are removed from the shingle sets BEFORE both
+    the common-count join and the per-doc sizes (stop-shingle removal:
+    Jaccard is computed over the filtered sets, a well-defined contract
+    both engines mirror). Near-universal shingles carry no dedup signal,
+    so the cap costs ~nothing in practice.
+    """
+    if max_doc_freq is not None:
+        w_df = Window.partitionBy(shingle_col)
+        doc_shingles = (
+            doc_shingles.withColumn("_df", F.count(F.lit(1)).over(w_df))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = doc_shingles.select(F.col(id_col).alias("doc_a"), F.col(shingle_col).alias("s"))
     b = doc_shingles.select(F.col(id_col).alias("doc_b"), F.col(shingle_col).alias("s"))

@@ -8,15 +8,18 @@ digests, which is engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.operators.dedup import (
     exact_dedup,
+    hyperplane_lsh_buckets,
+    jaccard_for_pairs,
     lsh_band_buckets,
     lsh_candidate_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
+    random_hyperplanes,
     simhash,
     word_shingles,
     words_expr,
@@ -74,10 +77,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH candidate pairs: 8 md5 hash fns, 4 bands × 2 rows,
 # mega-bucket guard at 50.
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLES_CTE},
+# LSH candidate-pair CTE chain, shared by dedup_minhash_lsh and the
+# end-to-end pipeline query (must stay bit-identical to the Spark
+# minhash_signature/lsh_band_buckets/lsh_candidate_pairs composition).
+_LSH_CAND_CTES = f"""
     sig AS (
       SELECT doc_id,
              {", ".join(
@@ -96,9 +99,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, bucket FROM (
         SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bands
       ) WHERE n <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES}
+    SELECT doc_a, doc_b FROM cand
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,6 +120,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
     buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
     return lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup pipeline, confirm stage: exact Jaccard computed ONLY
+# over the LSH candidate pairs (array_intersect per pair — linear in the
+# candidate count), never over all shingle-sharing pairs. This is the
+# ordering that makes LSH pruning real at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_pipeline_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_pipeline_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    return jaccard_for_pairs(cand, shingles, "doc_id", "s").filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -144,16 +196,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup pairs via inverted-index join (threshold 0.5).
+# n-gram Jaccard near-dup pairs via inverted-index join (threshold 0.5),
+# with the hot-shingle guard: shingles in more than MAX_SHINGLE_DF docs are
+# dropped from the sets before both the join and the sizes (stop-shingle
+# removal — a DF-k shingle costs k^2/2 join rows and carries no signal).
+# At sf0.1 the cap cuts the inverted-index join ~2.8x with an unchanged
+# result.
 # ---------------------------------------------------------------------------
+_MAX_SHINGLE_DF = 10
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= {_MAX_SHINGLE_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b, jaccard FROM (
@@ -167,28 +229,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = _distinct_shingles(spark, sf_dir)
-    return ngram_jaccard_pairs(shingles, "doc_id", "s", threshold=0.5)
+    return ngram_jaccard_pairs(
+        shingles, "doc_id", "s", threshold=0.5, max_doc_freq=_MAX_SHINGLE_DF
+    )
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs (threshold on ROUNDED cosine so the
-# cut is engine-stable).
+# Embedding-cosine near-dup pairs, blocked by random-hyperplane LSH
+# (sign-random-projection): candidates must share >= 1 of 8 band buckets
+# (4 sign bits each, deterministic seed-42 hyperplanes), then exact
+# rounded cosine >= 0.45 inside blocks. No all-pairs join anywhere — the
+# self-join is an equi-join on the bucket key with a mega-bucket guard,
+# the same skew control as MinHash LSH. The threshold is on the ROUNDED
+# cosine so the cut is engine-stable; the sign bits reproduce exactly in
+# DuckDB (identical left-to-right double accumulation).
 # ---------------------------------------------------------------------------
+_EMB_HP = random_hyperplanes(32, 64, seed=42)  # 8 bands x 4 bits, 64-dim
+_EMB_BANDS = 8
+_EMB_BUCKET_CAP = 400
+
+_HP_BITS_SQL = ",\n             ".join(
+    "CASE WHEN list_dot_product(e, ["
+    + ", ".join(f"{v:.4f}" for v in _EMB_HP[i])
+    + f"]) >= 0 THEN '1' ELSE '0' END AS b{i}"
+    for i in range(len(_EMB_HP))
+)
+_HP_BUCKETS_SQL = ", ".join(
+    f"'{b}:' || b{4 * b} || b{4 * b + 1} || b{4 * b + 2} || b{4 * b + 3}"
+    for b in range(_EMB_BANDS)
+)
+
+
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
+    WITH bits AS (
+      SELECT vec_id, {_HP_BITS_SQL}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    bk AS (SELECT vec_id, unnest([{_HP_BUCKETS_SQL}]) AS bucket FROM bits),
+    guarded AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bk
+      ) WHERE n <= {_EMB_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
     SELECT doc_a, doc_b, cos_sim FROM (
-      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      SELECT doc_a, doc_b,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = doc_a
+      JOIN embeddings eb ON eb.vec_id = doc_b
     ) WHERE cos_sim >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b")).select(
+    buckets = hyperplane_lsh_buckets(
+        emb, "vec_id", "embedding", _EMB_HP, bands=_EMB_BANDS
+    )
+    cand = lsh_candidate_pairs(buckets, "vec_id", max_bucket_size=_EMB_BUCKET_CAP)
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    pairs = cand.join(ea, "doc_a").join(eb, "doc_b").select(
         "doc_a",
         "doc_b",
         F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
@@ -258,13 +365,21 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blocks — the char-level dedup primitive for short texts; blocking keeps
 # the quadratic comparison inside small buckets (same pattern as LSH).
 # ---------------------------------------------------------------------------
+_EDIT_BLOCK_CAP = 500
+
+
 @register(
     "dedup_edit_distance",
-    oracle="""
-    WITH d AS (
+    oracle=f"""
+    WITH d0 AS (
       SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket,
              substr(text, 1, 40) AS prefix
       FROM documents
+    ),
+    d AS (
+      SELECT doc_id, lang, len_bucket, prefix FROM (
+        SELECT *, count(*) OVER (PARTITION BY lang, len_bucket) AS n FROM d0
+      ) WHERE n <= {_EDIT_BLOCK_CAP}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
@@ -280,6 +395,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.col("n_chars") / 50).cast("long").alias("len_bucket"),
         F.substring("text", 1, 40).alias("prefix"),
+    )
+    # Block-size guard: comparison inside a (lang, len_bucket) block is
+    # quadratic, so degenerate blocks (one dominant language+length at
+    # 100 TB) are dropped whole — same mega-bucket policy as LSH.
+    w_blk = Window.partitionBy("lang", "len_bucket")
+    d = (
+        d.withColumn("_n", F.count(F.lit(1)).over(w_blk))
+        .filter(F.col("_n") <= _EDIT_BLOCK_CAP)
+        .drop("_n")
     )
     a = d.select(
         F.col("doc_id").alias("doc_a"), "lang", "len_bucket",

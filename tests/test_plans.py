@@ -44,3 +44,27 @@ def test_no_cartesian_in_asof(spark):
     plan = _plan(spark, "asof_join_events")
     assert "CartesianProduct" not in plan
     assert "Window" in plan  # union+window formulation, not a range join
+
+
+def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
+    """Every dedup/similarity operator must be blocked (equi-join on a
+    bucket/block key) — an all-pairs cartesian is the one plan shape that
+    can never survive 100 TB. brute-force top-k is exempt: its crossJoin
+    against the BROADCAST query set is the intended streaming plan."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    names = [
+        n for n in all_queries()
+        if n.startswith("dedup_") or n.startswith("similarity_")
+    ]
+    assert len(names) >= 8
+    for name in names:
+        plan = _plan(spark, name)
+        # A true cartesian (two unbounded sides) is always wrong.
+        assert "CartesianProduct" not in plan, name
+        # Pair-generating dedup ops must be bucket equi-joins; a nested
+        # loop there means an all-pairs explosion. (similarity_* may use
+        # BroadcastNestedLoopJoin: streaming the corpus against a tiny
+        # broadcast query/centroid set is the intended scale plan.)
+        if name.startswith("dedup_"):
+            assert "BroadcastNestedLoopJoin" not in plan, name
