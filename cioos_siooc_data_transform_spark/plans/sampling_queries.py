@@ -67,24 +67,71 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_distinct_users")  # HLL sketch — engine-specific, rows-only check
+@register(
+    "sketch_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS sketch_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the sketch
-    path for cardinalities too large to count exactly; accuracy asserted
-    against the exact count in tests/test_sampling.py."""
+    path for cardinalities too large to count exactly.
+
+    The sketch estimate itself is engine-specific, so the driver-checked
+    contract is the TOLERANCE: the query emits the exact distinct count
+    plus a boolean asserting the HLL estimate (rsd=2%) landed within 5%
+    of it; the oracle computes the exact side and pins the boolean TRUE.
+    A sketch regression (wrong rsd wiring, hash change) flips the boolean
+    and fails the hash-match.
+    """
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("sketch_within_5pct"),
+    )
 
 
-@register("sketch_quantiles")  # t-digest-style sketch — rows-only check
+@register(
+    "sketch_quantiles",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           TRUE AS p50_within_2pct, TRUE AS p90_within_2pct, TRUE AS p99_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile over order totals — the sketch quantile path;
-    accuracy asserted against exact percentiles in tests."""
+    """approx_percentile (Greenwald-Khanna sketch) over order totals.
+
+    Same tolerance contract as sketch_distinct_users: the sketch quantile
+    is compared against Spark's exact interpolated percentile in the same
+    plan, and the driver-checked output is the per-quantile
+    within-2%-relative boolean (plus the exact group count). The oracle
+    pins the booleans TRUE.
+    """
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("pcts"),
+    agg = o.groupBy("o_orderstatus").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("_ap"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("_ex"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    within = [
+        (
+            F.abs(F.col("_ap")[i] - F.col("_ex")[i]) <= 0.02 * F.abs(F.col("_ex")[i])
+        ).alias(f"p{p}_within_2pct")
+        for i, p in enumerate((50, 90, 99))
+    ]
+    return agg.select("o_orderstatus", "n_orders", *within)
