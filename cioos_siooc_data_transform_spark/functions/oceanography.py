@@ -135,6 +135,198 @@ def nsquared(
     )
 
 
+def coriolis_f(lat: Column) -> Column:
+    """Coriolis parameter f = 2 Ω sin(φ), Ω = 7.292115e-5 rad/s (the
+    published TEOS-10 / GSW ``f`` convention — GSW/geostrophy.py exposes
+    the same one-liner). Pure codegen."""
+    return 2.0 * 7.292115e-5 * F.sin(F.radians(lat))
+
+
+def haversine_distance(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Great-circle distance in metres on a sphere of radius 6371000 m
+    (the GSW ``distance`` convention, GSW/geostrophy.py) via the standard
+    haversine formula. Pure codegen; trig is libm-dependent, so callers
+    round the output before hashing."""
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    a = (
+        F.sin(dlat / 2.0) * F.sin(dlat / 2.0)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2.0)
+        * F.sin(dlon / 2.0)
+    )
+    return 6371000.0 * (2.0 * F.atan2(F.sqrt(a), F.sqrt(1.0 - a)))
+
+
+def _targets_df(spark, target_depths: list[float]) -> DataFrame:
+    rows = [(float(v),) for v in sorted(target_depths)]
+    return spark.createDataFrame(rows, "std_depth double")
+
+
+def profile_interp_declarative(
+    df: DataFrame,
+    profile_col: str,
+    depth_col: str,
+    value_col: str,
+    target_depths: list[float],
+) -> DataFrame:
+    """Linear interpolation onto standard depths as PURE DataFrame ops —
+    no Python in the loop, so the whole plan is whole-stage codegen and
+    bit-for-bit mirrorable in a SQL oracle.
+
+    Plan shape (scales to any number of profiles): duplicate depths are
+    collapsed (min value — deterministic), one window shuffle per profile
+    builds adjacent segments via lag, and the tiny sorted target list is
+    broadcast-joined against segments (exact grid hits) ∪ (strict
+    interior), so the big side streams once.
+    """
+    prof = df.groupBy(profile_col, depth_col).agg(F.min(value_col).alias("_v"))
+    targets = F.broadcast(_targets_df(df.sparkSession, target_depths))
+
+    exact = prof.join(
+        targets, F.col(depth_col) == F.col("std_depth")
+    ).select(profile_col, "std_depth", F.round("_v", 6).alias("interp_value"))
+
+    w = Window.partitionBy(profile_col).orderBy(depth_col)
+    seg = prof.select(
+        profile_col,
+        F.col(depth_col).alias("x_hi"),
+        F.col("_v").alias("y_hi"),
+        F.lag(depth_col).over(w).alias("x_lo"),
+        F.lag("_v").over(w).alias("y_lo"),
+    ).filter(F.col("x_lo").isNotNull())
+    interior = seg.join(
+        targets,
+        (F.col("std_depth") > F.col("x_lo")) & (F.col("std_depth") < F.col("x_hi")),
+    ).select(
+        profile_col,
+        "std_depth",
+        F.round(
+            F.col("y_lo")
+            + (F.col("std_depth") - F.col("x_lo"))
+            * ((F.col("y_hi") - F.col("y_lo")) / (F.col("x_hi") - F.col("x_lo"))),
+            6,
+        ).alias("interp_value"),
+    )
+    return exact.unionByName(interior)
+
+
+def _round6(c: Column) -> Column:
+    """Round to 6 dp via floor(v*1e6 + 0.5)/1e6 — pure IEEE ops, so the
+    SQL oracle computes the bit-identical result. Engine-native round()
+    disagrees between Spark (exact-decimal HALF_UP) and DuckDB (float
+    path) when a value lands on an exact .5e-6 boundary."""
+    return F.floor(c * 1000000.0 + 0.5) / 1000000.0
+
+
+def pchip_interp(
+    df: DataFrame,
+    profile_col: str,
+    depth_col: str,
+    value_col: str,
+    target_depths: list[float],
+) -> DataFrame:
+    """PCHIP (monotone shape-preserving cubic Hermite, Fritsch–Carlson
+    1980) interpolation onto standard depths — the GSW ``pchip_interp``
+    semantics (GSW/utility.py wraps SciPy's PchipInterpolator), rebuilt
+    as PURE DataFrame ops so it runs JVM-side and mirrors into SQL.
+
+    Derivative rule (identical to the published SciPy/Fritsch–Carlson
+    algorithm):
+    - interior k: 0 where the adjacent slopes change sign or either is 0,
+      else the weighted harmonic mean (w1+w2)/(w1/m_{k-1} + w2/m_k) with
+      w1 = 2 h_k + h_{k-1}, w2 = h_k + 2 h_{k-1};
+    - endpoints: one-sided three-point estimate, clamped to preserve
+      shape (set to 0 on sign change; capped at 3·m on overshoot);
+    - two-point profiles degrade to the secant (linear).
+
+    One window shuffle per profile; targets broadcast. Exact grid hits
+    return the grid value; strict-interior targets evaluate the cubic
+    Hermite segment.
+    """
+    prof = df.groupBy(profile_col, depth_col).agg(F.min(value_col).alias("_y"))
+    targets = F.broadcast(_targets_df(df.sparkSession, target_depths))
+
+    exact = prof.join(
+        targets, F.col(depth_col) == F.col("std_depth")
+    ).select(profile_col, "std_depth", _round6(F.col("_y")).alias("interp_value"))
+
+    w = Window.partitionBy(profile_col).orderBy(depth_col)
+    x, y = F.col(depth_col), F.col("_y")
+    g = prof.select(
+        profile_col,
+        x.alias("x"),
+        y.alias("y"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(profile_col)).alias("n"),
+        (F.lead(depth_col).over(w) - x).alias("h"),
+        ((F.lead("_y").over(w) - y) / (F.lead(depth_col).over(w) - x)).alias("m"),
+    )
+    wx = Window.partitionBy(profile_col).orderBy("x")
+    g = g.select(
+        "*",
+        F.lag("h").over(wx).alias("h_prev"),
+        F.lag("m").over(wx).alias("m_prev"),
+        F.lead("h").over(wx).alias("h_next"),
+        F.lead("m").over(wx).alias("m_next"),
+    )
+
+    # Endpoint three-point estimate, then the two Fritsch–Carlson clamps.
+    def _endpoint(h0, h1, m0, m1):
+        d = ((2.0 * h0 + h1) * m0 - h0 * m1) / (h0 + h1)
+        d = F.when(F.signum(d) != F.signum(m0), F.lit(0.0)).otherwise(d)
+        return F.when(
+            (F.signum(m0) != F.signum(m1)) & (F.abs(d) > 3.0 * F.abs(m0)),
+            3.0 * m0,
+        ).otherwise(d)
+
+    h0, h1 = F.col("h"), F.col("h_next")
+    m0, m1 = F.col("m"), F.col("m_next")
+    hp, mp = F.col("h_prev"), F.col("m_prev")
+    w1 = 2.0 * h0 + hp
+    w2 = h0 + 2.0 * hp
+    interior_d = F.when(
+        (mp * m0 <= 0.0), F.lit(0.0)
+    ).otherwise((w1 + w2) / (w1 / mp + w2 / m0))
+    d = (
+        F.when(F.col("n") == 2, F.coalesce(m0, mp))  # linear fallback
+        .when(F.col("rn") == 1, _endpoint(h0, h1, m0, m1))
+        .when(
+            F.col("rn") == F.col("n"),
+            _endpoint(hp, F.lag("h", 2).over(wx), mp, F.lag("m", 2).over(wx)),
+        )
+        .otherwise(interior_d)
+    )
+    g = g.select(profile_col, "x", "y", "h", "m", d.alias("d"))
+    seg = g.select(
+        profile_col,
+        F.col("x").alias("x_lo"),
+        F.col("y").alias("y_lo"),
+        "h",
+        "m",
+        F.col("d").alias("d_lo"),
+        F.lead("d").over(Window.partitionBy(profile_col).orderBy("x")).alias("d_hi"),
+    ).filter(F.col("h").isNotNull())
+
+    t = F.col("std_depth")
+    dx = t - F.col("x_lo")
+    c2 = (3.0 * F.col("m") - 2.0 * F.col("d_lo") - F.col("d_hi")) / F.col("h")
+    c3 = (F.col("d_lo") + F.col("d_hi") - 2.0 * F.col("m")) / (F.col("h") * F.col("h"))
+    interior = seg.join(
+        targets, (t > F.col("x_lo")) & (t < F.col("x_lo") + F.col("h"))
+    ).select(
+        profile_col,
+        "std_depth",
+        _round6(
+            F.col("y_lo") + F.col("d_lo") * dx + c2 * dx * dx + c3 * dx * dx * dx
+        ).alias("interp_value"),
+    )
+    return exact.unionByName(interior)
+
+
 def profile_interp(
     df: DataFrame,
     profile_col: str,

@@ -15,12 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.functions.oceanography import (
+    coriolis_f,
     depth_from_pressure,
+    haversine_distance,
     mackenzie_sound_speed,
     nsquared,
+    pchip_interp,
     potential_temperature,
     practical_salinity,
-    profile_interp,
+    profile_interp_declarative,
 )
 from cioos_siooc_data_transform_spark.plans.registry import register
 from cioos_siooc_data_transform_spark.session import read_table as _t
@@ -206,14 +209,233 @@ def gsw_nsquared_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gsw_profile_interp")  # applyInPandas — not SQL-expressible; rows-only check
+@register(
+    "gsw_profile_interp",
+    oracle="""
+    WITH src AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS profile_id,
+             CAST(l_linenumber * 10.0 AS DOUBLE) AS depth,
+             CAST(20.0 + l_quantity * 0.1 AS DOUBLE) AS sigma
+      FROM lineitem
+    ), prof AS (
+      SELECT profile_id, depth, min(sigma) AS v
+      FROM src GROUP BY profile_id, depth
+    ), targets AS (
+      SELECT CAST(unnest([10.0, 25.0, 40.0, 60.0]) AS DOUBLE) AS std_depth
+    ), seg AS (
+      SELECT profile_id, depth AS x_hi, v AS y_hi,
+             lag(depth) OVER w AS x_lo, lag(v) OVER w AS y_lo
+      FROM prof WINDOW w AS (PARTITION BY profile_id ORDER BY depth)
+    )
+    SELECT profile_id, std_depth, round(v, 6) AS interp_value
+    FROM prof JOIN targets ON depth = std_depth
+    UNION ALL
+    SELECT profile_id, std_depth,
+           round(y_lo + (std_depth - x_lo) * ((y_hi - y_lo) / (x_hi - x_lo)), 6)
+             AS interp_value
+    FROM seg JOIN targets ON std_depth > x_lo AND std_depth < x_hi
+    """,
+)
 def gsw_profile_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-profile linear resampling onto standard depths (applyInPandas;
-    GSW pchip_interp analog)."""
+    """Per-profile linear resampling onto standard depths, expressed as
+    pure DataFrame ops (window lag + broadcast target join) so the whole
+    plan is JVM codegen AND mirrors bit-for-bit into the SQL oracle.
+    The imperative applyInPandas variant (profile_interp) is cross-checked
+    against this one in tests/test_oceanography.py."""
     li = _t(spark, sf_dir, "lineitem")
     prof = li.select(
         F.col("l_orderkey").cast("string").alias("profile_id"),
         (F.col("l_linenumber") * 10.0).cast("double").alias("depth"),
         (F.lit(20.0) + F.col("l_quantity") * 0.1).cast("double").alias("sigma"),
     )
-    return profile_interp(prof, "profile_id", "depth", "sigma", [10.0, 25.0, 40.0, 60.0])
+    return profile_interp_declarative(
+        prof, "profile_id", "depth", "sigma", [10.0, 25.0, 40.0, 60.0]
+    )
+
+
+# PCHIP derivative selector expressions shared between the two endpoint
+# rows; mirrored verbatim in the SQL oracle below.
+_PCHIP_SQL = """
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS lvl
+      FROM lineitem
+    ), prof AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS profile_id,
+             CAST(lvl * 10.0 AS DOUBLE) AS x,
+             CAST(20.0 + l_quantity * 0.1 + lvl * 0.05 AS DOUBLE) AS y
+      FROM levels
+    ), targets AS (
+      SELECT CAST(unnest([10.0, 17.0, 33.0, 57.0]) AS DOUBLE) AS std_depth
+    ), g0 AS (
+      SELECT profile_id, x, y,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY profile_id) AS n,
+             lead(x) OVER w - x AS h,
+             (lead(y) OVER w - y) / (lead(x) OVER w - x) AS m
+      FROM prof WINDOW w AS (PARTITION BY profile_id ORDER BY x)
+    ), g1 AS (
+      SELECT *, lag(h) OVER w AS h_prev, lag(m) OVER w AS m_prev,
+             lead(h) OVER w AS h_next, lead(m) OVER w AS m_next,
+             lag(h, 2) OVER w AS h_prev2, lag(m, 2) OVER w AS m_prev2
+      FROM g0 WINDOW w AS (PARTITION BY profile_id ORDER BY x)
+    ), g2 AS (
+      SELECT *,
+             CASE WHEN rn = 1 THEN m ELSE m_prev END AS m_a,
+             CASE WHEN rn = 1 THEN m_next ELSE m_prev2 END AS m_b,
+             CASE WHEN rn = 1
+                  THEN ((2.0 * h + h_next) * m - h * m_next) / (h + h_next)
+                  ELSE ((2.0 * h_prev + h_prev2) * m_prev - h_prev * m_prev2)
+                       / (h_prev + h_prev2)
+             END AS de_raw
+      FROM g1
+    ), g3 AS (
+      SELECT *,
+             CASE WHEN sign(de_raw) <> sign(m_a) THEN 0.0 ELSE de_raw END AS de_1
+      FROM g2
+    ), gd AS (
+      SELECT profile_id, x, y, h, m,
+        CASE
+          WHEN n = 2 THEN coalesce(m, m_prev)
+          WHEN rn = 1 OR rn = n THEN
+            CASE WHEN sign(m_a) <> sign(m_b) AND abs(de_1) > 3.0 * abs(m_a)
+                 THEN 3.0 * m_a ELSE de_1 END
+          ELSE
+            CASE WHEN m_prev * m <= 0.0 THEN 0.0
+                 ELSE ((2.0 * h + h_prev) + (h + 2.0 * h_prev))
+                      / ((2.0 * h + h_prev) / m_prev + (h + 2.0 * h_prev) / m)
+            END
+        END AS d
+      FROM g3
+    ), seg0 AS (
+      SELECT profile_id, x AS x_lo, y AS y_lo, h, m, d AS d_lo,
+             lead(d) OVER (PARTITION BY profile_id ORDER BY x) AS d_hi
+      FROM gd
+    ), seg AS (
+      SELECT * FROM seg0 WHERE h IS NOT NULL
+    )
+    SELECT profile_id, std_depth,
+           floor(y * 1000000.0 + 0.5) / 1000000.0 AS interp_value
+    FROM gd JOIN targets ON x = std_depth
+    UNION ALL
+    SELECT profile_id, std_depth,
+           floor((y_lo + d_lo * (std_depth - x_lo)
+                 + ((3.0 * m - 2.0 * d_lo - d_hi) / h)
+                   * (std_depth - x_lo) * (std_depth - x_lo)
+                 + ((d_lo + d_hi - 2.0 * m) / (h * h))
+                   * (std_depth - x_lo) * (std_depth - x_lo) * (std_depth - x_lo))
+                 * 1000000.0 + 0.5) / 1000000.0 AS interp_value
+    FROM seg JOIN targets ON std_depth > x_lo AND std_depth < x_lo + h
+"""
+
+
+@register("gsw_pchip_interp", oracle=_PCHIP_SQL)
+def gsw_pchip_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCHIP (Fritsch–Carlson monotone cubic) profile resampling — the
+    GSW pchip_interp semantics (GSW/utility.py) as pure DataFrame ops;
+    the derivative rule and Hermite evaluation are mirrored term-for-term
+    in the DuckDB oracle. Anchored against hand-derived Fritsch–Carlson
+    values in tests/test_oceanography.py."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    levels = li.withColumn("lvl", F.row_number().over(w))
+    prof = levels.select(
+        F.col("l_orderkey").cast("string").alias("profile_id"),
+        (F.col("lvl") * 10.0).cast("double").alias("depth"),
+        (F.lit(20.0) + F.col("l_quantity") * 0.1 + F.col("lvl") * 0.05)
+        .cast("double")
+        .alias("sigma"),
+    )
+    return pchip_interp(
+        prof, "profile_id", "depth", "sigma", [10.0, 17.0, 33.0, 57.0]
+    )
+
+
+@register(
+    "gsw_coriolis_f",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(2.0 * 7.292115e-5 * sin(radians(lat)), 12) AS f
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_coriolis_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coriolis parameter (GSW ``f``, GSW/geostrophy.py) — published
+    anchor: f(90°) = 1.458423e-4 s⁻¹ exactly (tests)."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(coriolis_f(F.col("lat")), 12).alias("f"),
+    )
+
+
+@register(
+    "gsw_distance",
+    oracle="""
+    WITH pts AS (
+      SELECT s_nationkey, s_suppkey,
+             CAST(s_suppkey % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+             CAST(s_suppkey % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat
+      FROM supplier
+    ), legs AS (
+      SELECT s_nationkey, s_suppkey, lon, lat,
+             lag(lon) OVER w AS lon0, lag(lat) OVER w AS lat0
+      FROM pts WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey)
+    )
+    SELECT s_nationkey, s_suppkey,
+           round(6371000.0 * (2.0 * atan2(
+             sqrt(  sin((radians(lat) - radians(lat0)) / 2.0)
+                  * sin((radians(lat) - radians(lat0)) / 2.0)
+                  + cos(radians(lat0)) * cos(radians(lat))
+                  * sin((radians(lon) - radians(lon0)) / 2.0)
+                  * sin((radians(lon) - radians(lon0)) / 2.0)),
+             sqrt(1.0 - (sin((radians(lat) - radians(lat0)) / 2.0)
+                  * sin((radians(lat) - radians(lat0)) / 2.0)
+                  + cos(radians(lat0)) * cos(radians(lat))
+                  * sin((radians(lon) - radians(lon0)) / 2.0)
+                  * sin((radians(lon) - radians(lon0)) / 2.0))))), 3)
+             AS leg_m
+    FROM legs WHERE lon0 IS NOT NULL
+    """,
+)
+def gsw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle leg distance along a per-nation supplier track (GSW
+    ``distance`` convention: sphere R = 6371000 m, haversine). Published
+    anchor: quarter meridian (0,0)→(0,90) = R·π/2 ≈ 10007543.398 m
+    (tests). One window shuffle; trig rounded at 3 dp (libm)."""
+    from pyspark.sql import Window
+
+    sup = _t(spark, sf_dir, "supplier")
+    pts = sup.select(
+        "s_nationkey",
+        "s_suppkey",
+        ((F.col("s_suppkey") % 3600).cast("double") / 10.0 - 180.0).alias("lon"),
+        ((F.col("s_suppkey") % 1700).cast("double") / 10.0 - 85.0).alias("lat"),
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    legs = pts.select(
+        "s_nationkey",
+        "s_suppkey",
+        "lon",
+        "lat",
+        F.lag("lon").over(w).alias("lon0"),
+        F.lag("lat").over(w).alias("lat0"),
+    ).filter(F.col("lon0").isNotNull())
+    return legs.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.round(
+            haversine_distance(
+                F.col("lon0"), F.col("lat0"), F.col("lon"), F.col("lat")
+            ),
+            3,
+        ).alias("leg_m"),
+    )

@@ -44,3 +44,132 @@ def test_potential_temperature_surface_identity(spark):
     # = 8.4678516 °C
     th2 = _eval(spark, potential_temperature(F.lit(10.0), F.lit(25.0), F.lit(1000.0)))
     assert th2 == pytest.approx(8.4678516, abs=1e-6)
+
+
+def test_coriolis_check_values(spark):
+    from cioos_siooc_data_transform_spark.functions.oceanography import coriolis_f
+
+    # f(90°) = 2Ω exactly (sin = 1): 1.458423e-4 s⁻¹; f(0°) = 0;
+    # f(-45°) = -f(45°) (antisymmetry).
+    assert _eval(spark, coriolis_f(F.lit(90.0))) == pytest.approx(
+        1.458423e-4, rel=1e-12
+    )
+    assert _eval(spark, coriolis_f(F.lit(0.0))) == pytest.approx(0.0, abs=1e-20)
+    assert _eval(spark, coriolis_f(F.lit(-45.0))) == pytest.approx(
+        -_eval(spark, coriolis_f(F.lit(45.0))), rel=1e-12
+    )
+
+
+def test_haversine_check_values(spark):
+    import math
+
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        haversine_distance,
+    )
+
+    # Quarter meridian on the R=6371000 m sphere: (0,0)→(0,90) = R·π/2.
+    d = _eval(
+        spark,
+        haversine_distance(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(90.0)),
+    )
+    assert d == pytest.approx(6371000.0 * math.pi / 2.0, rel=1e-12)
+    # One degree of longitude at the equator = R·π/180 ≈ 111194.927 m.
+    d1 = _eval(
+        spark,
+        haversine_distance(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)),
+    )
+    assert d1 == pytest.approx(6371000.0 * math.pi / 180.0, rel=1e-9)
+    # Coincident points → 0.
+    d0 = _eval(
+        spark,
+        haversine_distance(F.lit(12.5), F.lit(-30.0), F.lit(12.5), F.lit(-30.0)),
+    )
+    assert d0 == pytest.approx(0.0, abs=1e-9)
+
+
+def _interp_map(df):
+    return {
+        (r["profile_id"], r["std_depth"]): r["interp_value"] for r in df.collect()
+    }
+
+
+def test_linear_interp_anchor_and_pandas_crosscheck(spark):
+    """Hand-computed linear anchors + the applyInPandas variant must agree
+    with the declarative variant on duplicate-free profiles."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        profile_interp,
+        profile_interp_declarative,
+    )
+
+    rows = [
+        ("p1", 0.0, 10.0),
+        ("p1", 10.0, 12.0),
+        ("p1", 20.0, 16.0),
+        ("p2", 5.0, 1.0),
+        ("p2", 15.0, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "profile_id string, depth double, sigma double")
+    targets = [5.0, 10.0, 15.0]
+    got = _interp_map(
+        profile_interp_declarative(df, "profile_id", "depth", "sigma", targets)
+    )
+    # anchors: p1@5 = 11.0 (midpoint), p1@10 = 12.0 (grid), p1@15 = 14.0;
+    # p2@5 = 1.0 (grid), p2@10 = 1.5, p2@15 = 2.0 (grid)
+    assert got == {
+        ("p1", 5.0): 11.0,
+        ("p1", 10.0): 12.0,
+        ("p1", 15.0): 14.0,
+        ("p2", 5.0): 1.0,
+        ("p2", 10.0): 1.5,
+        ("p2", 15.0): 2.0,
+    }
+    pandas_got = _interp_map(
+        profile_interp(df, "profile_id", "depth", "sigma", targets)
+    )
+    assert pandas_got == got
+
+
+def test_pchip_anchor_fritsch_carlson(spark):
+    """Hand-derived Fritsch–Carlson values for x=[0,1,2], y=[0,1,1]:
+    slopes m=[1,0]; d0 = ((2·1+1)·1 − 1·0)/2 = 1.5 (no clamp fires),
+    d1 = 0 (slope product ≤ 0), d2 = 0 (sign flip clamp).
+    Segment 0 at t=0.5: c2 = (3−3−0)/1 = 0, c3 = (1.5+0−2)/1 = −0.5
+    → y = 1.5·0.5 − 0.5·0.125 = 0.6875.
+    Segment 1 at t=1.5: flat (all coefficients 0) → 1.0 — the monotone
+    shape-preservation PCHIP exists for (no linear-style overshoot)."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import pchip_interp
+
+    rows = [("p", 0.0, 0.0), ("p", 1.0, 1.0), ("p", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "profile_id string, depth double, sigma double")
+    got = _interp_map(pchip_interp(df, "profile_id", "depth", "sigma", [0.5, 1.0, 1.5]))
+    assert got == {("p", 0.5): 0.6875, ("p", 1.0): 1.0, ("p", 1.5): 1.0}
+
+
+def test_pchip_reproduces_linear_data_and_preserves_range(spark):
+    """PCHIP on exactly-linear data is the line; on monotone data every
+    interpolated value stays within its bracketing grid values."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import pchip_interp
+
+    lin = [("l", float(x), 3.0 + 2.0 * x) for x in range(5)]
+    mono = [("m", 0.0, 1.0), ("m", 1.0, 1.1), ("m", 2.0, 4.0), ("m", 3.0, 4.05)]
+    df = spark.createDataFrame(
+        lin + mono, "profile_id string, depth double, sigma double"
+    )
+    got = _interp_map(
+        pchip_interp(df, "profile_id", "depth", "sigma", [0.5, 1.5, 2.5])
+    )
+    assert got[("l", 0.5)] == 4.0 and got[("l", 1.5)] == 6.0 and got[("l", 2.5)] == 8.0
+    assert 1.0 <= got[("m", 0.5)] <= 1.1
+    assert 1.1 <= got[("m", 1.5)] <= 4.0
+    assert 4.0 <= got[("m", 2.5)] <= 4.05
+
+
+def test_pchip_two_point_profile_is_linear(spark):
+    from cioos_siooc_data_transform_spark.functions.oceanography import pchip_interp
+
+    df = spark.createDataFrame(
+        [("p", 0.0, 2.0), ("p", 10.0, 4.0)],
+        "profile_id string, depth double, sigma double",
+    )
+    got = _interp_map(pchip_interp(df, "profile_id", "depth", "sigma", [2.5, 7.5]))
+    assert got == {("p", 2.5): 2.5, ("p", 7.5): 3.5}
