@@ -25,15 +25,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, DEFAULT_SF_DIR)
 
 
+# Names the round-1 driver already verified (CORRECTNESS_r01.json). The
+# driver samples in dict order, so queries it has never checked are listed
+# first; previously-green ones follow as regression coverage.
+_R1_CHECKED = frozenset(
+    {
+        "q1_pricing_summary", "filter_projection", "first_match_min",
+        "case_when_routing", "timestamp_range_filter", "null_pad_masking",
+        "coalesce_event_id", "geo_containment_join", "anti_join_orphans",
+        "semi_join_present", "broadcast_lookup_join", "positional_schema_join",
+        "minmax_per_group", "count_validation", "time_increment_inference",
+        "ranking_window_bodc", "sequence_timeseries", "sort_limit_topk",
+        "except_missing_keys", "intersect_common_keys", "dms_to_decimal",
+        "tz_fixed_offset", "time_increment_decode", "epoch_seconds",
+        "id_formatting", "substring_extract", "json_serialize",
+        "unit_canonicalization", "basename_key_extract", "string_functions",
+        "datetime_functions", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "dedup_simhash_pairs", "dedup_edit_distance",
+        "similarity_topk_bruteforce", "similarity_ivf_topk", "text_langid",
+        "text_quality_score", "text_token_count", "text_fingerprint",
+        "multimodal_binary_meta", "multimodal_decode_features",
+        "text_hash_embedding", "tumbling_window_hourly", "session_windows",
+        "daily_top_event",
+    }
+)
+
+
+def _priority_order(names) -> list[str]:
+    fresh = [n for n in names if n not in _R1_CHECKED]
+    seen = [n for n in names if n in _R1_CHECKED]
+    return fresh + seen
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from cioos_siooc_data_transform_spark.plans import all_queries
 
-    return all_queries()
+    qs = all_queries()
+    return {n: qs[n] for n in _priority_order(qs)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each query (same column names)."""
     from cioos_siooc_data_transform_spark.plans import all_oracles
 
-    return all_oracles()
+    os_ = all_oracles()
+    return {n: os_[n] for n in _priority_order(os_)}

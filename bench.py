@@ -31,7 +31,7 @@ HEADLINE = [
     "tumbling_window_hourly",    # time-window agg
     "session_windows",           # session windows
     "dedup_exact",               # digest agg
-    "dedup_minhash_lsh",         # shingle explode + minhash + LSH self-join
+    "dedup_pipeline_pairs_xxhash",  # xxhash64 minhash + LSH + Jaccard confirm (production hash family; md5 variant stays oracle-paired)
     "dedup_simhash",             # token explode + 16 bit-sums
     "dedup_ngram_jaccard",       # inverted-index join
     "text_langid",               # array intersections

@@ -161,6 +161,47 @@ def dedup_pipeline_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# xxhash64 pipeline twin: same LSH -> exact-Jaccard-confirm shape as
+# dedup_pipeline_pairs, but with the production hash family (xxhash64 is a
+# JVM intrinsic — no md5 string materialization per shingle). DuckDB has no
+# matching xxhash64, so the oracle states the RECALL CONTRACT instead: the
+# confirmed output must equal the complete set of true Jaccard >= 0.5
+# pairs (computed hash-free via the inverted index). 8 hashes x 4 bands at
+# threshold 0.5 gives that full recall on the test corpus (verified at
+# sf0.01); a hash-wiring regression drops pairs and fails the hash-match.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_pipeline_pairs_xxhash",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_pipeline_pairs_xxhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(
+        shingles, "doc_id", "s", num_hashes=8, hash_family="xxhash64"
+    )
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    return jaccard_for_pairs(cand, shingles, "doc_id", "s").filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (16-bit portable variant): majority vote per md5-derived bit over
 # distinct tokens.
 # ---------------------------------------------------------------------------
