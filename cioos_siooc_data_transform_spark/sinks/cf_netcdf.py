@@ -121,7 +121,10 @@ def to_netcdf_bytes(parsed: DataFrame) -> DataFrame:
                                 "standard_name": v["standard_name"],
                                 "long_name": v["long_name"],
                                 "units": v["units"],
-                                "_FillValue": float("nan"),
+                                # np.float32 → packed as NC_FLOAT: CF
+                                # requires _FillValue to have the
+                                # variable's exact type
+                                "_FillValue": np.float32("nan"),
                             },
                             vals,
                         )

@@ -39,14 +39,30 @@ def _name(s: str) -> bytes:
 
 
 def _attr_values(value) -> tuple[int, bytes]:
-    """Attribute → (nc_type, packed nelems+values)."""
+    """Attribute → (nc_type, packed nelems+values).
+
+    The numpy dtype of the value pins the attribute's nc_type: pass
+    np.float32 to emit NC_FLOAT (CF requires _FillValue to match the
+    variable's type exactly — a double _FillValue on an NC_FLOAT variable
+    fails strict readers and CF checkers). Plain Python floats remain
+    NC_DOUBLE; smaller ints keep their width.
+    """
     if isinstance(value, str):
         enc = value.encode("utf-8")
         return NC_CHAR, struct.pack(">i", len(enc)) + _pad4(enc)
     arr = np.atleast_1d(np.asarray(value))
     if arr.dtype.kind == "f":
-        arr = arr.astype(">f8")
-        return NC_DOUBLE, struct.pack(">i", arr.size) + arr.tobytes()
+        if arr.dtype.itemsize == 4:
+            return NC_FLOAT, struct.pack(">i", arr.size) + arr.astype(">f4").tobytes()
+        return NC_DOUBLE, struct.pack(">i", arr.size) + arr.astype(">f8").tobytes()
+    if arr.dtype.kind == "i" and arr.dtype.itemsize == 2:
+        return NC_SHORT, struct.pack(">i", arr.size) + _pad4(
+            arr.astype(">i2").tobytes()
+        )
+    if arr.dtype.kind == "i" and arr.dtype.itemsize == 1:
+        return NC_BYTE, struct.pack(">i", arr.size) + _pad4(
+            arr.astype(">i1").tobytes()
+        )
     arr = arr.astype(">i4")
     return NC_INT, struct.pack(">i", arr.size) + _pad4(arr.tobytes())
 

@@ -250,11 +250,26 @@ def parse_time_increment(raw: str) -> float:
 # Data block: FORMAT → fixed-width → whitespace fallback chain
 # ---------------------------------------------------------------------------
 def read_data_fortran(data_lines: list[str], formatline: str) -> list[list[str]]:
+    """FORMAT-driven strategy. A (character) descriptors abort it — the
+    reference converts every field with float(), so a character field
+    raises there and drops the file to the fixed-width strategy
+    (IDT/ObsFile.py read loop); mirroring that keeps the two engines
+    choosing the same strategy per file. str(v) (not repr) keeps numeric
+    cells unquoted."""
+    from cioos_siooc_data_transform_spark.sources.fortran_spec import (
+        FortranFormatError,
+    )
+
     fields = parse_format(formatline)
+    if any(kind == "A" for kind, _ in fields):
+        raise FortranFormatError(
+            "A (character) descriptor: FORMAT strategy is numeric-only "
+            "(reference parity) — falling back to fixed-width"
+        )
     out = []
     for line in data_lines:
         if len(line) > 0:
-            out.append([repr(v) for v in read_record(fields, line)])
+            out.append([str(v) for v in read_record(fields, line)])
     return out
 
 

@@ -43,6 +43,43 @@ def stream_ios_paths(
     return reader.load(root).select(F.input_file_name().alias("path"))
 
 
+def write_ios_batch(
+    spark: SparkSession, batch_df: DataFrame, out_dir: str, batch_id: int
+) -> None:
+    """Parse one micro-batch's files and write them under a deterministic
+    ``batch_id=N`` partition directory with overwrite.
+
+    This is what makes the sink exactly-once rather than at-least-once:
+    foreachBatch re-delivers the SAME batch_id on retry, so a crashed or
+    partially-written batch is fully replaced instead of appended twice.
+    Readers see batch_id as an ordinary partition column via standard
+    partition discovery.
+
+    The per-batch path list is collected to the driver — it is a bounded
+    file LISTING (maxFilesPerTrigger caps it), never row data.
+    """
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_catalog,
+        ios_measurements_masked,
+        parse_ios,
+    )
+
+    paths = [r["path"] for r in batch_df.select("path").distinct().collect()]
+    if not paths:
+        return
+    files = spark.read.format("binaryFile").load(paths)
+    parsed = parse_ios(files).cache()
+    try:
+        ios_catalog(parsed).write.mode("overwrite").parquet(
+            f"{out_dir}/catalog/batch_id={batch_id}"
+        )
+        ios_measurements_masked(parsed).write.mode("overwrite").parquet(
+            f"{out_dir}/measurements/batch_id={batch_id}"
+        )
+    finally:
+        parsed.unpersist()
+
+
 def run_incremental_ingest(
     spark: SparkSession,
     root: str,
@@ -50,30 +87,14 @@ def run_incremental_ingest(
     checkpoint_dir: str,
     path_glob: str = "*",
 ) -> None:
-    """One AvailableNow drain: parse any not-yet-processed files and append
-    their catalog + long-format measurements to parquet. Blocks until the
-    backlog is drained (the cron-batch shape)."""
-    from cioos_siooc_data_transform_spark.sources.ios_source import (
-        ios_catalog,
-        ios_measurements_masked,
-        parse_ios,
-    )
-
+    """One AvailableNow drain: parse any not-yet-processed files and write
+    their catalog + long-format measurements to per-batch parquet
+    partitions (see write_ios_batch for the exactly-once contract). Blocks
+    until the backlog is drained (the cron-batch shape)."""
     paths_stream = stream_ios_paths(spark, root, path_glob)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        paths = [r["path"] for r in batch_df.select("path").distinct().collect()]
-        if not paths:
-            return
-        files = spark.read.format("binaryFile").load(paths)
-        parsed = parse_ios(files).cache()
-        try:
-            ios_catalog(parsed).write.mode("append").parquet(f"{out_dir}/catalog")
-            ios_measurements_masked(parsed).write.mode("append").parquet(
-                f"{out_dir}/measurements"
-            )
-        finally:
-            parsed.unpersist()
+        write_ios_batch(spark, batch_df, out_dir, batch_id)
 
     query = (
         paths_stream.writeStream.foreachBatch(write_batch)

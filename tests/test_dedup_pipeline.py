@@ -21,6 +21,33 @@ def test_connected_components(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_long_chain(spark):
+    """A 60-hop path needs pointer jumping — one-hop propagation capped at
+    12 rounds would silently split it."""
+    from cioos_siooc_data_transform_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["doc_id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert len(comp) == 61
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    import pytest as _pytest
+
+    from cioos_siooc_data_transform_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=2)
+
+
 def test_deduplicate_documents(spark):
     from cioos_siooc_data_transform_spark.operators.dedup import (
         deduplicate_documents,

@@ -133,3 +133,26 @@ def test_fortran_spec():
         parse_format("(Q9.9)")
     with pytest.raises(FortranFormatError):
         read_record([("E", 15)], "               ")
+
+
+def test_fortran_character_descriptor_falls_back():
+    """A-descriptor FORMATs abort the fortran strategy (the reference's
+    float() conversion raises there), dropping to the next strategy —
+    and numeric cells are never repr-quoted."""
+    from cioos_siooc_data_transform_spark.sources.ios_format import read_data
+
+    lines = [
+        "*END OF HEADER",
+        "  1.5 abc",
+        "  2.5 def",
+    ]
+    rows, strategy = read_data(lines, "(F5.1,A4)", [5, 4])
+    assert strategy == "fixed_width"
+    assert rows == [["1.5", "abc"], ["2.5", "def"]]
+
+    # numeric-only FORMAT still uses the fortran path, unquoted
+    rows2, strategy2 = read_data(
+        ["*END OF HEADER", "  1.5  2.0"], "(F5.1,F5.1)", None
+    )
+    assert strategy2 == "fortran"
+    assert rows2 == [["1.5", "2.0"]]

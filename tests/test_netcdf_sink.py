@@ -61,3 +61,53 @@ def test_cf_netcdf_export(spark):
         assert v["profile"]["data"] == "2017-020-0474"
         # time scalar: 2017-09-10 01:00:42 UTC
         assert float(v["time"]["data"]) == pytest.approx(1505005242.0)
+
+
+def test_attr_nc_type_follows_numpy_dtype():
+    """CF requires _FillValue to carry the variable's exact type; numpy
+    scalars pin the packed nc_type (np.float32 → NC_FLOAT)."""
+    import struct
+
+    import numpy as np
+
+    from cioos_siooc_data_transform_spark.sinks.netcdf3 import (
+        NC_DOUBLE,
+        NC_FLOAT,
+        NC_SHORT,
+        _attr_values,
+    )
+
+    t, payload = _attr_values(np.float32(1.5))
+    assert t == NC_FLOAT
+    assert payload == struct.pack(">i", 1) + struct.pack(">f", 1.5)
+    t, _ = _attr_values(1.5)  # plain Python float stays double
+    assert t == NC_DOUBLE
+    t, _ = _attr_values(np.int16(7))
+    assert t == NC_SHORT
+
+
+def test_cf_fillvalue_is_nc_float():
+    """The CF writer's NC_FLOAT variables must carry an NC_FLOAT
+    _FillValue in the emitted bytes."""
+    import struct
+
+    import numpy as np
+
+    from cioos_siooc_data_transform_spark.sinks.netcdf3 import (
+        NC_FLOAT,
+        NcVariable,
+        write_netcdf3,
+    )
+
+    var = NcVariable(
+        "TEMPS901", NC_FLOAT, ["z"],
+        {"_FillValue": np.float32("nan")},
+        np.array([1.0, np.nan], dtype="f4"),
+    )
+    buf = write_netcdf3({"z": 2}, {}, [var])
+    name = b"_FillValue"
+    i = buf.index(name)
+    # header layout: name-len + padded name + nc_type int
+    after = i + len(name) + ((4 - len(name) % 4) % 4)
+    (nc_type,) = struct.unpack(">i", buf[after : after + 4])
+    assert nc_type == NC_FLOAT

@@ -49,6 +49,25 @@ def test_incremental_ingest_exactly_once(spark):
         assert per_file["2017-020-0474"] == 189 * 12
 
 
+def test_batch_write_retry_is_idempotent(spark):
+    """foreachBatch retries re-deliver the same batch_id; the sink must
+    replace, not append, so a crashed/partial batch leaves no duplicates."""
+    from cioos_siooc_data_transform_spark.streaming.incremental import (
+        write_ios_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "out")
+        profiles = sorted(glob.glob(f"{IDT}/ctd_profile/*.ctd"))[:2]
+        batch = spark.createDataFrame([(p,) for p in profiles], "path string")
+        write_ios_batch(spark, batch, out, batch_id=0)
+        first = spark.read.parquet(f"{out}/catalog").count()
+        write_ios_batch(spark, batch, out, batch_id=0)  # simulated retry
+        cat = spark.read.parquet(f"{out}/catalog")
+        assert cat.count() == first == 2
+        assert cat.select("file_id").distinct().count() == 2
+
+
 def test_streaming_tumbling_matches_batch(spark):
     from cioos_siooc_data_transform_spark.streaming.windows import tumbling_counts
 
