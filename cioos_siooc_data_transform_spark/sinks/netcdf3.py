@@ -1,16 +1,27 @@
-"""Minimal NetCDF-3 classic (CDF-1) writer + reader, from the PUBLIC
-file-format specification (Unidata "NetCDF Classic Format Spec").
+"""Minimal NetCDF classic writer + reader — CDF-1, CDF-2 (64-bit offset)
+and CDF-5 (64-bit data) — from the PUBLIC file-format specifications
+(Unidata "NetCDF Classic Format Spec" and the pnetcdf CDF-5 spec).
 
 The reference writes its output with python-netCDF4 (IDT/OceanNcFile.py:
 23-65, default NETCDF4/HDF5 container). That library is not available
-here, so this module implements the classic CDF-1 container from scratch:
+here, so this module implements the classic containers from scratch:
 enough for the reference's output shape — fixed dimensions, global +
 per-variable attributes, float/double/int/char variables. Documented
-divergence: NETCDF3_CLASSIC container instead of NETCDF4 (same data model
-for this variable set; readable by every NetCDF tool).
+divergence: classic container instead of NETCDF4 (same data model for
+this variable set; readable by every NetCDF tool).
 
-Layout (spec): magic 'CDF\\x01' | numrecs | dim_list | gatt_list |
-var_list | data. All names/values padded to 4-byte boundaries, big-endian.
+Version ladder (chosen automatically, or pinned via ``version=``):
+- CDF-1 ('CDF\\x01'): 32-bit offsets — total file effectively < 2 GiB.
+- CDF-2 ('CDF\\x02'): variable begin offsets widen to 64-bit — files may
+  exceed 2 GiB as long as each single variable stays < 4 GiB.
+- CDF-5 ('CDF\\x05'): every count/size/offset is 64-bit — single
+  variables beyond 4 GiB (the 100 TB-scale sink path).
+
+Layout (spec): magic | numrecs | dim_list | gatt_list | var_list | data.
+All names/values padded to 4-byte boundaries, big-endian. The only
+differences between versions are field widths: CDF-2 widens ``begin``;
+CDF-5 widens every count (numrecs, list nelems, name lengths, dim sizes,
+attr nelems, ndims, dimids, vsize) as well.
 """
 
 from __future__ import annotations
@@ -28,17 +39,37 @@ _NP_TO_NC = {"f4": NC_FLOAT, "f8": NC_DOUBLE, "i4": NC_INT, "i2": NC_SHORT, "i1"
 _NC_TO_NP = {NC_FLOAT: ">f4", NC_DOUBLE: ">f8", NC_INT: ">i4", NC_SHORT: ">i2",
              NC_BYTE: ">i1", NC_CHAR: "S1"}
 
+_MAX_I32 = 0x7FFFFFFF
+_MAX_U32 = 0xFFFFFFFF
+
+
+class _Fmt:
+    """Field widths for one CDF version (the ONLY thing that varies)."""
+
+    def __init__(self, version: int):
+        self.version = version
+        # CDF-5: every count is 64-bit; CDF-1/2: 32-bit.
+        self.count = ">q" if version == 5 else ">i"
+        # begin offsets: 64-bit from CDF-2 up.
+        self.begin = ">q" if version >= 2 else ">i"
+
+    def pack_count(self, v: int) -> bytes:
+        return struct.pack(self.count, v)
+
+    def pack_begin(self, v: int) -> bytes:
+        return struct.pack(self.begin, v)
+
 
 def _pad4(b: bytes) -> bytes:
     return b + b"\x00" * ((4 - len(b) % 4) % 4)
 
 
-def _name(s: str) -> bytes:
+def _name(s: str, fmt: _Fmt) -> bytes:
     enc = s.encode("utf-8")
-    return struct.pack(">i", len(enc)) + _pad4(enc)
+    return fmt.pack_count(len(enc)) + _pad4(enc)
 
 
-def _attr_values(value) -> tuple[int, bytes]:
+def _attr_values(value, fmt: _Fmt | None = None) -> tuple[int, bytes]:
     """Attribute → (nc_type, packed nelems+values).
 
     The numpy dtype of the value pins the attribute's nc_type: pass
@@ -47,33 +78,34 @@ def _attr_values(value) -> tuple[int, bytes]:
     fails strict readers and CF checkers). Plain Python floats remain
     NC_DOUBLE; smaller ints keep their width.
     """
+    fmt = fmt or _Fmt(1)
     if isinstance(value, str):
         enc = value.encode("utf-8")
-        return NC_CHAR, struct.pack(">i", len(enc)) + _pad4(enc)
+        return NC_CHAR, fmt.pack_count(len(enc)) + _pad4(enc)
     arr = np.atleast_1d(np.asarray(value))
     if arr.dtype.kind == "f":
         if arr.dtype.itemsize == 4:
-            return NC_FLOAT, struct.pack(">i", arr.size) + arr.astype(">f4").tobytes()
-        return NC_DOUBLE, struct.pack(">i", arr.size) + arr.astype(">f8").tobytes()
+            return NC_FLOAT, fmt.pack_count(arr.size) + arr.astype(">f4").tobytes()
+        return NC_DOUBLE, fmt.pack_count(arr.size) + arr.astype(">f8").tobytes()
     if arr.dtype.kind == "i" and arr.dtype.itemsize == 2:
-        return NC_SHORT, struct.pack(">i", arr.size) + _pad4(
+        return NC_SHORT, fmt.pack_count(arr.size) + _pad4(
             arr.astype(">i2").tobytes()
         )
     if arr.dtype.kind == "i" and arr.dtype.itemsize == 1:
-        return NC_BYTE, struct.pack(">i", arr.size) + _pad4(
+        return NC_BYTE, fmt.pack_count(arr.size) + _pad4(
             arr.astype(">i1").tobytes()
         )
     arr = arr.astype(">i4")
-    return NC_INT, struct.pack(">i", arr.size) + _pad4(arr.tobytes())
+    return NC_INT, fmt.pack_count(arr.size) + _pad4(arr.tobytes())
 
 
-def _attr_list(attrs: dict) -> bytes:
+def _attr_list(attrs: dict, fmt: _Fmt) -> bytes:
     if not attrs:
-        return struct.pack(">ii", 0, 0)
-    out = struct.pack(">ii", NC_ATTRIBUTE, len(attrs))
+        return fmt.pack_count(0) + fmt.pack_count(0)
+    out = fmt.pack_count(NC_ATTRIBUTE) + fmt.pack_count(len(attrs))
     for k, v in attrs.items():
-        nc_type, payload = _attr_values(v)
-        out += _name(k) + struct.pack(">i", nc_type) + payload
+        nc_type, payload = _attr_values(v, fmt)
+        out += _name(k, fmt) + struct.pack(">i", nc_type) + payload
     return out
 
 
@@ -86,52 +118,79 @@ class NcVariable:
     data: np.ndarray | str | None = None
 
 
+def _payload(v: NcVariable, dims: dict[str, int]) -> bytes:
+    if v.nc_type == NC_CHAR:
+        text = v.data if isinstance(v.data, str) else ""
+        size = 1
+        for d in v.dims:
+            size *= dims[d]
+        raw = text.encode("utf-8")[:size].ljust(size, b"\x00")
+    else:
+        raw = np.asarray(v.data, dtype=_NC_TO_NP[v.nc_type]).tobytes()
+    return _pad4(raw)
+
+
+def _pick_version(dims: dict[str, int], payload_sizes: list[int]) -> int:
+    """Smallest classic version that can hold the file: CDF-1 unless the
+    file crosses 2 GiB (→ CDF-2), CDF-5 once any single variable or
+    dimension needs 64-bit sizes."""
+    if any(s > _MAX_U32 - 3 for s in payload_sizes) or any(
+        n > _MAX_I32 for n in dims.values()
+    ):
+        return 5
+    # conservative: header is small; begin offsets ≈ cumulative payloads
+    if sum(payload_sizes) > _MAX_I32 - 65536:
+        return 2
+    return 1
+
+
 def write_netcdf3(
     dims: dict[str, int],
     global_attrs: dict,
     variables: list[NcVariable],
+    version: int | None = None,
 ) -> bytes:
-    """Serialize one classic NetCDF-3 (CDF-1) file to bytes."""
+    """Serialize one classic NetCDF file to bytes (CDF-1/2/5; smallest
+    sufficient version chosen automatically unless pinned)."""
     dim_names = list(dims)
+    payloads = [_payload(v, dims) for v in variables]
+    if version is None:
+        version = _pick_version(dims, [len(p) for p in payloads])
+    if version not in (1, 2, 5):
+        raise ValueError(f"unsupported CDF version {version}")
+    fmt = _Fmt(version)
 
-    # header: magic + numrecs(0; no unlimited dims used)
-    header = b"CDF\x01" + struct.pack(">i", 0)
+    header = b"CDF" + bytes([version]) + fmt.pack_count(0)  # numrecs=0
 
     if dims:
-        header += struct.pack(">ii", NC_DIMENSION, len(dims))
+        header += fmt.pack_count(NC_DIMENSION) + fmt.pack_count(len(dims))
         for dname in dim_names:
-            header += _name(dname) + struct.pack(">i", dims[dname])
+            header += _name(dname, fmt) + fmt.pack_count(dims[dname])
     else:
-        header += struct.pack(">ii", 0, 0)
+        header += fmt.pack_count(0) + fmt.pack_count(0)
 
-    header += _attr_list(global_attrs)
+    header += _attr_list(global_attrs, fmt)
 
-    # variable payloads: compute sizes first, then begins after the header
-    payloads: list[bytes] = []
-    var_meta: list[tuple[NcVariable, int]] = []  # (var, vsize)
-    for v in variables:
-        if v.nc_type == NC_CHAR:
-            text = v.data if isinstance(v.data, str) else ""
-            size = 1
-            for d in v.dims:
-                size *= dims[d]
-            raw = text.encode("utf-8")[:size].ljust(size, b"\x00")
-        else:
-            arr = np.asarray(v.data, dtype=_NC_TO_NP[v.nc_type])
-            raw = arr.tobytes()
-        payloads.append(_pad4(raw))
-        var_meta.append((v, len(_pad4(raw))))
+    var_meta = [(v, len(p)) for v, p in zip(variables, payloads)]
 
     # var_list with placeholder begins to measure header length
     def var_list(begins: list[int]) -> bytes:
-        out = struct.pack(">ii", NC_VARIABLE, len(variables)) if variables else struct.pack(">ii", 0, 0)
+        if variables:
+            out = fmt.pack_count(NC_VARIABLE) + fmt.pack_count(len(variables))
+        else:
+            out = fmt.pack_count(0) + fmt.pack_count(0)
         for (v, vsize), begin in zip(var_meta, begins):
-            out += _name(v.name)
-            out += struct.pack(">i", len(v.dims))
+            out += _name(v.name, fmt)
+            out += fmt.pack_count(len(v.dims))
             for d in v.dims:
-                out += struct.pack(">i", dim_names.index(d))
-            out += _attr_list(v.attrs)
-            out += struct.pack(">iii", v.nc_type, vsize, begin)
+                out += fmt.pack_count(dim_names.index(d))
+            out += _attr_list(v.attrs, fmt)
+            out += struct.pack(">i", v.nc_type)
+            # vsize: 32-bit unsigned through CDF-2, 64-bit in CDF-5
+            out += fmt.pack_count(vsize) if version == 5 else struct.pack(
+                ">I", min(vsize, _MAX_U32 - 3)
+            )
+            out += fmt.pack_begin(begin)
         return out
 
     probe = header + var_list([0] * len(variables))
@@ -144,28 +203,42 @@ def write_netcdf3(
 
 
 def read_netcdf3(buf: bytes) -> dict:
-    """Parse a classic CDF-1 file (round-trip verification)."""
-    assert buf[:4] == b"CDF\x01", "not a CDF-1 file"
-    pos = [8]
+    """Parse a classic CDF-1/2/5 file (round-trip verification)."""
+    assert buf[:3] == b"CDF" and buf[3] in (1, 2, 5), "not a classic CDF file"
+    version = buf[3]
+    fmt = _Fmt(version)
+    cw = 8 if version == 5 else 4  # count width
+    bw = 8 if version >= 2 else 4  # begin width
+    pos = [4 + cw]  # skip magic + numrecs
 
-    def read_i() -> int:
+    def read_count() -> int:
+        v = struct.unpack(fmt.count, buf[pos[0] : pos[0] + cw])[0]
+        pos[0] += cw
+        return v
+
+    def read_i4() -> int:
         v = struct.unpack(">i", buf[pos[0] : pos[0] + 4])[0]
         pos[0] += 4
         return v
 
+    def read_begin() -> int:
+        v = struct.unpack(fmt.begin, buf[pos[0] : pos[0] + bw])[0]
+        pos[0] += bw
+        return v
+
     def read_name() -> str:
-        n = read_i()
+        n = read_count()
         s = buf[pos[0] : pos[0] + n].decode("utf-8")
         pos[0] += n + ((4 - n % 4) % 4)
         return s
 
     def read_attrs() -> dict:
-        tag, cnt = read_i(), read_i()
+        tag, cnt = read_count(), read_count()
         out = {}
         for _ in range(cnt):
             name = read_name()
-            nc_type = read_i()
-            n = read_i()
+            nc_type = read_i4()
+            n = read_count()
             if nc_type == NC_CHAR:
                 raw = buf[pos[0] : pos[0] + n]
                 pos[0] += n + ((4 - n % 4) % 4)
@@ -178,19 +251,25 @@ def read_netcdf3(buf: bytes) -> dict:
                 out[name] = np.frombuffer(raw, dtype=_NC_TO_NP[nc_type]).tolist()
         return out
 
-    tag, ndims = read_i(), read_i()
+    tag, ndims = read_count(), read_count()
     dims = []
     for _ in range(ndims):
-        dims.append((read_name(), read_i()))
+        dims.append((read_name(), read_count()))
     gattrs = read_attrs()
-    tag, nvars = read_i(), read_i()
+    tag, nvars = read_count(), read_count()
     variables = {}
     for _ in range(nvars):
         name = read_name()
-        nd = read_i()
-        dimids = [read_i() for _ in range(nd)]
+        nd = read_count()
+        dimids = [read_count() for _ in range(nd)]
         attrs = read_attrs()
-        nc_type, vsize, begin = read_i(), read_i(), read_i()
+        nc_type = read_i4()
+        if version == 5:
+            vsize = read_count()
+        else:
+            (vsize,) = struct.unpack(">I", buf[pos[0] : pos[0] + 4])
+            pos[0] += 4
+        begin = read_begin()
         shape = tuple(dims[d][1] for d in dimids)
         count = int(np.prod(shape)) if shape else 1
         w = _TYPE_SIZE[nc_type]

@@ -111,3 +111,81 @@ def test_cf_fillvalue_is_nc_float():
     after = i + len(name) + ((4 - len(name) % 4) % 4)
     (nc_type,) = struct.unpack(">i", buf[after : after + 4])
     assert nc_type == NC_FLOAT
+
+
+def test_cdf2_and_cdf5_roundtrip():
+    """Pinned 64-bit variants round-trip identically to CDF-1."""
+    import numpy as np
+
+    from cioos_siooc_data_transform_spark.sinks.netcdf3 import (
+        NC_DOUBLE,
+        NC_FLOAT,
+        NcVariable,
+        read_netcdf3,
+        write_netcdf3,
+    )
+
+    dims = {"z": 3}
+    gattrs = {"title": "t", "level": 4}
+    varz = [
+        NcVariable("depth", NC_DOUBLE, ["z"], {"units": "m"},
+                   np.array([1.0, 2.0, 3.0])),
+        NcVariable("temp", NC_FLOAT, ["z"], {"_FillValue": np.float32("nan")},
+                   np.array([9.5, 8.25, 7.0], dtype="f4")),
+    ]
+    for version in (1, 2, 5):
+        buf = write_netcdf3(dims, gattrs, varz, version=version)
+        assert buf[:4] == b"CDF" + bytes([version])
+        got = read_netcdf3(buf)
+        assert got["dims"] == dims
+        assert got["attrs"]["title"] == "t"
+        assert got["variables"]["depth"]["data"].tolist() == [1.0, 2.0, 3.0]
+        assert got["variables"]["temp"]["data"].tolist() == [9.5, 8.25, 7.0]
+        assert got["variables"]["temp"]["attrs"]["_FillValue"][0] != got[
+            "variables"
+        ]["temp"]["attrs"]["_FillValue"][0]  # NaN fill survives
+
+
+def test_cdf2_golden_header_layout():
+    """Hand-packed spec bytes for a minimal CDF-2 file: only the begin
+    field widens to 8 bytes; counts stay 32-bit (independent derivation
+    from the Unidata classic spec, not the writer's own reader)."""
+    import struct
+
+    import numpy as np
+
+    from cioos_siooc_data_transform_spark.sinks.netcdf3 import (
+        NC_DOUBLE,
+        NcVariable,
+        write_netcdf3,
+    )
+
+    buf = write_netcdf3({"z": 2}, {}, [
+        NcVariable("v", NC_DOUBLE, ["z"], {}, np.array([1.5, 2.5]))
+    ], version=2)
+    expect_header = (
+        b"CDF\x02"
+        + struct.pack(">i", 0)              # numrecs
+        + struct.pack(">ii", 0x0A, 1)       # NC_DIMENSION, ndims
+        + struct.pack(">i", 1) + b"z\x00\x00\x00" + struct.pack(">i", 2)
+        + struct.pack(">ii", 0, 0)          # no global attrs
+        + struct.pack(">ii", 0x0B, 1)       # NC_VARIABLE, nvars
+        + struct.pack(">i", 1) + b"v\x00\x00\x00"   # name
+        + struct.pack(">i", 1) + struct.pack(">i", 0)  # ndims, dimid 0
+        + struct.pack(">ii", 0, 0)          # no var attrs
+        + struct.pack(">i", NC_DOUBLE)
+        + struct.pack(">I", 16)             # vsize
+    )
+    assert buf.startswith(expect_header)
+    begin = len(expect_header) + 8          # 8-byte begin field itself
+    assert buf[len(expect_header):begin] == struct.pack(">q", begin)
+    assert np.frombuffer(buf[begin:begin + 16], ">f8").tolist() == [1.5, 2.5]
+
+
+def test_cdf_version_auto_escalation():
+    from cioos_siooc_data_transform_spark.sinks.netcdf3 import _pick_version
+
+    assert _pick_version({"z": 100}, [800, 400]) == 1
+    assert _pick_version({"z": 2**29}, [3 * 2**30]) == 2       # > 2 GiB file
+    assert _pick_version({"z": 2**30}, [5 * 2**30]) == 5       # > 4 GiB var
+    assert _pick_version({"z": 2**32}, [8]) == 5               # 64-bit dim
