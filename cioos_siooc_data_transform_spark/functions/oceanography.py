@@ -161,6 +161,49 @@ def haversine_distance(
     return 6371000.0 * (2.0 * F.atan2(F.sqrt(a), F.sqrt(1.0 - a)))
 
 
+def dyn_height_profile(
+    df: DataFrame,
+    profile_col: str,
+    p_col: str,
+    t_col: str,
+    s_col: str,
+) -> DataFrame:
+    """Dynamic-height anomaly profile: cumulative trapezoid integral of
+    specific-volume anomaly over pressure — the GSW geo_strf_dyn_height
+    operator shape (GSW/geostrophy.py), with a documented simplified
+    LINEAR equation of state (delta = (alpha0 (T−T0) − beta0 (S−S0))/rho0,
+    alpha0 = 2e-4 K⁻¹, beta0 = 7.6e-4 kg/g, rho0 = 1025 kg/m³) in place
+    of the full TEOS-10 specific volume. Pressure in decibar (×1e4 → Pa).
+
+    One window shuffle per profile; the running integral is a cumulative
+    window sum — whole-stage codegen, no Python."""
+    w = Window.partitionBy(profile_col).orderBy(p_col)
+
+    def delta(t, s):
+        return (2.0e-4 * (t - 10.0) - 7.6e-4 * (s - 35.0)) / 1025.0
+
+    p = F.col(p_col)
+    dseg = (
+        (
+            delta(F.col(t_col), F.col(s_col))
+            + delta(F.lag(t_col).over(w), F.lag(s_col).over(w))
+        )
+        / 2.0
+        * ((p - F.lag(p_col).over(w)) * 10000.0)
+    )
+    seg = df.select(profile_col, F.col(p_col).alias("p"), dseg.alias("dseg"))
+    cum = Window.partitionBy(profile_col).orderBy("p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return seg.select(
+        profile_col,
+        "p",
+        F.round(F.sum(F.coalesce("dseg", F.lit(0.0))).over(cum), 6).alias(
+            "dyn_height"
+        ),
+    )
+
+
 def _targets_df(spark, target_depths: list[float]) -> DataFrame:
     rows = [(float(v),) for v in sorted(target_depths)]
     return spark.createDataFrame(rows, "std_depth double")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     hyperplane_lsh_buckets,
     jaccard_for_pairs,
@@ -468,3 +469,59 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 12)
         .select("doc_a", "doc_b", "edit_dist")
     )
+
+# ---------------------------------------------------------------------------
+# Connected components over confirmed near-dup pairs. The Spark side is the
+# iterative pointer-jumping min-label propagation (operators/dedup.py);
+# the oracle computes the same min-id-per-component labeling via a DuckDB
+# recursive CTE (walk every reachable label, take the min) — giving the
+# iterative algorithm a full value check, not just pytest coverage.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    )
+    SELECT node AS doc_id, min(label) AS component
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH candidates -> exact-Jaccard confirm (>= 0.5)
+    -> pointer-jumping connected components (min doc_id labels the
+    cluster). The one iterative operator in the dedup family."""
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    pairs = jaccard_for_pairs(cand, shingles, "doc_id", "s").filter(
+        F.col("jaccard") >= 0.5
+    )
+    return connected_components(pairs)

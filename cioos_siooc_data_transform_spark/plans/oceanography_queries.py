@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.functions.oceanography import (
     coriolis_f,
+    dyn_height_profile,
     depth_from_pressure,
     haversine_distance,
     mackenzie_sound_speed,
@@ -439,3 +440,59 @@ def gsw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("leg_m"),
     )
+
+
+@register(
+    "gsw_dyn_height",
+    oracle="""
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity, l_partkey,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS lvl
+      FROM lineitem
+    ), prof AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS profile_id,
+             CAST(lvl * 100.0 AS DOUBLE) AS p,
+             CAST(5.0 + l_quantity * 0.2 AS DOUBLE) AS t,
+             CAST(32.0 + (l_partkey % 100) * 0.01 AS DOUBLE) AS s
+      FROM levels
+    ), seg AS (
+      SELECT profile_id, p,
+             ((2.0e-4 * (t - 10.0) - 7.6e-4 * (s - 35.0)) / 1025.0
+              + (2.0e-4 * (lag(t) OVER w - 10.0)
+                 - 7.6e-4 * (lag(s) OVER w - 35.0)) / 1025.0) / 2.0
+             * ((p - lag(p) OVER w) * 10000.0) AS dseg
+      FROM prof WINDOW w AS (PARTITION BY profile_id ORDER BY p)
+    )
+    SELECT profile_id, p,
+           round(sum(coalesce(dseg, 0.0)) OVER (
+             PARTITION BY profile_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 6) AS dyn_height
+    FROM seg
+    """,
+)
+def gsw_dyn_height(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-height anomaly profile: the cumulative trapezoid integral
+    of specific-volume anomaly over pressure, per profile — the operator
+    shape of GSW geo_strf_dyn_height (GSW/geostrophy.py), which this
+    mirrors with a documented simplified LINEAR equation of state
+    (delta = (alpha0*(T-T0) - beta0*(S-S0))/rho0, alpha0 = 2e-4/K,
+    beta0 = 7.6e-4 kg/g, rho0 = 1025 kg/m3) rather than the full TEOS-10
+    specific volume. One window shuffle per profile; the running integral
+    is a cumulative window sum — whole-stage codegen, no Python."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w0 = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    prof = li.withColumn("lvl", F.row_number().over(w0)).select(
+        F.col("l_orderkey").cast("string").alias("profile_id"),
+        (F.col("lvl") * 100.0).cast("double").alias("p"),
+        (F.lit(5.0) + F.col("l_quantity") * 0.2).cast("double").alias("t"),
+        (F.lit(32.0) + (F.col("l_partkey") % 100) * 0.01).cast("double").alias("s"),
+    )
+    return dyn_height_profile(prof, "profile_id", "p", "t", "s")

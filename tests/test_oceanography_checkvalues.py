@@ -173,3 +173,32 @@ def test_pchip_two_point_profile_is_linear(spark):
     )
     got = _interp_map(pchip_interp(df, "profile_id", "depth", "sigma", [2.5, 7.5]))
     assert got == {("p", 2.5): 2.5, ("p", 7.5): 3.5}
+
+
+def test_dyn_height_anchor(spark):
+    """Constant-delta profile integrates linearly: t=15, s=35 gives
+    delta = 2e-4·5/1025 per level; dyn height at p (dbar) is
+    delta·(p−p0)·1e4 — hand-computed anchors, reference level = 0."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        dyn_height_profile,
+    )
+
+    rows = [
+        ("p1", 100.0, 15.0, 35.0),
+        ("p1", 200.0, 15.0, 35.0),
+        ("p1", 400.0, 15.0, 35.0),
+        ("p2", 50.0, 10.0, 35.0),   # delta = 0 → flat 0
+        ("p2", 150.0, 10.0, 35.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "profile_id string, p double, t double, s double"
+    )
+    got = {
+        (r["profile_id"], r["p"]): r["dyn_height"]
+        for r in dyn_height_profile(df, "profile_id", "p", "t", "s").collect()
+    }
+    delta = 2.0e-4 * 5.0 / 1025.0
+    assert got[("p1", 100.0)] == 0.0
+    assert got[("p1", 200.0)] == pytest.approx(delta * 100.0 * 1e4, abs=1e-6)
+    assert got[("p1", 400.0)] == pytest.approx(delta * 300.0 * 1e4, abs=1e-6)
+    assert got[("p2", 50.0)] == 0.0 and got[("p2", 150.0)] == 0.0
