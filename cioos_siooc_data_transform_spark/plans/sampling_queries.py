@@ -3,9 +3,11 @@
 Deterministic sampling is hash-based (md5 prefix → integer bucket), so the
 same row set is selected on every engine and every run — the property a
 reproducible data pipeline needs (rand()-based sampling can't be
-oracle-checked and isn't replayable). Sketches (HLL distinct, approximate
-quantiles) are engine-specific by nature → rows-only driver check, with a
-tolerance-vs-exact assertion in the test suite instead.
+oracle-checked and isn't replayable). Sketch estimates (HLL distinct,
+approximate quantiles) are engine-specific by nature, so their queries
+emit the exact aggregate plus within-tolerance booleans computed in the
+same plan; the oracle computes the exact side and pins the booleans TRUE
+(a sketch regression flips a boolean and fails the hash-match).
 """
 
 from __future__ import annotations
@@ -135,3 +137,94 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate((50, 90, 99))
     ]
     return agg.select("o_orderstatus", "n_orders", *within)
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split keyed on a stable doc-id hash — the
+    reproducible-split primitive a training pipeline needs (the same doc
+    lands in the same split on every engine, run, and partitioning;
+    rand()-based splits can't be replayed or oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "pack_training_shards",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS salt,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tok, salt,
+             sum(n_tok) OVER (PARTITION BY salt ORDER BY h, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tok
+      FROM tok
+    )
+    SELECT doc_id, n_tok,
+           salt || '-' || CAST((cum_tok - n_tok) // 20000 AS VARCHAR) AS shard_id
+    FROM packed
+    """,
+)
+def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing (20k tokens per shard): docs are
+    pseudo-shuffled by id hash, then assigned to the shard their running
+    token count starts in.
+
+    Scale design: a single global running sum is inherently sequential,
+    so packing runs inside 16 independent hash-salt streams (one window
+    shuffle, 16 parallel partitions that stay balanced because the salt
+    is a hash prefix) — shard ids are salt-local. At 1000 executors,
+    widen the salt to 2-3 hex chars; no global ordering bottleneck."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        F.substring(h, 1, 1).alias("salt"),
+        h.alias("h"),
+    )
+    w = (
+        Window.partitionBy("salt")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tok.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        F.concat(
+            F.col("salt"),
+            F.lit("-"),
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / 20000).cast("string"),
+        ).alias("shard_id"),
+    )

@@ -225,3 +225,55 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.round(F.col("n").cast("double") / F.col("l2"), 6).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals: duplicate-token mass and top-token
+# dominance. Counts are integer-exact; the one ratio uses the shared
+# floor(v*1e6+0.5)/1e6 rounding so both engines round identically even on
+# exact .5e-6 boundaries (e.g. 57/128 token ratios).
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), per_word AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_token_count,
+           floor((1.0 - count(*) / sum(c)) * 1000000.0 + 0.5) / 1000000.0
+             AS repetition_ratio
+    FROM per_word GROUP BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-token mass per document (the Gopher repetition family):
+    1 − distinct/total plus the dominant token's count. One explode + one
+    two-level agg — map-side combinable, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words_expr(F.col("text"))).alias("t")
+    )
+    per_word = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_word.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_token_count"),
+    )
+    ratio = (
+        F.floor(
+            (1.0 - F.col("n_distinct") / F.col("n_tokens")) * 1000000.0 + 0.5
+        )
+        / 1000000.0
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_count",
+        ratio.alias("repetition_ratio"),
+    )

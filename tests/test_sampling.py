@@ -47,3 +47,45 @@ def test_sketch_accuracy_vs_exact(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["p50_within_2pct"] and r["p90_within_2pct"] and r["p99_within_2pct"], r
+
+
+def test_pack_training_shards_invariants(spark):
+    """Every doc is assigned once; within each salt stream shards are
+    filled greedily, so no shard's token total exceeds the 20k budget by
+    more than one document."""
+    from cioos_siooc_data_transform_spark.plans.sampling_queries import (
+        pack_training_shards,
+    )
+
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    out = pack_training_shards(spark, SF).collect()
+    docs = read_table(spark, SF, "documents").count()
+    assert len(out) == docs
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["n_tok"])
+    for shard, toks in by_shard.items():
+        # a shard stops filling once it crosses the budget → its total is
+        # below budget + its largest (last) doc
+        assert sum(toks) < 20000 + max(toks), shard
+
+
+def test_train_val_test_split_proportions(spark):
+    from cioos_siooc_data_transform_spark.plans.sampling_queries import (
+        train_val_test_split,
+    )
+
+    counts = {
+        r["split"]: r["count"]
+        for r in train_val_test_split(spark, SF).groupBy("split").count().collect()
+    }
+    total = sum(counts.values())
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.7 < counts["train"] / total < 0.9
+    # rerun is byte-identical (deterministic)
+    again = {
+        r["split"]: r["count"]
+        for r in train_val_test_split(spark, SF).groupBy("split").count().collect()
+    }
+    assert again == counts
