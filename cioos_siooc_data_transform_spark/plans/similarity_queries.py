@@ -75,3 +75,77 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(queries, emb, centroids, k=5, round_dp=4)
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage transforms for ANN at scale: symmetric int8
+# quantization (4× memory cut for in-memory indexes) and L2
+# normalization (turns cosine into dot product). Pure array codegen —
+# no shuffle, no Python; both mirror element-for-element into DuckDB
+# (embeddings cast to DOUBLE[] first: list arithmetic on FLOAT[] runs
+# in float32 there). Rounding uses floor(v*k + 0.5) on both sides so
+# exact .5 boundaries (which int8 quantization hits constantly) round
+# identically.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM v
+      WHERE list_max(list_transform(e, x -> abs(x))) > 0.0
+    )
+    SELECT vec_id,
+           floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+           list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|v|,
+    q_i = round(v_i·scale). Zero vectors are dropped (no defined scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = 127.0 / amax
+    q = F.transform(e, lambda x: F.floor(x * scale + 0.5).cast("int"))
+    return (
+        emb.filter(amax > 0.0)
+        .select(
+            "vec_id",
+            (F.floor(scale * 1000000.0 + 0.5) / 1000000.0).alias("scale"),
+            q.alias("q"),
+        )
+    )
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), n AS (
+      SELECT vec_id, e,
+             sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')) AS nrm
+      FROM v
+    )
+    SELECT vec_id,
+           list_transform(e, x -> floor(x / nrm * 1000000.0 + 0.5) / 1000000.0)
+             AS unit
+    FROM n WHERE nrm > 0.0
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (cosine → dot product for downstream ANN)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    unit = F.transform(e, lambda x: F.floor(x / nrm * 1000000.0 + 0.5) / 1000000.0)
+    return emb.filter(nrm > 0.0).select("vec_id", unit.alias("unit"))

@@ -202,3 +202,82 @@ def test_dyn_height_anchor(spark):
     assert got[("p1", 200.0)] == pytest.approx(delta * 100.0 * 1e4, abs=1e-6)
     assert got[("p1", 400.0)] == pytest.approx(delta * 300.0 * 1e4, abs=1e-6)
     assert got[("p2", 50.0)] == 0.0 and got[("p2", 150.0)] == 0.0
+
+
+def _pchip_ref(xs, ys, t):
+    """Independent pure-Python Fritsch–Carlson PCHIP (the published
+    algorithm, written from the paper/SciPy docs — NOT from the Spark
+    implementation) for cross-validation."""
+    n = len(xs)
+    if t in xs:
+        return ys[xs.index(t)]
+    h = [xs[i + 1] - xs[i] for i in range(n - 1)]
+    m = [(ys[i + 1] - ys[i]) / h[i] for i in range(n - 1)]
+    if n == 2:
+        d = [m[0], m[0]]
+    else:
+        d = [0.0] * n
+        for k in range(1, n - 1):
+            if m[k - 1] * m[k] <= 0:
+                d[k] = 0.0
+            else:
+                w1 = 2 * h[k] + h[k - 1]
+                w2 = h[k] + 2 * h[k - 1]
+                d[k] = (w1 + w2) / (w1 / m[k - 1] + w2 / m[k])
+
+        def endpoint(h0, h1, m0, m1):
+            dd = ((2 * h0 + h1) * m0 - h0 * m1) / (h0 + h1)
+            sign = lambda v: (v > 0) - (v < 0)
+            if sign(dd) != sign(m0):
+                dd = 0.0
+            elif sign(m0) != sign(m1) and abs(dd) > 3 * abs(m0):
+                dd = 3 * m0
+            return dd
+
+        d[0] = endpoint(h[0], h[1], m[0], m[1])
+        d[n - 1] = endpoint(h[n - 2], h[n - 3], m[n - 2], m[n - 3])
+    for k in range(n - 1):
+        if xs[k] < t < xs[k + 1]:
+            dx = t - xs[k]
+            c2 = (3 * m[k] - 2 * d[k] - d[k + 1]) / h[k]
+            c3 = (d[k] + d[k + 1] - 2 * m[k]) / (h[k] * h[k])
+            return ys[k] + d[k] * dx + c2 * dx * dx + c3 * dx * dx * dx
+    return None
+
+
+def test_pchip_matches_independent_reference(spark):
+    """200 random profiles (varied length, non-monotone) interpolated by
+    Spark must match the independent Python Fritsch–Carlson reference."""
+    import random
+
+    from cioos_siooc_data_transform_spark.functions.oceanography import pchip_interp
+
+    rng = random.Random(7)
+    profiles = {}
+    rows = []
+    for i in range(200):
+        n = rng.randint(2, 8)
+        xs = sorted(rng.sample(range(0, 40), n))
+        xs = [float(x) for x in xs]
+        ys = [round(rng.uniform(-5, 5), 2) for _ in range(n)]
+        pid = f"p{i}"
+        profiles[pid] = (xs, ys)
+        rows += [(pid, x, y) for x, y in zip(xs, ys)]
+    targets = [2.5, 7.5, 13.5, 21.5, 33.5]
+    df = spark.createDataFrame(rows, "profile_id string, depth double, sigma double")
+    got = {
+        (r["profile_id"], r["std_depth"]): r["interp_value"]
+        for r in pchip_interp(df, "profile_id", "depth", "sigma", targets).collect()
+    }
+    checked = 0
+    for pid, (xs, ys) in profiles.items():
+        for t in targets:
+            if xs[0] <= t <= xs[-1]:
+                expect = _pchip_ref(xs, ys, t)
+                assert got[(pid, t)] == pytest.approx(expect, abs=2e-6), (
+                    pid, t, xs, ys
+                )
+                checked += 1
+            else:
+                assert (pid, t) not in got
+    assert checked > 300  # the comparison actually exercised many points
