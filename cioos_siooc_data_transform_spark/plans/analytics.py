@@ -454,3 +454,69 @@ def bool_bitwise_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(F.col("l_linenumber").cast("long")).alias("or_lines"),
         F.bit_xor(F.col("l_orderkey").cast("long")).alias("xor_keys"),
     )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relative-rank window family (ntile / percent_rank / cume_dist /
+    first_value) in one pass — one shuffle on the partition key; the
+    orderkey tiebreaker makes ntile deterministic."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(count(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_within_10k,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW
+           ), 2) AS sum_within_10k
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame: aggregates over all orders within
+    a 10k price band below each row — frame membership is value-defined,
+    so peers are included and the result is tie-order independent."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_within_10k"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_within_10k"),
+    )
