@@ -93,3 +93,56 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_offset long, frame_sig string"
+
+
+def sample_frames(media: DataFrame, every_k: int = 2, fake_decode: bool = True) -> DataFrame:
+    """Frame sampling for video-typed payloads: every k-th frame of each
+    payload is emitted as its own row — the 1→N mapInPandas shape (one
+    input row explodes into a bounded set of frame rows), which is how a
+    real frame sampler's batch plumbing differs from 1→1 feature
+    extraction. The decode is the same stubbed codec boundary as
+    decode_image_stub: frame count/stride derive deterministically from
+    payload length, the frame signature from payload bytes + index.
+
+    Scale: output rows ≈ input rows × frames/k with small fixed-width
+    columns; the wide payload is dropped inside the stage, so the shuffle
+    after sampling moves only the narrow frame rows.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    if not fake_decode:
+        raise NotImplementedError(
+            "video frame decode requires a codec library; install one and "
+            "replace the fake frame deriver"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, offs, sigs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                n_frames = (n % 10) + 2
+                stride = n // n_frames
+                for idx in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    offs.append(idx * stride)
+                    sigs.append(hashlib.md5(b + str(idx).encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_offset": offs,
+                    "frame_sig": sigs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -277,3 +277,37 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_token_count",
         ratio.alias("repetition_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: the 1→N mapInPandas shape (each payload
+# explodes into its sampled frames). Deterministic stub decode mirrors
+# into SQL: frame count/stride from payload length, signature from
+# payload bytes + index.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             CAST(strlen(text) AS BIGINT) AS n,
+             CAST((strlen(text) % 10) + 2 AS BIGINT) AS n_frames
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, text, n, n_frames,
+             unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * (n // n_frames) AS BIGINT) AS frame_offset,
+           md5(text || CAST(frame_idx AS VARCHAR)) AS frame_sig
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", "source")
+    return sample_frames(media, every_k=2, fake_decode=True)
