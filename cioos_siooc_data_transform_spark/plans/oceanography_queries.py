@@ -496,3 +496,76 @@ def gsw_dyn_height(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(32.0) + (F.col("l_partkey") % 100) * 0.01).cast("double").alias("s"),
     )
     return dyn_height_profile(prof, "profile_id", "p", "t", "s")
+
+
+@register(
+    "gsw_turner_rsubrho",
+    oracle="""
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity, l_partkey,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS lvl
+      FROM lineitem
+    ), prof AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS profile_id,
+             CAST(lvl * 10.0 AS DOUBLE) AS depth,
+             CAST(5.0 + l_quantity * 0.2 AS DOUBLE) AS t,
+             CAST(32.0 + (l_partkey % 100) * 0.01 AS DOUBLE) AS s
+      FROM levels
+    ), lagged AS (
+      SELECT profile_id, depth,
+             2.0e-4 * (t - lag(t) OVER w) AS a_dt,
+             7.6e-4 * (s - lag(s) OVER w) AS b_ds,
+             (depth + lag(depth) OVER w) / 2.0 AS mid_depth
+      FROM prof WINDOW w AS (PARTITION BY profile_id ORDER BY depth)
+    )
+    SELECT profile_id, mid_depth,
+           round(degrees(atan2(a_dt + b_ds, a_dt - b_ds)), 6) AS turner_deg,
+           round(a_dt / b_ds, 6) AS r_subrho
+    FROM lagged
+    WHERE b_ds IS NOT NULL AND b_ds <> 0.0
+    """,
+)
+def gsw_turner_rsubrho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turner angle and density ratio between adjacent profile levels —
+    the GSW Turner_Rsubrho shape (GSW/stability.py: Tu = atan2(α dT + β
+    dS, α dT − β dS) in degrees, R_ρ = α dT / β dS), with the same
+    documented constant-coefficient linear EOS as dyn_height_profile
+    (α = 2e-4 K⁻¹, β = 7.6e-4 kg/g). Zero-salinity-gradient level pairs
+    are dropped (R_ρ undefined). One window shuffle per profile; anchors
+    in tests (pure thermal gradient → Tu = ±45°, doubly-stable equal
+    contributions → Tu = 0°, R_ρ = −1)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w0 = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    prof = li.withColumn("lvl", F.row_number().over(w0)).select(
+        F.col("l_orderkey").cast("string").alias("profile_id"),
+        (F.col("lvl") * 10.0).cast("double").alias("depth"),
+        (F.lit(5.0) + F.col("l_quantity") * 0.2).cast("double").alias("t"),
+        (F.lit(32.0) + (F.col("l_partkey") % 100) * 0.01).cast("double").alias("s"),
+    )
+    w = Window.partitionBy("profile_id").orderBy("depth")
+    a_dt = 2.0e-4 * (F.col("t") - F.lag("t").over(w))
+    b_ds = 7.6e-4 * (F.col("s") - F.lag("s").over(w))
+    lagged = prof.select(
+        "profile_id",
+        ((F.col("depth") + F.lag("depth").over(w)) / 2.0).alias("mid_depth"),
+        a_dt.alias("a_dt"),
+        b_ds.alias("b_ds"),
+    )
+    return lagged.filter(
+        F.col("b_ds").isNotNull() & (F.col("b_ds") != 0.0)
+    ).select(
+        "profile_id",
+        "mid_depth",
+        F.round(
+            F.degrees(F.atan2(F.col("a_dt") + F.col("b_ds"), F.col("a_dt") - F.col("b_ds"))),
+            6,
+        ).alias("turner_deg"),
+        F.round(F.col("a_dt") / F.col("b_ds"), 6).alias("r_subrho"),
+    )

@@ -281,3 +281,36 @@ def test_pchip_matches_independent_reference(spark):
             else:
                 assert (pid, t) not in got
     assert checked > 300  # the comparison actually exercised many points
+
+
+def test_turner_angle_anchors(spark):
+    """Published Turner-angle geometry, hand-derived from the atan2
+    definition: equal opposing contributions (α dT = −β dS) give Tu = 0°
+    and R_ρ = −1 (the doubly-stable axis); equal same-sign contributions
+    give Tu = 90° (the numerator-only axis). The engine expression must
+    agree with math.atan2 on identical inputs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    a, b = 2.0e-4, 7.6e-4
+    # equal opposing contributions: a*dT = -b*dS → numerator 0 → Tu = 0
+    dT, dS = 1.0, -(a / b) * 1.0
+    tu = math.degrees(math.atan2(a * dT + b * dS, a * dT - b * dS))
+    assert tu == pytest.approx(0.0, abs=1e-9)
+    assert (a * dT) / (b * dS) == pytest.approx(-1.0, rel=1e-12)
+    # equal same-sign contributions: denominator 0, numerator > 0 → 90°
+    dS2 = (a / b) * 1.0
+    tu2 = math.degrees(math.atan2(a * 1.0 + b * dS2, a * 1.0 - b * dS2))
+    assert tu2 == pytest.approx(90.0, abs=1e-9)
+    # engine expression agrees with math.atan2 on the same inputs
+    row = (
+        spark.range(1)
+        .select(
+            F.degrees(
+                F.atan2(F.lit(a * dT + b * dS), F.lit(a * dT - b * dS))
+            ).alias("tu")
+        )
+        .first()
+    )
+    assert row["tu"] == pytest.approx(tu, abs=1e-12)
