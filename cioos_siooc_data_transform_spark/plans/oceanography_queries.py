@@ -569,3 +569,136 @@ def gsw_turner_rsubrho(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("turner_deg"),
         F.round(F.col("a_dt") / F.col("b_ds"), 6).alias("r_subrho"),
     )
+
+
+@register(
+    "gsw_geostrophic_velocity",
+    oracle="""
+    WITH st AS (
+      SELECT s_nationkey AS transect, s_suppkey AS station,
+             CAST(s_suppkey % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+             CAST(s_suppkey % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat
+      FROM supplier
+    ), prof AS (
+      SELECT transect, station, lon, lat, lvl,
+             CAST(lvl * 100.0 AS DOUBLE) AS p,
+             CAST(5.0 + ((station * 7 + lvl * 13) % 50) * 0.2 AS DOUBLE) AS t,
+             CAST(32.0 + ((station * 3 + lvl * 5) % 100) * 0.01 AS DOUBLE) AS sal
+      FROM st, generate_series(1, 4) AS u(lvl)
+    ), seg AS (
+      SELECT transect, station, lon, lat, lvl, p,
+             ((2.0e-4 * (t - 10.0) - 7.6e-4 * (sal - 35.0)) / 1025.0
+              + (2.0e-4 * (lag(t) OVER w - 10.0)
+                 - 7.6e-4 * (lag(sal) OVER w - 35.0)) / 1025.0) / 2.0
+             * ((p - lag(p) OVER w) * 10000.0) AS dseg
+      FROM prof WINDOW w AS (PARTITION BY station ORDER BY p)
+    ), dh AS (
+      SELECT transect, station, lon, lat, lvl, p,
+             sum(coalesce(dseg, 0.0)) OVER (
+               PARTITION BY station ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS phi
+      FROM seg
+    ), pairs AS (
+      SELECT transect, station, lvl, p, phi,
+             lag(phi) OVER w AS phi0,
+             lag(lon) OVER w AS lon0, lag(lat) OVER w AS lat0,
+             lon, lat
+      FROM dh WINDOW w AS (PARTITION BY transect, lvl ORDER BY station)
+    )
+    SELECT transect, station, lvl,
+           round((phi - phi0) / (
+             (2.0 * 7.292115e-5 * sin(radians((lat0 + lat) / 2.0)))
+             * (6371000.0 * (2.0 * atan2(
+                 sqrt(  sin((radians(lat) - radians(lat0)) / 2.0)
+                      * sin((radians(lat) - radians(lat0)) / 2.0)
+                      + cos(radians(lat0)) * cos(radians(lat))
+                      * sin((radians(lon) - radians(lon0)) / 2.0)
+                      * sin((radians(lon) - radians(lon0)) / 2.0)),
+                 sqrt(1.0 - (sin((radians(lat) - radians(lat0)) / 2.0)
+                      * sin((radians(lat) - radians(lat0)) / 2.0)
+                      + cos(radians(lat0)) * cos(radians(lat))
+                      * sin((radians(lon) - radians(lon0)) / 2.0)
+                      * sin((radians(lon) - radians(lon0)) / 2.0)))))))
+           , 6) AS v_geo
+    FROM pairs
+    WHERE phi0 IS NOT NULL AND (lat0 + lat) <> 0.0
+    """,
+)
+def gsw_geostrophic_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geostrophic velocity between adjacent stations on a transect — the
+    GSW geostrophic_velocity contract (GSW/geostrophy.py: v = Δ(dynamic
+    height) / (f · distance)), composed entirely from this module's
+    building blocks: dyn_height_profile's cumulative trapezoid integral
+    (same documented linear EOS), haversine_distance, and coriolis_f at
+    the station-pair mid-latitude. Equator-crossing pairs (f = 0) are
+    dropped. Stations carry a generated 4-level profile; the plan is two
+    window shuffles (per-station integral, then per-(transect, level)
+    station lag) — all whole-stage codegen, no Python.
+    """
+    from pyspark.sql import Window
+
+    sup = _t(spark, sf_dir, "supplier")
+    st = sup.select(
+        F.col("s_nationkey").alias("transect"),
+        F.col("s_suppkey").alias("station"),
+        ((F.col("s_suppkey") % 3600).cast("double") / 10.0 - 180.0).alias("lon"),
+        ((F.col("s_suppkey") % 1700).cast("double") / 10.0 - 85.0).alias("lat"),
+    )
+    prof = st.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("lvl")
+    ).select(
+        "transect",
+        "station",
+        "lon",
+        "lat",
+        "lvl",
+        (F.col("lvl") * 100.0).cast("double").alias("p"),
+        (F.lit(5.0) + ((F.col("station") * 7 + F.col("lvl") * 13) % 50) * 0.2)
+        .cast("double")
+        .alias("t"),
+        (F.lit(32.0) + ((F.col("station") * 3 + F.col("lvl") * 5) % 100) * 0.01)
+        .cast("double")
+        .alias("sal"),
+    )
+    wp = Window.partitionBy("station").orderBy("p")
+
+    def _delta(t, s):
+        return (2.0e-4 * (t - 10.0) - 7.6e-4 * (s - 35.0)) / 1025.0
+
+    dseg = (
+        (_delta(F.col("t"), F.col("sal")) + _delta(F.lag("t").over(wp), F.lag("sal").over(wp)))
+        / 2.0
+        * ((F.col("p") - F.lag("p").over(wp)) * 10000.0)
+    )
+    cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dh = prof.select(
+        "transect", "station", "lon", "lat", "lvl", "p", dseg.alias("dseg")
+    ).select(
+        "transect",
+        "station",
+        "lon",
+        "lat",
+        "lvl",
+        F.sum(F.coalesce("dseg", F.lit(0.0))).over(cum).alias("phi"),
+    )
+    ws = Window.partitionBy("transect", "lvl").orderBy("station")
+    pairs = dh.select(
+        "transect",
+        "station",
+        "lvl",
+        "phi",
+        "lon",
+        "lat",
+        F.lag("phi").over(ws).alias("phi0"),
+        F.lag("lon").over(ws).alias("lon0"),
+        F.lag("lat").over(ws).alias("lat0"),
+    ).filter(F.col("phi0").isNotNull() & ((F.col("lat0") + F.col("lat")) != 0.0))
+    f_mid = coriolis_f((F.col("lat0") + F.col("lat")) / 2.0)
+    dist = haversine_distance(F.col("lon0"), F.col("lat0"), F.col("lon"), F.col("lat"))
+    return pairs.select(
+        "transect",
+        "station",
+        "lvl",
+        F.round((F.col("phi") - F.col("phi0")) / (f_mid * dist), 6).alias("v_geo"),
+    )

@@ -314,3 +314,27 @@ def test_turner_angle_anchors(spark):
         .first()
     )
     assert row["tu"] == pytest.approx(tu, abs=1e-12)
+
+
+def test_geostrophic_velocity_anchor(spark):
+    """Hand-derived anchor from published constants: at mid-latitude 45°,
+    f = 2Ω sin(45°) with Ω = 7.292115e-5 rad/s (TEOS-10), so a dynamic
+    height difference of 0.1 m²/s² across a 100 km station separation
+    gives v = 0.1 / (f · 1e5) ≈ 9.69687e-3 m/s. The engine's coriolis_f
+    column expression must reproduce the same quotient."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.functions.oceanography import coriolis_f
+
+    omega = 7.292115e-5
+    f45 = 2.0 * omega * math.sin(math.radians(45.0))
+    v_expected = 0.1 / (f45 * 1.0e5)
+    assert v_expected == pytest.approx(9.69687e-3, rel=1e-5)
+    row = (
+        spark.range(1)
+        .select((F.lit(0.1) / (coriolis_f(F.lit(45.0)) * 1.0e5)).alias("v"))
+        .first()
+    )
+    assert row["v"] == pytest.approx(v_expected, rel=1e-12)
