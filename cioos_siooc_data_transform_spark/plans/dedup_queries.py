@@ -525,3 +525,131 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.5
     )
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap between the training split and
+# a held-out benchmark/eval split. The standard LLM-pipeline step (drop
+# training docs that leak eval content). Scale design: the benchmark
+# shingle set is small by construction (eval suites are fixed-size), so it
+# broadcasts — the training side streams through a broadcast hash join
+# with NO shuffle; the per-doc overlap count is a combiner-friendly
+# hash agg on doc_id. Contamination is an integer-exact threshold (shared
+# shingle count), no float rounding anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "decontaminate_benchmark_overlap",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id AS doc_id,
+           count(*) AS n_shingles,
+           count(b.s) AS n_overlap,
+           (count(b.s) >= 4) AS contaminated
+    FROM train t LEFT JOIN bench b ON t.s = b.s
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc overlap with the benchmark shingle set: every
+    doc_id divisible by 97 plays the held-out eval split; a training doc
+    is contaminated when it shares >= 4 distinct 3-word shingles with any
+    part of the benchmark. Physical plan: broadcast the (small, fixed)
+    benchmark shingle set, stream the training shingles through the
+    broadcast join, then one combiner-friendly count agg per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    ).withColumn("_hit", F.lit(1))
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap") >= 4).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "dedup_canonical_keeper",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node),
+    ranked AS (
+      SELECT component, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+             ) AS rk
+      FROM comp JOIN documents USING (doc_id)
+    )
+    SELECT component,
+           min(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+           count(*) AS n_members,
+           count(*) - 1 AS n_dropped
+    FROM ranked GROUP BY component
+    """,
+)
+def dedup_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-duplicate component: keep the
+    highest-quality member (longest text by n_chars, ties to the smallest
+    doc_id) and count what gets dropped — the final stage of a dedup
+    pipeline, turning the component labeling into an actual keep/drop
+    decision. Integer-exact ranking (no float quality score). Plan: the
+    component labeling joins documents on doc_id, then one window per
+    component — both shuffles are on high-cardinality keys."""
+    from pyspark.sql import Window
+
+    comp = dedup_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = comp.join(docs, "doc_id").withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )
