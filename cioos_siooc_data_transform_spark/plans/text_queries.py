@@ -311,3 +311,90 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(docs, "doc_id", "text", "source")
     return sample_frames(media, every_k=2, fake_decode=True)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter (Rae et al. 2021, public rule set), adapted
+# to the short synthetic corpus: every rule is expressed in integer
+# arithmetic (cross-multiplied ratios), so keep/drop is bit-exact in any
+# engine — no float thresholds anywhere. Pure codegen, one projection.
+# ---------------------------------------------------------------------------
+@register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS total_word_len
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_words, total_word_len,
+             CAST(len(list_filter(words, x -> contains(x, '#')
+                                          OR contains(x, '...'))) AS BIGINT)
+               AS n_symbol_words,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(words), {_sw_list("en")})) AS BIGINT)
+               AS n_distinct_stop
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           (n_words >= 10 AND n_words <= 100000) AS r_len,
+           (3 * n_words <= total_word_len AND total_word_len <= 10 * n_words)
+             AS r_word_len,
+           (10 * n_symbol_words <= n_words) AS r_symbol,
+           (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+           (n_distinct_stop >= 2) AS r_stop,
+           ((n_words >= 10 AND n_words <= 100000)
+            AND (3 * n_words <= total_word_len AND total_word_len <= 10 * n_words)
+            AND (10 * n_symbol_words <= n_words)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_distinct_stop >= 2)) AS keep
+    FROM m
+    """,
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document filter (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, and a minimum distinct-stopword count —
+    each ratio cross-multiplied into integer comparisons so the verdicts
+    are engine-exact. The word-count lower bound is adapted (10, not 50)
+    to the short synthetic corpus; the rule structure is Gopher's. Single
+    narrow projection, whole-stage codegen, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    n_words = F.size(words).cast("long")
+    total_word_len = (F.length("text") - (F.size(words) - 1)).cast("long")
+    n_symbol = F.size(
+        F.filter(words, lambda x: x.contains("#") | x.contains("..."))
+    ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(words), sw)).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        total_word_len.alias("twl"),
+        n_symbol.alias("nsym"),
+        n_alpha.alias("nalpha"),
+        n_stop.alias("nstop"),
+    )
+    r_len = (F.col("n_words") >= 10) & (F.col("n_words") <= 100000)
+    r_word_len = (3 * F.col("n_words") <= F.col("twl")) & (
+        F.col("twl") <= 10 * F.col("n_words")
+    )
+    r_symbol = 10 * F.col("nsym") <= F.col("n_words")
+    r_alpha = 5 * F.col("nalpha") >= 4 * F.col("n_words")
+    r_stop = F.col("nstop") >= 2
+    return base.select(
+        "doc_id",
+        "n_words",
+        r_len.alias("r_len"),
+        r_word_len.alias("r_word_len"),
+        r_symbol.alias("r_symbol"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (r_len & r_word_len & r_symbol & r_alpha & r_stop).alias("keep"),
+    )
