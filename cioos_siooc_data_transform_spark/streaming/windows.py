@@ -74,3 +74,28 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_exact_dedup(
+    events: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: first arrival of each content digest
+    wins; later copies arriving within the watermark horizon are dropped.
+
+    The streaming twin of operators.dedup.exact_dedup. State is one row
+    per digest and — unlike a bare dropDuplicates on an unbounded stream —
+    dropDuplicatesWithinWatermark EXPIRES each digest's state once the
+    watermark passes its event time, so state stays bounded at (dup
+    horizon x ingest rate) regardless of total stream length. Duplicates
+    separated by more than the horizon are deliberately NOT merged (the
+    same trade every at-scale streaming dedup makes); run the batch
+    exact_dedup over the persisted output for full-history dedup.
+    """
+    return (
+        events.withColumn("digest", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["digest"])
+    )

@@ -136,3 +136,50 @@ def test_stateful_running_totals(spark):
             .collect()
         }
         assert got == expect
+
+
+def test_streaming_exact_dedup_within_watermark(spark):
+    """Duplicate texts inside the watermark horizon are collapsed to one
+    surviving row per digest; distinct texts all survive. Driven with
+    AvailableNow against a static parquet directory so the run is
+    deterministic and terminates."""
+    import pandas as pd
+
+    from cioos_siooc_data_transform_spark.streaming.windows import (
+        streaming_exact_dedup,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "in")
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": ["aa bb", "aa bb", "cc dd", "cc dd", "ee ff", "aa bb"],
+                "ts": [
+                    base,
+                    base + pd.Timedelta(minutes=1),
+                    base + pd.Timedelta(minutes=2),
+                    base + pd.Timedelta(minutes=3),
+                    base + pd.Timedelta(minutes=4),
+                    base + pd.Timedelta(minutes=5),
+                ],
+            }
+        )
+        spark.createDataFrame(rows).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = streaming_exact_dedup(stream)
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.sql("SELECT * FROM dedup_sink").collect()
+        texts = sorted(r["text"] for r in out)
+        assert texts == ["aa bb", "cc dd", "ee ff"]  # one survivor per digest
+        assert len({r["digest"] for r in out}) == 3
