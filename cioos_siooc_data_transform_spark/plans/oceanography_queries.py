@@ -702,3 +702,80 @@ def gsw_geostrophic_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lvl",
         F.round((F.col("phi") - F.col("phi0")) / (f_mid * dist), 6).alias("v_geo"),
     )
+
+
+@register(
+    "gsw_ipv_fn2_ratio",
+    oracle="""
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity, l_partkey,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS lvl
+      FROM lineitem
+    ), prof AS (
+      SELECT CAST(l_orderkey AS VARCHAR) AS profile_id,
+             CAST(lvl * 100.0 AS DOUBLE) AS p,
+             CAST(5.0 + l_quantity * 0.2 AS DOUBLE) AS t,
+             CAST(32.0 + (l_partkey % 100) * 0.01 AS DOUBLE) AS s
+      FROM levels
+    ), lagged AS (
+      SELECT profile_id,
+             (p + lag(p) OVER w) / 2.0 AS mid_p,
+             t - lag(t) OVER w AS dt,
+             s - lag(s) OVER w AS ds
+      FROM prof WINDOW w AS (PARTITION BY profile_id ORDER BY p)
+    )
+    SELECT profile_id, mid_p,
+           floor(((2.0e-4 * (1.0 + 1.0e-5 * 0.0) * dt - 7.6e-4 * ds)
+                  / (2.0e-4 * (1.0 + 1.0e-5 * mid_p) * dt - 7.6e-4 * ds))
+                 * 1e6 + 0.5) / 1e6 AS ipv_ratio
+    FROM lagged
+    WHERE dt IS NOT NULL
+      AND (2.0e-4 * (1.0 + 1.0e-5 * mid_p) * dt - 7.6e-4 * ds) <> 0.0
+    """,
+)
+def gsw_ipv_fn2_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPV-vs-fN² ratio between adjacent profile levels — the GSW
+    IPV_vs_fNsquared_ratio contract (GSW/stability.py): the vertical
+    gradient of potential density referenced to p_ref = 0 divided by the
+    locally-referenced gradient (the f and g factors cancel in the
+    ratio). The documented linear EOS gains a thermobaric-like pressure
+    dependence alpha(p) = alpha0 (1 + 1e-5 p) — with a pressure-free
+    alpha the ratio is identically 1 and the operator would be vacuous.
+    Level pairs with a zero local gradient are dropped. Rounding uses
+    floor(v*1e6 + 0.5)/1e6 on both sides (pure IEEE ops — round() itself
+    diverges between engines on exact .5e-6 boundaries). One window
+    shuffle per profile, whole-stage codegen."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w0 = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    prof = li.withColumn("lvl", F.row_number().over(w0)).select(
+        F.col("l_orderkey").cast("string").alias("profile_id"),
+        (F.col("lvl") * 100.0).cast("double").alias("p"),
+        (F.lit(5.0) + F.col("l_quantity") * 0.2).cast("double").alias("t"),
+        (F.lit(32.0) + (F.col("l_partkey") % 100) * 0.01).cast("double").alias("s"),
+    )
+    w = Window.partitionBy("profile_id").orderBy("p")
+    lagged = prof.select(
+        "profile_id",
+        ((F.col("p") + F.lag("p").over(w)) / 2.0).alias("mid_p"),
+        (F.col("t") - F.lag("t").over(w)).alias("dt"),
+        (F.col("s") - F.lag("s").over(w)).alias("ds"),
+    )
+    grad_ref = 2.0e-4 * (1.0 + 1.0e-5 * 0.0) * F.col("dt") - 7.6e-4 * F.col("ds")
+    grad_loc = (
+        2.0e-4 * (1.0 + 1.0e-5 * F.col("mid_p")) * F.col("dt") - 7.6e-4 * F.col("ds")
+    )
+    return (
+        lagged.filter(F.col("dt").isNotNull() & (grad_loc != 0.0))
+        .select(
+            "profile_id",
+            "mid_p",
+            (F.floor((grad_ref / grad_loc) * 1e6 + 0.5) / 1e6).alias("ipv_ratio"),
+        )
+    )

@@ -338,3 +338,31 @@ def test_geostrophic_velocity_anchor(spark):
         .first()
     )
     assert row["v"] == pytest.approx(v_expected, rel=1e-12)
+
+
+def test_ipv_ratio_anchors(spark):
+    """Hand-derived anchors for the IPV/fN² ratio: with a pure thermal
+    gradient (ds = 0) the beta terms vanish and the ratio collapses to
+    alpha(0)/alpha(p) = 1/(1 + 1e-5 p) — at p = 100 dbar that is
+    1/1.001; and at p = 0 the reference and local gradients coincide, so
+    the ratio is exactly 1 for any (dt, ds)."""
+    from pyspark.sql import functions as F
+
+    def ratio(dt, ds, mid_p):
+        grad_ref = 2.0e-4 * (1.0 + 1.0e-5 * 0.0) * dt - 7.6e-4 * ds
+        grad_loc = 2.0e-4 * (1.0 + 1.0e-5 * mid_p) * dt - 7.6e-4 * ds
+        return grad_ref / grad_loc
+
+    assert ratio(1.0, 0.0, 100.0) == pytest.approx(1.0 / 1.001, rel=1e-12)
+    assert ratio(3.7, -1.2, 0.0) == pytest.approx(1.0, rel=1e-15)
+    row = (
+        spark.range(1)
+        .select(
+            (
+                (2.0e-4 * F.lit(1.0))
+                / (2.0e-4 * (1.0 + 1.0e-5 * F.lit(100.0)) * F.lit(1.0))
+            ).alias("r")
+        )
+        .first()
+    )
+    assert row["r"] == pytest.approx(1.0 / 1.001, rel=1e-12)
