@@ -520,3 +520,106 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_within_10k"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("sum_within_10k"),
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) shape: the HAVING-subquery
+    membership test becomes a left-semi join against the aggregated
+    order-quantity table — semi joins don't duplicate probe rows and
+    Spark can broadcast the (small, post-HAVING) build side. One agg to
+    build the filter, one semi join, one final agg."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "merge_upsert_latest",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total, o_orderstatus AS status,
+             0 AS version
+      FROM orders
+    ), updates AS (
+      SELECT o_orderkey, CAST(o_totalprice + 100.0 AS DOUBLE) AS total,
+             'U' AS status, 1 AS version
+      FROM orders WHERE o_orderkey % 10 < 3
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), ranked AS (
+      SELECT o_orderkey, total, status, version,
+             row_number() OVER (
+               PARTITION BY o_orderkey ORDER BY version DESC
+             ) AS rk
+      FROM unioned
+    )
+    SELECT o_orderkey, total, status, version FROM ranked WHERE rk = 1
+    """,
+)
+def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert with latest-record-wins semantics, expressed
+    Spark-first without a table format: union the base snapshot with the
+    change batch (each row versioned), then one row_number window per key
+    keeps the newest. This is the standard CDC-compaction shape — at
+    scale the window shuffle is on the (uniform) primary key; a table
+    format's MERGE does the same dance with file-level pruning on top.
+    The change batch is derived deterministically from orders
+    (o_orderkey % 10 < 3) so the oracle mirrors it exactly."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit(0).alias("version"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 10 < 3).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 100.0).cast("double").alias("total"),
+        F.lit("U").alias("status"),
+        F.lit(1).alias("version"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

@@ -68,3 +68,25 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         # broadcast query/centroid set is the intended scale plan.)
         if name.startswith("dedup_"):
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set is small by construction — the training
+    side must stream through a broadcast join, never shuffle on shingle."""
+    plan = _plan(spark, "decontaminate_benchmark_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_binned_equi_join(spark):
+    """The range predicate must run as a residual filter on a bin
+    equi-join — a nested-loop range join is the scale-killer shape."""
+    plan = _plan(spark, "interval_bin_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_membership_is_semi_join(spark):
+    plan = _plan(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
