@@ -398,3 +398,57 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stop"),
         (r_len & r_word_len & r_symbol & r_alpha & r_stop).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source contribution cap: keep the top-K documents per source by
+# quality — the Common-Crawl-style guard against any one domain flooding
+# the training mix. One window per source (high-cardinality key); the
+# rank is on (integer quality DESC, doc_id ASC), fully deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "cap_per_source",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             least(CAST(len(string_split(text, ' ')) AS BIGINT), 100) * 4
+             + least(CAST(floor(
+                 CAST(len(list_filter(string_split(text, ' '),
+                          x -> list_contains({_sw_list("en")}, x))) AS BIGINT)
+                 * 1200.0 / len(string_split(text, ' '))) AS BIGINT), 300)
+             + least(CAST(floor(
+                 (CAST(length(text) AS BIGINT) - len(string_split(text, ' ')) + 1)
+                 * 300.0 / (len(string_split(text, ' ')) * 8)) AS BIGINT), 300)
+               AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (
+               PARTITION BY source ORDER BY quality DESC, doc_id ASC
+             ) AS rk
+      FROM q
+    )
+    SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per source by quality score — the per-domain
+    contribution cap every web-scale training mix applies so no single
+    domain dominates. Rank key is (integer quality DESC, doc_id ASC):
+    deterministic, no float comparisons. Plan: one window shuffle on
+    source; at 100 TB a skewed mega-domain is exactly what the cap
+    removes, and rank-then-filter prunes it to K rows per key."""
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text"), words).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        q.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+    )

@@ -139,3 +139,76 @@ def running_user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_so_far"),
         F.round(F.sum("value").over(w), 4).alias("total_so_far"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered event funnel: view -> click -> purchase, each stage's first
+# occurrence strictly after the previous stage's. The cascade of
+# min-after-predecessor aggregations is the scale-correct funnel shape:
+# each stage is a filtered groupBy(user) (map-side combinable) joined
+# back on user_id — high-cardinality uniform key, no window over the
+# whole event history, no sessionization state.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel over the events stream: the first view,
+    the first click strictly after it, and the first purchase strictly
+    after that, with the stage number reached (1-3). Each stage is a
+    filtered min-aggregation joined to its predecessor on user_id."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNull(), 0).otherwise(1)
+                + F.when(F.col("t_purchase").isNull(), 0).otherwise(1)
+            ).alias("stage"),
+        )
+    )
