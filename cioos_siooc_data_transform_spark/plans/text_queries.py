@@ -452,3 +452,101 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture temperature weighting: the data-mixing step that turns raw
+# per-source counts into sampling weights p_s^alpha / sum(p^alpha)
+# (alpha = 0.5 here, i.e. sqrt-temperature upsampling of small sources).
+# One tiny aggregation (one row per source) + a scalar normalizer — the
+# whole query moves |sources| rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_docs FROM documents GROUP BY source
+    ), z AS (
+      SELECT sum(sqrt(n_docs)) AS norm FROM n
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           floor(sqrt(n_docs) / norm * 1e6 + 0.5) / 1e6 AS weight,
+           CAST(floor(sqrt(n_docs) / norm * 10000.0) AS BIGINT) AS draws_per_10k
+    FROM n, z
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights with temperature alpha = 0.5
+    (weight_s = sqrt(n_s) / sum_t sqrt(n_t)) and the integer draw budget
+    per 10k samples — the mixture-balancing computation LLM training runs
+    before sampling shards. The normalizer is a scalar cross join (one
+    row), so the plan is one groupBy(source) plus a broadcast of one
+    number. Weights use the engine-stable floor(v*1e6+0.5)/1e6 rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    z = n.agg(F.sum(F.sqrt("n_docs")).alias("norm"))
+    return n.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.floor(F.sqrt("n_docs") / F.col("norm") * 1e6 + 0.5) / 1e6).alias("weight"),
+        F.floor(F.sqrt("n_docs") / F.col("norm") * 10000.0)
+        .cast("long")
+        .alias("draws_per_10k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (CCNet-shape): score every document by the mean
+# log-probability of its tokens under the corpus's own unigram model.
+# Scale design: the frequency table is vocabulary-sized (not corpus-
+# sized) and BROADCASTS — joining token occurrences to it by shuffle
+# would be the classic Zipf-skew trap ('the' lands on one reducer);
+# broadcasting sidesteps the skew entirely. Per-doc mean is a map-side
+# combinable agg on doc_id.
+# ---------------------------------------------------------------------------
+@register(
+    "lm_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w
+    ), total AS (
+      SELECT sum(c) AS n FROM freq
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(sum(ln(c / n)) / count(*) * 1e6 + 0.5) / 1e6 AS avg_logprob
+    FROM tok JOIN freq USING (w), total
+    GROUP BY doc_id
+    """,
+)
+def lm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's own
+    unigram distribution — the CCNet-style LM quality signal (docs full
+    of rare garbage tokens score low; docs of common fluent words score
+    high). ln() is libm on both engines (<= 1 ulp apart per term), so the
+    mean is rounded with the engine-stable floor trick at 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words_expr(F.col("text"))).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.log(F.col("c") / F.col("n")))
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("avg_logprob"),
+        )
+    )

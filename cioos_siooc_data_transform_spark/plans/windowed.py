@@ -212,3 +212,75 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hourly grid + LOCF gap fill: regularize an irregular observation stream
+# onto a dense hourly grid, carrying the last observation forward through
+# gaps — the standard sensor/mooring regularization (and the window twin
+# of the reference's regular-timeseries generation). The grid is built
+# from a scalar (min, max) hour pair cross-joined to the distinct series
+# keys, so grid size is |series| x |hours| regardless of event volume;
+# the fill itself is one last(ignorenulls) running window per series.
+# ---------------------------------------------------------------------------
+@register(
+    "gap_fill_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             round(sum(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(hour_id) AS h0, max(hour_id) AS h1 FROM obs
+    ), grid AS (
+      SELECT t.event_type, unnest(generate_series(b.h0, b.h1)) AS hour_id
+      FROM (SELECT DISTINCT event_type FROM events) t, bounds b
+    )
+    SELECT grid.event_type, grid.hour_id,
+           last_value(obs.v IGNORE NULLS) OVER (
+             PARTITION BY grid.event_type ORDER BY grid.hour_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_filled,
+           (obs.v IS NOT NULL) AS was_observed
+    FROM grid LEFT JOIN obs
+      ON grid.event_type = obs.event_type AND grid.hour_id = obs.hour_id
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with gaps filled by the last
+    observed hourly aggregate (LOCF). Leading hours before a series'
+    first observation stay NULL — LOCF has nothing to carry. Plan: tiny
+    grid build (scalar bounds broadcast x distinct keys), left join
+    keyed by (series, hour), one running last(ignorenulls) window."""
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hour_id"),
+            "value",
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    bounds = obs.agg(
+        F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1")
+    )
+    keys = ev.select("event_type").distinct()
+    grid = keys.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_id"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["event_type", "hour_id"], "left")
+        .select(
+            "event_type",
+            "hour_id",
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+            F.col("v").isNotNull().alias("was_observed"),
+        )
+    )
