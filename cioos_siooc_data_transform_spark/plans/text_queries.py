@@ -550,3 +550,56 @@ def lm_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction of email-shaped tokens. The synthetic
+# corpus contains no PII, so each doc gets a deterministic contact line
+# appended first — the redaction machinery (count + replace) is then
+# exercised for real. The pattern sticks to syntax RE2 (DuckDB) and the
+# JVM regex engine interpret identically (character classes, +, \. —
+# no lookarounds, no lazy quantifiers). Row-local codegen, no shuffle.
+# ---------------------------------------------------------------------------
+_PII_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_RE}')) AS BIGINT) AS n_redactions,
+           md5(regexp_replace(t, '{_PII_RE}', '<EMAIL>', 'g')) AS scrubbed_digest
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email redaction over the documents table: count the PII-shaped
+    matches and emit the digest of the scrubbed text (digest, not the
+    text, keeps the comparison compact). Every training pipeline runs a
+    pass of this shape before release; at scale it is a pure projection
+    — no shuffle, whole-stage codegen, trivially parallel."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(t, '{_PII_RE}', 0)"))
+        .cast("long")
+        .alias("n_redactions"),
+        F.md5(F.regexp_replace(F.col("t"), _PII_RE, "<EMAIL>")).alias(
+            "scrubbed_digest"
+        ),
+    )

@@ -90,3 +90,10 @@ def test_q18_membership_is_semi_join(spark):
     plan = _plan(spark, "q18_large_orders")
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_scoring_broadcasts_vocab(spark):
+    """The unigram frequency table is vocabulary-sized and must broadcast
+    — a shuffle join on the token key is the Zipf-skew trap."""
+    plan = _plan(spark, "lm_unigram_logprob")
+    assert "BroadcastHashJoin" in plan
