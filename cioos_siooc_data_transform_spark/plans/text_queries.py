@@ -603,3 +603,81 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scrubbed_digest"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building: corpus-wide heavy hitters. Top-K by count is a
+# groupBy(token) + TakeOrdered — partial aggregation combines map-side,
+# and the global sort moves only k rows per partition. The BPE-pair
+# variant counts ADJACENT token pairs (the counting step inside every
+# BPE/WordPiece trainer's merge loop).
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT w, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY w
+    ORDER BY cnt DESC, w ASC LIMIT 50
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 tokens by corpus frequency (vocabulary seed / heavy
+    hitters). Deterministic tiebreak on the token itself. The plan is
+    partial-agg + TakeOrdered: only 50 rows per partition reach the
+    driver-side merge, never the full vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words_expr(F.col("text"))).alias("w"))
+    return (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "vocab_bpe_pair_counts",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(words) - 1, 0)),
+               i -> words[i] || ' ' || words[i + 1])) AS pair
+      FROM w
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    HAVING count(*) >= 5
+    """,
+)
+def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair frequencies with a minimum support of 5 — the
+    counting kernel of a BPE/WordPiece merge step, run corpus-wide. Pair
+    generation is row-local (the same sequence/transform shape as
+    shingling, with the same sequence(1,0)-counts-down guard via
+    greatest); the only shuffle is the combiner-friendly count."""
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0)))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(words) >= 2,
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(words, i), F.element_at(words, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
