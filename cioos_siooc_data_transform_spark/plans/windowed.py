@@ -284,3 +284,48 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").isNotNull().alias("was_observed"),
         )
     )
+
+
+@register(
+    "sessionize_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch(ts) AS es FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, es,
+             CASE WHEN es - lag(es) OVER w > 1800.0 OR lag(es) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    )
+    SELECT user_id, event_id,
+           sum(is_new) OVER (
+             PARTITION BY user_id ORDER BY es, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM flagged
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (> 30 min starts a new
+    session): flag session starts with one lag window, then number
+    sessions with a running sum — the standard two-window assignment,
+    both windows on the same (user, time) ordering so Spark plans ONE
+    shuffle and sorts once. The batch twin of the streaming
+    session_windows aggregation. Ties broken by event_id for full
+    determinism."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("double").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("es") - F.lag("es").over(w) > 1800.0)
+            | F.lag("es").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return flagged.select(
+        "user_id", "event_id", F.sum("is_new").over(cum).alias("session_id")
+    )
