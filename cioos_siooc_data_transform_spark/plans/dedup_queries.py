@@ -653,3 +653,61 @@ def dedup_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+@register(
+    "dedup_ngram_jaccard_hashed",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= {_MAX_SHINGLE_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of dedup_ngram_jaccard: shingles are hashed to
+    int64 AT GENERATION (xxhash64 over the three words inside the
+    transform lambda), so no shingle string is ever materialized and
+    every downstream exchange — the distinct, the DF-cap count, the
+    inverted-index self-join — moves 8-byte longs instead of ~25-byte
+    strings. Set sizes and intersection counts are preserved as long as
+    the hash is injective on the observed shingles, so the pair set and
+    Jaccard values equal the string version's (the same recall contract
+    as the xxhash LSH pipeline: the oracle is the hash-free exact
+    computation, and any collision would surface as a driver mismatch).
+    Benches ~10% faster warm at sf0.1; the real win is shuffle bytes at
+    scale."""
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    hashes = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(F.size(words) >= 3, hashes).otherwise(
+                    F.array().cast("array<long>")
+                )
+            )
+        ).alias("s"),
+    ).distinct()
+    return ngram_jaccard_pairs(sh, "doc_id", "s", threshold=0.5, max_doc_freq=_MAX_SHINGLE_DF)
