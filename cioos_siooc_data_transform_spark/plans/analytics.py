@@ -623,3 +623,85 @@ def merge_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_v,
+           round(stddev_samp(value), 6) AS sd_v,
+           round(var_samp(value), 6) AS var_v,
+           round(covar_samp(value, CAST(json_extract(props, '$.k') AS BIGINT)), 6)
+             AS cov_vk,
+           round(corr(value, CAST(json_extract(props, '$.k') AS BIGINT)), 6)
+             AS corr_vk
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per event type: sample stddev/variance of
+    the value column plus its covariance and Pearson correlation with the
+    JSON-extracted k property — the standard profiling pass over a fact
+    table. All are one-pass co-moment aggregates with exact partial
+    merging (Chan et al. update), so the groupBy shuffles one co-moment
+    tuple per (group, partition). Skewness/kurtosis are excluded on
+    purpose: their sample-vs-population conventions differ between
+    engines, so they cannot be oracle-mirrored."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", "value", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_v"),
+            F.round(F.stddev_samp("value"), 6).alias("sd_v"),
+            F.round(F.var_samp("value"), 6).alias("var_v"),
+            F.round(F.covar_samp("value", "k"), 6).alias("cov_vk"),
+            F.round(F.corr("value", "k"), 6).alias("corr_vk"),
+        )
+    )
+
+
+@register(
+    "map_roundtrip",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), sized AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hour_id, h.cnt, s.n_keys
+    FROM hourly h JOIN sized s ON h.event_type = s.event_type
+    """,
+)
+def map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface coverage: hourly counts per event type are packed
+    into a map<hour, cnt> column (map_from_entries over collected
+    structs), measured with size(), then exploded back to rows. The
+    packed map is a set — collect_list's nondeterministic order cannot
+    leak into the result — and the oracle checks the round-trip restores
+    exactly the pre-map rows plus the key count. Maps-as-columns is how
+    per-entity feature bags ship to training without a fixed schema."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("hour_id"),
+        )
+        .groupBy("event_type", "hour_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    packed = hourly.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("hour_id", "cnt"))).alias("m")
+    )
+    return packed.select(
+        "event_type",
+        F.size("m").cast("long").alias("n_keys"),
+        F.explode("m").alias("hour_id", "cnt"),
+    ).select("event_type", "hour_id", "cnt", "n_keys")
