@@ -9,6 +9,7 @@ provides — each shape is oracle-checked like everything else.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -705,3 +706,53 @@ def map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("m").cast("long").alias("n_keys"),
         F.explode("m").alias("hour_id", "cnt"),
     ).select("event_type", "hour_id", "cnt", "n_keys")
+
+
+@register(
+    "trimmed_mean_grouped_udf",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           round(avg(value), 6) AS trimmed_mean,
+           CAST(count(*) AS BIGINT) AS n_used
+    FROM ranked
+    WHERE rn > CAST(floor(n / 10) AS BIGINT)
+      AND rn <= n - CAST(floor(n / 10) AS BIGINT)
+    GROUP BY event_type
+    """,
+)
+def trimmed_mean_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of value per event type, computed by a GROUPED_AGG
+    pandas UDF — the one Arrow UDF shape (series -> scalar aggregate) the
+    engine's UDF surface didn't yet exercise; the rest (scalar pandas_udf,
+    mapInPandas, applyInPandas, applyInPandasWithState, UDTF) are covered
+    elsewhere. Tie order inside the trim window can't affect the result
+    (tied values are equal), so the oracle's row_number slicing is an
+    exact mirror. GROUPED_AGG ships each group's column as one Arrow
+    batch — fine for bounded groups like per-type slices; for unbounded
+    groups prefer an algebraic rewrite, since a series->scalar UDF cannot
+    partially aggregate."""
+    @F.pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        k = len(v) // 10
+        s = v.sort_values()
+        return float(s.iloc[k : len(s) - k].mean())
+
+    @F.pandas_udf("long")
+    def trimmed_n(v: pd.Series) -> int:
+        k = len(v) // 10
+        return int(len(v) - 2 * k)
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(trimmed_mean("value"), 6).alias("trimmed_mean"),
+            trimmed_n("value").alias("n_used"),
+        )
+    )

@@ -99,3 +99,39 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, delay)
         .dropDuplicatesWithinWatermark(["digest"])
     )
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the views of
+    the same user in the preceding `horizon`.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time to [view_ts, view_ts + horizon], so Spark can expire buffered
+    rows: view-side state ages out once the watermark passes
+    view_ts + horizon, purchase-side at its watermark — without the time
+    bound a stream-stream join must buffer both streams forever. This is
+    the canonical bounded-state attribution join shape.
+    """
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        ).withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
+    ).select("p_user", "purchase_ts", "purchase_value", "view_ts")

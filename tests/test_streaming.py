@@ -183,3 +183,39 @@ def test_streaming_exact_dedup_within_watermark(spark):
         texts = sorted(r["text"] for r in out)
         assert texts == ["aa bb", "cc dd", "ee ff"]  # one survivor per digest
         assert len({r["digest"] for r in out}) == 3
+
+
+def test_stream_stream_attribution_matches_batch(spark):
+    """The watermarked stream-stream attribution join, drained with
+    AvailableNow, must produce exactly the rows the equivalent batch
+    join produces over the same data."""
+    from cioos_siooc_data_transform_spark.session import read_table
+    from cioos_siooc_data_transform_spark.streaming.windows import (
+        stream_stream_attribution,
+    )
+
+    ev = read_table(spark, SF, "events")
+    views_b = ev.filter(F.col("event_type") == "view")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    expected = stream_stream_attribution(views_b, purch_b).count()
+    assert expected > 0
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        ev.coalesce(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        joined = stream_stream_attribution(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("attribution_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("SELECT count(*) AS n FROM attribution_sink").first()["n"]
+        assert got == expected
