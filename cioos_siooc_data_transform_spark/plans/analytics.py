@@ -756,3 +756,114 @@ def trimmed_mean_grouped_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             trimmed_n("value").alias("n_used"),
         )
     )
+
+
+@register(
+    "sql_api_surface",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1994-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_api_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the SQL front end: the table registers as
+    a temp view and the query is textual ANSI SQL via spark.sql — proving
+    the full SQL surface (not just the DataFrame DSL) works against the
+    engine's table readers. Catalyst compiles both to the same plan."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(avg(o_totalprice), 6) AS avg_price
+        FROM orders_v
+        WHERE o_orderdate >= DATE '1994-01-01'
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    WITH old AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS s
+      FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+    ), delta AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS s
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id
+    )
+    SELECT coalesce(old.user_id, delta.user_id) AS user_id,
+           coalesce(old.n, 0) + coalesce(delta.n, 0) AS n_events,
+           round(coalesce(old.s, 0.0) + coalesce(delta.s, 0.0), 4) AS total_value
+    FROM old FULL OUTER JOIN delta ON old.user_id = delta.user_id
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized
+    per-user partials (count, sum — both algebraic, so partials merge
+    exactly) full-outer-joined with the new data's partials. This is the
+    pattern that updates a 100 TB rollup from a 100 GB daily delta
+    without rescanning history — only merge-able aggregates qualify
+    (count/sum/min/max; avg via sum+count; never median). Rounding at
+    4 dp on both the partials and the merge keeps the oracle exact."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+
+    old = partial(ev.filter(F.col("ts") < cut)).alias("old")
+    delta = partial(ev.filter(F.col("ts") >= cut)).alias("delta")
+    return old.join(
+        delta, F.col("old.user_id") == F.col("delta.user_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("old.user_id"), F.col("delta.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("old.n"), F.lit(0)) + F.coalesce(F.col("delta.n"), F.lit(0))
+        ).alias("n_events"),
+        F.round(
+            F.coalesce(F.col("old.s"), F.lit(0.0))
+            + F.coalesce(F.col("delta.s"), F.lit(0.0)),
+            4,
+        ).alias("total_value"),
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ), t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c)
+    SELECT user_id, cnt,
+           floor(cnt / total * 1e6 + 0.5) / 1e6 AS share
+    FROM c, t
+    ORDER BY cnt DESC, user_id ASC LIMIT 20
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hottest join/shuffle keys with their share of total rows —
+    the diagnostic you run BEFORE choosing a skew mitigation (salting,
+    AQE skew split, broadcast). Partial-agg + TakeOrdered: the full key
+    histogram never leaves the executors."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = c.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "cnt",
+            (F.floor(F.col("cnt") / F.col("total") * 1e6 + 0.5) / 1e6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
