@@ -43,6 +43,10 @@ HEADLINE = [
     "asof_join_events",          # union+window as-of join
     "q5_supplier_volume",        # 6-table join chain
     "gsw_sound_speed",           # codegen polynomial throughput
+    # round-2 families:
+    "decontaminate_benchmark_overlap",  # broadcast shingle-set overlap
+    "interval_bin_join",         # binned range join
+    "lm_unigram_logprob",        # broadcast-vocab LM scoring
 ]
 
 
