@@ -71,3 +71,53 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("qtys", 1).alias("q_min"),
         F.element_at("qtys", -1).alias("q_max"),
     )
+
+
+@register(
+    "json_malformed_tolerance",
+    oracle="""
+    WITH j AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN '{"a": ' || CAST(doc_id AS VARCHAR)
+                  ELSE '{"a": ' || CAST(doc_id AS VARCHAR)
+                       || ', "b": "' || lang || '"}'
+             END AS payload
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN json_valid(payload)
+                THEN CAST(json_extract(payload, '$.a') AS BIGINT) END AS a,
+           CASE WHEN json_valid(payload)
+                THEN CAST(json_extract_string(payload, '$.b') AS VARCHAR) END AS b,
+           json_valid(payload) AS is_valid
+    FROM j
+    """,
+)
+def json_malformed_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSON ingest: every 7th payload is deliberately truncated
+    (unclosed object); from_json in its default PERMISSIVE mode yields a
+    null-fielded struct for those rows instead of failing the job — the
+    behavior a 100 TB ingest needs, where aborting on row 3 trillion is
+    not an option. Validity is derived from the guaranteed-present field,
+    mirroring DuckDB's json_valid guard. Row-local, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit('{"a": '), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"a": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "b": "'),
+            F.col("lang"),
+            F.lit('"}'),
+        )
+    )
+    parsed = F.from_json(payload, "a bigint, b string")
+    return docs.select(
+        "doc_id",
+        parsed.getField("a").alias("a"),
+        parsed.getField("b").alias("b"),
+        parsed.getField("a").isNotNull().alias("is_valid"),
+    )
