@@ -867,3 +867,86 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "referential_audit",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       WHERE l_extendedprice <= 0 OR l_quantity <= 0) AS nonpositive_amounts,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l JOIN orders o
+       ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate < o.o_orderdate) AS ship_before_order,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+       WHERE l_discount < 0 OR l_discount > 1) AS discount_out_of_range
+    """,
+)
+def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row data-quality audit across the warehouse: referential
+    orphans (anti joins), non-positive amounts, ship-before-order date
+    inversions, and out-of-range discounts. Each check is an independent filtered
+    count/anti-join — Spark runs them as parallel subtrees and the audit
+    emits a single summary row, the shape a pipeline gate asserts on
+    before promoting a snapshot."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    orphan_li = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    ).count()
+    orphan_o = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    ).count()
+    nonpos = li.filter(
+        (F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0)
+    ).count()
+    inv_dates = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .count()
+    )
+    bad_disc = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).count()
+    return spark.createDataFrame(
+        [(orphan_li, orphan_o, nonpos, inv_dates, bad_disc)],
+        "orphan_lineitems long, orphan_orders long, nonpositive_amounts long, "
+        "ship_before_order long, discount_out_of_range long",
+    )
+
+
+@register(
+    "null_profile",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(user_id) AS BIGINT) AS null_user,
+           CAST(count(*) - count(value) AS BIGINT) AS null_value,
+           CAST(count(*) - count(props) AS BIGINT) AS null_props,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_types
+    FROM events
+    """,
+)
+def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the fact table: row count, per-column
+    null counts (count(*) − count(col)), and exact distinct cardinalities
+    — the first query any profiler runs. count(col) skips NULLs by SQL
+    semantics, so the nulls fall out of one aggregation with no
+    conditionals; the distincts expand to Spark's standard expand-node
+    plan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("user_id")).cast("long").alias("null_user"),
+        (F.count(F.lit(1)) - F.count("value")).cast("long").alias("null_value"),
+        (F.count(F.lit(1)) - F.count("props")).cast("long").alias("null_props"),
+        F.countDistinct("user_id").cast("long").alias("distinct_users"),
+        F.countDistinct("event_type").cast("long").alias("distinct_types"),
+    )
