@@ -891,34 +891,56 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row data-quality audit across the warehouse: referential
     orphans (anti joins), non-positive amounts, ship-before-order date
-    inversions, and out-of-range discounts. Each check is an independent filtered
-    count/anti-join — Spark runs them as parallel subtrees and the audit
-    emits a single summary row, the shape a pipeline gate asserts on
-    before promoting a snapshot."""
+    inversions, and out-of-range discounts. Each check is an independent
+    single-row aggregate (anti-join count or conditional sum) and the
+    audit cross-joins the five one-row results into a single summary row
+    — one LAZY plan, so Spark schedules the subtrees together and plan
+    builders pay nothing; the shape a pipeline gate asserts on before
+    promoting a snapshot."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    orphan_li = li.join(
-        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
-    ).count()
-    orphan_o = orders.join(
-        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
-    ).count()
-    nonpos = li.filter(
-        (F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0)
-    ).count()
+    orphan_li = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orphan_orders"))
+    )
+    nonpos = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("nonpositive_amounts")
+    )
     inv_dates = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
-        .count()
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("ship_before_order")
+        )
     )
-    bad_disc = li.filter(
-        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
-    ).count()
-    return spark.createDataFrame(
-        [(orphan_li, orphan_o, nonpos, inv_dates, bad_disc)],
-        "orphan_lineitems long, orphan_orders long, nonpositive_amounts long, "
-        "ship_before_order long, discount_out_of_range long",
+    bad_disc = li.agg(
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("discount_out_of_range")
+    )
+    return (
+        orphan_li.crossJoin(orphan_o)
+        .crossJoin(nonpos)
+        .crossJoin(inv_dates)
+        .crossJoin(bad_disc)
     )
 
 

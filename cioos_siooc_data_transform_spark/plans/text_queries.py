@@ -596,7 +596,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return aug.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(t, '{_PII_RE}', 0)"))
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PII_RE), 0))
         .cast("long")
         .alias("n_redactions"),
         F.md5(F.regexp_replace(F.col("t"), _PII_RE, "<EMAIL>")).alias(
