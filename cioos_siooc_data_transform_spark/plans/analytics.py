@@ -972,3 +972,66 @@ def null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("distinct_users"),
         F.countDistinct("event_type").cast("long").alias("distinct_types"),
     )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, NULL AS source, n_chars FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL BY NAME
+      SELECT doc_id, lang, source, NULL AS n_chars FROM documents
+      WHERE doc_id % 2 = 1
+    )
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: an old snapshot (no source column) and a new
+    snapshot (no n_chars column) combine with unionByName(
+    allowMissingColumns=True), which aligns by NAME and null-fills the
+    gaps — positional unionAll would silently misalign columns, the
+    classic schema-evolution footgun in long-lived pipelines. Pure
+    narrow op, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "source")
+    return old.unionByName(new, allowMissingColumns=True).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+    FROM pairs GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence counting (market-basket support): pairs of parts
+    appearing in the same order, kept at support >= 2. The within-order
+    self-join is keyed on l_orderkey, so the explosion per key is bounded
+    by basket size squared (TPC-H orders hold <= 7 items — at 100 TB the
+    guard is the same max-basket-size cap every co-occurrence job
+    applies, exactly the LSH mega-bucket pattern). The pair count is a
+    combiner-friendly hash agg on the (uniform) pair key."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
