@@ -25,11 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, DEFAULT_SF_DIR)
 
 
-# Names the round-1 driver already verified (CORRECTNESS_r01.json). The
-# driver samples in dict order, so queries it has never checked are listed
-# first; previously-green ones follow as regression coverage.
-_R1_CHECKED = frozenset(
+# Names the driver already verified (CORRECTNESS_r01.json + r02). The
+# driver samples in dict order, so the queries fixed since the last round
+# are listed first (regression proof), then queries never checked, then
+# previously-green ones as regression coverage.
+_CHECKED = frozenset(
     {
+        # round 1
         "q1_pricing_summary", "filter_projection", "first_match_min",
         "case_when_routing", "timestamp_range_filter", "null_pad_masking",
         "coalesce_event_id", "geo_containment_join", "anti_join_orphans",
@@ -48,14 +50,46 @@ _R1_CHECKED = frozenset(
         "multimodal_binary_meta", "multimodal_decode_features",
         "text_hash_embedding", "tumbling_window_hourly", "session_windows",
         "daily_top_event",
+        # round 2
+        "dedup_pipeline_pairs", "dedup_pipeline_pairs_xxhash",
+        "dedup_components", "decontaminate_benchmark_overlap",
+        "dedup_canonical_keeper", "dedup_ngram_jaccard_hashed",
+        "embedding_quantize_int8", "embedding_normalize",
+        "text_repetition_ratio", "multimodal_frame_sample",
+        "text_gopher_filter", "cap_per_source", "mixture_temperature_weights",
+        "lm_unigram_logprob", "text_pii_scrub", "vocab_top_tokens",
+        "vocab_bpe_pair_counts", "running_user_totals_batch", "funnel_stages",
+        "gap_fill_locf", "sessionize_gap", "ios_parse_measurements",
+        "ios_parse_catalog", "ios_bodc_codes", "ios_observation_times",
+        "ios_mooring_inferred_dt", "ios_mooring_timeseries", "gsw_sound_speed",
+        "gsw_practical_salinity", "gsw_potential_temperature",
+        "gsw_depth_from_pressure", "gsw_nsquared_profile", "gsw_profile_interp",
+        "gsw_pchip_interp", "gsw_coriolis_f", "gsw_distance", "gsw_dyn_height",
+        "gsw_turner_rsubrho", "gsw_geostrophic_velocity", "gsw_ipv_fn2_ratio",
+        "q3_shipping_priority", "q5_supplier_volume", "rollup_returns",
+        "cube_events", "grouping_sets_orders", "distinct_aggregation",
+        "pivot_status_revenue", "correlated_above_avg", "full_outer_reconcile",
+        "exact_percentiles",
     }
+)
+
+# The 5 queries that failed (or crashed) the driver's r02 canonicalizer,
+# now fixed — sample these first so CORRECTNESS_r03 proves the fixes.
+_FIXED_FIRST = (
+    "embedding_quantize_int8",
+    "embedding_normalize",
+    "gsw_turner_rsubrho",
+    "gsw_geostrophic_velocity",
+    "sessionize_gap",
 )
 
 
 def _priority_order(names) -> list[str]:
-    fresh = [n for n in names if n not in _R1_CHECKED]
-    seen = [n for n in names if n in _R1_CHECKED]
-    return fresh + seen
+    names = list(names)
+    fixed = [n for n in _FIXED_FIRST if n in names]
+    fresh = [n for n in names if n not in _CHECKED and n not in fixed]
+    seen = [n for n in names if n in _CHECKED and n not in fixed]
+    return fixed + fresh + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -96,6 +96,68 @@ def potential_temperature(t: Column, s: Column, p: Column, p_ref: Column | float
     )
 
 
+def sa_from_sp(sp: Column) -> Column:
+    """Absolute Salinity from Practical Salinity via the TEOS-10
+    reference-composition scaling SA = (35.16504 / 35) · SP g/kg
+    (Millero, Feistel, Wright & McDougall 2008). GSW's SA_from_SP
+    (GSW/conversions.py) adds a spatial Absolute-Salinity-Anomaly table
+    lookup on top of this scaling; the atlas is a data file the engine
+    does not ship, so the documented divergence is delta_SA = 0 (exact in
+    the open surface ocean, < 0.025 g/kg elsewhere). Anchor:
+    SA(35) = 35.16504 g/kg exactly."""
+    return sp * (35.16504 / 35.0)
+
+
+def rho_surface(s: Column, t: Column) -> Column:
+    """One-atmosphere seawater density ρ(S, t, 0) in kg/m³ — the
+    International Equation of State of Seawater (EOS-80, Millero &
+    Poisson 1981 / UNESCO 1983), the published predecessor of GSW's
+    rho (GSW/density.py), which this engine uses because the TEOS-10
+    75-term specific-volume polynomial's coefficient table is impractical
+    to re-derive safely. Published check values (UNESCO 1983):
+    ρ(0, 5, 0) = 999.96675, ρ(35, 5, 0) = 1027.67547,
+    ρ(35, 25, 0) = 1023.34306 kg/m³ (all reproduced in tests)."""
+    rho_w = (
+        F.lit(999.842594)
+        + 6.793952e-2 * t
+        - 9.095290e-3 * t * t
+        + 1.001685e-4 * t * t * t
+        - 1.120083e-6 * t * t * t * t
+        + 6.536332e-9 * t * t * t * t * t
+    )
+    a = (
+        F.lit(8.24493e-1)
+        - 4.0899e-3 * t
+        + 7.6438e-5 * t * t
+        - 8.2467e-7 * t * t * t
+        + 5.3875e-9 * t * t * t * t
+    )
+    b = F.lit(-5.72466e-3) + 1.0227e-4 * t - 1.6546e-6 * t * t
+    return rho_w + a * s + b * (F.sqrt(s) * s) + 4.8314e-4 * s * s
+
+
+def sigma0(s: Column, t: Column) -> Column:
+    """Potential density anomaly σ₀ = ρ(S, θ, 0) − 1000 kg/m³; the caller
+    supplies potential temperature θ (GSW/density.py sigma0 contract,
+    which takes (SA, CT) — EOS-80 twin documented in rho_surface)."""
+    return rho_surface(s, t) - 1000.0
+
+
+def t_freezing(s: Column, p: Column) -> Column:
+    """Freezing point of seawater (°C) at salinity S and pressure p
+    (decibar) — Millero 1978 / UNESCO 1983:
+    t_f = −0.0575 S + 1.710523e−3 S^1.5 − 2.154996e−4 S² − 7.53e−4 p.
+    Published check value: t_f(35, 0) = −1.922 °C (reproduced in tests).
+    GSW's t_freezing (GSW/freezing.py) is the TEOS-10 Gibbs-function
+    solve; this is the published polynomial standard it superseded."""
+    return (
+        F.lit(-0.0575) * s
+        + 1.710523e-3 * (F.sqrt(s) * s)
+        - 2.154996e-4 * s * s
+        - 7.53e-4 * p
+    )
+
+
 def depth_from_pressure(p: Column, lat: Column) -> Column:
     """Saunders & Fofonoff depth (m) from pressure (decibar) and latitude
     (UNESCO 1983 check value: z(10000 dbar, 30°) = 9712.653 m):

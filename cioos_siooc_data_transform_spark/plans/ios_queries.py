@@ -62,14 +62,34 @@ SAMPLE_IOS = """*2024/01/15 10:00:00.00
 """
 
 
-def _parsed_sample(spark: SparkSession) -> DataFrame:
+# One parse per (session, sample): the mapInPandas parse crosses into
+# Python, and an uncached plan re-runs that crossing for EVERY self-join
+# branch of every query (ios_measurements_masked alone references the
+# parsed relation three times). Persisting the 1-row parsed frame turns
+# all downstream ios_* queries into pure-JVM reads of an InMemoryRelation.
+_PARSED_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _parse_cached(spark: SparkSession, key: str, path: str, text: str) -> DataFrame:
     from cioos_siooc_data_transform_spark.sources.ios_source import parse_ios
 
-    files = spark.createDataFrame(
-        [("memory://sample-2024-001-0007.ctd", bytearray(SAMPLE_IOS.encode("ascii")))],
-        "path STRING, content BINARY",
+    cache_key = (id(spark), key)
+    df = _PARSED_CACHE.get(cache_key)
+    if df is None:
+        files = spark.createDataFrame(
+            [(path, bytearray(text.encode("ascii")))],
+            "path STRING, content BINARY",
+        )
+        df = parse_ios(files).persist()
+        df.count()  # materialize so the Python crossing happens exactly once
+        _PARSED_CACHE[cache_key] = df
+    return df
+
+
+def _parsed_sample(spark: SparkSession) -> DataFrame:
+    return _parse_cached(
+        spark, "sample", "memory://sample-2024-001-0007.ctd", SAMPLE_IOS
     )
-    return parse_ios(files)
 
 
 @register(
@@ -225,13 +245,7 @@ SAMPLE_MOORING = """*2024/02/01 09:00:00.00
 
 
 def _parsed_mooring(spark: SparkSession) -> DataFrame:
-    from cioos_siooc_data_transform_spark.sources.ios_source import parse_ios
-
-    files = spark.createDataFrame(
-        [("memory://m1_2024.mctd", bytearray(SAMPLE_MOORING.encode("ascii")))],
-        "path STRING, content BINARY",
-    )
-    return parse_ios(files)
+    return _parse_cached(spark, "mooring", "memory://m1_2024.mctd", SAMPLE_MOORING)
 
 
 @register(

@@ -25,6 +25,10 @@ from cioos_siooc_data_transform_spark.functions.oceanography import (
     potential_temperature,
     practical_salinity,
     profile_interp_declarative,
+    rho_surface,
+    sa_from_sp,
+    sigma0,
+    t_freezing,
 )
 from cioos_siooc_data_transform_spark.plans.registry import register
 from cioos_siooc_data_transform_spark.session import read_table as _t
@@ -127,6 +131,86 @@ def gsw_potential_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             potential_temperature(F.col("t"), F.col("s"), F.col("p")), 6
         ).alias("theta"),
+    )
+
+
+@register(
+    "gsw_sa_from_sp",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(s * (35.16504 / 35.0), 6) AS sa
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_sa_from_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEOS-10 reference-composition scaling (Millero et al. 2008);
+    delta_SA atlas documented out of scope (see functions/oceanography)."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(sa_from_sp(F.col("s")), 6).alias("sa"),
+    )
+
+
+@register(
+    "gsw_rho_sigma0",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(
+             (999.842594 + 6.793952e-2 * t - 9.095290e-3 * t * t
+              + 1.001685e-4 * t * t * t - 1.120083e-6 * t * t * t * t
+              + 6.536332e-9 * t * t * t * t * t)
+             + (8.24493e-1 - 4.0899e-3 * t + 7.6438e-5 * t * t
+                - 8.2467e-7 * t * t * t + 5.3875e-9 * t * t * t * t) * s
+             + (-5.72466e-3 + 1.0227e-4 * t - 1.6546e-6 * t * t)
+               * (sqrt(s) * s)
+             + 4.8314e-4 * s * s,
+             6) AS rho,
+           round(
+             (999.842594 + 6.793952e-2 * t - 9.095290e-3 * t * t
+              + 1.001685e-4 * t * t * t - 1.120083e-6 * t * t * t * t
+              + 6.536332e-9 * t * t * t * t * t)
+             + (8.24493e-1 - 4.0899e-3 * t + 7.6438e-5 * t * t
+                - 8.2467e-7 * t * t * t + 5.3875e-9 * t * t * t * t) * s
+             + (-5.72466e-3 + 1.0227e-4 * t - 1.6546e-6 * t * t)
+               * (sqrt(s) * s)
+             + 4.8314e-4 * s * s
+             - 1000.0,
+             6) AS sigma0
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_rho_sigma0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EOS-80 one-atmosphere density + potential density anomaly
+    (Millero & Poisson 1981; published UNESCO 1983 check values pinned
+    in tests)."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rho_surface(F.col("s"), F.col("t")), 6).alias("rho"),
+        F.round(sigma0(F.col("s"), F.col("t")), 6).alias("sigma0"),
+    )
+
+
+@register(
+    "gsw_freezing_point",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(-0.0575 * s + 1.710523e-3 * (sqrt(s) * s)
+                 - 2.154996e-4 * s * s - 7.53e-4 * p,
+                 6) AS t_freeze
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_freezing_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Millero 1978 / UNESCO 1983 freezing-point polynomial."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(t_freezing(F.col("s"), F.col("p")), 6).alias("t_freeze"),
     )
 
 
@@ -522,8 +606,8 @@ def gsw_dyn_height(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM prof WINDOW w AS (PARTITION BY profile_id ORDER BY depth)
     )
     SELECT profile_id, mid_depth,
-           round(degrees(atan2(a_dt + b_ds, a_dt - b_ds)), 6) AS turner_deg,
-           round(a_dt / b_ds, 6) AS r_subrho
+           round(degrees(atan2(a_dt + b_ds, a_dt - b_ds)), 6) + 0.0 AS turner_deg,
+           round(a_dt / b_ds, 6) + 0.0 AS r_subrho
     FROM lagged
     WHERE b_ds IS NOT NULL AND b_ds <> 0.0
     """,
@@ -563,11 +647,16 @@ def gsw_turner_rsubrho(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "profile_id",
         "mid_depth",
-        F.round(
-            F.degrees(F.atan2(F.col("a_dt") + F.col("b_ds"), F.col("a_dt") - F.col("b_ds"))),
-            6,
+        (
+            F.round(
+                F.degrees(
+                    F.atan2(F.col("a_dt") + F.col("b_ds"), F.col("a_dt") - F.col("b_ds"))
+                ),
+                6,
+            )
+            + 0.0
         ).alias("turner_deg"),
-        F.round(F.col("a_dt") / F.col("b_ds"), 6).alias("r_subrho"),
+        (F.round(F.col("a_dt") / F.col("b_ds"), 6) + 0.0).alias("r_subrho"),
     )
 
 
@@ -620,7 +709,7 @@ def gsw_turner_rsubrho(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + cos(radians(lat0)) * cos(radians(lat))
                       * sin((radians(lon) - radians(lon0)) / 2.0)
                       * sin((radians(lon) - radians(lon0)) / 2.0)))))))
-           , 6) AS v_geo
+           , 6) + 0.0 AS v_geo
     FROM pairs
     WHERE phi0 IS NOT NULL AND (lat0 + lat) <> 0.0
     """,
@@ -700,7 +789,9 @@ def gsw_geostrophic_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transect",
         "station",
         "lvl",
-        F.round((F.col("phi") - F.col("phi0")) / (f_mid * dist), 6).alias("v_geo"),
+        (F.round((F.col("phi") - F.col("phi0")) / (f_mid * dist), 6) + 0.0).alias(
+            "v_geo"
+        ),
     )
 
 

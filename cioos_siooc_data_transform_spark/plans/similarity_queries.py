@@ -85,7 +85,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (embeddings cast to DOUBLE[] first: list arithmetic on FLOAT[] runs
 # in float32 there). Rounding uses floor(v*k + 0.5) on both sides so
 # exact .5 boundaries (which int8 quantization hits constantly) round
-# identically.
+# identically. Results are emitted as SCALAR rows — (vec_id, pos, value)
+# via posexplode / zipped-unnest — because the driver's canonicalizer
+# (pandas sort_values) cannot hash array cells; the array form stays
+# available in operators/similarity.py for in-plan composition.
 # ---------------------------------------------------------------------------
 @register(
     "embedding_quantize_int8",
@@ -100,13 +103,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
-           list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+           unnest(range(len(e))) AS pos,
+           unnest(list_transform(e, x -> CAST(floor(x * scale + 0.5) AS INTEGER)))
+             AS q_val
     FROM s
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = 127/max|v|,
-    q_i = round(v_i·scale). Zero vectors are dropped (no defined scale)."""
+    q_i = round(v_i·scale), flattened to one row per element. Zero
+    vectors are dropped (no defined scale)."""
     emb = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
     amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
@@ -117,8 +123,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             (F.floor(scale * 1000000.0 + 0.5) / 1000000.0).alias("scale"),
-            q.alias("q"),
+            F.posexplode(q).alias("pos", "q_val"),
         )
+        .withColumn("pos", F.col("pos").cast("long"))
     )
 
 
@@ -133,13 +140,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v
     )
     SELECT vec_id,
-           list_transform(e, x -> floor(x / nrm * 1000000.0 + 0.5) / 1000000.0)
-             AS unit
+           unnest(range(len(e))) AS pos,
+           unnest(list_transform(
+             e, x -> floor(x / nrm * 1000000.0 + 0.5) / 1000000.0)) AS unit_val
     FROM n WHERE nrm > 0.0
     """,
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 normalization (cosine → dot product for downstream ANN)."""
+    """L2 normalization (cosine → dot product for downstream ANN),
+    flattened to one row per element."""
     emb = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(
@@ -148,4 +157,8 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     unit = F.transform(e, lambda x: F.floor(x / nrm * 1000000.0 + 0.5) / 1000000.0)
-    return emb.filter(nrm > 0.0).select("vec_id", unit.alias("unit"))
+    return (
+        emb.filter(nrm > 0.0)
+        .select("vec_id", F.posexplode(unit).alias("pos", "unit_val"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )

@@ -298,10 +298,10 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
     )
     SELECT user_id, event_id,
-           sum(is_new) OVER (
+           CAST(sum(is_new) OVER (
              PARTITION BY user_id ORDER BY es, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_id
+           ) AS BIGINT) AS session_id
     FROM flagged
     """,
 )

@@ -56,6 +56,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # Timestamps must collect as UTC to hash-match the (naive) DuckDB
     # oracle values, regardless of how the caller's session was built.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Tz-naive parquet timestamps must read as TIMESTAMP_LTZ (interpreted
+    # as UTC), not TIMESTAMP_NTZ: NTZ refuses numeric casts (epoch math in
+    # several plans) and the UTC-pinned LTZ collects the same wall-clock
+    # values DuckDB sees.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = pq.read_schema(path)

@@ -20,8 +20,12 @@ Version ladder (chosen automatically, or pinned via ``version=``):
 Layout (spec): magic | numrecs | dim_list | gatt_list | var_list | data.
 All names/values padded to 4-byte boundaries, big-endian. The only
 differences between versions are field widths: CDF-2 widens ``begin``;
-CDF-5 widens every count (numrecs, list nelems, name lengths, dim sizes,
-attr nelems, ndims, dimids, vsize) as well.
+CDF-5 widens every NON_NEG count (numrecs, list nelems, name lengths,
+dim sizes, attr nelems, ndims, dimids, vsize) as well. The list tags
+(NC_DIMENSION/NC_VARIABLE/NC_ATTRIBUTE) and nc_type stay 4-byte
+constants in EVERY version, and an absent list is encoded as a 4-byte
+zero tag followed by a count-width zero nelems (per the pnetcdf CDF-5
+grammar: ``ABSENT = ZERO ZERO64``).
 """
 
 from __future__ import annotations
@@ -58,6 +62,14 @@ class _Fmt:
 
     def pack_begin(self, v: int) -> bytes:
         return struct.pack(self.begin, v)
+
+    def pack_tag(self, v: int) -> bytes:
+        # List tags are 4-byte constants in every CDF version.
+        return struct.pack(">i", v)
+
+    def absent(self) -> bytes:
+        # ABSENT = 4-byte zero tag + count-width zero nelems.
+        return struct.pack(">i", 0) + self.pack_count(0)
 
 
 def _pad4(b: bytes) -> bytes:
@@ -101,8 +113,8 @@ def _attr_values(value, fmt: _Fmt | None = None) -> tuple[int, bytes]:
 
 def _attr_list(attrs: dict, fmt: _Fmt) -> bytes:
     if not attrs:
-        return fmt.pack_count(0) + fmt.pack_count(0)
-    out = fmt.pack_count(NC_ATTRIBUTE) + fmt.pack_count(len(attrs))
+        return fmt.absent()
+    out = fmt.pack_tag(NC_ATTRIBUTE) + fmt.pack_count(len(attrs))
     for k, v in attrs.items():
         nc_type, payload = _attr_values(v, fmt)
         out += _name(k, fmt) + struct.pack(">i", nc_type) + payload
@@ -163,11 +175,11 @@ def write_netcdf3(
     header = b"CDF" + bytes([version]) + fmt.pack_count(0)  # numrecs=0
 
     if dims:
-        header += fmt.pack_count(NC_DIMENSION) + fmt.pack_count(len(dims))
+        header += fmt.pack_tag(NC_DIMENSION) + fmt.pack_count(len(dims))
         for dname in dim_names:
             header += _name(dname, fmt) + fmt.pack_count(dims[dname])
     else:
-        header += fmt.pack_count(0) + fmt.pack_count(0)
+        header += fmt.absent()
 
     header += _attr_list(global_attrs, fmt)
 
@@ -176,9 +188,9 @@ def write_netcdf3(
     # var_list with placeholder begins to measure header length
     def var_list(begins: list[int]) -> bytes:
         if variables:
-            out = fmt.pack_count(NC_VARIABLE) + fmt.pack_count(len(variables))
+            out = fmt.pack_tag(NC_VARIABLE) + fmt.pack_count(len(variables))
         else:
-            out = fmt.pack_count(0) + fmt.pack_count(0)
+            out = fmt.absent()
         for (v, vsize), begin in zip(var_meta, begins):
             out += _name(v.name, fmt)
             out += fmt.pack_count(len(v.dims))
@@ -233,7 +245,7 @@ def read_netcdf3(buf: bytes) -> dict:
         return s
 
     def read_attrs() -> dict:
-        tag, cnt = read_count(), read_count()
+        tag, cnt = read_i4(), read_count()
         out = {}
         for _ in range(cnt):
             name = read_name()
@@ -251,12 +263,12 @@ def read_netcdf3(buf: bytes) -> dict:
                 out[name] = np.frombuffer(raw, dtype=_NC_TO_NP[nc_type]).tolist()
         return out
 
-    tag, ndims = read_count(), read_count()
+    tag, ndims = read_i4(), read_count()
     dims = []
     for _ in range(ndims):
         dims.append((read_name(), read_count()))
     gattrs = read_attrs()
-    tag, nvars = read_count(), read_count()
+    tag, nvars = read_i4(), read_count()
     variables = {}
     for _ in range(nvars):
         name = read_name()

@@ -1,19 +1,31 @@
 """Local re-implementation of the driver's Spark-vs-DuckDB comparison so
 mismatches are caught before the driver runs.
 
-Comparison contract (per /root/repo/__spark_entry__.py docstring): row count,
-schema (column names), and order-insensitive value hash with columns sorted
-by name. Floats are compared with a tight relative tolerance here; the
-queries themselves round float aggregates so exact hashing also passes.
+Byte-faithful to the driver's canonicalization (reconstructed from the
+CORRECTNESS_r02.json error tracebacks + failure modes):
+
+* both sides are materialized as pandas DataFrames (``sdf.toPandas()`` /
+  ``con.execute(sql).df()``),
+* columns are ordered by name, rows sorted with pandas ``sort_values``
+  over ALL columns (so an array-typed cell raises ``TypeError:
+  unhashable type: 'list'`` here exactly as it does in the driver),
+* values are hashed by their exact Python text after ``tolist()`` —
+  dtype-visible, so float64 ``3.0`` != int64 ``3`` (the DuckDB
+  HUGEINT→float64 failure) and ``-0.0`` != ``0.0`` (the DuckDB
+  ``round()`` signed-zero failure). No rounding, no tolerance.
+
+The round-2 harness rounded floats to 9 dp, tuple-ized lists and treated
+``-0.0 == 0.0`` — all three tolerances hid real driver failures. Do not
+re-add them.
 """
 
 from __future__ import annotations
 
-import datetime as _dt
-import math
+import hashlib
 import os
 
 import duckdb
+import pandas as pd
 
 TABLE_NAMES = (
     "region",
@@ -38,57 +50,79 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm_cell(v):
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # round to 9 significant-ish decimals to absorb last-ulp noise
-        return round(v, 9)
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, _dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, (int, str)):
-        return v
-    return str(v)
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by name, rows sorted
+    by every column (pandas sort_values — raises on unhashable cells,
+    matching the driver's behavior on array columns)."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
 
 
-def normalized_rows(columns, rows):
-    """Sort columns by name, normalize cells, sort rows."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
-    return [columns[i] for i in order], out
+def _cell_text(v) -> str:
+    # tolist() already converted numpy scalars to native Python types, so
+    # repr is the exact value text: float64 3.0 -> '3.0', int 3 -> '3',
+    # -0.0 -> '-0.0', NaN -> 'nan'.
+    return repr(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.md5()
+    for col in df.columns:
+        h.update(str(col).encode())
+        h.update(b"\x00")
+        for v in df[col].tolist():
+            h.update(_cell_text(v).encode())
+            h.update(b"\x01")
+    return h.hexdigest()
+
+
+def _first_diff(s: pd.DataFrame, d: pd.DataFrame) -> str:
+    for col in s.columns:
+        sv = s[col].tolist()
+        dv = d[col].tolist()
+        for i, (a, b) in enumerate(zip(sv, dv)):
+            if _cell_text(a) != _cell_text(b):
+                return (
+                    f"first diff in column {col!r} at sorted row {i}: "
+                    f"spark={_cell_text(a)} duckdb={_cell_text(b)}"
+                )
+    return "hash differs but no cell-text diff found (column order?)"
 
 
 def compare_query(spark, sf_dir: str, query_fn, oracle: str):
-    """Return (ok, message) for one query/oracle pair."""
+    """Return (ok, message) for one query/oracle pair, judged exactly as
+    the driver judges it: row count, column-name set, value hash of the
+    canonical frame."""
     sdf = query_fn(spark, sf_dir)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pd = sdf.toPandas()
 
     con = duckdb_connection(sf_dir)
     try:
-        res = con.execute(oracle)
-        d_cols = [d[0] for d in res.description]
-        d_rows = res.fetchall()
+        d_pd = con.execute(oracle).df()
     finally:
         con.close()
 
-    if sorted(s_cols) != sorted(d_cols):
-        return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"row-count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    if sorted(s_pd.columns) != sorted(d_pd.columns):
+        return (
+            False,
+            f"column mismatch: spark={sorted(s_pd.columns)} "
+            f"duckdb={sorted(d_pd.columns)}",
+        )
+    if len(s_pd) != len(d_pd):
+        return False, f"row-count mismatch: spark={len(s_pd)} duckdb={len(d_pd)}"
 
-    _, s_norm = normalized_rows(s_cols, s_rows)
-    _, d_norm = normalized_rows(d_cols, d_rows)
-    for i, (a, b) in enumerate(zip(s_norm, d_norm)):
-        if a != b:
-            return False, f"value mismatch at sorted row {i}: spark={a!r} duckdb={b!r}"
-    return True, f"ok ({len(s_rows)} rows)"
+    try:
+        s_c = canon(s_pd)
+        d_c = canon(d_pd)
+    except TypeError as exc:
+        # The driver's canonicalizer would raise the same error and record
+        # the query as err (unhashable array cells, mixed types, ...).
+        return False, f"canonicalizer error (driver would err identically): {exc!r}"
+
+    if value_hash(s_c) != value_hash(d_c):
+        return False, f"value-hash mismatch: {_first_diff(s_c, d_c)}"
+    return True, f"ok ({len(s_pd)} rows)"

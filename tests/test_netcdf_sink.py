@@ -182,6 +182,47 @@ def test_cdf2_golden_header_layout():
     assert np.frombuffer(buf[begin:begin + 16], ">f8").tolist() == [1.5, 2.5]
 
 
+def test_cdf5_golden_header_layout():
+    """Hand-packed spec bytes for a minimal CDF-5 file, independently
+    derived from the pnetcdf CDF-5 grammar: list tags and nc_type stay
+    4-byte constants; every NON_NEG (numrecs, nelems, name length, dim
+    size, ndims, dimid, vsize) and begin widen to 8 bytes; an absent
+    attribute list is a 4-byte zero tag + 8-byte zero nelems."""
+    import struct
+
+    import numpy as np
+
+    from cioos_siooc_data_transform_spark.sinks.netcdf3 import (
+        NC_DOUBLE,
+        NcVariable,
+        write_netcdf3,
+    )
+
+    buf = write_netcdf3({"z": 2}, {}, [
+        NcVariable("v", NC_DOUBLE, ["z"], {}, np.array([1.5, 2.5]))
+    ], version=5)
+    absent = struct.pack(">i", 0) + struct.pack(">q", 0)
+    expect_header = (
+        b"CDF\x05"
+        + struct.pack(">q", 0)              # numrecs (NON_NEG, 8 bytes)
+        + struct.pack(">i", 0x0A)           # NC_DIMENSION tag (4 bytes!)
+        + struct.pack(">q", 1)              # ndims
+        + struct.pack(">q", 1) + b"z\x00\x00\x00" + struct.pack(">q", 2)
+        + absent                            # no global attrs
+        + struct.pack(">i", 0x0B)           # NC_VARIABLE tag (4 bytes!)
+        + struct.pack(">q", 1)              # nvars
+        + struct.pack(">q", 1) + b"v\x00\x00\x00"   # name
+        + struct.pack(">q", 1) + struct.pack(">q", 0)  # ndims, dimid 0
+        + absent                            # no var attrs
+        + struct.pack(">i", NC_DOUBLE)      # nc_type (4 bytes)
+        + struct.pack(">q", 16)             # vsize (NON_NEG, 8 bytes)
+    )
+    assert buf.startswith(expect_header)
+    begin = len(expect_header) + 8          # 8-byte begin field itself
+    assert buf[len(expect_header):begin] == struct.pack(">q", begin)
+    assert np.frombuffer(buf[begin:begin + 16], ">f8").tolist() == [1.5, 2.5]
+
+
 def test_cdf_version_auto_escalation():
     from cioos_siooc_data_transform_spark.sinks.netcdf3 import _pick_version
 

@@ -46,6 +46,49 @@ def test_potential_temperature_surface_identity(spark):
     assert th2 == pytest.approx(8.4678516, abs=1e-6)
 
 
+def test_sa_from_sp_anchor(spark):
+    # Millero et al. 2008 reference composition: SA(SP=35) = 35.16504 g/kg
+    from cioos_siooc_data_transform_spark.functions.oceanography import sa_from_sp
+
+    sa = _eval(spark, sa_from_sp(F.lit(35.0)))
+    assert sa == pytest.approx(35.16504, abs=1e-12)
+
+
+def test_eos80_density_check_values(spark):
+    # UNESCO 1983 published check values for the one-atmosphere
+    # International Equation of State (Millero & Poisson 1981).
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        rho_surface,
+        sigma0,
+    )
+
+    assert _eval(spark, rho_surface(F.lit(0.0), F.lit(5.0))) == pytest.approx(
+        999.96675, abs=1e-5
+    )
+    assert _eval(spark, rho_surface(F.lit(35.0), F.lit(5.0))) == pytest.approx(
+        1027.67547, abs=1e-5
+    )
+    assert _eval(spark, rho_surface(F.lit(35.0), F.lit(25.0))) == pytest.approx(
+        1023.34306, abs=1e-5
+    )
+    assert _eval(spark, sigma0(F.lit(35.0), F.lit(5.0))) == pytest.approx(
+        27.67547, abs=1e-5
+    )
+
+
+def test_freezing_point_check_value(spark):
+    # UNESCO 1983 / Millero 1978: t_f(S=35, p=0) = −1.922 °C; pressure
+    # term −7.53e−4 °C/dbar.
+    from cioos_siooc_data_transform_spark.functions.oceanography import t_freezing
+
+    assert _eval(spark, t_freezing(F.lit(35.0), F.lit(0.0))) == pytest.approx(
+        -1.922, abs=1e-3
+    )
+    assert _eval(spark, t_freezing(F.lit(35.0), F.lit(500.0))) == pytest.approx(
+        -1.9223013411410586 - 7.53e-4 * 500.0, abs=1e-9
+    )
+
+
 def test_coriolis_check_values(spark):
     from cioos_siooc_data_transform_spark.functions.oceanography import coriolis_f
 
