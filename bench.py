@@ -7,6 +7,10 @@ Prints ONE JSON line:
 
 Each query executes its full plan into the noop sink (no driver collect),
 so the timing covers scan → shuffle → compute, not result transfer.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the
+per-query MIN, so round-over-round deltas are plan signal rather than
+machine-load noise (runs_sec carries every raw run for auditing).
 """
 
 from __future__ import annotations
@@ -61,25 +65,29 @@ def main() -> None:
     # JVM/codegen warm-up on a trivial action so q1 isn't charged for it.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        dt = round(time.time() - t0, 3)
-        timings[name] = dt
-        total += dt
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = queries[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs[name].append(round(time.time() - t0, 3))
+
+    timings = {name: min(ts) for name, ts in runs.items()}
+    total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "n_runs": n_runs,
+                "runs_sec": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

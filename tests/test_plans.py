@@ -97,3 +97,46 @@ def test_lm_scoring_broadcasts_vocab(spark):
     — a shuffle join on the token key is the Zipf-skew trap."""
     plan = _plan(spark, "lm_unigram_logprob")
     assert "BroadcastHashJoin" in plan
+
+
+def _plan_at(spark, name: str, sf_dir: str) -> str:
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    df = all_queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["lm_unigram_logprob", "decontaminate_benchmark_overlap"],
+)
+def test_broadcasts_survive_bench_scale_statistics(spark, name):
+    """The broadcast plan shape must hold at the BENCH scale factor too:
+    AQE/statistics changes with 100× input size must not flip the small
+    side into a shuffle join. Statically pinned via broadcast() hints in
+    the plans, so this guards against a refactor dropping the hint."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    plan = _plan_at(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_broadcast_threshold_zero_still_broadcasts_hinted_sides(spark):
+    """With autoBroadcastJoinThreshold=-1 (no size-based broadcasts at
+    all — the adversarial cluster default), the explicitly hinted small
+    sides must STILL broadcast: the scale property belongs to the plan,
+    not to a size heuristic that flips with statistics."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for name in ["lm_unigram_logprob", "decontaminate_benchmark_overlap"]:
+            plan = _plan(spark, name)
+            assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
