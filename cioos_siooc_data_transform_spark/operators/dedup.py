@@ -244,10 +244,15 @@ def connected_components(
     Raises RuntimeError if max_rounds pass without convergence, instead of
     silently returning a partially-merged (split-component) labeling.
     """
+    # Materialize the edge set ONCE: every round joins it twice (plus the
+    # convergence probe), and without the checkpoint each of those jobs
+    # would re-run the entire upstream candidate-pair pipeline (LSH,
+    # minhash, shingling) — 3-4 full recomputations per round.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -285,6 +290,9 @@ def connected_components(
                 ).alias("label"),
             )
         )
+        # Checkpoint FIRST so the convergence probe reads materialized
+        # labels instead of re-running the round's two joins.
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -292,7 +300,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut the lineage per round
+        labels = new_labels
         if changed == 0:
             converged = True
             break

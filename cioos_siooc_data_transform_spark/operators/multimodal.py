@@ -146,3 +146,71 @@ def sample_frames(media: DataFrame, every_k: int = 2, fake_decode: bool = True) 
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+FPS_FRAME_SCHEMA = (
+    "doc_id long, frame_idx long, frame_ts_ms long, native_fps long, "
+    "frame_sig string"
+)
+
+
+def sample_frames_at_fps(
+    media: DataFrame, target_fps: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Variable-frame-rate sampling: each payload has its OWN native frame
+    rate (real corpora mix 10/12/15/24 fps material), and the sampler
+    emits the frame nearest each uniform target-rate timestamp —
+    frame_idx = (j · native_fps) DIV target_fps for j = 0, 1, … while the
+    index stays inside the clip. All integer arithmetic so the stub is
+    engine-mirrorable; the codec boundary is the same documented stub as
+    sample_frames (native_fps and frame count derive deterministically
+    from payload length).
+
+    Scale: same 1→N mapInPandas shape as sample_frames; output rows ≈
+    duration × target_fps per clip regardless of native rate, so skew
+    follows clip length, not encoding.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    if not fake_decode:
+        raise NotImplementedError(
+            "video frame decode requires a codec library; install one and "
+            "replace the fake frame deriver"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, idxs, tss, fpss, sigs = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = len(b)
+                native_fps = (n % 7) + 10
+                n_frames = (n % 30) + 5
+                j = 0
+                while True:
+                    idx = (j * native_fps) // target_fps
+                    if idx >= n_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    tss.append(idx * 1000 // native_fps)
+                    fpss.append(native_fps)
+                    sigs.append(
+                        hashlib.md5(b + b":" + str(idx).encode()).hexdigest()
+                    )
+                    j += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_ts_ms": tss,
+                    "native_fps": fpss,
+                    "frame_sig": sigs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FPS_FRAME_SCHEMA)

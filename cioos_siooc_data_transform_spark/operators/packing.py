@@ -1,0 +1,101 @@
+"""Sequence packing for LLM training pipelines (beyond-reference scope).
+
+Two published packing strategies over a (source, doc_id, token_count)
+stream:
+
+- ``pack_chunks_fixed``: GPT-style concat-and-chunk — documents are
+  virtually concatenated per source in doc_id order and split at fixed
+  context-window boundaries; each document emits one row per window it
+  overlaps. Pure integer window arithmetic → whole-stage codegen; the
+  only shuffle is the per-source cumulative-sum window. At 100 TB the
+  partition key is the source (sub-shard by (source, date) when a single
+  source outgrows an executor's window partition).
+
+- ``pack_greedy_nosplit``: first-fit-in-order bin packing that never
+  splits a document (the "padded batches" strategy): a bin accumulates
+  documents until the next one would overflow the context length, then a
+  new bin starts. The running fill is a stateful scan with reset — not
+  expressible as a closed-form window — so it runs as an Arrow-batched
+  applyInPandas per source group (state confined to one partition key;
+  linear in group size; same sub-sharding note as above). A document
+  longer than the capacity occupies a bin alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PACK_SCHEMA = "source string, doc_id long, tokens long, bin_id long"
+
+
+def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, doc_id, tokens) with the registry-wide single-space
+    tokenizer; empty documents are dropped (nothing to pack)."""
+    tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return docs.select("source", "doc_id", tokens.alias("tokens")).filter(
+        F.col("tokens") > 0
+    )
+
+
+def pack_chunks_fixed(docs: DataFrame, capacity: int) -> DataFrame:
+    """Concat-and-chunk: rows (source, doc_id, chunk_id, chunk_tokens)
+    where chunk_id is the global fixed-size window (per source) the
+    document's token span overlaps."""
+    d = doc_tokens(docs)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = d.select(
+        "source",
+        "doc_id",
+        "tokens",
+        F.sum("tokens").over(w).alias("e"),
+    ).withColumn("s", F.col("e") - F.col("tokens"))
+    cap = F.lit(capacity).cast("long")
+    first = F.expr(f"s DIV {capacity}")
+    last = F.expr(f"(e - 1) DIV {capacity}")
+    exploded = spans.select(
+        "source",
+        "doc_id",
+        "s",
+        "e",
+        F.explode(F.sequence(first, last)).alias("chunk_id"),
+    )
+    chunk_tokens = F.least(
+        F.col("e"), (F.col("chunk_id") + 1) * cap
+    ) - F.greatest(F.col("s"), F.col("chunk_id") * cap)
+    return exploded.select(
+        "source", "doc_id", "chunk_id", chunk_tokens.alias("chunk_tokens")
+    )
+
+
+def pack_greedy_nosplit(docs: DataFrame, capacity: int) -> DataFrame:
+    """First-fit-in-order no-split packing: rows (source, doc_id, tokens,
+    bin_id), bin ids 1-based per source in doc_id order."""
+    d = doc_tokens(docs)
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 1, 0
+        for t in pdf["tokens"]:
+            if fill > 0 and fill + t > capacity:
+                bin_id += 1
+                fill = 0
+            fill += t
+            bins.append(bin_id)
+        return pd.DataFrame(
+            {
+                "source": pdf["source"],
+                "doc_id": pdf["doc_id"],
+                "tokens": pdf["tokens"],
+                "bin_id": pd.Series(bins, dtype="int64"),
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(pack, schema=_PACK_SCHEMA)

@@ -27,3 +27,4 @@ from cioos_siooc_data_transform_spark.plans import analytics  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import json_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import asof_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import sampling_queries  # noqa: F401,E402
+from cioos_siooc_data_transform_spark.plans import packing_queries  # noqa: F401,E402

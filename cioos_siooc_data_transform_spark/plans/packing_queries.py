@@ -1,0 +1,80 @@
+"""Sequence-packing [Q] operators (LLM training-data pipeline scope):
+concat-and-chunk fixed-window packing and greedy no-split bin packing
+over the documents table, each with a DuckDB oracle twin (window
+arithmetic / recursive CTE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cioos_siooc_data_transform_spark.operators.packing import (
+    pack_chunks_fixed,
+    pack_greedy_nosplit,
+)
+from cioos_siooc_data_transform_spark.plans.registry import register
+from cioos_siooc_data_transform_spark.session import read_table as _t
+
+_CAPACITY = 256  # context-window tokens; small enough to pack several docs
+
+
+@register(
+    "pack_chunks_fixed",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), w AS (
+      SELECT source, doc_id, tokens,
+             CAST(sum(tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS e
+      FROM d
+    )
+    SELECT source, doc_id, CAST(u.c AS BIGINT) AS chunk_id,
+           CAST(least(e, (u.c + 1) * {_CAPACITY})
+                - greatest(e - tokens, u.c * {_CAPACITY}) AS BIGINT)
+             AS chunk_tokens
+    FROM w, unnest(generate_series(
+      (e - tokens) // {_CAPACITY}, (e - 1) // {_CAPACITY})) AS u(c)
+    """,
+)
+def pack_chunks_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing index: per source, documents
+    are concatenated in doc_id order and split at {capacity}-token
+    boundaries; one row per (document, overlapped window). All integer
+    codegen; one cumulative window shuffle per source."""
+    return pack_chunks_fixed(_t(spark, sf_dir, "documents"), _CAPACITY)
+
+
+@register(
+    "pack_greedy_nosplit",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), s AS (
+      SELECT source, doc_id, tokens, rn,
+             CAST(1 AS BIGINT) AS bin_id, tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.tokens, d.rn,
+             CASE WHEN s.fill + d.tokens > {_CAPACITY}
+                  THEN s.bin_id + 1 ELSE s.bin_id END,
+             CASE WHEN s.fill + d.tokens > {_CAPACITY}
+                  THEN d.tokens ELSE s.fill + d.tokens END
+      FROM d JOIN s ON d.source = s.source AND d.rn = s.rn + 1
+    )
+    SELECT source, doc_id, tokens, bin_id FROM s
+    """,
+)
+def pack_greedy_nosplit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-in-order no-split packing (padded-batch strategy): the
+    stateful fill-and-reset scan runs as Arrow-batched applyInPandas per
+    source; the oracle is the equivalent recursive CTE."""
+    return pack_greedy_nosplit(_t(spark, sf_dir, "documents"), _CAPACITY)

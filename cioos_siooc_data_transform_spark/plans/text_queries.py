@@ -314,6 +314,102 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF in long form: tf from one per-doc aggregation, df from a
+# vocabulary-sized table that BROADCASTS back onto the term key (the same
+# Zipf-skew rule as lm_unigram_logprob: never shuffle the corpus on a
+# token key). ln(N/df) with the shared floor-rounding on both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tok
+    )
+    SELECT tf.doc_id, tf.t AS term, tf.tf, df.df,
+           floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000.0
+                 + 0.5) / 1000000.0 AS tfidf
+    FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form TF-IDF: the document-frequency table is vocabulary-sized
+    and broadcasts (hint pinned); the corpus-side tf aggregation is
+    map-side combinable on (doc, term). No shuffle ever carries the
+    Zipf-skewed bare term key."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words_expr(F.col("text"))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_tab = tok.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = tok.select(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    tfidf = (
+        F.floor(
+            F.col("tf")
+            * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return (
+        tf.join(F.broadcast(df_tab), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.col("t").alias("term"),
+            "tf",
+            "df",
+            tfidf.alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Variable-frame-rate sampling: per-clip native fps, uniform target-rate
+# timestamps — frame_idx = (j·native) DIV target. Integer-exact stub.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_frame_sample_fps",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             CAST((strlen(text) % 7) + 10 AS BIGINT) AS native_fps,
+             CAST((strlen(text) % 30) + 5 AS BIGINT) AS n_frames
+      FROM documents
+    ), j AS (
+      SELECT doc_id, text, native_fps, n_frames, u.j
+      FROM f, unnest(generate_series(0, (n_frames * 4) // native_fps)) AS u(j)
+    ), idx AS (
+      SELECT doc_id, text, native_fps, n_frames,
+             (j * native_fps) // 4 AS frame_idx
+      FROM j
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * 1000 // native_fps AS BIGINT) AS frame_ts_ms,
+           native_fps,
+           md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sig
+    FROM idx WHERE frame_idx < n_frames
+    """,
+)
+def multimodal_frame_sample_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.operators.multimodal import (
+        sample_frames_at_fps,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", "source")
+    return sample_frames_at_fps(media, target_fps=4, fake_decode=True)
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style quality filter (Rae et al. 2021, public rule set), adapted
 # to the short synthetic corpus: every rule is expressed in integer
 # arithmetic (cross-multiplied ratios), so keep/drop is bit-exact in any

@@ -110,7 +110,7 @@ def _plan_at(spark, name: str, sf_dir: str) -> str:
 
 @pytest.mark.parametrize(
     "name",
-    ["lm_unigram_logprob", "decontaminate_benchmark_overlap"],
+    ["lm_unigram_logprob", "decontaminate_benchmark_overlap", "text_tfidf"],
 )
 def test_broadcasts_survive_bench_scale_statistics(spark, name):
     """The broadcast plan shape must hold at the BENCH scale factor too:
@@ -135,7 +135,11 @@ def test_broadcast_threshold_zero_still_broadcasts_hinted_sides(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        for name in ["lm_unigram_logprob", "decontaminate_benchmark_overlap"]:
+        for name in [
+            "lm_unigram_logprob",
+            "decontaminate_benchmark_overlap",
+            "text_tfidf",
+        ]:
             plan = _plan(spark, name)
             assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, name
     finally:
