@@ -70,6 +70,84 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+def doc_shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh_set) with per-doc DISTINCT shingles as an ARRAY column —
+    entirely row-local (no explode, no shuffle). Docs too short to shingle
+    are dropped (matches explode-of-empty-array semantics)."""
+    sh = F.array_distinct(word_shingles(words_expr(F.col(text_col)), n))
+    return docs.select(F.col(id_col), sh.alias("sh_set")).filter(
+        F.size("sh_set") > 0
+    )
+
+
+def _minhash_fn(k: int, hash_family: str):
+    if hash_family == "md5":
+        digest_idx = (k - 1) // 4
+        offset = ((k - 1) % 4) * 8 + 1
+        return lambda s: F.substring(
+            F.md5(F.concat(s, F.lit(f"#{digest_idx}"))), offset, 8
+        )
+    return lambda s: F.xxhash64(s, F.lit(k))
+
+
+def minhash_signature_sets(
+    doc_sets: DataFrame,
+    id_col: str,
+    set_col: str = "sh_set",
+    num_hashes: int = 8,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Row-local minhash over shingle-set ARRAYS: h_k = array_min(
+    transform(set, s -> hash_k(s))) — the same values as the exploded
+    groupBy formulation (min over the same set) with ZERO shuffles before
+    the bucket self-join.
+
+    Measured trade-off (sf0.1 A/B, SCALE.md): the exploded formulation
+    benches ~2× faster here because its map-side partial agg shrinks the
+    signature shuffle to one row per doc per map task AND its distinct
+    Exchange is computed once and reused by every pipeline consumer,
+    while this form recomputes the scan+shingle projection per consumer.
+    Use this form when a query consumes the signatures exactly once (no
+    reuse to exploit) or when cluster shuffle capacity — not CPU — is the
+    binding constraint; the registered queries use the exploded form."""
+    cols = [
+        F.array_min(
+            F.transform(F.col(set_col), _minhash_fn(k, hash_family))
+        ).alias(f"h{k}")
+        for k in range(1, num_hashes + 1)
+    ]
+    return doc_sets.select(F.col(id_col), *cols)
+
+
+def jaccard_for_pair_sets(
+    pairs: DataFrame,
+    doc_sets: DataFrame,
+    id_col: str,
+    set_col: str = "sh_set",
+) -> DataFrame:
+    """jaccard_for_pairs over pre-built shingle-set arrays (skips the
+    collect_set shuffle; the sets were already row-local)."""
+    a = doc_sets.select(F.col(id_col).alias("doc_a"), F.col(set_col).alias("_sa"))
+    b = doc_sets.select(F.col(id_col).alias("doc_b"), F.col(set_col).alias("_sb"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("_sa") + F.size("_sb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signature(
     exploded: DataFrame,
     id_col: str,
@@ -366,7 +444,9 @@ def deduplicate_documents(
     (jaccard_for_pairs), so the LSH stage's pruning is actually realized —
     computing all shingle-sharing pairs first and semi-joining against
     candidates afterwards would spend the full inverted-index cost and
-    save nothing.
+    save nothing. The exploded formulation (distinct Exchange reused by
+    all consumers, map-side-combined signature agg) measured ~2× faster
+    than the row-local set formulation at sf0.1 — see SCALE.md.
     """
     shingled = docs.select(
         F.col(id_col),

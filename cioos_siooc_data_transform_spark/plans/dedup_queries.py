@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.operators.dedup import (
     connected_components,
+    doc_shingle_sets,
     exact_dedup,
     hyperplane_lsh_buckets,
     jaccard_for_pairs,
@@ -44,13 +45,15 @@ _SHINGLES_CTE = """
 
 
 def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc DISTINCT shingles.
+    """Per-doc DISTINCT shingles, EXPLODED — for the inverted-index
+    operators (n-gram Jaccard, decontamination) that genuinely need the
+    long form.
 
     array_distinct dedups inside the row; the trailing global distinct is
     then a near-no-op shuffle, but it creates an Exchange that Spark
     REUSES for every downstream consumer (self-join sides + size agg) —
     without it the text→shingle explode is recomputed per consumer, which
-    benches ~1.7× slower on the LSH/Jaccard pipelines."""
+    benches ~1.7× slower on the inverted-index pipelines."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -58,6 +61,16 @@ def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
         ).alias("s"),
     ).distinct()
+
+
+def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DISTINCT shingles as an ARRAY column — row-local, no
+    shuffle (see operators/dedup.py::minhash_signature_sets for when this
+    form wins). The registered LSH queries use the exploded formulation
+    instead: measured A/B at sf0.1 (SCALE.md) shows its map-side-combined
+    signature agg + reused distinct Exchange benches ~2× faster than
+    recomputing the row-local sets per consumer."""
+    return doc_shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
 
 # ---------------------------------------------------------------------------

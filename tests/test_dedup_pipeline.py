@@ -121,3 +121,68 @@ def test_lsh_identical_docs_always_pair(spark):
     }
     assert (1, 2) in pairs          # identical → guaranteed candidate
     assert (1, 3) not in pairs and (2, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_set_and_exploded_formulations_agree(spark):
+    """The row-local array formulation (minhash_signature_sets,
+    jaccard_for_pair_sets) must produce bit-identical signatures and
+    Jaccard values to the exploded groupBy formulation, for both hash
+    families — they are interchangeable physical strategies over the
+    same logical operator."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        doc_shingle_sets,
+        jaccard_for_pair_sets,
+        jaccard_for_pairs,
+        minhash_signature,
+        minhash_signature_sets,
+        word_shingles,
+        words_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+            (4, "alpha beta gamma delta epsilon zeta"),
+            (5, "ab"),  # too short to shingle → dropped by both forms
+        ],
+        "doc_id long, text string",
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    )
+    sets_ = doc_shingle_sets(docs, "doc_id", "text", 3)
+    for family in ("md5", "xxhash64"):
+        a = {
+            tuple(r)
+            for r in minhash_signature(
+                exploded, "doc_id", "s", num_hashes=8, hash_family=family
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in minhash_signature_sets(
+                sets_, "doc_id", num_hashes=8, hash_family=family
+            ).collect()
+        }
+        assert a == b, family
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 4), (2, 3)], "doc_a long, doc_b long"
+    )
+    ja = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_for_pairs(pairs, exploded, "doc_id", "s").collect()
+    }
+    jb = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_for_pair_sets(pairs, sets_, "doc_id").collect()
+    }
+    assert ja == jb
+    assert ja[(1, 4)] == 1.0  # identical docs
