@@ -101,6 +101,25 @@ def streaming_exact_dedup(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    the (slowly-changing) static dimension — the standard lookup/enrich
+    shape. The static side is re-evaluated per micro-batch (so an updated
+    dimension table is picked up without restarting the query) and is
+    broadcast when small; no state is kept for the static side, so the
+    join adds NOTHING to the streaming state store. Left join keeps
+    events whose key has no dimension row (nulls, to audit downstream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), key, "left")
+    )
+
+
 def stream_stream_attribution(
     views: DataFrame,
     purchases: DataFrame,

@@ -219,3 +219,51 @@ def test_stream_stream_attribution_matches_batch(spark):
         q.awaitTermination(180)
         got = spark.sql("SELECT count(*) AS n FROM attribution_sink").first()["n"]
         assert got == expected
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static enrichment must equal the batch left join, keep
+    unmatched keys (nulls), and add no streaming state (the static side
+    is re-read per micro-batch, not buffered)."""
+    from cioos_siooc_data_transform_spark.session import read_table
+    from cioos_siooc_data_transform_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "stream")
+        read_table(spark, SF, "events").write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        # a dimension covering only even user ids → odd ids stay, null tier
+        dim = (
+            read_table(spark, SF, "events")
+            .select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 2 == 0)
+            .withColumn("tier", F.concat(F.lit("t"), F.col("user_id") % 3))
+        )
+        enriched = stream_static_enrich(
+            stream.select("event_id", "user_id", "ts"), dim
+        )
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName("enrich_test")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = spark.sql("SELECT event_id, user_id, tier FROM enrich_test")
+        batch = (
+            read_table(spark, SF, "events")
+            .select("event_id", "user_id")
+            .join(dim, "user_id", "left")
+            .select("event_id", "user_id", "tier")
+        )
+        assert streamed.count() == batch.count()
+        assert streamed.exceptAll(batch).count() == 0
+        # unmatched (odd) users survive with null tier
+        assert streamed.filter(F.col("tier").isNull()).count() > 0
