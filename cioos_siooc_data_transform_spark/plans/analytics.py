@@ -271,6 +271,55 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robust_zscore_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, med, quantile_cont(abs(e.value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med
+    )
+    SELECT event_id, e.event_type,
+           floor((e.value - med) / (1.4826 * mad) * 1000000.0 + 0.5)
+             / 1000000.0 AS robust_z
+    FROM events e JOIN mad USING (event_type)
+    WHERE mad > 0.0
+      AND abs((e.value - med) / (1.4826 * mad)) > 3.5
+    """,
+)
+def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score outlier screen (Iglewicz & Hoaglin's
+    |z| > 3.5 rule with the 1.4826 normal-consistency constant) — unlike
+    mean/stddev z-scores, the estimate itself is not dragged by the
+    outliers it hunts. Two exact-percentile aggregations per group plus a
+    join back; at 100 TB swap percentile → approx_percentile (documented
+    trade: exact medians need a per-group sort). Groups whose MAD is 0
+    (over half the values identical) are excluded — the score is
+    undefined there."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        ev.join(mad, "event_type")
+        .filter((F.col("mad") > 0.0) & (F.abs(z) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            (F.floor(z * 1000000.0 + 0.5) / 1000000.0).alias("robust_z"),
+        )
+    )
+
+
+@register(
     "topk_per_group",
     oracle="""
     SELECT p_brand, p_partkey, p_retailprice FROM (

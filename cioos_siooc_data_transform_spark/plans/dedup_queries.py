@@ -94,7 +94,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH candidate-pair CTE chain, shared by dedup_minhash_lsh and the
 # end-to-end pipeline query (must stay bit-identical to the Spark
 # minhash_signature/lsh_band_buckets/lsh_candidate_pairs composition).
-_LSH_CAND_CTES = f"""
+_LSH_SIG_CTES = f"""
     sig AS (
       SELECT doc_id,
              {", ".join(
@@ -113,7 +113,11 @@ _LSH_CAND_CTES = f"""
       SELECT doc_id, bucket FROM (
         SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bands
       ) WHERE n <= 50
-    ),
+    )
+"""
+
+_LSH_CAND_CTES = f"""
+    {_LSH_SIG_CTES},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
@@ -538,6 +542,107 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.5
     )
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-snapshot (incremental) dedup: dedupe a NEW crawl against a PRIOR
+# corpus snapshot — the op every recurring ingestion runs. Two layers:
+# an exact digest membership check, and a near-dup layer whose LSH
+# candidate join is NEW × PRIOR (two-sided, not the self-join): buckets
+# are built over both snapshots with the shared mega-bucket guard, then
+# only cross-snapshot bucket collisions become candidates, confirmed by
+# exact Jaccard over the candidates. At scale both sides are large, so
+# the digest layer is a shuffle equi-join on a uniform key and the
+# bucket join explodes only within guarded buckets — nothing broadcasts
+# by assumption (AQE may choose to at small SF).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_cross_snapshot",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_SIG_CTES},
+    cross_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM guarded a JOIN guarded b ON a.bucket = b.bucket
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cross_cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT doc_a AS doc_id FROM (
+        SELECT doc_a,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    prior_dig AS (
+      SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 5 = 0
+    ),
+    newdocs AS (
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT n.doc_id,
+           (pd.digest IS NOT NULL) AS exact_dup,
+           (nr.doc_id IS NOT NULL) AS near_dup,
+           (pd.digest IS NULL AND nr.doc_id IS NULL) AS keep
+    FROM newdocs n
+    LEFT JOIN prior_dig pd ON n.digest = pd.digest
+    LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    """,
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new crawl (doc_id % 5 != 0) against a prior
+    snapshot (doc_id % 5 == 0): exact digest membership + cross-LSH
+    near-dup confirmation. Every new doc gets (exact_dup, near_dup, keep)
+    flags — the keep set is what enters training."""
+    docs = _t(spark, sf_dir, "documents")
+    is_prior = F.col("doc_id") % 5 == 0
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    w = Window.partitionBy("bucket")
+    guarded = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= 50
+    )
+    new_b = guarded.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("doc_a"), "bucket"
+    )
+    prior_b = guarded.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc_b"), "bucket"
+    )
+    cand = new_b.join(prior_b, "bucket").select("doc_a", "doc_b").distinct()
+    near = (
+        jaccard_for_pairs(cand, shingles, "doc_id", "s")
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    prior_dig = (
+        docs.filter(is_prior).select(F.md5("text").alias("digest")).distinct()
+        .withColumn("_exact", F.lit(1))
+    )
+    new_docs = docs.filter(~is_prior).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    return (
+        new_docs.join(prior_dig, "digest", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_exact").isNotNull().alias("exact_dup"),
+            F.col("_near").isNotNull().alias("near_dup"),
+            (F.col("_exact").isNull() & F.col("_near").isNull()).alias("keep"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
