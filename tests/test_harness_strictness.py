@@ -1,0 +1,65 @@
+"""The local harness must reproduce every round-2 driver failure class:
+array outputs crash the canonicalizer, -0.0 != 0.0, and HUGEINT→float64
+vs bigint hash differently. A harness that tolerates any of these lets
+local green diverge from driver red (the round-2 process bug)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR_SMOKE
+from tests.oracle_harness import compare_query
+
+
+def test_array_output_fails_like_driver(spark):
+    """Array-typed result columns must be reported as failures (the
+    driver's pandas canonicalizer raises TypeError on unhashable cells)."""
+
+    def q(spark_, sf_dir):
+        return spark_.sql("SELECT 1 AS id, array(1, 2) AS arr")
+
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, q, "SELECT 1 AS id, [1, 2] AS arr")
+    assert not ok
+    assert "canonicalizer" in msg
+
+
+def test_negative_zero_is_distinguished(spark):
+    """-0.0 and 0.0 are equal as numbers but different as hashed text —
+    exactly the gsw_turner_rsubrho r02 failure. The harness must flag it."""
+
+    def q(spark_, sf_dir):
+        return spark_.sql("SELECT CAST(0.0 AS DOUBLE) AS v")
+
+    # DuckDB round() preserves the sign of -ε → -0.0
+    ok, msg = compare_query(
+        spark, SF_DIR_SMOKE, q, "SELECT round(CAST(-1e-12 AS DOUBLE), 6) AS v"
+    )
+    assert not ok and "-0.0" in msg
+
+    # and the fixed idiom (+ 0.0 after rounding) passes
+    ok2, _ = compare_query(
+        spark, SF_DIR_SMOKE, q, "SELECT round(CAST(-1e-12 AS DOUBLE), 6) + 0.0 AS v"
+    )
+    assert ok2
+
+
+def test_int_vs_float_dtype_is_distinguished(spark):
+    """DuckDB HUGEINT window sums materialize as float64 ('3.0') while
+    Spark emits bigint ('3') — the sessionize_gap r02 failure. The
+    harness must flag the dtype-visible text difference."""
+
+    def q(spark_, sf_dir):
+        return spark_.sql("SELECT CAST(3 AS BIGINT) AS s")
+
+    # sum(int) over a window → HUGEINT → pandas float64
+    hugeint_oracle = """
+    SELECT sum(x) OVER () AS s FROM (SELECT 3 AS x)
+    """
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, q, hugeint_oracle)
+    assert not ok and "3.0" in msg
+
+    ok2, _ = compare_query(
+        spark,
+        SF_DIR_SMOKE,
+        q,
+        "SELECT CAST(sum(x) OVER () AS BIGINT) AS s FROM (SELECT 3 AS x)",
+    )
+    assert ok2
