@@ -314,6 +314,49 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token-distribution Shannon entropy per document: low entropy = repeated
+# boilerplate / keyword stuffing, high = diverse vocabulary. A standard
+# pretraining quality signal next to the Gopher ratios. One explode + two
+# combinable aggs; floor-rounded at 6 dp like every float score here.
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), cnt AS (
+      SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY 1
+    )
+    SELECT cnt.doc_id,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           floor(-sum((c / n) * log2(c / n)) * 1000000.0 + 0.5) / 1000000.0
+             AS token_entropy
+    FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+    GROUP BY cnt.doc_id, tot.n
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words_expr(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log2(p))
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg((F.floor(ent * 1000000.0 + 0.5) / 1000000.0).alias("token_entropy"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            "token_entropy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF in long form: tf from one per-doc aggregation, df from a
 # vocabulary-sized table that BROADCASTS back onto the term key (the same
 # Zipf-skew rule as lm_unigram_logprob: never shuffle the corpus on a
