@@ -620,6 +620,96 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ntile_quartile_buckets",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER (
+             PARTITION BY c_nationkey
+             ORDER BY c_acctbal ASC, c_custkey ASC
+           ) AS INT) AS quartile
+    FROM customer
+    """,
+)
+def ntile_quartile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth stratification: ntile(4) per nation over account
+    balance — the standard quantile-bucket assignment for stratified
+    sampling/monitoring (deterministic tie-break on the key)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "linear_trend_per_type",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(regr_slope(value, epoch(ts) / 86400.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS slope_per_day,
+           floor(corr(value, epoch(ts) / 86400.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS corr_vt
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def linear_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: regr_slope + Pearson correlation of
+    value against time (days) — drift detection for a metrics stream.
+    Single map-side-combinable agg (the regression moments are
+    associative sums); floor-rounded at 6 dp on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") / 86400.0
+    slope = F.expr("regr_slope(value, ts_days)")
+    return (
+        ev.withColumn("ts_days", x)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(slope * 1000000.0 + 0.5) / 1000000.0).alias("slope_per_day"),
+            (
+                F.floor(F.corr("value", "ts_days") * 1000000.0 + 0.5) / 1000000.0
+            ).alias("corr_vt"),
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 100.0 THEN 21
+                     ELSE floor(value / 5.0) + 1 END AS INT) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram per event type: 20 bins of width 5 over
+    [0, 100) with underflow bin 0 and overflow bin 21 (width_bucket
+    semantics, written as explicit arithmetic so both engines bin
+    identically) — the profiling aggregation a data-quality dashboard
+    runs per column. One combinable agg keyed by (type, bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0.0, F.lit(0))
+        .when(F.col("value") >= 100.0, F.lit(21))
+        .otherwise(F.floor(F.col("value") / 5.0) + 1)
+        .cast("int")
+    )
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "q6_forecast_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
