@@ -50,3 +50,52 @@ def test_chunks_fixed_anchors(spark):
     }
     # conservation: every token lands in exactly one chunk
     assert sum(v for (_, _), v in got.items()) == 900
+
+
+def test_packing_invariants_random(spark):
+    """Random corpora: chunk packing conserves every token exactly once
+    with no chunk over capacity; greedy packing never overfills a bin
+    (except a single oversized doc alone) and assigns bins contiguously
+    in doc order."""
+    import random
+
+    from cioos_siooc_data_transform_spark.operators.packing import (
+        pack_chunks_fixed,
+        pack_greedy_nosplit,
+    )
+
+    rng = random.Random(11)
+    cap = 64
+    rows = []
+    for src in ("a", "b", "c"):
+        for d in range(40):
+            rows.append((src, d, rng.randint(1, 100)))  # some docs > cap
+    docs = _docs(spark, rows)
+    tokens = {(s, d): n for s, d, n in rows}
+
+    chunks = pack_chunks_fixed(docs, cap).collect()
+    per_doc = {}
+    for r in chunks:
+        assert 1 <= r["chunk_tokens"] <= cap
+        per_doc[(r["source"], r["doc_id"])] = per_doc.get(
+            (r["source"], r["doc_id"]), 0
+        ) + r["chunk_tokens"]
+    assert per_doc == tokens  # conservation, nothing lost or duplicated
+
+    packed = pack_greedy_nosplit(docs, cap).collect()
+    fills = {}
+    for r in packed:
+        key = (r["source"], r["bin_id"])
+        fills.setdefault(key, []).append((r["doc_id"], r["tokens"]))
+    for (src, bin_id), members in fills.items():
+        total = sum(t for _, t in members)
+        if total > cap:
+            assert len(members) == 1  # only an oversized doc may overflow
+    # bins contiguous & non-decreasing in doc order per source
+    for src in ("a", "b", "c"):
+        seq = sorted(
+            ((r["doc_id"], r["bin_id"]) for r in packed if r["source"] == src)
+        )
+        bins = [b for _, b in seq]
+        assert bins[0] == 1
+        assert all(0 <= b2 - b1 <= 1 for b1, b2 in zip(bins, bins[1:]))
