@@ -248,6 +248,82 @@ def _parsed_mooring(spark: SparkSession) -> DataFrame:
     return _parse_cached(spark, "mooring", "memory://m1_2024.mctd", SAMPLE_MOORING)
 
 
+# ---------------------------------------------------------------------------
+# Current-meter variant (S11 strategy 1): an explicit FORMAT line drives
+# the Fortran-descriptor reader (fortran_spec.py) instead of the
+# CHANNEL DETAIL widths — parse_strategy must come back 'fortran'.
+# ---------------------------------------------------------------------------
+SAMPLE_CURRENT = """*2024/03/01 12:00:00.00
+*IOS HEADER VERSION 1.10 2011/10/26 2011/10/26
+
+*FILE
+    START TIME          : UTC 2024/02/01 00:00:00.000
+    NUMBER OF RECORDS   : 3
+    DATA DESCRIPTION    : Current observations
+    NUMBER OF CHANNELS  : 2
+    FORMAT              : (F7.1,F8.2)
+
+    $TABLE: CHANNELS
+    ! No Name            Units    Minimum  Maximum
+    !--- --------------- -------- -------- --------
+       1 Speed:East      cm/s     -10.0    10.0
+       2 Speed:North     cm/s     -20.0    20.0
+    $END
+
+*ADMINISTRATION
+    MISSION             : 2024-003
+
+*LOCATION
+    STATION             : C1
+    LATITUDE            :  48  30.00000 N  ! (deg min)
+    LONGITUDE           : 124  00.00000 W  ! (deg min)
+
+*END OF HEADER
+    1.5   -3.25
+   -2.0    4.50
+    9.9  -19.75
+"""
+
+
+def _parsed_current(spark: SparkSession) -> DataFrame:
+    return _parse_cached(spark, "current", "memory://c1_2024.cur", SAMPLE_CURRENT)
+
+
+@register(
+    "ios_fortran_format_parse",
+    oracle="""
+    SELECT file_id, record_idx, channel_idx,
+           CAST(v AS DOUBLE) AS value_num, 'fortran' AS parse_strategy
+    FROM (VALUES
+      ('c1_2024', 0, 1, 1.5),  ('c1_2024', 0, 2, -3.25),
+      ('c1_2024', 1, 1, -2.0), ('c1_2024', 1, 2, 4.5),
+      ('c1_2024', 2, 1, 9.9),  ('c1_2024', 2, 2, -19.75)
+    ) AS t(file_id, record_idx, channel_idx, v)
+    """,
+)
+def ios_fortran_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 strategy 1: the FORMAT line routes the data block through the
+    Fortran descriptor reader (sources/fortran_spec.py, the IDT
+    Fortran-format contract); the catalog must record
+    parse_strategy='fortran', proving the fixed-width fallback never
+    fired."""
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_catalog,
+        ios_measurements,
+    )
+
+    parsed = _parsed_current(spark)
+    meas = ios_measurements(parsed)
+    strat = ios_catalog(parsed).select("file_id", "parse_strategy")
+    return meas.join(strat, "file_id").select(
+        "file_id",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        F.col("channel_idx").cast("int").alias("channel_idx"),
+        "value_num",
+        "parse_strategy",
+    )
+
+
 @register(
     "ios_mooring_inferred_dt",
     oracle="""
