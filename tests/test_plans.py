@@ -24,6 +24,16 @@ def test_q1_pushdown_and_pruning(spark):
     assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
 
 
+def test_q6_all_predicates_reach_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    # pruning: only the four referenced columns are read
+    read = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in read and "l_partkey" not in read
+
+
 def test_broadcast_joins(spark):
     for name in ["broadcast_lookup_join", "q5_supplier_volume", "positional_schema_join"]:
         plan = _plan(spark, name)
