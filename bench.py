@@ -51,6 +51,10 @@ HEADLINE = [
     "decontaminate_benchmark_overlap",  # broadcast shingle-set overlap
     "interval_bin_join",         # binned range join
     "lm_unigram_logprob",        # broadcast-vocab LM scoring
+    # round-3 families:
+    "pack_chunks_fixed",         # concat-and-chunk packing (1 window shuffle)
+    "text_tfidf",                # broadcast-df TF-IDF
+    "dedup_cross_snapshot",      # NEW x PRIOR LSH + digest membership
 ]
 
 
