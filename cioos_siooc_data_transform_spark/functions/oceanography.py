@@ -143,6 +143,55 @@ def sigma0(s: Column, t: Column) -> Column:
     return rho_surface(s, t) - 1000.0
 
 
+def drho_dt(s: Column, t: Column) -> Column:
+    """∂ρ/∂T of the EOS-80 one-atmosphere density (analytic term-by-term
+    derivative of the rho_surface polynomial — same published
+    coefficients, differentiated exactly)."""
+    drho_w = (
+        F.lit(6.793952e-2)
+        - 2.0 * 9.095290e-3 * t
+        + 3.0 * 1.001685e-4 * t * t
+        - 4.0 * 1.120083e-6 * t * t * t
+        + 5.0 * 6.536332e-9 * t * t * t * t
+    )
+    da = (
+        F.lit(-4.0899e-3)
+        + 2.0 * 7.6438e-5 * t
+        - 3.0 * 8.2467e-7 * t * t
+        + 4.0 * 5.3875e-9 * t * t * t
+    )
+    db = F.lit(1.0227e-4) - 2.0 * 1.6546e-6 * t
+    return drho_w + da * s + db * (F.sqrt(s) * s)
+
+
+def drho_ds(s: Column, t: Column) -> Column:
+    """∂ρ/∂S of the EOS-80 one-atmosphere density (analytic)."""
+    a = (
+        F.lit(8.24493e-1)
+        - 4.0899e-3 * t
+        + 7.6438e-5 * t * t
+        - 8.2467e-7 * t * t * t
+        + 5.3875e-9 * t * t * t * t
+    )
+    b = F.lit(-5.72466e-3) + 1.0227e-4 * t - 1.6546e-6 * t * t
+    return a + 1.5 * b * F.sqrt(s) + 2.0 * 4.8314e-4 * s
+
+
+def thermal_expansion_alpha(s: Column, t: Column) -> Column:
+    """Thermal expansion coefficient α = −(1/ρ)·∂ρ/∂T (K⁻¹) from the
+    EOS-80 surface density — the exact counterpart of the documented
+    constant α = 2e-4 used by the linear-EOS queries (GSW's alpha takes
+    (SA, CT, p); this is the EOS-80 p=0 twin). Anchored in tests by
+    central finite differences of rho_surface."""
+    return -drho_dt(s, t) / rho_surface(s, t)
+
+
+def haline_contraction_beta(s: Column, t: Column) -> Column:
+    """Haline contraction coefficient β = (1/ρ)·∂ρ/∂S (kg/g-ish PSU⁻¹),
+    EOS-80 p=0 twin of GSW's beta; finite-difference anchored."""
+    return drho_ds(s, t) / rho_surface(s, t)
+
+
 def t_freezing(s: Column, p: Column) -> Column:
     """Freezing point of seawater (°C) at salinity S and pressure p
     (decibar) — Millero 1978 / UNESCO 1983:

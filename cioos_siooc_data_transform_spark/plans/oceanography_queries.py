@@ -195,6 +195,64 @@ def gsw_rho_sigma0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gsw_alpha_beta",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(-(
+              (6.793952e-2 - 2.0 * 9.095290e-3 * t + 3.0 * 1.001685e-4 * t * t
+               - 4.0 * 1.120083e-6 * t * t * t + 5.0 * 6.536332e-9 * t * t * t * t)
+              + (-4.0899e-3 + 2.0 * 7.6438e-5 * t - 3.0 * 8.2467e-7 * t * t
+                 + 4.0 * 5.3875e-9 * t * t * t) * s
+              + (1.0227e-4 - 2.0 * 1.6546e-6 * t) * (sqrt(s) * s)
+             ) / (
+              (999.842594 + 6.793952e-2 * t - 9.095290e-3 * t * t
+               + 1.001685e-4 * t * t * t - 1.120083e-6 * t * t * t * t
+               + 6.536332e-9 * t * t * t * t * t)
+              + (8.24493e-1 - 4.0899e-3 * t + 7.6438e-5 * t * t
+                 - 8.2467e-7 * t * t * t + 5.3875e-9 * t * t * t * t) * s
+              + (-5.72466e-3 + 1.0227e-4 * t - 1.6546e-6 * t * t) * (sqrt(s) * s)
+              + 4.8314e-4 * s * s
+             ) * 1e9 + 0.5) / 1e9 AS alpha,
+           floor((
+              (8.24493e-1 - 4.0899e-3 * t + 7.6438e-5 * t * t
+               - 8.2467e-7 * t * t * t + 5.3875e-9 * t * t * t * t)
+              + 1.5 * (-5.72466e-3 + 1.0227e-4 * t - 1.6546e-6 * t * t) * sqrt(s)
+              + 2.0 * 4.8314e-4 * s
+             ) / (
+              (999.842594 + 6.793952e-2 * t - 9.095290e-3 * t * t
+               + 1.001685e-4 * t * t * t - 1.120083e-6 * t * t * t * t
+               + 6.536332e-9 * t * t * t * t * t)
+              + (8.24493e-1 - 4.0899e-3 * t + 7.6438e-5 * t * t
+                 - 8.2467e-7 * t * t * t + 5.3875e-9 * t * t * t * t) * s
+              + (-5.72466e-3 + 1.0227e-4 * t - 1.6546e-6 * t * t) * (sqrt(s) * s)
+              + 4.8314e-4 * s * s
+             ) * 1e9 + 0.5) / 1e9 AS beta
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_alpha_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact EOS-80 thermal expansion α = −ρ⁻¹ ∂ρ/∂T and haline
+    contraction β = ρ⁻¹ ∂ρ/∂S (analytic derivatives of the published
+    Millero & Poisson polynomial) — the exact counterparts of the
+    constant α/β the linear-EOS queries document, and GSW alpha/beta's
+    p=0 twin. Rounded at 9 dp (the coefficients are O(1e-4))."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        haline_contraction_beta,
+        thermal_expansion_alpha,
+    )
+
+    df = _inputs(spark, sf_dir)
+    a = thermal_expansion_alpha(F.col("s"), F.col("t"))
+    b = haline_contraction_beta(F.col("s"), F.col("t"))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(a * 1e9 + 0.5) / 1e9).alias("alpha"),
+        (F.floor(b * 1e9 + 0.5) / 1e9).alias("beta"),
+    )
+
+
+@register(
     "gsw_freezing_point",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,

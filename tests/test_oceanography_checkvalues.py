@@ -76,6 +76,29 @@ def test_eos80_density_check_values(spark):
     )
 
 
+def test_alpha_beta_match_finite_differences(spark):
+    """The analytic EOS-80 α/β must equal central finite differences of
+    rho_surface (independent derivation from the same polynomial), and
+    carry the right physical signs/magnitudes at (35, 15):
+    α ≈ 2.1e-4 K⁻¹ > 0, β ≈ 7.5e-4 PSU⁻¹ > 0."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        haline_contraction_beta,
+        rho_surface,
+        thermal_expansion_alpha,
+    )
+
+    s0, t0, h = 35.0, 15.0, 1e-5
+    rho = lambda s, t: _eval(spark, rho_surface(F.lit(s), F.lit(t)))  # noqa: E731
+    alpha_fd = -(rho(s0, t0 + h) - rho(s0, t0 - h)) / (2 * h) / rho(s0, t0)
+    beta_fd = (rho(s0 + h, t0) - rho(s0 - h, t0)) / (2 * h) / rho(s0, t0)
+    alpha = _eval(spark, thermal_expansion_alpha(F.lit(s0), F.lit(t0)))
+    beta = _eval(spark, haline_contraction_beta(F.lit(s0), F.lit(t0)))
+    assert alpha == pytest.approx(alpha_fd, rel=1e-5)
+    assert beta == pytest.approx(beta_fd, rel=1e-5)
+    assert 1.5e-4 < alpha < 3.0e-4
+    assert 7.0e-4 < beta < 8.0e-4
+
+
 def test_freezing_point_check_value(spark):
     # UNESCO 1983 / Millero 1978: t_f(S=35, p=0) = −1.922 °C; pressure
     # term −7.53e−4 °C/dbar.
