@@ -620,6 +620,37 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percent_rank_cume_dist",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+             AS pct_rank,
+           floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+             AS cume
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice ASC)
+    """,
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank windows: percent_rank = (rank−1)/(n−1) and
+    cume_dist = rank_with_ties/n per brand over retail price — both are
+    value-based (tie rows share a value), so the result is deterministic
+    without a tiebreak column."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").asc())
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        (F.floor(F.percent_rank().over(w) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000.0 + 0.5) / 1000000.0).alias(
+            "cume"
+        ),
+    )
+
+
+@register(
     "ntile_quartile_buckets",
     oracle="""
     SELECT c_custkey, c_nationkey,
