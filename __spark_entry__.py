@@ -70,26 +70,32 @@ _CHECKED = frozenset(
         "cube_events", "grouping_sets_orders", "distinct_aggregation",
         "pivot_status_revenue", "correlated_above_avg", "full_outer_reconcile",
         "exact_percentiles",
+        # round 3 (all 50 green in CORRECTNESS_r03.json)
+        "anomaly_zscore", "array_functions", "asof_join_events",
+        "bool_bitwise_aggregates", "cohort_retention", "dedup_cross_snapshot",
+        "deterministic_sample", "gsw_alpha_beta", "gsw_freezing_point",
+        "gsw_rho_sigma0", "gsw_sa_from_sp", "incremental_agg_merge",
+        "interval_bin_join", "ios_fortran_format_parse",
+        "json_malformed_tolerance", "json_props_extract", "key_skew_profile",
+        "linear_trend_per_type", "map_roundtrip", "market_basket_pairs",
+        "merge_upsert_latest", "multimodal_frame_sample_fps",
+        "ntile_quartile_buckets", "null_profile", "null_safe_join",
+        "percent_rank_cume_dist", "q18_large_orders", "q6_forecast_revenue",
+        "referential_audit", "robust_zscore_outliers", "rolling_avg_events",
+        "salted_skew_join", "sketch_distinct_users", "sql_api_surface",
+        "stats_moments", "stratified_sample", "text_tfidf",
+        "text_token_entropy", "topk_per_group", "trimmed_mean_grouped_udf",
+        "union_distinct_sources", "union_schema_evolution", "value_histogram",
+        "window_range_frame", "window_rank_family",
     }
-)
-
-# The 5 queries that failed (or crashed) the driver's r02 canonicalizer,
-# now fixed — sample these first so CORRECTNESS_r03 proves the fixes.
-_FIXED_FIRST = (
-    "embedding_quantize_int8",
-    "embedding_normalize",
-    "gsw_turner_rsubrho",
-    "gsw_geostrophic_velocity",
-    "sessionize_gap",
 )
 
 
 def _priority_order(names) -> list[str]:
     names = list(names)
-    fixed = [n for n in _FIXED_FIRST if n in names]
-    fresh = [n for n in names if n not in _CHECKED and n not in fixed]
-    seen = [n for n in names if n in _CHECKED and n not in fixed]
-    return fixed + fresh + seen
+    fresh = [n for n in names if n not in _CHECKED]
+    seen = [n for n in names if n in _CHECKED]
+    return fresh + seen
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

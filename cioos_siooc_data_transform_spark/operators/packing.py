@@ -31,7 +31,15 @@ _PACK_SCHEMA = "source string, doc_id long, tokens long, bin_id long"
 
 def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(source, doc_id, tokens) with the registry-wide single-space
-    tokenizer; empty documents are dropped (nothing to pack)."""
+    tokenizer.
+
+    Note: ``split('', ' ')`` has size 1 on both Spark and DuckDB
+    (``len(string_split('', ' '))``), so an empty text counts as one
+    empty-string token and is packed as a 1-token document — the
+    ``tokens > 0`` filter is a guard against pathological tokenizers
+    (e.g. one returning empty arrays), not an empty-text filter. Both
+    engines agree, so the oracle comparison is unaffected.
+    """
     tokens = F.size(F.split(F.col(text_col), " ")).cast("long")
     return docs.select("source", "doc_id", tokens.alias("tokens")).filter(
         F.col("tokens") > 0
@@ -72,9 +80,25 @@ def pack_chunks_fixed(docs: DataFrame, capacity: int) -> DataFrame:
     )
 
 
-def pack_greedy_nosplit(docs: DataFrame, capacity: int) -> DataFrame:
+def pack_greedy_nosplit(
+    docs: DataFrame, capacity: int, shard_rows: int | None = None
+) -> DataFrame:
     """First-fit-in-order no-split packing: rows (source, doc_id, tokens,
-    bin_id), bin ids 1-based per source in doc_id order."""
+    bin_id), bin ids 1-based per source in doc_id order.
+
+    ``shard_rows`` is the 100 TB escape hatch: without it, every document
+    of a source lands in ONE applyInPandas group — correct, but a single
+    mega-source becomes one giant task. With ``shard_rows=N``, sources
+    whose row count exceeds N (the same windowed-count guard idiom as the
+    LSH mega-bucket caps) are sub-sharded into contiguous ``doc_id DIV N``
+    ranges, packed per shard, and the per-shard bin ids are renumbered
+    into one contiguous 1-based sequence per source via a tiny
+    (sources × shards) offset table that is BROADCAST back — no second
+    big shuffle. The semantic trade is explicit: a bin never spans a
+    shard boundary, so each shard may waste one partial bin — negligible
+    at N rows per shard, and packing order within every shard is still
+    doc_id order. Small sources keep the exact single-group semantics.
+    """
     d = doc_tokens(docs)
 
     def pack(pdf):
@@ -89,7 +113,7 @@ def pack_greedy_nosplit(docs: DataFrame, capacity: int) -> DataFrame:
                 fill = 0
             fill += t
             bins.append(bin_id)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "source": pdf["source"],
                 "doc_id": pdf["doc_id"],
@@ -97,5 +121,44 @@ def pack_greedy_nosplit(docs: DataFrame, capacity: int) -> DataFrame:
                 "bin_id": pd.Series(bins, dtype="int64"),
             }
         )
+        if "shard" in pdf.columns:
+            out["shard"] = pdf["shard"]
+        return out
 
-    return d.groupBy("source").applyInPandas(pack, schema=_PACK_SCHEMA)
+    if shard_rows is None:
+        return d.groupBy("source").applyInPandas(pack, schema=_PACK_SCHEMA)
+
+    # Guard: only sources that outgrow shard_rows get sub-sharded. The
+    # count window has no ORDER BY — it is a per-source aggregate, not a
+    # sort, so it stays one map-side-combinable shuffle.
+    n_per_source = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    sharded = d.withColumn(
+        "shard",
+        F.when(
+            n_per_source > shard_rows,
+            (F.col("doc_id") / shard_rows).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    packed = sharded.groupBy("source", "shard").applyInPandas(
+        pack, schema=_PACK_SCHEMA + ", shard long"
+    )
+    # Renumber: cumulative bin count of the preceding shards of the same
+    # source. The offsets relation has one row per (source, shard) —
+    # vocabulary-sized — so its ordering window is trivial and the join
+    # back is broadcast.
+    shard_bins = packed.groupBy("source", "shard").agg(
+        F.max("bin_id").alias("nbins")
+    )
+    w = Window.partitionBy("source").orderBy("shard")
+    offsets = shard_bins.withColumn(
+        "offset", F.sum("nbins").over(w) - F.col("nbins")
+    ).select("source", "shard", "offset")
+    return (
+        packed.join(F.broadcast(offsets), ["source", "shard"])
+        .select(
+            "source",
+            "doc_id",
+            "tokens",
+            (F.col("bin_id") + F.col("offset")).alias("bin_id"),
+        )
+    )

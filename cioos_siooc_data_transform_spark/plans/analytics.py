@@ -281,12 +281,13 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events e JOIN med USING (event_type)
       GROUP BY e.event_type, med
     )
-    SELECT event_id, e.event_type,
-           floor((e.value - med) / (1.4826 * mad) * 1000000.0 + 0.5)
-             / 1000000.0 AS robust_z
-    FROM events e JOIN mad USING (event_type)
-    WHERE mad > 0.0
-      AND abs((e.value - med) / (1.4826 * mad)) > 3.5
+    SELECT event_id, event_type, robust_z FROM (
+      SELECT event_id, e.event_type,
+             floor((e.value - med) / (1.4826 * mad) * 1000000.0 + 0.5)
+               / 1000000.0 AS robust_z
+      FROM events e JOIN mad USING (event_type)
+      WHERE mad > 0.0
+    ) WHERE abs(robust_z) > 3.5
     """,
 )
 def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +298,12 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back; at 100 TB swap percentile → approx_percentile (documented
     trade: exact medians need a per-group sort). Groups whose MAD is 0
     (over half the values identical) are excluded — the score is
-    undefined there."""
+    undefined there. The |z| > 3.5 cut is applied to the 6-dp-rounded z
+    on BOTH engines (not the raw float): med/mad come from different
+    interpolation code paths (Spark percentile vs DuckDB quantile_cont),
+    and a last-ulp difference at the boundary would otherwise flip row
+    membership — rounding first makes the boundary decision use the same
+    canonicalized value that is hashed."""
     ev = _t(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -308,14 +314,12 @@ def robust_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
     )
     z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    rounded_z = F.floor(z * 1000000.0 + 0.5) / 1000000.0
     return (
         ev.join(mad, "event_type")
-        .filter((F.col("mad") > 0.0) & (F.abs(z) > 3.5))
-        .select(
-            "event_id",
-            "event_type",
-            (F.floor(z * 1000000.0 + 0.5) / 1000000.0).alias("robust_z"),
-        )
+        .filter(F.col("mad") > 0.0)
+        .select("event_id", "event_type", rounded_z.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) > 3.5)
     )
 
 

@@ -67,15 +67,24 @@ SAMPLE_IOS = """*2024/01/15 10:00:00.00
 # branch of every query (ios_measurements_masked alone references the
 # parsed relation three times). Persisting the 1-row parsed frame turns
 # all downstream ios_* queries into pure-JVM reads of an InMemoryRelation.
-_PARSED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _parse_cached(spark: SparkSession, key: str, path: str, text: str) -> DataFrame:
     from cioos_siooc_data_transform_spark.sources.ios_source import parse_ios
 
-    cache_key = (id(spark), key)
+    # Keyed by applicationId, not id(spark): CPython can reuse an object id
+    # after a stopped session is garbage-collected, which would hand back a
+    # persisted frame bound to a dead SparkContext. applicationId is unique
+    # per context; entries from dead sessions are evicted on next access.
+    cache_key = (spark.sparkContext.applicationId, key)
     df = _PARSED_CACHE.get(cache_key)
+    if df is not None and df.sparkSession.sparkContext._jsc is None:
+        df = None
     if df is None:
+        stale = [k for k in _PARSED_CACHE if k[0] != cache_key[0]]
+        for k in stale:
+            _PARSED_CACHE.pop(k, None)
         files = spark.createDataFrame(
             [(path, bytearray(text.encode("ascii")))],
             "path STRING, content BINARY",

@@ -93,6 +93,35 @@ def _first_diff(s: pd.DataFrame, d: pd.DataFrame) -> str:
     return "hash differs but no cell-text diff found (column order?)"
 
 
+#: DuckDB result-column types that have burned a driver round (or would):
+#: HUGEINT → pandas float64 while Spark emits int64 (r02 sessionize_gap);
+#: LIST/STRUCT/MAP → unhashable cells crash the canonicalizer (r02
+#: embedding queries); DATE → collects as pandas Timestamp while Spark
+#: DateType collects as datetime.date (repr mismatch); TIME similarly;
+#: DECIMAL → repr('Decimal(..)') never matches a Spark double.
+#: (TIMESTAMP is fine — both engines collect it as pandas Timestamp —
+#: so the time ban is exact-match TIME/TIMETZ, not a prefix.)
+_BANNED_TYPE_PREFIXES = ("HUGEINT", "UHUGEINT", "DATE", "DECIMAL")
+_BANNED_TYPE_EXACT = ("TIME", "TIMETZ")
+_BANNED_TYPE_MARKERS = ("[]", "STRUCT", "MAP(")
+
+
+def lint_oracle_types(con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
+    """Static driver-canon lint: prepare (not execute) the oracle and flag
+    any result-column type from a class that has previously produced a
+    local-green/driver-red divergence. Returns 'col: TYPE' findings."""
+    rel = con.sql(oracle)
+    findings = []
+    for col, typ in zip(rel.columns, (str(t) for t in rel.types)):
+        if (
+            typ.startswith(_BANNED_TYPE_PREFIXES)
+            or typ in _BANNED_TYPE_EXACT
+            or any(m in typ for m in _BANNED_TYPE_MARKERS)
+        ):
+            findings.append(f"{col}: {typ}")
+    return findings
+
+
 def compare_query(spark, sf_dir: str, query_fn, oracle: str):
     """Return (ok, message) for one query/oracle pair, judged exactly as
     the driver judges it: row count, column-name set, value hash of the

@@ -16,12 +16,21 @@ def test_priority_order_is_permutation_of_registry():
     assert set(e.oracle_sql()) == set(all_oracles())
 
 
-def test_fixed_first_names_exist_and_lead():
+def test_fresh_names_lead_the_sampling_order():
+    """Never-driver-checked queries must sample before already-green
+    ones — the driver takes the first 50, so a fresh query buried past
+    position 49 would never earn a CORRECTNESS row."""
     import __spark_entry__ as e
 
     qs = list(e.queries())
-    for i, name in enumerate(e._FIXED_FIRST):
-        assert qs[i] == name, f"fixed-first query {name} not at position {i}"
+    first_seen_checked = next(
+        (i for i, n in enumerate(qs) if n in e._CHECKED), len(qs)
+    )
+    for i, name in enumerate(qs[:first_seen_checked]):
+        assert name not in e._CHECKED
+    assert all(n in e._CHECKED for n in qs[first_seen_checked:]), (
+        "a fresh (never-checked) query is ordered after already-checked ones"
+    )
 
 
 def test_checked_set_names_are_registered():

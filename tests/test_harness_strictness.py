@@ -63,3 +63,48 @@ def test_int_vs_float_dtype_is_distinguished(spark):
         "SELECT CAST(sum(x) OVER () AS BIGINT) AS s FROM (SELECT 3 AS x)",
     )
     assert ok2
+
+
+def test_oracle_type_lint_catches_known_bad_classes():
+    """The static lint must flag every oracle-type class that has (or
+    would have) produced a local-green/driver-red divergence — a fixture
+    per class, plus the benign types it must NOT flag."""
+    import duckdb
+
+    from tests.oracle_harness import lint_oracle_types
+
+    con = duckdb.connect()
+    bad_fixtures = {
+        "hugeint window sum": "SELECT sum(x) OVER () AS s FROM (SELECT 3 AS x)",
+        "array column": "SELECT [1, 2] AS arr",
+        "struct column": "SELECT {'a': 1} AS st",
+        "raw date": "SELECT date_trunc('day', TIMESTAMP '2020-01-02 03:04') AS d",
+        "decimal literal": "SELECT 1.5 AS v",
+        "time": "SELECT TIME '10:00' AS t",
+    }
+    for label, sql in bad_fixtures.items():
+        assert lint_oracle_types(con, sql), f"lint missed: {label}"
+
+    good = (
+        "SELECT CAST(sum(x) OVER () AS BIGINT) AS s, "
+        "CAST(1.5 AS DOUBLE) AS v, TIMESTAMP '2020-01-02 03:04' AS ts, "
+        "'x' AS str FROM (SELECT 3 AS x)"
+    )
+    assert lint_oracle_types(con, good) == []
+
+
+def test_registry_oracles_pass_type_lint():
+    """Registry-wide driver-canon contract: EVERY registered oracle must
+    prepare cleanly in DuckDB with no banned result-column type. This is
+    the guard that keeps the round-2 failure classes (HUGEINT, arrays,
+    dates, decimals) from ever re-entering via a new query."""
+    from cioos_siooc_data_transform_spark.plans import all_oracles
+    from tests.oracle_harness import duckdb_connection, lint_oracle_types
+
+    con = duckdb_connection(SF_DIR_SMOKE)
+    findings = {}
+    for name, sql in all_oracles().items():
+        hits = lint_oracle_types(con, sql)
+        if hits:
+            findings[name] = hits
+    assert findings == {}, f"banned oracle result types: {findings}"

@@ -99,3 +99,67 @@ def test_packing_invariants_random(spark):
         bins = [b for _, b in seq]
         assert bins[0] == 1
         assert all(0 <= b2 - b1 <= 1 for b1, b2 in zip(bins, bins[1:]))
+
+
+def test_greedy_nosplit_subsharded_mega_source(spark):
+    """shard_rows sub-shards a deliberately-huge single source so no
+    applyInPandas group ever sees more than ~shard_rows rows, while the
+    output keeps every packing invariant: all docs assigned exactly once,
+    bin ids one contiguous 1-based sequence per source, no bin overfilled
+    (except an oversized doc alone), bins non-decreasing in doc order,
+    and bins never span a shard boundary. A small source alongside keeps
+    the exact unsharded semantics (guard fires only above shard_rows)."""
+    import random
+
+    from cioos_siooc_data_transform_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+
+    rng = random.Random(7)
+    cap, shard_rows = 64, 500
+    rows = [("mega", d, rng.randint(1, 100)) for d in range(3000)]
+    rows += [("small", d, rng.randint(1, 40)) for d in range(20)]
+    docs = _docs(spark, rows)
+
+    packed = pack_greedy_nosplit(docs, cap, shard_rows=shard_rows).collect()
+    assert len(packed) == len(rows)  # every doc exactly once
+    assert {(r["source"], r["doc_id"]) for r in packed} == {
+        (s, d) for s, d, _ in rows
+    }
+
+    for src, n_docs in (("mega", 3000), ("small", 20)):
+        seq = sorted(
+            (r["doc_id"], r["bin_id"], r["tokens"])
+            for r in packed
+            if r["source"] == src
+        )
+        bins = [b for _, b, _ in seq]
+        assert bins[0] == 1
+        assert all(0 <= b2 - b1 <= 1 for b1, b2 in zip(bins, bins[1:]))
+        fills = {}
+        for _, b, t in seq:
+            fills[b] = fills.get(b, 0) + t
+        counts = {}
+        for _, b, _ in seq:
+            counts[b] = counts.get(b, 0) + 1
+        for b, total in fills.items():
+            if total > cap:
+                assert counts[b] == 1
+        if src == "mega":
+            # no bin spans a doc_id DIV shard_rows boundary
+            shard_of_bin = {}
+            for d, b, _ in seq:
+                shard_of_bin.setdefault(b, set()).add(d // shard_rows)
+            assert all(len(s) == 1 for s in shard_of_bin.values())
+
+    # small source must match the unsharded output exactly
+    unsharded = {
+        (r["doc_id"]): r["bin_id"]
+        for r in pack_greedy_nosplit(
+            docs.filter("source = 'small'"), cap
+        ).collect()
+    }
+    sharded_small = {
+        r["doc_id"]: r["bin_id"] for r in packed if r["source"] == "small"
+    }
+    assert sharded_small == unsharded
