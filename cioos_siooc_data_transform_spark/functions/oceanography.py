@@ -82,9 +82,13 @@ def practical_salinity(cond_ratio: Column, t: Column) -> Column:
 
 def potential_temperature(t: Column, s: Column, p: Column, p_ref: Column | float = 0.0) -> Column:
     """Bryden (1973) polynomial for potential temperature θ(S, T, p)
-    referenced to p_ref (decibar), atmospheric reference by default."""
+    referenced to p_ref, atmospheric reference by default. Inputs are
+    DECIBAR (the engine-wide pressure unit); Bryden's fit is in BARS, so
+    the pressure difference is scaled by 0.1 internally — the leading
+    coefficient 3.6504e-4 °C/bar ≡ 3.65e-5 °C/dbar, matching the UNESCO
+    (1983) adiabatic-gradient scale (3.5803e-5 °C/dbar)."""
     pr = F.lit(p_ref) if not isinstance(p_ref, Column) else p_ref
-    dp = p - pr
+    dp = (p - pr) * 0.1
     s35 = s - 35.0
     return (
         t

@@ -1,0 +1,206 @@
+"""TEOS-10 native (SA, CT) surface: Conservative Temperature and the
+75-term specific-volume / density polynomial.
+
+Everything here derives from PUBLISHED constants and equations:
+
+- CT_from_pt: potential enthalpy polynomial of McDougall (2003) as fitted
+  in Feistel (2003) / IOC-SCOR-IAPSO (2010, TEOS-10 manual, Eq. 3.3.3 and
+  appendix A.12); cp0 = 3991.86795711963 J kg-1 K-1 is the TEOS-10
+  defined constant.
+- specvol/rho: the 75-term polynomial of Roquet, Madec, McDougall &
+  Barker (2015, Ocean Modelling 90) — the fit TEOS-10 adopted for the
+  computationally-efficient expression of v(SA, CT, p).
+
+Parity note (reference GSW-Python/gsw-3.3.1/src/c_gsw/
+gsw_oceanographic_toolbox.c:1401 gsw_ct_from_pt, :2009 gsw_specvol;
+coefficient table gsw_internal_const.h GSW_SPECVOL_COEFFICIENTS): the
+reference vendors the same published constants; this module re-expresses
+the evaluation as a single portable SQL scalar expression that BOTH
+engines parse (Spark via F.expr, DuckDB verbatim), so the driver's
+bit-level hash comparison sees identical IEEE operation trees. GSW's
+CT_from_t obtains pt0 by entropy Newton iteration; this engine composes
+CT_from_pt with the published Bryden (1973) θ polynomial instead
+(documented divergence: |Δpt0| ≲ a few mK over oceanographic ranges —
+the iteration is not expressible as one scalar expression).
+
+Scale: every function is one closed-form scalar expression → whole-stage
+codegen, zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: TEOS-10 defined constants (IOC-SCOR-IAPSO 2010).
+GSW_SFAC = 0.0248826675584615  # SA normalization: 1/(40*(SSO/35))
+GSW_OFFSET = 5.971840214030754e-1  # deltaS(=24) * sfac, specvol xs shift
+GSW_CP0 = 3991.86795711963  # J kg-1 K-1
+GSW_SSO = 35.16504  # Standard Ocean Absolute Salinity g/kg
+
+
+def _lit(v: float) -> str:
+    """Portable DOUBLE literal: force an exponent so neither engine
+    parses it as DECIMAL."""
+    s = repr(float(v))
+    return s if "e" in s or "E" in s else s + "e0"
+
+
+# ---------------------------------------------------------------------------
+# CT from pt — potential-enthalpy polynomial (Feistel 2003 fit).
+# Horner structure transcribed from the published expression
+# (TEOS-10 manual appendix A.12 / gsw_oceanographic_toolbox.c:1401).
+# Placeholders: {x2} = sfac*SA, {x} = sqrt(x2), {y} = pt*0.025.
+# ---------------------------------------------------------------------------
+_CT_FROM_PT_TEMPLATE = (
+    "(61.01362420681071e0 + {y}*(168776.46138048015e0 + "
+    "{y}*(-2735.2785605119625e0 + {y}*(2574.2164453821433e0 + "
+    "{y}*(-1536.6644434977543e0 + {y}*(545.7340497931629e0 + "
+    "(-50.91091728474331e0 - 18.30489878927802e0*{y})*{y}))))) + "
+    "{x2}*(268.5520265845071e0 + {y}*(-12019.028203559312e0 + "
+    "{y}*(3734.858026725145e0 + {y}*(-2046.7671145057618e0 + "
+    "{y}*(465.28655623826234e0 + (-0.6370820302376359e0 - "
+    "10.650848542359153e0*{y})*{y})))) + "
+    "{x}*(937.2099110620707e0 + {y}*(588.1802812170108e0 + "
+    "{y}*(248.39476522971285e0 + (-3.871557904936333e0 - "
+    "2.6268019854268356e0*{y})*{y})) + "
+    "{x}*(-1687.914374187449e0 + {x}*(246.9598888781377e0 + "
+    "{x}*(123.59576582457964e0 - 48.5891069025409e0*{x})) + "
+    "{y}*(936.3206544460336e0 + "
+    "{y}*(-942.7827304544439e0 + {y}*(369.4389437509002e0 + "
+    "(-33.83664947895248e0 - 9.987880382780322e0*{y})*{y})))))))"
+)
+
+
+def ct_from_pt_sql(sa: str, pt: str) -> str:
+    """Portable SQL for Conservative Temperature from (SA g/kg, pt °C).
+
+    `sa`/`pt` are SQL sub-expressions (already DOUBLE)."""
+    x2 = f"({_lit(GSW_SFAC)}*({sa}))"
+    x = f"sqrt({x2})"
+    y = f"(({pt})*0.025e0)"
+    pot_enthalpy = _CT_FROM_PT_TEMPLATE.format(x2=x2, x=x, y=y)
+    return f"({pot_enthalpy}/{_lit(GSW_CP0)})"
+
+
+# ---------------------------------------------------------------------------
+# Bryden (1973) potential temperature — same polynomial as
+# functions/oceanography.potential_temperature, as portable SQL so the
+# CT_from_t composition is one expression on both engines.
+# ---------------------------------------------------------------------------
+def pt0_from_t_sql(s: str, t: str, p: str) -> str:
+    """θ(S, T, p) referenced to 0 dbar (Bryden 1973), portable SQL.
+    `p` is DECIBAR; Bryden's fit is in bars, so dp = p·0.1 (see
+    functions/oceanography.potential_temperature)."""
+    dp = f"(({p})*0.1e0)"
+    return (
+        f"(({t}) "
+        f"- {dp}*(3.6504e-4 + 8.3198e-5*({t}) - 5.4065e-7*({t})*({t}) "
+        f"+ 4.0274e-9*({t})*({t})*({t})) "
+        f"- {dp}*(({s}) - 35.0e0)*(1.7439e-5 - 2.9778e-7*({t})) "
+        f"- {dp}*{dp}*(8.9309e-7 - 3.1628e-8*({t}) "
+        f"+ 2.1987e-10*({t})*({t})) "
+        f"+ 4.1057e-9*(({s}) - 35.0e0)*{dp}*{dp} "
+        f"- {dp}*{dp}*{dp}*(-1.6056e-10 + 5.0484e-12*({t})))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 75-term specific volume v(SA, CT, p) — Roquet et al. (2015).
+# Coefficient table transcribed from the published fit (named vIJK:
+# I = xs power, J = ys power, K = z power); Horner structure as
+# published (gsw_oceanographic_toolbox.c:2009 gsw_specvol).
+# ---------------------------------------------------------------------------
+SPECVOL_COEFFS: dict[str, float] = {
+    "v000": 1.0769995862e-3, "v001": -6.0799143809e-5, "v002": 9.9856169219e-6,
+    "v003": -1.1309361437e-6, "v004": 1.0531153080e-7, "v005": -1.2647261286e-8,
+    "v006": 1.9613503930e-9, "v010": -3.1038981976e-4, "v011": 2.4262468747e-5,
+    "v012": -5.8484432984e-7, "v013": 3.6310188515e-7, "v014": -1.1147125423e-7,
+    "v020": 6.6928067038e-4, "v021": -3.4792460974e-5, "v022": -4.8122251597e-6,
+    "v023": 1.6746303780e-8, "v030": -8.5047933937e-4, "v031": 3.7470777305e-5,
+    "v032": 4.9263106998e-6, "v040": 5.8086069943e-4, "v041": -1.7322218612e-5,
+    "v042": -1.7811974727e-6, "v050": -2.1092370507e-4, "v051": 3.0927427253e-6,
+    "v060": 3.1932457305e-5, "v100": -1.5649734675e-5, "v101": 1.8505765429e-5,
+    "v102": -1.1736386731e-6, "v103": -3.6527006553e-7, "v104": 3.1454099902e-7,
+    "v110": 3.5009599764e-5, "v111": -9.5677088156e-6, "v112": -5.5699154557e-6,
+    "v113": -2.7295696237e-7, "v120": -4.3592678561e-5, "v121": 1.1100834765e-5,
+    "v122": 5.4620748834e-6, "v130": 3.4532461828e-5, "v131": -9.8447117844e-6,
+    "v132": -1.3544185627e-6, "v140": -1.1959409788e-5, "v141": 2.5909225260e-6,
+    "v150": 1.3864594581e-6, "v200": 2.7762106484e-5, "v201": -1.1716606853e-5,
+    "v202": 2.1305028740e-6, "v203": 2.8695905159e-7, "v210": -3.7435842344e-5,
+    "v211": -2.3678308361e-7, "v212": 3.9137387080e-7, "v220": 3.5907822760e-5,
+    "v221": 2.9283346295e-6, "v222": -6.5731104067e-7, "v230": -1.8698584187e-5,
+    "v231": -4.8826139200e-7, "v240": 3.8595339244e-6, "v300": -1.6521159259e-5,
+    "v301": 7.9279656173e-6, "v302": -4.6132540037e-7, "v310": 2.4141479483e-5,
+    "v311": -3.4558773655e-6, "v312": 7.7618888092e-9, "v320": -1.4353633048e-5,
+    "v321": 3.1655306078e-7, "v330": 2.2863324556e-6, "v400": 6.9111322702e-6,
+    "v401": -3.4102187482e-6, "v402": -6.3352916514e-8, "v410": -8.7595873154e-6,
+    "v411": 1.2956717783e-6, "v420": 4.3703680598e-6, "v500": -8.0539615540e-7,
+    "v501": 5.0736766814e-7, "v510": -3.3052758900e-7, "v600": 2.0543094268e-7,
+}
+
+# Published Horner nesting, with {xs}/{ys}/{z} placeholders and vIJK
+# names substituted from SPECVOL_COEFFS (single source of truth — the
+# table is typed exactly once in this repo).
+_SPECVOL_TEMPLATE = (
+    "(v000 + {xs}*(v010 + {xs}*(v020 + {xs}*(v030 + {xs}*(v040 + "
+    "{xs}*(v050 + v060*{xs}))))) + {ys}*(v100 + {xs}*(v110 + {xs}*(v120 + "
+    "{xs}*(v130 + {xs}*(v140 + v150*{xs})))) + {ys}*(v200 + {xs}*(v210 + "
+    "{xs}*(v220 + {xs}*(v230 + v240*{xs}))) + {ys}*(v300 + {xs}*(v310 + "
+    "{xs}*(v320 + v330*{xs})) + {ys}*(v400 + {xs}*(v410 + v420*{xs}) + "
+    "{ys}*(v500 + v510*{xs} + v600*{ys}))))) + {z}*(v001 + {xs}*(v011 + "
+    "{xs}*(v021 + {xs}*(v031 + {xs}*(v041 + v051*{xs})))) + {ys}*(v101 + "
+    "{xs}*(v111 + {xs}*(v121 + {xs}*(v131 + v141*{xs}))) + {ys}*(v201 + "
+    "{xs}*(v211 + {xs}*(v221 + v231*{xs})) + {ys}*(v301 + {xs}*(v311 + "
+    "v321*{xs}) + {ys}*(v401 + v411*{xs} + v501*{ys})))) + {z}*(v002 + "
+    "{xs}*(v012 + {xs}*(v022 + {xs}*(v032 + v042*{xs}))) + {ys}*(v102 + "
+    "{xs}*(v112 + {xs}*(v122 + v132*{xs})) + {ys}*(v202 + {xs}*(v212 + "
+    "v222*{xs}) + {ys}*(v302 + v312*{xs} + v402*{ys}))) + {z}*(v003 + "
+    "{xs}*(v013 + v023*{xs}) + {ys}*(v103 + v113*{xs} + v203*{ys}) + "
+    "{z}*(v004 + v014*{xs} + v104*{ys} + {z}*(v005 + v006*{z}))))))"
+)
+
+
+def _substitute_coeffs(template: str) -> str:
+    import re
+
+    def repl(m: "re.Match[str]") -> str:
+        return _lit(SPECVOL_COEFFS[m.group(0)])
+
+    out = re.sub(r"v\d{3}", repl, template)
+    assert "v0" not in out and "v1" not in out
+    return out
+
+
+def specvol_sql(sa: str, ct: str, p: str) -> str:
+    """Portable SQL for specific volume v(SA g/kg, CT °C, p dbar) m³/kg."""
+    xs = f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"
+    ys = f"(({ct})*0.025e0)"
+    z = f"(({p})*1.0e-4)"
+    return _substitute_coeffs(_SPECVOL_TEMPLATE).format(xs=xs, ys=ys, z=z)
+
+
+def rho_sql(sa: str, ct: str, p: str) -> str:
+    """In-situ density ρ = 1/v(SA, CT, p), portable SQL."""
+    return f"(1.0e0/{specvol_sql(sa, ct, p)})"
+
+
+def ct_from_t_sql(s: str, t: str, p: str) -> str:
+    """CT from in-situ (SP-scaled SA, T, p): Bryden θ → CT_from_pt."""
+    sa = f"(({s})*({_lit(GSW_SSO)}/35.0e0))"
+    return ct_from_pt_sql(sa, pt0_from_t_sql(s, t, p))
+
+
+# -- Column wrappers (identical expression text → identical plans) ----------
+def ct_from_pt(sa: Column | str, pt: Column | str) -> Column:
+    sa_s = sa if isinstance(sa, str) else sa._jc.toString()
+    pt_s = pt if isinstance(pt, str) else pt._jc.toString()
+    return F.expr(ct_from_pt_sql(sa_s, pt_s))
+
+
+def specvol(sa: str, ct: str, p: str) -> Column:
+    return F.expr(specvol_sql(sa, ct, p))
+
+
+def rho(sa: str, ct: str, p: str) -> Column:
+    return F.expr(rho_sql(sa, ct, p))

@@ -35,3 +35,38 @@ def bucketed_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, key)
+
+
+# One bucketed write per (application, sf_dir): the write is the
+# pre-shuffle-once investment; every digest-keyed consumer afterwards
+# reads it Exchange-free.
+_BUCKETED_DOCS: dict[tuple[str, str], str] = {}
+
+
+def ensure_bucketed_documents(
+    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+) -> str:
+    """Write the documents table bucketed by a materialized md5 digest
+    column (text_hash) and return the managed-table name. Idempotent per
+    (session, sf_dir). This is the write half of the shuffle-elision
+    demo: groupBy/self-join on text_hash over this table plans with NO
+    Exchange (the bucketed scan already reports
+    hashpartitioning(text_hash, num_buckets))."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    name = _BUCKETED_DOCS.get(key)
+    if name is not None and spark.catalog.tableExists(name):
+        return name
+    stale = [k for k in _BUCKETED_DOCS if k[0] != key[0]]
+    for k in stale:
+        _BUCKETED_DOCS.pop(k, None)
+    name = "documents_bucketed_digest_" + str(abs(hash(sf_dir)) % 10**8)
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5("text")
+    )
+    write_bucketed(docs, name, "text_hash", num_buckets=num_buckets)
+    _BUCKETED_DOCS[key] = name
+    return name

@@ -109,21 +109,24 @@ def gsw_practical_salinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gsw_potential_temperature",
+    # dp = (p - 0) * 0.1: engine pressures are dbar, Bryden's fit is in
+    # bars (see functions/oceanography.potential_temperature).
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
            round(
              t
-             - p * (3.6504e-4 + 8.3198e-5 * t - 5.4065e-7 * t * t + 4.0274e-9 * t * t * t)
-             - p * (s - 35.0) * (1.7439e-5 - 2.9778e-7 * t)
-             - p * p * (8.9309e-7 - 3.1628e-8 * t + 2.1987e-10 * t * t)
-             + 4.1057e-9 * (s - 35.0) * p * p
-             - p * p * p * (-1.6056e-10 + 5.0484e-12 * t),
+             - ((p - 0.0e0) * 0.1e0) * (3.6504e-4 + 8.3198e-5 * t - 5.4065e-7 * t * t + 4.0274e-9 * t * t * t)
+             - ((p - 0.0e0) * 0.1e0) * (s - 35.0) * (1.7439e-5 - 2.9778e-7 * t)
+             - ((p - 0.0e0) * 0.1e0) * ((p - 0.0e0) * 0.1e0) * (8.9309e-7 - 3.1628e-8 * t + 2.1987e-10 * t * t)
+             + 4.1057e-9 * (s - 35.0) * ((p - 0.0e0) * 0.1e0) * ((p - 0.0e0) * 0.1e0)
+             - ((p - 0.0e0) * 0.1e0) * ((p - 0.0e0) * 0.1e0) * ((p - 0.0e0) * 0.1e0) * (-1.6056e-10 + 5.0484e-12 * t),
              6) AS theta
     FROM ({_IN_SQL})
     """,
 )
 def gsw_potential_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bryden (1973) polynomial, reference pressure 0."""
+    """Bryden (1973) polynomial, reference pressure 0 (p in dbar,
+    scaled to bars internally)."""
     df = _inputs(spark, sf_dir)
     return df.select(
         "l_orderkey",
@@ -927,4 +930,82 @@ def gsw_ipv_fn2_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mid_p",
             (F.floor((grad_ref / grad_loc) * 1e6 + 0.5) / 1e6).alias("ipv_ratio"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TEOS-10 native (SA, CT) tranche — round 4. The polynomial text is
+# GENERATED once (functions/teos10.py) and parsed by both engines, so the
+# IEEE operation trees are identical by construction.
+# ---------------------------------------------------------------------------
+from cioos_siooc_data_transform_spark.functions.teos10 import (  # noqa: E402
+    ct_from_t_sql,
+    rho_sql,
+)
+
+_SA_SQL = "(s*(35.16504e0/35.0e0))"
+
+
+@register(
+    "gsw_ct_from_t",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round({ct_from_t_sql("s", "t", "p")}, 6) AS ct
+    FROM ({_IN_SQL})
+    """,
+)
+def gsw_ct_from_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative Temperature from in-situ (SP, T, p): SP→SA by the
+    TEOS-10 reference-composition scaling, T→θ by Bryden (1973, bars),
+    θ→CT by the Feistel (2003) potential-enthalpy polynomial
+    (TEOS-10 manual A.12; reference gsw_ct_from_pt,
+    GSW-Python/gsw-3.3.1/src/c_gsw/gsw_oceanographic_toolbox.c:1401 —
+    same published constants, re-expressed as one codegen scalar
+    expression; GSW's entropy-iterated pt0 documented divergence ≲ mK)."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr(ct_from_t_sql("s", "t", "p")), 6).alias("ct"),
+    )
+
+
+@register(
+    "gsw_rho_ct_native",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round({rho_sql("sa", "ct", "p")}, 6) AS rho_ct,
+           round({rho_sql("sa", "ct", "0.0e0")} - 1000.0e0, 6) AS sigma0_ct
+    FROM (
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    )
+    """,
+)
+def gsw_rho_ct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SA/CT-native in-situ density and potential density anomaly from
+    the 75-term specific-volume polynomial (Roquet, Madec, McDougall &
+    Barker 2015 — the expression TEOS-10 adopted; reference gsw_specvol,
+    GSW-Python/gsw-3.3.1/src/c_gsw/gsw_oceanographic_toolbox.c:2009 and
+    coefficient table gsw_internal_const.h). CT is materialized as a
+    column first so the 75-term evaluation runs once per output — both
+    engines see the identical two-step plan. Validated against the
+    engine's independent EOS-80 implementation (max surface-grid
+    divergence 0.0075 kg/m³, tests/test_oceanography_checkvalues.py)."""
+    df = _inputs(spark, sf_dir)
+    staged = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr(rho_sql("sa", "ct", "p")), 6).alias("rho_ct"),
+        F.round(
+            F.expr(rho_sql("sa", "ct", "0.0e0")) - 1000.0, 6
+        ).alias("sigma0_ct"),
     )

@@ -42,3 +42,42 @@ def test_bucketed_join_eliminates_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_dedup_exact_bucketed_plan_and_parity(spark):
+    """The registered dedup_exact_bucketed query: (a) its digest groupBy
+    over the bucketed documents table plans with ZERO Exchange, (b) a
+    digest self-join on the same table also plans Exchange-free, and
+    (c) the answer matches plain dedup_exact row for row."""
+    from cioos_siooc_data_transform_spark.operators.bucketing import (
+        ensure_bucketed_documents,
+    )
+    from cioos_siooc_data_transform_spark.plans import QUERIES
+
+    agg = QUERIES["dedup_exact_bucketed"](spark, SF_DIR_SMOKE)
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+    table = ensure_bucketed_documents(spark, SF_DIR_SMOKE)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table(table)
+        self_join = t.alias("a").join(
+            t.alias("b"), "text_hash"
+        ).select("text_hash")
+        jplan = self_join._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in jplan
+        assert "Exchange" not in jplan, jplan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    plain = {
+        (r["text_hash"], r["keeper_id"], r["n_copies"])
+        for r in QUERIES["dedup_exact"](spark, SF_DIR_SMOKE).collect()
+    }
+    bucketed = {
+        (r["text_hash"], r["keeper_id"], r["n_copies"])
+        for r in agg.collect()
+    }
+    assert bucketed == plain

@@ -40,9 +40,13 @@ def test_potential_temperature_surface_identity(spark):
     # θ(S, T, p=0) ≡ T at the reference pressure
     th = _eval(spark, potential_temperature(F.lit(10.0), F.lit(35.0), F.lit(0.0)))
     assert th == pytest.approx(10.0, abs=1e-12)
-    # Bryden (1973) published check value: θ(S=25, T=10 °C, p=1000 dbar)
-    # = 8.4678516 °C
-    th2 = _eval(spark, potential_temperature(F.lit(10.0), F.lit(25.0), F.lit(1000.0)))
+    # Bryden (1973) published check value: θ(S=25, T=10 °C, p=1000 BARS)
+    # = 8.4678516 °C. The polynomial is calibrated in bars — 1000 bars
+    # = 10000 dbar in the engine's pressure unit (the ~1.53 °C adiabatic
+    # cooling is physical over 10 km, not 1 km; round-4 unit fix).
+    th2 = _eval(
+        spark, potential_temperature(F.lit(10.0), F.lit(25.0), F.lit(10000.0))
+    )
     assert th2 == pytest.approx(8.4678516, abs=1e-6)
 
 
@@ -432,3 +436,134 @@ def test_ipv_ratio_anchors(spark):
         .first()
     )
     assert row["r"] == pytest.approx(1.0 / 1.001, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# TEOS-10 native (SA, CT) tranche — round 4 anchors.
+# ---------------------------------------------------------------------------
+def _duck(sql: str) -> float:
+    import duckdb
+
+    return duckdb.sql(f"SELECT {sql} AS v").fetchone()[0]
+
+
+def test_ct_from_pt_designed_zero_and_identity():
+    """The F03 potential-enthalpy polynomial is constructed so that
+    CT(SSO, pt=0) = 0 (TEOS-10 manual §3.3); the fit's residual at the
+    zero point is < 1e-6 °C. And CT tracks pt to within 0.35 °C over
+    oceanographic pt (the known size of the CT-θ difference at high T/S
+    extremes is ~1 °C; on the SSO line it is far smaller)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        ct_from_pt_sql,
+    )
+
+    zero = _duck(ct_from_pt_sql(f"{GSW_SSO}e0", "0.0e0"))
+    assert abs(zero) < 1e-6
+    for pt in (2.0, 10.0, 20.0, 28.0):
+        ct = _duck(ct_from_pt_sql(f"{GSW_SSO}e0", f"{pt}e0"))
+        assert abs(ct - pt) < 0.35, (pt, ct)
+
+
+def test_specvol_75term_matches_published_table_and_structure():
+    """Transcription guard: the coefficient table AND the Horner nesting
+    must equal the published Roquet et al. (2015) expression exactly as
+    vendored by the reference (gsw_internal_const.h /
+    gsw_oceanographic_toolbox.c:2009). Catches any single-character
+    drift in the 75 constants or the nesting."""
+    import re
+
+    from cioos_siooc_data_transform_spark.functions import teos10
+
+    base = (
+        "/root/reference/cioos_data_transform/GSW-Python/gsw-3.3.1/src/c_gsw"
+    )
+    hdr = open(f"{base}/gsw_internal_const.h").read()
+    for name, val in teos10.SPECVOL_COEFFS.items():
+        m = re.search(rf"\b{name}\s*=\s*([-0-9.e+]+)", hdr)
+        assert m and float(m.group(1)) == val, name
+    assert len(teos10.SPECVOL_COEFFS) == 75
+
+    src = open(f"{base}/gsw_oceanographic_toolbox.c").read()
+    m = re.search(
+        r"gsw_specvol\(double sa, double ct, double p\)\s*\{.*?value = "
+        r"(.*?);\s*\n\s*return",
+        src,
+        re.S,
+    )
+    published = re.sub(r"\s+", "", m.group(1))
+    mine = re.sub(r"\s+", "", teos10._SPECVOL_TEMPLATE)
+    mine = (
+        mine.replace("{xs}", "xs").replace("{ys}", "ys").replace("{z}", "z")
+    )
+    assert mine == "(" + published + ")"
+
+
+def test_teos10_density_cross_validates_eos80():
+    """Independent-implementation cross-check: TEOS-10 75-term surface
+    density vs the engine's EOS-80 (UNESCO-check-valued) density agrees
+    to < 0.01 kg/m³ over S∈[25,40], T∈[-2,30] — the published agreement
+    level of the two equations of state. A typo in ANY low-order
+    specvol coefficient would blow this tolerance."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_pt_sql,
+        rho_sql,
+    )
+
+    for S in (25.0, 30.0, 35.0, 38.0, 40.0):
+        for T in (-2.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0):
+            sa = f"({S}e0*(35.16504e0/35.0e0))"
+            ct = _duck(ct_from_pt_sql(sa, f"{T}e0"))
+            rho_t10 = _duck(rho_sql(sa, repr(ct), "0.0e0"))
+            rho_w = (
+                999.842594 + 6.793952e-2 * T - 9.095290e-3 * T**2
+                + 1.001685e-4 * T**3 - 1.120083e-6 * T**4
+                + 6.536332e-9 * T**5
+            )
+            a = (
+                8.24493e-1 - 4.0899e-3 * T + 7.6438e-5 * T**2
+                - 8.2467e-7 * T**3 + 5.3875e-9 * T**4
+            )
+            b = -5.72466e-3 + 1.0227e-4 * T - 1.6546e-6 * T**2
+            rho_e80 = rho_w + a * S + b * S**1.5 + 4.8314e-4 * S**2
+            assert abs(rho_t10 - rho_e80) < 0.01, (S, T, rho_t10, rho_e80)
+
+
+def test_teos10_compressibility_band():
+    """In-situ density at SSO/CT=0 rises ~4.4-4.9 kg/m³ over the first
+    1000 dbar (seawater compressibility ~4.1e-6 /dbar) and specvol·rho
+    is exactly 1 by construction."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        rho_sql,
+        specvol_sql,
+    )
+
+    r0 = _duck(rho_sql("35.16504e0", "0.0e0", "0.0e0"))
+    r1k = _duck(rho_sql("35.16504e0", "0.0e0", "1000.0e0"))
+    assert 1027.5 < r0 < 1028.5
+    assert 4.2 < r1k - r0 < 5.0
+    prod = _duck(
+        f"{rho_sql('35.0e0', '10.0e0', '500.0e0')}"
+        f" * {specvol_sql('35.0e0', '10.0e0', '500.0e0')}"
+    )
+    assert prod == pytest.approx(1.0, abs=1e-15)
+
+
+def test_bryden_theta_is_in_bars(spark):
+    """Regression pin for the round-4 unit fix: θ(35, 10 °C, 1000 dbar)
+    must show ~0.11 °C of adiabatic cooling (Bryden's polynomial takes
+    bars; feeding dbar unscaled gave an unphysical ~1.1 °C)."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        potential_temperature,
+    )
+
+    row = (
+        spark.range(1)
+        .select(
+            potential_temperature(
+                F.lit(10.0), F.lit(35.0), F.lit(1000.0)
+            ).alias("theta")
+        )
+        .collect()[0]
+    )
+    assert row["theta"] == pytest.approx(10.0 - 0.1147, abs=0.02)
