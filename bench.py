@@ -55,6 +55,10 @@ HEADLINE = [
     "pack_chunks_fixed",         # concat-and-chunk packing (1 window shuffle)
     "text_tfidf",                # broadcast-df TF-IDF
     "dedup_cross_snapshot",      # NEW x PRIOR LSH + digest membership
+    # round-4 families:
+    "gsw_rho_ct_native",         # 75-term TEOS-10 polynomial codegen throughput
+    "q7_volume_shipping",        # 6-table broadcast-dim join + year agg
+    "q21_waiting_supplier",      # stacked semi+anti join against the same fact
 ]
 
 

@@ -517,3 +517,80 @@ def ngram_jaccard_pairs(
         )
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def substring_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_overlap_tokens: int = 8,
+    max_doc_freq: int = 10,
+) -> DataFrame:
+    """Exact-substring overlap detection (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better'
+    exact-substring family, re-expressed relationally): two documents
+    share a T-token substring iff they share T−k+1 CONSECUTIVE aligned
+    k-shingles on one diagonal (pa − pb constant). Positioned shingles →
+    doc-frequency-capped inverted-index join → gap-and-islands run
+    length per (pair, diagonal) → longest overlap = max run + k − 1.
+
+    Scale: the same inverted-index discipline as ngram_jaccard_pairs —
+    stop-grams (df > max_doc_freq) are dropped BEFORE the self-join, so
+    the join fanout per gram is ≤ max_doc_freq²; the islands window is
+    keyed by (pair, diagonal) — bounded by the shorter document's
+    length. No all-pairs comparison anywhere; a suffix array would give
+    the same answer with a global sort at 100 TB, this form gives it
+    with two keyed shuffles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n"),
+    ).filter(F.col("n") >= k)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("n") - (k - 1))
+        ).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        "p",
+        F.array_join(
+            F.slice(F.col("toks"), F.col("p").cast("int"), k), " "
+        ).alias("g"),
+    )
+    keep = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("g")
+    )
+    gg = grams.join(keep, "g", "left_semi")
+    a = gg.select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "g"
+    )
+    b = gg.select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "g"
+    )
+    pairs = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb"))
+    ).orderBy("pa")
+    islands = pairs.select(
+        "doc_a",
+        "doc_b",
+        "pa",
+        (F.col("pa") - F.row_number().over(w)).alias("grp"),
+        (F.col("pa") - F.col("pb")).alias("diag"),
+    )
+    runs = islands.groupBy("doc_a", "doc_b", "diag", "grp").agg(
+        F.count(F.lit(1)).alias("run")
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg((F.max("run") + (k - 1)).cast("long").alias("max_overlap_tokens"))
+        .filter(F.col("max_overlap_tokens") >= min_overlap_tokens)
+    )

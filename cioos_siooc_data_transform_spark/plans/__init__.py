@@ -28,3 +28,4 @@ from cioos_siooc_data_transform_spark.plans import json_queries  # noqa: F401,E4
 from cioos_siooc_data_transform_spark.plans import asof_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import sampling_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import packing_queries  # noqa: F401,E402
+from cioos_siooc_data_transform_spark.plans import tpch_extra  # noqa: F401,E402

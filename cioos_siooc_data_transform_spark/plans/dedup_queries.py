@@ -860,3 +860,53 @@ def dedup_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).distinct()
     return ngram_jaccard_pairs(sh, "doc_id", "s", threshold=0.5, max_doc_freq=_MAX_SHINGLE_DF)
+
+
+@register(
+    "dedup_substring_overlap",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    ), g AS (
+      SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+             array_to_string(list_slice(toks, u.p, u.p + 4), ' ') AS g
+      FROM d, unnest(generate_series(1, n - 4)) AS u(p)
+    ), keep AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g
+      ) WHERE df <= 10
+    ), gg AS (
+      SELECT doc_id, p, g.g FROM g SEMI JOIN keep ON g.g = keep.g
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+      FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), islands AS (
+      SELECT doc_a, doc_b, pa - pb AS diag,
+             pa - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+             ) AS grp
+      FROM pairs
+    ), runs AS (
+      SELECT doc_a, doc_b, count(*) AS run
+      FROM islands GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, CAST(max(run) + 4 AS BIGINT) AS max_overlap_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    HAVING CAST(max(run) + 4 AS BIGINT) >= 8
+    """,
+)
+def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring overlap pairs (Lee et al. 2022 family): documents
+    sharing an aligned run of 5-token shingles on one diagonal share the
+    corresponding (run+4)-token substring verbatim; pairs with ≥8 shared
+    consecutive tokens are reported with their longest overlap. Inverted
+    index with the df≤10 stop-gram cap (operators/dedup.py
+    substring_overlap_pairs) — never O(n²)."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        substring_overlap_pairs,
+    )
+
+    return substring_overlap_pairs(_t(spark, sf_dir, "documents"))

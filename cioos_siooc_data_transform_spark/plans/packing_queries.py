@@ -78,3 +78,61 @@ def pack_greedy_nosplit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful fill-and-reset scan runs as Arrow-batched applyInPandas per
     source; the oracle is the equivalent recursive CTE."""
     return pack_greedy_nosplit(_t(spark, sf_dir, "documents"), _CAPACITY)
+
+
+_WIN = 64  # RAG chunk window (tokens)
+_STRIDE = 48  # overlap = _WIN - _STRIDE = 16 tokens
+
+
+@register(
+    "chunk_sliding_windows",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.s // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(u.s AS BIGINT) AS start_tok,
+           CAST(least(u.s + {_WIN}, n) - u.s AS BIGINT) AS chunk_len,
+           array_to_string(
+             list_slice(toks, u.s + 1, least(u.s + {_WIN}, n)), ' '
+           ) AS chunk_text
+    FROM d, unnest(generate_series(0, n - 1, {_STRIDE})) AS u(s)
+    """,
+)
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker: fixed {win}-token windows at
+    {stride}-token stride over each document's whitespace tokens,
+    emitting the materialized chunk text. Row-local (sequence + explode
+    + slice — zero shuffles, whole-stage codegen): at 100 TB this is a
+    pure map stage whose output is ~(1 + overlap/stride)× the corpus,
+    and the wide source text column is dropped in the same stage."""
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    exploded = d.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("n") - 1, F.lit(_STRIDE))
+        ).alias("s"),
+    )
+    chunk_len = F.least(F.col("s") + _WIN, F.col("n")) - F.col("s")
+    return exploded.select(
+        "doc_id",
+        (F.col("s") / _STRIDE).cast("long").alias("chunk_idx"),
+        F.col("s").alias("start_tok"),
+        chunk_len.cast("long").alias("chunk_len"),
+        F.array_join(
+            F.slice(F.col("toks"), (F.col("s") + 1).cast("int"), chunk_len.cast("int")),
+            " ",
+        ).alias("chunk_text"),
+    )
