@@ -59,6 +59,9 @@ HEADLINE = [
     "gsw_rho_ct_native",         # 75-term TEOS-10 polynomial codegen throughput
     "q7_volume_shipping",        # 6-table broadcast-dim join + year agg
     "q21_waiting_supplier",      # stacked semi+anti join against the same fact
+    "embedding_centroid_distance",  # integer-exact centroid agg + row-local distance
+    "text_bigram_repetition",    # shingle explode + two-level agg
+    "window_lag_lead_delta",     # single-pass lag/lead window
 ]
 
 

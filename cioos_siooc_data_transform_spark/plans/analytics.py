@@ -1244,3 +1244,245 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("support"))
         .filter(F.col("support") >= 2)
     )
+
+
+@register(
+    "window_lag_lead_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS us_since_prev,
+           floor((value - lag(value)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 1000000.0
+             + 0.5) / 1000000.0 AS value_delta,
+           lead(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def window_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead family over the per-user event stream: inter-arrival
+    time (exact integer microseconds), value delta vs the previous
+    event, and a peek at the next event type. The window order is
+    (ts, event_id) so ties are deterministic on both engines. One
+    shuffle keyed by user_id — high-cardinality, uniform; lag and lead
+    share the same window spec so Spark evaluates all three in a single
+    window pass (one sort per partition)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (us - F.lag(us).over(w)).alias("us_since_prev"),
+        (
+            F.floor((F.col("value") - F.lag("value").over(w)) * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, CAST(cnt AS BIGINT) AS modal_count
+    FROM r WHERE rn = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tie-break
+    (highest count, then lexicographically smallest value) — the
+    portable formulation of mode(): count-agg then row_number, never an
+    engine-specific mode() whose tie policy differs. Two shuffles, both
+    map-side combinable / keyed by user_id; the per-user window
+    partitions are bounded by the event-type cardinality."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("modal_type"),
+            F.col("cnt").cast("long").alias("modal_count"),
+        )
+    )
+
+
+@register(
+    "two_phase_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_value_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def two_phase_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation on a LOW-cardinality hot key: the
+    explicit skew-proof shape for keys too few to spread the shuffle
+    (a handful of event types over billions of rows). Phase 1 groups by
+    (event_type, salt) — 32 spreads per type — so every task combines
+    locally; phase 2 re-aggregates the 32·|types| partials. The value
+    sum is canonicalized to integer cents BEFORE the partial agg, so the
+    two-phase re-association is integer-exact and hash-identical to the
+    oracle's single-phase plan at any partitioning. (Spark's map-side
+    combine does phase 1 implicitly for built-in aggs; the explicit salt
+    is the pattern for when the combiner alone can't help — e.g.
+    collect-style or sketch states concentrated on one reducer.)"""
+    ev = _t(spark, sf_dir, "events")
+    salt = F.pmod(F.hash("event_id"), F.lit(32))
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    partial = (
+        ev.select("event_type", salt.alias("salt"), cents.alias("cents"))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("cents").alias("pc"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n_events"),
+        F.sum("pc").cast("long").alias("total_value_cents"),
+    )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) IS NULL
+             AS is_current
+    FROM orders
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history assembly: each change
+    record (here: a customer's orders as state versions) gets a
+    [valid_from, valid_to) interval from one lead() window, with the
+    open-ended current row flagged — the standard CDC-log →
+    point-in-time-queryable dimension build (the companion to
+    merge_upsert_latest, which keeps ONLY the current row). One shuffle
+    keyed by the natural key; the window order carries the id tiebreak
+    so same-timestamp versions chain deterministically."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(floor((epoch_us((SELECT max(o_orderdate) FROM orders))
+                         - epoch_us(max(o_orderdate))) / 86400000000.0)
+                  AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT quantile_disc(recency_days, 0.25) AS r1,
+             quantile_disc(recency_days, 0.50) AS r2,
+             quantile_disc(recency_days, 0.75) AS r3,
+             quantile_disc(frequency, 0.25) AS f1,
+             quantile_disc(frequency, 0.50) AS f2,
+             quantile_disc(frequency, 0.75) AS f3,
+             quantile_disc(monetary_cents, 0.25) AS m1,
+             quantile_disc(monetary_cents, 0.50) AS m2,
+             quantile_disc(monetary_cents, 0.75) AS m3
+      FROM rfm
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(1 + (recency_days > r1)::int + (recency_days > r2)::int
+                  + (recency_days > r3)::int AS BIGINT) AS r_quartile,
+           CAST(1 + (frequency > f1)::int + (frequency > f2)::int
+                  + (frequency > f3)::int AS BIGINT) AS f_quartile,
+           CAST(1 + (monetary_cents > m1)::int + (monetary_cents > m2)::int
+                  + (monetary_cents > m3)::int AS BIGINT) AS m_quartile
+    FROM rfm, cuts
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation, the
+    scale-honest way: quartile CUTPOINTS (discrete percentiles of the
+    integer-exact metrics) are computed once and broadcast, and each
+    customer is scored by comparison — NOT a global ntile(), whose
+    unpartitioned window would serialize the whole table through one
+    task at 100 TB. Cutpoint quartiles differ from ntile only in tie
+    handling (equal metric values always land in the same quartile here,
+    which is the analytically correct behavior anyway). Metrics are
+    integer-exact (day floor, cents floor) so quantile_disc picks
+    identical cutpoints on both engines. Two shuffles: the per-customer
+    agg (map-side combinable) and the 1-row cutpoint agg."""
+    o = _t(spark, sf_dir, "orders")
+    max_d = o.agg(F.unix_micros(F.max("o_orderdate")).alias("mx"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.unix_micros(F.max("o_orderdate")).alias("last_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .join(F.broadcast(max_d))
+        .select(
+            "o_custkey",
+            F.floor((F.col("mx") - F.col("last_us")) / 86400000000.0)
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {m})"
+            ).alias(f"{m[0]}{i}")
+            for m in ("recency_days", "frequency", "monetary_cents")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    scored = rfm.join(F.broadcast(cuts))
+
+    def q(m: str) -> F.Column:
+        return (
+            1
+            + (F.col(m) > F.col(f"{m[0]}1")).cast("int")
+            + (F.col(m) > F.col(f"{m[0]}2")).cast("int")
+            + (F.col(m) > F.col(f"{m[0]}3")).cast("int")
+        ).cast("long")
+
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        q("recency_days").alias("r_quartile"),
+        q("frequency").alias("f_quartile"),
+        q("monetary_cents").alias("m_quartile"),
+    )

@@ -910,3 +910,165 @@ def dedup_substring_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return substring_overlap_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_bag_of_words",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS bag_sig
+      FROM documents
+    )
+    SELECT bag_sig,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           count(*) > 1 AS is_dup_group
+    FROM sig GROUP BY bag_sig
+    """,
+)
+def dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: documents with the same token
+    MULTISET (a shuffled copy, a re-ordered list page) collapse to one
+    bag signature that plain digest dedup misses. The signature —
+    md5(sorted tokens) — is built row-locally in codegen (sort_array is
+    per-row, not a shuffle), then one hash agg on the uniform digest key:
+    identical 100 TB shape to ``dedup_exact``, one shuffle total.
+    DuckDB's list_sort and Spark's sort_array both sort ASCII
+    lexicographically, so the signatures agree byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.sort_array(words_expr(F.col("text"))))).alias(
+            "bag_sig"
+        ),
+    )
+    return sig.groupBy("bag_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        (F.count(F.lit(1)) > 1).alias("is_dup_group"),
+    )
+
+
+@register(
+    "dedup_prefix_cluster",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             array_to_string(string_split(text, ' ')[1:2], ' ') AS prefix_sig
+      FROM documents
+    )
+    SELECT prefix_sig,
+           CAST(count(*) AS BIGINT) AS cluster_size,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM sig GROUP BY prefix_sig HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix clustering (boilerplate detection): web corpora
+    carry families of pages that open with the same banner/header
+    tokens; grouping on the first-k-token prefix surfaces those families
+    for templated-content review. Row-local prefix slice (slice() in
+    codegen) then ONE hash agg on the prefix key; clusters are reported
+    with sizes so a downstream keep-one or strip-prefix pass can price
+    them. Prefix keys are Zipf-ish at web scale — the agg is map-side
+    combinable so hot prefixes collapse before the shuffle; a windowed
+    cap (the LSH mega-bucket idiom) guards any later per-cluster
+    explode."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(words_expr(F.col("text")), 1, 2)
+        ).alias("prefix_sig"),
+    )
+    return (
+        sig.groupBy("prefix_sig")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+@register(
+    "dedup_minhash_estimate_accuracy",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({" + ".join(f"(sa.h{k} = sb.h{k})::int" for k in range(1, 9))}
+                  AS BIGINT) AS n_match,
+             round(coalesce(n_common, 0)
+                   / (za.n + zb.n - coalesce(n_common, 0)), 6) AS exact_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
+      LEFT JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_match,
+           n_match / 8.0 AS est_jaccard, exact_jaccard,
+           floor(abs(n_match / 8.0 - exact_jaccard) * 1000000.0 + 0.5)
+             / 1000000.0 AS abs_err
+    FROM scored
+    """,
+)
+def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy diagnostic: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (matching-component fraction of the
+    8-hash signature) side by side with the EXACT Jaccard and the
+    absolute error — the query you run before trusting a (bands, rows)
+    configuration at corpus scale (tune until the error histogram's tail
+    clears the dedup threshold). Cost: the signature table is reused for
+    both bucketing and estimation (one agg, two consumers); the exact
+    side prices ONLY candidate pairs via array_intersect. All arithmetic
+    is exact-rational-over-integers on both engines (n_match/8, the
+    shared round-6 Jaccard), so the comparison is hash-stable."""
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    exact = jaccard_for_pairs(cand, shingles, "doc_id", "s")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(1, 9)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(1, 9)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(1, 9)
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            (n_match / 8.0).alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+            (
+                F.floor(
+                    F.abs(n_match / 8.0 - F.col("jaccard")) * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("abs_err"),
+        )
+    )

@@ -162,3 +162,88 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(unit).alias("pos", "unit_val"))
         .withColumn("pos", F.col("pos").cast("long"))
     )
+
+
+@register(
+    "embedding_centroid_distance",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xi
+      FROM embeddings
+    ), long AS (
+      SELECT label, unnest(range(len(xi))) AS pos, unnest(xi) AS x FROM v
+    ), cent AS (
+      SELECT label, pos, sum(x) AS s, count(*) AS cnt
+      FROM long GROUP BY label, pos
+    ), carr AS (
+      SELECT label, list(s / (1000000.0 * cnt) ORDER BY pos) AS c
+      FROM cent GROUP BY label
+    )
+    SELECT v.vec_id, v.label,
+           floor(sqrt(list_aggregate(
+             list_transform(range(len(v.xi)),
+               i -> (v.xi[i + 1] / 1000000.0 - c.c[i + 1])
+                    * (v.xi[i + 1] / 1000000.0 - c.c[i + 1])),
+             'sum')) * 1000000.0 + 0.5) / 1000000.0 AS centroid_dist
+    FROM v JOIN carr c ON v.label = c.label
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid + per-vector L2 distance to its own centroid —
+    the clustering-diagnostics / outlier-mining primitive (mislabelled
+    or off-manifold vectors sit far from their class centroid).
+
+    Engine-exactness by construction: vector elements are quantized to
+    integer micro-units FIRST, so the per-(label, dim) centroid sums are
+    integer aggregates (order-independent, exact on both engines); the
+    centroid becomes one exact integer division, and the distance is a
+    row-local left-to-right fold over identical doubles (zip_with +
+    aggregate vs list_transform + list_aggregate) — bit-identical IEEE
+    on both sides, no float-boundary risk at any SF.
+
+    Scale: ONE shuffle (the (label, dim) integer agg — at most
+    labels x dims groups, fully map-side combinable); the centroid array
+    table is labels-sized and broadcast, and the distance is computed
+    row-locally in codegen, so the corpus streams through once. At
+    extreme row counts the BIGINT micro-unit sums approach overflow
+    around 9e12 rows per label — switch the sum to DECIMAL(38,0) there."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    xi = F.transform(e, lambda x: F.floor(x * 1000000.0 + 0.5).cast("long"))
+    v = emb.select("vec_id", "label", xi.alias("xi"))
+    long_ = v.select("label", F.posexplode(F.col("xi")).alias("pos", "x"))
+    cent = long_.groupBy("label", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    carr = (
+        cent.select(
+            "label",
+            F.struct("pos", (F.col("s") / (1000000.0 * F.col("cnt"))).alias("cv")).alias(
+                "pc"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pc")), lambda st: st["cv"]
+            ).alias("c")
+        )
+    )
+    xd = F.transform(F.col("xi"), lambda q: q / 1000000.0)
+    dist2 = F.aggregate(
+        F.zip_with(xd, F.col("c"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        v.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(F.sqrt(dist2) * 1000000.0 + 0.5) / 1000000.0).alias(
+                "centroid_dist"
+            ),
+        )
+    )

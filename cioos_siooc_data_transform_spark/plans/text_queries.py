@@ -820,3 +820,57 @@ def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= 5)
     )
+
+
+@register(
+    "text_bigram_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                                   i -> words[i] || ' ' || words[i + 1])) AS bigram
+      FROM w WHERE len(words) >= 2
+    ), per AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           floor((1.0 - count(*) / sum(c)) * 1000000.0 + 0.5) / 1000000.0
+             AS dup_bigram_ratio
+    FROM per GROUP BY doc_id
+    """,
+)
+def text_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram mass per document — the order-sensitive member
+    of the Gopher repetition family (dup-n-gram fraction; the unigram
+    member is ``text_repetition_ratio``). Reuses the shingle generator
+    at n=2, so the bigram array is built row-locally in codegen; one
+    explode + a two-level map-side-combinable agg keyed by the uniform
+    (doc_id, bigram) key — the same 100 TB shape as the token version.
+    The ratio uses the shared floor(v*1e6+0.5) rounding on both engines."""
+    from cioos_siooc_data_transform_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    bg = docs.filter(F.size(words_expr(F.col("text"))) >= 2).select(
+        "doc_id", F.explode(word_shingles(words, 2)).alias("bigram")
+    )
+    per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+    )
+    ratio = (
+        F.floor(
+            (1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams")) * 1000000.0
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return agg.select(
+        "doc_id", "n_bigrams", "n_distinct_bigrams",
+        ratio.alias("dup_bigram_ratio"),
+    )

@@ -510,3 +510,57 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(floor(sum({_REV}) * 100.0 + 0.5) AS BIGINT) AS total_revenue_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue CTE is reused twice — once
+    as the join input and once under a scalar MAX — which Spark plans as
+    one shuffle agg plus a 1-row broadcast against it (the classic
+    view-reuse + scalar-subquery shape; partsupp-free, so expressible on
+    the trimmed schema). Revenue is canonicalized to integer cents with
+    the shared floor idiom BEFORE the max-equality so tie membership is
+    decided on the exact hashed value, not a float ulp. Scale: the
+    window filter pushes to the parquet scan; the per-supplier agg is
+    map-side combinable on a uniform key; the MAX side is a 1-row
+    broadcast, so the only real shuffle is the revenue groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("total_revenue_cents")
+        )
+    )
+    top = rev.agg(F.max("total_revenue_cents").alias("max_cents"))
+    return (
+        s.join(rev, s["s_suppkey"] == rev["supplier_no"])
+        .join(F.broadcast(top))
+        .filter(F.col("total_revenue_cents") == F.col("max_cents"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )

@@ -154,3 +154,80 @@ def stream_stream_attribution(
         & (F.col("purchase_ts") >= F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
     ).select("p_user", "purchase_ts", "purchase_value", "view_ts")
+
+
+def stateful_sessionizer(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionization with EVENT-TIME TIMEOUTS — the
+    applyInPandasWithState shape that built-in session windows can't
+    express (per-session custom payloads, explicit close-on-timeout).
+
+    Per user, events closer than ``gap_seconds`` extend the current
+    session; a larger gap closes it (emitted immediately, in-stream). A
+    session with no successor event is closed by the state TIMEOUT once
+    the event-time watermark passes last_event + gap — so every session
+    is eventually emitted exactly once and state is removed, keeping the
+    state store bounded at one row per ACTIVE user regardless of stream
+    length. The streaming twin of plans/windowed.sessionize_gap (same
+    1800 s gap, same tie-break on event_id).
+
+    Scale: one shuffle keyed by user_id (high-cardinality, uniform);
+    per-group batches cross to Python Arrow-batched; output mode is
+    append (only closed sessions are emitted), so downstream sinks never
+    see retractions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start_us long, last_us long, n long, total double"
+
+    def _emit(key, s, l, n, t):
+        return (
+            key,
+            pd.Timestamp(s, unit="us"),
+            pd.Timestamp(l, unit="us"),
+            n,
+            round(t, 4),
+        )
+
+    def update(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            s, l, n, t = state.get
+            closed.append(_emit(key[0], s, l, n, t))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            cur = state.get if state.exists else None
+            for ts, v in zip(rows["ts"], rows["value"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if cur is None:
+                    cur = (us, us, 1, float(v))
+                elif us - cur[1] > gap_us:
+                    closed.append(_emit(key[0], *cur))
+                    cur = (us, us, 1, float(v))
+                else:
+                    cur = (cur[0], us, cur[2] + 1, cur[3] + float(v))
+            if cur is not None:
+                state.update(cur)
+                # close once the watermark passes last_event + gap
+                state.setTimeoutTimestamp(cur[1] // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id", "session_start", "session_end", "n_events", "sum_value",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -154,3 +154,29 @@ def test_broadcast_threshold_zero_still_broadcasts_hinted_sides(spark):
             assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_centroid_distance_broadcasts_centroids(spark):
+    """The corpus side must stream; only the labels-sized centroid-array
+    table may broadcast. A hash re-join on label would shuffle the whole
+    corpus a second time."""
+    plan = _plan(spark, "embedding_centroid_distance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_has_no_global_window(spark):
+    """RFM scores by broadcast quartile cutpoints, NOT ntile over an
+    unpartitioned window (which would serialize the table through one
+    task at scale)."""
+    plan = _plan(spark, "rfm_segmentation")
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_q15_scalar_max_is_broadcast(spark):
+    plan = _plan(spark, "q15_top_supplier")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan
+    # the shipdate window must reach the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan

@@ -267,3 +267,97 @@ def test_stream_static_enrich_matches_batch(spark):
         assert streamed.exceptAll(batch).count() == 0
         # unmatched (odd) users survive with null tier
         assert streamed.filter(F.col("tier").isNull()).count() > 0
+
+
+def test_stateful_sessionizer_timeout_flush(spark):
+    """Event-time-timeout sessionization: in-stream gap closures plus
+    timeout closures must together reproduce the batch sessionize twin
+    exactly-once. Drain 1 processes the data (watermark closes all but
+    the tail sessions); drain 2 appends a far-future sentinel event that
+    advances the watermark so EventTimeTimeout flushes the rest."""
+    import pandas as pd
+
+    from cioos_siooc_data_transform_spark.streaming.windows import (
+        stateful_sessionizer,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "stream")
+        ckpt = os.path.join(tmp, "ckpt")
+        read_table(spark, SF, "events").filter(F.col("user_id") < 5).write.parquet(src)
+        events = spark.read.parquet(src)
+        schema = events.schema
+
+        out = os.path.join(tmp, "out")
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                stateful_sessionizer(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()
+
+        # sentinel 2 days past the end advances the watermark past every
+        # open session's last_event + gap on the second drain
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        sent = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [10**9],
+                    "ts": [pd.Timestamp(max_ts) + pd.Timedelta(days=2)],
+                    "user_id": [999999],
+                    "event_type": ["sentinel"],
+                    "value": [0.0],
+                    "props": ["{}"],
+                }
+            )
+        ).select(*[c.name for c in schema])
+        sent.write.mode("append").parquet(src)
+        drain()
+        got = {
+            (r["user_id"], r["session_start"]): (
+                r["session_end"], r["n_events"], r["sum_value"]
+            )
+            for r in spark.read.parquet(out).collect()
+            if r["user_id"] != 999999
+        }
+
+        # batch twin: lag-flag + running-sum sessionization, same gap
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        es = F.col("ts").cast("double")
+        flagged = events.withColumn(
+            "is_new",
+            F.when(
+                (es - F.lag(es).over(w) > 1800.0) | F.lag(es).over(w).isNull(), 1
+            ).otherwise(0),
+        ).withColumn("session_id", F.sum("is_new").over(cum))
+        expect = {
+            (r["user_id"], r["session_start"]): (
+                r["session_end"], r["n_events"], r["sum_value"]
+            )
+            for r in flagged.groupBy("user_id", "session_id")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .collect()
+        }
+        assert set(got) == set(expect)
+        for k, (end, n, sv) in expect.items():
+            g_end, g_n, g_sv = got[k]
+            assert (g_end, g_n) == (end, n), k
+            assert abs(g_sv - sv) < 1e-6, k
