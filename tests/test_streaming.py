@@ -361,3 +361,70 @@ def test_stateful_sessionizer_timeout_flush(spark):
             g_end, g_n, g_sv = got[k]
             assert (g_end, g_n) == (end, n), k
             assert abs(g_sv - sv) < 1e-6, k
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas state protocol needs protobuf "
+    "(absent in this container; the operator is import-gated like the "
+    "multimodal PIL path)",
+)
+def test_transform_with_state_running_topk(spark):
+    """transformWithStateInPandas ListState: after draining the stream,
+    each user's emitted top-3 (latest update wins) equals the batch
+    top-3 computed with a rank window."""
+    from cioos_siooc_data_transform_spark.streaming.windows import (
+        running_topk_values,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            src = os.path.join(tmp, "stream")
+            events = read_table(spark, SF, "events").filter(F.col("user_id") < 5)
+            events.write.parquet(src)
+            schema = spark.read.parquet(src).schema
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                running_topk_values(stream)
+                .writeStream.format("memory")
+                .queryName("topk_test")
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {
+                (r["user_id"], r["rank"]): r["value"]
+                for r in spark.sql("SELECT * FROM topk_test").collect()
+            }
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+            expect = {
+                (r["user_id"], r["rk"]): r["value"]
+                for r in events.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 3)
+                .collect()
+            }
+            assert got == expect
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
