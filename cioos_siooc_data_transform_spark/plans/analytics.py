@@ -1486,3 +1486,48 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         q("frequency").alias("f_quartile"),
         q("monetary_cents").alias("m_quartile"),
     )
+
+
+from cioos_siooc_data_transform_spark.operators.zorder import (
+    binned_sql as _zbin_sql,
+    interleave_sql as _zint_sql,
+)
+
+
+@register(
+    "cluster_zorder_key",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber,
+             {_zbin_sql("l_quantity", 0.0, 60.0, 16)} AS xb,
+             {_zbin_sql("l_extendedprice", 0.0, 120000.0, 16)} AS yb
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, xb, yb,
+           {_zint_sql("xb", "yb", 16)} AS zval
+    FROM b
+    """,
+)
+def cluster_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over (quantity, price) — the key
+    that `operators/zorder.write_zordered` lays files out by. Registered
+    so the 32-term bit-interleave is oracle-checked bit-for-bit (both
+    engines bin with identical IEEE ops and interleave with identical
+    integer shifts). Zero shuffles — a narrow codegen projection; the
+    layout write itself is exercised in tests/test_zorder.py where the
+    per-file min/max boxes and the two-axis file pruning are asserted."""
+    from cioos_siooc_data_transform_spark.operators.zorder import (
+        binned_expr,
+        interleave_expr,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    xb = binned_expr(F.col("l_quantity"), 0.0, 60.0, 16)
+    yb = binned_expr(F.col("l_extendedprice"), 0.0, 120000.0, 16)
+    b = li.select(
+        "l_orderkey", "l_linenumber", xb.alias("xb"), yb.alias("yb")
+    )
+    return b.select(
+        "l_orderkey", "l_linenumber", "xb", "yb",
+        interleave_expr(F.col("xb"), F.col("yb"), 16).alias("zval"),
+    )

@@ -1,0 +1,91 @@
+"""Z-order layout: the written files must form tight 2-D boxes so range
+predicates on EITHER axis prune files — the property a single-column
+sort cannot provide (it clusters one axis and shreds the other)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from cioos_siooc_data_transform_spark.operators.zorder import (
+    binned_expr,
+    interleave_expr,
+    write_zordered,
+)
+from cioos_siooc_data_transform_spark.session import read_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _file_ranges(path, cols):
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: float("inf") for c in cols}
+        hi = {c: float("-inf") for c in cols}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    lo[name] = min(lo[name], col.statistics.min)
+                    hi[name] = max(hi[name], col.statistics.max)
+        out.append({c: (lo[c], hi[c]) for c in cols})
+    return out
+
+
+def _overlapping(ranges, col, q_lo, q_hi):
+    return sum(1 for r in ranges if not (r[col][1] < q_lo or r[col][0] > q_hi))
+
+
+def test_zorder_layout_prunes_both_axes(spark):
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    z = interleave_expr(
+        binned_expr(F.col("l_quantity"), 0.0, 60.0, 16),
+        binned_expr(F.col("l_extendedprice"), 0.0, 60000.0, 16),
+        16,
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        zpath = os.path.join(tmp, "zorder")
+        spath = os.path.join(tmp, "qty_sorted")
+        write_zordered(li, zpath, z, num_files=16)
+        # the naive layout: one-dimensional sort on quantity
+        (
+            li.repartitionByRange(16, "l_quantity")
+            .sortWithinPartitions("l_quantity")
+            .write.parquet(spath)
+        )
+        cols = ["l_quantity", "l_extendedprice"]
+        zr = _file_ranges(zpath, cols)
+        sr = _file_ranges(spath, cols)
+        assert len(zr) == len(sr) == 16
+
+        # price-only predicate (a ~box-width slice): the quantity-sorted
+        # layout cannot prune a single file; z-order must prune at least
+        # half (16 z-chunks over a 16-bin-square domain ~ a 4x4 grid of
+        # boxes, and this slice sits inside one price row of that grid).
+        z_price = _overlapping(zr, "l_extendedprice", 32000.0, 40000.0)
+        s_price = _overlapping(sr, "l_extendedprice", 32000.0, 40000.0)
+        assert s_price == 16
+        assert z_price <= 8, [r["l_extendedprice"] for r in zr]
+
+        # quantity-only predicate: z-order must still prune (boxes are
+        # tight on BOTH axes), even if the 1-D sort prunes harder here.
+        z_qty = _overlapping(zr, "l_quantity", 10.0, 20.0)
+        s_qty = _overlapping(sr, "l_quantity", 10.0, 20.0)
+        assert s_qty <= 6
+        assert z_qty <= 8
+
+        # same rows either way
+        assert (
+            spark.read.parquet(zpath).count()
+            == spark.read.parquet(spath).count()
+            == li.count()
+        )
