@@ -1531,3 +1531,86 @@ def cluster_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "xb", "yb",
         interleave_expr(F.col("xb"), F.col("yb"), 16).alias("zval"),
     )
+
+
+@register(
+    "lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (each customer's top-2 orders by
+    price) — the per-row-subquery SQL surface. Catalyst decorrelates the
+    LATERAL + LIMIT into a window-and-filter over one orders⋈customer
+    equi-join (there is no per-row re-execution at runtime), so the plan
+    is the same single-shuffle shape as topk_per_group — the point of
+    registering both: identical semantics reachable from either front
+    end. Inner customers (no orders) drop, as LATERAL without OUTER
+    specifies."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat_v c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS O,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS F,
+             CAST(sum(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS P
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, o_orderstatus, total_cents FROM (
+      SELECT o_orderpriority, 'O' AS o_orderstatus, O AS total_cents FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'F' AS o_orderstatus, F AS total_cents FROM wide
+      UNION ALL
+      SELECT o_orderpriority, 'P' AS o_orderstatus, P AS total_cents FROM wide
+    )
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long relayout via the native unpivot (melt) operator — the
+    inverse of pivot_status_revenue. The wide frame is a tiny pivoted
+    aggregate (priorities × statuses of integer cents); unpivot is a
+    row-local generator (each wide row emits one row per value column,
+    no shuffle) so the only shuffle is the upstream agg. The oracle
+    spells the same relayout as UNION ALL — the portable formulation —
+    while the Spark side exercises DataFrame.unpivot."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    wide = o.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, cents).otherwise(0))
+            .cast("long")
+            .alias(s)
+            for s in ("O", "F", "P")
+        ]
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["O", "F", "P"],
+        variableColumnName="o_orderstatus",
+        valueColumnName="total_cents",
+    )

@@ -89,3 +89,34 @@ def test_zorder_layout_prunes_both_axes(spark):
             == spark.read.parquet(spath).count()
             == li.count()
         )
+
+
+def test_interleave_matches_python_reference(spark):
+    """The 32-term expression tree must equal a bit-by-bit Python
+    reference for random 16-bit inputs, and be monotonic per-dimension
+    (the property file-range pruning relies on)."""
+    import random
+
+    rnd = random.Random(7)
+    pts = [(rnd.randrange(65536), rnd.randrange(65536)) for _ in range(512)]
+    pts += [(0, 0), (65535, 65535), (65535, 0), (0, 65535)]
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "xb long, yb long")
+    got = {
+        (r["xb"], r["yb"]): r["z"]
+        for r in df.select(
+            "xb", "yb", interleave_expr(F.col("xb"), F.col("yb"), 16).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == ref(x, y), (x, y)
+    # monotonic in x for fixed y (and vice versa) on the reference
+    assert all(ref(x, 7) < ref(x + 1, 7) for x in range(0, 65535, 1019))
+    assert all(ref(7, y) < ref(7, y + 1) for y in range(0, 65535, 1019))
