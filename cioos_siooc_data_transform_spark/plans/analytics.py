@@ -1614,3 +1614,62 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="o_orderstatus",
         valueColumnName="total_cents",
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), e AS (
+      SELECT part_a AS a, part_b AS b
+      FROM pairs GROUP BY part_a, part_b HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT a AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tri GROUP BY a
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the co-purchase graph (edges = part pairs
+    with support ≥ 2, the market_basket edge set): per-lowest-vertex
+    triangle counts via the ordered two-hop join — e(a,b) ⋈ e(b,c) ⋈
+    e(a,c) with a<b<c, so every triangle is produced exactly once and
+    the join is equi-keyed (never a cartesian). The a<b<c orientation IS
+    the skew control: a hub vertex only fans out through edges where it
+    is the SMALLER endpoint, which bounds the wedge explosion to
+    forward-degree² (the compact-forward algorithm); at 100 TB the
+    refinement is to orient edges by (degree, id) instead of raw id,
+    which provably caps forward-degree at O(sqrt(|E|)). Three shuffles:
+    the edge agg and the two hash joins (edge set reused — one scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    e1 = e
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b2a"])
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("b3")))
+        .select("a", "b", "c")
+    )
+    return tri.groupBy(F.col("a").alias("part_key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

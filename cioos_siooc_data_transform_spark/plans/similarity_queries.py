@@ -247,3 +247,90 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "similarity_recall_at_k",
+    oracle="""
+    WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS embedding, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding, cent.cv), 4) DESC,
+                          cent.centroid_id ASC
+               ) AS rn
+        FROM embeddings v, cent
+      ) WHERE rn = 1
+    ),
+    qa AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id FROM assigned WHERE vec_id < 5),
+    ca AS (SELECT vec_id AS neighbor_id, embedding AS cv2, centroid_id FROM assigned),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qa.query_id, ca.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qa.query_id
+                 ORDER BY round(list_cosine_similarity(qa.qv, ca.cv2), 4) DESC,
+                          ca.neighbor_id ASC
+               ) AS rank
+        FROM qa JOIN ca ON qa.centroid_id = ca.centroid_id
+                       AND ca.neighbor_id != qa.query_id
+      ) WHERE rank <= 5
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                          neighbor_id ASC
+               ) AS rank
+        FROM q, c WHERE neighbor_id != query_id
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0
+             AS recall_at_5
+    FROM bf b
+    LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the IVF index (nprobe=1,
+    deterministic first-8 centroids — the same index as
+    similarity_ivf_topk) against the exact brute-force ground truth —
+    THE metric you tune (n_cells, nprobe) against before shipping an
+    index configuration at corpus scale. Both arms are deterministic
+    (4-dp-rounded cosine, id tiebreaks) so recall is oracle-checkable;
+    the join that scores hits is per-(query, neighbor) — k·|queries|
+    rows, trivially broadcast. Recall is an exact rational n/5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from cioos_siooc_data_transform_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    bf = brute_force_topk(queries, emb, k=5, round_dp=4).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(queries, emb, centroids, k=5, round_dp=4).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor_id")
+    )
+    hits = bf.join(
+        ivf,
+        (bf["query_id"] == ivf["query_id"])
+        & (bf["neighbor_id"] == ivf["ivf_neighbor_id"]),
+        "left",
+    ).select(bf["query_id"].alias("qid"), "ivf_neighbor_id")
+    n_hits = F.sum(
+        F.when(F.col("ivf_neighbor_id").isNotNull(), 1).otherwise(0)
+    )
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits / 5.0).alias("recall_at_5"),
+    )
