@@ -60,8 +60,10 @@ HEADLINE = [
     "q7_volume_shipping",        # 6-table broadcast-dim join + year agg
     "q21_waiting_supplier",      # stacked semi+anti join against the same fact
     "embedding_centroid_distance",  # integer-exact centroid agg + row-local distance
-    "text_bigram_repetition",    # shingle explode + two-level agg
+    "text_bigram_repetition",    # row-local bigram stats (zero shuffle)
     "window_lag_lead_delta",     # single-pass lag/lead window
+    "cluster_zorder_key",        # 32-term Morton interleave codegen throughput
+    "graph_triangle_count",      # ordered two-hop join (compact-forward)
 ]
 
 

@@ -40,14 +40,24 @@ def words_expr(text: Column) -> Column:
 def word_shingles(words: Column, n: int = 3) -> Column:
     """Overlapping n-word shingles as strings; < n words → empty array.
 
-    Short docs need an explicit guard: Spark's sequence(1, 0) counts DOWN
-    instead of returning empty.
-    """
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    shingle = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
-    )
-    return F.when(F.size(words) >= n, shingle).otherwise(
+    Built as a fold of zip_with over n shifted slices of the token
+    array, NOT a transform over sequence() with element_at indexing:
+    the element_at chain evaluates as interpreted per-element lookups
+    and benched 7× slower (3.4 s vs 0.5 s for the sf0.1 3-shingle
+    explode, noop write) — this construction is the hot inner loop of
+    every minhash/Jaccard/decontamination pipeline. The slice length is
+    clamped to 0 because Spark evaluates BOTH branches of the `when`
+    guard (a negative slice length throws; an empty slice zips to an
+    empty array)."""
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    sh = F.slice(words, 1, cnt)
+    for j in range(2, n + 1):
+        sh = F.zip_with(
+            sh,
+            F.slice(words, j, cnt),
+            lambda acc, nxt: F.concat_ws(" ", acc, nxt),
+        )
+    return F.when(F.size(words) >= n, sh).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -844,22 +844,27 @@ def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-bigram mass per document — the order-sensitive member
     of the Gopher repetition family (dup-n-gram fraction; the unigram
-    member is ``text_repetition_ratio``). Computed entirely ROW-LOCALLY:
-    the bigram array, its size, and its distinct size are per-row
-    codegen expressions (size / array_distinct), so the operator is a
-    ZERO-shuffle narrow projection — the corpus streams through once
-    with no explode and no aggregation state (an exploded groupBy
-    formulation A/B-measured 3.4 s vs 0.3 s at sf0.1). The ratio uses
-    the shared floor(v*1e6+0.5) rounding on both engines."""
-    from cioos_siooc_data_transform_spark.operators.dedup import word_shingles
-
+    member is ``text_repetition_ratio``). Computed entirely ROW-LOCALLY
+    with slice + zip_with STRUCT pairs: zero shuffles, no explode, no
+    aggregation state, and no per-bigram string allocation. Measured
+    A/B at sf0.1 (noop write, warm): exploded two-level groupBy 3.4 s;
+    row-local over concat_ws shingles (element_at chain inside
+    transform) 5.6 s; slice+zip_with struct pairs **0.46 s** — the
+    interpreted higher-order element_at/concat chain was the cost, not
+    the aggregation. Pair-struct distinctness == bigram-string
+    distinctness because tokens cannot contain the delimiter. The ratio
+    uses the shared floor(v*1e6+0.5) rounding on both engines."""
     docs = _t(spark, sf_dir, "documents")
     words = words_expr(F.col("text"))
-    bg = word_shingles(words, 2)
+    pairs = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
     d = docs.filter(F.size(words) >= 2).select(
         "doc_id",
-        F.size(bg).cast("long").alias("n_bigrams"),
-        F.size(F.array_distinct(bg)).cast("long").alias("n_distinct_bigrams"),
+        F.size(pairs).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(pairs)).cast("long").alias("n_distinct_bigrams"),
     )
     ratio = (
         F.floor(
