@@ -840,14 +840,15 @@ def dedup_ngram_jaccard_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale."""
     docs = _t(spark, sf_dir, "documents")
     words = words_expr(F.col("text"))
-    idx = F.sequence(F.lit(1), F.size(words) - 2)
-    hashes = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
+    cnt = F.greatest(F.size(words) - 2, F.lit(0))
+    hashes = F.zip_with(
+        F.zip_with(
+            F.slice(words, 1, cnt),
+            F.slice(words, 2, cnt),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         ),
+        F.slice(words, 3, cnt),
+        lambda ab, c: F.xxhash64(ab["a"], ab["b"], c),
     )
     sh = docs.select(
         "doc_id",

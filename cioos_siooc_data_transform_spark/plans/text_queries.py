@@ -796,21 +796,20 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adjacent-token pair frequencies with a minimum support of 5 — the
     counting kernel of a BPE/WordPiece merge step, run corpus-wide. Pair
-    generation is row-local (the same sequence/transform shape as
-    shingling, with the same sequence(1,0)-counts-down guard via
+    generation is row-local (the same zip_with-over-shifted-slices shape
+    as shingling, with the slice length clamped to 0 via
     greatest); the only shuffle is the combiner-friendly count."""
     docs = _t(spark, sf_dir, "documents")
     words = words_expr(F.col("text"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(0)))
+    cnt = F.greatest(F.size(words) - 1, F.lit(0))
     pairs = docs.select(
         F.explode(
             F.when(
                 F.size(words) >= 2,
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(words, i), F.element_at(words, i + 1)
-                    ),
+                F.zip_with(
+                    F.slice(words, 1, cnt),
+                    F.slice(words, 2, cnt),
+                    lambda a, b: F.concat_ws(" ", a, b),
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pair")
