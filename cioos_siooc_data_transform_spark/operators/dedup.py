@@ -555,23 +555,16 @@ def substring_overlap_pairs(
     """
     toks = F.split(F.col(text_col), " ")
     d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        toks.alias("toks"),
-        F.size(toks).cast("long").alias("n"),
-    ).filter(F.col("n") >= k)
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).filter(F.size("toks") >= k)
+    # positioned shingles from the zip_with fold (word_shingles) +
+    # posexplode — the exploded rows carry only (pos, gram), not the
+    # whole token array (the previous explode-positions-then-slice form
+    # duplicated the token array per position and ran ~4× slower)
     grams = d.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(1).cast("long"), F.col("n") - (k - 1))
-        ).alias("p"),
-        "toks",
-    ).select(
-        "doc_id",
-        "p",
-        F.array_join(
-            F.slice(F.col("toks"), F.col("p").cast("int"), k), " "
-        ).alias("g"),
-    )
+        F.posexplode(word_shingles(F.col("toks"), k)).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "g")
     keep = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))

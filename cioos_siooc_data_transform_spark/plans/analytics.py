@@ -1673,3 +1673,64 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.groupBy(F.col("a").alias("part_key")).agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+@register(
+    "drift_ks_statistic",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type, value,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1
+      FROM events
+    ), counts AS (
+      SELECT event_type, value,
+             sum(h1) AS c1, sum(1 - h1) AS c2
+      FROM halves GROUP BY event_type, value
+    ), cum AS (
+      SELECT event_type, value,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value) AS s1,
+             sum(c2) OVER (PARTITION BY event_type ORDER BY value) AS s2,
+             sum(c1) OVER (PARTITION BY event_type) AS n1,
+             sum(c2) OVER (PARTITION BY event_type) AS n2
+      FROM counts
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+           round(max(abs(s1 / n1 - s2 / n2)), 6) AS ks_d
+    FROM cum GROUP BY event_type
+    """,
+)
+def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the two-sample Kolmogorov–Smirnov
+    statistic per event type between the first and second half of the
+    month — sup |F̂₁(v) − F̂₂(v)| over the pooled empirical CDFs. The
+    standard pre-training data-quality gate ("did this feed's value
+    distribution move?"). Shape: one count agg on (type, value) —
+    map-side combinable, collapses duplicates BEFORE the sort — then one
+    window pass per type for the running CDFs, then a max agg. The CDF
+    fractions are exact integer rationals, so the sup is engine-stable.
+    At 100 TB, value cardinality per type bounds the window partition —
+    pre-bin values (value_histogram's grid) to cap it."""
+    ev = _t(spark, sf_dir, "events")
+    h1 = F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1).otherwise(0)
+    counts = (
+        ev.select("event_type", "value", h1.alias("h1"))
+        .groupBy("event_type", "value")
+        .agg(F.sum("h1").alias("c1"), F.sum(1 - F.col("h1")).alias("c2"))
+    )
+    wcum = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("c1").over(wcum).alias("s1"),
+        F.sum("c2").over(wcum).alias("s2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.round(F.max(F.abs(F.col("s1") / F.col("n1") - F.col("s2") / F.col("n2"))), 6).alias(
+            "ks_d"
+        ),
+    )

@@ -1073,3 +1073,56 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("abs_err"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+           round(coalesce(n_common, 0) / za.n, 6) AS containment_a,
+           round(coalesce(n_common, 0) / zb.n, 6) AS containment_b
+    FROM cand c
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    LEFT JOIN common ON common.doc_a = c.doc_a AND common.doc_b = c.doc_b
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup scoring: containment |A∩B|/|A| (and /|B|) per
+    LSH candidate pair — the quote/subset detector Jaccard misses (a
+    paragraph quoted inside a long article has tiny Jaccard but
+    containment ≈ 1 w.r.t. the paragraph), the score behind
+    suffix-array-style "is this document swallowed by that one" dedup
+    policies. Same guarded candidate generation and same
+    intersect-only-survivors pricing as the Jaccard confirm stage; the
+    two containments are exact rationals over integer set sizes."""
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    sets_ = shingles.groupBy("doc_id").agg(F.collect_set("s").alias("_sh"))
+    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.size("_sa"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.size("_sb"), 6).alias("containment_b"),
+        )
+    )
