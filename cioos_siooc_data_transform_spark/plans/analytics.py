@@ -1742,3 +1742,108 @@ def drift_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_d"
         ),
     )
+
+
+@register(
+    "pareto_revenue_share",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev_cents,
+             CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+                  AS BIGINT) AS rnk,
+             CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey)
+                  AS BIGINT) AS cum_cents,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents,
+             CAST(count(*) OVER () AS BIGINT) AS n_cust
+      FROM cust
+    )
+    SELECT o_custkey, rev_cents, rnk,
+           floor(cum_cents * 1000000.0 / total_cents + 0.5) / 1000000.0
+             AS cum_share,
+           rnk * 5 <= n_cust AS in_top_20pct
+    FROM ranked
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC concentration analysis: customers ranked by revenue
+    with the running share of total — "what fraction of revenue do the
+    top 20% hold". Integer-cents revenue makes the running sums exact;
+    the share is one floor-rounded division of exact integers. Shape
+    note: the ranked window is GLOBAL (one ordered pass) — fine for a
+    per-customer aggregate that is already ≪ the fact table, and the
+    fact-table agg below it is map-side combinable; for a truly huge
+    key space, bucket by revenue range first (the RFM cutpoint idiom)."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey"))
+    wall = Window.partitionBy()
+    ranked = cust.select(
+        "o_custkey",
+        "rev_cents",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
+        F.sum("rev_cents").over(wall).cast("long").alias("total_cents"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_cust"),
+    )
+    return ranked.select(
+        "o_custkey", "rev_cents", "rnk",
+        (
+            F.floor(F.col("cum_cents") * 1000000.0 / F.col("total_cents") + 0.5)
+            / 1000000.0
+        ).alias("cum_share"),
+        (F.col("rnk") * 5 <= F.col("n_cust")).alias("in_top_20pct"),
+    )
+
+
+@register(
+    "markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           floor(n * 1000000.0 / sum(n) OVER (PARTITION BY from_type) + 0.5)
+             / 1000000.0 AS p_transition
+    FROM c
+    """,
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    (from, to) event-type pair, the count and row-normalized transition
+    probability — session-modeling / anomalous-flow primitive. One
+    window keyed by user (lead), one map-side-combinable count agg, one
+    tiny window over the |types|² matrix for the row sums. Probabilities
+    are floor-rounded divisions of exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return c.select(
+        "from_type", "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        (
+            F.floor(F.col("n") * 1000000.0 / F.sum("n").over(wrow) + 0.5)
+            / 1000000.0
+        ).alias("p_transition"),
+    )

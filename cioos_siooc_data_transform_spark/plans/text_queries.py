@@ -876,3 +876,57 @@ def text_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bigrams", "n_distinct_bigrams",
         ratio.alias("dup_bigram_ratio"),
     )
+
+
+@register(
+    "udtf_tokenize_offsets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos1,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(pos1 - 1 AS BIGINT) AS pos,
+           token,
+           CAST(coalesce(sum(strlen(token) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos1
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS start_char,
+           CAST(coalesce(sum(strlen(token) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos1
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + strlen(token) AS BIGINT) AS end_char
+    FROM tok
+    """,
+)
+def udtf_tokenize_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-with-character-offsets as a Python UDTF (the Spark 4
+    user-defined TABLE function surface, §2.10 completeness): each
+    document row expands to one row per token carrying its [start, end)
+    character span — the alignment primitive NER/labeling/redaction
+    pipelines need (a span model predicts offsets; this is the join key
+    back to tokens). Arrow-optimized (useArrow) so the 1→N expansion is
+    batched, not row-at-a-time pickling; the UDTF applies via a LATERAL
+    join, which Spark plans as a pure map-side Generate — zero
+    shuffles. The oracle reproduces the offsets relationally (prefix
+    sums of token lengths), pinning the Python scan exactly."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos bigint, token string, start_char bigint, end_char bigint", useArrow=True)
+    class TokenizeOffsets:
+        def eval(self, text: str):
+            start = 0
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, start, start + len(tok)
+                start += len(tok) + 1
+
+    spark.udtf.register("tokenize_offsets_udtf", TokenizeOffsets)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.start_char, t.end_char
+        FROM documents_udtf_v d, LATERAL tokenize_offsets_udtf(d.text) t
+        """
+    )

@@ -180,3 +180,11 @@ def test_q15_scalar_max_is_broadcast(spark):
     assert "CartesianProduct" not in plan
     # the shipdate window must reach the parquet scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_lateral_decorrelates_to_window(spark):
+    """LATERAL + LIMIT must NOT plan per-row re-execution: Catalyst
+    decorrelates it into a window-and-filter over one equi-join."""
+    plan = _plan(spark, "lateral_top_orders")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
