@@ -62,7 +62,12 @@ _CHECKED = frozenset(
         "gap_fill_locf", "sessionize_gap", "ios_parse_measurements",
         "ios_parse_catalog", "ios_bodc_codes", "ios_observation_times",
         "ios_mooring_inferred_dt", "ios_mooring_timeseries", "gsw_sound_speed",
-        "gsw_practical_salinity", "gsw_potential_temperature",
+        "gsw_practical_salinity",
+        # NB: gsw_potential_temperature and robust_zscore_outliers are
+        # deliberately NOT listed: both changed semantics in round 4
+        # (Bryden bars fix; rounded-z boundary filter) after their green
+        # rows, so they must sample as FRESH until the new definitions
+        # have a driver-green row.
         "gsw_depth_from_pressure", "gsw_nsquared_profile", "gsw_profile_interp",
         "gsw_pchip_interp", "gsw_coriolis_f", "gsw_distance", "gsw_dyn_height",
         "gsw_turner_rsubrho", "gsw_geostrophic_velocity", "gsw_ipv_fn2_ratio",
@@ -81,7 +86,7 @@ _CHECKED = frozenset(
         "merge_upsert_latest", "multimodal_frame_sample_fps",
         "ntile_quartile_buckets", "null_profile", "null_safe_join",
         "percent_rank_cume_dist", "q18_large_orders", "q6_forecast_revenue",
-        "referential_audit", "robust_zscore_outliers", "rolling_avg_events",
+        "referential_audit", "rolling_avg_events",
         "salted_skew_join", "sketch_distinct_users", "sql_api_surface",
         "stats_moments", "stratified_sample", "text_tfidf",
         "text_token_entropy", "topk_per_group", "trimmed_mean_grouped_udf",

@@ -63,7 +63,30 @@ def ensure_bucketed_documents(
     stale = [k for k in _BUCKETED_DOCS if k[0] != key[0]]
     for k in stale:
         _BUCKETED_DOCS.pop(k, None)
-    name = "documents_bucketed_digest_" + str(abs(hash(sf_dir)) % 10**8)
+    # md5, not built-in hash(): hash() is per-process randomized
+    # (PYTHONHASHSEED), which would rewrite the full table under a new
+    # name every driver restart and allow mod-1e8 collisions between
+    # sf_dirs; 12 md5 hex chars are stable across processes and
+    # collision-safe for any realistic number of sf_dirs.
+    import hashlib
+
+    name = (
+        "documents_bucketed_digest_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    # A previous PROCESS may have left the managed-table location on
+    # disk without a row in this session's catalog — saveAsTable then
+    # fails with LOCATION_ALREADY_EXISTS. Drop-and-delete before the
+    # (re)write; the name is deterministic, so this also replaces any
+    # half-written copy from a crashed run.
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "text_hash", F.md5("text")
     )

@@ -400,21 +400,18 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
-def jaccard_for_pairs(
+def pair_shingle_sets(
     pairs: DataFrame,
     doc_shingles: DataFrame,
     id_col: str,
     shingle_col: str,
 ) -> DataFrame:
-    """Exact Jaccard for a GIVEN candidate-pair set only.
-
-    Each doc's distinct shingles are grouped into one array; the pair set
-    joins to both sides and |A∩B| / |A∪B| is a JVM-side array_intersect —
-    so the work is linear in |pairs| (times bounded doc length), never the
-    all-shingle-sharing-pairs explosion of the inverted-index join. This
-    is the confirm stage to run AFTER LSH candidate generation: LSH prunes
-    the pair space, this prices only what survived.
-    """
+    """(doc_a, doc_b, _sa, _sb, n_common) for a GIVEN candidate-pair set:
+    each doc's distinct shingles collect into one array, the pair set
+    joins to both sides, and |A∩B| is a JVM-side array_intersect — the
+    shared scaffolding under every confirm-stage score (Jaccard,
+    containment). Linear in |pairs| × bounded doc length, never the
+    all-shingle-sharing-pairs explosion of the inverted-index join."""
     sets_ = doc_shingles.groupBy(id_col).agg(
         F.collect_set(shingle_col).alias("_sh")
     )
@@ -425,6 +422,21 @@ def jaccard_for_pairs(
         .join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+    )
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    doc_shingles: DataFrame,
+    id_col: str,
+    shingle_col: str,
+) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate-pair set only — the confirm
+    stage to run AFTER LSH candidate generation: LSH prunes the pair
+    space, this prices only what survived (scaffolding in
+    pair_shingle_sets)."""
+    return (
+        pair_shingle_sets(pairs, doc_shingles, id_col, shingle_col)
         .withColumn(
             "jaccard",
             F.round(

@@ -35,16 +35,31 @@ def compact_parquet(
     saves the shuffle — offered via target_file_bytes<=0). Combine with
     write_zordered (operators/zorder.py) when the table should come out
     of compaction clustered, not just coarse."""
+    df = spark.read.parquet(src)
+    if target_file_bytes <= 0:
+        out: DataFrame = df.coalesce(1)
+        out.write.mode("overwrite").parquet(dst)
+        return 1
     total = sum(
         os.path.getsize(f)
         for f in glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
     )
-    df = spark.read.parquet(src)
-    if target_file_bytes <= 0:
-        out: DataFrame = df.coalesce(1)
-        n = 1
-    else:
-        n = max(1, round(total / target_file_bytes))
-        out = df.repartition(n)
+    if total == 0:
+        # Non-local path (s3://, hdfs://, ...) or empty directory: the
+        # driver-side glob sees nothing, and silently proceeding with
+        # n=1 would funnel the whole table through one task. Use the
+        # catalog's own sizing instead (Spark's file-index statistics),
+        # which works for any Hadoop-compatible filesystem.
+        total = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if total <= 0:
+            raise ValueError(
+                f"cannot size {src!r}: no local parquet files and no "
+                "catalog statistics; pass target_file_bytes<=0 for an "
+                "explicit single-file coalesce or repartition manually"
+            )
+    n = max(1, round(total / target_file_bytes))
+    out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return n

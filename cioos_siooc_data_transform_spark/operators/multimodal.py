@@ -62,11 +62,17 @@ def _sniff_dimensions(b: bytes) -> tuple[int, int] | None:
     if b[:2] == b"\xff\xd8":  # JPEG: walk segments to a start-of-frame
         sof = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
         i = 2
-        while i + 9 < len(b):
+        # <= so an SOF whose height/width fields end exactly at the
+        # buffer end is still read (unpack needs bytes [i+5, i+9))
+        while i + 9 <= len(b):
             if b[i] != 0xFF:
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:
+                # spec-legal fill byte: the next byte is the real marker
+                i += 1
+                continue
             if marker in sof:
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])
                 return int(w), int(h)
@@ -99,11 +105,18 @@ def decode_image_stub(payload: bytes, fake: bool) -> tuple[int, int]:
         import io
 
         from PIL import Image  # optional dependency, absent in container
-
-        with Image.open(io.BytesIO(payload)) as im:
-            return im.width, im.height
     except ImportError:
         pass
+    else:
+        # A payload PIL cannot identify (corrupt/unknown format) must
+        # fall through to the header sniffer / NotImplementedError —
+        # behavior should not flip with an unrelated installed package,
+        # so only a SUCCESSFUL decode returns from this branch.
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return im.width, im.height
+        except Exception:
+            pass
     dims = _sniff_dimensions(payload)
     if dims is None:
         raise NotImplementedError(

@@ -90,8 +90,10 @@ def pack_greedy_nosplit(
     of a source lands in ONE applyInPandas group — correct, but a single
     mega-source becomes one giant task. With ``shard_rows=N``, sources
     whose row count exceeds N (the same windowed-count guard idiom as the
-    LSH mega-bucket caps) are sub-sharded into contiguous ``doc_id DIV N``
-    ranges, packed per shard, and the per-shard bin ids are renumbered
+    LSH mega-bucket caps) are sub-sharded into contiguous N-row RANK
+    ranges (row_number in doc_id order DIV N — by position, not by
+    doc_id value, so sparse or offset id spaces still yield exactly-N-row
+    shards), packed per shard, and the per-shard bin ids are renumbered
     into one contiguous 1-based sequence per source via a tiny
     (sources × shards) offset table that is BROADCAST back — no second
     big shuffle. The semantic trade is explicit: a bin never spans a
@@ -128,15 +130,18 @@ def pack_greedy_nosplit(
     if shard_rows is None:
         return d.groupBy("source").applyInPandas(pack, schema=_PACK_SCHEMA)
 
-    # Guard: only sources that outgrow shard_rows get sub-sharded. The
-    # count window has no ORDER BY — it is a per-source aggregate, not a
-    # sort, so it stays one map-side-combinable shuffle.
+    # Guard: only sources that outgrow shard_rows get sub-sharded.
+    # Sharding is by per-source RANK (row_number over doc_id) so the
+    # shard size bound holds for any id distribution; the rank window
+    # sorts on the same source key the packing groupBy shuffles on, so
+    # no extra exchange is introduced.
     n_per_source = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
     sharded = d.withColumn(
         "shard",
         F.when(
             n_per_source > shard_rows,
-            (F.col("doc_id") / shard_rows).cast("long"),
+            F.floor((rn - 1) / shard_rows).cast("long"),
         ).otherwise(F.lit(0)),
     )
     packed = sharded.groupBy("source", "shard").applyInPandas(

@@ -1669,7 +1669,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominate at this SF) but the rebuild it removes scales with the
     # CORPUS while the checkpoint scales with the support-filtered edge
     # set — exactly the asymmetry that matters at 100 TB.
-    e = e.localCheckpoint()
+    # eager=False: truncate lineage WITHOUT running the edge job at
+    # plan-build time (an eager checkpoint would execute the full
+    # distinct+join+agg as a side effect of merely constructing /
+    # EXPLAINing the query); the checkpoint materializes on the first
+    # real action and the other join legs reuse it.
+    e = e.localCheckpoint(eager=False)
     e1 = e
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("b3"))

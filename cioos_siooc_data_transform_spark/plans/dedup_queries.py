@@ -1107,22 +1107,18 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     policies. Same guarded candidate generation and same
     intersect-only-survivors pricing as the Jaccard confirm stage; the
     two containments are exact rationals over integer set sizes."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        pair_shingle_sets,
+    )
+
     shingles = _distinct_shingles(spark, sf_dir)
     sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
     buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
     cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
-    sets_ = shingles.groupBy("doc_id").agg(F.collect_set("s").alias("_sh"))
-    a = sets_.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
-    b = sets_.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
-    return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_common",
-            F.round(F.col("n_common") / F.size("_sa"), 6).alias("containment_a"),
-            F.round(F.col("n_common") / F.size("_sb"), 6).alias("containment_b"),
-        )
+    return pair_shingle_sets(cand, shingles, "doc_id", "s").select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round(F.col("n_common") / F.size("_sa"), 6).alias("containment_a"),
+        F.round(F.col("n_common") / F.size("_sb"), 6).alias("containment_b"),
     )

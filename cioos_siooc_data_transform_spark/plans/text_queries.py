@@ -890,14 +890,14 @@ def text_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(pos1 - 1 AS BIGINT) AS pos,
            token,
-           CAST(coalesce(sum(strlen(token) + 1) OVER (
+           CAST(coalesce(sum(length(token) + 1) OVER (
              PARTITION BY doc_id ORDER BY pos1
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              AS BIGINT) AS start_char,
-           CAST(coalesce(sum(strlen(token) + 1) OVER (
+           CAST(coalesce(sum(length(token) + 1) OVER (
              PARTITION BY doc_id ORDER BY pos1
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + strlen(token) AS BIGINT) AS end_char
+             + length(token) AS BIGINT) AS end_char
     FROM tok
     """,
 )

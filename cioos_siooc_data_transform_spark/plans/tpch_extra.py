@@ -60,7 +60,8 @@ def q4_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(sum(CAST(floor(volume * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
@@ -111,7 +112,13 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("volume") * 100.0 + 0.5).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("revenue")
+        )
     )
 
 
@@ -119,8 +126,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_3'
+                          THEN CAST(floor(volume * 100.0 + 0.5) AS BIGINT)
+                          ELSE 0 END)
+                 / sum(CAST(floor(volume * 100.0 + 0.5) AS BIGINT)), 6)
+             AS mkt_share
     FROM (
       SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
              {_REV} AS volume, n2.n_name AS supp_nation
@@ -171,13 +181,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         "supp_nation",
     )
+    cents = F.floor(F.col("volume") * 100.0 + 0.5).cast("long")
     return vol.groupBy("o_year").agg(
         F.round(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
-                .otherwise(0.0)
-            )
-            / F.sum("volume"),
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(0))
+            / F.sum(cents),
             6,
         ).alias("mkt_share")
     )
@@ -313,8 +321,11 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle=f"""
     SELECT round(
-             100.0 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END)
-               / sum({_REV}), 6) AS promo_revenue
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(floor({_REV} * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END)
+               / sum(CAST(floor({_REV} * 100.0 + 0.5) AS BIGINT)),
+             6) AS promo_revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
@@ -331,14 +342,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0 + 0.5
+    ).cast("long")
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(0))
+                / F.sum(cents),
                 6,
             ).alias("promo_revenue")
         )
@@ -348,14 +361,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity",
     oracle="""
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                 / 700.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN (
-      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+      SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*) AS cnt_qty
       FROM lineitem GROUP BY l_partkey
     ) t ON t.l_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#23' AND l.l_quantity < t.qty_cut
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity * 5.0 * t.cnt_qty < t.sum_qty
     """,
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,21 +381,36 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand filter alone selects the part subset."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    # quantity < 0.2*avg(quantity) cross-multiplied to 5*q*cnt <
+    # sum(q): quantities are integer-valued, so both sides are EXACT
+    # (order-independent) and boundary membership cannot flip with the
+    # engines' float summation order — the class of defect the round-2
+    # driver canonicalization hunt established as policy.
     cuts = li.groupBy(F.col("l_partkey").alias("cut_pk")).agg(
-        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
     )
     return (
         li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(cuts, li["l_partkey"] == F.col("cut_pk"))
-        .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .filter(F.col("l_quantity") * 5.0 * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+                )
+                / 700.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 @register(
     "q19_discounted_revenue",
     oracle=f"""
-    SELECT round(sum({_REV}), 2) AS revenue
+    SELECT CAST(sum(CAST(floor({_REV} * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
        OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
@@ -402,8 +432,14 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        (
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                    + 0.5
+                ).cast("long")
+            ).cast("double")
+            / 100.0
         ).alias("revenue")
     )
 
@@ -482,7 +518,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_dormant_customers",
     oracle="""
     SELECT c_nationkey, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (
         SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -508,7 +545,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormant = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
     return dormant.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        (
+            F.sum(F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long"))
+            .cast("double")
+            / 100.0
+        ).alias("totacctbal"),
     )
 
 
@@ -517,7 +558,8 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(floor(sum({_REV}) * 100.0 + 0.5) AS BIGINT) AS total_revenue_cents
+             CAST(sum(CAST(floor({_REV} * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_revenue_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -549,9 +591,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.floor(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100.0
-                + 0.5
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                    + 0.5
+                ).cast("long")
             )
             .cast("long")
             .alias("total_revenue_cents")

@@ -163,3 +163,48 @@ def test_greedy_nosplit_subsharded_mega_source(spark):
         r["doc_id"]: r["bin_id"] for r in packed if r["source"] == "small"
     }
     assert sharded_small == unsharded
+
+
+def test_greedy_nosplit_sharding_is_rank_based_not_id_based(spark):
+    """Sparse, offset doc_ids (stride 1000, starting at 5x10^6) must
+    still shard into exactly-N-row rank ranges: id-value-based sharding
+    would put every doc in its own shard (zero consolidation) or, for
+    ids clustered under shard_rows, defeat the mega-source guard
+    entirely. Asserts real consolidation happens AND the per-shard
+    wasted-partial-bin bound holds."""
+    import random
+
+    from cioos_siooc_data_transform_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+
+    rng = random.Random(11)
+    cap, shard_rows = 64, 400
+    rows = [
+        ("sparse", 5_000_000 + d * 1000, rng.randint(1, 30)) for d in range(2000)
+    ]
+    docs = _docs(spark, rows)
+    packed = sorted(
+        (r["doc_id"], r["bin_id"], r["tokens"])
+        for r in pack_greedy_nosplit(docs, cap, shard_rows=shard_rows).collect()
+    )
+    assert len(packed) == 2000
+    bins = [b for _, b, _ in packed]
+    assert bins[0] == 1
+    assert all(0 <= b2 - b1 <= 1 for b1, b2 in zip(bins, bins[1:]))
+    n_bins = max(bins)
+    total_tokens = sum(t for _, _, t in packed)
+    # consolidation: ~total/cap bins plus at most one wasted partial bin
+    # per shard — NOT one bin per doc (the id-value-sharding failure)
+    n_shards = -(-2000 // shard_rows)
+    # every bin except the last of each shard closed because the NEXT
+    # doc (≤30 tokens) did not fit, so its fill is > cap-30 — the
+    # principled first-fit bound; id-value sharding would give ~2000
+    assert n_bins <= total_tokens // (cap - 30 + 1) + n_shards, n_bins
+    # rank-contiguity: docs of one bin are adjacent in doc_id order and
+    # every rank-shard holds at most shard_rows rows
+    shard_of_rank = [i // shard_rows for i in range(2000)]
+    bin_shards = {}
+    for i, (_, b, _) in enumerate(packed):
+        bin_shards.setdefault(b, set()).add(shard_of_rank[i])
+    assert all(len(s) == 1 for s in bin_shards.values())
