@@ -156,6 +156,43 @@ def stream_stream_attribution(
     ).select("p_user", "purchase_ts", "purchase_value", "view_ts")
 
 
+def stream_stream_attribution_outer(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream attribution: every purchase emits — with
+    its matching views, or with NULL view_ts once the watermark proves
+    no match can still arrive. The outer semantics are the part the
+    inner join can't give you (conversion-without-touchpoint rows), and
+    they only work because the time bound lets Spark decide 'no view is
+    coming': an unmatched purchase row is HELD IN STATE until the
+    watermark passes its buffering horizon and only then emitted with
+    nulls — so outer results trail the watermark by design, and an
+    unbounded join would never emit them at all. Same bounded-state
+    analysis as the inner form."""
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+        ).withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
+        "leftOuter",
+    ).select("p_user", "purchase_ts", "purchase_value", "view_ts")
+
+
 def stateful_sessionizer(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     """Custom stateful sessionization with EVENT-TIME TIMEOUTS — the
     applyInPandasWithState shape that built-in session windows can't

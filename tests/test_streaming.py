@@ -428,3 +428,77 @@ def test_transform_with_state_running_topk(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_stream_attribution_outer_emits_unmatched(spark):
+    """Left-outer stream-stream join: matched purchases equal the inner
+    join's rows; purchases with no view in the horizon are emitted with
+    NULL view_ts once the watermark proves no match can arrive (a
+    far-future sentinel file on the second drain advances it). Total =
+    batch left-join row count."""
+    import pandas as pd
+
+    from cioos_siooc_data_transform_spark.session import read_table
+    from cioos_siooc_data_transform_spark.streaming.windows import (
+        stream_stream_attribution,
+        stream_stream_attribution_outer,
+    )
+
+    ev = read_table(spark, SF, "events")
+    views_b = ev.filter(F.col("event_type") == "view")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    inner = stream_stream_attribution(views_b, purch_b).count()
+    total_purch = purch_b.count()
+    matched_purch = (
+        stream_stream_attribution(views_b, purch_b)
+        .select("p_user", "purchase_ts")
+        .distinct()
+        .count()
+    )
+    expected_total = inner + (total_purch - matched_purch)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events")
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        ev.coalesce(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                stream_stream_attribution_outer(
+                    stream.filter(F.col("event_type") == "view"),
+                    stream.filter(F.col("event_type") == "purchase"),
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        drain()
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        sent = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [10**9, 10**9 + 1],
+                    "ts": [pd.Timestamp(max_ts) + pd.Timedelta(days=3)] * 2,
+                    "user_id": [999999, 999998],
+                    "event_type": ["view", "purchase"],
+                    "value": [0.0, 0.0],
+                    "props": ["{}"] * 2,
+                }
+            )
+        ).select(*[c.name for c in schema])
+        sent.write.mode("append").parquet(src)
+        drain()
+
+        got = spark.read.parquet(out).filter(F.col("p_user") != 999998)
+        assert got.filter(F.col("view_ts").isNull()).count() == (
+            total_purch - matched_purch
+        )
+        assert got.count() == expected_total
