@@ -1852,3 +1852,101 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("p_transition"),
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH fs AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), newu AS (
+      SELECT day, count(*) AS new_users
+      FROM fs WHERE rn = 1 GROUP BY day
+    )
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM newu
+    """,
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT-user count per day (cumulative reach) WITHOUT a
+    distinct-over-window: each user contributes at their FIRST event
+    (one row_number window keyed by user), daily firsts aggregate
+    map-side, and the running total is a cumulative sum over the tiny
+    day axis — the first-seen trick that turns an O(days × users)
+    running-distinct into two linear passes. The standard growth metric
+    done the way it scales."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    fs = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    newu = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    wc = Window.orderBy("day")
+    return newu.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(wc).cast("long").alias("cumulative_users"),
+    )
+
+
+@register(
+    "time_weighted_average",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t0,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t1
+      FROM events
+    ), q AS (
+      SELECT user_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vq,
+             CAST(floor((t1 - t0) / 1000.0) AS BIGINT) AS w_ms
+      FROM seg WHERE t1 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           floor(sum(vq * w_ms) / sum(w_ms) + 0.5) / 10000.0 AS twa_value
+    FROM q GROUP BY user_id
+    """,
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (sensor/position/price TWAP):
+    each observation holds until the next one, so its weight is the
+    integer-MILLISECOND segment duration from one lead() window. Values
+    are quantized to integer 1e-4 units FIRST, so the weighted sum is
+    pure integer arithmetic — order-independent and engine-exact — and
+    only the final division leaves integers (then one floor-round). The
+    unit choices are BIGINT-headroom math, not taste: 5e6 value-quanta ×
+    month-long 2.6e9 ms gaps × 1e4 rows/user ≈ 1e14 per-user sums, five
+    orders under overflow, where µs weights × 1e6 quanta overflowed.
+    One window shuffle keyed by user + a map-side-combinable agg."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("vq"),
+        us.alias("t0"),
+        F.lead(us).over(w).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    q = seg.select(
+        "user_id",
+        "vq",
+        F.floor((F.col("t1") - F.col("t0")) / 1000.0).cast("long").alias("w_ms"),
+    )
+    return q.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        (
+            F.floor(
+                F.sum(F.col("vq") * F.col("w_ms")) / F.sum("w_ms") + 0.5
+            )
+            / 10000.0
+        ).alias("twa_value"),
+    )
