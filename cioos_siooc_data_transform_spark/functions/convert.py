@@ -16,21 +16,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Hours to ADD to a zone-local timestamp to obtain UTC (reference's map,
-# IDT/ObsFile.py:185-203). Deliberately fixed offsets, not IANA zones.
-FIXED_TZ_OFFSET_HOURS: dict[str, int] = {
-    "UTC": 0,
-    "GMT": 0,
-    "PST": 8,
-    "PDT": 7,
-    "MST": 7,
-    "MDT": 6,
-    "AST": 4,
-    "ADT": 3,
-}
-
-# Weight vector for the 5-field TIME INCREMENT (day hr min sec ms).
-TIME_INCREMENT_WEIGHTS = [86400.0, 3600.0, 60.0, 1.0, 0.001]
+# Shared with the executor-side parser — one definition, no drift.
+from cioos_siooc_data_transform_spark.functions.constants import (  # noqa: F401
+    FIXED_TZ_OFFSET_HOURS,
+    TIME_INCREMENT_WEIGHTS,
+)
 
 
 def dms_to_decimal(degrees: Column, minutes: Column, hemisphere: Column) -> Column:

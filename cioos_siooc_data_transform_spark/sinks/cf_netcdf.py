@@ -57,6 +57,13 @@ def to_netcdf_bytes(parsed: DataFrame) -> DataFrame:
             for _, row in pdf.iterrows():
                 records = [list(r) for r in row["records"]]
                 nrec = len(records)
+                if nrec == 0:
+                    # classic NetCDF defines a dimension of length 0 as
+                    # the UNLIMITED record dimension — writing z=0 would
+                    # silently change every ['z'] variable into a record
+                    # variable; skip the file instead (same per-file
+                    # isolation as a parse error)
+                    continue
                 raw_vars = row["cf_vars"]
                 cf_vars = sorted(
                     (list(raw_vars) if raw_vars is not None else []),
@@ -90,8 +97,13 @@ def to_netcdf_bytes(parsed: DataFrame) -> DataFrame:
                         "time", NC_DOUBLE, [],
                         {"standard_name": "time",
                          "units": "seconds since 1970-01-01 00:00:00+0000"},
+                        # pd.notna, not `is not None`: a NULL start_ts
+                        # arrives in mapInPandas as pd.NaT, which passes
+                        # an identity check but raises on .timestamp()
                         np.asarray(
-                            row["start_ts"].timestamp() if row["start_ts"] is not None else math.nan
+                            row["start_ts"].timestamp()
+                            if pd.notna(row["start_ts"])
+                            else math.nan
                         ),
                     ),
                     NcVariable(
@@ -130,7 +142,7 @@ def to_netcdf_bytes(parsed: DataFrame) -> DataFrame:
                         )
                     )
                 nc = write_netcdf3(dims, gattrs, variables)
-                year = row["start_ts"].year if row["start_ts"] is not None else 0
+                year = row["start_ts"].year if pd.notna(row["start_ts"]) else 0
                 out.append((row["file_id"], year, bytearray(nc)))
             yield pd.DataFrame(out, columns=["file_id", "year", "nc_bytes"])
 

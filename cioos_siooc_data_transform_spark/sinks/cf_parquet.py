@@ -46,7 +46,17 @@ def write_cf_dataset(
     )
 
     spark = parsed.sparkSession
+    # save/restore: mutating the shared session conf would silently
+    # switch every LATER partitioned overwrite in this session from
+    # static (truncate-table) to dynamic semantics
+    prev_overwrite_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", None
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # the binaryFile scan + Python parse feeds FOUR write actions (and
+    # the cf plan references it three more times) — cache once like the
+    # sibling sinks, or every file re-parses ~6x
+    parsed = parsed.cache()
 
     catalog = ios_catalog(parsed)
     channels = ios_channels(parsed)
@@ -69,12 +79,25 @@ def write_cf_dataset(
         "headers": os.path.join(out_dir, "headers"),
         "catalog": os.path.join(out_dir, "catalog"),
     }
-    cf.repartition("year").sortWithinPartitions("file_id", "record_idx").write.mode(
-        mode
-    ).option("compression", "zstd").partitionBy("year").parquet(paths["measurements"])
-    codes.write.mode(mode).option("compression", "zstd").parquet(paths["variables"])
-    ios_header_json(parsed).write.mode(mode).parquet(paths["headers"])
-    catalog.write.mode(mode).parquet(paths["catalog"])
+    try:
+        cf.repartition("year").sortWithinPartitions(
+            "file_id", "record_idx"
+        ).write.mode(mode).option("compression", "zstd").partitionBy(
+            "year"
+        ).parquet(paths["measurements"])
+        codes.write.mode(mode).option("compression", "zstd").parquet(
+            paths["variables"]
+        )
+        ios_header_json(parsed).write.mode(mode).parquet(paths["headers"])
+        catalog.write.mode(mode).parquet(paths["catalog"])
+    finally:
+        parsed.unpersist()
+        if prev_overwrite_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_overwrite_mode
+            )
     return paths
 
 

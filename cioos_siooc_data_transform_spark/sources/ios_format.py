@@ -28,17 +28,12 @@ from cioos_siooc_data_transform_spark.sources.fortran_spec import (
     read_record,
 )
 
-# Hours ADDED to zone-local time to get UTC. The reference deliberately
-# applies fixed offsets (not IANA/DST rules) for the NA zones
-# (IDT/ObsFile.py:185-203); GMT/UTC are zero. SURVEY.md §1.3.1.
-TZ_OFFSET_HOURS = {
-    "UTC": 0, "GMT": 0,
-    "PST": 8, "PDT": 7,
-    "MST": 7, "MDT": 6,
-    "AST": 4, "ADT": 3,
-}
-
-TIME_INCREMENT_WEIGHTS = (86400.0, 3600.0, 60.0, 1.0, 0.001)
+# Single shared definition with the SQL-expression path — see
+# functions/constants.py (two copies had already drifted in type).
+from cioos_siooc_data_transform_spark.functions.constants import (
+    FIXED_TZ_OFFSET_HOURS as TZ_OFFSET_HOURS,
+    TIME_INCREMENT_WEIGHTS,
+)
 
 COMMENT_SECTIONS = ("COMMENTS", "REMARKS", "HISTORY")
 

@@ -100,6 +100,11 @@ def discover_files(spark: SparkSession, root: str, extensions: list[str]) -> Dat
         .option("recursiveFileLookup", "true")
         .load(root)
     )
+    if not extensions:
+        raise ValueError(
+            "discover_files: extensions must be non-empty (an empty list "
+            "would otherwise build a null predicate, not match-nothing)"
+        )
     ext_pred = None
     for ext in extensions:
         p = F.lower(F.col("path")).endswith("." + ext.lower())

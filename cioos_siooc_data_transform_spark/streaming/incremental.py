@@ -32,15 +32,21 @@ def stream_ios_paths(
 ) -> DataFrame:
     """readStream over the file tree, yielding one row per newly-seen file
     (path only — content is re-read batch-side; see module docstring)."""
+    # line-mode text source (NOT wholetext): only the path is consumed,
+    # and wholetext would hold each file as one giant in-memory string
+    # per row purely to throw it away. The content bytes are re-read
+    # once, batch-side, via binaryFile — the double read is inherent to
+    # path-streaming (the checkpoint tracks files, the parser wants raw
+    # bytes) and is the cheap half; line rows of this text pass are
+    # reduced to distinct paths before anything else happens.
     reader = (
         spark.readStream.format("text")
-        .option("wholetext", "true")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", path_glob)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.load(root).select(F.input_file_name().alias("path"))
+    return reader.load(root).select(F.input_file_name().alias("path")).distinct()
 
 
 def write_ios_batch(
@@ -86,12 +92,21 @@ def run_incremental_ingest(
     out_dir: str,
     checkpoint_dir: str,
     path_glob: str = "*",
+    max_files_per_trigger: int | None = 10_000,
 ) -> None:
     """One AvailableNow drain: parse any not-yet-processed files and write
     their catalog + long-format measurements to per-batch parquet
     partitions (see write_ios_batch for the exactly-once contract). Blocks
-    until the backlog is drained (the cron-batch shape)."""
-    paths_stream = stream_ios_paths(spark, root, path_glob)
+    until the backlog is drained (the cron-batch shape).
+
+    ``max_files_per_trigger`` bounds each micro-batch — this is what the
+    write_ios_batch driver-side listing contract relies on: without it
+    the FIRST drain over a large tree would form one batch of the whole
+    backlog and collect every path to the driver. AvailableNow honors
+    the cap by draining in multiple batches."""
+    paths_stream = stream_ios_paths(
+        spark, root, path_glob, max_files_per_trigger=max_files_per_trigger
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         write_ios_batch(spark, batch_df, out_dir, batch_id)

@@ -106,18 +106,23 @@ def stream_static_enrich(
     dim: DataFrame,
     key: str = "user_id",
     watermark: str = "1 hour",
+    hint_broadcast: bool = False,
 ) -> DataFrame:
     """Stream-static enrichment join: each micro-batch of the stream joins
     the (slowly-changing) static dimension — the standard lookup/enrich
     shape. The static side is re-evaluated per micro-batch (so an updated
-    dimension table is picked up without restarting the query) and is
-    broadcast when small; no state is kept for the static side, so the
-    join adds NOTHING to the streaming state store. Left join keeps
-    events whose key has no dimension row (nulls, to audit downstream)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .join(F.broadcast(dim), key, "left")
-    )
+    dimension table is picked up without restarting the query); no state
+    is kept for the static side, so the join adds NOTHING to the
+    streaming state store. Left join keeps events whose key has no
+    dimension row (nulls, to audit downstream).
+
+    Sizing is left to Spark's planner by default — a small dimension
+    broadcasts on its own, and an unconditional hint would force a
+    multi-GB dim through the driver every micro-batch until it OOMs.
+    Pass ``hint_broadcast=True`` only when the dim is known-small but
+    lacks statistics (e.g. a fresh in-memory frame)."""
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return events.withWatermark("ts", watermark).join(d, key, "left")
 
 
 def stream_stream_attribution(
@@ -248,7 +253,16 @@ def stateful_sessionizer(events: DataFrame, gap_seconds: int = 1800) -> DataFram
                     closed.append(_emit(key[0], *cur))
                     cur = (us, us, 1, float(v))
                 else:
-                    cur = (cur[0], us, cur[2] + 1, cur[3] + float(v))
+                    # max(): a LATE event (allowed by the watermark but
+                    # older than the batch boundary) must not move the
+                    # session's end backwards — it would mis-set the
+                    # timeout and split one true session into two
+                    cur = (
+                        min(cur[0], us),
+                        max(cur[1], us),
+                        cur[2] + 1,
+                        cur[3] + float(v),
+                    )
             if cur is not None:
                 state.update(cur)
                 # close once the watermark passes last_event + gap
