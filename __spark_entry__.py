@@ -48,7 +48,9 @@ _CHECKED = frozenset(
         "similarity_topk_bruteforce", "similarity_ivf_topk", "text_langid",
         "text_quality_score", "text_token_count", "text_fingerprint",
         "multimodal_binary_meta", "multimodal_decode_features",
-        "text_hash_embedding", "tumbling_window_hourly", "session_windows",
+        "text_hash_embedding", "session_windows",
+        # tumbling_window_hourly deliberately absent: its sum switched to
+        # integer-quantized units in round 4, so it re-samples as fresh
         "daily_top_event",
         # round 2
         "dedup_pipeline_pairs", "dedup_pipeline_pairs_xxhash",

@@ -19,13 +19,19 @@ from cioos_siooc_data_transform_spark.plans.registry import register
 from cioos_siooc_data_transform_spark.session import read_table as _t
 
 
+def deterministic_bucket(key):
+    """md5-prefix bucket in 0..99 — THE shared deterministic-keying
+    expression for sampling and split assignment (one definition so the
+    two can never silently diverge)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    )
+
+
 def deterministic_sample_pred(key, pct: int):
     """Keep rows whose md5-derived bucket (0..99) < pct. Stable across
     engines, runs, and partitionings."""
-    bucket = (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10).cast("long") % 100
-    )
-    return bucket < pct
+    return deterministic_bucket(key) < pct
 
 
 @register(
@@ -161,10 +167,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands in the same split on every engine, run, and partitioning;
     rand()-based splits can't be replayed or oracle-checked)."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = deterministic_bucket(F.col("doc_id"))
     return docs.select(
         "doc_id",
         F.when(bucket < 80, "train")

@@ -174,7 +174,8 @@ def id_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            substring(c_name, 1, 8) AS name_prefix,
-           CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS custno
+           CAST(nullif(regexp_extract(c_name, 'Customer#(\\d+)', 1), '')
+                AS BIGINT) AS custno
     FROM customer
     """,
 )

@@ -26,7 +26,8 @@ from cioos_siooc_data_transform_spark.session import read_table as _t
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS sum_value
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -37,7 +38,15 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # per-row 1e-4-unit quantization BEFORE the sum: integer
+            # addition is order-independent, so the hash cannot drift
+            # with partial-agg summation order (round-after-float-sum
+            # left only 5e-5 of slack)
+            (
+                F.sum(F.floor(F.col("value") * 10000.0 + 0.5).cast("long"))
+                .cast("double")
+                / 10000.0
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
@@ -265,7 +274,10 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = obs.agg(
         F.min("hour_id").alias("h0"), F.max("hour_id").alias("h1")
     )
-    keys = ev.select("event_type").distinct()
+    # the distinct key list comes from the tiny AGGREGATE (which by
+    # construction contains every event_type), not a second full scan of
+    # the fact table
+    keys = obs.select("event_type").distinct()
     grid = keys.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hour_id"),
