@@ -29,11 +29,18 @@ def channel_minmax(df: DataFrame, group_cols: list[str], value_col: str) -> Data
 
 
 def count_validation(
-    df: DataFrame, group_cols: list[str], expected_col_or_value
+    df: DataFrame, group_cols: list[str], expected
 ) -> DataFrame:
-    """Groups whose row count equals the expectation (others are anomalies)."""
+    """Groups whose row count equals the expectation (others are anomalies).
+
+    ``expected`` is an int literal, a Column, or a COLUMN NAME (a bare
+    string resolves with F.col — comparing a count to a string LITERAL
+    would throw under ANSI mode or silently filter everything without
+    it, so a string here can only sensibly mean a column)."""
+    if isinstance(expected, str):
+        expected = F.col(expected)
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_rows"))
-    return counts.filter(F.col("n_rows") == expected_col_or_value)
+    return counts.filter(F.col("n_rows") == expected)
 
 
 def infer_time_increment(df: DataFrame, group_col: str, ts_col: str) -> DataFrame:

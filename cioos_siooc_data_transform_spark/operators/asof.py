@@ -66,9 +66,15 @@ def asof_join(
         F.struct(*[F.col(c) for c in right_cols]).alias("_right"),
     )
     unioned = l_tag.unionByName(r_tag)
+    # the trailing _right struct key makes the carried row DETERMINISTIC
+    # when several right rows share (key, ts): without a tiebreak,
+    # last() picks whichever the shuffle sort happened to place last —
+    # flapping output across runs. Struct ordering is field-wise and
+    # total; left rows carry NULL there and are already separated by
+    # _side.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_right")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -94,8 +100,16 @@ def salted_join(
     """Skew-resistant equi-join: salt the fact side's keys into
     `salt_buckets` sub-keys and replicate the dimension per salt, so one
     hot key spreads over `salt_buckets` tasks instead of one."""
+    # the salt must be DETERMINISTIC per row: F.rand re-evaluates on
+    # partial stage retries over a possibly reordered input, so the same
+    # fact row could land in a different shuffle partition than the
+    # surviving output expects (the SPARK-23207 correctness class). A
+    # content hash is stable under recomputation.
     salted_facts = facts.withColumn(
-        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

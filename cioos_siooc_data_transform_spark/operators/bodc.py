@@ -74,11 +74,9 @@ BODC_RULES: list[tuple] = [
 ]
 
 
-def _contains_any(col: Column, keywords: list[str]) -> Column:
-    expr = F.lit(False)
-    for k in keywords:
-        expr = expr | F.upper(col).contains(k.upper())
-    return expr
+# single definition shared with channel routing — a containment-matching
+# fix must apply to BOTH paths or routing and BODC coding diverge
+from cioos_siooc_data_transform_spark.operators.routing import _contains_any  # noqa: E402
 
 
 def bodc_base_struct(var_type: Column, name: Column, units: Column) -> Column:

@@ -37,6 +37,12 @@ def containment_code_join(
 
     One broadcast nested-loop join + one hash aggregation; never a shuffle
     of the dimension.
+
+    Precondition: ``fact_key`` must uniquely identify fact rows — the
+    result is one row per key with the matched codes concatenated, and
+    non-key fact columns are NOT carried (join the result back on the
+    key to re-attach them). Duplicate keys would silently merge their
+    matches into one concatenated string.
     """
     joined = facts.join(F.broadcast(dim), on=condition, how="left")
     agg = joined.groupBy(fact_key).agg(

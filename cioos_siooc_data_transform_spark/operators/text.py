@@ -74,7 +74,17 @@ def quality_score(text: Column, words: Column) -> Column:
         F.floor((n_chars - n_tokens + 1) * F.lit(300.0) / (n_tokens * 8)),
         F.lit(300).cast("long"),
     )
-    return (len_pts + stop_pts + shape_pts).cast("long")
+    # NULL text must score 0, not 1000: F.least SKIPS the NULL division
+    # results, so without the guard every component silently saturates;
+    # an empty token array would DIVIDE_BY_ZERO under ANSI mode.
+    return (
+        F.when(
+            text.isNotNull() & (n_tokens > 0),
+            len_pts + stop_pts + shape_pts,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
 
 
 def token_counts(text: Column) -> tuple[Column, Column]:

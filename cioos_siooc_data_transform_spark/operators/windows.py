@@ -46,9 +46,23 @@ def regular_timeseries(
     """Expand (start, n, dt) rows into n rows each with
     obs_ts = start + i·dt (integer-second dt).
 
-    Executor-side: sequence(0, n-1) + posexplode; no driver loop.
+    Executor-side: sequence(0, n-1) + posexplode; no driver loop. The
+    n >= 1 guard matters: Spark's sequence(0, -1) counts DOWN to
+    [0, -1], so an unguarded n=0 row would fabricate two observations,
+    one of them BEFORE the series start (DuckDB's generate_series(0,-1)
+    is empty — the engines genuinely differ here).
+
+    NB: sources/ios_source.py::ios_observation_times implements the same
+    W1 expansion inline with unix_micros arithmetic (its oracle needs
+    the exact integer-microsecond form); a semantic fix here must be
+    mirrored there.
     """
-    idx = F.posexplode(F.sequence(F.lit(0), (F.col(n_col) - 1).cast("int")))
+    idx = F.posexplode(
+        F.when(
+            F.col(n_col) >= 1,
+            F.sequence(F.lit(0), (F.col(n_col) - 1).cast("int")),
+        ).otherwise(F.array().cast("array<int>"))
+    )
     exploded = starts.select("*", idx.alias("_pos", "record_idx"))
     obs = F.col(start_col) + F.make_dt_interval(
         F.lit(0), F.lit(0), F.lit(0),
