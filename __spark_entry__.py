@@ -25,10 +25,18 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, DEFAULT_SF_DIR)
 
 
-# Names the driver already verified (CORRECTNESS_r01.json + r02). The
-# driver samples in dict order, so the queries fixed since the last round
-# are listed first (regression proof), then queries never checked, then
-# previously-green ones as regression coverage.
+# Names the driver already verified (CORRECTNESS_r01-r03). The driver
+# samples the FIRST 50 names in dict order, so never-checked queries are
+# listed first, then previously-green ones as regression coverage.
+#
+# Round-4 budget math: 47 queries entered this round without a driver
+# CORRECTNESS row (round-4 additions + three whose semantics changed
+# after their green row, noted below) + 3 round-4-wave-5 additions
+# (dedup_semantic_clusters, similarity_lsh_topk,
+# embedding_random_projection) = EXACTLY 50 fresh names — the full
+# driver sample. After this round every registered query has a
+# driver-green row; add the 50 names to _CHECKED in round 5 BEFORE
+# registering new queries, and keep (new + still-unchecked) <= 50.
 _CHECKED = frozenset(
     {
         # round 1

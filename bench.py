@@ -64,6 +64,9 @@ HEADLINE = [
     "window_lag_lead_delta",     # single-pass lag/lead window
     "cluster_zorder_key",        # 32-term Morton interleave codegen throughput
     "graph_triangle_count",      # ordered two-hop join (compact-forward)
+    "dedup_semantic_clusters",   # cell x band-bucket semantic dedup (SemDeDup shape)
+    "similarity_lsh_topk",       # hyperplane-LSH bucket-probe ANN
+    "embedding_random_projection",  # zero-shuffle JL matmul codegen throughput
 ]
 
 

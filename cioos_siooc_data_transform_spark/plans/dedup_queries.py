@@ -1122,3 +1122,167 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_common") / F.size("_sa"), 6).alias("containment_a"),
         F.round(F.col("n_common") / F.size("_sb"), 6).alias("containment_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-shaped): coarse semantic cell (nearest of the
+# 16 deterministic centroids) AND-ed with a hyperplane band bucket for
+# candidate generation, exact cosine only on candidates, min-id keeper
+# per dropped vector. The cell conjunction is what makes this "semantic":
+# two vectors must agree on their coarse semantic region before any
+# pairwise work, so near-dup text from different topics never pairs.
+# ---------------------------------------------------------------------------
+_SEM_CELLS = 16
+_SEM_TAU = 0.45
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < {_SEM_CELLS}),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding, cent.cv), 4) DESC,
+                          cent.centroid_id ASC
+               ) AS rn
+        FROM embeddings v, cent
+      ) WHERE rn = 1
+    ),
+    bits AS (
+      SELECT vec_id, {{hp_bits}}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    bk AS (
+      SELECT b.vec_id, CAST(a.centroid_id AS VARCHAR) || '/' || b.bucket AS bucket
+      FROM (SELECT vec_id, unnest([{{hp_buckets}}]) AS bucket FROM bits) b
+      JOIN assigned a ON a.vec_id = b.vec_id
+    ),
+    guarded AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bk
+      ) WHERE n <= {{cap}}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             CAST(split_part(a.bucket, '/', 1) AS BIGINT) AS cell_id
+      FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    near AS (
+      SELECT doc_a, doc_b, cell_id FROM (
+        SELECT doc_a, doc_b, cell_id,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = doc_a
+        JOIN embeddings eb ON eb.vec_id = doc_b
+      ) WHERE cos_sim >= {_SEM_TAU}
+    )
+    SELECT doc_b AS dropped_id,
+           min(doc_a) AS keeper_id,
+           count(*) AS n_partners,
+           min(cell_id) AS cell_id
+    FROM near
+    GROUP BY doc_b
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: a vector
+    is DROPPED when a lower-id vector in the SAME semantic cell scores
+    rounded-cosine >= {tau}; its keeper is the smallest such partner
+    (greedy min-id survivorship — one deterministic representative per
+    near-dup relation, no transitive chasing).
+
+    Scale shape (the SemDeDup recipe restated Spark-first): the cluster
+    assignment is a corpus x 16-broadcast-centroid streaming pass (the
+    one BroadcastNestedLoopJoin in a dedup_* plan — linear, not
+    quadratic; exempted in tests/test_plans.py); candidates come from an
+    equi-join on the (cell, hyperplane-band-bucket) composite key with
+    the standard windowed-count mega-bucket guard, so the quadratic
+    explosion inside one semantic cell (the naive SemDeDup
+    pairwise-within-cluster step, O(cell^2) — cells grow linearly with
+    the corpus) never happens; exact cosine prices only survivors. At
+    100 TB the centroid set comes from train_ivf_centroids on a bounded
+    sample instead of the first-16 rows; everything downstream is
+    unchanged.
+    """
+    from cioos_siooc_data_transform_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < _SEM_CELLS)
+    assigned = ivf_assign(emb, cent, id_col="vec_id", vec_col="embedding").select(
+        "vec_id", "centroid_id"
+    )
+    buckets = hyperplane_lsh_buckets(
+        emb, "vec_id", "embedding", _EMB_HP, bands=_EMB_BANDS
+    )
+    # The trailing distinct is a near-no-op ((vec_id, bucket) is unique
+    # by construction) but its Exchange is REUSED by both self-join
+    # sides, so the centroid-assignment subtree computes once instead of
+    # twice — A/B at sf0.1: 4.5 s stable vs 4.8-8.8 s without (cold
+    # recompute). A row-local literal-centroid argmax variant measured
+    # 2x SLOWER (8.9 s): projection collapse inlines the 16-cosine
+    # argmax into each of the 8 bucket expressions (128 folds/row).
+    cb = (
+        buckets.join(assigned, "vec_id")
+        .select(
+            "vec_id",
+            F.concat(
+                F.col("centroid_id").cast("string"), F.lit("/"), F.col("bucket")
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    # Candidate pairs on the composite key, carrying the cell id parsed
+    # back out of the key — re-joining `assigned` here would replan the
+    # centroid-assignment subtree a second (and third) time.
+    wb = Window.partitionBy("bucket")
+    guarded = cb.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_n") <= _EMB_BUCKET_CAP
+    )
+    a = guarded.select(F.col("vec_id").alias("doc_a"), "bucket")
+    b = guarded.select(F.col("vec_id").alias("doc_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.split_part(F.col("bucket"), F.lit("/"), F.lit(1))
+            .cast("long")
+            .alias("cell_id"),
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    near = (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "cell_id",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _SEM_TAU)
+    )
+    return (
+        near.groupBy(F.col("doc_b").alias("dropped_id"))
+        .agg(
+            F.min("doc_a").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_partners"),
+            F.min("cell_id").alias("cell_id"),
+        )
+    )
+
+
+# The oracle above needs the shared hyperplane SQL bank and cap filled in.
+from cioos_siooc_data_transform_spark.plans.registry import ORACLES as _R_ORACLES
+
+_R_ORACLES["dedup_semantic_clusters"] = _R_ORACLES["dedup_semantic_clusters"].format(
+    hp_bits=_HP_BITS_SQL, hp_buckets=_HP_BUCKETS_SQL, cap=_EMB_BUCKET_CAP
+)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.operators.similarity import (
     brute_force_topk,
+    cosine_expr,
     ivf_topk,
 )
 from cioos_siooc_data_transform_spark.plans.registry import register
@@ -333,4 +334,198 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy(F.col("qid").alias("query_id")).agg(
         n_hits.cast("long").alias("n_hits"),
         (n_hits / 5.0).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN top-k — the hyperplane (sign-random-projection)
+# alternative to the IVF scale path: no trained quantizer, just the
+# deterministic hyperplane bank shared with dedup_embedding_cosine.
+# Candidates = corpus vectors sharing >= 1 band bucket with the query
+# (OR-of-ANDs amplification); exact cosine runs only on candidates.
+# ---------------------------------------------------------------------------
+@register(
+    "similarity_lsh_topk",
+    oracle=None,  # set below — shares the hyperplane SQL bank lazily
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via hyperplane LSH bucket probing (8 bands x 4 bits over
+    the 64-dim embeddings, same deterministic bank as
+    dedup_embedding_cosine). The query side is 5 vectors -> its bucket
+    list is tiny and broadcast; the corpus streams through the bucket
+    equi-join once. The mega-bucket guard (windowed count <= 400) bounds
+    the worst task exactly like the dedup twin — at 100 TB a degenerate
+    bucket (e.g. the all-zeros region) would otherwise serialize into
+    one task. Recall tuning vs the exact answer is measured by
+    similarity_recall_at_k's harness pattern; cosine is rounded to 4 dp
+    before ranking with an id tiebreak so top-k membership is
+    engine-stable.
+
+    Reference parity note: the reference has no ANN surface (SURVEY.md
+    §2 beyond-reference scope); this is the LSH half of the task's
+    'IVF or LSH-bucketed variant' pair — both now ship.
+    """
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        hyperplane_lsh_buckets,
+        )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _EMB_BANDS,
+        _EMB_BUCKET_CAP,
+        _EMB_HP,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = hyperplane_lsh_buckets(
+        emb, "vec_id", "embedding", _EMB_HP, bands=_EMB_BANDS
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    guarded = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= _EMB_BUCKET_CAP
+    )
+    q = guarded.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = (
+        guarded.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    ea = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    eb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(ea), "query_id")
+        .join(eb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window as W2
+
+    rw = W2.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "neighbor_id", "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _EMB_BUCKET_CAP,
+        _HP_BITS_SQL,
+        _HP_BUCKETS_SQL,
+    )
+
+    return f"""
+    WITH bits AS (
+      SELECT vec_id, {_HP_BITS_SQL}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    bk AS (SELECT vec_id, unnest([{_HP_BUCKETS_SQL}]) AS bucket FROM bits),
+    guarded AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bk
+      ) WHERE n <= {_EMB_BUCKET_CAP}
+    ),
+    q AS (SELECT vec_id AS query_id, bucket FROM guarded WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT q.query_id, g.vec_id AS neighbor_id
+      FROM q JOIN guarded g ON g.bucket = q.bucket AND g.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                     CAST(eb.embedding AS DOUBLE[])), 4) DESC,
+                        neighbor_id ASC
+             ) AS rank
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.query_id
+      JOIN embeddings eb ON eb.vec_id = cand.neighbor_id
+    ) WHERE rank <= 5
+    """
+
+
+from cioos_siooc_data_transform_spark.plans.registry import ORACLES as _ORACLES
+
+_ORACLES["similarity_lsh_topk"] = _lsh_topk_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (64 -> 16 dims): the standard
+# pre-ANN dimensionality reduction — distances are preserved within
+# (1 +/- eps) w.h.p., index memory and cosine cost drop 4x. Row-local
+# matmul against a literal matrix: zero shuffle, whole-stage codegen,
+# corpus streams once. Engine-exact by integer quantization: vector
+# elements -> 1e-6 micro-units, hyperplane coefficients -> 1e-4 units,
+# so every product and partial sum is an integer < 2^53 — double
+# accumulation is EXACT and order-independent on both engines (no
+# float-boundary risk in the 6-dp output rounding).
+# ---------------------------------------------------------------------------
+from cioos_siooc_data_transform_spark.operators.dedup import random_hyperplanes
+
+_JL_OUT_DIMS = 16
+_JL_ROWS_INT = [
+    [int(round(v * 10000.0)) for v in row]
+    for row in random_hyperplanes(_JL_OUT_DIMS, 64, seed=7)
+]
+# proj_micro = round(sum_i xi_i * h_int_i / (1e4 * sqrt(16))) with
+# xi in micro-units -> divide the integer dot by 4e4 to land in 1e-6 units.
+_JL_PROJ_SQL = ", ".join(
+    "floor(list_aggregate(list_transform(range(64), i -> xi[i + 1] * ("
+    + "[" + ", ".join(str(h) for h in row) + "][i + 1]"
+    + ")), 'sum') / 40000.0 + 0.5) / 1000000.0"
+    for row in _JL_ROWS_INT
+)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1000000.0 + 0.5)) AS xi
+      FROM embeddings
+    )
+    SELECT vec_id,
+           unnest(range({_JL_OUT_DIMS})) AS pos,
+           unnest([{_JL_PROJ_SQL}]) AS proj_val
+    FROM v
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL projection of each embedding onto 16 deterministic Gaussian
+    directions (seed-7 bank, distinct from the LSH bank), scaled by
+    1/sqrt(16), emitted flattened (vec_id, pos, proj_val) for the
+    driver's scalar canonicalizer — the array form is one array() away
+    for in-plan composition with the ANN operators."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    xi = F.transform(e, lambda x: F.floor(x * 1000000.0 + 0.5))
+    projs = []
+    for row in _JL_ROWS_INT:
+        h = F.array(*[F.lit(float(c)) for c in row])
+        dot = F.aggregate(
+            F.zip_with(xi, h, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        projs.append(F.floor(dot / 40000.0 + 0.5) / 1000000.0)
+    return (
+        emb.select("vec_id", F.posexplode(F.array(*projs)).alias("pos", "proj_val"))
+        .withColumn("pos", F.col("pos").cast("long"))
     )

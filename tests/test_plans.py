@@ -76,7 +76,13 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         # loop there means an all-pairs explosion. (similarity_* may use
         # BroadcastNestedLoopJoin: streaming the corpus against a tiny
         # broadcast query/centroid set is the intended scale plan.)
-        if name.startswith("dedup_"):
+        # dedup_semantic_clusters is the one dedup exempt from the BNLJ
+        # ban: its cell assignment streams the corpus against the
+        # 16-row broadcast centroid set (linear, the same intended shape
+        # as similarity_ivf_topk); its PAIR join is still a guarded
+        # (cell, band-bucket) equi-join, which the CartesianProduct
+        # assertion above still covers.
+        if name.startswith("dedup_") and name != "dedup_semantic_clusters":
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 

@@ -1,0 +1,179 @@
+"""Semantics tests for the round-4 wave-5 operators: SemDeDup-style
+semantic dedup (keeper rule, cell conjunction), LSH bucket-probe ANN
+(planted-duplicate recall at the operator level), and the JL random
+projection (engine-exact integer arithmetic vs a numpy reference).
+
+The synthetic testdata plants only moderate-similarity embedding pairs
+(max rounded cosine ~0.51 at sf0.01), so recall guarantees are tested on
+PLANTED vectors here — identical vectors must agree on every hyperplane
+sign bit and on their nearest cell, which is what makes exact/near-exact
+duplicate recall a structural property rather than a statistical one.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_CORRECTNESS
+
+
+def _queries():
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    return all_queries()
+
+
+def test_semantic_dedup_invariants_at_correctness_sf(spark):
+    """At sf0.01 the (cell AND band-bucket) blocking yields a nonzero
+    dropped set; every dropped vector's keeper must be a strictly
+    smaller id in the SAME cell (greedy min-id survivorship)."""
+    from cioos_siooc_data_transform_spark.operators.similarity import ivf_assign
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    out = _queries()["dedup_semantic_clusters"](spark, SF_DIR_CORRECTNESS)
+    rows = out.collect()
+    assert rows, "sf0.01 plants moderate-sim same-cell pairs"
+    emb = read_table(spark, SF_DIR_CORRECTNESS, "embeddings")
+    wanted = {r.dropped_id for r in rows} | {r.keeper_id for r in rows}
+    cells = {
+        r.vec_id: r.centroid_id
+        for r in ivf_assign(emb, emb.filter(F.col("vec_id") < 16))
+        .filter(F.col("vec_id").isin(list(wanted)))
+        .select("vec_id", "centroid_id")
+        .collect()
+    }
+    for r in rows:
+        assert r.keeper_id < r.dropped_id
+        assert r.n_partners >= 1
+        assert cells[r.dropped_id] == cells[r.keeper_id] == r.cell_id
+
+
+def _planted_corpus(spark):
+    """100 deterministic pseudo-random 64-dim vectors plus two exact
+    duplicates of vector 0 (ids 100, 101)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = [[float(round(v, 4)) for v in row] for row in rng.standard_normal((100, 64))]
+    vecs = base + [base[0], base[0]]
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+
+
+def test_identical_vectors_collide_in_every_band_and_cell(spark):
+    """Identical vectors produce identical hyperplane sign bits (all 8
+    band buckets equal) and the same nearest cell — so exact duplicates
+    can never escape the semantic-dedup or LSH-probe blocking."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        hyperplane_lsh_buckets,
+        lsh_candidate_pairs,
+    )
+    from cioos_siooc_data_transform_spark.operators.similarity import ivf_assign
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _EMB_BANDS,
+        _EMB_HP,
+    )
+
+    corpus = _planted_corpus(spark)
+    buckets = hyperplane_lsh_buckets(corpus, "vec_id", "embedding", _EMB_HP, _EMB_BANDS)
+    b0 = {r.bucket for r in buckets.filter(F.col("vec_id") == 0).collect()}
+    b100 = {r.bucket for r in buckets.filter(F.col("vec_id") == 100).collect()}
+    assert b0 == b100 and len(b0) == _EMB_BANDS
+
+    cand = lsh_candidate_pairs(buckets, "vec_id", max_bucket_size=400)
+    pairs = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    assert (0, 100) in pairs and (0, 101) in pairs and (100, 101) in pairs
+
+    cells = ivf_assign(corpus, corpus.filter(F.col("vec_id") < 16))
+    cmap = {r.vec_id: r.centroid_id for r in cells.select("vec_id", "centroid_id").collect()}
+    assert cmap[0] == cmap[100] == cmap[101]
+
+
+def test_lsh_probe_finds_planted_duplicate_first(spark):
+    """Probing the planted corpus with vector 0's buckets must rank its
+    exact duplicates (cosine 1.0) at the top."""
+    from pyspark.sql import Window
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        hyperplane_lsh_buckets,
+    )
+    from cioos_siooc_data_transform_spark.operators.similarity import cosine_expr
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _EMB_BANDS,
+        _EMB_HP,
+    )
+
+    corpus = _planted_corpus(spark)
+    buckets = hyperplane_lsh_buckets(corpus, "vec_id", "embedding", _EMB_HP, _EMB_BANDS)
+    q = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = (
+        buckets.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    ea = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    eb = corpus.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        cand.join(F.broadcast(ea), "query_id")
+        .join(eb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .collect()
+    )
+    got = {(r.neighbor_id, r.cos_sim) for r in top}
+    assert got == {(100, 1.0), (101, 1.0)}
+
+
+def test_jl_projection_shape_and_quantization(spark):
+    out = _queries()["embedding_random_projection"](spark, SF_DIR_CORRECTNESS)
+    pdf = out.limit(16 * 20).toPandas()
+    assert set(pdf.columns) == {"vec_id", "pos", "proj_val"}
+    # 6-dp quantization: scaling by 1e6 must give integers exactly
+    scaled = pdf["proj_val"] * 1_000_000.0
+    assert (scaled.round(0) - scaled).abs().max() < 1e-6
+
+
+def test_jl_projection_matches_numpy_reference(spark):
+    """The integer-quantized matmul must equal the straightforward float
+    computation within the input-quantization error bound: each element
+    carries <= 5e-7 quantization error, so a projection differs by at
+    most sum|h_i|/4 * 5e-7 ~ 6.5e-6 for 64 Gaussian coefficients."""
+    import numpy as np
+
+    from cioos_siooc_data_transform_spark.plans.similarity_queries import (
+        _JL_ROWS_INT,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    emb = read_table(spark, SF_DIR_CORRECTNESS, "embeddings").filter(
+        F.col("vec_id") < 5
+    ).collect()
+    out = (
+        _queries()["embedding_random_projection"](spark, SF_DIR_CORRECTNESS)
+        .filter(F.col("vec_id") < 5)
+        .collect()
+    )
+    got = {(r.vec_id, r.pos): r.proj_val for r in out}
+    H = np.array(_JL_ROWS_INT, dtype=np.float64) / 10000.0  # back to 4-dp floats
+    for r in emb:
+        v = np.array(r.embedding, dtype=np.float64)
+        ref = (H @ v) / math.sqrt(16)
+        bound = (np.abs(H).sum(axis=1) / 4.0) * 5e-7 + 1e-6  # quantization + output rounding
+        for j in range(16):
+            assert abs(got[(r.vec_id, j)] - ref[j]) <= bound[j], (r.vec_id, j)

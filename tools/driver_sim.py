@@ -57,8 +57,16 @@ def main() -> int:
         "n_fail": n_fail,
         "results": results,
     }
-    with open("/root/repo/tools/driver_sim_last.json", "w") as f:
-        json.dump(out, f, indent=1)
+    # Persist artifacts only for FULL sweeps — a name-filtered run must
+    # not clobber the committed full-registry evidence. The SF-suffixed
+    # copy lets tri-scale sweep evidence coexist on disk
+    # (driver_sim_last.json is whichever full sweep ran last).
+    if not only:
+        with open("/root/repo/tools/driver_sim_last.json", "w") as f:
+            json.dump(out, f, indent=1)
+        sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+        with open(f"/root/repo/tools/driver_sim_{sf_tag}.json", "w") as f:
+            json.dump(out, f, indent=1)
     print(f"\n{len(results) - n_fail}/{len(results)} pass")
     return 1 if n_fail else 0
 
