@@ -367,7 +367,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cioos_siooc_data_transform_spark.operators.dedup import (
         hyperplane_lsh_buckets,
-        )
+    )
     from cioos_siooc_data_transform_spark.plans.dedup_queries import (
         _EMB_BANDS,
         _EMB_BUCKET_CAP,
@@ -380,8 +380,30 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Probe-side pruning: only buckets a query actually probes matter,
+    # so semi-reduce the corpus bucket relation against the (queries x
+    # bands)-sized probe-key set BEFORE the mega-bucket guard. Equality
+    # on the bucket key retains whole buckets, so the windowed count
+    # still sees the TRUE bucket size and the guard decision is
+    # unchanged — but the guard's shuffle input drops from corpus x
+    # bands rows to just the probed buckets. (The oracle guards over all
+    # buckets; results are identical because unprobed buckets can never
+    # produce a candidate.)
+    #
+    # Interleaved A/B at sf0.1 (min-of-3): unpruned 2.8 s vs pruned
+    # 3.1 s — locally the 2.56M-row window is cheap on 32 cores and the
+    # extra probe-keys job costs more than it saves. The pruned shape
+    # ships anyway because the trade inverts catastrophically at scale:
+    # the unpruned window SHUFFLES the entire corpus x bands index
+    # relation per query batch, while the pruned one streams it through
+    # a broadcast filter and shuffles only |probed buckets| x cap rows
+    # (workload-proportional, corpus-size-independent).
+    probe_keys = (
+        buckets.filter(F.col("vec_id") < 5).select("bucket").distinct()
+    )
+    probed = buckets.join(F.broadcast(probe_keys), "bucket")
     w = Window.partitionBy("bucket")
-    guarded = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+    guarded = probed.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
         F.col("_n") <= _EMB_BUCKET_CAP
     )
     q = guarded.filter(F.col("vec_id") < 5).select(

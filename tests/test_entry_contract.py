@@ -46,3 +46,18 @@ def test_every_query_is_oracle_paired():
 
     unpaired = set(all_queries()) - set(all_oracles())
     assert not unpaired, f"rows-only queries (no oracle): {sorted(unpaired)}"
+
+
+def test_fresh_budget_within_driver_sample():
+    """The driver samples exactly 50 queries per round. If more than 50
+    registered names lack a _CHECKED entry, the overflow would NEVER be
+    driver-verified (the round-3 defect class). Register new queries
+    only when (new + still-unchecked) <= 50, and promote driver-green
+    names into _CHECKED at the start of each round."""
+    import __spark_entry__ as e
+
+    fresh = [n for n in e.queries() if n not in e._CHECKED]
+    assert len(fresh) <= 50, (
+        f"{len(fresh)} fresh queries exceed the driver's 50-query sample; "
+        f"overflow would never earn a CORRECTNESS row: {fresh[50:]}"
+    )
