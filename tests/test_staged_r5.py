@@ -1,0 +1,121 @@
+"""Keep the STAGED round-5 queries green while they wait for
+registration (plans/staged_r5.py — parked so round 4's fresh-query
+count stays at the driver's 50-sample budget).
+
+Every staged query runs through the same strict driver-faithful harness
+the registry uses; the GSW additions also pin published UNESCO 1983
+check values so a typo'd constant cannot hide behind oracle symmetry
+(both sides sharing one SQL template means the oracle can't catch a
+wrong coefficient — the independent check value can).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES
+
+
+def test_staged_not_registered():
+    """Parked means parked: none of the staged names may appear in the
+    live registry while the round-4 fresh budget is exactly 50."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_ = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged queries leaked into the live registry: {leaked}"
+
+
+STAGED_NAMES = [
+    "gsw_rho_at_pressure",
+    "gsw_adiabatic_lapse_rate",
+    "gsw_sigma1_sigma2",
+    "window_value_functions",
+    "dedup_bbit_minhash",
+    "tokenizer_fertility",
+    "text_stopword_density",
+    "session_duration_stats",
+    "funnel_conversion_rates",
+]
+
+
+def test_staged_name_list_is_complete():
+    qs, _ = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_eos80_pressure_density_check_values(spark):
+    """UNESCO 1983 check values for the secant-bulk-modulus density."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import rho_eos80_sql
+
+    df = spark.createDataFrame(
+        [(35.0, 25.0, 10000.0), (35.0, 5.0, 10000.0), (35.0, 5.0, 0.0)],
+        "s DOUBLE, t DOUBLE, p DOUBLE",
+    )
+    got = [
+        r[0]
+        for r in df.select(F.expr(rho_eos80_sql("s", "t", "p"))).collect()
+    ]
+    assert abs(got[0] - 1062.53817) < 5e-6
+    assert abs(got[1] - 1069.48914) < 5e-6
+    assert abs(got[2] - 1027.67547) < 5e-6
+
+
+def test_adiabatic_lapse_rate_check_value(spark):
+    """UNESCO 1983: Gamma(40, 40, 10000) = 3.255976e-4 K/dbar."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import lapse_rate_sql
+
+    df = spark.createDataFrame([(40.0, 40.0, 10000.0)], "s DOUBLE, t DOUBLE, p DOUBLE")
+    got = df.select(F.expr(lapse_rate_sql("s", "t", "p"))).collect()[0][0]
+    assert abs(got - 3.255976e-4) < 1e-10
+
+
+def test_bbit_estimate_bounds(spark):
+    """J_hat = 2*(match/8 - 1/2) must stay in [-1, 1] and n_match in
+    [0, 8]; exact duplicates (if any survive to candidates) must score
+    n_match = 8."""
+    from pyspark.sql import functions as F
+
+    qs, _ = _staged()
+    out = qs["dedup_bbit_minhash"](spark, SF_DIR_SMOKE)
+    rows = out.collect()
+    assert rows, "smoke SF plants near-dup documents"
+    for r in rows:
+        assert 0 <= r.n_match <= 8
+        assert -1.0 <= r.jaccard_bbit <= 1.0
+
+
+def test_funnel_rates_monotone(spark):
+    """Cumulative membership can only shrink down-funnel, so both
+    conversion ratios sit in (0, 1]."""
+    qs, _ = _staged()
+    rows = {r.step: r for r in qs["funnel_conversion_rates"](spark, SF_DIR_SMOKE).collect()}
+    assert len(rows) == 3
+    assert rows[0].conv_from_top == 1.0 and rows[0].conv_from_prev == 1.0
+    assert rows[0].n_users >= rows[1].n_users >= rows[2].n_users
+    for r in rows.values():
+        assert 0.0 < r.conv_from_top <= 1.0
+        assert 0.0 < r.conv_from_prev <= 1.0
