@@ -28,6 +28,15 @@ Content:
 - stopword density quality feature;
 - session duration/size stats;
 - funnel step conversion rates.
+
+Wave 2:
+- sigma_theta (EOS-80 surface density at Bryden theta);
+- logistic-regression quality classifier (model-based filtering shape);
+- 5-NN majority-vote label accuracy over embeddings;
+- n-gram novelty score (first-appearance fraction per doc);
+- snapshot diff CDC (added/deleted/changed/unchanged with cent deltas);
+- RANGE BETWEEN INTERVAL window frame (trailing-hour activity);
+- GROUPING()/GROUPING_ID() flags over grouping sets.
 """
 
 from __future__ import annotations
@@ -647,4 +656,437 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("n_users") * 1.0e6 / prev_or_self + 0.5) / 1.0e6).alias(
             "conv_from_prev"
         ),
+    )
+
+
+# ===========================================================================
+# Staged wave 2
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Potential density sigma_theta: EOS-80 surface density evaluated at the
+# Bryden potential temperature — the classic (pre-TEOS-10) watermass
+# coordinate; composes two committed formula blocks, no new constants.
+# ---------------------------------------------------------------------------
+def _sigma_theta_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import pt0_from_t_sql
+
+    theta = pt0_from_t_sql("s", "t", "p")
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           round({_rho0_sql("s", "theta")} - 1000.0e0, 6) AS sigma_theta
+    FROM (
+      SELECT l_orderkey, l_linenumber, s, {theta} AS theta
+      FROM ({_IN_SQL})
+    )
+    """
+
+
+@_register("gsw_potential_density_theta", oracle="__LAZY__")
+def gsw_potential_density_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sigma_theta = rho_EOS80(S, theta, 0) - 1000: surface-referenced
+    potential density through the Bryden theta polynomial. theta is
+    materialized as a column first so both engines evaluate the
+    polynomial once per row."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import pt0_from_t_sql
+
+    df = _inputs(spark, sf_dir)
+    staged = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "s",
+        F.expr(pt0_from_t_sql("s", "t", "p")).alias("theta"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr(_rho0_sql("s", "theta")) - 1000.0, 6).alias("sigma_theta"),
+    )
+
+
+STAGED_ORACLES["gsw_potential_density_theta"] = _sigma_theta_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (the FineWeb-Edu / quality-classifier
+# shape): a literal logistic-regression over cheap per-doc features.
+# The weights are fixed constants — the point is the OPERATOR (batch
+# scoring of every document with a linear model in pure codegen, then a
+# threshold gate), not the model fit.
+# ---------------------------------------------------------------------------
+_LR_W = {"bias": -1.5, "chars": 0.004, "stop": 3.0, "fert": -0.8}
+
+
+@_register(
+    "quality_classifier_logreg",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 x -> list_contains({_STOPWORDS!r}, x)))
+               * 1.0 / len(string_split(text, ' ')) AS stop_density,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               * 1.0 / len(string_split_regex(trim(text), '\\s+')) AS fertility
+      FROM documents WHERE len(string_split(text, ' ')) > 0
+    )
+    SELECT doc_id,
+           floor(1.0 / (1.0 + exp(-({_LR_W['bias']}
+                 + {_LR_W['chars']} * n_chars
+                 + {_LR_W['stop']} * stop_density
+                 + {_LR_W['fert']} * fertility))) * 1.0e6 + 0.5) / 1.0e6
+             AS quality_score,
+           (floor(1.0 / (1.0 + exp(-({_LR_W['bias']}
+                 + {_LR_W['chars']} * n_chars
+                 + {_LR_W['stop']} * stop_density
+                 + {_LR_W['fert']} * fertility))) * 1.0e6 + 0.5) / 1.0e6
+             >= 0.5) AS keep
+    FROM feats
+    """,
+)
+def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch inference of a literal logistic model over per-doc features
+    (chars, stopword density, tokenizer fertility) with a keep/drop
+    gate. All-codegen scoring, zero shuffle; the keep decision is made
+    on the 6-dp-rounded score on BOTH engines so the boundary is
+    canonicalized (same discipline as robust_zscore_outliers). At scale
+    this is the shape of every model-based quality filter: features
+    row-local, weights broadcast (here folded as literals)."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.text import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_words = F.size(words)
+    ws, bpe = token_counts(F.col("text"))
+    stop_density = (
+        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))) * 1.0
+        / n_words
+    )
+    fertility = bpe * 1.0 / ws
+    z = (
+        F.lit(_LR_W["bias"])
+        + _LR_W["chars"] * F.col("n_chars").cast("double")
+        + _LR_W["stop"] * stop_density
+        + _LR_W["fert"] * fertility
+    )
+    score = F.floor(1.0 / (1.0 + F.exp(-z)) * 1.0e6 + 0.5) / 1.0e6
+    return (
+        docs.filter(n_words > 0)
+        .select(
+            "doc_id",
+            score.alias("quality_score"),
+            (score >= 0.5).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label accuracy over embeddings: for each probe vector, the
+# majority label of its 5 nearest neighbors vs its own label — the
+# standard embedding-space sanity eval (a collapsed or shuffled
+# embedding fails it immediately).
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_knn_label_accuracy",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS true_label
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label FROM embeddings),
+    nn AS (
+      SELECT query_id, true_label, neighbor_id, label FROM (
+        SELECT q.query_id, q.true_label, c.neighbor_id, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cv), 4) DESC,
+                          c.neighbor_id ASC
+               ) AS rank
+        FROM q, c WHERE c.neighbor_id != q.query_id
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, count(*) AS n
+      FROM nn GROUP BY query_id, true_label, label
+    ),
+    top AS (
+      SELECT query_id, true_label, label AS pred_label FROM (
+        SELECT query_id, true_label, label,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY n DESC, label ASC
+               ) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT query_id, true_label, pred_label,
+           (pred_label = true_label) AS correct
+    FROM top
+    """,
+)
+def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction for the first 50 vectors
+    (probe set broadcast, corpus streams once — brute-force arm; swap in
+    the IVF/LSH index for the 100 TB path). Majority with
+    smallest-label tiebreak; cosine rounded to 4 dp with id tiebreak so
+    the neighbor set is engine-stable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    probes = emb.filter(F.col("vec_id") < 50)
+    nn = brute_force_topk(probes, emb, k=5, round_dp=4).select(
+        "query_id", "neighbor_id"
+    )
+    lbl = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    qlbl = probes.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        nn.join(lbl, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    top = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    return (
+        top.join(F.broadcast(qlbl), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            (F.col("pred_label") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty: the fraction of a document's shingles that appear for
+# the FIRST time in the corpus (by doc_id order) — the curation metric
+# behind "how much new content does this source add".
+# ---------------------------------------------------------------------------
+@_register(
+    "ngram_novelty_score",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    first_seen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           floor(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 * 1.0e6 / count(*) + 0.5) / 1.0e6 AS novelty
+    FROM sh JOIN first_seen f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty = |shingles first seen in this doc| / |shingles|.
+    Two shuffles: the (shingle -> min doc) agg — map-side combinable,
+    hot shingles collapse before the wire — and the per-doc count join;
+    never a pairwise comparison. Exact integers, one rounded division."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    ).distinct()
+    first_seen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(first_seen, "s")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        novel.cast("long").alias("n_novel"),
+        (F.floor(novel * 1.0e6 / F.count(F.lit(1)) + 0.5) / 1.0e6).alias(
+            "novelty"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions): classify keys as
+# deleted / changed / unchanged / added and report exact integer-cent
+# price deltas — the maintenance op behind incremental republishing.
+# ---------------------------------------------------------------------------
+@_register(
+    "snapshot_diff_cdc",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), nw AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(
+               (o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 50.0 ELSE 0.0 END)
+               * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 13 != 0
+      UNION ALL
+      SELECT -o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+      FROM orders WHERE o_orderkey % 17 = 0
+    ), classified AS (
+      SELECT
+        CASE
+          WHEN b.k IS NULL THEN 'added'
+          WHEN n.k IS NULL THEN 'deleted'
+          WHEN b.cents != n.cents THEN 'changed'
+          ELSE 'unchanged'
+        END AS change_type,
+        COALESCE(n.cents, 0) - COALESCE(b.cents, 0) AS delta_cents
+      FROM base b FULL OUTER JOIN nw n ON b.k = n.k
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(delta_cents) AS BIGINT) AS total_delta_cents
+    FROM classified
+    GROUP BY change_type
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer key reconciliation of two deterministic snapshot
+    versions (mod-13 deletes, mod-7 price changes, mod-17 adds under
+    negated keys) with integer-cent deltas. One shuffle on the (uniform)
+    primary key; change classification is row-local. The summary agg
+    keeps the output bounded (4 rows) — the per-key stream is the same
+    plan minus the final groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("k"), cents.alias("cents"))
+    changed_price = F.col("o_totalprice") + F.when(
+        F.col("o_orderkey") % 7 == 0, 50.0
+    ).otherwise(0.0)
+    nw = (
+        orders.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.floor(changed_price * 100.0 + 0.5).cast("long").alias("cents"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 17 == 0).select(
+                (-F.col("o_orderkey")).alias("k"), cents.alias("cents")
+            )
+        )
+    )
+    j = base.alias("b").join(
+        nw.alias("n"), F.col("b.k") == F.col("n.k"), "full_outer"
+    )
+    change_type = (
+        F.when(F.col("b.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "deleted")
+        .when(F.col("b.cents") != F.col("n.cents"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.coalesce(F.col("n.cents"), F.lit(0)) - F.coalesce(
+        F.col("b.cents"), F.lit(0)
+    )
+    return (
+        j.select(change_type.alias("change_type"), delta.alias("delta_cents"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("delta_cents").cast("long").alias("total_delta_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE frame: trailing 1-hour activity per user — the
+# window surface the numeric range-frame query doesn't cover (frame
+# bounds in INTERVAL units over a timestamp ordering).
+# ---------------------------------------------------------------------------
+@_register(
+    "window_time_interval_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS value_micros_last_hour
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_time_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour event count and (integer-micro-quantized) value sum
+    per user via a RANGE BETWEEN INTERVAL frame — expressed in SQL on
+    both engines. The value sum is quantized BEFORE the frame sum so
+    the windowed aggregation is integer-exact regardless of each
+    engine's frame-evaluation order. NOTE: ties in ts share a RANGE
+    frame by definition, so same-ts rows get identical results — no
+    tiebreak needed for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_staged_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+               CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS value_micros_last_hour
+        FROM _staged_events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+        )
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING() / GROUPING_ID() flags: the introspection half of the
+# grouping-sets family (which aggregation level produced this row) —
+# what BI layers pivot on.
+# ---------------------------------------------------------------------------
+@_register(
+    "grouping_id_flags",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING()/GROUPING_ID() markers — the flags
+    that let a consumer tell a real NULL group from a rolled-up level.
+    Same SQL text on both engines (the flag semantics are ANSI)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_staged_orders")
+    return orders.sparkSession.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM _staged_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
     )

@@ -46,6 +46,14 @@ STAGED_NAMES = [
     "text_stopword_density",
     "session_duration_stats",
     "funnel_conversion_rates",
+    # wave 2
+    "gsw_potential_density_theta",
+    "quality_classifier_logreg",
+    "embedding_knn_label_accuracy",
+    "ngram_novelty_score",
+    "snapshot_diff_cdc",
+    "window_time_interval_frame",
+    "grouping_id_flags",
 ]
 
 
