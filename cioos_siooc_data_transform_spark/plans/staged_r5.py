@@ -1090,3 +1090,333 @@ def grouping_id_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# ===========================================================================
+# Staged wave 3
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring: mean ln P(w_i | w_{i-1}) per document under the
+# corpus's own bigram distribution — the context-aware upgrade of
+# lm_unigram_logprob (CCNet-style perplexity filtering). Both frequency
+# tables are vocabulary-bounded and broadcast; the corpus never
+# shuffles on a token key.
+# ---------------------------------------------------------------------------
+@_register(
+    "lm_bigram_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                    i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w
+    ),
+    bfreq AS (SELECT b, CAST(count(*) AS DOUBLE) AS cb FROM bg GROUP BY b),
+    cfreq AS (
+      SELECT split_part(b, ' ', 1) AS wctx, sum(cb) AS cc
+      FROM bfreq GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(sum(ln(cb / cc)) / count(*) * 1e6 + 0.5) / 1e6 AS avg_logprob
+    FROM bg
+    JOIN bfreq USING (b)
+    JOIN cfreq ON split_part(b, ' ', 1) = cfreq.wctx
+    GROUP BY doc_id
+    """,
+)
+def lm_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(w_i | w_{i-1}) = c(bigram) / c(context); docs shorter than two
+    words have no bigrams and drop out (inner-join semantics, identical
+    on both engines). Context counts derive from the bigram table (sum
+    over first word) so the two tables are consistent by construction."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        F.explode(word_shingles(words_expr(F.col("text")), 2)).alias("b"),
+    )
+    bfreq = bg.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    cfreq = bfreq.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("wctx")
+    ).agg(F.sum("cb").alias("cc"))
+    joined = bg.join(F.broadcast(bfreq), "b").join(
+        F.broadcast(cfreq),
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)) == F.col("wctx"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            F.floor(
+                F.sum(F.log(F.col("cb") / F.col("cc"))) / F.count(F.lit(1)) * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dedup survivorship report: the ops dashboard behind every
+# dedup pipeline (which sources are mostly copies?).
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_source_survivorship",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+           floor((count(*) - count(DISTINCT md5(text))) * 1.0e6 / count(*)
+                 + 0.5) / 1.0e6 AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+)
+def dedup_source_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source duplicate rate via digest distinct-count — one
+    shuffle keyed by (source, digest) under the hood; source cardinality
+    is bounded so the final agg is tiny."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    u = F.countDistinct(F.md5(F.col("text")))
+    return docs.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        u.cast("long").alias("n_unique"),
+        (F.floor((n - u) * 1.0e6 / n + 0.5) / 1.0e6).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join with tolerance (pandas merge_asof
+# direction='nearest' parity): each purchase matches its nearest click
+# by the same user within +/-900 s, backward preferred on exact
+# distance ties. Union + two windows — no range-pair explosion.
+# ---------------------------------------------------------------------------
+@_register(
+    "asof_nearest_tolerance",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id, epoch(ts) AS es, 0 AS rt
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, event_id, epoch(ts) AS es, 1 AS rt
+      FROM events WHERE event_type = 'click'
+    ), scanned AS (
+      SELECT user_id, event_id, es, rt,
+             last_value(CASE WHEN rt = 1 THEN event_id END IGNORE NULLS) OVER wb AS b_id,
+             last_value(CASE WHEN rt = 1 THEN es END IGNORE NULLS) OVER wb AS b_es,
+             first_value(CASE WHEN rt = 1 THEN event_id END IGNORE NULLS) OVER wf AS f_id,
+             first_value(CASE WHEN rt = 1 THEN es END IGNORE NULLS) OVER wf AS f_es
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY es ASC, rt DESC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY es ASC, rt DESC, event_id ASC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id,
+           CASE
+             WHEN b_es IS NOT NULL AND es - b_es <= 900.0
+                  AND (f_es IS NULL OR f_es - es > 900.0
+                       OR es - b_es <= f_es - es) THEN b_id
+             WHEN f_es IS NOT NULL AND f_es - es <= 900.0 THEN f_id
+             ELSE NULL
+           END AS matched_click_id,
+           CASE
+             WHEN b_es IS NOT NULL AND es - b_es <= 900.0
+                  AND (f_es IS NULL OR f_es - es > 900.0
+                       OR es - b_es <= f_es - es)
+               THEN CAST(floor((es - b_es) * 1000.0 + 0.5) AS BIGINT)
+             WHEN f_es IS NOT NULL AND f_es - es <= 900.0
+               THEN CAST(floor((f_es - es) * 1000.0 + 0.5) AS BIGINT)
+             ELSE NULL
+           END AS dt_ms
+    FROM scanned WHERE rt = 0
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-within-tolerance as-of: tag both sides, ONE shuffle on
+    user_id, a backward scan (last click at-or-before) and a forward
+    scan (first click at-or-after) over the same sort, then a row-local
+    nearest/tolerance decision. Clicks sort before purchases at equal
+    timestamps (rt DESC) so a simultaneous click is eligible for the
+    backward match — and the backward arm wins exact-distance ties,
+    matching pandas merge_asof(direction='nearest')."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").cast("double").alias("es"),
+        F.lit(0).alias("rt"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").cast("double").alias("es"),
+        F.lit(1).alias("rt"),
+    )
+    u = left.unionByName(right)
+    order = [F.col("es").asc(), F.col("rt").desc(), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r_id = F.when(F.col("rt") == 1, F.col("event_id"))
+    r_es = F.when(F.col("rt") == 1, F.col("es"))
+    scanned = u.select(
+        "event_id",
+        "es",
+        "rt",
+        F.last(r_id, ignorenulls=True).over(wb).alias("b_id"),
+        F.last(r_es, ignorenulls=True).over(wb).alias("b_es"),
+        F.first(r_id, ignorenulls=True).over(wf).alias("f_id"),
+        F.first(r_es, ignorenulls=True).over(wf).alias("f_es"),
+    ).filter(F.col("rt") == 0)
+    b_ok = F.col("b_es").isNotNull() & (F.col("es") - F.col("b_es") <= 900.0)
+    f_ok = F.col("f_es").isNotNull() & (F.col("f_es") - F.col("es") <= 900.0)
+    prefer_b = b_ok & (
+        ~f_ok | (F.col("es") - F.col("b_es") <= F.col("f_es") - F.col("es"))
+    )
+    dt_b = F.floor((F.col("es") - F.col("b_es")) * 1000.0 + 0.5).cast("long")
+    dt_f = F.floor((F.col("f_es") - F.col("es")) * 1000.0 + 0.5).cast("long")
+    return scanned.select(
+        "event_id",
+        F.when(prefer_b, F.col("b_id"))
+        .when(f_ok, F.col("f_id"))
+        .otherwise(F.lit(None))
+        .alias("matched_click_id"),
+        F.when(prefer_b, dt_b).when(f_ok, dt_f).otherwise(F.lit(None)).alias(
+            "dt_ms"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-iteration PageRank over the co-purchase graph, in EXACT integer
+# arithmetic: scores live in 1e-12 units (BIGINT); per-edge contribution
+# is integer division by out-degree; the damping and teleport terms are
+# integer multiply-then-divide. Every operation is order-independent,
+# so a recursive-CTE oracle reproduces the Spark loop bit-for-bit —
+# the same determinism discipline as dedup_components, extended to a
+# numeric iterative algorithm.
+# ---------------------------------------------------------------------------
+_PR_ITERS = 3
+_PR_UNIT = 1_000_000_000_000  # 1e12 score units
+
+
+@_register("graph_pagerank_iterations", oracle="__LAZY__")
+def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{iters}-iteration PageRank (d=0.85) on the support->=2
+    co-purchase graph. Integer 1e-12-unit scores make the iteration
+    engine-exact: contribution = score // outdeg, update =
+    (15*(U//N))//100 + (85*sum)//100 — no float summation anywhere, so
+    neither engine's aggregation order matters. The edge set (with
+    degrees) is checkpointed once (the dedup_components lineage idiom);
+    each round is one (uniform-key) shuffle: contributions aggregate by
+    target. Driver holds only the loop counter — no per-round actions.
+    At 100 TB the same loop runs with the degree table bucketed and
+    AQE skew-splitting hub nodes."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    n_nodes = deg.count()  # scalar: node count (bounded driver value)
+    init = _PR_UNIT // n_nodes
+    teleport = (15 * init) // 100
+    score = deg.select(F.col("src").alias("node"), F.lit(init).alias("score"))
+    deg_r = deg.select(F.col("src").alias("dnode"), "outdeg")
+    edges_r = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            score.join(deg_r, score["node"] == deg_r["dnode"])
+            .join(edges_r, score["node"] == edges_r["esrc"])
+            .select(
+                F.col("edst").alias("node"),
+                F.expr("score DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        score = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(incoming, 0) DIV 100")
+                ).alias("score"),
+            )
+        )
+    return score.select(
+        F.col("node").alias("part_key"), F.col("score").cast("long").alias("pagerank_picos")
+    )
+
+
+def _pagerank_oracle() -> str:
+    base = f"""
+    items AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb
+      FROM items a JOIN items b ON a.k = b.k AND a.pk < b.pk
+    ), und AS (
+      SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+    ), edges AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb, pa FROM und
+    ), deg AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+    ), it0 AS (
+      SELECT src AS node, {_PR_UNIT} // n.n_nodes AS score FROM deg, n
+    )"""
+    its = []
+    for i in range(1, _PR_ITERS + 1):
+        its.append(f""", it{i} AS (
+      SELECT d.src AS node,
+             (15 * ({_PR_UNIT} // n.n_nodes)) // 100
+             + (85 * COALESCE(x.inc, 0)) // 100 AS score
+      FROM deg d
+      CROSS JOIN n
+      LEFT JOIN (
+        SELECT e.dst, sum(s.score // dg.outdeg) AS inc
+        FROM it{i-1} s
+        JOIN deg dg ON dg.src = s.node
+        JOIN edges e ON e.src = s.node
+        GROUP BY e.dst
+      ) x ON x.dst = d.src
+    )""")
+    return (
+        "WITH " + base + "".join(its)
+        + f"""
+    SELECT node AS part_key, CAST(score AS BIGINT) AS pagerank_picos
+    FROM it{_PR_ITERS}
+    """
+    )
+
+
+STAGED_ORACLES["graph_pagerank_iterations"] = _pagerank_oracle()

@@ -54,6 +54,11 @@ STAGED_NAMES = [
     "snapshot_diff_cdc",
     "window_time_interval_frame",
     "grouping_id_flags",
+    # wave 3
+    "lm_bigram_logprob",
+    "dedup_source_survivorship",
+    "asof_nearest_tolerance",
+    "graph_pagerank_iterations",
 ]
 
 
