@@ -1420,3 +1420,382 @@ def _pagerank_oracle() -> str:
 
 
 STAGED_ORACLES["graph_pagerank_iterations"] = _pagerank_oracle()
+
+
+# ===========================================================================
+# Staged wave 4
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Point-in-time lookup over an SCD2 history — the feature-store
+# correctness primitive (training labels must join the feature version
+# valid AT the observation time, not the latest one).
+# ---------------------------------------------------------------------------
+_PIT_PROBES = ["1994-06-01", "1997-01-01"]
+
+
+@_register(
+    "scd2_point_in_time_lookup",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+             o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS valid_to
+      FROM orders
+    ),
+    probes AS (
+      SELECT DISTINCT o_custkey,
+             unnest([DATE '{_PIT_PROBES[0]}', DATE '{_PIT_PROBES[1]}']) AS probe_date
+      FROM orders
+    ),
+    u AS (
+      SELECT o_custkey, CAST(NULL AS BIGINT) AS version_key,
+             CAST(NULL AS DOUBLE) AS total,
+             probe_date AS d, CAST(NULL AS DATE) AS valid_to, 0 AS rt,
+             CAST(NULL AS BIGINT) AS tiebreak
+      FROM probes
+      UNION ALL
+      SELECT o_custkey, o_orderkey, total, valid_from, valid_to, 1, o_orderkey
+      FROM hist
+    ),
+    scanned AS (
+      SELECT o_custkey, d, rt,
+             last_value(CASE WHEN rt = 1 THEN version_key END IGNORE NULLS)
+               OVER w AS v_key,
+             last_value(CASE WHEN rt = 1 THEN total END IGNORE NULLS)
+               OVER w AS v_total,
+             last_value(CASE WHEN rt = 1 THEN valid_to END IGNORE NULLS)
+               OVER w AS v_to
+      FROM u
+      WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY d ASC, rt DESC, tiebreak ASC NULLS LAST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT o_custkey, d AS probe_date, v_key AS version_key, v_total AS total
+    FROM scanned
+    WHERE rt = 0 AND v_key IS NOT NULL
+      AND (v_to IS NULL OR v_to > d)
+    """,
+)
+def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve each (customer, probe date) to the SCD2 version valid at
+    that instant: union probes with versions, ONE shuffle on the
+    business key, a backward IGNORE NULLS scan picks the last version
+    starting at-or-before the probe, and a row-local validity filter
+    drops probes outside any interval. Versions sort before probes at
+    equal dates (rt DESC) so a version starting ON the probe date is
+    picked — [valid_from, valid_to) semantics. NULLS LAST on the
+    tiebreak keeps probe rows (NULL key) after the versions they tie
+    with. This is the as-of union+window idiom applied to temporal
+    versioning — no interval explosion, linear in probes + versions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    probes = (
+        orders.select("o_custkey")
+        .distinct()
+        .select(
+            "o_custkey",
+            F.explode(
+                F.array(*[F.lit(d).cast("date") for d in _PIT_PROBES])
+            ).alias("probe_date"),
+        )
+    )
+    u = probes.select(
+        "o_custkey",
+        F.lit(None).cast("long").alias("version_key"),
+        F.lit(None).cast("double").alias("total"),
+        F.col("probe_date").alias("d"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(0).alias("rt"),
+        F.lit(None).cast("long").alias("tiebreak"),
+    ).unionByName(
+        hist.select(
+            "o_custkey",
+            "version_key",
+            "total",
+            F.col("valid_from").alias("d"),
+            "valid_to",
+            F.lit(1).alias("rt"),
+            F.col("version_key").alias("tiebreak"),
+        )
+    )
+    wb = (
+        Window.partitionBy("o_custkey")
+        .orderBy(
+            F.col("d").asc(), F.col("rt").desc(), F.col("tiebreak").asc_nulls_last()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("rt") == 1, F.col("version_key"))
+    t = F.when(F.col("rt") == 1, F.col("total"))
+    vt = F.when(F.col("rt") == 1, F.col("valid_to"))
+    scanned = u.select(
+        "o_custkey",
+        "d",
+        "rt",
+        F.last(v, ignorenulls=True).over(wb).alias("v_key"),
+        F.last(t, ignorenulls=True).over(wb).alias("v_total"),
+        F.last(vt, ignorenulls=True).over(wb).alias("v_to"),
+    )
+    return (
+        scanned.filter(
+            (F.col("rt") == 0)
+            & F.col("v_key").isNotNull()
+            & (F.col("v_to").isNull() | (F.col("v_to") > F.col("d")))
+        )
+        .select(
+            "o_custkey",
+            F.col("d").alias("probe_date"),
+            F.col("v_key").alias("version_key"),
+            F.col("v_total").alias("total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-words (multiset) Jaccard confirm: sum(min)/sum(max) over token
+# COUNTS — near-dup scoring that sees repetition (templated docs with
+# the same vocabulary but different repetition patterns score lower
+# than set Jaccard suggests). Candidates come from the standard guarded
+# LSH chain; only Σmin needs the pairwise join (Σmax derives from the
+# per-doc totals: |A| + |B| − Σmin).
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_bag_jaccard_pairs",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    mh AS (
+      SELECT doc_id,
+             min(substr(md5(s || '#0'), 1, 8)) AS h1,
+             min(substr(md5(s || '#0'), 9, 8)) AS h2,
+             min(substr(md5(s || '#0'), 17, 8)) AS h3,
+             min(substr(md5(s || '#0'), 25, 8)) AS h4,
+             min(substr(md5(s || '#1'), 1, 8)) AS h5,
+             min(substr(md5(s || '#1'), 9, 8)) AS h6,
+             min(substr(md5(s || '#1'), 17, 8)) AS h7,
+             min(substr(md5(s || '#1'), 25, 8)) AS h8
+      FROM sh GROUP BY doc_id
+    ),
+    bk AS (
+      SELECT doc_id, unnest([
+        '0:' || md5(h1 || h2), '1:' || md5(h3 || h4),
+        '2:' || md5(h5 || h6), '3:' || md5(h7 || h8)
+      ]) AS bucket
+      FROM mh
+    ),
+    guarded AS (
+      SELECT doc_id, bucket FROM (
+        SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bk
+      ) WHERE n <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT cand.doc_a, cand.doc_b,
+             sum(least(ta.c, tb.c)) AS sum_min
+      FROM cand
+      JOIN tf ta ON ta.doc_id = cand.doc_a
+      JOIN tf tb ON tb.doc_id = cand.doc_b AND tb.t = ta.t
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.sum_min AS BIGINT) AS sum_min,
+           floor(i.sum_min * 1.0e6 / (na.n + nb.n - i.sum_min) + 0.5) / 1.0e6
+             AS bag_jaccard
+    FROM inter i
+    JOIN totals na ON na.doc_id = i.doc_a
+    JOIN totals nb ON nb.doc_id = i.doc_b
+    """,
+)
+def dedup_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset Jaccard over LSH candidates: Σmin via a per-pair token
+    join (bounded by candidate count x doc length), Σmax computed from
+    the per-doc totals without any extra pairwise work. Pairs sharing
+    no token drop out (inner join) — identical on both engines. Exact
+    integers everywhere; one rounded division."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+        words_expr,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    ).distinct()
+    sig = minhash_signature(sh, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    tok = docs.select("doc_id", F.explode(words_expr(F.col("text"))).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ta = tf.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("t"), F.col("c").alias("ca")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("tb_doc"), F.col("t").alias("tb_t"), F.col("c").alias("cb")
+    )
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(
+            tb,
+            (F.col("doc_b") == F.col("tb_doc")) & (F.col("t") == F.col("tb_t")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least(F.col("ca"), F.col("cb"))).alias("sum_min"))
+    )
+    na = totals.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = totals.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("sum_min").cast("long").alias("sum_min"),
+            (
+                F.floor(
+                    F.col("sum_min") * 1.0e6
+                    / (F.col("na") + F.col("nb") - F.col("sum_min"))
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("bag_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-Mahalanobis embedding outliers: per-(label, dim) mean and
+# variance from integer-quantized coordinates (exact sums / sums of
+# squares), then a row-local standardized distance — the scale-aware
+# upgrade of embedding_centroid_distance for embedding-space QC.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_mahalanobis_diag",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xi
+      FROM embeddings
+    ), long AS (
+      SELECT label, unnest(range(len(xi))) AS pos, unnest(xi) AS x FROM v
+    ), stats AS (
+      SELECT label, pos,
+             sum(x) AS sx, sum(x * x) AS sxx, count(*) AS cnt
+      FROM long GROUP BY label, pos
+    ), mv AS (
+      SELECT label, pos,
+             sx / (1000000.0 * cnt) AS mu,
+             (sxx / (1.0e12 * cnt)) - (sx / (1000000.0 * cnt)) * (sx / (1000000.0 * cnt))
+               AS var
+      FROM stats
+    ), marr AS (
+      SELECT label,
+             list(mu ORDER BY pos) AS mus,
+             list(var ORDER BY pos) AS vars
+      FROM mv GROUP BY label
+    )
+    SELECT v.vec_id, v.label,
+           floor(list_aggregate(
+             list_transform(range(len(v.xi)),
+               i -> CASE WHEN m.vars[i + 1] > 0.0 THEN
+                      (v.xi[i + 1] / 1000000.0 - m.mus[i + 1])
+                      * (v.xi[i + 1] / 1000000.0 - m.mus[i + 1]) / m.vars[i + 1]
+                    ELSE 0.0 END),
+             'sum') * 1.0e6 + 0.5) / 1.0e6 AS d2
+    FROM v JOIN marr m ON v.label = m.label
+    """,
+)
+def embedding_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label diagonal-covariance standardized distance
+    D² = Σ_d (x_d − μ_d)²/σ²_d. Engine-exactness: coordinates quantize
+    to integer micro-units FIRST, so the per-(label, dim) sums and
+    sums-of-squares are exact integer aggregates (order-independent);
+    μ and σ² are then single divisions of identical integers, and D² is
+    a row-local left-to-right fold over identical doubles. One shuffle
+    (the (label, dim) integer agg, map-side combinable); the per-label
+    μ/σ² arrays are labels-sized and broadcast; the corpus streams
+    through the distance computation once. Zero-variance dims contribute
+    0 (identical CASE on both engines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    xi = F.transform(e, lambda x: F.floor(x * 1000000.0 + 0.5).cast("long"))
+    v = emb.select("vec_id", "label", xi.alias("xi"))
+    long_ = v.select("label", F.posexplode(F.col("xi")).alias("pos", "x"))
+    stats = long_.groupBy("label", "pos").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    mu = F.col("sx") / (1000000.0 * F.col("cnt"))
+    var = (F.col("sxx") / (1.0e12 * F.col("cnt"))) - mu * mu
+    marr = (
+        stats.select(
+            "label",
+            F.struct(
+                "pos", mu.alias("mu"), var.alias("var")
+            ).alias("pc"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pc")), lambda st: st["mu"]
+            ).alias("mus"),
+            F.transform(
+                F.array_sort(F.collect_list("pc")), lambda st: st["var"]
+            ).alias("vars"),
+        )
+    )
+    xd = F.transform(F.col("xi"), lambda q: q / 1000000.0)
+    d2 = F.aggregate(
+        F.zip_with(
+            xd,
+            F.zip_with(
+                F.col("mus"), F.col("vars"),
+                lambda m, s: F.struct(m.alias("m"), s.alias("s")),
+            ),
+            lambda x, ms: F.when(
+                ms["s"] > 0.0, (x - ms["m"]) * (x - ms["m"]) / ms["s"]
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        v.join(F.broadcast(marr), "label")
+        .select(
+            "vec_id",
+            "label",
+            (F.floor(d2 * 1.0e6 + 0.5) / 1.0e6).alias("d2"),
+        )
+    )

@@ -59,6 +59,10 @@ STAGED_NAMES = [
     "dedup_source_survivorship",
     "asof_nearest_tolerance",
     "graph_pagerank_iterations",
+    # wave 4
+    "scd2_point_in_time_lookup",
+    "dedup_bag_jaccard_pairs",
+    "embedding_mahalanobis_diag",
 ]
 
 
