@@ -1799,3 +1799,245 @@ def embedding_mahalanobis_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(d2 * 1.0e6 + 0.5) / 1.0e6).alias("d2"),
         )
     )
+
+
+# ===========================================================================
+# Staged wave 5
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis A-Res): key =
+# ln(u)/w with a hash-derived uniform u — the exact shape of
+# quality-weighted corpus subsampling (mixture construction weights
+# better documents higher without hard cutoffs).
+# ---------------------------------------------------------------------------
+_ARES_K = 200
+
+
+@_register(
+    "weighted_sample_ares",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              + 1.0) / 4294967297.0 AS u
+      FROM documents WHERE n_chars > 0
+    ), ranked AS (
+      SELECT doc_id, n_chars,
+             floor(ln(u) / n_chars * 1.0e9 + 0.5) / 1.0e9 AS ares_key,
+             row_number() OVER (
+               ORDER BY floor(ln(u) / n_chars * 1.0e9 + 0.5) / 1.0e9 DESC,
+                        doc_id ASC
+             ) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, n_chars, ares_key, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {_ARES_K}
+    """,
+)
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} weighted sample without replacement: maximizing
+    u^(1/w) is equivalent to maximizing ln(u)/w (u in (0,1)), so one
+    global top-k over a row-local key does it — replayable because u
+    derives from md5(doc_id) (no RNG state), and engine-stable because
+    the key is floor-rounded at 1e-9 BEFORE ranking with a doc_id
+    tiebreak (ln is libm on both engines; a last-ulp difference near
+    the top-k boundary would otherwise flip membership). At scale this
+    is a TakeOrdered: per-partition top-k then a k x partitions driver
+    merge — no global sort."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    key = F.floor(F.log(u) / F.col("n_chars") * 1.0e9 + 0.5) / 1.0e9
+    w = Window.orderBy(F.col("ares_key").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "n_chars", key.alias("ares_key"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _ARES_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-skew-isolated outer join: 30% of the fact rows carry a NULL FK
+# (unsent attribution, anonymous users ...). A plain left join shuffles
+# every NULL into ONE reducer's hash bucket neighborhood; the isolated
+# plan unions (a) the NULL rows projected directly (they can never
+# match) with (b) the real join over the non-NULL remainder — same
+# answer, no NULL hot partition. The oracle is the plain LEFT JOIN.
+# ---------------------------------------------------------------------------
+@_register(
+    "left_join_null_skew_isolated",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 < 3 THEN NULL ELSE o_custkey END AS fk
+      FROM orders
+    )
+    SELECT f.o_orderkey, f.fk, c.c_name
+    FROM f LEFT JOIN customer c ON f.fk = c.c_custkey
+    """,
+)
+def left_join_null_skew_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-union formulation: NULL-FK rows bypass the join entirely
+    (row-local projection with a NULL payload), non-NULL rows take the
+    real equi-join. Catalyst does not rewrite this automatically for
+    LEFT joins at scale when the NULL fraction is extreme — the split
+    is the standard manual isolation (same family as salted_skew_join,
+    which handles hot NON-null keys)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    f = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 < 3, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("fk"),
+    )
+    nulls = f.filter(F.col("fk").isNull()).select(
+        "o_orderkey", "fk", F.lit(None).cast("string").alias("c_name")
+    )
+    nonnull = (
+        f.filter(F.col("fk").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("fk"), "c_name"),
+            "fk",
+            "left",
+        )
+        .select("o_orderkey", "fk", "c_name")
+    )
+    return nonnull.unionByName(nulls)
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations: EXCEPT ALL / INTERSECT ALL preserve
+# multiplicities (the distinct variants already ship). Results grouped
+# to (part_key, n) rows and tagged so one query exercises both.
+# ---------------------------------------------------------------------------
+@_register(
+    "except_intersect_all",
+    oracle="""
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity < 25),
+    b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.02),
+    ex AS (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b),
+    ix AS (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+    SELECT 'except_all' AS op, l_partkey AS part_key,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY l_partkey
+    UNION ALL
+    SELECT 'intersect_all', l_partkey, CAST(count(*) AS BIGINT)
+    FROM ix GROUP BY l_partkey
+    """,
+)
+def except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exceptAll / intersectAll (multiset difference and intersection —
+    a row occurring 5 times in A and 2 in B survives EXCEPT ALL 3
+    times). Spark plans both as a count-aggregate + Generate replay
+    (one shuffle each, no sort); grouped output keeps the comparison
+    order-insensitive."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 25).select("l_partkey")
+    b = li.filter(F.col("l_discount") > 0.02).select("l_partkey")
+    ex = (
+        a.exceptAll(b)
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("except_all").alias("op"), "part_key", "n")
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "part_key", "n")
+    )
+    return ex.unionByName(ix)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup component size histogram: the dedup diagnostic (a fat tail of
+# giant components usually means the threshold is too loose or a
+# boilerplate family escaped the guards).
+# ---------------------------------------------------------------------------
+def _component_histogram_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _LSH_CAND_CTES,
+        _SHINGLES_CTE,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (
+      SELECT node, min(label) AS component FROM walk GROUP BY node
+    ),
+    csize AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY component
+    )
+    SELECT size, CAST(count(*) AS BIGINT) AS n_components
+    FROM csize GROUP BY size
+    """
+
+
+@_register("dedup_component_size_histogram", oracle="__LAZY__")
+def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes from the confirmed-pair
+    component labeling (>= 0.5 exact Jaccard over LSH candidates).
+    Singletons never enter the pair graph, so the histogram covers
+    multi-document clusters only — two tiny aggregations on top of the
+    existing iterative operator."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        connected_components,
+        jaccard_for_pairs,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _distinct_shingles,
+    )
+
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    pairs = jaccard_for_pairs(cand, shingles, "doc_id", "s").filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(pairs)
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    return csize.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_components")
+    )
+
+
+STAGED_ORACLES["dedup_component_size_histogram"] = _component_histogram_oracle()

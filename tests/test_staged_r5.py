@@ -63,6 +63,11 @@ STAGED_NAMES = [
     "scd2_point_in_time_lookup",
     "dedup_bag_jaccard_pairs",
     "embedding_mahalanobis_diag",
+    # wave 5
+    "weighted_sample_ares",
+    "left_join_null_skew_isolated",
+    "except_intersect_all",
+    "dedup_component_size_histogram",
 ]
 
 
