@@ -2041,3 +2041,168 @@ def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 STAGED_ORACLES["dedup_component_size_histogram"] = _component_histogram_oracle()
+
+
+# ===========================================================================
+# Staged wave 6
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Frequent-items sketch (df.stat.freqItems, a space-saving-family
+# sketch): like the HLL and quantile sketches, the estimate is
+# engine-specific, so the driver-checked contract is the RECALL
+# guarantee — every item with true support above the threshold must
+# appear in the sketch result (false positives allowed, false negatives
+# not). The oracle computes exact supports and pins the boolean TRUE.
+# ---------------------------------------------------------------------------
+_FREQ_SUPPORT = 0.05
+
+
+@_register(
+    "sketch_frequent_items",
+    oracle=f"""
+    WITH counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY event_type
+    ), total AS (SELECT sum(n) AS tot FROM counts)
+    SELECT event_type, n AS exact_count, TRUE AS in_sketch
+    FROM counts, total
+    WHERE n > {_FREQ_SUPPORT} * tot
+    """,
+)
+def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection: freqItems(support=0.05) over event_type,
+    then each truly-frequent value (exact support > 5%) is checked for
+    membership in the sketch output. One pass + a tiny broadcast of the
+    sketch array; at 100 TB this is THE way to find hot keys before
+    they melt a shuffle (the salting decision input). The emitted rows
+    are the exact-side truths; in_sketch flips to false (hash-match
+    failure) if the sketch ever drops a true heavy hitter."""
+    ev = _t(spark, sf_dir, "events")
+    sketch_vals = ev.stat.freqItems(["event_type"], support=_FREQ_SUPPORT).collect()[
+        0
+    ][0]
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    total = counts.agg(F.sum("exact_count").alias("tot"))
+    sketch_arr = F.array(*[F.lit(v) for v in sketch_vals])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("exact_count") > _FREQ_SUPPORT * F.col("tot"))
+        .select(
+            "event_type",
+            "exact_count",
+            F.array_contains(sketch_arr, F.col("event_type")).alias("in_sketch"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalized exact dedup (the C4 recipe): lowercase, collapse runs of
+# whitespace, strip non-alphanumerics — catches trivially-reformatted
+# copies that byte-exact digests miss.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_exact_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+                   regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS norm_hash
+      FROM documents
+    )
+    SELECT norm_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM norm GROUP BY norm_hash
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-on-normalized-text dedup. The normalization regexes stick
+    to syntax RE2 and the JVM engine interpret identically (character
+    classes, +, no lookarounds); Spark's regexp_replace is global by
+    default (= DuckDB's 'g' flag). Same single-shuffle digest groupBy
+    as dedup_exact."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data audit: BEFORE picking a streaming watermark
+# delay, measure how much data would have been late under it — per
+# tumbling hour, how many events arrived (by event_id sequence) after
+# the running event-time high-water-mark had passed them by more than
+# the candidate delay.
+# ---------------------------------------------------------------------------
+_WM_DELAY_S = 600
+
+
+@_register(
+    "late_data_accounting",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_id, ts, epoch(ts) AS es,
+             max(epoch(ts)) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM events
+    )
+    SELECT date_trunc('hour', ts) + INTERVAL 0 SECOND AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN hwm IS NOT NULL AND es < hwm - {_WM_DELAY_S}.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           floor(sum(CASE WHEN hwm IS NOT NULL AND es < hwm - {_WM_DELAY_S}.0
+                          THEN 1 ELSE 0 END) * 1.0e6 / count(*) + 0.5) / 1.0e6
+             AS late_frac
+    FROM seq
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An event is late-under-delay-d when its event time sits more than
+    d seconds behind the event-time high-water-mark of everything that
+    ARRIVED before it (event_id is the arrival sequence). One global
+    running-max window (the arrival ordering is a single logical
+    sequence — at scale, audit per source partition instead of
+    globally) plus a tumbling-hour rollup; this is exactly the
+    accounting that justifies a withWatermark('10 minutes') choice —
+    the fraction of each window the streaming job would drop.
+    date_trunc returns DATE-less TIMESTAMP on both engines (DuckDB's
+    +INTERVAL 0 keeps it TIMESTAMP, never DATE)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    es = F.col("ts").cast("double")
+    seq = ev.select(
+        "ts",
+        es.alias("es"),
+        F.max(es).over(w).alias("hwm"),
+    )
+    late = F.when(
+        F.col("hwm").isNotNull() & (F.col("es") < F.col("hwm") - float(_WM_DELAY_S)),
+        1,
+    ).otherwise(0)
+    return (
+        seq.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(late).cast("long").alias("n_late"),
+            (
+                F.floor(F.sum(late) * 1.0e6 / F.count(F.lit(1)) + 0.5) / 1.0e6
+            ).alias("late_frac"),
+        )
+    )

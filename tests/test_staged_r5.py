@@ -68,6 +68,10 @@ STAGED_NAMES = [
     "left_join_null_skew_isolated",
     "except_intersect_all",
     "dedup_component_size_histogram",
+    # wave 6
+    "sketch_frequent_items",
+    "dedup_exact_normalized",
+    "late_data_accounting",
 ]
 
 
