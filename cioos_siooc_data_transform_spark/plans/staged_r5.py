@@ -2206,3 +2206,21 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_frac"),
         )
     )
+
+
+def activate() -> int:
+    """Round-5 activation: push every staged query into the LIVE
+    registry. Call from plans/__init__.py AFTER the module imports
+    (``from ... import staged_r5; staged_r5.activate()``) — and add the
+    50 round-4-green names to ``_CHECKED`` in __spark_entry__.py in the
+    SAME change, or the fresh-budget contract test fails the build.
+    Returns the number of queries registered (idempotent)."""
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES, QUERIES
+
+    n = 0
+    for name, fn in STAGED_QUERIES.items():
+        if name not in QUERIES:
+            QUERIES[name] = fn
+            ORACLES[name] = STAGED_ORACLES[name]
+            n += 1
+    return n

@@ -145,3 +145,49 @@ def test_funnel_rates_monotone(spark):
     for r in rows.values():
         assert 0.0 < r.conv_from_top <= 1.0
         assert 0.0 < r.conv_from_prev <= 1.0
+
+
+def test_activate_registers_everything_in_subprocess():
+    """activate() must move every staged query into the live registry
+    with its oracle — proven in a subprocess so this test run's global
+    registry (and the fresh-budget contract) stays untouched."""
+    import subprocess
+    import sys
+
+    code = (
+        "from cioos_siooc_data_transform_spark.plans import staged_r5, "
+        "all_queries, all_oracles\n"
+        "before = len(all_queries())\n"
+        "n = staged_r5.activate()\n"
+        "assert n == len(staged_r5.STAGED_QUERIES), n\n"
+        "assert staged_r5.activate() == 0  # idempotent\n"
+        "qs, os_ = all_queries(), all_oracles()\n"
+        "assert len(qs) == before + n\n"
+        "for name in staged_r5.STAGED_QUERIES:\n"
+        "    assert name in qs and name in os_, name\n"
+        "print('ok', n)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok" in out.stdout
+
+
+def test_staged_plans_never_cartesian(spark):
+    """The staged set must obey the same 100 TB plan invariants as the
+    live registry: no CartesianProduct anywhere, and no
+    BroadcastNestedLoopJoin in pair-generating dedup plans (the
+    brute-force kNN/top-k probes stream against broadcast sets, which
+    is their intended shape)."""
+    qs, _ = _staged()
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan, name
+        if name.startswith("dedup_"):
+            assert "BroadcastNestedLoopJoin" not in plan, name
