@@ -107,9 +107,11 @@ def pt0_from_t_sql(s: str, t: str, p: str) -> str:
 
 # ---------------------------------------------------------------------------
 # 75-term specific volume v(SA, CT, p) — Roquet et al. (2015).
-# Coefficient table transcribed from the published fit (named vIJK:
-# I = xs power, J = ys power, K = z power); Horner structure as
-# published (gsw_oceanographic_toolbox.c:2009 gsw_specvol).
+# Coefficient table transcribed from the published fit. NAMING (defined
+# by the Horner template below, empirically verified by the
+# dynamic-enthalpy derivative test): v{J}{I}{K} where J = ys power,
+# I = xs power, K = z power — the FIRST digit nests under ys. Horner
+# structure as published (gsw_oceanographic_toolbox.c:2009 gsw_specvol).
 # ---------------------------------------------------------------------------
 SPECVOL_COEFFS: dict[str, float] = {
     "v000": 1.0769995862e-3, "v001": -6.0799143809e-5, "v002": 9.9856169219e-6,

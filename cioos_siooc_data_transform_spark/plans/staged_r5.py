@@ -2224,3 +2224,174 @@ def activate() -> int:
             ORACLES[name] = STAGED_ORACLES[name]
             n += 1
     return n
+
+
+# ===========================================================================
+# Staged wave 7
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# TEOS-10 dynamic enthalpy: the analytic pressure integral of the
+# committed 75-term specific volume — h_dyn(SA, CT, p) =
+# 1e8 * sum vIJK * xs^I * ys^J * z^(K+1)/(K+1) J/kg (db2pa * 1e4 scale,
+# z = p*1e-4). Every coefficient comes from the SAME table the
+# check-valued density uses; the integration itself is pinned by a
+# derivative property test (dh/dp must reproduce specvol).
+# ---------------------------------------------------------------------------
+def dynamic_enthalpy_sql(sa: str, ct: str, p: str) -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_OFFSET,
+        GSW_SFAC,
+        SPECVOL_COEFFS,
+        _lit,
+    )
+
+    xs = f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"
+    ys = f"(({ct})*0.025e0)"
+    z = f"(({p})*1.0e-4)"
+    terms = []
+    # Coefficient names follow the committed Horner template's
+    # convention: v{ys_power}{xs_power}{z_power} (the first digit nests
+    # under ys, the second under xs — see _SPECVOL_TEMPLATE).
+    for name, v in sorted(SPECVOL_COEFFS.items()):
+        j_ys, i_xs, k_z = int(name[1]), int(name[2]), int(name[3])
+        c = _lit(v / (k_z + 1))
+        factors = [c] + [xs] * i_xs + [ys] * j_ys + [z] * (k_z + 1)
+        terms.append("*".join(factors))
+    return "(1.0e8*(" + " + ".join(terms) + "))"
+
+
+@_register("gsw_dynamic_enthalpy", oracle="__LAZY__")
+def gsw_dynamic_enthalpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic enthalpy (the pressure-dependent part of specific
+    enthalpy; enthalpy = cp0*CT + h_dyn). Plain 75-term sum — identical
+    literal arithmetic on both engines, left-to-right in sorted
+    coefficient order; values O(1e3) J/kg so 6-dp rounding is far above
+    double noise. Zero shuffle, pure codegen."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    df = _inputs(spark, sf_dir)
+    staged = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr(dynamic_enthalpy_sql("sa", "ct", "p")), 6).alias("h_dyn"),
+    )
+
+
+def _dyn_enthalpy_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           round({dynamic_enthalpy_sql("sa", "ct", "p")}, 6) AS h_dyn
+    FROM (
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    )
+    """
+
+
+STAGED_ORACLES["gsw_dynamic_enthalpy"] = _dyn_enthalpy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate limiting: a clamped recurrence
+# (tokens' = min(cap, tokens + refill*dt) - cost if allowed) — the one
+# per-key sequential computation class that windows genuinely cannot
+# express (LOCF and cumulative sums have closed forms; a running clamp
+# does not). Batch twin = applyInPandas per user; streaming twin would
+# be applyInPandasWithState with the same kernel. Integer arithmetic
+# (millitokens, second-quantized timestamps) keeps the recurrence
+# engine-exact; the oracle replays it with a recursive CTE.
+# ---------------------------------------------------------------------------
+_TB_CAP = 1000       # millitokens (a one-token bucket)
+_TB_REFILL = 1       # millitokens per second (full token after 1000 s)
+_TB_COST = 1000      # millitokens per event
+
+
+@_register(
+    "rate_limit_token_bucket",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    walk(user_id, rn, event_id, es, tokens_after, allowed) AS (
+      SELECT user_id, rn, event_id, es,
+             CAST({_TB_CAP} - {_TB_COST} AS BIGINT), TRUE
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.event_id, e.es,
+             CASE WHEN least({_TB_CAP}, w.tokens_after
+                             + {_TB_REFILL} * (e.es - w.es)) >= {_TB_COST}
+                  THEN least({_TB_CAP}, w.tokens_after
+                             + {_TB_REFILL} * (e.es - w.es)) - {_TB_COST}
+                  ELSE least({_TB_CAP}, w.tokens_after
+                             + {_TB_REFILL} * (e.es - w.es))
+             END,
+             least({_TB_CAP}, w.tokens_after
+                   + {_TB_REFILL} * (e.es - w.es)) >= {_TB_COST}
+      FROM e JOIN walk w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, CAST(tokens_after AS BIGINT) AS tokens_after,
+           allowed
+    FROM walk
+    """,
+)
+def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token bucket (one-token capacity, full refill after
+    1000 s, millitoken integers, second-quantized time — a strict
+    rate limiter that denies bursts): each event
+    is allowed iff the refilled bucket holds a full token, and only
+    allowed events pay. The recurrence is order-sequential per user —
+    implemented with applyInPandas (one shuffle on user_id, linear scan
+    per group; the streaming twin is the same kernel under
+    applyInPandasWithState) and replayed by the oracle as a recursive
+    CTE. The bucket starts full; the first event is always allowed.
+    Integer state means no float drift across engines or restarts."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("es"),
+        "ts",
+    )
+
+    def bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        tokens = _TB_CAP
+        prev_es = None
+        out_tokens, out_allowed = [], []
+        for es in pdf["es"]:
+            if prev_es is not None:
+                tokens = min(_TB_CAP, tokens + _TB_REFILL * (es - prev_es))
+            allowed = tokens >= _TB_COST
+            if allowed:
+                tokens -= _TB_COST
+            out_tokens.append(tokens)
+            out_allowed.append(allowed)
+            prev_es = es
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "tokens_after": out_tokens,
+                "allowed": out_allowed,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        bucket,
+        schema="user_id long, event_id long, tokens_after long, allowed boolean",
+    )

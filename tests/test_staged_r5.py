@@ -72,6 +72,9 @@ STAGED_NAMES = [
     "sketch_frequent_items",
     "dedup_exact_normalized",
     "late_data_accounting",
+    # wave 7
+    "gsw_dynamic_enthalpy",
+    "rate_limit_token_bucket",
 ]
 
 
@@ -191,3 +194,50 @@ def test_staged_plans_never_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         if name.startswith("dedup_"):
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dynamic_enthalpy_derivative_is_specvol():
+    """The pressure-derivative of the integrated polynomial must
+    reproduce the 75-term specific volume: dh/dp ~ v * 1e4 (Pa/dbar) —
+    a coefficient or exponent slip in the integration breaks this
+    immediately. Central finite difference at several (SA, CT, p)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import specvol_sql
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        dynamic_enthalpy_sql,
+    )
+
+    con = duckdb.connect()
+    cases = [(35.0, 10.0, 500.0), (30.0, 2.0, 2000.0), (36.5, 25.0, 50.0)]
+    eps = 0.01  # dbar
+    for sa, ct, p in cases:
+        h_hi = con.sql(
+            f"SELECT {dynamic_enthalpy_sql(str(sa), str(ct), str(p + eps))}"
+        ).fetchone()[0]
+        h_lo = con.sql(
+            f"SELECT {dynamic_enthalpy_sql(str(sa), str(ct), str(p - eps))}"
+        ).fetchone()[0]
+        v = con.sql(
+            f"SELECT {specvol_sql(str(sa), str(ct), str(p))}"
+        ).fetchone()[0]
+        dh_dp = (h_hi - h_lo) / (2 * eps)
+        assert abs(dh_dp - v * 1.0e4) < 1e-6 * abs(v * 1.0e4), (sa, ct, p)
+    con.close()
+
+
+def test_token_bucket_semantics(spark):
+    """First event per user is always allowed (bucket starts full);
+    tokens never exceed the cap or go negative; a denied event pays
+    nothing (tokens_after equals the refilled balance)."""
+    qs, _ = _staged()
+    rows = qs["rate_limit_token_bucket"](spark, SF_DIR_SMOKE).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+        assert 0 <= r.tokens_after <= 1000
+    # at least one denial must occur at smoke scale (bursty users)
+    assert any(not r.allowed for r in rows)
