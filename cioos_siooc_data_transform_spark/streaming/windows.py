@@ -333,3 +333,71 @@ def running_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
     return events.groupBy("user_id").transformWithStateInPandas(
         TopK(), out_schema, "Update", "None"
     )
+
+
+def streaming_token_bucket(
+    events: DataFrame,
+    cap_mt: int = 1000,
+    refill_mt_per_s: int = 1,
+    cost_mt: int = 1000,
+) -> DataFrame:
+    """Streaming twin of plans/staged_r5.rate_limit_token_bucket (same
+    defaults): per-user clamped token recurrence under
+    applyInPandasWithState, emitting one allow/deny decision per event
+    in append mode.
+
+    State is (last_event_second, millitokens) — ONE small row per
+    active user. An idle user's bucket refills to capacity after
+    (cap - tokens)/refill seconds, at which point the state row is
+    INFORMATION-FREE (full bucket == no state), so an event-time
+    timeout removes it then: the state store is bounded by users active
+    within one refill horizon, not by total users ever seen. A late
+    event (older than the stored last_event_second but inside the
+    watermark) refills nothing (dt clamped to 0) — deterministic, and
+    tokens never move backwards."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, tokens_after long, allowed boolean"
+    state_schema = "last_es long, tokens long"
+
+    def update(key, pdfs, state: GroupState):
+        rows_out = []
+        if state.hasTimedOut:
+            state.remove()  # bucket has refilled to cap: state-free
+        else:
+            pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            if state.exists:
+                last_es, tokens = state.get
+            else:
+                last_es, tokens = None, cap_mt
+            for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+                es = int(pd.Timestamp(ts).value // 1_000_000_000)
+                if last_es is not None:
+                    dt = max(0, es - last_es)
+                    tokens = min(cap_mt, tokens + refill_mt_per_s * dt)
+                allowed = tokens >= cost_mt
+                if allowed:
+                    tokens -= cost_mt
+                rows_out.append((int(key[0]), int(eid), int(tokens), bool(allowed)))
+                last_es = es if last_es is None else max(last_es, es)
+            state.update((int(last_es), int(tokens)))
+            refill_s = -(-(cap_mt - tokens) // refill_mt_per_s)  # ceil
+            state.setTimeoutTimestamp((last_es + refill_s + 1) * 1000)
+        yield pd.DataFrame(
+            rows_out, columns=["user_id", "event_id", "tokens_after", "allowed"]
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
