@@ -2395,3 +2395,86 @@ def rate_limit_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket,
         schema="user_id long, event_id long, tokens_after long, allowed boolean",
     )
+
+
+# ===========================================================================
+# Staged wave 8
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix: predicted (stopword-vote classifier,
+# same rule as text_langid) vs the corpus's labeled lang — the
+# classifier-evaluation rollup with per-cell precision denominators.
+# ---------------------------------------------------------------------------
+def _langid_confusion_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.text_queries import _sw_list
+
+    return f"""
+    WITH w AS (SELECT doc_id, lang,
+                      list_distinct(string_split(text, ' ')) AS dw
+               FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             CAST(len(list_intersect(dw, {_sw_list("en")})) AS BIGINT) AS en_hits,
+             CAST(len(list_intersect(dw, {_sw_list("es")})) AS BIGINT) AS es_hits,
+             CAST(len(list_intersect(dw, {_sw_list("fr")})) AS BIGINT) AS fr_hits,
+             CAST(len(list_intersect(dw, {_sw_list("de")})) AS BIGINT) AS de_hits
+      FROM w
+    ),
+    pred AS (
+      SELECT lang AS true_lang,
+             CASE
+               WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+               WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+               WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+               WHEN de_hits > 0 THEN 'de'
+               ELSE 'und'
+             END AS pred_lang
+      FROM h
+    )
+    SELECT true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(count(*) * 1.0e6
+                 / sum(count(*)) OVER (PARTITION BY true_lang) + 0.5) / 1.0e6
+             AS row_frac
+    FROM pred
+    GROUP BY true_lang, pred_lang
+    """
+
+
+@_register("langid_confusion_matrix", oracle="__LAZY__")
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true lang x predicted lang) counts plus the per-true-lang row
+    fraction (recall on the diagonal) — the eval artifact behind every
+    classifier-based corpus filter. One bounded-key aggregation over
+    the row-local classifier; the row_frac window runs over at most
+    |langs|^2 rows."""
+    from cioos_siooc_data_transform_spark.operators.text import (
+        lang_hit_counts,
+        predict_language,
+    )
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    hits = lang_hit_counts(words)
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        predict_language(hits).alias("pred_lang"),
+    )
+    counts = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        (
+            F.floor(F.col("n_docs") * 1.0e6 / F.sum("n_docs").over(w) + 0.5)
+            / 1.0e6
+        ).alias("row_frac"),
+    )
+
+
+STAGED_ORACLES["langid_confusion_matrix"] = _langid_confusion_oracle()

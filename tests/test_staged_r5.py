@@ -75,6 +75,8 @@ STAGED_NAMES = [
     # wave 7
     "gsw_dynamic_enthalpy",
     "rate_limit_token_bucket",
+    # wave 8
+    "langid_confusion_matrix",
 ]
 
 
