@@ -2478,3 +2478,64 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["langid_confusion_matrix"] = _langid_confusion_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Reference-vertical integration: Mackenzie sound speed computed over
+# the PARSED IOS profile — the full chain (mapInPandas parse → pad
+# masking → per-record pivot → derived oceanographic variable) in one
+# oracle-gated query. The oracle applies the same formula to the
+# fixture's literal values, so the parse, the masking, AND the formula
+# are all on the hook.
+# ---------------------------------------------------------------------------
+@_register(
+    "ios_profile_sound_speed",
+    oracle="""
+    WITH rec AS (
+      SELECT * FROM (VALUES
+        ('sample-2024-001-0007', 0, 1.0, 7.1, 30.1),
+        ('sample-2024-001-0007', 1, 2.0, 8.2, 30.8),
+        ('sample-2024-001-0007', 2, 3.0, CAST(NULL AS DOUBLE), 31.2),
+        ('sample-2024-001-0007', 3, 4.5, 9.9, 31.5)
+      ) AS t(file_id, record_idx, depth, temp, sal)
+    )
+    SELECT file_id, record_idx, depth,
+           round(1448.96 + 4.591*temp - 5.304e-2*temp*temp
+                 + 2.374e-4*temp*temp*temp + 1.340*(sal - 35.0)
+                 + 1.630e-2*depth + 1.675e-7*depth*depth
+                 - 1.025e-2*temp*(sal - 35.0)
+                 - 7.139e-13*temp*depth*depth*depth, 6) AS sound_speed
+    FROM rec
+    """,
+)
+def ios_profile_sound_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth/temperature/salinity pivot of the masked long-format
+    measurements (channels 1/2/3 of the fixture), then Mackenzie (1981)
+    per record. The pad-masked temperature (record 2, -99.0) propagates
+    to a NULL sound speed — exactly what the CF sink would write. Same
+    per-session parse cache as every ios_* query: one Python crossing
+    total."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        mackenzie_sound_speed,
+    )
+    from cioos_siooc_data_transform_spark.plans.ios_queries import (
+        _parsed_sample,
+    )
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_measurements_masked,
+    )
+
+    meas = ios_measurements_masked(_parsed_sample(spark))
+    pivoted = meas.groupBy("file_id", "record_idx").agg(
+        F.max(F.when(F.col("channel_idx") == 1, F.col("value_num"))).alias("depth"),
+        F.max(F.when(F.col("channel_idx") == 2, F.col("value_num"))).alias("temp"),
+        F.max(F.when(F.col("channel_idx") == 3, F.col("value_num"))).alias("sal"),
+    )
+    return pivoted.select(
+        "file_id",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        "depth",
+        F.round(
+            mackenzie_sound_speed(F.col("temp"), F.col("sal"), F.col("depth")), 6
+        ).alias("sound_speed"),
+    )

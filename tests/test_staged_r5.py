@@ -77,6 +77,7 @@ STAGED_NAMES = [
     "rate_limit_token_bucket",
     # wave 8
     "langid_confusion_matrix",
+    "ios_profile_sound_speed",
 ]
 
 
