@@ -2539,3 +2539,179 @@ def ios_profile_sound_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
             mackenzie_sound_speed(F.col("temp"), F.col("sal"), F.col("depth")), 6
         ).alias("sound_speed"),
     )
+
+
+# ===========================================================================
+# Staged wave 9
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003): the
+# rightmost-minimum hash of every w-window of k-gram hashes — the
+# local-similarity fingerprint family (MOSS). Guarantees any shared
+# substring of length >= w+k-1 words produces a shared fingerprint,
+# which positional shingle sampling does not.
+# ---------------------------------------------------------------------------
+_WIN_W = 4  # window of consecutive 3-gram hashes
+
+
+@_register(
+    "dedup_fingerprint_winnowing",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+               i -> CAST(('0x' || substr(md5(words[i] || ' ' || words[i+1]
+                                         || ' ' || words[i+2]), 1, 8)) AS BIGINT))
+               AS h
+      FROM w
+    ),
+    fp AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(h) - {_WIN_W} + 1),
+               j -> {{'fp_pos': j - 1
+                        + ({_WIN_W} + 1
+                           - list_position(list_reverse(h[j:j+{_WIN_W}-1]),
+                                           list_min(h[j:j+{_WIN_W}-1]))),
+                     'fp_hash': list_min(h[j:j+{_WIN_W}-1])}}) AS fps
+      FROM hs WHERE len(h) >= {_WIN_W}
+    )
+    SELECT DISTINCT doc_id,
+           CAST(u.fp_pos AS BIGINT) AS fp_pos,
+           u.fp_hash
+    FROM (SELECT doc_id, unnest(fps) AS u FROM fp)
+    """,
+)
+def dedup_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: 32-bit k-gram hashes (md5 prefix — engine-portable),
+    then for each window of {w} consecutive hashes the RIGHTMOST minimum
+    (the winnowing tie rule) with its 1-based shingle position;
+    duplicates collapse row-locally (the same minimum usually wins many
+    overlapping windows — expected density 2/(w+1)). Entirely row-local
+    array codegen, zero shuffle; downstream near-dup candidates come
+    from an inverted index on fp_hash exactly like n-gram Jaccard."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(words_expr(F.col("text")), 3)
+    h = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    w = _WIN_W
+    staged = docs.select("doc_id", h.alias("h")).filter(F.size("h") >= w)
+
+    def fp(j):
+        sl = F.slice(F.col("h"), j, w)  # j is 1-based Column
+        mn = F.array_min(sl)
+        right_off = w + 1 - F.array_position(F.reverse(sl), mn)
+        return F.struct(
+            (j - 1 + right_off).cast("long").alias("fp_pos"),
+            mn.alias("fp_hash"),
+        )
+
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("h") - w + 1), lambda j: fp(j)
+    )
+    return (
+        staged.select("doc_id", F.explode(fps).alias("u"))
+        .select(
+            "doc_id",
+            F.col("u.fp_pos").alias("fp_pos"),
+            F.col("u.fp_hash").alias("fp_hash"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B test lift: deterministic hash split, exact per-arm conversion
+# counts, and the relative lift — the experiment-analysis primitive.
+# ---------------------------------------------------------------------------
+@_register(
+    "ab_test_lift",
+    oracle="""
+    WITH arms AS (
+      SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), stats AS (
+      SELECT a.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM arms a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.arm
+    )
+    SELECT CAST(a.n_users AS BIGINT) AS control_users,
+           CAST(a.n_converted AS BIGINT) AS control_converted,
+           CAST(b.n_users AS BIGINT) AS treat_users,
+           CAST(b.n_converted AS BIGINT) AS treat_converted,
+           floor(a.n_converted * 1.0e6 / a.n_users + 0.5) / 1.0e6 AS control_rate,
+           floor(b.n_converted * 1.0e6 / b.n_users + 0.5) / 1.0e6 AS treat_rate,
+           floor((b.n_converted * 1.0 * a.n_users)
+                 / (a.n_converted * 1.0 * b.n_users) * 1.0e6 + 0.5) / 1.0e6
+             - 1.0 AS relative_lift
+    FROM (SELECT * FROM stats WHERE arm = 0) a,
+         (SELECT * FROM stats WHERE arm = 1) b
+    """,
+)
+def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split experiment readout: users deterministically assigned
+    by id parity, conversion = any purchase event; the lift is computed
+    from the exact integer cross-ratio (one rounded expression) so the
+    single output row hashes identically on both engines. Two
+    distinct-aggs and a 2-row join — everything after the user dedup is
+    driver-trivial."""
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    stats = (
+        arms.join(conv.withColumn("_c", F.lit(1)), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("control_users"),
+        F.col("n_converted").alias("control_converted"),
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("treat_users"),
+        F.col("n_converted").alias("treat_converted"),
+    )
+    joined = a.crossJoin(b)
+    return joined.select(
+        "control_users",
+        "control_converted",
+        "treat_users",
+        "treat_converted",
+        (
+            F.floor(F.col("control_converted") * 1.0e6 / F.col("control_users") + 0.5)
+            / 1.0e6
+        ).alias("control_rate"),
+        (
+            F.floor(F.col("treat_converted") * 1.0e6 / F.col("treat_users") + 0.5)
+            / 1.0e6
+        ).alias("treat_rate"),
+        (
+            F.floor(
+                (F.col("treat_converted") * 1.0 * F.col("control_users"))
+                / (F.col("control_converted") * 1.0 * F.col("treat_users"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+            - 1.0
+        ).alias("relative_lift"),
+    )

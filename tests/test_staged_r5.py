@@ -78,6 +78,9 @@ STAGED_NAMES = [
     # wave 8
     "langid_confusion_matrix",
     "ios_profile_sound_speed",
+    # wave 9
+    "dedup_fingerprint_winnowing",
+    "ab_test_lift",
 ]
 
 
