@@ -2715,3 +2715,143 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1.0
         ).alias("relative_lift"),
     )
+
+
+# ===========================================================================
+# Staged wave 10
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Full specific enthalpy h = cp0*CT + h_dyn — the quantity TEOS-10
+# conserves under adiabatic mixing (the whole point of CT).
+# ---------------------------------------------------------------------------
+@_register("gsw_enthalpy", oracle="__LAZY__")
+def gsw_enthalpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h(SA, CT, p) = cp0*CT + dynamic enthalpy; completes the enthalpy
+    pair (both terms already derivative- or check-value-pinned)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        ct_from_t_sql,
+    )
+
+    df = _inputs(spark, sf_dir)
+    staged = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    h = F.expr(f"{_lit(GSW_CP0)}*ct") + F.expr(dynamic_enthalpy_sql("sa", "ct", "p"))
+    return staged.select(
+        "l_orderkey", "l_linenumber", F.round(h, 6).alias("enthalpy")
+    )
+
+
+def _enthalpy_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        ct_from_t_sql,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           round({_lit(GSW_CP0)}*ct + {dynamic_enthalpy_sql("sa", "ct", "p")}, 6)
+             AS enthalpy
+    FROM (
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    )
+    """
+
+
+STAGED_ORACLES["gsw_enthalpy"] = _enthalpy_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing candidate pairs: inverted index over the wave-9
+# fingerprints — docs sharing >= 2 selected prints, with the shared
+# count as the MOSS-style overlap score. Same doc-frequency guard as
+# the n-gram inverted index (boilerplate prints are dropped before the
+# join).
+# ---------------------------------------------------------------------------
+_WIN_MAX_DF = 10
+_WIN_MIN_SHARED = 2
+
+
+@_register(
+    "dedup_winnowing_pairs",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+               i -> CAST(('0x' || substr(md5(words[i] || ' ' || words[i+1]
+                                         || ' ' || words[i+2]), 1, 8)) AS BIGINT))
+               AS h
+      FROM w
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, list_min(h[j:j+{_WIN_W}-1]) AS fp_hash
+      FROM (
+        SELECT doc_id, h, unnest(generate_series(1, len(h) - {_WIN_W} + 1)) AS j
+        FROM hs WHERE len(h) >= {_WIN_W}
+      )
+    ),
+    guarded AS (
+      SELECT doc_id, fp_hash FROM (
+        SELECT doc_id, fp_hash, count(*) OVER (PARTITION BY fp_hash) AS df
+        FROM fp
+      ) WHERE df <= {_WIN_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_prints
+    FROM guarded a JOIN guarded b
+      ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WIN_MIN_SHARED}
+    """,
+)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index on the DISTINCT fingerprint hashes (positions
+    dropped — membership is what pairs need), doc-frequency cap 10
+    (hot boilerplate prints leave before the self-join, the same Zipf
+    guard as n-gram Jaccard), pairs scored by shared-print count with
+    a >= 2 floor. Because winnowing guarantees one shared print per
+    shared >= w+k-1-word run, shared_prints lower-bounds the number of
+    distinct long shared runs — the MOSS report, distributed."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(words_expr(F.col("text")), 3)
+    h = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    w = _WIN_W
+    staged = docs.select("doc_id", h.alias("h")).filter(F.size("h") >= w)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("h") - w + 1),
+        lambda j: F.array_min(F.slice(F.col("h"), j, w)),
+    )
+    fp = staged.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp_hash")
+    ).distinct()
+    wdf = Window.partitionBy("fp_hash")
+    guarded = fp.withColumn("_df", F.count(F.lit(1)).over(wdf)).filter(
+        F.col("_df") <= _WIN_MAX_DF
+    )
+    a = guarded.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = guarded.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_prints"))
+        .filter(F.col("shared_prints") >= _WIN_MIN_SHARED)
+    )

@@ -81,6 +81,9 @@ STAGED_NAMES = [
     # wave 9
     "dedup_fingerprint_winnowing",
     "ab_test_lift",
+    # wave 10
+    "gsw_enthalpy",
+    "dedup_winnowing_pairs",
 ]
 
 
