@@ -93,3 +93,46 @@ def ensure_bucketed_documents(
     write_bucketed(docs, name, "text_hash", num_buckets=num_buckets)
     _BUCKETED_DOCS[key] = name
     return name
+
+
+_BUCKETED_TABLES: dict[tuple[str, str, str], str] = {}
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    num_buckets: int = 8,
+) -> str:
+    """Write one synthetic table bucketed by ``key_col`` and return the
+    managed-table name (idempotent per session/sf_dir/table — the same
+    drop-and-delete protocol as ensure_bucketed_documents). Two tables
+    bucketed by their join key with the SAME bucket count join with
+    zero Exchange on either side — the co-located fact⋈dim/fact⋈fact
+    layout that pays for itself the second time the key is joined."""
+    import hashlib
+    import os
+    import shutil
+
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    ck = (spark.sparkContext.applicationId, sf_dir, table)
+    name = _BUCKETED_TABLES.get(ck)
+    if name is not None and spark.catalog.tableExists(name):
+        return name
+    stale = [k for k in _BUCKETED_TABLES if k[0] != ck[0]]
+    for k in stale:
+        _BUCKETED_TABLES.pop(k, None)
+    name = (
+        f"{table}_bucketed_"
+        + hashlib.md5(f"{sf_dir}:{key_col}".encode()).hexdigest()[:12]
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    write_bucketed(read_table(spark, sf_dir, table), name, key_col, num_buckets)
+    _BUCKETED_TABLES[ck] = name
+    return name

@@ -2855,3 +2855,97 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("shared_prints"))
         .filter(F.col("shared_prints") >= _WIN_MIN_SHARED)
     )
+
+
+# ===========================================================================
+# Staged wave 11
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Co-located bucketed join: orders and customer both WRITTEN bucketed by
+# the customer key with the same bucket count, so the join plans with
+# ZERO Exchange on either side — the layout investment that turns every
+# repeat join on the key into a local merge. Plan pinned Exchange-free
+# below the join in tests/test_staged_r5.py.
+# ---------------------------------------------------------------------------
+@_register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as the plain join; cheaper plan: both sides read
+    pre-bucketed by the join key (8 buckets), so the only Exchange in
+    the whole query is the final bounded-key aggregation. At 100 TB the
+    bucketed write amortizes across every query joining on custkey —
+    the same trade as dedup_exact_bucketed, extended to a two-table
+    co-location."""
+    from cioos_siooc_data_transform_spark.operators.bucketing import (
+        ensure_bucketed_table,
+    )
+
+    orders_t = ensure_bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    cust_t = ensure_bucketed_table(spark, sf_dir, "customer", "c_custkey")
+    o = spark.table(orders_t)
+    c = spark.table(cust_t)
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile: the additive-decomposition base
+# table (weekly seasonal means + residual spread) for event values.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS vmic
+      FROM events
+    )
+    SELECT event_type, dow,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor(sum(vmic) * 1.0 / count(*) + 0.5) / 1.0e6 AS mean_value,
+           floor((max(vmic) - min(vmic)) / 2.0 + 0.5) / 1.0e6 AS half_range
+    FROM q
+    GROUP BY event_type, dow
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event type, day-of-week) value profile from integer-micro
+    sums — the seasonal-mean table a decomposition subtracts before
+    anomaly scoring. Exact integer aggregation (order-independent), two
+    rounded divisions; bounded output (types x 7). Spark's dayofweek is
+    Sunday=1; DuckDB's is Sunday=0, so the oracle adds 1."""
+    ev = _t(spark, sf_dir, "events")
+    vmic = F.floor(F.col("value") * 1.0e6 + 0.5).cast("long")
+    q = ev.select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        vmic.alias("vmic"),
+    )
+    return q.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (
+            F.floor(F.sum("vmic") * 1.0 / F.count(F.lit(1)) + 0.5) / 1.0e6
+        ).alias("mean_value"),
+        (
+            F.floor((F.max("vmic") - F.min("vmic")) / 2.0 + 0.5) / 1.0e6
+        ).alias("half_range"),
+    )

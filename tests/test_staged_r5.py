@@ -84,6 +84,9 @@ STAGED_NAMES = [
     # wave 10
     "gsw_enthalpy",
     "dedup_winnowing_pairs",
+    # wave 11
+    "bucketed_colocated_join",
+    "events_dow_seasonality",
 ]
 
 
@@ -250,3 +253,31 @@ def test_token_bucket_semantics(spark):
         assert 0 <= r.tokens_after <= 1000
     # at least one denial must occur at smoke scale (bursty users)
     assert any(not r.allowed for r in rows)
+
+
+def test_bucketed_join_has_no_exchange_below_agg(spark):
+    """With size-based broadcasting disabled (at 100 TB neither side
+    broadcasts), the join must plan as a SortMergeJoin whose children
+    carry NO Exchange — both sides read pre-bucketed by the join key,
+    so the only Exchange in the whole plan is the final bounded-key
+    aggregation. (At smoke scale with default thresholds Spark rightly
+    broadcasts the tiny dimension instead — also Exchange-free; this
+    test pins the scale plan.)"""
+    import re
+
+    qs, _ = _staged()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = qs["bucketed_colocated_join"](spark, SF_DIR_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    ops = [m.group(1) for m in re.finditer(r"\(\d+\) (\w+)", plan)]
+    assert "SortMergeJoin" in ops, ops
+    assert ops.count("Exchange") == 1, ops  # only the final groupBy
+    assert "BroadcastExchange" not in ops, ops
