@@ -2949,3 +2949,66 @@ def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((F.max("vmic") - F.min("vmic")) / 2.0 + 0.5) / 1.0e6
         ).alias("half_range"),
     )
+
+
+# ===========================================================================
+# Staged wave 12
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval counting: how many orders are OPEN on each day —
+# decompose every [open, close) interval into a +1 and a -1 boundary
+# event and take a running sum over the date axis. Linear in intervals
+# where the naive days x orders stabbing join is quadratic; THE scale
+# pattern for concurrency/backlog/occupancy questions.
+# ---------------------------------------------------------------------------
+@_register(
+    "interval_sweepline_backlog",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderdate AS open_d,
+             o_orderdate + INTERVAL (1 + o_orderkey % 30) DAY AS close_d
+      FROM orders
+    ),
+    bounds AS (
+      SELECT CAST(open_d AS DATE) AS d, 1 AS delta FROM iv
+      UNION ALL
+      SELECT CAST(close_d AS DATE), -1 FROM iv
+    ),
+    daily AS (
+      SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM bounds GROUP BY d
+    )
+    SELECT d + INTERVAL 0 SECOND AS day_ts,
+           net,
+           CAST(sum(net) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def interval_sweepline_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each order is open for 1 + (o_orderkey % 30) days (deterministic
+    synthetic close). One map-side-combinable daily aggregation of the
+    boundary deltas (two rows per interval), then a single running sum
+    over the bounded date axis — never a days x orders join. At 100 TB
+    the date axis stays tiny, so the window is effectively driver-cheap
+    while the interval decomposition is embarrassingly parallel. Dates
+    are emitted as timestamps (driver canon: DuckDB DATE and Spark
+    DateType collect differently)."""
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        F.col("o_orderdate").alias("open_d"),
+        F.date_add(
+            F.col("o_orderdate"), (1 + F.col("o_orderkey") % 30).cast("int")
+        ).alias("close_d"),
+    )
+    bounds = iv.select(F.col("open_d").alias("d"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("close_d").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = bounds.groupBy("d").agg(F.sum("delta").cast("long").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("timestamp").alias("day_ts"),
+        "net",
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )

@@ -87,6 +87,8 @@ STAGED_NAMES = [
     # wave 11
     "bucketed_colocated_join",
     "events_dow_seasonality",
+    # wave 12
+    "interval_sweepline_backlog",
 ]
 
 
