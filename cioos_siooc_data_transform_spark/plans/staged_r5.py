@@ -3012,3 +3012,91 @@ def interval_sweepline_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net",
         F.sum("net").over(w).cast("long").alias("open_orders"),
     )
+
+
+# ===========================================================================
+# Staged wave 13
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# TEOS-10 CT-native sound speed: c = 1e4 * v * sqrt(-1/(dv/dz)) from the
+# committed 75-term polynomial and its ANALYTIC z-derivative (CT is
+# conserved under adiabatic displacement, so the isentropic
+# compressibility is the CT-held pressure derivative). The derivative
+# sum is pinned against a finite difference of the independent Horner
+# evaluation in tests.
+# ---------------------------------------------------------------------------
+def specvol_dz_sql(sa: str, ct: str, p: str) -> str:
+    """Analytic d(specvol)/dz (z = p * 1e-4): sum K * v_JIK xs^I ys^J
+    z^(K-1) over the committed coefficient table."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_OFFSET,
+        GSW_SFAC,
+        SPECVOL_COEFFS,
+        _lit,
+    )
+
+    xs = f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"
+    ys = f"(({ct})*0.025e0)"
+    z = f"(({p})*1.0e-4)"
+    terms = []
+    for name, v in sorted(SPECVOL_COEFFS.items()):
+        j_ys, i_xs, k_z = int(name[1]), int(name[2]), int(name[3])
+        if k_z == 0:
+            continue
+        c = _lit(v * k_z)
+        factors = [c] + [xs] * i_xs + [ys] * j_ys + [z] * (k_z - 1)
+        terms.append("*".join(factors))
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sound_speed_ct_sql(sa: str, ct: str, p: str) -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import specvol_sql
+
+    v = specvol_sql(sa, ct, p)
+    dz = specvol_dz_sql(sa, ct, p)
+    return f"(1.0e4*{v}*sqrt(-1.0e0/{dz}))"
+
+
+@_register("gsw_sound_speed_ct_native", oracle="__LAZY__")
+def gsw_sound_speed_ct_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sound speed from c^2 = dp/drho = -v^2/(dv/dP): both factors are
+    plain sums over the check-valued coefficient table, so correctness
+    reduces to the derivative construction — pinned by finite
+    difference — plus a physical-envelope test against the independent
+    Mackenzie (1981) formulation. CT materialized once; identical
+    literal arithmetic on both engines; zero shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    df = _inputs(spark, sf_dir)
+    staged = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr(_sound_speed_ct_sql("sa", "ct", "p")), 6).alias(
+            "sound_speed_ct"
+        ),
+    )
+
+
+def _sound_speed_ct_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           round({_sound_speed_ct_sql("sa", "ct", "p")}, 6) AS sound_speed_ct
+    FROM (
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    )
+    """
+
+
+STAGED_ORACLES["gsw_sound_speed_ct_native"] = _sound_speed_ct_oracle()

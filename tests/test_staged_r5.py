@@ -89,6 +89,8 @@ STAGED_NAMES = [
     "events_dow_seasonality",
     # wave 12
     "interval_sweepline_backlog",
+    # wave 13
+    "gsw_sound_speed_ct_native",
 ]
 
 
@@ -283,3 +285,63 @@ def test_bucketed_join_has_no_exchange_below_agg(spark):
     assert "SortMergeJoin" in ops, ops
     assert ops.count("Exchange") == 1, ops  # only the final groupBy
     assert "BroadcastExchange" not in ops, ops
+
+
+def test_specvol_z_derivative_matches_finite_difference():
+    """The analytic dv/dz sum must reproduce a central finite difference
+    of the independent Horner specvol — catching any exponent or
+    coefficient slip in the derivative construction."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import specvol_sql
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import specvol_dz_sql
+
+    con = duckdb.connect()
+    for sa, ct, p in [(34.7118, 28.7856, 10.0), (35.0, 10.0, 1000.0), (35.5, 2.0, 4000.0)]:
+        dz = con.sql(f"SELECT {specvol_dz_sql(str(sa), str(ct), str(p))}").fetchone()[0]
+        vp = con.sql(f"SELECT {specvol_sql(str(sa), str(ct), str(p + 0.01))}").fetchone()[0]
+        vm = con.sql(f"SELECT {specvol_sql(str(sa), str(ct), str(p - 0.01))}").fetchone()[0]
+        fd = (vp - vm) / (2 * 0.01 * 1.0e-4)
+        assert abs(dz - fd) < 1e-7 * abs(fd), (sa, ct, p)
+    con.close()
+
+
+def test_sound_speed_ct_physical_envelope(spark):
+    """TEOS-10 and Mackenzie are independent formulations of the same
+    physical quantity — over oceanic (S, T, depth) they must agree to a
+    few m/s (their published mutual deviation), and absolute values must
+    sit in the oceanic band."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        mackenzie_sound_speed,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _sound_speed_ct_sql,
+    )
+
+    grid = spark.createDataFrame(
+        [
+            (s, t, p)
+            for s in (33.0, 35.0, 36.5)
+            for t in (2.0, 10.0, 25.0)
+            for p in (10.0, 500.0, 2000.0)
+        ],
+        "s DOUBLE, t DOUBLE, p DOUBLE",
+    )
+    staged = grid.select(
+        "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    rows = staged.select(
+        F.expr(_sound_speed_ct_sql("sa", "ct", "p")).alias("c_teos"),
+        mackenzie_sound_speed(
+            F.col("t"), F.col("s"), F.col("p")  # depth ~ dbar to few %
+        ).alias("c_mack"),
+    ).collect()
+    for r in rows:
+        assert 1400.0 < r.c_teos < 1600.0
+        assert abs(r.c_teos - r.c_mack) < 6.0, (r.c_teos, r.c_mack)
