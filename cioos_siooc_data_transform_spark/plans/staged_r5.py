@@ -3100,3 +3100,219 @@ def _sound_speed_ct_oracle() -> str:
 
 
 STAGED_ORACLES["gsw_sound_speed_ct_native"] = _sound_speed_ct_oracle()
+
+
+# ===========================================================================
+# Staged wave 14
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# CUSUM range drift: per event type, the range (max - min) of the
+# prefix sum of deviations from the type's overall mean — the classic
+# cumulative-sum changepoint statistic (a mean shift anywhere in the
+# sequence inflates the range; stationary noise keeps it near the
+# random-walk envelope). All integer micro-units; the prefix sum is one
+# ordered window per type.
+# ---------------------------------------------------------------------------
+@_register(
+    "cusum_range_drift",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS vmic
+      FROM events
+    ), m AS (
+      SELECT event_type,
+             CAST(sum(vmic) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM q GROUP BY event_type
+    ), dev AS (
+      SELECT q.event_type, q.ts, q.event_id,
+             q.vmic * m.n - m.total AS dev_scaled
+      FROM q JOIN m ON q.event_type = m.event_type
+    ), pre AS (
+      SELECT event_type,
+             CAST(sum(dev_scaled) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS c
+      FROM dev
+    )
+    SELECT p.event_type,
+           m.n AS n_events,
+           floor((max(p.c) - min(p.c)) * 1.0 / m.n / 1.0e6 * 1.0e6 + 0.5) / 1.0e6
+             AS cusum_range
+    FROM pre p JOIN m ON p.event_type = m.event_type
+    GROUP BY p.event_type, m.n
+    """,
+)
+def cusum_range_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deviations are scaled by n (dev = v*n - total) so the prefix sums
+    stay EXACT integers — no mean-rounding enters the running sum; the
+    final range is divided back by n once. BIGINT headroom: |v*n| <=
+    1e6-micro values x 1e5 rows ~ 1e13 per term, prefix sums bounded by
+    n * that ~ 1e18 at sf0.1 — inside int64; at larger SFs scale vmic
+    down or use DECIMAL. One window shuffle keyed by event type."""
+    ev = _t(spark, sf_dir, "events")
+    vmic = F.floor(F.col("value") * 1.0e6 + 0.5).cast("long")
+    q = ev.select("event_type", "ts", "event_id", vmic.alias("vmic"))
+    m = q.groupBy("event_type").agg(
+        F.sum("vmic").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dev = q.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        (F.col("vmic") * F.col("n") - F.col("total")).alias("dev_scaled"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = dev.select(
+        "event_type",
+        "n",
+        F.sum("dev_scaled").over(w).cast("long").alias("c"),
+    )
+    return pre.groupBy("event_type", F.col("n").alias("n_events")).agg(
+        (
+            F.floor(
+                (F.max("c") - F.min("c")) * 1.0 / F.col("n_events") / 1.0e6 * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("cusum_range")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup funnel: the end-to-end retention report — exact layer first
+# (digest keepers), then the near-dup layer (connected components over
+# confirmed >= 0.5-Jaccard pairs) applied to the exact survivors, with
+# the component keeper re-elected among survivors (the component's
+# min doc may itself have been an exact duplicate). One row out.
+# ---------------------------------------------------------------------------
+def _dedup_funnel_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _LSH_CAND_CTES,
+        _SHINGLES_CTE,
+    )
+
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    near_keep AS (
+      SELECT min(k.doc_id) AS keeper, c.component
+      FROM exact_keep k JOIN comp c ON c.node = k.doc_id
+      GROUP BY c.component
+    ),
+    survivors AS (
+      SELECT k.doc_id FROM exact_keep k
+      LEFT JOIN comp c ON c.node = k.doc_id
+      LEFT JOIN near_keep nk ON nk.component = c.component
+      WHERE c.node IS NULL OR nk.keeper = k.doc_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact_keep) AS n_after_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM survivors) AS n_after_near,
+           floor((SELECT count(*) FROM survivors) * 1.0e6
+                 / (SELECT count(*) FROM documents) + 0.5) / 1.0e6
+             AS retention
+    """
+
+
+@_register("dedup_layer_funnel", oracle="__LAZY__")
+def dedup_layer_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-level dedup report: how many documents survive each
+    layer, and the end-to-end retention fraction. Composes the existing
+    exact-dedup and connected-components machinery; everything after
+    the component labeling is counting."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        jaccard_for_pairs,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _distinct_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact_keep = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    pairs = jaccard_for_pairs(cand, shingles, "doc_id", "s").filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("node"), "component"
+    )
+    near_keep = (
+        exact_keep.join(comp, exact_keep["doc_id"] == comp["node"])
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    survivors = (
+        exact_keep.join(comp, exact_keep["doc_id"] == comp["node"], "left")
+        .join(near_keep, "component", "left")
+        .filter(F.col("node").isNull() | (F.col("keeper") == F.col("doc_id")))
+    )
+    ntot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    nex = exact_keep.agg(F.count(F.lit(1)).cast("long").alias("n_after_exact"))
+    nnr = survivors.agg(F.count(F.lit(1)).cast("long").alias("n_after_near"))
+    return (
+        ntot.crossJoin(nex)
+        .crossJoin(nnr)
+        .select(
+            "n_total",
+            "n_after_exact",
+            "n_after_near",
+            (
+                F.floor(F.col("n_after_near") * 1.0e6 / F.col("n_total") + 0.5)
+                / 1.0e6
+            ).alias("retention"),
+        )
+    )
+
+
+STAGED_ORACLES["dedup_layer_funnel"] = _dedup_funnel_oracle()
