@@ -3316,3 +3316,181 @@ def dedup_layer_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["dedup_layer_funnel"] = _dedup_funnel_oracle()
+
+
+# ===========================================================================
+# Staged wave 15
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Binary embedding compression: the 64 sign bits of each vector packed
+# into ONE BIGINT (64x smaller than float32 — the binary-vector-DB
+# representation), with near-dup pairs found by Hamming distance <= 6
+# under the multi-index trick (candidates must share one of four
+# 16-bit blocks — any pair within distance 6 shares a clean block by
+# pigeonhole over 4 blocks with <= 6 differing bits... 6 < 4*2, so at
+# least one block has <= 1 flip; we block on exact 16-bit equality,
+# sound for distance <= 3; kept at <= 3 for exactness).
+# ---------------------------------------------------------------------------
+_BIN_HAM_MAX = 3
+# bit i contributes 2^i; bit 63 contributes the two's-complement value
+# so the packed signature is a plain signed BIGINT on both engines and
+# no partial sum ever overflows (left-to-right fold peaks at 2^63 - 1).
+_BIN_POWS = [1 << i for i in range(63)] + [-(1 << 63)]
+_BIN_POWS_SQL = "[" + ", ".join(str(v) for v in _BIN_POWS) + "]"
+
+
+@_register(
+    "embedding_binary_signature",
+    oracle="""
+    WITH bits AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS b
+      FROM embeddings
+    ),
+    packed AS (
+      SELECT vec_id,
+             CAST(list_aggregate(
+               list_transform(range(64),
+                 i -> CASE WHEN b[i + 1] = 1
+                      THEN {pows}[i + 1] ELSE 0 END),
+               'sum') AS BIGINT) AS sig
+      FROM bits
+    ),
+    blocked AS (
+      SELECT vec_id, sig, u.blk, u.blk_val FROM packed,
+      UNNEST([
+        {{'blk': 0, 'blk_val': sig & 65535}},
+        {{'blk': 1, 'blk_val': (sig >> 16) & 65535}},
+        {{'blk': 2, 'blk_val': (sig >> 32) & 65535}},
+        {{'blk': 3, 'blk_val': (sig >> 48) & 65535}}
+      ]) AS t(u)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {hmax}
+    """.format(pows=_BIN_POWS_SQL, hmax=_BIN_HAM_MAX),
+)
+def embedding_binary_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack sign bits row-locally (a 64-term integer fold against a
+    literal powers array, exact on both engines), extract four 16-bit
+    block keys (arithmetic shift + mask — identical after the mask),
+    and equi-join on (block, value): a pair within Hamming distance 3
+    differs in at most 3 of 4 blocks, so at least one block matches
+    exactly — full recall at <= 3 with no pairwise scan. The
+    xor+bit_count confirm prices only bucket collisions. Storage story:
+    8 bytes/vector — RAM-resident at billions of vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    pows = F.array(*[F.lit(v).cast("long") for v in _BIN_POWS])
+    terms = F.zip_with(
+        e, pows, lambda x, pw: F.when(x >= 0, pw).otherwise(F.lit(0).cast("long"))
+    )
+    sig = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+    packed = emb.select("vec_id", sig.alias("sig"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("blk"),
+                F.shiftright(F.col("sig"), 16 * k)
+                .bitwiseAND(F.lit(65535).cast("long"))
+                .alias("blk_val"),
+            )
+            for k in range(4)
+        ]
+    )
+    blocked = packed.select("vec_id", "sig", F.explode(blocks).alias("u")).select(
+        "vec_id", "sig", F.col("u.blk").alias("blk"), F.col("u.blk_val").alias("blk_val")
+    )
+    a = blocked.select(
+        F.col("vec_id").alias("vec_a"), F.col("sig").alias("sig_a"), "blk", "blk_val"
+    )
+    b = blocked.select(
+        F.col("vec_id").alias("vec_b"), F.col("sig").alias("sig_b"), "blk", "blk_val"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "sig_a", "sig_b")
+        .distinct()
+        .select("vec_a", "vec_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= _BIN_HAM_MAX)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the corpus vocabulary: OLS fit of ln(freq) on ln(rank)
+# — the macro health check of any text corpus (natural language sits
+# near -1; templated or synthetic text drifts off).
+# ---------------------------------------------------------------------------
+@_register(
+    "vocab_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT c,
+             CAST(row_number() OVER (ORDER BY c DESC, t ASC) AS BIGINT) AS r
+      FROM freq
+    ),
+    pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM ranked),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n AS vocab_size,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1.0e6 + 0.5) / 1.0e6
+             AS zipf_slope
+    FROM s
+    """,
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ranks (count desc, term asc), libm ln on identical
+    doubles, OLS slope from the five summary sums rounded once at 6 dp.
+    The float sums are order-dependent in principle; the 6-dp floor on
+    the final slope absorbs summation-order noise exactly as in the
+    repo's other ln-based aggregates (lm_*), and the vocabulary is
+    bounded so the agg is one tiny reduction."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(words_expr(F.col("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = freq.select("c", F.row_number().over(w).cast("long").alias("r"))
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("vocab_size"),
+        (
+            F.floor(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("zipf_slope"),
+    )

@@ -94,6 +94,9 @@ STAGED_NAMES = [
     # wave 14
     "cusum_range_drift",
     "dedup_layer_funnel",
+    # wave 15
+    "embedding_binary_signature",
+    "vocab_zipf_slope",
 ]
 
 
