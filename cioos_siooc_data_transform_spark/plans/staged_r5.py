@@ -3494,3 +3494,289 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("zipf_slope"),
     )
+
+
+# ===========================================================================
+# Staged wave 16 — completes a full 50-query round-5 slate
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Isentropic compressibility kappa = -(dv/dP)/v from the same committed
+# polynomial pieces as the CT-native sound speed; the rho*c^2*kappa = 1
+# identity ties all three surfaces together in tests.
+# ---------------------------------------------------------------------------
+def _kappa_sql(sa: str, ct: str, p: str) -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import specvol_sql
+
+    v = specvol_sql(sa, ct, p)
+    dz = specvol_dz_sql(sa, ct, p)
+    # dv/dP_pa = dv/dz * 1e-8  ->  kappa in 1/Pa
+    return f"(-({dz})*1.0e-8/{v})"
+
+
+@_register("gsw_kappa", oracle="__LAZY__")
+def gsw_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isentropic compressibility (1/Pa, ~4.1e-10 in the ocean) —
+    emitted in 1e-12/Pa units so 6-dp rounding keeps ~6 significant
+    digits. Zero shuffle, identical literal arithmetic both engines."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    df = _inputs(spark, sf_dir)
+    staged = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr(_kappa_sql("sa", "ct", "p")) * 1.0e12, 6).alias(
+            "kappa_per_tpa"
+        ),
+    )
+
+
+def _kappa_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           round({_kappa_sql("sa", "ct", "p")} * 1.0e12, 6) AS kappa_per_tpa
+    FROM (
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    )
+    """
+
+
+STAGED_ORACLES["gsw_kappa"] = _kappa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth V(n) ~ K * n^beta over the corpus in
+# doc_id order — beta well below 1 is the expected sublinear growth;
+# beta near 1 means unbounded novel-token production (noisy OCR, ids).
+# ---------------------------------------------------------------------------
+@_register(
+    "text_heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    first_seen AS (SELECT t, min(doc_id) AS fd FROM tok GROUP BY t),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    new_vocab AS (
+      SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY fd
+    ),
+    cum AS (
+      SELECT d.doc_id,
+             CAST(sum(d.n_tok) OVER w AS BIGINT) AS n_cum,
+             CAST(sum(COALESCE(v.n_new, 0)) OVER w AS BIGINT) AS v_cum
+      FROM per_doc d LEFT JOIN new_vocab v ON v.doc_id = d.doc_id
+      WINDOW w AS (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pts AS (
+      SELECT ln(CAST(n_cum AS DOUBLE)) AS x, ln(CAST(v_cum AS DOUBLE)) AS y
+      FROM cum WHERE v_cum > 0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1.0e6 + 0.5) / 1.0e6
+             AS heaps_beta
+    FROM s
+    """,
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative vocabulary via the first-seen trick (word -> min doc,
+    then one running sum — no distinct-over-window), cumulative tokens
+    via the same window, OLS slope in log-log space rounded once. Two
+    map-side-combinable aggs + one bounded window."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(words_expr(F.col("text"))).alias("t"))
+    first_seen = tok.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_vocab = first_seen.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        per_doc.join(new_vocab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tok").over(w).cast("long").alias("n_cum"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("v_cum"),
+        )
+        .filter(F.col("v_cum") > 0)
+    )
+    pts = cum.select(
+        F.log(F.col("n_cum").cast("double")).alias("x"),
+        F.log(F.col("v_cum").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        (
+            F.floor(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("heaps_beta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer revenue: the inequality summary behind
+# the Pareto share curve — exact integer arithmetic until one final
+# division (cents, deterministic ordering by (revenue, custkey)).
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+                  AS BIGINT) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total,
+             CAST(sum(i * cents) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           total AS total_cents,
+           floor((2.0 * weighted / (n * 1.0 * total) - (n + 1.0) / n) * 1.0e6
+                 + 0.5) / 1.0e6 AS gini
+    FROM s
+    """,
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over revenue sorted
+    ascending with a custkey tiebreak — all three sums are exact BIGINTs
+    (weighted <= n * max_cents * n ~ 1e17 at sf0.1, inside int64), so
+    the coefficient is one rounded expression over identical integers.
+    One agg + one global-order window over the customer-level rollup
+    (bounded), then a scalar."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = rev.select("cents", F.row_number().over(w).cast("long").alias("i"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("weighted"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        (
+            F.floor(
+                (
+                    2.0 * F.col("weighted") / (F.col("n") * 1.0 * F.col("total"))
+                    - (F.col("n") + 1.0) / F.col("n")
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity of the vocabulary per language: D = sum c(c-1) /
+# (N(N-1)) — the probability two random tokens are the same type.
+# Exact integer rationals; the inverse (1/D) is the "effective
+# vocabulary size" quality signal.
+# ---------------------------------------------------------------------------
+@_register(
+    "text_simpson_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY lang, t
+    ),
+    s AS (
+      SELECT lang,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS coincide
+      FROM freq GROUP BY lang
+    )
+    SELECT lang, n_tokens, vocab,
+           floor(coincide * 1.0e9 / (n_tokens * 1.0 * (n_tokens - 1)) + 0.5)
+             / 1.0e9 AS simpson_d
+    FROM s WHERE n_tokens > 1
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repeat-collision probability from exact integer
+    counts (sum c(c-1) stays well inside int64 at any realistic corpus
+    per-language token mass below ~3e9); one map-side-combinable
+    (lang, token) agg then a bounded per-lang rollup."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(words_expr(F.col("text"))).alias("t"))
+    freq = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = freq.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coincide"),
+    )
+    return s.filter(F.col("n_tokens") > 1).select(
+        "lang",
+        "n_tokens",
+        "vocab",
+        (
+            F.floor(
+                F.col("coincide")
+                * 1.0e9
+                / (F.col("n_tokens") * 1.0 * (F.col("n_tokens") - 1))
+                + 0.5
+            )
+            / 1.0e9
+        ).alias("simpson_d"),
+    )

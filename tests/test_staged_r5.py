@@ -97,6 +97,11 @@ STAGED_NAMES = [
     # wave 15
     "embedding_binary_signature",
     "vocab_zipf_slope",
+    # wave 16
+    "gsw_kappa",
+    "text_heaps_law_fit",
+    "orders_gini_concentration",
+    "text_simpson_diversity",
 ]
 
 
@@ -354,3 +359,25 @@ def test_sound_speed_ct_physical_envelope(spark):
     for r in rows:
         assert 1400.0 < r.c_teos < 1600.0
         assert abs(r.c_teos - r.c_mack) < 6.0, (r.c_teos, r.c_mack)
+
+
+def test_rho_c2_kappa_identity():
+    """rho * c^2 * kappa = 1 exactly (all three derive from the same
+    polynomial): ties the density, sound-speed, and compressibility
+    surfaces together — any inconsistency in scale factors or the
+    derivative breaks the product."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import rho_sql
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _kappa_sql,
+        _sound_speed_ct_sql,
+    )
+
+    con = duckdb.connect()
+    for sa, ct, p in [(34.7118, 28.7856, 10.0), (35.0, 10.0, 1000.0), (35.5, 2.0, 4000.0)]:
+        rho = con.sql(f"SELECT {rho_sql(str(sa), str(ct), str(p))}").fetchone()[0]
+        c = con.sql(f"SELECT {_sound_speed_ct_sql(str(sa), str(ct), str(p))}").fetchone()[0]
+        k = con.sql(f"SELECT {_kappa_sql(str(sa), str(ct), str(p))}").fetchone()[0]
+        assert abs(rho * c * c * k - 1.0) < 1e-12, (sa, ct, p)
+    con.close()
