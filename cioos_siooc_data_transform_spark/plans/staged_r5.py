@@ -29,14 +29,37 @@ Content:
 - session duration/size stats;
 - funnel step conversion rates.
 
-Wave 2:
-- sigma_theta (EOS-80 surface density at Bryden theta);
-- logistic-regression quality classifier (model-based filtering shape);
-- 5-NN majority-vote label accuracy over embeddings;
-- n-gram novelty score (first-appearance fraction per doc);
-- snapshot diff CDC (added/deleted/changed/unchanged with cent deltas);
-- RANGE BETWEEN INTERVAL window frame (trailing-hour activity);
-- GROUPING()/GROUPING_ID() flags over grouping sets.
+Wave 2: sigma_theta; logistic quality classifier; kNN label accuracy;
+n-gram novelty; snapshot CDC diff; RANGE-INTERVAL window frame;
+GROUPING_ID flags.
+Wave 3: bigram LM scoring; per-source dedup survivorship;
+nearest-tolerance as-of; integer PageRank (unrolled-CTE oracle).
+Wave 4: SCD2 point-in-time lookup; bag Jaccard pairs;
+Mahalanobis-diagonal embedding outliers.
+Wave 5: A-Res weighted sampling; NULL-skew-isolated left join;
+EXCEPT/INTERSECT ALL; component size histogram.
+Wave 6: frequent-items sketch (recall-pinned); normalized exact dedup
+(C4 recipe); watermark late-data audit.
+Wave 7: TEOS-10 dynamic enthalpy (derivative-pinned); token-bucket
+rate limiter (recursive-CTE oracle; streaming twin in
+streaming/windows.py).
+Wave 8: langid confusion matrix; IOS profile sound speed (reference
+vertical end-to-end).
+Wave 9: winnowing fingerprints; A/B test lift.
+Wave 10: full enthalpy; winnowing candidate pairs.
+Wave 11: co-located bucketed join (zero-Exchange plan pinned);
+day-of-week seasonality.
+Wave 12: sweep-line interval backlog.
+Wave 13: CT-native sound speed (derivative + Mackenzie envelope).
+Wave 14: CUSUM range drift; dedup layer funnel.
+Wave 15: packed binary embedding signatures (multi-index Hamming);
+Zipf slope.
+Wave 16: kappa compressibility (rho*c^2*kappa = 1 identity); Heaps'
+law fit; Gini concentration; Simpson diversity.
+
+The slate holds EXACTLY 50 queries — one full driver sample: round 5
+can promote the 50 round-4-green names to _CHECKED, activate() this
+module, and the driver's next sample covers the entire new surface.
 """
 
 from __future__ import annotations
