@@ -528,11 +528,14 @@ def text_stopword_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of exact integers. Zero shuffle."""
     from cioos_siooc_data_transform_spark.operators.dedup import words_expr
 
+    from cioos_siooc_data_transform_spark.operators.text import (
+        stopword_occurrences,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     words = words_expr(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    n_stop = stopword_occurrences(words, _STOPWORDS)
     return (
         docs.select(
             "doc_id",
@@ -627,10 +630,12 @@ _FUNNEL = ["view", "click", "purchase"]
         ON a.user_id = c.user_id
     )
     SELECT step, stage, CAST(n AS BIGINT) AS n_users,
-           floor(n * 1.0e6 / first_value(n) OVER (ORDER BY step) + 0.5) / 1.0e6
-             AS conv_from_top,
-           floor(n * 1.0e6 / lag(n, 1, n) OVER (ORDER BY step) + 0.5) / 1.0e6
-             AS conv_from_prev
+           CASE WHEN first_value(n) OVER (ORDER BY step) > 0 THEN
+             floor(n * 1.0e6 / first_value(n) OVER (ORDER BY step) + 0.5) / 1.0e6
+           ELSE NULL END AS conv_from_top,
+           CASE WHEN lag(n, 1, n) OVER (ORDER BY step) > 0 THEN
+             floor(n * 1.0e6 / lag(n, 1, n) OVER (ORDER BY step) + 0.5) / 1.0e6
+           ELSE NULL END AS conv_from_prev
     FROM reached
     """,
 )
@@ -673,12 +678,13 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         "stage",
         "n_users",
-        (F.floor(F.col("n_users") * 1.0e6 / top + 0.5) / 1.0e6).alias(
-            "conv_from_top"
-        ),
-        (F.floor(F.col("n_users") * 1.0e6 / prev_or_self + 0.5) / 1.0e6).alias(
-            "conv_from_prev"
-        ),
+        F.when(
+            top > 0, F.floor(F.col("n_users") * 1.0e6 / top + 0.5) / 1.0e6
+        ).alias("conv_from_top"),
+        F.when(
+            prev_or_self > 0,
+            F.floor(F.col("n_users") * 1.0e6 / prev_or_self + 0.5) / 1.0e6,
+        ).alias("conv_from_prev"),
     )
 
 
@@ -780,13 +786,13 @@ def quality_classifier_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     words = words_expr(F.col("text"))
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    from cioos_siooc_data_transform_spark.operators.text import (
+        stopword_occurrences,
+    )
+
     n_words = F.size(words)
     ws, bpe = token_counts(F.col("text"))
-    stop_density = (
-        F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))) * 1.0
-        / n_words
-    )
+    stop_density = stopword_occurrences(words, _STOPWORDS) * 1.0 / n_words
     fertility = bpe * 1.0 / ws
     z = (
         F.lit(_LR_W["bias"])
@@ -1365,6 +1371,11 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     n_nodes = deg.count()  # scalar: node count (bounded driver value)
+    if n_nodes == 0:
+        # empty support->=2 graph: the oracle yields an empty result
+        return spark.createDataFrame(
+            [], "part_key LONG, pagerank_picos LONG"
+        )
     init = _PR_UNIT // n_nodes
     teleport = (15 * init) // 100
     score = deg.select(F.col("src").alias("node"), F.lit(init).alias("score"))
@@ -1454,7 +1465,10 @@ STAGED_ORACLES["graph_pagerank_iterations"] = _pagerank_oracle()
 # correctness primitive (training labels must join the feature version
 # valid AT the observation time, not the latest one).
 # ---------------------------------------------------------------------------
-_PIT_PROBES = ["1994-06-01", "1997-01-01"]
+# the last probe lies beyond every order date, so it exercises the
+# open-ended FINAL version of every multi-version key (the case the
+# per-field IGNORE NULLS formulation silently dropped)
+_PIT_PROBES = ["1994-06-01", "1997-01-01", "2005-06-01"]
 
 
 @_register(
@@ -1469,7 +1483,8 @@ _PIT_PROBES = ["1994-06-01", "1997-01-01"]
     ),
     probes AS (
       SELECT DISTINCT o_custkey,
-             unnest([DATE '{_PIT_PROBES[0]}', DATE '{_PIT_PROBES[1]}']) AS probe_date
+             unnest([DATE '{_PIT_PROBES[0]}', DATE '{_PIT_PROBES[1]}',
+                     DATE '{_PIT_PROBES[2]}']) AS probe_date
       FROM orders
     ),
     u AS (
@@ -1484,12 +1499,9 @@ _PIT_PROBES = ["1994-06-01", "1997-01-01"]
     ),
     scanned AS (
       SELECT o_custkey, d, rt,
-             last_value(CASE WHEN rt = 1 THEN version_key END IGNORE NULLS)
-               OVER w AS v_key,
-             last_value(CASE WHEN rt = 1 THEN total END IGNORE NULLS)
-               OVER w AS v_total,
-             last_value(CASE WHEN rt = 1 THEN valid_to END IGNORE NULLS)
-               OVER w AS v_to
+             last_value(CASE WHEN rt = 1
+                             THEN {{'k': version_key, 't': total, 'vt': valid_to}}
+                        END IGNORE NULLS) OVER w AS v
       FROM u
       WINDOW w AS (
         PARTITION BY o_custkey
@@ -1497,10 +1509,10 @@ _PIT_PROBES = ["1994-06-01", "1997-01-01"]
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
       )
     )
-    SELECT o_custkey, d AS probe_date, v_key AS version_key, v_total AS total
+    SELECT o_custkey, d AS probe_date, v['k'] AS version_key, v['t'] AS total
     FROM scanned
-    WHERE rt = 0 AND v_key IS NOT NULL
-      AND (v_to IS NULL OR v_to > d)
+    WHERE rt = 0 AND v IS NOT NULL
+      AND (v['vt'] IS NULL OR v['vt'] > d)
     """,
 )
 def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,28 +1571,36 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    v = F.when(F.col("rt") == 1, F.col("version_key"))
-    t = F.when(F.col("rt") == 1, F.col("total"))
-    vt = F.when(F.col("rt") == 1, F.col("valid_to"))
+    # ONE struct per version row: all three fields must come from the
+    # SAME version. Three separate IGNORE NULLS scans would skip the
+    # current version's NULL valid_to and pair it with an EARLIER
+    # version's end date, silently dropping every probe that falls in a
+    # multi-version customer's open-ended final version.
+    ver = F.when(
+        F.col("rt") == 1,
+        F.struct(
+            F.col("version_key").alias("k"),
+            F.col("total").alias("t"),
+            F.col("valid_to").alias("vt"),
+        ),
+    )
     scanned = u.select(
         "o_custkey",
         "d",
         "rt",
-        F.last(v, ignorenulls=True).over(wb).alias("v_key"),
-        F.last(t, ignorenulls=True).over(wb).alias("v_total"),
-        F.last(vt, ignorenulls=True).over(wb).alias("v_to"),
+        F.last(ver, ignorenulls=True).over(wb).alias("v"),
     )
     return (
         scanned.filter(
             (F.col("rt") == 0)
-            & F.col("v_key").isNotNull()
-            & (F.col("v_to").isNull() | (F.col("v_to") > F.col("d")))
+            & F.col("v").isNotNull()
+            & (F.col("v.vt").isNull() | (F.col("v.vt") > F.col("d")))
         )
         .select(
             "o_custkey",
             F.col("d").alias("probe_date"),
-            F.col("v_key").alias("version_key"),
-            F.col("v_total").alias("total"),
+            F.col("v.k").alias("version_key"),
+            F.col("v.t").alias("total"),
         )
     )
 
@@ -2676,9 +2696,11 @@ def dedup_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(b.n_converted AS BIGINT) AS treat_converted,
            floor(a.n_converted * 1.0e6 / a.n_users + 0.5) / 1.0e6 AS control_rate,
            floor(b.n_converted * 1.0e6 / b.n_users + 0.5) / 1.0e6 AS treat_rate,
-           floor((b.n_converted * 1.0 * a.n_users)
-                 / (a.n_converted * 1.0 * b.n_users) * 1.0e6 + 0.5) / 1.0e6
-             - 1.0 AS relative_lift
+           CASE WHEN a.n_converted > 0 THEN
+             floor((b.n_converted * 1.0 * a.n_users)
+                   / (a.n_converted * 1.0 * b.n_users) * 1.0e6 + 0.5) / 1.0e6
+               - 1.0
+           ELSE NULL END AS relative_lift
     FROM (SELECT * FROM stats WHERE arm = 0) a,
          (SELECT * FROM stats WHERE arm = 1) b
     """,
@@ -2727,7 +2749,8 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("treat_converted") * 1.0e6 / F.col("treat_users") + 0.5)
             / 1.0e6
         ).alias("treat_rate"),
-        (
+        F.when(
+            F.col("control_converted") > 0,
             F.floor(
                 (F.col("treat_converted") * 1.0 * F.col("control_users"))
                 / (F.col("control_converted") * 1.0 * F.col("treat_users"))
@@ -2735,7 +2758,7 @@ def ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.5
             )
             / 1.0e6
-            - 1.0
+            - 1.0,
         ).alias("relative_lift"),
     )
 

@@ -381,3 +381,49 @@ def test_rho_c2_kappa_identity():
         k = con.sql(f"SELECT {_kappa_sql(str(sa), str(ct), str(p))}").fetchone()[0]
         assert abs(rho * c * c * k - 1.0) < 1e-12, (sa, ct, p)
     con.close()
+
+
+def test_scd2_lookup_resolves_final_open_ended_version(spark):
+    """Regression for the three-separate-IGNORE-NULLS-scans bug: a probe
+    falling inside a multi-version customer's FINAL (open-ended) version
+    must resolve to that version — the broken formulation paired the
+    final version's key with an EARLIER version's valid_to and silently
+    dropped the probe. Checked against an independent pandas replay."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _PIT_PROBES,
+        scd2_point_in_time_lookup,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    got = {
+        (r.o_custkey, str(r.probe_date)[:10]): r.version_key
+        for r in scd2_point_in_time_lookup(spark, SF_DIR_SMOKE).collect()
+    }
+    orders = (
+        read_table(spark, SF_DIR_SMOKE, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .toPandas()
+    )
+    import pandas as pd
+
+    orders["o_orderdate"] = pd.to_datetime(orders["o_orderdate"])
+    n_multi_final = 0
+    for probe in _PIT_PROBES:
+        probe_d = pd.Timestamp(probe)
+        for ck, grp in orders.groupby("o_custkey"):
+            g = grp.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+            want = None
+            for i in range(len(g)):
+                vf = g.loc[i, "o_orderdate"]
+                vt = g.loc[i + 1, "o_orderdate"] if i + 1 < len(g) else None
+                if vf <= probe_d and (vt is None or probe_d < vt):
+                    want = int(g.loc[i, "o_orderkey"])
+            if want is None:
+                assert (ck, probe) not in got
+            else:
+                assert got.get((ck, probe)) == want, (ck, probe)
+                if len(g) > 1 and want == int(g.iloc[-1]["o_orderkey"]):
+                    n_multi_final += 1
+    # the bug class must actually be exercised: some probes resolve to
+    # the final version of a multi-version customer
+    assert n_multi_final > 0
