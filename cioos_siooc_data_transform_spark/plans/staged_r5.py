@@ -57,6 +57,14 @@ Zipf slope.
 Wave 16: kappa compressibility (rho*c^2*kappa = 1 identity); Heaps'
 law fit; Gini concentration; Simpson diversity.
 
+Known intentional duplication: dedup_bag_jaccard_pairs and
+dedup_bbit_minhash carry private copies of the shingle/minhash/LSH CTE
+chain (with an equivalent but not byte-identical band encoding), and
+the funnel/histogram oracles duplicate the components walk — each copy
+is independently pinned tri-scale by tests/test_staged_r5.py, so drift
+breaks a test rather than hiding; hoisting into shared CTE constants is
+round-5 cleanup once the queries go live.
+
 The slate holds EXACTLY 50 queries — one full driver sample: round 5
 can promote the 50 round-4-green names to _CHECKED, activate() this
 module, and the driver's next sample covers the entire new surface.
