@@ -31,6 +31,12 @@ def dot_expr(a: Column, b: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
+    """PRECONDITION: non-zero-norm vectors. A zero vector divides by
+    zero, and the engines then disagree (Spark NULL vs DuckDB NaN, with
+    different ordering AND comparison semantics) — callers on possibly-
+    degenerate data must filter zero norms first (see
+    embedding_normalize's nrm > 0 guard); tests pin that the synthetic
+    embeddings contain none at any SF."""
     return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
 
 
@@ -200,9 +206,12 @@ def pandas_topk(
     k: int = 10,
 ) -> DataFrame:
     """Arrow fast path: blocked numpy matmul of each corpus partition
-    against the broadcast query matrix (mapInPandas). Returns the same
-    schema as brute_force_topk minus global ranking — callers re-rank the
-    per-partition top-k union (standard two-stage top-k)."""
+    against the broadcast query matrix (mapInPandas), then the global
+    rounded-cosine re-rank. Self-matches are excluded INSIDE the
+    partition kernel (a post-hoc filter would let the self row consume
+    a top slot and silently drop the true k-th neighbor), and the
+    per-partition cut uses the same (rounded cos desc, id asc) order as
+    the global window so results are partition-layout-independent."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -218,17 +227,22 @@ def pandas_topk(
         for pdf in iterator:
             if pdf.empty:
                 continue
+            ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
             mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ q.T  # (n_corpus, n_queries)
-            n = min(k, sims.shape[0])
+            sims = np.round(mat @ q.T, 6)  # (n_corpus, n_queries), canonical dp
             for j, qid in enumerate(q_ids):
-                top = np.argpartition(-sims[:, j], n - 1)[:n]
+                keep = ids != qid  # exclude the self row before the cut
+                cand_ids = ids[keep]
+                cand_sims = sims[keep, j]
+                if cand_ids.size == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand_sims))[: min(k, cand_ids.size)]
                 yield pd.DataFrame(
                     {
                         "query_id": qid,
-                        "neighbor_id": pdf[id_col].to_numpy()[top],
-                        "cos_sim": np.round(sims[top, j], 6),
+                        "neighbor_id": cand_ids[order],
+                        "cos_sim": cand_sims[order],
                     }
                 )
 
@@ -239,8 +253,7 @@ def pandas_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        partial.filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -296,7 +309,9 @@ def train_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    d = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    assert head is not None and head[0] is not None, "empty corpus / NULL embedding"
+    d = len(head[0])
     assert d % m == 0, f"dim {d} not divisible by m={m}"
     sub = d // m
     books = []

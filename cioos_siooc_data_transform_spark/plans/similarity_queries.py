@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from cioos_siooc_data_transform_spark.operators.similarity import (
     brute_force_topk,
     cosine_expr,
+    dot_expr,
     ivf_topk,
 )
 from cioos_siooc_data_transform_spark.plans.registry import register
@@ -152,11 +153,7 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattened to one row per element."""
     emb = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
+    nrm = F.sqrt(dot_expr(e, e))
     unit = F.transform(e, lambda x: F.floor(x / nrm * 1000000.0 + 0.5) / 1000000.0)
     return (
         emb.filter(nrm > 0.0)
@@ -312,8 +309,6 @@ def similarity_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join that scores hits is per-(query, neighbor) — k·|queries|
     rows, trivially broadcast. Recall is an exact rational n/5."""
     emb = _t(spark, sf_dir, "embeddings")
-    from cioos_siooc_data_transform_spark.operators.similarity import ivf_topk
-
     queries = emb.filter(F.col("vec_id") < 5)
     centroids = emb.filter(F.col("vec_id") < 8)
     bf = brute_force_topk(queries, emb, k=5, round_dp=4).select(
@@ -428,9 +423,7 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_expr(F.col("qv"), F.col("cv")), 4).alias("cos_sim"),
         )
     )
-    from pyspark.sql import Window as W2
-
-    rw = W2.partitionBy("query_id").orderBy(
+    rw = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (

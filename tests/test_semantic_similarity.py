@@ -177,3 +177,47 @@ def test_jl_projection_matches_numpy_reference(spark):
         bound = (np.abs(H).sum(axis=1) / 4.0) * 5e-7 + 1e-6  # quantization + output rounding
         for j in range(16):
             assert abs(got[(r.vec_id, j)] - ref[j]) <= bound[j], (r.vec_id, j)
+
+
+def test_pandas_topk_matches_bruteforce(spark):
+    """The Arrow fast path must produce the same (query, neighbor) top-k
+    as the declarative brute_force_topk when queries come FROM the
+    corpus — the self row must not consume a per-partition slot (the
+    regression: selecting top-k before excluding self dropped the true
+    k-th neighbor)."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+        pandas_topk,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    emb = read_table(spark, SF_DIR_CORRECTNESS, "embeddings").repartition(4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    qvecs = [(r.vec_id, list(r.embedding)) for r in queries.collect()]
+    bf = brute_force_topk(queries, emb, k=10, round_dp=6)
+    fast = pandas_topk(emb, qvecs, k=10)
+    want = {(r.query_id, r.rank): r.neighbor_id for r in bf.collect()}
+    got = {(r.query_id, r.rank): r.neighbor_id for r in fast.collect()}
+    assert len(want) == len(got) == 50
+    assert want == got
+
+
+def test_no_zero_norm_embeddings_in_testdata():
+    """cosine_expr's documented precondition: a zero vector would make
+    Spark emit NULL where DuckDB emits NaN (different ordering AND
+    comparison semantics), breaking every cosine oracle pair. The
+    synthetic embeddings must contain none at any scale factor — if the
+    generator ever changes, this fails before the driver does."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.sql(
+            f"""
+            SELECT count(*) FROM '/root/testdata/{sf}/embeddings.parquet'
+            WHERE list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x), 'sum') = 0.0
+            """
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} zero-norm embeddings"
+    con.close()
