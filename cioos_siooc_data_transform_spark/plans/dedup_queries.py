@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.operators.dedup import (
     connected_components,
-    doc_shingle_sets,
     exact_dedup,
     hyperplane_lsh_buckets,
     jaccard_for_pairs,
@@ -61,16 +60,6 @@ def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
         ).alias("s"),
     ).distinct()
-
-
-def _doc_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc DISTINCT shingles as an ARRAY column — row-local, no
-    shuffle (see operators/dedup.py::minhash_signature_sets for when this
-    form wins). The registered LSH queries use the exploded formulation
-    instead: measured A/B at sf0.1 (SCALE.md) shows its map-side-combined
-    signature agg + reused distinct Exchange benches ~2× faster than
-    recomputing the row-local sets per consumer."""
-    return doc_shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
 
 # ---------------------------------------------------------------------------
@@ -789,8 +778,6 @@ def dedup_canonical_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision. Integer-exact ranking (no float quality score). Plan: the
     component labeling joins documents on doc_id, then one window per
     component — both shuffles are on high-cardinality keys."""
-    from pyspark.sql import Window
-
     comp = dedup_components(spark, sf_dir)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     w = Window.partitionBy("component").orderBy(
