@@ -695,7 +695,13 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     is contaminated when it shares >= 4 distinct 3-word shingles with any
     part of the benchmark. Physical plan: broadcast the (small, fixed)
     benchmark shingle set, stream the training shingles through the
-    broadcast join, then one combiner-friendly count agg per doc."""
+    broadcast join, then one combiner-friendly count agg per doc.
+
+    Scale caveat: the SYNTHETIC benchmark here (doc_id % 97) is
+    corpus-proportional, which is fine at test scale factors but would
+    outgrow Spark's broadcast limit at the 100 TB design point — a real
+    deployment points the broadcast at an actual fixed-size eval suite,
+    which is the design assumption the plan shape relies on."""
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id",
