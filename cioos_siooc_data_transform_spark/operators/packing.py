@@ -144,13 +144,17 @@ def pack_greedy_nosplit(
             F.floor((rn - 1) / shard_rows).cast("long"),
         ).otherwise(F.lit(0)),
     )
-    packed = sharded.groupBy("source", "shard").applyInPandas(
+    packed_raw = sharded.groupBy("source", "shard").applyInPandas(
         pack, schema=_PACK_SCHEMA + ", shard long"
     )
     # Renumber: cumulative bin count of the preceding shards of the same
     # source. The offsets relation has one row per (source, shard) —
     # vocabulary-sized — so its ordering window is trivial and the join
     # back is broadcast.
+    # The pandas packing feeds BOTH the offsets aggregate and the final
+    # join; without lineage truncation the expensive applyInPandas stage
+    # executes twice. eager=False: materializes on first action.
+    packed = packed_raw.localCheckpoint(eager=False)
     shard_bins = packed.groupBy("source", "shard").agg(
         F.max("bin_id").alias("nbins")
     )

@@ -81,7 +81,8 @@ def pack_greedy_nosplit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WIN = 64  # RAG chunk window (tokens)
-_STRIDE = 48  # overlap = _WIN - _STRIDE = 16 tokens
+_STRIDE = 48
+_OVERLAP = _WIN - _STRIDE  # a start in the final overlap region yields a chunk fully contained in its predecessor  # overlap = _WIN - _STRIDE = 16 tokens
 
 
 @register(
@@ -100,22 +101,26 @@ _STRIDE = 48  # overlap = _WIN - _STRIDE = 16 tokens
              list_slice(toks, u.s + 1, least(u.s + {_WIN}, n)), ' '
            ) AS chunk_text
     FROM d, unnest(generate_series(0, n - 1, {_STRIDE})) AS u(s)
+    WHERE u.s = 0 OR u.s < n - {_OVERLAP}
     """,
 )
 def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG-style overlapping chunker: fixed {win}-token windows at
     {stride}-token stride over each document's whitespace tokens,
-    emitting the materialized chunk text. Row-local (sequence + explode
+    emitting the materialized chunk text; a start inside the final
+    overlap region would produce a chunk that is a strict suffix of its
+    predecessor (pure duplicate retrieval content), so those starts are
+    dropped on both engines. Row-local (sequence + explode
     + slice — zero shuffles, whole-stage codegen): at 100 TB this is a
     pure map stage whose output is ~(1 + overlap/stride)× the corpus,
     and the wide source text column is dropped in the same stage."""
     from pyspark.sql import functions as F
 
     docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-        F.size(F.split("text", " ")).cast("long").alias("n"),
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    d = docs.select("doc_id", words_expr(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", F.size("toks").cast("long").alias("n")
     )
     exploded = d.select(
         "doc_id",
@@ -124,7 +129,7 @@ def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.col("n") - 1, F.lit(_STRIDE))
         ).alias("s"),
-    )
+    ).filter((F.col("s") == 0) | (F.col("s") < F.col("n") - _OVERLAP))
     chunk_len = F.least(F.col("s") + _WIN, F.col("n")) - F.col("s")
     return exploded.select(
         "doc_id",

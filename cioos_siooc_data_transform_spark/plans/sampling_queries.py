@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.operators.text import token_counts
 from cioos_siooc_data_transform_spark.plans.registry import register
 from cioos_siooc_data_transform_spark.session import read_table as _t
 
@@ -212,7 +213,7 @@ def pack_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.md5(F.col("doc_id").cast("string"))
     tok = docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        token_counts(F.col("text"))[0].cast("long").alias("n_tok"),
         F.substring(h, 1, 1).alias("salt"),
         h.alias("h"),
     )

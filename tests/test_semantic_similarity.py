@@ -221,3 +221,21 @@ def test_no_zero_norm_embeddings_in_testdata():
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} zero-norm embeddings"
     con.close()
+
+
+def test_documents_charset_precondition():
+    """Several tokenizer twins rely on Java-regex \\s and RE2 \\s
+    agreeing, which holds only because the synthetic documents contain
+    nothing but [a-z0-9 ] (no tabs, newlines, or vertical tabs — the
+    characters where the two engines' \\s classes diverge). Pin the
+    charset so a future generator change fails here before the driver."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n = con.sql(
+            f"""SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet'
+                WHERE regexp_matches(text, '[^a-z0-9 ]')"""
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} docs with out-of-charset characters"
+    con.close()
