@@ -102,6 +102,24 @@ _CHECKED = frozenset(
         "text_token_entropy", "topk_per_group", "trimmed_mean_grouped_udf",
         "union_distinct_sources", "union_schema_evolution", "value_histogram",
         "window_range_frame", "window_rank_family",
+        # round 4 (all 50 green in CORRECTNESS_r04.json)
+        "chunk_sliding_windows", "cluster_zorder_key", "cumulative_distinct_users",
+        "dedup_bag_of_words", "dedup_containment_pairs", "dedup_exact_bucketed",
+        "dedup_minhash_estimate_accuracy", "dedup_prefix_cluster", "dedup_semantic_clusters",
+        "dedup_substring_overlap", "drift_ks_statistic", "embedding_centroid_distance",
+        "embedding_random_projection", "graph_triangle_count", "gsw_ct_from_t",
+        "gsw_potential_temperature", "gsw_rho_ct_native", "lateral_top_orders",
+        "markov_transitions", "mode_per_group", "pack_chunks_fixed",
+        "pack_greedy_nosplit", "pack_training_shards", "pareto_revenue_share",
+        "q10_returned_items", "q12_late_shipments", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity",
+        "q19_discounted_revenue", "q21_waiting_supplier", "q22_dormant_customers",
+        "q4_priority_late", "q7_volume_shipping", "q8_market_share",
+        "rfm_segmentation", "robust_zscore_outliers", "scd2_history",
+        "similarity_lsh_topk", "similarity_recall_at_k", "sketch_quantiles",
+        "text_bigram_repetition", "time_weighted_average", "train_val_test_split",
+        "tumbling_window_hourly", "two_phase_salted_agg", "udtf_tokenize_offsets",
+        "unpivot_metrics", "window_lag_lead_delta",
     }
 )
 

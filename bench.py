@@ -95,6 +95,20 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Raw per-run samples go to a side file, NOT the printed line: the
+    # driver captures a bounded tail of stdout, and round 4's line (38
+    # queries x n_runs raw samples inline) outgrew that window, leaving
+    # BENCH_r04.json with parsed=null. Keep the printed line compact.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "bench_runs_last.json"),
+            "w",
+        ) as fh:
+            json.dump({"runs_sec": runs, "n_runs": n_runs, "sf": sf_val}, fh)
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -103,8 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_runs": n_runs,
-                "runs_sec": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )

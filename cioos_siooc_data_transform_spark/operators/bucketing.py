@@ -95,7 +95,7 @@ def ensure_bucketed_documents(
     return name
 
 
-_BUCKETED_TABLES: dict[tuple[str, str, str], str] = {}
+_BUCKETED_TABLES: dict[tuple[str, str, str, str, int], str] = {}
 
 
 def ensure_bucketed_table(
@@ -117,7 +117,12 @@ def ensure_bucketed_table(
 
     from cioos_siooc_data_transform_spark.session import read_table
 
-    ck = (spark.sparkContext.applicationId, sf_dir, table)
+    # key_col and num_buckets are part of BOTH the cache key and the
+    # hashed table name: the same table bucketed by a second join key
+    # (or bucket count) must get its own physical layout, or the caller
+    # silently joins on a mismatched bucketing and pays the Exchange
+    # this helper exists to eliminate.
+    ck = (spark.sparkContext.applicationId, sf_dir, table, key_col, num_buckets)
     name = _BUCKETED_TABLES.get(ck)
     if name is not None and spark.catalog.tableExists(name):
         return name
@@ -126,7 +131,7 @@ def ensure_bucketed_table(
         _BUCKETED_TABLES.pop(k, None)
     name = (
         f"{table}_bucketed_"
-        + hashlib.md5(f"{sf_dir}:{key_col}".encode()).hexdigest()[:12]
+        + hashlib.md5(f"{sf_dir}:{key_col}:{num_buckets}".encode()).hexdigest()[:12]
     )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = spark.conf.get(

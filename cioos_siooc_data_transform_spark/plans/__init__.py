@@ -29,3 +29,12 @@ from cioos_siooc_data_transform_spark.plans import asof_queries  # noqa: F401,E4
 from cioos_siooc_data_transform_spark.plans import sampling_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import packing_queries  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import tpch_extra  # noqa: F401,E402
+
+# Round-5 activation: the 50 queries staged during round 4 (all green in
+# CORRECTNESS_r04's strict tri-scale rehearsal) join the live registry.
+# The matching 50 round-4-green names moved to _CHECKED in
+# __spark_entry__.py in the same change, keeping the driver's fresh-name
+# sample exactly at its 50-query budget.
+from cioos_siooc_data_transform_spark.plans import staged_r5  # noqa: E402
+
+staged_r5.activate()

@@ -82,7 +82,7 @@ def pack_greedy_nosplit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WIN = 64  # RAG chunk window (tokens)
 _STRIDE = 48
-_OVERLAP = _WIN - _STRIDE  # a start in the final overlap region yields a chunk fully contained in its predecessor  # overlap = _WIN - _STRIDE = 16 tokens
+_OVERLAP = _WIN - _STRIDE  # 16 tokens; a start inside the final overlap region yields a chunk fully contained in its predecessor
 
 
 @register(
