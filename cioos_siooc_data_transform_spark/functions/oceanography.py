@@ -100,6 +100,67 @@ def potential_temperature(t: Column, s: Column, p: Column, p_ref: Column | float
     )
 
 
+def lapse_rate_sql(s: str, t: str, p: str) -> str:
+    """UNESCO 1983 adiabatic lapse rate Gamma(S, T, p) in K/dbar,
+    portable SQL (Spark F.expr and DuckDB parse it identically); check
+    value gamma(40, 40, 10000) = 3.255976e-4 (Fofonoff & Millard 1983,
+    UNESCO Technical Papers in Marine Science 44)."""
+    ds = f"(({s}) - 35.0e0)"
+    return (
+        f"(3.5803e-5 + 8.5258e-6*{t} - 6.836e-8*{t}*{t}"
+        f" + 6.6228e-10*{t}*{t}*{t}"
+        f" + (1.8932e-6 - 4.2393e-8*{t})*{ds}"
+        f" + (1.8741e-8 - 6.7795e-10*{t} + 8.733e-12*{t}*{t}"
+        f" - 5.4481e-14*{t}*{t}*{t})*{p}"
+        f" + (-1.1351e-10 + 2.7759e-12*{t})*{ds}*{p}"
+        f" + (-4.6206e-13 + 1.8676e-14*{t} - 2.1687e-16*{t}*{t})*{p}*{p})"
+    )
+
+
+def theta_rk4_stages(
+    s: str, t: str, p: str, p_ref: str = "0.0e0"
+) -> list[tuple[str, str]]:
+    """The UNESCO (1983) 4th-order Runge-Kutta potential-temperature
+    integration as a list of (column_name, sql_expr) stages — each stage
+    references previous stages BY NAME, so callers materialize them as
+    intermediate projection columns (Spark withColumn chain / DuckDB
+    nested SELECTs) and the expression text stays LINEAR in the four
+    lapse-rate evaluations instead of nesting exponentially.
+
+    Check value (UNESCO TP 44): theta(40, 40, 10000, 0) = 36.89073 degC.
+    Against TEOS-10's entropy-iterated pt0 this EOS-80 integration
+    agrees to the EOS-80<->TEOS-10 reference difference (sub-mK at
+    shelf pressures, pinned in tests/test_oceanography_checkvalues.py);
+    it replaces the one-shot Bryden polynomial's ~mK truncation error
+    with the full 4-stage integration of the SAME published lapse rate.
+    """
+    dp = f"(({p_ref}) - ({p}))"
+    pmid = f"(({p}) + 0.5e0*{dp})"
+    return [
+        ("_dth1", f"({dp}*{lapse_rate_sql(s, t, p)})"),
+        ("_th1", f"(({t}) + 0.5e0*_dth1)"),
+        ("_q1", "_dth1"),
+        ("_dth2", f"({dp}*{lapse_rate_sql(s, '_th1', pmid)})"),
+        ("_th2", "(_th1 + 0.29289322e0*(_dth2 - _q1))"),
+        ("_q2", "(0.58578644e0*_dth2 + 0.121320344e0*_q1)"),
+        ("_dth3", f"({dp}*{lapse_rate_sql(s, '_th2', pmid)})"),
+        ("_th3", "(_th2 + 1.707106781e0*(_dth3 - _q2))"),
+        ("_q3", "(3.414213562e0*_dth3 - 4.121320344e0*_q2)"),
+        ("_dth4", f"({dp}*{lapse_rate_sql(s, '_th3', p_ref)})"),
+        ("theta_rk4", "(_th3 + (_dth4 - 2.0e0*_q3)/6.0e0)"),
+    ]
+
+
+def theta_rk4(df: DataFrame, s: str, t: str, p: str, p_ref: str = "0.0e0") -> DataFrame:
+    """Append a ``theta_rk4`` column (UNESCO RK4 potential temperature,
+    reference p_ref dbar) to df, dropping the intermediate stage
+    columns. Pure whole-stage-codegen arithmetic, zero shuffle."""
+    stages = theta_rk4_stages(s, t, p, p_ref)
+    for name, expr in stages:
+        df = df.withColumn(name, F.expr(expr))
+    return df.drop(*[n for n, _ in stages if n != "theta_rk4"])
+
+
 def sa_from_sp(sp: Column) -> Column:
     """Absolute Salinity from Practical Salinity via the TEOS-10
     reference-composition scaling SA = (35.16504 / 35) · SP g/kg

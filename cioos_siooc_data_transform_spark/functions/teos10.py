@@ -18,10 +18,24 @@ reference vendors the same published constants; this module re-expresses
 the evaluation as a single portable SQL scalar expression that BOTH
 engines parse (Spark via F.expr, DuckDB verbatim), so the driver's
 bit-level hash comparison sees identical IEEE operation trees. GSW's
-CT_from_t obtains pt0 by entropy Newton iteration; this engine composes
-CT_from_pt with the published Bryden (1973) θ polynomial instead
-(documented divergence: |Δpt0| ≲ a few mK over oceanographic ranges —
-the iteration is not expressible as one scalar expression).
+CT_from_t obtains pt0 by entropy Newton iteration; this engine ships
+TWO paths and documents the choice:
+
+- ``ct_from_t_sql`` (the registered-query / cf-pipeline default)
+  composes CT_from_pt with the published Bryden (1973) θ polynomial —
+  ONE scalar expression, fully codegen, |Δpt0| ≲ a few mK vs GSW over
+  oceanographic ranges (the polynomial's own truncation error).
+- the high-accuracy twin composes CT_from_pt with the UNESCO RK4
+  lapse-rate integration (functions/oceanography.theta_rk4 — linear
+  staged projections, still codegen, ~4× the arithmetic): at the
+  TEOS-10 check point CT_from_t(34.7118, 28.7856, 10) it lands within
+  3e-6 K of GSW's entropy-iterated 28.809919826700281 (pinned in
+  tests/test_oceanography_checkvalues.py), reducing the remaining gap
+  to the EOS-80↔TEOS-10 reference-state difference.
+
+The default stays Bryden because every registered oceanography query is
+oracle-paired at 6-dp rounding where both paths agree; pipelines that
+need μK fidelity at depth call the RK4 twin.
 
 Scale: every function is one closed-form scalar expression → whole-stage
 codegen, zero shuffles, zero Python.

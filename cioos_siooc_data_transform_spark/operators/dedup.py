@@ -609,3 +609,127 @@ def substring_overlap_pairs(
         .agg((F.max("run") + (k - 1)).cast("long").alias("max_overlap_tokens"))
         .filter(F.col("max_overlap_tokens") >= min_overlap_tokens)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (SemDeDup-shape) dedup — the operator behind the registered
+# dedup_semantic_clusters query, with the centroid set as a parameter so
+# the production path can use TRAINED centroids (train_ivf_centroids on
+# a bounded sample) while the oracle-paired query keeps its
+# deterministic first-N-rows centroid twin.
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hyperplanes: list[list[float]] | None = None,
+    bands: int = 8,
+    bucket_cap: int = 400,
+    tau: float = 0.45,
+) -> DataFrame:
+    """SemDeDup restated Spark-first (ref: Abbas et al. 2023 sketch —
+    cluster, then drop within-cluster near-duplicates): a vector is
+    DROPPED when a lower-id vector in the SAME semantic cell scores
+    rounded-cosine >= tau; its keeper is the smallest such partner.
+
+    Scale shape: the centroid assignment is a corpus x broadcast-K
+    linear pass; candidates come from an equi-join on the
+    (cell, hyperplane-band-bucket) composite key with a windowed-count
+    mega-bucket guard, so the naive O(cell^2) within-cluster pairwise
+    step never materializes — cells grow linearly with the corpus, the
+    guard keeps per-bucket work bounded. Exact cosine prices only the
+    guarded candidates. At 100 TB: train centroids on a sample
+    (train_ivf_centroids), broadcast them, and this whole pipeline is
+    two shuffles (bucket self-join + final group-by).
+    """
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        cosine_expr,
+        ivf_assign,
+    )
+
+    if hyperplanes is None:
+        dim = len(vectors.select(vec_col).first()[0])
+        hyperplanes = random_hyperplanes(4 * bands, dim, seed=42)
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
+        id_col, "centroid_id"
+    )
+    buckets = hyperplane_lsh_buckets(vectors, id_col, vec_col, hyperplanes, bands)
+    # distinct is a near-no-op on unique (id, bucket) rows, but its
+    # Exchange is reused by both self-join sides, so the
+    # centroid-assignment subtree computes once (A/B in the registered
+    # query's docstring: 4.5 s stable vs 4.8-8.8 s cold recompute).
+    cb = (
+        buckets.join(assigned, id_col)
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.col("centroid_id").cast("string"), F.lit("/"), F.col("bucket")
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    wb = Window.partitionBy("bucket")
+    guarded = cb.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
+        F.col("_n") <= bucket_cap
+    )
+    a = guarded.select(F.col(id_col).alias("doc_a"), "bucket")
+    b = guarded.select(F.col(id_col).alias("doc_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.split_part(F.col("bucket"), F.lit("/"), F.lit(1))
+            .cast("long")
+            .alias("cell_id"),
+        )
+        .distinct()
+    )
+    ea = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    eb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    near = (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "cell_id",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(tau))
+    )
+    return near.groupBy(F.col("doc_b").alias("dropped_id")).agg(
+        F.min("doc_a").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_partners"),
+        F.min("cell_id").alias("cell_id"),
+    )
+
+
+def semantic_dedup_trained(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    **kwargs,
+) -> DataFrame:
+    """semantic_dedup with centroids TRAINED on a (bounded) sample via
+    train_ivf_centroids — the production SemDeDup recipe. Deterministic
+    for a fixed seed (seeded sample + seeded KMeans). At 100 TB pass a
+    small sample_fraction: KMeans cost is per-point x per-center, and
+    the centroid quality needed here is coarse cell structure, not
+    convergence on the full corpus."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    sample = vectors
+    if sample_fraction is not None:
+        sample = vectors.sample(fraction=sample_fraction, seed=seed)
+    cent = train_ivf_centroids(
+        sample, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+    )
+    return semantic_dedup(vectors, cent, id_col=id_col, vec_col=vec_col, **kwargs)

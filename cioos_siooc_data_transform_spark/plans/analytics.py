@@ -1646,10 +1646,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join is equi-keyed (never a cartesian). The a<b<c orientation IS
     the skew control: a hub vertex only fans out through edges where it
     is the SMALLER endpoint, which bounds the wedge explosion to
-    forward-degree² (the compact-forward algorithm); at 100 TB the
-    refinement is to orient edges by (degree, id) instead of raw id,
-    which provably caps forward-degree at O(sqrt(|E|)). Three shuffles:
-    the edge agg and the two hash joins (edge set reused — one scan)."""
+    forward-degree² (the compact-forward algorithm). This query keeps
+    raw-id orientation because the DuckDB oracle mirrors it literally;
+    the OPERATOR default (operators/graphs.py::triangle_count) orients
+    by (degree, id), which provably caps forward-degree at O(sqrt(|E|))
+    — both enumerate identical triangles (property-pinned in
+    tests/test_graphs.py). Three shuffles: the edge agg and the two
+    hash joins (edge set reused — one scan)."""
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))

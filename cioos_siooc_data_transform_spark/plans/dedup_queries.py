@@ -1197,79 +1197,36 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard windowed-count mega-bucket guard, so the quadratic
     explosion inside one semantic cell (the naive SemDeDup
     pairwise-within-cluster step, O(cell^2) — cells grow linearly with
-    the corpus) never happens; exact cosine prices only survivors. At
-    100 TB the centroid set comes from train_ivf_centroids on a bounded
-    sample instead of the first-16 rows; everything downstream is
-    unchanged.
+    the corpus) never happens; exact cosine prices only survivors.
+
+    The body lives in operators.dedup.semantic_dedup; this query pins
+    the DETERMINISTIC centroid choice (first _SEM_CELLS vec_ids) so the
+    DuckDB oracle can mirror it. The production path is
+    semantic_dedup_trained, which feeds train_ivf_centroids (KMeans on
+    a bounded sample) into the same operator — exercised by
+    tests/test_semantic_similarity.py::test_semantic_dedup_trained_centroids.
+
+    Plan notes carried from the inlined version (A/B at sf0.1): the
+    trailing distinct on (vec_id, composite-bucket) is a near-no-op but
+    its Exchange is REUSED by both self-join sides, so the
+    centroid-assignment subtree computes once (4.5 s stable vs
+    4.8-8.8 s cold recompute); a row-local literal-centroid argmax
+    variant measured 2x SLOWER (8.9 s — projection collapse inlines the
+    16-cosine argmax into each of the 8 bucket expressions).
     """
-    from cioos_siooc_data_transform_spark.operators.similarity import ivf_assign
+    from cioos_siooc_data_transform_spark.operators.dedup import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < _SEM_CELLS)
-    assigned = ivf_assign(emb, cent, id_col="vec_id", vec_col="embedding").select(
-        "vec_id", "centroid_id"
-    )
-    buckets = hyperplane_lsh_buckets(
-        emb, "vec_id", "embedding", _EMB_HP, bands=_EMB_BANDS
-    )
-    # The trailing distinct is a near-no-op ((vec_id, bucket) is unique
-    # by construction) but its Exchange is REUSED by both self-join
-    # sides, so the centroid-assignment subtree computes once instead of
-    # twice — A/B at sf0.1: 4.5 s stable vs 4.8-8.8 s without (cold
-    # recompute). A row-local literal-centroid argmax variant measured
-    # 2x SLOWER (8.9 s): projection collapse inlines the 16-cosine
-    # argmax into each of the 8 bucket expressions (128 folds/row).
-    cb = (
-        buckets.join(assigned, "vec_id")
-        .select(
-            "vec_id",
-            F.concat(
-                F.col("centroid_id").cast("string"), F.lit("/"), F.col("bucket")
-            ).alias("bucket"),
-        )
-        .distinct()
-    )
-    # Candidate pairs on the composite key, carrying the cell id parsed
-    # back out of the key — re-joining `assigned` here would replan the
-    # centroid-assignment subtree a second (and third) time.
-    wb = Window.partitionBy("bucket")
-    guarded = cb.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
-        F.col("_n") <= _EMB_BUCKET_CAP
-    )
-    a = guarded.select(F.col("vec_id").alias("doc_a"), "bucket")
-    b = guarded.select(F.col("vec_id").alias("doc_b"), "bucket")
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.split_part(F.col("bucket"), F.lit("/"), F.lit(1))
-            .cast("long")
-            .alias("cell_id"),
-        )
-        .distinct()
-    )
-    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
-    near = (
-        cand.join(ea, "doc_a")
-        .join(eb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "cell_id",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= _SEM_TAU)
-    )
-    return (
-        near.groupBy(F.col("doc_b").alias("dropped_id"))
-        .agg(
-            F.min("doc_a").alias("keeper_id"),
-            F.count(F.lit(1)).alias("n_partners"),
-            F.min("cell_id").alias("cell_id"),
-        )
+    return semantic_dedup(
+        emb,
+        cent,
+        id_col="vec_id",
+        vec_col="embedding",
+        hyperplanes=_EMB_HP,
+        bands=_EMB_BANDS,
+        bucket_cap=_EMB_BUCKET_CAP,
+        tau=_SEM_TAU,
     )
 
 

@@ -183,19 +183,14 @@ def gsw_rho_at_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lapse_rate_sql(s: str, t: str, p: str) -> str:
-    """UNESCO 1983 adiabatic lapse rate (K/dbar); check value
-    gamma(40, 40, 10000) = 3.255976e-4."""
-    ds = f"(({s}) - 35.0e0)"
-    return (
-        f"(3.5803e-5 + 8.5258e-6*{t} - 6.836e-8*{t}*{t}"
-        f" + 6.6228e-10*{t}*{t}*{t}"
-        f" + (1.8932e-6 - 4.2393e-8*{t})*{ds}"
-        f" + (1.8741e-8 - 6.7795e-10*{t} + 8.733e-12*{t}*{t}"
-        f" - 5.4481e-14*{t}*{t}*{t})*{p}"
-        f" + (-1.1351e-10 + 2.7759e-12*{t})*{ds}*{p}"
-        f" + (-4.6206e-13 + 1.8676e-14*{t} - 2.1687e-16*{t}*{t})*{p}*{p})"
-    )
+# UNESCO 1983 adiabatic lapse rate — moved to functions/oceanography.py
+# (round 5) so the RK4 potential-temperature integration can build on it
+# without a functions -> plans dependency; re-exported here because the
+# registered gsw_adiabatic_lapse_rate oracle and tests import it by this
+# name.
+from cioos_siooc_data_transform_spark.functions.oceanography import (  # noqa: E402
+    lapse_rate_sql,
+)
 
 
 @_register(

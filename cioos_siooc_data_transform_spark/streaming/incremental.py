@@ -49,6 +49,13 @@ def stream_ios_paths(
     return reader.load(root).select(F.input_file_name().alias("path")).distinct()
 
 
+#: Hard ceiling on the per-micro-batch driver-side path listing
+#: (~100 B/path → tens of MB at the cap). write_ios_batch limits its
+#: collect to this and fails fast beyond it; keep max_files_per_trigger
+#: well under it so the backstop never fires in normal operation.
+MAX_BATCH_PATHS = 100_000
+
+
 def write_ios_batch(
     spark: SparkSession, batch_df: DataFrame, out_dir: str, batch_id: int
 ) -> None:
@@ -61,8 +68,14 @@ def write_ios_batch(
     Readers see batch_id as an ordinary partition column via standard
     partition discovery.
 
-    The per-batch path list is collected to the driver — it is a bounded
-    file LISTING (maxFilesPerTrigger caps it), never row data.
+    The per-batch path list is collected to the driver — it is a file
+    LISTING (never row data) and the collect is EXPLICITLY bounded: at
+    most MAX_BATCH_PATHS paths are fetched (limit pushed into the
+    query, so the driver transfer itself is capped, ~100 B/path → tens
+    of MB worst case) and the batch fails fast if the cap is exceeded
+    instead of silently ballooning the driver. maxFilesPerTrigger keeps
+    real batches far below the cap; the cap is the backstop for a
+    misconfigured caller.
     """
     from cioos_siooc_data_transform_spark.sources.ios_source import (
         ios_catalog,
@@ -70,7 +83,19 @@ def write_ios_batch(
         parse_ios,
     )
 
-    paths = [r["path"] for r in batch_df.select("path").distinct().collect()]
+    paths = [
+        r["path"]
+        for r in batch_df.select("path")
+        .distinct()
+        .limit(MAX_BATCH_PATHS + 1)
+        .collect()
+    ]
+    if len(paths) > MAX_BATCH_PATHS:
+        raise ValueError(
+            f"micro-batch {batch_id} lists more than MAX_BATCH_PATHS="
+            f"{MAX_BATCH_PATHS} files; set max_files_per_trigger so each "
+            "batch stays under the driver listing bound"
+        )
     if not paths:
         return
     files = spark.read.format("binaryFile").load(paths)

@@ -567,3 +567,44 @@ def test_bryden_theta_is_in_bars(spark):
         .collect()[0]
     )
     assert row["theta"] == pytest.approx(10.0 - 0.1147, abs=0.02)
+
+
+def test_theta_rk4_unesco_check_value(spark):
+    """UNESCO TP 44 (Fofonoff & Millard 1983) check value for the RK4
+    potential-temperature integration: theta(40, 40, 10000, 0) =
+    36.89073 degC — pins the Runge-Kutta weights AND the lapse-rate
+    coefficients at full ocean-trench pressure."""
+    df = spark.createDataFrame([(40.0, 40.0, 10000.0)], "s DOUBLE, t DOUBLE, p DOUBLE")
+    from cioos_siooc_data_transform_spark.functions.oceanography import theta_rk4
+
+    got = theta_rk4(df, "s", "t", "p").collect()[0]["theta_rk4"]
+    assert got == pytest.approx(36.89073, abs=1e-5)
+
+
+def test_ct_from_t_rk4_vs_gsw_entropy_iteration(spark):
+    """TEOS-10 check point CT_from_t(SA=34.7118, t=28.7856, p=10) =
+    28.809919826700281 (GSW's entropy Newton iteration). The RK4-theta
+    composition must land within 3e-6 K — closing the documented
+    mK-level Bryden divergence to the EOS-80<->TEOS-10 reference-state
+    difference; the one-shot Bryden default must itself stay inside a
+    few mK (its documented band)."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import theta_rk4
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        ct_from_pt_sql,
+        ct_from_t_sql,
+    )
+
+    sp = 34.7118 * 35.0 / GSW_SSO  # practical salinity twin of SA for EOS-80 inputs
+    df = spark.createDataFrame([(sp, 28.7856, 10.0)], "s DOUBLE, t DOUBLE, p DOUBLE")
+    ref = 28.809919826700281
+    rk4 = (
+        theta_rk4(df, "s", "t", "p")
+        .select(F.expr(ct_from_pt_sql("34.7118e0", "theta_rk4")).alias("ct"))
+        .collect()[0]["ct"]
+    )
+    assert rk4 == pytest.approx(ref, abs=3e-6)
+    bryden = (
+        df.select(F.expr(ct_from_t_sql("s", "t", "p")).alias("ct")).collect()[0]["ct"]
+    )
+    assert bryden == pytest.approx(ref, abs=5e-3)

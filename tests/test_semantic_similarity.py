@@ -92,6 +92,38 @@ def test_identical_vectors_collide_in_every_band_and_cell(spark):
     assert cmap[0] == cmap[100] == cmap[101]
 
 
+def test_semantic_dedup_trained_centroids(spark):
+    """The production SemDeDup path: centroids TRAINED with seeded
+    KMeans (train_ivf_centroids) instead of the oracle query's
+    deterministic first-16-rows twin. Exact duplicates must still be
+    dropped (identical vectors share every band bucket and the same
+    nearest trained centroid), survivorship stays min-id, every report
+    is sound against the exact cosine, and the whole pipeline is
+    deterministic for a fixed seed."""
+    import math
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        semantic_dedup_trained,
+    )
+
+    corpus = _planted_corpus(spark)
+    out = semantic_dedup_trained(corpus, n_cells=8, seed=42, tau=0.99)
+    rows = sorted(out.collect())
+    dropped = {r.dropped_id: r for r in rows}
+    # ids 100/101 duplicate vector 0 -> both drop with keeper 0 (min id).
+    assert set(dropped) == {100, 101}
+    assert dropped[100].keeper_id == 0 and dropped[101].keeper_id == 0
+    vecs = {r.vec_id: r.embedding for r in corpus.collect()}
+    for r in rows:
+        assert r.keeper_id < r.dropped_id and r.n_partners >= 1
+        a, b = vecs[r.keeper_id], vecs[r.dropped_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / (math.hypot(*a) * math.hypot(*b))
+        assert round(cos, 4) >= 0.99
+    again = sorted(semantic_dedup_trained(corpus, n_cells=8, seed=42, tau=0.99).collect())
+    assert again == rows
+
+
 def test_lsh_probe_finds_planted_duplicate_first(spark):
     """Probing the planted corpus with vector 0's buckets must rank its
     exact duplicates (cosine 1.0) at the top."""
