@@ -62,6 +62,11 @@ def _distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+#: Public name for the shared per-doc distinct-shingle derivation —
+#: staged/family modules reuse it instead of re-deriving the explode.
+distinct_shingles = _distinct_shingles
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup: digest groupBy, keep min id.
 # ---------------------------------------------------------------------------
@@ -142,6 +147,42 @@ _LSH_CAND_CTES = f"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
+"""
+
+# Confirmed-pair (exact Jaccard >= 0.5) -> undirected edges ->
+# min-label components walk. Requires WITH RECURSIVE plus _SHINGLES_CTE
+# and _LSH_CAND_CTES ahead of it; yields `pairs`, `edges`, `comp`.
+# Shared by the staged funnel/histogram oracles (plans/staged_r5.py) so
+# the CTE chain is typed exactly once.
+CONFIRMED_COMPONENT_CTES = """
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
 """
 
 

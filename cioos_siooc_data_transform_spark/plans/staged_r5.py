@@ -51,13 +51,15 @@ Zipf slope.
 Wave 16: kappa compressibility (rho*c^2*kappa = 1 identity); Heaps'
 law fit; Gini concentration; Simpson diversity.
 
-Known intentional duplication: dedup_bag_jaccard_pairs and
-dedup_bbit_minhash carry private copies of the shingle/minhash/LSH CTE
-chain (with an equivalent but not byte-identical band encoding), and
-the funnel/histogram oracles duplicate the components walk — each copy
-is independently pinned tri-scale by tests/test_staged_r5.py, so drift
-breaks a test rather than hiding; hoisting into shared CTE constants is
-round-5 cleanup once the queries go live.
+The round-4 intentional duplication was hoisted at activation (the
+cleanup the staging plan scheduled): dedup_bag_jaccard_pairs and
+dedup_bbit_minhash now build on the SHARED shingle/minhash/LSH CTE bank
+(_SHINGLES_CTE/_LSH_CAND_CTES from plans/dedup_queries.py, Spark side
+via distinct_shingles + lsh_band_buckets — the private band encoding
+was equivalent but not byte-identical, so aligning it changed bucket
+strings without changing any candidate pair), and the funnel/histogram
+oracles share CONFIRMED_COMPONENT_CTES instead of duplicating the
+components walk.
 
 The slate holds EXACTLY 50 queries — one full driver sample: round 5
 can promote the 50 round-4-green names to _CHECKED, activate() this
@@ -72,6 +74,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+    _LSH_CAND_CTES,
+    _SHINGLES_CTE,
+    distinct_shingles,
+)
 from cioos_siooc_data_transform_spark.session import read_table as _t
 
 STAGED_QUERIES: dict[str, Callable[..., Any]] = {}
@@ -330,28 +337,9 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "dedup_bbit_minhash",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, s FROM (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
-                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
-        FROM w
-      )
-    ),
-    mh AS (
-      SELECT doc_id,
-             min(substr(md5(s || '#0'), 1, 8)) AS h1,
-             min(substr(md5(s || '#0'), 9, 8)) AS h2,
-             min(substr(md5(s || '#0'), 17, 8)) AS h3,
-             min(substr(md5(s || '#0'), 25, 8)) AS h4,
-             min(substr(md5(s || '#1'), 1, 8)) AS h5,
-             min(substr(md5(s || '#1'), 9, 8)) AS h6,
-             min(substr(md5(s || '#1'), 17, 8)) AS h7,
-             min(substr(md5(s || '#1'), 25, 8)) AS h8
-      FROM sh GROUP BY doc_id
-    ),
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
     bits AS (
       SELECT doc_id,
              (instr('13579bdf', substr(h1, 8, 1)) > 0)::INT AS b0,
@@ -362,23 +350,7 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
              (instr('13579bdf', substr(h6, 8, 1)) > 0)::INT AS b5,
              (instr('13579bdf', substr(h7, 8, 1)) > 0)::INT AS b6,
              (instr('13579bdf', substr(h8, 8, 1)) > 0)::INT AS b7
-      FROM mh
-    ),
-    bk AS (
-      SELECT doc_id, unnest([
-        '0:' || md5(h1 || h2), '1:' || md5(h3 || h4),
-        '2:' || md5(h5 || h6), '3:' || md5(h7 || h8)
-      ]) AS bucket
-      FROM mh
-    ),
-    guarded AS (
-      SELECT doc_id, bucket FROM (
-        SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bk
-      ) WHERE n <= 50
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      FROM sig
     )
     SELECT doc_a, doc_b,
            CAST((x.b0 = y.b0)::INT + (x.b1 = y.b1)::INT + (x.b2 = y.b2)::INT
@@ -397,21 +369,16 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs: per doc, 8 md5 minhashes collapse to 8 parity bits (lowest
     hex digit odd). J_hat = 2*(match/8 - 1/2) — unbiased for the
     random-permutation model; at scale the win is signature storage
-    (1 bit vs 128 per hash) for the confirm stage's shuffle."""
+    (1 bit vs 128 per hash) for the confirm stage's shuffle. Candidate
+    generation is the SHARED shingle/minhash/LSH chain (the round-4
+    private copy was hoisted at activation per the staging plan)."""
     from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
         lsh_candidate_pairs,
         minhash_signature,
-        words_expr,
-        word_shingles,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
-        ).alias("s"),
-    ).distinct()
+    sh = distinct_shingles(spark, sf_dir)
     sig = minhash_signature(sh, "doc_id", "s", num_hashes=8)
     odd = list("13579bdf")
     bit_cols = [
@@ -419,16 +386,7 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(8)
     ]
     bits = sig.select("doc_id", *bit_cols)
-    band_cols = [
-        F.concat(
-            F.lit(f"{b}:"),
-            F.md5(F.concat(F.col(f"h{2*b+1}"), F.col(f"h{2*b+2}"))),
-        )
-        for b in range(4)
-    ]
-    bk = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bucket")
-    )
+    bk = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
     cand = lsh_candidate_pairs(bk, "doc_id", max_bucket_size=50)
     x = bits.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"b{i}").alias(f"xa{i}") for i in range(8)]
@@ -1612,44 +1570,9 @@ def scd2_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_register(
     "dedup_bag_jaccard_pairs",
-    oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    sh AS (
-      SELECT DISTINCT doc_id, s FROM (
-        SELECT doc_id,
-               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
-                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
-        FROM w
-      )
-    ),
-    mh AS (
-      SELECT doc_id,
-             min(substr(md5(s || '#0'), 1, 8)) AS h1,
-             min(substr(md5(s || '#0'), 9, 8)) AS h2,
-             min(substr(md5(s || '#0'), 17, 8)) AS h3,
-             min(substr(md5(s || '#0'), 25, 8)) AS h4,
-             min(substr(md5(s || '#1'), 1, 8)) AS h5,
-             min(substr(md5(s || '#1'), 9, 8)) AS h6,
-             min(substr(md5(s || '#1'), 17, 8)) AS h7,
-             min(substr(md5(s || '#1'), 25, 8)) AS h8
-      FROM sh GROUP BY doc_id
-    ),
-    bk AS (
-      SELECT doc_id, unnest([
-        '0:' || md5(h1 || h2), '1:' || md5(h3 || h4),
-        '2:' || md5(h5 || h6), '3:' || md5(h7 || h8)
-      ]) AS bucket
-      FROM mh
-    ),
-    guarded AS (
-      SELECT doc_id, bucket FROM (
-        SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bk
-      ) WHERE n <= 50
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    ),
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
     tok AS (SELECT doc_id, unnest(words) AS t FROM w),
     tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
     totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
@@ -1675,22 +1598,18 @@ def dedup_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (bounded by candidate count x doc length), Σmax computed from
     the per-doc totals without any extra pairwise work. Pairs sharing
     no token drop out (inner join) — identical on both engines. Exact
-    integers everywhere; one rounded division."""
+    integers everywhere; one rounded division. Candidate generation is
+    the SHARED shingle/minhash/LSH chain (round-4 private copy hoisted
+    at activation)."""
     from cioos_siooc_data_transform_spark.operators.dedup import (
         lsh_band_buckets,
         lsh_candidate_pairs,
         minhash_signature,
         words_expr,
-        word_shingles,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
-        ).alias("s"),
-    ).distinct()
+    sh = distinct_shingles(spark, sf_dir)
     sig = minhash_signature(sh, "doc_id", "s", num_hashes=8, hash_family="md5")
     buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
     cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
@@ -2001,6 +1920,7 @@ def except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _component_histogram_oracle() -> str:
     from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        CONFIRMED_COMPONENT_CTES,
         _LSH_CAND_CTES,
         _SHINGLES_CTE,
     )
@@ -2008,36 +1928,7 @@ def _component_histogram_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     {_LSH_CAND_CTES},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM (
-        SELECT doc_a, doc_b,
-               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-        FROM common
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-      ) WHERE jaccard >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    walk(node, label) AS (
-      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-      UNION
-      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
-    ),
-    comp AS (
-      SELECT node, min(label) AS component FROM walk GROUP BY node
-    ),
+    {CONFIRMED_COMPONENT_CTES},
     csize AS (
       SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY component
     )
@@ -3240,6 +3131,7 @@ def cusum_range_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _dedup_funnel_oracle() -> str:
     from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        CONFIRMED_COMPONENT_CTES,
         _LSH_CAND_CTES,
         _SHINGLES_CTE,
     )
@@ -3247,34 +3139,7 @@ def _dedup_funnel_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLES_CTE},
     {_LSH_CAND_CTES},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM (
-        SELECT doc_a, doc_b,
-               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-        FROM common
-        JOIN sizes sa ON doc_a = sa.doc_id
-        JOIN sizes sb ON doc_b = sb.doc_id
-      ) WHERE jaccard >= 0.5
-    ),
-    edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
-      UNION
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
-    ),
-    walk(node, label) AS (
-      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-      UNION
-      SELECT e.src, w.label FROM edges e JOIN walk w ON e.dst = w.node
-    ),
-    comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+    {CONFIRMED_COMPONENT_CTES},
     exact_keep AS (
       SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
