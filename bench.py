@@ -67,6 +67,14 @@ HEADLINE = [
     "dedup_semantic_clusters",   # cell x band-bucket semantic dedup (SemDeDup shape)
     "similarity_lsh_topk",       # hyperplane-LSH bucket-probe ANN
     "embedding_random_projection",  # zero-shuffle JL matmul codegen throughput
+    # round-5 families (activated slate):
+    "dedup_bbit_minhash",        # shared LSH chain + 1-bit signature confirm
+    "dedup_fingerprint_winnowing",  # winnowing window-min fingerprints
+    "graph_pagerank_iterations",  # iterative joins (unrolled) on the co-purchase graph
+    "gsw_rho_at_pressure",       # EOS-80 secant-bulk-modulus codegen throughput
+    "interval_sweepline_backlog",  # explode+window sweep line
+    "embedding_binary_signature",  # packed-64bit Hamming multi-index
+    "bucketed_colocated_join",   # zero-Exchange bucketed fact-dim join
 ]
 
 

@@ -1,0 +1,81 @@
+"""Keep the STAGED round-6 queries green while they wait for
+registration (plans/staged_r6.py — parked so round 5's fresh-query
+count stays at the driver's 50-sample budget; same contract as the
+round-5 slate had in round 4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r6 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES
+
+
+def test_staged_not_registered():
+    """Parked means parked: none of the staged names may appear in the
+    live registry while the round-5 fresh budget is exactly 50."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_ = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged queries leaked into the live registry: {leaked}"
+
+
+STAGED_NAMES = [
+    # wave A — TPC-H completion
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_count",
+    "q20_potential_promotion",
+]
+
+
+def test_staged_name_list_is_complete():
+    qs, _ = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_activate_registers_everything_in_subprocess():
+    """activate() must move every staged query into the live registry
+    with its oracle — proven in a subprocess so this test run's global
+    registry (and the fresh-budget contract) stays untouched."""
+    import subprocess
+    import sys
+
+    code = (
+        "from cioos_siooc_data_transform_spark.plans import staged_r6, "
+        "all_queries, all_oracles\n"
+        "before = len(all_queries())\n"
+        "n = staged_r6.activate()\n"
+        "assert n == len(staged_r6.STAGED_QUERIES), n\n"
+        "assert staged_r6.activate() == 0  # idempotent\n"
+        "qs, os_ = all_queries(), all_oracles()\n"
+        "assert len(qs) == before + n\n"
+        "for name in staged_r6.STAGED_QUERIES:\n"
+        "    assert name in qs and name in os_, name\n"
+        "print('ok', n)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ok" in out.stdout
