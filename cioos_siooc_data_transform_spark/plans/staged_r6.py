@@ -419,3 +419,226 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation_name"),
         )
     )
+
+
+# ===========================================================================
+# Wave B — GSW round-out: RK4 theta, RK4-path CT, sigma3/sigma4,
+# pt_from_CT Newton inversion. Shares the synthetic oceanographic input
+# derivation (and _SA_SQL) with the round-5 slate so the family joins
+# the live oceanography queries unchanged on activation.
+# ===========================================================================
+from cioos_siooc_data_transform_spark.plans.staged_r5 import (  # noqa: E402
+    _IN_SQL,
+    _SA_SQL,
+    _inputs,
+)
+
+
+def _stage_sql(inner_sql: str, stages: list[tuple[str, str]]) -> str:
+    """Fold (name, expr) stages into nested SELECTs — the oracle-side
+    twin of a Spark withColumn chain. Each stage's expression references
+    earlier stages BY NAME, so both engines evaluate each intermediate
+    once and the SQL text stays linear in the stage count."""
+    q = f"({inner_sql})"
+    for name, expr in stages:
+        q = f"(SELECT *, {expr} AS {name} FROM {q})"
+    return q
+
+
+def _theta_rk4_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        theta_rk4_stages,
+    )
+
+    staged = _stage_sql(_IN_SQL, theta_rk4_stages("s", "t", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(theta_rk4 * 1.0e6 + 0.5) / 1.0e6 AS theta
+    FROM {staged}
+    """
+
+
+@_register("gsw_theta_rk4", oracle="__LAZY__")
+def gsw_theta_rk4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNESCO RK4 potential temperature (reference 0 dbar) — the
+    high-accuracy twin of the one-shot Bryden polynomial already live
+    (gsw_potential_temperature): four lapse-rate evaluations through
+    the published Runge-Kutta weights, materialized as stage columns so
+    the expression tree stays linear (functions/oceanography.theta_rk4;
+    check value theta(40,40,10000,0)=36.89073 pinned in
+    tests/test_oceanography_checkvalues.py). Pure codegen, zero
+    shuffle; both engines run the identical IEEE operation tree, so the
+    6-dp floor is safe."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import theta_rk4
+
+    df = theta_rk4(_inputs(spark, sf_dir), "s", "t", "p")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("theta_rk4") * 1.0e6 + 0.5) / 1.0e6).alias("theta"),
+    )
+
+
+STAGED_ORACLES["gsw_theta_rk4"] = _theta_rk4_oracle()
+
+
+def _ct_rk4_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        theta_rk4_stages,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_pt_sql
+
+    staged = _stage_sql(_IN_SQL, theta_rk4_stages("s", "t", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({ct_from_pt_sql("sa", "theta_rk4")} * 1.0e6 + 0.5) / 1.0e6
+             AS ct_rk4
+    FROM (SELECT *, {_SA_SQL} AS sa FROM {staged})
+    """
+
+
+@_register("gsw_ct_from_t_rk4", oracle="__LAZY__")
+def gsw_ct_from_t_rk4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative Temperature via the RK4-integrated pt0 instead of
+    the Bryden composition the live gsw_ct_from_t uses — within 3e-6 K
+    of GSW's entropy-iterated CT at the TEOS-10 check point (pinned in
+    tests/test_oceanography_checkvalues.py). Zero shuffle."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import theta_rk4
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_pt_sql
+
+    df = theta_rk4(_inputs(spark, sf_dir), "s", "t", "p").withColumn(
+        "sa", F.expr(_SA_SQL)
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.expr(ct_from_pt_sql("sa", "theta_rk4")) * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("ct_rk4"),
+    )
+
+
+STAGED_ORACLES["gsw_ct_from_t_rk4"] = _ct_rk4_oracle()
+
+
+def _sigma34_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        rho_sql,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           round({rho_sql("sa", "ct", "3000.0e0")} - 1000.0e0, 6) AS sigma3,
+           round({rho_sql("sa", "ct", "4000.0e0")} - 1000.0e0, 6) AS sigma4
+    FROM (
+      SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    )
+    """
+
+
+@_register("gsw_sigma3_sigma4", oracle="__LAZY__")
+def gsw_sigma3_sigma4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential density anomalies referenced to 3000/4000 dbar —
+    completes the sigma0..sigma4 family (abyssal watermass analysis)
+    from the committed 75-term polynomial; CT materialized once, same
+    shape as the live sigma1/sigma2 pair."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        rho_sql,
+    )
+
+    df = _inputs(spark, sf_dir)
+    staged = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.expr(rho_sql("sa", "ct", "3000.0e0")) - 1000.0, 6).alias("sigma3"),
+        F.round(F.expr(rho_sql("sa", "ct", "4000.0e0")) - 1000.0, 6).alias("sigma4"),
+    )
+
+
+STAGED_ORACLES["gsw_sigma3_sigma4"] = _sigma34_oracle()
+
+
+# ---------------------------------------------------------------------------
+# pt_from_CT: Newton inversion of the committed CT_from_pt polynomial.
+# The derivative is a CENTRAL FINITE DIFFERENCE of the same polynomial
+# (eps = 1e-4 -> O(eps^2) ~ 1e-8 relative error), which keeps the whole
+# iteration one portable expression family — both engines run the
+# identical IEEE tree, so no epsilon between them; accuracy of the
+# INVERSION itself is pinned by the round-trip property test
+# (pt_from_ct(ct_from_pt(pt)) == pt to < 1e-9 K in
+# tests/test_oceanography_checkvalues.py).
+# ---------------------------------------------------------------------------
+def pt_from_ct_stages(sa: str, ct: str) -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_pt_sql
+
+    eps = "1.0e-4"
+    stages: list[tuple[str, str]] = [("_pt0", f"({ct})")]
+    for i in range(2):
+        cur = f"_pt{i}"
+        stages += [
+            (f"_f{i}", f"({ct_from_pt_sql(sa, cur)} - ({ct}))"),
+            (
+                f"_df{i}",
+                f"(({ct_from_pt_sql(sa, f'({cur} + {eps})')}"
+                f" - {ct_from_pt_sql(sa, f'({cur} - {eps})')}) / (2.0e0*{eps}))",
+            ),
+            (f"_pt{i + 1}", f"({cur} - _f{i}/_df{i})"),
+        ]
+    stages.append(("pt_from_ct", "_pt2"))
+    return stages
+
+
+def _pt_from_ct_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct
+    FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(inner, pt_from_ct_stages("sa", "ct"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(pt_from_ct * 1.0e6 + 0.5) / 1.0e6 AS pt
+    FROM {staged}
+    """
+
+
+@_register("gsw_pt_from_ct", oracle="__LAZY__")
+def gsw_pt_from_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential temperature from Conservative Temperature — the
+    inverse conversion GSW provides as gsw_pt_from_CT, here two Newton
+    steps on the committed CT_from_pt polynomial with a
+    finite-difference derivative (initial guess pt=CT converges
+    quadratically: |CT - pt| <~ 0.5 K -> sub-nK after two steps).
+    Stage columns keep the nine polynomial evaluations linear in the
+    plan; zero shuffle, pure codegen."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in pt_from_ct_stages("sa", "ct"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("pt_from_ct") * 1.0e6 + 0.5) / 1.0e6).alias("pt"),
+    )
+
+
+STAGED_ORACLES["gsw_pt_from_ct"] = _pt_from_ct_oracle()

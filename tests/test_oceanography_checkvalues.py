@@ -608,3 +608,25 @@ def test_ct_from_t_rk4_vs_gsw_entropy_iteration(spark):
         df.select(F.expr(ct_from_t_sql("s", "t", "p")).alias("ct")).collect()[0]["ct"]
     )
     assert bryden == pytest.approx(ref, abs=5e-3)
+
+
+def test_pt_from_ct_roundtrip_identity(spark):
+    """The Newton inversion must reproduce the potential temperature the
+    forward polynomial started from: pt_from_ct(sa, ct_from_pt(sa, pt))
+    == pt to < 1e-9 K across the oceanographic range (two quadratic
+    steps from |CT - pt| <= ~0.6 K)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_pt_sql
+    from cioos_siooc_data_transform_spark.plans.staged_r6 import pt_from_ct_stages
+
+    rows = [
+        (sa, pt)
+        for sa in (0.0, 10.0, 34.7118, 42.0)
+        for pt in (-1.5, 0.0, 3.5, 15.0, 28.7856, 39.0)
+    ]
+    df = spark.createDataFrame(rows, "sa DOUBLE, pt_true DOUBLE").withColumn(
+        "ct", F.expr(ct_from_pt_sql("sa", "pt_true"))
+    )
+    for name, expr in pt_from_ct_stages("sa", "ct"):
+        df = df.withColumn(name, F.expr(expr))
+    for r in df.select("pt_true", "pt_from_ct").collect():
+        assert abs(r.pt_from_ct - r.pt_true) < 1e-9, r

@@ -37,6 +37,11 @@ STAGED_NAMES = [
     "q11_important_stock",
     "q16_parts_supplier_count",
     "q20_potential_promotion",
+    # wave B — GSW round-out
+    "gsw_theta_rk4",
+    "gsw_ct_from_t_rk4",
+    "gsw_sigma3_sigma4",
+    "gsw_pt_from_ct",
 ]
 
 
