@@ -642,3 +642,438 @@ def gsw_pt_from_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["gsw_pt_from_ct"] = _pt_from_ct_oracle()
+
+
+# ===========================================================================
+# Wave C — analytics: gaps-and-islands, lag-1 autocorrelation, YoY
+# growth, per-type value entropy, customer first/last deltas, top-2
+# concentration, region->nation rollup share, recency bands. All exact
+# integer aggregation with one final rounded expression (repo-wide
+# invariant: rounding decisions happen on identical values).
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-customer runs of consecutive ORDER MONTHS — the
+# classic streak detection (month_index - dense_rank is constant within
+# a run). Output: per customer, longest streak and number of islands.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_gap_islands",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+      FROM orders
+    ),
+    runs AS (
+      SELECT o_custkey, m,
+             m - CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY m) AS BIGINT)
+               AS grp
+      FROM months
+    ),
+    islands AS (
+      SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT o_custkey AS cust_key,
+           CAST(max(len) AS BIGINT) AS longest_streak_months,
+           CAST(count(*) AS BIGINT) AS n_islands
+    FROM islands GROUP BY 1
+    """,
+)
+def orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over order months per customer. Shape: one
+    distinct on (cust, month) — collapses the fact table before any
+    window — then a customer-partitioned dense_rank (bounded partitions:
+    months per customer <= 80 here, <= years*12 generally), then two
+    map-side-combinable aggs. The distinct and the window share the
+    o_custkey hash partitioning, so AQE plans one exchange."""
+    o = _t(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    runs = months.select(
+        "o_custkey", "m", (F.col("m") - F.dense_rank().over(w)).alias("grp")
+    )
+    islands = runs.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return islands.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.max("len").cast("long").alias("longest_streak_months"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of event values per type: the standard "is this
+# metric trending or white noise" pre-training signal check. Values are
+# quantized to integer micro-units FIRST, every OLS-style sum is an
+# exact decimal, and the Pearson formula runs in double on identical
+# inputs in both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1.0e6 + 0.5) AS HUGEINT) AS v,
+             ts, event_id
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, v AS y,
+             lag(v) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+      FROM q
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs WHERE x IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, n AS n_pairs,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS autocorr_lag1
+    FROM s
+    """,
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type lag-1 Pearson autocorrelation. One window pass builds
+    the (v_t, v_{t-1}) pairs (partition bounded by per-type volume —
+    pre-aggregate to time buckets first at 100 TB), then one exact
+    integer agg; sums are decimal(38,0) so partition layout cannot
+    change a single bit before the one rounded expression."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("decimal(19,0)").alias("v"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    pairs = q.select(
+        "event_type",
+        F.col("v").alias("y"),
+        F.lag("v").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (F.floor(corr * 1.0e6 + 0.5) / 1.0e6).alias("autocorr_lag1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth per market segment.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT) AS revenue_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment, o_year, revenue_cents,
+           CASE WHEN lag(revenue_cents) OVER w IS NULL THEN NULL
+                ELSE floor((CAST(revenue_cents AS DOUBLE)
+                            / CAST(lag(revenue_cents) OVER w AS DOUBLE) - 1.0)
+                           * 1.0e6 + 0.5) / 1.0e6
+           END AS yoy_growth
+    FROM rev
+    WINDOW w AS (PARTITION BY segment ORDER BY o_year)
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YoY growth per segment: integer-cents yearly rollup (map-side
+    combinable, ~5 segments x 7 years out), then a lag window over the
+    TINY aggregate — the window never touches the fact table. Growth is
+    one rounded division of two exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("segment").orderBy("o_year")
+    prev = F.lag("revenue_cents").over(w)
+    growth = F.when(
+        prev.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.floor(
+            (F.col("revenue_cents").cast("double") / prev.cast("double") - 1.0)
+            * 1.0e6
+            + 0.5
+        )
+        / 1.0e6
+    )
+    return rev.select("segment", "o_year", "revenue_cents", growth.alias("yoy_growth"))
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of the integer-binned value distribution per event
+# type: H = ln(n) - (1/n) * sum(c_i * ln(c_i)). Each ln is quantized to
+# integer micro-units BEFORE the weighted sum, so the aggregate is
+# exact; the final (ln(n)*1e6*n - sum) / (n*1e6) division runs on
+# identical integers in both engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_value_entropy",
+    oracle="""
+    WITH bins AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             sum(CAST(c AS HUGEINT)
+                 * CAST(floor(ln(CAST(c AS DOUBLE)) * 1.0e6 + 0.5) AS HUGEINT))
+               AS wsum
+      FROM bins GROUP BY 1
+    )
+    SELECT event_type, n_bins,
+           floor((CAST(n AS DOUBLE) * floor(ln(CAST(n AS DOUBLE)) * 1.0e6 + 0.5)
+                  - CAST(wsum AS DOUBLE))
+                 / CAST(n AS DOUBLE) + 0.5) / 1.0e6 AS entropy_nats
+    FROM s
+    """,
+)
+def events_value_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-distribution entropy per type (the 'is this feed
+    degenerate' data-quality gate). Two map-side-combinable aggs; every
+    per-bin term is an exact integer (micro-nat-quantized ln weighted
+    by the exact count), so the sum is order-independent; one final
+    double division + floor."""
+    ev = _t(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        "event_type", F.floor(F.col("value")).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    lnq = F.floor(F.log(F.col("c").cast("double")) * 1.0e6 + 0.5).cast(
+        "decimal(19,0)"
+    )
+    s = bins.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(F.col("c").cast("decimal(19,0)") * lnq).alias("wsum"),
+    )
+    nd = F.col("n").cast("double")
+    ln_n_q = F.floor(F.log(nd) * 1.0e6 + 0.5)
+    entropy = F.floor((nd * ln_n_q - F.col("wsum").cast("double")) / nd + 0.5) / 1.0e6
+    return s.select("event_type", "n_bins", entropy.alias("entropy_nats"))
+
+
+# ---------------------------------------------------------------------------
+# Customer lifetime summary: first/last order, tenure days, lifetime
+# revenue — the base table for churn features.
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_first_last_delta",
+    oracle="""
+    SELECT o_custkey AS cust_key,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) AS BIGINT)
+             AS tenure_days,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS lifetime_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def customer_first_last_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash agg on o_custkey, all five outputs from the same pass
+    (min/max/count/sum are all map-side combinable). Exact integers."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+        .cast("long")
+        .alias("tenure_days"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("lifetime_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-2 concentration per event type: what share of events carry the
+# two most frequent integer-binned values (deterministic tiebreak:
+# count desc, bin asc).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_top2_share",
+    oracle="""
+    WITH bins AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c DESC, bin ASC)
+               AS rn
+      FROM bins
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN rn <= 2 THEN c ELSE 0 END) AS BIGINT) AS top2_count,
+           CAST(sum(c) AS BIGINT) AS total_count,
+           floor(sum(CASE WHEN rn <= 2 THEN c ELSE 0 END) * 1.0e6 / sum(c) + 0.5)
+             / 1.0e6 AS top2_share
+    FROM ranked GROUP BY 1
+    """,
+)
+def events_top2_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration check per type. The window ranks the BINNED
+    aggregate (bounded by value cardinality), never raw events; shares
+    are one rounded division of exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        "event_type", F.floor(F.col("value")).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("bin").asc()
+    )
+    ranked = bins.withColumn("rn", F.row_number().over(w))
+    top2 = F.sum(F.when(F.col("rn") <= 2, F.col("c")).otherwise(F.lit(0))).cast(
+        "long"
+    )
+    total = F.sum("c").cast("long")
+    return ranked.groupBy("event_type").agg(
+        top2.alias("top2_count"),
+        total.alias("total_count"),
+        (F.floor(top2 * 1.0e6 / total + 0.5) / 1.0e6).alias("top2_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Region -> nation revenue rollup share: each nation's share of its
+# region's customer revenue (two-level hierarchy share).
+# ---------------------------------------------------------------------------
+@_register(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region_name, n.n_name AS nation_name,
+             CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT) AS revenue_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region_name, nation_name, revenue_cents,
+           floor(revenue_cents * 1.0e6
+                 / CAST(sum(revenue_cents)
+                        OVER (PARTITION BY region_name) AS BIGINT) + 0.5) / 1.0e6
+             AS share_of_region
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy share: the fact table aggregates once to (region,
+    nation) integer cents — 25 rows — and the region-total window runs
+    on that aggregate. Broadcast dims; one real shuffle (the agg)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    dims = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+    )
+    rev = (
+        o.join(F.broadcast(dims), o["o_custkey"] == dims["c_custkey"])
+        .groupBy("region_name", "nation_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("region_name")
+    total = F.sum("revenue_cents").over(w).cast("long")
+    return rev.select(
+        "region_name",
+        "nation_name",
+        "revenue_cents",
+        (F.floor(F.col("revenue_cents") * 1.0e6 / total + 0.5) / 1.0e6).alias(
+            "share_of_region"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recency bands: customers bucketed by days since their last order,
+# relative to the corpus max date (deterministic anchor, no now()).
+# ---------------------------------------------------------------------------
+@_register(
+    "customer_recency_bands",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    last_o AS (
+      SELECT o_custkey, max(o_orderdate) AS lastd FROM orders GROUP BY 1
+    ),
+    banded AS (
+      SELECT CASE
+               WHEN date_diff('day', lastd, maxd) < 180 THEN 'active_0_179'
+               WHEN date_diff('day', lastd, maxd) < 365 THEN 'cooling_180_364'
+               WHEN date_diff('day', lastd, maxd) < 730 THEN 'dormant_365_729'
+               ELSE 'lost_730_plus'
+             END AS band
+      FROM last_o CROSS JOIN anchor
+    )
+    SELECT band, CAST(count(*) AS BIGINT) AS n_customers
+    FROM banded GROUP BY 1
+    """,
+)
+def customer_recency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency segmentation anchored at max(o_orderdate) (replayable —
+    no wall clock). One agg + a 1-row broadcast anchor + one count agg;
+    integer day arithmetic only."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    last_o = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("lastd"))
+    days = F.datediff(F.col("maxd"), F.col("lastd"))
+    band = (
+        F.when(days < 180, F.lit("active_0_179"))
+        .when(days < 365, F.lit("cooling_180_364"))
+        .when(days < 730, F.lit("dormant_365_729"))
+        .otherwise(F.lit("lost_730_plus"))
+    )
+    return (
+        last_o.crossJoin(F.broadcast(anchor))
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

@@ -42,6 +42,15 @@ STAGED_NAMES = [
     "gsw_ct_from_t_rk4",
     "gsw_sigma3_sigma4",
     "gsw_pt_from_ct",
+    # wave C — analytics
+    "orders_gap_islands",
+    "events_autocorr_lag1",
+    "orders_yoy_growth",
+    "events_value_entropy",
+    "customer_first_last_delta",
+    "events_top2_share",
+    "nation_revenue_share",
+    "customer_recency_bands",
 ]
 
 
