@@ -1077,3 +1077,644 @@ def customer_recency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+# ===========================================================================
+# Wave D — LLM-pipeline additions: repetition metric, cross-source JS
+# divergence, embedding-norm outliers, kNN-graph degree histogram,
+# window-level (C4-line-style) dedup, split-contamination audit,
+# char-class quality profile, LSH band-tuning audit.
+# ===========================================================================
+from cioos_siooc_data_transform_spark.operators.dedup import (  # noqa: E402
+    word_shingles,
+    words_expr,
+)
+from cioos_siooc_data_transform_spark.plans.dedup_queries import (  # noqa: E402
+    _EMB_BUCKET_CAP,
+    _HP_BITS_SQL,
+    _HP_BUCKETS_SQL,
+    _LSH_CAND_CTES,
+    _SHINGLES_CTE,
+    distinct_shingles,
+)
+from cioos_siooc_data_transform_spark.plans.sampling_queries import (  # noqa: E402
+    deterministic_bucket,
+)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate n-gram fraction (the MassiveText/Gopher repetition metric,
+# restated over 3-gram occurrences): what share of a document's 3-gram
+# OCCURRENCES belong to a gram that repeats within the document.
+# ---------------------------------------------------------------------------
+@_register(
+    "text_duplicate_ngram_fraction",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    gr AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+      FROM w
+    ),
+    cnt AS (
+      SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c FROM gr GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
+           floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0e6 / sum(c) + 0.5)
+             / 1.0e6 AS dup_fraction
+    FROM cnt GROUP BY 1
+    HAVING sum(c) > 0
+    """,
+)
+def text_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (high fraction = boilerplate /
+    degenerate generation loops — the MassiveText filter signal). One
+    explode + two map-side-combinable aggs keyed by doc; exact integer
+    counts, one rounded division."""
+    docs = _t(spark, sf_dir, "documents")
+    gr = docs.select(
+        "doc_id",
+        F.explode(word_shingles(words_expr(F.col("text")), 3)).alias("s"),
+    )
+    cnt = gr.groupBy("doc_id", "s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).cast("long")
+    tot = F.sum("c").cast("long")
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            tot.alias("n_grams"),
+            dup.alias("dup_occurrences"),
+            (F.floor(dup * 1.0e6 / tot + 0.5) / 1.0e6).alias("dup_fraction"),
+        )
+        .filter(F.col("n_grams") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between the vocabulary distributions of two
+# source cohorts (src0-9 vs src10-19) — the corpus-mixture drift gauge.
+# Per-term contributions are quantized to integer PICO-nats before the
+# sum (the order-independence invariant); both engines evaluate the
+# identical per-term double expression.
+# ---------------------------------------------------------------------------
+@_register(
+    "vocab_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 'a' ELSE 'b' END
+               AS grp,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT t,
+             CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM tok GROUP BY 1
+    ),
+    n AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c
+    ),
+    terms AS (
+      SELECT CAST(floor((
+               CASE WHEN ca > 0 THEN
+                 0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                     * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                          / (0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                    + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+               ELSE 0.0 END
+               +
+               CASE WHEN cb > 0 THEN
+                 0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                     * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+                          / (0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                                    + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))))
+               ELSE 0.0 END) * 1.0e12 + 0.5) AS HUGEINT) AS tq
+      FROM c CROSS JOIN n
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_terms,
+           floor(CAST(sum(tq) AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6 AS js_nats
+    FROM terms
+    """,
+)
+def vocab_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS(P||Q) over token distributions of two source cohorts. Shape:
+    one token-count agg (map-side combinable), 1-row totals broadcast
+    back, per-term double contribution quantized to integer pico-nats,
+    exact sum, one rounded scalar out. At 100 TB the vocab agg is the
+    only real shuffle; everything after is a bounded reduction."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = F.when(
+        F.substring(F.col("source"), 4, 10).cast("int") < 10, F.lit("a")
+    ).otherwise(F.lit("b"))
+    tok = docs.select(
+        grp.alias("grp"), F.explode(words_expr(F.col("text"))).alias("t")
+    )
+    c = tok.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    n = c.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    j = c.crossJoin(F.broadcast(n))
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    m = 0.5 * (pa + pb)
+    contrib = F.when(F.col("ca") > 0, 0.5 * pa * F.log(pa / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("cb") > 0, 0.5 * pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    terms = j.select(
+        F.floor(contrib * 1.0e12 + 0.5).cast("decimal(38,0)").alias("tq")
+    )
+    n_terms = c.agg(F.count(F.lit(1)).cast("long").alias("n_terms"))
+    agg = terms.agg(
+        (F.floor(F.sum("tq").cast("double") / 1.0e6 + 0.5) / 1.0e6).alias("js_nats")
+    )
+    return n_terms.crossJoin(F.broadcast(agg))
+
+
+# ---------------------------------------------------------------------------
+# Embedding subspace-energy outliers: the corpus embeddings are
+# unit-normalized (total L2 energy == 1 exactly — verified against the
+# testdata), so the informative per-vector scalar is the energy
+# CONCENTRATION in a fixed subspace (first 8 of 64 dims). Vectors whose
+# concentration z-score (rounded at 6 dp BEFORE the comparison, both
+# engines) exceeds |2.5| are flagged — the cheap corrupted-embedding /
+# collapsed-encoder screen before ANN indexing.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_energy_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             CAST(floor(list_reduce(
+               list_transform(CAST(embedding AS DOUBLE[])[1:8], x -> x * x),
+               (a, b) -> a + b) * 1.0e6 + 0.5) AS BIGINT) AS energy_micro
+      FROM embeddings
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(energy_micro AS HUGEINT)) AS s1,
+             sum(CAST(energy_micro AS HUGEINT) * CAST(energy_micro AS HUGEINT)) AS s2
+      FROM q
+    )
+    SELECT vec_id, energy_micro, z_rounded FROM (
+      SELECT vec_id, energy_micro,
+             floor((CAST(energy_micro AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                   * 1.0e6 + 0.5) / 1.0e6 AS z_rounded
+      FROM q CROSS JOIN s
+    ) WHERE z_rounded >= 2.5 OR z_rounded <= -2.5
+    """,
+)
+def embedding_energy_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row subspace energy is quantized to integer micro-units
+    (zero shuffle), population mean/std come from exact integer sums,
+    and the z-score is rounded identically on both engines before the
+    boundary comparison (the robust_zscore_outliers discipline). One
+    1-row broadcast; the scan is the only real work."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(
+            F.slice(F.col("embedding").cast("array<double>"), 1, 8),
+            lambda x: x * x,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = emb.select(
+        "vec_id",
+        F.floor(sq_sum * 1.0e6 + 0.5).cast("long").alias("energy_micro"),
+    )
+    nm = F.col("energy_micro").cast("decimal(19,0)")
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(nm).alias("s1"),
+        F.sum(nm * nm).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mean * mean
+    z = (F.col("energy_micro").cast("double") - mean) / F.sqrt(var)
+    return (
+        q.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            "energy_micro",
+            (F.floor(z * 1.0e6 + 0.5) / 1.0e6).alias("z_rounded"),
+        )
+        .filter((F.col("z_rounded") >= 2.5) | (F.col("z_rounded") <= -2.5))
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph degree histogram from the hyperplane-LSH candidate graph —
+# the connectivity diagnostic for ANN index tuning (a spike at 0 means
+# bands too selective; a fat tail means mega-buckets).
+# ---------------------------------------------------------------------------
+@_register(
+    "knn_graph_degree_stats",
+    oracle=f"""
+    WITH bits AS (
+      SELECT vec_id, {_HP_BITS_SQL}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    bk AS (SELECT vec_id, unnest([{_HP_BUCKETS_SQL}]) AS bucket FROM bits),
+    guarded AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bk
+      ) WHERE n <= {{cap}}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM guarded a JOIN guarded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    und AS (
+      SELECT doc_a AS v, doc_b AS w FROM cand
+      UNION ALL
+      SELECT doc_b AS v, doc_a AS w FROM cand
+    ),
+    deg AS (
+      SELECT e.vec_id, CAST(COALESCE(d.dg, 0) AS BIGINT) AS degree
+      FROM embeddings e
+      LEFT JOIN (SELECT v, count(*) AS dg FROM und GROUP BY 1) d
+        ON d.v = e.vec_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM deg GROUP BY 1
+    """,
+)
+def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the guarded LSH candidate graph (shared
+    hyperplane bank — same buckets the dedup/ANN paths use). cand pairs
+    are distinct, so per-vertex degree = distinct neighbors; 0-degree
+    vectors are kept via the left join. Histogram out: bounded rows."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        hyperplane_lsh_buckets,
+        lsh_candidate_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _EMB_BANDS,
+        _EMB_HP,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = hyperplane_lsh_buckets(emb, "vec_id", "embedding", _EMB_HP, _EMB_BANDS)
+    cand = lsh_candidate_pairs(buckets, "vec_id", max_bucket_size=_EMB_BUCKET_CAP)
+    und = cand.select(F.col("doc_a").alias("v")).unionAll(
+        cand.select(F.col("doc_b").alias("v"))
+    )
+    d = und.groupBy("v").agg(F.count(F.lit(1)).alias("dg"))
+    deg = (
+        emb.select("vec_id")
+        .join(d, emb["vec_id"] == d["v"], "left")
+        .select(F.coalesce(F.col("dg"), F.lit(0)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
+STAGED_ORACLES["knn_graph_degree_stats"] = STAGED_ORACLES[
+    "knn_graph_degree_stats"
+].format(cap=_EMB_BUCKET_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Window-level dedup (C4's line-dedup restated for the unpunctuated
+# corpus): split each document into consecutive NON-OVERLAPPING 8-word
+# windows; a window is boilerplate when its exact text appears in >= 2
+# DISTINCT documents; report each document's boilerplate coverage.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_window_lines",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(0, len(words) // 8 - 1),
+                    k -> array_to_string(words[k*8+1 : k*8+8], ' '))) AS win
+      FROM w
+      WHERE len(words) >= 8
+    ),
+    cross_doc AS (
+      SELECT win FROM wins GROUP BY win HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN cd.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_windows,
+           floor(sum(CASE WHEN cd.win IS NOT NULL THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS dup_fraction
+    FROM wins LEFT JOIN cross_doc cd USING (win)
+    GROUP BY doc_id
+    """,
+)
+def dedup_window_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate coverage per document. The window text derives from
+    the words ARRAY by slicing (row-local — no per-window string
+    re-tokenization, no positional window shuffle); the cross-doc test
+    is one distinct-count agg on window text (map-side combinable)
+    joined back as a semi-ish left join. At 100 TB hash the window text
+    to 64 bits first so the shuffle carries 8 bytes, not 8 words."""
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    wins = (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), (F.size("words") / 8).cast("int") - 1),
+                    lambda k: F.array_join(
+                        F.slice(F.col("words"), k * 8 + 1, 8), " "
+                    ),
+                )
+            ).alias("win"),
+        )
+    )
+    cross_doc = (
+        wins.groupBy("win")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("win", F.lit(1).alias("_dup"))
+    )
+    dup = F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).cast("long")
+    tot = F.count(F.lit(1)).cast("long")
+    return (
+        wins.join(cross_doc, "win", "left")
+        .groupBy("doc_id")
+        .agg(
+            tot.alias("n_windows"),
+            dup.alias("dup_windows"),
+            (F.floor(dup * 1.0e6 / tot + 0.5) / 1.0e6).alias("dup_fraction"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-contamination audit: after the hash-keyed 80/10/10 split (the
+# SAME deterministic_bucket expression as train_val_test_split), count
+# val/test documents whose exact digest also appears in train, and val/
+# test documents sharing >= 5 distinct 3-gram shingles with any train
+# doc (near-dup leakage) via the capped inverted index.
+# ---------------------------------------------------------------------------
+@_register(
+    "contamination_split_audit",
+    oracle="""
+    WITH split AS (
+      SELECT doc_id, md5(text) AS digest, text,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           AS INTEGER) % 100 < 80
+                  THEN 'train' ELSE 'holdout' END AS part
+      FROM documents
+    ),
+    w AS (SELECT doc_id, part, string_split(text, ' ') AS words FROM split),
+    sh AS (
+      SELECT DISTINCT doc_id, part, s FROM (
+        SELECT doc_id, part,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    keep AS (
+      SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) <= 20
+    ),
+    overlap AS (
+      SELECT h.doc_id, t.doc_id AS train_doc, count(*) AS n_shared
+      FROM sh h
+      JOIN keep k ON k.s = h.s
+      JOIN sh t ON t.s = h.s AND t.part = 'train'
+      WHERE h.part = 'holdout'
+      GROUP BY 1, 2
+    ),
+    near AS (SELECT DISTINCT doc_id FROM overlap WHERE n_shared >= 5),
+    exact AS (
+      SELECT DISTINCT h.doc_id
+      FROM split h JOIN split t ON t.digest = h.digest AND t.part = 'train'
+      WHERE h.part = 'holdout'
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM split WHERE part = 'train')
+             AS n_train,
+           (SELECT CAST(count(*) AS BIGINT) FROM split WHERE part = 'holdout')
+             AS n_holdout,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_leak,
+           (SELECT CAST(count(*) AS BIGINT) FROM near) AS n_near_leak
+    """,
+)
+def contamination_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage gate every train/val split needs: exact-digest
+    membership (train digests broadcast into the holdout side) plus
+    near-dup leakage through the document-frequency-capped shingle
+    inverted index (holdout x train only — never holdout x holdout or
+    train x train). One row out; all counts exact."""
+    docs = _t(spark, sf_dir, "documents")
+    part = F.when(deterministic_bucket(F.col("doc_id")) < 80, "train").otherwise(
+        "holdout"
+    )
+    split = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("digest"), "text", part.alias("part")
+    )
+    sh = split.select(
+        "doc_id",
+        "part",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    ).distinct()
+    keep = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 20)
+        .select("s")
+    )
+    shk = sh.join(keep, "s", "left_semi")
+    h = shk.filter(F.col("part") == "holdout").select("doc_id", "s")
+    t = shk.filter(F.col("part") == "train").select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    near = (
+        h.join(t, "s")
+        .groupBy("doc_id", "train_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .select("doc_id")
+        .distinct()
+    )
+    train_digests = (
+        split.filter(F.col("part") == "train").select("digest").distinct()
+    )
+    exact = (
+        split.filter(F.col("part") == "holdout")
+        .join(F.broadcast(train_digests), "digest", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    n_train = split.filter(F.col("part") == "train").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    n_holdout = split.filter(F.col("part") == "holdout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_holdout")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact_leak"))
+    n_near = near.agg(F.count(F.lit(1)).cast("long").alias("n_near_leak"))
+    return (
+        n_train.crossJoin(F.broadcast(n_holdout))
+        .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_near))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-class profile per language: alpha/digit/space/other ratios —
+# the first-pass OCR/encoding quality screen, all integer arithmetic.
+# ---------------------------------------------------------------------------
+@_register(
+    "text_char_class_profile",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+               AS n_alpha,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+               AS n_digit,
+             CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space
+      FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           floor(sum(n_alpha) * 1.0e6 / sum(n_chars) + 0.5) / 1.0e6 AS alpha_ratio,
+           floor(sum(n_digit) * 1.0e6 / sum(n_chars) + 0.5) / 1.0e6 AS digit_ratio,
+           floor(sum(n_space) * 1.0e6 / sum(n_chars) + 0.5) / 1.0e6 AS space_ratio
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language char-class ratios from exact per-doc integer counts
+    (regexp_replace + length — row-local codegen), one small agg, three
+    rounded divisions. The corpus is single-byte here; at 100 TB swap
+    length() for a codepoint counter and add a UTF-8-validity class."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("long")
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("long")
+    n_space = F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).cast("long")
+    per_doc = docs.select(
+        "lang",
+        n_chars.alias("n_chars"),
+        n_alpha.alias("n_alpha"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    )
+    tot = F.sum("n_chars").cast("long")
+    ratio = lambda c: F.floor(F.sum(c) * 1.0e6 / tot + 0.5) / 1.0e6  # noqa: E731
+    return per_doc.groupBy("lang").agg(
+        tot.alias("total_chars"),
+        ratio("n_alpha").alias("alpha_ratio"),
+        ratio("n_digit").alias("digit_ratio"),
+        ratio("n_space").alias("space_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-tuning audit: the SAME 8 minhashes banded two ways —
+# 4 bands x 2 rows (high recall, the production config) vs 2 bands x
+# 4 rows (high precision) — with candidate counts and >= 0.5-Jaccard
+# confirm rates side by side. This is the measured S-curve trade-off a
+# 100 TB dedup deployment tunes on, as a query instead of a notebook.
+# ---------------------------------------------------------------------------
+@_register(
+    "minhash_band_tuning_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    bands2 AS (
+      SELECT doc_id, unnest([
+        md5('0' || h1 || h2 || h3 || h4), md5('1' || h5 || h6 || h7 || h8)
+      ]) AS bucket
+      FROM sig
+    ),
+    guarded2 AS (
+      SELECT doc_id, bucket FROM (
+        SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS n FROM bands2
+      ) WHERE n <= 50
+    ),
+    cand2 AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM guarded2 a JOIN guarded2 b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    conf4 AS (
+      SELECT count(*) AS n FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(count(*) / (sa.n + sb.n - count(*)), 6) AS j
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+      ) WHERE j >= 0.5
+    ),
+    conf2 AS (
+      SELECT count(*) AS n FROM (
+        SELECT c.doc_a, c.doc_b,
+               round(count(*) / (sa.n + sb.n - count(*)), 6) AS j
+        FROM cand2 c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+      ) WHERE j >= 0.5
+    )
+    SELECT * FROM (
+      SELECT '4x2' AS config,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(n AS BIGINT) FROM conf4) AS n_confirmed
+      UNION ALL
+      SELECT '2x4' AS config,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand2) AS n_candidates,
+             (SELECT CAST(n AS BIGINT) FROM conf2) AS n_confirmed
+    )
+    """,
+)
+def minhash_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two band configurations over ONE signature pass (the sig subtree
+    is shared — Spark reuses its Exchange across both band explosions),
+    each confirmed with exact Jaccard on candidates only. Output is two
+    rows of exact counts; precision/recall arithmetic is the reader's
+    division to keep every hashed value an integer."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        jaccard_for_pairs,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sh = distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(sh, "doc_id", "s", num_hashes=8, hash_family="md5")
+    rows = []
+    for config, bands in (("4x2", 4), ("2x4", 2)):
+        buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=bands)
+        cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+        confirmed = jaccard_for_pairs(cand, sh, "doc_id", "s").filter(
+            F.col("jaccard") >= 0.5
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        n_conf = confirmed.agg(F.count(F.lit(1)).cast("long").alias("n_confirmed"))
+        rows.append(
+            n_cand.crossJoin(F.broadcast(n_conf)).select(
+                F.lit(config).alias("config"), "n_candidates", "n_confirmed"
+            )
+        )
+    return rows[0].unionByName(rows[1])

@@ -51,6 +51,15 @@ STAGED_NAMES = [
     "events_top2_share",
     "nation_revenue_share",
     "customer_recency_bands",
+    # wave D — LLM pipeline
+    "text_duplicate_ngram_fraction",
+    "vocab_js_divergence",
+    "embedding_energy_outliers",
+    "knn_graph_degree_stats",
+    "dedup_window_lines",
+    "contamination_split_audit",
+    "text_char_class_profile",
+    "minhash_band_tuning_audit",
 ]
 
 
