@@ -1718,3 +1718,509 @@ def minhash_band_tuning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+# ===========================================================================
+# Wave E — re-aggregatable sketch merges (the DataSketches HLL surface
+# Spark exposes natively). The sketch bytes are engine-specific, so the
+# driver-checked contract is the TOLERANCE pattern sketch_distinct_users
+# established: exact values + a boolean the oracle pins TRUE.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Daily HLL sketches merged across the month: the shape that matters at
+# 100 TB — per-partition sketches persist (bytes, mergeable), and any
+# date-range cardinality is a UNION of sketches instead of a re-scan.
+# ---------------------------------------------------------------------------
+@_register(
+    "sketch_hll_merge_daily",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS merged_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sketch rollup: hll_sketch_agg(user_id) per (type, day)
+    — the persisted granular layer — then hll_union_agg per type. The
+    merged estimate must land within 5% of the exact month-wide
+    distinct count (lgConfigK=14 → ~0.8% rsd, wide margin); a sketch
+    regression (wrong lg_k, hash change, broken merge) flips the
+    boolean and fails the driver's hash-match. Exact side computed in
+    the SAME plan for the comparison."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_est"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_5pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: |A ∩ B| via inclusion-exclusion on mergeable
+# sketches (|A| + |B| - |A ∪ B|) — audience-overlap estimation without
+# a join. Tolerance is 10% of the UNION size (inclusion-exclusion
+# compounds the per-sketch error).
+# ---------------------------------------------------------------------------
+@_register(
+    "sketch_hll_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    x AS (SELECT CAST(count(*) AS BIGINT) AS exact_overlap
+          FROM a JOIN b USING (user_id))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_click_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_purchase_users,
+           (SELECT exact_overlap FROM x) AS exact_overlap,
+           TRUE AS estimate_within_10pct_of_union
+    """,
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap of click vs purchase audiences from three sketch reads
+    (A, B, A∪B) — never a user-level join. The boolean asserts the
+    inclusion-exclusion estimate lands within 10% of the exact UNION
+    cardinality of the exact overlap; exact sides share the same scan."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    sk = (
+        clicks.agg(F.expr("hll_sketch_agg(user_id, 14)").alias("ska"))
+        .crossJoin(buys.agg(F.expr("hll_sketch_agg(user_id, 14)").alias("skb")))
+        .select(
+            F.expr("hll_sketch_estimate(ska)").alias("_ea"),
+            F.expr("hll_sketch_estimate(skb)").alias("_eb"),
+            F.expr("hll_sketch_estimate(hll_union(ska, skb))").alias("_eu"),
+        )
+    )
+    exact = (
+        clicks.select("user_id")
+        .distinct()
+        .join(buys.select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    na = clicks.agg(F.countDistinct("user_id").cast("long").alias("n_click_users"))
+    nb = buys.agg(F.countDistinct("user_id").cast("long").alias("n_purchase_users"))
+    est = F.col("_ea") + F.col("_eb") - F.col("_eu")
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(sk))
+        .select(
+            "n_click_users",
+            "n_purchase_users",
+            "exact_overlap",
+            (
+                F.abs(est - F.col("exact_overlap")) <= 0.10 * F.col("_eu")
+            ).alias("estimate_within_10pct_of_union"),
+        )
+    )
+
+
+# ===========================================================================
+# Wave F — reference-vertical end-to-end: IOS profile sigma-theta
+# (parse -> mask -> pivot -> EOS-80 potential density), the CTD-derived
+# quantity next to the live ios_profile_sound_speed.
+# ===========================================================================
+def _ios_sigma_theta_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import pt0_from_t_sql
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _rho0_sql
+
+    return f"""
+    WITH rec AS (
+      SELECT * FROM (VALUES
+        ('sample-2024-001-0007', 0, 1.0, 7.1, 30.1),
+        ('sample-2024-001-0007', 1, 2.0, 8.2, 30.8),
+        ('sample-2024-001-0007', 2, 3.0, CAST(NULL AS DOUBLE), 31.2),
+        ('sample-2024-001-0007', 3, 4.5, 9.9, 31.5)
+      ) AS t(file_id, record_idx, depth, temp, sal)
+    )
+    SELECT file_id, record_idx, depth,
+           round({_rho0_sql("sal", "theta")} - 1000.0e0, 6) AS sigma_theta
+    FROM (SELECT *, {pt0_from_t_sql("sal", "temp", "depth")} AS theta FROM rec)
+    """
+
+
+@_register("ios_profile_sigma_theta", oracle="__LAZY__")
+def ios_profile_sigma_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth/temperature/salinity pivot of the masked long-format IOS
+    measurements, then sigma-theta = rho0(S, theta(S, T, p)) - 1000
+    with pressure approximated by depth in dbar (the shallow-profile
+    convention; <0.5% at these depths). The pad-masked temperature
+    propagates to NULL. Same per-session parse cache as every ios_*
+    query — one Python crossing total; the physics is the identical
+    SQL template on both engines."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import pt0_from_t_sql
+    from cioos_siooc_data_transform_spark.plans.ios_queries import _parsed_sample
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _rho0_sql
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_measurements_masked,
+    )
+
+    meas = ios_measurements_masked(_parsed_sample(spark))
+    pivoted = meas.groupBy("file_id", "record_idx").agg(
+        F.max(F.when(F.col("channel_idx") == 1, F.col("value_num"))).alias("depth"),
+        F.max(F.when(F.col("channel_idx") == 2, F.col("value_num"))).alias("temp"),
+        F.max(F.when(F.col("channel_idx") == 3, F.col("value_num"))).alias("sal"),
+    )
+    return (
+        pivoted.withColumn("theta", F.expr(pt0_from_t_sql("sal", "temp", "depth")))
+        .select(
+            "file_id",
+            F.col("record_idx").cast("int").alias("record_idx"),
+            "depth",
+            F.round(F.expr(_rho0_sql("sal", "theta")) - 1000.0, 6).alias(
+                "sigma_theta"
+            ),
+        )
+    )
+
+
+STAGED_ORACLES["ios_profile_sigma_theta"] = _ios_sigma_theta_oracle()
+
+
+# ===========================================================================
+# Wave G — forward-looking as-of join + conversion-time distribution.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Forward as-of: for every 'view' event, the NEXT 'purchase' by the
+# same user STRICTLY after it, within a 24 h tolerance. The union +
+# DESC-scan window trick: scanning time backwards, the most recently
+# seen purchase is exactly the earliest future one, so one window pass
+# replaces a range self-join.
+# ---------------------------------------------------------------------------
+@_register(
+    "asof_join_forward",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    scanned AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(p_us IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END ASC,
+                        event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS next_p_us
+      FROM u
+    )
+    SELECT event_id AS view_event_id, user_id, ts AS view_ts,
+           CASE WHEN next_p_us - epoch_us(ts) <= 86400000000
+                THEN CAST(next_p_us AS BIGINT) END AS next_purchase_us,
+           CASE WHEN next_p_us - epoch_us(ts) <= 86400000000
+                THEN CAST(next_p_us - epoch_us(ts) AS BIGINT) END AS gap_us
+    FROM scanned WHERE event_type = 'view'
+    """,
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of without a range join: one user-partitioned window
+    over the DESC time scan (ties broken so an equal-timestamp purchase
+    is NOT 'after' the view — strictly-after semantics). Partition size
+    is per-user event volume; at 100 TB pre-bucket users by day first.
+    Epoch microseconds keep every comparison integer-exact."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase", F.unix_micros("ts")
+        ).alias("p_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").desc(),
+            F.when(F.col("event_type") == "view", 0).otherwise(1).asc(),
+            F.col("event_id").desc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = u.withColumn("next_p_us", F.last("p_us", ignorenulls=True).over(w))
+    within = (F.col("next_p_us") - F.unix_micros("ts")) <= 86400000000
+    return scanned.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.when(within, F.col("next_p_us")).cast("long").alias("next_purchase_us"),
+        F.when(within, F.col("next_p_us") - F.unix_micros("ts"))
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-time distribution built on the forward as-of: exact count,
+# mean (floored micro), and exact DISCRETE median (no interpolation —
+# element at floor((n-1)/2) of the sorted gaps, engine-identical).
+# ---------------------------------------------------------------------------
+@_register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS p_us
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    scanned AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(p_us IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, CASE WHEN event_type = 'view' THEN 0 ELSE 1 END ASC,
+                        event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS next_p_us
+      FROM u
+    ),
+    gaps AS (
+      SELECT CAST(next_p_us - epoch_us(ts) AS BIGINT) AS gap_us
+      FROM scanned
+      WHERE event_type = 'view' AND next_p_us - epoch_us(ts) <= 86400000000
+    ),
+    ranked AS (
+      SELECT gap_us,
+             row_number() OVER (ORDER BY gap_us, 1) AS rn,
+             count(*) OVER () AS n
+      FROM gaps
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_conversions,
+           CAST(floor(sum(gap_us) / max(n)) AS BIGINT) AS mean_gap_us,
+           CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN gap_us END) AS BIGINT)
+             AS median_gap_us
+    FROM ranked
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->purchase latency summary over the forward-as-of gaps. The
+    median is the exact order statistic (global window over the BOUNDED
+    conversion set — at 100 TB switch to the two-pass count+offset
+    pattern); mean = floor(sum/n) on exact integers."""
+    gaps = (
+        STAGED_QUERIES["asof_join_forward"](spark, sf_dir)
+        .filter(F.col("gap_us").isNotNull())
+        .select("gap_us")
+    )
+    w = Window.orderBy("gap_us")
+    ranked = gaps.select(
+        "gap_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_conversions"),
+        F.floor(F.sum("gap_us") / F.max("n")).cast("long").alias("mean_gap_us"),
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") - 1) / 2).cast("long") + 1,
+                F.col("gap_us"),
+            )
+        )
+        .cast("long")
+        .alias("median_gap_us"),
+    )
+
+
+# ===========================================================================
+# Wave H — exact correlation matrix, 2-D histogram, pressure-from-depth
+# Newton inversion.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix over lineitem's numeric columns from ONE
+# pass of exact integer sums (F.corr is float-accumulation-ordered and
+# engine-specific; this is the order-independent formulation).
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_corr_matrix",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(l_quantity + 0.5) AS HUGEINT) AS a,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS b,
+             CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS c
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(c) AS sc,
+             sum(a*a) AS saa, sum(b*b) AS sbb, sum(c*c) AS scc,
+             sum(a*b) AS sab, sum(a*c) AS sac, sum(b*c) AS sbc
+      FROM q
+    )
+    SELECT n,
+           floor((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS corr_qty_price,
+           floor((CAST(n AS DOUBLE)*CAST(sac AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sc AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS corr_qty_disc,
+           floor((CAST(n AS DOUBLE)*CAST(sbc AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sc AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS corr_price_disc
+    FROM s
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three pairwise Pearson coefficients from ten exact decimal sums
+    in one map-side-combinable agg — the feature-redundancy screen.
+    Every cross-product fits decimal(38,0) at any realistic scale
+    (price cents ~1e7, 1e12 rows -> ~1e26); the final formulas run on
+    bit-identical doubles in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(19,0)").alias("a"),
+        _cents(F.col("l_extendedprice")).cast("decimal(19,0)").alias("b"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("decimal(19,0)").alias("c"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").alias("sa"), F.sum("b").alias("sb"), F.sum("c").alias("sc"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("c") * F.col("c")).alias("scc"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("c")).alias("sac"),
+        F.sum(F.col("b") * F.col("c")).alias("sbc"),
+    )
+    nd = F.col("n").cast("double")
+
+    def r(sxy, sx, sy, sxx, syy):
+        num = nd * F.col(sxy).cast("double") - F.col(sx).cast("double") * F.col(
+            sy
+        ).cast("double")
+        den = F.sqrt(
+            (nd * F.col(sxx).cast("double")
+             - F.col(sx).cast("double") * F.col(sx).cast("double"))
+            * (nd * F.col(syy).cast("double")
+               - F.col(sy).cast("double") * F.col(sy).cast("double"))
+        )
+        return F.floor(num / den * 1.0e6 + 0.5) / 1.0e6
+
+    return s.select(
+        "n",
+        r("sab", "sa", "sb", "saa", "sbb").alias("corr_qty_price"),
+        r("sac", "sa", "sc", "saa", "scc").alias("corr_qty_disc"),
+        r("sbc", "sb", "sc", "sbb", "scc").alias("corr_price_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram (quantity x discount-percent): the joint-distribution
+# heatmap feed — exact integer bins, one agg.
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_hist2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+           CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def lineitem_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (quantity, discount) counts — bounded output (50 x 11
+    cells), single map-side-combinable agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("disc_pct"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Pressure from depth: Newton inversion of the Saunders (1981) z(p)
+# formula the live gsw_depth_from_pressure uses — z_from_p's inverse,
+# closing the conversion pair. Three Newton steps from p0 = z (the
+# quartic is gently nonlinear: |z - p| <~ 2% of p), analytic
+# derivative, stage-folded on both engines; round-trip pinned to
+# < 1e-6 dbar in tests.
+# ---------------------------------------------------------------------------
+def p_from_z_stages(z: str, lat: str) -> list[tuple[str, str]]:
+    g = (
+        f"(9.780318e0*(1.0e0 + 5.2788e-3*pow(sin(radians({lat})), 2)"
+        f" + 2.36e-5*pow(sin(radians({lat})), 4)))"
+    )
+    stages: list[tuple[str, str]] = [("_g", g), ("_p0", f"({z})")]
+    for i in range(3):
+        cur = f"_p{i}"
+        num = (
+            f"(9.72659e0*{cur} - 2.2512e-5*{cur}*{cur}"
+            f" + 2.279e-10*{cur}*{cur}*{cur}"
+            f" - 1.82e-15*{cur}*{cur}*{cur}*{cur})"
+        )
+        f_ = f"({num} - ({z})*(_g + 1.092e-6*{cur}))"
+        df = (
+            f"(9.72659e0 - 4.5024e-5*{cur} + 6.837e-10*{cur}*{cur}"
+            f" - 7.28e-15*{cur}*{cur}*{cur} - ({z})*1.092e-6)"
+        )
+        stages.append((f"_p{i + 1}", f"({cur} - {f_}/{df})"))
+    stages.append(("p_from_z", "_p3"))
+    return stages
+
+
+def _p_from_z_oracle() -> str:
+    inner = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber * 100.0 AS DOUBLE) AS z,
+           CAST(l_discount * 90.0 AS DOUBLE) AS lat
+    FROM lineitem
+    """
+    staged = _stage_sql(inner, p_from_z_stages("z", "lat"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(p_from_z * 1.0e6 + 0.5) / 1.0e6 AS p_dbar
+    FROM {staged}
+    """
+
+
+@_register("gsw_pressure_from_depth", oracle="__LAZY__")
+def gsw_pressure_from_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p(z, lat) by inverting Saunders' z(p) — the conversion GSW ships
+    as p_from_z. Zero shuffle, pure codegen; the iteration count is
+    fixed so the plan is static."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") * 100.0).cast("double").alias("z"),
+        (F.col("l_discount") * 90.0).cast("double").alias("lat"),
+    )
+    for name, expr in p_from_z_stages("z", "lat"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("p_from_z") * 1.0e6 + 0.5) / 1.0e6).alias("p_dbar"),
+    )
+
+
+STAGED_ORACLES["gsw_pressure_from_depth"] = _p_from_z_oracle()

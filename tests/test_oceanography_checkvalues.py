@@ -630,3 +630,26 @@ def test_pt_from_ct_roundtrip_identity(spark):
         df = df.withColumn(name, F.expr(expr))
     for r in df.select("pt_true", "pt_from_ct").collect():
         assert abs(r.pt_from_ct - r.pt_true) < 1e-9, r
+
+
+def test_p_from_z_roundtrip(spark):
+    """Saunders inversion: depth_from_pressure(p_from_z(z)) must return
+    z to < 1e-6 m over the full ocean range and latitudes."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        depth_from_pressure,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r6 import p_from_z_stages
+
+    rows = [
+        (float(z), float(lat))
+        for z in (1.0, 100.0, 1000.0, 5000.0, 10000.0)
+        for lat in (0.0, 30.0, 60.0, 90.0)
+    ]
+    df = spark.createDataFrame(rows, "z DOUBLE, lat DOUBLE")
+    for name, expr in p_from_z_stages("z", "lat"):
+        df = df.withColumn(name, F.expr(expr))
+    out = df.select(
+        "z", depth_from_pressure(F.col("p_from_z"), F.col("lat")).alias("z_back")
+    )
+    for r in out.collect():
+        assert abs(r.z_back - r.z) < 1e-6, r

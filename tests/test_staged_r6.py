@@ -60,6 +60,18 @@ STAGED_NAMES = [
     "contamination_split_audit",
     "text_char_class_profile",
     "minhash_band_tuning_audit",
+    # wave E — sketch merges
+    "sketch_hll_merge_daily",
+    "sketch_hll_intersection",
+    # wave F — reference vertical
+    "ios_profile_sigma_theta",
+    # wave G — forward as-of + conversion latency
+    "asof_join_forward",
+    "funnel_time_to_convert",
+    # wave H — exact corr matrix, 2-D histogram, Saunders inversion
+    "lineitem_corr_matrix",
+    "lineitem_hist2d",
+    "gsw_pressure_from_depth",
 ]
 
 
