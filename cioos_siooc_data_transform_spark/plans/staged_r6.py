@@ -2224,3 +2224,226 @@ def gsw_pressure_from_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["gsw_pressure_from_depth"] = _p_from_z_oracle()
+
+
+# ===========================================================================
+# Wave I — product-quantization ADC top-k as a registered, oracle-paired
+# query. The live PQ operators (operators/similarity.py: pq_encode /
+# pq_adc_topk) were pytest-only; this pins the whole encode -> LUT ->
+# scan path against DuckDB with DETERMINISTIC codebooks (the first 4
+# corpus vectors' subvectors per subspace — the KMeans-trained path
+# stays the operator default, tested in test_pq.py).
+# ===========================================================================
+@_register(
+    "similarity_pq_adc_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+    cb AS (
+      SELECT s.j, c.vec_id AS code, c.v[s.j*8+1 : s.j*8+8] AS center
+      FROM subs s CROSS JOIN (SELECT * FROM e WHERE vec_id < 4) c
+    ),
+    dist AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_reduce(list_transform(generate_series(1, 8),
+                 i -> (e.v[cb.j*8 + i] - cb.center[i])
+                      * (e.v[cb.j*8 + i] - cb.center[i])),
+               (a, b) -> a + b) AS d
+      FROM e CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, list_position(dl, list_min(dl)) - 1 AS code
+      FROM (SELECT vec_id, j, list(d ORDER BY code) AS dl FROM dist GROUP BY 1, 2)
+    ),
+    codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM enc GROUP BY 1),
+    lut AS (
+      SELECT query_id, list(dl ORDER BY j) AS lut
+      FROM (
+        SELECT vec_id AS query_id, j, list(d ORDER BY code) AS dl
+        FROM dist WHERE vec_id < 3 GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, 8),
+                     j -> l.lut[j][c.codes[j] + 1]),
+                   (a, b) -> a + b), 6) AS approx_dist2
+      FROM lut l CROSS JOIN codes c
+      WHERE c.vec_id <> l.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dist2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist2, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: 64-dim vectors -> 8 subspaces x 4-entry
+    codebooks (here the first 4 corpus vectors, collected once — a
+    4-row bounded driver fetch standing in for the KMeans training the
+    operator default uses), corpus encoded to 8 codes/vector
+    (row-local argmin codegen), each of 3 probe queries builds its
+    8x4 LUT once and every corpus code row is scored with 8 lookups +
+    a fold. At 100 TB the codes table is 32x smaller than the raw
+    vectors, the query side broadcasts, and the corpus streams once —
+    the IVF-PQ memory story with zero Python in the scan path."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    books = [
+        [[float(x) for x in row.v[j * 8 : j * 8 + 8]] for row in seeds]
+        for j in range(8)
+    ]
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return pq_adc_topk(queries, codes, books, k_top=5, round_dp=6)
+
+
+# ---------------------------------------------------------------------------
+# Hapax-legomena ratio per source: the share of a source's vocabulary
+# seen exactly once in it — the fast vocabulary-health signal (too low
+# = templated text; too high = OCR noise / id soup).
+# ---------------------------------------------------------------------------
+@_register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           floor(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0e6 / count(*) + 0.5)
+             / 1.0e6 AS hapax_ratio
+    FROM freq GROUP BY 1
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combinable aggs (token counts, then vocabulary
+    rollup); exact integers, one rounded division."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(words_expr(F.col("text"))).alias("t"))
+    freq = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    vocab = F.count(F.lit(1)).cast("long")
+    return freq.groupBy("source").agg(
+        vocab.alias("vocab_size"),
+        hapax.alias("n_hapax"),
+        (F.floor(hapax * 1.0e6 / vocab + 0.5) / 1.0e6).alias("hapax_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival time stats per event type: mean + exact discrete median
+# of consecutive gaps — the feed-health pulse check (rising median =
+# producer slowdown; bimodal mean/median split = batching).
+# ---------------------------------------------------------------------------
+@_register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    g AS (SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+          FROM gaps WHERE gap_us IS NOT NULL),
+    ranked AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM g
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(floor(sum(gap_us) / max(n)) AS BIGINT) AS mean_gap_us,
+           CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN gap_us END) AS BIGINT)
+             AS median_gap_us
+    FROM ranked GROUP BY 1
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lag window per type (epoch-microsecond integers), then the
+    exact order-statistic median via a second bounded window + agg.
+    mean = floor(sum/n) on exact integers — no float accumulation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us")
+    wn = Window.partitionBy("event_type")
+    ranked = gaps.select(
+        "event_type",
+        F.col("gap_us").cast("long").alias("gap_us"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.floor(F.sum("gap_us") / F.max("n")).cast("long").alias("mean_gap_us"),
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") - 1) / 2).cast("long") + 1,
+                F.col("gap_us"),
+            )
+        )
+        .cast("long")
+        .alias("median_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document length deciles: ntile(10) over (n_chars, doc_id) with
+# per-decile min/max/mean — the corpus shape summary feeding length
+# filters and packing capacity choices.
+# ---------------------------------------------------------------------------
+@_register(
+    "doc_length_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(floor(sum(n_chars) / count(*)) AS BIGINT) AS mean_chars
+    FROM t GROUP BY 1
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile is a GLOBAL window over one long per doc — fine to the
+    hundreds of millions of docs a single partition sorts; past that,
+    switch to the two-pass approx-threshold + bin pattern
+    (value_histogram's shape). Deterministic tiebreak on doc_id makes
+    the decile boundaries engine-identical; all stats exact integers."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    t = docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+    return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.floor(F.sum("n_chars") / F.count(F.lit(1))).cast("long").alias("mean_chars"),
+    )

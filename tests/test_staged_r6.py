@@ -72,6 +72,11 @@ STAGED_NAMES = [
     "lineitem_corr_matrix",
     "lineitem_hist2d",
     "gsw_pressure_from_depth",
+    # wave I — PQ ADC + corpus-shape quick wins
+    "similarity_pq_adc_topk",
+    "text_hapax_ratio",
+    "events_interarrival_stats",
+    "doc_length_deciles",
 ]
 
 
