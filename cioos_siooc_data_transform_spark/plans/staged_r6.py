@@ -2447,3 +2447,352 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("max_chars"),
         F.floor(F.sum("n_chars") / F.count(F.lit(1))).cast("long").alias("mean_chars"),
     )
+
+
+# ===========================================================================
+# Wave J — ABC classification, empirical CDF probes, association-rule
+# metrics, LSH recall audit, OHLC time-bucket downsample.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification: parts by revenue, class A = first 80%
+# of cumulative revenue, B = next 15%, C = tail — with PURE INTEGER
+# boundary comparisons (cum*100 <= 80*total), no float thresholds.
+# ---------------------------------------------------------------------------
+@_register(
+    "orders_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT l_partkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_cents,
+             CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+      FROM rev
+    )
+    SELECT CASE WHEN cum_cents * 100 <= 80 * total_cents THEN 'A'
+                WHEN cum_cents * 100 <= 95 * total_cents THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM cum GROUP BY 1
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory-policy rollup of the Pareto curve. The global
+    cumulative window runs over the PART-level aggregate (bounded by
+    part cardinality — the two-pass threshold pattern applies past
+    ~1e8 parts); class boundaries are exact integer inequalities, so no
+    part can flip class on a different machine."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("long")
+        .alias("cents")
+    )
+    wc = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = rev.select(
+        "cents",
+        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
+        F.sum("cents").over(wt).cast("long").alias("total_cents"),
+    )
+    cls = (
+        F.when(F.col("cum_cents") * 100 <= 80 * F.col("total_cents"), "A")
+        .when(F.col("cum_cents") * 100 <= 95 * F.col("total_cents"), "B")
+        .otherwise("C")
+    )
+    return cum.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical CDF probed at fixed values per event type — the drift
+# monitor's cheap cousin (compare probe vectors across snapshots
+# instead of full KS). Exact integer rationals at each probe.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_cdf_at_values",
+    oracle="""
+    WITH probes AS (SELECT unnest([50.0, 100.0, 200.0, 400.0]) AS probe),
+    s AS (
+      SELECT event_type, probe,
+             CAST(sum(CASE WHEN value <= probe THEN 1 ELSE 0 END) AS BIGINT) AS le,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events CROSS JOIN probes
+      GROUP BY 1, 2
+    )
+    SELECT event_type, probe,
+           le AS n_le, n AS n_total,
+           floor(le * 1.0e6 / n + 0.5) / 1.0e6 AS cdf
+    FROM s
+    """,
+)
+def events_cdf_at_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 probes x type from ONE scan (probe table broadcast, counts
+    map-side combinable) — never a sort. Exact integers, one rounded
+    division per cell."""
+    ev = _t(spark, sf_dir, "events")
+    probes = ev.sparkSession.createDataFrame(
+        [(50.0,), (100.0,), (200.0,), (400.0,)], "probe DOUBLE"
+    )
+    s = (
+        ev.crossJoin(F.broadcast(probes))
+        .groupBy("event_type", "probe")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("probe"), 1).otherwise(0))
+            .cast("long")
+            .alias("le"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return s.select(
+        "event_type",
+        "probe",
+        F.col("le").alias("n_le"),
+        F.col("n").alias("n_total"),
+        (F.floor(F.col("le") * 1.0e6 / F.col("n") + 0.5) / 1.0e6).alias("cdf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule metrics over co-purchase pairs: support, directed
+# confidence, and lift — the market_basket_pairs follow-through.
+# ---------------------------------------------------------------------------
+@_register(
+    "basket_rule_metrics",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_b AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+    item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1
+    ),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS cab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT pa AS part_a, pb AS part_b, cab AS n_co,
+           floor(cab * 1.0e6 / ia.c + 0.5) / 1.0e6 AS conf_a_to_b,
+           floor(cab * 1.0e6 / ib.c + 0.5) / 1.0e6 AS conf_b_to_a,
+           floor(CAST(cab AS DOUBLE) * CAST(n_b.n AS DOUBLE)
+                 / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS lift
+    FROM pair
+    JOIN item ia ON ia.l_partkey = pa
+    JOIN item ib ON ib.l_partkey = pb
+    CROSS JOIN n_b
+    """,
+)
+def basket_rule_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed confidences + lift for co-purchase pairs with support
+    >= 3. The basket self-join is the standard equi-keyed wedge (at
+    100 TB: cap basket size first — the mega-basket guard mirrors the
+    LSH bucket cap); item supports broadcast back into the pair set;
+    every ratio is one rounded division of exact integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_b = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("cab").alias("n_co"),
+            (F.floor(F.col("cab") * 1.0e6 / F.col("ca") + 0.5) / 1.0e6).alias(
+                "conf_a_to_b"
+            ),
+            (F.floor(F.col("cab") * 1.0e6 / F.col("cb") + 0.5) / 1.0e6).alias(
+                "conf_b_to_a"
+            ),
+            (
+                F.floor(
+                    F.col("cab").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("ca").cast("double") * F.col("cb").cast("double"))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit — the complement of the band-tuning precision view:
+# ground truth = every pair with exact Jaccard >= 0.5 REACHABLE through
+# a rare shingle (document frequency <= 20 — the same reachability the
+# production inverted index has), vs the 4x2 LSH candidate set.
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_lsh_recall_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    keep AS (SELECT s FROM sh GROUP BY s HAVING count(DISTINCT doc_id) <= 20),
+    truth_cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN keep k ON k.s = a.s
+      JOIN sh b ON b.s = a.s AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    truth AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT t.doc_a, t.doc_b,
+               round(count(*) / (sa.n + sb.n - count(*)), 6) AS j
+        FROM truth_cand t
+        JOIN sh a ON a.doc_id = t.doc_a
+        JOIN sh b ON b.doc_id = t.doc_b AND b.s = a.s
+        JOIN sizes sa ON sa.doc_id = t.doc_a
+        JOIN sizes sb ON sb.doc_id = t.doc_b
+        GROUP BY t.doc_a, t.doc_b, sa.n, sb.n
+      ) WHERE j >= 0.5
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_lsh_candidates,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM truth t JOIN cand c
+              ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_true_found
+    """,
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many true near-dup pairs the 4x2 LSH chain actually
+    surfaces. Ground truth goes through the capped inverted index
+    (reachable truth — the uncapped truth is quadratic by definition);
+    three exact counts out, recall = found/true left to the reader to
+    keep every value an integer."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        jaccard_for_pairs,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sh = distinct_shingles(spark, sf_dir)
+    keep = (
+        sh.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 20)
+        .select("s")
+    )
+    shk = sh.join(keep, "s", "left_semi")
+    a = shk.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    truth_cand = (
+        a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        ).distinct()
+    )
+    truth = jaccard_for_pairs(truth_cand, sh, "doc_id", "s").filter(
+        F.col("jaccard") >= 0.5
+    ).select("doc_a", "doc_b")
+    sig = minhash_signature(sh, "doc_id", "s", num_hashes=8, hash_family="md5")
+    cand = lsh_candidate_pairs(
+        lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4),
+        "doc_id",
+        max_bucket_size=50,
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_lsh_candidates"))
+    n_found = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_found")
+    )
+    return n_true.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_found))
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-bucket downsample: open/high/low/close per (type, 6 h
+# bucket) — the TSDB continuous-aggregate shape, on integer buckets and
+# micro-unit values.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_ohlc_downsample",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS bucket_idx,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v,
+             epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, bucket_idx, v,
+             row_number() OVER (PARTITION BY event_type, bucket_idx
+                                ORDER BY us, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket_idx
+                                ORDER BY us DESC, event_id DESC) AS rn_d
+      FROM q
+    )
+    SELECT event_type, bucket_idx,
+           CAST(max(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_micro,
+           CAST(max(v) AS BIGINT) AS high_micro,
+           CAST(min(v) AS BIGINT) AS low_micro,
+           CAST(max(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_micro,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM r GROUP BY 1, 2
+    """,
+)
+def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate downsample: integer epoch-µs buckets (6 h),
+    open/close via two windows over the SAME (type, bucket) partitioning
+    (one shuffle — Spark reuses the Exchange for both sort orders),
+    min/max/count map-side combinable. Everything integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        (F.unix_micros("ts") / 21600000000).cast("long").alias("bucket_idx"),
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("v"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "bucket_idx").orderBy("us", "event_id")
+    wd = Window.partitionBy("event_type", "bucket_idx").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    r = q.select(
+        "event_type",
+        "bucket_idx",
+        "v",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return r.groupBy("event_type", "bucket_idx").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("v"))).cast("long").alias("open_micro"),
+        F.max("v").cast("long").alias("high_micro"),
+        F.min("v").cast("long").alias("low_micro"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("v"))).cast("long").alias("close_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )

@@ -77,6 +77,12 @@ STAGED_NAMES = [
     "text_hapax_ratio",
     "events_interarrival_stats",
     "doc_length_deciles",
+    # wave J — ABC classes, CDF probes, basket rules, recall audit, OHLC
+    "orders_abc_classification",
+    "events_cdf_at_values",
+    "basket_rule_metrics",
+    "dedup_lsh_recall_audit",
+    "events_ohlc_downsample",
 ]
 
 
