@@ -2796,3 +2796,464 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn_d") == 1, F.col("v"))).cast("long").alias("close_micro"),
         F.count(F.lit(1)).cast("long").alias("n_events"),
     )
+
+
+# ===========================================================================
+# Wave K — diversity-vs-length correlation, Herfindahl concentration,
+# missing-hours completeness audit, per-dimension embedding variance,
+# n-gram coverage curve.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Lexical diversity vs length: Pearson r between each document's char
+# count and its DISTINCT-word count — the duplicate-boilerplate smell
+# at corpus level (templated corpora decorrelate).
+# ---------------------------------------------------------------------------
+@_register(
+    "doc_diversity_length_corr",
+    oracle="""
+    WITH per_doc AS (
+      SELECT d.doc_id,
+             CAST(d.n_chars AS HUGEINT) AS x,
+             CAST((SELECT count(DISTINCT t) FROM (
+                     SELECT unnest(string_split(d.text, ' ')) AS t)) AS HUGEINT) AS y
+      FROM documents d
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM per_doc
+    )
+    SELECT n AS n_docs,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS corr_len_vocab
+    FROM s
+    """,
+)
+def doc_diversity_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both variables are exact integers per document (char count from
+    the table, distinct-word count via one row-local array_distinct),
+    so the correlation reduces to the shared exact-sum formula — no
+    float accumulation anywhere before the final rounded expression."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        F.col("n_chars").cast("decimal(19,0)").alias("x"),
+        F.size(F.array_distinct(words_expr(F.col("text"))))
+        .cast("decimal(19,0)")
+        .alias("y"),
+    )
+    s = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return s.select(
+        F.col("n").alias("n_docs"),
+        (F.floor(corr * 1.0e6 + 0.5) / 1.0e6).alias("corr_len_vocab"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration of supplier revenue within each
+# nation: HHI = sum over suppliers of (share)^2, per-supplier terms
+# quantized to integer pico-units before the sum.
+# ---------------------------------------------------------------------------
+@_register(
+    "supplier_nation_herfindahl",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(floor(l.l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY 1
+    ),
+    terms AS (
+      SELECT r.s_nationkey,
+             CAST(floor((CAST(r.cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE))
+                        * (CAST(r.cents AS DOUBLE) / CAST(t.total_cents AS DOUBLE))
+                        * 1.0e12 + 0.5) AS HUGEINT) AS tq
+      FROM rev r JOIN tot t USING (s_nationkey)
+    )
+    SELECT n.n_name AS nation_name, t.n_suppliers,
+           floor(CAST(x.s AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6 AS hhi
+    FROM (SELECT s_nationkey, sum(tq) AS s FROM terms GROUP BY 1) x
+    JOIN tot t USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = x.s_nationkey
+    """,
+)
+def supplier_nation_herfindahl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration index per nation (1/n = perfect
+    competition, 1 = monopoly). Per-supplier squared shares are
+    quantized to pico-units before the order-independent sum; nation
+    dim broadcast at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).cast("long").alias("cents"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    share = F.col("cents").cast("double") / F.col("total_cents").cast("double")
+    terms = rev.join(F.broadcast(tot), "s_nationkey").select(
+        "s_nationkey",
+        F.floor(share * share * 1.0e12 + 0.5).cast("decimal(38,0)").alias("tq"),
+    )
+    x = terms.groupBy("s_nationkey").agg(F.sum("tq").alias("sq"))
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        x.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "n_suppliers",
+            (F.floor(F.col("sq").cast("double") / 1.0e6 + 0.5) / 1.0e6).alias("hhi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Missing-hours completeness audit: which (type, hour) grid cells of
+# the observed time range have NO events — the feed-gap detector.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_missing_hours_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(epoch_us(min(ts)) // 3600000000 AS BIGINT) AS h0,
+             CAST(epoch_us(max(ts)) // 3600000000 AS BIGINT) AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) g
+    ),
+    got AS (
+      SELECT DISTINCT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h
+      FROM events
+    )
+    SELECT g.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours_expected,
+           CAST(sum(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hours_missing
+    FROM grid g LEFT JOIN got o
+      ON o.event_type = g.event_type AND o.h = g.h
+    GROUP BY 1
+    """,
+)
+def events_missing_hours_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected grid = distinct types x hour sequence between the
+    corpus bounds (sequence explode of a 1-row broadcast — never a
+    driver loop); observed hours collapse BEFORE the join. Integer hour
+    indices end to end."""
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.unix_micros("ts") / 3600000000).cast("long")
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    got = ev.select("event_type", hour.alias("h")).distinct().withColumn(
+        "_seen", F.lit(1)
+    )
+    return (
+        grid.join(got, ["event_type", "h"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours_expected"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hours_missing"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding variance profile: mean/variance of every
+# coordinate — collapsed dimensions (near-zero variance) are the
+# encoder-health red flag, and the variance ranking feeds PQ subspace
+# allocation. Exact micro-quantized sums per dim.
+# ---------------------------------------------------------------------------
+@_register(
+    "embedding_dim_variance",
+    oracle="""
+    WITH x AS (
+      SELECT u.i AS dim,
+             CAST(floor(u.v * 1.0e6 + 0.5) AS HUGEINT) AS q
+      FROM (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        FROM embeddings
+      ) u
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(q) AS DOUBLE) / count(*) + 0.5) / 1.0e6 AS mean_val,
+           floor((CAST(sum(q*q) AS DOUBLE) / count(*)
+                  - (CAST(sum(q) AS DOUBLE) / count(*))
+                    * (CAST(sum(q) AS DOUBLE) / count(*))) / 1.0e6 + 0.5) / 1.0e6
+             AS var_val
+    FROM x GROUP BY 1
+    """,
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode to (dim, micro-quantized value), one 64-key agg of
+    exact sums — map-side combine collapses each partition to 64 rows
+    before the shuffle, so the network cost is partitions x 64 rows
+    regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("p", "v")
+    ).select(
+        (F.col("p") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v") * 1.0e6 + 0.5).cast("decimal(19,0)").alias("q"),
+    )
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean_q = F.col("s1").cast("double") / nd
+    var_q = F.col("s2").cast("double") / nd - mean_q * mean_q
+    return s.select(
+        "dim",
+        "n",
+        (F.floor(mean_q + 0.5) / 1.0e6).alias("mean_val"),
+        (F.floor(var_q / 1.0e6 + 0.5) / 1.0e6).alias("var_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram coverage curve: what fraction of all 3-gram OCCURRENCES the
+# top-{10,100,1000} most frequent grams cover — the dedup-payoff
+# forecast (steep curve = heavy boilerplate, flat = diverse corpus).
+# ---------------------------------------------------------------------------
+@_register(
+    "doc_ngram_coverage_curve",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    gr AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+      FROM w
+    ),
+    freq AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM gr GROUP BY 1),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, s) AS BIGINT) AS r,
+             CAST(sum(c) OVER () AS BIGINT) AS total
+      FROM freq
+    ),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS top_k,
+           CAST(sum(CASE WHEN r <= ks.k THEN c ELSE 0 END) AS BIGINT) AS covered,
+           CAST(max(total) AS BIGINT) AS total_occurrences,
+           floor(sum(CASE WHEN r <= ks.k THEN c ELSE 0 END) * 1.0e6 / max(total)
+                 + 0.5) / 1.0e6 AS coverage
+    FROM ranked CROSS JOIN ks
+    GROUP BY 1
+    """,
+)
+def doc_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage at three cut points from ONE ranked pass (the rank
+    window runs over the gram-frequency aggregate, deterministic
+    tiebreak on the gram text). Exact integers, rounded division."""
+    docs = _t(spark, sf_dir, "documents")
+    gr = docs.select(
+        F.explode(word_shingles(words_expr(F.col("text")), 3)).alias("s")
+    )
+    freq = gr.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wr = Window.orderBy(F.col("c").desc(), F.col("s"))
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = freq.select(
+        "c",
+        F.row_number().over(wr).cast("long").alias("r"),
+        F.sum("c").over(wt).cast("long").alias("total"),
+    )
+    ks = docs.sparkSession.createDataFrame([(10,), (100,), (1000,)], "k LONG")
+    cov = F.sum(F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").alias("top_k"))
+        .agg(
+            cov.alias("covered"),
+            F.max("total").cast("long").alias("total_occurrences"),
+            (F.floor(cov * 1.0e6 / F.max("total") + 0.5) / 1.0e6).alias("coverage"),
+        )
+    )
+
+
+# ===========================================================================
+# Wave L — final three: word-length profile, monthly returns rate,
+# source x lang chi-square independence. Slate lands at EXACTLY 50 —
+# one full driver sample, the same budget discipline as round 5.
+# ===========================================================================
+@_register(
+    "text_word_length_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    x AS (SELECT lang, CAST(length(t) AS BIGINT) AS l FROM tok)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(max(l) AS BIGINT) AS max_len,
+           floor(sum(l) * 1.0e6 / count(*) + 0.5) / 1.0e6 AS mean_len,
+           floor(sum(CASE WHEN l >= 8 THEN 1 ELSE 0 END) * 1.0e6 / count(*) + 0.5)
+             / 1.0e6 AS long_word_ratio
+    FROM x GROUP BY 1
+    """,
+)
+def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length morphology per language — one explode + one agg of
+    exact integers, two rounded divisions."""
+    docs = _t(spark, sf_dir, "documents")
+    x = docs.select(
+        "lang", F.explode(words_expr(F.col("text"))).alias("t")
+    ).select("lang", F.length("t").cast("long").alias("l"))
+    n = F.count(F.lit(1)).cast("long")
+    longw = F.sum(F.when(F.col("l") >= 8, 1).otherwise(0)).cast("long")
+    return x.groupBy("lang").agg(
+        n.alias("n_words"),
+        F.max("l").cast("long").alias("max_len"),
+        (F.floor(F.sum("l") * 1.0e6 / n + 0.5) / 1.0e6).alias("mean_len"),
+        (F.floor(longw * 1.0e6 / n + 0.5) / 1.0e6).alias("long_word_ratio"),
+    )
+
+
+@_register(
+    "lineitem_returns_rate_by_month",
+    oracle="""
+    SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           floor(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS return_rate
+    FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_returns_rate_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-flag rate — the ops-health time series. One
+    map-side-combinable agg on an integer yyyymm key."""
+    li = _t(spark, sf_dir, "lineitem")
+    ret = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ship_month")
+    ).agg(
+        n.alias("n_lines"),
+        ret.alias("n_returned"),
+        (F.floor(ret * 1.0e6 / n + 0.5) / 1.0e6).alias("return_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence of (source, lang): is the language mix the
+# same across sources? Per-cell (observed - expected)^2 / expected
+# terms quantized to micro-units before the order-independent sum.
+# ---------------------------------------------------------------------------
+@_register(
+    "doc_source_lang_chi2",
+    oracle="""
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    cols_t AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n_t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    full_grid AS (
+      SELECT r.source, c.lang, r.rt, c.ct, n.n,
+             COALESCE(x.o, 0) AS o
+      FROM rows_t r CROSS JOIN cols_t c CROSS JOIN n_t n
+      LEFT JOIN cells x ON x.source = r.source AND x.lang = c.lang
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1.0e6 + 0.5) AS HUGEINT) AS tq,
+             1 AS one
+      FROM full_grid
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_t) AS n_sources,
+           (SELECT CAST(count(*) AS BIGINT) FROM cols_t) AS n_langs,
+           floor(CAST(sum(tq) AS DOUBLE) + 0.5) / 1.0e6 AS chi2
+    FROM terms
+    """,
+)
+def doc_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square over the full source x lang grid (absent
+    cells count as observed 0 — the grid is the cross join of the two
+    BOUNDED margin tables, never of raw rows). Per-cell terms quantized
+    to micro-units, exact sum, one scalar out."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows_t = cells.groupBy("source").agg(F.sum("o").cast("long").alias("rt"))
+    cols_t = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("ct"))
+    n_t = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .crossJoin(F.broadcast(n_t))
+        .join(cells, ["source", "lang"], "left")
+        .select(
+            "rt",
+            "ct",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+        )
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast(
+        "double"
+    )
+    od = F.col("o").cast("double")
+    terms = grid.select(
+        F.floor((od - e) * (od - e) / e * 1.0e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("tq")
+    )
+    n_sources = rows_t.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    n_langs = cols_t.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+    chi2 = terms.agg(
+        (F.floor(F.sum("tq").cast("double") + 0.5) / 1.0e6).alias("chi2")
+    )
+    return n_sources.crossJoin(F.broadcast(n_langs)).crossJoin(F.broadcast(chi2))

@@ -83,6 +83,16 @@ STAGED_NAMES = [
     "basket_rule_metrics",
     "dedup_lsh_recall_audit",
     "events_ohlc_downsample",
+    # wave K — diversity corr, HHI, completeness, dim variance, coverage
+    "doc_diversity_length_corr",
+    "supplier_nation_herfindahl",
+    "events_missing_hours_audit",
+    "embedding_dim_variance",
+    "doc_ngram_coverage_curve",
+    # wave L — final three (slate = exactly 50, one full driver sample)
+    "text_word_length_profile",
+    "lineitem_returns_rate_by_month",
+    "doc_source_lang_chi2",
 ]
 
 
