@@ -25,18 +25,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"](spark, DEFAULT_SF_DIR)
 
 
-# Names the driver already verified (CORRECTNESS_r01-r03). The driver
+# Names the driver already verified (CORRECTNESS_r01-r04). The driver
 # samples the FIRST 50 names in dict order, so never-checked queries are
 # listed first, then previously-green ones as regression coverage.
 #
-# Round-4 budget math: 47 queries entered this round without a driver
-# CORRECTNESS row (round-4 additions + three whose semantics changed
-# after their green row, noted below) + 3 round-4-wave-5 additions
-# (dedup_semantic_clusters, similarity_lsh_topk,
-# embedding_random_projection) = EXACTLY 50 fresh names — the full
-# driver sample. After this round every registered query has a
-# driver-green row; add the 50 names to _CHECKED in round 5 BEFORE
-# registering new queries, and keep (new + still-unchecked) <= 50.
+# Round-5 budget math: the 50 round-4-green names moved here and the 50
+# queries staged during round 4 (plans/staged_r5.py) activated in the
+# same change — so the fresh set is EXACTLY the activated slate, one
+# full driver sample. Round 6 repeats the cycle: move the round-5-green
+# names here, then activate plans/staged_r6.py (also exactly 50).
 _CHECKED = frozenset(
     {
         # round 1
