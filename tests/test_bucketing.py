@@ -81,3 +81,32 @@ def test_dedup_exact_bucketed_plan_and_parity(spark):
         for r in agg.collect()
     }
     assert bucketed == plain
+
+
+def test_ensure_bucketed_table_keyed_by_join_key_and_bucket_count(spark):
+    """Regression for the round-5 cache fix: the same table requested
+    with a DIFFERENT join key (or bucket count) must get its own
+    physical layout — a silently reused first-key bucketing would
+    reintroduce the Exchange this helper exists to eliminate."""
+    from cioos_siooc_data_transform_spark.operators.bucketing import (
+        ensure_bucketed_table,
+    )
+    from tests.conftest import SF_DIR_SMOKE
+
+    t_cust = ensure_bucketed_table(spark, SF_DIR_SMOKE, "orders", "o_custkey")
+    t_okey = ensure_bucketed_table(spark, SF_DIR_SMOKE, "orders", "o_orderkey")
+    t_cust16 = ensure_bucketed_table(
+        spark, SF_DIR_SMOKE, "orders", "o_custkey", num_buckets=16
+    )
+    assert len({t_cust, t_okey, t_cust16}) == 3, (t_cust, t_okey, t_cust16)
+    # idempotent per (table, key, buckets)
+    assert ensure_bucketed_table(spark, SF_DIR_SMOKE, "orders", "o_custkey") == t_cust
+
+    def bucket_cols(name):
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+            if r.col_name == "Bucket Columns":
+                return r.data_type
+        return None
+
+    assert "o_custkey" in bucket_cols(t_cust)
+    assert "o_orderkey" in bucket_cols(t_okey)
