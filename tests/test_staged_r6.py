@@ -135,3 +135,25 @@ def test_activate_registers_everything_in_subprocess():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ok" in out.stdout
+
+
+def test_staged_plans_never_cartesian(spark):
+    """The staged round-6 set must obey the live registry's 100 TB plan
+    invariants: no CartesianProduct anywhere, and no
+    BroadcastNestedLoopJoin in pair-generating dedup plans. Scalar
+    assemblies (1-row aggregate cross joins) and broadcast probe/grid
+    literals are the allowed BNLJ shapes elsewhere."""
+    qs, _ = _staged()
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR_SMOKE)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan, name
+        if name.startswith("dedup_") and name != "dedup_lsh_recall_audit":
+            # the recall audit's final row is three single-row
+            # aggregates cross-joined (scalar assembly); its
+            # pair-generating joins are bucket/shingle equi-joins.
+            assert "BroadcastNestedLoopJoin" not in plan, name
