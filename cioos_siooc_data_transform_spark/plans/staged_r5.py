@@ -51,6 +51,13 @@ Zipf slope.
 Wave 16: kappa compressibility (rho*c^2*kappa = 1 identity); Heaps'
 law fit; Gini concentration; Simpson diversity.
 
+Organization note (round 5): the module deliberately stays ONE file
+rather than splitting into per-family modules — it is now live registry
+code whose query names anchor CORRECTNESS tracking across rounds, the
+waves give it the same family grouping a split would, and the only
+cross-family sharing worth extracting (the shingle/minhash/LSH CTE
+bank) lives in plans/dedup_queries.py where every module imports it.
+
 The round-4 intentional duplication was hoisted at activation (the
 cleanup the staging plan scheduled): dedup_bag_jaccard_pairs and
 dedup_bbit_minhash now build on the SHARED shingle/minhash/LSH CTE bank
@@ -2430,7 +2437,7 @@ STAGED_ORACLES["langid_confusion_matrix"] = _langid_confusion_oracle()
         ('sample-2024-001-0007', 3, 4.5, 9.9, 31.5)
       ) AS t(file_id, record_idx, depth, temp, sal)
     )
-    SELECT file_id, record_idx, depth,
+    SELECT file_id, record_idx, CAST(depth AS DOUBLE) AS depth,
            round(1448.96 + 4.591*temp - 5.304e-2*temp*temp
                  + 2.374e-4*temp*temp*temp + 1.340*(sal - 35.0)
                  + 1.630e-2*depth + 1.675e-7*depth*depth

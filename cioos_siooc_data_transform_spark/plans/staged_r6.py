@@ -1853,7 +1853,7 @@ def _ios_sigma_theta_oracle() -> str:
         ('sample-2024-001-0007', 3, 4.5, 9.9, 31.5)
       ) AS t(file_id, record_idx, depth, temp, sal)
     )
-    SELECT file_id, record_idx, depth,
+    SELECT file_id, record_idx, CAST(depth AS DOUBLE) AS depth,
            round({_rho0_sql("sal", "theta")} - 1000.0e0, 6) AS sigma_theta
     FROM (SELECT *, {pt0_from_t_sql("sal", "temp", "depth")} AS theta FROM rec)
     """

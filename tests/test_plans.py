@@ -76,13 +76,20 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         # loop there means an all-pairs explosion. (similarity_* may use
         # BroadcastNestedLoopJoin: streaming the corpus against a tiny
         # broadcast query/centroid set is the intended scale plan.)
-        # dedup_semantic_clusters is the one dedup exempt from the BNLJ
-        # ban: its cell assignment streams the corpus against the
-        # 16-row broadcast centroid set (linear, the same intended shape
-        # as similarity_ivf_topk); its PAIR join is still a guarded
-        # (cell, band-bucket) equi-join, which the CartesianProduct
-        # assertion above still covers.
-        if name.startswith("dedup_") and name != "dedup_semantic_clusters":
+        # Two dedup exemptions from the BNLJ ban:
+        # - dedup_semantic_clusters: its cell assignment streams the
+        #   corpus against the 16-row broadcast centroid set (linear,
+        #   the same intended shape as similarity_ivf_topk); its PAIR
+        #   join is still a guarded (cell, band-bucket) equi-join,
+        #   which the CartesianProduct assertion above still covers.
+        # - dedup_layer_funnel (activated round 5): its final row is
+        #   three SINGLE-ROW aggregates cross-joined (scalar assembly);
+        #   every pair-generating join in it remains a bucket equi-join
+        #   (the exemption test_staged_r5 carried while it was parked).
+        if name.startswith("dedup_") and name not in (
+            "dedup_semantic_clusters",
+            "dedup_layer_funnel",
+        ):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
