@@ -1,0 +1,99 @@
+"""Keep the STAGED round-7 queries green while parked
+(plans/staged_r7.py — the round-7 runway; round 6 activates staged_r6
+and keeps filling this module toward 50)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r7 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES
+
+
+def test_staged_not_registered():
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_ = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged r7 queries leaked into the live registry: {leaked}"
+
+
+STAGED_NAMES = [
+    # wave A — GSW tranche 3
+    "gsw_gravity",
+    "gsw_rt_from_sp",
+    "gsw_specvol_anom",
+    # wave B — embedding-label structure
+    "embedding_cell_label_purity",
+    "embedding_fisher_score",
+    # wave C — event-stream anomalies
+    "events_minute_burst_zscore",
+    "events_heavy_hitters",
+]
+
+
+def test_staged_name_list_is_complete():
+    qs, _ = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_normal_gravity_check_values(spark):
+    """IGF-1980 surface gravity: g0(0) = 9.780327, g0(45) ~ 9.806200,
+    g0(90) ~ 9.832186 (p = 0 so the free-air term vanishes)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r7 import grav_sql
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (45.0, 0.0), (90.0, 0.0)], "lat DOUBLE, p DOUBLE"
+    )
+    got = [r[0] for r in df.select(F.expr(grav_sql("lat", "p"))).collect()]
+    assert got[0] == pytest.approx(9.780327, abs=1e-9)
+    assert got[1] == pytest.approx(9.806200, abs=5e-6)
+    assert got[2] == pytest.approx(9.832186, abs=5e-6)
+    # gravity increases with depth (free-air term)
+    deep = spark.createDataFrame([(45.0, 10000.0)], "lat DOUBLE, p DOUBLE")
+    g_deep = deep.select(F.expr(grav_sql("lat", "p"))).collect()[0][0]
+    assert g_deep > got[1]
+
+
+def test_rt_from_sp_roundtrip(spark):
+    """PSS-78 inversion: SP(Rt(SP, t), t) == SP to < 1e-10 across the
+    salinity/temperature range (forward check value SP(1, 15) = 35 is
+    pinned in test_oceanography_checkvalues)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r7 import (
+        _sp_from_rt_sql,
+        rt_from_sp_stages,
+    )
+
+    rows = [
+        (float(sp), float(t))
+        for sp in (2.0, 8.2, 30.0, 35.0, 42.0)
+        for t in (-2.0, 5.0, 15.0, 25.0, 35.0)
+    ]
+    df = spark.createDataFrame(rows, "sp DOUBLE, t DOUBLE")
+    for name, expr in rt_from_sp_stages("sp", "t"):
+        df = df.withColumn(name, F.expr(expr))
+    out = df.select(
+        "sp", F.expr(_sp_from_rt_sql("rt_from_sp", "t")).alias("sp_back")
+    )
+    for r in out.collect():
+        assert abs(r.sp_back - r.sp) < 1e-10, r
