@@ -16,8 +16,11 @@ Content so far:
 - Wave B — embedding-label structure: IVF cell label purity and the
   Fisher between/within class separation score (the embeddings table
   carries a label column).
-- Wave C — event stream: per-minute burst z-scores (integer-exact) and
-  exact heavy-hitters with frequency floor.
+- Wave C — event stream: per-minute burst z-scores (integer-exact,
+  zero-variance guarded) and exact top-10 heavy hitters per type.
+- Wave D — SQL-surface round-out: exact discrete percentile bands
+  (p25/p50/p75/IQR), conditional cumulative reset (epoch windows), and
+  NOT IN with NULL-bearing probes (null-aware anti join semantics).
 """
 
 from __future__ import annotations
@@ -32,6 +35,11 @@ from cioos_siooc_data_transform_spark.session import read_table as _t
 
 STAGED_QUERIES: dict[str, Callable[..., Any]] = {}
 STAGED_ORACLES: dict[str, str] = {}
+
+
+def _cents_col(col: Column) -> Column:
+    """Shared integer-cents idiom (identical on both engines)."""
+    return F.floor(col * 100.0 + F.lit(0.5)).cast("long")
 
 
 def _register(name: str, oracle: str):
@@ -553,4 +561,163 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("type_total"),
         F.col("rn").cast("long").alias("rank"),
         (F.col("c") * 500 >= F.col("n")).alias("above_02pct"),
+    )
+
+
+# ===========================================================================
+# Wave D — SQL-surface round-out: exact percentile bands, conditional
+# cumulative reset, null-aware anti join.
+# ===========================================================================
+@_register(
+    "orders_percentile_bands_exact",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderpriority, cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, 1) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM q
+    )
+    SELECT o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS BIGINT)
+             AS p25_cents,
+           CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents END) AS BIGINT)
+             AS p75_cents,
+           CAST(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents END)
+                - max(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS BIGINT)
+             AS iqr_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def orders_percentile_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE p25/p50/p75 + IQR per priority — order statistics
+    at index floor((n-1)*q)+1, no interpolation, so both engines pick
+    the identical element. One rank window per group over integer
+    cents, then a single agg."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.select(
+        "o_orderpriority", _cents_col(F.col("o_totalprice")).alias("cents")
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("cents")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = q.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(idx):
+        return F.max(F.when(F.col("rn") == idx, F.col("cents"))).cast("long")
+
+    i25 = ((F.col("n") - 1) / 4).cast("long") + 1
+    i50 = ((F.col("n") - 1) / 2).cast("long") + 1
+    i75 = ((F.col("n") - 1) * 3 / 4).cast("long") + 1
+    return ranked.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        at(i25).alias("p25_cents"),
+        at(i50).alias("p50_cents"),
+        at(i75).alias("p75_cents"),
+        (at(i75) - at(i25)).cast("long").alias("iqr_cents"),
+    )
+
+
+@_register(
+    "events_cumulative_reset",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS epoch
+      FROM events
+    )
+    SELECT user_id, event_id, epoch,
+           CAST(sum(v) OVER (
+             PARTITION BY user_id, epoch ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_value_micro
+    FROM seg
+    """,
+)
+def events_cumulative_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum that RESETS at each 'signup' event — the
+    conditional-reset pattern (running session spend, counters that
+    zero on a flag): a running count of reset markers defines the epoch
+    key, then the cumulative sum partitions by (user, epoch). Two
+    windows over the same user partitioning (one Exchange); integer
+    micro-units end to end."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("v"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w)
+        .cast("long")
+        .alias("epoch"),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seg.select(
+        "user_id",
+        "event_id",
+        "epoch",
+        F.sum("v").over(w2).cast("long").alias("running_value_micro"),
+    )
+
+
+@_register(
+    "orders_null_aware_anti",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders_not_in,
+           (SELECT CAST(count(*) AS BIGINT) FROM probe WHERE k IS NULL)
+             AS n_null_probes
+    FROM orders WHERE o_custkey NOT IN (SELECT k FROM probe)
+    """,
+)
+def orders_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a NULL-bearing subquery — the three-valued-logic
+    trap (ONE NULL in the probe side makes NOT IN empty) and the plan
+    Spark handles with a null-aware anti join. The probe side
+    deliberately maps negative-balance BUILDING customers to NULL, so
+    the count is 0 whenever any exists — asserting both engines agree
+    on the semantics, not just the happy path. Uses spark.sql: the
+    null-aware rewrite is a SQL-analyzer feature."""
+    spark.sql("DROP VIEW IF EXISTS _naa_orders")
+    spark.sql("DROP VIEW IF EXISTS _naa_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_naa_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_naa_customer")
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_custkey END AS k
+          FROM _naa_customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_orders_not_in,
+               (SELECT CAST(count(*) AS BIGINT) FROM probe WHERE k IS NULL)
+                 AS n_null_probes
+        FROM _naa_orders WHERE o_custkey NOT IN (SELECT k FROM probe)
+        """
     )

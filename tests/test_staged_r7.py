@@ -40,6 +40,10 @@ STAGED_NAMES = [
     # wave C — event-stream anomalies
     "events_minute_burst_zscore",
     "events_heavy_hitters",
+    # wave D — SQL-surface round-out
+    "orders_percentile_bands_exact",
+    "events_cumulative_reset",
+    "orders_null_aware_anti",
 ]
 
 
