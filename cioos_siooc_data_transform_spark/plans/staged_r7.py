@@ -21,6 +21,9 @@ Content so far:
 - Wave D — SQL-surface round-out: exact discrete percentile bands
   (p25/p50/p75/IQR), conditional cumulative reset (epoch windows), and
   NOT IN with NULL-bearing probes (null-aware anti join semantics).
+- Wave E — EWMA over bounded ordered window lists (exact power-of-two
+  weights), grouped OLS discount elasticity, shingle DF-band profile
+  (the inverted-index cap tuner), co-purchase degree assortativity.
 """
 
 from __future__ import annotations
@@ -720,4 +723,266 @@ def orders_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_null_probes
         FROM _naa_orders WHERE o_custkey NOT IN (SELECT k FROM probe)
         """
+    )
+
+
+# ===========================================================================
+# Wave E — EWMA over ordered window lists, grouped OLS elasticity,
+# shingle document-frequency profile, degree assortativity.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average with alpha = 1/2 over the last
+# 8 events per user. Weights are powers of two, values are integer
+# micro-units, so every term (v * 2^-k) and the <= 8-term sum are EXACT
+# doubles — no rounding ambiguity between engines.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_value_ewma",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    framed AS (
+      SELECT user_id, event_id,
+             list(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
+      FROM q
+    )
+    SELECT user_id, event_id,
+           list_reduce(list_transform(generate_series(1, len(vs)),
+               i -> CAST(vs[len(vs) - i + 1] AS DOUBLE)
+                    * [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625,
+                       0.0078125][i]),
+             (a, b) -> a + b) AS ewma_micro
+    FROM framed
+    """,
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized EWMA (alpha=1/2, window 8): one user-partitioned
+    window collects the ordered frame values, then a row-local fold
+    against a literal power-of-two weight array (newest first). The
+    windowed list is bounded at 8 elements, so memory per row is fixed;
+    at 100 TB this is the batch twin of an applyInPandasWithState
+    running decay."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    framed = q.select(
+        "user_id", "event_id", F.collect_list("v").over(w).alias("vs")
+    )
+    weights = F.array(*[F.lit(0.5 ** k) for k in range(8)])
+    n = F.size("vs")
+    ewma = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(F.col("vs"), (n - i + 1)).cast("double")
+        * F.element_at(weights, i),
+    )
+    return framed.select("user_id", "event_id", ewma.alias("ewma_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: quantity-on-discount slope per brand (the "discount
+# elasticity" screen) — the per-group version of the quantized exact-sum
+# regression machinery.
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_discount_elasticity",
+    oracle="""
+    WITH q AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(l.l_discount * 100.0 + 0.5) AS HUGEINT) AS x,
+             CAST(floor(l.l_quantity + 0.5) AS HUGEINT) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    s AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM q GROUP BY 1
+    )
+    SELECT brand, n AS n_lines,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS qty_per_disc_pct
+    FROM s
+    """,
+)
+def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS slope of quantity on discount-percent from one
+    map-side-combinable agg of exact integer sums (25 brand keys); the
+    slope formula runs on bit-identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("decimal(19,0)").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(19,0)").alias("y"),
+    )
+    s = q.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        "brand",
+        F.col("n").alias("n_lines"),
+        (F.floor(slope * 1.0e6 + 0.5) / 1.0e6).alias("qty_per_disc_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency profile: how many distinct 3-gram shingles
+# fall in each power-of-two DF band — the power-law health check that
+# TUNES the inverted-index caps (max_doc_freq) the dedup operators use.
+# Pure integer CASE bands (no float log2 at bin edges).
+# ---------------------------------------------------------------------------
+@_register(
+    "dedup_shingle_df_profile",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, CAST(count(*) AS BIGINT) AS d FROM sh GROUP BY 1)
+    SELECT CASE WHEN d = 1 THEN '1' WHEN d = 2 THEN '2'
+                WHEN d <= 4 THEN '3-4' WHEN d <= 8 THEN '5-8'
+                WHEN d <= 16 THEN '9-16' WHEN d <= 32 THEN '17-32'
+                WHEN d <= 64 THEN '33-64' ELSE '65+' END AS df_band,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(d) AS BIGINT) AS n_postings
+    FROM df GROUP BY 1
+    """,
+)
+def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DF histogram over the shared distinct-shingle derivation. The
+    n_postings column is what the inverted-index join actually pays per
+    band — the capped bands should carry almost all shingles but a
+    bounded share of postings. Two map-side-combinable aggs."""
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh = distinct_shingles(spark, sf_dir)
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    band = (
+        F.when(F.col("d") == 1, "1")
+        .when(F.col("d") == 2, "2")
+        .when(F.col("d") <= 4, "3-4")
+        .when(F.col("d") <= 8, "5-8")
+        .when(F.col("d") <= 16, "9-16")
+        .when(F.col("d") <= 32, "17-32")
+        .when(F.col("d") <= 64, "33-64")
+        .otherwise("65+")
+    )
+    return df.groupBy(band.alias("df_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("d").cast("long").alias("n_postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph: Pearson correlation of
+# endpoint degrees over all directed edge instances (each undirected
+# edge counted both ways — the standard Newman formulation).
+# ---------------------------------------------------------------------------
+@_register(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (
+      SELECT pa AS u, pb AS w FROM e UNION ALL SELECT pb AS u, pa AS w FROM e
+    ),
+    deg AS (SELECT u AS v, CAST(count(*) AS HUGEINT) AS d FROM und GROUP BY 1),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und JOIN deg da ON da.v = und.u JOIN deg db ON db.v = und.w
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM pairs
+    )
+    SELECT n AS n_edge_ends,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do high-degree products co-purchase with high-degree products?
+    Newman's degree assortativity = Pearson r over (deg(u), deg(w)) for
+    every directed edge instance. Same support>=2 edge set as the
+    triangle/pagerank family; degrees join back on uniform part keys;
+    the correlation reduces to exact integer sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("pa", "pb")
+    )
+    und = e.select(F.col("pa").alias("u"), F.col("pb").alias("w")).unionAll(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("w"))
+    )
+    deg = und.groupBy(F.col("u").alias("v")).agg(
+        F.count(F.lit(1)).cast("decimal(19,0)").alias("d")
+    )
+    da = deg.select(F.col("v").alias("u"), F.col("d").alias("x"))
+    db = deg.select(F.col("v").alias("w"), F.col("d").alias("y"))
+    pairs = und.join(da, "u").join(db, "w")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return s.select(
+        F.col("n").alias("n_edge_ends"),
+        (F.floor(r * 1.0e6 + 0.5) / 1.0e6).alias("assortativity"),
     )

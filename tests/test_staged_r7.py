@@ -44,6 +44,11 @@ STAGED_NAMES = [
     "orders_percentile_bands_exact",
     "events_cumulative_reset",
     "orders_null_aware_anti",
+    # wave E — EWMA, grouped OLS, DF profile, assortativity
+    "events_value_ewma",
+    "lineitem_discount_elasticity",
+    "dedup_shingle_df_profile",
+    "graph_degree_assortativity",
 ]
 
 
