@@ -24,6 +24,10 @@ Content so far:
 - Wave E — EWMA over bounded ordered window lists (exact power-of-two
   weights), grouped OLS discount elasticity, shingle DF-band profile
   (the inverted-index cap tuner), co-purchase degree assortativity.
+- Wave F — calendar seasonal index, exact cross-type audience Jaccard
+  (the HLL intersection's small-domain ground truth), packing fill
+  audit reusing the packer's own oracle, and a time-boxed multi-step
+  funnel via chained anchored joins.
 """
 
 from __future__ import annotations
@@ -986,3 +990,243 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_edge_ends"),
         (F.floor(r * 1.0e6 + 0.5) / 1.0e6).alias("assortativity"),
     )
+
+
+# ===========================================================================
+# Wave F — seasonal index, cross-type audience Jaccard, packing fill
+# audit, window-constrained funnel.
+# ===========================================================================
+@_register(
+    "orders_seasonal_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_months FROM m)
+    SELECT mo AS month, cents AS revenue_cents,
+           floor(CAST(cents AS DOUBLE) * CAST(n_months AS DOUBLE)
+                 / CAST(total AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS seasonal_index
+    FROM m CROSS JOIN t
+    """,
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonal index (1.0 = average month): integer
+    monthly rollup, 1-row totals broadcast, one rounded ratio."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.month("o_orderdate").cast("long").alias("month")).agg(
+        F.sum(_cents_col(F.col("o_totalprice"))).cast("long").alias("revenue_cents")
+    )
+    t = m.agg(
+        F.sum("revenue_cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+    )
+    idx = (
+        F.col("revenue_cents").cast("double")
+        * F.col("n_months").cast("double")
+        / F.col("total").cast("double")
+    )
+    return m.crossJoin(F.broadcast(t)).select(
+        "month",
+        "revenue_cents",
+        (F.floor(idx * 1.0e6 + 0.5) / 1.0e6).alias("seasonal_index"),
+    )
+
+
+@_register(
+    "events_type_audience_jaccard",
+    oracle="""
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM u a JOIN u b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_common,
+           sa.n AS n_a, sb.n AS n_b,
+           floor(i.n_common * 1.0e6 / (sa.n + sb.n - i.n_common) + 0.5) / 1.0e6
+             AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+)
+def events_type_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience overlap (Jaccard) between every pair of event
+    types — the small-domain exact twin of the HLL
+    inclusion-exclusion estimate (5 types -> 10 pairs; the self-join
+    explodes per USER, bounded by types-per-user <= 5). Integer set
+    sizes, one rounded division."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").distinct()
+    sz = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = u.select(F.col("event_type").alias("type_a"), "user_id")
+    b = u.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.floor(
+                    F.col("n_common")
+                    * 1.0e6
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _pack_fill_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.packing_queries import _CAPACITY
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES
+
+    inner = ORACLES["pack_greedy_nosplit"]
+    return f"""
+    WITH bins AS (
+      SELECT source, bin_id, CAST(sum(tokens) AS BIGINT) AS fill,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM ({inner}) g
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(min(fill) AS BIGINT) AS min_fill,
+           CAST(max(fill) AS BIGINT) AS max_fill,
+           floor(sum(fill) * 1.0e6 / (count(*) * {_CAPACITY}) + 0.5) / 1.0e6
+             AS mean_fill_ratio
+    FROM bins
+    """
+
+
+@_register("pack_fill_efficiency_audit", oracle="__LAZY__")
+def pack_fill_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of the greedy no-split packer: bins, docs,
+    min/max fill, and the mean fill ratio (1 - ratio = padding burned
+    per batch). Reuses the packing operator's output AND its oracle (the
+    recursive-CTE scan wrapped in a rollup) — so the audit can never
+    drift from the packer it audits."""
+    from cioos_siooc_data_transform_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+    from cioos_siooc_data_transform_spark.plans.packing_queries import _CAPACITY
+
+    packed = pack_greedy_nosplit(_t(spark, sf_dir, "documents"), _CAPACITY)
+    bins = packed.groupBy("source", "bin_id").agg(
+        F.sum("tokens").cast("long").alias("fill"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return bins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.min("fill").cast("long").alias("min_fill"),
+        F.max("fill").cast("long").alias("max_fill"),
+        (
+            F.floor(
+                F.sum("fill") * 1.0e6 / (F.count(F.lit(1)) * _CAPACITY) + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_fill_ratio"),
+    )
+
+
+STAGED_ORACLES["pack_fill_efficiency_audit"] = _pack_fill_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Window-constrained funnel: signup -> first click within 1 h of the
+# signup -> first purchase within 24 h of that click, per user. The
+# multi-step temporal join done as TWO chained forward as-of scans
+# (never a range self-join).
+# ---------------------------------------------------------------------------
+@_register(
+    "funnel_window_constrained",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    first_signup AS (
+      SELECT user_id, min(us) AS s_us FROM e WHERE event_type = 'signup'
+      GROUP BY 1
+    ),
+    first_click AS (
+      SELECT e.user_id, min(e.us) AS c_us
+      FROM e JOIN first_signup f USING (user_id)
+      WHERE e.event_type = 'click' AND e.us > f.s_us
+        AND e.us - f.s_us <= 3600000000
+      GROUP BY 1
+    ),
+    first_purchase AS (
+      SELECT e.user_id, min(e.us) AS p_us
+      FROM e JOIN first_click c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > c.c_us
+        AND e.us - c.c_us <= 86400000000
+      GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM first_signup) AS n_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM first_click) AS n_click_1h,
+           (SELECT CAST(count(*) AS BIGINT) FROM first_purchase)
+             AS n_purchase_24h
+    """,
+)
+def funnel_window_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed conversion funnel: each stage is a per-user min-
+    aggregate JOINED against the previous stage's anchor with an
+    integer-microsecond window predicate — user-keyed equi-joins
+    (broadcastable anchors), never an event-level range self-join.
+    Three exact counts out."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    fs = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fs, "user_id")
+        .filter(
+            (F.col("us") > F.col("s_us"))
+            & (F.col("us") - F.col("s_us") <= 3600000000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(
+            (F.col("us") > F.col("c_us"))
+            & (F.col("us") - F.col("c_us") <= 86400000000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    n1 = fs.agg(F.count(F.lit(1)).cast("long").alias("n_signup"))
+    n2 = fc.agg(F.count(F.lit(1)).cast("long").alias("n_click_1h"))
+    n3 = fp.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_24h"))
+    return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))

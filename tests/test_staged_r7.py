@@ -49,6 +49,11 @@ STAGED_NAMES = [
     "lineitem_discount_elasticity",
     "dedup_shingle_df_profile",
     "graph_degree_assortativity",
+    # wave F — seasonal index, audience Jaccard, packing audit, funnel
+    "orders_seasonal_index",
+    "events_type_audience_jaccard",
+    "pack_fill_efficiency_audit",
+    "funnel_window_constrained",
 ]
 
 
