@@ -28,6 +28,8 @@ Content so far:
   (the HLL intersection's small-domain ground truth), packing fill
   audit reusing the packer's own oracle, and a time-boxed multi-step
   funnel via chained anchored joins.
+- Wave G — Benford first-digit audit (precomputed log10 literals) and
+  one-way ANOVA F over part types (exact-sum between/within scatter).
 """
 
 from __future__ import annotations
@@ -1230,3 +1232,152 @@ def funnel_window_constrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = fc.agg(F.count(F.lit(1)).cast("long").alias("n_click_1h"))
     n3 = fp.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_24h"))
     return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+
+
+# ===========================================================================
+# Wave G — Benford first-digit audit and one-way ANOVA.
+# ===========================================================================
+_BENFORD = {
+    1: "0.3010299956639812e0", 2: "0.17609125905568124e0",
+    3: "0.12493873660829992e0", 4: "0.09691001300805642e0",
+    5: "0.07918124604762482e0", 6: "0.06694678963061322e0",
+    7: "0.05799194697768673e0", 8: "0.05115252244738129e0",
+    9: "0.04575749056067514e0",
+}  # log10(1 + 1/d), precomputed so both engines see the same literals
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {lit}" for d, lit in _BENFORD.items()
+) + " END"
+
+
+@_register(
+    "lineitem_benford_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    c AS (SELECT digit, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM c)
+    SELECT digit, o AS observed,
+           CAST(floor(({_BENFORD_CASE}) * CAST(n.n AS DOUBLE) + 0.5) AS BIGINT)
+             AS expected,
+           floor((CAST(o AS DOUBLE) / CAST(n.n AS DOUBLE)
+                  - ({_BENFORD_CASE})) * 1.0e6 + 0.5) / 1.0e6 AS deviation
+    FROM c CROSS JOIN n
+    """,
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of prices vs Benford's law
+    (the classic fabricated-data screen — synthetic uniform generators
+    fail it loudly, which is itself informative on this corpus). The
+    digit comes from the integer-cents string, so extraction is exact;
+    expected counts use precomputed log10(1+1/d) literals identical in
+    both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    d = li.filter(F.col("l_extendedprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    n = c.agg(F.sum("observed").cast("long").alias("n"))
+    p = F.expr(_BENFORD_CASE)
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            F.floor(p * F.col("n").cast("double") + 0.5)
+            .cast("long")
+            .alias("expected"),
+            (
+                F.floor(
+                    (F.col("observed").cast("double") / F.col("n").cast("double") - p)
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("deviation"),
+        )
+    )
+
+
+@_register(
+    "part_type_price_anova",
+    oracle="""
+    WITH q AS (
+      SELECT p_type, CAST(floor(p_retailprice * 100.0 + 0.5) AS HUGEINT) AS v
+      FROM part
+    ),
+    g AS (
+      SELECT p_type, CAST(count(*) AS BIGINT) AS n, sum(v) AS s1, sum(v*v) AS s2
+      FROM q GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s1) AS t1,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    parts AS (
+      SELECT
+        (SELECT sum(CAST(g.n AS DOUBLE)
+            * (CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE)
+               - CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE))
+            * (CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE)
+               - CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE))) FROM g) AS ssb,
+        (SELECT sum(CAST(g.s2 AS DOUBLE)
+            - CAST(g.s1 AS DOUBLE)*CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE))
+         FROM g) AS ssw,
+        t.k, t.nt
+      FROM t
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(nt AS BIGINT) AS n_rows,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nt - k AS BIGINT) AS df_within,
+           floor((ssb / (k - 1)) / (ssw / (nt - k)) * 1.0e6 + 0.5) / 1.0e6
+             AS f_statistic
+    FROM parts
+    """,
+)
+def part_type_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does retail price differ across part types? F =
+    (SSB/df_b)/(SSW/df_w) from exact per-group integer sums (the same
+    between/within machinery as the Fisher embedding score, one
+    variable, 6 groups). One map-side-combinable agg; everything after
+    is group-table-sized."""
+    p = _t(spark, sf_dir, "part")
+    q = p.select(
+        "p_type", _cents_col(F.col("p_retailprice")).cast("decimal(19,0)").alias("v")
+    )
+    g = q.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s1").alias("t1"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    mu_g = F.col("s1").cast("double") / F.col("n").cast("double")
+    mu = F.col("t1").cast("double") / F.col("nt").cast("double")
+    ssb_term = F.col("n").cast("double") * (mu_g - mu) * (mu_g - mu)
+    ssw_term = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double") / F.col("n").cast("double")
+    agg = j.groupBy("k", "nt").agg(
+        F.sum(ssb_term).alias("ssb"), F.sum(ssw_term).alias("ssw")
+    )
+    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (
+        F.col("ssw") / (F.col("nt") - F.col("k"))
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nt").cast("long").alias("n_rows"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("nt") - F.col("k")).cast("long").alias("df_within"),
+        (F.floor(f_stat * 1.0e6 + 0.5) / 1.0e6).alias("f_statistic"),
+    )

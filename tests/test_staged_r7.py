@@ -54,6 +54,9 @@ STAGED_NAMES = [
     "events_type_audience_jaccard",
     "pack_fill_efficiency_audit",
     "funnel_window_constrained",
+    # wave G — Benford audit, one-way ANOVA
+    "lineitem_benford_audit",
+    "part_type_price_anova",
 ]
 
 
