@@ -30,6 +30,9 @@ Content so far:
   funnel via chained anchored joins.
 - Wave G — Benford first-digit audit (precomputed log10 literals) and
   one-way ANOVA F over part types (exact-sum between/within scatter).
+- Wave H — 2-D Pareto skyline via the O(n log n) RANGE-frame window
+  (never a dominance self-join), supplier-part bipartite density,
+  Lorenz curve at customer deciles.
 """
 
 from __future__ import annotations
@@ -1380,4 +1383,169 @@ def part_type_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") - 1).cast("long").alias("df_between"),
         (F.col("nt") - F.col("k")).cast("long").alias("df_within"),
         (F.floor(f_stat * 1.0e6 + 0.5) / 1.0e6).alias("f_statistic"),
+    )
+
+
+# ===========================================================================
+# Wave H — 2-D skyline, bipartite density, Lorenz curve points.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Pareto skyline of parts on (cheaper price, bigger size): a part is
+# dominated when some part is <= on price and >= on size with one
+# strict. The O(n log n) window formulation — never the naive O(n^2)
+# dominance self-join: sort by price, compare each part's size to the
+# running max over STRICTLY cheaper parts (RANGE frame on integer
+# cents) and to the max at its own price point.
+# ---------------------------------------------------------------------------
+@_register(
+    "part_price_size_skyline",
+    oracle="""
+    WITH q AS (
+      SELECT p_partkey,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    w AS (
+      SELECT p_partkey, cents, size,
+             max(size) OVER (ORDER BY cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper,
+             max(size) OVER (PARTITION BY cents) AS best_same_price
+      FROM q
+    )
+    SELECT p_partkey AS part_key, cents AS price_cents, size
+    FROM w
+    WHERE (best_cheaper IS NULL OR best_cheaper < size)
+      AND size = best_same_price
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal) parts: survive iff no strictly-cheaper
+    part is at least as big AND no same-price part is bigger. One sort
+    (RANGE frame over integer cents) instead of a dominance self-join —
+    the formulation that stays O(n log n) at 100 TB (partition the
+    price axis and merge partial skylines when one sort won't fit)."""
+    p = _t(spark, sf_dir, "part")
+    q = p.select(
+        "p_partkey",
+        _cents_col(F.col("p_retailprice")).alias("cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
+    w_same = Window.partitionBy("cents")
+    ww = q.select(
+        "p_partkey",
+        "cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same_price"),
+    )
+    return ww.filter(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
+        & (F.col("size") == F.col("best_same_price"))
+    ).select(
+        F.col("p_partkey").alias("part_key"),
+        F.col("cents").alias("price_cents"),
+        "size",
+    )
+
+
+@_register(
+    "supplier_part_bipartite_density",
+    oracle="""
+    WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    SELECT (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM e) AS n_suppliers,
+           (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM e) AS n_parts,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           floor(count(*) * 1.0e6
+                 / ((SELECT count(DISTINCT l_suppkey) FROM e)
+                    * (SELECT count(DISTINCT l_partkey) FROM e)) + 0.5) / 1.0e6
+             AS density
+    FROM e
+    """,
+)
+def supplier_part_bipartite_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-part bipartite graph summary: side cardinalities, edge
+    count, and fill density — the sanity numbers behind every
+    co-purchase/triangle analysis (a density near 1 means those graphs
+    degenerate to cliques). One distinct + count aggs."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select("l_suppkey", "l_partkey").distinct()
+    agg = e.agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+    )
+    return agg.select(
+        "n_suppliers",
+        "n_parts",
+        "n_edges",
+        (
+            F.floor(
+                F.col("n_edges") * 1.0e6 / (F.col("n_suppliers") * F.col("n_parts"))
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("density"),
+    )
+
+
+@_register(
+    "orders_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(floor(o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+      FROM rev
+    ),
+    d AS (
+      SELECT decile, CAST(sum(cents) AS BIGINT) AS dec_cents,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, dec_cents,
+           floor(CAST(sum(dec_cents) OVER (ORDER BY decile) AS BIGINT) * 1.0e6
+                 / (SELECT sum(dec_cents) FROM d) + 0.5) / 1.0e6
+             AS cum_revenue_share
+    FROM d
+    """,
+)
+def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at customer deciles (poorest -> richest by
+    lifetime revenue): the distribution view behind the Gini scalar
+    already live. ntile runs over the customer-level AGGREGATE with a
+    deterministic tiebreak; cumulative share is exact integers until
+    one rounded division per decile."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(_cents_col(F.col("o_totalprice"))).cast("long").alias("cents")
+    )
+    wn = Window.orderBy("cents", "o_custkey")
+    ranked = rev.select("cents", F.ntile(10).over(wn).alias("decile"))
+    d = ranked.groupBy("decile").agg(
+        F.sum("cents").cast("long").alias("dec_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+    )
+    wc = Window.orderBy("decile")
+    total = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return d.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_customers",
+        "dec_cents",
+        (
+            F.floor(
+                F.sum("dec_cents").over(wc).cast("long")
+                * 1.0e6
+                / F.sum("dec_cents").over(total)
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("cum_revenue_share"),
     )

@@ -57,6 +57,10 @@ STAGED_NAMES = [
     # wave G — Benford audit, one-way ANOVA
     "lineitem_benford_audit",
     "part_type_price_anova",
+    # wave H — skyline, bipartite density, Lorenz curve
+    "part_price_size_skyline",
+    "supplier_part_bipartite_density",
+    "orders_lorenz_curve",
 ]
 
 
