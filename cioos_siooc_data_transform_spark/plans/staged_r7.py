@@ -33,6 +33,9 @@ Content so far:
 - Wave H — 2-D Pareto skyline via the O(n log n) RANGE-frame window
   (never a dominance self-join), supplier-part bipartite density,
   Lorenz curve at customer deciles.
+- Wave I — Markov stationary distribution by exact-integer power
+  iteration (pico-unit probabilities, per-term integer floor-division —
+  the PageRank discipline on the 5-state journey chain).
 """
 
 from __future__ import annotations
@@ -1548,4 +1551,113 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1.0e6
         ).alias("cum_revenue_share"),
+    )
+
+
+# ===========================================================================
+# Wave I — Markov stationary distribution by exact-integer power
+# iteration (the iterative-algorithm pattern on a bounded state space,
+# with a fully unrolled oracle).
+# ===========================================================================
+_MARKOV_ITERS = 8
+
+
+def _markov_iter_sql() -> str:
+    """p0 = uniform in pico-units; each iteration computes
+    p_{k+1}(s') = sum_s (p_k(s) * c(s,s')) // rowtotal(s) — integer
+    floor-division per term then integer sum, so every iterate is
+    EXACTLY reproducible regardless of partitioning or engine."""
+    ctes = [
+        """t AS (
+      SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               event_type AS next
+        FROM events
+      ) WHERE prev IS NOT NULL
+      GROUP BY 1, 2
+    )""",
+        """rt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS total FROM t GROUP BY 1)""",
+        """p0 AS (
+      SELECT prev AS state, CAST(1000000000000 / count(*) OVER () AS BIGINT) AS pq
+      FROM (SELECT DISTINCT prev FROM t)
+    )""",
+    ]
+    for k in range(_MARKOV_ITERS):
+        ctes.append(
+            f"""p{k + 1} AS (
+      SELECT t.next AS state,
+             CAST(sum((p.pq * t.c) // rt.total) AS BIGINT) AS pq
+      FROM p{k} p
+      JOIN t ON t.prev = p.state
+      JOIN rt ON rt.prev = p.state
+      GROUP BY 1
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@_register(
+    "events_markov_stationary",
+    oracle=f"""
+    WITH {_markov_iter_sql()}
+    SELECT state, floor(pq / 1.0e6 + 0.5) / 1.0e6 AS stationary_prob
+    FROM p{_MARKOV_ITERS}
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-journey Markov chain (which
+    event type the process spends its time in): {_MARKOV_ITERS} power
+    iterations over the 5x5 transition matrix. Every iterate lives in
+    integer pico-units with per-term integer floor-division, so the
+    fixed-point trajectory is bit-identical on both engines and under
+    any partitioning — the same exact-integer discipline as the live
+    integer PageRank, on a bounded state space (the iteration data is
+    dimension-table-sized; only the transition-count agg touches the
+    fact table)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t = t.localCheckpoint(eager=False)
+    # rt derives from t, so joining back on prev==prev would resolve to
+    # the SAME attribute (trivially true — a 5x explosion); rename the
+    # rollup key before the join.
+    rt = (
+        t.groupBy("prev")
+        .agg(F.sum("c").cast("long").alias("total"))
+        .select(F.col("prev").alias("rprev"), "total")
+    )
+    states = t.select("prev").distinct()
+    n_states = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = states.select(
+        F.col("prev").alias("state"),
+        (F.lit(1000000000000) / F.count(F.lit(1)).over(n_states))
+        .cast("long")
+        .alias("pq"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        p = (
+            p.join(t, p["state"] == t["prev"])
+            .join(rt, F.col("prev") == F.col("rprev"))
+            .select(
+                F.col("next").alias("state"),
+                F.expr("(pq * c) DIV total").alias("term"),
+            )
+            .groupBy("state")
+            .agg(F.sum("term").cast("long").alias("pq"))
+        )
+    return p.select(
+        "state",
+        (F.floor(F.col("pq") / 1.0e6 + 0.5) / 1.0e6).alias("stationary_prob"),
     )

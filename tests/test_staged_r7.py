@@ -61,6 +61,8 @@ STAGED_NAMES = [
     "part_price_size_skyline",
     "supplier_part_bipartite_density",
     "orders_lorenz_curve",
+    # wave I — exact-integer power iteration
+    "events_markov_stationary",
 ]
 
 
