@@ -36,6 +36,10 @@ Content so far:
 - Wave I — Markov stationary distribution by exact-integer power
   iteration (pico-unit probabilities, per-term integer floor-division —
   the PageRank discipline on the 5-state journey chain).
+- Wave J — primary-key uniqueness audit across all eight tables,
+  winsorized mean at exact p5/p95 order statistics, and the Duncan
+  dissimilarity index between segment nation mixes (pico-unit
+  quantized terms).
 """
 
 from __future__ import annotations
@@ -1660,4 +1664,225 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "state",
         (F.floor(F.col("pq") / 1.0e6 + 0.5) / 1.0e6).alias("stationary_prob"),
+    )
+
+
+# ===========================================================================
+# Wave J — PK uniqueness audit, winsorized mean, segment dissimilarity.
+# ===========================================================================
+@_register(
+    "table_pk_uniqueness_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_pk
+      FROM orders
+      UNION ALL
+      SELECT 'customer', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer
+      UNION ALL
+      SELECT 'part', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part
+      UNION ALL
+      SELECT 'supplier', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT s_suppkey) AS BIGINT) FROM supplier
+      UNION ALL
+      SELECT 'lineitem', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT l_orderkey * 16 + l_linenumber) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT event_id) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'documents', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents
+      UNION ALL
+      SELECT 'embeddings', CAST(count(*) AS BIGINT),
+             CAST(count(DISTINCT vec_id) AS BIGINT) FROM embeddings
+    )
+    """,
+)
+def table_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness across every fact/dim table in one pass
+    each — the first data-contract gate of any ingest (n_rows ==
+    n_distinct_pk or the key is broken; lineitem uses the composite
+    (orderkey, linenumber) packed into one integer since linenumber
+    < 16). Eight independent scans unioned; each is one count agg."""
+    pks = [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+        ("lineitem", None),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]
+    outs = []
+    for table, pk in pks:
+        df = _t(spark, sf_dir, table)
+        key = (
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber"))
+            if pk is None
+            else F.col(pk)
+        )
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(key).cast("long").alias("n_distinct_pk"),
+            ).select(F.lit(table).alias("table_name"), "n_rows", "n_distinct_pk")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@_register(
+    "events_winsorized_mean",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    cuts AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n - 1) // 20 + 1 THEN v END) AS p05,
+             max(CASE WHEN rn = ((n - 1) * 19) // 20 + 1 THEN v END) AS p95
+      FROM ranked GROUP BY 1
+    )
+    SELECT q.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(CASE WHEN q.v < c.p05 THEN c.p05
+                               WHEN q.v > c.p95 THEN c.p95
+                               ELSE q.v END) / count(*)) AS BIGINT)
+             AS winsorized_mean_micro,
+           CAST(sum(CASE WHEN q.v < c.p05 OR q.v > c.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM q JOIN cuts c USING (event_type)
+    GROUP BY 1
+    """,
+)
+def events_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per type: clamp at the exact discrete p5/p95
+    order statistics (both engines pick the identical element), then an
+    exact integer mean — the robust-location estimator that, unlike the
+    trimmed mean already live, keeps n constant. One rank window + one
+    agg with the 5-row cut table broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("v")
+    )
+    wr = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    ranked = q.select(
+        "event_type",
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    i05 = ((F.col("n") - 1) / 20).cast("long") + 1
+    i95 = ((F.col("n") - 1) * 19 / 20).cast("long") + 1
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == i05, F.col("v"))).alias("p05"),
+        F.max(F.when(F.col("rn") == i95, F.col("v"))).alias("p95"),
+    )
+    clamped = (
+        F.when(F.col("v") < F.col("p05"), F.col("p05"))
+        .when(F.col("v") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("v"))
+    )
+    out_of = F.when(
+        (F.col("v") < F.col("p05")) | (F.col("v") > F.col("p95")), 1
+    ).otherwise(0)
+    return (
+        q.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.floor(F.sum(clamped) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("winsorized_mean_micro"),
+            F.sum(out_of).cast("long").alias("n_clamped"),
+        )
+    )
+
+
+@_register(
+    "segment_nation_dissimilarity",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT seg, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1),
+    grid AS (
+      SELECT nk,
+             CAST(COALESCE(max(CASE WHEN seg = 'BUILDING' THEN n END), 0)
+                  AS BIGINT) AS nb,
+             CAST(COALESCE(max(CASE WHEN seg = 'MACHINERY' THEN n END), 0)
+                  AS BIGINT) AS nm
+      FROM c GROUP BY 1
+    )
+    SELECT (SELECT t FROM tot WHERE seg = 'BUILDING') AS n_building,
+           (SELECT t FROM tot WHERE seg = 'MACHINERY') AS n_machinery,
+           floor(CAST(sum(CAST(floor(abs(
+             CAST(nb AS DOUBLE) / (SELECT t FROM tot WHERE seg = 'BUILDING')
+             - CAST(nm AS DOUBLE) / (SELECT t FROM tot WHERE seg = 'MACHINERY'))
+             * 1.0e12 + 0.5) AS HUGEINT)) AS DOUBLE) * 0.5 / 1.0e6 + 0.5) / 1.0e6
+             AS dissimilarity_index
+    FROM grid
+    """,
+)
+def segment_nation_dissimilarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duncan dissimilarity index between two segments' nation mixes
+    (0 = identical distribution, 1 = disjoint): 0.5 * sum |p_i - q_i|
+    over the 25-nation grid. Counts exact; each |p_i - q_i| term is
+    quantized to integer pico-units BEFORE the sum (the repo-wide
+    order-independence discipline — even a 25-addend double sum can
+    flip a 6-dp boundary under a different partitioning), then one
+    final rounded expression."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = c.groupBy("nk").agg(
+        F.coalesce(F.max(F.when(F.col("seg") == "BUILDING", F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("nb"),
+        F.coalesce(F.max(F.when(F.col("seg") == "MACHINERY", F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("nm"),
+    )
+    tot = grid.agg(
+        F.sum("nb").cast("long").alias("n_building"),
+        F.sum("nm").cast("long").alias("n_machinery"),
+    )
+    j = grid.crossJoin(F.broadcast(tot))
+    term_q = F.floor(
+        F.abs(
+            F.col("nb").cast("double") / F.col("n_building").cast("double")
+            - F.col("nm").cast("double") / F.col("n_machinery").cast("double")
+        )
+        * 1.0e12
+        + 0.5
+    ).cast("decimal(19,0)")
+    return (
+        j.groupBy("n_building", "n_machinery")
+        .agg(
+            (
+                F.floor(F.sum(term_q).cast("double") * 0.5 / 1.0e6 + 0.5) / 1.0e6
+            ).alias("dissimilarity_index")
+        )
+        .select("n_building", "n_machinery", "dissimilarity_index")
     )

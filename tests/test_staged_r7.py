@@ -63,6 +63,10 @@ STAGED_NAMES = [
     "orders_lorenz_curve",
     # wave I — exact-integer power iteration
     "events_markov_stationary",
+    # wave J — PK audit, winsorized mean, Duncan dissimilarity
+    "table_pk_uniqueness_audit",
+    "events_winsorized_mean",
+    "segment_nation_dissimilarity",
 ]
 
 
