@@ -40,6 +40,9 @@ Content so far:
   winsorized mean at exact p5/p95 order statistics, and the Duncan
   dissimilarity index between segment nation mixes (pico-unit
   quantized terms).
+- Wave K — trailing-12-month revenue via an integer RANGE frame (gaps
+  shorten the window), int8 quantization reconstruction-error audit,
+  order-to-first-shipment lag bands.
 """
 
 from __future__ import annotations
@@ -1885,4 +1888,154 @@ def segment_nation_dissimilarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dissimilarity_index")
         )
         .select("n_building", "n_machinery", "dissimilarity_index")
+    )
+
+
+# ===========================================================================
+# Wave K — trailing-12-month RANGE window, int8 quantization error
+# audit, order-to-ship lag histogram.
+# ===========================================================================
+@_register(
+    "orders_rolling_12m_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+               AS month_idx,
+             CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment, month_idx, cents AS month_cents,
+           CAST(sum(cents) OVER (PARTITION BY segment ORDER BY month_idx
+                                 RANGE BETWEEN 11 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_12m_cents
+    FROM m
+    """,
+)
+def orders_rolling_12m_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-12-month revenue per segment: RANGE frame over an
+    integer month index, so missing months genuinely shorten the
+    window (a ROWS frame would silently span gaps). The window runs
+    over the monthly AGGREGATE (~5 segments x 80 months); integer cents
+    end to end."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    m = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("month_idx"),
+        )
+        .agg(F.sum(_cents_col(F.col("o_totalprice"))).cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("month_idx")
+        .rangeBetween(-11, Window.currentRow)
+    )
+    return m.select(
+        "segment",
+        "month_idx",
+        F.col("cents").alias("month_cents"),
+        F.sum("cents").over(w).cast("long").alias("trailing_12m_cents"),
+    )
+
+
+@_register(
+    "embedding_int8_error_audit",
+    oracle="""
+    WITH per_vec AS (
+      SELECT vec_id,
+             CAST(floor(list_max(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> abs(x - round(x * 127.0 / list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                    * list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), y -> abs(y))) / 127.0)))
+               * 1.0e9 + 0.5) AS BIGINT) AS max_err_nano
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(max_err_nano) AS BIGINT) AS worst_err_nano,
+           CAST(floor(sum(max_err_nano) / count(*)) AS BIGINT) AS mean_err_nano
+    FROM per_vec
+    """,
+)
+def embedding_int8_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit of symmetric per-vector int8
+    quantization (scale = max|x|/127 — the embedding_quantize_int8
+    recipe): per-vector worst absolute error in nano-units, corpus
+    max and exact integer mean. Row-local array math, one tiny agg;
+    the bound to watch is worst_err <= scale/2 (round-to-nearest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda y: F.abs(y)))
+    err = F.transform(
+        e, lambda x: F.abs(x - F.round(x * 127.0 / scale) * scale / 127.0)
+    )
+    per_vec = emb.select(
+        "vec_id",
+        F.floor(F.array_max(err) * 1.0e9 + 0.5).cast("long").alias("max_err_nano"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max("max_err_nano").cast("long").alias("worst_err_nano"),
+        F.floor(F.sum("max_err_nano") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_err_nano"),
+    )
+
+
+@_register(
+    "orders_ship_lag_histogram",
+    oracle="""
+    WITH lag_days AS (
+      SELECT l.l_orderkey,
+             CAST(date_diff('day', o.o_orderdate, min(l.l_shipdate)) AS BIGINT)
+               AS first_ship_lag
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, o.o_orderdate
+    )
+    SELECT CASE WHEN first_ship_lag < 0 THEN 'negative'
+                WHEN first_ship_lag <= 7 THEN '0-7'
+                WHEN first_ship_lag <= 30 THEN '8-30'
+                WHEN first_ship_lag <= 90 THEN '31-90'
+                ELSE '91+' END AS lag_band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(first_ship_lag) AS BIGINT) AS min_days,
+           CAST(max(first_ship_lag) AS BIGINT) AS max_days
+    FROM lag_days GROUP BY 1
+    """,
+)
+def orders_ship_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-shipment lag bands (fulfillment SLA view, with a
+    'negative' band that surfaces data-quality violations instead of
+    hiding them). One orderkey-keyed join+agg, then integer CASE
+    bands."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag_days = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("first_ship_lag")
+        )
+    )
+    band = (
+        F.when(F.col("first_ship_lag") < 0, "negative")
+        .when(F.col("first_ship_lag") <= 7, "0-7")
+        .when(F.col("first_ship_lag") <= 30, "8-30")
+        .when(F.col("first_ship_lag") <= 90, "31-90")
+        .otherwise("91+")
+    )
+    return lag_days.groupBy(band.alias("lag_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("first_ship_lag").cast("long").alias("min_days"),
+        F.max("first_ship_lag").cast("long").alias("max_days"),
     )

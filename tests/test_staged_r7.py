@@ -67,6 +67,10 @@ STAGED_NAMES = [
     "table_pk_uniqueness_audit",
     "events_winsorized_mean",
     "segment_nation_dissimilarity",
+    # wave K — trailing 12m RANGE window, int8 error audit, ship lag
+    "orders_rolling_12m_revenue",
+    "embedding_int8_error_audit",
+    "orders_ship_lag_histogram",
 ]
 
 
