@@ -43,6 +43,10 @@ Content so far:
 - Wave K — trailing-12-month revenue via an integer RANGE frame (gaps
   shorten the window), int8 quantization reconstruction-error audit,
   order-to-first-shipment lag bands.
+- Wave L — within-session type co-occurrence (sessionize -> bounded
+  pair join), Fano-factor term burstiness for the top vocabulary, and
+  between/within unit-price variance decomposition (quantized ANOVA
+  terms at part-key cardinality).
 """
 
 from __future__ import annotations
@@ -398,16 +402,18 @@ def embedding_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios AS (
       SELECT d.dim,
              CAST(floor(
-               (SELECT sum(CAST(c.n AS DOUBLE)
+               CAST((SELECT sum(CAST(floor(CAST(c.n AS DOUBLE)
                    * (CAST(c.s1 AS DOUBLE)/CAST(c.n AS DOUBLE)
                       - CAST(d.t1 AS DOUBLE)/CAST(d.nt AS DOUBLE))
                    * (CAST(c.s1 AS DOUBLE)/CAST(c.n AS DOUBLE)
-                      - CAST(d.t1 AS DOUBLE)/CAST(d.nt AS DOUBLE)))
-                FROM per_cd c WHERE c.dim = d.dim)
+                      - CAST(d.t1 AS DOUBLE)/CAST(d.nt AS DOUBLE)) + 0.5)
+                   AS HUGEINT))
+                FROM per_cd c WHERE c.dim = d.dim) AS DOUBLE)
                /
-               (SELECT sum(CAST(c.s2 AS DOUBLE)
-                   - CAST(c.s1 AS DOUBLE)*CAST(c.s1 AS DOUBLE)/CAST(c.n AS DOUBLE))
-                FROM per_cd c WHERE c.dim = d.dim)
+               CAST((SELECT sum(CAST(floor(CAST(c.s2 AS DOUBLE)
+                   - CAST(c.s1 AS DOUBLE)*CAST(c.s1 AS DOUBLE)/CAST(c.n AS DOUBLE)
+                   + 0.5) AS HUGEINT))
+                FROM per_cd c WHERE c.dim = d.dim) AS DOUBLE)
                * 1.0e6 + 0.5) AS HUGEINT) AS rq
       FROM per_d d
     )
@@ -422,9 +428,10 @@ def embedding_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_fisher_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean per-dimension Fisher ratio (between-class scatter / within-
     class scatter) — the label-separability score of the embedding
-    space. (label, dim) sums are exact integers; per-dim ratios are
-    computed in double on identical inputs, quantized to micro-units,
-    then averaged exactly. Shape: one (label, dim) agg (bounded keys:
+    space. (label, dim) sums are exact integers; per-(label, dim)
+    between/within terms are quantized to integer units before the
+    per-dim sums (order independence), and the per-dim ratios are
+    quantized to micro-units before the final exact average. Shape: one (label, dim) agg (bounded keys:
     labels x 64), everything after is dimension-table-sized."""
     emb = _t(spark, sf_dir, "embeddings")
     x = emb.select(
@@ -448,15 +455,23 @@ def embedding_fisher_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = per_cd.join(per_d, "dim")
     mu_c = F.col("s1").cast("double") / F.col("n").cast("double")
     mu = F.col("t1").cast("double") / F.col("nt").cast("double")
-    between = F.col("n").cast("double") * (mu_c - mu) * (mu_c - mu)
-    within = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
-        "s1"
-    ).cast("double") / F.col("n").cast("double")
+    between = F.floor(
+        F.col("n").cast("double") * (mu_c - mu) * (mu_c - mu) + 0.5
+    ).cast("decimal(38,0)")
+    within = F.floor(
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n").cast("double")
+        + 0.5
+    ).cast("decimal(38,0)")
     ratios = (
         j.groupBy("dim")
         .agg(F.sum(between).alias("b"), F.sum(within).alias("w"))
         .select(
-            F.floor(F.col("b") / F.col("w") * 1.0e6 + 0.5)
+            F.floor(
+                F.col("b").cast("double") / F.col("w").cast("double") * 1.0e6
+                + 0.5
+            )
             .cast("decimal(38,0)")
             .alias("rq")
         )
@@ -1334,13 +1349,15 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     parts AS (
       SELECT
-        (SELECT sum(CAST(g.n AS DOUBLE)
+        (SELECT CAST(sum(CAST(floor(CAST(g.n AS DOUBLE)
             * (CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE)
                - CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE))
             * (CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE)
-               - CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE))) FROM g) AS ssb,
-        (SELECT sum(CAST(g.s2 AS DOUBLE)
-            - CAST(g.s1 AS DOUBLE)*CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE))
+               - CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE)) + 0.5) AS HUGEINT))
+         AS DOUBLE) FROM g) AS ssb,
+        (SELECT CAST(sum(CAST(floor(CAST(g.s2 AS DOUBLE)
+            - CAST(g.s1 AS DOUBLE)*CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE) + 0.5)
+            AS HUGEINT)) AS DOUBLE)
          FROM g) AS ssw,
         t.k, t.nt
       FROM t
@@ -1356,10 +1373,10 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_type_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA: does retail price differ across part types? F =
-    (SSB/df_b)/(SSW/df_w) from exact per-group integer sums (the same
-    between/within machinery as the Fisher embedding score, one
-    variable, 6 groups). One map-side-combinable agg; everything after
-    is group-table-sized."""
+    (SSB/df_b)/(SSW/df_w) from exact per-group integer sums; per-group
+    SSB/SSW terms are quantized to integer units before the sum (order
+    independence — terms are O(1e10+), unit quantization is free). One
+    map-side-combinable agg; everything after is group-table-sized."""
     p = _t(spark, sf_dir, "part")
     q = p.select(
         "p_type", _cents_col(F.col("p_retailprice")).cast("decimal(19,0)").alias("v")
@@ -1377,15 +1394,20 @@ def part_type_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = g.crossJoin(F.broadcast(t))
     mu_g = F.col("s1").cast("double") / F.col("n").cast("double")
     mu = F.col("t1").cast("double") / F.col("nt").cast("double")
-    ssb_term = F.col("n").cast("double") * (mu_g - mu) * (mu_g - mu)
-    ssw_term = F.col("s2").cast("double") - F.col("s1").cast("double") * F.col(
-        "s1"
-    ).cast("double") / F.col("n").cast("double")
+    ssb_term = F.floor(
+        F.col("n").cast("double") * (mu_g - mu) * (mu_g - mu) + 0.5
+    ).cast("decimal(38,0)")
+    ssw_term = F.floor(
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n").cast("double")
+        + 0.5
+    ).cast("decimal(38,0)")
     agg = j.groupBy("k", "nt").agg(
         F.sum(ssb_term).alias("ssb"), F.sum(ssw_term).alias("ssw")
     )
-    f_stat = (F.col("ssb") / (F.col("k") - 1)) / (
-        F.col("ssw") / (F.col("nt") - F.col("k"))
+    f_stat = (F.col("ssb").cast("double") / (F.col("k") - 1)) / (
+        F.col("ssw").cast("double") / (F.col("nt") - F.col("k"))
     )
     return agg.select(
         F.col("k").cast("long").alias("n_groups"),
@@ -2038,4 +2060,238 @@ def orders_ship_lag_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.min("first_ship_lag").cast("long").alias("min_days"),
         F.max("first_ship_lag").cast("long").alias("max_days"),
+    )
+
+
+# ===========================================================================
+# Wave L — session co-occurrence, term burstiness, variance
+# decomposition.
+# ===========================================================================
+@_register(
+    "events_session_cooccurrence",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(ts)
+                       - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                       > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM ordered
+    ),
+    st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_sessions
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT DISTINCT user_id, session_id FROM st))
+    SELECT p.type_a, p.type_b, p.n_sessions, total.n AS total_sessions,
+           floor(p.n_sessions * 1.0e6 / total.n + 0.5) / 1.0e6 AS support
+    FROM pairs p CROSS JOIN total
+    """,
+)
+def events_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which event types co-occur within the same 30-minute session:
+    gap-based sessionization (running marker sum — one user window),
+    distinct (session, type) membership, then the bounded type-pair
+    self-join (<= 5 types per session). The composed
+    sessionize -> market-basket shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 1800000000), 1
+    ).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        new_session.alias("ns"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.sum("ns").over(wc).cast("long").alias("session_id"),
+    )
+    st = sess.select("user_id", "session_id", "event_type").distinct()
+    a = st.select("user_id", "session_id", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    total = st.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("total_sessions")
+    )
+    return pairs.crossJoin(F.broadcast(total)).select(
+        "type_a",
+        "type_b",
+        "n_sessions",
+        "total_sessions",
+        (
+            F.floor(F.col("n_sessions") * 1.0e6 / F.col("total_sessions") + 0.5)
+            / 1.0e6
+        ).alias("support"),
+    )
+
+
+@_register(
+    "text_term_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ),
+    top_terms AS (
+      SELECT t, CAST(sum(c) AS BIGINT) AS total FROM tf GROUP BY 1
+      ORDER BY total DESC, t ASC LIMIT 20
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    s AS (
+      SELECT tf.t,
+             CAST(sum(tf.c) AS HUGEINT) AS s1,
+             CAST(sum(tf.c * tf.c) AS HUGEINT) AS s2
+      FROM tf JOIN top_terms USING (t)
+      GROUP BY 1
+    )
+    SELECT s.t AS term, CAST(s.s1 AS BIGINT) AS n_occurrences,
+           floor(((CAST(s.s2 AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)
+                   - (CAST(s.s1 AS DOUBLE) / CAST(nd.n_docs AS DOUBLE))
+                     * (CAST(s.s1 AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)))
+                  / (CAST(s.s1 AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS fano_factor
+    FROM s CROSS JOIN nd
+    """,
+)
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of per-document counts, absent docs
+    counting zero) for the 20 most frequent terms — >1 means the term
+    is BURSTY (concentrated in few documents: topical), ~1 Poisson
+    (function words). Zero-count docs enter through the identity
+    E[c]=s1/N, E[c^2]=s2/N over all N docs; sums are exact integers
+    over only the PRESENT (term, doc) rows."""
+    docs = _t(spark, sf_dir, "documents")
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    tok = docs.select("doc_id", F.explode(words_expr(F.col("text"))).alias("t"))
+    tf = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top_terms = (
+        tf.groupBy("t")
+        .agg(F.sum("c").cast("long").alias("total"))
+        .orderBy(F.col("total").desc(), F.col("t").asc())
+        .limit(20)
+        .select("t")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    cq = F.col("c").cast("decimal(19,0)")
+    s = (
+        tf.join(F.broadcast(top_terms), "t")
+        .groupBy("t")
+        .agg(F.sum(cq).alias("s1"), F.sum(cq * cq).alias("s2"))
+    )
+    j = s.crossJoin(F.broadcast(nd))
+    mean = F.col("s1").cast("double") / F.col("n_docs").cast("double")
+    var = F.col("s2").cast("double") / F.col("n_docs").cast("double") - mean * mean
+    return j.select(
+        F.col("t").alias("term"),
+        F.col("s1").cast("long").alias("n_occurrences"),
+        (F.floor(var / mean * 1.0e6 + 0.5) / 1.0e6).alias("fano_factor"),
+    )
+
+
+@_register(
+    "lineitem_price_variance_decomposition",
+    oracle="""
+    WITH q AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5) AS HUGEINT)
+               AS v
+      FROM lineitem
+    ),
+    g AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, sum(v) AS s1, sum(v*v) AS s2
+      FROM q GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s1) AS t1, sum(s2) AS t2,
+                 CAST(count(*) AS BIGINT) AS k FROM g)
+    SELECT CAST(k AS BIGINT) AS n_parts, CAST(nt AS BIGINT) AS n_lines,
+           floor(CAST((SELECT sum(CAST(floor(CAST(g.n AS DOUBLE)
+                    * (CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE)
+                       - CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE))
+                    * (CAST(g.s1 AS DOUBLE)/CAST(g.n AS DOUBLE)
+                       - CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE)) + 0.5)
+                    AS HUGEINT)) FROM g) AS DOUBLE)
+                 / (CAST(t.t2 AS DOUBLE)
+                    - CAST(t.t1 AS DOUBLE)*CAST(t.t1 AS DOUBLE)/CAST(t.nt AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS between_part_share
+    FROM t
+    """,
+)
+def lineitem_price_variance_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What fraction of unit-price variance is BETWEEN parts (product
+    identity) vs within a part (negotiation noise): SSB/SST from exact
+    per-part integer sums — the ANOVA machinery at fact-table key
+    cardinality (one map-side-combinable agg over ~2k parts; the
+    rollup after is part-table-sized). Each part's SSB term is
+    quantized to integer units BEFORE the ~2k-addend sum (the
+    order-independence discipline; terms are O(1e10+) so unit
+    quantization costs nothing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + 0.5)
+        .cast("decimal(19,0)")
+        .alias("v"),
+    )
+    g = q.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    t = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(t))
+    mu_g = F.col("s1").cast("double") / F.col("n").cast("double")
+    mu = F.col("t1").cast("double") / F.col("nt").cast("double")
+    ssb_term = (
+        F.floor(
+            F.col("n").cast("double") * (mu_g - mu) * (mu_g - mu) + 0.5
+        ).cast("decimal(38,0)")
+    )
+    agg = j.groupBy("k", "nt", "t1", "t2").agg(F.sum(ssb_term).alias("ssb"))
+    sst = F.col("t2").cast("double") - F.col("t1").cast("double") * F.col(
+        "t1"
+    ).cast("double") / F.col("nt").cast("double")
+    return agg.select(
+        F.col("k").cast("long").alias("n_parts"),
+        F.col("nt").cast("long").alias("n_lines"),
+        (
+            F.floor(F.col("ssb").cast("double") / sst * 1.0e6 + 0.5) / 1.0e6
+        ).alias("between_part_share"),
     )

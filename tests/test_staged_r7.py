@@ -71,6 +71,10 @@ STAGED_NAMES = [
     "orders_rolling_12m_revenue",
     "embedding_int8_error_audit",
     "orders_ship_lag_histogram",
+    # wave L — session co-occurrence, burstiness, variance decomposition
+    "events_session_cooccurrence",
+    "text_term_burstiness",
+    "lineitem_price_variance_decomposition",
 ]
 
 
