@@ -47,6 +47,9 @@ Content so far:
   pair join), Fano-factor term burstiness for the top vocabulary, and
   between/within unit-price variance decomposition (quantized ANOVA
   terms at part-key cardinality).
+- Wave M — Mood's median test between month halves (2x2 chi-square on
+  exact medians), customer favorite-type affinity histogram, and
+  lagged click->purchase cross-correlation over the minute series.
 """
 
 from __future__ import annotations
@@ -2294,4 +2297,250 @@ def lineitem_price_variance_decomposition(
         (
             F.floor(F.col("ssb").cast("double") / sst * 1.0e6 + 0.5) / 1.0e6
         ).alias("between_part_share"),
+    )
+
+
+# ===========================================================================
+# Wave M — Mood's median test, customer type affinity, lagged
+# cross-correlation of minute series.
+# ===========================================================================
+@_register(
+    "events_mood_median_test",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, v, h1,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM q
+    ),
+    med AS (
+      SELECT event_type,
+             max(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END) AS m
+      FROM ranked GROUP BY 1
+    ),
+    cells AS (
+      SELECT q.event_type,
+             CAST(sum(CASE WHEN q.h1 = 1 AND q.v > med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN q.h1 = 1 AND q.v <= med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(sum(CASE WHEN q.h1 = 0 AND q.v > med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(sum(CASE WHEN q.h1 = 0 AND q.v <= med.m THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM q JOIN med USING (event_type)
+      GROUP BY 1
+    )
+    SELECT event_type, a AS h1_above, b AS h1_below_eq,
+           c AS h2_above, d AS h2_below_eq,
+           floor(CAST((a + b + c + d) AS DOUBLE)
+                 * CAST(a*d - b*c AS DOUBLE) * CAST(a*d - b*c AS DOUBLE)
+                 / (CAST((a + b) AS DOUBLE) * CAST((c + d) AS DOUBLE)
+                    * CAST((a + c) AS DOUBLE) * CAST((b + d) AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS chi2
+    FROM cells
+    """,
+)
+def events_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test per type between the month's halves: pooled
+    exact discrete median, 2x2 above/below counts, 1-df chi-square from
+    the closed 2x2 formula — all integers until one rounded expression.
+    The distribution-shift cousin of the KS statistic already live
+    (median-sensitive rather than sup-norm)."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("v"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+        ).otherwise(0).alias("h1"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("v")
+    wn = Window.partitionBy("event_type")
+    ranked = q.select(
+        "event_type",
+        "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") - 1) / 2).cast("long") + 1, F.col("v")
+            )
+        ).alias("m")
+    )
+    j = q.join(F.broadcast(med), "event_type")
+    cell = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    cells = j.groupBy("event_type").agg(
+        cell((F.col("h1") == 1) & (F.col("v") > F.col("m"))).alias("a"),
+        cell((F.col("h1") == 1) & (F.col("v") <= F.col("m"))).alias("b"),
+        cell((F.col("h1") == 0) & (F.col("v") > F.col("m"))).alias("c"),
+        cell((F.col("h1") == 0) & (F.col("v") <= F.col("m"))).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    chi2 = (
+        n.cast("double")
+        * det.cast("double")
+        * det.cast("double")
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    return cells.select(
+        "event_type",
+        F.col("a").alias("h1_above"),
+        F.col("b").alias("h1_below_eq"),
+        F.col("c").alias("h2_above"),
+        F.col("d").alias("h2_below_eq"),
+        (F.floor(chi2 * 1.0e6 + 0.5) / 1.0e6).alias("chi2"),
+    )
+
+
+@_register(
+    "customer_type_affinity",
+    oracle="""
+    WITH ct AS (
+      SELECT o.o_custkey, p.p_type, CAST(count(*) AS BIGINT) AS c
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT o_custkey, CAST(sum(c) AS BIGINT) AS t FROM ct GROUP BY 1),
+    top AS (
+      SELECT o_custkey, p_type, c FROM (
+        SELECT o_custkey, p_type, c,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY c DESC, p_type ASC) AS rn
+        FROM ct
+      ) WHERE rn = 1
+    ),
+    strength AS (
+      SELECT top.p_type AS favorite_type,
+             CAST(floor(top.c * 10.0 / tot.t) AS BIGINT) AS affinity_decile
+      FROM top JOIN tot USING (o_custkey)
+    )
+    SELECT favorite_type, affinity_decile,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM strength GROUP BY 1, 2
+    """,
+)
+def customer_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's favorite part type and how concentrated their
+    purchasing is on it (share floored to a decile bucket — integer
+    arithmetic, no float threshold), rolled up to the
+    (favorite, decile) histogram. Fact join -> bounded (cust, type)
+    agg -> per-customer window over <= 6 rows -> tiny rollup."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ct = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("o_custkey", "p_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = ct.groupBy("o_custkey").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("c").desc(), F.col("p_type"))
+    top = ct.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    strength = top.join(tot, "o_custkey").select(
+        F.col("p_type").alias("favorite_type"),
+        F.floor(F.col("c") * 10.0 / F.col("t")).cast("long").alias(
+            "affinity_decile"
+        ),
+    )
+    return strength.groupBy("favorite_type", "affinity_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@_register(
+    "events_lagged_crosscorr",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute_idx,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest([0, 1, 2, 3, 4, 5]) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(a.x AS HUGEINT) AS x, CAST(b.y AS HUGEINT) AS y
+      FROM lags l
+      JOIN m a ON TRUE
+      JOIN m b ON b.minute_idx = a.minute_idx + l.lag
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS BIGINT) AS lag_minutes, n AS n_pairs,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS crosscorr
+    FROM s
+    """,
+)
+def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does click volume LEAD purchase volume? Pearson cross-correlation
+    of the minute-series at lags 0-5: both series come from one minute
+    agg, the lag alignment is an integer equi-join on minute_idx+lag
+    (6 bounded passes over the minute AGGREGATE, never raw events), and
+    every sum is an exact integer."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        (F.unix_micros("ts") / 60000000).cast("long").alias("minute_idx")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    m = m.localCheckpoint(eager=False)
+    lags = ev.sparkSession.createDataFrame([(i,) for i in range(6)], "lag LONG")
+    a = m.select(F.col("minute_idx").alias("mi"), F.col("x").cast("decimal(19,0)").alias("x"))
+    b = m.select(F.col("minute_idx").alias("mj"), F.col("y").cast("decimal(19,0)").alias("y"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("mj") == F.col("mi") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return s.select(
+        F.col("lag").alias("lag_minutes"),
+        F.col("n").alias("n_pairs"),
+        (F.floor(r * 1.0e6 + 0.5) / 1.0e6).alias("crosscorr"),
     )

@@ -75,6 +75,10 @@ STAGED_NAMES = [
     "events_session_cooccurrence",
     "text_term_burstiness",
     "lineitem_price_variance_decomposition",
+    # wave M — Mood's median test, type affinity, lagged cross-corr
+    "events_mood_median_test",
+    "customer_type_affinity",
+    "events_lagged_crosscorr",
 ]
 
 
