@@ -50,6 +50,8 @@ Content so far:
 - Wave M — Mood's median test between month halves (2x2 chi-square on
   exact medians), customer favorite-type affinity histogram, and
   lagged click->purchase cross-correlation over the minute series.
+- Wave N — Cramér's V effect size for the status x priority
+  contingency, and document-level PMI for top-vocabulary word pairs.
 """
 
 from __future__ import annotations
@@ -2543,4 +2545,172 @@ def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lag").alias("lag_minutes"),
         F.col("n").alias("n_pairs"),
         (F.floor(r * 1.0e6 + 0.5) / 1.0e6).alias("crosscorr"),
+    )
+
+
+# ===========================================================================
+# Wave N — Cramér's V effect size, PMI word co-occurrence.
+# ===========================================================================
+@_register(
+    "orders_status_priority_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_t AS (SELECT s, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    cols_t AS (SELECT p, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    n_t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT r.s, c.p, r.rt, c.ct, n.n, COALESCE(x.o, 0) AS o
+      FROM rows_t r CROSS JOIN cols_t c CROSS JOIN n_t n
+      LEFT JOIN cells x ON x.s = r.s AND x.p = c.p
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(o AS DOUBLE)
+                - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1.0e6 + 0.5) AS HUGEINT) AS tq
+      FROM grid
+    ),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM rows_t) AS r,
+             (SELECT CAST(count(*) AS BIGINT) FROM cols_t) AS c,
+             (SELECT n FROM n_t) AS n
+    )
+    SELECT dims.r AS n_statuses, dims.c AS n_priorities,
+           floor(CAST(x.chi2q AS DOUBLE) / 1.0e6 * 1.0e6 + 0.5) / 1.0e6 AS chi2,
+           floor(sqrt(CAST(x.chi2q AS DOUBLE) / 1.0e6
+                      / (CAST(dims.n AS DOUBLE)
+                         * (CASE WHEN dims.r < dims.c THEN dims.r
+                                 ELSE dims.c END - 1)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS cramers_v
+    FROM (SELECT CAST(sum(tq) AS HUGEINT) AS chi2q FROM terms) x
+    CROSS JOIN dims
+    """,
+)
+def orders_status_priority_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the (status, priority) contingency —
+    the normalized companion of the chi-square already in the family
+    (chi2 says 'dependent'; V says HOW dependent on [0, 1]). Same
+    margin-cross grid + micro-quantized cell terms as
+    doc_source_lang_chi2; one extra closed-form expression."""
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows_t = cells.groupBy("s").agg(F.sum("o").cast("long").alias("rt"))
+    cols_t = cells.groupBy("p").agg(F.sum("o").cast("long").alias("ct"))
+    n_t = cells.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .crossJoin(F.broadcast(n_t))
+        .join(cells, ["s", "p"], "left")
+        .select(
+            "rt", "ct", "n", F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o")
+        )
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast(
+        "double"
+    )
+    od = F.col("o").cast("double")
+    terms = grid.select(
+        F.floor((od - e) * (od - e) / e * 1.0e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("tq")
+    )
+    chi2q = terms.agg(F.sum("tq").alias("chi2q"))
+    dims = (
+        rows_t.agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .crossJoin(F.broadcast(cols_t.agg(F.count(F.lit(1)).cast("long").alias("c"))))
+        .crossJoin(F.broadcast(n_t))
+    )
+    j = chi2q.crossJoin(F.broadcast(dims))
+    chi2 = F.col("chi2q").cast("double") / 1.0e6
+    mindim = F.when(F.col("r") < F.col("c"), F.col("r")).otherwise(F.col("c"))
+    v = F.sqrt(chi2 / (F.col("n").cast("double") * (mindim - 1)))
+    return j.select(
+        F.col("r").alias("n_statuses"),
+        F.col("c").alias("n_priorities"),
+        (F.floor(chi2 * 1.0e6 + 0.5) / 1.0e6).alias("chi2"),
+        (F.floor(v * 1.0e6 + 0.5) / 1.0e6).alias("cramers_v"),
+    )
+
+
+@_register(
+    "doc_word_pmi_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      )
+    ),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM tok GROUP BY 1),
+    top AS (SELECT t, d FROM df ORDER BY d DESC, t ASC LIMIT 30),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    co AS (
+      SELECT a.t AS word_a, b.t AS word_b, CAST(count(*) AS BIGINT) AS n_co
+      FROM (SELECT tok.doc_id, tok.t FROM tok JOIN top USING (t)) a
+      JOIN (SELECT tok.doc_id, tok.t FROM tok JOIN top USING (t)) b
+        ON a.doc_id = b.doc_id AND a.t < b.t
+      GROUP BY 1, 2
+      HAVING count(*) >= 5
+    )
+    SELECT co.word_a, co.word_b, co.n_co,
+           floor(ln(CAST(co.n_co AS DOUBLE) * CAST(nd.n AS DOUBLE)
+                    / (CAST(da.d AS DOUBLE) * CAST(db.d AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS pmi_nats
+    FROM co
+    JOIN top da ON da.t = co.word_a
+    JOIN top db ON db.t = co.word_b
+    CROSS JOIN nd
+    """,
+)
+def doc_word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information for pairs of the 30 most common
+    words (document-level co-occurrence, support >= 5): PMI =
+    ln(P(a,b)/(P(a)P(b))) — near 0 everywhere means words mix freely
+    (this corpus); strong positives reveal collocations. The pair join
+    runs ONLY over the 30-word broadcast-filtered postings, so it is
+    docs x (<=30 choose 2) bounded; one ln per surviving pair."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words_expr(F.col("text"))).alias("t")
+    ).distinct()
+    df = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    top = df.orderBy(F.col("d").desc(), F.col("t").asc()).limit(30)
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    filtered = tok.join(F.broadcast(top.select("t")), "t")
+    a = filtered.select("doc_id", F.col("t").alias("word_a"))
+    b = filtered.select("doc_id", F.col("t").alias("word_b"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= 5)
+    )
+    da = top.select(F.col("t").alias("word_a"), F.col("d").alias("da"))
+    db = top.select(F.col("t").alias("word_b"), F.col("d").alias("db"))
+    pmi = F.log(
+        F.col("n_co").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("da").cast("double") * F.col("db").cast("double"))
+    )
+    return (
+        co.join(F.broadcast(da), "word_a")
+        .join(F.broadcast(db), "word_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "word_a",
+            "word_b",
+            "n_co",
+            (F.floor(pmi * 1.0e6 + 0.5) / 1.0e6).alias("pmi_nats"),
+        )
     )

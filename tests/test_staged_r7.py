@@ -79,6 +79,9 @@ STAGED_NAMES = [
     "events_mood_median_test",
     "customer_type_affinity",
     "events_lagged_crosscorr",
+    # wave N — Cramér's V, PMI pairs
+    "orders_status_priority_cramers_v",
+    "doc_word_pmi_pairs",
 ]
 
 
