@@ -3,8 +3,8 @@
 Same contract as plans/staged_r5.py (activated round 5) and
 plans/staged_r6.py (the round-6 slate, exactly 50): a LOCAL registry,
 strict-harness pytest coverage in tests/test_staged_r7.py, and an
-idempotent ``activate()``. Round 6 activates staged_r6 and should KEEP
-FILLING this module toward 50; round 7 activates it.
+idempotent ``activate()``. Round 6 activates staged_r6; round 7
+activates this module (already complete at exactly 50).
 
 Content so far:
 - Wave A — GSW round-out tranche 3 (closing more of the judge-named
@@ -52,6 +52,20 @@ Content so far:
   lagged click->purchase cross-correlation over the minute series.
 - Wave N — Cramér's V effect size for the status x priority
   contingency, and document-level PMI for top-vocabulary word pairs.
+- Wave O — customer survival curve, per-type crest factor,
+  return-rate-by-discount, ISO-weekday x hour heatmap.
+- Wave P — tie-broken Spearman rank correlation, supplier share-trend
+  OLS (ppm/month), per-nation Gini, first-to-last-year growth ratio
+  (pow deliberately left to the reader — the one libm surface the two
+  engines are not guaranteed to agree on).
+- Wave Q — dup-rate by length decile, pairwise-cosine histogram over a
+  bounded probe sample, Markov entropy rate (pico-nat quantized), user
+  type-diversity histogram.
+
+The slate holds EXACTLY 50 queries — one full driver sample: round 7
+can promote the round-6-green names to _CHECKED, activate() this
+module, and the driver's sample covers the entire new surface (the
+same contract rounds 5 and 6 used).
 """
 
 from __future__ import annotations
@@ -2713,4 +2727,632 @@ def doc_word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_co",
             (F.floor(pmi * 1.0e6 + 0.5) / 1.0e6).alias("pmi_nats"),
         )
+    )
+
+
+# ===========================================================================
+# Wave O — survival curve, crest factor, return-rate-by-discount,
+# day-of-week x hour heatmap.
+# ===========================================================================
+@_register(
+    "customer_survival_curve",
+    oracle="""
+    WITH tenure AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', min(o_orderdate), max(o_orderdate)) // 365
+                  AS BIGINT) AS tenure_years
+      FROM orders GROUP BY 1
+    ),
+    ks AS (SELECT unnest(generate_series(0, 6)) AS k),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tenure)
+    SELECT CAST(ks.k AS BIGINT) AS year_k,
+           CAST(sum(CASE WHEN t.tenure_years >= ks.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_surviving,
+           floor(sum(CASE WHEN t.tenure_years >= ks.k THEN 1 ELSE 0 END) * 1.0e6
+                 / max(n.n) + 0.5) / 1.0e6 AS survival_frac
+    FROM tenure t CROSS JOIN ks CROSS JOIN n
+    GROUP BY ks.k
+    """,
+)
+def customer_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention survival curve: the fraction of customers whose
+    ordering lifetime (first->last order) reaches k full years, for
+    k = 0..6. One tenure agg, a 7-row broadcast grid, exact integer
+    day/year arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    tenure = o.groupBy("o_custkey").agg(
+        (F.datediff(F.max("o_orderdate"), F.min("o_orderdate")) / 365)
+        .cast("long")
+        .alias("tenure_years")
+    )
+    ks = o.sparkSession.createDataFrame([(k,) for k in range(7)], "k LONG")
+    n = tenure.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    surv = F.sum(
+        F.when(F.col("tenure_years") >= F.col("k"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        tenure.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("k").alias("year_k"))
+        .agg(
+            surv.alias("n_surviving"),
+            (F.floor(surv * 1.0e6 / F.max("n") + 0.5) / 1.0e6).alias(
+                "survival_frac"
+            ),
+        )
+    )
+
+
+@_register(
+    "events_peak_to_mean",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute_idx,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(max(cnt) AS BIGINT) AS peak_minute,
+           CAST(sum(cnt) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_minutes,
+           floor(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                 / CAST(sum(cnt) AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS peak_to_mean
+    FROM m GROUP BY 1
+    """,
+)
+def events_peak_to_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crest factor of the per-minute volume (peak/mean — the capacity-
+    planning number: provision for the peak, bill for the mean). One
+    minute agg + one rollup, exact integers, one rounded ratio."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / 60000000).cast("long").alias("minute_idx"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    ratio = (
+        F.max("cnt").cast("double")
+        * F.count(F.lit(1)).cast("double")
+        / F.sum("cnt").cast("double")
+    )
+    return m.groupBy("event_type").agg(
+        F.max("cnt").cast("long").alias("peak_minute"),
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        (F.floor(ratio * 1.0e6 + 0.5) / 1.0e6).alias("peak_to_mean"),
+    )
+
+
+@_register(
+    "lineitem_return_by_discount",
+    oracle="""
+    SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returned,
+           floor(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS return_rate
+    FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_return_by_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate as a function of discount band — the univariate
+    effect screen before any churn model (a monotone trend here is the
+    'discounted stuff comes back' signal). One agg on 11 integer
+    bands."""
+    li = _t(spark, sf_dir, "lineitem")
+    ret = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return li.groupBy(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("disc_pct")
+    ).agg(
+        n.alias("n_lines"),
+        ret.alias("n_returned"),
+        (F.floor(ret * 1.0e6 / n + 0.5) / 1.0e6).alias("return_rate"),
+    )
+
+
+@_register(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS iso_dow,
+           CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (ISO weekday x hour) activity grid — the load heatmap every
+    ops dashboard opens with. 168 cells max; isodow parity: Spark
+    weekday() is Monday=0, DuckDB isodow is Monday=1."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("iso_dow"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+# ===========================================================================
+# Wave P — tie-broken Spearman, supplier share trend, grouped Gini,
+# first-to-last-year growth.
+# ===========================================================================
+@_register(
+    "part_size_price_spearman",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(row_number() OVER (ORDER BY p_size, p_partkey) AS HUGEINT) AS rx,
+             CAST(row_number() OVER (
+               ORDER BY floor(p_retailprice * 100.0 + 0.5), p_partkey)
+               AS HUGEINT) AS ry
+      FROM part
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+      FROM r
+    )
+    SELECT n AS n_parts,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS spearman_rho
+    FROM s
+    """,
+)
+def part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (Spearman) correlation between part size and price —
+    monotone association without the linearity assumption Pearson
+    makes. Ranks use a DETERMINISTIC partkey tiebreak (the tie-broken
+    variant rather than midranks, so both engines assign identical
+    integer ranks); then the exact-sum Pearson formula on the ranks.
+    Two global rank windows over the part dim (bounded); at fact scale
+    use the two-pass distributed ranking."""
+    p = _t(spark, sf_dir, "part")
+    wx = Window.orderBy("p_size", "p_partkey")
+    wy = Window.orderBy(_cents_col(F.col("p_retailprice")), F.col("p_partkey"))
+    r = p.select(
+        F.row_number().over(wx).cast("decimal(19,0)").alias("rx"),
+        F.row_number().over(wy).cast("decimal(19,0)").alias("ry"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    rho = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    return s.select(
+        F.col("n").alias("n_parts"),
+        (F.floor(rho * 1.0e6 + 0.5) / 1.0e6).alias("spearman_rho"),
+    )
+
+
+@_register(
+    "supplier_share_trend",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey,
+             CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+             CAST(sum(floor(l_extendedprice * 100.0 + 0.5)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (SELECT mi, CAST(sum(cents) AS BIGINT) AS t FROM m GROUP BY 1),
+    q AS (
+      SELECT m.l_suppkey, CAST(m.mi AS HUGEINT) AS x,
+             CAST(floor(CAST(m.cents AS DOUBLE) / CAST(tot.t AS DOUBLE) * 1.0e12
+                        + 0.5) AS HUGEINT) AS y
+      FROM m JOIN tot USING (mi)
+    ),
+    s AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM q GROUP BY 1
+    )
+    SELECT l_suppkey AS supp_key, n AS n_months,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                 / 1.0e6 + 0.5) / 1.0e6 AS share_slope_ppm_per_month
+    FROM s WHERE n >= 2
+    """,
+)
+def supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each supplier gaining or losing revenue share? OLS slope of
+    monthly share (pico-quantized) on month index, per supplier —
+    emitted in parts-per-million share per month. Monthly rollup ->
+    share -> grouped exact-sum regression; the market-share
+    concentration trend feed."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_suppkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).cast("long").alias("mi"),
+    ).agg(F.sum(_cents_col(F.col("l_extendedprice"))).cast("long").alias("cents"))
+    tot = m.groupBy("mi").agg(F.sum("cents").cast("long").alias("t"))
+    q = m.join(tot, "mi").select(
+        "l_suppkey",
+        F.col("mi").cast("decimal(19,0)").alias("x"),
+        F.floor(
+            F.col("cents").cast("double") / F.col("t").cast("double") * 1.0e12 + 0.5
+        )
+        .cast("decimal(19,0)")
+        .alias("y"),
+    )
+    s = q.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return s.select(
+        F.col("l_suppkey").alias("supp_key"),
+        F.col("n").alias("n_months"),
+        (F.floor(slope / 1.0e6 + 0.5) / 1.0e6).alias("share_slope_ppm_per_month"),
+    )
+
+
+@_register(
+    "customer_gini_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk, o.o_custkey,
+             CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nk, cents,
+             CAST(row_number() OVER (PARTITION BY nk
+                                     ORDER BY cents, o_custkey) AS HUGEINT) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT nk, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS HUGEINT)) AS sx, sum(i * CAST(cents AS HUGEINT))
+               AS swx
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(nk AS BIGINT) AS nation_key, n AS n_customers,
+           floor((2.0 * CAST(swx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS gini
+    FROM s WHERE n >= 2
+    """,
+)
+def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality per nation — the grouped version of the live
+    corpus-wide Gini (25 bounded windows instead of one global). All
+    three sums exact integers; one rounded expression per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
+        .agg(F.sum(_cents_col(F.col("o_totalprice"))).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("nk").orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "nk",
+        F.col("cents").cast("decimal(19,0)").alias("cents"),
+        F.row_number().over(w).cast("decimal(19,0)").alias("i"),
+    )
+    s = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("swx"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    gini = (
+        2.0 * F.col("swx").cast("double") / (nd * F.col("sx").cast("double"))
+        - (nd + 1.0) / nd
+    )
+    return s.select(
+        F.col("nk").cast("long").alias("nation_key"),
+        F.col("n").alias("n_customers"),
+        (F.floor(gini * 1.0e6 + 0.5) / 1.0e6).alias("gini"),
+    )
+
+
+@_register(
+    "orders_segment_growth_ratio",
+    oracle="""
+    WITH y AS (
+      SELECT c.c_mktsegment AS segment, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(floor(o.o_totalprice * 100.0 + 0.5)) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT segment,
+             min(yr) AS first_yr, max(yr) AS last_yr,
+             CAST(max(CASE WHEN yr = fy THEN cents END) AS BIGINT) AS first_cents,
+             CAST(max(CASE WHEN yr = ly THEN cents END) AS BIGINT) AS last_cents
+      FROM (
+        SELECT y.*, min(yr) OVER (PARTITION BY segment) AS fy,
+               max(yr) OVER (PARTITION BY segment) AS ly
+        FROM y
+      ) GROUP BY segment
+    )
+    SELECT segment, CAST(first_yr AS BIGINT) AS first_yr,
+           CAST(last_yr AS BIGINT) AS last_yr, first_cents, last_cents,
+           CAST(last_yr - first_yr AS BIGINT) AS span_years,
+           floor(CAST(last_cents AS DOUBLE) / CAST(first_cents AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS growth_ratio
+    FROM b
+    """,
+)
+def orders_segment_growth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-to-last-year revenue growth ratio per segment with the
+    span emitted alongside (the CAGR is the reader's pow() — kept out
+    of the engine contract deliberately: pow's last-ulp behaviour is
+    the one libm surface JVM and C are NOT guaranteed to agree on,
+    unlike ln/sqrt which this repo relies on). Exact integers plus one
+    rounded division."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    y = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(F.sum(_cents_col(F.col("o_totalprice"))).cast("long").alias("cents"))
+    )
+    wseg = Window.partitionBy("segment")
+    yy = y.select(
+        "segment",
+        "yr",
+        "cents",
+        F.min("yr").over(wseg).alias("fy"),
+        F.max("yr").over(wseg).alias("ly"),
+    )
+    b = yy.groupBy("segment").agg(
+        F.min("yr").cast("long").alias("first_yr"),
+        F.max("yr").cast("long").alias("last_yr"),
+        F.max(F.when(F.col("yr") == F.col("fy"), F.col("cents")))
+        .cast("long")
+        .alias("first_cents"),
+        F.max(F.when(F.col("yr") == F.col("ly"), F.col("cents")))
+        .cast("long")
+        .alias("last_cents"),
+    )
+    return b.select(
+        "segment",
+        "first_yr",
+        "last_yr",
+        "first_cents",
+        "last_cents",
+        (F.col("last_yr") - F.col("first_yr")).cast("long").alias("span_years"),
+        (
+            F.floor(
+                F.col("last_cents").cast("double")
+                / F.col("first_cents").cast("double")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("growth_ratio"),
+    )
+
+
+# ===========================================================================
+# Wave Q — final four: dup-rate by length decile, pairwise-cosine
+# histogram, Markov entropy rate, user type diversity. The runway
+# lands at EXACTLY 50 — a complete round-7 driver sample.
+# ===========================================================================
+@_register(
+    "doc_dup_rate_by_length",
+    oracle="""
+    WITH dup AS (
+      SELECT doc_id,
+             CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM documents
+    ),
+    dec AS (
+      SELECT d.doc_id, dup.is_dup,
+             ntile(10) OVER (ORDER BY d.n_chars, d.doc_id) AS decile
+      FROM documents d JOIN dup ON dup.doc_id = d.doc_id
+    )
+    SELECT CAST(decile AS BIGINT) AS length_decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_dup) AS BIGINT) AS n_duplicates,
+           floor(sum(is_dup) * 1.0e6 / count(*) + 0.5) / 1.0e6 AS dup_rate
+    FROM dec GROUP BY 1
+    """,
+)
+def doc_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicates concentrated among short documents (the usual
+    boilerplate signature)? Exact-digest dup flag (non-keeper copies)
+    crossed with length deciles — the composition of the exact-dedup
+    and decile primitives already live, as one diagnostic."""
+    docs = _t(spark, sf_dir, "documents")
+    wdig = Window.partitionBy(F.md5(F.col("text")))
+    dup = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("doc_id") > F.min("doc_id").over(wdig), 1)
+        .otherwise(0)
+        .alias("is_dup"),
+    )
+    wdec = Window.orderBy("n_chars", "doc_id")
+    dec = dup.select("is_dup", F.ntile(10).over(wdec).alias("decile"))
+    return dec.groupBy(F.col("decile").cast("long").alias("length_decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_duplicates"),
+        (F.floor(F.sum("is_dup") * 1.0e6 / F.count(F.lit(1)) + 0.5) / 1.0e6).alias(
+            "dup_rate"
+        ),
+    )
+
+
+@_register(
+    "embedding_pair_distance_histogram",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 100
+    ),
+    pairs AS (
+      SELECT round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(cos_sim * 10.0) AS BIGINT) AS cos_band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def embedding_pair_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic 100-vector probe
+    sample (4950 pairs — bounded by construction, the one place an
+    all-pairs join is the intended plan): the separability profile that
+    calibrates every LSH/IVF threshold choice. Bands of 0.1 on the
+    4-dp-rounded cosine."""
+    from cioos_siooc_data_transform_spark.operators.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cos_sim") * 10.0).cast("long").alias("cos_band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@_register(
+    "events_markov_entropy_rate",
+    oracle="""
+    WITH t AS (
+      SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev,
+               event_type AS next
+        FROM events
+      ) WHERE prev IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    rt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS total FROM t GROUP BY 1),
+    terms AS (
+      SELECT t.prev,
+             CAST(floor(CAST(t.c AS DOUBLE) / CAST(rt.total AS DOUBLE)
+                        * ln(CAST(rt.total AS DOUBLE) / CAST(t.c AS DOUBLE))
+                        * 1.0e12 + 0.5) AS HUGEINT) AS hq
+      FROM t JOIN rt USING (prev)
+    ),
+    hrow AS (
+      SELECT prev, CAST(sum(hq) AS HUGEINT) AS row_h FROM terms GROUP BY 1
+    ),
+    pi AS (
+      SELECT rt.prev, rt.total,
+             CAST((SELECT sum(total) FROM rt) AS BIGINT) AS grand
+      FROM rt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_states,
+           floor(sum(CAST(floor(CAST(pi.total AS DOUBLE) / CAST(pi.grand AS DOUBLE)
+                                * CAST(hrow.row_h AS DOUBLE) + 0.5) AS HUGEINT))
+                 / 1.0e6 + 0.5) / 1.0e6 AS entropy_rate_nats
+    FROM pi JOIN hrow USING (prev)
+    """,
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-journey chain: H = sum_s pi(s) H(row_s)
+    with pi approximated by the empirical source distribution (exact
+    rationals) and each row entropy's terms quantized to pico-nats
+    before summation — how predictable the NEXT event is given the
+    current one (ln(5) ~ 1.609 nats = memoryless). All aggregates are
+    exact integer sums over the 5x5 transition table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t = t.localCheckpoint(eager=False)
+    rt = (
+        t.groupBy("prev")
+        .agg(F.sum("c").cast("long").alias("total"))
+        .select(F.col("prev").alias("rprev"), "total")
+    )
+    j = t.join(rt, F.col("prev") == F.col("rprev"))
+    hq = F.floor(
+        F.col("c").cast("double")
+        / F.col("total").cast("double")
+        * F.log(F.col("total").cast("double") / F.col("c").cast("double"))
+        * 1.0e12
+        + 0.5
+    ).cast("decimal(38,0)")
+    hrow = j.groupBy("prev").agg(F.sum(hq).alias("row_h"))
+    grand = rt.agg(F.sum("total").cast("long").alias("grand"))
+    pi = rt.crossJoin(F.broadcast(grand)).select(
+        F.col("rprev").alias("prev"), "total", "grand"
+    )
+    weighted = pi.join(hrow, "prev").select(
+        F.floor(
+            F.col("total").cast("double")
+            / F.col("grand").cast("double")
+            * F.col("row_h").cast("double")
+            + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("wq")
+    )
+    return weighted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_states"),
+        (
+            F.floor(F.sum("wq").cast("double") / 1.0e6 + 0.5) / 1.0e6
+        ).alias("entropy_rate_nats"),
+    )
+
+
+@_register(
+    "events_user_type_diversity",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY 1
+    )
+    SELECT n_types, CAST(count(*) AS BIGINT) AS n_users
+    FROM d GROUP BY 1
+    """,
+)
+def events_user_type_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many distinct event types each user touches (1-5), as a
+    histogram — the engagement-breadth distribution. Two map-side-
+    combinable aggs."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("long").alias("n_types")
+    )
+    return d.groupBy("n_types").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
     )

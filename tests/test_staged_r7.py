@@ -82,6 +82,21 @@ STAGED_NAMES = [
     # wave N — Cramér's V, PMI pairs
     "orders_status_priority_cramers_v",
     "doc_word_pmi_pairs",
+    # wave O — survival, crest factor, return-by-discount, dow-hour grid
+    "customer_survival_curve",
+    "events_peak_to_mean",
+    "lineitem_return_by_discount",
+    "events_dow_hour_heatmap",
+    # wave P — Spearman, share trend, grouped Gini, growth ratio
+    "part_size_price_spearman",
+    "supplier_share_trend",
+    "customer_gini_by_nation",
+    "orders_segment_growth_ratio",
+    # wave Q — final four (runway = exactly 50)
+    "doc_dup_rate_by_length",
+    "embedding_pair_distance_histogram",
+    "events_markov_entropy_rate",
+    "events_user_type_diversity",
 ]
 
 
