@@ -649,8 +649,17 @@ def semantic_dedup(
     )
 
     if hyperplanes is None:
-        dim = len(vectors.select(vec_col).first()[0])
-        hyperplanes = random_hyperplanes(4 * bands, dim, seed=42)
+        # Deriving the hyperplane dimension needs ONE row — an eager
+        # driver action at plan-build time (documented trade-off; pass
+        # hyperplanes explicitly to keep composition fully lazy).
+        head = vectors.select(vec_col).head()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "semantic_dedup: vectors is empty (or first embedding is "
+                "NULL) — pass hyperplanes=random_hyperplanes(4*bands, dim) "
+                "explicitly to dedup an input whose emptiness is expected"
+            )
+        hyperplanes = random_hyperplanes(4 * bands, len(head[0]), seed=42)
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
         id_col, "centroid_id"
     )

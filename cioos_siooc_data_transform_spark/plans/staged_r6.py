@@ -76,6 +76,34 @@ def _cents(col: Column) -> Column:
     return F.floor(col * 100.0 + F.lit(0.5)).cast("long")
 
 
+def pearson_r_from_sums(dp: int = 6) -> Column:
+    """THE shared Pearson finisher for the exact-sum correlation family
+    (one definition so the dp-rounding and double-cast conventions
+    cannot drift between the eight call sites across staged_r6/r7):
+    expects columns n, sx, sy, sxx, syy, sxy holding exact
+    integer/decimal sums; returns floor(r * 10^dp + 0.5) / 10^dp."""
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    scale = float(10 ** dp)
+    return F.floor(r * scale + 0.5) / scale
+
+
+def ols_slope_from_sums(dp: int = 6, scale_div: float = 1.0) -> Column:
+    """Shared OLS-slope finisher (columns n, sx, sy, sxx, sxy of exact
+    sums): floor(slope / scale_div * 10^dp + 0.5) / 10^dp."""
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    scale = float(10 ** dp)
+    return F.floor(slope / scale_div * scale + 0.5) / scale
+
+
 # ===========================================================================
 # Wave A — TPC-H completion (Q2, Q9, Q11, Q16, Q20), partsupp-free
 # adaptations on the trimmed schema (cited shapes: TPC-H spec v3; the
@@ -775,17 +803,10 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    corr = (nd * sxy - sx * sy) / F.sqrt(
-        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
-    )
     return s.select(
         "event_type",
         F.col("n").alias("n_pairs"),
-        (F.floor(corr * 1.0e6 + 0.5) / 1.0e6).alias("autocorr_lag1"),
+        pearson_r_from_sums().alias("autocorr_lag1"),
     )
 
 
@@ -2856,16 +2877,9 @@ def doc_diversity_length_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    corr = (nd * sxy - sx * sy) / F.sqrt(
-        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
-    )
     return s.select(
         F.col("n").alias("n_docs"),
-        (F.floor(corr * 1.0e6 + 0.5) / 1.0e6).alias("corr_len_vocab"),
+        pearson_r_from_sums().alias("corr_len_vocab"),
     )
 
 

@@ -76,15 +76,15 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.plans.staged_r6 import (
+    _cents as _cents_col,
+    ols_slope_from_sums,
+    pearson_r_from_sums,
+)
 from cioos_siooc_data_transform_spark.session import read_table as _t
 
 STAGED_QUERIES: dict[str, Callable[..., Any]] = {}
 STAGED_ORACLES: dict[str, str] = {}
-
-
-def _cents_col(col: Column) -> Column:
-    """Shared integer-cents idiom (identical on both engines)."""
-    return F.floor(col * 100.0 + F.lit(0.5)).cast("long")
 
 
 def _register(name: str, oracle: str):
@@ -472,17 +472,8 @@ def embedding_fisher_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s2").alias("t2"),
     )
     j = per_cd.join(per_d, "dim")
-    mu_c = F.col("s1").cast("double") / F.col("n").cast("double")
-    mu = F.col("t1").cast("double") / F.col("nt").cast("double")
-    between = F.floor(
-        F.col("n").cast("double") * (mu_c - mu) * (mu_c - mu) + 0.5
-    ).cast("decimal(38,0)")
-    within = F.floor(
-        F.col("s2").cast("double")
-        - F.col("s1").cast("double") * F.col("s1").cast("double")
-        / F.col("n").cast("double")
-        + 0.5
-    ).cast("decimal(38,0)")
+    between = _scatter_between_q("n", "s1", "t1", "nt")
+    within = _scatter_within_q("n", "s1", "s2")
     ratios = (
         j.groupBy("dim")
         .agg(F.sum(between).alias("b"), F.sum(within).alias("w"))
@@ -889,14 +880,10 @@ def lineitem_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
     return s.select(
         "brand",
         F.col("n").alias("n_lines"),
-        (F.floor(slope * 1.0e6 + 0.5) / 1.0e6).alias("qty_per_disc_pct"),
+        ols_slope_from_sums().alias("qty_per_disc_pct"),
     )
 
 
@@ -1030,14 +1017,9 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    r = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
     return s.select(
         F.col("n").alias("n_edge_ends"),
-        (F.floor(r * 1.0e6 + 0.5) / 1.0e6).alias("assortativity"),
+        pearson_r_from_sums().alias("assortativity"),
     )
 
 
@@ -1411,17 +1393,8 @@ def part_type_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("k"),
     )
     j = g.crossJoin(F.broadcast(t))
-    mu_g = F.col("s1").cast("double") / F.col("n").cast("double")
-    mu = F.col("t1").cast("double") / F.col("nt").cast("double")
-    ssb_term = F.floor(
-        F.col("n").cast("double") * (mu_g - mu) * (mu_g - mu) + 0.5
-    ).cast("decimal(38,0)")
-    ssw_term = F.floor(
-        F.col("s2").cast("double")
-        - F.col("s1").cast("double") * F.col("s1").cast("double")
-        / F.col("n").cast("double")
-        + 0.5
-    ).cast("decimal(38,0)")
+    ssb_term = _scatter_between_q("n", "s1", "t1", "nt")
+    ssw_term = _scatter_within_q("n", "s1", "s2")
     agg = j.groupBy("k", "nt").agg(
         F.sum(ssb_term).alias("ssb"), F.sum(ssw_term).alias("ssw")
     )
@@ -1610,6 +1583,55 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARKOV_ITERS = 8
 
 
+def _scatter_between_q(n: str, s1: str, t1: str, nt: str) -> Column:
+    """Quantized between-group scatter term n_g*(mu_g - mu)^2, floored
+    to integer units and cast decimal(38,0) — THE order-independence
+    idiom for every ANOVA-family sum (one definition; see the
+    order-independence discipline in SCALE.md)."""
+    mu_g = F.col(s1).cast("double") / F.col(n).cast("double")
+    mu = F.col(t1).cast("double") / F.col(nt).cast("double")
+    return F.floor(
+        F.col(n).cast("double") * (mu_g - mu) * (mu_g - mu) + 0.5
+    ).cast("decimal(38,0)")
+
+
+def _scatter_within_q(n: str, s1: str, s2: str) -> Column:
+    """Quantized within-group scatter term s2 - s1^2/n (same idiom)."""
+    return F.floor(
+        F.col(s2).cast("double")
+        - F.col(s1).cast("double") * F.col(s1).cast("double")
+        / F.col(n).cast("double")
+        + 0.5
+    ).cast("decimal(38,0)")
+
+
+def _transition_counts(spark: SparkSession, sf_dir: str):
+    """(t, rt): the user-journey transition counts t(prev, next, c) —
+    localCheckpointed once — and the row totals rt(rprev, total) with
+    the key RENAMED so joining back cannot resolve to the same
+    attribute (the shared-lineage trivially-true-join trap). One
+    definition for both Markov queries so the chain's ordering/
+    sessionization can never silently diverge between them."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("next"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    t = t.localCheckpoint(eager=False)
+    rt = (
+        t.groupBy("prev")
+        .agg(F.sum("c").cast("long").alias("total"))
+        .select(F.col("prev").alias("rprev"), "total")
+    )
+    return t, rt
+
+
 def _markov_iter_sql() -> str:
     """p0 = uniform in pico-units; each iteration computes
     p_{k+1}(s') = sum_s (p_k(s) * c(s,s')) // rowtotal(s) — integer
@@ -1628,7 +1650,8 @@ def _markov_iter_sql() -> str:
     )""",
         """rt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS total FROM t GROUP BY 1)""",
         """p0 AS (
-      SELECT prev AS state, CAST(1000000000000 / count(*) OVER () AS BIGINT) AS pq
+      SELECT prev AS state,
+             CAST(1000000000000 // count(*) OVER () AS BIGINT) AS pq
       FROM (SELECT DISTINCT prev FROM t)
     )""",
     ]
@@ -1664,35 +1687,21 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer PageRank, on a bounded state space (the iteration data is
     dimension-table-sized; only the transition-count agg touches the
     fact table)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (
-        ev.select(
-            F.lag("event_type").over(w).alias("prev"),
-            F.col("event_type").alias("next"),
-        )
-        .filter(F.col("prev").isNotNull())
-        .groupBy("prev", "next")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    t = t.localCheckpoint(eager=False)
-    # rt derives from t, so joining back on prev==prev would resolve to
-    # the SAME attribute (trivially true — a 5x explosion); rename the
-    # rollup key before the join.
-    rt = (
-        t.groupBy("prev")
-        .agg(F.sum("c").cast("long").alias("total"))
-        .select(F.col("prev").alias("rprev"), "total")
-    )
+    t, rt = _transition_counts(spark, sf_dir)
     states = t.select("prev").distinct()
     n_states = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     p = states.select(
         F.col("prev").alias("state"),
-        (F.lit(1000000000000) / F.count(F.lit(1)).over(n_states))
-        .cast("long")
-        .alias("pq"),
+        F.count(F.lit(1)).over(n_states).alias("_n"),
+    ).select(
+        "state",
+        # integer floor division on BOTH engines: DuckDB's double->BIGINT
+        # cast ROUNDS while Spark's truncates, so a float divide here
+        # would seed different p0 vectors whenever n_states does not
+        # divide 1e12 cleanly (the PageRank `DIV` discipline).
+        F.expr("CAST(1000000000000 AS BIGINT) DIV _n").alias("pq"),
     )
     for _ in range(_MARKOV_ITERS):
         p = (
@@ -2296,13 +2305,7 @@ def lineitem_price_variance_decomposition(
         F.count(F.lit(1)).cast("long").alias("k"),
     )
     j = g.crossJoin(F.broadcast(t))
-    mu_g = F.col("s1").cast("double") / F.col("n").cast("double")
-    mu = F.col("t1").cast("double") / F.col("nt").cast("double")
-    ssb_term = (
-        F.floor(
-            F.col("n").cast("double") * (mu_g - mu) * (mu_g - mu) + 0.5
-        ).cast("decimal(38,0)")
-    )
+    ssb_term = _scatter_between_q("n", "s1", "t1", "nt")
     agg = j.groupBy("k", "nt", "t1", "t2").agg(F.sum(ssb_term).alias("ssb"))
     sst = F.col("t2").cast("double") - F.col("t1").cast("double") * F.col(
         "t1"
@@ -2550,15 +2553,10 @@ def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    r = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
     return s.select(
         F.col("lag").alias("lag_minutes"),
         F.col("n").alias("n_pairs"),
-        (F.floor(r * 1.0e6 + 0.5) / 1.0e6).alias("crosscorr"),
+        pearson_r_from_sums().alias("crosscorr"),
     )
 
 
@@ -2931,14 +2929,9 @@ def part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ry") * F.col("ry")).alias("syy"),
         F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
     )
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    sxy = F.col("sxy").cast("double")
-    rho = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
     return s.select(
         F.col("n").alias("n_parts"),
-        (F.floor(rho * 1.0e6 + 0.5) / 1.0e6).alias("spearman_rho"),
+        pearson_r_from_sums().alias("spearman_rho"),
     )
 
 
@@ -3000,14 +2993,10 @@ def supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     ).filter(F.col("n") >= 2)
-    nd = F.col("n").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
-    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
     return s.select(
         F.col("l_suppkey").alias("supp_key"),
         F.col("n").alias("n_months"),
-        (F.floor(slope / 1.0e6 + 0.5) / 1.0e6).alias("share_slope_ppm_per_month"),
+        ols_slope_from_sums(scale_div=1.0e12).alias("share_slope_ppm_per_month"),
     )
 
 
@@ -3286,23 +3275,7 @@ def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before summation — how predictable the NEXT event is given the
     current one (ln(5) ~ 1.609 nats = memoryless). All aggregates are
     exact integer sums over the 5x5 transition table."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    t = (
-        ev.select(
-            F.lag("event_type").over(w).alias("prev"),
-            F.col("event_type").alias("next"),
-        )
-        .filter(F.col("prev").isNotNull())
-        .groupBy("prev", "next")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    t = t.localCheckpoint(eager=False)
-    rt = (
-        t.groupBy("prev")
-        .agg(F.sum("c").cast("long").alias("total"))
-        .select(F.col("prev").alias("rprev"), "total")
-    )
+    t, rt = _transition_counts(spark, sf_dir)
     j = t.join(rt, F.col("prev") == F.col("rprev"))
     hq = F.floor(
         F.col("c").cast("double")

@@ -271,3 +271,23 @@ def test_documents_charset_precondition():
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} docs with out-of-charset characters"
     con.close()
+
+
+def test_semantic_dedup_empty_input_raises_clearly(spark):
+    """An empty corpus with default hyperplanes must raise the
+    documented ValueError (not a TypeError from the dimension probe);
+    with explicit hyperplanes the result is an empty DataFrame."""
+    import pytest as _pytest
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cent = _planted_corpus(spark).filter(F.col("vec_id") < 4)
+    with _pytest.raises(ValueError, match="vectors is empty"):
+        semantic_dedup(empty, cent)
+    hp = random_hyperplanes(32, 64, seed=42)
+    out = semantic_dedup(empty, cent, hyperplanes=hp)
+    assert out.count() == 0
