@@ -1,0 +1,50 @@
+"""Keep the STAGED round-8 queries green while parked
+(plans/staged_r8.py — the round-8 runway seed; activation order is
+staged_r6 (round 6) -> staged_r7 (round 7) -> this module)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES
+
+
+def test_staged_not_registered():
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_ = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged r8 queries leaked into the live registry: {leaked}"
+
+
+STAGED_NAMES = [
+    # wave A — ACF profile, language JS matrix, basket sizes, dispersion
+    "events_acf_profile",
+    "lang_js_divergence_matrix",
+    "orders_basket_size_distribution",
+    "part_brand_price_dispersion",
+]
+
+
+def test_staged_name_list_is_complete():
+    qs, _ = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
