@@ -10,6 +10,9 @@ Content so far:
 - Wave A — multi-lag autocorrelation function (the full ACF profile,
   one window pass), pairwise language JS-divergence matrix, basket-size
   distribution with exact moments, per-brand price dispersion (CV).
+- Wave B — exact inter-purchase-gap quartiles per segment, hourly
+  seasonality strength (eta-squared, quantized scatter terms), Tukey
+  IQR-fence outliers in pure integer cents.
 """
 
 from __future__ import annotations
@@ -328,4 +331,217 @@ def part_brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_parts"),
         F.floor(mean).cast("long").alias("mean_cents"),
         (F.floor(sd / mean * 1.0e6 + 0.5) / 1.0e6).alias("coeff_variation"),
+    )
+
+
+# ===========================================================================
+# Wave B — inter-purchase percentiles, seasonality strength, Tukey
+# fences.
+# ===========================================================================
+@_register(
+    "orders_interpurchase_percentiles",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(date_diff('day',
+               lag(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                        ORDER BY o.o_orderdate, o.o_orderkey),
+               o.o_orderdate) AS BIGINT) AS gap_days
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    gg AS (SELECT segment, gap_days FROM g WHERE gap_days IS NOT NULL),
+    ranked AS (
+      SELECT segment, gap_days,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY gap_days, 1) AS rn,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM gg
+    )
+    SELECT segment,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(CASE WHEN rn = (n - 1) // 4 + 1 THEN gap_days END) AS BIGINT)
+             AS p25_days,
+           CAST(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN gap_days END) AS BIGINT)
+             AS p50_days,
+           CAST(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN gap_days END)
+                AS BIGINT) AS p75_days
+    FROM ranked GROUP BY 1
+    """,
+)
+def orders_interpurchase_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quartiles of the inter-order gap (days between a
+    customer's consecutive orders), rolled up per segment — the
+    repurchase-cadence profile. One per-customer lag window over the
+    fact table, then the exact order-statistic machinery per segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    wr = Window.partitionBy("segment").orderBy("gap_days")
+    wn = Window.partitionBy("segment")
+    ranked = g.select(
+        "segment",
+        "gap_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at(idx):
+        return F.max(F.when(F.col("rn") == idx, F.col("gap_days"))).cast("long")
+
+    i25 = ((F.col("n") - 1) / 4).cast("long") + 1
+    i50 = ((F.col("n") - 1) / 2).cast("long") + 1
+    i75 = ((F.col("n") - 1) * 3 / 4).cast("long") + 1
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        at(i25).alias("p25_days"),
+        at(i50).alias("p50_days"),
+        at(i75).alias("p75_days"),
+    )
+
+
+@_register(
+    "events_hourly_seasonality_strength",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(floor(value * 1.0e6 + 0.5) AS HUGEINT) AS v
+      FROM events
+    ),
+    per_h AS (
+      SELECT event_type, h, CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s1, sum(v*v) AS s2
+      FROM q GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS nt, sum(s1) AS t1,
+             sum(s2) AS t2
+      FROM per_h GROUP BY 1
+    ),
+    ssw AS (
+      SELECT p.event_type,
+             CAST(sum(CAST(floor(CAST(p.s2 AS DOUBLE)
+                 - CAST(p.s1 AS DOUBLE)*CAST(p.s1 AS DOUBLE)/CAST(p.n AS DOUBLE)
+                 + 0.5) AS HUGEINT)) AS HUGEINT) AS w
+      FROM per_h p GROUP BY 1
+    )
+    SELECT t.event_type,
+           floor((1.0 - CAST(ssw.w AS DOUBLE)
+                        / (CAST(t.t2 AS DOUBLE)
+                           - CAST(t.t1 AS DOUBLE)*CAST(t.t1 AS DOUBLE)
+                             /CAST(t.nt AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS seasonality_strength
+    FROM tot t JOIN ssw USING (event_type)
+    """,
+)
+def events_hourly_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """How much of the value variance the hour-of-day explains:
+    1 - SSW/SST over the 24 hour groups per type (the eta-squared of
+    the hourly seasonality — ~0 means no diurnal structure). Same
+    quantized scatter discipline as the ANOVA family; one (type, hour)
+    exact agg, everything after is 24-row-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("decimal(19,0)").alias("v"),
+    )
+    per_h = q.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    tot = per_h.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+    )
+    ssw_term = F.floor(
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n").cast("double")
+        + 0.5
+    ).cast("decimal(38,0)")
+    ssw = per_h.groupBy("event_type").agg(F.sum(ssw_term).alias("w"))
+    j = tot.join(ssw, "event_type")
+    sst = F.col("t2").cast("double") - F.col("t1").cast("double") * F.col(
+        "t1"
+    ).cast("double") / F.col("nt").cast("double")
+    strength = 1.0 - F.col("w").cast("double") / sst
+    return j.select(
+        "event_type",
+        (F.floor(strength * 1.0e6 + 0.5) / 1.0e6).alias("seasonality_strength"),
+    )
+
+
+@_register(
+    "supplier_acctbal_tukey_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT s_suppkey,
+             CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM supplier
+    ),
+    ranked AS (
+      SELECT s_suppkey, cents,
+             row_number() OVER (ORDER BY cents, s_suppkey) AS rn,
+             count(*) OVER () AS n
+      FROM q
+    ),
+    fences AS (
+      SELECT max(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END) AS q1,
+             max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents END) AS q3
+      FROM ranked
+    )
+    SELECT q.s_suppkey AS supp_key, q.cents AS acctbal_cents,
+           CASE WHEN q.cents < f.q1 - 3 * (f.q3 - f.q1) // 2 THEN 'low'
+                ELSE 'high' END AS fence_side
+    FROM q CROSS JOIN fences f
+    WHERE q.cents < f.q1 - 3 * (f.q3 - f.q1) // 2
+       OR q.cents > f.q3 + 3 * (f.q3 - f.q1) // 2
+    """,
+)
+def supplier_acctbal_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers (beyond Q1/Q3 -/+ 1.5*IQR) on supplier
+    balances — the boxplot rule with everything in integer cents:
+    1.5*IQR is computed as 3*IQR//2 so the fences are exact integers on
+    both engines (no .5 float fence). Exact quartiles via the discrete
+    order-statistic; 1-row fence broadcast."""
+    s = _t(spark, sf_dir, "supplier")
+    q = s.select("s_suppkey", _cents(F.col("s_acctbal")).alias("cents"))
+    wr = Window.orderBy("cents", "s_suppkey")
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = q.select(
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    i1 = ((F.col("n") - 1) / 4).cast("long") + 1
+    i3 = ((F.col("n") - 1) * 3 / 4).cast("long") + 1
+    fences = ranked.agg(
+        F.max(F.when(F.col("rn") == i1, F.col("cents"))).alias("q1"),
+        F.max(F.when(F.col("rn") == i3, F.col("cents"))).alias("q3"),
+    )
+    iqr15 = F.expr("3 * (q3 - q1) DIV 2")
+    low = F.col("cents") < F.col("q1") - iqr15
+    high = F.col("cents") > F.col("q3") + iqr15
+    return (
+        q.crossJoin(F.broadcast(fences))
+        .filter(low | high)
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("cents").alias("acctbal_cents"),
+            F.when(low, "low").otherwise("high").alias("fence_side"),
+        )
     )

@@ -33,6 +33,10 @@ STAGED_NAMES = [
     "lang_js_divergence_matrix",
     "orders_basket_size_distribution",
     "part_brand_price_dispersion",
+    # wave B — inter-purchase quartiles, seasonality strength, Tukey
+    "orders_interpurchase_percentiles",
+    "events_hourly_seasonality_strength",
+    "supplier_acctbal_tukey_outliers",
 ]
 
 
