@@ -13,6 +13,10 @@ Content so far:
 - Wave B — exact inter-purchase-gap quartiles per segment, hourly
   seasonality strength (eta-squared, quantized scatter terms), Tukey
   IQR-fence outliers in pure integer cents.
+- Wave C — partial correlation of price and quantity controlling for
+  discount (ten sums, one pass), per-user entropy-vs-volume
+  correlation, and total-variation drift of the yearly priority mix
+  (the categorical KS companion).
 """
 
 from __future__ import annotations
@@ -544,4 +548,249 @@ def supplier_acctbal_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("cents").alias("acctbal_cents"),
             F.when(low, "low").otherwise("high").alias("fence_side"),
         )
+    )
+
+
+# ===========================================================================
+# Wave C — partial correlation, entropy-vs-volume, categorical drift.
+# ===========================================================================
+@_register(
+    "lineitem_partial_corr_price_qty",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS HUGEINT) AS x,
+             CAST(floor(l_quantity + 0.5) AS HUGEINT) AS y,
+             CAST(floor(l_discount * 100.0 + 0.5) AS HUGEINT) AS z
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+             sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz
+      FROM q
+    ),
+    r AS (
+      SELECT n,
+             (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS rxy,
+             (CAST(n AS DOUBLE)*CAST(sxz AS DOUBLE)
+              - CAST(sx AS DOUBLE)*CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE)*CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE))) AS rxz,
+             (CAST(n AS DOUBLE)*CAST(syz AS DOUBLE)
+              - CAST(sy AS DOUBLE)*CAST(sz AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))
+                    * (CAST(n AS DOUBLE)*CAST(szz AS DOUBLE)
+                       - CAST(sz AS DOUBLE)*CAST(sz AS DOUBLE))) AS ryz
+      FROM s
+    )
+    SELECT n AS n_lines,
+           floor(rxy * 1.0e6 + 0.5) / 1.0e6 AS r_price_qty,
+           floor((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                 * 1.0e6 + 0.5) / 1.0e6 AS r_price_qty_given_disc
+    FROM r
+    """,
+)
+def lineitem_partial_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of price and quantity CONTROLLING for
+    discount: r_xy.z = (r_xy - r_xz*r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)),
+    with all three pairwise r's coming from ONE pass of ten exact
+    integer sums — the confounder-screen companion to the raw
+    correlation matrix already staged."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        _cents(F.col("l_extendedprice")).cast("decimal(19,0)").alias("x"),
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(19,0)").alias("y"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("decimal(19,0)").alias("z"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+    nd = F.col("n").cast("double")
+
+    def rr(sab, sa, sb, saa, sbb):
+        num = nd * F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double")
+        den = F.sqrt(
+            (nd * F.col(saa).cast("double")
+             - F.col(sa).cast("double") * F.col(sa).cast("double"))
+            * (nd * F.col(sbb).cast("double")
+               - F.col(sb).cast("double") * F.col(sb).cast("double"))
+        )
+        return num / den
+
+    rxy = rr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = rr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = rr("syz", "sy", "sz", "syy", "szz")
+    partial = (rxy - rxz * ryz) / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    return s.select(
+        F.col("n").alias("n_lines"),
+        (F.floor(rxy * 1.0e6 + 0.5) / 1.0e6).alias("r_price_qty"),
+        (F.floor(partial * 1.0e6 + 0.5) / 1.0e6).alias("r_price_qty_given_disc"),
+    )
+
+
+@_register(
+    "events_user_entropy_vs_volume",
+    oracle="""
+    WITH tc AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(CAST(c AS HUGEINT)
+                 * CAST(floor(ln(CAST(c AS DOUBLE)) * 1.0e6 + 0.5) AS HUGEINT))
+               AS HUGEINT) AS wsum
+      FROM tc GROUP BY 1
+    ),
+    q AS (
+      SELECT CAST(total AS HUGEINT) AS x,
+             CAST(floor((CAST(total AS DOUBLE)
+                         * floor(ln(CAST(total AS DOUBLE)) * 1.0e6 + 0.5)
+                         - CAST(wsum AS DOUBLE)) / CAST(total AS DOUBLE) + 0.5)
+                  AS HUGEINT) AS y
+      FROM per_user
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+      FROM q
+    )
+    SELECT n AS n_users,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS corr_volume_entropy
+    FROM s
+    """,
+)
+def events_user_entropy_vs_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do heavier users spread across more event types? Pearson r
+    between per-user event volume and per-user type-entropy (micro-nat
+    quantized, the events_value_entropy recipe per user), through the
+    shared finisher — a composition of the entropy and correlation
+    primitives as one behavioral diagnostic."""
+    ev = _t(spark, sf_dir, "events")
+    tc = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lnq = F.floor(F.log(F.col("c").cast("double")) * 1.0e6 + 0.5).cast(
+        "decimal(19,0)"
+    )
+    per_user = tc.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum(F.col("c").cast("decimal(19,0)") * lnq).alias("wsum"),
+    )
+    td = F.col("total").cast("double")
+    ent_q = F.floor(
+        (td * F.floor(F.log(td) * 1.0e6 + 0.5) - F.col("wsum").cast("double"))
+        / td
+        + 0.5
+    )
+    q = per_user.select(
+        F.col("total").cast("decimal(19,0)").alias("x"),
+        ent_q.cast("decimal(19,0)").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        pearson_r_from_sums().alias("corr_volume_entropy"),
+    )
+
+
+@_register(
+    "orders_priority_mix_drift",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS p,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT yr, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1),
+    shares AS (
+      SELECT c.yr, c.p, c.n, tot.t FROM c JOIN tot USING (yr)
+    ),
+    tv AS (
+      SELECT a.yr,
+             CAST(sum(CAST(floor(abs(
+               CAST(a.n AS DOUBLE) / CAST(a.t AS DOUBLE)
+               - CAST(COALESCE(b.n, 0) AS DOUBLE) / CAST(bt.t AS DOUBLE))
+               * 1.0e12 + 0.5) AS HUGEINT)) AS HUGEINT) AS tvq
+      FROM shares a
+      JOIN tot bt ON bt.yr = a.yr - 1
+      LEFT JOIN shares b ON b.yr = a.yr - 1 AND b.p = a.p
+      GROUP BY a.yr
+    )
+    SELECT yr AS year,
+           floor(CAST(tvq AS DOUBLE) * 0.5 / 1.0e6 + 0.5) / 1.0e6
+             AS tv_distance_vs_prev
+    FROM tv
+    """,
+)
+def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift: total-variation distance between consecutive
+    years' priority mixes (0.5 * sum |p_i - q_i|) — the categorical
+    companion of the numeric KS drift already live. Per-priority terms
+    pico-quantized before the order-independent sum; everything runs on
+    the (year, priority) AGGREGATE."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderpriority").alias("p"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("yr").agg(F.sum("n").cast("long").alias("t"))
+    shares = c.join(tot, "yr")
+    a = shares.select(
+        "yr", "p", F.col("n").alias("na"), F.col("t").alias("ta")
+    )
+    bt = tot.select((F.col("yr") + 1).alias("yr"), F.col("t").alias("tb"))
+    b = shares.select(
+        (F.col("yr") + 1).alias("yr"), "p", F.col("n").alias("nb")
+    )
+    j = a.join(bt, "yr").join(b, ["yr", "p"], "left")
+    term_q = F.floor(
+        F.abs(
+            F.col("na").cast("double") / F.col("ta").cast("double")
+            - F.coalesce(F.col("nb"), F.lit(0)).cast("double")
+            / F.col("tb").cast("double")
+        )
+        * 1.0e12
+        + 0.5
+    ).cast("decimal(38,0)")
+    tv = j.groupBy("yr").agg(F.sum(term_q).alias("tvq"))
+    return tv.select(
+        F.col("yr").alias("year"),
+        (
+            F.floor(F.col("tvq").cast("double") * 0.5 / 1.0e6 + 0.5) / 1.0e6
+        ).alias("tv_distance_vs_prev"),
     )

@@ -37,6 +37,10 @@ STAGED_NAMES = [
     "orders_interpurchase_percentiles",
     "events_hourly_seasonality_strength",
     "supplier_acctbal_tukey_outliers",
+    # wave C — partial corr, entropy-vs-volume, categorical drift
+    "lineitem_partial_corr_price_qty",
+    "events_user_entropy_vs_volume",
+    "orders_priority_mix_drift",
 ]
 
 
