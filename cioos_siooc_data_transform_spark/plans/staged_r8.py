@@ -17,6 +17,8 @@ Content so far:
   discount (ten sums, one pass), per-user entropy-vs-volume
   correlation, and total-variation drift of the yearly priority mix
   (the categorical KS companion).
+- Wave D — weekend revenue share, tax x discount interaction grid
+  (Q1's charge expression as a two-factor table), segment repeat rate.
 """
 
 from __future__ import annotations
@@ -793,4 +795,112 @@ def orders_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(F.col("tvq").cast("double") * 0.5 / 1.0e6 + 0.5) / 1.0e6
         ).alias("tv_distance_vs_prev"),
+    )
+
+
+# ===========================================================================
+# Wave D — weekend share, tax x discount interaction grid, repeat rate.
+# ===========================================================================
+@_register(
+    "orders_weekend_share",
+    oracle="""
+    WITH q AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN isodow(o.o_orderdate) >= 6 THEN 1 ELSE 0 END AS wknd,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT segment,
+           CAST(sum(CASE WHEN wknd = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS weekend_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           floor(sum(CASE WHEN wknd = 1 THEN cents ELSE 0 END) * 1.0e6
+                 / sum(cents) + 0.5) / 1.0e6 AS weekend_share
+    FROM q GROUP BY 1
+    """,
+)
+def orders_weekend_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend (ISO Sat/Sun) share of revenue per segment — one agg of
+    exact integer cents with the established weekday()+1 == isodow
+    parity mapping."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    wknd = F.when(F.weekday("o_orderdate") + 1 >= 6, 1).otherwise(0)
+    q = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        wknd.alias("wknd"),
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
+    wc = F.sum(F.when(F.col("wknd") == 1, F.col("cents")).otherwise(0)).cast("long")
+    tc = F.sum("cents").cast("long")
+    return q.groupBy("segment").agg(
+        wc.alias("weekend_cents"),
+        tc.alias("total_cents"),
+        (F.floor(wc * 1.0e6 / tc + 0.5) / 1.0e6).alias("weekend_share"),
+    )
+
+
+@_register(
+    "lineitem_tax_discount_grid",
+    oracle="""
+    SELECT CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT) AS tax_pct,
+           CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 100.0 + 0.5)) AS BIGINT) AS charged_cents
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def lineitem_tax_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor interaction grid: line counts and total charged
+    amount (price x (1-disc) x (1+tax), floored per row) per
+    (tax, discount) percent cell — the joint-effect table behind Q1's
+    charge expression. One bounded-key agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    charged = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    )
+    return li.groupBy(
+        F.floor(F.col("l_tax") * 100.0 + 0.5).cast("long").alias("tax_pct"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("disc_pct"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(charged).cast("long").alias("charged_cents"),
+    )
+
+
+@_register(
+    "customer_repeat_rate",
+    oracle="""
+    WITH pc AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           floor(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS repeat_rate
+    FROM pc GROUP BY 1
+    """,
+)
+def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each segment's customers who ordered at least twice —
+    the top-line retention number. Two map-side-combinable aggs."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pc = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1)).cast("long")
+    return pc.groupBy("segment").agg(
+        n.alias("n_customers"),
+        rep.alias("n_repeat"),
+        (F.floor(rep * 1.0e6 / n + 0.5) / 1.0e6).alias("repeat_rate"),
     )

@@ -41,6 +41,10 @@ STAGED_NAMES = [
     "lineitem_partial_corr_price_qty",
     "events_user_entropy_vs_volume",
     "orders_priority_mix_drift",
+    # wave D — weekend share, tax x discount grid, repeat rate
+    "orders_weekend_share",
+    "lineitem_tax_discount_grid",
+    "customer_repeat_rate",
 ]
 
 
