@@ -117,6 +117,20 @@ _CHECKED = frozenset(
         "text_bigram_repetition", "time_weighted_average", "train_val_test_split",
         "tumbling_window_hourly", "two_phase_salted_agg", "udtf_tokenize_offsets",
         "unpivot_metrics", "window_lag_lead_delta",
+        # round 5 (all 50 green in CORRECTNESS_r05.json)
+        "ab_test_lift", "asof_nearest_tolerance", "bucketed_colocated_join", "cusum_range_drift",
+        "dedup_bag_jaccard_pairs", "dedup_bbit_minhash", "dedup_component_size_histogram", "dedup_exact_normalized",
+        "dedup_fingerprint_winnowing", "dedup_layer_funnel", "dedup_source_survivorship", "dedup_winnowing_pairs",
+        "embedding_binary_signature", "embedding_knn_label_accuracy", "embedding_mahalanobis_diag", "events_dow_seasonality",
+        "except_intersect_all", "funnel_conversion_rates", "graph_pagerank_iterations", "grouping_id_flags",
+        "gsw_adiabatic_lapse_rate", "gsw_dynamic_enthalpy", "gsw_enthalpy", "gsw_kappa",
+        "gsw_potential_density_theta", "gsw_rho_at_pressure", "gsw_sigma1_sigma2", "gsw_sound_speed_ct_native",
+        "interval_sweepline_backlog", "ios_profile_sound_speed", "langid_confusion_matrix", "late_data_accounting",
+        "left_join_null_skew_isolated", "lm_bigram_logprob", "ngram_novelty_score", "orders_gini_concentration",
+        "quality_classifier_logreg", "rate_limit_token_bucket", "scd2_point_in_time_lookup", "session_duration_stats",
+        "sketch_frequent_items", "snapshot_diff_cdc", "text_heaps_law_fit", "text_simpson_diversity",
+        "text_stopword_density", "tokenizer_fertility", "vocab_zipf_slope", "weighted_sample_ares",
+        "window_time_interval_frame", "window_value_functions",
     }
 )
 

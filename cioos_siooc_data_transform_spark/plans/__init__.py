@@ -38,3 +38,12 @@ from cioos_siooc_data_transform_spark.plans import tpch_extra  # noqa: F401,E402
 from cioos_siooc_data_transform_spark.plans import staged_r5  # noqa: E402
 
 staged_r5.activate()
+
+# Round-6 activation: the 50 queries staged during round 5 (tri-scale
+# green via tools/staged_sim.py and re-verified by the round-5 judge)
+# join the live registry. The matching 50 round-5-green names moved to
+# _CHECKED in __spark_entry__.py in the same change, keeping the
+# driver's fresh-name sample exactly at its 50-query budget.
+from cioos_siooc_data_transform_spark.plans import staged_r6  # noqa: E402
+
+staged_r6.activate()

@@ -1,7 +1,7 @@
-"""Keep the STAGED round-6 queries green while they wait for
-registration (plans/staged_r6.py — parked so round 5's fresh-query
-count stays at the driver's 50-sample budget; same contract as the
-round-5 slate had in round 4)."""
+"""The round-6 slate (plans/staged_r6.py) is LIVE as of round 6:
+activated from plans/__init__.py, same cycle the round-5 slate followed
+(parked one round to respect the driver's 50-fresh-sample budget, then
+registered)."""
 
 from __future__ import annotations
 
@@ -19,15 +19,19 @@ def _staged():
     return STAGED_QUERIES, STAGED_ORACLES
 
 
-def test_staged_not_registered():
-    """Parked means parked: none of the staged names may appear in the
-    live registry while the round-5 fresh budget is exactly 50."""
-    from cioos_siooc_data_transform_spark.plans import all_queries
+def test_staged_now_registered():
+    """Round 6 activated the slate: every staged name must be live in
+    the registry with its oracle (the reverse of round 5's parked
+    invariant)."""
+    from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_ = _staged()
     assert set(qs) == set(os_)
-    leaked = set(qs) & set(all_queries())
-    assert not leaked, f"staged queries leaked into the live registry: {leaked}"
+    live_q, live_o = all_queries(), all_oracles()
+    missing = set(qs) - set(live_q)
+    assert not missing, f"staged queries not activated: {missing}"
+    missing_o = set(os_) - set(live_o)
+    assert not missing_o, f"staged oracles not activated: {missing_o}"
 
 
 STAGED_NAMES = [
@@ -110,31 +114,13 @@ def test_staged_query_matches_oracle(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_activate_registers_everything_in_subprocess():
-    """activate() must move every staged query into the live registry
-    with its oracle — proven in a subprocess so this test run's global
-    registry (and the fresh-budget contract) stays untouched."""
-    import subprocess
-    import sys
+def test_activate_idempotent_after_import():
+    """plans/__init__.py already ran activate(); a second call must be a
+    no-op (idempotence is what makes the import-time activation safe
+    under repeated imports / reload)."""
+    from cioos_siooc_data_transform_spark.plans import staged_r6
 
-    code = (
-        "from cioos_siooc_data_transform_spark.plans import staged_r6, "
-        "all_queries, all_oracles\n"
-        "before = len(all_queries())\n"
-        "n = staged_r6.activate()\n"
-        "assert n == len(staged_r6.STAGED_QUERIES), n\n"
-        "assert staged_r6.activate() == 0  # idempotent\n"
-        "qs, os_ = all_queries(), all_oracles()\n"
-        "assert len(qs) == before + n\n"
-        "for name in staged_r6.STAGED_QUERIES:\n"
-        "    assert name in qs and name in os_, name\n"
-        "print('ok', n)\n"
-    )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    assert "ok" in out.stdout
+    assert staged_r6.activate() == 0
 
 
 def test_staged_plans_never_cartesian(spark):
