@@ -136,18 +136,22 @@ def theta_rk4_stages(
     """
     dp = f"(({p_ref}) - ({p}))"
     pmid = f"(({p}) + 0.5e0*{dp})"
+    # Stage names carry a collision-resistant __theta_rk4_ prefix: a
+    # caller DataFrame owning a bare _dth1/_q2/... column would
+    # otherwise be silently overwritten and dropped by theta_rk4().
+    x = "__theta_rk4_"
     return [
-        ("_dth1", f"({dp}*{lapse_rate_sql(s, t, p)})"),
-        ("_th1", f"(({t}) + 0.5e0*_dth1)"),
-        ("_q1", "_dth1"),
-        ("_dth2", f"({dp}*{lapse_rate_sql(s, '_th1', pmid)})"),
-        ("_th2", "(_th1 + 0.29289322e0*(_dth2 - _q1))"),
-        ("_q2", "(0.58578644e0*_dth2 + 0.121320344e0*_q1)"),
-        ("_dth3", f"({dp}*{lapse_rate_sql(s, '_th2', pmid)})"),
-        ("_th3", "(_th2 + 1.707106781e0*(_dth3 - _q2))"),
-        ("_q3", "(3.414213562e0*_dth3 - 4.121320344e0*_q2)"),
-        ("_dth4", f"({dp}*{lapse_rate_sql(s, '_th3', p_ref)})"),
-        ("theta_rk4", "(_th3 + (_dth4 - 2.0e0*_q3)/6.0e0)"),
+        (f"{x}dth1", f"({dp}*{lapse_rate_sql(s, t, p)})"),
+        (f"{x}th1", f"(({t}) + 0.5e0*{x}dth1)"),
+        (f"{x}q1", f"{x}dth1"),
+        (f"{x}dth2", f"({dp}*{lapse_rate_sql(s, x + 'th1', pmid)})"),
+        (f"{x}th2", f"({x}th1 + 0.29289322e0*({x}dth2 - {x}q1))"),
+        (f"{x}q2", f"(0.58578644e0*{x}dth2 + 0.121320344e0*{x}q1)"),
+        (f"{x}dth3", f"({dp}*{lapse_rate_sql(s, x + 'th2', pmid)})"),
+        (f"{x}th3", f"({x}th2 + 1.707106781e0*({x}dth3 - {x}q2))"),
+        (f"{x}q3", f"(3.414213562e0*{x}dth3 - 4.121320344e0*{x}q2)"),
+        (f"{x}dth4", f"({dp}*{lapse_rate_sql(s, x + 'th3', p_ref)})"),
+        ("theta_rk4", f"({x}th3 + ({x}dth4 - 2.0e0*{x}q3)/6.0e0)"),
     ]
 
 
@@ -156,6 +160,13 @@ def theta_rk4(df: DataFrame, s: str, t: str, p: str, p_ref: str = "0.0e0") -> Da
     reference p_ref dbar) to df, dropping the intermediate stage
     columns. Pure whole-stage-codegen arithmetic, zero shuffle."""
     stages = theta_rk4_stages(s, t, p, p_ref)
+    clash = [n for n, _ in stages if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"theta_rk4: input already has stage column(s) {clash} — "
+            "rename them before calling (they would be overwritten and "
+            "dropped)"
+        )
     for name, expr in stages:
         df = df.withColumn(name, F.expr(expr))
     return df.drop(*[n for n, _ in stages if n != "theta_rk4"])

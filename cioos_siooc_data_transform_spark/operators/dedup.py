@@ -649,17 +649,19 @@ def semantic_dedup(
     )
 
     if hyperplanes is None:
-        # Deriving the hyperplane dimension needs ONE row — an eager
-        # driver action at plan-build time (documented trade-off; pass
-        # hyperplanes explicitly to keep composition fully lazy).
-        head = vectors.select(vec_col).head()
-        if head is None or head[0] is None:
-            raise ValueError(
-                "semantic_dedup: vectors is empty (or first embedding is "
-                "NULL) — pass hyperplanes=random_hyperplanes(4*bands, dim) "
-                "explicitly to dedup an input whose emptiness is expected"
-            )
-        hyperplanes = random_hyperplanes(4 * bands, len(head[0]), seed=42)
+        # Plan composition must stay fully lazy (no hidden Spark jobs
+        # while a caller is still assembling a pipeline), so the
+        # dimension probe that used to live here is gone. Pass
+        # hyperplanes=random_hyperplanes(4*bands, dim) explicitly, or
+        # use semantic_dedup_trained (already eager through KMeans.fit,
+        # so it derives the dimension from its trained centroids).
+        raise ValueError(
+            "semantic_dedup: hyperplanes is required — pass "
+            "random_hyperplanes(4*bands, dim, seed=...) (dim = embedding "
+            "length) to keep plan composition lazy, or call "
+            "semantic_dedup_trained which derives them from its trained "
+            "centroids"
+        )
     assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
         id_col, "centroid_id"
     )
@@ -741,4 +743,19 @@ def semantic_dedup_trained(
     cent = train_ivf_centroids(
         sample, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
     )
+    if kwargs.get("hyperplanes") is None:
+        # This path is already eager (KMeans.fit above is a full
+        # action), so deriving the hyperplane dimension here adds no
+        # surprise job — and cent is a driver-local relation, so the
+        # head() below is a LocalTableScan, not a corpus scan.
+        head = cent.select(vec_col).head()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "semantic_dedup_trained: trained centroids are empty — "
+                "the input corpus has no rows"
+            )
+        bands = kwargs.get("bands", 8)
+        kwargs["hyperplanes"] = random_hyperplanes(
+            4 * bands, len(head[0]), seed=42
+        )
     return semantic_dedup(vectors, cent, id_col=id_col, vec_col=vec_col, **kwargs)

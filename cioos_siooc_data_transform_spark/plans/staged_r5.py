@@ -3372,11 +3372,16 @@ def _ols_slope_quantized(pts: DataFrame, *, n_name: str, slope_name: str) -> Dat
     sy = F.col("sy").cast("double")
     sxx = F.col("sxx").cast("double")
     sxy = F.col("sxy").cast("double")
+    # Degenerate fits (single point, or constant x) have a zero
+    # denominator: Spark double division would yield Inf/NaN while
+    # DuckDB's semantics differ, so both sides agree on NULL instead
+    # (the oracles mirror this with NULLIF(denominator, 0)).
+    den = nd * sxx - sx * sx
     return s.select(
         F.col("n").alias(n_name),
-        (
-            F.floor((nd * sxy - sx * sy) / (nd * sxx - sx * sx) * 1.0e6 + 0.5)
-            / 1.0e6
+        F.when(
+            den != F.lit(0.0),
+            F.floor((nd * sxy - sx * sy) / den * 1.0e6 + 0.5) / 1.0e6,
         ).alias(slope_name),
     )
 
@@ -3410,8 +3415,8 @@ def _ols_slope_quantized(pts: DataFrame, *, n_name: str, slope_name: str) -> Dat
     SELECT n AS vocab_size,
            floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6
              AS zipf_slope
     FROM s
@@ -3546,8 +3551,8 @@ STAGED_ORACLES["gsw_kappa"] = _kappa_oracle()
     SELECT n AS n_points,
            floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6
              AS heaps_beta
     FROM s

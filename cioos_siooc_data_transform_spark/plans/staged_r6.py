@@ -86,11 +86,13 @@ def pearson_r_from_sums(dp: int = 6) -> Column:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
-    r = (nd * sxy - sx * sy) / F.sqrt(
-        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
-    )
+    # Zero-variance inputs (single point, constant x or y) make the
+    # denominator 0: guard to NULL so both engines agree on degenerate
+    # corpora (oracles mirror with NULLIF(sqrt(...), 0.0)).
+    den = F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    r = (nd * sxy - sx * sy) / den
     scale = float(10 ** dp)
-    return F.floor(r * scale + 0.5) / scale
+    return F.when(den != F.lit(0.0), F.floor(r * scale + 0.5) / scale)
 
 
 def ols_slope_from_sums(dp: int = 6, scale_div: float = 1.0) -> Column:
@@ -99,9 +101,14 @@ def ols_slope_from_sums(dp: int = 6, scale_div: float = 1.0) -> Column:
     nd = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
-    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    # Same degenerate-input guard as pearson_r_from_sums (oracles
+    # mirror with NULLIF(denominator, 0.0)).
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
     scale = float(10 ** dp)
-    return F.floor(slope / scale_div * scale + 0.5) / scale
+    return F.when(
+        den != F.lit(0.0), F.floor(slope / scale_div * scale + 0.5) / scale
+    )
 
 
 # ===========================================================================
@@ -768,10 +775,10 @@ def orders_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n AS n_pairs,
            floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS autocorr_lag1
     FROM s
     """,
@@ -2849,10 +2856,10 @@ def events_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_docs,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS corr_len_vocab
     FROM s
     """,

@@ -856,8 +856,8 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT brand, n AS n_lines,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS qty_per_disc_pct
     FROM s
     """,
@@ -974,10 +974,10 @@ def dedup_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_edge_ends,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS assortativity
     FROM s
     """,
@@ -2512,10 +2512,10 @@ def customer_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(lag AS BIGINT) AS lag_minutes, n AS n_pairs,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS crosscorr
     FROM s
     """,
@@ -2898,10 +2898,10 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_parts,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS spearman_rho
     FROM s
     """,
@@ -2959,8 +2959,8 @@ def part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey AS supp_key, n AS n_months,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0.0)
                  / 1.0e6 + 0.5) / 1.0e6 AS share_slope_ppm_per_month
     FROM s WHERE n >= 2
     """,

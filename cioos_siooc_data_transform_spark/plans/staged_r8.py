@@ -100,10 +100,10 @@ def _acf_oracle() -> str:
     SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS acf
     FROM s
     """
@@ -681,10 +681,10 @@ def lineitem_partial_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT n AS n_users,
            floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                 / NULLIF(sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                           - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0)
                  * 1.0e6 + 0.5) / 1.0e6 AS corr_volume_entropy
     FROM s
     """,

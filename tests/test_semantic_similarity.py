@@ -274,9 +274,11 @@ def test_documents_charset_precondition():
 
 
 def test_semantic_dedup_empty_input_raises_clearly(spark):
-    """An empty corpus with default hyperplanes must raise the
-    documented ValueError (not a TypeError from the dimension probe);
-    with explicit hyperplanes the result is an empty DataFrame."""
+    """semantic_dedup is a lazy library function: omitting hyperplanes
+    must raise the documented ValueError immediately (no hidden
+    dimension-probe job at plan-composition time); with explicit
+    hyperplanes an empty corpus composes lazily and yields an empty
+    DataFrame."""
     import pytest as _pytest
 
     from cioos_siooc_data_transform_spark.operators.dedup import (
@@ -286,7 +288,7 @@ def test_semantic_dedup_empty_input_raises_clearly(spark):
 
     empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
     cent = _planted_corpus(spark).filter(F.col("vec_id") < 4)
-    with _pytest.raises(ValueError, match="vectors is empty"):
+    with _pytest.raises(ValueError, match="hyperplanes is required"):
         semantic_dedup(empty, cent)
     hp = random_hyperplanes(32, 64, seed=42)
     out = semantic_dedup(empty, cent, hyperplanes=hp)
