@@ -2009,29 +2009,44 @@ _FREQ_SUPPORT = 0.05
     """,
 )
 def sketch_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter detection: freqItems(support=0.05) over event_type,
-    then each truly-frequent value (exact support > 5%) is checked for
-    membership in the sketch output. One pass + a tiny broadcast of the
-    sketch array; at 100 TB this is THE way to find hot keys before
-    they melt a shuffle (the salting decision input). The emitted rows
-    are the exact-side truths; in_sketch flips to false (hash-match
-    failure) if the sketch ever drops a true heavy hitter."""
+    """Heavy-hitter detection with a FULLY LAZY sketch (df.stat.freqItems
+    materializes its result eagerly inside query construction — the one
+    hidden-job shape this registry bans): candidates are the
+    partition-locally frequent keys. Pigeonhole recall lemma: if
+    count(x) > s·N globally then some partition p has
+    count_p(x) > s·N_p, so the union of per-partition heavy hitters
+    (a distributed Misra-Gries cousin) can never miss a true heavy
+    hitter — false positives allowed, false negatives impossible, for
+    ANY partition layout. At 100 TB the local counts are map-side
+    partial aggregates and the candidate set is a tiny broadcast; this
+    is THE pre-shuffle hot-key probe (the salting decision input). The
+    emitted rows are the exact-side truths; in_sketch flips to false
+    (hash-match failure) if the candidate set ever drops one."""
     ev = _t(spark, sf_dir, "events")
-    sketch_vals = ev.stat.freqItems(["event_type"], support=_FREQ_SUPPORT).collect()[
-        0
-    ][0]
+    tagged = ev.select("event_type", F.spark_partition_id().alias("pid"))
+    local = tagged.groupBy("pid", "event_type").agg(
+        F.count(F.lit(1)).alias("local_cnt")
+    )
+    per_part = tagged.groupBy("pid").agg(F.count(F.lit(1)).alias("pid_rows"))
+    cand = (
+        local.join(per_part, "pid")
+        .filter(F.col("local_cnt") > _FREQ_SUPPORT * F.col("pid_rows"))
+        .select("event_type")
+        .distinct()
+        .withColumn("in_sk", F.lit(True))
+    )
     counts = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
     total = counts.agg(F.sum("exact_count").alias("tot"))
-    sketch_arr = F.array(*[F.lit(v) for v in sketch_vals])
     return (
         counts.crossJoin(F.broadcast(total))
         .filter(F.col("exact_count") > _FREQ_SUPPORT * F.col("tot"))
+        .join(F.broadcast(cand), "event_type", "left")
         .select(
             "event_type",
             "exact_count",
-            F.array_contains(sketch_arr, F.col("event_type")).alias("in_sketch"),
+            F.coalesce(F.col("in_sk"), F.lit(False)).alias("in_sketch"),
         )
     )
 

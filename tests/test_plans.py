@@ -86,9 +86,15 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         #   three SINGLE-ROW aggregates cross-joined (scalar assembly);
         #   every pair-generating join in it remains a bucket equi-join
         #   (the exemption test_staged_r5 carried while it was parked).
+        # - dedup_lsh_recall_audit (activated round 6): same scalar
+        #   assembly — three single-row aggregates cross-joined into
+        #   the one-row audit result; its pair-generating joins are
+        #   bucket/shingle equi-joins (exemption carried over from
+        #   test_staged_r6's parked-state test).
         if name.startswith("dedup_") and name not in (
             "dedup_semantic_clusters",
             "dedup_layer_funnel",
+            "dedup_lsh_recall_audit",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -201,3 +207,70 @@ def test_lateral_decorrelates_to_window(spark):
     plan = _plan(spark, "lateral_top_orders")
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+# Queries whose construction is eager BY DESIGN, each category
+# documented in the query/operator docstring. Everything else must
+# build without running anything beyond parquet footer/schema reads.
+_EAGER_BY_DESIGN = {
+    # Iterative algorithms whose rounds are cut with localCheckpoint
+    # barriers — the checkpoint IS the algorithm. (Even eager=False
+    # checkpoints execute the upstream exchanges at build time: under
+    # AQE, producing the checkpoint RDD materializes the intermediate
+    # query stages.)
+    "dedup_components",
+    "dedup_canonical_keeper",
+    "dedup_component_size_histogram",
+    "dedup_layer_funnel",
+    "graph_pagerank_iterations",
+    "graph_triangle_count",
+    # Write-once bucketed-table derivation: the saveAsTable DDL is the
+    # operator being demonstrated (operators/bucketing.py cache).
+    "dedup_exact_bucketed",
+    "bucketed_colocated_join",
+    # Whole-file IOS ingest: the parse cache materializes the 35-file
+    # corpus once per session (sources/ios_source.py) — attributed to
+    # whichever ios_* query warms it first, so the whole family is
+    # covered by the prefix check below.
+    # Bounded driver fetch pinned in the docstring: 4 seed vectors for
+    # the deterministic PQ codebook (a 4-row collect, not a scan).
+    "similarity_pq_adc_topk",
+}
+
+
+def test_plan_construction_runs_no_hidden_actions(spark):
+    """Building EVERY registered query plan must be lazy: the only
+    Spark jobs allowed during construction are parquet footer/schema
+    reads ('parquet at ...' stages — unavoidable, schema inference IS
+    plan building). A collect/head/toPandas/freqItems-style
+    materialization surfaces as a non-parquet stage and fails the
+    audit. (Round-5 verdict: sketch_frequent_items hid a
+    freqItems().collect(); it is lazy now, and this pins the whole
+    registry.)"""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    offenders = {}
+    for name, fn in all_queries().items():
+        if name in _EAGER_BY_DESIGN or name.startswith("ios_"):
+            continue
+        group = f"plan-build-audit-{name}"
+        sc.setJobGroup(group, "plan construction laziness audit")
+        try:
+            fn(spark, SF_DIR_SMOKE)
+        finally:
+            sc.setJobGroup(None, None)
+        bad_stages = []
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds if info else []:
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo and "parquet at" not in sinfo.name:
+                    bad_stages.append(sinfo.name)
+        if bad_stages:
+            offenders[name] = bad_stages
+    assert not offenders, (
+        "plan construction ran hidden non-schema Spark work: "
+        f"{offenders}"
+    )
