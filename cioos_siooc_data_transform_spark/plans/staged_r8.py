@@ -19,6 +19,10 @@ Content so far:
   (the categorical KS companion).
 - Wave D — weekend revenue share, tax x discount interaction grid
   (Q1's charge expression as a two-factor table), segment repeat rate.
+- Wave E — REAL-shape TPC-H Q2/Q9/Q11/Q16/Q20 over the derived
+  deterministic partsupp table (sources/partsupp.py), including the
+  lineitem x partsupp pair join the partsupp-free adaptations could
+  not express.
 """
 
 from __future__ import annotations
@@ -903,4 +907,347 @@ def customer_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_customers"),
         rep.alias("n_repeat"),
         (F.floor(rep * 1.0e6 / n + 0.5) / 1.0e6).alias("repeat_rate"),
+    )
+
+
+# ===========================================================================
+# Wave E — REAL-shape TPC-H Q2/Q9/Q11/Q16/Q20 over the derived
+# deterministic partsupp table (sources/partsupp.py). The live
+# q2/q9/q11/q16/q20 queries are partsupp-free adaptations; these five
+# run the spec's actual join topology: partsupp⋈part/supplier dims and
+# the lineitem⋈partsupp PAIR join (total by construction — partsupp
+# includes the referential closure of observed trade pairs). Every
+# oracle rebuilds the identical partsupp relation with PARTSUPP_CTE.
+# ===========================================================================
+from cioos_siooc_data_transform_spark.sources.partsupp import (  # noqa: E402
+    PARTSUPP_CTE,
+    ensure_partsupp,
+)
+
+
+@_register(
+    "q2_partsupp_min_cost",
+    oracle=f"""
+    WITH {PARTSUPP_CTE},
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_cents,
+             s.s_name, s.s_acctbal, n.n_name, p.p_brand
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+                 AND p.p_size <= 15 AND p.p_type = 'STANDARD'
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    best AS (
+      SELECT ps_partkey, min(ps_supplycost_cents) AS best_cents
+      FROM eligible GROUP BY 1
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name,
+           e.ps_partkey AS part_key, e.p_brand,
+           e.ps_supplycost_cents AS supplycost_cents
+    FROM eligible e
+    JOIN best b ON e.ps_partkey = b.ps_partkey
+               AND e.ps_supplycost_cents = b.best_cents
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.ps_partkey,
+             e.ps_suppkey
+    LIMIT 100
+    """,
+)
+def q2_partsupp_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2, real shape (ref: TPC-H spec v3 §B.2): min-supplycost
+    supplier per EUROPE part, size/type-sliced. partsupp⋈dims are all
+    broadcast (part filter pushes to the scan); the per-part min is a
+    groupBy + equi-join-back (never a window over an unpartitioned
+    sort); top-100 ordering carries the full (acctbal, nation, name,
+    partkey, suppkey) key so the LIMIT boundary is deterministic."""
+    ps = ensure_partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey", "p_brand")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eligible = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), ps["ps_suppkey"] == sn["s_suppkey"])
+        .select(
+            "ps_partkey", "ps_suppkey", "ps_supplycost_cents",
+            "s_name", "s_acctbal", "n_name", "p_brand",
+        )
+    )
+    best = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("best_cents")
+    )
+    return (
+        eligible.join(
+            best.withColumnRenamed("ps_partkey", "bk"),
+            (F.col("ps_partkey") == F.col("bk"))
+            & (F.col("ps_supplycost_cents") == F.col("best_cents")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("part_key"), "p_brand",
+            F.col("ps_supplycost_cents").alias("supplycost_cents"),
+            "ps_suppkey",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "part_key",
+            "ps_suppkey",
+        )
+        .limit(100)
+        .drop("ps_suppkey")
+    )
+
+
+@_register(
+    "q9_partsupp_profit",
+    oracle=f"""
+    WITH {PARTSUPP_CTE}
+    SELECT n.n_name AS nation_name,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 100.0 + 0.5) AS BIGINT)
+                    - ps.ps_supplycost_cents
+                      * CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q9_partsupp_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9, real shape: profit = revenue − supply cost priced
+    through the lineitem⋈partsupp PAIR join (total by construction).
+    Plan: part filter broadcast; partsupp joins on the composite
+    (partkey, suppkey) — it scales with part×4 + distinct trade pairs,
+    so it is NOT broadcast (at 100 TB it shuffles once on the pair,
+    same key the spec's layout would bucket by); orders⋈lineitem is
+    the one big orderkey shuffle; final agg is map-side combinable on
+    nations × years. Cents arithmetic end-to-end (exact integers in
+    any order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ps = ensure_partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost_cents"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "n_name"
+    )
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - F.col("ps_supplycost_cents") * F.floor(
+        F.col("l_quantity") + 0.5
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("long").alias("profit_cents"))
+    )
+
+
+@_register(
+    "q11_partsupp_important_stock",
+    oracle=f"""
+    WITH {PARTSUPP_CTE},
+    scoped AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost_cents * ps.ps_availqty AS v
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+                   AND n.n_name = 'NATION_7'
+    ),
+    grouped AS (
+      SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS part_value_cents
+      FROM scoped GROUP BY 1
+    ),
+    total AS (SELECT CAST(sum(v) AS BIGINT) AS tot FROM scoped)
+    SELECT g.ps_partkey AS part_key, g.part_value_cents
+    FROM grouped g, total t
+    WHERE g.part_value_cents * 1000 > t.tot
+    """,
+)
+def q11_partsupp_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11, real shape: stock value per part held by one
+    nation's suppliers, kept when above 0.1% of that nation's total.
+    The threshold compare is INTEGER (value·1000 > total) — no double
+    fraction to disagree on. supplier⋈nation broadcast; the total is a
+    1-row broadcast (scalar-assembly cross join); one shuffle on
+    ps_partkey."""
+    ps = ensure_partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    scoped = ps.join(F.broadcast(sn), ps["ps_suppkey"] == sn["s_suppkey"]).select(
+        "ps_partkey",
+        (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("v"),
+    )
+    grouped = scoped.groupBy("ps_partkey").agg(
+        F.sum("v").cast("long").alias("part_value_cents")
+    )
+    total = scoped.agg(F.sum("v").cast("long").alias("tot"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_cents") * 1000 > F.col("tot"))
+        .select(F.col("ps_partkey").alias("part_key"), "part_value_cents")
+    )
+
+
+@_register(
+    "q16_partsupp_supplier_count",
+    oracle=f"""
+    WITH {PARTSUPP_CTE}
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 4, 7, 10, 14, 23, 45)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_partsupp_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16, real shape: distinct supplier count per
+    (brand, type, size) slice, excluding one brand, a type prefix, and
+    'complaint' suppliers (adapted to s_acctbal < 0 — the testdata has
+    no comment column). The exclusion is a broadcast LEFT ANTI join
+    (never NOT IN's null-trap semantics on the Spark side; the oracle's
+    NOT IN is safe because s_suppkey is non-null). One shuffle for the
+    distinct-count agg."""
+    ps = ensure_partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & (~F.col("p_type").like("PROMO%"))
+            & (F.col("p_size").isin(1, 4, 7, 10, 14, 23, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    complaints = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            F.broadcast(complaints),
+            ps["ps_suppkey"] == complaints["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q20_partsupp_promotion",
+    oracle=f"""
+    WITH {PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty_sum
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2
+    ),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+                 AND p.p_name LIKE 'small%'
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty * 2 > sh.qty_sum
+    )
+    SELECT s.s_suppkey AS supp_key, s.s_name
+    FROM excess e
+    JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+    """,
+)
+def q20_partsupp_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20, real shape: suppliers of name-sliced parts whose
+    stock exceeds half of what they actually shipped in the window
+    (availqty > 0.5·sum(qty), integerized as availqty·2 > qty_sum).
+    The shipped-quantity subquery is the one lineitem pass (date filter
+    pushes to the scan); its pair join against the part-sliced partsupp
+    mirrors the spec's correlated subquery — an inner join, because a
+    pair with no shipped rows makes the spec's comparison NULL/false.
+    Supplier/nation close the query broadcast-side."""
+    ps = ensure_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("qty_sum")
+        )
+    )
+    excess = (
+        ps.join(F.broadcast(p), ps["ps_partkey"] == p["p_partkey"])
+        .join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty_sum"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        excess.join(F.broadcast(s), excess["ps_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(F.col("s_suppkey").alias("supp_key"), "s_name")
     )

@@ -235,6 +235,14 @@ _EAGER_BY_DESIGN = {
     # Bounded driver fetch pinned in the docstring: 4 seed vectors for
     # the deterministic PQ codebook (a 4-row collect, not a scan).
     "similarity_pq_adc_topk",
+    # Write-once derived partsupp parquet (sources/partsupp.py) —
+    # staged in plans/staged_r8.py, listed ahead of its round-8
+    # activation.
+    "q2_partsupp_min_cost",
+    "q9_partsupp_profit",
+    "q11_partsupp_important_stock",
+    "q16_partsupp_supplier_count",
+    "q20_partsupp_promotion",
 }
 
 

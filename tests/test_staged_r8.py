@@ -45,6 +45,12 @@ STAGED_NAMES = [
     "orders_weekend_share",
     "lineitem_tax_discount_grid",
     "customer_repeat_rate",
+    # wave E — real-shape TPC-H over the derived partsupp
+    "q2_partsupp_min_cost",
+    "q9_partsupp_profit",
+    "q11_partsupp_important_stock",
+    "q16_partsupp_supplier_count",
+    "q20_partsupp_promotion",
 ]
 
 
