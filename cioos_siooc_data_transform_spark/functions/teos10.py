@@ -220,3 +220,154 @@ def specvol(sa: str, ct: str, p: str) -> Column:
 
 def rho(sa: str, ct: str, p: str) -> Column:
     return F.expr(rho_sql(sa, ct, p))
+
+
+# ---------------------------------------------------------------------------
+# Specific entropy η(SA, t, p) = −∂g/∂T of the TEOS-10 Gibbs function
+# (Feistel 2008; IOC, SCOR & IAPSO 2010 manual, appendix G coefficient
+# table — published scientific data, transcribed from the papers'
+# g(S,T,p) temperature derivative; GSW's gsw_entropy_from_t computes
+# the same −g_T). Published check value (TEOS-10 check table):
+# η(SA=35.7 g/kg, t=25.5 °C, p=1023 dbar) = 352.81879771528 J/(kg·K),
+# reproduced bit-for-bit in tests/test_oceanography_checkvalues.py
+# together with the reference-state normalization η(SSO, 0, 0) = 0
+# (|residual| < 2e-5 — the fit's own rounding floor).
+# Domain: SA > 0 (the x²·ln(x) salinity term; the engine's synthetic
+# salinities are ≥ 30 g/kg).
+# ---------------------------------------------------------------------------
+def entropy_from_t_sql(sa: str, t: str, p: str) -> str:
+    """η(SA, t, p) in J/(kg·K), portable SQL (identical literal tree on
+    Spark and DuckDB; evaluation order fixed by the nesting)."""
+    x2 = f"({_lit(GSW_SFAC)}*({sa}))"
+    x = f"sqrt({x2})"
+    y = f"(({t})*0.025e0)"
+    z = f"(({p})*1.0e-4)"
+    g03 = (
+        f"(5.90578347909402e0 + {z}*(-270.983805184062e0 + "
+        f"{z}*(776.153611613101e0 + {z}*(-196.51255088122e0 + "
+        f"(28.9796526294175e0 - 2.13290083518327e0*{z})*{z}))) + "
+        f"{y}*(-24715.571866078e0 + {z}*(2910.0729080936e0 + "
+        f"{z}*(-1513.116771538718e0 + {z}*(546.959324647056e0 + "
+        f"{z}*(-111.1208127634436e0 + 8.68841343834394e0*{z})))) + "
+        f"{y}*(2210.2236124548363e0 + {z}*(-2017.52334943521e0 + "
+        f"{z}*(1498.081172457456e0 + {z}*(-718.6359919632359e0 + "
+        f"(146.4037555781616e0 - 4.9892131862671505e0*{z})*{z}))) + "
+        f"{y}*(-592.743745734632e0 + {z}*(1591.873781627888e0 + "
+        f"{z}*(-1207.261522487504e0 + (608.785486935364e0 - "
+        f"105.4993508931208e0*{z})*{z})) + "
+        f"{y}*(290.12956292128547e0 + {z}*(-973.091553087975e0 + "
+        f"{z}*(602.603274510125e0 + {z}*(-276.361526170076e0 + "
+        f"32.40953340386105e0*{z}))) + "
+        f"{y}*(-113.90630790850321e0 + {y}*(21.35571525415769e0 - "
+        f"67.41756835751434e0*{z}) + "
+        f"{z}*(381.06836198507096e0 + {z}*(-133.7383902842754e0 + "
+        f"49.023632509086724e0*{z}))))))))"
+    )
+    g08 = (
+        f"({x2}*(168.072408311545e0 + {z}*(729.116529735046e0 + "
+        f"{z}*(-343.956902961561e0 + {z}*(124.687671116248e0 + "
+        f"{z}*(-31.656964386073e0 + 7.04658803315449e0*{z})))) + "
+        f"{x}*(-493.407510141682e0 + {x}*(543.835333000098e0 + "
+        f"{x}*(-196.028306689776e0 + 36.7571622995805e0*{x}) + "
+        f"{y}*(-137.1145018408982e0 + {y}*(148.10030845687618e0 + "
+        f"{y}*(-68.5590309679152e0 + 12.4848504784754e0*{y}))) - "
+        f"22.6683558512829e0*{z}) + {z}*(-175.292041186547e0 + "
+        f"(83.1923927801819e0 - 29.483064349429e0*{z})*{z}) + "
+        f"{y}*(-86.1329351956084e0 + {z}*(766.116132004952e0 + "
+        f"{z}*(-108.3834525034224e0 + 51.2796974779828e0*{z})) + "
+        f"{y}*(-30.0682112585625e0 - 1380.9597954037708e0*{z} + "
+        f"{y}*(3.50240264723578e0 + 938.26075044542e0*{z})))) + "
+        f"{y}*(1760.062705994408e0 + {y}*(-675.802947790203e0 + "
+        f"{y}*(365.7041791005036e0 + {y}*(-108.30162043765552e0 + "
+        f"12.78101825083098e0*{y}) + "
+        f"{z}*(-1190.914967948748e0 + (298.904564555024e0 - "
+        f"145.9491676006352e0*{z})*{z})) + "
+        f"{z}*(2082.7344423998043e0 + {z}*(-614.668925894709e0 + "
+        f"(340.685093521782e0 - 33.3848202979239e0*{z})*{z}))) + "
+        f"{z}*(-1721.528607567954e0 + {z}*(674.819060538734e0 + "
+        f"{z}*(-356.629112415276e0 + (88.4080716616e0 - "
+        f"15.84003094423364e0*{z})*{z}))))) + "
+        f"851.226734946706e0*{x2}*ln({x}))"
+    )
+    return f"(-({g03} + {g08})*0.025e0)"
+
+
+def entropy_from_pt_sql(sa: str, pt: str) -> str:
+    """η(SA, pt) — the p = 0 specialization (η is invariant along the
+    adiabat, so this is the potential-temperature form)."""
+    return entropy_from_t_sql(sa, pt, "0.0e0")
+
+
+# ---------------------------------------------------------------------------
+# Surface spiciness τ₀(SA, CT) — McDougall & Krzysik (2015, J. Marine
+# Res. 73, 141-152), the published 49-term polynomial fit (s01..s49
+# from the paper's appendix; GSW's gsw_spiciness0 evaluates the same
+# fit). Normalization pinned in tests: τ₀(SSO, 0 °C) = 0 (< 1e-10), and
+# τ₀ increases with both CT and SA (warmer/saltier = spicier).
+# ---------------------------------------------------------------------------
+_SPICINESS0_COEFFS = [
+    # ys^0..ys^6 blocks per xs power (xs^0 first), row-major
+    [-9.22982898371678e1, -1.35727873628866e1, 1.87353650994010e1,
+     -1.61360047373455e1, 3.76112762286425e1, -4.27086671461257e1,
+     2.00820111041594e1],
+    [2.87969717584045e2, 1.13747111959674e1, 6.07377192990680e1,
+     -7.37514033570187e1, -7.51171878953574e1, 1.63310989721504e2,
+     -8.83222751638095e1],
+    [-6.41725302237048e2, 2.79732530789261e1, -2.49466901993728e2,
+     3.26691295035416e2, 2.66389243708181e1, -2.93170905757579e2,
+     1.76053907144524e2],
+    [8.27634318120224e2, -7.02156220126926e1, 3.82973336590803e2,
+     -5.06206828083959e2, 6.69626565169529e1, 3.02851235050766e2,
+     -1.96345285604621e2],
+    [-5.74040806713526e2, 7.03285905478333e1, -2.97870298879716e2,
+     3.88340373735118e2, -8.29188936089122e1, -1.87602137195354e2,
+     1.27096944425793e2],
+    [2.11671167892147e2, -3.15140919876285e1, 1.16458864953602e2,
+     -1.50029730802344e2, 3.76293848660589e1, 6.47247424373200e1,
+     -4.47159994408867e1],
+    [-3.23533339449055e1, 5.30648562097667e0, -1.82051249177948e1,
+     2.33184351090495e1, -6.22909903460368e0, -9.55975464301446e0,
+     6.61877073960113e0],
+]
+
+
+def spiciness0_sql(sa: str, ct: str) -> str:
+    """τ₀(SA, CT) in kg/m³, portable SQL: Horner in ys nested inside
+    Horner in xs — the same evaluation order on both engines."""
+    xs = f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"
+    ys = f"(({ct})*0.025e0)"
+
+    def horner_ys(row: list[float]) -> str:
+        expr = _lit(row[-1])
+        for c in reversed(row[:-1]):
+            expr = f"({_lit(c)} + {ys}*{expr})"
+        return expr
+
+    expr = horner_ys(_SPICINESS0_COEFFS[-1])
+    for row in reversed(_SPICINESS0_COEFFS[:-1]):
+        expr = f"({horner_ys(row)} + {xs}*{expr})"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# Specific internal energy u(SA, CT, p) = h − (P₀ + 10⁴·p)·v — the
+# thermodynamic definition (IOC et al. 2010 eqn 3.25; GSW's
+# gsw_internal_energy is the same composition), with
+# h = cp0·CT + h_dyn(SA, CT, p) (McDougall 2003 potential-enthalpy
+# framework) and v the 75-term specific volume (Roquet et al. 2015).
+# P₀ = 101325 Pa (one standard atmosphere), db2Pa = 10⁴. Correctness
+# inherits from the already-check-valued h_dyn and v; the definition
+# identity is pinned in tests.
+# ---------------------------------------------------------------------------
+GSW_P0 = 101325.0  # Pa, one standard atmosphere
+
+
+def internal_energy_sql(sa: str, ct: str, p: str) -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        dynamic_enthalpy_sql,
+    )
+
+    h = f"({_lit(GSW_CP0)}*({ct}) + {dynamic_enthalpy_sql(sa, ct, p)})"
+    return (
+        f"({h} - ({_lit(GSW_P0)} + 1.0e4*({p}))*{specvol_sql(sa, ct, p)})"
+    )

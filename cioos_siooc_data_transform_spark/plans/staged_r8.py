@@ -1251,3 +1251,304 @@ def q20_partsupp_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select(F.col("s_suppkey").alias("supp_key"), "s_name")
     )
+
+
+# ===========================================================================
+# Wave F — GSW energy/conversion tranche (round-5 verdict item 2):
+# entropy, surface spiciness, internal energy, the t<-CT inversion, and
+# the remaining high-traffic _from_ conversion pairs. References:
+# GSW/_wrapped_ufuncs.py entropy_from_t/spiciness0/internal_energy/
+# t_from_CT (capability surface); implementations are the published
+# polynomials (Feistel 2008 / IOC et al. 2010 Gibbs -g_T; McDougall &
+# Krzysik 2015 spiciness; Roquet et al. 2015 specvol) — check values
+# pinned in tests/test_oceanography_checkvalues.py.
+# ===========================================================================
+from cioos_siooc_data_transform_spark.plans.staged_r5 import (  # noqa: E402
+    _IN_SQL,
+    _SA_SQL,
+    _inputs,
+)
+from cioos_siooc_data_transform_spark.plans.staged_r6 import (  # noqa: E402
+    _stage_sql,
+    pt_from_ct_stages,
+)
+
+
+def _entropy_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        entropy_from_t_sql,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({entropy_from_t_sql(_SA_SQL, "t", "p")} * 1.0e6 + 0.5)
+             / 1.0e6 AS eta
+    FROM ({_IN_SQL})
+    """
+
+
+@_register("gsw_entropy_from_t", oracle="__WAVE_F__")
+def gsw_entropy_from_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specific entropy η(SA, t, p) = −g_T of the TEOS-10 Gibbs
+    function (Feistel 2008 coefficients; published check value
+    η(35.7, 25.5, 1023) = 352.81879771528 J/(kg·K) pinned, plus the
+    reference-state normalization η(SSO, 0, 0) = 0). One literal
+    polynomial per row — pure whole-stage codegen, zero shuffle, both
+    engines evaluate the identical IEEE tree so the 6-dp floor is
+    exact. GSW twin: gsw_entropy_from_t (GSW/_wrapped_ufuncs.py)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        entropy_from_t_sql,
+    )
+
+    return _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.expr(entropy_from_t_sql(_SA_SQL, "t", "p")) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("eta"),
+    )
+
+
+STAGED_ORACLES["gsw_entropy_from_t"] = _entropy_oracle()
+
+
+def _spiciness_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        spiciness0_sql,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct
+    FROM ({_IN_SQL})
+    """
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({spiciness0_sql("sa", "ct")} * 1.0e6 + 0.5) / 1.0e6
+             AS spiciness0
+    FROM ({inner})
+    """
+
+
+@_register("gsw_spiciness0", oracle="__WAVE_F__")
+def gsw_spiciness0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface spiciness τ₀(SA, CT) — McDougall & Krzysik (2015) 49-term
+    fit (normalization τ₀(SSO, 0) = 0 and monotonicity pinned in
+    tests). The water-mass coordinate orthogonal-in-effect to density:
+    at 100 TB this is a per-row codegen expression like sigma0, so
+    spiciness/σ₀ scatter analyses stay shuffle-free until the final
+    aggregation. GSW twin: gsw_spiciness0."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        spiciness0_sql,
+    )
+
+    staged = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.expr(spiciness0_sql("sa", "ct")) * 1.0e6 + 0.5) / 1.0e6
+        ).alias("spiciness0"),
+    )
+
+
+STAGED_ORACLES["gsw_spiciness0"] = _spiciness_oracle()
+
+
+def _internal_energy_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        internal_energy_sql,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct
+    FROM ({_IN_SQL})
+    """
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({internal_energy_sql("sa", "ct", "p")} * 1.0e4 + 0.5)
+             / 1.0e4 AS u
+    FROM ({inner})
+    """
+
+
+@_register("gsw_internal_energy", oracle="__WAVE_F__")
+def gsw_internal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specific internal energy u = h − (P₀ + 10⁴·p)·v (IOC et al.
+    2010 eqn 3.25; P₀ = 101325 Pa): the definition composed from the
+    already-check-valued enthalpy (cp0·CT + 75-term dynamic enthalpy)
+    and specific volume — the identity is pinned in tests. u ~ 1e5
+    J/kg, so the 4-dp floor sits ~1e-7 relative, far above double
+    noise on an identical literal tree. GSW twin: gsw_internal_energy
+    (GSW/energy.py)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        internal_energy_sql,
+    )
+
+    staged = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.expr(internal_energy_sql("sa", "ct", "p")) * 1.0e4 + 0.5)
+            / 1.0e4
+        ).alias("u"),
+    )
+
+
+STAGED_ORACLES["gsw_internal_energy"] = _internal_energy_oracle()
+
+
+def _t_from_ct_stages() -> list:
+    """pt = pt_from_CT(sa, ct) (two Newton steps), then integrate the
+    UNESCO lapse rate from (pt, 0 dbar) down to p — the adiabatic
+    inverse of pt0_from_t, giving in-situ temperature."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        theta_rk4_stages,
+    )
+
+    return pt_from_ct_stages("sa", "ct") + theta_rk4_stages(
+        "s", "pt_from_ct", "0.0e0", "p"
+    )
+
+
+def _t_from_ct_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, s, p, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct
+    FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(inner, _t_from_ct_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(theta_rk4 * 1.0e6 + 0.5) / 1.0e6 AS t_insitu
+    FROM {staged}
+    """
+
+
+@_register("gsw_t_from_ct", oracle="__WAVE_F__")
+def gsw_t_from_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-situ temperature from Conservative Temperature (GSW twin:
+    gsw_t_from_CT): Newton-invert CT→pt on the committed potential-
+    enthalpy polynomial, then run the UNESCO RK4 integration BACKWARD
+    (from 0 dbar to p) — the adiabatic inverse of pt0_from_t. Roundtrip
+    |CT(t_insitu) − CT| < 2 mK is pinned in tests. Stage columns keep
+    the ~13 polynomial evaluations linear; zero shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "s",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in _t_from_ct_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("theta_rk4") * 1.0e6 + 0.5) / 1.0e6).alias("t_insitu"),
+    )
+
+
+STAGED_ORACLES["gsw_t_from_ct"] = _t_from_ct_oracle()
+
+
+def _conversion_pairs_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        GSW_SSO,
+        _lit,
+        ct_from_t_sql,
+        entropy_from_pt_sql,
+        pt0_from_t_sql,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, s, {_SA_SQL} AS sa,
+           {pt0_from_t_sql("s", "t", "p")} AS pt,
+           {ct_from_t_sql("s", "t", "p")} AS ct
+    FROM ({_IN_SQL})
+    """
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor((sa * (35.0e0/{_lit(GSW_SSO)})) * 1.0e10 + 0.5) / 1.0e10
+             AS sp_roundtrip,
+           floor(({_lit(GSW_CP0)} * ct) * 1.0e4 + 0.5) / 1.0e4
+             AS pot_enthalpy,
+           floor({entropy_from_pt_sql("sa", "pt")} * 1.0e6 + 0.5) / 1.0e6
+             AS eta_pt
+    FROM ({inner})
+    """
+
+
+@_register("gsw_conversion_pairs", oracle="__WAVE_F__")
+def gsw_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining high-traffic _from_ conversion pairs in one pass
+    (GSW twins: gsw_SP_from_SA, gsw_pot_enthalpy_from_ct /
+    pt0_from_t): SP recovered exactly from SA (the inverse
+    reference-composition scaling — roundtrip == s), potential enthalpy
+    h⁰ = cp0·CT (McDougall 2003, the quantity CT is DEFINED from), and
+    entropy at (SA, pt) — the p = 0 entropy form whose agreement with
+    η(SA, t, p) along the adiabat is pinned in tests. Zero shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        GSW_SSO,
+        _lit,
+        ct_from_t_sql,
+        entropy_from_pt_sql,
+        pt0_from_t_sql,
+    )
+
+    staged = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "s",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(pt0_from_t_sql("s", "t", "p")).alias("pt"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                (F.col("sa") * F.expr(f"(35.0e0/{_lit(GSW_SSO)})")) * 1.0e10
+                + 0.5
+            )
+            / 1.0e10
+        ).alias("sp_roundtrip"),
+        (
+            F.floor((F.lit(GSW_CP0) * F.col("ct")) * 1.0e4 + 0.5) / 1.0e4
+        ).alias("pot_enthalpy"),
+        (
+            F.floor(F.expr(entropy_from_pt_sql("sa", "pt")) * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("eta_pt"),
+    )
+
+
+STAGED_ORACLES["gsw_conversion_pairs"] = _conversion_pairs_oracle()

@@ -653,3 +653,156 @@ def test_p_from_z_roundtrip(spark):
     )
     for r in out.collect():
         assert abs(r.z_back - r.z) < 1e-6, r
+
+
+def test_entropy_published_check_value(spark):
+    """TEOS-10 check table (IOC, SCOR & IAPSO 2010; Feistel 2008 Gibbs
+    -g_T): eta(SA=35.7 g/kg, t=25.5 degC, p=1023 dbar)
+    = 352.81879771528 J/(kg K), plus the reference-state normalization
+    eta(SSO, 0, 0) = 0 (residual below the fit's own ~1e-5 rounding
+    floor)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        entropy_from_t_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(35.7, 25.5, 1023.0), (35.16504, 0.0, 0.0)],
+        "sa DOUBLE, t DOUBLE, p DOUBLE",
+    )
+    got = [
+        r.eta
+        for r in df.select(
+            F.expr(entropy_from_t_sql("sa", "t", "p")).alias("eta")
+        ).collect()
+    ]
+    assert got[0] == pytest.approx(352.81879771528, abs=1e-9)
+    assert abs(got[1]) < 2e-5
+
+
+def test_entropy_adiabatic_invariance(spark):
+    """Entropy is conserved under adiabatic displacement: eta(SA, t, p)
+    must equal eta(SA, theta, 0) with theta from the UNESCO RK4
+    integration. The two polynomials come from different published
+    sources (Gibbs -g_T vs the EOS-80 lapse rate), so sub-0.05
+    J/(kg K) agreement is a real cross-check, not an identity."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import theta_rk4
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        entropy_from_t_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(35.0, 20.0, 2000.0), (34.0, 4.0, 5000.0), (35.5, 28.0, 500.0)],
+        "s DOUBLE, t DOUBLE, p DOUBLE",
+    )
+    sa = f"(s*({GSW_SSO}/35.0))"
+    rows = (
+        theta_rk4(df, "s", "t", "p")
+        .select(
+            F.expr(entropy_from_t_sql(sa, "t", "p")).alias("eta_insitu"),
+            F.expr(entropy_from_t_sql(sa, "theta_rk4", "0.0e0")).alias(
+                "eta_pot"
+            ),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r.eta_insitu == pytest.approx(r.eta_pot, abs=0.05)
+
+
+def test_spiciness0_normalization_and_monotonicity(spark):
+    """McDougall & Krzysik (2015): tau0(SSO, 0 degC) = 0 by
+    construction (the fit's normalization point), and spiciness
+    increases with both CT (warmer = spicier) and SA (saltier =
+    spicier) across the oceanographic range."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        spiciness0_sql,
+    )
+
+    pts = [(GSW_SSO, 0.0)] + [
+        (sa, ct) for sa in (33.0, 35.0, 37.0) for ct in (0.0, 10.0, 25.0)
+    ]
+    df = spark.createDataFrame(pts, "sa DOUBLE, ct DOUBLE")
+    got = {
+        (round(r.sa, 5), r.ct): r.tau
+        for r in df.select(
+            "sa", "ct", F.expr(spiciness0_sql("sa", "ct")).alias("tau")
+        ).collect()
+    }
+    assert abs(got[(round(GSW_SSO, 5), 0.0)]) < 1e-9
+    for sa in (33.0, 35.0, 37.0):
+        assert got[(sa, 0.0)] < got[(sa, 10.0)] < got[(sa, 25.0)]
+    for ct in (0.0, 10.0, 25.0):
+        assert got[(33.0, ct)] < got[(35.0, ct)] < got[(37.0, ct)]
+
+
+def test_internal_energy_definition_identity(spark):
+    """u = h - (P0 + 1e4 p) v with P0 = 101325 Pa (IOC et al. 2010 eqn
+    3.25): at p = 0 the dynamic-enthalpy term vanishes, so
+    u(SA, CT, 0) = cp0*CT - 101325*v(SA, CT, 0) must hold against an
+    INDEPENDENT evaluation of the 75-term specific volume; at depth,
+    u < h (the P v work term is always positive)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        GSW_P0,
+        internal_energy_sql,
+        specvol_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(34.7118, 28.7856, 0.0), (35.0, 10.0, 3000.0)],
+        "sa DOUBLE, ct DOUBLE, p DOUBLE",
+    )
+    rows = df.select(
+        "p",
+        "ct",
+        F.expr(internal_energy_sql("sa", "ct", "p")).alias("u"),
+        F.expr(specvol_sql("sa", "ct", "p")).alias("v"),
+    ).collect()
+    surf = next(r for r in rows if r.p == 0.0)
+    assert surf.u == pytest.approx(
+        GSW_CP0 * surf.ct - GSW_P0 * surf.v, abs=1e-6
+    )
+    deep = next(r for r in rows if r.p > 0.0)
+    # At depth the P·v work term (~3e4 J/kg at 3000 dbar) exceeds the
+    # dynamic-enthalpy gain, so u < cp0·CT strictly.
+    assert deep.u < GSW_CP0 * deep.ct
+
+
+def test_t_from_ct_roundtrip(spark):
+    """CT(t_from_CT(SA, CT, p)) must reproduce CT to < 2 mK: the Newton
+    CT->pt inversion and the backward RK4 adiabat are inverses of the
+    committed forward conversions."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_from_t_sql
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _t_from_ct_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(35.0, 20.0, 2000.0), (34.0, 4.0, 5000.0), (35.5, 28.0, 500.0)],
+        "s DOUBLE, t DOUBLE, p DOUBLE",
+    )
+    df = df.select(
+        "s",
+        "p",
+        "t",
+        F.expr("(s*(35.16504e0/35.0e0))").alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in _t_from_ct_stages():
+        df = df.withColumn(name, F.expr(expr))
+    rows = df.select(
+        "ct", "t", F.col("theta_rk4").alias("t_rec"), "s", "p"
+    ).collect()
+    for r in rows:
+        ct_rt = (
+            spark.createDataFrame(
+                [(r.s, r.t_rec, r.p)], "s DOUBLE, t DOUBLE, p DOUBLE"
+            )
+            .select(F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"))
+            .collect()[0]
+            .ct
+        )
+        assert ct_rt == pytest.approx(r.ct, abs=2e-3)
+        assert r.t_rec == pytest.approx(r.t, abs=0.05)

@@ -51,6 +51,12 @@ STAGED_NAMES = [
     "q11_partsupp_important_stock",
     "q16_partsupp_supplier_count",
     "q20_partsupp_promotion",
+    # wave F — GSW energy/conversion tranche
+    "gsw_entropy_from_t",
+    "gsw_spiciness0",
+    "gsw_internal_energy",
+    "gsw_t_from_ct",
+    "gsw_conversion_pairs",
 ]
 
 
