@@ -765,9 +765,25 @@ def test_internal_energy_definition_identity(spark):
         GSW_CP0 * surf.ct - GSW_P0 * surf.v, abs=1e-6
     )
     deep = next(r for r in rows if r.p > 0.0)
-    # At depth the P·v work term (~3e4 J/kg at 3000 dbar) exceeds the
-    # dynamic-enthalpy gain, so u < cp0·CT strictly.
-    assert deep.u < GSW_CP0 * deep.ct
+    # At depth, check the composition against separately-evaluated
+    # pieces (h_dyn and v each carry their own published check values):
+    # u = cp0·CT + h_dyn − (P0 + 1e4·p)·v.
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        dynamic_enthalpy_sql,
+    )
+
+    h_dyn, v_deep = (
+        spark.createDataFrame(
+            [(35.0, 10.0, 3000.0)], "sa DOUBLE, ct DOUBLE, p DOUBLE"
+        )
+        .select(
+            F.expr(dynamic_enthalpy_sql("sa", "ct", "p")).alias("h_dyn"),
+            F.expr(specvol_sql("sa", "ct", "p")).alias("v"),
+        )
+        .collect()[0]
+    )
+    expected = GSW_CP0 * deep.ct + h_dyn - (GSW_P0 + 1.0e4 * deep.p) * v_deep
+    assert deep.u == pytest.approx(expected, abs=1e-6)
 
 
 def test_t_from_ct_roundtrip(spark):
