@@ -99,8 +99,57 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
 
+    # Sub-second queries sit near the scheduler's noise floor, where
+    # min-of-2 flaps +/-40% round to round (round-5 verdict: the
+    # embedding_centroid_distance 0.50->0.70s "drift" was exactly
+    # this). Give anything under 1s enough samples (5 total) that the
+    # min is a stable floor; the extra passes are cheap by definition.
+    sub_second = [n for n in HEADLINE if min(runs[n]) < 1.0]
+    while sub_second and min(len(runs[n]) for n in sub_second) < 5:
+        for name in sub_second:
+            t0 = time.time()
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs[name].append(round(time.time() - t0, 3))
+
     timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+
+    # IOS whole-file ingest vertical (binaryFile scan -> mapInPandas
+    # parse): files/s over a 5k-file synthetic corpus, the number
+    # comparable with the reference's serial converter (BASELINE.md
+    # ~0.19 files/s single-core). Corpus is generated once and cached
+    # under spark-warehouse/ (tools/ios_bench_corpus.py); min-of-2.
+    ios_ingest = None
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.ios_bench_corpus import ensure_corpus
+
+        from cioos_siooc_data_transform_spark.sources.ios_source import (
+            discover_files,
+            parse_ios,
+        )
+
+        corpus_dir = ensure_corpus()
+        n_files = len(
+            [f for f in os.listdir(corpus_dir) if f.endswith(".ctd")]
+        )
+        ingest_secs = []
+        for _ in range(2):
+            t0 = time.time()
+            parse_ios(discover_files(spark, corpus_dir, ["ctd"])).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            ingest_secs.append(round(time.time() - t0, 3))
+        best = min(ingest_secs)
+        ios_ingest = {
+            "files": n_files,
+            "sec": best,
+            "files_per_sec": round(n_files / best, 1),
+        }
+    except Exception as exc:  # keep the headline line alive regardless
+        ios_ingest = {"error": str(exc)[:200]}
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -125,6 +174,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_runs": n_runs,
+                "ios_ingest": ios_ingest,
                 "sf": sf_val,
             }
         )

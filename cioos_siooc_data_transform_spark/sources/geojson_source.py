@@ -83,35 +83,85 @@ def _contains_udf(lon: pd.Series, lat: pd.Series, ring_json: pd.Series) -> pd.Se
     return pd.Series(out)
 
 
+GRID_POLYGON_THRESHOLD = 256  # above this, the bbox-BNLJ scan loses
+
+
 def assign_geo_code(
     points: DataFrame,
     polygons: DataFrame,
     key_col: str = "file_id",
     lon_col: str = "longitude",
     lat_col: str = "latitude",
+    num_polygons: int | None = None,
+    grid_deg: float = 1.0,
 ) -> DataFrame:
-    """J1: broadcast containment join; ALL matching areas concatenated
+    """J1: containment join; ALL matching areas concatenated
     (space-joined, names dash-ified, sorted), no match → 'None'.
 
     Python UDFs are not allowed in outer-join ON clauses, so the left join
-    is expressed as crossJoin(broadcast) + conditional collect_list — same
-    physical shape (BroadcastNestedLoopJoin), identical semantics.
+    is expressed as candidate-join + conditional collect_list with a final
+    left join back to the point set — identical semantics.
 
-    Scale: the exact ray-casting UDF only evaluates where the JVM-side
-    bounding-box test passes (a point hits ~1-3 of 51 bboxes), so the
-    Python crossing shrinks by an order of magnitude — the poor-man's
-    R-tree the survey calls for (SURVEY.md §4)."""
+    Two candidate-generation strategies (SURVEY.md §4's R-tree ask):
+
+    - DEFAULT (small catalogs, e.g. the reference's 51 polygons):
+      crossJoin(broadcast) + JVM-side bounding-box filter. The exact
+      ray-casting UDF only evaluates where the bbox test passes (a
+      point hits ~1-3 of 51 bboxes), so the Python crossing shrinks by
+      an order of magnitude. Cost is O(points × polygons) bbox tests —
+      fine while the catalog is dimension-sized.
+    - GRID (num_polygons > GRID_POLYGON_THRESHOLD): polygons explode to
+      every grid cell their bbox overlaps, points map to exactly one
+      cell, and candidates come from an EQUI-join on (cell_x, cell_y) —
+      O(points + candidate pairs) instead of points × polygons, the
+      same blocking idea as the dedup LSH buckets. Catalyst/AQE picks
+      hash vs broadcast for the cell join, so a million-polygon catalog
+      no longer needs to fit a nested-loop broadcast. Both paths are
+      property-tested equal on the full corpus.
+
+    num_polygons is caller-supplied (polygon catalogs are metadata whose
+    size the driver knows) so plan construction stays lazy — no hidden
+    count() job."""
     in_bbox = (
         (F.col(lon_col) >= F.col("bbox_min_lon"))
         & (F.col(lon_col) <= F.col("bbox_max_lon"))
         & (F.col(lat_col) >= F.col("bbox_min_lat"))
         & (F.col(lat_col) <= F.col("bbox_max_lat"))
     )
-    candidates = (
-        points.select(key_col, lon_col, lat_col)
-        .crossJoin(F.broadcast(polygons))
-        .filter(in_bbox)  # JVM-side prune BEFORE any Python crossing
-    )
+    pts = points.select(key_col, lon_col, lat_col)
+    if num_polygons is not None and num_polygons > GRID_POLYGON_THRESHOLD:
+        gridded = (
+            polygons.withColumn(
+                "_cx",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("bbox_min_lon") / grid_deg).cast("int"),
+                        F.floor(F.col("bbox_max_lon") / grid_deg).cast("int"),
+                    )
+                ),
+            ).withColumn(
+                "_cy",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("bbox_min_lat") / grid_deg).cast("int"),
+                        F.floor(F.col("bbox_max_lat") / grid_deg).cast("int"),
+                    )
+                ),
+            )
+        )
+        candidates = (
+            pts.withColumn(
+                "_cx", F.floor(F.col(lon_col) / grid_deg).cast("int")
+            )
+            .withColumn("_cy", F.floor(F.col(lat_col) / grid_deg).cast("int"))
+            .join(gridded, ["_cx", "_cy"])
+            .filter(in_bbox)
+            .drop("_cx", "_cy")
+        )
+    else:
+        candidates = pts.crossJoin(F.broadcast(polygons)).filter(
+            in_bbox  # JVM-side prune BEFORE any Python crossing
+        )
     matched = candidates.withColumn(
         "_inside", _contains_udf(F.col(lon_col), F.col(lat_col), F.col("ring_json"))
     ).filter(F.col("_inside"))

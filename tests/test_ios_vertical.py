@@ -167,3 +167,73 @@ def test_header_udtf(spark):
     assert rows[("ADMINISTRATION", "MISSION")] == "2024-001"
     assert rows[("LOCATION", "STATION")] == "T1"
     assert ("FILE", "$TABLE: CHANNELS") in rows
+
+
+def test_geo_code_grid_path_equals_broadcast_path(spark, parsed):
+    """The grid-cell equi-join strategy (engaged above
+    GRID_POLYGON_THRESHOLD; forced here by claiming a large catalog)
+    must produce EXACTLY the per-file geo codes of the default
+    bbox-broadcast path on the full 51-polygon corpus — the blocking is
+    a pre-filter, never a semantics change."""
+    from cioos_siooc_data_transform_spark.sources.geojson_source import (
+        assign_geo_code,
+        read_geojson_polygons,
+    )
+    from cioos_siooc_data_transform_spark.sources.ios_source import ios_catalog
+
+    polys = read_geojson_polygons(spark, f"{IDT}/ios_polygons.geojson")
+    cat = ios_catalog(parsed)
+    base = {
+        r["file_id"]: r["geo_code"]
+        for r in assign_geo_code(cat, polys).collect()
+    }
+    grid = {
+        r["file_id"]: r["geo_code"]
+        for r in assign_geo_code(cat, polys, num_polygons=100000).collect()
+    }
+    assert grid == base
+    # finer grid cells must not change results either (cell size is a
+    # performance knob, not a correctness knob)
+    fine = {
+        r["file_id"]: r["geo_code"]
+        for r in assign_geo_code(
+            cat, polys, num_polygons=100000, grid_deg=0.25
+        ).collect()
+    }
+    assert fine == base
+
+
+def test_geo_code_grid_path_plans_equi_join(spark, parsed):
+    """Above the polygon-count threshold the candidate join must be an
+    EQUI-join on the grid cell (hash-joinable, shuffle-scalable) — not
+    the BroadcastNestedLoopJoin bbox scan, which is O(points x
+    polygons) and needs the whole catalog in one broadcast."""
+    from cioos_siooc_data_transform_spark.sources.geojson_source import (
+        assign_geo_code,
+        read_geojson_polygons,
+    )
+    from cioos_siooc_data_transform_spark.sources.ios_source import ios_catalog
+
+    polys = read_geojson_polygons(spark, f"{IDT}/ios_polygons.geojson")
+    cat = ios_catalog(parsed)
+    plan = (
+        assign_geo_code(cat, polys, num_polygons=100000)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_cx" in plan and "_cy" in plan
+    default_plan = (
+        assign_geo_code(cat, polys)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in default_plan  # small-catalog path
