@@ -2552,7 +2552,9 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "events_cdf_at_values",
     oracle="""
-    WITH probes AS (SELECT unnest([50.0, 100.0, 200.0, 400.0]) AS probe),
+    WITH probes AS (
+      SELECT CAST(unnest([50.0, 100.0, 200.0, 400.0]) AS DOUBLE) AS probe
+    ),
     s AS (
       SELECT event_type, probe,
              CAST(sum(CASE WHEN value <= probe THEN 1 ELSE 0 END) AS BIGINT) AS le,

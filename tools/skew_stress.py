@@ -1,0 +1,366 @@
+"""Skew stress harness (round-5 verdict item 4).
+
+Generates a deliberately skewed corpus at ~sf1 volume (one hot shingle
+phrase, one mega embedding cluster, one hub co-purchase node) under
+spark-warehouse/, then runs the four skew-sensitive operators with
+their production guards ON vs OFF, each in its own subprocess under a
+fixed wall budget. Guards must bound the worst task; unguarded runs are
+expected to blow the budget (killed) or show a dominating straggler.
+
+Usage:
+  python tools/skew_stress.py gen            # write the skewed corpus
+  python tools/skew_stress.py run CASE MODE  # one cell (subprocess target)
+  python tools/skew_stress.py all            # full matrix -> JSON + table
+
+Results land in tools/skew_stress_results.json (committed; summarized
+in SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DATA = os.path.join(REPO, "spark-warehouse", "skew_stress_v1")
+BUDGET_SEC = 240
+
+N_DOCS = 120_000
+HOT_DOC_FRAC = 0.10           # docs sharing one identical 8-word phrase
+N_VECS = 60_000
+MEGA_CLUSTER = 15_000         # near-identical vectors (one LSH bucket/cell)
+N_ORDERS = 150_000
+N_PARTS = 15_000
+HUB_ORDER_FRAC = 0.25         # orders containing the hub part
+HUB_PART = N_PARTS // 2       # mid-range id: raw orientation routes ~deg^2/4 wedges through ONE join key
+
+
+# ---------------------------------------------------------------------------
+# Corpus generation (pyarrow, deterministic)
+# ---------------------------------------------------------------------------
+def gen() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DATA, exist_ok=True)
+    rng = np.random.default_rng(42)
+
+    # documents: 60 words each from a 30k vocab; the first 10% open with
+    # the same 8-word phrase -> every shingle of that prefix has
+    # document frequency = 12k (the hot-shingle mega bucket).
+    vocab = np.array([f"w{i}" for i in range(30_000)])
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    n_hot = int(N_DOCS * HOT_DOC_FRAC)
+    texts = []
+    for i in range(N_DOCS):
+        words = vocab[rng.integers(0, len(vocab), 60)]
+        body = " ".join(words.tolist())
+        texts.append((hot + " " + body) if i < n_hot else body)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(N_DOCS), pa.int64()),
+                  "text": pa.array(texts)}),
+        os.path.join(DATA, "documents.parquet"),
+    )
+
+    # embeddings: unit-norm 64-dim; the first MEGA_CLUSTER rows are tiny
+    # perturbations of one vector (same hyperplane signs in every band,
+    # same nearest cell).
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    vecs = rng.standard_normal((N_VECS, 64))
+    vecs[:MEGA_CLUSTER] = base + 1e-4 * rng.standard_normal((MEGA_CLUSTER, 64))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in vecs], pa.list_(pa.float64())
+            ),
+        }),
+        os.path.join(DATA, "embeddings.parquet"),
+    )
+
+    # basket: ~4 random parts per order; HUB_ORDER_FRAC of orders also
+    # contain HUB_PART -> its co-purchase degree saturates toward the
+    # whole part catalog (the hub node).
+    rows_o, rows_p = [], []
+    for o in range(N_ORDERS):
+        ps = rng.integers(1, N_PARTS, 4)
+        for p in ps:
+            rows_o.append(o)
+            rows_p.append(int(p))
+        if rng.random() < HUB_ORDER_FRAC:
+            rows_o.append(o)
+            rows_p.append(HUB_PART)
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(rows_o, pa.int64()),
+                  "l_partkey": pa.array(rows_p, pa.int64())}),
+        os.path.join(DATA, "basket.parquet"),
+    )
+    with open(os.path.join(DATA, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    print(f"wrote skewed corpus to {DATA}")
+
+
+# ---------------------------------------------------------------------------
+# Cases: each returns a DataFrame whose noop write is the measured job.
+# ---------------------------------------------------------------------------
+def _spark():
+    """get_spark's config with the UI ON — the REST API is how the
+    harness reads per-stage max task durations."""
+    import os as _os
+
+    from pyspark.sql import SparkSession
+
+    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("skew-stress")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.driver.memory",
+            _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def case_ngram_jaccard(spark, guarded: bool):
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(os.path.join(DATA, "documents.parquet"))
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                word_shingles(F.split(F.col("text"), " "), n=3)
+            ).alias("s"),
+        )
+        .distinct()
+        .select("doc_id", F.xxhash64("s").alias("s"))
+    )
+    return ngram_jaccard_pairs(
+        sh, "doc_id", "s", threshold=0.5,
+        max_doc_freq=200 if guarded else None,
+    )
+
+
+def case_lsh_topk(spark, guarded: bool):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        hyperplane_lsh_buckets,
+        random_hyperplanes,
+    )
+    from cioos_siooc_data_transform_spark.operators.similarity import cosine_expr
+
+    emb = spark.read.parquet(os.path.join(DATA, "embeddings.parquet"))
+    hp = random_hyperplanes(32, 64, seed=42)
+    buckets = hyperplane_lsh_buckets(emb, "vec_id", "embedding", hp, bands=8)
+    cap = 400 if guarded else 1 << 40
+    # 1000 probe queries, all inside the mega cluster (worst case).
+    probe_keys = buckets.filter(F.col("vec_id") < 1000).select("bucket").distinct()
+    probed = buckets.join(F.broadcast(probe_keys), "bucket")
+    w = Window.partitionBy("bucket")
+    guarded_b = probed.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= cap
+    )
+    q = guarded_b.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = (
+        guarded_b.join(q, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    ea = emb.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    eb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(ea), "query_id")
+        .join(eb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= 5)
+
+
+def case_triangle_count(spark, guarded: bool):
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.graphs import triangle_count
+
+    li = spark.read.parquet(os.path.join(DATA, "basket.parquet"))
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+    return triangle_count(edges, orientation="degree" if guarded else "id")
+
+
+def case_semantic_dedup(spark, guarded: bool):
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(os.path.join(DATA, "embeddings.parquet"))
+    cent = emb.filter(F.col("vec_id") % (N_VECS // 16) == 1).limit(16)
+    hp = random_hyperplanes(32, 64, seed=42)
+    return semantic_dedup(
+        emb, cent, hyperplanes=hp, bands=8,
+        bucket_cap=400 if guarded else 1 << 40, tau=0.9,
+    )
+
+
+CASES = {
+    "ngram_jaccard": case_ngram_jaccard,
+    "lsh_topk": case_lsh_topk,
+    "triangle_count": case_triangle_count,
+    "semantic_dedup": case_semantic_dedup,
+}
+
+
+def _max_task_ms(spark) -> float | None:
+    """Max completed-task duration across all stages, via the UI REST
+    API (local mode, default port)."""
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return None
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages?status=complete",
+                timeout=10,
+            )
+        )
+        worst = 0.0
+        for st in stages:
+            sid, att = st["stageId"], st["attemptId"]
+            try:
+                summ = json.load(
+                    urllib.request.urlopen(
+                        f"{ui}/api/v1/applications/{app_id}/stages/{sid}/{att}"
+                        "/taskSummary?quantiles=1.0",
+                        timeout=10,
+                    )
+                )
+                worst = max(worst, float(summ["duration"][0]))
+            except Exception:
+                continue
+        return worst
+    except Exception:
+        return None
+
+
+def run_one(case: str, mode: str) -> None:
+    guarded = mode == "guarded"
+    spark = _spark()
+    fn = CASES[case]
+    t0 = time.time()
+    df = fn(spark, guarded)
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.time() - t0, 2)
+    out = {
+        "case": case,
+        "mode": mode,
+        "wall_sec": wall,
+        "max_task_ms": _max_task_ms(spark),
+        "rows": None,
+    }
+    print("RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def run_all() -> None:
+    if not os.path.exists(os.path.join(DATA, "_COMPLETE")):
+        gen()
+    results = []
+    for case in CASES:
+        for mode in ("guarded", "unguarded"):
+            cmd = [sys.executable, os.path.abspath(__file__), "run", case, mode]
+            t0 = time.time()
+            try:
+                proc = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=BUDGET_SEC,
+                    cwd=REPO,
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")),
+                    None,
+                )
+                if line:
+                    results.append(json.loads(line[len("RESULT "):]))
+                else:
+                    results.append({
+                        "case": case, "mode": mode,
+                        "error": (proc.stderr or "no RESULT line")[-500:],
+                        "wall_sec": round(time.time() - t0, 2),
+                    })
+            except subprocess.TimeoutExpired:
+                results.append({
+                    "case": case, "mode": mode,
+                    "killed_at_sec": BUDGET_SEC,
+                })
+            print(json.dumps(results[-1]))
+    with open(os.path.join(REPO, "tools", "skew_stress_results.json"), "w") as f:
+        json.dump(
+            {"budget_sec": BUDGET_SEC, "corpus": {
+                "n_docs": N_DOCS, "hot_doc_frac": HOT_DOC_FRAC,
+                "n_vecs": N_VECS, "mega_cluster": MEGA_CLUSTER,
+                "n_orders": N_ORDERS, "n_parts": N_PARTS,
+                "hub_order_frac": HUB_ORDER_FRAC,
+            }, "results": results},
+            f, indent=1,
+        )
+    print("wrote tools/skew_stress_results.json")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "gen":
+        gen()
+    elif len(sys.argv) >= 4 and sys.argv[1] == "run":
+        run_one(sys.argv[2], sys.argv[3])
+    else:
+        run_all()
