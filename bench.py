@@ -75,6 +75,13 @@ HEADLINE = [
     "interval_sweepline_backlog",  # explode+window sweep line
     "embedding_binary_signature",  # packed-64bit Hamming multi-index
     "bucketed_colocated_join",   # zero-Exchange bucketed fact-dim join
+    # round-6 families (activated slate):
+    "q9_product_type_profit",    # profit join chain (part-name slice + orderkey shuffle)
+    "similarity_pq_adc_topk",    # PQ asymmetric-distance LUT scoring
+    "sketch_hll_merge_daily",    # mergeable HLL sketch roll-up
+    "lineitem_corr_matrix",      # one-pass exact integer corr matrix
+    "text_duplicate_ngram_fraction",  # row-local dup-ngram profile
+    "asof_join_forward",         # forward as-of (union+window)
 ]
 
 

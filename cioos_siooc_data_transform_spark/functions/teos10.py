@@ -331,9 +331,61 @@ _SPICINESS0_COEFFS = [
 ]
 
 
-def spiciness0_sql(sa: str, ct: str) -> str:
-    """τ₀(SA, CT) in kg/m³, portable SQL: Horner in ys nested inside
-    Horner in xs — the same evaluation order on both engines."""
+# spiciness1 (1000 dbar) and spiciness2 (2000 dbar) — the same
+# published McDougall & Krzysik (2015) fit family at the two deeper
+# reference pressures (coefficient tables from the paper's appendix).
+_SPICINESS1_COEFFS = [
+    [-9.19874584868912e1, -1.33517268529408e1, 2.18352211648107e1,
+     -2.01491744114173e1, 3.70004204355132e1, -3.78831543226261e1,
+     1.76337834294554e1],
+    [2.87838842773396e2, 2.14531420554522e1, 3.14679705198796e1,
+     -4.04398864750692e1, -7.70796428950487e1, 1.36783833820955e2,
+     -7.36834317044850e1],
+    [-6.41753415180701e2, 1.33701981685590e0, -1.75289327948412e2,
+     2.42666160657536e2, 3.17062400799114e1, -2.28131490440865e2,
+     1.39564245068468e2],
+    [8.27747934506435e2, -3.50901590694775e1, 2.87473907262029e2,
+     -4.00227341144928e2, 6.48307189919433e1, 2.16433334701578e2,
+     -1.48273032774305e2],
+    [-5.74545648799754e2, 4.50446431127421e1, -2.30714981343772e2,
+     3.15958389253065e2, -8.60635313930106e1, -1.22978455069097e2,
+     9.18287282626261e1],
+    [2.12120473062203e2, -2.21528216973820e1, 9.19013417923270e1,
+     -1.24400776026014e2, 4.08512871163839e1, 3.91127352213516e1,
+     -3.10508021853093e1],
+    [-3.24790035899152e1, 3.91029016556786e0, -1.45362719385412e1,
+     1.96136194246355e1, -7.06035474689088e0, -5.36884688614009e0,
+     4.43247303092448e0],
+]
+
+_SPICINESS2_COEFFS = [
+    [-9.17327320732265e1, -1.31200235147912e1, 2.49574345782503e1,
+     -2.41678075247398e1, 3.61654631402053e1, -3.22582164667710e1,
+     1.45092623982509e1],
+    [2.87776645983195e2, 3.13902307672447e1, 1.69777467534459e0,
+     -5.69630115740438e0, -7.97586359017987e1, 1.07507460387751e2,
+     -5.58234404964787e1],
+    [-6.41708068766557e2, -2.53494801286161e1, -9.86755437385364e1,
+     1.52406930795842e2, 4.23888258264105e1, -1.60118811141438e2,
+     9.67497898053989e1],
+    [8.27674355478637e2, 5.27561234412133e-1, 1.87440206992396e2,
+     -2.83295392345171e2, 5.14485994597635e1, 1.29975755062696e2,
+     -9.36526588377456e1],
+    [-5.74911728972948e2, 1.91175851862772e1, -1.59347231968841e2,
+     2.33884725744938e2, -7.87744010546157e1, -6.04757235443685e1,
+     5.27869695599657e1],
+    [2.12517758478878e2, -1.24351794740528e1, 6.53904308937490e1,
+     -9.44804080763788e1, 3.93874257887364e1, 1.49425448888996e1,
+     -1.62350721656367e1],
+    [-3.25936844276669e1, 2.44035700301595e0, -1.05079633683795e1,
+     1.51515796259082e1, -7.06609886460683e0, -1.48043337052968e0,
+     2.10066653978515e0],
+]
+
+
+def _spiciness_sql(coeffs: list[list[float]], sa: str, ct: str) -> str:
+    """Shared Horner builder: ys nested inside xs — the same evaluation
+    order on both engines."""
     xs = f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"
     ys = f"(({ct})*0.025e0)"
 
@@ -343,10 +395,25 @@ def spiciness0_sql(sa: str, ct: str) -> str:
             expr = f"({_lit(c)} + {ys}*{expr})"
         return expr
 
-    expr = horner_ys(_SPICINESS0_COEFFS[-1])
-    for row in reversed(_SPICINESS0_COEFFS[:-1]):
+    expr = horner_ys(coeffs[-1])
+    for row in reversed(coeffs[:-1]):
         expr = f"({horner_ys(row)} + {xs}*{expr})"
     return expr
+
+
+def spiciness0_sql(sa: str, ct: str) -> str:
+    """τ₀(SA, CT) in kg/m³ (0 dbar reference)."""
+    return _spiciness_sql(_SPICINESS0_COEFFS, sa, ct)
+
+
+def spiciness1_sql(sa: str, ct: str) -> str:
+    """τ₁(SA, CT) in kg/m³ (1000 dbar reference)."""
+    return _spiciness_sql(_SPICINESS1_COEFFS, sa, ct)
+
+
+def spiciness2_sql(sa: str, ct: str) -> str:
+    """τ₂(SA, CT) in kg/m³ (2000 dbar reference)."""
+    return _spiciness_sql(_SPICINESS2_COEFFS, sa, ct)
 
 
 # ---------------------------------------------------------------------------
@@ -371,3 +438,34 @@ def internal_energy_sql(sa: str, ct: str, p: str) -> str:
     return (
         f"({h} - ({_lit(GSW_P0)} + 1.0e4*({p}))*{specvol_sql(sa, ct, p)})"
     )
+
+
+def sa_from_rho_stages(rho: str, ct: str, p: str) -> list[tuple[str, str]]:
+    """Absolute Salinity from in-situ density (GSW twin: gsw_SA_from_rho)
+    as Newton stages on the 75-term rho(SA, CT, p): ρ is near-linear in
+    SA (∂ρ/∂SA ≈ ρ·β ≈ 0.76 kg/m³ per g/kg), so two iterations from
+    SA₀ = 35 g/kg recover SA to sub-1e-9 g/kg across the oceanographic
+    range (roundtrip pinned in tests). The derivative is a central
+    finite difference (eps = 0.01 g/kg) — six specific-volume
+    evaluations total, each its own stage column so the plan text stays
+    linear. Stage names carry a collision-resistant prefix (same rule
+    as theta_rk4_stages)."""
+    eps = "1.0e-2"
+    x = "__sa_from_rho_"
+    stages: list[tuple[str, str]] = [(f"{x}sa0", "35.0e0")]
+    for i in range(2):
+        cur = f"{x}sa{i}"
+        stages += [
+            (
+                f"{x}r{i}",
+                f"({rho_sql(cur, ct, p)} - ({rho}))",
+            ),
+            (
+                f"{x}dr{i}",
+                f"(({rho_sql(f'({cur} + {eps})', ct, p)}"
+                f" - {rho_sql(f'({cur} - {eps})', ct, p)}) / (2.0e0*{eps}))",
+            ),
+            (f"{x}sa{i + 1}", f"({cur} - {x}r{i}/{x}dr{i})"),
+        ]
+    stages.append(("sa_from_rho", f"{x}sa2"))
+    return stages

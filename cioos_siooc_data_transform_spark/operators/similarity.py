@@ -388,12 +388,19 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     k_top: int = 5,
     round_dp: int = 6,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: each query builds its m×k LUT of
     subspace distances ONCE (row-local transform over the codebook
     literal), the small query side broadcasts, and every corpus code row
     is scored with m element_at lookups + a fold — no decode, no Python,
-    corpus streams once. Ties broken by neighbor id."""
+    corpus streams once. Ties broken by neighbor id.
+
+    cell_col (optional): when both sides carry an IVF cell column, the
+    scan restricts to the query's cell via an EQUI-join on it instead of
+    the full-corpus stream — the IVF-PQ composition: candidate volume
+    drops from |corpus| to |cell| per query while the memory story
+    (codes, not vectors) is unchanged."""
     m = len(books)
     sub = len(books[0][0])
     cb = _codebook_lit(books)
@@ -407,10 +414,13 @@ def pq_adc_topk(
         return F.transform(F.element_at(cb, j + 1), lambda c: _sub_l2(sub_vec, c))
 
     lut = F.array(*[_lut_for(j) for j in range(m)])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), lut.alias("lut")
-    )
-    c = codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+    q_cols = [F.col(id_col).alias("query_id"), lut.alias("lut")]
+    c_cols = [F.col(id_col).alias("neighbor_id"), F.col("codes")]
+    if cell_col is not None:
+        q_cols.append(F.col(cell_col))
+        c_cols.append(F.col(cell_col))
+    q = queries.select(*q_cols)
+    c = codes.select(*c_cols)
     idx = F.sequence(F.lit(0), F.lit(m - 1))
     adist = F.aggregate(
         F.transform(
@@ -423,9 +433,13 @@ def pq_adc_topk(
         F.lit(0.0),
         lambda acc, t: acc + t,
     )
+    joined = (
+        c.join(F.broadcast(q), cell_col)
+        if cell_col is not None
+        else c.crossJoin(F.broadcast(q))
+    )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        joined.filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",

@@ -1552,3 +1552,229 @@ def gsw_conversion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["gsw_conversion_pairs"] = _conversion_pairs_oracle()
+
+
+# ===========================================================================
+# Wave G — engine depth: deep spiciness pair, SA-from-density inversion,
+# and the composed IVF-PQ ANN (cell-restricted asymmetric-distance
+# scan) — the remaining GSW _from_ surface + the production ANN shape.
+# ===========================================================================
+def _spiciness_deep_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        spiciness1_sql,
+        spiciness2_sql,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct
+    FROM ({_IN_SQL})
+    """
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({spiciness1_sql("sa", "ct")} * 1.0e6 + 0.5) / 1.0e6
+             AS spiciness1,
+           floor({spiciness2_sql("sa", "ct")} * 1.0e6 + 0.5) / 1.0e6
+             AS spiciness2
+    FROM ({inner})
+    """
+
+
+@_register("gsw_spiciness_deep", oracle="__WAVE_G__")
+def gsw_spiciness_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """τ₁ (1000 dbar) and τ₂ (2000 dbar) — the deep references of the
+    McDougall & Krzysik (2015) spiciness family (GSW twins:
+    gsw_spiciness1/gsw_spiciness2), completing the fit family whose
+    surface member is live in gsw_spiciness0. Same normalization
+    anchors (τ(SSO, 0) = 0, pinned in tests); pure codegen, zero
+    shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        spiciness1_sql,
+        spiciness2_sql,
+    )
+
+    staged = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return staged.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.expr(spiciness1_sql("sa", "ct")) * 1.0e6 + 0.5) / 1.0e6
+        ).alias("spiciness1"),
+        (
+            F.floor(F.expr(spiciness2_sql("sa", "ct")) * 1.0e6 + 0.5) / 1.0e6
+        ).alias("spiciness2"),
+    )
+
+
+STAGED_ORACLES["gsw_spiciness_deep"] = _spiciness_deep_oracle()
+
+
+def _sa_from_rho_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        rho_sql,
+        sa_from_rho_stages,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct
+    FROM ({_IN_SQL})
+    """
+    inner2 = f"""
+    SELECT l_orderkey, l_linenumber, p, ct,
+           {rho_sql("sa", "ct", "p")} AS rho
+    FROM ({inner})
+    """
+    staged = _stage_sql(inner2, sa_from_rho_stages("rho", "ct", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(sa_from_rho * 1.0e6 + 0.5) / 1.0e6 AS sa_rec
+    FROM {staged}
+    """
+
+
+@_register("gsw_sa_from_rho", oracle="__WAVE_G__")
+def gsw_sa_from_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute Salinity recovered from in-situ density (GSW twin:
+    gsw_SA_from_rho): two Newton steps on the 75-term ρ(SA, CT, p)
+    with a central-difference derivative — ρ is near-linear in SA, so
+    the roundtrip |SA_rec − SA| < 1e-9 g/kg (pinned in tests). Six
+    staged polynomial evaluations, zero shuffle, identical IEEE tree
+    both engines."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        rho_sql,
+        sa_from_rho_stages,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    df = df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        "ct",
+        F.expr(rho_sql("sa", "ct", "p")).alias("rho"),
+    )
+    for name, expr in sa_from_rho_stages("rho", "ct", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("sa_from_rho") * 1.0e6 + 0.5) / 1.0e6).alias("sa_rec"),
+    )
+
+
+STAGED_ORACLES["gsw_sa_from_rho"] = _sa_from_rho_oracle()
+
+
+@_register(
+    "similarity_ivf_pq_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+    cb AS (
+      SELECT s.j, c.vec_id AS code, c.v[s.j*8+1 : s.j*8+8] AS center
+      FROM subs s CROSS JOIN (SELECT * FROM e WHERE vec_id < 4) c
+    ),
+    dist AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_reduce(list_transform(generate_series(1, 8),
+                 i -> (e.v[cb.j*8 + i] - cb.center[i])
+                      * (e.v[cb.j*8 + i] - cb.center[i])),
+               (a, b) -> a + b) AS d
+      FROM e CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, list_position(dl, list_min(dl)) - 1 AS code
+      FROM (SELECT vec_id, j, list(d ORDER BY code) AS dl FROM dist GROUP BY 1, 2)
+    ),
+    codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM enc GROUP BY 1),
+    cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+             FROM embeddings WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(v.embedding, cent.cv), 4) DESC,
+                          cent.centroid_id ASC
+               ) AS rn
+        FROM embeddings v, cent
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT query_id, list(dl ORDER BY j) AS lut
+      FROM (
+        SELECT vec_id AS query_id, j, list(d ORDER BY code) AS dl
+        FROM dist WHERE vec_id < 3 GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    scored AS (
+      SELECT l.query_id, ca.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, 8),
+                     j -> l.lut[j][c.codes[j] + 1]),
+                   (a, b) -> a + b), 6) AS approx_dist2
+      FROM lut l
+      JOIN assigned qa ON qa.vec_id = l.query_id
+      JOIN assigned ca ON ca.centroid_id = qa.centroid_id
+      JOIN codes c ON c.vec_id = ca.vec_id
+      WHERE ca.vec_id <> l.query_id
+    )
+    SELECT query_id, neighbor_id, approx_dist2, CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist2, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed: the coarse quantizer restricts each query's
+    scan to ITS cell (equi-join on centroid_id — candidates drop from
+    |corpus| to |cell|) and PQ codes price each candidate with 8 LUT
+    lookups — the production ANN memory/compute story (Jégou et al.
+    2011 IVFADC) with zero Python in the scan path. Deterministic
+    first-4-rows codebooks and first-8-rows centroids (a bounded 4-row
+    driver fetch, same as similarity_pq_adc_topk; the trained KMeans
+    path remains the operator default). At 100 TB: centroids broadcast,
+    codes table is 32× smaller than the vectors, and the cell equi-join
+    shuffles only the probed cells."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        ivf_assign,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    books = [
+        [[float(x) for x in row.v[j * 8 : j * 8 + 8]] for row in seeds]
+        for j in range(8)
+    ]
+    cent = emb.filter(F.col("vec_id") < 8)
+    assigned = ivf_assign(emb, cent).select("vec_id", "centroid_id")
+    codes = pq_encode(emb, books).join(assigned, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 3).join(assigned, "vec_id")
+    return pq_adc_topk(
+        queries, codes, books, k_top=5, round_dp=6, cell_col="centroid_id"
+    )
+

@@ -735,6 +735,21 @@ def test_spiciness0_normalization_and_monotonicity(spark):
         assert got[(sa, 0.0)] < got[(sa, 10.0)] < got[(sa, 25.0)]
     for ct in (0.0, 10.0, 25.0):
         assert got[(33.0, ct)] < got[(35.0, ct)] < got[(37.0, ct)]
+    # the deeper references share the (SSO, 0) normalization
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        spiciness1_sql,
+        spiciness2_sql,
+    )
+
+    deep = (
+        spark.createDataFrame([(GSW_SSO, 0.0)], "sa DOUBLE, ct DOUBLE")
+        .select(
+            F.expr(spiciness1_sql("sa", "ct")).alias("t1"),
+            F.expr(spiciness2_sql("sa", "ct")).alias("t2"),
+        )
+        .collect()[0]
+    )
+    assert abs(deep.t1) < 1e-9 and abs(deep.t2) < 1e-9
 
 
 def test_internal_energy_definition_identity(spark):
@@ -822,3 +837,22 @@ def test_t_from_ct_roundtrip(spark):
         )
         assert ct_rt == pytest.approx(r.ct, abs=2e-3)
         assert r.t_rec == pytest.approx(r.t, abs=0.05)
+
+
+def test_sa_from_rho_roundtrip(spark):
+    """SA recovered from rho(SA, CT, p) must reproduce SA to < 1e-9
+    g/kg (rho is near-linear in SA; two Newton steps from SA0 = 35)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        rho_sql,
+        sa_from_rho_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(30.0, 5.0, 0.0), (34.5, 18.0, 1500.0), (37.0, 28.0, 4000.0)],
+        "sa DOUBLE, ct DOUBLE, p DOUBLE",
+    )
+    df = df.select("sa", "ct", "p", F.expr(rho_sql("sa", "ct", "p")).alias("rho"))
+    for name, expr in sa_from_rho_stages("rho", "ct", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    for r in df.select("sa", "sa_from_rho").collect():
+        assert r.sa_from_rho == pytest.approx(r.sa, abs=1e-9)

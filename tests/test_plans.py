@@ -235,6 +235,7 @@ _EAGER_BY_DESIGN = {
     # Bounded driver fetch pinned in the docstring: 4 seed vectors for
     # the deterministic PQ codebook (a 4-row collect, not a scan).
     "similarity_pq_adc_topk",
+    "similarity_ivf_pq_topk",
     # Write-once derived partsupp parquet (sources/partsupp.py) —
     # staged in plans/staged_r8.py, listed ahead of its round-8
     # activation.

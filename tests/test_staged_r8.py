@@ -57,6 +57,10 @@ STAGED_NAMES = [
     "gsw_internal_energy",
     "gsw_t_from_ct",
     "gsw_conversion_pairs",
+    # wave G — deep spiciness, SA-from-rho inversion, composed IVF-PQ
+    "gsw_spiciness_deep",
+    "gsw_sa_from_rho",
+    "similarity_ivf_pq_topk",
 ]
 
 
