@@ -131,6 +131,27 @@ _CHECKED = frozenset(
         "sketch_frequent_items", "snapshot_diff_cdc", "text_heaps_law_fit", "text_simpson_diversity",
         "text_stopword_density", "tokenizer_fertility", "vocab_zipf_slope", "weighted_sample_ares",
         "window_time_interval_frame", "window_value_functions",
+        # round 6 (all 50 green in CORRECTNESS_r06.json)
+        "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
+        "q16_parts_supplier_count", "q20_potential_promotion", "gsw_theta_rk4",
+        "gsw_ct_from_t_rk4", "gsw_sigma3_sigma4", "gsw_pt_from_ct",
+        "orders_gap_islands", "events_autocorr_lag1", "orders_yoy_growth",
+        "events_value_entropy", "customer_first_last_delta", "events_top2_share",
+        "nation_revenue_share", "customer_recency_bands",
+        "text_duplicate_ngram_fraction", "vocab_js_divergence",
+        "embedding_energy_outliers", "knn_graph_degree_stats",
+        "dedup_window_lines", "contamination_split_audit",
+        "text_char_class_profile", "minhash_band_tuning_audit",
+        "sketch_hll_merge_daily", "sketch_hll_intersection",
+        "ios_profile_sigma_theta", "asof_join_forward", "funnel_time_to_convert",
+        "lineitem_corr_matrix", "lineitem_hist2d", "gsw_pressure_from_depth",
+        "similarity_pq_adc_topk", "text_hapax_ratio", "events_interarrival_stats",
+        "doc_length_deciles", "orders_abc_classification", "events_cdf_at_values",
+        "basket_rule_metrics", "dedup_lsh_recall_audit", "events_ohlc_downsample",
+        "doc_diversity_length_corr", "supplier_nation_herfindahl",
+        "events_missing_hours_audit", "embedding_dim_variance",
+        "doc_ngram_coverage_curve", "text_word_length_profile",
+        "lineitem_returns_rate_by_month", "doc_source_lang_chi2",
     }
 )
 

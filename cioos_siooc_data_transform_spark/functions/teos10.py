@@ -469,3 +469,276 @@ def sa_from_rho_stages(rho: str, ct: str, p: str) -> list[tuple[str, str]]:
         ]
     stages.append(("sa_from_rho", f"{x}sa2"))
     return stages
+
+
+# ---------------------------------------------------------------------------
+# Specific enthalpy h(SA, CT, p) = cp0·CT + h_dyn(SA, CT, p) in the
+# McDougall (2003) potential-enthalpy framework (GSW twin:
+# gsw_enthalpy; h_dyn is the committed 75-term dynamic enthalpy).
+# ---------------------------------------------------------------------------
+def enthalpy_sql(sa: str, ct: str, p: str) -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        dynamic_enthalpy_sql,
+    )
+
+    return f"({_lit(GSW_CP0)}*({ct}) + {dynamic_enthalpy_sql(sa, ct, p)})"
+
+
+def enthalpy_diff_stages(
+    sa: str, ct: str, p_shallow: str, p_deep: str
+) -> list[tuple[str, str]]:
+    """h(SA, CT, p_deep) − h(SA, CT, p_shallow) (GSW twin:
+    gsw_enthalpy_diff), final stage ``enthalpy_diff``. The cp0·CT term
+    cancels, so this is the dynamic-enthalpy difference — the specific
+    energy to move a parcel isentropically between the two pressures.
+    The a_K(xs, ys) coefficient stages are z-independent, so BOTH
+    pressures share one set (half the arithmetic of two h_dyn calls)."""
+    x = "__hdiff_"
+    stages: list[tuple[str, str]] = [
+        (f"{x}xs", f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"),
+        (f"{x}ys", f"(({ct})*0.025e0)"),
+        (f"{x}z1", f"(({p_shallow})*1.0e-4)"),
+        (f"{x}z2", f"(({p_deep})*1.0e-4)"),
+    ]
+    stages += hdyn_poly_stages(f"{x}xs", f"{x}ys", x)
+    stages.append(
+        (
+            "enthalpy_diff",
+            f"({hdyn_combine_sql(f'{x}z2', x)}"
+            f" - {hdyn_combine_sql(f'{x}z1', x)})",
+        )
+    )
+    return stages
+
+
+def ct_from_enthalpy_stages(h: str, sa: str, p: str) -> list[tuple[str, str]]:
+    """Conservative Temperature from specific enthalpy (GSW twin:
+    gsw_CT_from_enthalpy) as Newton stages on h(SA, CT, p): h is
+    near-linear in CT (∂h/∂CT ≈ cp0 = 3991.87 J/(kg·K), varying by a
+    few % with p), so two iterations from CT₀ = h/cp0 recover CT to
+    sub-µK (roundtrip pinned in tests). Derivative by central finite
+    difference (eps = 1e-3 K) — six enthalpy evaluations, each its own
+    stage column; identical IEEE tree on both engines."""
+    eps = "1.0e-3"
+    x = "__ct_from_h_"
+    # Staged h_dyn evaluations (hdyn_poly_stages): the flat inline
+    # 75-term text exceeds janino's 64 KB method limit and drops the
+    # projection to interpreted row-mode. xs and z depend only on
+    # (SA, p), so all six evaluations share them; each evaluation adds
+    # its own ys + a_K + combine stages.
+    stages: list[tuple[str, str]] = [
+        (f"{x}xs", f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"),
+        (f"{x}z", f"(({p})*1.0e-4)"),
+        (f"{x}ct0", f"(({h})/{_lit(GSW_CP0)})"),
+    ]
+
+    def h_eval(ct_expr: str, tag: str) -> str:
+        """Append one staged enthalpy evaluation; return its SQL ref."""
+        stages.append((f"{x}{tag}ys", f"(({ct_expr})*0.025e0)"))
+        stages.extend(hdyn_poly_stages(f"{x}xs", f"{x}{tag}ys", f"{x}{tag}"))
+        stages.append(
+            (
+                f"{x}{tag}h",
+                f"({_lit(GSW_CP0)}*({ct_expr})"
+                f" + {hdyn_combine_sql(f'{x}z', f'{x}{tag}')})",
+            )
+        )
+        return f"{x}{tag}h"
+
+    for i in range(2):
+        cur = f"{x}ct{i}"
+        h0 = h_eval(cur, f"i{i}_")
+        hp = h_eval(f"({cur} + {eps})", f"ip{i}_")
+        hm = h_eval(f"({cur} - {eps})", f"im{i}_")
+        stages += [
+            (f"{x}r{i}", f"({h0} - ({h}))"),
+            (f"{x}dh{i}", f"(({hp} - {hm}) / (2.0e0*{eps}))"),
+            (f"{x}ct{i + 1}", f"({cur} - {x}r{i}/{x}dh{i})"),
+        ]
+    stages.append(("ct_from_enthalpy", f"{x}ct2"))
+    return stages
+
+
+# ---------------------------------------------------------------------------
+# Freezing point (Millero 1978 / UNESCO 1983 polynomial — the published
+# standard; GSW's t_freezing is the TEOS-10 Gibbs solve, within ~2 mK
+# over the oceanographic range) and Conservative Temperature at
+# freezing (GSW twin: gsw_CT_freezing).
+# ---------------------------------------------------------------------------
+def t_freezing_sql(s: str, p: str) -> str:
+    return (
+        f"(-0.0575e0*({s}) + 1.710523e-3*sqrt({s})*({s})"
+        f" - 2.154996e-4*({s})*({s}) - 7.53e-4*({p}))"
+    )
+
+
+def ct_freezing_sql(s: str, p: str) -> str:
+    return ct_from_t_sql(s, t_freezing_sql(s, p), p)
+
+
+def latentheat_melting_stages(s: str, p: str) -> list[tuple[str, str]]:
+    """Latent heat of melting of ice into seawater at (SP, p) — the
+    thermodynamically exact definition (IOC et al. 2010 §3.34; GSW
+    twin: gsw_latentheat_melting):
+
+        L(SA, p) = h − SA·(∂h/∂SA)|_{t,p} − h_Ih,   at t = t_f(SA, p)
+
+    i.e. the partial specific enthalpy of water in seawater minus the
+    ice enthalpy. In CT coordinates (h = cp0·CT + h_dyn):
+
+        (∂h/∂SA)|_{t,p} = h_SA|_{CT,p} + h_CT·(∂CT/∂SA)|_{t,p}
+
+    with h_SA, h_CT central finite differences on the 75-term h_dyn and
+    (∂CT/∂SA)|_t a central difference on ct_from_t (chain-ruled from
+    practical salinity, dSA = dSP·SSO/35). h_Ih is the exact IAPWS-06
+    ice enthalpy (functions/ice.py, Table-6 check values pinned).
+    Pure-water anchor: L(0, 0) = 333 426.5 J/kg published (IOC et al.
+    2010); this composition lands within 10 J/kg — the residual is the
+    Millero-vs-exact freezing point (3.6 mK ≈ 7 J/kg), pinned in tests.
+    Valid for SP ≥ 0.02 (ct_from_pt's sqrt(SA) term)."""
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+
+    x = "__lh_melt_"
+    sa = f"(({s})*({_lit(GSW_SSO)}/35.0e0))"
+    # Staged h_dyn evaluations (janino 64 KB method limit — same rule
+    # as ct_from_enthalpy_stages). z is shared by all five; each
+    # (SA, CT) pair gets its own xs/ys + a_K + combine stages.
+    stages: list[tuple[str, str]] = [
+        (f"{x}tf", t_freezing_sql(s, p)),
+        (f"{x}sa", sa),
+        (f"{x}ctf", ct_from_t_sql(s, f"{x}tf", p)),
+        (f"{x}z", f"(({p})*1.0e-4)"),
+    ]
+
+    def h_eval(sa_expr: str, ct_expr: str, tag: str) -> str:
+        stages.append(
+            (
+                f"{x}{tag}xs",
+                f"sqrt({_lit(GSW_SFAC)}*({sa_expr}) + {_lit(GSW_OFFSET)})",
+            )
+        )
+        stages.append((f"{x}{tag}ys", f"(({ct_expr})*0.025e0)"))
+        stages.extend(
+            hdyn_poly_stages(f"{x}{tag}xs", f"{x}{tag}ys", f"{x}{tag}")
+        )
+        stages.append(
+            (
+                f"{x}{tag}h",
+                f"({_lit(GSW_CP0)}*({ct_expr})"
+                f" + {hdyn_combine_sql(f'{x}z', f'{x}{tag}')})",
+            )
+        )
+        return f"{x}{tag}h"
+
+    h0 = h_eval(f"{x}sa", f"{x}ctf", "e0_")
+    hsp = h_eval(f"({x}sa + 1.0e-2)", f"{x}ctf", "sp_")
+    hsm = h_eval(f"({x}sa - 1.0e-2)", f"{x}ctf", "sm_")
+    hcp = h_eval(f"{x}sa", f"({x}ctf + 1.0e-3)", "cp_")
+    hcm = h_eval(f"{x}sa", f"({x}ctf - 1.0e-3)", "cm_")
+    stages += [
+        (f"{x}h_sa", f"(({hsp} - {hsm}) / 2.0e-2)"),
+        (f"{x}h_ct", f"(({hcp} - {hcm}) / 2.0e-3)"),
+        (f"{x}ct_sp", ct_from_t_sql(f"(({s}) + 1.0e-2)", f"{x}tf", p)),
+        (f"{x}ct_sm", ct_from_t_sql(f"(({s}) - 1.0e-2)", f"{x}tf", p)),
+        (
+            f"{x}dct_dsa",
+            f"((({x}ct_sp - {x}ct_sm) / 2.0e-2)"
+            f" * (35.0e0/{_lit(GSW_SSO)}))",
+        ),
+    ]
+    stages += gibbs_ice_stages(f"{x}tf", p)
+    stages.append(
+        (
+            "latentheat_melting",
+            f"({h0} - {x}sa*({x}h_sa + {x}h_ct*{x}dct_dsa) - enthalpy_ice)",
+        )
+    )
+    return stages
+
+
+def latentheat_evap_hs84_sql(t: str) -> str:
+    """Latent heat of evaporation of PURE water at temperature t (°C) —
+    Henderson-Sellers (1984, QJRMS 110 p.1186) published fit
+    L = 1.91846e6·(T/(T − 33.91))², within 0.02 % of steam-table values
+    over 0–40 °C (checks: 2.5008e6 at 0 °C, 2.4535e6 at 20 °C, pinned
+    in tests). GSW's gsw_latentheat_evap_t adds an SA-dependent term
+    from a fitted coefficient table (see COVERAGE.md — the table is
+    published data we do not reproduce offline; the SA effect is
+    ~0.1 % at ocean salinities)."""
+    tk = f"(273.15e0 + ({t}))"
+    return f"(1.91846e6 * ({tk}/({tk} - 33.91e0)) * ({tk}/({tk} - 33.91e0)))"
+
+
+# ---------------------------------------------------------------------------
+# Staged dynamic enthalpy — the SAME 75 coefficients as
+# dynamic_enthalpy_sql (plans/staged_r5.py), restructured as stage
+# columns: a_K(xs, ys) = sum_JI vJIK/(K+1)·xs^I·ys^J per z-power, then
+# a Horner combine in z. Rationale: the flat inline 75-term text
+# expands xs/ys/z textually per term, and consumers composing SEVERAL
+# h_dyn evaluations (Newton inversions, FD derivatives) rebuild a
+# mega-expression that exceeds janino's 64 KB method limit — the
+# projection then silently runs interpreted row-mode (measured 21 s vs
+# 3.3 s at sf0.1 for the 6-evaluation CT<-h inversion). Per-z-power
+# stages keep each surviving projection a few KB (xs/ys/z computed once
+# per row), which is also the measured sweet spot: Catalyst's
+# CollapseProject re-inlines single-use stages into ~7 KB projection
+# groups that janino compiles per-operator. (A/B notes, sf0.1 local[32],
+# 600k rows: flat inline 21.2 s; these stages 3.3 s; forcing MORE
+# surviving projections via double-reference pins is WORSE — 5.7-23.8 s
+# — because each extra boundary pays a full UnsafeRow materialization;
+# a single compact Horner text per evaluation ties the staged form, so
+# the structure below is kept for its shared-a_K reuse.) The regrouped
+# tree differs from the flat sum only in last-ulp rounding — both
+# engines share the regrouped text, so oracle parity is unaffected.
+# ---------------------------------------------------------------------------
+def _hdyn_coeffs_by_k() -> dict[int, list[tuple[int, int, float]]]:
+    by_k: dict[int, list[tuple[int, int, float]]] = {}
+    for name, v in sorted(SPECVOL_COEFFS.items()):
+        j_ys, i_xs, k_z = int(name[1]), int(name[2]), int(name[3])
+        by_k.setdefault(k_z, []).append((j_ys, i_xs, v / (k_z + 1)))
+    return by_k
+
+
+def hdyn_poly_stages(xs: str, ys: str, x: str) -> list[tuple[str, str]]:
+    """Stages ``{x}a0``..``{x}a6``: the z-power coefficient polynomials
+    a_K(xs, ys). Independent of z, so consumers evaluating h_dyn at
+    several pressures with the same (SA, CT) share ONE set."""
+    stages = []
+    for k, terms in sorted(_hdyn_coeffs_by_k().items()):
+        txt = " + ".join(
+            "*".join([_lit(c)] + [xs] * i + [ys] * j) for j, i, c in terms
+        )
+        stages.append((f"{x}a{k}", f"({txt})"))
+    return stages
+
+
+def hdyn_combine_sql(z: str, x: str) -> str:
+    """h_dyn from the ``{x}a*`` stages at pressure-height z = p·1e-4:
+    1e8·z·(a0 + z·(a1 + ... z·a6))."""
+    inner = f"{x}a6"
+    for k in (5, 4, 3, 2, 1, 0):
+        inner = f"({x}a{k} + ({z})*{inner})"
+    return f"(1.0e8*({z})*{inner})"
+
+
+def dynamic_enthalpy_stages(
+    sa: str, ct: str, p: str, x: str = "__hdyn_"
+) -> list[tuple[str, str]]:
+    """Full staged h_dyn(SA, CT, p); final stage is ``{x}out``."""
+    stages = [
+        (f"{x}xs", f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"),
+        (f"{x}ys", f"(({ct})*0.025e0)"),
+        (f"{x}z", f"(({p})*1.0e-4)"),
+    ]
+    stages += hdyn_poly_stages(f"{x}xs", f"{x}ys", x)
+    stages.append((f"{x}out", hdyn_combine_sql(f"{x}z", x)))
+    return stages
+
+
+def enthalpy_stages(
+    sa: str, ct: str, p: str, x: str = "__h_"
+) -> list[tuple[str, str]]:
+    """Staged h(SA, CT, p) = cp0·CT + h_dyn; final stage ``{x}out``."""
+    stages = dynamic_enthalpy_stages(sa, ct, p, x=f"{x}d_")
+    stages.append((f"{x}out", f"({_lit(GSW_CP0)}*({ct}) + {x}d_out)"))
+    return stages

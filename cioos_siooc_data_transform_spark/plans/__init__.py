@@ -47,3 +47,12 @@ staged_r5.activate()
 from cioos_siooc_data_transform_spark.plans import staged_r6  # noqa: E402
 
 staged_r6.activate()
+
+# Round-7 activation: the 50 queries staged during rounds 5-6 (tri-scale
+# green via tools/staged_sim.py and re-verified 50/50 by the round-6
+# judge) join the live registry. The matching 50 round-6-green names
+# moved to _CHECKED in __spark_entry__.py in the same change, keeping
+# the driver's fresh-name sample exactly at its 50-query budget.
+from cioos_siooc_data_transform_spark.plans import staged_r7  # noqa: E402
+
+staged_r7.activate()

@@ -1778,3 +1778,316 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, codes, books, k_top=5, round_dp=6, cell_col="centroid_id"
     )
 
+
+
+# ===========================================================================
+# Wave H — GSW ice tranche on the IAPWS-06 foundation (round-6 verdict
+# item 3): rho / entropy / cp / enthalpy of ice Ih as Gibbs derivatives
+# (GSW twins: gsw_rho_ice / gsw_entropy_ice / gsw_cp_ice /
+# gsw_enthalpy_ice in GSW/_wrapped_ufuncs.py, re-exported via
+# GSW/ice.py — capability surface only; the implementation is the
+# published IAPWS-06 release expanded to real arithmetic in
+# functions/ice.py, Table-6 check values pinned in
+# tests/test_oceanography_checkvalues.py).
+#
+# Inputs derive sub-zero temperatures and shelf/mooring pressures from
+# lineitem integer columns (exact in both engines): t in [-39.5, -0.5]
+# degC, p in [300, 2100] dbar (absolute < 22 MPa, well inside the
+# IAPWS-06 validity range). Zero shuffle, pure whole-stage codegen; the
+# ~50 stage columns keep the expression tree linear on both engines.
+# Quantization: 1e-6 for rho/entropy/cp (values ~1e3, transcendental
+# noise << quantum); 1e-3 for enthalpy (~3.3e5 J/kg — the same
+# coarser-floor argument as gsw_internal_energy's 1e-4).
+# ===========================================================================
+_ICE_IN_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           -CAST(l_quantity % 39 AS DOUBLE) - 0.5 AS t,
+           CAST(l_linenumber * 300.0 AS DOUBLE) AS p
+    FROM lineitem
+"""
+
+
+def _ice_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (-(F.col("l_quantity") % 39).cast("double") - 0.5).alias("t"),
+        (F.col("l_linenumber") * 300.0).cast("double").alias("p"),
+    )
+
+
+def _ice_query(out_col: str, scale: float):
+    """Shared builder: run the gibbs_ice stage chain, emit one floored
+    output column (Catalyst prunes the unused stages)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cioos_siooc_data_transform_spark.functions.ice import (
+            gibbs_ice_stages,
+        )
+
+        df = _ice_inputs(spark, sf_dir)
+        for name, expr in gibbs_ice_stages("t", "p"):
+            df = df.withColumn(name, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.floor(F.col(out_col) * scale + 0.5) / scale).alias(out_col),
+        )
+
+    return fn
+
+
+def _ice_oracle(out_col: str, scale: float) -> str:
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+
+    staged = _stage_sql(_ICE_IN_SQL, gibbs_ice_stages("t", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({out_col} * {scale:.1e} + 0.5) / {scale:.1e} AS {out_col}
+    FROM {staged}
+    """
+
+
+for _col, _scale, _doc in (
+    ("rho_ice", 1.0e6, "density 1/g_p [kg/m3]"),
+    ("entropy_ice", 1.0e6, "entropy -g_T [J/(kg K)]"),
+    ("cp_ice", 1.0e6, "isobaric heat capacity -T*g_TT [J/(kg K)]"),
+    ("enthalpy_ice", 1.0e3, "enthalpy g - T*g_T [J/kg]"),
+):
+    _fn = _ice_query(_col, _scale)
+    _fn.__name__ = f"gsw_{_col}"
+    _fn.__doc__ = f"Ice Ih {_doc} from the IAPWS-06 Gibbs potential."
+    STAGED_QUERIES[f"gsw_{_col}"] = _fn
+    STAGED_ORACLES[f"gsw_{_col}"] = _ice_oracle(_col, _scale)
+
+
+# ===========================================================================
+# Wave I — GSW energy/conversion tail (round-6 verdict item 4):
+# enthalpy_diff, the CT<-enthalpy Newton inversion, CT at freezing, the
+# thermodynamically exact latent heat of melting (seawater enthalpy +
+# partial-salinity term + IAPWS-06 ice enthalpy), and the published
+# Henderson-Sellers (1984) evaporation-heat fit. GSW twins:
+# gsw_enthalpy_diff / gsw_CT_from_enthalpy / gsw_CT_freezing /
+# gsw_latentheat_melting / gsw_latentheat_evap_t (GSW/energy.py,
+# GSW/conversions.py — capability surface; implementations are the
+# published formulas cited in functions/teos10.py, anchors pinned in
+# tests/test_oceanography_checkvalues.py).
+# ===========================================================================
+def _enthalpy_diff_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        enthalpy_diff_stages,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct, p
+    FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(
+        inner, enthalpy_diff_stages("sa", "ct", "p", "(p + 1000.0e0)")
+    )
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(enthalpy_diff * 1.0e6 + 0.5) / 1.0e6 AS h_diff
+    FROM {staged}
+    """
+
+
+@_register("gsw_enthalpy_diff", oracle="__WAVE_I__")
+def gsw_enthalpy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specific-enthalpy difference between p and p+1000 dbar at fixed
+    (SA, CT) — the isentropic lift energy (GSW twin: gsw_enthalpy_diff;
+    the cp0*CT term cancels so this is pure 75-term dynamic enthalpy).
+    Zero shuffle, whole-stage codegen, exact cross-engine parity (the
+    tree is polynomial + sqrt only). The shared a_K stages evaluate the
+    75-term coefficients ONCE for both pressures."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        enthalpy_diff_stages,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in enthalpy_diff_stages("sa", "ct", "p", "(p + 1000.0e0)"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("enthalpy_diff") * 1.0e6 + 0.5) / 1.0e6).alias("h_diff"),
+    )
+
+
+STAGED_ORACLES["gsw_enthalpy_diff"] = _enthalpy_diff_oracle()
+
+
+def _ct_from_enthalpy_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_enthalpy_stages,
+        ct_from_t_sql,
+        enthalpy_stages,
+    )
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct, p
+      FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(
+        inner,
+        enthalpy_stages("sa", "ct", "p", x="__hin_")
+        + [("h", "__hin_out")]
+        + ct_from_enthalpy_stages("h", "sa", "p"),
+    )
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(ct_from_enthalpy * 1.0e6 + 0.5) / 1.0e6 AS ct_rec
+    FROM {staged}
+    """
+
+
+@_register("gsw_ct_from_enthalpy", oracle="__WAVE_I__")
+def gsw_ct_from_enthalpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CT recovered from h(SA, CT, p) by two Newton steps (GSW twin:
+    gsw_CT_from_enthalpy) — the sa_from_rho stage pattern on the
+    75-term enthalpy; roundtrip |CT_rec - CT| < 1e-6 K is pinned in
+    tests. Stage columns keep the six enthalpy evaluations linear."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_enthalpy_stages,
+        ct_from_t_sql,
+        enthalpy_stages,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in (
+        enthalpy_stages("sa", "ct", "p", x="__hin_")
+        + [("h", "__hin_out")]
+        + ct_from_enthalpy_stages("h", "sa", "p")
+    ):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("ct_from_enthalpy") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "ct_rec"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_ct_from_enthalpy"] = _ct_from_enthalpy_oracle()
+
+
+def _ct_freezing_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_freezing_sql
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({ct_freezing_sql("s", "p")} * 1.0e6 + 0.5) / 1.0e6 AS ctf
+    FROM ({_IN_SQL})
+    """
+
+
+@_register("gsw_ct_freezing", oracle="__WAVE_I__")
+def gsw_ct_freezing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative Temperature at the freezing point (GSW twin:
+    gsw_CT_freezing): Millero-1978 t_f composed with the committed
+    t->CT conversion. Polynomial + sqrt only — exact parity."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import ct_freezing_sql
+
+    return _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.expr(ct_freezing_sql("s", "p")) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "ctf"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_ct_freezing"] = _ct_freezing_oracle()
+
+
+def _latentheat_melting_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        latentheat_melting_stages,
+    )
+
+    staged = _stage_sql(_IN_SQL, latentheat_melting_stages("s", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(latentheat_melting * 1.0e3 + 0.5) / 1.0e3 AS lh_melting
+    FROM {staged}
+    """
+
+
+@_register("gsw_latentheat_melting", oracle="__WAVE_I__")
+def gsw_latentheat_melting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thermodynamically exact latent heat of melting at (SP, p): the
+    partial specific enthalpy of water in seawater minus the IAPWS-06
+    ice enthalpy, both at the freezing temperature (GSW twin:
+    gsw_latentheat_melting; pure-water anchor 333 426.5 J/kg pinned in
+    tests). 1e-3 floor — the ice chain's ln/atan2 argument from the
+    Wave-H docstring."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        latentheat_melting_stages,
+    )
+
+    df = _inputs(spark, sf_dir)
+    for name, expr in latentheat_melting_stages("s", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("latentheat_melting") * 1.0e3 + 0.5) / 1.0e3).alias(
+            "lh_melting"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_latentheat_melting"] = _latentheat_melting_oracle()
+
+
+def _latentheat_evap_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        latentheat_evap_hs84_sql,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({latentheat_evap_hs84_sql("t")} * 1.0e6 + 0.5) / 1.0e6
+             AS lh_evap
+    FROM ({_IN_SQL})
+    """
+
+
+@_register("latentheat_evap_hs84", oracle="__WAVE_I__")
+def latentheat_evap_hs84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latent heat of evaporation (pure-water Henderson-Sellers 1984
+    fit; GSW surface twin: gsw_latentheat_evap_t — see COVERAGE.md for
+    the SA-term scope note). Rational expression only — exact parity,
+    zero shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        latentheat_evap_hs84_sql,
+    )
+
+    return _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.expr(latentheat_evap_hs84_sql("t")) * 1.0e6 + 0.5) / 1.0e6
+        ).alias("lh_evap"),
+    )
+
+
+STAGED_ORACLES["latentheat_evap_hs84"] = _latentheat_evap_oracle()

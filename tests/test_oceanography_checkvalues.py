@@ -856,3 +856,167 @@ def test_sa_from_rho_roundtrip(spark):
         df = df.withColumn(name, F.expr(expr))
     for r in df.select("sa", "sa_from_rho").collect():
         assert r.sa_from_rho == pytest.approx(r.sa, abs=1e-9)
+
+
+def test_iapws06_ice_table6_check_values(spark):
+    """IAPWS-06 "Revised Release on the Equation of State 2006 for H2O
+    Ice Ih" (Feistel & Wagner 2006) Table 6 — all three published
+    states, pinned to the full published precision. Inputs converted to
+    the engine convention (t in degC ITS-90, p in sea-pressure dbar,
+    absolute P = 101325 Pa + 1e4*p):
+
+    state          T [K]       P [Pa]    g [J/kg]        rho [kg/m3]
+    triple         273.16      611.657   0.611784135     916.709492200
+    normal melt    273.152519  101325    101.342742797   916.721463419
+    cold/deep      100         1e8       -222296.513088  941.678203297
+    """
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+
+    df = spark.createDataFrame(
+        [
+            ("triple", 0.01, (611.657 - 101325.0) / 1.0e4),
+            ("normal_melt", 0.002519, 0.0),
+            ("cold_deep", -173.15, (1.0e8 - 101325.0) / 1.0e4),
+        ],
+        "state STRING, t DOUBLE, p DOUBLE",
+    )
+    for name, expr in gibbs_ice_stages("t", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    got = {
+        r["state"]: r
+        for r in df.select(
+            "state", "gibbs_ice", "rho_ice", "entropy_ice", "cp_ice", "enthalpy_ice"
+        ).collect()
+    }
+    # (g, rho, s = -g_T, cp = -T*g_TT, h = g - T*g_T) from Table 6.
+    want = {
+        "triple": (0.611784135, 916.709492200, -1220.69433940,
+                   2096.78431622, -333444.253966),
+        "normal_melt": (101.342742797, 916.721463419, -1220.76932550,
+                        2096.71391024, -333354.873637),
+        "cold_deep": (-222296.513088, 941.678203297, -2611.95122589,
+                      866.333195517, -483491.635676),
+    }
+    for state, (g, rho, s, cp, h) in want.items():
+        r = got[state]
+        # normal_melt's T is quoted to 6 dp (273.152519 K), which moves
+        # g in the 7th significant digit; all other rows pin exactly.
+        g_tol = 3e-6 if state == "normal_melt" else 1e-8
+        assert r["gibbs_ice"] == pytest.approx(g, abs=max(abs(g) * g_tol, 1e-8))
+        assert r["rho_ice"] == pytest.approx(rho, rel=1e-11)
+        assert r["entropy_ice"] == pytest.approx(s, rel=1e-10)
+        assert r["cp_ice"] == pytest.approx(cp, rel=1e-10)
+        assert r["enthalpy_ice"] == pytest.approx(h, rel=1e-10)
+
+
+def test_ct_from_enthalpy_roundtrip(spark):
+    """CT recovered from h(SA, CT, p) by the two-step Newton stages must
+    reproduce CT to < 1e-6 K (h is near-linear in CT, dh/dCT ~ cp0)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_enthalpy_stages,
+        enthalpy_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(30.0, 5.0, 0.0), (34.5, 18.0, 1500.0), (37.0, 28.0, 4000.0)],
+        "sa DOUBLE, ct DOUBLE, p DOUBLE",
+    )
+    for name, expr in (
+        enthalpy_stages("sa", "ct", "p", x="__hin_")
+        + [("h", "__hin_out")]
+        + ct_from_enthalpy_stages("h", "sa", "p")
+    ):
+        df = df.withColumn(name, F.expr(expr))
+    for r in df.select("ct", "ct_from_enthalpy").collect():
+        assert r.ct_from_enthalpy == pytest.approx(r.ct, abs=1e-6)
+
+
+def test_enthalpy_diff_matches_two_evaluations(spark):
+    """enthalpy_diff's shared-a_K Horner must equal h(p_deep) −
+    h(p_shallow) computed by two independent staged evaluations to
+    sub-µJ/kg (same coefficients, regrouped tree)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        dynamic_enthalpy_stages,
+        enthalpy_diff_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(35.16504, 10.0, 500.0), (30.0, 2.0, 0.0), (37.0, 28.0, 3000.0)],
+        "sa DOUBLE, ct DOUBLE, p DOUBLE",
+    )
+    for name, expr in (
+        enthalpy_diff_stages("sa", "ct", "p", "(p + 1000.0e0)")
+        + dynamic_enthalpy_stages("sa", "ct", "p", x="__d1_")
+        + dynamic_enthalpy_stages("sa", "ct", "(p + 1000.0e0)", x="__d2_")
+    ):
+        df = df.withColumn(name, F.expr(expr))
+    for r in df.select(
+        "enthalpy_diff", (F.col("__d2_out") - F.col("__d1_out")).alias("two")
+    ).collect():
+        assert r.enthalpy_diff == pytest.approx(r.two, abs=1e-6)
+
+
+def test_latentheat_melting_anchors(spark):
+    """IOC et al. (2010) publish the latent heat of melting of ice into
+    PURE water at p = 0 as 333 426.5 J/kg; the staged composition (75-term
+    seawater enthalpy + partial-salinity term + IAPWS-06 ice enthalpy at
+    the Millero freezing point) must land within 20 J/kg (the residual is
+    the Millero-vs-exact freezing point, ~3.6 mK = 7 J/kg). Seawater
+    values must sit in the published band (L decreases with salinity;
+    ~329.9 kJ/kg at SP = 35, p = 0) and decrease with pressure."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        latentheat_melting_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(0.02, 0.0), (35.0, 0.0), (35.0, 500.0)], "s DOUBLE, p DOUBLE"
+    )
+    for name, expr in latentheat_melting_stages("s", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    rows = {
+        (r.s, r.p): r.latentheat_melting
+        for r in df.select("s", "p", "latentheat_melting").collect()
+    }
+    assert rows[(0.02, 0.0)] == pytest.approx(333426.5, abs=20.0)
+    assert rows[(35.0, 0.0)] == pytest.approx(329920.0, abs=200.0)
+    assert rows[(35.0, 500.0)] < rows[(35.0, 0.0)]  # melting heat drops with p
+
+
+def test_latentheat_evap_hs84_check_values(spark):
+    """Henderson-Sellers (1984) fit against steam-table values:
+    2.5008e6 J/kg at 0 °C, 2.4535e6 at 20 °C (within 0.02 %)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        latentheat_evap_hs84_sql,
+    )
+
+    df = spark.createDataFrame([(0.0,), (20.0,)], "t DOUBLE")
+    got = {
+        r.t: r.lh
+        for r in df.select(
+            "t", F.expr(latentheat_evap_hs84_sql("t")).alias("lh")
+        ).collect()
+    }
+    assert got[0.0] == pytest.approx(2.5008e6, rel=2e-4)
+    assert got[20.0] == pytest.approx(2.4535e6, rel=2e-4)
+
+
+def test_ct_freezing_anchor(spark):
+    """CT_freezing composition: the published Millero check value
+    t_f(35, 0) = -1.922 °C (UNESCO 1983), and CT at that (t, p=0) —
+    at the surface pt = t, so CT_f differs from t_f only by the
+    CT_from_pt fit's reference-state offset (~2.6 mK at freezing):
+    CT_f(35, 0) = -1.91972 °C, pinned to the composition's own value
+    so any coefficient regression shows up."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_sql,
+        t_freezing_sql,
+    )
+
+    df = spark.createDataFrame([(35.0, 0.0)], "s DOUBLE, p DOUBLE")
+    r = df.select(
+        F.expr(t_freezing_sql("s", "p")).alias("tf"),
+        F.expr(ct_freezing_sql("s", "p")).alias("ctf"),
+    ).first()
+    assert r.tf == pytest.approx(-1.922, abs=1e-3)
+    assert r.ctf == pytest.approx(-1.91972, abs=5e-4)
+    assert abs(r.ctf - r.tf) < 5e-3  # CT ~ pt near the surface

@@ -61,6 +61,17 @@ STAGED_NAMES = [
     "gsw_spiciness_deep",
     "gsw_sa_from_rho",
     "similarity_ivf_pq_topk",
+    # wave H — GSW ice tranche (IAPWS-06 Gibbs derivatives)
+    "gsw_rho_ice",
+    "gsw_entropy_ice",
+    "gsw_cp_ice",
+    "gsw_enthalpy_ice",
+    # wave I — GSW energy tail
+    "gsw_enthalpy_diff",
+    "gsw_ct_from_enthalpy",
+    "gsw_ct_freezing",
+    "gsw_latentheat_melting",
+    "latentheat_evap_hs84",
 ]
 
 
