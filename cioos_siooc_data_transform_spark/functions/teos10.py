@@ -742,3 +742,117 @@ def enthalpy_stages(
     stages = dynamic_enthalpy_stages(sa, ct, p, x=f"{x}d_")
     stages.append((f"{x}out", f"({_lit(GSW_CP0)}*({ct}) + {x}d_out)"))
     return stages
+
+
+# ---------------------------------------------------------------------------
+# Analytic derivatives of the 75-term specific volume, and the second-
+# order stability coefficients built from them (GSW twins:
+# gsw_alpha / gsw_beta / gsw_cabbeling / gsw_thermobaric — definitions
+# per McDougall 1987 / IOC et al. 2010 eqns 3.9.2, P.2-P.3, evaluated
+# on the same Roquet et al. 2015 polynomial GSW differentiates):
+#
+#   alpha = v_CT/v,  beta = -v_SA/v
+#   cabbeling   = alpha_CT + 2(alpha/beta)·alpha_SA − (alpha/beta)²·beta_SA
+#   thermobaric = alpha_p − (alpha/beta)·beta_p            [per Pa]
+#
+# Every partial is an ANALYTIC derivative polynomial (coefficients
+# c·I·J·K shifted down a power — no finite differences, so no eps
+# tuning and exact cross-engine parity); the chain factors are
+# dys/dCT = 0.025, dz/dp = 1e-4, dxs/dSA = sfac/(2·xs). Analytic-vs-FD
+# agreement is pinned in tests.
+# ---------------------------------------------------------------------------
+def specvol_deriv_poly_sql(
+    xs: str, ys: str, z: str, dxs: int = 0, dys: int = 0, dz: int = 0
+) -> str:
+    """Horner SQL for ∂^(dxs+dys+dz) v / ∂xs^dxs ∂ys^dys ∂z^dz as a
+    polynomial in the (xs, ys, z) fit coordinates (args are SQL
+    sub-expressions, typically short stage-column names)."""
+    tbl: dict[int, dict[int, dict[int, float]]] = {}
+    for name, v in SPECVOL_COEFFS.items():
+        j_ys, i_xs, k_z = int(name[1]), int(name[2]), int(name[3])
+        if i_xs < dxs or j_ys < dys or k_z < dz:
+            continue
+        c = v
+        for d in range(dxs):
+            c *= i_xs - d
+        for d in range(dys):
+            c *= j_ys - d
+        for d in range(dz):
+            c *= k_z - d
+        tbl.setdefault(k_z - dz, {}).setdefault(j_ys - dys, {})[i_xs - dxs] = c
+
+    def horner_x(d: dict[int, float]) -> str:
+        out = None
+        for i in sorted(d, reverse=True):
+            c = _lit(d[i])
+            out = c if out is None else f"({c} + {xs}*{out})"
+        return out
+
+    def horner_y(dk: dict[int, dict[int, float]]) -> str:
+        out = None
+        for j in sorted(dk, reverse=True):
+            pj = horner_x(dk[j])
+            out = pj if out is None else f"({pj} + {ys}*{out})"
+        return out
+
+    out = None
+    for k in sorted(tbl, reverse=True):
+        ak = horner_y(tbl[k])
+        out = ak if out is None else f"({ak} + {z}*{out})"
+    return out if out is not None else "0.0e0"
+
+
+def cabbeling_thermobaric_stages(
+    sa: str, ct: str, p: str, x: str = "__cbtb_"
+) -> list[tuple[str, str]]:
+    """Stages ending in ``cabbeling`` [1/K²] and ``thermobaric``
+    [1/(K·Pa)]. Nine Horner polynomial evaluations (v and its first and
+    second partials), each its own stage column; divisions only —
+    no transcendentals, so parity is exact at any quantization."""
+    xs, ys, z = f"{x}xs", f"{x}ys", f"{x}z"
+    stages: list[tuple[str, str]] = [
+        (xs, f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"),
+        (ys, f"(({ct})*0.025e0)"),
+        (z, f"(({p})*1.0e-4)"),
+    ]
+    for tag, (dx, dy, dzz) in {
+        "v": (0, 0, 0), "vx": (1, 0, 0), "vy": (0, 1, 0),
+        "vxx": (2, 0, 0), "vxy": (1, 1, 0), "vyy": (0, 2, 0),
+        "vz": (0, 0, 1), "vxz": (1, 0, 1), "vyz": (0, 1, 1),
+    }.items():
+        stages.append((f"{x}{tag}", specvol_deriv_poly_sql(xs, ys, z, dx, dy, dzz)))
+    # chain factors: d/dCT = 0.025·d/dys, d/dp = 1e-4·d/dz,
+    # d/dSA = (sfac/(2·xs))·d/dxs
+    sfac = _lit(GSW_SFAC)
+    stages += [
+        (f"{x}dxdsa", f"({sfac}/(2.0e0*{xs}))"),
+        (f"{x}v_ct", f"(0.025e0*{x}vy)"),
+        (f"{x}v_sa", f"({x}dxdsa*{x}vx)"),
+        (f"{x}v_ctct", f"(6.25e-4*{x}vyy)"),
+        (f"{x}v_ctsa", f"(0.025e0*{x}dxdsa*{x}vxy)"),
+        # v_SASA = (sfac/(2xs))·d/dxs[(sfac/(2xs))·vx]
+        #        = (sfac/(2xs))·(sfac/2)·(vxx/xs − vx/xs²)
+        (
+            f"{x}v_sasa",
+            f"({x}dxdsa*({sfac}/2.0e0)*({x}vxx/{xs} - {x}vx/({xs}*{xs})))",
+        ),
+        (f"{x}v_p", f"(1.0e-4*{x}vz)"),
+        (f"{x}v_ctp", f"(0.025e-4*{x}vyz)"),
+        (f"{x}v_sap", f"(1.0e-4*{x}dxdsa*{x}vxz)"),
+        (f"{x}alpha", f"({x}v_ct/{x}v)"),
+        (f"{x}beta", f"(-{x}v_sa/{x}v)"),
+        (f"{x}r", f"({x}alpha/{x}beta)"),
+        (f"{x}alpha_ct", f"({x}v_ctct/{x}v - {x}alpha*{x}alpha)"),
+        (f"{x}alpha_sa", f"({x}v_ctsa/{x}v - {x}alpha*{x}v_sa/{x}v)"),
+        (f"{x}beta_sa", f"({x}v_sa*{x}v_sa/({x}v*{x}v) - {x}v_sasa/{x}v)"),
+        (f"{x}alpha_p", f"({x}v_ctp/{x}v - {x}alpha*{x}v_p/{x}v)"),
+        (f"{x}beta_p", f"({x}v_sa*{x}v_p/({x}v*{x}v) - {x}v_sap/{x}v)"),
+        (
+            "cabbeling",
+            f"({x}alpha_ct + 2.0e0*{x}r*{x}alpha_sa"
+            f" - {x}r*{x}r*{x}beta_sa)",
+        ),
+        # alpha_p/beta_p are per DBAR; × 1e-4 dbar/Pa → per Pa (GSW unit)
+        ("thermobaric", f"(1.0e-4*({x}alpha_p - {x}r*{x}beta_p))"),
+    ]
+    return stages

@@ -69,3 +69,88 @@ def regular_timeseries(
         (F.col("record_idx") * F.col(dt_seconds_col)).cast("double"),
     )
     return exploded.withColumn("obs_ts", obs).drop("_pos")
+
+
+def ranked_cumsum_two_pass(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n_buckets: int = 512,
+    out_rank: str = "rnk",
+    out_cum: str = "cum",
+) -> DataFrame:
+    """Global dense ranking + running sum over (value_col DESC,
+    tie_col ASC) WITHOUT a single-partition window — the scale-safe
+    form of ``row_number()/sum() OVER (ORDER BY v DESC)`` for key
+    spaces too large for one task (the ≥1e8-key escape hatch the
+    concentration family's docstrings describe in prose:
+    pareto_revenue_share, orders_abc_classification,
+    doc_length_deciles).
+
+    Two passes, three bounded shuffles:
+
+    1. global min/max of the INTEGER value (one map-side-combinable
+       agg, broadcast back as a 1-row dimension — no driver collect);
+       rows bucket by value range, ``bucket = floor((max-v)/width)``,
+       descending so bucket 0 holds the largest values. Equal values
+       always share a bucket, so cross-bucket ordering is total.
+    2. per-bucket counts/sums (≤ n_buckets rows) get exclusive running
+       offsets via a window over the TINY bucket table (bounded by
+       n_buckets, not by |keys|); rows get their within-bucket
+       row_number/running sum from a window PARTITIONED by bucket, and
+       the broadcast offsets lift them to global rank/cumsum.
+
+    Exactness: value_col must be integer-typed (cents/micros idiom) so
+    the bucketed running sums equal the global-window sums bit-for-bit
+    regardless of grouping — equality with the single-window plan is
+    pinned by the ``pareto_share_two_pass`` registered query (same
+    oracle text as ``pareto_revenue_share``) and by pytest.
+
+    Skew: a value-range bucket can be hot if the distribution is
+    extremely peaked; the within-bucket window then degrades toward the
+    global window for that bucket only. For adversarial distributions
+    raise n_buckets or pre-split on a secondary hash of tie_col (the
+    rank offsets stay exact because ties order by tie_col).
+    """
+    mm = df.agg(
+        F.max(value_col).alias("__mx"),
+        F.min(value_col).alias("__mn"),
+    )
+    b = df.crossJoin(F.broadcast(mm)).withColumn(
+        "__bucket",
+        F.floor(
+            (F.col("__mx") - F.col(value_col))
+            / F.greatest(
+                F.ceil(
+                    (F.col("__mx") - F.col("__mn") + 1) / F.lit(n_buckets)
+                ),
+                F.lit(1),
+            )
+        ).cast("long"),
+    ).drop("__mx", "__mn")
+    stats = b.groupBy("__bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__bn"),
+        F.sum(value_col).cast("long").alias("__bsum"),
+    )
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = stats.select(
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off_n"),
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__off_sum"),
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(
+        F.col(value_col).desc(), F.col(tie_col)
+    )
+    ranked = (
+        b.withColumn("__rn_in", F.row_number().over(w_in).cast("long"))
+        .withColumn("__cum_in", F.sum(value_col).over(w_in).cast("long"))
+        .join(F.broadcast(offsets), "__bucket")
+    )
+    return (
+        ranked.withColumn(out_rank, (F.col("__off_n") + F.col("__rn_in")))
+        .withColumn(out_cum, (F.col("__off_sum") + F.col("__cum_in")))
+        .drop("__bucket", "__rn_in", "__cum_in", "__off_n", "__off_sum")
+    )

@@ -2091,3 +2091,139 @@ def latentheat_evap_hs84(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["latentheat_evap_hs84"] = _latentheat_evap_oracle()
+
+
+# ===========================================================================
+# Wave J — scale-safe global ranking (round-6 verdict item 5): the
+# two-pass range-bucket rank/cumsum operator
+# (operators/windows.py::ranked_cumsum_two_pass), pinned EQUAL to the
+# live single-window pareto_revenue_share by sharing its oracle text
+# verbatim — the driver's hash compare proves the bucketed plan computes
+# the identical answer with no single-partition window over the keys.
+# ===========================================================================
+_PARETO_ORACLE = """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev_cents,
+             CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+                  AS BIGINT) AS rnk,
+             CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey)
+                  AS BIGINT) AS cum_cents,
+             CAST(sum(rev_cents) OVER () AS BIGINT) AS total_cents,
+             CAST(count(*) OVER () AS BIGINT) AS n_cust
+      FROM cust
+    )
+    SELECT o_custkey, rev_cents, rnk,
+           floor(cum_cents * 1000000.0 / total_cents + 0.5) / 1000000.0
+             AS cum_share,
+           rnk * 5 <= n_cust AS in_top_20pct
+    FROM ranked
+"""
+
+
+@_register("pareto_share_two_pass", oracle=_PARETO_ORACLE)
+def pareto_share_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pareto_revenue_share recomputed through the two-pass range-bucket
+    operator: no window runs over more rows than one value-range bucket
+    (~|keys|/512), and the only ordered single-partition window touches
+    the 512-row bucket table. The oracle is the LIVE query's global-
+    window SQL verbatim — hash equality IS the correctness proof that
+    bucket-and-offset == one ordered pass (exact integer cents make the
+    running sums grouping-independent)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    ranked = ranked_cumsum_two_pass(
+        cust, "rev_cents", "o_custkey", out_rank="rnk", out_cum="cum_cents"
+    )
+    tot = cust.agg(
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        "rev_cents",
+        "rnk",
+        (
+            F.floor(F.col("cum_cents") * 1000000.0 / F.col("total_cents") + 0.5)
+            / 1000000.0
+        ).alias("cum_share"),
+        (F.col("rnk") * 5 <= F.col("n_cust")).alias("in_top_20pct"),
+    )
+
+
+# ===========================================================================
+# Wave K — second-order stability coefficients (GSW twins:
+# gsw_cabbeling, gsw_thermobaric; McDougall 1987 definitions evaluated
+# as ANALYTIC derivative polynomials of the committed 75-term specvol —
+# functions/teos10.py::cabbeling_thermobaric_stages, FD-agreement
+# pinned in tests). Divisions + sqrt only: exact cross-engine parity,
+# zero shuffle, map-only.
+# ===========================================================================
+def _cbtb_oracle(out_col: str, alias: str, scale: str) -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct, p
+    FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(inner, cabbeling_thermobaric_stages("sa", "ct", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({out_col} * {scale} + 0.5) / {scale} AS {alias}
+    FROM {staged}
+    """
+
+
+def _cbtb_query(out_col: str, alias: str, scale: float):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cioos_siooc_data_transform_spark.functions.teos10 import (
+            cabbeling_thermobaric_stages,
+            ct_from_t_sql,
+        )
+
+        df = _inputs(spark, sf_dir).select(
+            "l_orderkey",
+            "l_linenumber",
+            "p",
+            F.expr(_SA_SQL).alias("sa"),
+            F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+        )
+        for name, expr in cabbeling_thermobaric_stages("sa", "ct", "p"):
+            df = df.withColumn(name, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.floor(F.col(out_col) * scale + 0.5) / scale).alias(alias),
+        )
+
+    return fn
+
+
+for _out, _alias, _scale in (
+    ("cabbeling", "cab", 1.0e12),
+    ("thermobaric", "tb", 1.0e18),
+):
+    _fn = _cbtb_query(_out, _alias, _scale)
+    _fn.__name__ = f"gsw_{_out}"
+    _fn.__doc__ = (
+        f"{_out} coefficient from analytic 75-term derivatives "
+        "(McDougall 1987; FD cross-check pinned in tests)."
+    )
+    STAGED_QUERIES[f"gsw_{_out}"] = _fn
+    STAGED_ORACLES[f"gsw_{_out}"] = _cbtb_oracle(_out, _alias, f"{_scale:.1e}")

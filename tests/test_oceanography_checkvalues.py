@@ -1020,3 +1020,78 @@ def test_ct_freezing_anchor(spark):
     assert r.tf == pytest.approx(-1.922, abs=1e-3)
     assert r.ctf == pytest.approx(-1.91972, abs=5e-4)
     assert abs(r.ctf - r.tf) < 5e-3  # CT ~ pt near the surface
+
+
+def test_cabbeling_thermobaric_analytic_vs_fd(spark):
+    """The analytic derivative polynomials behind cabbeling/thermobaric
+    must agree with central finite differences of alpha/beta computed
+    from the plain 75-term specvol (eps small enough that truncation
+    < 1e-4 relative), and the warm-surface TEOS-10 check point must sit
+    in the published band (cabbeling ~ 8.7e-6 1/K², thermobaric
+    ~ 1.4e-12 1/(K·Pa) at SA=34.7118, CT=28.8099, p=10)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        specvol_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(34.7118, 28.8099, 10.0), (35.0, 2.0, 2000.0), (30.0, 10.0, 500.0)],
+        "sa DOUBLE, ct DOUBLE, p DOUBLE",
+    )
+    for name, expr in cabbeling_thermobaric_stages("sa", "ct", "p"):
+        df = df.withColumn(name, F.expr(expr))
+
+    def alpha(sa, ct, p):
+        e = 1e-3
+        return (
+            f"(({specvol_sql(sa, f'({ct} + {e})', p)}"
+            f" - {specvol_sql(sa, f'({ct} - {e})', p)})"
+            f"/(2.0e0*{e}*{specvol_sql(sa, ct, p)}))"
+        )
+
+    def beta(sa, ct, p):
+        e = 1e-3
+        return (
+            f"(-({specvol_sql(f'({sa} + {e})', ct, p)}"
+            f" - {specvol_sql(f'({sa} - {e})', ct, p)})"
+            f"/(2.0e0*{e}*{specvol_sql(sa, ct, p)}))"
+        )
+
+    ec, es, ep = "5.0e-2", "5.0e-2", "1.0e1"
+    df = df.withColumn(
+        "fd_alpha_ct",
+        F.expr(
+            f"(({alpha('sa', f'(ct + {ec})', 'p')}"
+            f" - {alpha('sa', f'(ct - {ec})', 'p')})/(2.0e0*{ec}))"
+        ),
+    ).withColumn(
+        "fd_cab_tail",
+        F.expr(
+            f"(2.0e0*(__cbtb_alpha/__cbtb_beta)"
+            f"*(({alpha(f'(sa + {es})', 'ct', 'p')}"
+            f" - {alpha(f'(sa - {es})', 'ct', 'p')})/(2.0e0*{es}))"
+            f" - (__cbtb_alpha/__cbtb_beta)*(__cbtb_alpha/__cbtb_beta)"
+            f"*(({beta(f'(sa + {es})', 'ct', 'p')}"
+            f" - {beta(f'(sa - {es})', 'ct', 'p')})/(2.0e0*{es})))"
+        ),
+    ).withColumn(
+        "fd_thermobaric",
+        F.expr(
+            f"(1.0e-4*(({alpha('sa', 'ct', f'(p + {ep})')}"
+            f" - {alpha('sa', 'ct', f'(p - {ep})')})/(2.0e0*{ep})"
+            f" - (__cbtb_alpha/__cbtb_beta)"
+            f"*(({beta('sa', 'ct', f'(p + {ep})')}"
+            f" - {beta('sa', 'ct', f'(p - {ep})')})/(2.0e0*{ep}))))"
+        ),
+    )
+    rows = df.select(
+        "sa", "ct", "p", "cabbeling", "thermobaric",
+        (F.col("fd_alpha_ct") + F.col("fd_cab_tail")).alias("fd_cabbeling"),
+        "fd_thermobaric",
+    ).collect()
+    for r in rows:
+        assert r.cabbeling == pytest.approx(r.fd_cabbeling, rel=1e-4)
+        assert r.thermobaric == pytest.approx(r.fd_thermobaric, rel=1e-4)
+    warm = [r for r in rows if r.p == 10.0][0]
+    assert 8.5e-6 < warm.cabbeling < 8.8e-6
+    assert 1.3e-12 < warm.thermobaric < 1.5e-12

@@ -72,6 +72,11 @@ STAGED_NAMES = [
     "gsw_ct_freezing",
     "gsw_latentheat_melting",
     "latentheat_evap_hs84",
+    # wave J — scale-safe global ranking (two-pass range-bucket operator)
+    "pareto_share_two_pass",
+    # wave K — second-order stability coefficients (analytic derivatives)
+    "gsw_cabbeling",
+    "gsw_thermobaric",
 ]
 
 
@@ -87,3 +92,58 @@ def test_staged_query_matches_oracle(spark, name):
     qs, os_ = _staged()
     ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
     assert ok, f"{name}: {msg}"
+
+
+def test_two_pass_rank_equals_global_window(spark):
+    """operators/windows.ranked_cumsum_two_pass must reproduce the
+    global-window rank/cumsum bit-for-bit (integer values), and its
+    physical plan must contain NO single-partition window over the key
+    table — the only unpartitioned window runs over the <= n_buckets
+    bucket-stats rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+    from cioos_siooc_data_transform_spark.session import read_table
+
+    cust = (
+        read_table(spark, SF_DIR_SMOKE, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            .cast("long")
+            .alias("v")
+        )
+    )
+    got = {
+        r.o_custkey: (r.rnk, r.cum)
+        for r in ranked_cumsum_two_pass(cust, "v", "o_custkey", n_buckets=32)
+        .select("o_custkey", "rnk", "cum")
+        .collect()
+    }
+    w = Window.orderBy(F.col("v").desc(), F.col("o_custkey"))
+    want = {
+        r.o_custkey: (r.rnk, r.cum)
+        for r in cust.select(
+            "o_custkey",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.sum("v").over(w).cast("long").alias("cum"),
+        ).collect()
+    }
+    assert got == want
+
+    plan = (
+        ranked_cumsum_two_pass(cust, "v", "o_custkey", n_buckets=32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        spec = line[line.index("Window [") :]
+        if "__bucket" in spec and "windowspecdefinition(__bucket" in spec:
+            continue  # per-bucket window (partitioned) or bucket-table offsets
+        raise AssertionError(f"unexpected window spec: {spec[:160]}")
