@@ -158,6 +158,46 @@ def main() -> None:
     except Exception as exc:  # keep the headline line alive regardless
         ios_ingest = {"error": str(exc)[:200]}
 
+    # Trained semantic-dedup vertical (round-6 verdict item 7): the
+    # PRODUCTION SemDeDup path — KMeans-trained centroids feeding the
+    # same guarded cell x band-bucket operator the registered
+    # fixed-centroid twin benches. Operator-level (not a registry query:
+    # the fresh-name budget is reserved for oracle-paired queries);
+    # min-of-2, includes the bounded-sample training passes.
+    sem_trained = None
+    try:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from cioos_siooc_data_transform_spark.operators.dedup import (
+            semantic_dedup_trained,
+        )
+        from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+            _EMB_BANDS,
+            _EMB_BUCKET_CAP,
+            _EMB_HP,
+            _SEM_TAU,
+        )
+        from cioos_siooc_data_transform_spark.session import read_table
+
+        emb = read_table(spark, SF_DIR, "embeddings")
+        trained_secs = []
+        for _ in range(2):
+            t0 = time.time()
+            semantic_dedup_trained(
+                emb,
+                id_col="vec_id",
+                vec_col="embedding",
+                n_cells=16,
+                hyperplanes=_EMB_HP,
+                bands=_EMB_BANDS,
+                bucket_cap=_EMB_BUCKET_CAP,
+                tau=_SEM_TAU,
+            ).write.format("noop").mode("overwrite").save()
+            trained_secs.append(round(time.time() - t0, 3))
+        sem_trained = {"sec": min(trained_secs)}
+    except Exception as exc:  # keep the headline line alive regardless
+        sem_trained = {"error": str(exc)[:200]}
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Raw per-run samples go to a side file, NOT the printed line: the
@@ -182,6 +222,7 @@ def main() -> None:
                 "queries": timings,
                 "n_runs": n_runs,
                 "ios_ingest": ios_ingest,
+                "semantic_dedup_trained": sem_trained,
                 "sf": sf_val,
             }
         )

@@ -856,3 +856,22 @@ def cabbeling_thermobaric_stages(
         ("thermobaric", f"(1.0e-4*({x}alpha_p - {x}r*{x}beta_p))"),
     ]
     return stages
+
+
+def internal_energy_stages(
+    sa: str, ct: str, p: str, x: str = "__u_"
+) -> list[tuple[str, str]]:
+    """Staged u(SA, CT, p) = h − (P₀ + 10⁴·p)·v (IOC et al. 2010 eqn
+    3.25); final stage ``{x}out``. Same regrouped-tree/janino rationale
+    as the staged dynamic enthalpy — the flat internal_energy_sql text
+    (h_dyn + specvol inline) exceeds the 64 KB method limit when
+    composed."""
+    stages = enthalpy_stages(sa, ct, p, x=f"{x}h_")
+    stages.append((f"{x}v", specvol_sql(sa, ct, p)))
+    stages.append(
+        (
+            f"{x}out",
+            f"({x}h_out - ({_lit(GSW_P0)} + 1.0e4*({p}))*{x}v)",
+        )
+    )
+    return stages

@@ -23,6 +23,22 @@ Content so far:
   deterministic partsupp table (sources/partsupp.py), including the
   lineitem x partsupp pair join the partsupp-free adaptations could
   not express.
+- Wave H — GSW ice tranche: rho/entropy/cp/enthalpy of ice Ih as
+  IAPWS-06 Gibbs derivatives (functions/ice.py; Table-6 check values
+  pinned).
+- Wave I — GSW energy tail: enthalpy_diff (shared a_K stages),
+  CT_from_enthalpy Newton inversion, CT_freezing, the exact
+  latentheat_melting composition, Henderson-Sellers evaporation heat.
+- Wave J — pareto_share_two_pass: the range-bucket two-pass rank
+  operator pinned equal to the live global-window query.
+- Wave K — cabbeling/thermobaric from analytic 75-term derivatives.
+- Wave L — Poisson rate CIs, peak-hour stability, run-length profiles.
+- Wave M — degree-banded clustering coefficients, common-neighbor link
+  prediction.
+- Wave N — Yule's K, top covariance dimension pairs, bucket-sampled
+  cosine histogram.
+- Wave O — deterministic minority oversampling, cohort LTV curves,
+  nation trade balance, Count-Min heavy-hitter audit.
 """
 
 from __future__ import annotations
@@ -1368,7 +1384,7 @@ STAGED_ORACLES["gsw_spiciness0"] = _spiciness_oracle()
 def _internal_energy_oracle() -> str:
     from cioos_siooc_data_transform_spark.functions.teos10 import (
         ct_from_t_sql,
-        internal_energy_sql,
+        internal_energy_stages,
     )
 
     inner = f"""
@@ -1376,11 +1392,11 @@ def _internal_energy_oracle() -> str:
            {ct_from_t_sql("s", "t", "p")} AS ct
     FROM ({_IN_SQL})
     """
+    staged = _stage_sql(inner, internal_energy_stages("sa", "ct", "p"))
     return f"""
     SELECT l_orderkey, l_linenumber,
-           floor({internal_energy_sql("sa", "ct", "p")} * 1.0e4 + 0.5)
-             / 1.0e4 AS u
-    FROM ({inner})
+           floor(__u_out * 1.0e4 + 0.5) / 1.0e4 AS u
+    FROM {staged}
     """
 
 
@@ -1392,26 +1408,26 @@ def gsw_internal_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     and specific volume — the identity is pinned in tests. u ~ 1e5
     J/kg, so the 4-dp floor sits ~1e-7 relative, far above double
     noise on an identical literal tree. GSW twin: gsw_internal_energy
-    (GSW/energy.py)."""
+    (GSW/energy.py). Staged form (internal_energy_stages) — the flat
+    inline text trips janino's 64 KB limit and runs interpreted."""
     from cioos_siooc_data_transform_spark.functions.teos10 import (
         ct_from_t_sql,
-        internal_energy_sql,
+        internal_energy_stages,
     )
 
-    staged = _inputs(spark, sf_dir).select(
+    df = _inputs(spark, sf_dir).select(
         "l_orderkey",
         "l_linenumber",
         "p",
         F.expr(_SA_SQL).alias("sa"),
         F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
     )
-    return staged.select(
+    for name, expr in internal_energy_stages("sa", "ct", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
         "l_orderkey",
         "l_linenumber",
-        (
-            F.floor(F.expr(internal_energy_sql("sa", "ct", "p")) * 1.0e4 + 0.5)
-            / 1.0e4
-        ).alias("u"),
+        (F.floor(F.col("__u_out") * 1.0e4 + 0.5) / 1.0e4).alias("u"),
     )
 
 
@@ -2227,3 +2243,930 @@ for _out, _alias, _scale in (
     )
     STAGED_QUERIES[f"gsw_{_out}"] = _fn
     STAGED_ORACLES[f"gsw_{_out}"] = _cbtb_oracle(_out, _alias, f"{_scale:.1e}")
+
+
+# ===========================================================================
+# Wave L — event-stream operational analytics: Poisson rate intervals,
+# peak-hour stability, and run-length profiles. All integer-exact until
+# one final floored division/sqrt; windows key on user_id / event_type
+# (high-cardinality, balanced); zero driver-side work.
+# ===========================================================================
+@_register(
+    "events_poisson_rate_ci",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           floor(span_us / 3.6e9 * 1.0e6 + 0.5) / 1.0e6 AS hours_span,
+           floor(n_events * 3.6e9 / span_us * 1.0e6 + 0.5) / 1.0e6
+             AS rate_per_hour,
+           floor((n_events - 1.959964e0*sqrt(CAST(n_events AS DOUBLE)))
+                 * 3.6e9 / span_us * 1.0e6 + 0.5) / 1.0e6 AS ci_low,
+           floor((n_events + 1.959964e0*sqrt(CAST(n_events AS DOUBLE)))
+                 * 3.6e9 / span_us * 1.0e6 + 0.5) / 1.0e6 AS ci_high
+    FROM s
+    """,
+)
+def events_poisson_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type arrival rate with a 95% normal-approximation Poisson CI
+    (rate ± 1.96·sqrt(n)/T) — the monitoring primitive behind "is this
+    event type arriving unusually fast today". One map-side-combinable
+    agg; the span is exact integer microseconds so both engines divide
+    the same longs."""
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "span_us"
+        ),
+    )
+    z = 1.959964
+    return s.select(
+        "event_type",
+        "n_events",
+        (F.floor(F.col("span_us") / 3.6e9 * 1.0e6 + 0.5) / 1.0e6).alias(
+            "hours_span"
+        ),
+        (
+            F.floor(F.col("n_events") * 3.6e9 / F.col("span_us") * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("rate_per_hour"),
+        (
+            F.floor(
+                (F.col("n_events") - z * F.sqrt(F.col("n_events").cast("double")))
+                * 3.6e9
+                / F.col("span_us")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("ci_low"),
+        (
+            F.floor(
+                (F.col("n_events") + z * F.sqrt(F.col("n_events").cast("double")))
+                * 3.6e9
+                / F.col("span_us")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("ci_high"),
+    )
+
+
+@_register(
+    "events_peak_hour_stability",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day_id,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ), daily_peak AS (
+      SELECT event_type, day_id, hour AS peak_hour
+      FROM (
+        SELECT event_type, day_id, hour,
+               row_number() OVER (PARTITION BY event_type, day_id
+                                  ORDER BY cnt DESC, hour) AS rn
+        FROM h
+      ) WHERE rn = 1
+    ), global_peak AS (
+      SELECT event_type, hour AS global_peak_hour
+      FROM (
+        SELECT event_type, hour,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY sum(cnt) DESC, hour) AS rn
+        FROM h GROUP BY event_type, hour
+      ) WHERE rn = 1
+    )
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(g.global_peak_hour AS BIGINT) AS global_peak_hour,
+           floor(sum(CASE WHEN d.peak_hour = g.global_peak_hour
+                          THEN 1 ELSE 0 END) * 1.0e6 / count(*) + 0.5)
+             / 1.0e6 AS stability_share
+    FROM daily_peak d JOIN global_peak g USING (event_type)
+    GROUP BY d.event_type, g.global_peak_hour
+    """,
+)
+def events_peak_hour_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How stable is each type's busiest hour: fraction of days whose
+    within-day peak hour equals the all-time peak hour. Day/hour ids
+    are exact integer epoch arithmetic (the date_trunc parity gotcha
+    never appears); the per-day and global argmaxes are row_number
+    windows over the small (type, day, hour) aggregate, and the final
+    join broadcasts the |types|-row global peak."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    h = e.select(
+        "event_type",
+        (us / F.lit(86400000000)).cast("long").alias("day_id"),
+        ((us % F.lit(86400000000)) / F.lit(3600000000)).cast("long").alias("hour"),
+    ).groupBy("event_type", "day_id", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_day = Window.partitionBy("event_type", "day_id").orderBy(
+        F.col("cnt").desc(), F.col("hour")
+    )
+    daily = (
+        h.withColumn("rn", F.row_number().over(w_day))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "day_id", F.col("hour").alias("peak_hour"))
+    )
+    w_glob = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("hour")
+    )
+    glob = (
+        h.groupBy("event_type", "hour")
+        .agg(F.sum("cnt").alias("total"))
+        .withColumn("rn", F.row_number().over(w_glob))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("hour").alias("global_peak_hour"))
+    )
+    return (
+        daily.join(F.broadcast(glob), "event_type")
+        .groupBy("event_type", "global_peak_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("peak_hour") == F.col("global_peak_hour"), 1
+                        ).otherwise(0)
+                    )
+                    * 1.0e6
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("stability_share"),
+        )
+        .select("event_type", "n_days", "global_peak_hour", "stability_share")
+    )
+
+
+@_register(
+    "events_runlength_profile",
+    oracle="""
+    WITH isl AS (
+      SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+      )
+    ), runs AS (
+      SELECT user_id, event_type, island,
+             CAST(count(*) AS BIGINT) AS run_len
+      FROM isl GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(max(run_len) AS BIGINT) AS max_run_len,
+           floor(sum(run_len) * 1.0e6 / count(*) + 0.5) / 1.0e6
+             AS avg_run_len
+    FROM runs GROUP BY event_type
+    """,
+)
+def events_runlength_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral run-length distribution: consecutive same-type
+    streaks per user (gap-islands over the per-user ordered stream),
+    profiled per type — repetition structure that sessionization and
+    bot-detection both key on. Both windows share the (user_id; ts,
+    event_id) sort, so Spark plans ONE Exchange + sort; run lengths are
+    exact integers."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    isl = e.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = isl.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+        (
+            F.floor(F.sum("run_len") * 1.0e6 / F.count(F.lit(1)) + 0.5) / 1.0e6
+        ).alias("avg_run_len"),
+    )
+
+
+# ===========================================================================
+# Wave M — graph structure metrics on the co-purchase edge set (the
+# market-basket support>=2 graph every live graph query shares):
+# degree-banded clustering coefficients and common-neighbor link
+# prediction. Both reuse the a<b oriented edge list; wedge joins are
+# equi-keyed (never cartesian).
+# ===========================================================================
+_EDGES_SQL = """
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+
+
+@_register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    tri AS (
+      SELECT e1.a, e1.b, e2.c
+      FROM e e1
+      JOIN (SELECT a AS b2a, b AS c FROM e) e2 ON e1.b = e2.b2a
+      JOIN (SELECT a AS a3, b AS b3 FROM e) e3
+        ON e1.a = e3.a3 AND e2.c = e3.b3
+    ), tri_per_v AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY v
+    ), deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY v
+    ), loc AS (
+      SELECT d.degree,
+             CAST(floor(CAST(coalesce(t.n_tri, 0) AS DOUBLE) * 2.0e12
+                        / (d.degree * (d.degree - 1)) + 0.5) AS BIGINT)
+               AS cc_pico
+      FROM deg d LEFT JOIN tri_per_v t ON d.v = t.v
+      WHERE d.degree >= 2
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+           floor(sum(cc_pico) / 1.0e12 * 1.0e6 / count(*) + 0.5) / 1.0e6
+             AS avg_clustering
+    FROM loc GROUP BY degree
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-banded local clustering coefficient: per node,
+    2·tri(v)/(deg·(deg−1)), averaged within each degree band — the
+    hierarchical-clustering spectrum curve, with bounded output (one
+    row per distinct degree). Triangles reuse graph_triangle_count's
+    a<b<c oriented two-hop enumeration (each triangle credits its three
+    vertices via one union-all explode); degrees come from the same
+    edge list. Order-independence: each node's cc quantizes to integer
+    picounits (1e-12) BEFORE the group sum on both engines, so the sum
+    is exact; the final mean floors at 1e-6, six decades above the
+    quantum."""
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    tri = e.join(e2, e.b == e2.b2a).join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("b3"))
+    )
+    tri_v = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    loc = (
+        deg.join(tri_v, "v", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "degree",
+            F.floor(
+                F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                * 2.0e12
+                / (F.col("degree") * (F.col("degree") - 1))
+                + 0.5
+            )
+            .cast("long")
+            .alias("cc_pico"),
+        )
+    )
+    return loc.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (
+            F.floor(
+                F.sum("cc_pico") / 1.0e12 * 1.0e6 / F.count(F.lit(1)) + 0.5
+            )
+            / 1.0e6
+        ).alias("avg_clustering"),
+    )
+
+
+@_register(
+    "graph_common_neighbors_linkpred",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), wedge AS (
+      SELECT x.u AS a, y.v AS c, CAST(count(*) AS BIGINT) AS common_n
+      FROM adj x JOIN adj y ON x.v = y.u AND x.u < y.v
+      GROUP BY 1, 2
+    ), cand AS (
+      SELECT w.a, w.c, w.common_n
+      FROM wedge w
+      ANTI JOIN e ON w.a = e.a AND w.c = e.b
+    )
+    SELECT a, c, common_n FROM cand
+    ORDER BY common_n DESC, a, c LIMIT 20
+    """,
+)
+def graph_common_neighbors_linkpred(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Common-neighbors link prediction: for node pairs NOT yet joined
+    by an edge, count shared neighbors through the symmetrized
+    adjacency (one equi-keyed wedge join + one anti join), return the
+    top-20 candidates. The global top-k is a TakeOrdered (sort-limit),
+    never a full sort; the wedge fan-out is bounded by the support>=2
+    degree cap here — operators/graphs.py's degree-oriented machinery
+    is the adversarial-hub escape hatch."""
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    x = adj.select(F.col("u").alias("a"), F.col("v").alias("mid"))
+    y = adj.select(F.col("u").alias("mid2"), F.col("v").alias("c"))
+    wedge = (
+        x.join(y, x.mid == y.mid2)
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_n"))
+    )
+    cand = wedge.join(
+        e, (wedge.a == e.a) & (wedge.c == e.b), "left_anti"
+    )
+    return cand.orderBy(
+        F.col("common_n").desc(), F.col("a"), F.col("c")
+    ).limit(20)
+
+
+# ===========================================================================
+# Wave N — corpus/embedding second-moment diagnostics: Yule's K
+# vocabulary concentration, the strongest-covariance dimension pairs,
+# and a bucket-sampled pairwise-cosine histogram. Integer-exact sums
+# (micro/pico quantization) everywhere a rounded aggregate needs
+# order-independence; the cosine fold is the committed zip_with ==
+# list_dot_product parity pair.
+# ===========================================================================
+@_register(
+    "text_yule_k",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS m
+      FROM tok WHERE w <> '' GROUP BY 1, 2
+    ), spectrum AS (
+      SELECT lang, CAST(sum(m) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(m*m) AS BIGINT) AS sum_m2
+      FROM freq GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types,
+           floor(1.0e4 * (sum_m2 - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens) * 1.0e6 + 0.5)
+             / 1.0e6 AS yule_k
+    FROM spectrum
+    """,
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per language — the classic vocabulary-
+    concentration statistic K = 1e4·(Σm² − N)/N² over the token
+    frequency spectrum (repetitive corpora score high; K is
+    length-invariant, unlike TTR). Explode → two map-side-combinable
+    aggs; every sum is an exact integer, one floored division at the
+    end."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    spec = freq.groupBy("lang").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("sum_m2"),
+    )
+    return spec.select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        (
+            F.floor(
+                1.0e4
+                * (F.col("sum_m2") - F.col("n_tokens"))
+                / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("yule_k"),
+    )
+
+
+@_register(
+    "embedding_covariance_top_pair",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(xi * 1.0e9 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS xi,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        FROM embeddings
+      )
+    ), moments AS (
+      SELECT a.i AS di, b.i AS dj,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a.q) AS HUGEINT) AS sx,
+             CAST(sum(b.q) AS HUGEINT) AS sy,
+             CAST(sum(a.q * b.q) AS HUGEINT) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY 1, 2
+    ), cov AS (
+      SELECT di, dj,
+             (CAST(sxy AS DOUBLE)/1.0e18/n
+              - (CAST(sx AS DOUBLE)/1.0e9/n)*(CAST(sy AS DOUBLE)/1.0e9/n))
+               AS c
+      FROM moments
+    )
+    SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+           floor(c * 1.0e9 + 0.5) / 1.0e9 AS cov
+    FROM cov
+    ORDER BY abs(c) DESC, di, dj LIMIT 5
+    """,
+)
+def embedding_covariance_top_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five dimension pairs with the strongest |covariance| across
+    the embedding corpus — the redundancy diagnostic PCA/whitening
+    starts from. Components quantize to integer nano-units per value
+    BEFORE the sums (exact decimal sums, order-independent; products of
+    nano-ints need the 128-bit sum → decimal/HUGEINT); covariance
+    finishes in double on the exact moments. One self-join keyed by
+    vec_id (64 rows per key), one (i, j) agg — 2016 output pairs before
+    the TakeOrdered top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select(
+        "vec_id",
+        F.col("pos").alias("i"),
+        F.floor(F.col("col") * 1.0e9 + 0.5).cast("long").alias("q"),
+    )
+    a = x.select("vec_id", F.col("i").alias("di"), F.col("q").alias("qa"))
+    b = x.select("vec_id", F.col("i").alias("dj"), F.col("q").alias("qb"))
+    moments = (
+        a.join(b, "vec_id")
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("di", "dj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("qa").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.col("qb").cast("decimal(38,0)")).alias("sy"),
+            F.sum(
+                (F.col("qa").cast("decimal(19,0)") * F.col("qb").cast("decimal(19,0)"))
+            ).alias("sxy"),
+        )
+    )
+    cov = moments.select(
+        F.col("di").cast("long").alias("dim_i"),
+        F.col("dj").cast("long").alias("dim_j"),
+        (
+            F.col("sxy").cast("double") / 1.0e18 / F.col("n")
+            - (F.col("sx").cast("double") / 1.0e9 / F.col("n"))
+            * (F.col("sy").cast("double") / 1.0e9 / F.col("n"))
+        ).alias("c"),
+    )
+    return (
+        cov.orderBy(F.abs(F.col("c")).desc(), "dim_i", "dim_j")
+        .limit(5)
+        .select(
+            "dim_i",
+            "dim_j",
+            (F.floor(F.col("c") * 1.0e9 + 0.5) / 1.0e9).alias("cov"),
+        )
+    )
+
+
+@_register(
+    "similarity_cosine_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding, vec_id % 10 AS bucket FROM embeddings
+    ), pairs AS (
+      SELECT list_dot_product(a.embedding, b.embedding) AS dot
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT CAST(floor(dot * 10.0) AS BIGINT) AS cos_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+)
+def similarity_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of pairwise cosines over a deterministic 10-bucket
+    pair sample (vecs pair only within vec_id%10 cells — an equi-join,
+    never a cartesian; 1/10th of all pairs, unbiased for the histogram
+    shape). Embeddings are unit-normalized so cosine == dot; the fold
+    is the committed zip_with == list_dot_product parity pair, and the
+    bucket floor acts on bit-identical doubles."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (F.col("vec_id") % 10).alias("bucket"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("e").alias("ea"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("e").alias("eb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            F.aggregate(
+                F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dot")
+        )
+    )
+    return pairs.groupBy(
+        F.floor(F.col("dot") * 10.0).cast("long").alias("cos_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+# ===========================================================================
+# Wave O — pipeline balance / finance / sketch round-out:
+# deterministic minority oversampling (training-mix balancing), cohort
+# LTV curves, nation trade balance, and a Count-Min heavy-hitter
+# audit (estimate vs exact, the sketch_* accuracy-audit pattern).
+# ===========================================================================
+@_register(
+    "stratified_oversample_balance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_before FROM documents
+      GROUP BY lang
+    ), factors AS (
+      SELECT lang, n_before,
+             CAST(max(n_before) OVER () // n_before AS BIGINT) AS rep_factor
+      FROM counts
+    ), replicated AS (
+      SELECT d.lang
+      FROM documents d
+      JOIN factors f USING (lang),
+      UNNEST(generate_series(1, f.rep_factor)) AS g(copy_idx)
+    )
+    SELECT f.lang, f.n_before, f.rep_factor,
+           CAST(count(*) AS BIGINT) AS n_after,
+           floor(count(*) * 1.0e6 / max(f.n_before * f.rep_factor) + 0.5)
+             / 1.0e6 AS replication_check
+    FROM replicated r JOIN factors f USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+)
+def stratified_oversample_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority-class oversampling for training-mix
+    balancing: each language replicates floor(max_count/count) times
+    (explode of an integer sequence — executor-side row expansion, no
+    randomness, reproducible shards), audited per class (n_after must
+    equal n_before·factor exactly — the replication_check column pins
+    the explode really happened). The factor table is |langs| rows,
+    broadcast; sequence bounds are INTEGRAL and ≥ 1 (the sequence(0,-1)
+    down-count gotcha cannot fire)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_before"))
+    w = Window.partitionBy()
+    factors = counts.select(
+        "lang",
+        "n_before",
+        (F.max("n_before").over(w) / F.col("n_before"))
+        .cast("long")
+        .alias("rep_factor"),
+    )
+    replicated = (
+        d.join(F.broadcast(factors), "lang")
+        .select(
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.col("rep_factor").cast("int"))
+            ).alias("copy_idx"),
+        )
+    )
+    return (
+        replicated.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_after"))
+        .join(F.broadcast(factors), "lang")
+        .select(
+            "lang",
+            "n_before",
+            "rep_factor",
+            "n_after",
+            (
+                F.floor(
+                    F.col("n_after")
+                    * 1.0e6
+                    / (F.col("n_before") * F.col("rep_factor"))
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("replication_check"),
+        )
+    )
+
+
+@_register(
+    "orders_cohort_ltv_curve",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) AS month_id,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), firsts AS (
+      SELECT o_custkey, min(month_id) AS cohort_id FROM o GROUP BY 1
+    ), sizes AS (
+      SELECT cohort_id, CAST(count(*) AS BIGINT) AS cohort_custs
+      FROM firsts GROUP BY 1
+    ), rev AS (
+      SELECT f.cohort_id, o.month_id - f.cohort_id AS age,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(o.cents) AS BIGINT) AS rev_cents
+      FROM o JOIN firsts f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_id AS BIGINT) AS cohort_id,
+           CAST(r.age AS BIGINT) AS age_months, r.n_orders,
+           CAST(sum(r.rev_cents) OVER (PARTITION BY r.cohort_id ORDER BY r.age
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_rev_cents,
+           floor(sum(r.rev_cents) OVER (PARTITION BY r.cohort_id ORDER BY r.age
+                                        ROWS UNBOUNDED PRECEDING)
+                 / 100.0 * 1.0e6 / s.cohort_custs + 0.5) / 1.0e6
+             AS ltv_per_customer
+    FROM rev r JOIN sizes s USING (cohort_id)
+    """,
+)
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month, revenue accumulated by cohort age — the curve a training-mix
+    ROI dashboard plots. Month ids are exact integers (year·12+month,
+    no date_trunc parity trap); running sums are exact cents over a
+    window partitioned by cohort (bounded partitions — ages ≤ months of
+    history); per-customer LTV divides by the cohort census from the
+    firsts table."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month_id"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("month_id").alias("cohort_id"))
+    sizes = firsts.groupBy("cohort_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_custs")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_id", (F.col("month_id") - F.col("cohort_id")).alias("age"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_id")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_id")
+        .select(
+            F.col("cohort_id").cast("long").alias("cohort_id"),
+            F.col("age").cast("long").alias("age_months"),
+            "n_orders",
+            F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+            (
+                F.floor(
+                    F.sum("rev_cents").over(w)
+                    / 100.0
+                    * 1.0e6
+                    / F.col("cohort_custs")
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+@_register(
+    "nation_trade_balance",
+    oracle="""
+    WITH flows AS (
+      SELECT cn.n_name AS nation,
+             CASE WHEN c.c_nationkey = s.s_nationkey THEN 1 ELSE 0 END
+               AS intra,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5)
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    )
+    SELECT nation,
+           CAST(sum(CASE WHEN intra = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS intra_cents,
+           CAST(sum(CASE WHEN intra = 0 THEN cents ELSE 0 END) AS BIGINT)
+             AS cross_cents,
+           floor(sum(CASE WHEN intra = 1 THEN cents ELSE 0 END) * 1.0e6
+                 / sum(cents) + 0.5) / 1.0e6 AS intra_share
+    FROM flows GROUP BY nation
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domestic-vs-imported revenue per customer nation (the Q7 join
+    chain folded to a per-nation balance): how much of each nation's
+    purchasing stays with same-nation suppliers. Supplier/customer/
+    nation dims broadcast; one fact-side agg keyed by nation; exact
+    integer cents (the per-row floor BEFORE the sum keeps both engines'
+    sums identical longs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.when(F.col("c_nationkey") == F.col("s_nationkey"), 1)
+            .otherwise(0)
+            .alias("intra"),
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return flows.groupBy("nation").agg(
+        F.sum(F.when(F.col("intra") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("intra_cents"),
+        F.sum(F.when(F.col("intra") == 0, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("cross_cents"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("intra") == 1, F.col("cents")).otherwise(0))
+                * 1.0e6
+                / F.sum("cents")
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("intra_share"),
+    )
+
+
+def _cm_bucket(key_sql: str, row: int) -> str:
+    """Count-Min row hash: the first two md5 hex chars of key||seed —
+    256 buckets as a STRING key (no hex→int conversion, so the idiom is
+    portable verbatim; md5 is the repo's committed cross-engine hash)."""
+    return f"substr(md5({key_sql} || '#cm{row}'), 1, 2)"
+
+
+_CM_ROWS = 4
+
+
+def _cm_oracle() -> str:
+    sketch_keys = "\n      UNION ALL\n".join(
+        f"""      SELECT {r} AS r, {_cm_bucket("CAST(user_id AS VARCHAR)", r)}
+             AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 2"""
+        for r in range(_CM_ROWS)
+    )
+    return f"""
+    WITH sketch AS (
+{sketch_keys}
+    ), exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+    ), probes AS (
+      SELECT e.user_id, e.exact_n, s.r, s.cnt
+      FROM exact e
+      JOIN sketch s
+        ON s.bucket = {_cm_bucket("CAST(e.user_id AS VARCHAR)", 0)}
+           AND s.r = 0
+      UNION ALL
+      SELECT e.user_id, e.exact_n, s.r, s.cnt FROM exact e JOIN sketch s
+        ON s.bucket = {_cm_bucket("CAST(e.user_id AS VARCHAR)", 1)} AND s.r = 1
+      UNION ALL
+      SELECT e.user_id, e.exact_n, s.r, s.cnt FROM exact e JOIN sketch s
+        ON s.bucket = {_cm_bucket("CAST(e.user_id AS VARCHAR)", 2)} AND s.r = 2
+      UNION ALL
+      SELECT e.user_id, e.exact_n, s.r, s.cnt FROM exact e JOIN sketch s
+        ON s.bucket = {_cm_bucket("CAST(e.user_id AS VARCHAR)", 3)} AND s.r = 3
+    ), est AS (
+      SELECT user_id, max(exact_n) AS exact_n,
+             CAST(min(cnt) AS BIGINT) AS cm_estimate
+      FROM probes GROUP BY user_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, exact_n, cm_estimate,
+           cm_estimate >= exact_n AS never_underestimates
+    FROM est
+    ORDER BY cm_estimate DESC, user_id LIMIT 10
+    """
+
+
+@_register("sketch_countmin_heavy_hitters", oracle="__LAZY_CM__")
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters with an accuracy audit: a 4×256
+    CM sketch of per-user event counts (4 md5-seeded rows, hex-prefix
+    buckets — mergeable, fixed 1 KB memory regardless of user count),
+    probed for every user; the estimate is the min over rows and can
+    only OVERestimate (pinned per row in the output). Top-10 by
+    estimate via TakeOrdered. The exact side exists to audit sketch
+    error — the deployment pattern keeps only the sketch."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("uid")
+    )
+    sketches = []
+    for r in range(_CM_ROWS):
+        sketches.append(
+            e.groupBy(
+                F.expr(_cm_bucket("uid", r)).alias("bucket")
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("r", F.lit(r))
+        )
+    sketch = sketches[0]
+    for s_ in sketches[1:]:
+        sketch = sketch.unionByName(s_)
+    exact = e.groupBy("uid").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    probes = None
+    for r in range(_CM_ROWS):
+        p = exact.withColumn("bucket", F.expr(_cm_bucket("uid", r))).join(
+            F.broadcast(sketch.filter(F.col("r") == r)), "bucket"
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = probes.groupBy("uid").agg(
+        F.max("exact_n").alias("exact_n"),
+        F.min("cnt").cast("long").alias("cm_estimate"),
+    )
+    return (
+        est.select(
+            F.col("uid").cast("long").alias("user_id"),
+            "exact_n",
+            "cm_estimate",
+            (F.col("cm_estimate") >= F.col("exact_n")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy(F.col("cm_estimate").desc(), "user_id")
+        .limit(10)
+    )
+
+
+STAGED_ORACLES["sketch_countmin_heavy_hitters"] = _cm_oracle()

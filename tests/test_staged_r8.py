@@ -77,6 +77,22 @@ STAGED_NAMES = [
     # wave K — second-order stability coefficients (analytic derivatives)
     "gsw_cabbeling",
     "gsw_thermobaric",
+    # wave L — event-stream operational analytics
+    "events_poisson_rate_ci",
+    "events_peak_hour_stability",
+    "events_runlength_profile",
+    # wave M — graph structure metrics
+    "graph_clustering_coefficient",
+    "graph_common_neighbors_linkpred",
+    # wave N — corpus/embedding second-moment diagnostics
+    "text_yule_k",
+    "embedding_covariance_top_pair",
+    "similarity_cosine_histogram",
+    # wave O — balance / finance / sketch round-out
+    "stratified_oversample_balance",
+    "orders_cohort_ltv_curve",
+    "nation_trade_balance",
+    "sketch_countmin_heavy_hitters",
 ]
 
 

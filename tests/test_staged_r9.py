@@ -1,0 +1,100 @@
+"""Keep the STAGED round-9 queries green while parked
+(plans/staged_r9.py — the round-9 runway seed; activation order is
+staged_r8 (round 8) -> this module). Includes the REPLACEMENT contract:
+staged twins of live queries must stay value-identical to the live
+form at the smoke SF until activation swaps them in."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r9 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+        STAGED_REPLACEMENTS,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES, STAGED_REPLACEMENTS
+
+
+def test_staged_not_registered():
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_, reps = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged r9 queries leaked into the live registry: {leaked}"
+    # replacements, by contract, DO name live queries — but must not be
+    # the registered callables yet
+    live = all_queries()
+    for name, (fn, _) in reps.items():
+        assert name in live, f"replacement {name} has no live twin"
+        assert live[name] is not fn, f"replacement {name} activated early"
+
+
+STAGED_NAMES = [
+    # wave A — analytic alpha/beta/ratio
+    "gsw_alpha_beta_75term",
+]
+
+REPLACEMENT_NAMES = [
+    # wave B — staged-Horner dynamic-enthalpy migrations
+    "gsw_dynamic_enthalpy",
+    "gsw_enthalpy",
+]
+
+
+def test_staged_name_list_is_complete():
+    qs, _, reps = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+    assert sorted(reps) == sorted(REPLACEMENT_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_, _ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", REPLACEMENT_NAMES)
+def test_replacement_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    _, _, reps = _staged()
+    fn, oracle = reps[name]
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, fn, oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", REPLACEMENT_NAMES)
+def test_replacement_value_identical_to_live(spark, name):
+    """The staged-Horner twin must reproduce the live flat-form query's
+    quantized output row-for-row at the smoke SF (the regrouped tree
+    differs only in last-ulp rounding below the output floor)."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    _, _, reps = _staged()
+    fn, _ = reps[name]
+    new = {tuple(r) for r in fn(spark, SF_DIR_SMOKE).collect()}
+    old = {tuple(r) for r in all_queries()[name](spark, SF_DIR_SMOKE).collect()}
+    assert new == old
+
+
+def test_activate_not_called_is_noop_guard():
+    """activate() must be idempotent and must not have touched the live
+    registry during import (parked state)."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+    from cioos_siooc_data_transform_spark.plans.staged_r9 import (
+        STAGED_QUERIES,
+    )
+
+    live = all_queries()
+    for name in STAGED_QUERIES:
+        assert name not in live
