@@ -214,10 +214,41 @@ def gibbs_ice_stages(t: str, p: str) -> list[tuple[str, str]]:
                       f"{x}r2px", f"{x}r2py", f"{x}f2x", f"{x}f2y")
             + ")",
         ),
+    ]
+    # Second derivatives in pressure (only g0 and r2 depend on P):
+    # g_pp = g0'' + Tt·Re(r2''·f2) with r2'' = 2·r22/pt² constant;
+    # g_Tp = Re(r2'·d2). Both cross-checked against finite differences
+    # and the published Table-6 values in tests.
+    g0pp = _lit(12.0 * _G0[4])
+    for k in (3, 2):
+        g0pp = f"({_lit(k * (k - 1) * _G0[k])} + {dpi}*{g0pp})"
+    r2ppx = _lit(2.0 * _R22.real / (ICE_PT * ICE_PT))
+    r2ppy = _lit(2.0 * _R22.imag / (ICE_PT * ICE_PT))
+    p_abs = f"(101325.0e0 + 1.0e4*({p}))"
+    stages += [
+        (
+            f"{x}gpp",
+            f"({g0pp}/{_lit(ICE_PT * ICE_PT)} + {tt}*"
+            f"({r2ppx}*{x}f2x - {r2ppy}*{x}f2y))",
+        ),
+        (
+            f"{x}gtp",
+            f"({x}r2px*{x}d2x - {x}r2py*{x}d2y)",
+        ),
         ("gibbs_ice", f"{x}g"),
         ("rho_ice", f"(1.0e0/{x}gp)"),
         ("entropy_ice", f"(-{x}gt)"),
         ("cp_ice", f"(-{tk}*{x}gtt)"),
         ("enthalpy_ice", f"({x}g - {tk}*{x}gt)"),
+        # isothermal compressibility κ_T = −g_pp/g_p  [1/Pa]
+        ("kappa_const_t_ice", f"(-{x}gpp/{x}gp)"),
+        # u = g − T·g_T − P·g_p, f = g − P·g_p (absolute P)
+        ("internal_energy_ice", f"({x}g - {tk}*{x}gt - {p_abs}*{x}gp)"),
+        ("helmholtz_energy_ice", f"({x}g - {p_abs}*{x}gp)"),
+        # adiabatic sound speed c = g_p·sqrt(g_TT/(g_Tp² − g_TT·g_pp))
+        (
+            "sound_speed_ice",
+            f"({x}gp*sqrt({x}gtt/({x}gtp*{x}gtp - {x}gtt*{x}gpp)))",
+        ),
     ]
     return stages

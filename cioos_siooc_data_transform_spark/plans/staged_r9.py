@@ -25,6 +25,12 @@ Content so far:
   dynamic_enthalpy_stages): the flat inline text exceeds janino's
   64 KB method limit and silently runs interpreted (~10x slower,
   measured 5.4 s vs 0.5 s at sf0.1 for one evaluation).
+- Wave C — ice second-derivative quantities: kappa_const_t_ice,
+  internal/Helmholtz energy of ice, adiabatic sound speed in ice
+  (analytic g_pp/g_Tp; IAPWS-06 Table-6 + FD pinned).
+- Wave D — Simpson's-paradox slope audit, interval union coverage
+  (sweep-line), single-bin DFT power at 24 h / 7 d, Gumbel block-maxima
+  fit with 30-block return level.
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.plans.staged_r5 import (
@@ -279,3 +285,387 @@ STAGED_REPLACEMENTS["gsw_enthalpy"] = (
     STAGED_REPLACEMENTS["gsw_enthalpy"][0],
     _enthalpy_staged_oracle(),
 )
+
+
+# ---------------------------------------------------------------------------
+# Wave C — ice second-derivative quantities (GSW twins:
+# gsw_kappa_const_t_ice, gsw_internal_energy_ice,
+# gsw_helmholtz_energy_ice, gsw_sound_speed_ice in
+# GSW/_wrapped_ufuncs.py / GSW/ice.py): analytic g_pp / g_Tp stages on
+# the IAPWS-06 Gibbs potential, Table-6 + FD pinned in
+# tests/test_oceanography_checkvalues.py. Shares the wave-H input shape
+# (sub-zero t, shelf pressures) from staged_r8.
+# ---------------------------------------------------------------------------
+def _ice9_query(out_col: str, scale: float):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cioos_siooc_data_transform_spark.functions.ice import (
+            gibbs_ice_stages,
+        )
+        from cioos_siooc_data_transform_spark.plans.staged_r8 import _ice_inputs
+
+        df = _ice_inputs(spark, sf_dir)
+        for name, expr in gibbs_ice_stages("t", "p"):
+            df = df.withColumn(name, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.floor(F.col(out_col) * scale + 0.5) / scale).alias(out_col),
+        )
+
+    return fn
+
+
+def _ice9_oracle(out_col: str, scale: float) -> str:
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ICE_IN_SQL
+
+    staged = _stage_sql(_ICE_IN_SQL, gibbs_ice_stages("t", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({out_col} * {scale:.1e} + 0.5) / {scale:.1e} AS {out_col}
+    FROM {staged}
+    """
+
+
+# scales by magnitude: kappa ~1e-10 1/Pa (1e22 -> 1e-12 relative? no:
+# value*1e22 ~ 1e12 exact-int range, 1e-22 floor ~ 1e-12 relative);
+# u/f ~ 1e5 J/kg -> 1e-3 floor (the wave-H transcendental argument);
+# c ~ 3e3 m/s -> 1e-4 floor.
+for _col, _scale in (
+    ("kappa_const_t_ice", 1.0e22),
+    ("internal_energy_ice", 1.0e3),
+    ("helmholtz_energy_ice", 1.0e3),
+    ("sound_speed_ice", 1.0e4),
+):
+    _fn = _ice9_query(_col, _scale)
+    _fn.__name__ = f"gsw_{_col}"
+    _fn.__doc__ = (
+        f"Ice Ih {_col} from the IAPWS-06 Gibbs second derivatives "
+        "(Table-6 + FD pinned in tests)."
+    )
+    STAGED_QUERIES[f"gsw_{_col}"] = _fn
+    STAGED_ORACLES[f"gsw_{_col}"] = _ice9_oracle(_col, _scale)
+
+
+# ---------------------------------------------------------------------------
+# Wave D — statistical audits over the TPC-H / events tables:
+# Simpson's-paradox slope audit, interval union coverage (sweep-line),
+# daily/weekly spectral power, and Gumbel block-maxima fitting.
+# Integer-exact sums everywhere a rounded aggregate needs
+# order-independence (the per-term-quantize idiom extends to the
+# cos/sin spectral terms: a last-ulp cos difference flips a 1e-12 term
+# quantum with ~1e-4 probability, drifting the exact sum by ~1e-11 —
+# five decades below the 1e-6 output floor).
+# ---------------------------------------------------------------------------
+@_register(
+    "lineitem_simpson_paradox_audit",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem
+    ), per AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM pts GROUP BY grp
+      UNION ALL
+      SELECT '__pooled__', CAST(count(*) AS BIGINT),
+             sum(x), sum(y), sum(x*x), sum(x*y)
+      FROM pts
+    ), slopes AS (
+      SELECT grp, n,
+             floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                   / NULLIF(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0.0)
+                   * 1.0e6 + 0.5) / 1.0e6 AS slope
+      FROM per
+    )
+    SELECT s.grp, s.n, s.slope,
+           CASE WHEN s.grp = '__pooled__' THEN FALSE
+                ELSE (s.slope > 0) <> (p.slope > 0) END AS sign_flips_pooled
+    FROM slopes s
+    CROSS JOIN (SELECT slope FROM slopes WHERE grp = '__pooled__') p
+    """,
+)
+def lineitem_simpson_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: the pooled OLS slope of quantity on
+    discount next to each return-flag stratum's slope, flagging sign
+    reversals — the aggregation-bias audit any metrics pipeline should
+    run before trusting a pooled trend. One exact-integer moment pass
+    (grouping-sets shape via union), slopes finished in double on the
+    exact sums; the pooled row broadcasts back as a 1-row dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    def moments(df, label):
+        g = df.groupBy(*( ["grp"] if label is None else [] )).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+        return g if label is None else g.select(F.lit(label).alias("grp"), "*")
+    per = moments(pts, None).unionByName(moments(pts, "__pooled__"))
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = F.nullif(nd * sxx - sx * sx, F.lit(0.0))
+    slopes = per.select(
+        "grp",
+        "n",
+        (F.floor((nd * sxy - sx * sy) / den * 1.0e6 + 0.5) / 1.0e6).alias(
+            "slope"
+        ),
+    )
+    pooled = slopes.filter(F.col("grp") == "__pooled__").select(
+        F.col("slope").alias("pooled_slope")
+    )
+    return slopes.crossJoin(F.broadcast(pooled)).select(
+        "grp",
+        "n",
+        "slope",
+        F.when(F.col("grp") == "__pooled__", F.lit(False))
+        .otherwise((F.col("slope") > 0) != (F.col("pooled_slope") > 0))
+        .alias("sign_flips_pooled"),
+    )
+
+
+@_register(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS brk
+      FROM iv
+    ), isl AS (
+      SELECT user_id, e,  s,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ), runs AS (
+      SELECT user_id, island, min(s) AS island_s, max(e) AS island_e,
+             CAST(count(*) AS BIGINT) AS n_iv
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+           CAST(sum(island_e - island_s) AS BIGINT) AS covered_us
+    FROM runs GROUP BY user_id
+    """,
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union length of overlapping intervals per user (each event opens
+    a 5-minute window): the classic sweep-line — sort by start, break
+    when a start exceeds the running max end, sum island extents. Two
+    windows sharing one (user_id; s, e) sort; all arithmetic exact
+    integer epoch-µs. The merged-island length is the
+    double-counting-free exposure metric sessionization/billing needs."""
+    e = _t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300000000)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "brk",
+        F.when(F.col("s") > prev_max_e, 1).otherwise(0),
+    )
+    isl = marked.withColumn(
+        "island",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"),
+        F.max("e").alias("island_e"),
+        F.count(F.lit(1)).cast("long").alias("n_iv"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("n_iv").cast("long").alias("n_intervals"),
+        F.sum(F.col("island_e") - F.col("island_s"))
+        .cast("long")
+        .alias("covered_us"),
+    )
+
+
+_DFT_TERMS_SQL = """
+      SELECT event_type,
+             CAST(floor(value * cos(2.0e0*pi()*((epoch_us(ts) % 86400000000)
+                        / 86400000000.0e0)) * 1.0e6 + 0.5) AS BIGINT) AS c24,
+             CAST(floor(value * sin(2.0e0*pi()*((epoch_us(ts) % 86400000000)
+                        / 86400000000.0e0)) * 1.0e6 + 0.5) AS BIGINT) AS s24,
+             CAST(floor(value * cos(2.0e0*pi()*((epoch_us(ts) % 604800000000)
+                        / 604800000000.0e0)) * 1.0e6 + 0.5) AS BIGINT) AS c168,
+             CAST(floor(value * sin(2.0e0*pi()*((epoch_us(ts) % 604800000000)
+                        / 604800000000.0e0)) * 1.0e6 + 0.5) AS BIGINT) AS s168,
+             CAST(floor(abs(value) * 1.0e6 + 0.5) AS BIGINT) AS av
+      FROM events
+"""
+
+
+@_register(
+    "events_dft_power_daily_weekly",
+    oracle=f"""
+    WITH terms AS ({_DFT_TERMS_SQL}),
+    sums AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c24) AS HUGEINT) AS sc24, CAST(sum(s24) AS HUGEINT) AS ss24,
+             CAST(sum(c168) AS HUGEINT) AS sc168, CAST(sum(s168) AS HUGEINT) AS ss168,
+             CAST(sum(av) AS HUGEINT) AS sav
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(sqrt(CAST(sc24 AS DOUBLE)*CAST(sc24 AS DOUBLE)
+                      + CAST(ss24 AS DOUBLE)*CAST(ss24 AS DOUBLE))
+                 / CAST(sav AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS daily_power,
+           floor(sqrt(CAST(sc168 AS DOUBLE)*CAST(sc168 AS DOUBLE)
+                      + CAST(ss168 AS DOUBLE)*CAST(ss168 AS DOUBLE))
+                 / CAST(sav AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS weekly_power
+    FROM sums
+    """,
+)
+def events_dft_power_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT power at the 24 h and 7 d periods per event type —
+    the spectral seasonality detector (|Σv·e^{-iωt}|/Σ|v|, 0 = flat,
+    →1 = pure tone). Per-term micro-quantization before the exact sums:
+    a last-ulp cos() disagreement flips a term's 1e-6 quantum with
+    ~1e-7 probability, drifting the HUGEINT/long sum ~1e-6 against a
+    ~1e9 total — nine decades below the output floor. One
+    map-side-combinable agg; phases from exact integer epoch-µs."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    def term(trig, period_us):
+        phase = 2.0 * 3.141592653589793 * (
+            (us % F.lit(period_us)) / float(period_us)
+        )
+        return F.floor(F.col("value") * trig(phase) * 1.0e6 + 0.5).cast("long")
+    terms = e.select(
+        "event_type",
+        term(F.cos, 86400000000).alias("c24"),
+        term(F.sin, 86400000000).alias("s24"),
+        term(F.cos, 604800000000).alias("c168"),
+        term(F.sin, 604800000000).alias("s168"),
+        F.floor(F.abs(F.col("value")) * 1.0e6 + 0.5).cast("long").alias("av"),
+    )
+    sums = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c24").cast("decimal(38,0)")).alias("sc24"),
+        F.sum(F.col("s24").cast("decimal(38,0)")).alias("ss24"),
+        F.sum(F.col("c168").cast("decimal(38,0)")).alias("sc168"),
+        F.sum(F.col("s168").cast("decimal(38,0)")).alias("ss168"),
+        F.sum(F.col("av").cast("decimal(38,0)")).alias("sav"),
+    )
+    def power(sc, ss):
+        return (
+            F.floor(
+                F.sqrt(
+                    sc.cast("double") * sc.cast("double")
+                    + ss.cast("double") * ss.cast("double")
+                )
+                / F.col("sav").cast("double")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        )
+    return sums.select(
+        "event_type",
+        "n",
+        power(F.col("sc24"), F.col("ss24")).alias("daily_power"),
+        power(F.col("sc168"), F.col("ss168")).alias("weekly_power"),
+    )
+
+
+@_register(
+    "events_block_maxima_gumbel",
+    oracle="""
+    WITH blocks AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day_id,
+             CAST(max(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS m
+      FROM events GROUP BY 1, 2
+    ), mom AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(m) AS HUGEINT) AS sm, CAST(sum(m*m) AS HUGEINT) AS smm
+      FROM blocks GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, n_blocks,
+             CAST(sm AS DOUBLE) / 1.0e6 / n_blocks AS mean_max,
+             sqrt(CAST(smm AS DOUBLE) / 1.0e12 / n_blocks
+                  - (CAST(sm AS DOUBLE) / 1.0e6 / n_blocks)
+                    * (CAST(sm AS DOUBLE) / 1.0e6 / n_blocks))
+               * sqrt(6.0e0) / pi() AS beta
+      FROM mom
+    )
+    SELECT event_type, n_blocks,
+           floor((mean_max - 0.57721566490153286e0 * beta) * 1.0e6 + 0.5)
+             / 1.0e6 AS gumbel_loc,
+           floor(beta * 1.0e6 + 0.5) / 1.0e6 AS gumbel_scale,
+           floor(((mean_max - 0.57721566490153286e0 * beta)
+                  - beta * ln(-ln(1.0e0 - 1.0e0/30.0e0))) * 1.0e6 + 0.5)
+             / 1.0e6 AS return_level_30
+    FROM fit
+    """,
+)
+def events_block_maxima_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis per type: daily block maxima fitted to a
+    Gumbel distribution by the method of moments (β = s·√6/π,
+    μ = m̄ − γ·β with Euler–Mascheroni γ), plus the 30-block return
+    level μ − β·ln(−ln(1 − 1/30)) — the "how bad can a day get"
+    capacity-planning number. Maxima quantize to exact micro-ints; both
+    engines finish the fit in double on identical exact moments."""
+    e = _t(spark, sf_dir, "events")
+    blocks = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day_id"),
+    ).agg(
+        F.max(F.floor(F.col("value") * 1.0e6 + 0.5).cast("long")).alias("m")
+    )
+    mom = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
+        F.sum(
+            F.col("m").cast("decimal(19,0)") * F.col("m").cast("decimal(19,0)")
+        ).alias("smm"),
+    )
+    mean_max = F.col("sm").cast("double") / 1.0e6 / F.col("n_blocks")
+    beta = (
+        F.sqrt(
+            F.col("smm").cast("double") / 1.0e12 / F.col("n_blocks")
+            - mean_max * mean_max
+        )
+        * F.sqrt(F.lit(6.0))
+        / 3.141592653589793
+    )
+    gamma = 0.57721566490153286
+    ret_mult = F.lit(-1.0) * F.log(F.lit(-1.0) * F.log(F.lit(1.0 - 1.0 / 30.0)))
+    return mom.select(
+        "event_type",
+        "n_blocks",
+        (F.floor((mean_max - gamma * beta) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "gumbel_loc"
+        ),
+        (F.floor(beta * 1.0e6 + 0.5) / 1.0e6).alias("gumbel_scale"),
+        (
+            F.floor(
+                ((mean_max - gamma * beta) + beta * ret_mult) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("return_level_30"),
+    )

@@ -1095,3 +1095,55 @@ def test_cabbeling_thermobaric_analytic_vs_fd(spark):
     warm = [r for r in rows if r.p == 10.0][0]
     assert 8.5e-6 < warm.cabbeling < 8.8e-6
     assert 1.3e-12 < warm.thermobaric < 1.5e-12
+
+
+def test_iapws06_ice_second_derivative_quantities(spark):
+    """IAPWS-06 Table 6, second-derivative block: u = g − T·g_T − P·g_p
+    and f = g − P·g_p at the triple point (published −333 444.921197
+    J/kg and −0.055 446 875 J/kg), isothermal compressibility
+    κ_T = −g_pp/g_p (published g_pp(Tt, pt) = −1.28495941571e-13
+    m³/(kg·Pa) with g_p = 1.09085812737e-3 m³/kg), and the adiabatic
+    sound speed c = g_p·sqrt(g_TT/(g_Tp² − g_TT·g_pp)) (~3.09 km/s in
+    ice Ih — the physically famous number). The analytic g_pp/g_Tp
+    stages are additionally FD-pinned against the g_p/g_T stages."""
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+
+    df = spark.createDataFrame(
+        [("triple", 0.01, (611.657 - 101325.0) / 1.0e4)],
+        "state STRING, t DOUBLE, p DOUBLE",
+    )
+    for name, expr in gibbs_ice_stages("t", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    r = df.select(
+        "kappa_const_t_ice",
+        "internal_energy_ice",
+        "helmholtz_energy_ice",
+        "sound_speed_ice",
+        "__gice_gpp",
+        "__gice_gtp",
+    ).collect()[0]
+    assert r["internal_energy_ice"] == pytest.approx(-333444.921197, abs=1e-5)
+    assert r["helmholtz_energy_ice"] == pytest.approx(-0.055446875, abs=1e-8)
+    assert r["__gice_gpp"] == pytest.approx(-1.28495941571e-13, rel=1e-10)
+    assert r["__gice_gtp"] == pytest.approx(1.74387964700e-7, rel=1e-10)
+    assert r["kappa_const_t_ice"] == pytest.approx(
+        1.28495941571e-13 / 1.09085812737e-3, rel=1e-9
+    )
+    assert 3000.0 < r["sound_speed_ice"] < 3200.0
+
+    # FD pins for the analytic second derivatives (central, 20 dbar).
+    eps = 20.0
+    fd = spark.createDataFrame(
+        [(0.01, (611.657 - 101325.0) / 1.0e4 + s * eps) for s in (-1.0, 1.0)],
+        "t DOUBLE, p DOUBLE",
+    )
+    for name, expr in gibbs_ice_stages("t", "p"):
+        fd = fd.withColumn(name, F.expr(expr))
+    rows = sorted(
+        fd.select("p", "__gice_gp", "__gice_gt").collect(), key=lambda x: x.p
+    )
+    dP = 2.0 * eps * 1.0e4  # dbar -> Pa
+    gpp_fd = (rows[1]["__gice_gp"] - rows[0]["__gice_gp"]) / dP
+    gtp_fd = (rows[1]["__gice_gt"] - rows[0]["__gice_gt"]) / dP
+    assert r["__gice_gpp"] == pytest.approx(gpp_fd, rel=1e-5)
+    assert r["__gice_gtp"] == pytest.approx(gtp_fd, rel=1e-5)

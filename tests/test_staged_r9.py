@@ -39,6 +39,16 @@ def test_staged_not_registered():
 STAGED_NAMES = [
     # wave A — analytic alpha/beta/ratio
     "gsw_alpha_beta_75term",
+    # wave C — ice second-derivative quantities (Table-6 + FD pinned)
+    "gsw_kappa_const_t_ice",
+    "gsw_internal_energy_ice",
+    "gsw_helmholtz_energy_ice",
+    "gsw_sound_speed_ice",
+    # wave D — statistical audits
+    "lineitem_simpson_paradox_audit",
+    "interval_union_coverage",
+    "events_dft_power_daily_weekly",
+    "events_block_maxima_gumbel",
 ]
 
 REPLACEMENT_NAMES = [
