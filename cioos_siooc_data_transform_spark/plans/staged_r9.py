@@ -31,6 +31,10 @@ Content so far:
 - Wave D — Simpson's-paradox slope audit, interval union coverage
   (sweep-line), single-bin DFT power at 24 h / 7 d, Gumbel block-maxima
   fit with 30-block return level.
+- Wave E — IVF recall-vs-nprobe tuning curve, stupid-backoff trigram
+  LM scoring (held-out halves, per-level backoff counts), backlog
+  aging, Laspeyres price index, the Gopher-rule quality funnel,
+  record-breaking-events trend test.
 """
 
 from __future__ import annotations
@@ -668,4 +672,596 @@ def events_block_maxima_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1.0e6
         ).alias("return_level_30"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave E — ANN tuning, LM backoff, finance/ops round-out.
+# ---------------------------------------------------------------------------
+def _nprobe_arm_sql(nprobe: int) -> str:
+    """One IVF arm of the recall curve at a given nprobe (query probes
+    its `nprobe` nearest cells; corpus stays single-assigned)."""
+    return f"""
+      SELECT {nprobe} AS nprobe, b.query_id,
+             CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM bf b
+      LEFT JOIN (
+        SELECT query_id, neighbor_id FROM (
+          SELECT qa.query_id, ca.neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY qa.query_id
+                   ORDER BY round(list_cosine_similarity(qa.qv, ca.cv2), 4)
+                              DESC,
+                            ca.neighbor_id ASC
+                 ) AS rank
+          FROM (SELECT vec_id AS query_id, embedding AS qv, centroid_id
+                FROM multi WHERE vec_id < 5 AND rn <= {nprobe}) qa
+          JOIN (SELECT vec_id AS neighbor_id, embedding AS cv2, centroid_id
+                FROM multi WHERE rn = 1) ca
+            ON qa.centroid_id = ca.centroid_id
+               AND ca.neighbor_id != qa.query_id
+        ) WHERE rank <= 5
+      ) i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      GROUP BY b.query_id
+"""
+
+
+_NPROBE_CURVE_ORACLE = f"""
+    WITH cent AS (SELECT vec_id AS centroid_id,
+                         CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 8),
+    multi AS (
+      SELECT v.vec_id, CAST(v.embedding AS DOUBLE[]) AS embedding,
+             cent.centroid_id,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY round(list_cosine_similarity(v.embedding, cent.cv), 4)
+                          DESC,
+                        cent.centroid_id ASC
+             ) AS rn
+      FROM embeddings v, cent
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                          neighbor_id ASC
+               ) AS rank
+        FROM q, c WHERE neighbor_id != query_id
+      ) WHERE rank <= 5
+    ),
+    arms AS (
+{_nprobe_arm_sql(1)}
+      UNION ALL
+{_nprobe_arm_sql(2)}
+      UNION ALL
+{_nprobe_arm_sql(4)}
+    )
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           sum(n_hits) / (5.0 * count(*)) AS mean_recall_at_5
+    FROM arms GROUP BY nprobe
+"""
+
+
+@_register("similarity_ivf_nprobe_curve", oracle=_NPROBE_CURVE_ORACLE)
+def similarity_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN tuning curve: mean recall@5 of the IVF index at nprobe ∈
+    {1, 2, 4} against exact brute-force truth — THE plot you read before
+    fixing an index configuration (recall rises with nprobe at
+    proportional probe cost; the curve's knee picks the deployment
+    point). Reuses operators/similarity.ivf_topk's multi-probe
+    assignment; each arm's hit join is k·|queries| rows, broadcast;
+    recall is an exact rational."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    bf = brute_force_topk(queries, emb, k=5, round_dp=4).select(
+        "query_id", "neighbor_id"
+    )
+    arms = None
+    for nprobe in (1, 2, 4):
+        ivf = ivf_topk(
+            queries, emb, centroids, k=5, round_dp=4, nprobe=nprobe
+        ).select("query_id", F.col("neighbor_id").alias("ivf_neighbor_id"))
+        hits = (
+            bf.join(
+                ivf,
+                (bf["query_id"] == ivf["query_id"])
+                & (bf["neighbor_id"] == ivf["ivf_neighbor_id"]),
+                "left",
+            )
+            .select(bf["query_id"].alias("qid"), "ivf_neighbor_id")
+            .groupBy("qid")
+            .agg(
+                F.sum(
+                    F.when(F.col("ivf_neighbor_id").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_hits")
+            )
+            .select(F.lit(nprobe).alias("nprobe"), "qid", "n_hits")
+        )
+        arms = hits if arms is None else arms.unionByName(hits)
+    return arms.groupBy(F.col("nprobe").cast("long").alias("nprobe")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_hits").cast("long").alias("total_hits"),
+        (F.sum("n_hits") / (5.0 * F.count(F.lit(1)))).alias("mean_recall_at_5"),
+    )
+
+
+@_register(
+    "lm_trigram_backoff_logprob",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS t
+      FROM w WHERE doc_id % 2 = 1
+    ),
+    train AS (SELECT words FROM w WHERE doc_id % 2 = 0),
+    ttg AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+               AS t
+      FROM train
+    ),
+    tfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS ct FROM ttg GROUP BY t),
+    tbg AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                    i -> words[i] || ' ' || words[i+1])) AS b
+      FROM train
+    ),
+    bfreq AS (SELECT b, CAST(count(*) AS DOUBLE) AS cb FROM tbg GROUP BY b),
+    tun AS (SELECT unnest(words) AS u FROM train),
+    ufreq AS (SELECT u, CAST(count(*) AS DOUBLE) AS cu FROM tun GROUP BY u),
+    n_tok AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tun),
+    scored AS (
+      SELECT tg.doc_id,
+             CASE
+               WHEN tf.ct IS NOT NULL AND bctx.cb IS NOT NULL
+                 THEN ln(tf.ct / bctx.cb)
+               WHEN btail.cb IS NOT NULL AND uctx.cu IS NOT NULL
+                 THEN ln(0.4e0 * btail.cb / uctx.cu)
+               WHEN utail.cu IS NOT NULL
+                 THEN ln(0.16e0 * utail.cu / n_tok.n)
+               ELSE ln(0.16e0 / n_tok.n)
+             END AS lp,
+             CASE WHEN tf.ct IS NOT NULL AND bctx.cb IS NOT NULL THEN 0
+                  WHEN btail.cb IS NOT NULL AND uctx.cu IS NOT NULL THEN 1
+                  ELSE 2 END AS level
+      FROM tg
+      CROSS JOIN n_tok
+      LEFT JOIN tfreq tf ON tf.t = tg.t
+      LEFT JOIN bfreq bctx
+        ON bctx.b = split_part(tg.t, ' ', 1) || ' ' || split_part(tg.t, ' ', 2)
+      LEFT JOIN bfreq btail
+        ON btail.b = split_part(tg.t, ' ', 2) || ' ' || split_part(tg.t, ' ', 3)
+      LEFT JOIN ufreq uctx ON uctx.u = split_part(tg.t, ' ', 2)
+      LEFT JOIN ufreq utail ON utail.u = split_part(tg.t, ' ', 3)
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(floor(lp * 1.0e9 + 0.5) AS BIGINT) AS lpq, level
+      FROM scored
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff_bigram,
+           CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff_unigram,
+           floor(CAST(sum(lpq) AS DOUBLE) / 1.0e9 / count(*) * 1.0e6 + 0.5)
+             / 1.0e6 AS avg_logprob_sb
+    FROM q GROUP BY doc_id
+    """,
+)
+def lm_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al. 2007): held-out
+    docs (odd ids) score against counts from the train half (even ids);
+    unseen trigrams back off to 0.4·P(bigram), then 0.4²·P(unigram),
+    with per-level usage counts in the output — the data-quality view
+    of how much a corpus half explains the other. Frequency tables are
+    vocabulary-sized broadcasts; per-term logprobs quantize to 1e-9
+    before the exact sum (a raw double sum of ln() terms would be
+    order-dependent)."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    tr = docs.filter(F.col("doc_id") % 2 == 0)
+    tg = ev.select(
+        "doc_id", F.explode(word_shingles(words_expr(F.col("text")), 3)).alias("t")
+    )
+    ttg = tr.select(
+        F.explode(word_shingles(words_expr(F.col("text")), 3)).alias("t")
+    )
+    tfreq = ttg.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("ct"))
+    tbg = tr.select(
+        F.explode(word_shingles(words_expr(F.col("text")), 2)).alias("b")
+    )
+    bfreq = tbg.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("cb"))
+    tun = tr.select(F.explode(words_expr(F.col("text"))).alias("u"))
+    ufreq = tun.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("cu"))
+    n_tok = tun.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    sp = lambda c, i: F.split_part(F.col(c), F.lit(" "), F.lit(i))  # noqa: E731
+    scored = (
+        tg.crossJoin(F.broadcast(n_tok))
+        .join(F.broadcast(tfreq), "t", "left")
+        .join(
+            F.broadcast(bfreq.select(F.col("b").alias("bctx_b"), F.col("cb").alias("cb_ctx"))),
+            F.concat_ws(" ", sp("t", 1), sp("t", 2)) == F.col("bctx_b"),
+            "left",
+        )
+        .join(
+            F.broadcast(bfreq.select(F.col("b").alias("btail_b"), F.col("cb").alias("cb_tail"))),
+            F.concat_ws(" ", sp("t", 2), sp("t", 3)) == F.col("btail_b"),
+            "left",
+        )
+        .join(
+            F.broadcast(ufreq.select(F.col("u").alias("uctx_u"), F.col("cu").alias("cu_ctx"))),
+            sp("t", 2) == F.col("uctx_u"),
+            "left",
+        )
+        .join(
+            F.broadcast(ufreq.select(F.col("u").alias("utail_u"), F.col("cu").alias("cu_tail"))),
+            sp("t", 3) == F.col("utail_u"),
+            "left",
+        )
+    )
+    tri_hit = F.col("ct").isNotNull() & F.col("cb_ctx").isNotNull()
+    bi_hit = F.col("cb_tail").isNotNull() & F.col("cu_ctx").isNotNull()
+    lp = (
+        F.when(tri_hit, F.log(F.col("ct") / F.col("cb_ctx")))
+        .when(bi_hit, F.log(0.4 * F.col("cb_tail") / F.col("cu_ctx")))
+        .when(
+            F.col("cu_tail").isNotNull(),
+            F.log(0.16 * F.col("cu_tail") / F.col("n")),
+        )
+        .otherwise(F.log(0.16 / F.col("n")))
+    )
+    level = (
+        F.when(tri_hit, 0).when(bi_hit, 1).otherwise(2)
+    )
+    q = scored.select(
+        "doc_id",
+        F.floor(lp * 1.0e9 + 0.5).cast("long").alias("lpq"),
+        level.alias("level"),
+    )
+    return q.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.sum(F.when(F.col("level") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_backoff_bigram"),
+        F.sum(F.when(F.col("level") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_backoff_unigram"),
+        (
+            F.floor(
+                F.sum("lpq").cast("double")
+                / 1.0e9
+                / F.count(F.lit(1))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("avg_logprob_sb"),
+    )
+
+
+@_register(
+    "orders_backlog_aging",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+    open_o AS (
+      SELECT date_diff('day', o.o_orderdate, r.ref_date) AS age_days,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o CROSS JOIN ref r
+      WHERE o.o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 365 THEN '91-365'
+                ELSE '365+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS value_cents
+    FROM open_o GROUP BY 1
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable-style backlog aging: OPEN orders bucketed by
+    age at the corpus reference date (max order date — a 1-row
+    broadcast, no driver collect), with counts and exact integer-cent
+    value per bucket. Day arithmetic is exact integer date difference
+    on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("ref_date"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.datediff(F.col("ref_date"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return open_o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+@_register(
+    "lineitem_price_index_laspeyres",
+    oracle="""
+    WITH m AS (
+      SELECT l_partkey AS pk,
+             year(l_shipdate) * 12 + month(l_shipdate) AS month_id,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ), base AS (
+      SELECT pk, cents AS cents0, qty AS qty0
+      FROM m JOIN (SELECT min(month_id) AS m0 FROM m) ON month_id = m0
+    ), priced AS (
+      SELECT m.month_id,
+             CAST(floor(CAST(m.cents AS DOUBLE) / m.qty * 1.0e4 + 0.5)
+                  AS BIGINT) AS p_t,            -- unit price, 1e-4 cents
+             CAST(floor(CAST(b.cents0 AS DOUBLE) / b.qty0 * 1.0e4 + 0.5)
+                  AS BIGINT) AS p_0,
+             b.qty0
+      FROM m JOIN base b ON m.pk = b.pk
+    )
+    SELECT CAST(month_id AS BIGINT) AS month_id,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           floor(CAST(sum(p_t * qty0) AS DOUBLE)
+                 / CAST(sum(p_0 * qty0) AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS laspeyres_index
+    FROM priced GROUP BY month_id
+    """,
+)
+def lineitem_price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index by ship month: Σp_t·q₀ / Σp₀·q₀ over parts
+    present in both the base (first) month and month t — the
+    fixed-basket inflation measure. Unit prices quantize to exact
+    1e-4-cent ints BEFORE the cross products (products of quantized
+    ints sum exactly as longs), so the index is a division of two exact
+    integers. Base-month basket is part-keyed and broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("month_id"),
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    m0 = m.agg(F.min("month_id").alias("m0"))
+    base = (
+        m.crossJoin(F.broadcast(m0))
+        .filter(F.col("month_id") == F.col("m0"))
+        .select(
+            "pk", F.col("cents").alias("cents0"), F.col("qty").alias("qty0")
+        )
+    )
+    priced = m.join(base, "pk").select(
+        "month_id",
+        F.floor(F.col("cents").cast("double") / F.col("qty") * 1.0e4 + 0.5)
+        .cast("long")
+        .alias("p_t"),
+        F.floor(F.col("cents0").cast("double") / F.col("qty0") * 1.0e4 + 0.5)
+        .cast("long")
+        .alias("p_0"),
+        "qty0",
+    )
+    return priced.groupBy(F.col("month_id").cast("long").alias("month_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        (
+            F.floor(
+                F.sum(F.col("p_t") * F.col("qty0")).cast("double")
+                / F.sum(F.col("p_0") * F.col("qty0")).cast("double")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("laspeyres_index"),
+    )
+
+
+@_register(
+    "quality_filter_funnel",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS wc,
+             n_chars,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                 w -> list_contains(['a','the','and','of','to','in'], w))))
+               AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), rules AS (
+      SELECT doc_id,
+             wc >= 10 AS r1,
+             -- mean word length in [3, 10]: cross-multiplied ints
+             (n_chars - wc + 1) >= 3 * wc AND (n_chars - wc + 1) <= 10 * wc
+               AS r2,
+             n_stop >= 2 AS r3,
+             10 * n_distinct >= 3 * wc AS r4
+      FROM feats
+    ), marks AS (
+      SELECT doc_id,
+             CASE WHEN r1 THEN 1 ELSE 0 END AS s1,
+             CASE WHEN r1 AND r2 THEN 1 ELSE 0 END AS s2,
+             CASE WHEN r1 AND r2 AND r3 THEN 1 ELSE 0 END AS s3,
+             CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 ELSE 0 END AS s4
+      FROM rules
+    )
+    SELECT stage, n_pass,
+           floor(n_pass * 1.0e6 / n_total + 0.5) / 1.0e6 AS pass_rate
+    FROM (
+      SELECT 'all' AS stage, CAST(count(*) AS BIGINT) AS n_pass,
+             CAST(count(*) AS BIGINT) AS n_total FROM marks
+      UNION ALL SELECT '1_min_words', CAST(sum(s1) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM marks
+      UNION ALL SELECT '2_word_len', CAST(sum(s2) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM marks
+      UNION ALL SELECT '3_stopwords', CAST(sum(s3) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM marks
+      UNION ALL SELECT '4_distinct_ratio', CAST(sum(s4) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM marks
+    )
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-filter attrition (the Gopher-rule funnel):
+    how many documents survive each successive gate — minimum word
+    count, mean-word-length band (cross-multiplied integer comparison,
+    no float ratio), minimum distinct stopwords, distinct-word ratio.
+    The per-doc pass is one narrow row-local projection; the funnel is
+    one tiny agg (grouping-sets shape via union). The stagewise counts
+    are what a pipeline dashboard plots to see WHICH rule eats the
+    corpus."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(s) for s in ["a", "the", "and", "of", "to", "in"]])
+    feats = d.select(
+        "doc_id",
+        F.size(words).alias("wc"),
+        F.col("n_chars"),
+        F.size(
+            F.array_distinct(
+                F.filter(words, lambda w: F.array_contains(stop, w))
+            )
+        ).alias("n_stop"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    ml = F.col("n_chars") - F.col("wc") + 1
+    rules = feats.select(
+        "doc_id",
+        (F.col("wc") >= 10).alias("r1"),
+        ((ml >= 3 * F.col("wc")) & (ml <= 10 * F.col("wc"))).alias("r2"),
+        (F.col("n_stop") >= 2).alias("r3"),
+        (10 * F.col("n_distinct") >= 3 * F.col("wc")).alias("r4"),
+    )
+    marks = rules.select(
+        F.when(F.col("r1"), 1).otherwise(0).alias("s1"),
+        F.when(F.col("r1") & F.col("r2"), 1).otherwise(0).alias("s2"),
+        F.when(F.col("r1") & F.col("r2") & F.col("r3"), 1)
+        .otherwise(0)
+        .alias("s3"),
+        F.when(F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4"), 1)
+        .otherwise(0)
+        .alias("s4"),
+    )
+    agg = marks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("s1").cast("long").alias("p1"),
+        F.sum("s2").cast("long").alias("p2"),
+        F.sum("s3").cast("long").alias("p3"),
+        F.sum("s4").cast("long").alias("p4"),
+    )
+    stages = None
+    for stage, col in (
+        ("all", "n_total"),
+        ("1_min_words", "p1"),
+        ("2_word_len", "p2"),
+        ("3_stopwords", "p3"),
+        ("4_distinct_ratio", "p4"),
+    ):
+        row = agg.select(
+            F.lit(stage).alias("stage"),
+            F.col(col).alias("n_pass"),
+            (
+                F.floor(F.col(col) * 1.0e6 / F.col("n_total") + 0.5) / 1.0e6
+            ).alias("pass_rate"),
+        )
+        stages = row if stages is None else stages.unionByName(row)
+    return stages
+
+
+@_register(
+    "events_record_breaks",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             max(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prior_max
+      FROM events
+    ), marked AS (
+      SELECT event_type,
+             CASE WHEN prior_max IS NULL OR value > prior_max THEN 1 ELSE 0
+               END AS is_record
+      FROM seq
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(is_record) AS BIGINT) AS n_records,
+           floor((ln(CAST(count(*) AS DOUBLE)) + 0.57721566490153286e0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS expected_iid,
+           floor(sum(is_record) * 1.0e6
+                 / (ln(CAST(count(*) AS DOUBLE)) + 0.57721566490153286e0)
+                 + 0.5) / 1.0e6 AS record_excess_ratio
+    FROM marked GROUP BY event_type
+    """,
+)
+def events_record_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking event counts per type vs the exchangeable-i.i.d.
+    expectation H_n ≈ ln n + γ: a ratio ≫ 1 means the series trends
+    upward (records keep falling), ≪ 1 means early saturation — a
+    distribution-free trend test. One ordered window per type (running
+    max over the preceding frame), one agg."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.select(
+        "event_type",
+        F.when(
+            F.max("value").over(w).isNull()
+            | (F.col("value") > F.max("value").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_record"),
+    )
+    gamma = 0.57721566490153286
+    hn = F.log(F.count(F.lit(1)).cast("double")) + gamma
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("is_record").cast("long").alias("n_records"),
+        (F.floor(hn * 1.0e6 + 0.5) / 1.0e6).alias("expected_iid"),
+        (F.floor(F.sum("is_record") * 1.0e6 / hn + 0.5) / 1.0e6).alias(
+            "record_excess_ratio"
+        ),
     )

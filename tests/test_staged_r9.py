@@ -49,6 +49,13 @@ STAGED_NAMES = [
     "interval_union_coverage",
     "events_dft_power_daily_weekly",
     "events_block_maxima_gumbel",
+    # wave E — ANN tuning, LM backoff, finance/ops round-out
+    "similarity_ivf_nprobe_curve",
+    "lm_trigram_backoff_logprob",
+    "orders_backlog_aging",
+    "lineitem_price_index_laspeyres",
+    "quality_filter_funnel",
+    "events_record_breaks",
 ]
 
 REPLACEMENT_NAMES = [
