@@ -35,6 +35,15 @@ Content so far:
   LM scoring (held-out halves, per-level backoff counts), backlog
   aging, Laspeyres price index, the Gopher-rule quality funnel,
   record-breaking-events trend test.
+- Wave F — KMV bottom-k distinct sketch audit, temporal-split leakage
+  audit, sessionization-threshold sensitivity sweep.
+- Wave G — mean-imputation variance-shrink audit, int8-quantization
+  recall audit, lognormal fit with median/mean probes.
+- Wave H — ABC×XYZ inventory matrix (cross-multiplied CV classes),
+  degree-distribution power-law slope, weekday×hour two-way η².
+- Wave I — 1 KiB chunk manifests, out-of-order/watermark profile,
+  per-label centroid drift, monthly growth accounting, dedup
+  vocabulary impact, part-name token top-k.
 """
 
 from __future__ import annotations
@@ -1264,4 +1273,1233 @@ def events_record_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.sum("is_record") * 1.0e6 / hn + 0.5) / 1.0e6).alias(
             "record_excess_ratio"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave F — sketch/split/session audits: KMV distinct sketches, temporal
+# split leakage, sessionization-threshold sensitivity.
+# ---------------------------------------------------------------------------
+@_register(
+    "sketch_kmv_distinct",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id, user_id
+      FROM events
+    ), hashed AS (
+      SELECT day_id, user_id,
+             (user_id * 2654435761) % 4294967296 AS h
+      FROM du
+    ), ranked AS (
+      SELECT day_id, h,
+             row_number() OVER (PARTITION BY day_id ORDER BY h, user_id)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY day_id) AS BIGINT)
+               AS exact_distinct
+      FROM hashed
+    )
+    SELECT CAST(day_id AS BIGINT) AS day_id, exact_distinct,
+           CAST(CASE WHEN exact_distinct <= 64 THEN exact_distinct
+                ELSE CAST(floor(63.0e0 * 4294967296.0e0 / max(h) + 0.5)
+                          AS BIGINT) END AS BIGINT) AS kmv_estimate
+    FROM ranked
+    WHERE rn <= 64
+    GROUP BY day_id, exact_distinct
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch per day,
+    k = 64, audited against the exact count — the order-sketch
+    alternative to HLL (mergeable by unioning bottom-k sets; estimate
+    (k−1)/u_(k)). The hash is the Knuth multiplicative LCG on the
+    integer key — pure modular arithmetic, bit-identical on both
+    engines (md5 hex can't be ranked numerically in portable SQL).
+    Exact-cover fallback when a day has ≤ k users (the estimator is
+    exact there by construction)."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day_id"),
+        "user_id",
+    ).distinct()
+    hashed = du.select(
+        "day_id",
+        "user_id",
+        ((F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("h"),
+    )
+    w = Window.partitionBy("day_id").orderBy("h", "user_id")
+    wall = Window.partitionBy("day_id")
+    ranked = hashed.select(
+        "day_id",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("exact_distinct"),
+    ).filter(F.col("rn") <= 64)
+    return ranked.groupBy("day_id", "exact_distinct").agg(
+        F.when(F.col("exact_distinct") <= 64, F.col("exact_distinct"))
+        .otherwise(
+            F.floor(63.0 * 4294967296.0 / F.max("h") + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("kmv_estimate")
+    ).select(
+        F.col("day_id").cast("long").alias("day_id"),
+        "exact_distinct",
+        "kmv_estimate",
+    )
+
+
+@_register(
+    "temporal_split_leakage_audit",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ), marked AS (
+      SELECT e.user_id,
+             CASE WHEN epoch_us(e.ts) <
+                       b.mn + CAST(floor((b.mx - b.mn) * 0.8e0) AS BIGINT)
+                  THEN 'train' ELSE 'test' END AS split
+      FROM events e CROSS JOIN bounds b
+    ), sides AS (
+      SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM marked GROUP BY split
+    ), overlap AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_overlap FROM (
+        SELECT user_id FROM marked GROUP BY user_id
+        HAVING count(DISTINCT split) = 2
+      )
+    )
+    SELECT s.split, s.n_events, s.n_users, o.n_overlap,
+           floor(o.n_overlap * 1.0e6 / s.n_users + 0.5) / 1.0e6
+             AS overlap_frac
+    FROM sides s CROSS JOIN overlap o
+    """,
+)
+def temporal_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal 80/20 train/test split (cutoff at 80 % of the exact
+    integer-µs time span — a 1-row broadcast, no driver collect) with
+    the user-leakage audit every time-series eval needs: how many users
+    appear on BOTH sides of the cutoff (their test rows are
+    user-history-contaminated for per-user models). Side stats + one
+    distinct-splits-per-user aggregate."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    )
+    marked = e.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(
+            F.unix_micros("ts")
+            < F.col("mn")
+            + F.floor((F.col("mx") - F.col("mn")) * 0.8).cast("long"),
+            "train",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    sides = marked.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    overlap = (
+        marked.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return sides.crossJoin(F.broadcast(overlap)).select(
+        "split",
+        "n_events",
+        "n_users",
+        "n_overlap",
+        (
+            F.floor(F.col("n_overlap") * 1.0e6 / F.col("n_users") + 0.5)
+            / 1.0e6
+        ).alias("overlap_frac"),
+    )
+
+
+@_register(
+    "sessionize_gap_sensitivity",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d_us
+      FROM events
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN d_us > 900000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b15,
+             CAST(sum(CASE WHEN d_us > 1800000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b30,
+             CAST(sum(CASE WHEN d_us > 3600000000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b60
+      FROM deltas
+    )
+    SELECT gap_minutes, n_sessions,
+           floor(n_events * 1.0e6 / n_sessions + 0.5) / 1.0e6
+             AS avg_events_per_session
+    FROM (
+      SELECT 15 AS gap_minutes, n_users + b15 AS n_sessions, n_events FROM agg
+      UNION ALL
+      SELECT 30, n_users + b30, n_events FROM agg
+      UNION ALL
+      SELECT 60, n_users + b60, n_events FROM agg
+    )
+    """,
+)
+def sessionize_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sweep: session counts and mean session
+    size at 15/30/60-minute inactivity gaps, from ONE per-user ordered
+    window pass (three conditional sums over the same lag deltas) — the
+    sensitivity table you check before fixing a session timeout.
+    Sessions = users + gap-breaks, all exact integers."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = e.select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias(
+            "d_us"
+        ),
+    )
+    agg = deltas.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.when(F.col("d_us") > 900000000, 1).otherwise(0))
+        .cast("long")
+        .alias("b15"),
+        F.sum(F.when(F.col("d_us") > 1800000000, 1).otherwise(0))
+        .cast("long")
+        .alias("b30"),
+        F.sum(F.when(F.col("d_us") > 3600000000, 1).otherwise(0))
+        .cast("long")
+        .alias("b60"),
+    )
+    rows = None
+    for mins, col in ((15, "b15"), (30, "b30"), (60, "b60")):
+        r = agg.select(
+            F.lit(mins).cast("int").alias("gap_minutes"),
+            (F.col("n_users") + F.col(col)).cast("long").alias("n_sessions"),
+            (
+                F.floor(
+                    F.col("n_events")
+                    * 1.0e6
+                    / (F.col("n_users") + F.col(col))
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("avg_events_per_session"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Wave G — imputation/quantization/distribution audits.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_mean_imputation_audit",
+    oracle="""
+    WITH marked AS (
+      SELECT event_type,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v,
+             event_id % 7 = 0 AS missing
+      FROM events
+    ), agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN missing THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_miss,
+             CAST(sum(CASE WHEN missing THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_obs,
+             CAST(sum(CASE WHEN missing THEN 0 ELSE v END) AS HUGEINT) AS s,
+             CAST(sum(CASE WHEN missing THEN 0 ELSE v*v END) AS HUGEINT)
+               AS ss
+      FROM marked GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n_miss, n_obs,
+             CAST(s AS DOUBLE) / 1.0e6 / n_obs AS mean_obs,
+             CAST(ss AS DOUBLE) / 1.0e12 / n_obs
+               - (CAST(s AS DOUBLE) / 1.0e6 / n_obs)
+                 * (CAST(s AS DOUBLE) / 1.0e6 / n_obs) AS var_obs
+      FROM agg
+    )
+    SELECT event_type, n_obs, n_miss,
+           floor(mean_obs * 1.0e6 + 0.5) / 1.0e6 AS mean_obs,
+           floor(var_obs * 1.0e6 + 0.5) / 1.0e6 AS var_obs,
+           -- mean-imputed variance: same sum of squares + n_miss copies
+           -- of the mean, over n_obs + n_miss rows
+           floor((var_obs * n_obs / (n_obs + n_miss)) * 1.0e6 + 0.5) / 1.0e6
+             AS var_imputed,
+           floor((CAST(n_obs AS DOUBLE) / (n_obs + n_miss)) * 1.0e6 + 0.5)
+             / 1.0e6 AS variance_shrink_factor
+    FROM stats
+    """,
+)
+def events_mean_imputation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-imputation bias audit: with a deterministic 1-in-7
+    missingness mask, per-type mean imputation leaves the mean fixed
+    but shrinks the variance by exactly n_obs/(n_obs+n_miss) — the
+    audit quantifies that artifact per type (the reason imputation
+    pipelines must track imputed-row masks). Exact micro-int sums;
+    the shrink factor is an exact rational."""
+    e = _t(spark, sf_dir, "events")
+    marked = e.select(
+        "event_type",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("v"),
+        (F.col("event_id") % 7 == 0).alias("missing"),
+    )
+    agg = marked.groupBy("event_type").agg(
+        F.sum(F.when(F.col("missing"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_miss"),
+        F.sum(F.when(F.col("missing"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_obs"),
+        F.sum(
+            F.when(F.col("missing"), F.lit(0).cast("decimal(38,0)")).otherwise(
+                F.col("v").cast("decimal(38,0)")
+            )
+        ).alias("s"),
+        F.sum(
+            F.when(F.col("missing"), F.lit(0).cast("decimal(38,0)")).otherwise(
+                F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+            )
+        ).alias("ss"),
+    )
+    mean_obs = F.col("s").cast("double") / 1.0e6 / F.col("n_obs")
+    var_obs = (
+        F.col("ss").cast("double") / 1.0e12 / F.col("n_obs")
+        - mean_obs * mean_obs
+    )
+    n_tot = F.col("n_obs") + F.col("n_miss")
+    return agg.select(
+        "event_type",
+        "n_obs",
+        "n_miss",
+        (F.floor(mean_obs * 1.0e6 + 0.5) / 1.0e6).alias("mean_obs"),
+        (F.floor(var_obs * 1.0e6 + 0.5) / 1.0e6).alias("var_obs"),
+        (
+            F.floor(var_obs * F.col("n_obs") / n_tot * 1.0e6 + 0.5) / 1.0e6
+        ).alias("var_imputed"),
+        (
+            F.floor(F.col("n_obs").cast("double") / n_tot * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("variance_shrink_factor"),
+    )
+
+
+@_register(
+    "similarity_int8_recall_audit",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             127.0e0 / list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS scale
+      FROM embeddings
+    ), recon AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> floor(x * scale + 0.5) / scale) AS r
+      FROM base
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, r AS qr FROM recon
+          WHERE vec_id < 5),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.v), 4) DESC,
+                          c.vec_id ASC) AS rank
+        FROM q, recon c WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    ),
+    q8 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qr, c.r), 4) DESC,
+                          c.vec_id ASC) AS rank
+        FROM q, recon c WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0
+             AS recall_at_5
+    FROM bf b
+    LEFT JOIN q8 i ON i.query_id = b.query_id
+                  AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+)
+def similarity_int8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval impact of int8 quantization: top-5 by exact float
+    cosine vs top-5 after symmetric per-vector int8 round-trip
+    (q = round(127·x/max|x|), reconstructed q/scale) — the recall@5
+    overlap is the number that says whether 4× memory compression is
+    free for THIS corpus. Brute force on both arms (5 queries ×
+    corpus), rounded-cosine id-tiebroken ranking."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = 127.0 / F.array_max(F.transform(v, lambda x: F.abs(x)))
+    recon = emb.select(
+        "vec_id",
+        v.alias("v"),
+        F.transform(v, lambda x: F.floor(x * scale + 0.5) / scale).alias("r"),
+    )
+    qf = recon.filter(F.col("vec_id") < 5).select("vec_id", F.col("v").alias("embedding"))
+    cf = recon.select("vec_id", F.col("v").alias("embedding"))
+    bf = brute_force_topk(qf, cf, k=5, round_dp=4).select(
+        "query_id", "neighbor_id"
+    )
+    qq = recon.filter(F.col("vec_id") < 5).select("vec_id", F.col("r").alias("embedding"))
+    cq = recon.select("vec_id", F.col("r").alias("embedding"))
+    i8 = brute_force_topk(qq, cq, k=5, round_dp=4).select(
+        "query_id", F.col("neighbor_id").alias("q_neighbor_id")
+    )
+    hits = bf.join(
+        i8,
+        (bf["query_id"] == i8["query_id"])
+        & (bf["neighbor_id"] == i8["q_neighbor_id"]),
+        "left",
+    ).select(bf["query_id"].alias("qid"), "q_neighbor_id")
+    n_hits = F.sum(F.when(F.col("q_neighbor_id").isNotNull(), 1).otherwise(0))
+    return hits.groupBy(F.col("qid").alias("query_id")).agg(
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits / 5.0).alias("recall_at_5"),
+    )
+
+
+@_register(
+    "orders_lognormal_fit_audit",
+    oracle="""
+    WITH lx AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(ln(o_totalprice) * 1.0e9 + 0.5) AS BIGINT) AS lq,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), mom AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lq) AS HUGEINT) AS s,
+             sum(CAST(lq AS HUGEINT) * CAST(lq AS HUGEINT)) AS ss,
+             CAST(sum(cents) AS HUGEINT) AS sc
+      FROM lx GROUP BY priority
+    ), fit AS (
+      SELECT priority, n,
+             CAST(s AS DOUBLE) / 1.0e9 / n AS mu,
+             sqrt(CAST(ss AS DOUBLE) / 1.0e18 / n
+                  - (CAST(s AS DOUBLE) / 1.0e9 / n)
+                    * (CAST(s AS DOUBLE) / 1.0e9 / n)) AS sigma,
+             CAST(sc AS DOUBLE) / 100.0 / n AS actual_mean
+      FROM mom
+    ), probe AS (
+      SELECT l.priority,
+             CAST(sum(CASE WHEN exp(f.mu) * 100.0 > l.cents THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_below_median
+      FROM lx l JOIN fit f USING (priority)
+      GROUP BY l.priority
+    )
+    SELECT f.priority, f.n,
+           floor(f.mu * 1.0e6 + 0.5) / 1.0e6 AS mu,
+           floor(f.sigma * 1.0e6 + 0.5) / 1.0e6 AS sigma,
+           floor(exp(f.mu + f.sigma*f.sigma/2.0e0) * 1.0e2 + 0.5) / 1.0e2
+             AS fitted_mean,
+           floor(f.actual_mean * 1.0e2 + 0.5) / 1.0e2 AS actual_mean,
+           floor(p.n_below_median * 1.0e6 / f.n + 0.5) / 1.0e6
+             AS frac_below_fitted_median
+    FROM fit f JOIN probe p USING (priority)
+    """,
+)
+def orders_lognormal_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of order value per priority (μ, σ of ln X by exact
+    quantized moments) with two goodness probes: the fitted mean
+    e^{μ+σ²/2} against the actual mean, and the empirical mass below
+    the fitted median e^μ (0.5 under a perfect fit) — the
+    distribution-modeling sanity check before using a parametric tail.
+    Per-term 1e-9 log quantization keeps the moment sums
+    order-independent; one extra pass scores the median probe."""
+    o = _t(spark, sf_dir, "orders")
+    lx = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.log(F.col("o_totalprice")) * 1.0e9 + 0.5)
+        .cast("long")
+        .alias("lq"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    mom = lx.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("lq").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("lq").cast("decimal(19,0)") * F.col("lq").cast("decimal(19,0)")
+        ).alias("ss"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+    )
+    mu = F.col("s").cast("double") / 1.0e9 / F.col("n")
+    sigma = F.sqrt(
+        F.col("ss").cast("double") / 1.0e18 / F.col("n") - mu * mu
+    )
+    fit = mom.select(
+        "priority",
+        "n",
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        (F.col("sc").cast("double") / 100.0 / F.col("n")).alias("actual_mean"),
+    )
+    probe = (
+        lx.join(F.broadcast(fit.select("priority", "mu")), "priority")
+        .groupBy("priority")
+        .agg(
+            F.sum(
+                F.when(F.exp(F.col("mu")) * 100.0 > F.col("cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_below_median")
+        )
+    )
+    return fit.join(probe, "priority").select(
+        "priority",
+        "n",
+        (F.floor(F.col("mu") * 1.0e6 + 0.5) / 1.0e6).alias("mu"),
+        (F.floor(F.col("sigma") * 1.0e6 + 0.5) / 1.0e6).alias("sigma"),
+        (
+            F.floor(
+                F.exp(F.col("mu") + F.col("sigma") * F.col("sigma") / 2.0)
+                * 1.0e2
+                + 0.5
+            )
+            / 1.0e2
+        ).alias("fitted_mean"),
+        (F.floor(F.col("actual_mean") * 1.0e2 + 0.5) / 1.0e2).alias(
+            "actual_mean"
+        ),
+        (
+            F.floor(F.col("n_below_median") * 1.0e6 / F.col("n") + 0.5) / 1.0e6
+        ).alias("frac_below_fitted_median"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave H — inventory/graph/two-way-variance round-out.
+# ---------------------------------------------------------------------------
+@_register(
+    "part_abc_xyz_matrix",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey AS pk,
+             year(l_shipdate) * 12 + month(l_shipdate) AS month_id,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ), per_part AS (
+      SELECT pk, CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(count(*) AS BIGINT) AS n_months,
+             CAST(sum(qty) AS HUGEINT) AS sq,
+             sum(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS sqq
+      FROM pm GROUP BY pk
+    ), abc AS (
+      SELECT pk, total_cents, n_months, sq, sqq,
+             sum(total_cents) OVER (ORDER BY total_cents DESC, pk
+                                    ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             sum(total_cents) OVER () AS all_cents
+      FROM per_part
+    ), classed AS (
+      SELECT CASE WHEN cum_cents * 10 <= all_cents * 8 THEN 'A'
+                  WHEN cum_cents * 100 <= all_cents * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             CASE
+               WHEN n_months < 2 THEN 'Z'
+               ELSE CASE
+                 WHEN (CAST(sqq AS DOUBLE) * n_months
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      * 4 <= CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                   THEN 'X'
+                 WHEN (CAST(sqq AS DOUBLE) * n_months
+                       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                      <= CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+                   THEN 'Y'
+                 ELSE 'Z'
+               END
+             END AS xyz_class
+      FROM abc
+    )
+    SELECT abc_class, xyz_class, CAST(count(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY 1, 2
+    """,
+)
+def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory classification: parts ranked by revenue share
+    (A = first 80 %, B = to 95 %, C = rest) crossed with monthly-demand
+    variability (X: CV ≤ 0.5, Y: CV ≤ 1, Z: else or < 2 months) — the
+    2-D segmentation purchasing planners drive stocking policy from.
+    CV thresholds are cross-multiplied exact comparisons
+    (n·Σq² − (Σq)² vs multiples of (Σq)² — no float CV); the ABC
+    running share is the global-window shape over the PART-level
+    aggregate (≪ fact table; the two-pass operator is the stated
+    escape hatch)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("month_id"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    per_part = pm.groupBy("pk").agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        F.sum(F.col("qty").cast("decimal(38,0)")).alias("sq"),
+        F.sum(
+            F.col("qty").cast("decimal(19,0)") * F.col("qty").cast("decimal(19,0)")
+        ).alias("sqq"),
+    )
+    w = Window.orderBy(F.col("total_cents").desc(), F.col("pk")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    abc = per_part.select(
+        "*",
+        F.sum("total_cents").over(w).alias("cum_cents"),
+        F.sum("total_cents").over(wall).alias("all_cents"),
+    )
+    var_num = (
+        F.col("sqq").cast("double") * F.col("n_months")
+        - F.col("sq").cast("double") * F.col("sq").cast("double")
+    )
+    sq2 = F.col("sq").cast("double") * F.col("sq").cast("double")
+    classed = abc.select(
+        F.when(F.col("cum_cents") * 10 <= F.col("all_cents") * 8, "A")
+        .when(F.col("cum_cents") * 100 <= F.col("all_cents") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(F.col("n_months") < 2, "Z")
+        .when(var_num * 4 <= sq2, "X")
+        .when(var_num <= sq2, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+
+
+@_register(
+    "graph_degree_powerlaw_fit",
+    oracle="""
+    WITH e AS (
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ), deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY v
+    ), dist AS (
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg
+      GROUP BY degree
+    ), pts AS (
+      SELECT CAST(floor(ln(CAST(degree AS DOUBLE)) * 1.0e6 + 0.5) AS BIGINT)
+               AS x,
+             CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1.0e6 + 0.5) AS BIGINT)
+               AS y
+      FROM dist
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS sxx,
+             sum(CAST(x AS HUGEINT)*CAST(y AS HUGEINT)) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_degree_levels,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0.0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS loglog_slope
+    FROM s
+    """,
+)
+def graph_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law exponent estimate: OLS slope of
+    ln(count) on ln(degree) over the degree histogram of the
+    co-purchase graph (a scale-free network shows slope ≈ −(α−1);
+    near-flat means no hub structure). The histogram is ≤ max-degree
+    rows; log points quantize to exact micro-ints before the moment
+    sums (the zipf-slope idiom on the graph domain)."""
+    e = _copurchase_edges_r9(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    dist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    pts = dist.select(
+        F.floor(F.log(F.col("degree").cast("double")) * 1.0e6 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("n_nodes").cast("double")) * 1.0e6 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        ).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    return s.select(
+        F.col("n").alias("n_degree_levels"),
+        (
+            F.floor(
+                (nd * sxy - sx * sy)
+                / F.nullif(nd * sxx - sx * sx, F.lit(0.0))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("loglog_slope"),
+    )
+
+
+def _copurchase_edges_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared support>=2 co-purchase edge list (same construction
+    as staged_r8's wave M; duplicated here so the parked modules stay
+    import-independent after activation ordering)."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    )
+
+
+@_register(
+    "events_weekday_hour_twoway_anova",
+    oracle="""
+    WITH q AS (
+      SELECT dayofweek(ts) AS dow,
+             (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v
+      FROM events
+    ), cells AS (
+      SELECT dow, hr, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS s,
+             sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
+      FROM q GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS HUGEINT) AS s,
+             CAST(sum(ss) AS HUGEINT) AS ss
+      FROM cells
+    ), sstot AS (
+      SELECT n, CAST(ss AS DOUBLE)/1.0e12
+               - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/1.0e12/n AS ss_total,
+             CAST(s AS DOUBLE)/1.0e6/n AS grand_mean
+      FROM tot
+    ), dow_ss AS (
+      SELECT sum(CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE)/1.0e12/nd) AS ss_a
+      FROM (SELECT dow, CAST(sum(n) AS BIGINT) AS nd,
+                   CAST(sum(s) AS HUGEINT) AS sd
+            FROM cells GROUP BY dow)
+    ), hr_ss AS (
+      SELECT sum(CAST(sh AS DOUBLE)*CAST(sh AS DOUBLE)/1.0e12/nh) AS ss_b
+      FROM (SELECT hr, CAST(sum(n) AS BIGINT) AS nh,
+                   CAST(sum(s) AS HUGEINT) AS sh
+            FROM cells GROUP BY hr)
+    ), cell_ss AS (
+      SELECT sum(CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/1.0e12/n) AS ss_cells
+      FROM cells
+    )
+    SELECT t.n AS n_events,
+           floor((d.ss_a - CAST(t.s AS DOUBLE)*CAST(t.s AS DOUBLE)
+                           /1.0e12/t.n) / st.ss_total * 1.0e6 + 0.5) / 1.0e6
+             AS eta2_weekday,
+           floor((h.ss_b - CAST(t.s AS DOUBLE)*CAST(t.s AS DOUBLE)
+                           /1.0e12/t.n) / st.ss_total * 1.0e6 + 0.5) / 1.0e6
+             AS eta2_hour,
+           floor((c.ss_cells - d.ss_a - h.ss_b
+                  + CAST(t.s AS DOUBLE)*CAST(t.s AS DOUBLE)/1.0e12/t.n)
+                 / st.ss_total * 1.0e6 + 0.5) / 1.0e6 AS eta2_interaction
+    FROM tot t
+    CROSS JOIN sstot st CROSS JOIN dow_ss d CROSS JOIN hr_ss h
+    CROSS JOIN cell_ss c
+    """,
+)
+def events_weekday_hour_twoway_anova(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-way variance decomposition of event value over weekday ×
+    hour: η² for each main effect and the interaction (unbalanced-cell
+    form: SS_A = Σ S_a²/n_a − S²/N etc.) — "is the pattern a
+    day-of-week thing, a time-of-day thing, or genuinely both". All
+    sums exact integer micro/pico units; the 7×24 cell table is tiny
+    and every SS term is one scalar combine."""
+    e = _t(spark, sf_dir, "events")
+    q = e.select(
+        F.dayofweek("ts").alias("dow"),
+        ((F.unix_micros("ts") % F.lit(86400000000)) / F.lit(3600000000))
+        .cast("long")
+        .alias("hr"),
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("v"),
+    )
+    cells = q.groupBy("dow", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("v").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        ).alias("ss"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+    )
+    def level_ss(key, out):
+        lvl = cells.groupBy(key).agg(
+            F.sum("n").cast("long").alias("nl"), F.sum("s").alias("sl")
+        )
+        return lvl.agg(
+            F.sum(
+                F.col("sl").cast("double")
+                * F.col("sl").cast("double")
+                / 1.0e12
+                / F.col("nl")
+            ).alias(out)
+        )
+    dow_ss = level_ss("dow", "ss_a")
+    hr_ss = level_ss("hr", "ss_b")
+    cell_ss = cells.agg(
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double") / 1.0e12 / F.col("n")
+        ).alias("ss_cells")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(dow_ss))
+        .crossJoin(F.broadcast(hr_ss))
+        .crossJoin(F.broadcast(cell_ss))
+    )
+    corr = F.col("s").cast("double") * F.col("s").cast("double") / 1.0e12 / F.col("n")
+    ss_total = F.col("ss").cast("double") / 1.0e12 - corr
+    return j.select(
+        F.col("n").alias("n_events"),
+        (F.floor((F.col("ss_a") - corr) / ss_total * 1.0e6 + 0.5) / 1.0e6).alias(
+            "eta2_weekday"
+        ),
+        (F.floor((F.col("ss_b") - corr) / ss_total * 1.0e6 + 0.5) / 1.0e6).alias(
+            "eta2_hour"
+        ),
+        (
+            F.floor(
+                (F.col("ss_cells") - F.col("ss_a") - F.col("ss_b") + corr)
+                / ss_total
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("eta2_interaction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave I — pipeline plumbing/monitoring round-out: chunk manifests,
+# out-of-orderness, embedding drift, growth accounting, dedup impact.
+# ---------------------------------------------------------------------------
+@_register(
+    "multimodal_chunk_manifest",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, strlen(text) AS n_bytes, g.chunk_idx
+      FROM documents,
+      UNNEST(generate_series(0,
+             CAST(ceil(strlen(text) / 1024.0) AS BIGINT) - 1))
+        AS g(chunk_idx)
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * 1024 AS BIGINT) AS byte_offset,
+           CAST(least(1024, n_bytes - chunk_idx * 1024) AS BIGINT)
+             AS chunk_bytes,
+           md5(substr(text, CAST(chunk_idx * 1024 + 1 AS BIGINT), 1024))
+             AS chunk_md5
+    FROM chunks c JOIN documents d USING (doc_id)
+    """,
+)
+def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upload/transfer manifest for opaque payloads: fixed 1 KiB
+    chunking with per-chunk offset, length, and md5 — the multipart
+    layout a blob store or content-addressable cache keys on. The
+    chunk explode is an executor-side integer sequence (ceil(bytes/1K)
+    rows per doc, no Python); payload here is the text column standing
+    in for the binary column, the same plumbing as the multimodal
+    family."""
+    d = _t(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.octet_length("text") / 1024.0).cast("long")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_idx"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * 1024).cast("long").alias("byte_offset"),
+        F.least(
+            F.lit(1024).cast("long"),
+            F.col("n_bytes") - F.col("chunk_idx") * 1024,
+        )
+        .cast("long")
+        .alias("chunk_bytes"),
+        F.md5(
+            F.substring(
+                F.col("text"), (F.col("chunk_idx") * 1024 + 1).cast("int"), 1024
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+@_register(
+    "events_out_of_order_profile",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type,
+             epoch_us(ts) AS t_us,
+             max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS high_water
+      FROM events
+    ), late AS (
+      SELECT event_type,
+             CASE WHEN high_water IS NULL OR t_us >= high_water THEN 0
+                  ELSE (high_water - t_us) END AS lateness_us
+      FROM arr
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(max(lateness_us) AS BIGINT) AS max_lateness_us,
+           CAST(sum(CASE WHEN lateness_us > 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_beyond_1h_watermark
+    FROM late GROUP BY event_type
+    """,
+)
+def events_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile per type, treating event_id as arrival
+    order: lateness = high-watermark (running max event time over
+    earlier arrivals) minus event time — the distribution that picks a
+    streaming watermark delay. Reports the count a 1-hour watermark
+    would DROP (the allowed-lateness tuning number). One arrival-order
+    window per type; exact integer µs."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_us = F.unix_micros("ts")
+    hw = F.max(t_us).over(w)
+    late = e.select(
+        "event_type",
+        F.when(hw.isNull() | (t_us >= hw), F.lit(0).cast("long"))
+        .otherwise(hw - t_us)
+        .alias("lateness_us"),
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("lateness_us") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_order"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+        F.sum(F.when(F.col("lateness_us") > 3600000000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_beyond_1h_watermark"),
+    )
+
+
+@_register(
+    "embedding_label_centroid_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half, i - 1 AS dim,
+             CAST(floor(xi * 1.0e9 + 0.5) AS BIGINT) AS q
+      FROM (
+        SELECT label, vec_id,
+               unnest(CAST(embedding AS DOUBLE[])) AS xi,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        FROM embeddings
+      )
+    ), cent AS (
+      SELECT label, half, dim,
+             CAST(sum(q) AS DOUBLE) / 1.0e9 / count(*) AS c
+      FROM halves GROUP BY 1, 2, 3
+    ), paired AS (
+      SELECT a.label, a.dim, a.c AS c0, b.c AS c1
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.dim = b.dim
+           AND a.half = 0 AND b.half = 1
+    ), sums AS (
+      SELECT label,
+             sum(c0*c1) AS dot, sum(c0*c0) AS n0, sum(c1*c1) AS n1
+      FROM paired GROUP BY label
+    )
+    SELECT label,
+           floor(dot / sqrt(n0*n1) * 1.0e6 + 0.5) / 1.0e6
+             AS centroid_cosine,
+           floor(sqrt(n0) * 1.0e6 + 0.5) / 1.0e6 AS norm_half0,
+           floor(sqrt(n1) * 1.0e6 + 0.5) / 1.0e6 AS norm_half1
+    FROM sums
+    """,
+)
+def embedding_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: per-label centroid of the even-id half
+    vs the odd-id half, compared by cosine — the snapshot-over-snapshot
+    stability check an embedding pipeline alerts on (cosine ≪ 1 means
+    the class moved). Components quantize to nano-ints before the
+    per-(label, half, dim) means; 64-dim centroid rows are tiny.
+    PARITY NOTE: the per-dim means are bit-identical (exact integer
+    sum / count); the final 64-term dot/norm sums run in plain double,
+    whose worst-case reassociation drift (~64 ulp ≈ 1e-14 on O(1)
+    values) sits eight decades below the 1e-6 output floor — the
+    documented exception to the quantize-before-sum rule for
+    FIXED-SIZE tiny reductions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select(
+        "label",
+        "half",
+        F.col("pos").alias("dim"),
+        F.floor(F.col("col") * 1.0e9 + 0.5).cast("long").alias("q"),
+    )
+    cent = halves.groupBy("label", "half", "dim").agg(
+        (F.sum("q").cast("double") / 1.0e9 / F.count(F.lit(1))).alias("c")
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("c0")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("c1")
+    )
+    sums = (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("c0") * F.col("c1")).alias("dot"),
+            F.sum(F.col("c0") * F.col("c0")).alias("n0"),
+            F.sum(F.col("c1") * F.col("c1")).alias("n1"),
+        )
+    )
+    return sums.select(
+        "label",
+        (
+            F.floor(
+                F.col("dot") / F.sqrt(F.col("n0") * F.col("n1")) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("centroid_cosine"),
+        (F.floor(F.sqrt(F.col("n0")) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "norm_half0"
+        ),
+        (F.floor(F.sqrt(F.col("n1")) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "norm_half1"
+        ),
+    )
+
+
+@_register(
+    "user_growth_accounting",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             CAST(year(ts) * 12 + month(ts) AS BIGINT) AS month_id
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(month_id) AS first_month FROM um GROUP BY 1
+    ), flags AS (
+      SELECT um.month_id, um.user_id,
+             um.month_id = f.first_month AS is_new,
+             lag(um.month_id) OVER (PARTITION BY um.user_id
+                                    ORDER BY um.month_id) AS prev_active
+      FROM um JOIN firsts f USING (user_id)
+    )
+    SELECT month_id,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN NOT is_new AND prev_active = month_id - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS retained_users,
+           CAST(sum(CASE WHEN NOT is_new AND prev_active < month_id - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users
+    FROM flags GROUP BY month_id
+    """,
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting: every active user is exactly one of
+    new (first month), retained (active previous month), or
+    resurrected (gap before return) — the decomposition growth teams
+    reconcile MAU against. One distinct month-activity relation, one
+    per-user lag window; churn is the complement (last month's actives
+    minus retained)."""
+    e = _t(spark, sf_dir, "events")
+    um = e.select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts")).cast("long").alias("month_id"),
+    ).distinct()
+    firsts = um.groupBy("user_id").agg(F.min("month_id").alias("first_month"))
+    w = Window.partitionBy("user_id").orderBy("month_id")
+    flags = um.join(firsts, "user_id").select(
+        "month_id",
+        (F.col("month_id") == F.col("first_month")).alias("is_new"),
+        F.lag("month_id").over(w).alias("prev_active"),
+    )
+    return flags.groupBy("month_id").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(
+            F.when(
+                (~F.col("is_new"))
+                & (F.col("prev_active") == F.col("month_id") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("retained_users"),
+        F.sum(
+            F.when(
+                (~F.col("is_new"))
+                & (F.col("prev_active") < F.col("month_id") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("resurrected_users"),
+    )
+
+
+@_register(
+    "dedup_vocab_impact",
+    oracle="""
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), before_v AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+    ), after_v AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT unnest(string_split(d.text, ' ')) AS w
+        FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+      )
+      WHERE w <> ''
+    )
+    SELECT b.v AS vocab_before, a.v AS vocab_after,
+           b.n AS tokens_before, a.n AS tokens_after,
+           CAST(b.v - a.v AS BIGINT) AS vocab_lost,
+           floor(a.n * 1.0e6 / b.n + 0.5) / 1.0e6 AS token_survival
+    FROM before_v b CROSS JOIN after_v a
+    """,
+)
+def dedup_vocab_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup costs the vocabulary: distinct-type and token
+    counts before vs after md5 keeper-dedup — duplicates carry no new
+    types in a clean corpus (vocab_lost = 0 is the healthy reading;
+    losses mean near-identical docs held unique rare tokens). Two
+    explode+distinct aggs and the md5 keeper relation."""
+    d = _t(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    def vocab(df):
+        tok = df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("w")
+        ).filter(F.col("w") != "")
+        return tok.agg(
+            F.countDistinct("w").cast("long").alias("v"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    before = vocab(d).select(
+        F.col("v").alias("vocab_before"), F.col("n").alias("tokens_before")
+    )
+    after = vocab(
+        d.join(keep.select("doc_id"), "doc_id")
+    ).select(F.col("v").alias("vocab_after"), F.col("n").alias("tokens_after"))
+    return before.crossJoin(F.broadcast(after)).select(
+        "vocab_before",
+        "vocab_after",
+        "tokens_before",
+        "tokens_after",
+        (F.col("vocab_before") - F.col("vocab_after"))
+        .cast("long")
+        .alias("vocab_lost"),
+        (
+            F.floor(
+                F.col("tokens_after") * 1.0e6 / F.col("tokens_before") + 0.5
+            )
+            / 1.0e6
+        ).alias("token_survival"),
+    )
+
+
+@_register(
+    "part_name_token_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+    )
+    SELECT w AS token, CAST(count(*) AS BIGINT) AS n_parts
+    FROM tok WHERE w <> ''
+    GROUP BY w
+    ORDER BY n_parts DESC, token LIMIT 20
+    """,
+)
+def part_name_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens in part names — the dimension-table text surface
+    (catalog normalization / attribute extraction starts from exactly
+    this profile). Explode + map-side-combinable count + TakeOrdered."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy(F.col("n_parts").desc(), "token")
+        .limit(20)
     )

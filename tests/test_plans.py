@@ -224,6 +224,21 @@ _EAGER_BY_DESIGN = {
     "dedup_layer_funnel",
     "graph_pagerank_iterations",
     "graph_triangle_count",
+    # Round-7 activation: the Markov family shares one checkpointed
+    # transition-count relation (plans/staged_r7.py _transition_counts
+    # — reused by three CTE-iteration consumers), and the lagged
+    # cross-correlation checkpoints its per-minute grid for the
+    # multi-lag self-join. Same category as above: the eager=False
+    # checkpoint finalizes the (dimension-bounded) upstream stages at
+    # build time under AQE.
+    "events_markov_stationary",
+    "events_markov_entropy_rate",
+    "events_lagged_crosscorr",
+    # Round-8 runway (plans/staged_r8.py): the wave-M graph queries
+    # checkpoint the shared support>=2 co-purchase edge list — the
+    # graph_triangle_count pattern on the same relation.
+    "graph_clustering_coefficient",
+    "graph_common_neighbors_linkpred",
     # Write-once bucketed-table derivation: the saveAsTable DDL is the
     # operator being demonstrated (operators/bucketing.py cache).
     "dedup_exact_bucketed",

@@ -56,6 +56,25 @@ STAGED_NAMES = [
     "lineitem_price_index_laspeyres",
     "quality_filter_funnel",
     "events_record_breaks",
+    # wave F — sketch/split/session audits
+    "sketch_kmv_distinct",
+    "temporal_split_leakage_audit",
+    "sessionize_gap_sensitivity",
+    # wave G — imputation/quantization/distribution audits
+    "events_mean_imputation_audit",
+    "similarity_int8_recall_audit",
+    "orders_lognormal_fit_audit",
+    # wave H — inventory/graph/two-way-variance round-out
+    "part_abc_xyz_matrix",
+    "graph_degree_powerlaw_fit",
+    "events_weekday_hour_twoway_anova",
+    # wave I — pipeline plumbing/monitoring round-out
+    "multimodal_chunk_manifest",
+    "events_out_of_order_profile",
+    "embedding_label_centroid_drift",
+    "user_growth_accounting",
+    "dedup_vocab_impact",
+    "part_name_token_topk",
 ]
 
 REPLACEMENT_NAMES = [
