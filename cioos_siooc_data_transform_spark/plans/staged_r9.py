@@ -44,6 +44,9 @@ Content so far:
 - Wave I — 1 KiB chunk manifests, out-of-order/watermark profile,
   per-label centroid drift, monthly growth accounting, dedup
   vocabulary impact, part-name token top-k.
+- Wave J — mixed-layer pressure (de Boyer Montégut threshold; GSW twin
+  gsw_mlp), rho first derivatives from the analytic stages, Hill tail
+  index (EVT complement to the Gumbel fit), circular mean hour.
 """
 
 from __future__ import annotations
@@ -2502,4 +2505,272 @@ def part_name_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
         .orderBy(F.col("n_parts").desc(), "token")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave J — mixed-layer pressure, density derivatives, Hill tail index,
+# circular hour-of-day statistics.
+# ---------------------------------------------------------------------------
+@_register(
+    "gsw_mixed_layer_pressure",
+    oracle="__WAVE_J9__",
+)
+def gsw_mixed_layer_pressure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-layer pressure per synthetic profile (l_orderkey): the
+    shallowest pressure where sigma0 exceeds the profile's surface
+    reference by 0.03 kg/m³ — the de Boyer Montégut et al. (2004)
+    density-threshold criterion (GSW twin: gsw_mlp). The surface
+    reference is the MIN sigma0 among the shallowest-pressure rows
+    (an aggregate, total under the corpus's duplicate line numbers);
+    profiles that never stratify past the threshold drop out."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        rho_sql,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    df = df.withColumn(
+        "sigma0", F.expr(rho_sql("sa", "ct", "0.0e0")) - 1000.0
+    )
+    # Surface reference as an AGGREGATE (min sigma0 among the
+    # shallowest-pressure rows): l_linenumber is NOT unique within an
+    # order in this corpus, so a row_number tiebreak on
+    # (p, l_linenumber) is engine-arbitrary — the aggregate is total.
+    minp = df.groupBy("l_orderkey").agg(F.min("p").alias("min_p"))
+    surf = (
+        df.join(minp, "l_orderkey")
+        .filter(F.col("p") == F.col("min_p"))
+        .groupBy("l_orderkey")
+        .agg(F.min("sigma0").alias("sigma0_surf"))
+    )
+    deep = df.join(surf, "l_orderkey").filter(
+        F.col("sigma0") > F.col("sigma0_surf") + 0.03
+    )
+    return deep.groupBy("l_orderkey").agg(
+        F.min("p").alias("mlp_dbar"),
+        F.count(F.lit(1)).cast("long").alias("n_below"),
+    )
+
+
+STAGED_ORACLES["gsw_mixed_layer_pressure"] = '\n    WITH prof AS (\n      SELECT l_orderkey, l_linenumber, p,\n             (1.0e0/(0.0010769995862e0 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-0.00031038981976e0 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(0.00066928067038e0 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-0.00085047933937e0 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(0.00058086069943e0 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-0.00021092370507e0 + 3.1932457305e-05*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)))))) + ((ct)*0.025e0)*(-1.5649734675e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(3.5009599764e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-4.3592678561e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(3.4532461828e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-1.1959409788e-05 + 1.3864594581e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0))))) + ((ct)*0.025e0)*(2.7762106484e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-3.7435842344e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(3.590782276e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-1.8698584187e-05 + 3.8595339244e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)))) + ((ct)*0.025e0)*(-1.6521159259e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(2.4141479483e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-1.4353633048e-05 + 2.2863324556e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0))) + ((ct)*0.025e0)*(6.9111322702e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-8.7595873154e-06 + 4.3703680598e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)) + ((ct)*0.025e0)*(-8.053961554e-07 + -3.30527589e-07*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0) + 2.0543094268e-07*((ct)*0.025e0)))))) + ((0.0e0)*1.0e-4)*(-6.0799143809e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(2.4262468747e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-3.4792460974e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(3.7470777305e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-1.7322218612e-05 + 3.0927427253e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0))))) + ((ct)*0.025e0)*(1.8505765429e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-9.5677088156e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(1.1100834765e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-9.8447117844e-06 + 2.590922526e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)))) + ((ct)*0.025e0)*(-1.1716606853e-05 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-2.3678308361e-07 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(2.9283346295e-06 + -4.88261392e-07*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0))) + ((ct)*0.025e0)*(7.9279656173e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-3.4558773655e-06 + 3.1655306078e-07*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)) + ((ct)*0.025e0)*(-3.4102187482e-06 + 1.2956717783e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0) + 5.0736766814e-07*((ct)*0.025e0))))) + ((0.0e0)*1.0e-4)*(9.9856169219e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-5.8484432984e-07 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-4.8122251597e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(4.9263106998e-06 + -1.7811974727e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)))) + ((ct)*0.025e0)*(-1.1736386731e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(-5.5699154557e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(5.4620748834e-06 + -1.3544185627e-06*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0))) + ((ct)*0.025e0)*(2.130502874e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(3.913738708e-07 + -6.5731104067e-07*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)) + ((ct)*0.025e0)*(-4.6132540037e-07 + 7.7618888092e-09*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0) + -6.3352916514e-08*((ct)*0.025e0)))) + ((0.0e0)*1.0e-4)*(-1.1309361437e-06 + sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)*(3.6310188515e-07 + 1.674630378e-08*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0)) + ((ct)*0.025e0)*(-3.6527006553e-07 + -2.7295696237e-07*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0) + 2.8695905159e-07*((ct)*0.025e0)) + ((0.0e0)*1.0e-4)*(1.053115308e-07 + -1.1147125423e-07*sqrt(0.0248826675584615e0*(sa) + 0.5971840214030754e0) + 3.1454099902e-07*((ct)*0.025e0) + ((0.0e0)*1.0e-4)*(-1.2647261286e-08 + 1.961350393e-09*((0.0e0)*1.0e-4)))))))) - 1000.0e0 AS sigma0\n      FROM (\n        SELECT l_orderkey, l_linenumber, p, (s*(35.16504e0/35.0e0)) AS sa,\n               ((61.01362420681071e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(168776.46138048015e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(-2735.2785605119625e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(2574.2164453821433e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(-1536.6644434977543e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(545.7340497931629e0 + (-50.91091728474331e0 - 18.30489878927802e0*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0))*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)))))) + (0.0248826675584615e0*(((s)*(35.16504e0/35.0e0))))*(268.5520265845071e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(-12019.028203559312e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(3734.858026725145e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(-2046.7671145057618e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(465.28655623826234e0 + (-0.6370820302376359e0 - 10.650848542359153e0*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0))*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0))))) + sqrt((0.0248826675584615e0*(((s)*(35.16504e0/35.0e0)))))*(937.2099110620707e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(588.1802812170108e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(248.39476522971285e0 + (-3.871557904936333e0 - 2.6268019854268356e0*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0))*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0))) + sqrt((0.0248826675584615e0*(((s)*(35.16504e0/35.0e0)))))*(-1687.914374187449e0 + sqrt((0.0248826675584615e0*(((s)*(35.16504e0/35.0e0)))))*(246.9598888781377e0 + sqrt((0.0248826675584615e0*(((s)*(35.16504e0/35.0e0)))))*(123.59576582457964e0 - 48.5891069025409e0*sqrt((0.0248826675584615e0*(((s)*(35.16504e0/35.0e0))))))) + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(936.3206544460336e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(-942.7827304544439e0 + ((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0)*(369.4389437509002e0 + (-33.83664947895248e0 - 9.987880382780322e0*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0))*((((t) - ((p)*0.1e0)*(3.6504e-4 + 8.3198e-5*(t) - 5.4065e-7*(t)*(t) + 4.0274e-9*(t)*(t)*(t)) - ((p)*0.1e0)*((s) - 35.0e0)*(1.7439e-5 - 2.9778e-7*(t)) - ((p)*0.1e0)*((p)*0.1e0)*(8.9309e-7 - 3.1628e-8*(t) + 2.1987e-10*(t)*(t)) + 4.1057e-9*((s) - 35.0e0)*((p)*0.1e0)*((p)*0.1e0) - ((p)*0.1e0)*((p)*0.1e0)*((p)*0.1e0)*(-1.6056e-10 + 5.0484e-12*(t))))*0.025e0))))))))/3991.86795711963e0) AS ct\n        FROM (\n    SELECT l_orderkey, l_linenumber,\n           CAST(l_quantity % 30 AS DOUBLE) AS t,\n           CAST(30.0 + l_discount * 50 AS DOUBLE) AS s,\n           CAST(l_linenumber * 100.0 AS DOUBLE) AS p\n    FROM lineitem\n)\n      )\n    ), surf AS (\n      SELECT p.l_orderkey, min(p.sigma0) AS sigma0_surf\n      FROM prof p\n      JOIN (SELECT l_orderkey, min(p) AS min_p FROM prof GROUP BY 1) m\n        ON p.l_orderkey = m.l_orderkey AND p.p = m.min_p\n      GROUP BY p.l_orderkey\n    )\n    SELECT p.l_orderkey, min(p.p) AS mlp_dbar,\n           CAST(count(*) AS BIGINT) AS n_below\n    FROM prof p JOIN surf s USING (l_orderkey)\n    WHERE p.sigma0 > s.sigma0_surf + 0.03e0\n    GROUP BY p.l_orderkey\n'
+
+
+def _rho_derivs_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct, p
+    FROM ({_IN_SQL})
+    """
+    keep = {
+        "__cbtb_xs", "__cbtb_ys", "__cbtb_z", "__cbtb_v", "__cbtb_vx",
+        "__cbtb_vy", "__cbtb_vz", "__cbtb_dxdsa", "__cbtb_v_ct",
+        "__cbtb_v_sa", "__cbtb_v_p",
+    }
+    stages = [
+        s for s in cabbeling_thermobaric_stages("sa", "ct", "p") if s[0] in keep
+    ]
+    staged = _stage_sql(inner, stages)
+    # rho_x = -v_x / v^2
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(-__cbtb_v_sa/(__cbtb_v*__cbtb_v) * 1.0e9 + 0.5) / 1.0e9
+             AS rho_sa,
+           floor(-__cbtb_v_ct/(__cbtb_v*__cbtb_v) * 1.0e9 + 0.5) / 1.0e9
+             AS rho_ct,
+           floor(-__cbtb_v_p/(__cbtb_v*__cbtb_v) * 1.0e12 + 0.5) / 1.0e12
+             AS rho_p_dbar
+    FROM {staged}
+    """
+
+
+@_register("gsw_rho_first_derivatives", oracle="__WAVE_J9B__")
+def gsw_rho_first_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """∂ρ/∂SA, ∂ρ/∂CT, ∂ρ/∂p from the analytic 75-term derivative
+    polynomials via ρ_x = −v_x/v² (GSW twin:
+    gsw_rho_first_derivatives) — the linearization every buoyancy-
+    budget and assimilation scheme consumes. Same stage family as
+    cabbeling (FD-pinned); divisions only, exact parity."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    keep = {
+        "__cbtb_xs", "__cbtb_ys", "__cbtb_z", "__cbtb_v", "__cbtb_vx",
+        "__cbtb_vy", "__cbtb_vz", "__cbtb_dxdsa", "__cbtb_v_ct",
+        "__cbtb_v_sa", "__cbtb_v_p",
+    }
+    for name, expr in cabbeling_thermobaric_stages("sa", "ct", "p"):
+        if name in keep:
+            df = df.withColumn(name, F.expr(expr))
+    v2 = F.col("__cbtb_v") * F.col("__cbtb_v")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(-F.col("__cbtb_v_sa") / v2 * 1.0e9 + 0.5) / 1.0e9).alias(
+            "rho_sa"
+        ),
+        (F.floor(-F.col("__cbtb_v_ct") / v2 * 1.0e9 + 0.5) / 1.0e9).alias(
+            "rho_ct"
+        ),
+        (F.floor(-F.col("__cbtb_v_p") / v2 * 1.0e12 + 0.5) / 1.0e12).alias(
+            "rho_p_dbar"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_rho_first_derivatives"] = _rho_derivs_oracle()
+
+
+@_register(
+    "events_pareto_tail_index",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE value > 0
+    ), topk AS (
+      SELECT r.event_type,
+             CAST(floor(ln(r.value / k.v_k) * 1.0e9 + 0.5) AS BIGINT) AS lr
+      FROM ranked r
+      JOIN (SELECT event_type, value AS v_k FROM ranked WHERE rn = 51) k
+        USING (event_type)
+      WHERE r.rn <= 50
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS k_used,
+           floor(CAST(sum(lr) AS DOUBLE) / 1.0e9 / count(*) * 1.0e6 + 0.5)
+             / 1.0e6 AS hill_mean_logratio,
+           floor(count(*) * 1.0e9 / CAST(sum(lr) AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS hill_alpha
+    FROM topk GROUP BY event_type
+    """,
+)
+def events_pareto_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value tail index per type (k = 50 upper
+    order statistics): α̂ = k / Σ ln(x_(i)/x_(k+1)) — small α means a
+    genuinely heavy tail (capacity planning cares). Order statistics
+    from one ranked window; log ratios quantize to 1e-9 before the
+    exact sum. Complements the Gumbel block-maxima fit (domain of
+    attraction diagnosis from two angles)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    ranked = e.select(
+        "event_type", "value", F.row_number().over(w).alias("rn")
+    )
+    vk = ranked.filter(F.col("rn") == 51).select(
+        "event_type", F.col("value").alias("v_k")
+    )
+    topk = (
+        ranked.filter(F.col("rn") <= 50)
+        .join(F.broadcast(vk), "event_type")
+        .select(
+            "event_type",
+            F.floor(F.log(F.col("value") / F.col("v_k")) * 1.0e9 + 0.5)
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        (
+            F.floor(
+                F.sum("lr").cast("double") / 1.0e9 / F.count(F.lit(1)) * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("hill_mean_logratio"),
+        (
+            F.floor(
+                F.count(F.lit(1)) * 1.0e9 / F.sum("lr").cast("double") * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("hill_alpha"),
+    )
+
+
+@_register(
+    "events_circular_mean_hour",
+    oracle="""
+    WITH terms AS (
+      SELECT event_type,
+             CAST(floor(cos(2.0e0*pi()*((epoch_us(ts) % 86400000000)
+                        / 86400000000.0e0)) * 1.0e9 + 0.5) AS BIGINT) AS c,
+             CAST(floor(sin(2.0e0*pi()*((epoch_us(ts) % 86400000000)
+                        / 86400000000.0e0)) * 1.0e9 + 0.5) AS BIGINT) AS s
+      FROM events
+    ), sums AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS sc, CAST(sum(s) AS HUGEINT) AS ss
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type, n,
+           floor(((atan2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+                   + 2.0e0*pi()) % (2.0e0*pi())) / (2.0e0*pi()) * 24.0e0
+                 * 1.0e6 + 0.5) / 1.0e6 AS mean_hour,
+           floor(sqrt(CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)
+                      + CAST(ss AS DOUBLE)*CAST(ss AS DOUBLE)) / 1.0e9 / n
+                 * 1.0e6 + 0.5) / 1.0e6 AS resultant_length
+    FROM sums
+    """,
+)
+def events_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular statistics of event time-of-day: the mean direction
+    (converted back to hours) and resultant length R ∈ [0, 1]
+    (1 = perfectly clocked, 0 = uniform over the day) — the correct
+    average for angles, where arithmetic means fail (23:00 and 01:00
+    average to midnight, not noon). Unit-circle components quantize to
+    nano-ints before the exact sums; atan2/modulo finish on identical
+    doubles."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    two_pi = 2.0 * 3.141592653589793
+    phase = two_pi * ((us % F.lit(86400000000)) / 86400000000.0)
+    terms = e.select(
+        "event_type",
+        F.floor(F.cos(phase) * 1.0e9 + 0.5).cast("long").alias("c"),
+        F.floor(F.sin(phase) * 1.0e9 + 0.5).cast("long").alias("s"),
+    )
+    sums = terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("ss"),
+    )
+    ang = F.atan2(F.col("ss").cast("double"), F.col("sc").cast("double"))
+    mean_hour = ((ang + two_pi) % two_pi) / two_pi * 24.0
+    r_len = (
+        F.sqrt(
+            F.col("sc").cast("double") * F.col("sc").cast("double")
+            + F.col("ss").cast("double") * F.col("ss").cast("double")
+        )
+        / 1.0e9
+        / F.col("n")
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (F.floor(mean_hour * 1.0e6 + 0.5) / 1.0e6).alias("mean_hour"),
+        (F.floor(r_len * 1.0e6 + 0.5) / 1.0e6).alias("resultant_length"),
     )

@@ -75,6 +75,11 @@ STAGED_NAMES = [
     "user_growth_accounting",
     "dedup_vocab_impact",
     "part_name_token_topk",
+    # wave J — MLD, density derivatives, tail index, circular stats
+    "gsw_mixed_layer_pressure",
+    "gsw_rho_first_derivatives",
+    "events_pareto_tail_index",
+    "events_circular_mean_hour",
 ]
 
 REPLACEMENT_NAMES = [

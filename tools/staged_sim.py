@@ -30,15 +30,24 @@ def main() -> int:
     spark = get_spark("staged-sim", shuffle_partitions=16)
     from tests.oracle_harness import compare_query
 
+    # Replacement queries (staged twins of live registry entries —
+    # staged_r9's STAGED_REPLACEMENTS contract) sweep alongside the new
+    # names with a [repl] marker.
+    entries = dict(mod.STAGED_QUERIES)
+    oracles = dict(mod.STAGED_ORACLES)
+    for name, (fn, oracle) in getattr(mod, "STAGED_REPLACEMENTS", {}).items():
+        entries[f"{name} [repl]"] = fn
+        oracles[f"{name} [repl]"] = oracle
+
     n_fail = 0
     n_run = 0
-    for name, fn in mod.STAGED_QUERIES.items():
+    for name, fn in entries.items():
         if only and name not in only:
             continue
         n_run += 1
         t0 = time.time()
         try:
-            ok, msg = compare_query(spark, sf_dir, fn, mod.STAGED_ORACLES[name])
+            ok, msg = compare_query(spark, sf_dir, fn, oracles[name])
         except Exception as exc:  # noqa: BLE001
             ok, msg = False, f"error: {exc!r}"
         dt = time.time() - t0
