@@ -47,6 +47,9 @@ Content so far:
 - Wave J — mixed-layer pressure (de Boyer Montégut threshold; GSW twin
   gsw_mlp), rho first derivatives from the analytic stages, Hill tail
   index (EVT complement to the Gumbel fit), circular mean hour.
+- Wave K — Theil-T inequality decomposition by brand (within/between),
+  classical additive seasonal-trend decomposition (centered 13-month
+  MA over the bounded month table), two-hop reachability profile.
 """
 
 from __future__ import annotations
@@ -2773,4 +2776,271 @@ def events_circular_mean_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.floor(mean_hour * 1.0e6 + 0.5) / 1.0e6).alias("mean_hour"),
         (F.floor(r_len * 1.0e6 + 0.5) / 1.0e6).alias("resultant_length"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave K — inequality decomposition, seasonal-trend split, 2-hop reach.
+# ---------------------------------------------------------------------------
+@_register(
+    "part_brand_price_theil_index",
+    oracle="""
+    WITH x AS (
+      SELECT p_brand,
+             CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ), grp AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS HUGEINT) AS s_g
+      FROM x GROUP BY p_brand
+    ), tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS HUGEINT) AS s
+      FROM grp
+    ), within_terms AS (
+      SELECT x.p_brand,
+             CAST(floor((CAST(x.cents AS DOUBLE) / CAST(g.s_g AS DOUBLE))
+                        * ln((CAST(x.cents AS DOUBLE) * g.n_g)
+                             / CAST(g.s_g AS DOUBLE)) * 1.0e12 + 0.5)
+                  AS BIGINT) AS tq
+      FROM x JOIN grp g USING (p_brand)
+    ), t_within_g AS (
+      SELECT p_brand, CAST(sum(tq) AS HUGEINT) AS tsum
+      FROM within_terms GROUP BY p_brand
+    ), composed AS (
+      SELECT g.p_brand, g.n_g,
+             CAST(g.s_g AS DOUBLE) / CAST(t.s AS DOUBLE) AS w_g,
+             CAST(tw.tsum AS DOUBLE) / 1.0e12 AS t_g,
+             ln((CAST(g.s_g AS DOUBLE) * t.n)
+                / (CAST(t.s AS DOUBLE) * g.n_g)) AS between_term
+      FROM grp g JOIN t_within_g tw USING (p_brand) CROSS JOIN tot t
+    )
+    SELECT p_brand, n_g,
+           floor(t_g * 1.0e6 + 0.5) / 1.0e6 AS theil_within_group,
+           floor(w_g * between_term * 1.0e6 + 0.5) / 1.0e6
+             AS between_contribution
+    FROM composed
+    """,
+)
+def part_brand_price_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality decomposition of part prices by brand: each
+    brand's WITHIN-group Theil index and its contribution to the
+    BETWEEN-group term (T = Σ w_g·T_g + Σ w_g·ln(w_g/pop_share) — the
+    entropy-based inequality measure that, unlike Gini, decomposes
+    additively). Per-item terms quantize to pico-units before exact
+    sums; shares and logs finish on exact integer ratios."""
+    p = _t(spark, sf_dir, "part")
+    x = p.select(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    grp = x.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("long").alias("n"), F.sum("s_g").alias("s")
+    )
+    within_terms = x.join(F.broadcast(grp), "p_brand").select(
+        "p_brand",
+        F.floor(
+            (F.col("cents").cast("double") / F.col("s_g").cast("double"))
+            * F.log(
+                F.col("cents").cast("double")
+                * F.col("n_g")
+                / F.col("s_g").cast("double")
+            )
+            * 1.0e12
+            + 0.5
+        )
+        .cast("long")
+        .alias("tq"),
+    )
+    t_within = within_terms.groupBy("p_brand").agg(
+        F.sum(F.col("tq").cast("decimal(38,0)")).alias("tsum")
+    )
+    composed = (
+        grp.join(t_within, "p_brand")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand",
+            "n_g",
+            (F.col("s_g").cast("double") / F.col("s").cast("double")).alias(
+                "w_g"
+            ),
+            (F.col("tsum").cast("double") / 1.0e12).alias("t_g"),
+            F.log(
+                F.col("s_g").cast("double")
+                * F.col("n")
+                / (F.col("s").cast("double") * F.col("n_g"))
+            ).alias("between_term"),
+        )
+    )
+    return composed.select(
+        "p_brand",
+        "n_g",
+        (F.floor(F.col("t_g") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "theil_within_group"
+        ),
+        (
+            F.floor(F.col("w_g") * F.col("between_term") * 1.0e6 + 0.5) / 1.0e6
+        ).alias("between_contribution"),
+    )
+
+
+@_register(
+    "orders_seasonal_trend_decomposition",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS month_id,
+             month(o_orderdate) AS moy,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ), trend AS (
+      SELECT month_id, moy, cents,
+             CAST(avg(cents) OVER (ORDER BY month_id
+                                   ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+                  AS DOUBLE) AS ma13,
+             CAST(count(*) OVER (ORDER BY month_id
+                                 ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+                  AS BIGINT) AS win_n
+      FROM m
+    ), detr AS (
+      SELECT month_id, moy, cents, ma13,
+             CAST(floor((cents - ma13) * 1.0e2 + 0.5) AS BIGINT) AS resid_q
+      FROM trend WHERE win_n = 13
+    ), seasonal AS (
+      SELECT moy,
+             CAST(sum(resid_q) AS HUGEINT) AS sr,
+             CAST(count(*) AS BIGINT) AS nr
+      FROM detr GROUP BY moy
+    )
+    SELECT d.month_id, d.cents AS revenue_cents,
+           floor(d.ma13 / 100.0 * 1.0e2 + 0.5) / 1.0e2 AS trend_revenue,
+           floor(CAST(s.sr AS DOUBLE) / 1.0e2 / s.nr / 100.0 * 1.0e2 + 0.5)
+             / 1.0e2 AS seasonal_component,
+           floor((d.cents / 100.0 - d.ma13 / 100.0
+                  - CAST(s.sr AS DOUBLE) / 1.0e2 / s.nr / 100.0)
+                 * 1.0e2 + 0.5) / 1.0e2 AS irregular_component
+    FROM detr d JOIN seasonal s USING (moy)
+    """,
+)
+def orders_seasonal_trend_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of monthly revenue: a centered
+    13-month moving-average trend, month-of-year seasonal means of the
+    detrended series, and the irregular remainder — the STL-lite every
+    finance dashboard starts from. The window runs over the MONTH
+    table (≤ months-of-history rows, single bounded partition by
+    construction); edge months without a full 13-month window drop
+    (win_n = 13), the textbook treatment. Detrended residuals quantize
+    to exact centi-cents before the seasonal means."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("month_id"),
+        F.month("o_orderdate").alias("moy"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("month_id").rowsBetween(-6, 6)
+    trend = m.select(
+        "month_id",
+        "moy",
+        "cents",
+        F.avg("cents").over(w).alias("ma13"),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+    )
+    detr = trend.filter(F.col("win_n") == 13).withColumn(
+        "resid_q",
+        F.floor((F.col("cents") - F.col("ma13")) * 1.0e2 + 0.5).cast("long"),
+    )
+    seasonal = detr.groupBy("moy").agg(
+        F.sum(F.col("resid_q").cast("decimal(38,0)")).alias("sr"),
+        F.count(F.lit(1)).cast("long").alias("nr"),
+    )
+    seas = F.col("sr").cast("double") / 1.0e2 / F.col("nr") / 100.0
+    return detr.join(F.broadcast(seasonal), "moy").select(
+        "month_id",
+        F.col("cents").alias("revenue_cents"),
+        (F.floor(F.col("ma13") / 100.0 * 1.0e2 + 0.5) / 1.0e2).alias(
+            "trend_revenue"
+        ),
+        (F.floor(seas * 1.0e2 + 0.5) / 1.0e2).alias("seasonal_component"),
+        (
+            F.floor(
+                (F.col("cents") / 100.0 - F.col("ma13") / 100.0 - seas) * 1.0e2
+                + 0.5
+            )
+            / 1.0e2
+        ).alias("irregular_component"),
+    )
+
+
+@_register(
+    "graph_two_hop_reach_profile",
+    oracle="""
+    WITH e AS (
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ), adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), reach2 AS (
+      SELECT x.u,
+             CAST(count(DISTINCT y.v) AS BIGINT) AS n_two_hop
+      FROM adj x JOIN adj y ON x.v = y.u AND y.v != x.u
+      GROUP BY x.u
+    ), deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY u
+    ), per_node AS (
+      SELECT d.u, d.degree, coalesce(r.n_two_hop, 0) AS n_two_hop
+      FROM deg d LEFT JOIN reach2 r ON d.u = r.u
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+           floor(sum(n_two_hop) * 1.0e6 / count(*) + 0.5) / 1.0e6
+             AS avg_two_hop_reach,
+           CAST(max(n_two_hop) AS BIGINT) AS max_two_hop_reach
+    FROM per_node GROUP BY degree
+    """,
+)
+def graph_two_hop_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reachability profile by degree band: how many DISTINCT
+    nodes a vertex reaches in exactly ≤ 2 hops (excluding itself) —
+    the neighborhood-growth curve that separates expander-like regions
+    from clustered ones. The wedge join is equi-keyed on the middle
+    vertex; the distinct count collapses multi-path reach; bounded
+    output (one row per degree)."""
+    e = _copurchase_edges_r9(spark, sf_dir)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    x = adj.select(F.col("u").alias("src"), F.col("v").alias("mid"))
+    y = adj.select(F.col("u").alias("mid2"), F.col("v").alias("dst"))
+    reach2 = (
+        x.join(y, x.mid == y.mid2)
+        .filter(F.col("dst") != F.col("src"))
+        .groupBy("src")
+        .agg(F.countDistinct("dst").cast("long").alias("n_two_hop"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    per_node = deg.join(
+        reach2.select(F.col("src").alias("u"), "n_two_hop"), "u", "left"
+    ).select(
+        "degree", F.coalesce(F.col("n_two_hop"), F.lit(0)).alias("n_two_hop")
+    )
+    return per_node.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (
+            F.floor(F.sum("n_two_hop") * 1.0e6 / F.count(F.lit(1)) + 0.5)
+            / 1.0e6
+        ).alias("avg_two_hop_reach"),
+        F.max("n_two_hop").cast("long").alias("max_two_hop_reach"),
     )

@@ -80,6 +80,10 @@ STAGED_NAMES = [
     "gsw_rho_first_derivatives",
     "events_pareto_tail_index",
     "events_circular_mean_hour",
+    # wave K — inequality/seasonal/reach round-out
+    "part_brand_price_theil_index",
+    "orders_seasonal_trend_decomposition",
+    "graph_two_hop_reach_profile",
 ]
 
 REPLACEMENT_NAMES = [
