@@ -875,3 +875,100 @@ def internal_energy_stages(
         )
     )
     return stages
+
+
+def hdyn_deriv_poly_stages(
+    xs: str, ys: str, x: str, dxs: int = 0, dys: int = 0
+) -> list[tuple[str, str]]:
+    """Stages ``{x}a0``..: z-power coefficient polynomials of the
+    ANALYTIC derivative ∂^(dxs+dys) h_dyn/∂xs^dxs ∂ys^dys (the z
+    structure 1e8·z·Horner(a_K) is unchanged by xs/ys derivatives, so
+    hdyn_combine_sql applies verbatim). dxs = dys = 0 reproduces
+    hdyn_poly_stages."""
+    stages = []
+    for k, terms in sorted(_hdyn_coeffs_by_k().items()):
+        parts = []
+        for j, i, c in terms:
+            if i < dxs or j < dys:
+                continue
+            cc = c
+            for d in range(dxs):
+                cc *= i - d
+            for d in range(dys):
+                cc *= j - d
+            parts.append(
+                "*".join([_lit(cc)] + [xs] * (i - dxs) + [ys] * (j - dys))
+            )
+        stages.append((f"{x}a{k}", "(" + (" + ".join(parts) or "0.0e0") + ")"))
+    return stages
+
+
+def enthalpy_first_derivatives_stages(
+    sa: str, ct: str, p: str, x: str = "__hd1_"
+) -> list[tuple[str, str]]:
+    """Analytic ∂h/∂SA|_{CT,p} and ∂h/∂CT|_{SA,p} (GSW twin:
+    gsw_enthalpy_first_derivatives): h = cp0·CT + h_dyn, so
+    h_CT = cp0 + 0.025·∂h_dyn/∂ys and h_SA = (sfac/2xs)·∂h_dyn/∂xs —
+    derivative coefficient polynomials, no finite differences.
+    Final stages ``h_sa`` and ``h_ct``; FD agreement pinned in tests."""
+    stages: list[tuple[str, str]] = [
+        (f"{x}xs", f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"),
+        (f"{x}ys", f"(({ct})*0.025e0)"),
+        (f"{x}z", f"(({p})*1.0e-4)"),
+    ]
+    stages += hdyn_deriv_poly_stages(f"{x}xs", f"{x}ys", f"{x}dy_", dys=1)
+    stages += hdyn_deriv_poly_stages(f"{x}xs", f"{x}ys", f"{x}dx_", dxs=1)
+    stages += [
+        (
+            "h_ct",
+            f"({_lit(GSW_CP0)}"
+            f" + 0.025e0*{hdyn_combine_sql(f'{x}z', f'{x}dy_')})",
+        ),
+        (
+            "h_sa",
+            f"(({_lit(GSW_SFAC)}/(2.0e0*{x}xs))"
+            f"*{hdyn_combine_sql(f'{x}z', f'{x}dx_')})",
+        ),
+    ]
+    return stages
+
+
+def ct_maxdensity_stages(
+    sa: str, p: str, x: str = "__ctmd_"
+) -> list[tuple[str, str]]:
+    """CT of maximum density (GSW twin: gsw_CT_maxdensity): the root of
+    v_CT = 0 by four Newton steps on the ANALYTIC v_ys / v_ysys
+    polynomials (v_CT ∝ v_ys; derivative v_ysys), starting from 4 °C —
+    the famous fresh-water density-maximum anomaly (≈ 3.97 °C at
+    SA ≈ 0, sinking below freezing past SA ≈ 24). Final stage
+    ``ct_maxdensity``."""
+    stages: list[tuple[str, str]] = [
+        (f"{x}xs", f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"),
+        (f"{x}z", f"(({p})*1.0e-4)"),
+        (f"{x}ct0", "4.0e0"),
+    ]
+    for i in range(4):
+        cur = f"{x}ct{i}"
+        ysc = f"{x}i{i}_ys"
+        stages.append((ysc, f"(({cur})*0.025e0)"))
+        stages.append(
+            (
+                f"{x}i{i}_vy",
+                specvol_deriv_poly_sql(f"{x}xs", ysc, f"{x}z", 0, 1, 0),
+            )
+        )
+        stages.append(
+            (
+                f"{x}i{i}_vyy",
+                specvol_deriv_poly_sql(f"{x}xs", ysc, f"{x}z", 0, 2, 0),
+            )
+        )
+        # d(ct)/step: v_ys root; dys/dct = 0.025 cancels in the ratio
+        stages.append(
+            (
+                f"{x}ct{i + 1}",
+                f"({cur} - {x}i{i}_vy/(0.025e0*{x}i{i}_vyy))",
+            )
+        )
+    stages.append(("ct_maxdensity", f"{x}ct4"))
+    return stages

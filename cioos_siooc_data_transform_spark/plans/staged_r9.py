@@ -50,6 +50,10 @@ Content so far:
 - Wave K — Theil-T inequality decomposition by brand (within/between),
   classical additive seasonal-trend decomposition (centered 13-month
   MA over the bounded month table), two-hop reachability profile.
+- Wave L — freezing-point derivatives, ANALYTIC enthalpy first
+  derivatives (derivative coefficient polynomials), CT of maximum
+  density (Newton on the analytic v_ys root), potential enthalpy,
+  tie-corrected Mann–Whitney U test.
 """
 
 from __future__ import annotations
@@ -3043,4 +3047,308 @@ def graph_two_hop_reach_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("avg_two_hop_reach"),
         F.max("n_two_hop").cast("long").alias("max_two_hop_reach"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave L — GSW derivative/inversion surfaces + a rank-based test.
+# ---------------------------------------------------------------------------
+@_register(
+    "gsw_t_freezing_derivatives",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           floor((-0.0575e0 + 1.5e0*1.710523e-3*sqrt(s)
+                  - 2.0e0*2.154996e-4*s) * 1.0e9 + 0.5) / 1.0e9
+             AS dtf_dsp,
+           -7.53e-4 AS dtf_dp
+    FROM ({{in_sql}})
+    """.replace("{in_sql}", "__IN__"),
+)
+def gsw_t_freezing_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic derivatives of the Millero freezing-point polynomial:
+    ∂t_f/∂SP = −0.0575 + 1.5·1.710523e-3·√S − 2·2.154996e-4·S and the
+    constant pressure slope −7.53e-4 °C/dbar (GSW twin:
+    gsw_t_freezing_first_derivatives) — the linearization ice-formation
+    models couple through. Closed-form, zero shuffle."""
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                (
+                    -0.0575
+                    + 1.5 * 1.710523e-3 * F.sqrt(F.col("s"))
+                    - 2.0 * 2.154996e-4 * F.col("s")
+                )
+                * 1.0e9
+                + 0.5
+            )
+            / 1.0e9
+        ).alias("dtf_dsp"),
+        F.lit(-7.53e-4).alias("dtf_dp"),
+    )
+
+
+STAGED_ORACLES["gsw_t_freezing_derivatives"] = STAGED_ORACLES[
+    "gsw_t_freezing_derivatives"
+].replace("__IN__", _IN_SQL)
+
+
+def _h1d_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        enthalpy_first_derivatives_stages,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+           {ct_from_t_sql("s", "t", "p")} AS ct, p
+    FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(inner, enthalpy_first_derivatives_stages("sa", "ct", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(h_sa * 1.0e6 + 0.5) / 1.0e6 AS h_sa,
+           floor(h_ct * 1.0e6 + 0.5) / 1.0e6 AS h_ct
+    FROM {staged}
+    """
+
+
+@_register("gsw_enthalpy_first_derivatives", oracle="__WAVE_L9__")
+def gsw_enthalpy_first_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """∂h/∂SA and ∂h/∂CT at constant (CT, p)/(SA, p) from ANALYTIC
+    derivative coefficient polynomials of the 75-term dynamic enthalpy
+    (GSW twin: gsw_enthalpy_first_derivatives; FD agreement pinned in
+    tests) — h_SA is the partial-enthalpy term the melting/latent-heat
+    family consumes; h_CT its heat-capacity companion (cp0 + pressure
+    correction). Zero shuffle, exact parity."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        enthalpy_first_derivatives_stages,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in enthalpy_first_derivatives_stages("sa", "ct", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("h_sa") * 1.0e6 + 0.5) / 1.0e6).alias("h_sa"),
+        (F.floor(F.col("h_ct") * 1.0e6 + 0.5) / 1.0e6).alias("h_ct"),
+    )
+
+
+STAGED_ORACLES["gsw_enthalpy_first_derivatives"] = _h1d_oracle()
+
+
+def _ctmd_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_maxdensity_stages,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa, p
+    FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(inner, ct_maxdensity_stages("sa", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(ct_maxdensity * 1.0e6 + 0.5) / 1.0e6 AS ct_md
+    FROM {staged}
+    """
+
+
+@_register("gsw_ct_maxdensity", oracle="__WAVE_L9B__")
+def gsw_ct_maxdensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative Temperature of maximum density (GSW twin:
+    gsw_CT_maxdensity): four Newton steps on the analytic v_ys root —
+    the fresh-water 4 °C anomaly and its disappearance with salinity
+    (anchors pinned in tests). Zero shuffle, exact parity."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_maxdensity_stages,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "p", F.expr(_SA_SQL).alias("sa")
+    )
+    for name, expr in ct_maxdensity_stages("sa", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("ct_maxdensity") * 1.0e6 + 0.5) / 1.0e6).alias("ct_md"),
+    )
+
+
+STAGED_ORACLES["gsw_ct_maxdensity"] = _ctmd_oracle()
+
+
+def _poth_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        ct_from_pt_sql,
+        pt0_from_t_sql,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({_lit(GSW_CP0)}
+                 * {ct_from_pt_sql("sa", "pt")} * 1.0e4 + 0.5) / 1.0e4
+             AS pot_enthalpy
+    FROM (
+      SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+             {pt0_from_t_sql("s", "t", "p")} AS pt
+      FROM ({_IN_SQL})
+    )
+    """
+
+
+@_register("gsw_pot_enthalpy_from_pt", oracle="__WAVE_L9C__")
+def gsw_pot_enthalpy_from_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential enthalpy h⁰ = cp0·CT(SA, pt) (GSW twin:
+    gsw_pot_enthalpy_from_pt) — the conserved heat-content variable
+    itself in J/kg (McDougall 2003 framework; what air–sea flux
+    budgets conserve), from the Bryden pt composition."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        ct_from_pt_sql,
+        pt0_from_t_sql,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(pt0_from_t_sql("s", "t", "p")).alias("pt"),
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.lit(GSW_CP0) * F.expr(ct_from_pt_sql("sa", "pt")) * 1.0e4
+                + 0.5
+            )
+            / 1.0e4
+        ).alias("pot_enthalpy"),
+    )
+
+
+STAGED_ORACLES["gsw_pot_enthalpy_from_pt"] = _poth_oracle()
+
+
+@_register(
+    "lineitem_mannwhitney_returnflag",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS in_a
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), per_v AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(in_a) AS BIGINT) AS n_a_v
+      FROM x GROUP BY v
+    ), ranked AS (
+      SELECT v, cnt, n_a_v,
+             coalesce(sum(cnt) OVER (ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS prior
+      FROM per_v
+    ), sums AS (
+      SELECT CAST(sum(n_a_v) AS BIGINT) AS n_a,
+             CAST(sum(cnt - n_a_v) AS BIGINT) AS n_b,
+             -- 2x average rank per value = 2*prior + cnt + 1 (exact)
+             CAST(sum(n_a_v * (2*prior + cnt + 1)) AS HUGEINT) AS r_a_x2,
+             CAST(sum(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS HUGEINT)
+               AS tie_term
+      FROM ranked
+    )
+    SELECT n_a, n_b,
+           CAST(r_a_x2 - n_a*(n_a + 1) AS DOUBLE) / 2.0e0 AS u_a,
+           floor((CAST((r_a_x2 - n_a*(n_a + 1)) AS DOUBLE)/2.0e0
+                  - CAST(n_a AS DOUBLE)*n_b/2.0e0)
+                 / sqrt(CAST(n_a AS DOUBLE)*n_b/12.0e0
+                        * ((n_a + n_b + 1.0e0)
+                           - CAST(tie_term AS DOUBLE)
+                             / ((n_a + n_b)*(n_a + n_b - 1.0e0))))
+                 * 1.0e6 + 0.5) / 1.0e6 AS z_score
+    FROM sums
+    """,
+)
+def lineitem_mannwhitney_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U test (rank-sum) for quantity between returned
+    ('R') and not-returned ('N') line items, with the exact
+    tie-corrected normal approximation — the distribution-free
+    two-sample test for heavily tied integer data where a t-test's
+    normality assumption fails. Average ranks are exact rationals
+    (2·rank = 2·prior + cnt + 1 over the value histogram — the window
+    runs over DISTINCT quantities, 50 rows); the tie term Σ(t³−t) and
+    all rank sums are exact integers."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    x = li.select(
+        F.col("l_quantity").cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("in_a"),
+    )
+    per_v = x.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("in_a").cast("long").alias("n_a_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.select(
+        "v",
+        "cnt",
+        "n_a_v",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("prior"),
+    )
+    sums = ranked.agg(
+        F.sum("n_a_v").cast("long").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("n_a_v")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("n_a_v").cast("decimal(19,0)")
+            * (2 * F.col("prior") + F.col("cnt") + 1).cast("decimal(19,0)")
+        ).alias("r_a_x2"),
+        F.sum(
+            F.col("cnt").cast("decimal(19,0)")
+            * F.col("cnt").cast("decimal(19,0)")
+            * F.col("cnt").cast("decimal(19,0)")
+            - F.col("cnt").cast("decimal(38,0)")
+        ).alias("tie_term"),
+    )
+    n_a, n_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u_a_x2 = F.col("r_a_x2").cast("double") - F.col("n_a") * (F.col("n_a") + 1)
+    n = F.col("n_a") + F.col("n_b")
+    var = (
+        n_a
+        * n_b
+        / 12.0
+        * (
+            (n + 1.0).cast("double")
+            - F.col("tie_term").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    return sums.select(
+        "n_a",
+        "n_b",
+        (
+            (F.col("r_a_x2") - F.col("n_a") * (F.col("n_a") + 1)).cast("double")
+            / 2.0
+        ).alias("u_a"),
+        (
+            F.floor(
+                (u_a_x2 / 2.0 - n_a * n_b / 2.0) / F.sqrt(var) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("z_score"),
     )

@@ -1147,3 +1147,71 @@ def test_iapws06_ice_second_derivative_quantities(spark):
     gtp_fd = (rows[1]["__gice_gt"] - rows[0]["__gice_gt"]) / dP
     assert r["__gice_gpp"] == pytest.approx(gpp_fd, rel=1e-5)
     assert r["__gice_gtp"] == pytest.approx(gtp_fd, rel=1e-5)
+
+
+def test_enthalpy_first_derivatives_match_fd(spark):
+    """Analytic h_SA / h_CT (derivative coefficient polynomials) must
+    match central finite differences of the staged enthalpy to 1e-6
+    relative, and h_CT must sit within a few % of cp0 (its leading
+    term)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        dynamic_enthalpy_stages,
+        enthalpy_first_derivatives_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(35.16504, 10.0, 1000.0), (30.0, 2.0, 100.0), (37.0, 28.0, 4000.0)],
+        "sa DOUBLE, ct DOUBLE, p DOUBLE",
+    )
+    stages = (
+        enthalpy_first_derivatives_stages("sa", "ct", "p")
+        + dynamic_enthalpy_stages("sa", "(ct + 1.0e-3)", "p", x="__cp_")
+        + dynamic_enthalpy_stages("sa", "(ct - 1.0e-3)", "p", x="__cm_")
+        + dynamic_enthalpy_stages("(sa + 1.0e-2)", "ct", "p", x="__sp_")
+        + dynamic_enthalpy_stages("(sa - 1.0e-2)", "ct", "p", x="__sm_")
+    )
+    for name, expr in stages:
+        df = df.withColumn(name, F.expr(expr))
+    rows = df.select(
+        "h_sa",
+        "h_ct",
+        (
+            (F.col("__cp_out") - F.col("__cm_out")) / 2.0e-3 + GSW_CP0
+        ).alias("h_ct_fd"),
+        ((F.col("__sp_out") - F.col("__sm_out")) / 2.0e-2).alias("h_sa_fd"),
+    ).collect()
+    for r in rows:
+        assert r.h_ct == pytest.approx(r.h_ct_fd, rel=1e-6)
+        assert r.h_sa == pytest.approx(r.h_sa_fd, rel=1e-4, abs=1e-4)
+        assert r.h_ct == pytest.approx(GSW_CP0, rel=0.05)
+
+
+def test_ct_maxdensity_anchors(spark):
+    """The density-maximum temperature: ≈ 4 °C (CT scale) for near-
+    fresh water at 0 dbar, monotonically decreasing with SA, below
+    -3.5 °C at standard-ocean salinity (the reason polar oceans
+    convect: SSO water has no density maximum above freezing). The
+    converged root must zero the analytic v_ys to machine precision."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_maxdensity_stages,
+        specvol_deriv_poly_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(0.02, 0.0), (10.0, 0.0), (24.0, 0.0), (35.16504, 0.0)],
+        "sa DOUBLE, p DOUBLE",
+    )
+    for name, expr in ct_maxdensity_stages("sa", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    df = df.withColumn("ysr", F.expr("(ct_maxdensity*0.025e0)")).withColumn(
+        "vy_at_root",
+        F.expr(specvol_deriv_poly_sql("__ctmd_xs", "ysr", "__ctmd_z", 0, 1, 0)),
+    )
+    rows = sorted(df.collect(), key=lambda r: r.sa)
+    cts = [r.ct_maxdensity for r in rows]
+    assert cts[0] == pytest.approx(4.2, abs=0.15)  # near-fresh, CT scale
+    assert all(a > b for a, b in zip(cts, cts[1:]))  # decreasing with SA
+    assert cts[-1] < -3.5
+    for r in rows:
+        assert abs(r.vy_at_root) < 1e-12  # Newton converged

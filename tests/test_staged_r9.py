@@ -84,6 +84,12 @@ STAGED_NAMES = [
     "part_brand_price_theil_index",
     "orders_seasonal_trend_decomposition",
     "graph_two_hop_reach_profile",
+    # wave L — GSW derivative/inversion surfaces + rank test
+    "gsw_t_freezing_derivatives",
+    "gsw_enthalpy_first_derivatives",
+    "gsw_ct_maxdensity",
+    "gsw_pot_enthalpy_from_pt",
+    "lineitem_mannwhitney_returnflag",
 ]
 
 REPLACEMENT_NAMES = [
