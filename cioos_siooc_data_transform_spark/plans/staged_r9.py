@@ -54,6 +54,10 @@ Content so far:
   derivatives (derivative coefficient polynomials), CT of maximum
   density (Newton on the analytic v_ys root), potential enthalpy,
   tie-corrected Mann–Whitney U test.
+- Wave M — CUSUM changepoint location with flanking means, Kendall
+  τ-b from the contingency table (O(cells²), bounded broadcast),
+  first-vs-repeat order value bias, quantile normalization onto a
+  reference distribution.
 """
 
 from __future__ import annotations
@@ -3351,4 +3355,343 @@ def lineitem_mannwhitney_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
             )
             / 1.0e6
         ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wave M — changepoint location, Kendall tau-b, selection-bias audit,
+# quantile normalization.
+# ---------------------------------------------------------------------------
+@_register(
+    "events_changepoint_location",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             row_number() OVER w AS k,
+             CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) OVER w
+                  AS BIGINT) AS s_k,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY event_type) AS BIGINT) AS s_n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), scored AS (
+      SELECT event_type, k, n, s_k, s_n,
+             abs(CAST(s_k AS DOUBLE) - CAST(k AS DOUBLE)/n*s_n) AS g
+      FROM seq WHERE k < n
+    ), best AS (
+      SELECT event_type, k, n, s_k, s_n FROM (
+        SELECT event_type, k, n, s_k, s_n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY g DESC, k) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT event_type, n AS n_events, CAST(k AS BIGINT) AS changepoint_idx,
+           floor(CAST(s_k AS DOUBLE) / 1.0e6 / k * 1.0e6 + 0.5) / 1.0e6
+             AS mean_before,
+           floor((CAST(s_n AS DOUBLE) - s_k) / 1.0e6 / (n - k) * 1.0e6 + 0.5)
+             / 1.0e6 AS mean_after
+    FROM best
+    """,
+)
+def events_changepoint_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single most-likely mean changepoint per type (binary-segmentation
+    first split): argmax_k |S_k − (k/n)·S_n| over the time-ordered
+    cumulative sums — WHERE the level shifted, with the means either
+    side. Prefix sums are exact micro-ints; the argmax is a deterministic
+    (g DESC, k) window. One ordered pass per type + the tiny argmax."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    v = F.floor(F.col("value") * 1.0e6 + 0.5).cast("long")
+    seq = e.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("k"),
+        F.sum(v).over(w).cast("long").alias("s_k"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum(v).over(wall).cast("long").alias("s_n"),
+    )
+    scored = seq.filter(F.col("k") < F.col("n")).withColumn(
+        "g",
+        F.abs(
+            F.col("s_k").cast("double")
+            - F.col("k").cast("double") / F.col("n") * F.col("s_n")
+        ),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("g").desc(), F.col("k")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w_best)).filter(
+        F.col("rn") == 1
+    )
+    return best.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.col("k").cast("long").alias("changepoint_idx"),
+        (
+            F.floor(
+                F.col("s_k").cast("double") / 1.0e6 / F.col("k") * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_before"),
+        (
+            F.floor(
+                (F.col("s_n").cast("double") - F.col("s_k"))
+                / 1.0e6
+                / (F.col("n") - F.col("k"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_after"),
+    )
+
+
+@_register(
+    "lineitem_kendall_tau_contingency",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS f
+      FROM lineitem GROUP BY 1, 2
+    ), cd AS (
+      SELECT CAST(sum(CASE WHEN b.x > a.x AND b.y > a.y
+                           THEN CAST(a.f AS HUGEINT)*b.f ELSE 0 END)
+                  AS HUGEINT) AS conc,
+             CAST(sum(CASE WHEN b.x > a.x AND b.y < a.y
+                           THEN CAST(a.f AS HUGEINT)*b.f ELSE 0 END)
+                  AS HUGEINT) AS disc
+      FROM cells a CROSS JOIN cells b
+    ), xm AS (
+      SELECT CAST(sum(CAST(fx AS HUGEINT)*(fx - 1)) AS HUGEINT) AS t1
+      FROM (SELECT CAST(sum(f) AS BIGINT) AS fx FROM cells GROUP BY x)
+    ), ym AS (
+      SELECT CAST(sum(CAST(fy AS HUGEINT)*(fy - 1)) AS HUGEINT) AS t2
+      FROM (SELECT CAST(sum(f) AS BIGINT) AS fy FROM cells GROUP BY y)
+    ), tot AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM cells)
+    SELECT t.n,
+           CAST(c.conc AS BIGINT) AS concordant,
+           CAST(c.disc AS BIGINT) AS discordant,
+           floor((CAST(c.conc AS DOUBLE) - CAST(c.disc AS DOUBLE))
+                 / sqrt((CAST(t.n AS DOUBLE)*(t.n - 1)/2.0e0
+                         - CAST(x.t1 AS DOUBLE)/2.0e0)
+                        * (CAST(t.n AS DOUBLE)*(t.n - 1)/2.0e0
+                           - CAST(y.t2 AS DOUBLE)/2.0e0))
+                 * 1.0e6 + 0.5) / 1.0e6 AS kendall_tau_b
+    FROM cd c CROSS JOIN xm x CROSS JOIN ym y CROSS JOIN tot t
+    """,
+)
+def lineitem_kendall_tau_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between discount and quantity from the contingency
+    table: concordant/discordant pair counts are exact products of cell
+    frequencies over the ~(11 discount levels × 50 quantities) grid —
+    O(cells²) instead of O(n²), the correct way to run a rank
+    correlation on heavily tied data at any corpus size. The cell-pair
+    enumeration is a bounded broadcast (≤ ~550-row dimension against
+    itself, a BroadcastNestedLoopJoin — linear in cells², never in
+    rows²); tie terms from the margins; one exact-integer finish."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("f"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("f").alias("af")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("f").alias("bf")
+    )
+    prod = F.col("af").cast("decimal(19,0)") * F.col("bf").cast("decimal(19,0)")
+    cd = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")), prod
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")), prod
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("disc"),
+    )
+    xm = (
+        cells.groupBy("x")
+        .agg(F.sum("f").cast("long").alias("fx"))
+        .agg(
+            F.sum(
+                F.col("fx").cast("decimal(19,0)")
+                * (F.col("fx") - 1).cast("decimal(19,0)")
+            ).alias("t1")
+        )
+    )
+    ym = (
+        cells.groupBy("y")
+        .agg(F.sum("f").cast("long").alias("fy"))
+        .agg(
+            F.sum(
+                F.col("fy").cast("decimal(19,0)")
+                * (F.col("fy") - 1).cast("decimal(19,0)")
+            ).alias("t2")
+        )
+    )
+    tot = cells.agg(F.sum("f").cast("long").alias("n"))
+    j = (
+        cd.crossJoin(F.broadcast(xm))
+        .crossJoin(F.broadcast(ym))
+        .crossJoin(F.broadcast(tot))
+    )
+    n0 = F.col("n").cast("double") * (F.col("n") - 1) / 2.0
+    return j.select(
+        "n",
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        (
+            F.floor(
+                (F.col("conc").cast("double") - F.col("disc").cast("double"))
+                / F.sqrt(
+                    (n0 - F.col("t1").cast("double") / 2.0)
+                    * (n0 - F.col("t2").cast("double") / 2.0)
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("kendall_tau_b"),
+    )
+
+
+@_register(
+    "orders_first_vs_repeat_value",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), marked AS (
+      SELECT CASE WHEN rn = 1 THEN 'first' ELSE 'repeat' END AS order_kind,
+             cents
+      FROM o
+    )
+    SELECT order_kind, CAST(count(*) AS BIGINT) AS n_orders,
+           floor(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*) * 1.0e2 + 0.5)
+             / 1.0e2 AS avg_value,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM marked GROUP BY order_kind
+    """,
+)
+def orders_first_vs_repeat_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-bias audit: average order value of each customer's
+    FIRST order vs all repeat orders — the acquisition-vs-retention
+    value gap every LTV model must not conflate (a first-order discount
+    shows up here before it shows up anywhere else). One per-customer
+    ordered window, exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    marked = o.select(
+        F.when(F.row_number().over(w) == 1, "first")
+        .otherwise("repeat")
+        .alias("order_kind"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    return marked.groupBy("order_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.floor(
+                F.sum("cents").cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+                * 1.0e2
+                + 0.5
+            )
+            / 1.0e2
+        ).alias("avg_value"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@_register(
+    "supplier_balance_quantile_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY s_acctbal, s_suppkey) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS n_s
+      FROM supplier
+    ), c AS (
+      SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS r,
+             CAST(count(*) OVER () AS BIGINT) AS n_c
+      FROM customer
+    ), mapped AS (
+      SELECT s.s_suppkey, s.cents AS supplier_cents,
+             -- target index: round((r-0.5)/n_s * n_c + 0.5), clamped
+             least(greatest(CAST(floor((s.r - 0.5e0) / s.n_s * n_c.n_c
+                                       + 1.0e0) AS BIGINT), 1),
+                   n_c.n_c) AS tgt
+      FROM s CROSS JOIN (SELECT max(n_c) AS n_c FROM c) n_c
+    )
+    SELECT m.s_suppkey, m.supplier_cents,
+           c.cents AS normalized_cents
+    FROM mapped m JOIN c ON c.r = m.tgt
+    """,
+)
+def supplier_balance_quantile_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization of supplier balances onto the customer
+    balance distribution: supplier at empirical quantile q maps to the
+    customer value at the same q — the distribution-matching transform
+    feature pipelines use to make two sources comparable. Both sides
+    rank once (the windows run over dimension tables); the index
+    mapping is exact integer arithmetic with edge clamping; the lookup
+    is an equi-join on the target rank."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    ws = Window.orderBy("s_acctbal", "s_suppkey")
+    wc = Window.orderBy("c_acctbal", "c_custkey")
+    sr = s.select(
+        "s_suppkey",
+        F.floor(F.col("s_acctbal") * 100.0 + 0.5)
+        .cast("long")
+        .alias("supplier_cents"),
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_s"),
+    )
+    cr = c.select(
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+        F.row_number().over(wc).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_c"),
+    )
+    nc = cr.agg(F.max("n_c").alias("n_c"))
+    mapped = sr.crossJoin(F.broadcast(nc)).select(
+        "s_suppkey",
+        "supplier_cents",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("r") - 0.5) / F.col("n_s") * F.col("n_c") + 1.0
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ),
+            F.col("n_c"),
+        ).alias("tgt"),
+    )
+    return mapped.join(
+        F.broadcast(cr.select(F.col("r").alias("tgt"), "cents")), "tgt"
+    ).select(
+        "s_suppkey",
+        "supplier_cents",
+        F.col("cents").alias("normalized_cents"),
     )

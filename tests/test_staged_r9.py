@@ -90,6 +90,11 @@ STAGED_NAMES = [
     "gsw_ct_maxdensity",
     "gsw_pot_enthalpy_from_pt",
     "lineitem_mannwhitney_returnflag",
+    # wave M — changepoint, Kendall tau-b, bias audit, quantile norm
+    "events_changepoint_location",
+    "lineitem_kendall_tau_contingency",
+    "orders_first_vs_repeat_value",
+    "supplier_balance_quantile_normalize",
 ]
 
 REPLACEMENT_NAMES = [
