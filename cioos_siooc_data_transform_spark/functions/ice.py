@@ -76,7 +76,9 @@ _I1 = 1.0 / _T1
 _I2 = 1.0 / _T2
 
 
-def gibbs_ice_stages(t: str, p: str) -> list[tuple[str, str]]:
+def gibbs_ice_stages(
+    t: str, p: str, x: str = "__gice_", out: str = ""
+) -> list[tuple[str, str]]:
     """Named stages computing g and its first/second derivatives for
     ice Ih, finishing with the four GSW-surface columns:
 
@@ -87,8 +89,9 @@ def gibbs_ice_stages(t: str, p: str) -> list[tuple[str, str]]:
 
     plus ``gibbs_ice`` (g itself, J/kg). Intermediates carry the
     collision-resistant ``__gice_`` prefix (same rule as
-    theta_rk4_stages)."""
-    x = "__gice_"
+    theta_rk4_stages). Pass a distinct ``x`` (and ``out`` prefix for
+    the final surface columns) to evaluate the chain at several state
+    points in one plan (the pt0_from_t_ice Newton inversion)."""
     tt = _lit(ICE_TT)
     stages: list[tuple[str, str]] = [
         (f"{x}tau", f"((273.15e0 + ({t})) / {tt})"),
@@ -235,19 +238,19 @@ def gibbs_ice_stages(t: str, p: str) -> list[tuple[str, str]]:
             f"{x}gtp",
             f"({x}r2px*{x}d2x - {x}r2py*{x}d2y)",
         ),
-        ("gibbs_ice", f"{x}g"),
-        ("rho_ice", f"(1.0e0/{x}gp)"),
-        ("entropy_ice", f"(-{x}gt)"),
-        ("cp_ice", f"(-{tk}*{x}gtt)"),
-        ("enthalpy_ice", f"({x}g - {tk}*{x}gt)"),
+        (f"{out}gibbs_ice", f"{x}g"),
+        (f"{out}rho_ice", f"(1.0e0/{x}gp)"),
+        (f"{out}entropy_ice", f"(-{x}gt)"),
+        (f"{out}cp_ice", f"(-{tk}*{x}gtt)"),
+        (f"{out}enthalpy_ice", f"({x}g - {tk}*{x}gt)"),
         # isothermal compressibility κ_T = −g_pp/g_p  [1/Pa]
-        ("kappa_const_t_ice", f"(-{x}gpp/{x}gp)"),
+        (f"{out}kappa_const_t_ice", f"(-{x}gpp/{x}gp)"),
         # u = g − T·g_T − P·g_p, f = g − P·g_p (absolute P)
-        ("internal_energy_ice", f"({x}g - {tk}*{x}gt - {p_abs}*{x}gp)"),
-        ("helmholtz_energy_ice", f"({x}g - {p_abs}*{x}gp)"),
+        (f"{out}internal_energy_ice", f"({x}g - {tk}*{x}gt - {p_abs}*{x}gp)"),
+        (f"{out}helmholtz_energy_ice", f"({x}g - {p_abs}*{x}gp)"),
         # adiabatic sound speed c = g_p·sqrt(g_TT/(g_Tp² − g_TT·g_pp))
         (
-            "sound_speed_ice",
+            f"{out}sound_speed_ice",
             f"({x}gp*sqrt({x}gtt/({x}gtp*{x}gtp - {x}gtt*{x}gpp)))",
         ),
     ]

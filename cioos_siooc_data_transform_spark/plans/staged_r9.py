@@ -3695,3 +3695,214 @@ def supplier_balance_quantile_normalize(
         "supplier_cents",
         F.col("cents").alias("normalized_cents"),
     )
+
+
+# ===========================================================================
+# Wave N — slate completion to the 50-name budget: the chemical
+# potential of water in ice (the one IAPWS-06 Gibbs surface with no
+# query yet — GSW twin: gsw_chem_potential_water_ice in
+# GSW/_wrapped_ufuncs.py, re-exported via GSW/ice.py, which returns
+# the Gibbs energy g(t, p) itself), and a Cohen's-kappa inter-labeler
+# agreement audit over the documents table (the annotator-agreement
+# check a labeling pipeline runs before trusting a heuristic filter).
+# ===========================================================================
+@_register(
+    "gsw_chem_potential_water_ice",
+    oracle="__WAVE_N__",  # assembled below (needs the staged chain)
+)
+def gsw_chem_potential_water_ice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chemical potential of water in ice Ih = the IAPWS-06 Gibbs
+    energy g(t, p) itself [J/kg] (GSW twin:
+    gsw_chem_potential_water_ice — GSW/ice.py returns gibbs_ice(0,0)
+    verbatim). Table-6 pinned via the shared gibbs_ice stage chain in
+    tests/test_oceanography_checkvalues.py; |g| <= ~4e4 J/kg over the
+    wave-H input envelope, so the 1e-4 floor sits ~1e-8 relative —
+    five decades above the cross-engine transcendental noise. Zero
+    shuffle, pure whole-stage codegen."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ice_inputs
+
+    df = _ice_inputs(spark, sf_dir)
+    for name, expr in gibbs_ice_stages("t", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("gibbs_ice") * 1.0e4 + 0.5) / 1.0e4).alias(
+            "chem_pot_water_ice"
+        ),
+    )
+
+
+def _chem_pot_ice_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ICE_IN_SQL
+
+    staged = _stage_sql(_ICE_IN_SQL, gibbs_ice_stages("t", "p"))
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(gibbs_ice * 1.0e4 + 0.5) / 1.0e4 AS chem_pot_water_ice
+    FROM {staged}
+    """
+
+
+STAGED_ORACLES["gsw_chem_potential_water_ice"] = _chem_pot_ice_oracle()
+
+
+def _kappa_sw_list() -> str:
+    from cioos_siooc_data_transform_spark.operators.text import LANG_STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"]) + "]"
+
+
+@_register(
+    "doc_quality_cohen_kappa",
+    oracle="__WAVE_N__",  # assembled below (needs the stopword list)
+)
+def doc_quality_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent heuristic quality labelers
+    over documents — labeler A buckets by stopword density (per-mille
+    terciles 46/71), labeler B by mean word length (milli-char terciles
+    4433/4585). The agreement audit a data pipeline runs before
+    trusting one heuristic as ground truth for another. Output: the
+    full 3x3 contingency (label_a, label_b, n) with kappa attached.
+
+    Exactness: labels are pure integer arithmetic (floor of int*1000 /
+    int — bit-identical to DuckDB's `//` for non-negative operands);
+    kappa = (N*agree - sum r_i*c_i) / (N^2 - sum r_i*c_i) is computed
+    from exact decimal(38,0) sums and divided once in double, so the
+    1e-9 floor is deterministic. Scale shape: one map-side-combinable
+    3x3 groupBy over the corpus; everything downstream operates on <=9
+    rows (broadcast); no skew exposure."""
+    from cioos_siooc_data_transform_spark.operators.text import (
+        LANG_STOPWORDS,
+        stopword_occurrences,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    w = docs.select(
+        F.size(words).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        stopword_occurrences(words, LANG_STOPWORDS["en"])
+        .cast("long")
+        .alias("stop_hits"),
+    ).filter(F.col("n_tokens") > 0)
+    m = w.select(
+        F.floor(F.col("stop_hits") * 1000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("swm"),
+        F.floor(
+            (F.col("n_chars") - F.col("n_tokens") + 1)
+            * 1000
+            / F.col("n_tokens")
+        )
+        .cast("long")
+        .alias("mwl"),
+    )
+    lab = m.select(
+        F.when(F.col("swm") < 46, 0)
+        .when(F.col("swm") < 71, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("label_a"),
+        F.when(F.col("mwl") < 4433, 0)
+        .when(F.col("mwl") < 4585, 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("label_b"),
+    )
+    cont = lab.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    tot = cont.agg(
+        F.sum("n").cast("decimal(19,0)").alias("n_total"),
+        F.sum(
+            F.when(F.col("label_a") == F.col("label_b"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("decimal(19,0)")
+        .alias("agree_n"),
+    )
+    row = cont.groupBy("label_a").agg(
+        F.sum("n").cast("decimal(19,0)").alias("row_n")
+    )
+    col = cont.groupBy("label_b").agg(
+        F.sum("n").cast("decimal(19,0)").alias("col_n")
+    )
+    pe = (
+        row.join(F.broadcast(col), F.col("label_a") == F.col("label_b"))
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("pe_num"))
+    )
+    kappa = (
+        F.floor(
+            (
+                (dec("n_total") * dec("agree_n") - F.col("pe_num")).cast(
+                    "double"
+                )
+                / (dec("n_total") * dec("n_total") - F.col("pe_num")).cast(
+                    "double"
+                )
+            )
+            * 1.0e9
+            + 0.5
+        )
+        / 1.0e9
+    ).alias("kappa")
+    return (
+        cont.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(pe))
+        .select("label_a", "label_b", "n", kappa)
+    )
+
+
+def _cohen_kappa_oracle() -> str:
+    sw = _kappa_sw_list()
+    return f"""
+    WITH w AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> list_contains({sw}, x))) AS BIGINT) AS stop_hits
+      FROM documents
+    ), m AS (
+      SELECT stop_hits * 1000 // n_tokens AS swm,
+             (n_chars - n_tokens + 1) * 1000 // n_tokens AS mwl
+      FROM w WHERE n_tokens > 0
+    ), lab AS (
+      SELECT CASE WHEN swm < 46 THEN 0 WHEN swm < 71 THEN 1 ELSE 2 END
+               AS label_a,
+             CASE WHEN mwl < 4433 THEN 0 WHEN mwl < 4585 THEN 1 ELSE 2 END
+               AS label_b
+      FROM m
+    ), cont AS (
+      SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n
+      FROM lab GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS n_total,
+             CAST(sum(CASE WHEN label_a = label_b THEN n ELSE 0 END)
+                  AS HUGEINT) AS agree_n
+      FROM cont
+    ), pe AS (
+      SELECT sum(CAST(r.row_n AS HUGEINT) * CAST(c.col_n AS HUGEINT))
+               AS pe_num
+      FROM (SELECT label_a, sum(n) AS row_n FROM cont GROUP BY 1) r
+      JOIN (SELECT label_b, sum(n) AS col_n FROM cont GROUP BY 1) c
+        ON c.label_b = r.label_a
+    )
+    SELECT cont.label_a, cont.label_b, cont.n,
+           floor(CAST(tot.n_total * tot.agree_n - pe.pe_num AS DOUBLE)
+                 / CAST(tot.n_total * tot.n_total - pe.pe_num AS DOUBLE)
+                 * 1.0e9 + 0.5) / 1.0e9 AS kappa
+    FROM cont CROSS JOIN tot CROSS JOIN pe
+    """
+
+
+STAGED_ORACLES["doc_quality_cohen_kappa"] = _cohen_kappa_oracle()

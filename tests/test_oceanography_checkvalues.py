@@ -1215,3 +1215,50 @@ def test_ct_maxdensity_anchors(spark):
     assert cts[-1] < -3.5
     for r in rows:
         assert abs(r.vy_at_root) < 1e-12  # Newton converged
+
+
+def test_o2sol_garcia_gordon_anchor(spark):
+    """Garcia & Gordon (1992) Benson–Krause combined fit: the published
+    Table-1 fit reproduces the Benson & Krause data to ~0.1%; anchor
+    at (SP=35, pt=10) where the handbook value is ~274.6 umol/kg, and
+    pin the freshwater 0-degC endpoint (~457.8 umol/kg) loosely."""
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import _o2sol_sql
+
+    df = spark.createDataFrame(
+        [(35.0, 10.0), (0.0, 0.0)], "sp DOUBLE, pt DOUBLE"
+    ).withColumn("o2", F.expr(_o2sol_sql("sp", "pt")))
+    rows = {(r["sp"], r["pt"]): r["o2"] for r in df.collect()}
+    assert rows[(35.0, 10.0)] == pytest.approx(274.6, abs=1.0)
+    assert rows[(0.0, 0.0)] == pytest.approx(457.8, abs=2.0)
+
+
+def test_adiabatic_lapse_rate_ice_fd(spark):
+    """Γ_ice = -g_Tp/g_TT must equal the finite-difference isentrope
+    slope dT/dP at constant entropy (implicit FD on entropy_ice)."""
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+
+    t0, p0, dp = -10.0, 500.0, 1.0e-2
+    df = spark.createDataFrame([(t0, p0)], "t DOUBLE, p DOUBLE")
+    for name, expr in gibbs_ice_stages("t", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    r = df.select(
+        (-F.col("__gice_gtp") / F.col("__gice_gtt")).alias("gamma"),
+        "entropy_ice",
+    ).collect()[0]
+    gamma, s0 = r["gamma"], r["entropy_ice"]
+
+    # FD: entropy at (t0 + gamma*1e4*dp, p0 + dp) must match s0 to
+    # second order (1e4 converts dbar to Pa for the lapse rate).
+    df2 = spark.createDataFrame(
+        [(t0 + gamma * 1.0e4 * dp, p0 + dp)], "t DOUBLE, p DOUBLE"
+    )
+    for name, expr in gibbs_ice_stages("t", "p"):
+        df2 = df2.withColumn(name, F.expr(expr))
+    s1 = df2.select("entropy_ice").collect()[0][0]
+    # ds along the claimed isentrope ~ O(dp^2); compare against the
+    # entropy change of a pure pressure step of the same size.
+    df3 = spark.createDataFrame([(t0, p0 + dp)], "t DOUBLE, p DOUBLE")
+    for name, expr in gibbs_ice_stages("t", "p"):
+        df3 = df3.withColumn(name, F.expr(expr))
+    s_raw = df3.select("entropy_ice").collect()[0][0]
+    assert abs(s1 - s0) < 1e-6 * abs(s_raw - s0)

@@ -95,6 +95,9 @@ STAGED_NAMES = [
     "lineitem_kendall_tau_contingency",
     "orders_first_vs_repeat_value",
     "supplier_balance_quantile_normalize",
+    # wave N — slate completion: ice chemical potential, Cohen's kappa
+    "gsw_chem_potential_water_ice",
+    "doc_quality_cohen_kappa",
 ]
 
 REPLACEMENT_NAMES = [
