@@ -279,3 +279,254 @@ def gsw_o2sol_sp_pt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["gsw_o2sol_sp_pt"] = _o2sol_oracle()
+
+
+# ===========================================================================
+# Wave B — GSW Newton/fixed-slope inversions (GSW twins:
+# gsw_pt0_from_t_ice, gsw_pressure_freezing_CT, gsw_SA_freezing_from_CT
+# in GSW/_wrapped_ufuncs.py). All three are roundtrip-style: the target
+# value is produced by the forward function inside the query, then
+# recovered by iteration — BOTH engines run the identical IEEE tree, so
+# parity is exact regardless of convergence level; convergence itself
+# (residual ~1e-7 or better) is pinned in
+# tests/test_oceanography_checkvalues.py.
+#
+# Fixed-slope iteration note: the freezing-point slopes are nearly
+# constant over the input envelope (measured dCTf/dp in [-7.853e-4,
+# -7.723e-4] degC/dbar and dCTf/dSA in [-0.0591, -0.0574] degC per
+# unit SP for s in [30, 35.2], p in [0, 2000]), so x_{k+1} = x_k -
+# (f(x_k) - target)/slope converges by ~200x per step - and, unlike a
+# finite-difference Newton, needs ONE 9 KB ct_from_t evaluation per
+# step instead of three (janino 64 KB method-limit headroom; the
+# [[round-cadence-staging]] lesson).
+# ===========================================================================
+def _pt0_ice_stages() -> list[tuple[str, str]]:
+    """Stage list recovering pt0_ice from (t, p): entropy match on the
+    IAPWS-06 chain, two Newton steps with the analytic ds/dT = -g_TT."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+
+    stages = list(gibbs_ice_stages("t", "p", x="__i0_", out="__i0o_"))
+    stages.append(("__pt_0", "t"))
+    for k in (1, 2):
+        stages += gibbs_ice_stages(
+            f"__pt_{k - 1}", "0.0e0", x=f"__i{k}_", out=f"__i{k}o_"
+        )
+        stages.append(
+            (
+                f"__pt_{k}",
+                f"(__pt_{k - 1} + (__i{k}o_entropy_ice - __i0o_entropy_ice)"
+                f" / __i{k}_gtt)",
+            )
+        )
+    stages.append(("pt0_ice", "__pt_2"))
+    return stages
+
+
+@_register("gsw_pt0_from_t_ice", oracle="__WAVE_B__")
+def gsw_pt0_from_t_ice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential temperature of ice Ih with reference pressure 0 dbar
+    (GSW twin: gsw_pt0_from_t_ice): the pt0 whose entropy at p=0
+    equals entropy_ice(t, p), found by two Newton steps from pt=t with
+    the analytic derivative ds/dT = -g_TT. Entropy of ice is nearly
+    linear in T (s'' / 2s' ~ 5e-3 per K), so two steps from an initial
+    error of <~0.5 K land below 1e-8 K (roundtrip pinned in tests).
+    Zero shuffle; three prefixed Gibbs chains (~12 KB total text) keep
+    every surviving projection far under the janino method limit."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ice_inputs
+
+    df = _ice_inputs(spark, sf_dir)
+    for name, expr in _pt0_ice_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("pt0_ice") * 1.0e9 + 0.5) / 1.0e9).alias("pt0_ice"),
+    )
+
+
+def _pt0_ice_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ICE_IN_SQL
+
+    staged = _stage_sql(_ICE_IN_SQL, _pt0_ice_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(pt0_ice * 1.0e9 + 0.5) / 1.0e9 AS pt0_ice
+    FROM {staged}
+    """
+
+
+STAGED_ORACLES["gsw_pt0_from_t_ice"] = _pt0_ice_oracle()
+
+
+#: Fixed slopes for the freezing-point inversions (measured central
+#: differences over the input envelope; see wave-B header).
+_DCTF_DP = -7.74e-4
+_DCTF_DSA = -0.0582
+
+
+def _p_freezing_stages() -> list[tuple[str, str]]:
+    """Recover the freezing pressure from (s, ct): linear init from
+    CT_f(s, 0), then two fixed-slope steps. Each evaluation stages
+    t_f first so the ct_from_t text stays ~9 KB."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        t_freezing_sql,
+    )
+
+    stages: list[tuple[str, str]] = [
+        ("__pf_tfz", t_freezing_sql("s", "0.0e0")),
+        ("__pf_ctz", ct_from_t_sql("s", "__pf_tfz", "0.0e0")),
+        ("__pf_p0", f"((ct - __pf_ctz) / {_DCTF_DP:.17g})"),
+    ]
+    for k in (1, 2):
+        prev = f"__pf_p{k - 1}"
+        stages += [
+            (f"__pf_tf{k}", t_freezing_sql("s", prev)),
+            (f"__pf_ct{k}", ct_from_t_sql("s", f"__pf_tf{k}", prev)),
+            (
+                f"__pf_p{k}",
+                f"({prev} - (__pf_ct{k} - ct) / {_DCTF_DP:.17g})",
+            ),
+        ]
+    stages.append(("p_freezing", "__pf_p2"))
+    return stages
+
+
+def _pfreeze_in_sql() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_sql,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber, s,
+           {ct_freezing_sql("s", "p")} AS ct, p AS p_true
+    FROM ({_IN_SQL})
+    """
+
+
+@_register("gsw_pressure_freezing_ct", oracle="__WAVE_B__")
+def gsw_pressure_freezing_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freezing pressure from (SP, CT) (GSW twin:
+    gsw_pressure_freezing_CT): the sea pressure at which seawater of
+    salinity s freezes at Conservative Temperature ct. The query
+    composes CT_freezing(s, p_true) forward, then inverts with a
+    linear init from CT_f(s, 0) and two fixed-slope steps
+    (convergence ~0.4%/step factor => residual < 1e-4 dbar, pinned in
+    tests alongside |p_rec - p_true|). Zero shuffle, whole-stage
+    codegen; the ct evaluations are staged one per projection."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_sql,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "s",
+        F.expr(ct_freezing_sql("s", "p")).alias("ct"),
+        F.col("p").alias("p_true"),
+    )
+    for name, expr in _p_freezing_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("p_freezing") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "p_freezing"
+        ),
+    )
+
+
+def _pfreeze_oracle() -> str:
+    staged = _stage_sql(_pfreeze_in_sql(), _p_freezing_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(p_freezing * 1.0e6 + 0.5) / 1.0e6 AS p_freezing
+    FROM {staged}
+    """
+
+
+STAGED_ORACLES["gsw_pressure_freezing_ct"] = _pfreeze_oracle()
+
+
+def _sa_freezing_stages() -> list[tuple[str, str]]:
+    """Recover the freezing salinity from (ct, p): fixed init at the
+    envelope midpoint, four fixed-slope steps (factor ~1.5%/step =>
+    residual ~1e-7 unit SP)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        t_freezing_sql,
+    )
+
+    stages: list[tuple[str, str]] = [("__sf_s0", "32.5e0")]
+    for k in (1, 2, 3, 4):
+        prev = f"__sf_s{k - 1}"
+        stages += [
+            (f"__sf_tf{k}", t_freezing_sql(prev, "p")),
+            (f"__sf_ct{k}", ct_from_t_sql(prev, f"__sf_tf{k}", "p")),
+            (
+                f"__sf_s{k}",
+                f"({prev} - (__sf_ct{k} - ct) / {_DCTF_DSA:.17g})",
+            ),
+        ]
+    stages += [
+        ("sp_freezing", "__sf_s4"),
+        ("sa_freezing", f"(__sf_s4 * (35.16504e0/35.0e0))"),
+    ]
+    return stages
+
+
+@_register("gsw_sa_freezing_from_ct", oracle="__WAVE_B__")
+def gsw_sa_freezing_from_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freezing salinity from (CT, p) (GSW twin:
+    gsw_SA_freezing_from_CT): the salinity at which seawater at sea
+    pressure p freezes at Conservative Temperature ct, recovered by
+    four fixed-slope steps from the envelope midpoint, emitted on both
+    the practical (SP) and absolute (SA = SP*35.16504/35) scales.
+    Roundtrip |sp_rec - s_true| < 1e-6 pinned in tests. Zero shuffle,
+    staged evaluations, exact cross-engine parity."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_sql,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(ct_freezing_sql("s", "p")).alias("ct"),
+        "p",
+    )
+    for name, expr in _sa_freezing_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("sp_freezing") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "sp_freezing"
+        ),
+        (F.floor(F.col("sa_freezing") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "sa_freezing"
+        ),
+    )
+
+
+def _sa_freezing_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_sql,
+    )
+
+    inner = f"""
+    SELECT l_orderkey, l_linenumber,
+           {ct_freezing_sql("s", "p")} AS ct, p
+    FROM ({_IN_SQL})
+    """
+    staged = _stage_sql(inner, _sa_freezing_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(sp_freezing * 1.0e6 + 0.5) / 1.0e6 AS sp_freezing,
+           floor(sa_freezing * 1.0e6 + 0.5) / 1.0e6 AS sa_freezing
+    FROM {staged}
+    """
+
+
+STAGED_ORACLES["gsw_sa_freezing_from_ct"] = _sa_freezing_oracle()

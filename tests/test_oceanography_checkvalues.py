@@ -1262,3 +1262,55 @@ def test_adiabatic_lapse_rate_ice_fd(spark):
         df3 = df3.withColumn(name, F.expr(expr))
     s_raw = df3.select("entropy_ice").collect()[0][0]
     assert abs(s1 - s0) < 1e-6 * abs(s_raw - s0)
+
+
+def test_pt0_from_t_ice_roundtrip(spark):
+    """pt0_ice must satisfy entropy_ice(pt0, 0) == entropy_ice(t, p)
+    to ~1e-6 J/(kg K), i.e. a temperature residual below 1e-7 K."""
+    from cioos_siooc_data_transform_spark.functions.ice import gibbs_ice_stages
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _pt0_ice_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0, 500.0), (-38.0, 2000.0), (-0.5, 100.0)],
+        "t DOUBLE, p DOUBLE",
+    )
+    for name, expr in _pt0_ice_stages():
+        df = df.withColumn(name, F.expr(expr))
+    # re-evaluate entropy at (pt0_ice, 0) with a fresh prefix
+    for name, expr in gibbs_ice_stages("pt0_ice", "0.0e0", x="__v_", out="__v_"):
+        df = df.withColumn(name, F.expr(expr))
+    for r in df.select(
+        "t", "p", "pt0_ice", "__i0o_entropy_ice", "__v_entropy_ice"
+    ).collect():
+        assert abs(r["__v_entropy_ice"] - r["__i0o_entropy_ice"]) < 1e-6
+        # pt0 < t for p > 0 (compression warms along the isentrope)
+        assert r["pt0_ice"] < r["t"]
+
+
+def test_freezing_inversions_roundtrip(spark):
+    """pressure_freezing_CT and SA_freezing_from_CT must recover the
+    forward inputs: |p_rec - p| < 1e-4 dbar, |sp_rec - s| < 1e-6."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _p_freezing_stages,
+        _sa_freezing_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(30.0, 100.0), (32.5, 400.0), (35.0, 700.0)],
+        "s DOUBLE, p DOUBLE",
+    ).withColumn("ct", F.expr(ct_freezing_sql("s", "p")))
+    d1 = df
+    for name, expr in _p_freezing_stages():
+        d1 = d1.withColumn(name, F.expr(expr))
+    for r in d1.select("p", "p_freezing").collect():
+        assert abs(r["p_freezing"] - r["p"]) < 1e-4
+    d2 = df
+    for name, expr in _sa_freezing_stages():
+        d2 = d2.withColumn(name, F.expr(expr))
+    for r in d2.select("s", "sp_freezing").collect():
+        assert abs(r["sp_freezing"] - r["s"]) < 1e-6

@@ -44,6 +44,10 @@ STAGED_NAMES = [
     "gsw_specvol_ice",
     "gsw_salinity_scale_conversions",
     "gsw_o2sol_sp_pt",
+    # wave B — Newton/fixed-slope inversions
+    "gsw_pt0_from_t_ice",
+    "gsw_pressure_freezing_ct",
+    "gsw_sa_freezing_from_ct",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
