@@ -530,3 +530,616 @@ def _sa_freezing_oracle() -> str:
 
 
 STAGED_ORACLES["gsw_sa_freezing_from_ct"] = _sa_freezing_oracle()
+
+
+# ===========================================================================
+# Wave C — classical statistical tests from integer-exact sums
+# (beyond-reference LLM-pipeline scope: the A/B and data-drift test
+# battery). Every aggregate follows the order-independence invariant
+# ([[oracle-parity-gotchas]]): quantize per-row to integer units, sum
+# as decimal(38,0)/HUGEINT, finish in double on the exact sums.
+# ===========================================================================
+@_register(
+    "lineitem_welch_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(count(*) FILTER (l_returnflag = 'A') AS HUGEINT) AS n1,
+             CAST(count(*) FILTER (l_returnflag = 'R') AS HUGEINT) AS n2,
+             sum(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      AS HUGEINT)) FILTER (l_returnflag = 'A') AS s1,
+             sum(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      AS HUGEINT)) FILTER (l_returnflag = 'R') AS s2,
+             sum(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                        AS HUGEINT)) FILTER (l_returnflag = 'A') AS ss1,
+             sum(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                      AS HUGEINT)
+                 * CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                        AS HUGEINT)) FILTER (l_returnflag = 'R') AS ss2
+      FROM lineitem
+    ), f AS (
+      SELECT CAST(n1 AS DOUBLE) AS n1, CAST(n2 AS DOUBLE) AS n2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+             (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0e0)) AS v1,
+             (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0e0)) AS v2
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_r,
+           floor((m1 - m2) * 1.0e2 + 0.5) / 1.0e2 AS mean_diff_cents,
+           floor((m1 - m2) / sqrt(v1/n1 + v2/n2) * 1.0e6 + 0.5) / 1.0e6
+             AS t_welch,
+           floor((v1/n1 + v2/n2) * (v1/n1 + v2/n2)
+                 / ((v1/n1)*(v1/n1)/(n1 - 1.0e0)
+                    + (v2/n2)*(v2/n2)/(n2 - 1.0e0)) * 1.0e3 + 0.5) / 1.0e3
+             AS df_welch,
+           floor((m1 - m2)
+                 / sqrt(((n1 - 1.0e0)*v1 + (n2 - 1.0e0)*v2)
+                        / (n1 + n2 - 2.0e0)) * 1.0e9 + 0.5) / 1.0e9
+             AS cohens_d
+    FROM f
+    """,
+)
+def lineitem_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t between returned ('R') and
+    accepted ('A') line prices, with the Welch–Satterthwaite df and
+    Cohen's d effect size — the A/B significance battery. One
+    map-side-combinable pass builds exact decimal(38,0) sums of cents
+    and cents^2 per group; every statistic finishes in double on the
+    exact sums (identical IEEE tree in the oracle). Scale shape: a
+    single full-scan agg, no shuffle beyond the 2-group combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = (
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .cast("decimal(19,0)")
+    )
+    isa = F.col("l_returnflag") == "A"
+    isr = F.col("l_returnflag") == "R"
+    g = li.agg(
+        F.count(F.when(isa, 1)).cast("decimal(19,0)").alias("n1"),
+        F.count(F.when(isr, 1)).cast("decimal(19,0)").alias("n2"),
+        F.sum(F.when(isa, cents)).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.when(isr, cents)).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.when(isa, cents * cents)).cast("decimal(38,0)").alias("ss1"),
+        F.sum(F.when(isr, cents * cents)).cast("decimal(38,0)").alias("ss2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m2 = F.col("s2").cast("double") / n2
+    v1 = (
+        n1 * F.col("ss1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / (n1 * (n1 - 1.0))
+    v2 = (
+        n2 * F.col("ss2").cast("double")
+        - F.col("s2").cast("double") * F.col("s2").cast("double")
+    ) / (n2 * (n2 - 1.0))
+    f = g.select(
+        n1.alias("n1"), n2.alias("n2"), m1.alias("m1"), m2.alias("m2"),
+        v1.alias("v1"), v2.alias("v2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2, v1, v2 = F.col("m1"), F.col("m2"), F.col("v1"), F.col("v2")
+    se2 = v1 / n1 + v2 / n2
+    return f.select(
+        n1.cast("long").alias("n_a"),
+        n2.cast("long").alias("n_r"),
+        (F.floor((m1 - m2) * 1.0e2 + 0.5) / 1.0e2).alias("mean_diff_cents"),
+        (F.floor((m1 - m2) / F.sqrt(se2) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "t_welch"
+        ),
+        (
+            F.floor(
+                se2 * se2
+                / (
+                    (v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1.0)
+                )
+                * 1.0e3
+                + 0.5
+            )
+            / 1.0e3
+        ).alias("df_welch"),
+        (
+            F.floor(
+                (m1 - m2)
+                / F.sqrt(((n1 - 1.0) * v1 + (n2 - 1.0) * v2) / (n1 + n2 - 2.0))
+                * 1.0e9
+                + 0.5
+            )
+            / 1.0e9
+        ).alias("cohens_d"),
+    )
+
+
+@_register(
+    "lineitem_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT dayofweek(l_shipdate) + 1 AS dow, l_returnflag AS flag,
+             CAST(count(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY 1, 2
+    ), marg AS (
+      SELECT c.dow, c.flag, c.o,
+             sum(c.o) OVER (PARTITION BY c.dow) AS r,
+             sum(c.o) OVER (PARTITION BY c.flag) AS c_,
+             sum(c.o) OVER () AS n
+      FROM cells c
+    ), chi AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(
+               (CAST(o AS DOUBLE)
+                - CAST(r AS DOUBLE)*CAST(c_ AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(r AS DOUBLE)*CAST(c_ AS DOUBLE)/CAST(n AS DOUBLE))
+               / (CAST(r AS DOUBLE)*CAST(c_ AS DOUBLE)/CAST(n AS DOUBLE))
+               * 1.0e12 + 0.5) AS BIGINT)) AS HUGEINT) AS chi2_pico
+      FROM marg
+    )
+    SELECT n,
+           CAST(chi2_pico AS DOUBLE) / 1.0e12 AS chi2,
+           floor(sqrt(CAST(chi2_pico AS DOUBLE) / 1.0e12
+                      / (CAST(n AS DOUBLE) * 2.0e0)) * 1.0e9 + 0.5)
+             / 1.0e9 AS cramers_v
+    FROM chi
+    """,
+)
+def lineitem_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between ship weekday (7 levels) and
+    return flag (3 levels): chi-square over the 21-cell contingency
+    with V = sqrt(chi2 / (N*min(r-1, c-1))), min = 2. The contingency
+    is one map-side-combinable groupBy; marginals and the finisher run
+    on <=21 rows. Each chi-square term is a deterministic function of
+    exact integer counts, quantized per-cell to 1e-12 units and summed
+    exactly (decimal/HUGEINT) so the 21-term addition order cannot
+    move the result. Weekday parity: Spark dayofweek ==
+    DuckDB dayofweek + 1 (the staged_r5 convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.dayofweek("l_shipdate").cast("long").alias("dow"),
+        F.col("l_returnflag").alias("flag"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    wr = Window.partitionBy("dow")
+    wc = Window.partitionBy("flag")
+    wall = Window.partitionBy()
+    marg = cells.select(
+        "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c_"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("c_").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    )
+    chi = marg.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.floor(term * 1.0e12 + 0.5).cast("long").cast("decimal(38,0)"))
+        .alias("chi2_pico"),
+    )
+    chi2 = F.col("chi2_pico").cast("double") / 1.0e12
+    return chi.select(
+        "n",
+        chi2.alias("chi2"),
+        (
+            F.floor(
+                F.sqrt(chi2 / (F.col("n").cast("double") * 2.0)) * 1.0e9 + 0.5
+            )
+            / 1.0e9
+        ).alias("cramers_v"),
+    )
+
+
+@_register(
+    "lineitem_spearman_discount_qty",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x,
+             CAST(l_quantity AS BIGINT) AS y
+      FROM lineitem
+    ), joint AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2
+    ), xm AS (
+      SELECT x, sum(cnt) AS cx FROM joint GROUP BY 1
+    ), xr AS (
+      -- average rank * 2 (kept integer): 2*(#strictly less) + cnt + 1
+      SELECT x, 2 * (sum(cx) OVER (ORDER BY x) - cx) + cx + 1 AS rx2 FROM xm
+    ), ym AS (
+      SELECT y, sum(cnt) AS cy FROM joint GROUP BY 1
+    ), yr AS (
+      SELECT y, 2 * (sum(cy) OVER (ORDER BY y) - cy) + cy + 1 AS ry2 FROM ym
+    ), s AS (
+      SELECT CAST(sum(j.cnt) AS HUGEINT) AS n,
+             sum(CAST(j.cnt AS HUGEINT) * CAST(xr.rx2 AS HUGEINT)) AS sx,
+             sum(CAST(j.cnt AS HUGEINT) * CAST(yr.ry2 AS HUGEINT)) AS sy,
+             sum(CAST(j.cnt AS HUGEINT) * CAST(xr.rx2 AS HUGEINT)
+                 * CAST(xr.rx2 AS HUGEINT)) AS sxx,
+             sum(CAST(j.cnt AS HUGEINT) * CAST(yr.ry2 AS HUGEINT)
+                 * CAST(yr.ry2 AS HUGEINT)) AS syy,
+             sum(CAST(j.cnt AS HUGEINT) * CAST(xr.rx2 AS HUGEINT)
+                 * CAST(yr.ry2 AS HUGEINT)) AS sxy
+      FROM joint j JOIN xr ON xr.x = j.x JOIN yr ON yr.y = j.y
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS spearman_rho
+    FROM s
+    """,
+)
+def lineitem_spearman_discount_qty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between discount and
+    quantity: average ranks (kept exact as 2*rank integers — ties get
+    the midrank automatically), then Pearson on the ranks from exact
+    HUGEINT/decimal sums via the shared staged_r6 finisher. Scale
+    shape: discount and quantity have tiny distinct sets (11 x 50), so
+    ranks come from per-value marginals (a broadcast-size table) and
+    the heavy work is one map-side-combinable groupBy over the joint
+    cells — never a full-table rank window."""
+    from cioos_siooc_data_transform_spark.plans.staged_r6 import (
+        pearson_r_from_sums,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    joint = v.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    xm = joint.groupBy("x").agg(F.sum("cnt").alias("cx"))
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    xr = xm.select(
+        "x",
+        (2 * (F.sum("cx").over(wx) - F.col("cx")) + F.col("cx") + 1).alias(
+            "rx2"
+        ),
+    )
+    ym = joint.groupBy("y").agg(F.sum("cnt").alias("cy"))
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
+    yr = ym.select(
+        "y",
+        (2 * (F.sum("cy").over(wy) - F.col("cy")) + F.col("cy") + 1).alias(
+            "ry2"
+        ),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    j = (
+        joint.join(F.broadcast(xr), "x")
+        .join(F.broadcast(yr), "y")
+        .select(
+            dec(F.col("cnt")).alias("cnt"),
+            dec(F.col("rx2")).alias("rx2"),
+            dec(F.col("ry2")).alias("ry2"),
+        )
+    )
+    s = j.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cnt") * F.col("rx2")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("cnt") * F.col("ry2")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("cnt") * F.col("rx2") * F.col("rx2"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("cnt") * F.col("ry2") * F.col("ry2"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("cnt") * F.col("rx2") * F.col("ry2"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        pearson_r_from_sums(dp=6).alias("spearman_rho"),
+    )
+
+
+@_register(
+    "events_runs_test",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT day, c,
+             CAST(sum(c) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS nd
+      FROM d
+    ), lab AS (
+      -- above the mean iff c*nd > total (exact integer compare; the
+      -- strictly-below-or-equal side is 'below' by convention)
+      SELECT day, CASE WHEN c * nd > total THEN 1 ELSE 0 END AS up FROM t
+    ), chg AS (
+      SELECT up, CASE WHEN up <> lag(up) OVER (ORDER BY day)
+                 THEN 1 ELSE 0 END AS c
+      FROM lab
+    ), runs AS (
+      SELECT CAST(sum(up) AS BIGINT) AS n1,
+             CAST(count(*) - sum(up) AS BIGINT) AS n2,
+             CAST(1 + sum(c) AS BIGINT) AS r
+      FROM chg
+    )
+    SELECT n1 AS n_above, n2 AS n_below, r AS n_runs,
+           floor((CAST(r AS DOUBLE)
+                  - (1.0e0 + 2.0e0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)
+                             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                 / NULLIF(sqrt(
+                     (2.0e0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)
+                      * (2.0e0*CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)
+                         - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+                     / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                        * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0e0))),
+                   0.0)
+                 * 1.0e9 + 0.5) / 1.0e9 AS z_runs
+    FROM runs
+    """,
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of daily event volume:
+    label each day above/below the mean (exact integer compare
+    c*n_days vs total), count sign runs with one ordered lag over the
+    bounded day table, and finish with the normal approximation
+    z = (R - mu_R)/sigma_R. The full-scan part is one
+    map-side-combinable day groupBy; everything after runs on ~30
+    rows. Exact counts => deterministic z."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wall = Window.partitionBy()
+    t = d.select(
+        "day",
+        "c",
+        F.sum("c").over(wall).cast("long").alias("total"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+    )
+    lab = t.select(
+        "day",
+        F.when(F.col("c") * F.col("nd") > F.col("total"), 1)
+        .otherwise(0)
+        .alias("up"),
+    )
+    wday = Window.orderBy("day")
+    runs = lab.select(
+        "up",
+        F.when(F.col("up") != F.lag("up").over(wday), 1)
+        .otherwise(0)
+        .alias("chg"),
+    ).agg(
+        F.sum("up").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n2"),
+        (1 + F.sum("chg")).cast("long").alias("r"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    r = F.col("r").cast("double")
+    mu = 1.0 + 2.0 * n1 * n2 / (n1 + n2)
+    sig = F.sqrt(
+        (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    return runs.select(
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.when(
+            sig != F.lit(0.0), F.floor((r - mu) / sig * 1.0e9 + 0.5) / 1.0e9
+        ).alias("z_runs"),
+    )
+
+
+@_register(
+    "events_ljung_box",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), t AS (
+      SELECT day, c,
+             CAST(sum(c) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS nd
+      FROM d
+    ), y AS (
+      -- center by the mean without leaving integers: y = nd*c - total
+      SELECT day, nd, c * nd - total AS yv FROM t
+    ), lagged AS (
+      SELECT nd, yv,
+             lag(yv, 1) OVER (ORDER BY day) AS y1,
+             lag(yv, 2) OVER (ORDER BY day) AS y2,
+             lag(yv, 3) OVER (ORDER BY day) AS y3,
+             lag(yv, 4) OVER (ORDER BY day) AS y4,
+             lag(yv, 5) OVER (ORDER BY day) AS y5,
+             lag(yv, 6) OVER (ORDER BY day) AS y6,
+             lag(yv, 7) OVER (ORDER BY day) AS y7
+      FROM y
+    ), s AS (
+      SELECT CAST(max(nd) AS BIGINT) AS nd,
+             sum(CAST(yv AS HUGEINT) * CAST(yv AS HUGEINT)) AS d0,
+             sum(CAST(yv AS HUGEINT) * CAST(y1 AS HUGEINT)) AS c1,
+             sum(CAST(yv AS HUGEINT) * CAST(y2 AS HUGEINT)) AS c2,
+             sum(CAST(yv AS HUGEINT) * CAST(y3 AS HUGEINT)) AS c3,
+             sum(CAST(yv AS HUGEINT) * CAST(y4 AS HUGEINT)) AS c4,
+             sum(CAST(yv AS HUGEINT) * CAST(y5 AS HUGEINT)) AS c5,
+             sum(CAST(yv AS HUGEINT) * CAST(y6 AS HUGEINT)) AS c6,
+             sum(CAST(yv AS HUGEINT) * CAST(y7 AS HUGEINT)) AS c7
+      FROM lagged
+    ), r AS (
+      SELECT nd, k,
+             CAST(ck AS DOUBLE) / CAST(d0 AS DOUBLE) AS rk
+      FROM s, (VALUES (1), (2), (3), (4), (5), (6), (7)) AS lags(k),
+           LATERAL (SELECT CASE k WHEN 1 THEN c1 WHEN 2 THEN c2
+                                  WHEN 3 THEN c3 WHEN 4 THEN c4
+                                  WHEN 5 THEN c5 WHEN 6 THEN c6
+                                  ELSE c7 END AS ck) x
+    )
+    SELECT k AS lag_k,
+           floor(rk * 1.0e9 + 0.5) / 1.0e9 AS r_k,
+           floor(CAST(nd AS DOUBLE) * (CAST(nd AS DOUBLE) + 2.0e0)
+                 * sum(rk * rk / (CAST(nd AS DOUBLE) - CAST(k AS DOUBLE)))
+                     OVER (ORDER BY k)
+                 * 1.0e6 + 0.5) / 1.0e6 AS q_ljung_box
+    FROM r
+    """,
+)
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau statistic on daily event counts, lags
+    1..7: Q(K) = n(n+2) * sum_{k<=K} r_k^2/(n-k), with the
+    autocorrelations r_k computed on the integer-centered series
+    y_t = n*c_t - total (the n factors cancel in the ratio), so every
+    covariance is an exact HUGEINT/decimal sum. One day groupBy scans
+    the table; the lag windows and the cumulative Q run on ~30 rows.
+    Each r_k is a single exact-int ratio => deterministic; the
+    cumulative Q sums <=7 doubles in the SAME k-order in both engines
+    (ORDER BY k window), so no quantization ambiguity."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wall = Window.partitionBy()
+    y = d.select(
+        "day",
+        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+        (
+            F.col("c") * F.count(F.lit(1)).over(wall).cast("long")
+            - F.sum("c").over(wall).cast("long")
+        ).alias("yv"),
+    )
+    wday = Window.orderBy("day")
+    lag_cols = [F.lag("yv", k).over(wday).alias(f"y{k}") for k in range(1, 8)]
+    lagged = y.select("nd", "yv", *lag_cols)
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = lagged.agg(
+        F.max("nd").cast("long").alias("nd"),
+        F.sum(dec("yv") * dec("yv")).cast("decimal(38,0)").alias("d0"),
+        *[
+            F.sum(dec("yv") * dec(f"y{k}"))
+            .cast("decimal(38,0)")
+            .alias(f"c{k}")
+            for k in range(1, 8)
+        ],
+    )
+    # unpivot the 7 lags to rows; Spark stack() keeps the (k, ck) pairs
+    r = s.select(
+        "nd",
+        F.expr(
+            "stack(7, 1, c1, 2, c2, 3, c3, 4, c4, 5, c5, 6, c6, 7, c7)"
+            " AS (k, ck)"
+        ),
+        "d0",
+    ).select(
+        "nd",
+        "k",
+        (F.col("ck").cast("double") / F.col("d0").cast("double")).alias("rk"),
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    ndd = F.col("nd").cast("double")
+    return r.select(
+        F.col("k").alias("lag_k"),
+        (F.floor(F.col("rk") * 1.0e9 + 0.5) / 1.0e9).alias("r_k"),
+        (
+            F.floor(
+                ndd
+                * (ndd + 2.0)
+                * F.sum(
+                    F.col("rk") * F.col("rk") / (ndd - F.col("k").cast("double"))
+                ).over(wk)
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("q_ljung_box"),
+    )
+
+
+@_register(
+    "events_dispersion_index",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ), hc AS (
+      SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), full_h AS (
+      SELECT s.hour, COALESCE(hc.c, 0) AS c
+      FROM spine s LEFT JOIN hc ON hc.hour = s.hour
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ss
+      FROM full_h
+    )
+    SELECT n, CAST(s AS BIGINT) AS total,
+           floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) - 1.0e0) * CAST(s AS DOUBLE))
+                 * 1.0e9 + 0.5) / 1.0e9 AS dispersion_vmr,
+           floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / CAST(s AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS chi2_dispersion
+    FROM agg
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion (variance-to-mean) test over HOURLY event
+    counts on a complete hour spine (empty hours count as 0 — the
+    sequence/explode pattern of the live W1 operator): VMR =
+    s^2/mean and the chi-square form (n-1)*VMR = (n*ss - s*s)/s.
+    Exact integer sums; the spine join is a broadcast (bounded by the
+    covered time range). VMR >> 1 flags burstiness vs a Poisson
+    process."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    full_h = spine.join(hc, "hour", "left").select(
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    agg = full_h.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("decimal(19,0)").alias("s"),
+        F.sum(dec("c") * dec("c")).cast("decimal(38,0)").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    var_num = nd * ssd - sd * sd
+    return agg.select(
+        "n",
+        F.col("s").cast("long").alias("total"),
+        (F.floor(var_num / ((nd - 1.0) * sd) * 1.0e9 + 0.5) / 1.0e9).alias(
+            "dispersion_vmr"
+        ),
+        (F.floor(var_num / sd * 1.0e6 + 0.5) / 1.0e6).alias(
+            "chi2_dispersion"
+        ),
+    )

@@ -48,6 +48,13 @@ STAGED_NAMES = [
     "gsw_pt0_from_t_ice",
     "gsw_pressure_freezing_ct",
     "gsw_sa_freezing_from_ct",
+    # wave C — classical statistical tests from integer-exact sums
+    "lineitem_welch_ttest",
+    "lineitem_cramers_v",
+    "lineitem_spearman_discount_qty",
+    "events_runs_test",
+    "events_ljung_box",
+    "events_dispersion_index",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
