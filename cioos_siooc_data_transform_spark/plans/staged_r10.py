@@ -24,8 +24,9 @@ Content so far:
 - Wave D — business/pipeline audits: association rules with lift over
   within-order part pairs, RFM quintile segmentation, Kaplan–Meier
   product-limit survival of inter-order gaps, EWMA of daily counts,
-  Bollinger bands on daily revenue, first-digit Benford audit, and a
-  six-edge referential-integrity profile in one pass.
+  Bollinger bands on daily revenue, and a seven-edge
+  referential-integrity profile in one pass (first-digit Benford is
+  already live via staged_r7).
 - Wave E — text retrieval/readability: BM25 top-k for a fixed query,
   Flesch reading-ease profile, pairwise source-vocabulary Jaccard.
 - Wave F — graph: Adamic–Adar link prediction, 3-core peeling
@@ -1143,3 +1144,528 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_dispersion"
         ),
     )
+
+
+# ===========================================================================
+# Wave D — business/pipeline audits (beyond-reference scope): market
+# basket lift, RFM segmentation, survival of inter-order gaps, EWMA /
+# Bollinger monitoring, Benford first-digit audit, and a one-pass
+# referential-integrity profile.
+# ===========================================================================
+@_register(
+    "orders_association_lift",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op
+    ), supp AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS c FROM op GROUP BY 1
+    ), pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, CAST(count(*) AS BIGINT) AS c12
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT p1, p2, c12 AS support_pairs,
+           s1.c AS support_p1, s2.c AS support_p2,
+           floor(CAST(n.n_orders AS DOUBLE) * CAST(c12 AS DOUBLE)
+                 / (CAST(s1.c AS DOUBLE) * CAST(s2.c AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS lift
+    FROM pairs
+    JOIN supp s1 ON s1.pk = p1
+    JOIN supp s2 ON s2.pk = p2
+    CROSS JOIN n
+    ORDER BY lift DESC, support_pairs DESC, p1, p2
+    LIMIT 25
+    """,
+)
+def orders_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over within-order part pairs (market
+    basket analysis): lift(a,b) = N*supp(ab)/(supp(a)*supp(b)) from
+    exact order counts, top-25 by (lift, support, keys) with a fully
+    deterministic tiebreak. Scale shape: the pair generator is a
+    self-join on l_orderkey, bounded by order size (<=7 items in
+    TPC-H) => linear in rows, never parts^2; supports broadcast back
+    onto the pair aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = op.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    supp = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")),
+        )
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    s1 = supp.select(F.col("pk").alias("p1"), F.col("c").alias("support_p1"))
+    s2 = supp.select(F.col("pk").alias("p2"), F.col("c").alias("support_p2"))
+    out = (
+        pairs.join(s1, "p1")
+        .join(s2, "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            F.col("c12").alias("support_pairs"),
+            "support_p1",
+            "support_p2",
+            (
+                F.floor(
+                    F.col("n_orders").cast("double")
+                    * F.col("c12").cast("double")
+                    / (
+                        F.col("support_p1").cast("double")
+                        * F.col("support_p2").cast("double")
+                    )
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("lift").desc(),
+        F.col("support_pairs").desc(),
+        "p1",
+        "p2",
+    ).limit(25)
+
+
+@_register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH mx AS (
+      SELECT max(o_orderdate) AS dmax FROM orders
+    ), cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), mx.dmax) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary_cents
+      FROM orders, mx GROUP BY o_custkey, mx.dmax
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey)
+               AS m_score
+      FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quintile segmentation: score 1
+    = most recent / most frequent / highest spend (deterministic
+    custkey tiebreak), then the 5x5x5 segment census. The per-customer
+    aggregate is map-side combinable; the ntile windows run over the
+    CUSTOMER dimension (bounded — the two-pass global-rank operator in
+    operators/ is the >=1e8-key escape hatch). Integer inputs
+    throughout => exact parity."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    cust = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("dmax"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = cust.select(
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@_register(
+    "orders_kaplan_meier",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+    seq AS (
+      SELECT o_custkey, o_orderdate,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS nxt
+      FROM orders
+    ), dur AS (
+      SELECT CASE WHEN nxt IS NULL
+                  THEN CAST(date_diff('day', o_orderdate, mx.dmax) AS BIGINT)
+                  ELSE CAST(date_diff('day', o_orderdate, nxt) AS BIGINT)
+             END AS t,
+             CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+      FROM seq, mx
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM dur),
+    ev_t AS (
+      SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leave_all
+      FROM dur GROUP BY 1
+    ), risk_all AS (
+      -- at-risk just before t: n0 minus everyone who left strictly
+      -- earlier (events AND censorings). The window must run BEFORE
+      -- the d > 0 filter so censor-only times still deplete the risk
+      -- set (SQL WHERE evaluates before window functions - hence the
+      -- extra CTE).
+      SELECT t, d,
+             n0 - COALESCE(CAST(sum(leave_all) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT), 0) AS n_risk
+      FROM ev_t, tot
+    ), risk AS (
+      SELECT t, d, n_risk FROM risk_all WHERE d > 0
+    ), km AS (
+      SELECT t, d, n_risk,
+             CASE WHEN min(n_risk - d) OVER (ORDER BY t) = 0 THEN 0.0e0
+                  ELSE exp(sum(ln(NULLIF((CAST(n_risk AS DOUBLE)
+                                          - CAST(d AS DOUBLE))
+                                         / CAST(n_risk AS DOUBLE), 0.0e0)))
+                           OVER (ORDER BY t))
+             END AS s
+      FROM risk
+    )
+    SELECT t AS gap_days, d AS n_events, n_risk,
+           floor(s * 1.0e9 + 0.5) / 1.0e9 AS survival
+    FROM km
+    """,
+)
+def orders_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival of customer inter-order
+    gaps, with the gap from each customer's last order to the dataset
+    horizon treated as RIGHT-CENSORED: S(t) = prod_{t_i<=t}
+    (1 - d_i/n_i). The duration build is one per-customer lead window
+    (bounded partitions); the KM curve itself runs over distinct gap
+    values (bounded by the calendar span). The product is
+    exp(cum-sum(ln .)) with the ordered window fixing the addition
+    order in both engines, and a min-window zero-guard for the final
+    (1 - d/n) = 0 step."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("dmax"))
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(wseq).alias("nxt"),
+    )
+    dur = seq.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.col("nxt").isNull(),
+            F.datediff("dmax", "o_orderdate"),
+        )
+        .otherwise(F.datediff("nxt", "o_orderdate"))
+        .cast("long")
+        .alias("t"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("ev"),
+    )
+    tot = dur.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    ev_t = dur.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_all"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        ev_t.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n0")
+                - F.coalesce(
+                    F.sum("leave_all").over(wcum).cast("long"), F.lit(0)
+                )
+            ).alias("n_risk"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    wkm = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s = F.when(
+        F.min(F.col("n_risk") - F.col("d")).over(wkm) == 0, F.lit(0.0)
+    ).otherwise(
+        # NULLIF-guard the ln argument: the zero-factor rows are
+        # already forced to 0 by the min-window branch, and NULL terms
+        # drop out of the window sum identically in both engines.
+        F.exp(
+            F.sum(
+                F.log(
+                    F.nullif(
+                        (
+                            F.col("n_risk").cast("double")
+                            - F.col("d").cast("double")
+                        )
+                        / F.col("n_risk").cast("double"),
+                        F.lit(0.0),
+                    )
+                )
+            ).over(wkm)
+        )
+    )
+    return risk.select(
+        F.col("t").alias("gap_days"),
+        F.col("d").alias("n_events"),
+        "n_risk",
+        (F.floor(s * 1.0e9 + 0.5) / 1.0e9).alias("survival"),
+    )
+
+
+@_register(
+    "events_ewma_daily",
+    oracle="""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, c,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM d
+    ), terms AS (
+      -- E_i = alpha * sum_{j<=i} (1-alpha)^(i-j) x_j + (1-alpha)^i-ish
+      -- init handled by the j=1 term carrying the full remainder:
+      -- classic E_1 = x_1 expansion. Per-term micro-quantized so the
+      -- sum order cannot move the result.
+      SELECT a.i, a.day,
+             CAST(sum(CAST(floor(
+               CASE WHEN b.i = 1
+                    THEN power(0.7e0, CAST(a.i - 1 AS DOUBLE))
+                         * CAST(b.c AS DOUBLE)
+                    ELSE 0.3e0 * power(0.7e0, CAST(a.i - b.i AS DOUBLE))
+                         * CAST(b.c AS DOUBLE)
+               END * 1.0e6 + 0.5) AS BIGINT)) AS HUGEINT) AS e_micro
+      FROM idx a JOIN idx b ON b.i <= a.i
+      GROUP BY 1, 2
+    )
+    SELECT i AS day_index,
+           CAST(e_micro AS DOUBLE) / 1.0e6 AS ewma
+    FROM terms
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.3) of daily
+    event counts, expanded to its closed form E_i = (1-a)^(i-1) x_1 +
+    a * sum_{1<j<=i} (1-a)^(i-j) x_j so there is no sequential
+    recursion: each day's EWMA is an independent weighted sum over the
+    bounded day table (O(T^2) with T ~ tens-to-thousands of days —
+    trivially small next to the full-table day groupBy that feeds
+    it). Each term is floored to 1e-6 units and summed exactly, so
+    the join-order of the sum cannot move the result (a last-ulp
+    power() difference flips a term quantum with ~1e-10 probability
+    — far below the emitted precision)."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    idx = d.select(
+        "day",
+        "c",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    term = F.when(
+        F.col("b.i") == 1,
+        F.pow(F.lit(0.7), (F.col("a.i") - 1).cast("double"))
+        * F.col("b.c").cast("double"),
+    ).otherwise(
+        F.lit(0.3)
+        * F.pow(F.lit(0.7), (F.col("a.i") - F.col("b.i")).cast("double"))
+        * F.col("b.c").cast("double")
+    )
+    terms = (
+        a.join(b, F.col("b.i") <= F.col("a.i"))
+        .groupBy(F.col("a.i").alias("day_index"))
+        .agg(
+            F.sum(F.floor(term * 1.0e6 + 0.5).cast("long").cast("decimal(38,0)"))
+            .alias("e_micro")
+        )
+    )
+    return terms.select(
+        "day_index",
+        (F.col("e_micro").cast("double") / 1.0e6).alias("ewma"),
+    )
+
+
+@_register(
+    "orders_bollinger_bands",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), w AS (
+      SELECT day, rev,
+             CAST(count(*) OVER win AS BIGINT) AS nw,
+             CAST(sum(rev) OVER win AS BIGINT) AS s,
+             sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) OVER win AS ss,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM d
+      WINDOW win AS (ORDER BY day ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, rev,
+           floor(CAST(s AS DOUBLE) / 21.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS ma21_cents,
+           floor((CAST(s AS DOUBLE) / 21.0e0
+                  + 2.0e0 * sqrt((21.0e0 * CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                 / (21.0e0 * 20.0e0)))
+                 * 1.0e2 + 0.5) / 1.0e2 AS upper_band,
+           floor((CAST(s AS DOUBLE) / 21.0e0
+                  - 2.0e0 * sqrt((21.0e0 * CAST(ss AS DOUBLE)
+                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                 / (21.0e0 * 20.0e0)))
+                 * 1.0e2 + 0.5) / 1.0e2 AS lower_band
+    FROM w WHERE nw = 21 AND i % 10 = 0
+    """,
+)
+def orders_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (21-day rolling mean +/- 2 sample std) over
+    daily order revenue, emitted every 10th day with a full window.
+    The rolling sums are exact integers inside a rows-window over the
+    bounded calendar table (one map-side-combinable day groupBy feeds
+    it); mean/std finish in double on the exact sums. The ORDER BY
+    day window is global but bounded by the calendar span - the
+    two-pass global-rank operator is the escape hatch at larger
+    spans."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev"),
+    )
+    win = Window.orderBy("day").rowsBetween(-20, 0)
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    w = d.select(
+        "day",
+        "rev",
+        F.count(F.lit(1)).over(win).cast("long").alias("nw"),
+        F.sum("rev").over(win).cast("long").alias("s"),
+        F.sum(dec("rev") * dec("rev")).over(win).cast("decimal(38,0)").alias("ss"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("i"),
+    )
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    ma = sd / 21.0
+    two_sig = 2.0 * F.sqrt((21.0 * ssd - sd * sd) / (21.0 * 20.0))
+    return w.filter((F.col("nw") == 21) & (F.col("i") % 10 == 0)).select(
+        "day",
+        "rev",
+        (F.floor(ma * 1.0e2 + 0.5) / 1.0e2).alias("ma21_cents"),
+        (F.floor((ma + two_sig) * 1.0e2 + 0.5) / 1.0e2).alias("upper_band"),
+        (F.floor((ma - two_sig) * 1.0e2 + 0.5) / 1.0e2).alias("lower_band"),
+    )
+
+
+@_register(
+    "tpch_referential_integrity_profile",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT CAST(count(*) AS BIGINT) FROM customer),
+           (SELECT CAST(count(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier),
+           (SELECT CAST(count(*) AS BIGINT) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT CAST(count(*) AS BIGINT) FROM nation),
+           (SELECT CAST(count(*) AS BIGINT) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+)
+def tpch_referential_integrity_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-pass referential-integrity profile across the seven TPC-H
+    FK edges: child row count + orphan count (left-anti join) per
+    edge. The schema-wide data-quality gate a pipeline runs before
+    trusting joins. Dimension sides broadcast; the three lineitem
+    edges share one scan each; the result is 7 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    def edge(name, child, parent, ck, pk):
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)), ck, "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(
+                F.lit(name).alias("fk_edge"), "n_child", "n_orphans"
+            )
+        )
+
+    out = edge("lineitem->orders", li, o, "l_orderkey", "o_orderkey")
+    for args in (
+        ("lineitem->part", li, p, "l_partkey", "p_partkey"),
+        ("lineitem->supplier", li, s, "l_suppkey", "s_suppkey"),
+        ("orders->customer", o, c, "o_custkey", "c_custkey"),
+        ("customer->nation", c, n, "c_nationkey", "n_nationkey"),
+        ("supplier->nation", s, n, "s_nationkey", "n_nationkey"),
+        ("nation->region", n, r, "n_regionkey", "r_regionkey"),
+    ):
+        out = out.unionByName(edge(*args))
+    return out

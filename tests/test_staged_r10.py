@@ -38,6 +38,22 @@ def test_budget():
     assert len(qs) + len(reps) <= 50
 
 
+def test_no_collision_with_earlier_slates():
+    """A staged_r10 name colliding with the (not-yet-activated) r8/r9
+    slates would silently no-op at round-10 activation — catch it at
+    build time instead (the lineitem_benford_audit lesson)."""
+    from cioos_siooc_data_transform_spark.plans import staged_r8, staged_r9
+
+    qs, _, reps = _staged()
+    earlier = (
+        set(staged_r8.STAGED_QUERIES)
+        | set(staged_r9.STAGED_QUERIES)
+        | set(staged_r9.STAGED_REPLACEMENTS)
+    )
+    clash = (set(qs) | set(reps)) & earlier
+    assert not clash, f"staged_r10 names collide with r8/r9: {clash}"
+
+
 STAGED_NAMES = [
     # wave A — GSW closed-form tail
     "gsw_adiabatic_lapse_rate_ice",
@@ -55,6 +71,13 @@ STAGED_NAMES = [
     "events_runs_test",
     "events_ljung_box",
     "events_dispersion_index",
+    # wave D — business/pipeline audits
+    "orders_association_lift",
+    "customer_rfm_segments",
+    "orders_kaplan_meier",
+    "events_ewma_daily",
+    "orders_bollinger_bands",
+    "tpch_referential_integrity_profile",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
