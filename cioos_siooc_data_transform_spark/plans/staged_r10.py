@@ -1669,3 +1669,254 @@ def tpch_referential_integrity_profile(
     ):
         out = out.unionByName(edge(*args))
     return out
+
+
+# ===========================================================================
+# Wave E — text retrieval / readability / cross-source vocabulary
+# (beyond-reference LLM-pipeline scope).
+# ===========================================================================
+_BM25_TERMS = ["scan", "join", "stream"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@_register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), corpus AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sdl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM tok GROUP BY 1)
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dl) AS dl
+      FROM tok
+      WHERE t IN ({", ".join(f"'{w}'" for w in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+                  / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+               * (CAST(tf AS DOUBLE) * ({_BM25_K1:.17g} + 1.0e0))
+               / (CAST(tf AS DOUBLE) + {_BM25_K1:.17g}
+                  * (1.0e0 - {_BM25_B:.17g}
+                     + {_BM25_B:.17g} * CAST(dl AS DOUBLE)
+                       * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE)))
+               * 1.0e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN df ON df.t = tf.t CROSS JOIN corpus
+    ), total AS (
+      SELECT doc_id, CAST(sum(s_nano) AS BIGINT) AS score_nano
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, CAST(score_nano AS DOUBLE) / 1.0e9 AS bm25
+    FROM total
+    ORDER BY score_nano DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for the fixed query
+    {scan, join, stream}: Robertson idf ln((N-df+0.5)/(df+0.5)+1),
+    per-term score nano-quantized before the per-doc sum so the
+    3-term addition order cannot move the result, deterministic
+    (score, doc_id) top-20. Scale shape: one tokenize pass filtered
+    to the query terms (predicate pushdown to the explode), df and
+    corpus stats broadcast; never a full posting-list materialization
+    beyond the query terms."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        words.alias("w"),
+        F.size(words).cast("long").alias("dl"),
+    )
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+    )
+    tok = base.select(
+        "doc_id", "dl", F.explode("w").alias("t")
+    ).filter(F.col("t").isin(_BM25_TERMS))
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    nd = F.col("n").cast("double")
+    idf = F.log(
+        (nd - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfd = F.col("tf").cast("double")
+    norm = tfd + _BM25_K1 * (
+        1.0
+        - _BM25_B
+        + _BM25_B * F.col("dl").cast("double") * nd / F.col("sdl").cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.floor(idf * (tfd * (_BM25_K1 + 1.0)) / norm * 1.0e9 + 0.5)
+            .cast("long")
+            .alias("s_nano"),
+        )
+    )
+    total = scored.groupBy("doc_id").agg(
+        F.sum("s_nano").cast("long").alias("score_nano")
+    )
+    return (
+        total.orderBy(F.col("score_nano").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            (F.col("score_nano").cast("double") / 1.0e9).alias("bm25"),
+        )
+    )
+
+
+@_register(
+    "text_readability_flesch",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syl
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, syl,
+             greatest(CAST(1 AS BIGINT), (w + 14) // 15) AS sent
+      FROM m
+    )
+    SELECT doc_id, w AS n_words, sent AS n_sentences, syl AS n_syllables,
+           floor((206.835e0
+                  - 1.015e0 * CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)
+                  - 84.6e0 * CAST(syl AS DOUBLE) / CAST(w AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS flesch
+    FROM s WHERE w > 0
+    """,
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: 206.835 - 1.015*(W/S) -
+    84.6*(Syl/W), with syllables approximated by vowel-group count
+    (the standard cheap heuristic) and — because this corpus carries
+    no sentence punctuation — S approximated by fixed 15-word
+    pseudo-sentences, ceil(W/15), documented here so the statistic
+    stays meaningful. Pure per-row expressions over one scan; integer
+    counts => exact parity."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("long")
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    m = docs.select(
+        "doc_id", w.alias("w"), syl.alias("syl")
+    ).filter(F.col("w") > 0)
+    sent = F.greatest(F.lit(1).cast("long"), ((F.col("w") + 14) / 15).cast("long"))
+    wd = F.col("w").cast("double")
+    return m.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        sent.alias("n_sentences"),
+        F.col("syl").alias("n_syllables"),
+        (
+            F.floor(
+                (
+                    206.835
+                    - 1.015 * wd / sent.cast("double")
+                    - 84.6 * F.col("syl").cast("double") / wd
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("flesch"),
+    )
+
+
+@_register(
+    "source_vocab_jaccard",
+    oracle="""
+    WITH sv AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), size_ AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS v FROM sv GROUP BY 1
+    ), inter AS (
+      SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS i
+      FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, i AS n_common,
+           v1.v AS vocab_1, v2.v AS vocab_2,
+           floor(CAST(i AS DOUBLE)
+                 / CAST(v1.v + v2.v - i AS DOUBLE) * 1.0e9 + 0.5) / 1.0e9
+             AS jaccard
+    FROM inter
+    JOIN size_ v1 ON v1.source = s1
+    JOIN size_ v2 ON v2.source = s2
+    ORDER BY jaccard DESC, s1, s2
+    LIMIT 40
+    """,
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document sources (the
+    cross-source contamination/overlap screen): distinct (source,
+    word) pairs, word-bucketed self-join for intersections (bounded by
+    per-word source lists <= |sources| — never sources^2 x vocab),
+    exact integer Jaccard, deterministic top-40. At 100 TB the
+    per-word source list is capped by the source-dimension
+    cardinality, so the join stays linear in the vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    sv = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    size_ = sv.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = sv.alias("a")
+    b = sv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    v1 = size_.select(F.col("source").alias("s1"), F.col("v").alias("vocab_1"))
+    v2 = size_.select(F.col("source").alias("s2"), F.col("v").alias("vocab_2"))
+    out = (
+        inter.join(F.broadcast(v1), "s1")
+        .join(F.broadcast(v2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("i").alias("n_common"),
+            "vocab_1",
+            "vocab_2",
+            (
+                F.floor(
+                    F.col("i").cast("double")
+                    / (
+                        F.col("vocab_1") + F.col("vocab_2") - F.col("i")
+                    ).cast("double")
+                    * 1.0e9
+                    + 0.5
+                )
+                / 1.0e9
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(40)

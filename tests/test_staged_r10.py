@@ -78,6 +78,10 @@ STAGED_NAMES = [
     "events_ewma_daily",
     "orders_bollinger_bands",
     "tpch_referential_integrity_profile",
+    # wave E — text retrieval/readability/vocabulary
+    "text_bm25_topk",
+    "text_readability_flesch",
+    "source_vocab_jaccard",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
