@@ -1920,3 +1920,262 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.col("jaccard").desc(), "s1", "s2").limit(40)
+
+
+# ===========================================================================
+# Wave F — graph analytics on the co-purchase edge set (shared with
+# staged_r8: support>=2 part pairs within orders).
+# ===========================================================================
+def _kcore_cte_chain(rounds: int) -> str:
+    """Unrolled k=3 peeling CTE chain (e0..e{rounds}): each round
+    keeps edges whose BOTH endpoints have degree >= 3 in the previous
+    round's edge set. Fixed depth => identical plan both engines."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _EDGES_SQL
+
+    # MATERIALIZED: every e{p} is referenced four times (degree agg,
+    # two prune joins, the count row) — inlining would re-expand the
+    # lineitem scan exponentially with depth (observed as an fd
+    # exhaustion on the parquet file before runtime even matters).
+    parts = [f"e0 AS MATERIALIZED ({_EDGES_SQL})"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""d{p} AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS u FROM e{p} UNION ALL SELECT b FROM e{p}
+      ) GROUP BY 1
+    ), k{p} AS (SELECT u FROM d{p} WHERE deg >= 3),
+    e{r} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{p} e
+      JOIN k{p} ka ON ka.u = e.a
+      JOIN k{p} kb ON kb.u = e.b
+    )"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@_register("graph_kcore3_peeling", oracle="__WAVE_F__")
+def graph_kcore3_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition by iterative peeling, unrolled to 6 fixed
+    rounds (each removes nodes of degree < 3 and their edges): emits
+    the per-round (n_nodes, n_edges) shrink profile — the
+    convergence trace IS the result, and equal last rows certify the
+    fixpoint at this scale. Each round is one degree groupBy + two
+    semi-joins on the current edge set (monotonically shrinking);
+    rounds are bounded and the edge set is checkpoint-reused. The
+    recursive-peel depth needed in adversarial graphs is the
+    documented escape hatch (degeneracy ordering in
+    operators/graphs.py)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    out = None
+    for r in range(7):
+        # Each round references the current edge set three times (the
+        # degree agg, the semi-join prune, the edge count) and the
+        # degree relation twice — without per-round lineage cuts the
+        # recomputation multiplies ~3x per round (3^6 at round 6).
+        # The lazy checkpoints make every round's relation compute
+        # once and be block-reused by all downstream references.
+        deg = (
+            e.select(F.col("a").alias("u"))
+            .unionAll(e.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .localCheckpoint(eager=False)
+        )
+        row = deg.agg(
+            F.lit(r).cast("long").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        ).crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        out = row if out is None else out.unionByName(row)
+        if r < 6:
+            keep = deg.filter(F.col("deg") >= 3).select("u")
+            e = (
+                e.join(
+                    keep.select(F.col("u").alias("a")), "a", "left_semi"
+                ).join(keep.select(F.col("u").alias("b")), "b", "left_semi")
+            ).select("a", "b").localCheckpoint(eager=False)
+    return out
+
+
+def _kcore_oracle() -> str:
+    chain = _kcore_cte_chain(6)
+    rows = []
+    for r in range(7):
+        rows.append(
+            f"""SELECT CAST({r} AS BIGINT) AS round,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT a AS u FROM e{r} UNION SELECT b FROM e{r})) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        )
+    return chain + "\n" + "\nUNION ALL\n".join(rows)
+
+
+STAGED_ORACLES["graph_kcore3_peeling"] = _kcore_oracle()
+
+
+@_register("graph_adamic_adar_linkpred", oracle="__WAVE_F__")
+def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction: for unlinked pairs, score =
+    sum over common neighbors z of 1/ln(deg(z)) — down-weighting hub
+    intermediaries (the refinement over raw common-neighbor counts).
+    Per-wedge contributions are nano-quantized before the pair sum
+    (addition-order-proof), top-20 deterministic. Wedge middle nodes
+    necessarily have deg >= 2, so ln(deg) > 0 except deg == 2 ...
+    ln(2) ~ 0.69 — no singularity. Same bounded wedge shape as the
+    live common-neighbors query."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    x = adj.select(F.col("v").alias("a"), F.col("u").alias("z1"))
+    y = adj.select(F.col("u").alias("z2"), F.col("v").alias("c"))
+    wedge = (
+        x.join(y, x.z1 == y.z2)
+        .filter(F.col("a") < F.col("c"))
+        .join(F.broadcast(deg), F.col("z1") == F.col("z"))
+        .select(
+            "a",
+            "c",
+            F.floor(
+                1.0 / F.log(F.col("deg").cast("double")) * 1.0e9 + 0.5
+            )
+            .cast("long")
+            .alias("w_nano"),
+        )
+    )
+    scored = wedge.groupBy("a", "c").agg(
+        F.sum("w_nano").cast("long").alias("aa_nano")
+    )
+    cand = scored.join(
+        e, (scored.a == e.a) & (scored.c == e.b), "left_anti"
+    )
+    return (
+        cand.orderBy(F.col("aa_nano").desc(), "a", "c")
+        .limit(20)
+        .select(
+            "a",
+            "c",
+            (F.col("aa_nano").cast("double") / 1.0e9).alias("adamic_adar"),
+        )
+    )
+
+
+def _adamic_adar_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _EDGES_SQL
+
+    return f"""
+    WITH e AS ({_EDGES_SQL}),
+    adj AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), deg AS (
+      SELECT u AS z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+    ), wedge AS (
+      SELECT x.v AS a, y.v AS c,
+             CAST(floor(1.0e0 / ln(CAST(d.deg AS DOUBLE)) * 1.0e9 + 0.5)
+                  AS BIGINT) AS w_nano
+      FROM adj x
+      JOIN adj y ON x.u = y.u AND x.v < y.v
+      JOIN deg d ON d.z = x.u
+    ), scored AS (
+      SELECT a, c, CAST(sum(w_nano) AS BIGINT) AS aa_nano
+      FROM wedge GROUP BY 1, 2
+    ), cand AS (
+      SELECT s.a, s.c, s.aa_nano
+      FROM scored s
+      ANTI JOIN e ON s.a = e.a AND s.c = e.b
+    )
+    SELECT a, c, CAST(aa_nano AS DOUBLE) / 1.0e9 AS adamic_adar
+    FROM cand ORDER BY aa_nano DESC, a, c LIMIT 20
+    """
+
+
+STAGED_ORACLES["graph_adamic_adar_linkpred"] = _adamic_adar_oracle()
+
+
+@_register("graph_degree_gini", oracle="__WAVE_F__")
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the co-purchase degree distribution (hub
+    concentration): with degrees sorted ascending, G = 2*sum(i*d_i) /
+    (n*sum(d_i)) - (n+1)/n, every sum exact over integers. The rank
+    window runs over the node dimension (bounded by |parts|; the
+    two-pass global-rank operator is the >=1e8 escape hatch)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("a").alias("u"))
+        .unionAll(e.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    w = Window.orderBy("deg", "u")
+    ranked = deg.select(
+        "deg", F.row_number().over(w).cast("long").alias("i")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("deg").cast("decimal(38,0)").alias("sd"),
+        F.sum(dec("i") * dec("deg")).cast("decimal(38,0)").alias("sid"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "n",
+        F.col("sd").cast("long").alias("total_degree"),
+        (
+            F.floor(
+                (
+                    2.0
+                    * F.col("sid").cast("double")
+                    / (nd * F.col("sd").cast("double"))
+                    - (nd + 1.0) / nd
+                )
+                * 1.0e9
+                + 0.5
+            )
+            / 1.0e9
+        ).alias("degree_gini"),
+    )
+
+
+def _degree_gini_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _EDGES_SQL
+
+    return f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS u FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY 1
+    ), ranked AS (
+      SELECT deg, CAST(row_number() OVER (ORDER BY deg, u) AS BIGINT) AS i
+      FROM deg
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(deg) AS HUGEINT) AS sd,
+             sum(CAST(i AS HUGEINT) * CAST(deg AS HUGEINT)) AS sid
+      FROM ranked
+    )
+    SELECT n, CAST(sd AS BIGINT) AS total_degree,
+           floor((2.0e0 * CAST(sid AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sd AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0e0) / CAST(n AS DOUBLE))
+                 * 1.0e9 + 0.5) / 1.0e9 AS degree_gini
+    FROM s
+    """
+
+
+STAGED_ORACLES["graph_degree_gini"] = _degree_gini_oracle()

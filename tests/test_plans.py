@@ -259,6 +259,12 @@ _EAGER_BY_DESIGN = {
     "q11_partsupp_important_stock",
     "q16_partsupp_supplier_count",
     "q20_partsupp_promotion",
+    # Round-10 runway (plans/staged_r10.py wave F): iterative 3-core
+    # peeling cuts every round with lazy checkpoints (the per-round
+    # relation is referenced 4x — the checkpoint IS the algorithm),
+    # and Adamic–Adar checkpoints the shared co-purchase edge list.
+    "graph_kcore3_peeling",
+    "graph_adamic_adar_linkpred",
 }
 
 

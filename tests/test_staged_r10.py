@@ -82,6 +82,10 @@ STAGED_NAMES = [
     "text_bm25_topk",
     "text_readability_flesch",
     "source_vocab_jaccard",
+    # wave F — graph analytics on the co-purchase edge set
+    "graph_kcore3_peeling",
+    "graph_adamic_adar_linkpred",
+    "graph_degree_gini",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
