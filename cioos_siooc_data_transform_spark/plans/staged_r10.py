@@ -2179,3 +2179,448 @@ def _degree_gini_oracle() -> str:
 
 
 STAGED_ORACLES["graph_degree_gini"] = _degree_gini_oracle()
+
+
+# ===========================================================================
+# Wave G — embedding-corpus health audits for the LLM-data pipeline:
+# anisotropy (Ethayarajh 2019's observation that contextual embedding
+# spaces collapse toward a cone), per-label margin (are labels
+# linearly separated by their centroids?), and the top principal
+# component by fixed-depth power iteration. All sums are
+# integer-quantized per term before aggregation (addition-order-proof
+# — the repo-wide oracle-parity rule).
+# ===========================================================================
+def _emb_q(spark: SparkSession, sf_dir: str, scale: float) -> DataFrame:
+    """Embeddings exploded to (vec_id, label, pos, q) with elements
+    floor-quantized at ``scale`` — the shared exact-integer substrate
+    for the wave-G audits. One projection + generate, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * scale + 0.5).cast("long"))
+    return emb.select(
+        "vec_id", "label", F.posexplode(q).alias("pos", "q")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+_EMB_Q_SQL = """
+      SELECT vec_id, label, unnest(range(len(e))) AS pos, unnest(q) AS q
+      FROM (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)
+               ) AS q
+        FROM embeddings
+      )
+"""
+
+
+@_register(
+    "embedding_anisotropy_audit",
+    oracle=f"""
+    WITH lng AS MATERIALIZED ({_EMB_Q_SQL.format(scale="1.0e9")}),
+    d AS (
+      SELECT pos,
+             CAST(sum(q) AS HUGEINT) AS s,
+             CAST(sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS HUGEINT)
+               AS ss,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lng GROUP BY pos
+    ), t AS (
+      SELECT max(n) AS n,
+             CAST(sum(s * s) AS DOUBLE) / 1.0e18 AS sum_s2,
+             CAST(sum(ss) AS HUGEINT) AS sum_ss_exact,
+             CAST(sum(CAST(floor(
+               (CAST(ss AS DOUBLE) / 1.0e18)
+                 * (CAST(ss AS DOUBLE) / 1.0e18) * 1.0e12 + 0.5
+             ) AS HUGEINT)) AS DOUBLE) / 1.0e12 AS sum_m2,
+             CAST(max(ss) AS DOUBLE) / 1.0e18 AS max_m
+      FROM d
+    )
+    SELECT n,
+           floor(sqrt(sum_s2) / CAST(n AS DOUBLE) * 1.0e9 + 0.5) / 1.0e9
+             AS mean_vector_norm,
+           floor((sum_s2 - CAST(sum_ss_exact AS DOUBLE) / 1.0e18)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))
+                 * 1.0e12 + 0.5) / 1.0e12 AS avg_pairwise_cosine,
+           floor((CAST(sum_ss_exact AS DOUBLE) / 1.0e18)
+                 * (CAST(sum_ss_exact AS DOUBLE) / 1.0e18)
+                 / sum_m2 * 1.0e6 + 0.5) / 1.0e6 AS participation_ratio,
+           floor(max_m / (CAST(sum_ss_exact AS DOUBLE) / 1.0e18)
+                 * 1.0e9 + 0.5) / 1.0e9 AS max_dim_share
+    FROM t
+    """,
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space anisotropy audit (Ethayarajh 2019; Mu & Viswanath
+    2018 all-but-the-top): average pairwise cosine across ALL n² pairs
+    computed exactly from per-dimension sums — for unit vectors
+    avg_{i≠j} xᵢ·xⱼ = (‖Σx‖² − Σ‖xᵢ‖²)/(n(n−1)) — plus the mean-vector
+    norm (the common-direction bias), the participation ratio of the
+    per-dimension second-moment spectrum (effective dimensionality,
+    (Σm)²/Σm², 64 = isotropic), and the largest single dimension's
+    energy share. One explode + a 64-group combine: the quadratic
+    pairwise definition collapses to linear sums, so the audit costs
+    one scan at any corpus size. Per-dim sums are exact decimal over
+    1e9-quantized elements; the 64-term finishers re-quantize per term
+    (addition-order-proof)."""
+    lng = _emb_q(spark, sf_dir, 1.0e9)
+    dec = F.col("q").cast("decimal(19,0)")
+    d = lng.groupBy("pos").agg(
+        F.sum(dec).cast("decimal(38,0)").alias("s"),
+        F.sum(dec * dec).cast("decimal(38,0)").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ss_d = F.col("ss").cast("double") / 1.0e18
+    t = d.agg(
+        F.max("n").alias("n"),
+        (F.sum(F.col("s") * F.col("s")).cast("double") / 1.0e18).alias(
+            "sum_s2"
+        ),
+        F.sum("ss").cast("decimal(38,0)").alias("sum_ss_exact"),
+        (
+            F.sum(
+                F.floor(ss_d * ss_d * 1.0e12 + 0.5).cast("decimal(38,0)")
+            ).cast("double")
+            / 1.0e12
+        ).alias("sum_m2"),
+        (F.max("ss").cast("double") / 1.0e18).alias("max_m"),
+    )
+    n_d = F.col("n").cast("double")
+    sum_ss = F.col("sum_ss_exact").cast("double") / 1.0e18
+    return t.select(
+        "n",
+        (F.floor(F.sqrt(F.col("sum_s2")) / n_d * 1.0e9 + 0.5) / 1.0e9).alias(
+            "mean_vector_norm"
+        ),
+        (
+            F.floor(
+                (F.col("sum_s2") - sum_ss) / (n_d * (n_d - 1.0)) * 1.0e12
+                + 0.5
+            )
+            / 1.0e12
+        ).alias("avg_pairwise_cosine"),
+        (
+            F.floor(sum_ss * sum_ss / F.col("sum_m2") * 1.0e6 + 0.5) / 1.0e6
+        ).alias("participation_ratio"),
+        (F.floor(F.col("max_m") / sum_ss * 1.0e9 + 0.5) / 1.0e9).alias(
+            "max_dim_share"
+        ),
+    )
+
+
+@_register(
+    "embedding_label_margin",
+    oracle=f"""
+    WITH lng AS MATERIALIZED ({_EMB_Q_SQL.format(scale="1.0e9")}),
+    cent AS MATERIALIZED (
+      SELECT label AS clabel, pos,
+             CAST(floor(CAST(sum(q) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cq
+      FROM lng GROUP BY 1, 2
+    ), cn AS (
+      SELECT clabel,
+             sqrt(CAST(sum(CAST(cq AS HUGEINT) * CAST(cq AS HUGEINT))
+                       AS DOUBLE)) AS cnorm
+      FROM cent GROUP BY 1
+    ), dots AS (
+      SELECT v.vec_id, v.label, c.clabel,
+             CAST(sum(CAST(v.q AS HUGEINT) * CAST(c.cq AS HUGEINT))
+                  AS DOUBLE) AS dot
+      FROM lng v JOIN cent c USING (pos)
+      GROUP BY 1, 2, 3
+    ), sims AS (
+      SELECT d.vec_id, d.label,
+             max(CASE WHEN d.clabel = d.label
+                      THEN d.dot / (1.0e9 * cn.cnorm) END) AS own,
+             max(CASE WHEN d.clabel <> d.label
+                      THEN d.dot / (1.0e9 * cn.cnorm) END) AS best_other
+      FROM dots d JOIN cn ON cn.clabel = d.clabel
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT label,
+             CAST(floor((own - best_other) * 1.0e9 + 0.5) AS BIGINT)
+               AS margin_nano
+      FROM sims
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           floor(CAST(sum(margin_nano) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS mean_margin,
+           CAST(count(CASE WHEN margin_nano <= 0 THEN 1 END) AS BIGINT)
+             AS violations
+    FROM m GROUP BY label ORDER BY label
+    """,
+)
+def embedding_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid margin audit (the nearest-class-mean view of
+    label quality a curation pipeline runs before training a probe):
+    every vector's cosine to its own label centroid vs its best
+    other-label centroid; margin ≤ 0 means the vector sits on the
+    wrong side of the class-mean boundary (a label-noise candidate —
+    the Northcutt-style confident-learning screen reduced to
+    centroids). Scale shape: centroids are a labels×dims combine
+    (bounded), the vector×centroid score is an equi-join on dim
+    against that bounded relation followed by a (vec, label) combine —
+    linear in corpus size, never pairwise. Centroid components are
+    themselves floor-quantized integers so the dot products are exact
+    decimal sums; margins re-quantize per vector before the per-label
+    mean."""
+    lng = _emb_q(spark, sf_dir, 1.0e9)
+    cent = lng.groupBy(
+        F.col("label").alias("clabel"), F.col("pos").alias("cpos")
+    ).agg(
+        F.floor(
+            F.sum(F.col("q")).cast("double") / F.count(F.lit(1)).cast("double")
+            + 0.5
+        )
+        .cast("long")
+        .alias("cq")
+    )
+    cdec = F.col("cq").cast("decimal(19,0)")
+    cn = cent.groupBy("clabel").agg(
+        F.sqrt(F.sum(cdec * cdec).cast("double")).alias("cnorm")
+    )
+    dots = (
+        lng.join(
+            F.broadcast(cent), lng["pos"] == cent["cpos"]
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                F.col("q").cast("decimal(19,0)") * F.col("cq").cast("decimal(19,0)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    own_is = F.col("clabel") == F.col("label")
+    sim = F.col("dot") / (1.0e9 * F.col("cnorm"))
+    sims = (
+        dots.join(F.broadcast(cn), "clabel")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(own_is, sim)).alias("own"),
+            F.max(F.when(~own_is, sim)).alias("best_other"),
+        )
+    )
+    margin_nano = (
+        F.floor((F.col("own") - F.col("best_other")) * 1.0e9 + 0.5)
+        .cast("long")
+        .alias("margin_nano")
+    )
+    m = sims.select("label", margin_nano)
+    return (
+        m.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            (
+                F.floor(
+                    F.sum("margin_nano").cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    / 1.0e9
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_margin"),
+            F.count(F.when(F.col("margin_nano") <= 0, 1))
+            .cast("long")
+            .alias("violations"),
+        )
+        .orderBy("label")
+    )
+
+
+@_register("embedding_pca_power_iteration", oracle="__WAVE_G__")
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by eight fixed
+    power-iteration rounds over the exact 64×64 covariance (the
+    all-but-the-top / common-direction-removal primitive: the
+    dominant eigenvector IS the anisotropy direction measured by
+    embedding_anisotropy_audit). Scale shape: the covariance collapses
+    to one linear scan (per-vector 64×64 outer products combined
+    map-side into 4096 cells — the classic one-pass Gram trick), after
+    which every iteration touches only the 4096-cell matrix and a
+    64-row vector: corpus size never re-enters. Rounds cut with lazy
+    checkpoints (the u/v relations are referenced twice each — the
+    checkpoint is the algorithm, same category as pagerank). All
+    matrix cells and vector components are floor-quantized integers,
+    every contraction an exact decimal sum; emits the top-8 loadings
+    by |weight| plus the Rayleigh-quotient eigenvalue. Fixed start
+    v₀ = 1/8·𝟙 (64 dims) — deterministic on both engines; 8 rounds'
+    convergence is certified by the pinned oracle equality, and the
+    escape hatch for slow spectral gaps is more rounds (linear cost)."""
+    lng = _emb_q(spark, sf_dir, 1.0e6)
+    a = lng.select("vec_id", F.col("pos").alias("i"), F.col("q").alias("qa"))
+    b = lng.select("vec_id", F.col("pos").alias("j"), F.col("q").alias("qb"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    mom = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(dec("qa") * dec("qb")).cast("decimal(38,0)").alias("m"))
+    )
+    s = lng.groupBy(F.col("pos").alias("i")).agg(
+        F.sum(dec("q")).cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    sj = s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    n_d = F.col("n").cast("double")
+    c_d = (
+        F.col("m").cast("double") / 1.0e12
+        - (F.col("s").cast("double") / 1.0e6)
+        * (F.col("sj").cast("double") / 1.0e6)
+        / n_d
+    ) / n_d
+    cov = (
+        mom.join(F.broadcast(s), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            "i",
+            "j",
+            F.floor(c_d * 1.0e12 + 0.5).cast("long").alias("cq"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    v = cov.select("j").distinct().select(
+        "j", F.lit(125000000).cast("long").alias("vq")
+    )
+    u = None
+    for _ in range(8):
+        u = (
+            cov.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(dec("cq") * dec("vq")).cast("decimal(38,0)").alias("u"))
+            .localCheckpoint(eager=False)
+        )
+        u_d = F.col("u").cast("double") / 1.0e21
+        nrm = u.agg(
+            F.sum(
+                F.floor(u_d * u_d * 1.0e18 + 0.5).cast("decimal(38,0)")
+            )
+            .cast("double")
+            .alias("n2")
+        )
+        v = (
+            u.crossJoin(F.broadcast(nrm))
+            .select(
+                F.col("i").alias("j"),
+                F.floor(u_d / F.sqrt(F.col("n2") / 1.0e18) * 1.0e9 + 0.5)
+                .cast("long")
+                .alias("vq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    u9 = (
+        cov.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(dec("cq") * dec("vq")).cast("decimal(38,0)").alias("u"))
+        .localCheckpoint(eager=False)
+    )
+    vi = v.select(F.col("j").alias("i"), "vq")
+    pair = u9.join(vi, "i")
+    u_d = F.col("u").cast("double") / 1.0e21
+    ray = pair.agg(
+        F.sum(
+            F.floor((F.col("vq").cast("double") / 1.0e9) * u_d * 1.0e12 + 0.5)
+            .cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("num"),
+        F.sum(dec("vq") * dec("vq")).cast("double").alias("den18"),
+    )
+    eig = (F.col("num") / 1.0e12) / (F.col("den18") / 1.0e18)
+    w = Window.orderBy(F.abs(F.col("vq")).desc(), F.col("i"))
+    return (
+        vi.crossJoin(F.broadcast(ray))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.col("i").alias("dim"),
+            (F.col("vq").cast("double") / 1.0e9).alias("loading"),
+            (F.floor(eig * 1.0e9 + 0.5) / 1.0e9).alias("eigenvalue"),
+        )
+        .filter(F.col("rank") <= 8)
+        .orderBy("rank")
+    )
+
+
+def _pca_oracle() -> str:
+    lng = _EMB_Q_SQL.format(scale="1.0e6")
+    parts = [
+        f"lng AS MATERIALIZED ({lng})",
+        """mom AS MATERIALIZED (
+      SELECT a.pos AS i, b.pos AS j,
+             CAST(sum(CAST(a.q AS HUGEINT) * CAST(b.q AS HUGEINT))
+                  AS HUGEINT) AS m
+      FROM lng a JOIN lng b USING (vec_id) GROUP BY 1, 2
+    )""",
+        """s AS (
+      SELECT pos AS i, CAST(sum(q) AS HUGEINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lng GROUP BY 1
+    )""",
+        """cov AS MATERIALIZED (
+      SELECT mom.i, mom.j,
+             CAST(floor(
+               (CAST(m AS DOUBLE) / 1.0e12
+                - (CAST(si.s AS DOUBLE) / 1.0e6)
+                  * (CAST(sj.s AS DOUBLE) / 1.0e6) / CAST(si.n AS DOUBLE))
+               / CAST(si.n AS DOUBLE) * 1.0e12 + 0.5) AS BIGINT) AS cq
+      FROM mom JOIN s si ON si.i = mom.i JOIN s sj ON sj.i = mom.j
+    )""",
+        """v0 AS (
+      SELECT DISTINCT j, CAST(125000000 AS BIGINT) AS vq
+      FROM (SELECT j FROM cov)
+    )""",
+    ]
+    for k in range(1, 9):
+        p = k - 1
+        parts += [
+            f"""u{k} AS MATERIALIZED (
+      SELECT cov.i, CAST(sum(CAST(cq AS HUGEINT) * CAST(vq AS HUGEINT))
+                         AS HUGEINT) AS u
+      FROM cov JOIN v{p} ON v{p}.j = cov.j GROUP BY 1
+    )""",
+            f"""n{k} AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(u AS DOUBLE) / 1.0e21) * (CAST(u AS DOUBLE) / 1.0e21)
+               * 1.0e18 + 0.5) AS HUGEINT)) AS DOUBLE) AS n2
+      FROM u{k}
+    )""",
+            f"""v{k} AS MATERIALIZED (
+      SELECT i AS j,
+             CAST(floor(CAST(u AS DOUBLE) / 1.0e21
+                        / sqrt(n2 / 1.0e18) * 1.0e9 + 0.5) AS BIGINT) AS vq
+      FROM u{k}, n{k}
+    )""",
+        ]
+    parts += [
+        """u9 AS MATERIALIZED (
+      SELECT cov.i, CAST(sum(CAST(cq AS HUGEINT) * CAST(vq AS HUGEINT))
+                         AS HUGEINT) AS u
+      FROM cov JOIN v8 ON v8.j = cov.j GROUP BY 1
+    )""",
+        """ray AS (
+      SELECT CAST(sum(CAST(floor(
+               (CAST(vq AS DOUBLE) / 1.0e9) * (CAST(u AS DOUBLE) / 1.0e21)
+               * 1.0e12 + 0.5) AS HUGEINT)) AS DOUBLE) / 1.0e12 AS num,
+             CAST(sum(CAST(vq AS HUGEINT) * CAST(vq AS HUGEINT)) AS DOUBLE)
+               / 1.0e18 AS den
+      FROM u9 JOIN v8 ON v8.j = u9.i
+    )""",
+        """ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY abs(vq) DESC, j) AS BIGINT)
+               AS rank,
+             j AS dim, CAST(vq AS DOUBLE) / 1.0e9 AS loading,
+             floor(num / den * 1.0e9 + 0.5) / 1.0e9 AS eigenvalue
+      FROM v8, ray
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\nSELECT rank, dim, loading, eigenvalue FROM ranked"
+        + "\nWHERE rank <= 8 ORDER BY rank"
+    )
+
+
+STAGED_ORACLES["embedding_pca_power_iteration"] = _pca_oracle()

@@ -265,6 +265,9 @@ _EAGER_BY_DESIGN = {
     # and Adamic–Adar checkpoints the shared co-purchase edge list.
     "graph_kcore3_peeling",
     "graph_adamic_adar_linkpred",
+    # Power iteration cuts each round's matvec with a lazy checkpoint
+    # (u and v are each referenced twice per round).
+    "embedding_pca_power_iteration",
 }
 
 

@@ -86,6 +86,10 @@ STAGED_NAMES = [
     "graph_kcore3_peeling",
     "graph_adamic_adar_linkpred",
     "graph_degree_gini",
+    # wave G — embedding-corpus health audits
+    "embedding_anisotropy_audit",
+    "embedding_label_margin",
+    "embedding_pca_power_iteration",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
