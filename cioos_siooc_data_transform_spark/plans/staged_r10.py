@@ -2624,3 +2624,128 @@ def _pca_oracle() -> str:
 
 
 STAGED_ORACLES["embedding_pca_power_iteration"] = _pca_oracle()
+
+
+# ===========================================================================
+# Wave H — dedup-adjacent pipeline machinery: blocked
+# sorted-neighborhood candidate generation (Hernandez & Stolfo 1995),
+# a blocking-scheme quality audit (reduction ratio / block-size
+# profile — Christen 2012's survey metrics), deterministic-hash
+# sampling with a chi-square uniformity check, and a Jaccard
+# threshold sweep over the LSH-free exact candidate set (the knob-
+# tuning curve a dedup rollout reads before picking its cutoff).
+# ===========================================================================
+@_register(
+    "dedup_sorted_neighborhood",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    r AS (
+      SELECT doc_id, substring(text, 1, 2) AS blk,
+             CAST(row_number() OVER (
+               PARTITION BY substring(text, 1, 2)
+               ORDER BY substring(text, 1, 24), doc_id
+             ) AS BIGINT) AS rnk
+      FROM documents
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(b.rnk - a.rnk AS BIGINT) AS dist
+      FROM r a JOIN r b
+        ON a.blk = b.blk AND b.rnk - a.rnk IN (1, 2)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, min(c.dist) AS dist,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dist, jaccard FROM (
+      SELECT doc_a, doc_b, dist,
+             floor(n_common / (sa.n + sb.n - n_common) * 1.0e6 + 0.5) / 1.0e6
+               AS jaccard
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ) ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood candidate generation (Hernandez &
+    Stolfo's merge/purge): docs sort by a 24-char text prefix WITHIN a
+    2-char block, and only rank-neighbors at distance 1–2 become
+    candidate pairs — O(n·w) candidates instead of O(n²), the classic
+    alternative to LSH when near-dups share prefixes. The rank window
+    is PARTITIONED by the block (never a single global sort — the
+    blocked variant IS the production form; boundary pairs across
+    blocks are the documented recall trade, recovered by multi-pass
+    with a second key). Candidates then get exact 3-shingle Jaccard
+    via the shared inverted-index join (linear in candidate count).
+    Top-20 by Jaccard, fully tie-broken."""
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blk = F.substring(F.col("text"), 1, 2)
+    key = F.substring(F.col("text"), 1, 24)
+    r = docs.select(
+        "doc_id",
+        blk.alias("blk"),
+        F.row_number()
+        .over(Window.partitionBy(blk).orderBy(key, "doc_id"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    ra = r.select(F.col("doc_id").alias("doc_a"), "blk", F.col("rnk").alias("ra"))
+    rb = r.select(F.col("doc_id").alias("doc_b"), F.col("blk").alias("blkb"), F.col("rnk").alias("rb"))
+    cand = (
+        ra.join(rb, (F.col("blk") == F.col("blkb"))
+                & (F.col("rb") - F.col("ra")).isin(1, 2))
+        .select("doc_a", "doc_b", (F.col("rb") - F.col("ra")).alias("dist"))
+    )
+    sh = distinct_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s2"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b_id")) & (F.col("s") == F.col("s2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("dist").cast("long").alias("dist"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dist",
+            (
+                F.floor(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common"))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+        .limit(20)
+    )
