@@ -2749,3 +2749,254 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+@_register(
+    "dedup_blocking_quality_audit",
+    oracle="""
+    WITH b AS (
+      SELECT substring(text, 1, 2) AS blk, CAST(count(*) AS HUGEINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(max(n) AS BIGINT) AS max_block,
+             CAST(count(*) FILTER (n = 1) AS BIGINT) AS singleton_blocks,
+             CAST(sum(n * (n - 1) / 2) AS HUGEINT) AS cand_pairs,
+             CAST(max(n * (n - 1) / 2) AS HUGEINT) AS max_block_pairs
+      FROM b
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs, n_blocks, max_block,
+           singleton_blocks, CAST(cand_pairs AS BIGINT) AS cand_pairs,
+           floor((1.0e0 - CAST(cand_pairs AS DOUBLE)
+                  / (CAST(n_docs AS DOUBLE) * (CAST(n_docs AS DOUBLE) - 1.0e0)
+                     / 2.0e0)) * 1.0e9 + 0.5) / 1.0e9 AS reduction_ratio,
+           floor(CAST(max_block_pairs AS DOUBLE)
+                 / CAST(cand_pairs AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS top_block_pair_share
+    FROM g
+    """,
+)
+def dedup_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality audit (Christen's 2012 survey metrics)
+    for the 2-char-prefix scheme used by dedup_sorted_neighborhood:
+    reduction ratio 1 - |candidates|/C(N,2) (how much of the quadratic
+    pair space the blocking prunes), block count / max block size /
+    singleton-block count (recall risk: singletons can never pair), and
+    the share of candidate pairs contributed by the single largest
+    block (the straggler-task predictor — if one block owns 40% of the
+    pairs, that block IS the job at scale). Everything is one groupBy
+    on the block key plus a single-row global agg: integer counts
+    throughout, ratios finished in double on exact sums, so the audit
+    itself costs one shuffle at any scale. This is the knob-tuning
+    readout a dedup rollout inspects BEFORE running candidate
+    generation — the engine-side answer to 'is my blocking key good
+    enough'."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lambda c: (c * (c - F.lit(1)) / F.lit(2)).cast("decimal(38,0)")
+    b = docs.groupBy(F.substring("text", 1, 2).alias("blk")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    g = b.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("n").cast("long").alias("max_block"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("singleton_blocks"),
+        F.sum(pairs(F.col("n"))).alias("cand_pairs"),
+        F.max(pairs(F.col("n"))).alias("max_block_pairs"),
+    )
+    nd = F.col("n_docs").cast("double")
+    cp = F.col("cand_pairs").cast("double")
+    return g.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_blocks",
+        "max_block",
+        "singleton_blocks",
+        F.col("cand_pairs").cast("long").alias("cand_pairs"),
+        (
+            F.floor(
+                (F.lit(1.0) - cp / (nd * (nd - F.lit(1.0)) / F.lit(2.0)))
+                * 1.0e9
+                + F.lit(0.5)
+            )
+            / 1.0e9
+        ).alias("reduction_ratio"),
+        (
+            F.floor(
+                F.col("max_block_pairs").cast("double") / cp * 1.0e6 + F.lit(0.5)
+            )
+            / 1.0e6
+        ).alias("top_block_pair_share"),
+    )
+
+
+@_register(
+    "sample_hash_uniformity_chisq",
+    oracle="""
+    WITH h AS (
+      SELECT ((doc_id * 2654435761) % 4294967296) % 64 AS bucket
+      FROM documents
+    ),
+    c AS (SELECT bucket, CAST(count(*) AS HUGEINT) AS n FROM h GROUP BY 1),
+    g AS (
+      SELECT CAST(sum(n) AS HUGEINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(min(n) AS BIGINT) AS min_bucket,
+             CAST(max(n) AS BIGINT) AS max_bucket,
+             CAST(sum(n * n) AS HUGEINT) AS sumsq,
+             CAST(sum(n) FILTER (bucket < 6) AS HUGEINT) AS sampled
+      FROM c
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs, n_buckets, min_bucket, max_bucket,
+           floor((64.0e0 * CAST(sumsq AS DOUBLE)
+                  - CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+                 / CAST(n_docs AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS chi_sq,
+           floor(CAST(sampled AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS sample_rate
+    FROM g
+    """,
+)
+def sample_hash_uniformity_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-hash sampling audit: docs route to 64 buckets via
+    the Knuth multiplicative hash ((doc_id * 2654435761) mod 2^32)
+    mod 64 — pure BIGINT arithmetic both engines compute identically,
+    no engine hash function involved — and the bucket histogram yields
+    the chi-square uniformity statistic against the flat expectation,
+    computed exactly from integer sums via chi2 = (64*sum(n_b^2) -
+    N^2)/N (algebraically sum((n_b - N/64)^2/(N/64)), but in that form
+    every term is an exact integer until one final double division).
+    `sample_rate` is the realized rate of the bucket<6 rule (~9.4%
+    nominal) — the reproducible take-every-k'th sampling contract a
+    pipeline uses for eval holdouts: membership is a pure function of
+    the key, so re-runs, backfills, and a 1000-executor cluster all
+    agree on the sample with zero coordination. One narrow projection
+    plus a 64-row aggregate: no shuffle wider than 64 keys ever."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(4294967296)
+    ) % F.lit(64)
+    c = docs.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    g = c.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.min("n").cast("long").alias("min_bucket"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(F.col("n") * F.col("n")).alias("sumsq"),
+        F.sum(F.when(F.col("bucket") < 6, F.col("n")).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("sampled"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return g.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_buckets",
+        "min_bucket",
+        "max_bucket",
+        (
+            F.floor(
+                (F.lit(64.0) * F.col("sumsq").cast("double") - nd * nd)
+                / nd
+                * 1.0e6
+                + F.lit(0.5)
+            )
+            / 1.0e6
+        ).alias("chi_sq"),
+        (
+            F.floor(F.col("sampled").cast("double") / nd * 1.0e6 + F.lit(0.5))
+            / 1.0e6
+        ).alias("sample_rate"),
+    )
+
+
+@_register(
+    "dedup_jaccard_threshold_sweep",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT CAST(round(n_common / (sa.n + sb.n - n_common), 6)
+                  * 1000000 AS BIGINT) AS j_u
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    thr AS (SELECT unnest(generate_series(1, 9)) AS t10)
+    SELECT floor(t10 / 10.0e0 * 1.0e6 + 0.5) / 1.0e6 AS threshold,
+           CAST(count(j_u) AS BIGINT) AS n_pairs,
+           CASE WHEN count(j_u) = 0 THEN NULL
+                ELSE floor(CAST(sum(j_u) AS DOUBLE) / count(j_u) + 0.5) / 1.0e6
+           END AS mean_jaccard
+    FROM thr LEFT JOIN jac ON j_u >= t10 * 100000
+    GROUP BY t10
+    ORDER BY t10
+    """,
+)
+def dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard threshold-sweep curve: the pair counts (and mean
+    similarity of retained pairs) at cutoffs 0.1..0.9 over the exact
+    3-shingle candidate set — the tuning readout a dedup rollout
+    inspects before committing to a threshold (too low drops distinct
+    docs, too high keeps near-dups). The pair set is computed ONCE via
+    the shared hot-shingle-capped inverted-index join
+    (ngram_jaccard_pairs, df<=10 stop-shingle guard — never quadratic),
+    then swept against a 9-row broadcast threshold table: a theta join
+    against a constant-size side costs 9x the (bounded) pair count, not
+    a recompute per cutoff. Jaccard is quantized to integer micro-units
+    BEFORE both the >= comparison and the mean so the cut and the
+    average are bit-identical across engines (order-independent integer
+    sums; [[oracle-parity-gotchas]])."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh = distinct_shingles(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(sh, "doc_id", "s", threshold=0.0, max_doc_freq=10)
+    jac = pairs.select(
+        (F.col("jaccard") * F.lit(1000000)).cast("long").alias("j_u")
+    )
+    thr = spark.range(1, 10).select(F.col("id").alias("t10"))
+    return (
+        F.broadcast(thr)
+        .join(jac, F.col("j_u") >= F.col("t10") * F.lit(100000), "left")
+        .groupBy("t10")
+        .agg(
+            F.count("j_u").cast("long").alias("n_pairs"),
+            F.when(
+                F.count("j_u") > 0,
+                F.floor(
+                    F.sum("j_u").cast("double") / F.count("j_u") + F.lit(0.5)
+                )
+                / 1.0e6,
+            ).alias("mean_jaccard"),
+        )
+        .select(
+            (F.floor(F.col("t10") / F.lit(10.0) * 1.0e6 + F.lit(0.5)) / 1.0e6)
+            .alias("threshold"),
+            "n_pairs",
+            "mean_jaccard",
+        )
+        .orderBy("threshold")
+    )
