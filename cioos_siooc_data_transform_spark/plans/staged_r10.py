@@ -3000,3 +3000,221 @@ def dedup_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("threshold")
     )
+
+
+# ===========================================================================
+# Wave I — events extreme-value / temporal-texture diagnostics: a
+# peaks-over-threshold GPD fit by method of moments (Hosking & Wallis
+# 1987) above a mean+2-sigma threshold, and the Goh & Barabasi (2008)
+# burstiness coefficient of per-user interarrival gaps. Both are pure
+# aggregate pipelines: integer-quantized per-row units, exact
+# decimal(38,0)/HUGEINT sums, doubles only in the final scalar algebra
+# ([[oracle-parity-gotchas]]).
+# ===========================================================================
+@_register(
+    "events_pot_gpd_fit",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS HUGEINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(vu) AS s, sum(vu * vu) AS ss
+      FROM v
+    ),
+    u AS (
+      SELECT CAST(floor(
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + 2.0e0 * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0e0)))
+               + 0.5) AS HUGEINT) AS uu, CAST(n AS HUGEINT) AS n_total
+      FROM m
+    ),
+    exc AS (
+      SELECT uu, n_total, vu - uu AS y
+      FROM v, u WHERE vu > uu
+    ),
+    e AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k, sum(y) AS sy, sum(y * y) AS syy,
+             max(uu) AS uu, max(n_total) AS n_total
+      FROM exc
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_total, CAST(k AS BIGINT) AS n_exceed,
+           floor(CAST(uu AS DOUBLE) + 0.5) / 1.0e6 AS threshold,
+           floor(CAST(k AS DOUBLE) / CAST(n_total AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS exceed_rate,
+           floor(0.5e0 * (1.0e0
+                 - (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                   * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                   / ((CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0))))
+                 * 1.0e6 + 0.5) / 1.0e6 AS xi_mom,
+           floor(0.5e0 * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)) / 1.0e6
+                 * (1.0e0
+                    + (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                      * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                      / ((CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0))))
+                 * 1.0e6 + 0.5) / 1.0e6 AS beta_mom
+    FROM e
+    """,
+)
+def events_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold generalized-Pareto fit by the Hosking &
+    Wallis (1987) method of moments: threshold u = mean + 2*sigma of
+    event values (an aggregate-derived cut — no global sort, no
+    quantile, so the threshold pass is one map-side-combinable agg),
+    excesses y = v - u above it, then xi = (1 - ybar^2/s^2)/2 and
+    beta = ybar*(1 + ybar^2/s^2)/2 from the excess mean/variance. The
+    tail-risk readout an SLO pipeline runs over latency/value columns.
+    Values are quantized to integer micro-units per row and u is
+    floored to the SAME integer grid before the > comparison, so both
+    engines keep the identical exceedance set; all sums are exact
+    decimal/HUGEINT. Two aggregate passes over a narrow projection plus
+    a 1-row broadcast join: scale cost is two scans, zero wide
+    shuffles."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.floor(F.col("value") * 1.0e6 + F.lit(0.5))
+        .cast("decimal(38,0)")
+        .alias("vu")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vu").alias("s"),
+        F.sum(F.col("vu") * F.col("vu")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    u = m.select(
+        F.floor(
+            sd / nd
+            + F.lit(2.0) * F.sqrt((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0))))
+            + F.lit(0.5)
+        )
+        .cast("decimal(38,0)")
+        .alias("uu"),
+        F.col("n").alias("n_total"),
+    )
+    exc = v.join(F.broadcast(u), F.col("vu") > F.col("uu")).select(
+        "uu", "n_total", (F.col("vu") - F.col("uu")).alias("y")
+    )
+    e = exc.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("uu").alias("uu"),
+        F.max("n_total").alias("n_total"),
+    )
+    kd = F.col("k").cast("double")
+    syd = F.col("sy").cast("double")
+    syyd = F.col("syy").cast("double")
+    ybar = syd / kd
+    s2 = (kd * syyd - syd * syd) / (kd * (kd - F.lit(1.0)))
+    ratio = ybar * ybar / s2
+    return e.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("k").cast("long").alias("n_exceed"),
+        (F.floor(F.col("uu").cast("double") + F.lit(0.5)) / 1.0e6).alias(
+            "threshold"
+        ),
+        (
+            F.floor(kd / F.col("n_total").cast("double") * 1.0e6 + F.lit(0.5))
+            / 1.0e6
+        ).alias("exceed_rate"),
+        (
+            F.floor(F.lit(0.5) * (F.lit(1.0) - ratio) * 1.0e6 + F.lit(0.5))
+            / 1.0e6
+        ).alias("xi_mom"),
+        (
+            F.floor(
+                F.lit(0.5) * ybar / 1.0e6 * (F.lit(1.0) + ratio) * 1.0e6
+                + F.lit(0.5)
+            )
+            / 1.0e6
+        ).alias("beta_mom"),
+    )
+
+
+@_register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS t,
+             lag(CAST(epoch(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    g AS (
+      SELECT CAST(t - prev AS HUGEINT) AS gap FROM o WHERE prev IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(gap) AS s,
+             sum(gap * gap) AS ss, CAST(max(gap) AS BIGINT) AS max_gap
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_gaps,
+           floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e3 + 0.5) / 1.0e3
+             AS mean_gap_s,
+           max_gap AS max_gap_s,
+           floor(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e6 + 0.5)
+             / 1.0e6 AS cv,
+           floor((sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                  - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                    + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 1.0e6 + 0.5)
+             / 1.0e6 AS burstiness
+    FROM a
+    """,
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh & Barabasi (2008) burstiness coefficient B =
+    (sigma - mu)/(sigma + mu) of per-user interarrival gaps (B -> -1
+    metronome-regular, 0 Poisson, +1 maximally bursty), plus the
+    coefficient of variation it normalizes. Gaps come from a lag window
+    PARTITIONED by user (thousands of small per-user partitions — the
+    scale-safe shape; never a global sort), in whole epoch seconds so
+    every gap is an exact integer; mean/sigma come from exact
+    decimal(38,0)/HUGEINT sums with doubles only in the final scalar
+    algebra. The temporal-texture audit that tells a sessionization or
+    rate-limit design whether traffic is Poisson-like or bursty."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("long")
+    o = ev.select(t.alias("t"), F.lag(t).over(w).alias("prev"))
+    g = o.filter(F.col("prev").isNotNull()).select(
+        (F.col("t") - F.col("prev")).cast("decimal(38,0)").alias("gap")
+    )
+    a = g.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+        F.max("gap").cast("long").alias("max_gap"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mu = sd / nd
+    sig = F.sqrt((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0))))
+    return a.select(
+        F.col("n").cast("long").alias("n_gaps"),
+        (F.floor(mu * 1.0e3 + F.lit(0.5)) / 1.0e3).alias("mean_gap_s"),
+        F.col("max_gap").alias("max_gap_s"),
+        (F.floor(sig / mu * 1.0e6 + F.lit(0.5)) / 1.0e6).alias("cv"),
+        (F.floor((sig - mu) / (sig + mu) * 1.0e6 + F.lit(0.5)) / 1.0e6).alias(
+            "burstiness"
+        ),
+    )
