@@ -3218,3 +3218,233 @@ def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFram
             "burstiness"
         ),
     )
+
+
+# ===========================================================================
+# Wave J — GSW 75-term analytic-derivative tail: specific-volume first
+# derivatives (v_SA, v_CT, v_p — GSW twin gsw_specvol_first_derivatives),
+# density second derivatives via the quotient rule on the same Horner
+# stage family (gsw_rho_second_derivatives), and the ITS-90
+# temperature-scale conversion pair (gsw_t90_from_t68 / t90_from_t48,
+# Saunders 1990 factor / IPTS-48 bridge). Divisions and polynomials
+# only — the staged SQL text IS the Spark expression text, so parity
+# is exact at any quantization.
+# ===========================================================================
+_CBTB_FIRST_KEEP = {
+    "__cbtb_xs", "__cbtb_ys", "__cbtb_z", "__cbtb_v", "__cbtb_vx",
+    "__cbtb_vy", "__cbtb_vz", "__cbtb_dxdsa", "__cbtb_v_ct",
+    "__cbtb_v_sa", "__cbtb_v_p",
+}
+_CBTB_SECOND_KEEP = _CBTB_FIRST_KEEP | {
+    "__cbtb_vxx", "__cbtb_vxy", "__cbtb_vyy", "__cbtb_vxz", "__cbtb_vyz",
+    "__cbtb_v_ctct", "__cbtb_v_ctsa", "__cbtb_v_sasa", "__cbtb_v_ctp",
+    "__cbtb_v_sap",
+}
+
+
+def _cbtb_inner() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+    )
+
+    return f"""
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    """
+
+
+def _specvol_first_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+    )
+
+    stages = [
+        s
+        for s in cabbeling_thermobaric_stages("sa", "ct", "p")
+        if s[0] in _CBTB_FIRST_KEEP
+    ]
+    staged = _stage_sql(_cbtb_inner(), stages)
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(__cbtb_v_sa * 1.0e15 + 0.5) / 1.0e15 AS v_sa,
+           floor(__cbtb_v_ct * 1.0e15 + 0.5) / 1.0e15 AS v_ct,
+           floor(__cbtb_v_p * 1.0e18 + 0.5) / 1.0e18 AS v_p_dbar
+    FROM {staged}
+    """
+
+
+@_register("gsw_specvol_first_derivatives", oracle="__WAVE_J10A__")
+def gsw_specvol_first_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """∂v/∂SA, ∂v/∂CT, ∂v/∂p of the Roquet et al. (2015) 75-term
+    specific volume, evaluated as ANALYTIC Horner polynomials of the
+    differentiated coefficient table (GSW twin:
+    gsw_specvol_first_derivatives) — the raw linearization behind
+    alpha/beta and the haline/thermal contraction family. Same
+    cabbeling stage family (FD-pinned in tests); per-row expressions
+    only, zero shuffles beyond the scan."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in cabbeling_thermobaric_stages("sa", "ct", "p"):
+        if name in _CBTB_FIRST_KEEP:
+            df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("__cbtb_v_sa") * 1.0e15 + 0.5) / 1.0e15).alias("v_sa"),
+        (F.floor(F.col("__cbtb_v_ct") * 1.0e15 + 0.5) / 1.0e15).alias("v_ct"),
+        (F.floor(F.col("__cbtb_v_p") * 1.0e18 + 0.5) / 1.0e18).alias(
+            "v_p_dbar"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_specvol_first_derivatives"] = _specvol_first_oracle()
+
+
+def _rho_second_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+    )
+
+    stages = [
+        s
+        for s in cabbeling_thermobaric_stages("sa", "ct", "p")
+        if s[0] in _CBTB_SECOND_KEEP
+    ]
+    staged = _stage_sql(_cbtb_inner(), stages)
+    # rho_AB = (2 v_A v_B / v - v_AB) / v^2  (quotient rule on rho=1/v)
+    v = "__cbtb_v"
+    terms = {
+        "rho_sa_sa": ("__cbtb_v_sa", "__cbtb_v_sa", "__cbtb_v_sasa", "1.0e9"),
+        "rho_sa_ct": ("__cbtb_v_sa", "__cbtb_v_ct", "__cbtb_v_ctsa", "1.0e9"),
+        "rho_ct_ct": ("__cbtb_v_ct", "__cbtb_v_ct", "__cbtb_v_ctct", "1.0e9"),
+        "rho_sa_p": ("__cbtb_v_sa", "__cbtb_v_p", "__cbtb_v_sap", "1.0e12"),
+        "rho_ct_p": ("__cbtb_v_ct", "__cbtb_v_p", "__cbtb_v_ctp", "1.0e12"),
+    }
+    cols = ",\n           ".join(
+        f"floor((2.0e0*{a}*{b}/{v} - {ab})/({v}*{v}) * {q} + 0.5) / {q}"
+        f" AS {out}"
+        for out, (a, b, ab, q) in terms.items()
+    )
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {cols}
+    FROM {staged}
+    """
+
+
+@_register("gsw_rho_second_derivatives", oracle="__WAVE_J10B__")
+def gsw_rho_second_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density second derivatives (rho_SA_SA, rho_SA_CT, rho_CT_CT,
+    rho_SA_p, rho_CT_p; GSW twin: gsw_rho_second_derivatives) from the
+    quotient rule rho_AB = (2·v_A·v_B/v − v_AB)/v² over the analytic
+    75-term specific-volume derivative polynomials — the curvature
+    terms cabbeling/thermobaricity consume, exposed as the raw GSW
+    surface. p-derivatives are per dbar (as gsw_rho_first_derivatives
+    here). Same FD-pinned cabbeling stage family; per-row math only."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in cabbeling_thermobaric_stages("sa", "ct", "p"):
+        if name in _CBTB_SECOND_KEEP:
+            df = df.withColumn(name, F.expr(expr))
+    v = F.col("__cbtb_v")
+    v2 = v * v
+
+    def rho2(a: str, b: str, ab: str, q: float):
+        return F.floor(
+            (F.lit(2.0) * F.col(a) * F.col(b) / v - F.col(ab)) / v2 * q + 0.5
+        ) / q
+
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        rho2("__cbtb_v_sa", "__cbtb_v_sa", "__cbtb_v_sasa", 1.0e9).alias(
+            "rho_sa_sa"
+        ),
+        rho2("__cbtb_v_sa", "__cbtb_v_ct", "__cbtb_v_ctsa", 1.0e9).alias(
+            "rho_sa_ct"
+        ),
+        rho2("__cbtb_v_ct", "__cbtb_v_ct", "__cbtb_v_ctct", 1.0e9).alias(
+            "rho_ct_ct"
+        ),
+        rho2("__cbtb_v_sa", "__cbtb_v_p", "__cbtb_v_sap", 1.0e12).alias(
+            "rho_sa_p"
+        ),
+        rho2("__cbtb_v_ct", "__cbtb_v_p", "__cbtb_v_ctp", 1.0e12).alias(
+            "rho_ct_p"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_rho_second_derivatives"] = _rho_second_oracle()
+
+
+@_register(
+    "gsw_temperature_scale_conversions",
+    oracle=f"""
+    WITH i AS (
+      SELECT l_orderkey, l_linenumber, t FROM ({_IN_SQL})
+    )
+    SELECT l_orderkey, l_linenumber,
+           floor(t / 1.00024e0 * 1.0e9 + 0.5) / 1.0e9 AS t90_from_t68,
+           floor((t - 4.4e-6*t*(100.0e0 - t)) / 1.00024e0 * 1.0e9 + 0.5)
+             / 1.0e9 AS t90_from_t48,
+           floor((t / 1.00024e0) * 1.00024e0 * 1.0e9 + 0.5) / 1.0e9
+             AS t68_roundtrip
+    FROM i
+    """,
+)
+def gsw_temperature_scale_conversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ITS-90 temperature-scale conversion battery (GSW twins:
+    gsw_t90_from_t68, gsw_t90_from_t48): the Saunders (1990) 1.00024
+    IPTS-68 factor and the IPTS-48 bridge t90 = (t48 −
+    4.4e-6·t48·(100−t48))/1.00024 — what every historical-archive
+    ingest (pre-1990 CTD/bottle data, exactly the reference's IOS file
+    domain) applies before any TEOS-10 call. t68_roundtrip pins the
+    inverse composition on the same grid. Pure per-row arithmetic,
+    identical expression text on both engines."""
+    df = _inputs(spark, sf_dir)
+    t = F.col("t")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(t / F.lit(1.00024) * 1.0e9 + 0.5) / 1.0e9).alias(
+            "t90_from_t68"
+        ),
+        (
+            F.floor(
+                (t - F.lit(4.4e-6) * t * (F.lit(100.0) - t))
+                / F.lit(1.00024)
+                * 1.0e9
+                + 0.5
+            )
+            / 1.0e9
+        ).alias("t90_from_t48"),
+        (
+            F.floor((t / F.lit(1.00024)) * F.lit(1.00024) * 1.0e9 + 0.5)
+            / 1.0e9
+        ).alias("t68_roundtrip"),
+    )

@@ -90,6 +90,18 @@ STAGED_NAMES = [
     "embedding_anisotropy_audit",
     "embedding_label_margin",
     "embedding_pca_power_iteration",
+    # wave H — dedup-adjacent pipeline machinery
+    "dedup_sorted_neighborhood",
+    "dedup_blocking_quality_audit",
+    "sample_hash_uniformity_chisq",
+    "dedup_jaccard_threshold_sweep",
+    # wave I — events extreme-value / temporal texture
+    "events_pot_gpd_fit",
+    "events_interarrival_burstiness",
+    # wave J — GSW 75-term analytic-derivative tail + ITS-90 scales
+    "gsw_specvol_first_derivatives",
+    "gsw_rho_second_derivatives",
+    "gsw_temperature_scale_conversions",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
