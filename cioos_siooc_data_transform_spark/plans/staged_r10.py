@@ -3145,8 +3145,8 @@ def events_pot_gpd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_interarrival_burstiness",
     oracle="""
     WITH o AS (
-      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS t,
-             lag(CAST(epoch(ts) AS BIGINT)) OVER (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS prev
       FROM events
