@@ -3448,3 +3448,384 @@ def gsw_temperature_scale_conversions(
             / 1.0e9
         ).alias("t68_roundtrip"),
     )
+
+
+# ===========================================================================
+# Wave K — robust/econometric statistics: Brown–Forsythe variance
+# equality (Levene with median centers), MAD-based robust anomaly
+# days, a seasonal-naive forecast backtest (MAPE/bias via an equi-join
+# on integer month keys — no window), and a difference-in-differences
+# holiday-effect estimate. Medians use the doubled-integer trick
+# (percentile of 2x an integer column is an exactly-representable
+# .0-valued double on both engines); everything else is exact integer
+# sums finished in double ([[oracle-parity-gotchas]]).
+# ===========================================================================
+@_register(
+    "customer_acctbal_levene_test",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    med AS (
+      SELECT seg, CAST(quantile_cont(cents * 2, 0.5) AS BIGINT) AS med2
+      FROM c GROUP BY seg
+    ),
+    z AS (
+      SELECT c.seg, CAST(abs(2 * cents - med2) AS HUGEINT) AS z2
+      FROM c JOIN med ON c.seg = med.seg
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS HUGEINT) AS n, sum(z2) AS s,
+             sum(z2 * z2) AS ss
+      FROM z GROUP BY seg
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(count(*) AS DOUBLE) AS k,
+             CAST(sum(s) AS DOUBLE) AS stot,
+             sum(CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST((SELECT sum(s) FROM g) AS DOUBLE)
+                   / CAST((SELECT sum(n) FROM g) AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST((SELECT sum(s) FROM g) AS DOUBLE)
+                   / CAST((SELECT sum(n) FROM g) AS DOUBLE))) AS between_ss,
+             sum(CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) AS within_ss
+      FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total, CAST(k AS BIGINT) AS k_groups,
+           CAST(k - 1.0e0 AS BIGINT) AS df1, CAST(nn - k AS BIGINT) AS df2,
+           floor((nn - k) / (k - 1.0e0) * between_ss
+                 / nullif(within_ss, 0.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS f_brown_forsythe,
+           floor(stot / nn / 200.0e0 * 1.0e4 + 0.5) / 1.0e4
+             AS mean_absdev_dollars
+    FROM t
+    """,
+)
+def customer_acctbal_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene 1960 with Brown & Forsythe's 1974
+    median centers — the robust variance-equality test) of account
+    balance across market segments: z = |x − median_g| per row, then a
+    one-way ANOVA F on z. Group medians come from percentile over
+    DOUBLED integer cents (2x makes the interpolated midpoint an exact
+    integer double on both engines — no .5 representation drift), the
+    ANOVA from exact decimal sums of integer |2x − med2| with doubles
+    only in the final F algebra. Five bounded groups: one 5-row
+    broadcast of medians joined back, two aggregate passes total."""
+    cust = _t(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    med = c.groupBy("seg").agg(
+        F.expr("CAST(percentile(cents * 2, 0.5) AS BIGINT)").alias("med2")
+    )
+    z = c.join(F.broadcast(med), "seg").select(
+        "seg",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med2"))
+        .cast("decimal(38,0)")
+        .alias("z2"),
+    )
+    g = z.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("z2").alias("s"),
+        F.sum(F.col("z2") * F.col("z2")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    tot = g.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("s").cast("double").alias("stot"),
+    )
+    joined = g.crossJoin(F.broadcast(tot))
+    t = joined.agg(
+        F.max("nn").alias("nn"),
+        F.max("k").alias("k"),
+        F.max("stot").alias("stot"),
+        F.sum(
+            nd
+            * (sd / nd - F.col("stot") / F.col("nn"))
+            * (sd / nd - F.col("stot") / F.col("nn"))
+        ).alias("between_ss"),
+        F.sum(ssd - sd * sd / nd).alias("within_ss"),
+    )
+    nn, k = F.col("nn"), F.col("k")
+    return t.select(
+        nn.cast("long").alias("n_total"),
+        k.cast("long").alias("k_groups"),
+        (k - F.lit(1.0)).cast("long").alias("df1"),
+        (nn - k).cast("long").alias("df2"),
+        (
+            F.floor(
+                (nn - k)
+                / (k - F.lit(1.0))
+                * F.col("between_ss")
+                / F.nullif(F.col("within_ss"), F.lit(0.0))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("f_brown_forsythe"),
+        (
+            F.floor(F.col("stot") / nn / F.lit(200.0) * 1.0e4 + 0.5) / 1.0e4
+        ).alias("mean_absdev_dollars"),
+    )
+
+
+@_register(
+    "events_daily_mad_anomalies",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    m AS (SELECT CAST(quantile_cont(n_events * 2, 0.5) AS BIGINT) AS med2 FROM d),
+    dev AS (
+      SELECT day, n_events, med2, abs(2 * n_events - med2) AS dev2
+      FROM d, m
+    ),
+    md AS (SELECT CAST(quantile_cont(dev2 * 2, 0.5) AS BIGINT) AS mad4 FROM dev)
+    SELECT day, n_events,
+           floor(0.6745e0 * (2.0e0 * n_events - med2)
+                 / nullif(CAST(mad4 AS DOUBLE) / 2.0e0, 0.0e0) * 1.0e6 + 0.5)
+             / 1.0e6 AS robust_z
+    FROM dev, md
+    ORDER BY abs(2 * n_events - med2) * 1.0e0
+               / nullif(CAST(mad4 AS DOUBLE) / 2.0e0, 0.0e0) DESC, day
+    LIMIT 10
+    """,
+)
+def events_daily_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly days via the median-absolute-deviation z-score
+    z = 0.6745·(x − med)/MAD (Hampel's rule; 0.6745 normalizes MAD to
+    sigma under normality) on daily event counts — the outlier detector
+    that, unlike the mean/std z-score, one fat day cannot mask. Both
+    medians use the doubled-integer percentile trick (med over 2x
+    counts, MAD over 2x deviations, so mad4 = 4·MAD is an exact-integer
+    double). The day table is bounded by the calendar (one groupBy of
+    the raw events, then two 1-row broadcast scalars); the top-10 sort
+    runs on that bounded table, tie-broken by day."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    m = d.agg(
+        F.expr("CAST(percentile(n_events * 2, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = d.crossJoin(F.broadcast(m)).withColumn(
+        "dev2", F.abs(F.lit(2) * F.col("n_events") - F.col("med2"))
+    )
+    md = dev.agg(
+        F.expr("CAST(percentile(dev2 * 2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    mad = F.nullif(F.col("mad4").cast("double") / F.lit(2.0), F.lit(0.0))
+    diff = F.lit(2.0) * F.col("n_events") - F.col("med2")
+    return (
+        dev.crossJoin(F.broadcast(md))
+        .select(
+            "day",
+            "n_events",
+            (F.floor(F.lit(0.6745) * diff / mad * 1.0e6 + 0.5) / 1.0e6).alias(
+                "robust_z"
+            ),
+            (F.col("dev2") * F.lit(1.0) / mad).alias("__sortkey"),
+        )
+        .orderBy(F.col("__sortkey").desc(), "day")
+        .limit(10)
+        .drop("__sortkey")
+    )
+
+
+@_register(
+    "orders_seasonal_naive_backtest",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    j AS (
+      SELECT cur.ym, cur.rev, prev.rev AS pred,
+             CAST(floor(abs(CAST(cur.rev - prev.rev AS DOUBLE))
+                        / CAST(cur.rev AS DOUBLE) * 1.0e9 + 0.5) AS BIGINT)
+               AS ape_u,
+             CAST(floor(CAST(cur.rev - prev.rev AS DOUBLE)
+                        / CAST(cur.rev AS DOUBLE) * 1.0e9 + 0.5) AS BIGINT)
+               AS pe_u,
+             (cur.rev - prev.rev) * (cur.rev - prev.rev) AS sq
+      FROM m cur JOIN m prev ON cur.ym = prev.ym + 12
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_months,
+           floor(CAST(sum(ape_u) AS DOUBLE) / count(*) / 1.0e3 + 0.5) / 1.0e6
+             AS mape,
+           floor(CAST(sum(pe_u) AS DOUBLE) / count(*) / 1.0e3 + 0.5) / 1.0e6
+             AS mean_pct_error,
+           CAST(floor(sqrt(CAST(sum(sq) AS DOUBLE) / count(*)) / 100.0e0
+                      + 0.5) AS BIGINT) AS rmse_dollars
+    FROM j
+    """,
+)
+def orders_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each month's revenue
+    as the same month last year (the standard M-competition baseline
+    every fancier forecaster must beat) and score MAPE / signed mean
+    percentage error / RMSE over all months with a year-ago twin. The
+    12-month lag is an EQUI-JOIN on an integer year*12+month key — no
+    window, no sort; per-month percentage errors are floor-quantized to
+    1e-9 units BEFORE the mean so the cross-month sum is an exact
+    integer sum (bounded by the calendar, but the discipline holds at
+    any width); RMSE comes from the exact decimal sum of squared cent
+    errors."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("rev")
+    )
+    prev = m.select(F.col("ym").alias("ym_p"), F.col("rev").alias("pred"))
+    err = (F.col("rev") - F.col("pred")).cast("double")
+    j = m.join(prev, F.col("ym") == F.col("ym_p") + 12).select(
+        F.floor(F.abs(err) / F.col("rev").cast("double") * 1.0e9 + 0.5)
+        .cast("long")
+        .alias("ape_u"),
+        F.floor(err / F.col("rev").cast("double") * 1.0e9 + 0.5)
+        .cast("long")
+        .alias("pe_u"),
+        ((F.col("rev") - F.col("pred")) * (F.col("rev") - F.col("pred")))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_months"),
+        (
+            F.floor(
+                F.sum("ape_u").cast("double") / F.count(F.lit(1)) / 1.0e3 + 0.5
+            )
+            / 1.0e6
+        ).alias("mape"),
+        (
+            F.floor(
+                F.sum("pe_u").cast("double") / F.count(F.lit(1)) / 1.0e3 + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_pct_error"),
+        F.floor(
+            F.sqrt(F.sum("sq").cast("double") / F.count(F.lit(1)))
+            / F.lit(100.0)
+            + 0.5
+        ).alias("rmse_dollars"),
+    )
+
+
+@_register(
+    "orders_diff_in_diff_holiday",
+    oracle="""
+    WITH c AS (
+      SELECT (year(o_orderdate) = 2000) AS post,
+             (month(o_orderdate) = 12) AS treat,
+             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS cents
+      FROM orders
+      WHERE year(o_orderdate) IN (1999, 2000) AND month(o_orderdate) IN (11, 12)
+    ),
+    g AS (
+      SELECT post, treat, CAST(count(*) AS HUGEINT) AS n, sum(cents) AS s,
+             sum(cents * cents) AS ss
+      FROM c GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT
+        max(CASE WHEN post AND treat THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS m11,
+        max(CASE WHEN post AND NOT treat THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS m10,
+        max(CASE WHEN NOT post AND treat THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS m01,
+        max(CASE WHEN NOT post AND NOT treat THEN CAST(s AS DOUBLE)/CAST(n AS DOUBLE) END) AS m00,
+        sum((CAST(n AS DOUBLE)*CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE))
+            / (CAST(n AS DOUBLE)*(CAST(n AS DOUBLE) - 1.0e0)) / CAST(n AS DOUBLE)) AS var_did,
+        CAST(sum(n) AS BIGINT) AS n_total
+      FROM g
+    )
+    SELECT n_total,
+           floor(m00 / 100.0e0 * 1.0e2 + 0.5) / 1.0e2 AS mean_nov_pre,
+           floor(m01 / 100.0e0 * 1.0e2 + 0.5) / 1.0e2 AS mean_dec_pre,
+           floor(m10 / 100.0e0 * 1.0e2 + 0.5) / 1.0e2 AS mean_nov_post,
+           floor(m11 / 100.0e0 * 1.0e2 + 0.5) / 1.0e2 AS mean_dec_post,
+           floor(((m11 - m10) - (m01 - m00)) / 100.0e0 * 1.0e4 + 0.5) / 1.0e4
+             AS did_dollars,
+           floor(((m11 - m10) - (m01 - m00)) / sqrt(var_did) * 1.0e6 + 0.5)
+             / 1.0e6 AS t_stat
+    FROM p
+    """,
+)
+def orders_diff_in_diff_holiday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the December holiday
+    effect on average order value: treatment month Dec vs control Nov,
+    pre-period 1999 vs post 2000 (both fully inside the data range at
+    every scale factor), DiD = (Dec2000 − Nov2000) − (Dec1999 −
+    Nov1999) with the large-sample SE sqrt(Σ var_g/n_g) over the four
+    cells — the Card & Krueger (1994) design as one FILTERed aggregate.
+    Four cells from a single conditional group-by of integer cents
+    (exact decimal sums); all means/variances finish in double. One
+    shuffle over four keys at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.filter(
+        F.year("o_orderdate").isin(1999, 2000)
+        & F.month("o_orderdate").isin(11, 12)
+    ).select(
+        (F.year("o_orderdate") == 2000).alias("post"),
+        (F.month("o_orderdate") == 12).alias("treat"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    g = c.groupBy("post", "treat").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean = sd / nd
+
+    def cell(post: bool, treat: bool):
+        return F.max(
+            F.when((F.col("post") == post) & (F.col("treat") == treat), mean)
+        )
+
+    p = g.agg(
+        cell(True, True).alias("m11"),
+        cell(True, False).alias("m10"),
+        cell(False, True).alias("m01"),
+        cell(False, False).alias("m00"),
+        F.sum(
+            (nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0))) / nd
+        ).alias("var_did"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+
+    def dollars(col, q):
+        return F.floor(col / F.lit(100.0) * q + 0.5) / q
+
+    return p.select(
+        "n_total",
+        dollars(F.col("m00"), 1.0e2).alias("mean_nov_pre"),
+        dollars(F.col("m01"), 1.0e2).alias("mean_dec_pre"),
+        dollars(F.col("m10"), 1.0e2).alias("mean_nov_post"),
+        dollars(F.col("m11"), 1.0e2).alias("mean_dec_post"),
+        dollars(did, 1.0e4).alias("did_dollars"),
+        (F.floor(did / F.sqrt(F.col("var_did")) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "t_stat"
+        ),
+    )

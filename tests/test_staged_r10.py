@@ -102,6 +102,11 @@ STAGED_NAMES = [
     "gsw_specvol_first_derivatives",
     "gsw_rho_second_derivatives",
     "gsw_temperature_scale_conversions",
+    # wave K — robust/econometric statistics
+    "customer_acctbal_levene_test",
+    "events_daily_mad_anomalies",
+    "orders_seasonal_naive_backtest",
+    "orders_diff_in_diff_holiday",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
