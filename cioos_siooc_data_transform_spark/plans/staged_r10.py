@@ -3829,3 +3829,213 @@ def orders_diff_in_diff_holiday(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_stat"
         ),
     )
+
+
+# ===========================================================================
+# Wave L — probabilistic-structure audits: a Bloom-filter build with a
+# measured-vs-theoretical false-positive-rate probe (Bloom 1970;
+# completes the sketch family next to HLL/KLL/KMV/CM), and a
+# stratified train/val split balance audit over the deterministic
+# Knuth-hash rule (the per-stratum fairness readout next to
+# sample_hash_uniformity_chisq's global one). All hash arithmetic is
+# pure BIGINT multiplication/modulo — identical on both engines.
+# ===========================================================================
+_BLOOM_M = 65536
+_BLOOM_HASHES = (2654435761, 2246822519, 3266489917)
+
+
+def _bloom_bits_sql(key: str) -> str:
+    return ", ".join(
+        f"(({key} * {a}) % 4294967296) % {_BLOOM_M}" for a in _BLOOM_HASHES
+    )
+
+
+@_register(
+    "sketch_bloom_fpr_audit",
+    oracle=f"""
+    WITH members AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    bits AS (
+      SELECT DISTINCT unnest([{_bloom_bits_sql("key")}]) AS bit FROM members
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_members,
+                 CAST(max(key) AS BIGINT) AS mx FROM members),
+    probes AS (
+      SELECT mx + g AS key FROM n, generate_series(1, 5000) AS t(g)
+    ),
+    pb AS (
+      SELECT key, unnest([{_bloom_bits_sql("key")}]) AS bit FROM probes
+    ),
+    hits AS (
+      SELECT pb.key, count(*) AS n_set
+      FROM pb JOIN bits USING (bit) GROUP BY pb.key
+    ),
+    fp AS (SELECT CAST(count(*) AS BIGINT) AS n_fp FROM hits WHERE n_set = 3),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS bits_set FROM bits)
+    SELECT n_members, bits_set,
+           floor(CAST(bits_set AS DOUBLE) / {_BLOOM_M}.0e0 * 1.0e6 + 0.5)
+             / 1.0e6 AS fill_ratio,
+           CAST(5000 AS BIGINT) AS n_probes, n_fp,
+           floor(CAST(n_fp AS DOUBLE) / 5000.0e0 * 1.0e6 + 0.5) / 1.0e6
+             AS fpr_realized,
+           floor(pow(1.0e0 - pow(1.0e0 - 1.0e0/{_BLOOM_M}.0e0,
+                                 3.0e0 * CAST(n_members AS DOUBLE)),
+                     3.0e0) * 1.0e6 + 0.5) / 1.0e6 AS fpr_theoretical
+    FROM n, b, fp
+    """,
+)
+def sketch_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter (1970) as relational algebra: members (distinct
+    order custkeys) each set k=3 bits of an m=65536-bit array via
+    Knuth-multiplicative hashes (pure BIGINT arithmetic — engine-
+    identical); the filter IS the distinct (bit) relation, mergeable by
+    union like every sketch in the family. 5000 guaranteed-non-member
+    probe keys (max_custkey + 1..5000) then test membership by an
+    equi-join on bit positions — a probe is a false positive iff all 3
+    of its bits are set — and the realized FPR sits next to the
+    closed-form (1-(1-1/m)^{{kn}})^k expectation. At scale the bit
+    relation is bounded by m (64k rows however many members), so build
+    and probe are both broadcast-join-sized; this is the audit a
+    pipeline runs before shipping a Bloom pre-filter in front of an
+    expensive dedup join."""
+    o = _t(spark, sf_dir, "orders")
+    members = o.select(F.col("o_custkey").alias("key")).distinct()
+
+    def bloom_bits(key):
+        return F.array(
+            *[
+                ((key * F.lit(a)) % F.lit(4294967296)) % F.lit(_BLOOM_M)
+                for a in _BLOOM_HASHES
+            ]
+        )
+
+    bits = (
+        members.select(F.explode(bloom_bits(F.col("key"))).alias("bit"))
+        .distinct()
+    )
+    n = members.agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("key").cast("long").alias("mx"),
+    )
+    probes = spark.range(1, 5001).crossJoin(F.broadcast(n)).select(
+        (F.col("mx") + F.col("id")).alias("key"), "n_members"
+    )
+    pb = probes.select("key", F.explode(bloom_bits(F.col("key"))).alias("bit"))
+    hits = pb.join(bits, "bit").groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_set")
+    )
+    fp = hits.filter(F.col("n_set") == 3).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    b = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    nm = F.col("n_members").cast("double")
+    return (
+        n.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            "n_members",
+            "bits_set",
+            (
+                F.floor(
+                    F.col("bits_set").cast("double")
+                    / F.lit(float(_BLOOM_M))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("fill_ratio"),
+            F.lit(5000).cast("long").alias("n_probes"),
+            "n_fp",
+            (
+                F.floor(F.col("n_fp").cast("double") / 5000.0 * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("fpr_realized"),
+            (
+                F.floor(
+                    F.pow(
+                        F.lit(1.0)
+                        - F.pow(
+                            F.lit(1.0 - 1.0 / _BLOOM_M), F.lit(3.0) * nm
+                        ),
+                        F.lit(3.0),
+                    )
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("fpr_theoretical"),
+        )
+    )
+
+
+@_register(
+    "sample_stratified_split_audit",
+    oracle="""
+    WITH d AS (
+      SELECT lang, source,
+             (((doc_id * 2246822519) % 4294967296) % 64 < 13) AS is_val
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (is_val) AS BIGINT) AS n_val
+      FROM d GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(n_val) AS DOUBLE) AS nv
+      FROM s
+    )
+    SELECT lang, source, n, n_val,
+           floor(CAST(n_val AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS val_rate,
+           floor((CAST(n_val AS DOUBLE) / CAST(n AS DOUBLE) - nv / nn)
+                 * 1.0e6 + 0.5) / 1.0e6 AS rate_dev
+    FROM s, g
+    ORDER BY lang, source
+    """,
+)
+def sample_stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum balance audit of the deterministic hash split: the
+    bucket<13-of-64 Knuth-hash validation rule (same pure-BIGINT hash
+    family as sample_hash_uniformity_chisq, different multiplier) is
+    key-deterministic but NOT stratified, so thin (lang, source) strata
+    can drift far from the global ~20.3% rate — exactly what this
+    readout quantifies per stratum before anyone trusts a per-language
+    eval number from the holdout. One groupBy over bounded strata plus
+    a 1-row global broadcast; at 100 TB the stratum table is still
+    |langs|x|sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        (
+            ((F.col("doc_id") * F.lit(2246822519)) % F.lit(4294967296))
+            % F.lit(64)
+            < 13
+        ).alias("is_val"),
+    )
+    s = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("is_val"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+    )
+    g = s.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("n_val").cast("double").alias("nv"),
+    )
+    rate = F.col("n_val").cast("double") / F.col("n").cast("double")
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "lang",
+            "source",
+            "n",
+            "n_val",
+            (F.floor(rate * 1.0e6 + 0.5) / 1.0e6).alias("val_rate"),
+            (
+                F.floor((rate - F.col("nv") / F.col("nn")) * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("rate_dev"),
+        )
+        .orderBy("lang", "source")
+    )
