@@ -4039,3 +4039,191 @@ def sample_stratified_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("lang", "source")
     )
+
+
+# ===========================================================================
+# Wave M — corpus-distribution text analytics: per-source Jensen-
+# Shannon divergence from the corpus unigram distribution (the drift /
+# source-mixture readout a data-curation pass reads next to the
+# set-based source_vocab_jaccard), and a per-language sentence-length
+# profile. JSD uses the SPARSE decomposition (terms only for words the
+# source actually contains; the missing-mass tail collapses to
+# ln2·(1−Q(V_s)) in closed form) with every per-term double quantized
+# to 1e-12 units before the sum, so the aggregate is an exact integer
+# sum in any order ([[oracle-parity-gotchas]]).
+# ===========================================================================
+@_register(
+    "text_source_unigram_jsd",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    t AS (SELECT source, w FROM tok WHERE w <> ''),
+    sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+    cw AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn,
+                   CAST(count(*) AS BIGINT) AS vocab FROM cw),
+    terms AS (
+      SELECT sw.source,
+             CAST(floor(0.5e0 * (
+                    (CAST(c AS DOUBLE)/CAST(n_s AS DOUBLE))
+                    * ln(2.0e0*(CAST(c AS DOUBLE)/CAST(n_s AS DOUBLE))
+                         / ((CAST(c AS DOUBLE)/CAST(n_s AS DOUBLE))
+                            + (CAST(cg AS DOUBLE)/CAST(nn AS DOUBLE))))
+                    + (CAST(cg AS DOUBLE)/CAST(nn AS DOUBLE))
+                    * ln(2.0e0*(CAST(cg AS DOUBLE)/CAST(nn AS DOUBLE))
+                         / ((CAST(c AS DOUBLE)/CAST(n_s AS DOUBLE))
+                            + (CAST(cg AS DOUBLE)/CAST(nn AS DOUBLE))))
+                  ) * 1.0e12 + 0.5) AS BIGINT) AS t_u,
+             CAST(floor(CAST(cg AS DOUBLE)/CAST(nn AS DOUBLE) * 1.0e12 + 0.5)
+                  AS BIGINT) AS q_u,
+             CAST(1 AS BIGINT) AS one
+      FROM sw JOIN ns USING (source) JOIN cw USING (w), tot
+    )
+    SELECT source, n_s AS n_tokens,
+           CAST(sum(one) AS BIGINT) AS vocab_overlap,
+           floor((CAST(sum(t_u) AS DOUBLE) / 1.0e12
+                  + 0.5e0 * ln(2.0e0)
+                    * (1.0e0 - CAST(sum(q_u) AS DOUBLE) / 1.0e12))
+                 * 1.0e6 + 0.5) / 1.0e6 AS jsd_nats
+    FROM terms JOIN ns USING (source)
+    GROUP BY source, n_s
+    ORDER BY source
+    """,
+)
+def text_source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (Lin 1991) of each source's unigram
+    distribution P_s from the corpus distribution Q — the standard
+    source-drift / domain-mixture score a curation pipeline tracks per
+    snapshot. Computed in the SPARSE form: explicit terms only for
+    words the source contains (p>0), and the entire p=0 tail collapses
+    analytically to ½·ln2·(1−Σ_{w∈V_s} q_w), so the join is
+    source-vocab-sized, never |sources|×|vocab|. Each per-term double
+    (ln-based) is floor-quantized to 1e-12 units BEFORE summation, so
+    both engines sum identical integers in any order. Shuffles are
+    bounded by vocabulary, not corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sw = t.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ns = sw.groupBy("source").agg(F.sum("c").cast("long").alias("n_s"))
+    cw = sw.groupBy("w").agg(F.sum("c").cast("long").alias("cg"))
+    tot = cw.agg(F.sum("cg").cast("long").alias("nn"))
+    p = F.col("c").cast("double") / F.col("n_s").cast("double")
+    q = F.col("cg").cast("double") / F.col("nn").cast("double")
+    term = F.lit(0.5) * (
+        p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(F.lit(2.0) * q / (p + q))
+    )
+    terms = (
+        sw.join(F.broadcast(ns), "source")
+        .join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.floor(term * 1.0e12 + 0.5).cast("long").alias("t_u"),
+            F.floor(q * 1.0e12 + 0.5).cast("long").alias("q_u"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_overlap"),
+        F.sum("t_u").cast("decimal(38,0)").alias("st"),
+        F.sum("q_u").cast("decimal(38,0)").alias("sq"),
+    )
+    import math
+
+    return (
+        agg.join(F.broadcast(ns), "source")
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            "vocab_overlap",
+            (
+                F.floor(
+                    (
+                        F.col("st").cast("double") / 1.0e12
+                        + F.lit(0.5 * math.log(2.0))
+                        * (F.lit(1.0) - F.col("sq").cast("double") / 1.0e12)
+                    )
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("jsd_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "text_sentence_length_profile",
+    oracle="""
+    WITH s AS (
+      SELECT lang, trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS sent
+      FROM documents
+    ),
+    w AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(sent, ' '), x -> x <> ''))
+                  AS HUGEINT) AS n_words
+      FROM s WHERE sent <> ''
+    ),
+    a AS (
+      SELECT lang, CAST(count(*) AS HUGEINT) AS n, sum(n_words) AS sw,
+             sum(n_words * n_words) AS ssw, CAST(max(n_words) AS BIGINT) AS mx
+      FROM w GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_sentences,
+           floor(CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS mean_words,
+           floor((CAST(n AS DOUBLE) * CAST(ssw AS DOUBLE)
+                  - CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0))
+                 * 1.0e6 + 0.5) / 1.0e6 AS var_words,
+           mx AS max_words
+    FROM a ORDER BY lang
+    """,
+)
+def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sentence-length profile: sentences split on
+    [.!?]+ runs (the same regex class both engines treat identically),
+    empty segments dropped after trim, length measured in nonempty
+    space-separated words. Mean/variance from exact integer sums per
+    bounded language key; the readability-adjacent structural stat
+    (word_length and Flesch profiles cover characters and syllables —
+    this covers the sentence axis). One explode + one groupBy on a
+    bounded key: map-side combinable at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        "lang",
+        F.explode(F.split(F.col("text"), "[.!?]+")).alias("seg"),
+    ).select("lang", F.trim(F.col("seg")).alias("sent"))
+    w = s.filter(F.col("sent") != "").select(
+        "lang",
+        F.size(F.filter(F.split(F.col("sent"), " "), lambda x: x != ""))
+        .cast("decimal(38,0)")
+        .alias("n_words"),
+    )
+    a = w.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("n_words").alias("sw"),
+        F.sum(F.col("n_words") * F.col("n_words")).alias("ssw"),
+        F.max("n_words").cast("long").alias("mx"),
+    )
+    nd = F.col("n").cast("double")
+    swd = F.col("sw").cast("double")
+    sswd = F.col("ssw").cast("double")
+    return a.select(
+        "lang",
+        F.col("n").cast("long").alias("n_sentences"),
+        (F.floor(swd / nd * 1.0e6 + 0.5) / 1.0e6).alias("mean_words"),
+        (
+            F.floor(
+                (nd * sswd - swd * swd) / (nd * (nd - F.lit(1.0))) * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("var_words"),
+        F.col("mx").alias("max_words"),
+    ).orderBy("lang")
