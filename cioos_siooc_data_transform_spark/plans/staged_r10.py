@@ -4227,3 +4227,234 @@ def text_sentence_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_words"),
         F.col("mx").alias("max_words"),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# Wave N — embedding-space geometry audits: k-occurrence hubness
+# (Radovanovic et al. 2010 — the high-dimensional pathology where a
+# few points appear in everyone's neighbor list and ANN recall
+# quietly degrades), and a deterministic triplet-margin violation rate
+# (the metric-learning sanity check that labels actually separate in
+# cosine space). Neighbor sets use the established rounded-cosine +
+# id tiebreak so both engines agree on the exact graph.
+# ===========================================================================
+@_register(
+    "embedding_knn_hubness",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 500
+    ),
+    nn AS (
+      SELECT neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.v), 4) DESC,
+                          c.vec_id ASC
+               ) AS rank
+        FROM sub q, sub c WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    ),
+    deg AS (
+      SELECT s.vec_id, CAST(count(nn.neighbor_id) AS HUGEINT) AS indeg
+      FROM sub s LEFT JOIN nn ON nn.neighbor_id = s.vec_id
+      GROUP BY s.vec_id
+    ),
+    a AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(indeg) AS s1,
+             sum(indeg * indeg) AS s2, sum(indeg * indeg * indeg) AS s3,
+             CAST(max(indeg) AS BIGINT) AS mx,
+             CAST(count(*) FILTER (indeg = 0) AS BIGINT) AS antihubs,
+             CAST(count(*) FILTER (indeg > 20) AS BIGINT) AS hubs_2k
+      FROM deg
+    )
+    SELECT CAST(n AS BIGINT) AS n_points, mx AS max_indegree,
+           antihubs AS n_antihubs, hubs_2k AS n_hubs_over_2k,
+           floor((CAST(s3 AS DOUBLE)/CAST(n AS DOUBLE)
+                  - 3.0e0*(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+                    *(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE))
+                  + 2.0e0*pow(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE), 3.0e0))
+                 / pow(CAST(s2 AS DOUBLE)/CAST(n AS DOUBLE)
+                       - pow(CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE), 2.0e0),
+                       1.5e0) * 1.0e6 + 0.5) / 1.0e6 AS indegree_skewness
+    FROM a
+    """,
+)
+def embedding_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence hubness audit (Radovanovic, Nanopoulos &
+    Ivanovic 2010): over the deterministic vec_id<500 probe subset,
+    build the exact 10-NN graph (rounded-cosine + id tiebreak — the
+    engine-stable neighbor contract shared with
+    embedding_knn_label_accuracy), then profile the IN-degree
+    distribution: max hub size, antihub count (in-degree 0 — points no
+    one retrieves), count above 2k, and the moment skewness S_{N_k}
+    that IS the hubness score. Positive skew growing with dimension is
+    the canonical symptom that cosine kNN is concentrating; an ANN
+    rollout reads this before trusting recall numbers. Probe subset is
+    bounded by construction (the 100 TB path swaps in the IVF index
+    for neighbor generation); skewness from exact integer moment
+    sums."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 500)
+    nn = brute_force_topk(sub, sub, k=10, round_dp=4).select("neighbor_id")
+    cnt = nn.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    deg = (
+        sub.select("vec_id")
+        .join(cnt, sub["vec_id"] == cnt["neighbor_id"], "left")
+        .select(
+            F.coalesce(F.col("c"), F.lit(0)).cast("decimal(38,0)").alias(
+                "indeg"
+            )
+        )
+    )
+    a = deg.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("indeg").alias("s1"),
+        F.sum(F.col("indeg") * F.col("indeg")).alias("s2"),
+        F.sum(F.col("indeg") * F.col("indeg") * F.col("indeg")).alias("s3"),
+        F.max("indeg").cast("long").alias("mx"),
+        F.sum(F.when(F.col("indeg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("antihubs"),
+        F.sum(F.when(F.col("indeg") > 20, 1).otherwise(0))
+        .cast("long")
+        .alias("hubs_2k"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    m2r = F.col("s2").cast("double") / nd
+    m3r = F.col("s3").cast("double") / nd
+    skew = (m3r - F.lit(3.0) * m1 * m2r + F.lit(2.0) * F.pow(m1, F.lit(3.0))) / F.pow(
+        m2r - F.pow(m1, F.lit(2.0)), F.lit(1.5)
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("mx").alias("max_indegree"),
+        F.col("antihubs").alias("n_antihubs"),
+        F.col("hubs_2k").alias("n_hubs_over_2k"),
+        (F.floor(skew * 1.0e6 + 0.5) / 1.0e6).alias("indegree_skewness"),
+    )
+
+
+@_register(
+    "embedding_triplet_margin_violations",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM e),
+    anch AS (
+      SELECT vec_id, label, v,
+             lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id) AS pos_id
+      FROM e
+    ),
+    trip AS (
+      SELECT a.vec_id, a.label, a.v,
+             p.v AS pv,
+             g.v AS gv, g.label AS neg_label
+      FROM anch a
+      JOIN e p ON p.vec_id = a.pos_id
+      JOIN n ON true
+      JOIN e g ON g.vec_id = (a.vec_id + nn // 2) % nn
+      WHERE a.pos_id IS NOT NULL AND g.label != a.label
+    ),
+    s AS (
+      SELECT CAST(round(list_cosine_similarity(v, pv), 6) * 1000000 AS BIGINT)
+               AS cap,
+             CAST(round(list_cosine_similarity(v, gv), 6) * 1000000 AS BIGINT)
+               AS can
+      FROM trip
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triplets,
+           CAST(count(*) FILTER (cap < can + 50000) AS BIGINT) AS n_violations,
+           floor(CAST(count(*) FILTER (cap < can + 50000) AS DOUBLE)
+                 / count(*) * 1.0e6 + 0.5) / 1.0e6 AS violation_rate,
+           floor(CAST(sum(cap) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_pos_cos,
+           floor(CAST(sum(can) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_neg_cos
+    FROM s
+    """,
+)
+def embedding_triplet_margin_violations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Triplet-margin violation rate (the Schroff et al. 2015 FaceNet
+    criterion, as a batch audit): anchors pair with a deterministic
+    same-label positive (the next vec_id within the label — a window
+    PARTITIONED by label, never global) and a deterministic negative
+    (the vector at (id + n/2) mod n, an EQUI-join on computed id;
+    same-label collisions are excluded, not resampled). A triplet
+    violates if cos(a,p) < cos(a,n) + 0.05 on micro-unit-quantized
+    cosines, so the cut and both means are integer-exact across
+    engines. The label-separation health check run before trusting
+    embedding-distance dedup or retrieval labels; every join is an
+    equi-join, the only scalar is the broadcast count."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        cosine_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    n = emb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    anch = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        F.lead("vec_id").over(w).alias("pos_id"),
+    ).filter(F.col("pos_id").isNotNull())
+    pos = emb.select(
+        F.col("vec_id").alias("pos_id"), F.col("embedding").alias("pv")
+    )
+    neg = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("gv"),
+    )
+    trip = (
+        anch.crossJoin(F.broadcast(n))
+        .withColumn(
+            "neg_id",
+            (F.col("vec_id") + F.floor(F.col("nn") / 2).cast("long"))
+            % F.col("nn"),
+        )
+        .join(pos, "pos_id")
+        .join(neg, "neg_id")
+        .filter(F.col("neg_label") != F.col("label"))
+    )
+    s = trip.select(
+        (F.round(cosine_expr(F.col("v"), F.col("pv")), 6) * 1000000)
+        .cast("long")
+        .alias("cap"),
+        (F.round(cosine_expr(F.col("v"), F.col("gv")), 6) * 1000000)
+        .cast("long")
+        .alias("can"),
+    )
+    viol = F.sum(
+        F.when(F.col("cap") < F.col("can") + 50000, 1).otherwise(0)
+    ).cast("long")
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triplets"),
+        viol.alias("n_violations"),
+        (
+            F.floor(
+                viol.cast("double") / F.count(F.lit(1)) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("violation_rate"),
+        (
+            F.floor(F.sum("cap").cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1.0e6
+        ).alias("mean_pos_cos"),
+        (
+            F.floor(F.sum("can").cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1.0e6
+        ).alias("mean_neg_cos"),
+    )
