@@ -78,6 +78,7 @@ def ranked_cumsum_two_pass(
     n_buckets: int = 512,
     out_rank: str = "rnk",
     out_cum: str = "cum",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Global dense ranking + running sum over (value_col DESC,
     tie_col ASC) WITHOUT a single-partition window — the scale-safe
@@ -111,7 +112,15 @@ def ranked_cumsum_two_pass(
     global window for that bucket only. For adversarial distributions
     raise n_buckets or pre-split on a secondary hash of tie_col (the
     rank offsets stay exact because ties order by tie_col).
+
+    weight_col (optional): when given, ``out_cum`` is the running sum
+    of THIS integer column instead of value_col — the weighted-cumsum
+    form (e.g. running observation counts over a distinct-value table,
+    the midrank input for rank statistics like Kruskal–Wallis).
+    Bucketing and ordering are still by value_col; weight_col must be
+    integer-typed for the exactness contract to hold.
     """
+    wcol = weight_col if weight_col is not None else value_col
     mm = df.agg(
         F.max(value_col).alias("__mx"),
         F.min(value_col).alias("__mn"),
@@ -130,7 +139,7 @@ def ranked_cumsum_two_pass(
     ).drop("__mx", "__mn")
     stats = b.groupBy("__bucket").agg(
         F.count(F.lit(1)).cast("long").alias("__bn"),
-        F.sum(value_col).cast("long").alias("__bsum"),
+        F.sum(wcol).cast("long").alias("__bsum"),
     )
     w_off = (
         Window.orderBy("__bucket")
@@ -146,7 +155,7 @@ def ranked_cumsum_two_pass(
     )
     ranked = (
         b.withColumn("__rn_in", F.row_number().over(w_in).cast("long"))
-        .withColumn("__cum_in", F.sum(value_col).over(w_in).cast("long"))
+        .withColumn("__cum_in", F.sum(wcol).over(w_in).cast("long"))
         .join(F.broadcast(offsets), "__bucket")
     )
     return (

@@ -34,10 +34,23 @@ Content so far:
 - Wave G — embeddings: top principal component by decimal-exact power
   iteration, intra-vs-inter label margin audit.
 - Wave H — dedup/sampling ops: sorted-neighborhood candidate
-  generation, blocking-quality (pairs-completeness) audit,
-  deterministic hash-sampling uniformity chi-square.
+  generation, blocking-quality audit, deterministic hash-sampling
+  uniformity chi-square, Jaccard threshold sweep.
 - Wave I — events/EVT: peaks-over-threshold GPD method-of-moments
   fit, interarrival burstiness coefficient.
+- Wave J — GSW 75-term analytic-derivative tail: specvol first
+  derivatives, rho second derivatives (quotient rule), ITS-90
+  temperature-scale conversions.
+- Wave K — robust/econometric statistics: Brown-Forsythe, MAD
+  anomaly days, seasonal-naive MAPE backtest, holiday DiD.
+- Wave L — probabilistic structures: Bloom-filter FPR audit,
+  stratified split balance audit.
+- Wave M — corpus distributions: per-source unigram JSD (sparse
+  closed-form tail), sentence-length profile.
+- Wave N — embedding geometry: kNN hubness skewness, triplet-margin
+  violation rate.
+- Wave O — two-pass-rank reuse: spend-quintile migration matrix,
+  Kruskal-Wallis H with two-pass weighted midranks.
 """
 
 from __future__ import annotations
@@ -4457,4 +4470,244 @@ def embedding_triplet_margin_violations(
             F.floor(F.sum("can").cast("double") / F.count(F.lit(1)) + 0.5)
             / 1.0e6
         ).alias("mean_neg_cos"),
+    )
+
+
+# ===========================================================================
+# Wave O — two-pass-rank operator reuse (the scale-safe global-rank
+# form from operators/windows.py, pinned equal to the single-window
+# plan by pareto_share_two_pass): year-over-year spend-quintile
+# migration built from two two-pass rankings (no global window
+# anywhere), and the Kruskal–Wallis k-sample rank test whose midranks
+# come from the operator's NEW weighted-cumsum mode over the
+# distinct-value table.
+# ===========================================================================
+@_register(
+    "customer_segment_migration",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey AS cust, year(o_orderdate) AS yr,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) IN (1999, 2000)
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT cust, yr, cents,
+             row_number() OVER (PARTITION BY yr
+                                ORDER BY cents DESC, cust) AS rnk,
+             count(*) OVER (PARTITION BY yr) AS n
+      FROM s
+    ),
+    q AS (SELECT cust, yr, (5 * rnk - 1) // n + 1 AS quintile FROM r),
+    mig AS (
+      SELECT a.quintile AS q_1999, b.quintile AS q_2000,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM q a JOIN q b ON a.cust = b.cust AND a.yr = 1999 AND b.yr = 2000
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(n_customers) AS DOUBLE) AS tot FROM mig)
+    SELECT q_1999, q_2000, n_customers,
+           floor(CAST(n_customers AS DOUBLE) / tot * 1.0e6 + 0.5) / 1.0e6
+             AS share
+    FROM mig, t ORDER BY q_1999, q_2000
+    """,
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-quintile migration matrix (1999 -> 2000):
+    customers rank by annual spend WITHIN each year via the two-pass
+    range-bucket ranking operator (ranked_cumsum_two_pass — zero
+    single-partition windows, the >= 1e8-key-safe form the concentration
+    family documents), quintile = ceil(5·rank/n) in pure integer
+    arithmetic, then the 25-cell transition matrix from an equi-join on
+    customer across years — the churn/upsell movement readout behind
+    RFM dashboards. Ranks are over integer cents with custkey
+    tiebreaks, so the quintile cut is engine-exact; the oracle is the
+    plain global-window formulation, which pins the operator's
+    equivalence on a second live shape."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1999, 2000)
+    )
+    s = o.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+    def quintiles(yr: int) -> DataFrame:
+        d = s.filter(F.col("yr") == yr).select("cust", "cents")
+        r = ranked_cumsum_two_pass(d, "cents", "cust")
+        n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return (
+            r.crossJoin(F.broadcast(n))
+            .select(
+                "cust",
+                (
+                    ((F.lit(5) * F.col("rnk") - 1) / F.col("n")).cast("long")
+                    + 1
+                ).alias(f"q_{yr}"),
+            )
+        )
+
+    a = quintiles(1999)
+    b = quintiles(2000)
+    mig = (
+        a.join(b, "cust")
+        .groupBy("q_1999", "q_2000")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    t = mig.agg(F.sum("n_customers").cast("double").alias("tot"))
+    return (
+        mig.crossJoin(F.broadcast(t))
+        .select(
+            "q_1999",
+            "q_2000",
+            "n_customers",
+            (
+                F.floor(
+                    F.col("n_customers").cast("double")
+                    / F.col("tot")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("share"),
+        )
+        .orderBy("q_1999", "q_2000")
+    )
+
+
+@_register(
+    "events_kruskal_wallis_value",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (SELECT vq, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    r AS (
+      SELECT vq, n,
+             sum(n) OVER (ORDER BY vq DESC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ),
+    m AS (SELECT vq, CAST(2 * cum - n + 1 AS HUGEINT) AS mr2 FROM r),
+    g AS (
+      SELECT event_type, vq, CAST(count(*) AS HUGEINT) AS cnt
+      FROM v GROUP BY 1, 2
+    ),
+    rg AS (
+      SELECT event_type, sum(cnt * mr2) AS r2, CAST(sum(cnt) AS HUGEINT) AS ng
+      FROM g JOIN m USING (vq) GROUP BY 1
+    ),
+    terms AS (
+      SELECT event_type, ng,
+             CAST(floor(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)
+                        / (4.0e0 * CAST(ng AS DOUBLE))) AS HUGEINT) AS term_u
+      FROM rg
+    ),
+    ties AS (SELECT CAST(sum(n * n * n - n) AS HUGEINT) AS t3 FROM c),
+    t AS (
+      SELECT CAST(sum(ng) AS DOUBLE) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(term_u) AS DOUBLE) AS sum_r2sq,
+             CAST(max(t3) AS DOUBLE) AS t3
+      FROM terms, ties
+    )
+    SELECT CAST(nn AS BIGINT) AS n_total, k AS k_groups,
+           floor((12.0e0 / (nn * (nn + 1.0e0)) * sum_r2sq
+                  - 3.0e0 * (nn + 1.0e0)) * 1.0e6 + 0.5) / 1.0e6 AS h_stat,
+           floor((1.0e0 - t3 / (nn*nn*nn - nn)) * 1.0e9 + 0.5) / 1.0e9
+             AS tie_correction,
+           floor((12.0e0 / (nn * (nn + 1.0e0)) * sum_r2sq
+                  - 3.0e0 * (nn + 1.0e0))
+                 / (1.0e0 - t3 / (nn*nn*nn - nn)) * 1.0e6 + 0.5) / 1.0e6
+             AS h_tie_corrected
+    FROM t
+    """,
+)
+def events_kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H test (1952) of event value across types — the
+    k-sample generalization of the registered Mann–Whitney, completing
+    the rank-test battery. Midranks come WITHOUT any global window:
+    values quantize to integer micro-units, the distinct-value count
+    table gets a weighted running count from ranked_cumsum_two_pass's
+    new weight_col mode (range-bucketed two-pass — bounded shuffles at
+    any cardinality), and doubled midranks 2·cum−n+1 stay exact
+    integers. Per-group rank sums are exact HUGEINT/decimal products;
+    the per-group R²/n terms are floor-quantized before the cross-group
+    sum (group-order independence); the tie correction
+    1 − Σ(t³−t)/(N³−N) comes from the same count table. H under DESC
+    ranks equals H under ASC (affine rank flip), both engines use
+    DESC."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("vq"),
+    )
+    c = v.groupBy("vq").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = ranked_cumsum_two_pass(c, "vq", "vq", weight_col="n")
+    m = r.select(
+        "vq",
+        (F.lit(2) * F.col("cum") - F.col("n") + 1)
+        .cast("decimal(38,0)")
+        .alias("mr2"),
+    )
+    g = v.groupBy("event_type", "vq").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("cnt")
+    )
+    rg = (
+        g.join(m, "vq")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("cnt") * F.col("mr2")).alias("r2"),
+            F.sum("cnt").cast("decimal(38,0)").alias("ng"),
+        )
+    )
+    terms = rg.select(
+        "ng",
+        F.floor(
+            F.col("r2").cast("double")
+            * F.col("r2").cast("double")
+            / (F.lit(4.0) * F.col("ng").cast("double"))
+        )
+        .cast("decimal(38,0)")
+        .alias("term_u"),
+    )
+    ties = c.agg(
+        F.sum(
+            F.col("n").cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)")
+            * F.col("n").cast("decimal(38,0)")
+            - F.col("n").cast("decimal(38,0)")
+        ).alias("t3")
+    )
+    t = terms.crossJoin(F.broadcast(ties)).agg(
+        F.sum("ng").cast("double").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("term_u").cast("double").alias("sum_r2sq"),
+        F.max("t3").cast("double").alias("t3"),
+    )
+    nn = F.col("nn")
+    h = F.lit(12.0) / (nn * (nn + 1.0)) * F.col("sum_r2sq") - F.lit(3.0) * (
+        nn + 1.0
+    )
+    corr = F.lit(1.0) - F.col("t3") / (nn * nn * nn - nn)
+    return t.select(
+        nn.cast("long").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        (F.floor(h * 1.0e6 + 0.5) / 1.0e6).alias("h_stat"),
+        (F.floor(corr * 1.0e9 + 0.5) / 1.0e9).alias("tie_correction"),
+        (F.floor(h / corr * 1.0e6 + 0.5) / 1.0e6).alias("h_tie_corrected"),
     )

@@ -107,6 +107,18 @@ STAGED_NAMES = [
     "events_daily_mad_anomalies",
     "orders_seasonal_naive_backtest",
     "orders_diff_in_diff_holiday",
+    # wave L — probabilistic-structure audits
+    "sketch_bloom_fpr_audit",
+    "sample_stratified_split_audit",
+    # wave M — corpus-distribution text analytics
+    "text_source_unigram_jsd",
+    "text_sentence_length_profile",
+    # wave N — embedding-space geometry audits
+    "embedding_knn_hubness",
+    "embedding_triplet_margin_violations",
+    # wave O — two-pass-rank operator reuse
+    "customer_segment_migration",
+    "events_kruskal_wallis_value",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
