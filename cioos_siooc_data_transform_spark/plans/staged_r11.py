@@ -310,3 +310,214 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@_register(
+    "embedding_intrinsic_dim_two_nn",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 500
+    ),
+    nn AS (
+      SELECT query_id, rank,
+             1000000 - CAST(round(cs, 6) * 1000000 AS BIGINT) AS dist_u
+      FROM (
+        SELECT q.vec_id AS query_id,
+               list_cosine_similarity(q.v, c.v) AS cs,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                          c.vec_id ASC
+               ) AS rank
+        FROM sub q, sub c WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 2
+    ),
+    p AS (
+      SELECT query_id,
+             max(CASE WHEN rank = 1 THEN dist_u END) AS d1,
+             max(CASE WHEN rank = 2 THEN dist_u END) AS d2
+      FROM nn GROUP BY query_id
+    ),
+    lr AS (
+      SELECT CAST(floor(ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))
+                        * 1.0e9 + 0.5) AS HUGEINT) AS lmu
+      FROM p WHERE d1 > 0
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_used, sum(lmu) AS slmu FROM lr
+    ),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p)
+    SELECT n_total, n_used, n_total - n_used AS n_degenerate,
+           floor(CAST(n_used AS DOUBLE)
+                 / (CAST(slmu AS DOUBLE) / 1.0e9) * 1.0e6 + 0.5) / 1.0e6
+             AS id_two_nn,
+           floor(CAST(slmu AS DOUBLE) / 1.0e9 / CAST(n_used AS DOUBLE)
+                 * 1.0e9 + 0.5) / 1.0e9 AS mean_log_ratio
+    FROM a, b
+    """,
+)
+def embedding_intrinsic_dim_two_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco, d'Errico, Rodriguez
+    & Laio 2017): for each point the ratio mu = r2/r1 of its second-
+    to first-nearest-neighbor distances is Pareto(d) under local
+    uniformity, so the MLE is d = n / sum(ln mu) — the modern check
+    that a 64-dim embedding actually lives on a much lower-dimensional
+    manifold (high d => cosine contrast is thin and ANN/dedup
+    thresholds need headroom). Distances are cosine distances in exact
+    integer micro-units (1e6 − rounded-similarity·1e6, the engine-
+    stable neighbor contract); zero-distance duplicates are EXCLUDED
+    and counted (`n_degenerate`) rather than blowing up the ratio.
+    Per-point ln(mu) quantizes to 1e-9 units before the exact sum.
+    Probe subset bounded at vec_id<500 (the 100 TB path feeds IVF
+    neighbor lists)."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 500)
+    nn = brute_force_topk(sub, sub, k=2, round_dp=6).select(
+        "query_id",
+        "rank",
+        (F.lit(1000000) - (F.col("cos_sim") * 1000000).cast("long")).alias(
+            "dist_u"
+        ),
+    )
+    p = nn.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("dist_u"))).alias("d1"),
+        F.max(F.when(F.col("rank") == 2, F.col("dist_u"))).alias("d2"),
+    )
+    lr = p.filter(F.col("d1") > 0).select(
+        F.floor(
+            F.log(F.col("d2").cast("double") / F.col("d1").cast("double"))
+            * 1.0e9
+            + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("lmu")
+    )
+    a = lr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.sum("lmu").alias("slmu"),
+    )
+    b = p.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    slmu = F.col("slmu").cast("double") / 1.0e9
+    nu = F.col("n_used").cast("double")
+    return (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            "n_total",
+            "n_used",
+            (F.col("n_total") - F.col("n_used")).alias("n_degenerate"),
+            (F.floor(nu / slmu * 1.0e6 + 0.5) / 1.0e6).alias("id_two_nn"),
+            (F.floor(slmu / nu * 1.0e9 + 0.5) / 1.0e9).alias(
+                "mean_log_ratio"
+            ),
+        )
+    )
+
+
+@_register(
+    "graph_rich_club_coefficient",
+    oracle="""
+    WITH e AS (
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    ks AS (SELECT unnest([2, 4, 8, 16, 32]) AS k),
+    nk AS (
+      SELECT k, CAST(count(deg.d) AS BIGINT) AS n_k
+      FROM ks LEFT JOIN deg ON d > k GROUP BY k
+    ),
+    ek AS (
+      SELECT k, CAST(count(x.d_a) AS BIGINT) AS e_k
+      FROM ks LEFT JOIN (
+        SELECT e.a, e.b, da.d AS d_a, db.d AS d_b
+        FROM e JOIN deg da ON da.u = e.a JOIN deg db ON db.u = e.b
+      ) x ON x.d_a > k AND x.d_b > k
+      GROUP BY k
+    )
+    SELECT nk.k, n_k AS n_nodes, e_k AS n_edges,
+           CASE WHEN n_k < 2 THEN NULL
+                ELSE floor(2.0e0 * e_k / (CAST(n_k AS DOUBLE)
+                           * (CAST(n_k AS DOUBLE) - 1.0e0)) * 1.0e6 + 0.5)
+                     / 1.0e6
+           END AS phi
+    FROM nk JOIN ek ON nk.k = ek.k
+    ORDER BY nk.k
+    """,
+)
+def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) (Zhou & Mondragon 2004) of the
+    co-purchase graph at degree cutoffs k in {2,4,8,16,32}: the edge
+    density among nodes of degree > k. phi rising with k means the
+    hubs preferentially interconnect — the structural reason hub-heavy
+    candidate buckets explode quadratically, so this is the readout
+    that justifies the bucket-cap guards on the graph/dedup joins.
+    Degrees from one shuffle; each cutoff is a broadcast-filtered
+    count over the same bounded edge relation (the 5-row threshold
+    table is the broadcast side, never the edges)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    ks = spark.range(1, 6).select(
+        F.pow(F.lit(2.0), F.col("id")).cast("long").alias("k")
+    )
+    nk = (
+        F.broadcast(ks)
+        .join(deg, F.col("d") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count(F.col("d")).cast("long").alias("n_k"))
+    )
+    da = deg.select(F.col("a").alias("ea"), F.col("d").alias("d_a"))
+    db = deg.select(F.col("a").alias("eb"), F.col("d").alias("d_b"))
+    edges_deg = (
+        e.join(da, F.col("a") == F.col("ea"))
+        .join(db, F.col("b") == F.col("eb"))
+        .select("d_a", "d_b")
+    )
+    ek = (
+        F.broadcast(ks)
+        .join(
+            edges_deg,
+            (F.col("d_a") > F.col("k")) & (F.col("d_b") > F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count(F.col("d_a")).cast("long").alias("e_k"))
+    )
+    nkd = F.col("n_k").cast("double")
+    return (
+        nk.join(ek, "k")
+        .select(
+            "k",
+            F.col("n_k").alias("n_nodes"),
+            F.col("e_k").alias("n_edges"),
+            F.when(F.col("n_k") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                F.floor(
+                    F.lit(2.0)
+                    * F.col("e_k")
+                    / (nkd * (nkd - F.lit(1.0)))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            )
+            .alias("phi"),
+        )
+        .orderBy("k")
+    )

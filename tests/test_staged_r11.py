@@ -62,7 +62,13 @@ def test_no_collision_with_earlier_slates():
     assert not clash, f"staged_r11 names collide with r8/r9/r10: {clash}"
 
 
-STAGED_NAMES: list[str] = []
+STAGED_NAMES: list[str] = [
+    # wave A — dedup/cluster-quality and corpus-health audits
+    "dedup_transitivity_audit",
+    "text_burrows_delta",
+    "embedding_intrinsic_dim_two_nn",
+    "graph_rich_club_coefficient",
+]
 
 REPLACEMENT_NAMES: list[str] = []
 
