@@ -521,3 +521,298 @@ def graph_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ===========================================================================
+# Wave B — time-series / econometric statistics: weighted price
+# quantiles from the two-pass weighted cumsum (no global window),
+# monthly-revenue maximum drawdown, and the Ferro–Segers intervals
+# estimator of the extremal index (does risk cluster in time?). Exact
+# integer units everywhere; doubles only in final scalar algebra.
+# ===========================================================================
+@_register(
+    "lineitem_weighted_price_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS wq
+      FROM lineitem
+    ),
+    d AS (SELECT cents, CAST(sum(wq) AS BIGINT) AS w FROM v GROUP BY cents),
+    r AS (
+      SELECT cents, w,
+             sum(w) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    ),
+    t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d)
+    SELECT tw AS total_weight,
+           floor(CAST(min(CASE WHEN 4 * cum >= tw THEN cents END) AS DOUBLE)
+                 / 100.0e0 * 1.0e2 + 0.5) / 1.0e2 AS wq25_dollars,
+           floor(CAST(min(CASE WHEN 2 * cum >= tw THEN cents END) AS DOUBLE)
+                 / 100.0e0 * 1.0e2 + 0.5) / 1.0e2 AS wmedian_dollars,
+           floor(CAST(min(CASE WHEN 4 * cum >= 3 * tw THEN cents END)
+                      AS DOUBLE) / 100.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS wq75_dollars
+    FROM r, t GROUP BY tw
+    """,
+)
+def lineitem_weighted_price_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted price quartiles: the smallest price whose
+    cumulative quantity weight reaches q·W (the classic weighted-
+    quantile definition, in pure integer arithmetic — 4·cum >= q·4W
+    comparisons, no floating thresholds). The cumulative weights come
+    from ranked_cumsum_two_pass's weight_col mode over the DISTINCT
+    price table (ascending via negated cents) — zero single-partition
+    windows at any cardinality, unlike a naive sum-over-global-window.
+    The volume-weighted center of a price book is what a pricing audit
+    actually wants (the unweighted median over line items overweights
+    small orders)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("wq"),
+    )
+    d = v.groupBy("cents").agg(F.sum("wq").cast("long").alias("w")).select(
+        "cents", "w", (-F.col("cents")).alias("neg")
+    )
+    r = ranked_cumsum_two_pass(d, "neg", "neg", weight_col="w")
+    t = d.agg(F.sum("w").cast("long").alias("tw"))
+    j = r.crossJoin(F.broadcast(t))
+
+    def wq(cond, name):
+        return (
+            F.floor(
+                F.min(F.when(cond, F.col("cents"))).cast("double")
+                / F.lit(100.0)
+                * 1.0e2
+                + 0.5
+            )
+            / 1.0e2
+        ).alias(name)
+
+    return j.groupBy("tw").agg(
+        wq(4 * F.col("cum") >= F.col("tw"), "wq25_dollars"),
+        wq(2 * F.col("cum") >= F.col("tw"), "wmedian_dollars"),
+        wq(4 * F.col("cum") >= 3 * F.col("tw"), "wq75_dollars"),
+    ).select(
+        F.col("tw").alias("total_weight"),
+        "wq25_dollars",
+        "wmedian_dollars",
+        "wq75_dollars",
+    )
+
+
+@_register(
+    "orders_max_drawdown",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT ym, rev,
+             max(rev) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING) AS peak
+      FROM m
+    ),
+    d AS (
+      SELECT ym, rev, peak,
+             CAST(floor((CAST(peak AS DOUBLE) - CAST(rev AS DOUBLE))
+                        / CAST(peak AS DOUBLE) * 1.0e9 + 0.5) AS BIGINT)
+               AS dd_u
+      FROM r
+    )
+    SELECT CAST(ym // 12 AS BIGINT) AS year,
+           CAST(ym % 12 + 1 AS BIGINT) AS month,
+           CAST(floor(CAST(peak AS DOUBLE) / 100.0e0 + 0.5) AS BIGINT)
+             AS peak_dollars,
+           CAST(floor(CAST(rev AS DOUBLE) / 100.0e0 + 0.5) AS BIGINT)
+             AS trough_dollars,
+           floor(CAST(dd_u AS DOUBLE) / 1.0e3 + 0.5) / 1.0e6
+             AS max_drawdown_frac
+    FROM d ORDER BY dd_u DESC, ym LIMIT 1
+    """,
+)
+def orders_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the monthly-revenue series: the largest
+    peak-to-trough fractional drop from a running maximum — the
+    risk-report headline number, located (year, month of the trough)
+    and sized. The running max is a window over the MONTH table, whose
+    cardinality is the calendar (bounded ~10² rows here, ~10³ at a
+    century of data) — the docstring-bound idiom the concentration
+    family uses; the raw scan is a single month group-by. Drawdown
+    fractions quantize to 1e-9 integers before the argmax so the
+    winning month is engine-exact under ties (earliest month wins)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("ym").rowsBetween(Window.unboundedPreceding, 0)
+    r = m.withColumn("peak", F.max("rev").over(w))
+    d = r.withColumn(
+        "dd_u",
+        F.floor(
+            (F.col("peak").cast("double") - F.col("rev").cast("double"))
+            / F.col("peak").cast("double")
+            * 1.0e9
+            + 0.5
+        ).cast("long"),
+    )
+    return (
+        d.orderBy(F.col("dd_u").desc(), "ym")
+        .limit(1)
+        .select(
+            F.floor(F.col("ym") / 12).cast("long").alias("year"),
+            (F.col("ym") % 12 + 1).cast("long").alias("month"),
+            F.floor(F.col("peak").cast("double") / 100.0 + 0.5).alias(
+                "peak_dollars"
+            ),
+            F.floor(F.col("rev").cast("double") / 100.0 + 0.5).alias(
+                "trough_dollars"
+            ),
+            (F.floor(F.col("dd_u").cast("double") / 1.0e3 + 0.5) / 1.0e6).alias(
+                "max_drawdown_frac"
+            ),
+        )
+    )
+
+
+@_register(
+    "events_extremal_index_intervals",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id, ts,
+             CAST(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS HUGEINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n, sum(vu) AS s,
+             sum(vu * vu) AS ss
+      FROM v GROUP BY 1
+    ),
+    u AS (
+      SELECT event_type, CAST(floor(
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + 2.0e0 * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0e0)))
+               + 0.5) AS HUGEINT) AS uu
+      FROM m
+    ),
+    exc AS (
+      SELECT v.event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY v.event_type ORDER BY ts, event_id
+             ) AS prev
+      FROM v JOIN u ON v.event_type = u.event_type AND v.vu > u.uu
+    ),
+    g AS (
+      SELECT event_type, CAST(t - prev AS HUGEINT) AS gap
+      FROM exc WHERE prev IS NOT NULL
+    ),
+    a AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n, sum(gap) AS s,
+             sum(gap * gap) AS ss
+      FROM g GROUP BY 1
+    )
+    SELECT event_type, CAST(n + 1 AS BIGINT) AS n_exceed,
+           floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e3 + 0.5) / 1.0e3
+             AS mean_interexceed_s,
+           floor(least(2.0e0 * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)), 1.0e0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS extremal_index
+    FROM a ORDER BY event_type
+    """,
+)
+def events_extremal_index_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ferro & Segers (2003) intervals estimator of the extremal index
+    theta per event type: over interexceedance times T of the
+    mean+2-sigma threshold (the same aggregate-derived integer-grid cut
+    as events_pot_gpd_fit), theta-hat = min(1, 2(ΣT)²/(N·ΣT²)) —
+    theta near 1 means extremes arrive independently, near 0 they
+    cluster into bursts, which decides whether a POT fit may treat
+    exceedances as independent (declustering needed below ~0.7). The
+    lag window is PARTITIONED by event type over the FILTERED
+    exceedance set (a small fraction of events by construction of the
+    2-sigma cut); gaps are whole epoch seconds, all moment sums exact
+    HUGEINT/decimal."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("decimal(38,0)").alias("vu"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vu").alias("s"),
+        F.sum(F.col("vu") * F.col("vu")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    u = m.select(
+        "event_type",
+        F.floor(
+            sd / nd
+            + F.lit(2.0)
+            * F.sqrt((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0))))
+            + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("uu"),
+    )
+    exc = v.join(F.broadcast(u), "event_type").filter(
+        F.col("vu") > F.col("uu")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.col("ts").cast("long")
+    g = (
+        exc.select("event_type", t.alias("t"), F.lag(t).over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            (F.col("t") - F.col("prev")).cast("decimal(38,0)").alias("gap"),
+        )
+    )
+    a = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("gap").alias("s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("ss"),
+    )
+    nd2 = F.col("n").cast("double")
+    sd2 = F.col("s").cast("double")
+    ssd2 = F.col("ss").cast("double")
+    return a.select(
+        "event_type",
+        (F.col("n").cast("long") + 1).alias("n_exceed"),
+        (F.floor(sd2 / nd2 * 1.0e3 + 0.5) / 1.0e3).alias(
+            "mean_interexceed_s"
+        ),
+        (
+            F.floor(
+                F.least(
+                    F.lit(2.0) * sd2 * sd2 / (nd2 * ssd2), F.lit(1.0)
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("extremal_index"),
+    ).orderBy("event_type")
