@@ -816,3 +816,261 @@ def events_extremal_index_intervals(
             / 1.0e6
         ).alias("extremal_index"),
     ).orderBy("event_type")
+
+
+@_register(
+    "orders_fixed_effects_trend",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS cust,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS HUGEINT) AS x,
+             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM orders
+    ),
+    per AS (
+      SELECT cust, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM o GROUP BY cust
+    ),
+    fe AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(n) AS BIGINT) AS n_orders,
+             sum(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS w_sxy,
+             sum(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                 / CAST(n AS DOUBLE)) AS w_sxx,
+             CAST(sum(sx) AS DOUBLE) AS tsx, CAST(sum(sy) AS DOUBLE) AS tsy,
+             CAST(sum(sxy) AS DOUBLE) AS tsxy,
+             CAST(sum(sxx) AS DOUBLE) AS tsxx,
+             CAST(sum(n) AS DOUBLE) AS tn
+      FROM per WHERE n >= 2
+    )
+    SELECT n_customers, n_orders,
+           floor((tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn)
+                 / 100.0e0 * 1.0e6 + 0.5) / 1.0e6 AS slope_pooled_dpd,
+           floor(w_sxy / w_sxx / 100.0e0 * 1.0e6 + 0.5) / 1.0e6
+             AS slope_within_dpd
+    FROM fe
+    """,
+)
+def orders_fixed_effects_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer fixed-effects (within) regression of order value on
+    time, next to the naive pooled OLS slope: the within estimator
+    demeans x and y PER CUSTOMER (algebraically Σ(Sxy_i − SxSy/n_i) /
+    Σ(Sxx_i − Sx²/n_i) from per-customer raw sums — one groupBy, no
+    demeaned row materialization), so between-customer composition
+    shifts (rich cohorts joining late) cannot masquerade as a trend.
+    Pooled vs within disagreement IS the finding. x = days since
+    1992-01-01 (exact integers), y = cents; every per-customer sum is
+    exact HUGEINT/decimal; only customers with >= 2 orders enter (a
+    single order has no within variation). Dollars-per-day outputs."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    per = o.groupBy("cust").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    fe = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("n").cast("long").alias("n_orders"),
+        F.sum(sxyd - sxd * syd / nd).alias("w_sxy"),
+        F.sum(sxxd - sxd * sxd / nd).alias("w_sxx"),
+        F.sum("sx").cast("double").alias("tsx"),
+        F.sum("sy").cast("double").alias("tsy"),
+        F.sum("sxy").cast("double").alias("tsxy"),
+        F.sum("sxx").cast("double").alias("tsxx"),
+        F.sum("n").cast("double").alias("tn"),
+    )
+    pooled = (
+        F.col("tsxy") - F.col("tsx") * F.col("tsy") / F.col("tn")
+    ) / (F.col("tsxx") - F.col("tsx") * F.col("tsx") / F.col("tn"))
+    within = F.col("w_sxy") / F.col("w_sxx")
+    return fe.select(
+        "n_customers",
+        "n_orders",
+        (F.floor(pooled / F.lit(100.0) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "slope_pooled_dpd"
+        ),
+        (F.floor(within / F.lit(100.0) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "slope_within_dpd"
+        ),
+    )
+
+
+@_register(
+    "events_conversion_lag",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.ts AS pts, c.ts AS cts
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    ),
+    lag_s AS (
+      SELECT CASE WHEN cts IS NULL THEN NULL
+                  ELSE CAST(floor(epoch(pts)) AS BIGINT)
+                       - CAST(floor(epoch(cts)) AS BIGINT) END AS s
+      FROM j
+    ),
+    b AS (
+      SELECT CASE
+               WHEN s IS NULL THEN 'z_no_prior_click'
+               WHEN s < 60 THEN 'a_under_1m'
+               WHEN s < 300 THEN 'b_1m_5m'
+               WHEN s < 1800 THEN 'c_5m_30m'
+               WHEN s < 3600 THEN 'd_30m_1h'
+               WHEN s < 21600 THEN 'e_1h_6h'
+               ELSE 'f_over_6h'
+             END AS bucket
+      FROM lag_s
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase conversion-lag histogram via the engine's
+    as-of join operator (operators/asof.py — the union+window
+    formulation: ONE shuffle on user_id, zero pair explosion): each
+    purchase attaches its most recent preceding click for the same
+    user, lag buckets into fixed funnel bands, purchases with no prior
+    click land in their own bucket. The attribution-latency readout
+    behind every funnel dashboard, and a second live proof of the
+    as-of operator against DuckDB's native ASOF JOIN as the oracle.
+    Lags in whole epoch seconds; bucket edges are integer compares."""
+    from cioos_siooc_data_transform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(purch, clicks, key="user_id", right_cols=["ts"])
+    s = j.select(
+        (
+            F.col("ts").cast("long") - F.col("right_ts").cast("long")
+        ).alias("s")
+    )
+    bucket = (
+        F.when(F.col("s").isNull(), "z_no_prior_click")
+        .when(F.col("s") < 60, "a_under_1m")
+        .when(F.col("s") < 300, "b_1m_5m")
+        .when(F.col("s") < 1800, "c_5m_30m")
+        .when(F.col("s") < 3600, "d_30m_1h")
+        .when(F.col("s") < 21600, "e_1h_6h")
+        .otherwise("f_over_6h")
+    )
+    return (
+        s.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "lineitem_median_polish",
+    oracle="""
+    WITH cell AS (
+      SELECT month(l_shipdate) AS mth, l_returnflag AS flag,
+             quantile_cont(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                AS BIGINT) * 2, 0.5) / 2.0e0 AS cell_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rowm AS (
+      SELECT mth, quantile_cont(cell_c * 4, 0.5) / 4.0e0 AS row_eff
+      FROM cell GROUP BY mth
+    ),
+    r1 AS (
+      SELECT cell.mth, flag, cell_c, row_eff,
+             cell_c - row_eff AS resid1
+      FROM cell JOIN rowm USING (mth)
+    ),
+    colm AS (
+      SELECT flag, quantile_cont(resid1 * 8, 0.5) / 8.0e0 AS col_eff
+      FROM r1 GROUP BY flag
+    )
+    SELECT CAST(r1.mth AS BIGINT) AS mth, r1.flag,
+           floor(cell_c / 100.0e0 * 1.0e4 + 0.5) / 1.0e4 AS cell_dollars,
+           floor(row_eff / 100.0e0 * 1.0e4 + 0.5) / 1.0e4 AS row_effect,
+           floor(col_eff / 100.0e0 * 1.0e4 + 0.5) / 1.0e4 AS col_effect,
+           floor((resid1 - col_eff) / 100.0e0 * 1.0e4 + 0.5) / 1.0e4
+             AS residual_dollars
+    FROM r1 JOIN colm USING (flag)
+    ORDER BY mth, flag
+    """,
+)
+def lineitem_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One sweep of Tukey's median polish (EDA, 1977) on the
+    ship-month x return-flag grid of median line prices: row effects =
+    row medians of the cell matrix, column effects = column medians of
+    the row-demeaned residuals — the robust two-way decomposition whose
+    residual grid surfaces interaction cells a mean-based two-way ANOVA
+    smears. Exactness: the cell stat is the interpolated median of
+    integer cents, an exact dyadic rational; every later median doubles
+    the scale first (x2, x4, x8) so each interpolated midpoint is
+    computed on integer-VALUED doubles and all subtractions stay exact
+    dyadic — bit-identical across engines with no quantization drift
+    until the final dollar rounding. The raw scan is one bounded
+    36-cell group-by; the polish runs on that 36-row grid."""
+    li = _t(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.month("l_shipdate").alias("mth"), F.col("l_returnflag").alias("flag")
+    ).agg(
+        (
+            F.expr(
+                "percentile(CAST(floor(l_extendedprice * 100.0 + 0.5)"
+                " AS BIGINT) * 2, 0.5)"
+            )
+            / 2.0
+        ).alias("cell_c")
+    )
+    rowm = cell.groupBy("mth").agg(
+        (F.expr("percentile(cell_c * 4, 0.5)") / 4.0).alias("row_eff")
+    )
+    r1 = cell.join(F.broadcast(rowm), "mth").withColumn(
+        "resid1", F.col("cell_c") - F.col("row_eff")
+    )
+    colm = r1.groupBy("flag").agg(
+        (F.expr("percentile(resid1 * 8, 0.5)") / 8.0).alias("col_eff")
+    )
+
+    def dollars(col):
+        return F.floor(col / F.lit(100.0) * 1.0e4 + 0.5) / 1.0e4
+
+    return (
+        r1.join(F.broadcast(colm), "flag")
+        .select(
+            F.col("mth").cast("long").alias("mth"),
+            "flag",
+            dollars(F.col("cell_c")).alias("cell_dollars"),
+            dollars(F.col("row_eff")).alias("row_effect"),
+            dollars(F.col("col_eff")).alias("col_effect"),
+            dollars(F.col("resid1") - F.col("col_eff")).alias(
+                "residual_dollars"
+            ),
+        )
+        .orderBy("mth", "flag")
+    )

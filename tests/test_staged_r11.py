@@ -68,6 +68,13 @@ STAGED_NAMES: list[str] = [
     "text_burrows_delta",
     "embedding_intrinsic_dim_two_nn",
     "graph_rich_club_coefficient",
+    # wave B — time-series / econometric statistics
+    "lineitem_weighted_price_quantiles",
+    "orders_max_drawdown",
+    "events_extremal_index_intervals",
+    "orders_fixed_effects_trend",
+    "events_conversion_lag",
+    "lineitem_median_polish",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
