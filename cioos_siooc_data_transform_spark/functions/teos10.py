@@ -972,3 +972,44 @@ def ct_maxdensity_stages(
         )
     stages.append(("ct_maxdensity", f"{x}ct4"))
     return stages
+
+
+# ---------------------------------------------------------------------------
+# Isobaric heat capacity cp(SA, t, p) = −(T0 + t)·g_TT = (T0 + t)·η_t
+# (IOC, SCOR & IAPSO 2010 eqn 2.20.3; GSW twin gsw_cp_t_exact in
+# GSW/_wrapped_ufuncs.py). η_t comes from SYMBOLIC differentiation of
+# the entropy polynomial string (functions/symdiff.py) — no hand-
+# transcribed derivative table, parity exact by construction because
+# the differentiated string is again one literal tree shared by both
+# engines. Published check value gsw_cp_t_exact(34.7118, 28.7856, 10)
+# = 4002.888003958537 J/(kg·K) reproduced bit-for-bit
+# (tests/test_oceanography_checkvalues.py), plus FD pins.
+# ---------------------------------------------------------------------------
+_CP_SENTINELS = ("__CPSA__", "__CPT__", "__CPP__")
+_ETA_T_TEMPLATE: str | None = None
+
+
+def _eta_t_template() -> str:
+    global _ETA_T_TEMPLATE
+    if _ETA_T_TEMPLATE is None:
+        from cioos_siooc_data_transform_spark.functions.symdiff import diff_sql
+
+        sa_, t_, p_ = _CP_SENTINELS
+        _ETA_T_TEMPLATE = diff_sql(entropy_from_t_sql(sa_, t_, p_), t_)
+    return _ETA_T_TEMPLATE
+
+
+def entropy_t_derivative_sql(sa: str, t: str, p: str) -> str:
+    """∂η/∂t at constant (SA, p), J/(kg·K²), portable SQL."""
+    sa_, t_, p_ = _CP_SENTINELS
+    return (
+        _eta_t_template()
+        .replace(sa_, f"({sa})")
+        .replace(t_, f"({t})")
+        .replace(p_, f"({p})")
+    )
+
+
+def cp_t_exact_sql(sa: str, t: str, p: str) -> str:
+    """cp(SA, t, p) in J/(kg·K) — (T0 + t)·η_t."""
+    return f"((273.15e0 + ({t})) * {entropy_t_derivative_sql(sa, t, p)})"

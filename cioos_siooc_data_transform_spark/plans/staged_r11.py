@@ -1074,3 +1074,160 @@ def lineitem_median_polish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mth", "flag")
     )
+
+
+# ===========================================================================
+# Wave C — GSW Gibbs-derivative tail via symbolic differentiation
+# (functions/symdiff.py): isobaric heat capacity cp_t_exact =
+# (T0+t)·η_t with η_t the SYMBOLIC t-derivative of the shipped entropy
+# polynomial (GSW twin gsw_cp_t_exact; published check value
+# 4002.888003958537 J/(kg·K) at (34.7118, 28.7856, 10) reproduced
+# bit-for-bit), and potential enthalpy of ice (enthalpy_ice evaluated
+# at the pt0_from_t_ice Newton chain's output at p=0 — GSW twin
+# gsw_pot_enthalpy_from_t_ice, the heat-content variable of ice-ocean
+# flux budgets). Zero shuffle; identical literal trees on both
+# engines.
+# ===========================================================================
+def _cp_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cp_t_exact_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({cp_t_exact_sql(_SA_SQL, "t", "p")} * 1.0e6 + 0.5) / 1.0e6
+             AS cp_j_kg_k
+    FROM ({_IN_SQL})
+    """
+
+
+@_register("gsw_cp_t_exact", oracle="__WAVE_C11A__")
+def gsw_cp_t_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isobaric specific heat capacity cp(SA, t, p) = −(T0+t)·g_TT =
+    (T0+t)·η_t (IOC et al. 2010 eqn 2.20.3; GSW twin gsw_cp_t_exact).
+    η_t is produced by SYMBOLIC differentiation of the entropy
+    polynomial string (functions/symdiff.py) — no hand-transcribed
+    derivative table to get wrong, and the differentiated expression is
+    again one literal tree shared verbatim by both engines, so oracle
+    parity is structural. Correctness is pinned three ways in
+    tests/test_oceanography_checkvalues.py: the published GSW check
+    value 4002.888003958537 J/(kg·K), finite-difference agreement of
+    η_t, and the physical range over the input envelope. Pure per-row
+    math, zero shuffles."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cp_t_exact_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.expr(cp_t_exact_sql(_SA_SQL, "t", "p")) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("cp_j_kg_k"),
+    )
+
+
+STAGED_ORACLES["gsw_cp_t_exact"] = _cp_oracle()
+
+
+#: Final-surface columns each prefixed Gibbs chain emits; the potential-
+#: enthalpy composition reads only entropy (Newton residual) and
+#: enthalpy (final readoff), so the rest are pruned from every chain —
+#: smaller Spark projections AND a shallower oracle.
+_ICE_SURFACE_DROP = (
+    "gibbs_ice", "rho_ice", "cp_ice", "kappa_const_t_ice",
+    "internal_energy_ice", "helmholtz_energy_ice", "sound_speed_ice",
+)
+
+
+def _poth_ice_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _pt0_ice_stages,
+    )
+
+    def prune(stages, keep_enthalpy: bool):
+        out = []
+        for name, expr in stages:
+            tail = name.split("o_", 1)[-1]
+            if tail in _ICE_SURFACE_DROP:
+                continue
+            if tail == "enthalpy_ice" and not keep_enthalpy:
+                continue
+            out.append((name, expr))
+        return out
+
+    stages = prune(_pt0_ice_stages(), keep_enthalpy=False)
+    stages += prune(
+        gibbs_ice_stages("pt0_ice", "0.0e0", x="__ph_", out="__pho_"),
+        keep_enthalpy=True,
+    )
+    stages.append(("pot_enthalpy_ice", "__pho_enthalpy_ice"))
+    return stages
+
+
+def _stage_sql_cte(inner_sql: str, stages: list[tuple[str, str]]) -> str:
+    """Flat CTE-chain twin of staged_r6._stage_sql: one WITH step per
+    stage instead of one nesting LEVEL per stage — semantically
+    identical (each intermediate named once, evaluated once), but the
+    parser cost is linear-and-shallow, which keeps very long chains
+    (the 4x ice Gibbs composition here) inside DuckDB's recursion
+    budget."""
+    parts = [f"__s0 AS ({inner_sql})"]
+    for i, (name, expr) in enumerate(stages, start=1):
+        parts.append(f"__s{i} AS (SELECT *, {expr} AS {name} FROM __s{i-1})")
+    sep = ",\n"
+    return "WITH " + sep.join(parts) + f" SELECT * FROM __s{len(stages)}"
+
+
+def _poth_ice_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ICE_IN_SQL
+
+    staged = _stage_sql_cte(_ICE_IN_SQL, _poth_ice_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(pot_enthalpy_ice * 1.0e6 + 0.5) / 1.0e6 AS pot_enthalpy_ice
+    FROM ({staged})
+    """
+
+
+@_register("gsw_pot_enthalpy_from_t_ice", oracle="__WAVE_C11B__")
+def gsw_pot_enthalpy_from_t_ice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential enthalpy of ice Ih, h_ice(pt0_ice, 0) (GSW twin:
+    gsw_pot_enthalpy_from_t_ice) — the conservative heat-content
+    variable for ice in ice–ocean flux budgets (McDougall 2003 applied
+    to the IAPWS-06 ice surface): first recover pt0_ice by the two-step
+    Newton entropy match (the registered gsw_pt0_from_t_ice chain,
+    reused verbatim), then evaluate the ice Gibbs chain once more at
+    (pt0_ice, 0) and read off g − T·g_T. Four prefixed Gibbs chains
+    (~16 KB of expression text) stay under the janino method limit via
+    the staged-column discipline; zero shuffle."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ice_inputs
+
+    df = _ice_inputs(spark, sf_dir)
+    for name, expr in _poth_ice_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("pot_enthalpy_ice") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "pot_enthalpy_ice"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_pot_enthalpy_from_t_ice"] = _poth_ice_oracle()

@@ -1314,3 +1314,86 @@ def test_freezing_inversions_roundtrip(spark):
         d2 = d2.withColumn(name, F.expr(expr))
     for r in d2.select("s", "sp_freezing").collect():
         assert abs(r["sp_freezing"] - r["s"]) < 1e-6
+
+
+def test_cp_t_exact_published_check_value(spark):
+    """GSW check table: gsw_cp_t_exact(SA=34.7118 g/kg, t=28.7856 degC,
+    p=10 dbar) = 4002.888003958537 J/(kg K) — reproduced bit-for-bit by
+    the symbolically differentiated entropy polynomial (cp =
+    (T0+t)*eta_t, functions/symdiff.py)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cp_t_exact_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(34.7118, 28.7856, 10.0)], "sa DOUBLE, t DOUBLE, p DOUBLE"
+    )
+    got = df.select(
+        F.expr(cp_t_exact_sql("sa", "t", "p")).alias("cp")
+    ).collect()[0].cp
+    assert got == pytest.approx(4002.888003958537, abs=1e-9)
+
+
+def test_cp_t_exact_matches_finite_difference(spark):
+    """The symbolic eta_t agrees with a central finite difference of
+    the entropy polynomial itself (step 1e-5 K) to ~1e-8 relative, and
+    cp stays in the physical ocean band across the input envelope."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cp_t_exact_sql,
+        entropy_from_t_sql,
+        entropy_t_derivative_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(35.7, 25.5, 1023.0), (34.0, 2.0, 4000.0), (30.1, 15.0, 100.0)],
+        "sa DOUBLE, t DOUBLE, p DOUBLE",
+    )
+    h = 1e-5
+    rows = df.select(
+        F.expr(entropy_t_derivative_sql("sa", "t", "p")).alias("an"),
+        (
+            (
+                F.expr(entropy_from_t_sql("sa", f"(t + {h})", "p"))
+                - F.expr(entropy_from_t_sql("sa", f"(t - {h})", "p"))
+            )
+            / (2.0 * h)
+        ).alias("fd"),
+        F.expr(cp_t_exact_sql("sa", "t", "p")).alias("cp"),
+    ).collect()
+    for r in rows:
+        assert r.an == pytest.approx(r.fd, rel=1e-6)
+        assert 3800.0 < r.cp < 4300.0
+
+
+def test_pot_enthalpy_ice_consistency(spark):
+    """pot_enthalpy_from_t_ice at p=0 must equal enthalpy_ice(t, 0)
+    directly (pt0(t, p=0) = t); at depth the potential value must be
+    LOWER by roughly the decompression work v*dp (~1.1e-3 m3/kg * 1e7
+    Pa ~ 11 kJ/kg per 1000 dbar, released on the adiabatic ascent to
+    the 0-dbar reference) — a sign-and-magnitude pin on the 4-chain
+    composition."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r11 import (
+        _poth_ice_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0, 0.0), (-5.0, 1000.0), (-15.0, 500.0)], "t DOUBLE, p DOUBLE"
+    )
+    for name, expr in _poth_ice_stages():
+        df = df.withColumn(name, F.expr(expr))
+    for name, expr in gibbs_ice_stages("t", "p", x="__chk_", out="__chko_"):
+        df = df.withColumn(name, F.expr(expr))
+    rows = df.select(
+        "t", "p", "pot_enthalpy_ice",
+        F.col("__chko_enthalpy_ice").alias("h_insitu"),
+    ).collect()
+    for r in rows:
+        if r.p == 0.0:
+            assert r.pot_enthalpy_ice == pytest.approx(r.h_insitu, abs=1e-6)
+        else:
+            work = 1.1e-3 * 1.0e4 * r.p  # v*dp, J/kg
+            assert r.h_insitu - 1.2 * work < r.pot_enthalpy_ice < r.h_insitu
+        assert -370000.0 < r.pot_enthalpy_ice < -300000.0

@@ -75,6 +75,9 @@ STAGED_NAMES: list[str] = [
     "orders_fixed_effects_trend",
     "events_conversion_lag",
     "lineitem_median_polish",
+    # wave C — GSW Gibbs-derivative tail (symbolic differentiation)
+    "gsw_cp_t_exact",
+    "gsw_pot_enthalpy_from_t_ice",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
