@@ -1013,3 +1013,60 @@ def entropy_t_derivative_sql(sa: str, t: str, p: str) -> str:
 def cp_t_exact_sql(sa: str, t: str, p: str) -> str:
     """cp(SA, t, p) in J/(kg·K) — (T0 + t)·η_t."""
     return f"((273.15e0 + ({t})) * {entropy_t_derivative_sql(sa, t, p)})"
+
+
+_ETA_SA_TEMPLATE: str | None = None
+_ETA_P_TEMPLATE: str | None = None
+
+
+def _eta_templates() -> tuple[str, str]:
+    global _ETA_SA_TEMPLATE, _ETA_P_TEMPLATE
+    if _ETA_SA_TEMPLATE is None:
+        from cioos_siooc_data_transform_spark.functions.symdiff import diff_sql
+
+        sa_, t_, p_ = _CP_SENTINELS
+        eta = entropy_from_t_sql(sa_, t_, p_)
+        _ETA_SA_TEMPLATE = diff_sql(eta, sa_)
+        _ETA_P_TEMPLATE = diff_sql(eta, p_)
+    return _ETA_SA_TEMPLATE, _ETA_P_TEMPLATE
+
+
+def _subst(template: str, sa: str, t: str, p: str) -> str:
+    sa_, t_, p_ = _CP_SENTINELS
+    return (
+        template.replace(sa_, f"({sa})")
+        .replace(t_, f"({t})")
+        .replace(p_, f"({p})")
+    )
+
+
+def entropy_sa_derivative_sql(sa: str, t: str, p: str) -> str:
+    """∂η/∂SA = −g_SA_T, J/(kg·K) per (g/kg), portable SQL (symbolic
+    derivative of the entropy polynomial — chains through x=sqrt(SFAC·SA)
+    and the x²·ln(x) saline term mechanically)."""
+    return _subst(_eta_templates()[0], sa, t, p)
+
+
+def entropy_p_derivative_sql(sa: str, t: str, p: str) -> str:
+    """∂η/∂p = −g_T_P, J/(kg·K) per dbar, portable SQL."""
+    return _subst(_eta_templates()[1], sa, t, p)
+
+
+def t_deriv_chem_potential_water_sql(sa: str, t: str, p: str) -> str:
+    """∂μ_W/∂T = g_T − SA·g_SA_T = −η + SA·η_SA, J/(g·K) per GSW's
+    gram-based convention ×1e-3 from the kg-based Gibbs units (GSW twin
+    gsw_t_deriv_chem_potential_water_t_exact returns J/(g·K))."""
+    return (
+        f"(1.0e-3 * (-({entropy_from_t_sql(sa, t, p)})"
+        f" + ({sa}) * {entropy_sa_derivative_sql(sa, t, p)}))"
+    )
+
+
+def adiabatic_lapse_rate_t_exact_sql(sa: str, t: str, p: str) -> str:
+    """Γ(SA, t, p) = −g_T_P/g_T_T = −η_p/η_t in K/dbar (Gibbs-exact
+    form; the EOS-80 lapse_rate_sql in functions/oceanography.py is the
+    independent published fit it cross-checks against in tests)."""
+    return (
+        f"(-({entropy_p_derivative_sql(sa, t, p)})"
+        f" / {entropy_t_derivative_sql(sa, t, p)})"
+    )

@@ -1231,3 +1231,297 @@ def gsw_pot_enthalpy_from_t_ice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["gsw_pot_enthalpy_from_t_ice"] = _poth_ice_oracle()
+
+
+def _gibbs_deriv_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        adiabatic_lapse_rate_t_exact_sql,
+        t_deriv_chem_potential_water_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({t_deriv_chem_potential_water_sql(_SA_SQL, "t", "p")}
+                 * 1.0e9 + 0.5) / 1.0e9 AS dmu_w_dt,
+           floor({adiabatic_lapse_rate_t_exact_sql(_SA_SQL, "t", "p")}
+                 * 1.0e12 + 0.5) / 1.0e12 AS lapse_t_exact
+    FROM ({_IN_SQL})
+    """
+
+
+@_register("gsw_chem_potential_t_derivative", oracle="__WAVE_D11A__")
+def gsw_chem_potential_t_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature derivative of the chemical potential of water in
+    seawater, ∂μ_W/∂T = g_T − SA·g_SAT = −η + SA·η_SA (GSW twin:
+    gsw_t_deriv_chem_potential_water_t_exact, J/(g·K)), alongside the
+    Gibbs-exact adiabatic lapse rate Γ = −η_p/η_t (K/dbar) — both
+    assembled from SYMBOLIC derivatives of the entropy polynomial
+    (functions/symdiff.py), no hand-transcribed tables. μ_W's T-slope
+    drives freezing-point depression sensitivity; Γ_exact is
+    FD-pinned and cross-checked against the independent EOS-80 lapse
+    fit in tests (two different published sources agreeing is a real
+    check). Pure per-row expressions, zero shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        adiabatic_lapse_rate_t_exact_sql,
+        t_deriv_chem_potential_water_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.expr(t_deriv_chem_potential_water_sql(_SA_SQL, "t", "p"))
+                * 1.0e9
+                + 0.5
+            )
+            / 1.0e9
+        ).alias("dmu_w_dt"),
+        (
+            F.floor(
+                F.expr(adiabatic_lapse_rate_t_exact_sql(_SA_SQL, "t", "p"))
+                * 1.0e12
+                + 0.5
+            )
+            / 1.0e12
+        ).alias("lapse_t_exact"),
+    )
+
+
+STAGED_ORACLES["gsw_chem_potential_t_derivative"] = _gibbs_deriv_oracle()
+
+
+@_register(
+    "dedup_component_source_purity",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, w2.label FROM edges e JOIN walk w2 ON e.dst = w2.node
+    ),
+    cc AS (SELECT node, min(label) AS comp FROM walk GROUP BY node),
+    lab AS (
+      SELECT comp, d.source, CAST(count(*) AS BIGINT) AS c
+      FROM cc JOIN documents d ON d.doc_id = cc.node
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT comp, CAST(sum(c) AS BIGINT) AS size,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(max(c) AS BIGINT) AS max_src,
+             CAST(floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                        * 1.0e6 + 0.5) AS BIGINT) AS purity_u
+      FROM lab GROUP BY comp
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_components,
+           CAST(sum(size) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (n_sources > 1) AS BIGINT)
+             AS n_cross_source,
+           CAST(max(size) AS BIGINT) AS max_component_size,
+           floor(CAST(sum(purity_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_purity,
+           floor(CAST(min(purity_u) AS DOUBLE) + 0.5) / 1.0e6 AS min_purity
+    FROM per
+    """,
+)
+def dedup_component_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity of near-duplicate components: run the pointer-
+    jumping connected-components operator over the exact Jaccard>=0.5
+    pair graph, then ask how often a component spans MULTIPLE sources —
+    cross-source components mean the same upstream content is entering
+    the corpus through different feeds (the dedup-between-crawls
+    finding), while the majority-source share (purity) says whether
+    keep-by-source survivorship rules are even well-defined. Component
+    labels from O(log diameter) min-label rounds (operators/dedup.py,
+    recursive-CTE oracle twin); per-component purity quantized to 1e-6
+    before the exact cross-component mean."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh = distinct_shingles(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(sh, "doc_id", "s", threshold=0.5, max_doc_freq=10)
+    cc = connected_components(pairs)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "source"
+    )
+    lab = (
+        cc.select(F.col("doc_id").alias("node"), F.col("component"))
+        .join(docs, "node")
+        .groupBy(F.col("component").alias("comp"), "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = lab.groupBy("comp").agg(
+        F.sum("c").cast("long").alias("size"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.max("c").cast("long").alias("max_src"),
+    ).select(
+        "size",
+        "n_sources",
+        F.floor(
+            F.col("max_src").cast("double") / F.col("size").cast("double")
+            * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("purity_u"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("size").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross_source"),
+        F.max("size").cast("long").alias("max_component_size"),
+        (
+            F.floor(
+                F.sum("purity_u").cast("double") / F.count(F.lit(1)) + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_purity"),
+        (F.floor(F.min("purity_u").cast("double") + 0.5) / 1.0e6).alias(
+            "min_purity"
+        ),
+    )
+
+
+@_register(
+    "orders_littles_law_audit",
+    oracle="""
+    WITH o AS (
+      SELECT * FROM (
+        SELECT l.l_orderkey,
+               CAST(min(o_orderdate) AS DATE) AS d0,
+               CAST(max(l_shipdate) AS DATE) AS d1
+        FROM lineitem l JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY 1
+      ) WHERE d1 >= d0
+    ),
+    arr AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_arrivals,
+             CAST(sum(date_diff('day', d0, d1) + 1) AS BIGINT) AS sum_open
+      FROM o WHERE year(d0) = 1998
+    ),
+    days AS (
+      SELECT o.l_orderkey,
+             unnest(generate_series(o.d0, o.d1, INTERVAL 1 DAY)) AS day
+      FROM o
+    ),
+    l_emp AS (
+      SELECT CAST(count(*) AS BIGINT) AS open_days,
+             CAST(count(DISTINCT CAST(day AS DATE)) AS BIGINT) AS n_days
+      FROM days WHERE year(day) = 1998
+    )
+    SELECT n_arrivals, 
+           floor(CAST(n_arrivals AS DOUBLE) / 365.0e0 * 1.0e6 + 0.5) / 1.0e6
+             AS lambda_per_day,
+           floor(CAST(sum_open AS DOUBLE) / CAST(n_arrivals AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS w_days,
+           floor(CAST(open_days AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS l_time_avg,
+           floor(CAST(open_days AS DOUBLE) / CAST(n_days AS DOUBLE)
+                 / (CAST(n_arrivals AS DOUBLE) / 365.0e0
+                    * CAST(sum_open AS DOUBLE) / CAST(n_arrivals AS DOUBLE))
+                 * 1.0e6 + 0.5) / 1.0e6 AS littles_ratio
+    FROM arr, l_emp
+    """,
+)
+def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit L = lambda*W on the 1998 order book: an order
+    is 'open' from order date to its last line shipment; lambda = 1998
+    arrivals/day, W = mean open duration of 1998 arrivals, and L is
+    measured INDEPENDENTLY as the time-average number open per 1998
+    calendar day (per-day explode of open intervals — row growth
+    bounded by the max open duration, ~3 months here; inverted
+    intervals are filtered as data-quality rejects on both engines). The
+    ratio
+    L/(lambda*W) deviates from 1 exactly by the boundary terms (orders
+    open across the window edges) — the bias a naive capacity dashboard
+    carries, quantified. Integer day counts throughout; the explode is
+    the only row expansion and it is interval-bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+            F.max(F.col("l_shipdate").cast("date")).alias("d1"),
+        )
+        # inverted intervals (last shipment before order date exist in
+        # the synthetic data) are data-quality rejects, not open time
+        .filter(F.col("d1") >= F.col("d0"))
+    )
+    arr = iv.filter(F.year("d0") == 1998).agg(
+        F.count(F.lit(1)).cast("long").alias("n_arrivals"),
+        F.sum(F.datediff("d1", "d0") + 1).cast("long").alias("sum_open"),
+    )
+    days = iv.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    ).filter(F.year("day") == 1998)
+    l_emp = days.agg(
+        F.count(F.lit(1)).cast("long").alias("open_days"),
+        F.countDistinct("day").cast("long").alias("n_days"),
+    )
+    na = F.col("n_arrivals").cast("double")
+    so = F.col("sum_open").cast("double")
+    od = F.col("open_days").cast("double")
+    ndy = F.col("n_days").cast("double")
+    lam = na / F.lit(365.0)
+    w = so / na
+    l_avg = od / ndy
+    return arr.crossJoin(F.broadcast(l_emp)).select(
+        "n_arrivals",
+        (F.floor(lam * 1.0e6 + 0.5) / 1.0e6).alias("lambda_per_day"),
+        (F.floor(w * 1.0e6 + 0.5) / 1.0e6).alias("w_days"),
+        (F.floor(l_avg * 1.0e6 + 0.5) / 1.0e6).alias("l_time_avg"),
+        (F.floor(l_avg / (lam * w) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "littles_ratio"
+        ),
+    )

@@ -78,6 +78,10 @@ STAGED_NAMES: list[str] = [
     # wave C — GSW Gibbs-derivative tail (symbolic differentiation)
     "gsw_cp_t_exact",
     "gsw_pot_enthalpy_from_t_ice",
+    # wave D — Gibbs symdiff battery + pipeline/queueing audits
+    "gsw_chem_potential_t_derivative",
+    "dedup_component_source_purity",
+    "orders_littles_law_audit",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
