@@ -1525,3 +1525,207 @@ def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "littles_ratio"
         ),
     )
+
+
+# ===========================================================================
+# Wave E — pipeline knob-tuning curves: Matryoshka-style prefix-
+# dimension retrieval recall (how many dims does the index really
+# need?), and a greedy-packing chunk-size sweep (tokens wasted per
+# capacity choice). Both are parameter sweeps of machinery that
+# already has a single-point registered query.
+# ===========================================================================
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_oracle() -> str:
+    probes = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 100"
+    corpus = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    per_dim = []
+    for d in _MRL_DIMS + (64,):
+        sl = f"v[1:{d}]" if d < 64 else "v"
+        per_dim.append(f"""
+    nn{d} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.{sl}, c.{sl}), 6)
+                          DESC, c.vec_id ASC
+               ) AS rank
+        FROM qs q, cs c WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 10
+    )""")
+    unions = " UNION ALL ".join(
+        f"""SELECT {d} AS dim, query_id,
+               CAST(count(*) AS BIGINT) AS n_hit
+            FROM nn{d} JOIN nn64 USING (query_id, neighbor_id)
+            GROUP BY query_id"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+    WITH qs AS ({probes}), cs AS ({corpus}),
+    {", ".join(p.strip() for p in per_dim)},
+    hits AS ({unions})
+    SELECT dim, CAST(count(*) AS BIGINT) AS n_probes,
+           floor(CAST(sum(n_hit) AS DOUBLE) / (10.0e0 * count(*)) * 1.0e6
+                 + 0.5) / 1.0e6 AS recall_at_10
+    FROM hits GROUP BY dim ORDER BY dim
+    """
+
+
+@_register("embedding_prefix_dim_recall", oracle="__WAVE_E11A__")
+def embedding_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style prefix-dimension recall curve (Kusupati et al.
+    2022): re-rank the exact top-10 (full 64-dim rounded cosine, the
+    engine-stable contract) using only the first 8/16/32 coordinates
+    and measure recall@10 — the knob-tuning readout for shipping a
+    truncated-dimension ANN index (storage and bandwidth drop linearly
+    in d; this curve says what recall that buys). Probe set bounded at
+    vec_id<100 with the corpus streamed once per dim via the broadcast
+    brute-force arm; per-probe hit counts are integers, the mean is an
+    exact sum."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        cosine_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    pairs = corpus.crossJoin(F.broadcast(probes)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def topk(d: int) -> DataFrame:
+        if d < 64:
+            qv = F.slice(F.col("qv"), 1, d)
+            cv = F.slice(F.col("cv"), 1, d)
+        else:
+            qv, cv = F.col("qv"), F.col("cv")
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(cosine_expr(qv, cv), 6).desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk(64)
+    out = None
+    for d in _MRL_DIMS:
+        hits = (
+            topk(d)
+            .join(truth, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_probes"),
+                F.sum("n_hit").cast("long").alias("s_hit"),
+            )
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "n_probes",
+                (
+                    F.floor(
+                        F.col("s_hit").cast("double")
+                        / (F.lit(10.0) * F.col("n_probes"))
+                        * 1.0e6
+                        + 0.5
+                    )
+                    / 1.0e6
+                ).alias("recall_at_10"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out.orderBy("dim")
+
+
+STAGED_ORACLES["embedding_prefix_dim_recall"] = _mrl_oracle()
+
+
+_PACK_SWEEP_CAPS = (256, 512, 1024, 2048)
+
+
+@_register(
+    "pack_chunk_size_sweep",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ),
+    caps AS (SELECT unnest([{", ".join(str(c) for c in _PACK_SWEEP_CAPS)}]) AS cap),
+    s AS (
+      SELECT cap, source, doc_id, tokens, rn,
+             CAST(1 AS BIGINT) AS bin_id, tokens AS fill
+      FROM d, caps WHERE rn = 1
+      UNION ALL
+      SELECT s.cap, d.source, d.doc_id, d.tokens, d.rn,
+             CASE WHEN s.fill + d.tokens > s.cap
+                  THEN s.bin_id + 1 ELSE s.bin_id END,
+             CASE WHEN s.fill + d.tokens > s.cap
+                  THEN d.tokens ELSE s.fill + d.tokens END
+      FROM d JOIN s ON d.source = s.source AND d.rn = s.rn + 1
+    ),
+    bins AS (
+      SELECT cap, source, bin_id, CAST(sum(tokens) AS BIGINT) AS fill
+      FROM s GROUP BY 1, 2, 3
+    )
+    SELECT CAST(cap AS BIGINT) AS capacity,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(fill) AS BIGINT) AS total_tokens,
+           floor(CAST(sum(fill) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * cap) * 1.0e6 + 0.5) / 1.0e6
+             AS mean_fill_ratio
+    FROM bins GROUP BY cap ORDER BY cap
+    """,
+)
+def pack_chunk_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy no-split packing swept over capacities 256..2048: bins
+    produced and mean fill ratio per capacity — the curve that decides
+    a training-batch token budget (small capacities waste long-doc
+    remainders as extra bins; large ones waste padding). Each point
+    runs the SAME pack_greedy_nosplit operator (applyInPandas per
+    source, shard-guarded at scale) that the single-point registered
+    query pins, so the sweep is a second live contract on the operator;
+    the oracle carries capacity through the recursive-CTE scan as part
+    of the recursion key. Sweep loop is over 4 constants — 4 bounded
+    jobs, not a data-dependent loop."""
+    from cioos_siooc_data_transform_spark.operators.packing import (
+        pack_greedy_nosplit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = None
+    for cap in _PACK_SWEEP_CAPS:
+        bins = (
+            pack_greedy_nosplit(docs, cap)
+            .groupBy("source", "bin_id")
+            .agg(F.sum("tokens").cast("long").alias("fill"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bins"),
+                F.sum("fill").cast("long").alias("total_tokens"),
+            )
+            .select(
+                F.lit(cap).cast("long").alias("capacity"),
+                "n_bins",
+                "total_tokens",
+                (
+                    F.floor(
+                        F.col("total_tokens").cast("double")
+                        / (F.col("n_bins").cast("double") * cap)
+                        * 1.0e6
+                        + 0.5
+                    )
+                    / 1.0e6
+                ).alias("mean_fill_ratio"),
+            )
+        )
+        out = bins if out is None else out.unionByName(bins)
+    return out.orderBy("capacity")

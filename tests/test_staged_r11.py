@@ -82,6 +82,9 @@ STAGED_NAMES: list[str] = [
     "gsw_chem_potential_t_derivative",
     "dedup_component_source_purity",
     "orders_littles_law_audit",
+    # wave E — knob-tuning sweeps over existing machinery
+    "embedding_prefix_dim_recall",
+    "pack_chunk_size_sweep",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
