@@ -1729,3 +1729,212 @@ def pack_chunk_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = bins if out is None else out.unionByName(bins)
     return out.orderBy("capacity")
+
+
+# ===========================================================================
+# Wave F — GSW twin tail: ice expansion/pressure coefficients (two
+# more ratios on the existing IAPWS-06 second-derivative chain),
+# spiciness referenced to 1000/2000 dbar (the shipped McDougall-Krzysik
+# polynomial helpers, previously unregistered), and the Baltic Sea
+# Absolute-Salinity special case (published GSW Baltic polygon +
+# linear SA(SP) relation — McDougall & Barker toolbox; constants are
+# published scientific data, cited, not code).
+# ===========================================================================
+def _ice_coef_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ICE_IN_SQL
+
+    staged = _stage_sql_cte(
+        _ICE_IN_SQL, list(gibbs_ice_stages("t", "p", x="__gc_", out="__gco_"))
+    )
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(__gc_gtp / __gc_gp * 1.0e12 + 0.5) / 1.0e12
+             AS alpha_wrt_t_ice,
+           floor((-__gc_gtp / __gc_gpp) * 1.0e0 + 0.5) / 1.0e0
+             AS pressure_coefficient_ice
+    FROM ({staged})
+    """
+
+
+@_register("gsw_ice_expansion_coefficients", oracle="__WAVE_F11A__")
+def gsw_ice_expansion_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thermal expansion of ice wrt in-situ temperature alpha =
+    g_TP/g_P [1/K] and the isochoric pressure coefficient (dP/dT)_v =
+    -g_TP/g_PP [Pa/K] (GSW twins: gsw_alpha_wrt_t_ice,
+    gsw_pressure_coefficient_ice) — two more readoffs on the SAME
+    IAPWS-06 Gibbs second-derivative chain that already powers
+    rho/cp/sound-speed of ice (functions/ice.py; Table-6 pinned).
+    Zero shuffle; the pressure coefficient is quantized to whole Pa/K
+    (magnitude ~1.3e5 Pa/K)."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ice_inputs
+
+    df = _ice_inputs(spark, sf_dir)
+    for name, expr in gibbs_ice_stages("t", "p", x="__gc_", out="__gco_"):
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.col("__gc_gtp") / F.col("__gc_gp") * 1.0e12 + 0.5)
+            / 1.0e12
+        ).alias("alpha_wrt_t_ice"),
+        (
+            F.floor(-F.col("__gc_gtp") / F.col("__gc_gpp") * 1.0 + 0.5) / 1.0
+        ).alias("pressure_coefficient_ice"),
+    )
+
+
+STAGED_ORACLES["gsw_ice_expansion_coefficients"] = _ice_coef_oracle()
+
+
+def _spice12_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        spiciness1_sql,
+        spiciness2_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    """
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor({spiciness1_sql("sa", "ct")} * 1.0e9 + 0.5) / 1.0e9
+             AS spiciness1,
+           floor({spiciness2_sql("sa", "ct")} * 1.0e9 + 0.5) / 1.0e9
+             AS spiciness2
+    FROM ({inner})
+    """
+
+
+@_register("gsw_spiciness1_2", oracle="__WAVE_F11B__")
+def gsw_spiciness1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiciness referenced to 1000 and 2000 dbar (GSW twins:
+    gsw_spiciness1, gsw_spiciness2; McDougall & Krzysik 2015
+    polynomials — the 0-dbar form and the deep composition are already
+    registered, these complete the reference-pressure family). Water-
+    mass analysis picks the reference closest to the layer under study;
+    all three surfaces are the same published coefficient-table Horner
+    form. Pure per-row math."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        spiciness1_sql,
+        spiciness2_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.expr(spiciness1_sql("sa", "ct")) * 1.0e9 + 0.5) / 1.0e9).alias(
+            "spiciness1"
+        ),
+        (F.floor(F.expr(spiciness2_sql("sa", "ct")) * 1.0e9 + 0.5) / 1.0e9).alias(
+            "spiciness2"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_spiciness1_2"] = _spice12_oracle()
+
+
+_BALTIC_SQL = """
+    CASE WHEN lat > 50.0e0 AND lat < 69.0e0 AND lon > 7.0e0 AND lon < 45.0e0
+         AND lon >= (CASE WHEN lat < 59.0e0
+                          THEN 12.6e0 + (7.0e0 - 12.6e0)*(lat - 50.0e0)/9.0e0
+                          ELSE 7.0e0 + (26.0e0 - 7.0e0)*(lat - 59.0e0)/10.0e0
+                     END)
+         AND lon <= (45.0e0 + (26.0e0 - 45.0e0)*(lat - 50.0e0)/19.0e0)
+    THEN ((35.16504e0 - 0.087e0)/35.0e0)*sp + 0.087e0
+    ELSE sp*(35.16504e0/35.0e0)
+    END
+"""
+
+
+@_register("gsw_sa_from_sp_baltic", oracle="__WAVE_F11C__")
+def gsw_sa_from_sp_baltic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute Salinity from Practical Salinity with the Baltic Sea
+    special case (GSW twin: gsw_SA_from_SP_Baltic; IOC, SCOR & IAPSO
+    2010 appendix — inside the published Baltic polygon, river-borne
+    dissolved material makes SA(SP) the linear relation
+    ((SSO−0.087)/35)·SP + 0.087 rather than the open-ocean ratio).
+    The polygon test is the published two-polyline longitude band
+    (left boundary interpolating (50°N,12.6°E)→(59°N,7°E)→(69°N,26°E),
+    right (50°N,45°E)→(69°N,26°E)); points outside fall back to the
+    atlas-free open-ocean baseline this engine documents in
+    COVERAGE.md. Synthetic (lon,lat) grid from order/supp keys covers
+    inside, outside, and boundary bands. Pure per-row CASE."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _inputs
+
+    df = _inputs(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(5.0) + (F.col("l_orderkey") % 50).cast("double")).alias("lon"),
+        (F.lit(48.0) + (F.col("l_suppkey") % 24).cast("double")).alias("lat"),
+        (F.lit(30.0) + F.col("l_discount") * 50).cast("double").alias("sp"),
+    )
+    return pts.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.expr(_BALTIC_SQL) * 1.0e9 + 0.5) / 1.0e9).alias(
+            "sa_baltic"
+        ),
+        F.expr(
+            """CASE WHEN lat > 50.0e0 AND lat < 69.0e0
+                     AND lon > 7.0e0 AND lon < 45.0e0
+                     AND lon >= (CASE WHEN lat < 59.0e0
+                                 THEN 12.6e0 + (7.0e0 - 12.6e0)*(lat - 50.0e0)/9.0e0
+                                 ELSE 7.0e0 + (26.0e0 - 7.0e0)*(lat - 59.0e0)/10.0e0
+                            END)
+                     AND lon <= (45.0e0 + (26.0e0 - 45.0e0)*(lat - 50.0e0)/19.0e0)
+                THEN TRUE ELSE FALSE END"""
+        ).alias("in_baltic"),
+    )
+
+
+def _baltic_oracle() -> str:
+    return f"""
+    WITH pts AS (
+      SELECT l_orderkey, l_linenumber,
+             5.0e0 + CAST(l_orderkey % 50 AS DOUBLE) AS lon,
+             48.0e0 + CAST(l_suppkey % 24 AS DOUBLE) AS lat,
+             CAST(30.0 + l_discount * 50 AS DOUBLE) AS sp
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           floor(({_BALTIC_SQL}) * 1.0e9 + 0.5) / 1.0e9 AS sa_baltic,
+           (lat > 50.0e0 AND lat < 69.0e0 AND lon > 7.0e0 AND lon < 45.0e0
+            AND lon >= (CASE WHEN lat < 59.0e0
+                        THEN 12.6e0 + (7.0e0 - 12.6e0)*(lat - 50.0e0)/9.0e0
+                        ELSE 7.0e0 + (26.0e0 - 7.0e0)*(lat - 59.0e0)/10.0e0
+                   END)
+            AND lon <= (45.0e0 + (26.0e0 - 45.0e0)*(lat - 50.0e0)/19.0e0))
+             AS in_baltic
+    FROM pts
+    """
+
+
+STAGED_ORACLES["gsw_sa_from_sp_baltic"] = _baltic_oracle()

@@ -85,6 +85,10 @@ STAGED_NAMES: list[str] = [
     # wave E — knob-tuning sweeps over existing machinery
     "embedding_prefix_dim_recall",
     "pack_chunk_size_sweep",
+    # wave F — GSW twin tail (ice coefficients, spiciness refs, Baltic)
+    "gsw_ice_expansion_coefficients",
+    "gsw_spiciness1_2",
+    "gsw_sa_from_sp_baltic",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
