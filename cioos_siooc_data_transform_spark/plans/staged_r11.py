@@ -1938,3 +1938,300 @@ def _baltic_oracle() -> str:
 
 
 STAGED_ORACLES["gsw_sa_from_sp_baltic"] = _baltic_oracle()
+
+
+# ===========================================================================
+# Wave G — diagnostics battery growth: Grubbs' extreme-outlier test,
+# Allan variance of the event rate across averaging scales, and the
+# Breusch–Pagan heteroskedasticity test on the price~quantity OLS.
+# Integer-exact sums, doubles in the final scalar algebra only.
+# ===========================================================================
+@_register(
+    "lineitem_grubbs_outlier_test",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS c
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(c) AS s, sum(c * c) AS ss,
+             CAST(max(c) AS BIGINT) AS mx, CAST(min(c) AS BIGINT) AS mn
+      FROM v
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(CAST(mx AS DOUBLE) / 100.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS max_dollars,
+           floor((CAST(mx AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS g_max,
+           floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - CAST(mn AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS g_min
+    FROM m
+    """,
+)
+def lineitem_grubbs_outlier_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' test statistics (1950) for the most extreme price on
+    both tails: G = (max − mean)/s and (mean − min)/s — the classical
+    single-outlier screen (compare against the t-based critical value
+    offline; the engine's job is the exact statistic). One map-side-
+    combinable aggregate over integer cents; max/min/mean/s all from
+    exact HUGEINT sums. Complements the IQR-based Tukey fences already
+    registered (supplier_acctbal_tukey_outliers) with the parametric
+    form."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("c")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.max("c").cast("long").alias("mx"),
+        F.min("c").cast("long").alias("mn"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    sdev = F.sqrt((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0))))
+    mean = sd / nd
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (
+            F.floor(F.col("mx").cast("double") / 100.0 * 1.0e2 + 0.5) / 1.0e2
+        ).alias("max_dollars"),
+        (
+            F.floor((F.col("mx").cast("double") - mean) / sdev * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("g_max"),
+        (
+            F.floor((mean - F.col("mn").cast("double")) / sdev * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("g_min"),
+    )
+
+
+@_register(
+    "events_allan_variance",
+    oracle="""
+    WITH scales AS (SELECT unnest([60, 300, 900]) AS tau_s),
+    b AS (
+      SELECT tau_s,
+             CAST(floor(epoch(ts)) AS BIGINT) // tau_s AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events, scales
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT tau_s, n,
+             lead(n) OVER (PARTITION BY tau_s ORDER BY bucket) AS n_next,
+             lead(bucket) OVER (PARTITION BY tau_s ORDER BY bucket)
+               - bucket AS gap
+      FROM b
+    ),
+    p AS (
+      SELECT tau_s,
+             CAST(CAST(n_next - n AS HUGEINT)
+                  * CAST(n_next - n AS HUGEINT) AS HUGEINT) AS sq
+      FROM d WHERE n_next IS NOT NULL AND gap = 1
+    )
+    SELECT CAST(tau_s AS BIGINT) AS tau_s,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(0.5e0 * CAST(sum(sq) AS DOUBLE) / count(*) * 1.0e6 + 0.5)
+             / 1.0e6 AS allan_variance
+    FROM p GROUP BY tau_s ORDER BY tau_s
+    """,
+)
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allan variance of the event arrival rate at averaging scales
+    60/300/900 s: sigma²(tau) = mean((n_{i+1} − n_i)²)/2 over ADJACENT
+    count buckets (non-adjacent pairs are excluded, the standard
+    contiguity rule) — the clock-stability statistic that separates
+    white arrival noise (sigma² ∝ rate, flat per-bucket) from drift and
+    flicker, which single-scale dispersion tests can't see. Bucket
+    tables are bounded by the calendar over tau; the lead window is
+    partitioned per scale over those bounded tables. Integer counts
+    throughout."""
+    ev = _t(spark, sf_dir, "events")
+    scales = spark.range(0, 3).select(
+        F.element_at(
+            F.array(F.lit(60), F.lit(300), F.lit(900)), (F.col("id") + 1).cast("int")
+        ).alias("tau_s")
+    )
+    b = (
+        ev.crossJoin(F.broadcast(scales))
+        .groupBy(
+            "tau_s",
+            F.floor(F.col("ts").cast("long") / F.col("tau_s"))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("tau_s").orderBy("bucket")
+    d = b.select(
+        "tau_s",
+        "n",
+        F.lead("n").over(w).alias("n_next"),
+        (F.lead("bucket").over(w) - F.col("bucket")).alias("gap"),
+    ).filter(F.col("n_next").isNotNull() & (F.col("gap") == 1))
+    p = d.select(
+        "tau_s",
+        ((F.col("n_next") - F.col("n")) * (F.col("n_next") - F.col("n")))
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    return (
+        p.groupBy("tau_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (
+                F.floor(
+                    F.lit(0.5)
+                    * F.sum("sq").cast("double")
+                    / F.count(F.lit(1))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("allan_variance"),
+        )
+        .select(
+            F.col("tau_s").cast("long").alias("tau_s"),
+            "n_pairs",
+            "allan_variance",
+        )
+        .orderBy("tau_s")
+    )
+
+
+@_register(
+    "lineitem_breusch_pagan_test",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(floor(l_quantity + 0.5) AS BIGINT) AS HUGEINT) AS x,
+             CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM v
+    ),
+    ols AS (
+      SELECT CAST(n AS DOUBLE) AS n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+               - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS a
+      FROM m
+    ),
+    r AS (
+      SELECT CAST(x AS DOUBLE) AS x,
+             CAST(floor((CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))
+                        * (CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))
+                        * 1.0e-4 + 0.5) AS HUGEINT) AS e2u
+      FROM v, ols
+    ),
+    aux AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(floor(x) AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(sum(e2u) AS DOUBLE) AS se,
+             CAST(sum(CAST(floor(x) AS HUGEINT) * e2u) AS DOUBLE) AS sxe,
+             CAST(sum(CAST(floor(x) AS HUGEINT)
+                      * CAST(floor(x) AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(sum(e2u * e2u) AS DOUBLE) AS see
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor((n * sxe - sx * se) * (n * sxe - sx * se)
+                 / ((n * sxx - sx * sx) * (n * see - se * se))
+                 * n * 1.0e6 + 0.5) / 1.0e6 AS bp_lm_stat
+    FROM aux
+    """,
+)
+def lineitem_breusch_pagan_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch–Pagan (1979) heteroskedasticity test on the price ~
+    quantity OLS: LM = n·R² of the auxiliary regression of squared
+    residuals on x — the diagnostic that says whether the OLS standard
+    errors other queries report can be trusted. Two aggregate passes:
+    exact-integer OLS sums give (a, b) as one broadcast row; squared
+    residuals are per-row doubles quantized to 1e-4 cent² units BEFORE
+    the auxiliary sums, so the cross-row aggregation is an exact
+    integer sum in any order ([[oracle-parity-gotchas]]). LM ~ chi²(1)
+    under homoskedasticity."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    b = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    a = syd / nd - b * sxd / nd
+    ols = m.select(b.alias("b"), a.alias("a"))
+    resid = (
+        F.col("y").cast("double")
+        - F.col("a")
+        - F.col("b") * F.col("x").cast("double")
+    )
+    r = v.crossJoin(F.broadcast(ols)).select(
+        F.col("x").cast("double").alias("x"),
+        F.floor(resid * resid * 1.0e-4 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("e2u"),
+    )
+    aux = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.floor(F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum("e2u").cast("double").alias("se"),
+        F.sum(F.floor(F.col("x")).cast("decimal(38,0)") * F.col("e2u"))
+        .cast("double")
+        .alias("sxe"),
+        F.sum(
+            F.floor(F.col("x")).cast("decimal(38,0)")
+            * F.floor(F.col("x")).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("e2u") * F.col("e2u")).cast("double").alias("see"),
+    )
+    nn = F.col("n")
+    num = (nn * F.col("sxe") - F.col("sx") * F.col("se")) * (
+        nn * F.col("sxe") - F.col("sx") * F.col("se")
+    )
+    den = (nn * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        nn * F.col("see") - F.col("se") * F.col("se")
+    )
+    return aux.select(
+        nn.cast("long").alias("n"),
+        (F.floor(num / den * nn * 1.0e6 + 0.5) / 1.0e6).alias("bp_lm_stat"),
+    )

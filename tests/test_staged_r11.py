@@ -89,6 +89,10 @@ STAGED_NAMES: list[str] = [
     "gsw_ice_expansion_coefficients",
     "gsw_spiciness1_2",
     "gsw_sa_from_sp_baltic",
+    # wave G — diagnostics battery
+    "lineitem_grubbs_outlier_test",
+    "events_allan_variance",
+    "lineitem_breusch_pagan_test",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
