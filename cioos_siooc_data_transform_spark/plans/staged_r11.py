@@ -2235,3 +2235,277 @@ def lineitem_breusch_pagan_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         nn.cast("long").alias("n"),
         (F.floor(num / den * nn * 1.0e6 + 0.5) / 1.0e6).alias("bp_lm_stat"),
     )
+
+
+# ===========================================================================
+# Wave H — structure-quality audits: SimHash per-bit balance (LSH
+# banding assumes ~fair bits), attribute modularity of the
+# co-purchase graph (brand homophily), and the partsupp multi-sourcing
+# price-spread audit over the derived deterministic partsupp table.
+# ===========================================================================
+@_register(
+    "dedup_simhash_bit_balance",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    tok AS (SELECT DISTINCT doc_id, unnest(words) AS t FROM w),
+    val AS (
+      SELECT doc_id,
+             ((instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
+              (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
+              (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 +
+              (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) AS v
+      FROM tok
+    ),
+    bits AS (SELECT unnest(generate_series(0, 15)) AS bit),
+    sums AS (
+      SELECT bit, val.doc_id,
+             CASE WHEN sum(CASE WHEN (v // (1 << bit)) % 2 = 1
+                                THEN 1 ELSE -1 END) > 0
+                  THEN 1 ELSE 0 END AS b
+      FROM val, bits GROUP BY bit, val.doc_id
+    ),
+    per AS (
+      SELECT bit, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(b) AS BIGINT) AS n_set
+      FROM sums GROUP BY bit
+    )
+    SELECT CAST(bit AS BIGINT) AS bit, n_set,
+           floor(CAST(n_set AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1.0e6
+                 + 0.5) / 1.0e6 AS set_rate,
+           floor(abs(CAST(2 * n_set - n_docs AS DOUBLE))
+                 / CAST(n_docs AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6 AS bias
+    FROM per ORDER BY bit
+    """,
+)
+def dedup_simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bit balance audit of the 16-bit SimHash: the Hamming-
+    distance calibration (and any banding built on it) assumes each bit
+    is ~Bernoulli(1/2) across docs; a biased bit carries less than one
+    bit of discrimination, silently inflating near-dup collision rates.
+    Reuses the registered simhash operator verbatim, then unpivots its
+    bits and reports set-rate and |2p−1| bias per position. Two bounded
+    shuffles (per-doc vote, per-bit count); 16-row output."""
+    from cioos_siooc_data_transform_spark.operators.dedup import simhash
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(words_expr(F.col("text")))).alias("t"),
+    )
+    sh = simhash(tokens, "doc_id", "t", bits=16)
+    stack = ", ".join(
+        f"{i}L, CAST((simhash >> {i}) & 1 AS INT)" for i in range(16)
+    )
+    bits = sh.select(
+        F.expr(f"stack(16, {stack}) AS (bit, b)")
+    )
+    per = bits.groupBy("bit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("b").cast("long").alias("n_set"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return per.select(
+        F.col("bit").cast("long").alias("bit"),
+        "n_set",
+        (
+            F.floor(F.col("n_set").cast("double") / nd * 1.0e6 + 0.5) / 1.0e6
+        ).alias("set_rate"),
+        (
+            F.floor(
+                F.abs((2 * F.col("n_set") - F.col("n_docs")).cast("double"))
+                / nd
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("bias"),
+    ).orderBy("bit")
+
+
+@_register(
+    "graph_brand_modularity",
+    oracle="""
+    WITH e AS (
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    eb AS (
+      SELECT pa.p_brand AS brand_a, pb.p_brand AS brand_b
+      FROM e JOIN part pa ON pa.p_partkey = e.a
+             JOIN part pb ON pb.p_partkey = e.b
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM eb),
+    within AS (
+      SELECT brand_a AS brand, CAST(count(*) AS BIGINT) AS e_bb
+      FROM eb WHERE brand_a = brand_b GROUP BY 1
+    ),
+    degs AS (
+      SELECT brand, CAST(sum(c) AS BIGINT) AS d_b FROM (
+        SELECT brand_a AS brand, count(*) AS c FROM eb GROUP BY 1
+        UNION ALL
+        SELECT brand_b AS brand, count(*) AS c FROM eb GROUP BY 1
+      ) GROUP BY brand
+    ),
+    terms AS (
+      SELECT degs.brand,
+             CAST(floor((CAST(coalesce(e_bb, 0) AS DOUBLE) / m
+                         - (CAST(d_b AS DOUBLE) / (2.0e0 * m))
+                           * (CAST(d_b AS DOUBLE) / (2.0e0 * m)))
+                        * 1.0e12 + 0.5) AS BIGINT) AS q_u,
+             coalesce(e_bb, 0) AS e_bb
+      FROM degs LEFT JOIN within ON degs.brand = within.brand, m
+    )
+    SELECT CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           CAST(sum(e_bb) AS BIGINT) AS n_within_edges,
+           floor(CAST(sum(q_u) AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6
+             AS modularity
+    FROM terms
+    """,
+)
+def graph_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the brand partition over the co-purchase
+    graph: Q = Σ_b (e_bb/m − (d_b/2m)²) — do parts of the same brand
+    co-sell more than degree chance predicts? Positive Q justifies
+    brand-keyed bucketing for graph joins; ~0 says brand is not a
+    community structure and such bucketing buys nothing. Edge-endpoint
+    brands from two broadcast-sized dimension joins; per-brand terms
+    quantized to 1e-12 before the exact cross-brand sum."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    e = _copurchase_edges(spark, sf_dir)
+    eb = (
+        e.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand_b"))),
+            "b",
+        )
+        .select("brand_a", "brand_b")
+    )
+    m = eb.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    within = (
+        eb.filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_bb"))
+    )
+    degs = (
+        eb.select(F.col("brand_a").alias("brand"))
+        .unionAll(eb.select(F.col("brand_b").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("d_b"))
+    )
+    md = F.col("m").cast("double")
+    terms = (
+        degs.join(within, "brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.coalesce(F.col("e_bb"), F.lit(0)).cast("long").alias("e_bb"),
+            F.floor(
+                (
+                    F.coalesce(F.col("e_bb"), F.lit(0)).cast("double") / md
+                    - (F.col("d_b").cast("double") / (F.lit(2.0) * md))
+                    * (F.col("d_b").cast("double") / (F.lit(2.0) * md))
+                )
+                * 1.0e12
+                + 0.5
+            )
+            .cast("long")
+            .alias("q_u"),
+            "m",
+        )
+    )
+    return terms.agg(
+        F.max("m").cast("long").alias("n_edges"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum("e_bb").cast("long").alias("n_within_edges"),
+        (F.floor(F.sum("q_u").cast("double") / 1.0e6 + 0.5) / 1.0e6).alias(
+            "modularity"
+        ),
+    )
+
+
+@_register("partsupp_price_spread_audit", oracle="__WAVE_H11C__")
+def partsupp_price_spread_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sourcing audit over the derived deterministic partsupp
+    relation (sources/partsupp.py): per supplier-count bucket, how many
+    parts, and among multi-sourced parts the mean relative supply-cost
+    spread (max−min)/min — the procurement readout for dual-sourcing
+    leverage (single-sourced parts are supply risks; wide spreads are
+    renegotiation targets). Cents-integer min/max per part, per-part
+    spread quantized to 1e-6 before the exact bucket mean; one groupBy
+    per level."""
+    from cioos_siooc_data_transform_spark.sources.partsupp import (
+        ensure_partsupp,
+    )
+
+    ps = ensure_partsupp(spark, sf_dir)
+    per = ps.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.min("ps_supplycost_cents").cast("long").alias("mn"),
+        F.max("ps_supplycost_cents").cast("long").alias("mx"),
+    )
+    spread_u = F.floor(
+        (F.col("mx") - F.col("mn")).cast("double")
+        / F.col("mn").cast("double")
+        * 1.0e6
+        + 0.5
+    ).cast("long")
+    b = per.select(
+        F.least(F.col("n_suppliers"), F.lit(5)).alias("supplier_bucket"),
+        spread_u.alias("spread_u"),
+    )
+    return (
+        b.groupBy("supplier_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (
+                F.floor(
+                    F.sum("spread_u").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_rel_spread"),
+            (F.max("spread_u") / 1.0e6).alias("max_rel_spread"),
+        )
+        .orderBy("supplier_bucket")
+    )
+
+
+def _partsupp_spread_oracle() -> str:
+    from cioos_siooc_data_transform_spark.sources.partsupp import PARTSUPP_CTE
+
+    return f"""
+    WITH {PARTSUPP_CTE},
+    per AS (
+      SELECT ps_partkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(min(ps_supplycost_cents) AS BIGINT) AS mn,
+             CAST(max(ps_supplycost_cents) AS BIGINT) AS mx
+      FROM partsupp GROUP BY 1
+    ),
+    b AS (
+      SELECT least(n_suppliers, 5) AS supplier_bucket,
+             CAST(floor(CAST(mx - mn AS DOUBLE) / CAST(mn AS DOUBLE)
+                        * 1.0e6 + 0.5) AS BIGINT) AS spread_u
+      FROM per
+    )
+    SELECT supplier_bucket, CAST(count(*) AS BIGINT) AS n_parts,
+           floor(CAST(sum(spread_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_rel_spread,
+           max(spread_u) / 1.0e6 AS max_rel_spread
+    FROM b GROUP BY 1 ORDER BY 1
+    """
+
+
+STAGED_ORACLES["partsupp_price_spread_audit"] = _partsupp_spread_oracle()

@@ -93,6 +93,10 @@ STAGED_NAMES: list[str] = [
     "lineitem_grubbs_outlier_test",
     "events_allan_variance",
     "lineitem_breusch_pagan_test",
+    # wave H — structure-quality audits
+    "dedup_simhash_bit_balance",
+    "graph_brand_modularity",
+    "partsupp_price_spread_audit",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
