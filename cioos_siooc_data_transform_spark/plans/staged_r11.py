@@ -2509,3 +2509,321 @@ def _partsupp_spread_oracle() -> str:
 
 
 STAGED_ORACLES["partsupp_price_spread_audit"] = _partsupp_spread_oracle()
+
+
+# ===========================================================================
+# Wave I — inversions and distribution machinery: pt from entropy
+# (Newton with the ANALYTIC symbolic eta_t — the payoff of
+# functions/symdiff.py), two-sample Kolmogorov-Smirnov via the
+# two-pass weighted cumsum (zero global windows), and the
+# Davies-Bouldin cluster-separation index over the label partition.
+# ===========================================================================
+def _pt_from_entropy_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_pt_sql,
+        entropy_from_t_sql,
+        entropy_t_derivative_sql,
+    )
+
+    stages: list[tuple[str, str]] = [
+        ("__pfe_target", entropy_from_t_sql("sa", "t", "p")),
+        ("__pfe_pt0", "t"),
+    ]
+    for k in (1, 2):
+        prev = f"__pfe_pt{k - 1}"
+        stages += [
+            (f"__pfe_eta{k}", entropy_from_t_sql("sa", prev, "0.0e0")),
+            (f"__pfe_deta{k}", entropy_t_derivative_sql("sa", prev, "0.0e0")),
+            (
+                f"__pfe_pt{k}",
+                f"({prev} - (__pfe_eta{k} - __pfe_target) / __pfe_deta{k})",
+            ),
+        ]
+    stages += [
+        ("pt_from_entropy", "__pfe_pt2"),
+        ("ct_from_entropy", ct_from_pt_sql("sa", "__pfe_pt2")),
+    ]
+    return stages
+
+
+def _pt_from_entropy_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, t, p, {_SA_SQL} AS sa
+      FROM ({_IN_SQL})
+    """
+    staged = _stage_sql_cte(inner, _pt_from_entropy_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(pt_from_entropy * 1.0e9 + 0.5) / 1.0e9 AS pt_from_entropy,
+           floor(ct_from_entropy * 1.0e9 + 0.5) / 1.0e9 AS ct_from_entropy
+    FROM ({staged})
+    """
+
+
+@_register("gsw_pt_from_entropy", oracle="__WAVE_I11A__")
+def gsw_pt_from_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential temperature from entropy (GSW twins:
+    gsw_pt_from_entropy, gsw_CT_from_entropy): the target eta comes
+    from the forward polynomial at (SA, t, p) — the roundtrip contract
+    of the other inversions — then two Newton steps at p=0 using the
+    ANALYTIC symbolic derivative eta_t (functions/symdiff.py), the same
+    derivative that powers cp_t_exact; CT follows by the exact
+    ct_from_pt polynomial. Entropy is nearly linear in T, so two steps
+    from pt=t land at ~1e-9 K (the quantization grid). Staged columns
+    keep the five ~6 KB polynomial evaluations under the janino method
+    limit; flat-CTE oracle; zero shuffle."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).withColumn("sa", F.expr(_SA_SQL))
+    for name, expr in _pt_from_entropy_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("pt_from_entropy") * 1.0e9 + 0.5) / 1.0e9).alias(
+            "pt_from_entropy"
+        ),
+        (F.floor(F.col("ct_from_entropy") * 1.0e9 + 0.5) / 1.0e9).alias(
+            "ct_from_entropy"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_pt_from_entropy"] = _pt_from_entropy_oracle()
+
+
+@_register(
+    "events_ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS vq
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+    ),
+    c AS (
+      SELECT vq,
+             CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+             CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c2
+      FROM v GROUP BY vq
+    ),
+    r AS (
+      SELECT vq,
+             sum(c1) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS f1,
+             sum(c2) OVER (ORDER BY vq ROWS UNBOUNDED PRECEDING) AS f2
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM c
+    ),
+    d AS (
+      SELECT CAST(abs(f1 * n2 - f2 * n1) AS HUGEINT) AS du FROM r, t
+    )
+    SELECT n1, n2,
+           floor(CAST(max(du) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1.0e6 + 0.5)
+             / 1.0e6 AS ks_d,
+           floor(CAST(max(du) AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS ks_scaled
+    FROM d, t GROUP BY n1, n2
+    """,
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between click and
+    purchase value distributions: D = max |F1 − F2| over the merged
+    support, with the scaled statistic sqrt(n1·n2/(n1+n2))·D for the
+    asymptotic threshold. Cumulative counts come from the two-pass
+    weighted cumsum operator over the DISTINCT quantized-value table
+    (ascending via negated units; both group weights ride the same
+    bucketing, so there is NO global window anywhere); the max runs on
+    exact integers |F1·n2 − F2·n1|, so the argmax is engine-identical.
+    Completes the rank-test battery next to Mann–Whitney (location) and
+    Kruskal–Wallis (k-sample) with the shape-difference test."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1.0e6 + 0.5).cast("long").alias("vq"),
+    )
+    c = v.groupBy("vq").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    ).withColumn("neg", -F.col("vq"))
+    r1 = ranked_cumsum_two_pass(c, "neg", "neg", weight_col="c1", out_cum="f1")
+    r = ranked_cumsum_two_pass(
+        r1.drop("rnk"), "neg", "neg", weight_col="c2", out_cum="f2"
+    )
+    t = c.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = r.crossJoin(F.broadcast(t)).select(
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .cast("decimal(38,0)")
+        .alias("du"),
+        "n1",
+        "n2",
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    dmax = F.max("du").cast("double")
+    return d.groupBy("n1", "n2").agg(
+        (F.floor(dmax / (n1d * n2d) * 1.0e6 + 0.5) / 1.0e6).alias("ks_d"),
+        (
+            F.floor(
+                dmax / (n1d * n2d) * F.sqrt(n1d * n2d / (n1d + n2d)) * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("ks_scaled"),
+    ).select("n1", "n2", "ks_d", "ks_scaled")
+
+
+@_register(
+    "embedding_davies_bouldin",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, u.i AS dim,
+             CAST(floor(u.v * 1.0e6 + 0.5) AS HUGEINT) AS q
+      FROM (
+        SELECT vec_id, label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        FROM embeddings
+      ) u
+    ),
+    cent AS (
+      SELECT label, dim,
+             CAST(sum(q) AS DOUBLE) / count(*) AS c
+      FROM x GROUP BY 1, 2
+    ),
+    pd AS (
+      SELECT x.vec_id, x.label,
+             CAST(floor(sqrt(sum((CAST(q AS DOUBLE) - c)
+                                 * (CAST(q AS DOUBLE) - c))) / 1.0e6 * 1.0e9
+                        + 0.5) AS HUGEINT) AS dist_u
+      FROM x JOIN cent ON x.label = cent.label AND x.dim = cent.dim
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dist_u) AS DOUBLE) / count(*) AS s_i
+      FROM pd GROUP BY 1
+    ),
+    m AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(sum((a.c - b.c) * (a.c - b.c))) / 1.0e6 * 1.0e9 AS m_ij
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label != b.label
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT sa.label, sa.n,
+             sa.s_i,
+             max((sa.s_i + sb.s_i) / m.m_ij) AS db_term
+      FROM s sa JOIN m ON m.la = sa.label JOIN s sb ON sb.label = m.lb
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(label AS BIGINT) AS label, n,
+           floor(s_i / 1.0e9 * 1.0e6 + 0.5) / 1.0e6 AS s_intra,
+           floor(db_term * 1.0e6 + 0.5) / 1.0e6 AS db_term
+    FROM terms ORDER BY label
+    """,
+)
+def embedding_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin separation terms per label cluster: S_i = mean
+    Euclidean distance to the label centroid, M_ij = centroid-centroid
+    distance, and the per-label worst-case ratio max_j (S_i + S_j)/M_ij
+    whose mean is the DB index — low terms mean the labels are real
+    clusters in embedding space, the go/no-go for label-conditioned
+    dedup and retrieval eval. Elements quantize to 1e-6 units, per-dim
+    centroid sums are exact, per-point distances quantize to 1e-9
+    before the per-label mean; the only shuffles are |labels|x|dims|
+    aggs and the bounded label-pair join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        ),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1.0e6 + 0.5).cast("decimal(38,0)").alias("q"),
+    )
+    cent = x.groupBy("label", "dim").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    pd = (
+        x.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.floor(
+                F.sqrt(
+                    F.sum(
+                        (F.col("q").cast("double") - F.col("c"))
+                        * (F.col("q").cast("double") - F.col("c"))
+                    )
+                )
+                / 1.0e6
+                * 1.0e9
+                + 0.5
+            )
+            .cast("decimal(38,0)")
+            .alias("dist_u")
+        )
+    )
+    s = pd.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dist_u").cast("double") / F.count(F.lit(1))).alias("s_i"),
+    )
+    ca = cent.select(F.col("label").alias("la"), "dim", F.col("c").alias("c1"))
+    cb = cent.select(F.col("label").alias("lb"), F.col("dim").alias("dim2"), F.col("c").alias("c2"))
+    m = (
+        ca.join(cb, (F.col("dim") == F.col("dim2")) & (F.col("la") != F.col("lb")))
+        .groupBy("la", "lb")
+        .agg(
+            (
+                F.sqrt(F.sum((F.col("c1") - F.col("c2")) * (F.col("c1") - F.col("c2"))))
+                / 1.0e6
+                * 1.0e9
+            ).alias("m_ij")
+        )
+    )
+    sa = s.select(F.col("label"), "n", "s_i")
+    sb = s.select(F.col("label").alias("lb"), F.col("s_i").alias("s_j"))
+    terms = (
+        sa.join(m, sa["label"] == m["la"])
+        .join(sb, "lb")
+        .groupBy("label", "n", "s_i")
+        .agg(F.max((F.col("s_i") + F.col("s_j")) / F.col("m_ij")).alias("db_term"))
+    )
+    return terms.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        (F.floor(F.col("s_i") / 1.0e9 * 1.0e6 + 0.5) / 1.0e6).alias("s_intra"),
+        (F.floor(F.col("db_term") * 1.0e6 + 0.5) / 1.0e6).alias("db_term"),
+    ).orderBy("label")

@@ -97,6 +97,10 @@ STAGED_NAMES: list[str] = [
     "dedup_simhash_bit_balance",
     "graph_brand_modularity",
     "partsupp_price_spread_audit",
+    # wave I — inversions and distribution machinery
+    "gsw_pt_from_entropy",
+    "events_ks_two_sample",
+    "embedding_davies_bouldin",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
