@@ -28,9 +28,15 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
-    right.ts <= left.ts for the same key (backward as-of join).
+    right.ts <= left.ts for the same key (backward as-of join), or —
+    with ``direction="forward"`` — the NEXT right row with
+    right.ts >= left.ts (the time-to-next-event join: exposure ->
+    conversion latency, order -> next restock). Forward is the same
+    one-shuffle union+window plan scanned in descending time, so both
+    directions share the zero-pair-explosion scale shape.
 
     Implementation: union with a side tag (right sorts before left on
     timestamp ties so an exactly-equal right row IS matched), then
@@ -72,9 +78,17 @@ def asof_join(
     # flapping output across runs. Struct ordering is field-wise and
     # total; left rows carry NULL there and are already separated by
     # _side.
+    if direction == "backward":
+        order = [F.col("_ts").asc(), F.col("_side").asc(), F.col("_right").asc()]
+    elif direction == "forward":
+        # scan latest->earliest; equal-ts right rows (side 0) still
+        # precede left rows, so right.ts == left.ts matches.
+        order = [F.col("_ts").desc(), F.col("_side").asc(), F.col("_right").desc()]
+    else:
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side", "_right")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

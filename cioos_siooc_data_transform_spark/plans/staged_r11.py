@@ -2827,3 +2827,151 @@ def embedding_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("s_i") / 1.0e9 * 1.0e6 + 0.5) / 1.0e6).alias("s_intra"),
         (F.floor(F.col("db_term") * 1.0e6 + 0.5) / 1.0e6).alias("db_term"),
     ).orderBy("label")
+
+
+# ===========================================================================
+# Wave J — temporal join/window growth: forward as-of (time-to-next-
+# event) and a rolling 12-month revenue/volume correlation.
+# ===========================================================================
+@_register(
+    "events_time_to_conversion",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.ts AS cts, p.ts AS pts
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+    ),
+    lag_s AS (
+      SELECT CASE WHEN pts IS NULL THEN NULL
+                  ELSE CAST(floor(epoch(pts)) AS BIGINT)
+                       - CAST(floor(epoch(cts)) AS BIGINT) END AS s
+      FROM j
+    ),
+    b AS (
+      SELECT CASE
+               WHEN s IS NULL THEN 'z_never_converted'
+               WHEN s < 60 THEN 'a_under_1m'
+               WHEN s < 300 THEN 'b_1m_5m'
+               WHEN s < 1800 THEN 'c_5m_30m'
+               WHEN s < 3600 THEN 'd_30m_1h'
+               WHEN s < 21600 THEN 'e_1h_6h'
+               ELSE 'f_over_6h'
+             END AS bucket
+      FROM lag_s
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_clicks
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-to-conversion latency: for each CLICK, the time to the
+    user's NEXT purchase via the as-of operator's new forward direction
+    (operators/asof.py — same one-shuffle union+window plan scanned in
+    descending time; DuckDB's native forward ASOF is the oracle).
+    Complements the backward events_conversion_lag (which attributes
+    each purchase to its last click): forward answers 'does a click
+    convert, and how fast', including the never-converted tail as its
+    own bucket. Whole-second lags, fixed funnel bands."""
+    from cioos_siooc_data_transform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    j = asof_join(
+        clicks, purch, key="user_id", right_cols=["ts"], direction="forward"
+    )
+    s = j.select(
+        (F.col("right_ts").cast("long") - F.col("ts").cast("long")).alias("s")
+    )
+    bucket = (
+        F.when(F.col("s").isNull(), "z_never_converted")
+        .when(F.col("s") < 60, "a_under_1m")
+        .when(F.col("s") < 300, "b_1m_5m")
+        .when(F.col("s") < 1800, "c_5m_30m")
+        .when(F.col("s") < 3600, "d_30m_1h")
+        .when(F.col("s") < 21600, "e_1h_6h")
+        .otherwise("f_over_6h")
+    )
+    return (
+        s.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "orders_rolling_corr_12m",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS rev,
+             CAST(count(*) AS HUGEINT) AS n_ord
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT ym, rev, n_ord,
+             row_number() OVER (ORDER BY ym) AS rn,
+             CAST(sum(rev) OVER w AS DOUBLE) AS sx,
+             CAST(sum(n_ord) OVER w AS DOUBLE) AS sy,
+             CAST(sum(rev * n_ord) OVER w AS DOUBLE) AS sxy,
+             CAST(sum(rev * rev) OVER w AS DOUBLE) AS sxx,
+             CAST(sum(n_ord * n_ord) OVER w AS DOUBLE) AS syy
+      FROM m
+      WINDOW w AS (ORDER BY ym ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(ym AS BIGINT) AS ym,
+           floor((12.0e0 * sxy - sx * sy)
+                 / sqrt((12.0e0 * sxx - sx * sx) * (12.0e0 * syy - sy * sy))
+                 * 1.0e6 + 0.5) / 1.0e6 AS corr_12m
+    FROM r WHERE rn >= 12 ORDER BY ym
+    """,
+)
+def orders_rolling_corr_12m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 12-month Pearson correlation between monthly revenue and
+    order volume: near +1 means revenue moves with volume (growth is
+    more orders), a dip flags mix/price-driven months — the rolling
+    diagnostic next to the registered rolling 12-month revenue sum.
+    Windows run over the MONTH table (calendar-bounded, the documented
+    concentration-family idiom); all rolling sums are exact
+    HUGEINT/decimal of integer cents/counts, correlation assembled in
+    double per row. Only full 12-month windows emit."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_ord"),
+    )
+    w = Window.orderBy("ym").rowsBetween(-11, 0)
+    wr = Window.orderBy("ym")
+    r = m.select(
+        "ym",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("rev").over(w).cast("double").alias("sx"),
+        F.sum("n_ord").over(w).cast("double").alias("sy"),
+        F.sum(F.col("rev") * F.col("n_ord")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("rev") * F.col("rev")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("n_ord") * F.col("n_ord")).over(w).cast("double").alias("syy"),
+    ).filter(F.col("rn") >= 12)
+    corr = (F.lit(12.0) * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.lit(12.0) * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.lit(12.0) * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return r.select(
+        F.col("ym").cast("long").alias("ym"),
+        (F.floor(corr * 1.0e6 + 0.5) / 1.0e6).alias("corr_12m"),
+    ).orderBy("ym")

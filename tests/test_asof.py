@@ -40,3 +40,27 @@ def test_asof_backward_semantics_and_tie(spark):
     assert got[(1, 5)] == 50.0          # exact-tie right row matches
     assert got[(1, 7)] == 60.0          # most recent at ts<=7
     assert got[(2, 3)] is None          # key with no right rows
+
+
+def test_asof_forward_direction(spark):
+    """Forward as-of: each left row gets the NEXT right row (ts >=
+    left.ts), equal timestamps match, absent following rows yield
+    NULL."""
+    from cioos_siooc_data_transform_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k INT, ts INT"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 1, "c")], "k INT, ts INT, v STRING"
+    )
+    out = {
+        (r.k, r.ts): r.right_v
+        for r in asof_join(
+            left, right, key="k", direction="forward", right_cols=["v"]
+        ).collect()
+    }
+    assert out[(1, 10)] == "a"   # equal ts matches
+    assert out[(1, 25)] == "b"   # next following
+    assert out[(1, 40)] is None  # nothing after
+    assert out[(2, 5)] is None   # right exists only before

@@ -101,6 +101,9 @@ STAGED_NAMES: list[str] = [
     "gsw_pt_from_entropy",
     "events_ks_two_sample",
     "embedding_davies_bouldin",
+    # wave J — temporal joins/windows
+    "events_time_to_conversion",
+    "orders_rolling_corr_12m",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
