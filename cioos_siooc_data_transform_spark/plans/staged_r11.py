@@ -2975,3 +2975,369 @@ def orders_rolling_corr_12m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ym").cast("long").alias("ym"),
         (F.floor(corr * 1.0e6 + 0.5) / 1.0e6).alias("corr_12m"),
     ).orderBy("ym")
+
+
+# ===========================================================================
+# Wave K — distribution-shape battery: Jarque-Bera normality, the
+# Damgaard-Weiner Lorenz asymmetry coefficient (pure aggregates — no
+# rank pass needed: S = F(mu) + L(mu)), GPD return levels composed on
+# the events POT fit, and lang x source mutual information.
+# ===========================================================================
+@_register(
+    "lineitem_jarque_bera",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS c
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(c) AS s1,
+             sum(c * c) AS s2, sum(c * c * c) AS s3,
+             sum(c * c * c * c) AS s4
+      FROM v
+    ),
+    f AS (
+      SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM m
+    ),
+    c AS (
+      SELECT n,
+             r2 - m1 * m1 AS mu2,
+             r3 - 3.0e0 * m1 * r2 + 2.0e0 * m1 * m1 * m1 AS mu3,
+             r4 - 4.0e0 * m1 * r3 + 6.0e0 * m1 * m1 * r2
+               - 3.0e0 * m1 * m1 * m1 * m1 AS mu4
+      FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(mu3 / pow(mu2, 1.5e0) * 1.0e6 + 0.5) / 1.0e6 AS skewness,
+           floor((mu4 / (mu2 * mu2) - 3.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS excess_kurtosis,
+           floor(n / 6.0e0 * (mu3 / pow(mu2, 1.5e0) * mu3 / pow(mu2, 1.5e0)
+                 + (mu4 / (mu2 * mu2) - 3.0e0) * (mu4 / (mu2 * mu2) - 3.0e0)
+                   / 4.0e0) * 1.0e3 + 0.5) / 1.0e3 AS jarque_bera
+    FROM c
+    """,
+)
+def lineitem_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test JB = n/6·(g1² + g2²/4) from the first
+    four raw moments — one map-side-combinable aggregate of exact
+    HUGEINT power sums of integer cents (the fourth power of ~1e6-cent
+    values needs ~1e28, far inside decimal(38)/HUGEINT), central
+    moments and the statistic assembled in double once. The standard
+    pre-flight before any Gaussian assumption other queries make
+    (z-scores, Bollinger bands, control charts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("c")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m1 = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    mu2 = r2 - m1 * m1
+    mu3 = r3 - F.lit(3.0) * m1 * r2 + F.lit(2.0) * m1 * m1 * m1
+    mu4 = (
+        r4
+        - F.lit(4.0) * m1 * r3
+        + F.lit(6.0) * m1 * m1 * r2
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    g1 = mu3 / F.pow(mu2, F.lit(1.5))
+    g2 = mu4 / (mu2 * mu2) - F.lit(3.0)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        (F.floor(g1 * 1.0e6 + 0.5) / 1.0e6).alias("skewness"),
+        (F.floor(g2 * 1.0e6 + 0.5) / 1.0e6).alias("excess_kurtosis"),
+        (
+            F.floor(nd / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0)) * 1.0e3 + 0.5)
+            / 1.0e3
+        ).alias("jarque_bera"),
+    )
+
+
+@_register(
+    "lineitem_lorenz_asymmetry",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS c
+      FROM lineitem
+    ),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(c) AS s FROM v),
+    below AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n_b, sum(c) AS s_b
+      FROM v, m WHERE c * CAST(n AS HUGEINT) < s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           floor(CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS f_mu,
+           floor(CAST(s_b AS DOUBLE) / CAST(s AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS l_mu,
+           floor((CAST(n_b AS DOUBLE) / CAST(n AS DOUBLE)
+                  + CAST(s_b AS DOUBLE) / CAST(s AS DOUBLE)) * 1.0e6 + 0.5)
+             / 1.0e6 AS lorenz_asymmetry
+    FROM below, m
+    """,
+)
+def lineitem_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damgaard & Weiner (2000) Lorenz asymmetry coefficient
+    S = F(mu) + L(mu): the population share below the mean plus the
+    value share they hold — S < 1 means inequality is driven by a few
+    very large line items, S > 1 by many very small ones; the Gini
+    alone cannot distinguish the two. The mean-crossing point makes
+    this PURE AGGREGATES (no sort, no rank): the below-mean test is the
+    exact integer comparison c·n < Σc, so both engines cut identically.
+    Two aggregate passes with a 1-row broadcast between them."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("c")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("s"),
+    )
+    below = v.crossJoin(F.broadcast(m)).filter(
+        F.col("c") * F.col("n") < F.col("s")
+    ).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n_b"),
+        F.sum("c").alias("s_b"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+    )
+    f_mu = F.col("n_b").cast("double") / F.col("n").cast("double")
+    l_mu = F.col("s_b").cast("double") / F.col("s").cast("double")
+    return below.select(
+        F.col("n").cast("long").alias("n"),
+        (F.floor(f_mu * 1.0e6 + 0.5) / 1.0e6).alias("f_mu"),
+        (F.floor(l_mu * 1.0e6 + 0.5) / 1.0e6).alias("l_mu"),
+        (F.floor((f_mu + l_mu) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "lorenz_asymmetry"
+        ),
+    )
+
+
+@_register(
+    "events_gpd_return_levels",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS HUGEINT) AS vu
+      FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(vu) AS s, sum(vu * vu) AS ss
+      FROM v
+    ),
+    u AS (
+      SELECT CAST(floor(
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + 2.0e0 * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                              / (CAST(n AS DOUBLE)
+                                 * (CAST(n AS DOUBLE) - 1.0e0)))
+               + 0.5) AS HUGEINT) AS uu, CAST(n AS HUGEINT) AS n_total
+      FROM m
+    ),
+    e AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k, sum(vu - uu) AS sy,
+             sum((vu - uu) * (vu - uu)) AS syy,
+             max(uu) AS uu, max(n_total) AS n_total
+      FROM v, u WHERE vu > uu
+    ),
+    fit AS (
+      SELECT CAST(k AS DOUBLE) AS k, CAST(n_total AS DOUBLE) AS n_total,
+             CAST(uu AS DOUBLE) / 1.0e6 AS u,
+             0.5e0 * (1.0e0
+               - (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                 / ((CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0))))
+               AS xi,
+             0.5e0 * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE)) / 1.0e6
+               * (1.0e0
+                  + (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(k AS DOUBLE))
+                    / ((CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0))))
+               AS beta
+      FROM e
+    ),
+    levels AS (SELECT unnest([10, 100]) AS mult)
+    SELECT CAST(mult AS BIGINT) AS return_multiple,
+           floor((u + beta / xi * (pow(CAST(mult AS DOUBLE), xi) - 1.0e0))
+                 * 1.0e6 + 0.5) / 1.0e6 AS return_level
+    FROM fit, levels ORDER BY mult
+    """,
+)
+def events_gpd_return_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPD return levels on the peaks-over-threshold fit: with excesses
+    above u ~ GPD(xi, beta), the level exceeded once per m·(1/rate)
+    exceedances is x_m = u + (beta/xi)·(m^xi − 1) — the '10x / 100x
+    rarer than anything in-window' capacity planning number, composed
+    on the SAME mean+2sigma threshold and moment fit as
+    events_pot_gpd_fit. pow with the data-dependent exponent xi is the
+    only transcendental, evaluated identically from exact integer
+    sums."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        F.floor(F.col("value") * 1.0e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("vu")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vu").alias("s"),
+        F.sum(F.col("vu") * F.col("vu")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    u = m.select(
+        F.floor(
+            sd / nd
+            + F.lit(2.0) * F.sqrt((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0))))
+            + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("uu"),
+        F.col("n").alias("n_total"),
+    )
+    e = (
+        v.crossJoin(F.broadcast(u))
+        .filter(F.col("vu") > F.col("uu"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+            F.sum(F.col("vu") - F.col("uu")).alias("sy"),
+            F.sum((F.col("vu") - F.col("uu")) * (F.col("vu") - F.col("uu"))).alias(
+                "syy"
+            ),
+            F.max("uu").alias("uu"),
+            F.max("n_total").alias("n_total"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    syd = F.col("sy").cast("double")
+    syyd = F.col("syy").cast("double")
+    ybar = syd / kd
+    s2 = (kd * syyd - syd * syd) / (kd * (kd - F.lit(1.0)))
+    ratio = ybar * ybar / s2
+    xi = F.lit(0.5) * (F.lit(1.0) - ratio)
+    beta = F.lit(0.5) * ybar / 1.0e6 * (F.lit(1.0) + ratio)
+    fit = e.select(
+        (F.col("uu").cast("double") / 1.0e6).alias("u"),
+        xi.alias("xi"),
+        beta.alias("beta"),
+    )
+    levels = spark.range(0, 2).select(
+        F.when(F.col("id") == 0, 10).otherwise(100).cast("long").alias("mult")
+    )
+    rl = F.col("u") + F.col("beta") / F.col("xi") * (
+        F.pow(F.col("mult").cast("double"), F.col("xi")) - F.lit(1.0)
+    )
+    return (
+        fit.crossJoin(F.broadcast(levels))
+        .select(
+            F.col("mult").alias("return_multiple"),
+            (F.floor(rl * 1.0e6 + 0.5) / 1.0e6).alias("return_level"),
+        )
+        .orderBy("return_multiple")
+    )
+
+
+@_register(
+    "docs_lang_source_mutual_info",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+    rl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+    rs AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+    terms AS (
+      SELECT CAST(floor(CAST(n AS DOUBLE) / nn
+                        * ln(CAST(n AS DOUBLE) * nn
+                             / (CAST(nl AS DOUBLE) * CAST(ns AS DOUBLE)))
+                        * 1.0e12 + 0.5) AS BIGINT) AS mi_u,
+             CAST(floor(-CAST(n AS DOUBLE) / nn
+                        * ln(CAST(n AS DOUBLE) / nn) * 1.0e12 + 0.5)
+                  AS BIGINT) AS hj_u
+      FROM c JOIN rl USING (lang) JOIN rs USING (source), t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           floor(CAST(sum(mi_u) AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6
+             AS mutual_info_nats,
+           floor(CAST(sum(hj_u) AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6
+             AS joint_entropy_nats,
+           floor(CAST(sum(mi_u) AS DOUBLE) / CAST(sum(hj_u) AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS normalized_mi
+    FROM terms
+    """,
+)
+def docs_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) with joint entropy and the
+    IQR-normalized variant I/H — the information-theoretic answer to
+    'are sources language-specialized?' that the chi-square/Cramér's V
+    battery approximates linearly. One bounded contingency aggregate;
+    every p·ln term quantizes to 1e-12 integer units before the exact
+    cross-cell sum ([[oracle-parity-gotchas]]). NMI near 1 means source
+    determines language (dedup and sampling should stratify jointly);
+    near 0 they are independent knobs."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("double").alias("nn"))
+    rl = c.groupBy("lang").agg(F.sum("n").cast("long").alias("nl"))
+    rs = c.groupBy("source").agg(F.sum("n").cast("long").alias("ns"))
+    nd = F.col("n").cast("double")
+    mi = (
+        nd
+        / F.col("nn")
+        * F.log(
+            nd * F.col("nn") / (F.col("nl").cast("double") * F.col("ns").cast("double"))
+        )
+    )
+    hj = -nd / F.col("nn") * F.log(nd / F.col("nn"))
+    terms = (
+        c.join(F.broadcast(rl), "lang")
+        .join(F.broadcast(rs), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.floor(mi * 1.0e12 + 0.5).cast("long").alias("mi_u"),
+            F.floor(hj * 1.0e12 + 0.5).cast("long").alias("hj_u"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (F.floor(F.sum("mi_u").cast("double") / 1.0e6 + 0.5) / 1.0e6).alias(
+            "mutual_info_nats"
+        ),
+        (F.floor(F.sum("hj_u").cast("double") / 1.0e6 + 0.5) / 1.0e6).alias(
+            "joint_entropy_nats"
+        ),
+        (
+            F.floor(
+                F.sum("mi_u").cast("double") / F.sum("hj_u").cast("double") * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("normalized_mi"),
+    )

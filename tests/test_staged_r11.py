@@ -104,6 +104,11 @@ STAGED_NAMES: list[str] = [
     # wave J — temporal joins/windows
     "events_time_to_conversion",
     "orders_rolling_corr_12m",
+    # wave K — distribution-shape battery
+    "lineitem_jarque_bera",
+    "lineitem_lorenz_asymmetry",
+    "events_gpd_return_levels",
+    "docs_lang_source_mutual_info",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
