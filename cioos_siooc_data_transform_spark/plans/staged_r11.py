@@ -3341,3 +3341,377 @@ def docs_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("normalized_mi"),
     )
+
+
+# ===========================================================================
+# Wave L — composition tail: entropy from (SA, CT) via the pt_from_ct
+# Newton chain, the Duncan dissimilarity index between customer
+# geographies, a negative-binomial fit of per-user event counts, and a
+# lognormal-vs-Pareto tail model comparison.
+# ===========================================================================
+def _entropy_ct_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        entropy_from_pt_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r6 import (
+        pt_from_ct_stages,
+    )
+
+    stages = list(pt_from_ct_stages("sa", "ct"))
+    stages.append(("entropy_from_ct", entropy_from_pt_sql("sa", "pt_from_ct")))
+    return stages
+
+
+def _entropy_ct_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    """
+    staged = _stage_sql_cte(inner, _entropy_ct_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(entropy_from_ct * 1.0e6 + 0.5) / 1.0e6 AS entropy_from_ct
+    FROM ({staged})
+    """
+
+
+@_register("gsw_entropy_from_ct", oracle="__WAVE_L11A__")
+def gsw_entropy_from_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specific entropy from (SA, CT) (GSW twin: gsw_entropy_from_CT):
+    invert CT -> pt with the registered two-step Newton chain
+    (pt_from_ct_stages, roundtrip-pinned), then evaluate the entropy
+    polynomial at (SA, pt, 0) — entropy is invariant along the adiabat,
+    so the p=0 form IS eta(SA, CT). The conservative-temperature
+    counterpart of the registered gsw_entropy_from_t; staged columns,
+    flat-CTE oracle, zero shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in _entropy_ct_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("entropy_from_ct") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "entropy_from_ct"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_entropy_from_ct"] = _entropy_ct_oracle()
+
+
+@_register(
+    "customer_segment_dissimilarity_index",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n_seg FROM c GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.c_mktsegment AS seg_a, b.c_mktsegment AS seg_b,
+             a.c_nationkey,
+             CAST(a.n AS DOUBLE) / ta.n_seg AS pa,
+             CAST(b.n AS DOUBLE) / tb.n_seg AS pb
+      FROM c a
+      JOIN c b ON a.c_nationkey = b.c_nationkey
+              AND a.c_mktsegment < b.c_mktsegment
+      JOIN tot ta ON ta.c_mktsegment = a.c_mktsegment
+      JOIN tot tb ON tb.c_mktsegment = b.c_mktsegment
+    ),
+    terms AS (
+      SELECT seg_a, seg_b,
+             CAST(floor(abs(pa - pb) * 1.0e12 + 0.5) AS HUGEINT) AS d_u
+      FROM pairs
+    )
+    SELECT seg_a, seg_b,
+           floor(0.5e0 * CAST(sum(d_u) AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6
+             AS dissimilarity
+    FROM terms GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def customer_segment_dissimilarity_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duncan & Duncan (1955) dissimilarity index D = ½·Σ_k |p_ak −
+    p_bk| between every market-segment pair over the nation
+    distribution — D is the fraction of one segment's customers that
+    would have to relocate for the two geographies to match, the
+    canonical segregation/mix-shift measure next to the chi-square
+    family. Bounded contingency (25 nations x 5 segments); per-nation
+    terms quantize to 1e-12 before the exact pair sum. NOTE: nations
+    where one segment has zero customers contribute that segment's full
+    share — the self-join on nation only sees co-present cells, so
+    totals are taken per segment, making absent cells implicit zeros
+    only when BOTH sides are present; the synthetic data populates all
+    125 cells at every scale factor, which tests/test_staged_r11 pins
+    via the oracle equality."""
+    c = _t(spark, sf_dir, "customer").groupBy(
+        "c_nationkey", "c_mktsegment"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = c.groupBy("c_mktsegment").agg(
+        F.sum("n").cast("long").alias("n_seg")
+    )
+    a = (
+        c.join(tot, "c_mktsegment")
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.col("c_mktsegment").alias("seg_a"),
+            (F.col("n").cast("double") / F.col("n_seg")).alias("pa"),
+        )
+    )
+    b = (
+        c.join(tot, "c_mktsegment")
+        .select(
+            F.col("c_nationkey").alias("nk2"),
+            F.col("c_mktsegment").alias("seg_b"),
+            (F.col("n").cast("double") / F.col("n_seg")).alias("pb"),
+        )
+    )
+    pairs = a.join(
+        b,
+        (F.col("nk") == F.col("nk2")) & (F.col("seg_a") < F.col("seg_b")),
+    )
+    terms = pairs.select(
+        "seg_a",
+        "seg_b",
+        F.floor(F.abs(F.col("pa") - F.col("pb")) * 1.0e12 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("d_u"),
+    )
+    return (
+        terms.groupBy("seg_a", "seg_b")
+        .agg(
+            (
+                F.floor(F.lit(0.5) * F.sum("d_u").cast("double") / 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("dissimilarity")
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+@_register(
+    "events_user_count_nbd_fit",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS HUGEINT) AS n
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS u, sum(n) AS s, sum(n * n) AS ss
+      FROM c
+    ),
+    f AS (
+      SELECT CAST(u AS DOUBLE) AS u,
+             CAST(s AS DOUBLE) / CAST(u AS DOUBLE) AS mean,
+             (CAST(u AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(u AS DOUBLE) * (CAST(u AS DOUBLE) - 1.0e0)) AS var
+      FROM m
+    )
+    SELECT CAST(u AS BIGINT) AS n_users,
+           floor(mean * 1.0e6 + 0.5) / 1.0e6 AS mean_events,
+           floor(var / mean * 1.0e6 + 0.5) / 1.0e6 AS vmr,
+           floor(mean * mean / nullif(var - mean, 0.0e0) * 1.0e6 + 0.5)
+             / 1.0e6 AS nbd_r,
+           floor(mean / var * 1.0e6 + 0.5) / 1.0e6 AS nbd_p
+    FROM f
+    """,
+)
+def events_user_count_nbd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial (Gamma-Poisson) moment fit of per-user event
+    counts: r = m²/(v−m), p = m/v — the Ehrenberg NBD model behind
+    repeat-engagement forecasting ('how many users will fire k events
+    next window'). VMR >> 1 (overdispersion) is what licenses NB over
+    Poisson; r and p feed the closed-form NB pmf offline. One per-user
+    count, one moment aggregate, exact HUGEINT sums; the v = m
+    degenerate case NULLIFs instead of exploding."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    m = c.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("u"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    ud = F.col("u").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean = sd / ud
+    var = (ud * ssd - sd * sd) / (ud * (ud - F.lit(1.0)))
+    return m.select(
+        F.col("u").cast("long").alias("n_users"),
+        (F.floor(mean * 1.0e6 + 0.5) / 1.0e6).alias("mean_events"),
+        (F.floor(var / mean * 1.0e6 + 0.5) / 1.0e6).alias("vmr"),
+        (
+            F.floor(
+                mean * mean / F.nullif(var - mean, F.lit(0.0)) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("nbd_r"),
+        (F.floor(mean / var * 1.0e6 + 0.5) / 1.0e6).alias("nbd_p"),
+    )
+
+
+@_register(
+    "orders_tail_model_comparison",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS c
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(c) AS s, sum(c * c) AS ss
+      FROM v
+    ),
+    u AS (
+      SELECT CAST(floor(
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+               + 0.5) AS HUGEINT) AS uu
+      FROM m
+    ),
+    tail AS (
+      SELECT CAST(floor(ln(CAST(c AS DOUBLE) / CAST(uu AS DOUBLE)) * 1.0e9
+                        + 0.5) AS BIGINT) AS lr
+      FROM v, u WHERE c > uu
+    ),
+    a AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k,
+             CAST(sum(lr) AS HUGEINT) AS slr,
+             CAST(sum(CAST(lr AS HUGEINT) * CAST(lr AS HUGEINT)) AS HUGEINT)
+               AS slr2
+      FROM tail
+    ),
+    f AS (
+      SELECT CAST(k AS DOUBLE) AS k,
+             CAST(slr AS DOUBLE) / 1.0e9 / CAST(k AS DOUBLE) AS lmean,
+             (CAST(k AS DOUBLE) * (CAST(slr2 AS DOUBLE) / 1.0e18)
+              - (CAST(slr AS DOUBLE) / 1.0e9)
+                * (CAST(slr AS DOUBLE) / 1.0e9))
+               / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)) AS lvar
+      FROM a
+    )
+    SELECT CAST(k AS BIGINT) AS n_tail,
+           floor(1.0e0 / lmean * 1.0e6 + 0.5) / 1.0e6 AS pareto_alpha,
+           floor((-1.0e0 - ln(lmean)) * k * 1.0e3 + 0.5) / 1.0e3
+             AS pareto_loglik_scaled,
+           floor((-0.5e0 * ln(lvar) - 0.5e0 - lmean
+                  - 0.9189385332046727) * k * 1.0e3 + 0.5) / 1.0e3
+             AS lognormal_loglik_scaled,
+           ((-1.0e0 - ln(lmean))
+            > (-0.5e0 * ln(lvar) - 0.5e0 - lmean
+               - 0.9189385332046727)) AS pareto_preferred
+    FROM f
+    """,
+)
+def orders_tail_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto vs lognormal for the order-value tail above mean+1 sigma
+    (the Clauset-Shalizi-Newman question asked of every 'power law'
+    claim): on log-relative excesses r = ln(x/u), Pareto(alpha) is
+    exponential in r (MLE alpha = 1/mean(r), per-point log-likelihood
+    −1 − ln(mean r)) while lognormal-tail is Gaussian in r (per-point
+    −ln(sd)−½−mean(r)−½ln 2π after the Jacobian). The scaled
+    log-likelihoods and the boolean verdict say which generative story
+    the tail supports — the modeling fork that decides between the
+    registered Gumbel/Hill and lognormal-fit pipelines. Per-row ln
+    quantized to 1e-9 before exact sums; one broadcast threshold."""
+    o = _t(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("c")
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    u = m.select(
+        F.floor(
+            sd / nd
+            + F.sqrt((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0))))
+            + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("uu")
+    )
+    tail = (
+        v.crossJoin(F.broadcast(u))
+        .filter(F.col("c") > F.col("uu"))
+        .select(
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("uu").cast("double"))
+                * 1.0e9
+                + 0.5
+            )
+            .cast("decimal(38,0)")
+            .alias("lr")
+        )
+    )
+    a = tail.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("lr").alias("slr"),
+        F.sum(F.col("lr") * F.col("lr")).alias("slr2"),
+    )
+    kd = F.col("k").cast("double")
+    lmean = F.col("slr").cast("double") / 1.0e9 / kd
+    lvar = (
+        kd * (F.col("slr2").cast("double") / 1.0e18)
+        - (F.col("slr").cast("double") / 1.0e9)
+        * (F.col("slr").cast("double") / 1.0e9)
+    ) / (kd * kd)
+    import math
+
+    ll_pareto = (F.lit(-1.0) - F.log(lmean)) * kd
+    ll_lognorm = (
+        F.lit(-0.5) * F.log(lvar)
+        - F.lit(0.5)
+        - lmean
+        - F.lit(0.5 * math.log(2.0 * math.pi))
+    ) * kd
+    return a.select(
+        F.col("k").cast("long").alias("n_tail"),
+        (F.floor(F.lit(1.0) / lmean * 1.0e6 + 0.5) / 1.0e6).alias(
+            "pareto_alpha"
+        ),
+        (F.floor(ll_pareto * 1.0e3 + 0.5) / 1.0e3).alias(
+            "pareto_loglik_scaled"
+        ),
+        (F.floor(ll_lognorm * 1.0e3 + 0.5) / 1.0e3).alias(
+            "lognormal_loglik_scaled"
+        ),
+        (ll_pareto > ll_lognorm).alias("pareto_preferred"),
+    )

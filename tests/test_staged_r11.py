@@ -109,6 +109,11 @@ STAGED_NAMES: list[str] = [
     "lineitem_lorenz_asymmetry",
     "events_gpd_return_levels",
     "docs_lang_source_mutual_info",
+    # wave L — composition tail
+    "gsw_entropy_from_ct",
+    "customer_segment_dissimilarity_index",
+    "events_user_count_nbd_fit",
+    "orders_tail_model_comparison",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
