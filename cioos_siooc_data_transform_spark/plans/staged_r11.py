@@ -3715,3 +3715,333 @@ def orders_tail_model_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (ll_pareto > ll_lognorm).alias("pareto_preferred"),
     )
+
+
+# ===========================================================================
+# Wave M — index/process-health audits: PQ codebook utilization
+# entropy (dead codes waste quantization bits), Bowley's quartile
+# skewness, the attribute p-chart for monthly return rates, and the
+# chars-per-token tokenizer-cost profile by language.
+# ===========================================================================
+@_register(
+    "similarity_pq_codebook_utilization",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+    cb AS (
+      SELECT s.j, c.vec_id AS code, c.v[s.j*8+1 : s.j*8+8] AS center
+      FROM subs s CROSS JOIN (SELECT * FROM e WHERE vec_id < 16) c
+    ),
+    dist AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_reduce(list_transform(generate_series(1, 8),
+                 i -> (e.v[cb.j*8 + i] - cb.center[i])
+                      * (e.v[cb.j*8 + i] - cb.center[i])),
+               (a, b) -> a + b) AS d
+      FROM e CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, list_position(dl, list_min(dl)) - 1 AS code
+      FROM (SELECT vec_id, j, list(d ORDER BY code) AS dl FROM dist GROUP BY 1, 2)
+    ),
+    cnt AS (
+      SELECT j, code, CAST(count(*) AS BIGINT) AS n FROM enc GROUP BY 1, 2
+    ),
+    tot AS (SELECT j, CAST(sum(n) AS DOUBLE) AS nj FROM cnt GROUP BY 1),
+    terms AS (
+      SELECT cnt.j,
+             CAST(floor(-CAST(n AS DOUBLE) / nj * ln(CAST(n AS DOUBLE) / nj)
+                        * 1.0e12 + 0.5) AS BIGINT) AS h_u,
+             n
+      FROM cnt JOIN tot USING (j)
+    )
+    SELECT CAST(j AS BIGINT) AS subspace,
+           CAST(count(*) AS BIGINT) AS codes_used,
+           CAST(16 - count(*) AS BIGINT) AS codes_dead,
+           floor(CAST(sum(h_u) AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6
+             AS usage_entropy_nats,
+           floor(CAST(max(n) AS DOUBLE)
+                 / CAST(sum(n) AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS top_code_share
+    FROM terms GROUP BY j ORDER BY j
+    """,
+)
+def similarity_pq_codebook_utilization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Codebook utilization audit for the PQ index: per subspace, how
+    many of the 16 codes are actually used, the usage entropy (max ln16
+    = uniform), and the hottest code's share — dead or skewed codes
+    mean the quantizer wastes bits and ADC distances lose contrast,
+    the standard health check before shipping a PQ index. Same
+    deterministic first-16-vectors codebook contract as the registered
+    similarity_pq_adc_topk (collected once — the documented bounded
+    driver fetch); encoding reuses pq_encode verbatim; entropy terms
+    quantize to 1e-12 before exact sums."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    head = (
+        emb.filter(F.col("vec_id") < 16)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r.embedding[j * 8 : (j + 1) * 8]] for r in head]
+        for j in range(8)
+    ]
+    codes = pq_encode(emb, books)
+    enc = codes.select(
+        F.posexplode("codes").alias("j", "code")
+    )
+    cnt = enc.groupBy("j", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("j").agg(F.sum("n").cast("double").alias("nj"))
+    p = F.col("n").cast("double") / F.col("nj")
+    terms = cnt.join(tot, "j").select(
+        "j",
+        "n",
+        F.floor(-p * F.log(p) * 1.0e12 + 0.5).cast("long").alias("h_u"),
+    )
+    return (
+        terms.groupBy("j")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("codes_used"),
+            (16 - F.count(F.lit(1))).cast("long").alias("codes_dead"),
+            (
+                F.floor(F.sum("h_u").cast("double") / 1.0e6 + 0.5) / 1.0e6
+            ).alias("usage_entropy_nats"),
+            (
+                F.floor(
+                    F.max("n").cast("double") / F.sum("n").cast("double")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("top_code_share"),
+        )
+        .select(
+            F.col("j").cast("long").alias("subspace"),
+            "codes_used",
+            "codes_dead",
+            "usage_entropy_nats",
+            "top_code_share",
+        )
+        .orderBy("subspace")
+    )
+
+
+@_register(
+    "customer_acctbal_bowley_skew",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    q AS (
+      SELECT CAST(quantile_cont(cents * 4, 0.25) AS BIGINT) AS q1_4,
+             CAST(quantile_cont(cents * 4, 0.5) AS BIGINT) AS q2_4,
+             CAST(quantile_cont(cents * 4, 0.75) AS BIGINT) AS q3_4,
+             CAST(count(*) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT n,
+           floor(CAST(q2_4 AS DOUBLE) / 400.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS median_dollars,
+           floor(CAST(q3_4 - q1_4 AS DOUBLE) / 400.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS iqr_dollars,
+           floor(CAST(q3_4 + q1_4 - 2 * q2_4 AS DOUBLE)
+                 / CAST(q3_4 - q1_4 AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS bowley_skew
+    FROM q
+    """,
+)
+def customer_acctbal_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley's quartile skewness (Q3 + Q1 − 2·Q2)/(Q3 − Q1) — the
+    robust skewness that one extreme balance cannot move, next to the
+    moment skewness in lineitem_jarque_bera. Quartiles of 4x integer
+    cents are exact integer-valued doubles on both engines (quartile
+    interpolation lands on quarters), so the ratio is computed from
+    exact integers; one percentile aggregate."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents")
+    )
+    q = c.agg(
+        F.expr("CAST(percentile(cents * 4, 0.25) AS BIGINT)").alias("q1_4"),
+        F.expr("CAST(percentile(cents * 4, 0.5) AS BIGINT)").alias("q2_4"),
+        F.expr("CAST(percentile(cents * 4, 0.75) AS BIGINT)").alias("q3_4"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return q.select(
+        "n",
+        (
+            F.floor(F.col("q2_4").cast("double") / 400.0 * 1.0e2 + 0.5) / 1.0e2
+        ).alias("median_dollars"),
+        (
+            F.floor(
+                (F.col("q3_4") - F.col("q1_4")).cast("double") / 400.0 * 1.0e2
+                + 0.5
+            )
+            / 1.0e2
+        ).alias("iqr_dollars"),
+        (
+            F.floor(
+                (F.col("q3_4") + F.col("q1_4") - 2 * F.col("q2_4")).cast(
+                    "double"
+                )
+                / (F.col("q3_4") - F.col("q1_4")).cast("double")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("bowley_skew"),
+    )
+
+
+@_register(
+    "lineitem_return_rate_p_chart",
+    oracle="""
+    WITH m AS (
+      SELECT year(l_shipdate) * 12 + month(l_shipdate) - 1 AS ym,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(sum(r) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS pbar FROM m
+    )
+    SELECT CAST(ym AS BIGINT) AS ym, n, r,
+           floor(CAST(r AS DOUBLE) / CAST(n AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS p_hat,
+           floor((pbar + 3.0e0 * sqrt(pbar * (1.0e0 - pbar)
+                                      / CAST(n AS DOUBLE))) * 1.0e6 + 0.5)
+             / 1.0e6 AS ucl,
+           floor(greatest(pbar - 3.0e0 * sqrt(pbar * (1.0e0 - pbar)
+                                              / CAST(n AS DOUBLE)), 0.0e0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS lcl,
+           (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+              > pbar + 3.0e0 * sqrt(pbar * (1.0e0 - pbar)
+                                    / CAST(n AS DOUBLE))
+            OR CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+              < greatest(pbar - 3.0e0 * sqrt(pbar * (1.0e0 - pbar)
+                                             / CAST(n AS DOUBLE)), 0.0e0))
+             AS out_of_control
+    FROM m, t ORDER BY ym
+    """,
+)
+def lineitem_return_rate_p_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart p-chart of the monthly return-flag rate: per-month
+    p-hat against 3-sigma binomial control limits around the pooled
+    rate (limits vary with each month's n — the attribute-chart rule) —
+    the process-control readout that separates common-cause wiggle from
+    months that need a root cause, completing the control-chart family
+    (EWMA, Bollinger, CUSUM) with its attribute member. One bounded
+    month group-by plus a 1-row pooled broadcast; integer counts, flags
+    computed on identical double expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ym")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("r"),
+    )
+    t = m.agg(
+        (F.sum("r").cast("double") / F.sum("n").cast("double")).alias("pbar")
+    )
+    j = m.crossJoin(F.broadcast(t))
+    nd = F.col("n").cast("double")
+    phat = F.col("r").cast("double") / nd
+    sig = F.sqrt(F.col("pbar") * (F.lit(1.0) - F.col("pbar")) / nd)
+    ucl = F.col("pbar") + F.lit(3.0) * sig
+    lcl = F.greatest(F.col("pbar") - F.lit(3.0) * sig, F.lit(0.0))
+    return j.select(
+        F.col("ym").cast("long").alias("ym"),
+        "n",
+        "r",
+        (F.floor(phat * 1.0e6 + 0.5) / 1.0e6).alias("p_hat"),
+        (F.floor(ucl * 1.0e6 + 0.5) / 1.0e6).alias("ucl"),
+        (F.floor(lcl * 1.0e6 + 0.5) / 1.0e6).alias("lcl"),
+        ((phat > ucl) | (phat < lcl)).alias("out_of_control"),
+    ).orderBy("ym")
+
+
+@_register(
+    "text_chars_per_token_by_lang",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(length(text) AS HUGEINT) AS n_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS HUGEINT) AS n_tok
+      FROM documents
+    ),
+    a AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(n_chars) AS sc, sum(n_tok) AS st,
+             sum(CAST(floor(CAST(n_chars AS DOUBLE)
+                            / nullif(CAST(n_tok AS DOUBLE), 0.0e0)
+                            * 1.0e9 + 0.5) AS HUGEINT)) AS s_ratio
+      FROM d WHERE n_tok > 0 GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           floor(CAST(sc AS DOUBLE) / CAST(st AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS corpus_chars_per_token,
+           floor(CAST(s_ratio AS DOUBLE) / CAST(n_docs AS DOUBLE) / 1.0e3
+                 + 0.5) / 1.0e6 AS mean_doc_chars_per_token
+    FROM a ORDER BY lang
+    """,
+)
+def text_chars_per_token_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characters-per-token by language — the tokenizer-cost profile: a
+    BPE vocabulary trained English-heavy spends more tokens per
+    character elsewhere, so this ratio (corpus-level and mean-per-doc)
+    is the first-order predictor of per-language training cost and
+    context-window usage when budgeting a multilingual mix. Whitespace
+    tokens as the engine's standard proxy; per-doc ratios quantize to
+    1e-9 before the exact mean; one bounded language group-by."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.length("text").cast("decimal(38,0)").alias("n_chars"),
+        F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+        .cast("decimal(38,0)")
+        .alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    ratio_u = F.floor(
+        F.col("n_chars").cast("double")
+        / F.nullif(F.col("n_tok").cast("double"), F.lit(0.0))
+        * 1.0e9
+        + 0.5
+    ).cast("decimal(38,0)")
+    a = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("sc"),
+        F.sum("n_tok").alias("st"),
+        F.sum(ratio_u).alias("s_ratio"),
+    )
+    return a.select(
+        "lang",
+        "n_docs",
+        (
+            F.floor(
+                F.col("sc").cast("double") / F.col("st").cast("double") * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("corpus_chars_per_token"),
+        (
+            F.floor(
+                F.col("s_ratio").cast("double")
+                / F.col("n_docs").cast("double")
+                / 1.0e3
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_doc_chars_per_token"),
+    ).orderBy("lang")

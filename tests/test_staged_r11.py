@@ -114,6 +114,11 @@ STAGED_NAMES: list[str] = [
     "customer_segment_dissimilarity_index",
     "events_user_count_nbd_fit",
     "orders_tail_model_comparison",
+    # wave M — index/process-health audits
+    "similarity_pq_codebook_utilization",
+    "customer_acctbal_bowley_skew",
+    "lineitem_return_rate_p_chart",
+    "text_chars_per_token_by_lang",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
