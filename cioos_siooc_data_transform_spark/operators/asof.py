@@ -29,6 +29,7 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
     direction: str = "backward",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     right.ts <= left.ts for the same key (backward as-of join), or —
@@ -51,16 +52,20 @@ def asof_join(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
 
+    r_struct_fields = list(right_cols)
+    r_type = "struct<" + ", ".join(
+        [
+            f"{c}: {right.schema[c].dataType.simpleString()}"
+            for c in r_struct_fields
+        ]
+        + [f"__asof_ts: {right.schema[right_ts].dataType.simpleString()}"]
+    ) + ">"
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_left"),
-        F.lit(None).cast(
-            "struct<" + ", ".join(
-                f"{c}: {right.schema[c].dataType.simpleString()}" for c in right_cols
-            ) + ">"
-        ).alias("_right"),
+        F.lit(None).cast(r_type).alias("_right"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
@@ -69,7 +74,10 @@ def asof_join(
         F.lit(None).cast(
             l_tag.schema["_left"].dataType
         ).alias("_left"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_right"),
+        F.struct(
+            *([F.col(c) for c in r_struct_fields]
+              + [F.col(right_ts).alias("__asof_ts")])
+        ).alias("_right"),
     )
     unioned = l_tag.unionByName(r_tag)
     # the trailing _right struct key makes the carried row DETERMINISTIC
@@ -98,7 +106,17 @@ def asof_join(
         "_left",
         F.last("_right", ignorenulls=True).over(w).alias("_rv"),
     )
-    out = carried.filter(F.col("_side") == 1).select(
+    matched = carried.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        gap = (
+            F.col("_ts").cast("long") - F.col("_rv.__asof_ts").cast("long")
+            if direction == "backward"
+            else F.col("_rv.__asof_ts").cast("long") - F.col("_ts").cast("long")
+        )
+        matched = matched.withColumn(
+            "_rv", F.when(gap <= F.lit(tolerance), F.col("_rv"))
+        )
+    out = matched.select(
         F.col("_left.*"),
         *[F.col(f"_rv.{c}").alias(f"right_{c}") for c in right_cols],
     )

@@ -64,3 +64,34 @@ def test_asof_forward_direction(spark):
     assert out[(1, 25)] == "b"   # next following
     assert out[(1, 40)] is None  # nothing after
     assert out[(2, 5)] is None   # right exists only before
+
+
+def test_asof_tolerance_window(spark):
+    """tolerance nulls out matches farther than the window in ts units,
+    in both directions."""
+    from cioos_siooc_data_transform_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k INT, ts INT")
+    right = spark.createDataFrame(
+        [(1, 95, "near"), (1, 10, "far")], "k INT, ts INT, v STRING"
+    )
+    back = {
+        r.ts: r.right_v
+        for r in asof_join(
+            left, right, key="k", right_cols=["v"], tolerance=10
+        ).collect()
+    }
+    assert back[100] == "near"  # gap 5 <= 10
+    assert back[200] is None    # nearest is 105 away
+    fwd = {
+        r.ts: r.right_v
+        for r in asof_join(
+            spark.createDataFrame([(1, 90)], "k INT, ts INT"),
+            right,
+            key="k",
+            right_cols=["v"],
+            direction="forward",
+            tolerance=4,
+        ).collect()
+    }
+    assert fwd[90] is None  # next right is 95, gap 5 > 4
