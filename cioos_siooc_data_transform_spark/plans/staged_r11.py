@@ -7,11 +7,37 @@ staged_r10 (round 10) -> this module (round 11). Budget:
 len(STAGED_QUERIES) + len(STAGED_REPLACEMENTS) <= 50 fresh names at
 activation.
 
-Content so far:
-- Wave A — dedup/cluster-quality and retrieval-health audits:
-  near-dup transitivity audit (open-wedge rate of the pair graph),
-  Burrows' Delta stylometric distance between sources, TwoNN
-  intrinsic-dimension estimate, rich-club coefficient.
+COMPLETE at the 50-name budget (50 new, 0 replacements):
+- Wave A — dedup/cluster-quality audits: transitivity, Burrows'
+  Delta, TwoNN intrinsic dimension, rich-club coefficient.
+- Wave B — time-series/econometrics: weighted price quantiles
+  (two-pass weighted cumsum), max drawdown, Ferro-Segers extremal
+  index, fixed-effects vs pooled trend, as-of conversion lag,
+  Tukey median polish.
+- Wave C — GSW via symbolic differentiation (functions/symdiff.py):
+  cp_t_exact (check value bit-exact), potential enthalpy of ice.
+- Wave D — chem-potential T-derivative + Gibbs-exact lapse,
+  component source purity (CC reuse), Little's law audit.
+- Wave E — knob sweeps: Matryoshka prefix-dim recall, packing
+  chunk-size sweep.
+- Wave F — GSW twins: ice expansion/pressure coefficients,
+  spiciness1/2, Baltic SA special case.
+- Wave G — Grubbs test, Allan variance, Breusch-Pagan LM.
+- Wave H — SimHash bit balance, brand modularity, partsupp
+  price-spread audit.
+- Wave I — pt/CT from entropy (Newton on symbolic eta_t), two-sample
+  KS via two-pass cumsums, Davies-Bouldin terms.
+- Wave J — forward as-of (time-to-next-event), rolling 12m
+  revenue/volume correlation.
+- Wave K — Jarque-Bera, Lorenz asymmetry, GPD return levels,
+  lang-source mutual information.
+- Wave L — entropy from CT, Duncan dissimilarity, NBD fit,
+  Pareto-vs-lognormal tail comparison.
+- Wave M — PQ codebook utilization, Bowley skew, return-rate
+  p-chart, chars-per-token by language.
+- Wave N — attribution-window as-of (tolerance), Chow test, annual
+  harmonics, binseg-2 changepoints, MinHash width sweep, HLL
+  precision sweep, langid confusion matrix.
 """
 
 from __future__ import annotations
@@ -4045,3 +4071,714 @@ def text_chars_per_token_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("mean_doc_chars_per_token"),
     ).orderBy("lang")
+
+
+# ===========================================================================
+# Wave N — slate close-out: attribution-window as-of join (tolerance),
+# Chow structural-break test, annual harmonic decomposition, two-level
+# binary-segmentation changepoints, MinHash hash-count sweep, HLL
+# precision sweep, and the langid confusion matrix.
+# ===========================================================================
+@_register(
+    "events_attribution_window_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.ts AS pts, c.ts AS cts
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+    ),
+    w AS (
+      SELECT CASE WHEN cts IS NULL THEN NULL
+                  WHEN CAST(floor(epoch(pts)) AS BIGINT)
+                       - CAST(floor(epoch(cts)) AS BIGINT) > 1800 THEN NULL
+                  ELSE CAST(floor(epoch(pts)) AS BIGINT)
+                       - CAST(floor(epoch(cts)) AS BIGINT) END AS s
+      FROM j
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(s) AS BIGINT) AS n_attributed,
+           floor(CAST(count(s) AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS attribution_rate,
+           floor(CAST(sum(s) AS DOUBLE) / count(s) * 1.0e3 + 0.5) / 1.0e3
+             AS mean_attributed_lag_s
+    FROM w
+    """,
+)
+def events_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute attribution window: each purchase attributes to its
+    last click only if it happened within 1800 s — the as-of operator's
+    new ``tolerance`` mode (pandas merge_asof semantics; the tolerance
+    is applied AFTER the one-shuffle carry, so the plan shape is the
+    standard union+window). The marketing-attribution rule every
+    analytics stack hardcodes, now a single operator argument; the
+    oracle is DuckDB's native ASOF with the window as a post-filter.
+    Reports coverage and the mean in-window lag."""
+    from cioos_siooc_data_transform_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    j = asof_join(
+        purch, clicks, key="user_id", right_cols=["ts"], tolerance=1800
+    )
+    s = j.select(
+        (F.col("ts").cast("long") - F.col("right_ts").cast("long")).alias("s")
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.count("s").cast("long").alias("n_attributed"),
+        (
+            F.floor(
+                F.count("s").cast("double") / F.count(F.lit(1)) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("attribution_rate"),
+        (
+            F.floor(F.sum("s").cast("double") / F.count("s") * 1.0e3 + 0.5)
+            / 1.0e3
+        ).alias("mean_attributed_lag_s"),
+    )
+
+
+@_register(
+    "lineitem_chow_test",
+    oracle="""
+    WITH v AS (
+      SELECT (l_discount > 0.05) AS hi,
+             CAST(CAST(floor(l_quantity + 0.5) AS BIGINT) AS HUGEINT) AS x,
+             CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT hi, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM v GROUP BY hi
+    ),
+    ssr AS (
+      SELECT hi, CAST(n AS DOUBLE) AS n,
+             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+               / CAST(n AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / (CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS ssr_g,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+             CAST(syy AS DOUBLE) AS syy
+      FROM g
+    ),
+    p AS (
+      SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy,
+             sum(sxx) AS sxx, sum(syy) AS syy, sum(ssr_g) AS ssr_sub
+      FROM ssr
+    ),
+    f AS (
+      SELECT n, ssr_sub,
+             (n * syy - sy * sy) / n
+             - ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+               / (n * (n * sxx - sx * sx)) AS ssr_pool
+      FROM p
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(floor(ssr_pool / 1.0e4 + 0.5) AS BIGINT)
+             AS ssr_pooled_dollars2,
+           CAST(floor(ssr_sub / 1.0e4 + 0.5) AS BIGINT)
+             AS ssr_split_dollars2,
+           floor(((ssr_pool - ssr_sub) / 2.0e0)
+                 / (ssr_sub / (n - 4.0e0)) * 1.0e6 + 0.5) / 1.0e6
+             AS chow_f
+    FROM f
+    """,
+)
+def lineitem_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow (1960) structural-break F-test of the price ~ quantity OLS
+    at the discount > 5% split: F = ((SSR_pooled − ΣSSR_g)/k) /
+    (ΣSSR_g/(n−2k)) with k = 2 parameters — do discounted lines follow
+    a DIFFERENT price-quantity line, or is one regression enough? The
+    regime-shift diagnostic behind every 'fit one model or two' fork.
+    Each group's SSR collapses to raw exact-integer moment sums
+    (SSR = Syy_c − Sxy_c²/Sxx_c), so the whole test is ONE group-by
+    over two keys plus scalar algebra — no residual materialization at
+    all (contrast Breusch–Pagan, which needs the residual pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.select(
+        (F.col("l_discount") > 0.05).alias("hi"),
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    g = v.groupBy("hi").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syyd = F.col("syy").cast("double")
+    ssr_g = (nd * syyd - syd * syd) / nd - (
+        (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+    ) / (nd * (nd * sxxd - sxd * sxd))
+    ssr = g.select(
+        nd.alias("n"),
+        sxd.alias("sx"),
+        syd.alias("sy"),
+        sxyd.alias("sxy"),
+        sxxd.alias("sxx"),
+        syyd.alias("syy"),
+        ssr_g.alias("ssr_g"),
+    )
+    p = ssr.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("ssr_g").alias("ssr_sub"),
+    )
+    n = F.col("n")
+    ssr_pool = (n * F.col("syy") - F.col("sy") * F.col("sy")) / n - (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ) / (n * (n * F.col("sxx") - F.col("sx") * F.col("sx")))
+    f = p.select(
+        n.alias("n"), F.col("ssr_sub").alias("ssr_sub"), ssr_pool.alias("ssr_pool")
+    )
+    return f.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(F.col("ssr_pool") / 1.0e4 + 0.5).alias("ssr_pooled_dollars2"),
+        F.floor(F.col("ssr_sub") / 1.0e4 + 0.5).alias("ssr_split_dollars2"),
+        (
+            F.floor(
+                ((F.col("ssr_pool") - F.col("ssr_sub")) / F.lit(2.0))
+                / (F.col("ssr_sub") / (F.col("n") - F.lit(4.0)))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("chow_f"),
+    )
+
+
+@_register(
+    "orders_annual_harmonic_fit",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             month(o_orderdate) - 1 AS moy,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT moy, CAST(sum(rev) AS DOUBLE) / count(*) AS p
+      FROM m GROUP BY moy
+    ),
+    hs AS (SELECT unnest([1, 2]) AS h),
+    basis AS (
+      SELECT h, moy, p,
+             cos(2.0e0 * 3.141592653589793e0 * h * moy / 12.0e0) AS cb,
+             sin(2.0e0 * 3.141592653589793e0 * h * moy / 12.0e0) AS sb
+      FROM prof, hs
+    ),
+    coef AS (
+      SELECT h,
+             sum(p * cb) / 6.0e0 AS a_h,
+             sum(p * sb) / 6.0e0 AS b_h
+      FROM basis GROUP BY h
+    ),
+    var_p AS (
+      SELECT (sum(p * p) - sum(p) * sum(p) / 12.0e0) / 12.0e0 AS vp
+      FROM prof
+    )
+    SELECT CAST(h AS BIGINT) AS harmonic,
+           CAST(floor(sqrt(a_h * a_h + b_h * b_h) / 100.0e0 + 0.5) AS BIGINT)
+             AS amplitude_dollars,
+           floor(atan2(b_h, a_h) * 1.0e6 + 0.5) / 1.0e6 AS phase_rad,
+           floor((a_h * a_h + b_h * b_h) / 2.0e0 / vp * 1.0e6 + 0.5) / 1.0e6
+             AS variance_share
+    FROM coef, var_p ORDER BY h
+    """,
+)
+def orders_annual_harmonic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and second annual harmonics of the mean monthly-revenue
+    profile: Fourier coefficients over the 12-point month-of-year means
+    (an orthogonal basis on the exact 12-point grid, so the projection
+    IS the least-squares fit), reported as amplitude, phase, and share
+    of profile variance — the compact seasonality summary a forecaster
+    reads before choosing additive-seasonal terms. The profile comes
+    from integer-exact cent sums; the 12x2 basis table is the only
+    trig surface and is evaluated identically on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym"),
+        (F.month("o_orderdate") - 1).alias("moy"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("rev")
+    )
+    prof = m.groupBy("moy").agg(
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias("p")
+    )
+    hs = spark.range(1, 3).select(F.col("id").alias("h"))
+    pi = 3.141592653589793
+    ang = F.lit(2.0 * pi) * F.col("h") * F.col("moy") / F.lit(12.0)
+    basis = prof.crossJoin(F.broadcast(hs)).select(
+        "h",
+        "p",
+        F.cos(ang).alias("cb"),
+        F.sin(ang).alias("sb"),
+    )
+    coef = basis.groupBy("h").agg(
+        (F.sum(F.col("p") * F.col("cb")) / F.lit(6.0)).alias("a_h"),
+        (F.sum(F.col("p") * F.col("sb")) / F.lit(6.0)).alias("b_h"),
+    )
+    var_p = prof.agg(
+        (
+            (
+                F.sum(F.col("p") * F.col("p"))
+                - F.sum("p") * F.sum("p") / F.lit(12.0)
+            )
+            / F.lit(12.0)
+        ).alias("vp")
+    )
+    amp2 = F.col("a_h") * F.col("a_h") + F.col("b_h") * F.col("b_h")
+    return (
+        coef.crossJoin(F.broadcast(var_p))
+        .select(
+            F.col("h").cast("long").alias("harmonic"),
+            F.floor(F.sqrt(amp2) / 100.0 + 0.5).alias("amplitude_dollars"),
+            (
+                F.floor(F.atan2(F.col("b_h"), F.col("a_h")) * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("phase_rad"),
+            (
+                F.floor(amp2 / F.lit(2.0) / F.col("vp") * 1.0e6 + 0.5) / 1.0e6
+            ).alias("variance_share"),
+        )
+        .orderBy("harmonic")
+    )
+
+
+@_register(
+    "events_changepoint_binseg2",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, n,
+             row_number() OVER w AS k,
+             CAST(sum(n) OVER w AS BIGINT) AS s_k,
+             CAST(count(*) OVER () AS BIGINT) AS nn,
+             CAST(sum(n) OVER () AS BIGINT) AS s_n
+      FROM d WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    lvl1 AS (
+      SELECT k, day, nn FROM (
+        SELECT k, day, nn,
+               row_number() OVER (
+                 ORDER BY abs(CAST(s_k AS DOUBLE)
+                              - CAST(k AS DOUBLE)/nn*s_n) DESC, k) AS rn
+        FROM seq WHERE k < nn
+      ) WHERE rn = 1
+    ),
+    seg AS (
+      SELECT s.day, s.n, CASE WHEN s.k <= l.k THEN 0 ELSE 1 END AS seg_id
+      FROM seq s, lvl1 l
+    ),
+    seq2 AS (
+      SELECT seg_id, day, n,
+             row_number() OVER w2 AS k,
+             CAST(sum(n) OVER w2 AS BIGINT) AS s_k,
+             CAST(count(*) OVER (PARTITION BY seg_id) AS BIGINT) AS nn,
+             CAST(sum(n) OVER (PARTITION BY seg_id) AS BIGINT) AS s_n
+      FROM seg
+      WINDOW w2 AS (PARTITION BY seg_id ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    lvl2 AS (
+      SELECT seg_id, day, g FROM (
+        SELECT seg_id, day,
+               abs(CAST(s_k AS DOUBLE) - CAST(k AS DOUBLE)/nn*s_n) AS g,
+               row_number() OVER (
+                 PARTITION BY seg_id
+                 ORDER BY abs(CAST(s_k AS DOUBLE)
+                              - CAST(k AS DOUBLE)/nn*s_n) DESC, k) AS rn
+        FROM seq2 WHERE k < nn
+      ) WHERE rn = 1
+    )
+    SELECT CAST(seg_id AS BIGINT) AS segment, day AS split_day,
+           floor(g * 1.0e6 + 0.5) / 1.0e6 AS cusum_stat
+    FROM lvl2
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS segment, l.day AS split_day,
+           floor((SELECT max(abs(CAST(s_k AS DOUBLE)
+                                 - CAST(k AS DOUBLE)/nn*s_n))
+                  FROM seq WHERE k < nn) * 1.0e6 + 0.5) / 1.0e6 AS cusum_stat
+    FROM lvl1 l
+    ORDER BY segment
+    """,
+)
+def events_changepoint_binseg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level binary segmentation of the daily event-count series
+    (Scott & Knott's recursive CUSUM split): find the best global
+    changepoint (segment −1), then the best split WITHIN each half
+    (segments 0 and 1) — the hierarchical variant of the registered
+    single-point events_changepoint_location, which is how production
+    changepoint detection actually proceeds. All windows run over the
+    calendar-bounded day table (the documented idiom); level-2 windows
+    are PARTITIONED by segment. Exact integer prefix sums; argmax
+    tie-broken by earliest index."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    seq = d.select(
+        "day",
+        "n",
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum("n").over(w).cast("long").alias("s_k"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("nn"),
+        F.sum("n").over(wall).cast("long").alias("s_n"),
+    )
+    g = F.abs(
+        F.col("s_k").cast("double")
+        - F.col("k").cast("double") / F.col("nn") * F.col("s_n")
+    )
+    scored = seq.filter(F.col("k") < F.col("nn")).withColumn("g", g)
+    lvl1 = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.col("g").desc(), "k")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col("k").alias("k1"), F.col("day").alias("day1"), F.col("g").alias("g1"))
+    )
+    seg = seq.crossJoin(F.broadcast(lvl1)).select(
+        "day",
+        "n",
+        F.when(F.col("k") <= F.col("k1"), 0).otherwise(1).alias("seg_id"),
+        "day1",
+        "g1",
+    )
+    w2 = Window.partitionBy("seg_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wseg = Window.partitionBy("seg_id")
+    seq2 = seg.select(
+        "seg_id",
+        "day",
+        "day1",
+        "g1",
+        F.row_number().over(Window.partitionBy("seg_id").orderBy("day")).alias("k"),
+        F.sum("n").over(w2).cast("long").alias("s_k"),
+        F.count(F.lit(1)).over(wseg).cast("long").alias("nn"),
+        F.sum("n").over(wseg).cast("long").alias("s_n"),
+    )
+    g2 = F.abs(
+        F.col("s_k").cast("double")
+        - F.col("k").cast("double") / F.col("nn") * F.col("s_n")
+    )
+    lvl2 = (
+        seq2.filter(F.col("k") < F.col("nn"))
+        .withColumn("g", g2)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("seg_id").orderBy(F.col("g").desc(), "k")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("seg_id").cast("long").alias("segment"),
+            F.col("day").alias("split_day"),
+            (F.floor(F.col("g") * 1.0e6 + 0.5) / 1.0e6).alias("cusum_stat"),
+        )
+    )
+    top = lvl1.select(
+        F.lit(-1).cast("long").alias("segment"),
+        F.col("day1").alias("split_day"),
+        (F.floor(F.col("g1") * 1.0e6 + 0.5) / 1.0e6).alias("cusum_stat"),
+    )
+    return top.unionByName(lvl2).orderBy("segment")
+
+
+_MH_SWEEP = (4, 8, 16)
+
+
+def _mh_hash_sql(k: int) -> str:
+    digest = (k - 1) // 4
+    offset = ((k - 1) % 4) * 8 + 1
+    return f"substr(md5(s || '#{digest}'), {offset}, 8)"
+
+
+@_register(
+    "dedup_minhash_hashes_sweep",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(round(n_common / (sa.n + sb.n - n_common), 6) * 1000000
+                  AS BIGINT) AS j_u
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.2
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min({_mh_hash_sql(k)}) AS h{k}" for k in range(1, 17))}
+      FROM f GROUP BY doc_id
+    ),
+    j AS (
+      SELECT p.j_u,
+             {", ".join(f"CASE WHEN a.h{k} = b.h{k} THEN 1 ELSE 0 END AS m{k}" for k in range(1, 17))}
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b
+    ),
+    est AS (
+      SELECT unnest([{", ".join(str(h) for h in _MH_SWEEP)}]) AS n_hashes,
+             j_u,
+             unnest([{", ".join("(" + " + ".join(f"m{k}" for k in range(1, h + 1)) + f") * 1000000 // {h}" for h in _MH_SWEEP)}]) AS est_u
+      FROM j
+    )
+    SELECT CAST(n_hashes AS BIGINT) AS n_hashes,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(abs(est_u - j_u)) AS DOUBLE) / count(*) + 0.5)
+             / 1.0e6 AS mean_abs_error
+    FROM est GROUP BY n_hashes ORDER BY n_hashes
+    """,
+)
+def dedup_minhash_hashes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy vs signature width: over the exact
+    Jaccard >= 0.2 pair set (hot-shingle-capped, same sets for both the
+    exact and sketched sides), estimate Jaccard as the matching-
+    component fraction of the first 4/8/16 portable md5-sliced hash
+    functions (the registered minhash_signature operator's md5 family)
+    and report mean |estimate − exact| per width — the knob curve that
+    prices signature bytes against dedup precision (expected error
+    ~ sqrt(J(1−J)/h)). Estimates quantize to integer micro-units with
+    floor division, errors sum exactly."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh_all = distinct_shingles(spark, sf_dir)
+    w_df = Window.partitionBy("s")
+    f = (
+        sh_all.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("_df") <= 10)
+        .drop("_df")
+    )
+    pairs = ngram_jaccard_pairs(
+        sh_all, "doc_id", "s", threshold=0.2, max_doc_freq=10
+    ).select(
+        "doc_a",
+        "doc_b",
+        (F.col("jaccard") * 1000000).cast("long").alias("j_u"),
+    )
+    sig = minhash_signature(f, "doc_id", "s", num_hashes=16, hash_family="md5")
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(1, 17)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(1, 17)],
+    )
+    j = pairs.join(siga, "doc_a").join(sigb, "doc_b").select(
+        "j_u",
+        *[
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1)
+            .otherwise(0)
+            .alias(f"m{k}")
+            for k in range(1, 17)
+        ],
+    )
+    out = None
+    for h in _MH_SWEEP:
+        est_u = F.floor(
+            sum(F.col(f"m{k}") for k in range(1, h + 1)) * 1000000 / h
+        ).cast("long")
+        agg = j.select(
+            F.abs(est_u - F.col("j_u")).cast("decimal(38,0)").alias("err")
+        ).agg(
+            F.lit(h).cast("long").alias("n_hashes"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (
+                F.floor(
+                    F.sum("err").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_abs_error"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select("n_hashes", "n_pairs", "mean_abs_error").orderBy(
+        "n_hashes"
+    )
+
+
+_HLL_SWEEP_LGK = (8, 12, 14)
+
+
+@_register(
+    "sketch_hll_precision_sweep",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs
+      FROM orders
+    ),
+    lgs AS (SELECT unnest([8, 12, 14]) AS lg_k)
+    SELECT CAST(lg_k AS BIGINT) AS lg_k, exact_custs,
+           TRUE AS within_5_rsd
+    FROM lgs, ex ORDER BY lg_k
+    """,
+)
+def sketch_hll_precision_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog precision sweep: estimate distinct order customers
+    at lgConfigK 8/12/14 (256/4k/16k registers; theoretical rsd
+    1.04/sqrt(2^lgK) ~ 6.5%/1.6%/0.8%) and assert each estimate lands
+    within 5 relative standard deviations of the exact count — the
+    knob curve that prices sketch memory against accuracy before wiring
+    HLL into a rollup (the registered merge/intersection queries fix
+    lgK=14; this sweeps it). Weaker boolean oracle like the rest of the
+    sketch family: a broken hash, register width, or estimator bias at
+    ANY precision flips a row."""
+    o = _t(spark, sf_dir, "orders")
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_custs")
+    )
+    out = None
+    for lg_k in _HLL_SWEEP_LGK:
+        est = o.agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg(o_custkey, {lg_k}))"
+            ).alias("est")
+        )
+        rsd = 1.04 / (2.0 ** (lg_k / 2.0))
+        row = (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(lg_k).cast("long").alias("lg_k"),
+                "exact_custs",
+                (
+                    F.abs(F.col("est") - F.col("exact_custs"))
+                    <= F.lit(5.0 * rsd) * F.col("exact_custs")
+                ).alias("within_5_rsd"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lg_k")
+
+
+def _langid_confusion_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH li AS ({ORACLES["text_langid"]}),
+    c AS (
+      SELECT d.lang AS true_lang, li.pred_lang,
+             CAST(count(*) AS BIGINT) AS n
+      FROM li JOIN documents d USING (doc_id)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1)
+    SELECT c.true_lang, c.pred_lang, c.n,
+           floor(CAST(c.n AS DOUBLE) / CAST(nt AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS row_share
+    FROM c JOIN tot USING (true_lang)
+    ORDER BY true_lang, pred_lang
+    """
+
+
+@_register("text_langid_confusion_matrix", oracle="__WAVE_N11G__")
+def text_langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram-heuristic language identifier
+    against the labeled lang column: per (true, predicted) cell, count
+    and row share (= per-class recall on the diagonal) — the quality
+    gate a curation pipeline reads before trusting langid-based
+    filtering, including how the labeled-but-unmodeled fifth language
+    distributes over the four predictable classes. Reuses the
+    registered text_langid plan verbatim on the Spark side and its
+    registered oracle text as a CTE on the DuckDB side, so the
+    confusion is pinned against the SAME prediction contract."""
+    from cioos_siooc_data_transform_spark.plans.text_queries import (
+        text_langid,
+    )
+
+    pred = text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    c = (
+        pred.join(docs, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.groupBy("true_lang").agg(F.sum("n").cast("long").alias("nt"))
+    return (
+        c.join(tot, "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            (
+                F.floor(
+                    F.col("n").cast("double") / F.col("nt").cast("double")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("row_share"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+STAGED_ORACLES["text_langid_confusion_matrix"] = _langid_confusion_oracle()

@@ -119,6 +119,14 @@ STAGED_NAMES: list[str] = [
     "customer_acctbal_bowley_skew",
     "lineitem_return_rate_p_chart",
     "text_chars_per_token_by_lang",
+    # wave N — slate close-out
+    "events_attribution_window_join",
+    "lineitem_chow_test",
+    "orders_annual_harmonic_fit",
+    "events_changepoint_binseg2",
+    "dedup_minhash_hashes_sweep",
+    "sketch_hll_precision_sweep",
+    "text_langid_confusion_matrix",
 ]
 
 REPLACEMENT_NAMES: list[str] = []
