@@ -1070,3 +1070,36 @@ def adiabatic_lapse_rate_t_exact_sql(sa: str, t: str, p: str) -> str:
         f"(-({entropy_p_derivative_sql(sa, t, p)})"
         f" / {entropy_t_derivative_sql(sa, t, p)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Symbolic derivatives of the ct_from_pt polynomial (McDougall 2003 /
+# IOC et al. 2010 appendix A.12 fit): CT_SA, CT_pt and the three second
+# derivatives, each again one shared literal tree (functions/symdiff.py;
+# FD-pinned in tests). These power the GSW twins gsw_CT_first_derivatives,
+# gsw_CT_second_derivatives, gsw_pt_first_derivatives and (chained with
+# the entropy derivatives) gsw_entropy_first_derivatives.
+# ---------------------------------------------------------------------------
+_CTPT_SENTINELS = ("__CDSA__", "__CDPT__")
+_CT_DERIV_TEMPLATES: dict[tuple[int, int], str] = {}
+
+
+def ct_derivative_sql(sa: str, pt: str, dsa: int, dpt: int) -> str:
+    """∂^(dsa+dpt) CT / ∂SA^dsa ∂pt^dpt as portable SQL."""
+    key = (dsa, dpt)
+    if key not in _CT_DERIV_TEMPLATES:
+        from cioos_siooc_data_transform_spark.functions.symdiff import diff_sql
+
+        sa_, pt_ = _CTPT_SENTINELS
+        expr = ct_from_pt_sql(sa_, pt_)
+        for _ in range(dsa):
+            expr = diff_sql(expr, sa_)
+        for _ in range(dpt):
+            expr = diff_sql(expr, pt_)
+        _CT_DERIV_TEMPLATES[key] = expr
+    sa_, pt_ = _CTPT_SENTINELS
+    return (
+        _CT_DERIV_TEMPLATES[key]
+        .replace(sa_, f"({sa})")
+        .replace(pt_, f"({pt})")
+    )

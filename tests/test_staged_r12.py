@@ -1,0 +1,110 @@
+"""Keep the STAGED round-12 queries green while parked
+(plans/staged_r12.py — the round-12 runway seed; activation order is
+staged_r8 (round 8) -> ... -> staged_r11 (round 11) -> this
+module)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r12 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+        STAGED_REPLACEMENTS,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES, STAGED_REPLACEMENTS
+
+
+def test_staged_not_registered():
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_, reps = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged r11 queries leaked into the live registry: {leaked}"
+    live = all_queries()
+    for name, (fn, _) in reps.items():
+        assert name in live, f"replacement {name} has no live twin"
+        assert live[name] is not fn, f"replacement {name} activated early"
+
+
+def test_budget():
+    """Fresh-name budget: the driver samples 50 names per round."""
+    qs, _, reps = _staged()
+    assert len(qs) + len(reps) <= 50
+
+
+def test_no_collision_with_earlier_slates():
+    """A staged_r12 name colliding with the (not-yet-activated)
+    r8..r11 slates would silently no-op at round-12 activation —
+    catch it at build time instead (the lineitem_benford_audit
+    lesson)."""
+    from cioos_siooc_data_transform_spark.plans import (
+        staged_r8,
+        staged_r9,
+        staged_r10,
+        staged_r11,
+    )
+
+    qs, _, reps = _staged()
+    earlier = set()
+    for mod in (staged_r8, staged_r9, staged_r10, staged_r11):
+        earlier |= set(mod.STAGED_QUERIES)
+        earlier |= set(getattr(mod, "STAGED_REPLACEMENTS", {}))
+    clash = (set(qs) | set(reps)) & earlier
+    assert not clash, f"staged_r12 names collide with r8..r11: {clash}"
+
+
+STAGED_NAMES: list[str] = [
+    # wave A — GSW CT-derivative tranche (symdiff)
+    "gsw_ct_first_derivatives",
+    "gsw_ct_second_derivatives",
+    "gsw_pt_first_derivatives",
+    "gsw_entropy_first_derivatives",
+]
+
+
+REPLACEMENT_NAMES: list[str] = []
+
+
+def test_staged_name_list_is_complete():
+    qs, _, reps = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+    assert sorted(reps) == sorted(REPLACEMENT_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_, _ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", REPLACEMENT_NAMES)
+def test_replacement_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    _, _, reps = _staged()
+    fn, oracle = reps[name]
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, fn, oracle)
+    assert ok, f"{name}: {msg}"
+
+
+def test_activate_not_called_is_noop_guard():
+    """Importing the module must not mutate the live registry."""
+    import importlib
+
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    before = set(all_queries())
+    import cioos_siooc_data_transform_spark.plans.staged_r12 as m
+
+    importlib.reload(m)
+    assert set(all_queries()) == before
