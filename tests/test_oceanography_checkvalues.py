@@ -1397,3 +1397,50 @@ def test_pot_enthalpy_ice_consistency(spark):
             work = 1.1e-3 * 1.0e4 * r.p  # v*dp, J/kg
             assert r.h_insitu - 1.2 * work < r.pot_enthalpy_ice < r.h_insitu
         assert -370000.0 < r.pot_enthalpy_ice < -300000.0
+
+
+def test_ct_derivatives_match_finite_differences(spark):
+    """The symbolic CT_SA/CT_pt (and the three second derivatives)
+    agree with central finite differences of the ct_from_pt polynomial
+    itself, and CT_pt stays near 1 (CT is potential-temperature-like by
+    construction)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_derivative_sql,
+        ct_from_pt_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(35.0, 15.0), (30.5, 2.0), (36.5, 28.0)], "sa DOUBLE, pt DOUBLE"
+    )
+    h = 1e-5
+    rows = df.select(
+        F.expr(ct_derivative_sql("sa", "pt", 1, 0)).alias("d_sa"),
+        F.expr(ct_derivative_sql("sa", "pt", 0, 1)).alias("d_pt"),
+        F.expr(ct_derivative_sql("sa", "pt", 1, 1)).alias("d_sapt"),
+        (
+            (
+                F.expr(ct_from_pt_sql(f"(sa + {h})", "pt"))
+                - F.expr(ct_from_pt_sql(f"(sa - {h})", "pt"))
+            )
+            / (2.0 * h)
+        ).alias("fd_sa"),
+        (
+            (
+                F.expr(ct_from_pt_sql("sa", f"(pt + {h})"))
+                - F.expr(ct_from_pt_sql("sa", f"(pt - {h})"))
+            )
+            / (2.0 * h)
+        ).alias("fd_pt"),
+        (
+            (
+                F.expr(ct_derivative_sql(f"(sa + {h})", "pt", 0, 1))
+                - F.expr(ct_derivative_sql(f"(sa - {h})", "pt", 0, 1))
+            )
+            / (2.0 * h)
+        ).alias("fd_sapt"),
+    ).collect()
+    for r in rows:
+        assert r.d_sa == pytest.approx(r.fd_sa, rel=1e-5, abs=1e-9)
+        assert r.d_pt == pytest.approx(r.fd_pt, rel=1e-7)
+        assert r.d_sapt == pytest.approx(r.fd_sapt, rel=1e-4, abs=1e-10)
+        assert 0.98 < r.d_pt < 1.02
