@@ -66,6 +66,10 @@ STAGED_NAMES: list[str] = [
     "gsw_ct_second_derivatives",
     "gsw_pt_first_derivatives",
     "gsw_entropy_first_derivatives",
+    # wave B — robust trend / spectrum / variance components
+    "orders_theil_sen_trend",
+    "events_spectral_flatness",
+    "customer_spend_intraclass_corr",
 ]
 
 
