@@ -556,3 +556,337 @@ def customer_spend_intraclass_corr(spark: SparkSession, sf_dir: str) -> DataFram
             / 1.0e6
         ).alias("icc"),
     )
+
+
+# ===========================================================================
+# Wave C — sampling/index composition audits: PPS sampling with the
+# Horvitz-Thompson estimator, cross-document duplicate-frame audit on
+# the multimodal frame sampler, and the LSH (bands x rows) trade-off
+# curve over a shared 16-function MinHash signature.
+# ===========================================================================
+@_register(
+    "sample_pps_horvitz_thompson",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(((o_orderkey * 2654435761) % 4294967296) AS DOUBLE)
+               / 4294967296.0e0 AS u
+      FROM orders
+    ),
+    t AS (
+      SELECT CAST(sum(cents) AS HUGEINT) AS total,
+             CAST(count(*) AS BIGINT) AS n FROM o
+    ),
+    s AS (
+      SELECT o.cents,
+             least(2000.0e0 * CAST(o.cents AS DOUBLE) / CAST(total AS DOUBLE),
+                   1.0e0) AS pi
+      FROM o, t
+      WHERE o.u < least(2000.0e0 * CAST(o.cents AS DOUBLE)
+                        / CAST(total AS DOUBLE), 1.0e0)
+    ),
+    e AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(CAST(floor(CAST(cents AS DOUBLE) / pi + 0.5)
+                           AS HUGEINT)) AS DOUBLE) AS ht
+      FROM s
+    )
+    SELECT n AS n_population, n_sampled,
+           CAST(floor(CAST(total AS DOUBLE) / 100.0e0 + 0.5) AS BIGINT)
+             AS true_total_dollars,
+           CAST(floor(ht / 100.0e0 + 0.5) AS BIGINT)
+             AS ht_estimate_dollars,
+           floor((ht - CAST(total AS DOUBLE)) / CAST(total AS DOUBLE)
+                 * 1.0e6 + 0.5) / 1.0e6 AS rel_error
+    FROM e, t
+    """,
+)
+def sample_pps_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling with the Horvitz-
+    Thompson total estimator: inclusion probability pi_i ∝ order value
+    (capped at 1), membership decided by the deterministic Knuth-hash
+    uniform u_i < pi_i (key-deterministic like every sampler here — no
+    RNG, replays agree), estimate = Σ y_i/pi_i over the sample. PPS+HT
+    is how a pipeline prices 'audit 2000 weighted rows instead of all'
+    — the rel_error column IS the measured cost of that shortcut.
+    Per-row HT terms floor to integer cents before the exact sum; two
+    aggregate passes with a 1-row broadcast."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+        (
+            ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296))
+            .cast("double")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    t = o.agg(
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = o.crossJoin(F.broadcast(t))
+    pi = F.least(
+        F.lit(2000.0) * F.col("cents").cast("double")
+        / F.col("total").cast("double"),
+        F.lit(1.0),
+    )
+    s = j.filter(F.col("u") < pi).select(
+        "cents",
+        pi.alias("pi"),
+        F.col("total"),
+        F.col("n"),
+    )
+    e = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum(
+            F.floor(F.col("cents").cast("double") / F.col("pi") + 0.5).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("ht"),
+        F.max("total").alias("total"),
+        F.max("n").alias("n"),
+    )
+    tot = F.col("total").cast("double")
+    return e.select(
+        F.col("n").alias("n_population"),
+        "n_sampled",
+        F.floor(tot / 100.0 + 0.5).cast("long").alias("true_total_dollars"),
+        F.floor(F.col("ht") / 100.0 + 0.5)
+        .cast("long")
+        .alias("ht_estimate_dollars"),
+        (
+            F.floor((F.col("ht") - tot) / tot * 1.0e6 + 0.5) / 1.0e6
+        ).alias("rel_error"),
+    )
+
+
+@_register(
+    "multimodal_frame_hash_dedup",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             CAST((strlen(text) % 10) + 2 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      FROM f
+    ),
+    sig AS (
+      SELECT doc_id, md5(text || CAST(frame_idx AS VARCHAR)) AS frame_sig
+      FROM idx
+    ),
+    per AS (
+      SELECT frame_sig, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM sig GROUP BY 1
+    )
+    SELECT CAST(sum(n_frames) AS BIGINT) AS total_frames,
+           CAST(count(*) AS BIGINT) AS distinct_sigs,
+           CAST(count(*) FILTER (n_docs >= 2) AS BIGINT) AS cross_doc_sigs,
+           CAST(max(n_docs) AS BIGINT) AS max_docs_per_sig,
+           floor(CAST(count(*) FILTER (n_docs >= 2) AS DOUBLE) / count(*)
+                 * 1.0e6 + 0.5) / 1.0e6 AS cross_doc_share
+    FROM per
+    """,
+)
+def multimodal_frame_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-FRAME audit: run the registered frame
+    sampler (sample_frames, 1→N mapInPandas with the deterministic
+    stub codec), hash every sampled frame, and count signatures shared
+    by >= 2 documents — the frame-level dedup signal video pipelines
+    use to catch re-uploads and shared intros that doc-level hashing
+    misses. Exact group-by on the 32-hex signature (the digest IS the
+    bucket key — never pairwise); composition of the multimodal surface
+    with the exact-dedup shape."""
+    from cioos_siooc_data_transform_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", "source")
+    frames = sample_frames(media, every_k=2, fake_decode=True)
+    per = frames.groupBy("frame_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return per.agg(
+        F.sum("n_frames").cast("long").alias("total_frames"),
+        F.count(F.lit(1)).cast("long").alias("distinct_sigs"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("cross_doc_sigs"),
+        F.max("n_docs").cast("long").alias("max_docs_per_sig"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("cross_doc_share"),
+    )
+
+
+_LSH_TRADEOFF_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+def _lsh_tradeoff_oracle() -> str:
+    def hash_sql(k: int) -> str:
+        digest = (k - 1) // 4
+        offset = ((k - 1) % 4) * 8 + 1
+        return f"substr(md5(s || '#{digest}'), {offset}, 8)"
+
+    sig_cols = ", ".join(
+        f"min({hash_sql(k)}) AS h{k}" for k in range(1, 17)
+    )
+    per_cfg = []
+    for bands, rows in _LSH_TRADEOFF_CONFIGS:
+        buckets = " UNION ALL ".join(
+            f"SELECT doc_id, md5('{b}' || "
+            + " || ".join(f"h{b * rows + r + 1}" for r in range(rows))
+            + ") AS bucket FROM sig"
+            for b in range(bands)
+        )
+        per_cfg.append(f"""
+    bk{bands} AS ({buckets}),
+    gd{bands} AS (
+      SELECT doc_id, bucket FROM (
+        SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS _n
+        FROM bk{bands}
+      ) WHERE _n <= 50
+    ),
+    cand{bands} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gd{bands} a JOIN gd{bands} b USING (bucket)
+      WHERE a.doc_id < b.doc_id
+    ),
+    row{bands} AS (
+      SELECT {bands} AS bands, {rows} AS rows_per_band,
+             (SELECT count(*) FROM cand{bands}) AS n_candidates,
+             (SELECT count(*) FROM cand{bands} JOIN exact USING (doc_a, doc_b))
+               AS n_hit
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM row{b}" for b, _ in _LSH_TRADEOFF_CONFIGS
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    sig AS (SELECT doc_id, {sig_cols} FROM f GROUP BY doc_id),
+    {", ".join(p.strip() for p in per_cfg)},
+    allrows AS ({unions})
+    SELECT CAST(bands AS BIGINT) AS bands,
+           CAST(rows_per_band AS BIGINT) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           ne.n_exact,
+           floor(CAST(n_hit AS DOUBLE)
+                 / nullif(CAST(ne.n_exact AS DOUBLE), 0.0e0) * 1.0e6 + 0.5)
+             / 1.0e6 AS recall
+    FROM allrows, ne ORDER BY bands
+    """
+
+
+@_register("dedup_lsh_band_tradeoff", oracle="__WAVE_C12C__")
+def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve made concrete: over ONE shared 16-function
+    MinHash signature, compare band layouts 2x8 / 4x4 / 8x2 by realized
+    candidate count and recall of the exact Jaccard>=0.5 pair set —
+    more bands with shorter rows push the collision threshold
+    (1/b)^(1/r) down (recall up, candidates up); the curve is the knob
+    a dedup rollout reads together with the threshold sweep and the
+    hash-width sweep. Reuses minhash_signature / lsh_band_buckets /
+    lsh_candidate_pairs verbatim (mega-bucket cap 50 mirrored in the
+    oracle); signatures are computed ONCE and reused across configs."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh_all = distinct_shingles(spark, sf_dir)
+    w_df = Window.partitionBy("s")
+    f = (
+        sh_all.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("_df") <= 10)
+        .drop("_df")
+    )
+    exact = ngram_jaccard_pairs(
+        sh_all, "doc_id", "s", threshold=0.5, max_doc_freq=10
+    ).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    sig = minhash_signature(f, "doc_id", "s", num_hashes=16, hash_family="md5")
+    out = None
+    for bands, rows in _LSH_TRADEOFF_CONFIGS:
+        cand = lsh_candidate_pairs(
+            lsh_band_buckets(sig, "doc_id", num_hashes=16, bands=bands),
+            "doc_id",
+            max_bucket_size=50,
+        )
+        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        nh = cand.join(exact, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit")
+        )
+        row = (
+            nc.crossJoin(F.broadcast(nh))
+            .crossJoin(F.broadcast(ne))
+            .select(
+                F.lit(bands).cast("long").alias("bands"),
+                F.lit(rows).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_exact",
+                (
+                    F.floor(
+                        F.col("n_hit").cast("double")
+                        / F.nullif(
+                            F.col("n_exact").cast("double"), F.lit(0.0)
+                        )
+                        * 1.0e6
+                        + 0.5
+                    )
+                    / 1.0e6
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bands")
+
+
+STAGED_ORACLES["dedup_lsh_band_tradeoff"] = _lsh_tradeoff_oracle()

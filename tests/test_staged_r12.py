@@ -70,6 +70,10 @@ STAGED_NAMES: list[str] = [
     "orders_theil_sen_trend",
     "events_spectral_flatness",
     "customer_spend_intraclass_corr",
+    # wave C — sampling/index composition audits
+    "sample_pps_horvitz_thompson",
+    "multimodal_frame_hash_dedup",
+    "dedup_lsh_band_tradeoff",
 ]
 
 
