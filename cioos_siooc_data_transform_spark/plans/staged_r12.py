@@ -890,3 +890,334 @@ def dedup_lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["dedup_lsh_band_tradeoff"] = _lsh_tradeoff_oracle()
+
+
+# ===========================================================================
+# Wave D — GSW completions + paired rank test + acquisition mix.
+# ===========================================================================
+def _specvol2_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _CBTB_SECOND_KEEP,
+    )
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    """
+    stages = [
+        s
+        for s in cabbeling_thermobaric_stages("sa", "ct", "p")
+        if s[0] in _CBTB_SECOND_KEEP
+    ]
+    staged = _stage_sql_cte(inner, stages)
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(__cbtb_v_sasa * 1.0e15 + 0.5) / 1.0e15 AS v_sa_sa,
+           floor(__cbtb_v_ctsa * 1.0e15 + 0.5) / 1.0e15 AS v_sa_ct,
+           floor(__cbtb_v_ctct * 1.0e15 + 0.5) / 1.0e15 AS v_ct_ct,
+           floor(__cbtb_v_sap * 1.0e18 + 0.5) / 1.0e18 AS v_sa_p,
+           floor(__cbtb_v_ctp * 1.0e18 + 0.5) / 1.0e18 AS v_ct_p
+    FROM ({staged})
+    """
+
+
+@_register("gsw_specvol_second_derivatives", oracle="__WAVE_D12A__")
+def gsw_specvol_second_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second derivatives of the 75-term specific volume (v_SA_SA,
+    v_SA_CT, v_CT_CT, v_SA_p, v_CT_p; GSW twin:
+    gsw_specvol_second_derivatives) — the raw curvature surfaces that
+    cabbeling/thermobaricity and the rho second derivatives are built
+    from, exposed directly. Same FD-pinned analytic Horner stage family
+    (cabbeling_thermobaric_stages); p-derivatives per dbar; zero
+    shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _CBTB_SECOND_KEEP,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in cabbeling_thermobaric_stages("sa", "ct", "p"):
+        if name in _CBTB_SECOND_KEEP:
+            df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("__cbtb_v_sasa") * 1.0e15 + 0.5) / 1.0e15).alias(
+            "v_sa_sa"
+        ),
+        (F.floor(F.col("__cbtb_v_ctsa") * 1.0e15 + 0.5) / 1.0e15).alias(
+            "v_sa_ct"
+        ),
+        (F.floor(F.col("__cbtb_v_ctct") * 1.0e15 + 0.5) / 1.0e15).alias(
+            "v_ct_ct"
+        ),
+        (F.floor(F.col("__cbtb_v_sap") * 1.0e18 + 0.5) / 1.0e18).alias(
+            "v_sa_p"
+        ),
+        (F.floor(F.col("__cbtb_v_ctp") * 1.0e18 + 0.5) / 1.0e18).alias(
+            "v_ct_p"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_specvol_second_derivatives"] = _specvol2_oracle()
+
+
+def _t_from_pt0_ice_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+
+    # forward: pt0 = pt0_from_t_ice(t, p) is the registered chain; here
+    # we INVERT: given (pt0, p) find t with entropy(t, p) = entropy(pt0, 0).
+    # Same two-Newton-step shape with the analytic ds/dT = -g_TT.
+    stages: list[tuple[str, str]] = []
+    stages += gibbs_ice_stages("pt0", "0.0e0", x="__tf0_", out="__tf0o_")
+    stages.append(("__tf_t0", "pt0"))
+    for k in (1, 2):
+        stages += gibbs_ice_stages(
+            f"__tf_t{k - 1}", "p", x=f"__tf{k}_", out=f"__tf{k}o_"
+        )
+        stages.append(
+            (
+                f"__tf_t{k}",
+                f"(__tf_t{k - 1} + (__tf{k}o_entropy_ice - __tf0o_entropy_ice)"
+                f" / __tf{k}_gtt)",
+            )
+        )
+    stages.append(("t_from_pt0_ice", "__tf_t2"))
+    return stages
+
+
+def _t_from_pt0_ice_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ICE_IN_SQL
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, t AS pt0, p FROM ({_ICE_IN_SQL})
+    """
+    staged = _stage_sql_cte(inner, _t_from_pt0_ice_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(t_from_pt0_ice * 1.0e9 + 0.5) / 1.0e9 AS t_from_pt0_ice
+    FROM ({staged})
+    """
+
+
+@_register("gsw_t_from_pt0_ice", oracle="__WAVE_D12B__")
+def gsw_t_from_pt0_ice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-situ temperature of ice from its potential temperature (GSW
+    twin: gsw_t_from_pt0_ice) — the inverse of the registered
+    gsw_pt0_from_t_ice, same two-Newton-step entropy match with the
+    analytic ds/dT = −g_TT but solving at pressure p for the t whose
+    entropy equals entropy(pt0, 0). The synthetic grid reads (pt0, p)
+    from the standard ice inputs; roundtrip composition with the
+    forward chain is the natural offline check. Three prefixed Gibbs
+    chains, flat-CTE oracle, zero shuffle."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ice_inputs
+
+    df = _ice_inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("t").alias("pt0"),
+        "p",
+    )
+    for name, expr in _t_from_pt0_ice_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("t_from_pt0_ice") * 1.0e9 + 0.5) / 1.0e9).alias(
+            "t_from_pt0_ice"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_t_from_pt0_ice"] = _t_from_pt0_ice_oracle()
+
+
+@_register(
+    "orders_wilcoxon_signed_rank",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    d AS (
+      SELECT cur.rev - prev.rev AS diff
+      FROM m cur JOIN m prev ON cur.ym = prev.ym + 12
+      WHERE cur.rev != prev.rev
+    ),
+    c AS (
+      SELECT abs(diff) AS ad, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (diff > 0) AS BIGINT) AS n_pos
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT ad, n, n_pos,
+             sum(n) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ),
+    w AS (
+      SELECT CAST(sum(n_pos * (2 * cum - n + 1)) AS HUGEINT) AS w2_plus,
+             CAST(sum(n) AS HUGEINT) AS nn
+      FROM r
+    )
+    SELECT CAST(nn AS BIGINT) AS n_pairs,
+           floor(CAST(w2_plus AS DOUBLE) / 2.0e0 * 1.0e1 + 0.5) / 1.0e1
+             AS w_plus,
+           floor((CAST(w2_plus AS DOUBLE) / 2.0e0
+                  - CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0e0)
+                    / 4.0e0)
+                 / sqrt(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0e0)
+                        * (2.0e0 * CAST(nn AS DOUBLE) + 1.0e0) / 24.0e0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS z_stat
+    FROM w
+    """,
+)
+def orders_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of year-over-year monthly revenue
+    growth: pair each month with the same month last year (equi-join on
+    the integer month key), midrank the |differences| WITHOUT a global
+    window (the two-pass weighted cumsum over the distinct-|d| table —
+    doubled midranks 2·cum−n+1 stay integers), and sum ranks of the
+    positive differences. The PAIRED location test the battery lacked
+    (Mann–Whitney is unpaired, the sign test ignores magnitudes);
+    z-statistic under the exact normal approximation. Zero-differences
+    are dropped per the standard procedure."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    prev = m.select(F.col("ym").alias("ym_p"), F.col("rev").alias("rev_p"))
+    d = (
+        m.join(prev, F.col("ym") == F.col("ym_p") + 12)
+        .select((F.col("rev") - F.col("rev_p")).alias("diff"))
+        .filter(F.col("diff") != 0)
+    )
+    c = d.groupBy(F.abs(F.col("diff")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    ).withColumn("neg", -F.col("ad"))
+    r = ranked_cumsum_two_pass(c, "neg", "neg", weight_col="n")
+    w = r.agg(
+        F.sum(
+            (F.col("n_pos") * (2 * F.col("cum") - F.col("n") + 1)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("w2_plus"),
+        F.sum("n").cast("decimal(38,0)").alias("nn"),
+    )
+    nn = F.col("nn").cast("double")
+    w_plus = F.col("w2_plus").cast("double") / F.lit(2.0)
+    mean = nn * (nn + F.lit(1.0)) / F.lit(4.0)
+    sd = F.sqrt(nn * (nn + F.lit(1.0)) * (F.lit(2.0) * nn + F.lit(1.0)) / F.lit(24.0))
+    return w.select(
+        F.col("nn").cast("long").alias("n_pairs"),
+        (F.floor(w_plus * 1.0e1 + 0.5) / 1.0e1).alias("w_plus"),
+        (F.floor((w_plus - mean) / sd * 1.0e6 + 0.5) / 1.0e6).alias("z_stat"),
+    )
+
+
+@_register(
+    "orders_new_customer_share_trend",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS first_ym
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             o_custkey
+      FROM orders
+    ),
+    per AS (
+      SELECT ym, CAST(count(DISTINCT o_custkey) AS BIGINT) AS active,
+             CAST(count(DISTINCT CASE WHEN first_ym = ym
+                                      THEN m.o_custkey END) AS BIGINT)
+               AS new_custs
+      FROM m JOIN f USING (o_custkey)
+      GROUP BY ym
+    )
+    SELECT CAST(ym AS BIGINT) AS ym, active, new_custs,
+           floor(CAST(new_custs AS DOUBLE) / CAST(active AS DOUBLE) * 1.0e6
+                 + 0.5) / 1.0e6 AS new_share
+    FROM per ORDER BY ym
+    """,
+)
+def orders_new_customer_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly acquisition mix: distinct active customers per month and
+    the share whose FIRST-EVER order lands that month — falling
+    new-share with flat actives is a maturing book; the growth-
+    accounting companion to the cohort-retention matrix viewed from the
+    acquisition side. First-order month via one min-aggregate, joined
+    back on customer (shuffle on the customer key, bounded months
+    output)."""
+    o = _t(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    f = o.groupBy("o_custkey").agg(
+        F.min(
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).alias("first_ym")
+    )
+    m = o.select(ym, "o_custkey")
+    per = (
+        m.join(f, "o_custkey")
+        .groupBy("ym")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("active"),
+            F.countDistinct(
+                F.when(F.col("first_ym") == F.col("ym"), F.col("o_custkey"))
+            )
+            .cast("long")
+            .alias("new_custs"),
+        )
+    )
+    return per.select(
+        F.col("ym").cast("long").alias("ym"),
+        "active",
+        "new_custs",
+        (
+            F.floor(
+                F.col("new_custs").cast("double")
+                / F.col("active").cast("double")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("new_share"),
+    ).orderBy("ym")

@@ -74,6 +74,11 @@ STAGED_NAMES: list[str] = [
     "sample_pps_horvitz_thompson",
     "multimodal_frame_hash_dedup",
     "dedup_lsh_band_tradeoff",
+    # wave D — GSW completions + paired rank test + acquisition mix
+    "gsw_specvol_second_derivatives",
+    "gsw_t_from_pt0_ice",
+    "orders_wilcoxon_signed_rank",
+    "orders_new_customer_share_trend",
 ]
 
 
