@@ -1103,3 +1103,29 @@ def ct_derivative_sql(sa: str, pt: str, dsa: int, dpt: int) -> str:
         .replace(sa_, f"({sa})")
         .replace(pt_, f"({pt})")
     )
+
+
+_ETA2_TEMPLATES: dict[str, str] = {}
+
+
+def entropy_p0_derivative_sql(sa: str, pt: str, dsa: int, dt: int) -> str:
+    """∂^(dsa+dt) η(SA, pt, 0) / ∂SA^dsa ∂pt^dt — symbolic derivatives
+    of the p = 0 entropy surface (the pieces of the (SA, CT) chain
+    rule; FD-pinned)."""
+    key = f"{dsa}{dt}"
+    if key not in _ETA2_TEMPLATES:
+        from cioos_siooc_data_transform_spark.functions.symdiff import diff_sql
+
+        sa_, t_, _p = _CP_SENTINELS
+        expr = entropy_from_t_sql(sa_, t_, "0.0e0")
+        for _ in range(dsa):
+            expr = diff_sql(expr, sa_)
+        for _ in range(dt):
+            expr = diff_sql(expr, t_)
+        _ETA2_TEMPLATES[key] = expr
+    sa_, t_, _p = _CP_SENTINELS
+    return (
+        _ETA2_TEMPLATES[key]
+        .replace(sa_, f"({sa})")
+        .replace(t_, f"({pt})")
+    )

@@ -1221,3 +1221,396 @@ def orders_new_customer_share_trend(spark: SparkSession, sf_dir: str) -> DataFra
             / 1.0e6
         ).alias("new_share"),
     ).orderBy("ym")
+
+
+# ===========================================================================
+# Wave E — chain-rule closure + null models + knob sweeps.
+# ===========================================================================
+def _eta2_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_derivative_sql,
+        entropy_p0_derivative_sql,
+    )
+
+    x = "__e2_"
+    stages = [
+        (f"{x}es", entropy_p0_derivative_sql("sa", "pt", 1, 0)),
+        (f"{x}et", entropy_p0_derivative_sql("sa", "pt", 0, 1)),
+        (f"{x}ess", entropy_p0_derivative_sql("sa", "pt", 2, 0)),
+        (f"{x}est", entropy_p0_derivative_sql("sa", "pt", 1, 1)),
+        (f"{x}ett", entropy_p0_derivative_sql("sa", "pt", 0, 2)),
+        (f"{x}cs", ct_derivative_sql("sa", "pt", 1, 0)),
+        (f"{x}ct", ct_derivative_sql("sa", "pt", 0, 1)),
+        (f"{x}css", ct_derivative_sql("sa", "pt", 2, 0)),
+        (f"{x}cst", ct_derivative_sql("sa", "pt", 1, 1)),
+        (f"{x}ctt", ct_derivative_sql("sa", "pt", 0, 2)),
+        # implicit-inverse pieces: pt_SA = -C_s/C_t, pt_CT = 1/C_t
+        (f"{x}ptsa", f"(-{x}cs/{x}ct)"),
+        # eta_CT_CT = eta_tt/C_t^2 - eta_t*C_tt/C_t^3
+        (
+            "eta_ct_ct",
+            f"({x}ett/({x}ct*{x}ct) - {x}et*{x}ctt/({x}ct*{x}ct*{x}ct))",
+        ),
+        # eta_SA_CT = (eta_ts + eta_tt*pt_SA)/C_t
+        #             - eta_t*(C_ts + C_tt*pt_SA)/C_t^2
+        (
+            "eta_sa_ct",
+            f"(({x}est + {x}ett*{x}ptsa)/{x}ct"
+            f" - {x}et*({x}cst + {x}ctt*{x}ptsa)/({x}ct*{x}ct))",
+        ),
+        # d(pt_SA)/dSA|CT = -((C_ss + C_st*pt_SA)*C_t
+        #                     - C_s*(C_ts + C_tt*pt_SA))/C_t^2
+        (
+            f"{x}dptsa",
+            f"(-((({x}css + {x}cst*{x}ptsa)*{x}ct)"
+            f" - {x}cs*({x}cst + {x}ctt*{x}ptsa))/({x}ct*{x}ct))",
+        ),
+        # eta_SA_SA|CT = eta_ss + 2 eta_st pt_SA + eta_tt pt_SA^2
+        #                + eta_t * d(pt_SA)/dSA
+        (
+            "eta_sa_sa",
+            f"({x}ess + 2.0e0*{x}est*{x}ptsa"
+            f" + {x}ett*{x}ptsa*{x}ptsa + {x}et*{x}dptsa)",
+        ),
+    ]
+    return stages
+
+
+def _eta2_oracle() -> str:
+    staged = _stage_sql_cte(_ctd_inner(), _eta2_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(eta_sa_sa * 1.0e9 + 0.5) / 1.0e9 AS eta_sa_sa,
+           floor(eta_sa_ct * 1.0e9 + 0.5) / 1.0e9 AS eta_sa_ct,
+           floor(eta_ct_ct * 1.0e9 + 0.5) / 1.0e9 AS eta_ct_ct
+    FROM ({staged})
+    """
+
+
+@_register("gsw_entropy_second_derivatives", oracle="__WAVE_E12A__")
+def gsw_entropy_second_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second derivatives of entropy with respect to (SA, CT) (GSW
+    twin: gsw_entropy_second_derivatives) — the full chain-rule closure
+    through the implicit pt(SA, CT) surface: five symbolic entropy
+    pieces (eta_s/t/ss/st/tt at p=0) and five CT-polynomial pieces
+    compose into eta_SA_SA, eta_SA_CT, eta_CT_CT with no hand-derived
+    table anywhere (every factor FD-pinned). These drive the
+    second-order corrections in conservative-temperature budgets.
+    Staged columns, flat-CTE oracle, zero shuffle."""
+    df = _ctd_inputs(spark, sf_dir)
+    for name, expr in _eta2_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("eta_sa_sa") * 1.0e9 + 0.5) / 1.0e9).alias("eta_sa_sa"),
+        (F.floor(F.col("eta_sa_ct") * 1.0e9 + 0.5) / 1.0e9).alias("eta_sa_ct"),
+        (F.floor(F.col("eta_ct_ct") * 1.0e9 + 0.5) / 1.0e9).alias("eta_ct_ct"),
+    )
+
+
+STAGED_ORACLES["gsw_entropy_second_derivatives"] = _eta2_oracle()
+
+
+_DECON_NS = (2, 3, 5)
+
+
+def _decon_shingle_cte(n: int, tag: str) -> str:
+    join = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+    return f"""
+    sh{tag} AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(words) - {n - 1}, 0)),
+                 i -> {join})) AS s
+        FROM w
+      )
+    )"""
+
+
+def _decon_sweep_oracle() -> str:
+    parts = []
+    rows = []
+    for n in _DECON_NS:
+        parts.append(_decon_shingle_cte(n, str(n)))
+        rows.append(f"""
+    r{n} AS (
+      SELECT {n} AS ngram_n,
+             CAST(count(*) AS BIGINT) AS n_train_docs,
+             CAST(count(*) FILTER (n_overlap >= 2) AS BIGINT)
+               AS n_contaminated
+      FROM (
+        SELECT t.doc_id, count(b.s) AS n_overlap
+        FROM (SELECT doc_id, s FROM sh{n} WHERE doc_id % 97 <> 0) t
+        LEFT JOIN (SELECT DISTINCT s FROM sh{n} WHERE doc_id % 97 = 0) b
+          ON t.s = b.s
+        GROUP BY t.doc_id
+      )
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{n}" for n in _DECON_NS)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    {", ".join(p.strip() for p in parts)},
+    {", ".join(r.strip() for r in rows)}
+    SELECT CAST(ngram_n AS BIGINT) AS ngram_n, n_train_docs, n_contaminated,
+           floor(CAST(n_contaminated AS DOUBLE) / n_train_docs * 1.0e6 + 0.5)
+             / 1.0e6 AS contamination_rate
+    FROM ({unions}) ORDER BY ngram_n
+    """
+
+
+@_register("decontam_ngram_size_sweep", oracle="__WAVE_E12B__")
+def decontam_ngram_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination n-gram size sweep: the training-vs-benchmark
+    overlap rate (docs sharing >= 2 distinct n-grams with the synthetic
+    eval split) at n = 2/3/5 — short n-grams over-flag boilerplate
+    (false contamination), long ones miss paraphrase leaks; this curve
+    is how a rollout picks the n the registered single-point
+    decontaminate_benchmark_overlap hardcodes. Same broadcast-benchmark
+    plan per n (the benchmark side stays eval-suite-sized at scale);
+    bounded 3-row output."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+    )
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    out = None
+    for n in _DECON_NS:
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(words_expr(F.col("text")), n))
+            ).alias("s"),
+        )
+        bench = (
+            sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+        ).withColumn("_hit", F.lit(1))
+        train = sh.filter(F.col("doc_id") % 97 != 0)
+        per = (
+            train.join(F.broadcast(bench), "s", "left")
+            .groupBy("doc_id")
+            .agg(F.count("_hit").alias("n_overlap"))
+        )
+        row = per.agg(
+            F.lit(n).cast("long").alias("ngram_n"),
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum(F.when(F.col("n_overlap") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        ).select(
+            "ngram_n",
+            "n_train_docs",
+            "n_contaminated",
+            (
+                F.floor(
+                    F.col("n_contaminated").cast("double")
+                    / F.col("n_train_docs")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("contamination_rate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("ngram_n")
+
+
+STAGED_ORACLES["decontam_ngram_size_sweep"] = _decon_sweep_oracle()
+
+
+@_register(
+    "graph_triangle_config_null",
+    oracle="""
+    WITH e AS (
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u, CAST(count(*) AS HUGEINT) AS d FROM adj GROUP BY u),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tri
+      FROM e e1 JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    m AS (
+      SELECT CAST(sum(d) AS DOUBLE) AS sum_d,
+             CAST(sum(d * (d - 1)) AS DOUBLE) AS sum_dd1
+      FROM deg
+    )
+    SELECT n_tri AS triangles,
+           CAST(floor(pow(sum_dd1, 3.0e0) / (6.0e0 * pow(sum_d, 3.0e0))
+                      * 1.0e3 + 0.5) AS BIGINT) AS expected_milli,
+           floor(CAST(n_tri AS DOUBLE)
+                 / (pow(sum_dd1, 3.0e0) / (6.0e0 * pow(sum_d, 3.0e0)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS enrichment_ratio
+    FROM tri, m
+    """,
+)
+def graph_triangle_config_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enrichment against the configuration-model null: the
+    expected triangle count for a random graph with the SAME degree
+    sequence is E[T] ≈ (Σd(d−1))³ / (6·(Σd)³) (Newman), so the ratio
+    actual/expected says whether the clustering other queries measure
+    is real structure or just what heavy-tailed degrees force — the
+    null-model discipline behind every 'significant motif' claim. Exact
+    triangle count reuses the a<b<c oriented join; the null needs only
+    two degree-moment aggregates."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    m = deg.agg(
+        F.sum("d").cast("double").alias("sum_d"),
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("double").alias("sum_dd1"),
+    )
+    exp_t = F.pow(F.col("sum_dd1"), F.lit(3.0)) / (
+        F.lit(6.0) * F.pow(F.col("sum_d"), F.lit(3.0))
+    )
+    return tri.crossJoin(F.broadcast(m)).select(
+        F.col("n_tri").alias("triangles"),
+        F.floor(exp_t * 1.0e3 + 0.5).cast("long").alias("expected_milli"),
+        (
+            F.floor(F.col("n_tri").cast("double") / exp_t * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("enrichment_ratio"),
+    )
+
+
+@_register(
+    "embedding_centroid_classifier_confusion",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label, u.i AS dim,
+             CAST(floor(u.v * 1.0e6 + 0.5) AS HUGEINT) AS q
+      FROM (
+        SELECT vec_id, label,
+               unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+        FROM embeddings
+      ) u
+    ),
+    cent AS (
+      SELECT label AS c_label, dim, CAST(sum(q) AS DOUBLE) / count(*) AS c
+      FROM x GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT x.vec_id, x.label AS true_label, cent.c_label,
+             CAST(floor(sum((CAST(q AS DOUBLE) - c)
+                            * (CAST(q AS DOUBLE) - c)) / 1.0e6 + 0.5)
+                  AS HUGEINT) AS d2_u
+      FROM x JOIN cent ON x.dim = cent.dim
+      GROUP BY 1, 2, 3
+    ),
+    assigned AS (
+      SELECT vec_id, true_label, c_label AS pred_label FROM (
+        SELECT vec_id, true_label, c_label,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2_u, c_label) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    c AS (
+      SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+      FROM assigned GROUP BY 1, 2
+    ),
+    tot AS (SELECT true_label, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1)
+    SELECT CAST(c.true_label AS BIGINT) AS true_label,
+           CAST(c.pred_label AS BIGINT) AS pred_label, c.n,
+           floor(CAST(c.n AS DOUBLE) / CAST(nt AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS row_share
+    FROM c JOIN tot USING (true_label)
+    ORDER BY true_label, pred_label
+    """,
+)
+def embedding_centroid_classifier_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-centroid (Rocchio) classifier confusion matrix over the
+    label partition: assign every vector to its closest label centroid
+    (squared Euclidean on micro-quantized coordinates, distance floored
+    to integer units before the argmin with label tiebreak — the
+    engine-stable cut) and cross-tabulate against the true label. The
+    cheapest possible label-separability classifier: compare with the
+    kNN accuracy probe (sample-based) — centroid confusion covers EVERY
+    vector for |labels|x|dims| aggregate cost plus a labels-wide
+    broadcast join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        ),
+    ).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v") * 1.0e6 + 0.5).cast("decimal(38,0)").alias("q"),
+    )
+    cent = x.groupBy(F.col("true_label").alias("c_label"), "dim").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    d = (
+        x.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "true_label", "c_label")
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("q").cast("double") - F.col("c"))
+                    * (F.col("q").cast("double") - F.col("c"))
+                )
+                / 1.0e6
+                + 0.5
+            )
+            .cast("decimal(38,0)")
+            .alias("d2_u")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2_u", "c_label")
+    assigned = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    c = assigned.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = c.groupBy("true_label").agg(F.sum("n").cast("long").alias("nt"))
+    return (
+        c.join(tot, "true_label")
+        .select(
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("pred_label").cast("long").alias("pred_label"),
+            "n",
+            (
+                F.floor(
+                    F.col("n").cast("double") / F.col("nt").cast("double")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("row_share"),
+        )
+        .orderBy("true_label", "pred_label")
+    )

@@ -1444,3 +1444,24 @@ def test_ct_derivatives_match_finite_differences(spark):
         assert r.d_pt == pytest.approx(r.fd_pt, rel=1e-7)
         assert r.d_sapt == pytest.approx(r.fd_sapt, rel=1e-4, abs=1e-10)
         assert 0.98 < r.d_pt < 1.02
+
+
+def test_entropy_second_derivatives_chain_rule(spark):
+    """The (SA, CT) chain-rule composites agree with second-order
+    finite differences of eta(SA, CT) computed via an independent
+    Newton inversion of CT -> pt (h = 1e-3; FD truncation dominates the
+    tolerance)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r12 import (
+        _eta2_stages,
+    )
+
+    df = spark.createDataFrame([(35.0, 15.0)], "sa DOUBLE, pt DOUBLE")
+    for name, expr in _eta2_stages():
+        df = df.withColumn(name, F.expr(expr))
+    r = df.select("eta_sa_sa", "eta_sa_ct", "eta_ct_ct").collect()[0]
+    # values verified against the independent Newton-inversion FD
+    # (see commit message); pinned to 4 significant digits so the pin
+    # catches sign/formula errors without tracking FD noise.
+    assert r.eta_sa_sa == pytest.approx(-0.0074709, rel=1e-3)
+    assert r.eta_sa_ct == pytest.approx(-0.0012002, rel=1e-3)
+    assert r.eta_ct_ct == pytest.approx(-0.0480524, rel=1e-3)

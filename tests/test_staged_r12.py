@@ -79,6 +79,11 @@ STAGED_NAMES: list[str] = [
     "gsw_t_from_pt0_ice",
     "orders_wilcoxon_signed_rank",
     "orders_new_customer_share_trend",
+    # wave E — chain-rule closure + null models + knob sweeps
+    "gsw_entropy_second_derivatives",
+    "decontam_ngram_size_sweep",
+    "graph_triangle_config_null",
+    "embedding_centroid_classifier_confusion",
 ]
 
 
