@@ -1614,3 +1614,432 @@ def embedding_centroid_classifier_confusion(
         )
         .orderBy("true_label", "pred_label")
     )
+
+
+# ===========================================================================
+# Wave F — enthalpy curvature, data profiling, regional decomposition.
+# ===========================================================================
+def _h2_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SFAC,
+        _lit,
+        hdyn_combine_sql,
+        hdyn_deriv_poly_stages,
+    )
+
+    x = "__hd2_"
+    sfac = _lit(GSW_SFAC)
+    stages: list[tuple[str, str]] = [
+        (f"{x}xs", f"sqrt({sfac}*(sa) + 0.024e0)"),
+        (f"{x}ys", "((ct)*0.025e0)"),
+        (f"{x}z", "((p)*1.0e-4)"),
+    ]
+    # NOTE: the 0.024 offset literal must match GSW_OFFSET — pinned by
+    # equality with enthalpy_first_derivatives_stages in tests.
+    stages += hdyn_deriv_poly_stages(f"{x}xs", f"{x}ys", f"{x}dyy_", dys=2)
+    stages += hdyn_deriv_poly_stages(
+        f"{x}xs", f"{x}ys", f"{x}dxy_", dxs=1, dys=1
+    )
+    stages += hdyn_deriv_poly_stages(f"{x}xs", f"{x}ys", f"{x}dxx_", dxs=2)
+    stages += hdyn_deriv_poly_stages(f"{x}xs", f"{x}ys", f"{x}dx_", dxs=1)
+    dyy = hdyn_combine_sql(f"{x}z", f"{x}dyy_")
+    dxy = hdyn_combine_sql(f"{x}z", f"{x}dxy_")
+    dxx = hdyn_combine_sql(f"{x}z", f"{x}dxx_")
+    dx = hdyn_combine_sql(f"{x}z", f"{x}dx_")
+    stages += [
+        ("h_ct_ct", f"(6.25e-4*{dyy})"),
+        (
+            "h_sa_ct",
+            f"(0.025e0*({sfac}/(2.0e0*{x}xs))*{dxy})",
+        ),
+        (
+            "h_sa_sa",
+            f"(({sfac}*{sfac}/(4.0e0*{x}xs*{x}xs))*{dxx}"
+            f" - ({sfac}*{sfac}/(4.0e0*{x}xs*{x}xs*{x}xs))*{dx})",
+        ),
+    ]
+    return stages
+
+
+def _h2_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    """
+    staged = _stage_sql_cte(inner, _h2_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(h_sa_sa * 1.0e9 + 0.5) / 1.0e9 AS h_sa_sa,
+           floor(h_sa_ct * 1.0e9 + 0.5) / 1.0e9 AS h_sa_ct,
+           floor(h_ct_ct * 1.0e9 + 0.5) / 1.0e9 AS h_ct_ct
+    FROM ({staged})
+    """
+
+
+@_register("gsw_enthalpy_second_derivatives", oracle="__WAVE_F12A__")
+def gsw_enthalpy_second_derivatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second derivatives of specific enthalpy h = cp0·CT + h_dyn wrt
+    (SA, CT) at fixed p (GSW twin: gsw_enthalpy_second_derivatives):
+    the cp0 term is linear so all curvature lives in the dynamic part,
+    whose analytic coefficient-table derivatives
+    (hdyn_deriv_poly_stages, the same machinery as the registered first
+    derivatives) combine with the sqrt-salinity chain factors —
+    h_SASA picks up the −(sfac²/4xs³)·h_xs curvature of the
+    coordinate itself. FD-pinned in tests; staged columns; zero
+    shuffle."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in _h2_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("h_sa_sa") * 1.0e9 + 0.5) / 1.0e9).alias("h_sa_sa"),
+        (F.floor(F.col("h_sa_ct") * 1.0e9 + 0.5) / 1.0e9).alias("h_sa_ct"),
+        (F.floor(F.col("h_ct_ct") * 1.0e9 + 0.5) / 1.0e9).alias("h_ct_ct"),
+    )
+
+
+STAGED_ORACLES["gsw_enthalpy_second_derivatives"] = _h2_oracle()
+
+
+@_register(
+    "tpch_fd_violation_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'part: brand -> mfgr prefix' AS fd,
+             CAST(count(*) AS BIGINT) AS n_lhs,
+             CAST(count(*) FILTER (n_rhs > 1) AS BIGINT) AS n_violating
+      FROM (
+        SELECT p_brand, count(DISTINCT substr(p_name, 1, 6)) AS n_rhs
+        FROM part GROUP BY p_brand
+      )
+      UNION ALL
+      SELECT 'orders: custkey -> mktsegment' AS fd,
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (n_rhs > 1) AS BIGINT)
+      FROM (
+        SELECT o_custkey, count(DISTINCT c_mktsegment) AS n_rhs
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY o_custkey
+      )
+      UNION ALL
+      SELECT 'lineitem: orderkey -> orderdate' AS fd,
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (n_rhs > 1) AS BIGINT)
+      FROM (
+        SELECT l_orderkey, count(DISTINCT o_orderdate) AS n_rhs
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey
+      )
+      UNION ALL
+      SELECT 'part: type -> size' AS fd,
+             CAST(count(*) AS BIGINT),
+             CAST(count(*) FILTER (n_rhs > 1) AS BIGINT)
+      FROM (
+        SELECT p_type, count(DISTINCT p_size) AS n_rhs
+        FROM part GROUP BY p_type
+      )
+    )
+    SELECT fd, n_lhs, n_violating,
+           floor(CAST(n_violating AS DOUBLE)
+                 / CAST(n_lhs AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS violation_rate
+    FROM checks ORDER BY fd
+    """,
+)
+def tpch_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit (the TANE-style
+    profiling primitive): for each candidate FD X -> Y, the share of X
+    groups whose Y is not single-valued — exact FDs (orderkey ->
+    orderdate through the join) must report 0, while soft ones (brand
+    -> name prefix, type -> size) report their real violation rate, the
+    signal schema-inference and CDC-validation pipelines read. Each
+    check is one count-distinct group-by; the four checks union into a
+    fixed profile row set."""
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def check(name: str, grouped: DataFrame) -> DataFrame:
+        return grouped.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating"),
+        )
+
+    c1 = check(
+        "part: brand -> mfgr prefix",
+        part.groupBy("p_brand").agg(
+            F.countDistinct(F.substring("p_name", 1, 6)).alias("n_rhs")
+        ),
+    )
+    c2 = check(
+        "orders: custkey -> mktsegment",
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("c_mktsegment").alias("n_rhs")),
+    )
+    c3 = check(
+        "lineitem: orderkey -> orderdate",
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("o_orderdate").alias("n_rhs")),
+    )
+    c4 = check(
+        "part: type -> size",
+        part.groupBy("p_type").agg(F.countDistinct("p_size").alias("n_rhs")),
+    )
+    out = c1.unionByName(c2).unionByName(c3).unionByName(c4)
+    return out.select(
+        "fd",
+        "n_lhs",
+        "n_violating",
+        (
+            F.floor(
+                F.col("n_violating").cast("double")
+                / F.col("n_lhs").cast("double")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("violation_rate"),
+    ).orderBy("fd")
+
+
+@_register(
+    "nation_revenue_shift_share",
+    oracle="""
+    WITH r AS (
+      SELECT n_name, year(o_orderdate) AS yr,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                                 + 0.5) AS BIGINT)) AS HUGEINT) AS rev
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE year(o_orderdate) IN (1999, 2000)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT n_name,
+             max(CASE WHEN yr = 1999 THEN CAST(rev AS DOUBLE) END) AS r0,
+             max(CASE WHEN yr = 2000 THEN CAST(rev AS DOUBLE) END) AS r1
+      FROM r GROUP BY 1
+    ),
+    t AS (SELECT sum(r0) AS t0, sum(r1) AS t1 FROM w)
+    SELECT n_name,
+           CAST(floor((r1 - r0) / 100.0e0 + 0.5) AS BIGINT)
+             AS growth_dollars,
+           CAST(floor(r0 * (t1 / t0 - 1.0e0) / 100.0e0 + 0.5) AS BIGINT)
+             AS national_effect_dollars,
+           CAST(floor((r1 - r0 - r0 * (t1 / t0 - 1.0e0)) / 100.0e0 + 0.5)
+                AS BIGINT) AS local_shift_dollars,
+           floor((r1 / r0 - t1 / t0) * 1.0e6 + 0.5) / 1.0e6
+             AS growth_vs_national
+    FROM w, t ORDER BY n_name
+    """,
+)
+def nation_revenue_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of 1999->2000 revenue growth by
+    customer nation: each nation's growth splits into the national
+    effect (what growing at the aggregate rate would have given) and
+    the local shift (out/under-performance) — the regional-economics
+    standard for 'did the region grow, or did the market?'. One
+    three-dim join pipeline into a bounded nation x year aggregate;
+    integer-exact cent sums, decomposition in double."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .filter(F.year("o_orderdate").isin(1999, 2000))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100.0
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("decimal(38,0)")
+            .alias("rev")
+        )
+    )
+    w = r.groupBy("n_name").agg(
+        F.max(F.when(F.col("yr") == 1999, F.col("rev").cast("double"))).alias(
+            "r0"
+        ),
+        F.max(F.when(F.col("yr") == 2000, F.col("rev").cast("double"))).alias(
+            "r1"
+        ),
+    )
+    t = w.agg(
+        F.sum("r0").alias("t0"),
+        F.sum("r1").alias("t1"),
+    )
+    j = w.crossJoin(F.broadcast(t))
+    nat = F.col("r0") * (F.col("t1") / F.col("t0") - F.lit(1.0))
+    return j.select(
+        "n_name",
+        F.floor((F.col("r1") - F.col("r0")) / 100.0 + 0.5)
+        .cast("long")
+        .alias("growth_dollars"),
+        F.floor(nat / 100.0 + 0.5).cast("long").alias(
+            "national_effect_dollars"
+        ),
+        F.floor((F.col("r1") - F.col("r0") - nat) / 100.0 + 0.5)
+        .cast("long")
+        .alias("local_shift_dollars"),
+        (
+            F.floor(
+                (F.col("r1") / F.col("r0") - F.col("t1") / F.col("t0"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("growth_vs_national"),
+    ).orderBy("n_name")
+
+
+# ===========================================================================
+# Wave G — reference-domain depth: a second self-authored IOS sample
+# (mooring-style, variant unit spellings) and the cross-file channel
+# unit-canonicalization profile.
+# ===========================================================================
+#: Self-authored mooring-style sample (NOT copied from the reference
+#: corpus): 4 channels exercising the variant unit spellings the
+#: canonicalization map handles (dbars, IPTS68, mL/L, S/m).
+SAMPLE_IOS_MOORING = """*2024/02/01 09:00:00.00
+*IOS HEADER VERSION 2.0      2016/04/28 2016/06/13
+
+*FILE
+    START TIME          : UTC 2024/01/20 00:00:00.000
+    TIME INCREMENT      : 0 1 0 0 0  ! (day hr min sec ms)
+    NUMBER OF RECORDS   : 3
+    DATA DESCRIPTION    : Mooring
+    PAD                 : -99
+    NUMBER OF CHANNELS  : 4
+
+    $TABLE: CHANNELS
+    ! No Name                 Units           Minimum  Maximum
+    !--- -------------------- --------------- -------- --------
+       1 Pressure             dbars           10.0     12.0
+       2 Temperature:Primary  'deg C (IPTS68)' 5.0     6.5
+       3 Oxygen:Dissolved     mL/L            4.0      6.0
+       4 Conductivity         S/m             2.9      3.3
+    $END
+
+    $TABLE: CHANNEL DETAIL
+    ! No  Pad   Start  Width  Format  Type  Decimal_Places
+    !---  ----  -----  -----  ------  ----  --------------
+       1  -99   ' '        8  F       ' '     1
+       2  -99   ' '        8  F       ' '     4
+       3  -99   ' '        8  F       ' '     4
+       4  -99   ' '        8  F       ' '     4
+    $END
+
+*ADMINISTRATION
+    MISSION             : 2024-002
+    AGENCY              : Test Agency
+
+*LOCATION
+    STATION             : M2
+    EVENT NUMBER        : 3
+    LATITUDE            :  48  40.00000 N  ! (deg min)
+    LONGITUDE           : 126  10.00000 W  ! (deg min)
+
+*END OF HEADER
+    10.0  5.0000  4.2000  2.9000
+    11.0  5.8000  5.1000  3.1000
+    12.0  6.5000   -99.0  3.3000
+"""
+
+
+@_register(
+    "ios_channel_unit_profile",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('PSS-78',  CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('S/m',     CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      ('decibar', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      ('deg C',   CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+      ('mL/L',    CAST(1 AS BIGINT), CAST(1 AS BIGINT))
+    ) AS t(canonical_unit, n_channels, n_files)
+    ORDER BY canonical_unit
+    """,
+)
+def ios_channel_unit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-file channel unit profile: parse TWO self-authored IOS
+    files (the CTD sample and a mooring with variant spellings — dbars,
+    'deg C (IPTS68)', mL/L, S/m), canonicalize every channel unit
+    through the registered map (functions/units.py, reference parity
+    IDT/OceanNcVar.py:86-89,160-258), and count channels and files per
+    canonical unit — the corpus-wide consistency readout an archive
+    ingest runs to find rogue spellings BEFORE variable assembly. The
+    oracle is the hand-computed golden profile (dbars+decibar → one
+    'decibar' bucket, ITS90+IPTS68 → one 'deg C' bucket)."""
+    from cioos_siooc_data_transform_spark.functions.units import (
+        canonical_unit,
+    )
+    from cioos_siooc_data_transform_spark.plans.ios_queries import (
+        SAMPLE_IOS,
+        _parse_cached,
+    )
+    from cioos_siooc_data_transform_spark.sources.ios_source import (
+        ios_channels,
+    )
+
+    p1 = _parse_cached(
+        spark, "sample", "memory://sample-2024-001-0007.ctd", SAMPLE_IOS
+    )
+    p2 = _parse_cached(
+        spark,
+        "sample_mooring",
+        "memory://sample-2024-002-0003.mctd",
+        SAMPLE_IOS_MOORING,
+    )
+    ch = ios_channels(p1).unionByName(ios_channels(p2))
+    # channel units come off the $TABLE parser verbatim, including the
+    # quoting used for embedded spaces ('deg C (ITS90)') — strip it
+    # before the canonical map (assign_bodc_codes does the same).
+    unquoted = F.regexp_replace(F.col("units"), "^'|'$", "")
+    return (
+        ch.select("file_id", canonical_unit(unquoted).alias("cu"))
+        .groupBy(F.col("cu").alias("canonical_unit"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_channels"),
+            F.countDistinct("file_id").cast("long").alias("n_files"),
+        )
+        .orderBy("canonical_unit")
+    )

@@ -84,6 +84,12 @@ STAGED_NAMES: list[str] = [
     "decontam_ngram_size_sweep",
     "graph_triangle_config_null",
     "embedding_centroid_classifier_confusion",
+    # wave F — enthalpy curvature, data profiling, regional decomposition
+    "gsw_enthalpy_second_derivatives",
+    "tpch_fd_violation_audit",
+    "nation_revenue_shift_share",
+    # wave G — reference-domain depth
+    "ios_channel_unit_profile",
 ]
 
 
