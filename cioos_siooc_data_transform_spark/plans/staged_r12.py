@@ -2043,3 +2043,428 @@ def ios_channel_unit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_unit")
     )
+
+
+# ===========================================================================
+# Wave H — corpus information structure, tokenizer windows, multimodal
+# budget sweep, demand-pattern classification.
+# ===========================================================================
+@_register(
+    "text_ngram_entropy_rate_curve",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    t1 AS (
+      SELECT unnest(words) AS g FROM w
+    ),
+    g1 AS (SELECT g, count(*) AS c FROM (SELECT g FROM t1 WHERE g <> '') GROUP BY g),
+    t2 AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                    i -> words[i] || ' ' || words[i+1])) AS g
+      FROM w
+    ),
+    g2 AS (SELECT g, count(*) AS c FROM t2 GROUP BY g),
+    t3 AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS g
+      FROM w
+    ),
+    g3 AS (SELECT g, count(*) AS c FROM t3 GROUP BY g),
+    ent AS (
+      SELECT 1 AS n, CAST(count(*) AS BIGINT) AS n_types,
+             CAST(max(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(floor(-c * ln(c * 1.0e0 / nt) * 1.0e6 + 0.5)
+                           AS HUGEINT)) AS DOUBLE)
+               / CAST(max(nt) AS DOUBLE) / 1.0e6 AS h
+      FROM g1, (SELECT sum(c) AS nt FROM g1)
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT), CAST(max(nt) AS BIGINT),
+             CAST(sum(CAST(floor(-c * ln(c * 1.0e0 / nt) * 1.0e6 + 0.5)
+                           AS HUGEINT)) AS DOUBLE)
+               / CAST(max(nt) AS DOUBLE) / 1.0e6
+      FROM g2, (SELECT sum(c) AS nt FROM g2)
+      UNION ALL
+      SELECT 3, CAST(count(*) AS BIGINT), CAST(max(nt) AS BIGINT),
+             CAST(sum(CAST(floor(-c * ln(c * 1.0e0 / nt) * 1.0e6 + 0.5)
+                           AS HUGEINT)) AS DOUBLE)
+               / CAST(max(nt) AS DOUBLE) / 1.0e6
+      FROM g3, (SELECT sum(c) AS nt FROM g3)
+    )
+    SELECT CAST(n AS BIGINT) AS ngram_n, n_types, n_tokens,
+           floor(h * 1.0e6 + 0.5) / 1.0e6 AS joint_entropy_nats
+    FROM ent ORDER BY ngram_n
+    """,
+)
+def text_ngram_entropy_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint n-gram entropy for n = 1/2/3 — the block-entropy curve
+    whose differences H_n − H_{n−1} estimate the conditional entropy
+    rate (Shannon's redundancy measurement): a flattening curve means
+    short contexts already predict the corpus (boilerplate-heavy), a
+    linear one means genuine novelty per token — the
+    information-theoretic companion to the compression-style dedup
+    signals. Each block entropy is Σ −c·ln(c/N)/N with per-type terms
+    quantized to 1e-6·count units before the exact sum (the c factor
+    keeps the quantum proportional to multiplicity)."""
+    docs = _t(spark, sf_dir, "documents")
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+    )
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+
+    out = None
+    for n in (1, 2, 3):
+        words = words_expr(F.col("text"))
+        grams = (
+            F.filter(words, lambda x: x != "")
+            if n == 1
+            else word_shingles(words, n)
+        )
+        g = (
+            docs.select(F.explode(grams).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        tot = g.agg(F.sum("c").cast("long").alias("nt"))
+        terms = g.crossJoin(F.broadcast(tot)).select(
+            "c",
+            "nt",
+            F.floor(
+                -F.col("c")
+                * F.log(
+                    F.col("c").cast("double") / F.col("nt").cast("double")
+                )
+                * 1.0e6
+                + 0.5
+            )
+            .cast("decimal(38,0)")
+            .alias("hu"),
+        )
+        row = terms.agg(
+            F.lit(n).cast("long").alias("ngram_n"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.max("nt").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum("hu").cast("double")
+                    / F.max("nt").cast("double")
+                    / 1.0e6
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("joint_entropy_nats"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("ngram_n")
+
+
+@_register(
+    "text_sttr_by_source",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS words FROM documents
+    ),
+    tok AS (
+      SELECT source, doc_id, u.t, u.i
+      FROM (
+        SELECT source, doc_id, unnest(words) AS t,
+               generate_subscripts(words, 1) AS i
+        FROM w
+      ) u WHERE u.t <> ''
+    ),
+    doclen AS (
+      SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2
+    ),
+    offs AS (
+      SELECT source, doc_id,
+             CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n AS BIGINT)
+               AS off
+      FROM doclen
+    ),
+    pos AS (
+      SELECT tok.source, (off + row_number() OVER (
+               PARTITION BY tok.source, tok.doc_id ORDER BY tok.i) - 1)
+               // 1000 AS chunk,
+             tok.t
+      FROM tok JOIN offs ON tok.source = offs.source
+                         AND tok.doc_id = offs.doc_id
+    ),
+    chunks AS (
+      SELECT source, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(count(DISTINCT t) AS BIGINT) AS n_typ
+      FROM pos GROUP BY 1, 2
+    ),
+    fullc AS (
+      SELECT source,
+             CAST(floor(CAST(n_typ AS DOUBLE) / n_tok * 1.0e9 + 0.5)
+                  AS HUGEINT) AS ttr_u
+      FROM chunks WHERE n_tok = 1000
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+           floor(CAST(sum(ttr_u) AS DOUBLE) / count(*) / 1.0e3 + 0.5) / 1.0e6
+             AS sttr
+    FROM fullc GROUP BY source ORDER BY source
+    """,
+)
+def text_sttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized type-token ratio (STTR, the corpus-linguistics
+    standard): concatenate each source's documents in doc_id order,
+    cut the token stream into fixed 1000-token windows, and average the
+    per-window TTR over FULL windows only — unlike raw TTR or Heaps
+    fits, STTR is comparable across sources of different sizes. Global
+    token positions come from per-doc windows plus a per-source running
+    offset over the (bounded) doc-length table — no single-partition
+    token sort; per-window TTRs quantize to 1e-9 before the exact
+    mean."""
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.filter(words_expr(F.col("text")), lambda x: x != "")).alias(
+            "i", "t"
+        ),
+    )
+    doclen = tok.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = doclen.select(
+        "source",
+        "doc_id",
+        (F.sum("n").over(w_off) - F.col("n")).cast("long").alias("off"),
+    )
+    w_in = Window.partitionBy("source", "doc_id").orderBy("i")
+    pos = tok.join(offs, ["source", "doc_id"]).select(
+        "source",
+        F.floor(
+            (F.col("off") + F.row_number().over(w_in) - 1) / 1000
+        ).cast("long").alias("chunk"),
+        "t",
+    )
+    chunks = pos.groupBy("source", "chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok"),
+        F.countDistinct("t").cast("long").alias("n_typ"),
+    )
+    fullc = chunks.filter(F.col("n_tok") == 1000).select(
+        "source",
+        F.floor(
+            F.col("n_typ").cast("double") / F.col("n_tok") * 1.0e9 + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("ttr_u"),
+    )
+    return (
+        fullc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            (
+                F.floor(
+                    F.sum("ttr_u").cast("double")
+                    / F.count(F.lit(1))
+                    / 1.0e3
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("sttr"),
+        )
+        .orderBy("source")
+    )
+
+
+_FPS_SWEEP = (2, 4, 8)
+
+
+def _fps_sweep_oracle() -> str:
+    per = []
+    for fps in _FPS_SWEEP:
+        per.append(f"""
+      SELECT {fps} AS target_fps,
+             CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips
+      FROM (
+        SELECT doc_id, (j * native_fps) // {fps} AS frame_idx, n_frames AS nf
+        FROM (
+          SELECT doc_id,
+                 CAST((strlen(text) % 7) + 10 AS BIGINT) AS native_fps,
+                 CAST((strlen(text) % 30) + 5 AS BIGINT) AS n_frames
+          FROM documents
+        ) f, unnest(generate_series(0, (n_frames * {fps}) // native_fps))
+             AS u(j)
+      ) WHERE frame_idx < nf""")
+    unions = " UNION ALL ".join(per)
+    return f"""
+    SELECT target_fps, n_frames, n_clips,
+           floor(CAST(n_frames AS DOUBLE) / n_clips * 1.0e6 + 0.5) / 1.0e6
+             AS mean_frames_per_clip
+    FROM ({unions}) ORDER BY target_fps
+    """
+
+
+@_register("multimodal_fps_sweep", oracle="__WAVE_H12C__")
+def multimodal_fps_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-budget sweep of the variable-rate sampler: total frames
+    and frames-per-clip at target 2/4/8 fps over the mixed-native-rate
+    corpus (the registered sample_frames_at_fps operator, stub codec) —
+    the storage/compute budget curve a video-pretraining pipeline reads
+    before fixing its sampling rate (frames scale ~linearly with target
+    fps until it crosses each clip's native rate). Three bounded
+    operator invocations; counts are exact."""
+    from cioos_siooc_data_transform_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames_at_fps,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", "source")
+    out = None
+    for fps in _FPS_SWEEP:
+        fr = sample_frames_at_fps(media, target_fps=fps, fake_decode=True)
+        row = fr.agg(
+            F.lit(fps).cast("long").alias("target_fps"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.countDistinct("doc_id").cast("long").alias("n_clips"),
+        ).select(
+            "target_fps",
+            "n_frames",
+            "n_clips",
+            (
+                F.floor(
+                    F.col("n_frames").cast("double") / F.col("n_clips")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_frames_per_clip"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("target_fps")
+
+
+STAGED_ORACLES["multimodal_fps_sweep"] = _fps_sweep_oracle()
+
+
+@_register(
+    "part_demand_sbc_classification",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 12 + month(l_shipdate) - 1 AS ym,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS HUGEINT)
+               AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    iv AS (
+      SELECT l_partkey, q,
+             ym - lag(ym) OVER (PARTITION BY l_partkey ORDER BY ym) AS gap
+      FROM pm
+    ),
+    per AS (
+      SELECT l_partkey,
+             CAST(count(*) AS HUGEINT) AS n, sum(q) AS sq, sum(q * q) AS sqq,
+             CAST(count(gap) AS HUGEINT) AS ng,
+             CAST(sum(gap) AS HUGEINT) AS sg
+      FROM iv GROUP BY 1 HAVING count(*) >= 3
+    ),
+    cls AS (
+      SELECT CASE
+               WHEN CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) <= 1.32e0
+                AND ((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                    / ((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))) <= 0.49e0
+                 THEN 'smooth'
+               WHEN CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) > 1.32e0
+                AND ((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+                    / ((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))) <= 0.49e0
+                 THEN 'intermittent'
+               WHEN CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) <= 1.32e0
+                 THEN 'erratic'
+               ELSE 'lumpy'
+             END AS category
+      FROM per
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS np FROM cls)
+    SELECT category, CAST(count(*) AS BIGINT) AS n_parts,
+           floor(CAST(count(*) AS DOUBLE) / np * 1.0e6 + 0.5) / 1.0e6
+             AS share
+    FROM cls, tot GROUP BY category, np ORDER BY category
+    """,
+)
+def part_demand_sbc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syntetos–Boylan–Croston demand classification: per part (>= 3
+    demand months), mean inter-demand interval p and squared demand CV²
+    cut at the published (1.32, 0.49) thresholds into smooth /
+    intermittent / erratic / lumpy — the quadrant that DECIDES the
+    forecasting method (SES vs Croston vs SBA) before anyone fits one.
+    Intervals from a lag window PARTITIONED by part over that part's
+    bounded month list; size moments from exact integer sums; the
+    quadrant cuts compare identical double expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ym"),
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("q")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("ym")
+    iv = pm.select(
+        "l_partkey",
+        "q",
+        (F.col("ym") - F.lag("ym").over(w)).alias("gap"),
+    )
+    per = (
+        iv.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("q").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).alias("sqq"),
+            F.count("gap").cast("decimal(38,0)").alias("ng"),
+            F.sum("gap").cast("decimal(38,0)").alias("sg"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    nd = F.col("n").cast("double")
+    sqd = F.col("sq").cast("double")
+    sqqd = F.col("sqq").cast("double")
+    p_bar = F.col("sg").cast("double") / F.col("ng").cast("double")
+    cv2 = ((nd * sqqd - sqd * sqd) / (nd * (nd - F.lit(1.0)))) / (
+        (sqd / nd) * (sqd / nd)
+    )
+    cat = (
+        F.when((p_bar <= 1.32) & (cv2 <= 0.49), "smooth")
+        .when((p_bar > 1.32) & (cv2 <= 0.49), "intermittent")
+        .when(p_bar <= 1.32, "erratic")
+        .otherwise("lumpy")
+    )
+    cls = per.select(cat.alias("category"))
+    tot = cls.agg(F.count(F.lit(1)).cast("long").alias("np"))
+    return (
+        cls.groupBy("category")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n_parts",
+            (
+                F.floor(
+                    F.col("n_parts").cast("double") / F.col("np") * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("share"),
+        )
+        .orderBy("category")
+    )

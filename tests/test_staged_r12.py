@@ -90,6 +90,11 @@ STAGED_NAMES: list[str] = [
     "nation_revenue_shift_share",
     # wave G — reference-domain depth
     "ios_channel_unit_profile",
+    # wave H — information structure, windows, budgets, demand patterns
+    "text_ngram_entropy_rate_curve",
+    "text_sttr_by_source",
+    "multimodal_fps_sweep",
+    "part_demand_sbc_classification",
 ]
 
 
