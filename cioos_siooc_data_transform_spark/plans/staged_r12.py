@@ -2468,3 +2468,329 @@ def part_demand_sbc_classification(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("category")
     )
+
+
+# ===========================================================================
+# Wave I — enthalpy-coordinate density derivatives, winnowing window
+# sweep, ADC rank fidelity, attribute assortativity.
+# ===========================================================================
+def _rho_h_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+        enthalpy_first_derivatives_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _CBTB_FIRST_KEEP,
+    )
+
+    inner = f"""
+      SELECT l_orderkey, l_linenumber, p, {_SA_SQL} AS sa,
+             {ct_from_t_sql("s", "t", "p")} AS ct
+      FROM ({_IN_SQL})
+    """
+    stages = [
+        s
+        for s in cabbeling_thermobaric_stages("sa", "ct", "p")
+        if s[0] in _CBTB_FIRST_KEEP
+    ]
+    stages += enthalpy_first_derivatives_stages("sa", "ct", "p")
+    staged = _stage_sql_cte(inner, stages)
+    v = "__cbtb_v"
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor((-__cbtb_v_sa/({v}*{v})
+                  - (-__cbtb_v_ct/({v}*{v})) * h_sa / h_ct) * 1.0e9 + 0.5)
+             / 1.0e9 AS rho_sa_wrt_h,
+           floor(((-__cbtb_v_ct/({v}*{v})) / h_ct) * 1.0e12 + 0.5) / 1.0e12
+             AS rho_h
+    FROM ({staged})
+    """
+
+
+@_register("gsw_rho_first_derivatives_wrt_enthalpy", oracle="__WAVE_I12A__")
+def gsw_rho_first_derivatives_wrt_enthalpy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Density derivatives in the (SA, h) coordinate system (GSW twin:
+    gsw_rho_first_derivatives_wrt_enthalpy): rho_h = rho_CT/h_CT and
+    rho_SA|h = rho_SA − rho_CT·h_SA/h_CT — the change of variables
+    ocean models on enthalpy coordinates apply, composed entirely from
+    two FD-pinned analytic families already registered (the 75-term
+    v-derivative chain and the hdyn enthalpy first derivatives). Zero
+    shuffle; per-dbar-free units (h in J/kg)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cabbeling_thermobaric_stages,
+        ct_from_t_sql,
+        enthalpy_first_derivatives_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _CBTB_FIRST_KEEP,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey",
+        "l_linenumber",
+        "p",
+        F.expr(_SA_SQL).alias("sa"),
+        F.expr(ct_from_t_sql("s", "t", "p")).alias("ct"),
+    )
+    for name, expr in cabbeling_thermobaric_stages("sa", "ct", "p"):
+        if name in _CBTB_FIRST_KEEP:
+            df = df.withColumn(name, F.expr(expr))
+    for name, expr in enthalpy_first_derivatives_stages("sa", "ct", "p"):
+        df = df.withColumn(name, F.expr(expr))
+    v2 = F.col("__cbtb_v") * F.col("__cbtb_v")
+    rho_sa = -F.col("__cbtb_v_sa") / v2
+    rho_ct = -F.col("__cbtb_v_ct") / v2
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                (rho_sa - rho_ct * F.col("h_sa") / F.col("h_ct")) * 1.0e9
+                + 0.5
+            )
+            / 1.0e9
+        ).alias("rho_sa_wrt_h"),
+        (F.floor(rho_ct / F.col("h_ct") * 1.0e12 + 0.5) / 1.0e12).alias(
+            "rho_h"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_rho_first_derivatives_wrt_enthalpy"] = _rho_h_oracle()
+
+
+_WINNOW_WS = (4, 8, 16)
+
+
+def _winnow_sweep_oracle() -> str:
+    per = []
+    for w in _WINNOW_WS:
+        per.append(f"""
+      SELECT {w} AS window_w,
+             CAST(sum(n_fp) AS BIGINT) AS n_fingerprints,
+             CAST(sum(n_h) AS BIGINT) AS n_hashes
+      FROM (
+        SELECT len(list_distinct(list_transform(
+                 generate_series(1, len(h) - {w} + 1),
+                 j -> (j - 1 + ({w} + 1
+                          - list_position(list_reverse(h[j:j+{w}-1]),
+                                          list_min(h[j:j+{w}-1]))))
+                      * 4294967296 + list_min(h[j:j+{w}-1])))) AS n_fp,
+               len(h) AS n_h
+        FROM hs WHERE len(h) >= {w}
+      )""")
+    unions = " UNION ALL ".join(per)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+               i -> CAST(('0x' || substr(md5(words[i] || ' ' || words[i+1]
+                                         || ' ' || words[i+2]), 1, 8)) AS BIGINT))
+               AS h
+      FROM w
+    )
+    SELECT window_w, n_fingerprints, n_hashes,
+           floor(CAST(n_fingerprints AS DOUBLE) / n_hashes * 1.0e6 + 0.5)
+             / 1.0e6 AS density,
+           floor(2.0e0 / (window_w + 1.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS theoretical_density
+    FROM ({unions}) ORDER BY window_w
+    """
+
+
+@_register("dedup_winnowing_window_sweep", oracle="__WAVE_I12B__")
+def dedup_winnowing_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing window sweep (Schleimer, Wilkerson & Aiken 2003): the
+    realized fingerprint density at w = 4/8/16 against the paper's
+    expected 2/(w+1) — the storage/recall knob of the MOSS family
+    (larger w stores fewer fingerprints but only guarantees detection
+    of shared substrings >= w+k−1 words). Same rightmost-minimum
+    row-local array construction as the registered single-point query,
+    swept; densities from exact integer counts."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+    )
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(words_expr(F.col("text")), 3)
+    h = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    base = docs.select(h.alias("h"))
+    out = None
+    for w in _WINNOW_WS:
+        staged = base.filter(F.size("h") >= w)
+
+        def make_fp(win: int):
+            # single-arg lambda: a 2-arg function would be treated as
+            # (element, index) by F.transform and shadow the window
+            def fp(j):
+                # encoded (pos, hash) -> one BIGINT: pos * 2^32 + hash
+                # (struct lists break DuckDB's list_distinct)
+                sl = F.slice(F.col("h"), j, win)
+                mn = F.array_min(sl)
+                right_off = win + 1 - F.array_position(F.reverse(sl), mn)
+                return (j - 1 + right_off).cast("long") * F.lit(
+                    4294967296
+                ) + mn
+
+            return fp
+
+        fp = make_fp(w)
+
+        fps = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - w + 1), fp
+            )
+        )
+        row = staged.select(
+            F.size(fps).alias("n_fp"), F.size("h").alias("n_h")
+        ).agg(
+            F.lit(w).cast("long").alias("window_w"),
+            F.sum("n_fp").cast("long").alias("n_fingerprints"),
+            F.sum("n_h").cast("long").alias("n_hashes"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "window_w",
+        "n_fingerprints",
+        "n_hashes",
+        (
+            F.floor(
+                F.col("n_fingerprints").cast("double")
+                / F.col("n_hashes")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("density"),
+        (
+            F.floor(
+                F.lit(2.0) / (F.col("window_w") + F.lit(1.0)) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("theoretical_density"),
+    ).orderBy("window_w")
+
+
+STAGED_ORACLES["dedup_winnowing_window_sweep"] = _winnow_sweep_oracle()
+
+
+@_register(
+    "graph_price_assortativity",
+    oracle="""
+    WITH e AS (
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    pv AS (
+      SELECT p_partkey,
+             CAST(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS c
+      FROM part
+    ),
+    sym AS (
+      SELECT pa.c AS x, pb.c AS y
+      FROM e JOIN pv pa ON pa.p_partkey = e.a
+             JOIN pv pb ON pb.p_partkey = e.b
+      UNION ALL
+      SELECT pb.c, pa.c
+      FROM e JOIN pv pa ON pa.p_partkey = e.a
+             JOIN pv pb ON pb.p_partkey = e.b
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM sym
+    )
+    SELECT CAST(n AS BIGINT) AS n_edge_ends,
+           floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS price_assortativity
+    FROM m
+    """,
+)
+def graph_price_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute assortativity of the co-purchase graph on part PRICE:
+    the Pearson correlation of endpoint prices over the symmetrized
+    edge list — positive means expensive parts co-sell with expensive
+    parts (bundle pricing), the attribute sibling of the registered
+    degree assortativity and the numeric sibling of brand modularity.
+    One broadcast dimension join onto the bounded edge set; exact
+    integer moment sums."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("c"),
+    )
+    e = _copurchase_edges(spark, sf_dir)
+    j = (
+        e.join(
+            F.broadcast(
+                part.select(F.col("p_partkey").alias("a"), F.col("c").alias("x"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                part.select(F.col("p_partkey").alias("b"), F.col("c").alias("y"))
+            ),
+            "b",
+        )
+        .select("x", "y")
+    )
+    sym = j.unionAll(j.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    m = sym.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return m.select(
+        F.col("n").cast("long").alias("n_edge_ends"),
+        (
+            F.floor(
+                (nd * sxy - sx * sy)
+                / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("price_assortativity"),
+    )

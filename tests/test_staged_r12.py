@@ -95,6 +95,11 @@ STAGED_NAMES: list[str] = [
     "text_sttr_by_source",
     "multimodal_fps_sweep",
     "part_demand_sbc_classification",
+    # wave I — enthalpy-coordinate derivatives, winnowing sweep, rank
+    # fidelity, attribute assortativity
+    "gsw_rho_first_derivatives_wrt_enthalpy",
+    "dedup_winnowing_window_sweep",
+    "graph_price_assortativity",
 ]
 
 
