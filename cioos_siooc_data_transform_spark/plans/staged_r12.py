@@ -2794,3 +2794,410 @@ def graph_price_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("price_assortativity"),
     )
+
+
+# ===========================================================================
+# Wave J — rank fidelity, truncated-count models, calibration, QTE.
+# ===========================================================================
+def _adc_rank_oracle() -> str:
+    return """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (SELECT unnest(generate_series(0, 7)) AS j),
+    cb AS (
+      SELECT s.j, c.vec_id AS code, c.v[s.j*8+1 : s.j*8+8] AS center
+      FROM subs s CROSS JOIN (SELECT * FROM e WHERE vec_id < 4) c
+    ),
+    dist AS (
+      SELECT e.vec_id, cb.j, cb.code,
+             list_reduce(list_transform(generate_series(1, 8),
+                 i -> (e.v[cb.j*8 + i] - cb.center[i])
+                      * (e.v[cb.j*8 + i] - cb.center[i])),
+               (a, b) -> a + b) AS d
+      FROM e CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, j, list_position(dl, list_min(dl)) - 1 AS code
+      FROM (SELECT vec_id, j, list(d ORDER BY code) AS dl FROM dist GROUP BY 1, 2)
+    ),
+    codes AS (SELECT vec_id, list(code ORDER BY j) AS codes FROM enc GROUP BY 1),
+    lut AS (
+      SELECT query_id, list(dl ORDER BY j) AS lut
+      FROM (
+        SELECT vec_id AS query_id, j, list(d ORDER BY code) AS dl
+        FROM dist WHERE vec_id < 20 GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    approx AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, 8),
+                     j -> l.lut[j][c.codes[j] + 1]),
+                   (a, b) -> a + b), 6) AS ad
+      FROM lut l CROSS JOIN codes c
+      WHERE c.vec_id <> l.query_id
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_reduce(list_transform(generate_series(1, 64),
+                     i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i])),
+                   (a, b) -> a + b), 6) AS ed
+      FROM (SELECT * FROM e WHERE vec_id < 20) q CROSS JOIN e c
+      WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT a.query_id,
+             CAST(row_number() OVER (PARTITION BY a.query_id
+                    ORDER BY a.ad, a.neighbor_id) AS BIGINT) AS ra,
+             CAST(row_number() OVER (PARTITION BY a.query_id
+                    ORDER BY x.ed, x.neighbor_id) AS BIGINT) AS re
+      FROM approx a JOIN exact x
+        ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+    ),
+    per AS (
+      SELECT query_id, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum((ra - re) * (ra - re)) AS HUGEINT) AS sd2
+      FROM ranked GROUP BY 1
+    ),
+    rho AS (
+      SELECT CAST(floor((1.0e0 - 6.0e0 * CAST(sd2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               - 1.0e0))) * 1.0e6 + 0.5) AS BIGINT) AS r_u
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           floor(CAST(sum(r_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_spearman,
+           floor(CAST(min(r_u) AS DOUBLE) + 0.5) / 1.0e6 AS min_spearman
+    FROM rho
+    """
+
+
+@_register("similarity_adc_rank_correlation", oracle="__WAVE_J12A__")
+def similarity_adc_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank fidelity of PQ asymmetric-distance scoring: per probe
+    (vec_id<20), Spearman correlation between the ADC distance ranking
+    and the exact squared-L2 ranking over the whole corpus — recall@k
+    asks 'did the top-k survive', this asks 'is the WHOLE ordering
+    preserved', which is what reranking budgets depend on. Same
+    deterministic first-4-vector codebooks as the registered ADC top-k;
+    ranks are integers (rounded distance + id tiebreak), so Σd² is
+    exact and per-probe rho quantizes before the exact mean."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    head = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    books = [
+        [[float(x) for x in r.embedding[j * 8 : (j + 1) * 8]] for r in head]
+        for j in range(8)
+    ]
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 20)
+    n_corpus = emb.count()
+    approx = pq_adc_topk(
+        queries, codes, books, k_top=n_corpus, round_dp=6
+    ).select("query_id", "neighbor_id", F.col("approx_dist2").alias("ad"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    ed = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    exact = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", ed.alias("edist"))
+    )
+    wa = Window.partitionBy("query_id").orderBy("ad", "neighbor_id")
+    we = Window.partitionBy("query_id").orderBy("edist", "neighbor_id")
+    ranked = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            F.row_number().over(wa).cast("long").alias("ra"),
+            F.row_number().over(we).cast("long").alias("re"),
+        )
+    )
+    per = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(
+            ((F.col("ra") - F.col("re")) * (F.col("ra") - F.col("re"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sd2"),
+    )
+    nd = F.col("n").cast("double")
+    rho_u = F.floor(
+        (
+            F.lit(1.0)
+            - F.lit(6.0) * F.col("sd2").cast("double") / (nd * (nd * nd - F.lit(1.0)))
+        )
+        * 1.0e6
+        + 0.5
+    ).cast("long")
+    rho = per.select(rho_u.alias("r_u"))
+    return rho.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        (
+            F.floor(F.sum("r_u").cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1.0e6
+        ).alias("mean_spearman"),
+        (F.floor(F.min("r_u").cast("double") + 0.5) / 1.0e6).alias(
+            "min_spearman"
+        ),
+    )
+
+
+STAGED_ORACLES["similarity_adc_rank_correlation"] = _adc_rank_oracle()
+
+
+@_register(
+    "customer_order_count_ztp_fit",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, CAST(count(*) AS HUGEINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k, CAST(sum(n) AS DOUBLE) AS s,
+             CAST(count(*) FILTER (n = 1) AS BIGINT) AS n_ones
+      FROM c
+    ),
+    it AS (
+      SELECT k, s, n_ones, s / k AS mean,
+             s / k * (1.0e0 - exp(-(s / k
+               * (1.0e0 - exp(-(s / k
+                 * (1.0e0 - exp(-(s / k
+                   * (1.0e0 - exp(-(s / k))))))))))))
+               AS lam
+      FROM m
+    )
+    SELECT CAST(k AS BIGINT) AS n_customers,
+           floor(mean * 1.0e6 + 0.5) / 1.0e6 AS mean_orders,
+           floor(lam * 1.0e6 + 0.5) / 1.0e6 AS ztp_lambda,
+           floor(exp(-lam) / (1.0e0 - exp(-lam)) * 1.0e6 + 0.5) / 1.0e6
+             AS implied_zero_odds,
+           n_ones
+    FROM it
+    """,
+)
+def customer_order_count_ztp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-truncated Poisson fit of orders-per-customer: the orders
+    table only shows customers with >= 1 order, so the plain Poisson
+    mean overestimates lambda; the ZTP moment condition mean =
+    lambda/(1 − e^−lambda) inverts by four unrolled fixed-point steps
+    lambda <- mean·(1 − e^−lambda) (contraction for mean > 1; fixed
+    depth keeps the plan static and engine-identical). implied_zero_odds
+    = e^−λ/(1−e^−λ) estimates the never-ordered shadow population per
+    observed customer — the demand-estimation correction a naive mean
+    misses."""
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    m = c.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("s"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ones"),
+    )
+    mean = F.col("s") / F.col("k")
+    lam = mean
+    for _ in range(4):
+        lam = mean * (F.lit(1.0) - F.exp(-lam))
+    return m.select(
+        F.col("k").cast("long").alias("n_customers"),
+        (F.floor(mean * 1.0e6 + 0.5) / 1.0e6).alias("mean_orders"),
+        (F.floor(lam * 1.0e6 + 0.5) / 1.0e6).alias("ztp_lambda"),
+        (
+            F.floor(
+                F.exp(-lam) / (F.lit(1.0) - F.exp(-lam)) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("implied_zero_odds"),
+        "n_ones",
+    )
+
+
+def _langid_calibration_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH li AS ({ORACLES["text_langid"]}),
+    m AS (
+      SELECT li.doc_id, li.pred_lang, d.lang,
+             list_sort([en_hits, es_hits, fr_hits, de_hits]) AS hs
+      FROM li JOIN documents d USING (doc_id)
+    ),
+    b AS (
+      SELECT CASE
+               WHEN hs[4] - hs[3] = 0 THEN 'a_margin_0'
+               WHEN hs[4] - hs[3] <= 2 THEN 'b_margin_1_2'
+               WHEN hs[4] - hs[3] <= 5 THEN 'c_margin_3_5'
+               ELSE 'd_margin_6_plus'
+             END AS margin_bin,
+             (pred_lang = lang) AS correct
+      FROM m
+    )
+    SELECT margin_bin, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(count(*) FILTER (correct) AS DOUBLE) / count(*)
+                 * 1.0e6 + 0.5) / 1.0e6 AS accuracy
+    FROM b GROUP BY margin_bin ORDER BY margin_bin
+    """
+
+
+@_register("text_langid_calibration_curve", oracle="__WAVE_J12C__")
+def text_langid_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration curve of the n-gram language identifier: bucket docs
+    by the hit-count MARGIN between the top and runner-up language and
+    measure accuracy per bucket — a monotone curve justifies using the
+    margin as a confidence score (keep margin>=3, route margin 0 to a
+    heavier model), which is how langid actually gets deployed in a
+    curation funnel. Reuses the registered text_langid plan and its
+    oracle text verbatim (the confusion-matrix pattern); margins are
+    exact integers via array_sort."""
+    from cioos_siooc_data_transform_spark.plans.text_queries import (
+        text_langid,
+    )
+
+    pred = text_langid(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hs = F.array_sort(
+        F.array("en_hits", "es_hits", "fr_hits", "de_hits")
+    )
+    m = pred.join(docs, "doc_id").select(
+        (F.element_at(hs, 4) - F.element_at(hs, 3)).alias("margin"),
+        (F.col("pred_lang") == F.col("lang")).alias("correct"),
+    )
+    bin_ = (
+        F.when(F.col("margin") == 0, "a_margin_0")
+        .when(F.col("margin") <= 2, "b_margin_1_2")
+        .when(F.col("margin") <= 5, "c_margin_3_5")
+        .otherwise("d_margin_6_plus")
+    )
+    return (
+        m.select(bin_.alias("margin_bin"), "correct")
+        .groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("correct"), 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("accuracy"),
+        )
+        .orderBy("margin_bin")
+    )
+
+
+STAGED_ORACLES["text_langid_calibration_curve"] = _langid_calibration_oracle()
+
+
+_QTE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+@_register(
+    "orders_quantile_treatment_effect",
+    oracle=f"""
+    WITH g AS (
+      SELECT (month(o_orderdate) = 12) AS treat,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+      WHERE year(o_orderdate) = 2000 AND month(o_orderdate) IN (11, 12)
+    ),
+    q AS (
+      SELECT treat,
+             {", ".join(f"CAST(quantile_cont(cents * 4, {q}) AS BIGINT) AS q{int(q*100)}" for q in _QTE_QS)}
+      FROM g GROUP BY treat
+    ),
+    lv AS (
+      SELECT treat, u.q_level, u.v4 FROM q,
+        unnest([{", ".join(f"{{'q_level': {q}, 'v4': q{int(q*100)}}}" for q in _QTE_QS)}])
+          AS t(u)
+    ),
+    w AS (
+      SELECT q_level,
+             max(CASE WHEN NOT treat THEN v4 END) AS nov4,
+             max(CASE WHEN treat THEN v4 END) AS dec4
+      FROM lv GROUP BY q_level
+    )
+    SELECT q_level,
+           floor(CAST(nov4 AS DOUBLE) / 400.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS nov_dollars,
+           floor(CAST(dec4 AS DOUBLE) / 400.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS dec_dollars,
+           floor(CAST(dec4 - nov4 AS DOUBLE) / 400.0e0 * 1.0e2 + 0.5) / 1.0e2
+             AS qte_dollars
+    FROM w ORDER BY q_level
+    """,
+)
+def orders_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects of the December effect (Nov vs Dec
+    2000): the difference of order-value quantiles at 0.1/0.25/0.5/
+    0.75/0.9 — where in the distribution the holiday lift lives
+    (a mean shift can hide a pure upper-tail effect), the
+    distributional companion to the registered diff-in-diff. Quadrupled-
+    integer percentiles are exact dyadic doubles on both engines;
+    bounded 5-row output."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 2000)
+        & F.month("o_orderdate").isin(11, 12)
+    )
+    g = o.select(
+        (F.month("o_orderdate") == 12).alias("treat"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias(
+            "cents"
+        ),
+    )
+    aggs = [
+        F.expr(f"CAST(percentile(cents * 4, {q}) AS BIGINT)").alias(
+            f"q{int(q * 100)}"
+        )
+        for q in _QTE_QS
+    ]
+    q = g.groupBy("treat").agg(*aggs)
+    stack = ", ".join(
+        f"CAST({qq} AS DOUBLE), q{int(qq * 100)}" for qq in _QTE_QS
+    )
+    lv = q.select(
+        "treat",
+        F.expr(f"stack({len(_QTE_QS)}, {stack}) AS (q_level, v4)"),
+    )
+    w = lv.groupBy("q_level").agg(
+        F.max(F.when(~F.col("treat"), F.col("v4"))).alias("nov4"),
+        F.max(F.when(F.col("treat"), F.col("v4"))).alias("dec4"),
+    )
+    def dollars(col):
+        return F.floor(col.cast("double") / 400.0 * 1.0e2 + 0.5) / 1.0e2
+    return w.select(
+        "q_level",
+        dollars(F.col("nov4")).alias("nov_dollars"),
+        dollars(F.col("dec4")).alias("dec_dollars"),
+        dollars(F.col("dec4") - F.col("nov4")).alias("qte_dollars"),
+    ).orderBy("q_level")

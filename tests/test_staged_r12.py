@@ -100,6 +100,11 @@ STAGED_NAMES: list[str] = [
     "gsw_rho_first_derivatives_wrt_enthalpy",
     "dedup_winnowing_window_sweep",
     "graph_price_assortativity",
+    # wave J — rank fidelity, truncated counts, calibration, QTE
+    "similarity_adc_rank_correlation",
+    "customer_order_count_ztp_fit",
+    "text_langid_calibration_curve",
+    "orders_quantile_treatment_effect",
 ]
 
 
