@@ -163,3 +163,74 @@ def ranked_cumsum_two_pass(
         .withColumn(out_cum, (F.col("__off_sum") + F.col("__cum_in")))
         .drop("__bucket", "__rn_in", "__cum_in", "__off_n", "__off_sum")
     )
+
+
+def multi_weighted_cumsum_two_pass(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    weight_cols: list[str],
+    n_buckets: int = 512,
+    descending: bool = True,
+) -> DataFrame:
+    """N running sums in ONE two-pass ranking: same range-bucket shape
+    as ranked_cumsum_two_pass, but every integer column in
+    ``weight_cols`` gets its own exclusive-prefix offset and
+    within-bucket running sum — output columns ``cum_<w>``. The multi-
+    statistic form rank statistics need (two-sample energy distance
+    wants cumulative counts AND cumulative value sums for BOTH groups:
+    four weights, still three bounded shuffles total, where four
+    operator calls would pay the bucketing four times).
+
+    ``descending=False`` ranks ascending on value_col directly (no
+    negation trick needed by callers)."""
+    mm = df.agg(
+        F.max(value_col).alias("__mx"),
+        F.min(value_col).alias("__mn"),
+    )
+    width = F.greatest(
+        F.ceil((F.col("__mx") - F.col("__mn") + 1) / F.lit(n_buckets)),
+        F.lit(1),
+    )
+    pos = (
+        (F.col("__mx") - F.col(value_col))
+        if descending
+        else (F.col(value_col) - F.col("__mn"))
+    )
+    b = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("__bucket", F.floor(pos / width).cast("long"))
+        .drop("__mx", "__mn")
+    )
+    stats = b.groupBy("__bucket").agg(
+        *[F.sum(w).cast("long").alias(f"__bs_{w}") for w in weight_cols]
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = stats.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"__bs_{w}").over(w_off), F.lit(0)).alias(
+                f"__off_{w}"
+            )
+            for w in weight_cols
+        ],
+    )
+    order = (
+        [F.col(value_col).desc(), F.col(tie_col)]
+        if descending
+        else [F.col(value_col).asc(), F.col(tie_col)]
+    )
+    w_in = Window.partitionBy("__bucket").orderBy(*order)
+    ranked = b
+    for w in weight_cols:
+        ranked = ranked.withColumn(
+            f"__ci_{w}", F.sum(w).over(w_in).cast("long")
+        )
+    ranked = ranked.join(F.broadcast(offsets), "__bucket")
+    for w in weight_cols:
+        ranked = ranked.withColumn(
+            f"cum_{w}", F.col(f"__off_{w}") + F.col(f"__ci_{w}")
+        ).drop(f"__off_{w}", f"__ci_{w}")
+    return ranked.drop("__bucket")

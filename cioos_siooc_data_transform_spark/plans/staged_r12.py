@@ -3201,3 +3201,353 @@ def orders_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFr
         dollars(F.col("dec4")).alias("dec_dollars"),
         dollars(F.col("dec4") - F.col("nov4")).alias("qte_dollars"),
     ).orderBy("q_level")
+
+
+# ===========================================================================
+# Wave K — distribution distance, index balance, retail-price and
+# contingency-cell audits.
+# ===========================================================================
+@_register(
+    "customer_energy_distance_segments",
+    oracle="""
+    WITH g AS (
+      SELECT c_mktsegment AS seg,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS v
+      FROM customer WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    ),
+    c AS (
+      SELECT v,
+             CAST(count(*) FILTER (seg = 'AUTOMOBILE') AS BIGINT) AS cx,
+             CAST(count(*) FILTER (seg = 'BUILDING') AS BIGINT) AS cy
+      FROM g GROUP BY v
+    ),
+    r AS (
+      SELECT v, cx, cy, v * cx AS vx, v * cy AS vy,
+             sum(cx) OVER w AS fx, sum(cy) OVER w AS fy,
+             sum(v * cx) OVER w AS sx, sum(v * cy) OVER w AS sy
+      FROM c WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT CAST(sum(cx) AS DOUBLE) AS nx, CAST(sum(cy) AS DOUBLE) AS ny,
+             CAST(sum(v * cx) AS HUGEINT) AS tx,
+             CAST(sum(v * cy) AS HUGEINT) AS ty
+      FROM c
+    ),
+    sums AS (
+      SELECT
+        CAST(sum(CAST(cx AS HUGEINT)
+                 * (2 * v * fy - 2 * sy + ty - CAST(v * ny AS HUGEINT)))
+             AS DOUBLE) AS a_xy,
+        CAST(sum(CAST(cx AS HUGEINT)
+                 * (2 * v * fx - 2 * sx + tx - CAST(v * nx AS HUGEINT)))
+             AS DOUBLE) AS b_xx,
+        CAST(sum(CAST(cy AS HUGEINT)
+                 * (2 * v * fy - 2 * sy + ty - CAST(v * ny AS HUGEINT)))
+             AS DOUBLE) AS c_yy
+      FROM r, t
+    )
+    SELECT CAST(nx AS BIGINT) AS n_automobile, CAST(ny AS BIGINT) AS n_building,
+           floor((2.0e0 * a_xy / (nx * ny) - b_xx / (nx * nx)
+                  - c_yy / (ny * ny)) / 100.0e0 * 1.0e6 + 0.5) / 1.0e6
+             AS energy_distance_dollars,
+           floor(a_xy / (nx * ny) / 100.0e0 * 1.0e4 + 0.5) / 1.0e4
+             AS mean_cross_absdiff_dollars
+    FROM sums, t
+    """,
+)
+def customer_energy_distance_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample energy distance (Székely & Rizzo) between the
+    AUTOMOBILE and BUILDING account-balance distributions: D² =
+    2·E|X−Y| − E|X−X'| − E|Y−Y'| — a distribution-difference metric
+    sensitive to ANY discrepancy (location, scale, shape), sharper than
+    KS in the tails. The O(n·m) pairwise |x−y| sums collapse to closed
+    forms over cumulative counts AND cumulative value masses, all four
+    produced by ONE multi_weighted_cumsum_two_pass over the distinct-
+    value table (operators/windows.py — no global window, three bounded
+    shuffles); every Σ|x−y| is an exact integer before the final
+    normalization."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        multi_weighted_cumsum_two_pass,
+    )
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+    )
+    g = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("v"),
+    )
+    c = g.groupBy("v").agg(
+        F.sum(F.when(F.col("seg") == "AUTOMOBILE", 1).otherwise(0))
+        .cast("long")
+        .alias("cx"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("long")
+        .alias("cy"),
+    ).select(
+        "v",
+        "cx",
+        "cy",
+        (F.col("v") * F.col("cx")).alias("vx"),
+        (F.col("v") * F.col("cy")).alias("vy"),
+    )
+    r = multi_weighted_cumsum_two_pass(
+        c, "v", "v", ["cx", "cy", "vx", "vy"], descending=False
+    )
+    t = c.agg(
+        F.sum("cx").cast("double").alias("nx"),
+        F.sum("cy").cast("double").alias("ny"),
+        F.sum("vx").cast("decimal(38,0)").alias("tx"),
+        F.sum("vy").cast("decimal(38,0)").alias("ty"),
+    )
+    j = r.crossJoin(F.broadcast(t))
+    d = F.col("v").cast("decimal(38,0)")
+    term_y = (
+        2 * d * F.col("cum_cy").cast("decimal(38,0)")
+        - 2 * F.col("cum_vy").cast("decimal(38,0)")
+        + F.col("ty")
+        - d * F.col("ny").cast("decimal(38,0)")
+    )
+    term_x = (
+        2 * d * F.col("cum_cx").cast("decimal(38,0)")
+        - 2 * F.col("cum_vx").cast("decimal(38,0)")
+        + F.col("tx")
+        - d * F.col("nx").cast("decimal(38,0)")
+    )
+    sums = j.agg(
+        F.sum(F.col("cx").cast("decimal(38,0)") * term_y)
+        .cast("double")
+        .alias("a_xy"),
+        F.sum(F.col("cx").cast("decimal(38,0)") * term_x)
+        .cast("double")
+        .alias("b_xx"),
+        F.sum(F.col("cy").cast("decimal(38,0)") * term_y)
+        .cast("double")
+        .alias("c_yy"),
+        F.max(F.col("nx")).alias("nx"),
+        F.max(F.col("ny")).alias("ny"),
+    )
+    nx, ny = F.col("nx"), F.col("ny")
+    return sums.select(
+        nx.cast("long").alias("n_automobile"),
+        ny.cast("long").alias("n_building"),
+        (
+            F.floor(
+                (
+                    F.lit(2.0) * F.col("a_xy") / (nx * ny)
+                    - F.col("b_xx") / (nx * nx)
+                    - F.col("c_yy") / (ny * ny)
+                )
+                / 100.0
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("energy_distance_dollars"),
+        (
+            F.floor(F.col("a_xy") / (nx * ny) / 100.0 * 1.0e4 + 0.5) / 1.0e4
+        ).alias("mean_cross_absdiff_dollars"),
+    )
+
+
+@_register(
+    "similarity_ivf_cell_balance",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, cent.centroid_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            CAST(v.embedding AS DOUBLE[]), cent.cv), 4) DESC,
+                          cent.centroid_id ASC
+               ) AS rn
+        FROM embeddings v, cent
+      ) WHERE rn = 1
+    ),
+    cells AS (
+      SELECT centroid_id, CAST(count(*) AS HUGEINT) AS n
+      FROM assigned GROUP BY 1
+    ),
+    a AS (
+      SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(n) AS HUGEINT) AS s,
+             sum(n * n) AS ss, CAST(max(n) AS BIGINT) AS mx
+      FROM cells
+    )
+    SELECT CAST(k AS BIGINT) AS n_cells, CAST(s AS BIGINT) AS n_vectors,
+           mx AS max_cell,
+           floor(CAST(mx AS DOUBLE) / CAST(s AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS max_cell_share,
+           floor(sqrt((CAST(k AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) - 1.0e0)))
+                 / (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) * 1.0e6 + 0.5)
+             / 1.0e6 AS cell_size_cv
+    FROM a
+    """,
+)
+def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-size balance audit: max-cell share and the coefficient
+    of variation of cell sizes under the registered deterministic
+    8-centroid assignment — the straggler predictor for every
+    cell-routed ANN/dedup join (a 40%-share cell IS the wall-clock at
+    scale; the skew-stress harness measures the cure, this query
+    measures the disease). Reuses ivf_assign verbatim; integer moment
+    sums."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
+    assigned = ivf_assign(emb, cent)
+    cells = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    )
+    a = cells.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+        F.max("n").cast("long").alias("mx"),
+    )
+    kd = F.col("k").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    return a.select(
+        F.col("k").cast("long").alias("n_cells"),
+        F.col("s").cast("long").alias("n_vectors"),
+        F.col("mx").alias("max_cell"),
+        (
+            F.floor(F.col("mx").cast("double") / sd * 1.0e6 + 0.5) / 1.0e6
+        ).alias("max_cell_share"),
+        (
+            F.floor(
+                F.sqrt((kd * ssd - sd * sd) / (kd * (kd - F.lit(1.0))))
+                / (sd / kd)
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("cell_size_cv"),
+    )
+
+
+@_register(
+    "part_price_ending_digits",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) % 100
+               AS cents_ending
+      FROM part
+    ),
+    c AS (
+      SELECT cents_ending, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, count(*) AS k FROM c)
+    SELECT cents_ending, n,
+           floor(CAST(n AS DOUBLE) / nn * 1.0e6 + 0.5) / 1.0e6 AS share
+    FROM c, t ORDER BY n DESC, cents_ending LIMIT 10
+    """,
+)
+def part_price_ending_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retail price-ending audit: the top-10 cents endings of part
+    prices with their share — psychological-pricing structure (.99/.00
+    clustering) or its absence says whether prices are set by humans or
+    by formula, the forensic sibling of the Benford first-digit audit
+    on the OTHER end of the number. One 100-key aggregate."""
+    part = _t(spark, sf_dir, "part")
+    p = part.select(
+        (F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("long") % 100).alias(
+            "cents_ending"
+        )
+    )
+    c = p.groupBy("cents_ending").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("double").alias("nn"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "cents_ending",
+            "n",
+            (
+                F.floor(F.col("n").cast("double") / F.col("nn") * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "cents_ending")
+        .limit(10)
+    )
+
+
+@_register(
+    "events_type_hour_stdres_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nr FROM c GROUP BY 1),
+    ct AS (SELECT hr, CAST(sum(n) AS BIGINT) AS nc FROM c GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+    z AS (
+      SELECT c.event_type, c.hr, c.n,
+             CAST(nr AS DOUBLE) * nc / nn AS expected,
+             (c.n - CAST(nr AS DOUBLE) * nc / nn)
+               / sqrt(CAST(nr AS DOUBLE) * nc / nn
+                      * (1.0e0 - nr / nn) * (1.0e0 - nc / nn)) AS stdres
+      FROM c JOIN rt USING (event_type) JOIN ct USING (hr), t
+    )
+    SELECT event_type, hr, n,
+           floor(expected * 1.0e3 + 0.5) / 1.0e3 AS expected,
+           floor(stdres * 1.0e6 + 0.5) / 1.0e6 AS std_residual
+    FROM z
+    ORDER BY abs(stdres) DESC, event_type, hr LIMIT 10
+    """,
+)
+def events_type_hour_stdres_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haberman adjusted standardized residuals of the event-type x
+    hour contingency table, top-10 by magnitude — the cell-level
+    follow-up that says WHICH (type, hour) combinations drive the
+    association the chi-square family only detects globally (|z| > 3
+    cells are the anomalies worth a dashboard annotation). Bounded
+    5x24 table; expectations and residuals from exact marginal sums,
+    deterministic tie-broken top-10."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rt = c.groupBy("event_type").agg(F.sum("n").cast("long").alias("nr"))
+    ct = c.groupBy("hr").agg(F.sum("n").cast("long").alias("nc"))
+    t = c.agg(F.sum("n").cast("double").alias("nn"))
+    j = (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "hr")
+        .crossJoin(F.broadcast(t))
+    )
+    exp_ = F.col("nr").cast("double") * F.col("nc") / F.col("nn")
+    stdres = (F.col("n") - exp_) / F.sqrt(
+        exp_
+        * (F.lit(1.0) - F.col("nr") / F.col("nn"))
+        * (F.lit(1.0) - F.col("nc") / F.col("nn"))
+    )
+    return (
+        j.select(
+            "event_type",
+            "hr",
+            "n",
+            (F.floor(exp_ * 1.0e3 + 0.5) / 1.0e3).alias("expected"),
+            (F.floor(stdres * 1.0e6 + 0.5) / 1.0e6).alias("std_residual"),
+            F.abs(stdres).alias("__a"),
+        )
+        .orderBy(F.col("__a").desc(), "event_type", "hr")
+        .limit(10)
+        .drop("__a")
+    )

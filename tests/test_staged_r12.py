@@ -105,6 +105,11 @@ STAGED_NAMES: list[str] = [
     "customer_order_count_ztp_fit",
     "text_langid_calibration_curve",
     "orders_quantile_treatment_effect",
+    # wave K — distribution distance, index balance, cell audits
+    "customer_energy_distance_segments",
+    "similarity_ivf_cell_balance",
+    "part_price_ending_digits",
+    "events_type_hour_stdres_outliers",
 ]
 
 
