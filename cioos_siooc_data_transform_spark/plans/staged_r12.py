@@ -3551,3 +3551,392 @@ def events_type_hour_stdres_outliers(spark: SparkSession, sf_dir: str) -> DataFr
         .limit(10)
         .drop("__a")
     )
+
+
+# ===========================================================================
+# Wave L — process tests and coverage/threshold curves.
+# ===========================================================================
+@_register(
+    "orders_gap_exponentiality_ks",
+    oracle="""
+    WITH g AS (
+      SELECT datediff('day', lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    d AS (SELECT CAST(gap AS BIGINT) AS gap FROM g WHERE gap IS NOT NULL AND gap > 0),
+    c AS (SELECT gap, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn,
+             CAST(sum(gap * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mu
+      FROM c
+    ),
+    r AS (
+      SELECT gap, sum(n) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS f
+      FROM c
+    ),
+    ks AS (
+      SELECT CAST(floor(abs(f / nn - (1.0e0 - exp(-gap / mu))) * 1.0e9 + 0.5)
+                  AS BIGINT) AS d_u
+      FROM r, t
+    )
+    SELECT CAST(nn AS BIGINT) AS n_gaps,
+           floor(mu * 1.0e3 + 0.5) / 1.0e3 AS mean_gap_days,
+           floor(CAST(max(d_u) AS DOUBLE) / 1.0e3 + 0.5) / 1.0e6 AS ks_d,
+           floor(CAST(max(d_u) AS DOUBLE) / 1.0e9 * sqrt(nn) * 1.0e6 + 0.5)
+             / 1.0e6 AS ks_scaled
+    FROM ks, t GROUP BY nn, mu
+    """,
+)
+def orders_gap_exponentiality_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov test of inter-order gaps against the fitted
+    exponential (the Poisson-process hypothesis every queueing and CLV
+    model starts from): D = max |F_emp(v) − (1 − e^{−v/μ})| over the
+    distinct-gap support, with the empirical CDF from the two-pass
+    weighted cumsum (no global window) and the exponential side
+    evaluated identically on both engines; per-value deviations
+    quantize to 1e-9 before the max so the argmax is engine-exact.
+    Zero-day gaps (same-day reorders) are excluded as ties against a
+    continuous null, documented."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    c = g.groupBy("gap").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c2 = c.withColumn("neg", -F.col("gap"))
+    r = ranked_cumsum_two_pass(c2, "neg", "neg", weight_col="n", out_cum="f")
+    t = c.agg(
+        F.sum("n").cast("double").alias("nn"),
+        (
+            F.sum(F.col("gap") * F.col("n")).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("mu"),
+    )
+    ks = r.crossJoin(F.broadcast(t)).select(
+        F.floor(
+            F.abs(
+                F.col("f") / F.col("nn")
+                - (F.lit(1.0) - F.exp(-F.col("gap") / F.col("mu")))
+            )
+            * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("d_u"),
+        "nn",
+        "mu",
+    )
+    return ks.groupBy("nn", "mu").agg(
+        (F.floor(F.max("d_u").cast("double") / 1.0e3 + 0.5) / 1.0e6).alias(
+            "ks_d"
+        ),
+        (
+            F.floor(
+                F.max("d_u").cast("double")
+                / 1.0e9
+                * F.sqrt(F.col("nn"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("ks_scaled"),
+    ).select(
+        F.col("nn").cast("long").alias("n_gaps"),
+        (F.floor(F.col("mu") * 1.0e3 + 0.5) / 1.0e3).alias("mean_gap_days"),
+        "ks_d",
+        "ks_scaled",
+    )
+
+
+_OOV_KS = (1000, 5000, 20000)
+
+
+@_register(
+    "text_oov_vocab_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    c AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT t FROM tok WHERE t <> '') GROUP BY t),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rnk,
+             sum(n) OVER (ORDER BY n DESC, t ROWS UNBOUNDED PRECEDING)
+               AS cum
+      FROM c
+    ),
+    t2 AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(count(*) AS BIGINT) AS v
+      FROM c
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in _OOV_KS)}]) AS k),
+    cov AS (
+      SELECT k, max(CASE WHEN rnk <= k THEN cum ELSE 0 END) AS covered
+      FROM r, ks GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS vocab_size,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           floor((1.0e0 - covered / nn) * 1.0e6 + 0.5) / 1.0e6 AS oov_rate,
+           v AS total_types
+    FROM cov, t2 ORDER BY k
+    """,
+)
+def text_oov_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs vocabulary budget: keep the top
+    1k/5k/20k types by frequency and measure the token mass left
+    uncovered — the tokenizer/embedding-table sizing curve (UNK rate
+    drives both quality and the softmax bill). Term ranks and running
+    covered mass come from ONE two-pass ranked cumsum over the term-
+    frequency table (weight = frequency; no global window at any
+    vocabulary size); the oracle mirrors with plain windows."""
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            F.explode(
+                F.filter(words_expr(F.col("text")), lambda x: x != "")
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = ranked_cumsum_two_pass(c, "n", "t", weight_col="n")
+    t2 = c.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    ks = spark.range(0, 3).select(
+        F.element_at(
+            F.array(*[F.lit(k) for k in _OOV_KS]), (F.col("id") + 1).cast("int")
+        ).alias("k")
+    )
+    cov = (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max(
+                F.when(F.col("rnk") <= F.col("k"), F.col("cum")).otherwise(0)
+            ).alias("covered")
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(t2))
+        .select(
+            F.col("k").cast("long").alias("vocab_size"),
+            F.col("covered").cast("long").alias("covered_tokens"),
+            (
+                F.floor(
+                    (F.lit(1.0) - F.col("covered") / F.col("nn")) * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("oov_rate"),
+            F.col("v").alias("total_types"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+_SUPPORT_TS = (1, 2, 3)
+
+
+def _support_sweep_oracle() -> str:
+    per = []
+    for t in _SUPPORT_TS:
+        per.append(f"""
+    e{t} AS (
+      SELECT pa AS a, pb AS b FROM base WHERE support >= {t}
+    ),
+    tri{t} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tri
+      FROM e{t} x JOIN e{t} y ON x.b = y.a
+      JOIN e{t} z ON z.a = x.a AND z.b = y.b
+    ),
+    r{t} AS (
+      SELECT {t} AS support_min,
+             (SELECT CAST(count(*) AS BIGINT) FROM e{t}) AS n_edges,
+             (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM (
+                SELECT a AS u FROM e{t} UNION ALL SELECT b FROM e{t}))
+               AS n_nodes,
+             (SELECT n_tri FROM tri{t}) AS n_triangles
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{t}" for t in _SUPPORT_TS)
+    return f"""
+    WITH base AS (
+      SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+             count(*) AS support
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      GROUP BY 1, 2
+    ),
+    {", ".join(p.strip() for p in per)}
+    SELECT CAST(support_min AS BIGINT) AS support_min, n_edges, n_nodes,
+           n_triangles,
+           floor(2.0e0 * n_edges / (CAST(n_nodes AS DOUBLE)
+                 * (n_nodes - 1.0e0)) * 1.0e6 + 0.5) / 1.0e6 AS density
+    FROM ({unions}) ORDER BY support_min
+    """
+
+
+@_register("graph_support_threshold_sweep", oracle="__WAVE_L12C__")
+def graph_support_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase graph vs the support threshold (edges need >= 1/2/3
+    co-occurring orders): edge/node/triangle counts and density per
+    cutoff — the graph-sparsification knob every co-occurrence analysis
+    hardcodes (the registered queries fix support >= 2; this shows what
+    that choice keeps and kills). The weighted pair base is computed
+    ONCE; each threshold is a filter plus the bounded a<b<c triangle
+    join."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    base = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    out = None
+    for t in _SUPPORT_TS:
+        e = base.filter(F.col("support") >= t).select(
+            F.col("pa").alias("a"), F.col("pb").alias("b")
+        )
+        ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        nn = (
+            e.select(F.col("a").alias("u"))
+            .unionAll(e.select(F.col("b").alias("u")))
+            .agg(F.countDistinct("u").cast("long").alias("n_nodes"))
+        )
+        e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = e.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+        e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+        tri = (
+            e1.join(e2, F.col("y") == F.col("y2"))
+            .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+        row = (
+            ne.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(tri))
+            .select(
+                F.lit(t).cast("long").alias("support_min"),
+                "n_edges",
+                "n_nodes",
+                "n_triangles",
+                (
+                    F.floor(
+                        F.lit(2.0)
+                        * F.col("n_edges")
+                        / (
+                            F.col("n_nodes").cast("double")
+                            * (F.col("n_nodes") - F.lit(1.0))
+                        )
+                        * 1.0e6
+                        + 0.5
+                    )
+                    / 1.0e6
+                ).alias("density"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("support_min")
+
+
+STAGED_ORACLES["graph_support_threshold_sweep"] = _support_sweep_oracle()
+
+
+@_register(
+    "supplier_type_concentration_cr4",
+    oracle="""
+    WITH r AS (
+      SELECT p.p_type, l.l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_type, rev,
+             row_number() OVER (PARTITION BY p_type
+                                ORDER BY rev DESC, l_suppkey) AS rn
+      FROM r
+    ),
+    agg AS (
+      SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(rev) AS HUGEINT) AS total,
+             CAST(sum(rev) FILTER (rn <= 4) AS HUGEINT) AS top4
+      FROM ranked GROUP BY 1
+    )
+    SELECT p_type, n_suppliers,
+           floor(CAST(top4 AS DOUBLE) / CAST(total AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS cr4
+    FROM agg ORDER BY cr4 DESC, p_type LIMIT 20
+    """,
+)
+def supplier_type_concentration_cr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-firm concentration ratio (CR4) of supplier revenue within
+    each part type, top-20 most concentrated: the antitrust-style
+    market-structure readout that the Herfindahl (already registered by
+    nation) summarizes into one number but procurement teams read as
+    'top-4 share' per category. The rank window is PARTITIONED by type
+    (bounded suppliers per type); integer cent sums; deterministic
+    tie-breaks."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    r = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100.0
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("p_type").orderBy(F.col("rev").desc(), "l_suppkey")
+    ranked = r.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("rev").cast("decimal(38,0)").alias("total"),
+        F.sum(F.when(F.col("rn") <= 4, F.col("rev")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("top4"),
+    )
+    return (
+        agg.select(
+            "p_type",
+            "n_suppliers",
+            (
+                F.floor(
+                    F.col("top4").cast("double")
+                    / F.col("total").cast("double")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("cr4"),
+        )
+        .orderBy(F.col("cr4").desc(), "p_type")
+        .limit(20)
+    )

@@ -110,6 +110,11 @@ STAGED_NAMES: list[str] = [
     "similarity_ivf_cell_balance",
     "part_price_ending_digits",
     "events_type_hour_stdres_outliers",
+    # wave L — process tests and coverage/threshold curves
+    "orders_gap_exponentiality_ks",
+    "text_oov_vocab_curve",
+    "graph_support_threshold_sweep",
+    "supplier_type_concentration_cr4",
 ]
 
 
