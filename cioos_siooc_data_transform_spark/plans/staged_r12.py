@@ -3940,3 +3940,415 @@ def supplier_type_concentration_cr4(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("cr4").desc(), "p_type")
         .limit(20)
     )
+
+
+# ===========================================================================
+# Wave M — slate close-out part 1: freezing-salinity inversion in t,
+# the LSH bucket-cap cost curve, day-k retention, and first-order
+# stochastic dominance of ship lags.
+# ===========================================================================
+#: Measured dTf/dSA over the envelope s in [30, 35.2], p in [0, 2000]:
+#: [-0.0575, -0.0564] degC per unit SP — fixed-slope factor ~1%/step.
+_DTF_DSA = -0.0569
+
+
+def _sa_freezing_t_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        t_freezing_sql,
+    )
+
+    stages: list[tuple[str, str]] = [
+        ("__sft_target", t_freezing_sql("s", "p")),
+        ("__sft_s0", "32.5e0"),
+    ]
+    for k in (1, 2, 3, 4):
+        prev = f"__sft_s{k - 1}"
+        stages += [
+            (f"__sft_tf{k}", t_freezing_sql(prev, "p")),
+            (
+                f"__sft_s{k}",
+                f"({prev} - (__sft_tf{k} - __sft_target) / {_DTF_DSA:.17g})",
+            ),
+        ]
+    stages.append(("sp_freezing_t", "__sft_s4"))
+    return stages
+
+
+def _sa_freezing_t_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _IN_SQL
+
+    staged = _stage_sql_cte(f"SELECT * FROM ({_IN_SQL})", _sa_freezing_t_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(sp_freezing_t * 1.0e6 + 0.5) / 1.0e6 AS sp_freezing_t
+    FROM ({staged})
+    """
+
+
+@_register("gsw_sa_freezing_from_t", oracle="__WAVE_M12A__")
+def gsw_sa_freezing_from_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freezing salinity from in-situ temperature (GSW twin:
+    gsw_SA_freezing_from_t, here on the practical-salinity scale like
+    its registered CT-based sibling): the target t comes from the
+    forward Millero t_freezing at the grid salinity (roundtrip
+    contract), then four fixed-slope steps s <- s − (tf(s,p) − t)/slope
+    with the measured envelope slope dTf/dSA = −0.0569 (range −0.0575
+    to −0.0564 => ~1% residual factor per step). Matching t directly
+    skips the ct_from_t chain the CT variant needs — five small
+    polynomial evaluations, zero shuffle."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _inputs
+
+    df = _inputs(spark, sf_dir)
+    for name, expr in _sa_freezing_t_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.col("sp_freezing_t") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "sp_freezing_t"
+        ),
+    )
+
+
+STAGED_ORACLES["gsw_sa_freezing_from_t"] = _sa_freezing_t_oracle()
+
+
+_CAP_SWEEP = (10, 50, 200)
+
+
+def _bucket_cap_oracle() -> str:
+    def hash_sql(k: int) -> str:
+        digest = (k - 1) // 4
+        offset = ((k - 1) % 4) * 8 + 1
+        return f"substr(md5(s || '#{digest}'), {offset}, 8)"
+
+    sig_cols = ", ".join(f"min({hash_sql(k)}) AS h{k}" for k in range(1, 17))
+    buckets = " UNION ALL ".join(
+        "SELECT doc_id, md5('" + str(b) + "' || "
+        + " || ".join(f"h{b * 4 + r + 1}" for r in range(4))
+        + ") AS bucket FROM sig"
+        for b in range(4)
+    )
+    per = []
+    for cap in _CAP_SWEEP:
+        per.append(f"""
+    gd{cap} AS (
+      SELECT doc_id, bucket FROM (
+        SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS _n
+        FROM bk
+      ) WHERE _n <= {cap}
+    ),
+    cand{cap} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gd{cap} a JOIN gd{cap} b USING (bucket)
+      WHERE a.doc_id < b.doc_id
+    ),
+    r{cap} AS (
+      SELECT {cap} AS bucket_cap,
+             (SELECT count(*) FROM cand{cap}) AS n_candidates,
+             (SELECT count(*) FROM cand{cap} JOIN exact USING (doc_a, doc_b))
+               AS n_hit
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{c}" for c in _CAP_SWEEP)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+    sig AS (SELECT doc_id, {sig_cols} FROM f GROUP BY doc_id),
+    bk AS ({buckets}),
+    {", ".join(p.strip() for p in per)},
+    allrows AS ({unions})
+    SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+           CAST(n_candidates AS BIGINT) AS n_candidates, ne.n_exact,
+           floor(CAST(n_hit AS DOUBLE)
+                 / nullif(CAST(ne.n_exact AS DOUBLE), 0.0e0) * 1.0e6 + 0.5)
+             / 1.0e6 AS recall
+    FROM allrows, ne ORDER BY bucket_cap
+    """
+
+
+@_register("dedup_bucket_cap_sweep", oracle="__WAVE_M12B__")
+def dedup_bucket_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-bucket guard's cost curve: LSH candidates and recall of
+    the exact Jaccard>=0.5 pairs at bucket caps 10/50/200 over the
+    standard 4x4 banding — the registered pipelines fix cap 50 (and the
+    skew-stress harness shows the guard's wall-clock win); this query
+    prices the RECALL side of that trade, completing the guard's
+    cost/benefit story. Signatures and banding computed once and
+    re-capped per point."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh_all = distinct_shingles(spark, sf_dir)
+    w_df = Window.partitionBy("s")
+    f = (
+        sh_all.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("_df") <= 10)
+        .drop("_df")
+    )
+    exact = ngram_jaccard_pairs(
+        sh_all, "doc_id", "s", threshold=0.5, max_doc_freq=10
+    ).select("doc_a", "doc_b")
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    sig = minhash_signature(f, "doc_id", "s", num_hashes=16, hash_family="md5")
+    bk = lsh_band_buckets(sig, "doc_id", num_hashes=16, bands=4)
+    out = None
+    for cap in _CAP_SWEEP:
+        cand = lsh_candidate_pairs(bk, "doc_id", max_bucket_size=cap)
+        nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        nh = cand.join(exact, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit")
+        )
+        row = (
+            nc.crossJoin(F.broadcast(nh))
+            .crossJoin(F.broadcast(ne))
+            .select(
+                F.lit(cap).cast("long").alias("bucket_cap"),
+                "n_candidates",
+                "n_exact",
+                (
+                    F.floor(
+                        F.col("n_hit").cast("double")
+                        / F.nullif(
+                            F.col("n_exact").cast("double"), F.lit(0.0)
+                        )
+                        * 1.0e6
+                        + 0.5
+                    )
+                    / 1.0e6
+                ).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("bucket_cap")
+
+
+STAGED_ORACLES["dedup_bucket_cap_sweep"] = _bucket_cap_oracle()
+
+
+@_register(
+    "events_dayk_retention_curve",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS BIGINT)
+               AS d0
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    ks AS (SELECT unnest([1, 3, 7, 14]) AS k),
+    ret AS (
+      SELECT k,
+             CAST(count(DISTINCT u.user_id) AS BIGINT) AS cohort,
+             CAST(count(DISTINCT CASE WHEN act.d = u.d0 + k
+                                      THEN u.user_id END) AS BIGINT)
+               AS retained
+      FROM u CROSS JOIN ks
+      LEFT JOIN act ON act.user_id = u.user_id
+      GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS day_k, cohort, retained,
+           floor(CAST(retained AS DOUBLE) / cohort * 1.0e6 + 0.5) / 1.0e6
+             AS retention_rate
+    FROM ret ORDER BY day_k
+    """,
+)
+def events_dayk_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-k retention curve: the share of users active again exactly
+    k = 1/3/7/14 days after their FIRST event — the growth-team metric
+    (the monthly cohort matrix is orders-side; this is the event-level
+    daily form). First-day per user from one min-aggregate; retention
+    via an equi-join on (user, day + k); distinct activity days
+    pre-deduped so the join side stays user x active-days."""
+    ev = _t(spark, sf_dir, "events")
+    day = (F.col("ts").cast("long") / 86400).cast("long")
+    u = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    act = ev.select("user_id", day.alias("d")).distinct()
+    ks = spark.range(0, 4).select(
+        F.element_at(
+            F.array(F.lit(1), F.lit(3), F.lit(7), F.lit(14)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("k")
+    )
+    ret = (
+        u.crossJoin(F.broadcast(ks))
+        .join(
+            act.select(F.col("user_id").alias("u2"), "d"),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("d") == F.col("d0") + F.col("k")),
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("cohort"),
+            F.countDistinct(
+                F.when(F.col("d").isNotNull(), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("retained"),
+        )
+    )
+    return ret.select(
+        F.col("k").cast("long").alias("day_k"),
+        "cohort",
+        "retained",
+        (
+            F.floor(
+                F.col("retained").cast("double") / F.col("cohort") * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("retention_rate"),
+    ).orderBy("day_k")
+
+
+@_register(
+    "orders_priority_stochastic_dominance",
+    oracle="""
+    WITH lag_days AS (
+      SELECT o_orderpriority AS pri,
+             CAST(datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        AND l_shipdate >= o_orderdate
+    ),
+    c AS (
+      SELECT lag,
+             CAST(count(*) FILTER (pri = '1-URGENT') AS BIGINT) AS cu,
+             CAST(count(*) FILTER (pri = '5-LOW') AS BIGINT) AS cl
+      FROM lag_days GROUP BY lag
+    ),
+    r AS (
+      SELECT lag,
+             sum(cu) OVER w AS fu, sum(cl) OVER w AS fl
+      FROM c WINDOW w AS (ORDER BY lag ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (
+      SELECT CAST(sum(cu) AS DOUBLE) AS nu, CAST(sum(cl) AS DOUBLE) AS nl
+      FROM c
+    ),
+    d AS (
+      SELECT CAST(floor((fu / nu - fl / nl) * 1.0e9 + 0.5) AS BIGINT) AS gap
+      FROM r, t
+    )
+    SELECT CAST(nu AS BIGINT) AS n_urgent, CAST(nl AS BIGINT) AS n_low,
+           floor(CAST(min(gap) AS DOUBLE) / 1.0e3 + 0.5) / 1.0e6
+             AS min_cdf_gap,
+           floor(CAST(max(gap) AS DOUBLE) / 1.0e3 + 0.5) / 1.0e6
+             AS max_cdf_gap,
+           (min(gap) >= 0) AS urgent_dominates
+    FROM d, t GROUP BY nu, nl
+    """,
+)
+def orders_priority_stochastic_dominance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order stochastic dominance of ship lags: URGENT dominates
+    LOW iff F_urgent(x) >= F_low(x) at EVERY lag — a strictly stronger
+    claim than 'faster on average' (means and medians can agree while
+    the tail inverts). Both CDFs from one two-pass weighted cumsum over
+    the distinct-lag table; per-lag CDF gaps quantize to 1e-9 before
+    the min/max, so the dominance verdict is engine-exact. min_cdf_gap
+    < 0 pinpoints the crossing, the SLA-tail finding."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        multi_weighted_cumsum_two_pass,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        )
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("long")
+            .alias("lag"),
+        )
+    )
+    c = j.groupBy("lag").agg(
+        F.sum(F.when(F.col("pri") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("cu"),
+        F.sum(F.when(F.col("pri") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("cl"),
+    )
+    r = multi_weighted_cumsum_two_pass(
+        c, "lag", "lag", ["cu", "cl"], descending=False
+    )
+    t = c.agg(
+        F.sum("cu").cast("double").alias("nu"),
+        F.sum("cl").cast("double").alias("nl"),
+    )
+    d = r.crossJoin(F.broadcast(t)).select(
+        F.floor(
+            (
+                F.col("cum_cu") / F.col("nu")
+                - F.col("cum_cl") / F.col("nl")
+            )
+            * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("gap"),
+        "nu",
+        "nl",
+    )
+    return d.groupBy("nu", "nl").agg(
+        (F.floor(F.min("gap").cast("double") / 1.0e3 + 0.5) / 1.0e6).alias(
+            "min_cdf_gap"
+        ),
+        (F.floor(F.max("gap").cast("double") / 1.0e3 + 0.5) / 1.0e6).alias(
+            "max_cdf_gap"
+        ),
+        (F.min("gap") >= 0).alias("urgent_dominates"),
+    ).select(
+        F.col("nu").cast("long").alias("n_urgent"),
+        F.col("nl").cast("long").alias("n_low"),
+        "min_cdf_gap",
+        "max_cdf_gap",
+        "urgent_dominates",
+    )

@@ -115,6 +115,12 @@ STAGED_NAMES: list[str] = [
     "text_oov_vocab_curve",
     "graph_support_threshold_sweep",
     "supplier_type_concentration_cr4",
+    # wave M — freezing inversion in t, guard cost curve, retention,
+    # stochastic dominance
+    "gsw_sa_freezing_from_t",
+    "dedup_bucket_cap_sweep",
+    "events_dayk_retention_curve",
+    "orders_priority_stochastic_dominance",
 ]
 
 
