@@ -6,11 +6,27 @@ Activation order: staged_r8 (round 8) -> ... -> staged_r11 (round 11)
 -> this module (round 12). Budget: len(STAGED_QUERIES) +
 len(STAGED_REPLACEMENTS) <= 50 fresh names at activation.
 
-Content so far:
-- Wave A — GSW CT-derivative tranche via symbolic differentiation of
-  the ct_from_pt polynomial (functions/symdiff.py): CT first/second
-  derivatives, pt first derivatives (implicit inverse), entropy first
-  derivatives wrt (SA, CT) by the chain rule.
+COMPLETE at the 50-name budget (50 new, 0 replacements):
+- Waves A/E — GSW via symdiff: CT first/second derivatives, pt first
+  derivatives, entropy first AND second derivatives wrt (SA, CT)
+  (full chain rule, Newton-FD pinned), specvol/enthalpy second
+  derivatives, rho wrt enthalpy, t_from_pt0_ice, SA freezing from t,
+  entropy from CT.
+- Statistics: Theil-Sen, spectral flatness, spend ICC, Wilcoxon
+  signed-rank (two-pass midranks), two-sample ENERGY DISTANCE (new
+  multi_weighted_cumsum_two_pass operator), gap-exponentiality KS,
+  stochastic dominance, ZTP fit, QTE, shift-share, Jarque-Bera-free
+  diagnostics (stdres outliers), SBC demand classification, NBD/ICC
+  siblings, day-k retention, discounted LTV, new-customer share.
+- Pipeline knob curves: decontamination n-size, LSH bands x rows,
+  bucket-cap recall, winnowing window, MinHash width (r11), CM width,
+  fps budget, OOV-vs-vocab, support threshold.
+- Audits: FD violations, frame-hash dedup, PPS Horvitz-Thompson,
+  langid calibration, centroid-classifier confusion, IVF cell
+  balance, SRP bit independence, price endings, unit-price
+  dispersion, stock cover, triangle config-null, price
+  assortativity, CR4, IOS channel-unit profile (second self-authored
+  sample), chars-per-token (r11), STTR, block-entropy curve.
 """
 
 from __future__ import annotations
@@ -4352,3 +4368,521 @@ def orders_priority_stochastic_dominance(
         "max_cdf_gap",
         "urgent_dominates",
     )
+
+
+# ===========================================================================
+# Wave N — slate close-out part 2: CM width sweep, law-of-one-price
+# dispersion, stock cover, discounted LTV, SRP bit independence.
+# ===========================================================================
+_CM_WIDTH_HEX = (1, 2, 3)  # 16 / 256 / 4096 buckets
+
+
+def _cm_bucket_sql(key_sql: str, row: int, hex_chars: int) -> str:
+    return f"substr(md5({key_sql} || '#cw{row}'), 1, {hex_chars})"
+
+
+def _cm_width_oracle() -> str:
+    per = []
+    for h in _CM_WIDTH_HEX:
+        sketch = "\n      UNION ALL\n".join(
+            f"""      SELECT {r} AS r,
+             {_cm_bucket_sql("CAST(user_id AS VARCHAR)", r, h)} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 2"""
+            for r in range(2)
+        )
+        probes = "\n      UNION ALL\n".join(
+            f"""      SELECT e.user_id, e.exact_n, s.cnt
+      FROM exact e JOIN sk{h} s
+        ON s.bucket = {_cm_bucket_sql("CAST(e.user_id AS VARCHAR)", r, h)}
+           AND s.r = {r}"""
+            for r in range(2)
+        )
+        per.append(f"""
+    sk{h} AS (
+{sketch}
+    ),
+    est{h} AS (
+      SELECT user_id, max(exact_n) AS exact_n,
+             CAST(min(cnt) AS BIGINT) AS cm
+      FROM (
+{probes}
+      ) GROUP BY user_id
+    ),
+    r{h} AS (
+      SELECT {16 ** h} AS n_buckets,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CAST(floor((cm - exact_n) * 1.0e6 / exact_n + 0.5)
+                           AS HUGEINT)) AS DOUBLE) / count(*) / 1.0e6
+               AS mean_rel_overestimate
+      FROM est{h}
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{h}" for h in _CM_WIDTH_HEX)
+    return f"""
+    WITH exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+    ),
+    {", ".join(p.strip() for p in per)}
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets, n_keys,
+           floor(mean_rel_overestimate * 1.0e6 + 0.5) / 1.0e6
+             AS mean_rel_overestimate
+    FROM ({unions}) ORDER BY n_buckets
+    """
+
+
+@_register("sketch_cm_width_sweep", oracle="__WAVE_N12A__")
+def sketch_cm_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min width sweep: mean relative OVERestimate of per-user
+    counts at 16/256/4096 buckets (2 hash rows) — the memory/accuracy
+    curve of the one sketch whose error is one-sided (CM never
+    undercounts; the expected overshoot scales ~N/width). Prices the
+    width the registered heavy-hitters query hardcodes. Per-user
+    relative errors quantize to 1e-6 before the exact mean; sketch
+    builds are 2x|buckets|-row aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string")
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    out = None
+    for h in _CM_WIDTH_HEX:
+        sketches = []
+        for r in range(2):
+            sketches.append(
+                ev.groupBy(
+                    F.substring(
+                        F.md5(F.concat(key, F.lit(f"#cw{r}"))), 1, h
+                    ).alias("bucket")
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .select(F.lit(r).alias("r"), "bucket", "cnt")
+            )
+        sk = sketches[0].unionByName(sketches[1])
+        probes = None
+        for r in range(2):
+            pb = exact.select(
+                "user_id",
+                "exact_n",
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("user_id").cast("string"), F.lit(f"#cw{r}")
+                        )
+                    ),
+                    1,
+                    h,
+                ).alias("bucket"),
+                F.lit(r).alias("r"),
+            ).join(F.broadcast(sk), ["r", "bucket"])
+            probes = pb if probes is None else probes.unionByName(pb)
+        est = probes.groupBy("user_id").agg(
+            F.max("exact_n").alias("exact_n"),
+            F.min("cnt").cast("long").alias("cm"),
+        )
+        row = est.agg(
+            F.lit(16 ** h).cast("long").alias("n_buckets"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            (F.col("cm") - F.col("exact_n"))
+                            * 1.0e6
+                            / F.col("exact_n")
+                            + 0.5
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    / 1.0e6
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_rel_overestimate"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("n_buckets")
+
+
+STAGED_ORACLES["sketch_cm_width_sweep"] = _cm_width_oracle()
+
+
+@_register(
+    "part_unit_price_dispersion",
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey,
+             CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)
+                  AS BIGINT) AS unit_cents
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    per AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(unit_cents) AS BIGINT) AS mn,
+             CAST(max(unit_cents) AS BIGINT) AS mx
+      FROM u GROUP BY 1 HAVING count(*) >= 3
+    ),
+    d AS (
+      SELECT CAST(floor(CAST(mx - mn AS DOUBLE) / mn * 1.0e6 + 0.5)
+                  AS BIGINT) AS rel_u
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(*) FILTER (rel_u = 0) AS BIGINT) AS n_one_price,
+           floor(CAST(sum(rel_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_rel_spread,
+           floor(CAST(max(rel_u) AS DOUBLE) + 0.5) / 1.0e6 AS max_rel_spread
+    FROM d
+    """,
+)
+def part_unit_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Law-of-one-price audit: per part (>= 3 line items), the relative
+    spread (max−min)/min of realized UNIT prices (extendedprice /
+    quantity) — zero spread means the price book is formulaic, wide
+    spread means negotiated or time-varying pricing, which changes how
+    elasticity queries should be read. Unit prices floor to integer
+    cents per row; per-part spreads quantize before the exact mean."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    u = li.select(
+        "l_partkey",
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + 0.5
+        )
+        .cast("long")
+        .alias("unit_cents"),
+    )
+    per = (
+        u.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("unit_cents").cast("long").alias("mn"),
+            F.max("unit_cents").cast("long").alias("mx"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    d = per.select(
+        F.floor(
+            (F.col("mx") - F.col("mn")).cast("double")
+            / F.col("mn")
+            * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("rel_u")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("rel_u") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_one_price"),
+        (
+            F.floor(F.sum("rel_u").cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1.0e6
+        ).alias("mean_rel_spread"),
+        (F.floor(F.max("rel_u").cast("double") + 0.5) / 1.0e6).alias(
+            "max_rel_spread"
+        ),
+    )
+
+
+@_register("partsupp_stock_cover_audit", oracle="__WAVE_N12C__")
+def partsupp_stock_cover_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-cover audit over the derived partsupp: available quantity
+    (summed across a part's suppliers) against the part's observed
+    demand (total lineitem quantity) — cover < 1 flags stockout risk,
+    huge cover flags dead stock; bucketed into the inventory-review
+    bands. The lineitem⋈partsupp aggregate pair is the spec's Q9/Q20
+    join topology put to an operations question. Integer quantities
+    throughout."""
+    from cioos_siooc_data_transform_spark.sources.partsupp import (
+        ensure_partsupp,
+    )
+
+    ps = ensure_partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    avail = ps.groupBy("ps_partkey").agg(
+        F.sum("ps_availqty").cast("long").alias("avail")
+    )
+    demand = li.groupBy("l_partkey").agg(
+        F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+        .cast("long")
+        .alias("demand")
+    )
+    j = avail.join(
+        demand, avail["ps_partkey"] == demand["l_partkey"]
+    ).select("avail", "demand")
+    bucket = (
+        F.when(F.col("avail") < F.col("demand"), "a_under_1x")
+        .when(F.col("avail") < 10 * F.col("demand"), "b_1x_10x")
+        .when(F.col("avail") < 100 * F.col("demand"), "c_10x_100x")
+        .otherwise("d_over_100x")
+    )
+    t = j.agg(F.count(F.lit(1)).cast("double").alias("np"))
+    return (
+        j.select(bucket.alias("cover_bucket"))
+        .groupBy("cover_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "cover_bucket",
+            "n_parts",
+            (
+                F.floor(
+                    F.col("n_parts").cast("double") / F.col("np") * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("share"),
+        )
+        .orderBy("cover_bucket")
+    )
+
+
+def _stock_cover_oracle() -> str:
+    from cioos_siooc_data_transform_spark.sources.partsupp import PARTSUPP_CTE
+
+    return f"""
+    WITH {PARTSUPP_CTE},
+    avail AS (
+      SELECT ps_partkey, CAST(sum(ps_availqty) AS BIGINT) AS avail
+      FROM partsupp GROUP BY 1
+    ),
+    demand AS (
+      SELECT l_partkey, CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                             AS BIGINT) AS demand
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT avail, demand FROM avail JOIN demand ON ps_partkey = l_partkey
+    ),
+    b AS (
+      SELECT CASE WHEN avail < demand THEN 'a_under_1x'
+                  WHEN avail < 10 * demand THEN 'b_1x_10x'
+                  WHEN avail < 100 * demand THEN 'c_10x_100x'
+                  ELSE 'd_over_100x' END AS cover_bucket
+      FROM j
+    ),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM b)
+    SELECT cover_bucket, CAST(count(*) AS BIGINT) AS n_parts,
+           floor(CAST(count(*) AS DOUBLE) / np * 1.0e6 + 0.5) / 1.0e6
+             AS share
+    FROM b, t GROUP BY cover_bucket, np ORDER BY cover_bucket
+    """
+
+
+STAGED_ORACLES["partsupp_stock_cover_audit"] = _stock_cover_oracle()
+
+
+@_register(
+    "customer_discounted_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT o.o_custkey, c.c_mktsegment,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 - m0 AS m
+      FROM orders o
+      JOIN f ON f.o_custkey = o.o_custkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    d AS (
+      SELECT c_mktsegment,
+             CAST(floor(cents * pow(0.99e0, m) + 0.5) AS HUGEINT) AS dv
+      FROM r
+    ),
+    per AS (
+      SELECT c_mktsegment, CAST(count(DISTINCT o_custkey) AS BIGINT)
+               AS n_customers
+      FROM r GROUP BY 1
+    )
+    SELECT d.c_mktsegment, per.n_customers,
+           CAST(floor(CAST(sum(dv) AS DOUBLE) / 100.0e0 + 0.5) AS BIGINT)
+             AS total_dltv_dollars,
+           floor(CAST(sum(dv) AS DOUBLE) / per.n_customers / 100.0e0 * 1.0e2
+                 + 0.5) / 1.0e2 AS mean_dltv_dollars
+    FROM d JOIN per USING (c_mktsegment)
+    GROUP BY d.c_mktsegment, per.n_customers
+    ORDER BY d.c_mktsegment
+    """,
+)
+def customer_discounted_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted lifetime value by segment: each order's revenue
+    discounted at 1%/month from the customer's FIRST order month
+    (dv = cents·0.99^m) — the time-value-adjusted LTV that the
+    undiscounted cohort curve overstates for slow repeat buyers.
+    Per-order discounted values floor to integer cents before the exact
+    segment sums; pow with integer exponent is evaluated identically on
+    both engines. One first-month aggregate joined back, one segment
+    rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    f = o.groupBy("o_custkey").agg(F.min(ym).alias("m0"))
+    r = (
+        o.join(f, "o_custkey")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "o_custkey",
+            "c_mktsegment",
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .alias("cents"),
+            (ym - F.col("m0")).alias("m"),
+        )
+    )
+    d = r.select(
+        "c_mktsegment",
+        "o_custkey",
+        F.floor(
+            F.col("cents") * F.pow(F.lit(0.99), F.col("m")) + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("dv"),
+    )
+    per = d.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.sum("dv").alias("sdv"),
+    )
+    return per.select(
+        "c_mktsegment",
+        "n_customers",
+        F.floor(F.col("sdv").cast("double") / 100.0 + 0.5)
+        .cast("long")
+        .alias("total_dltv_dollars"),
+        (
+            F.floor(
+                F.col("sdv").cast("double")
+                / F.col("n_customers")
+                / 100.0
+                * 1.0e2
+                + 0.5
+            )
+            / 1.0e2
+        ).alias("mean_dltv_dollars"),
+    ).orderBy("c_mktsegment")
+
+
+def _srp_bits_sql() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import _EMB_HP
+
+    bits = ", ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(f"{v:.4f}" for v in _EMB_HP[i])
+        + f"]) >= 0 THEN 1 ELSE 0 END AS b{i}"
+        for i in range(len(_EMB_HP))
+    )
+    return f"SELECT {bits} FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+
+def _srp_independence_oracle() -> str:
+    n_bits = 32
+    pairs = ", ".join(
+        f"{{'i': {i}, 'j': {j}}}" for i in range(n_bits) for j in range(i + 1, n_bits)
+    )
+    arr = "[" + ", ".join(f"b{i}" for i in range(n_bits)) + "]"
+    return f"""
+    WITH bits AS ({_srp_bits_sql()}),
+    rows_ AS (SELECT {arr} AS ba FROM bits),
+    pr AS (SELECT unnest([{pairs}]) AS p),
+    c AS (
+      SELECT p.i, p.j,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(ba[p.i + 1]) AS HUGEINT) AS si,
+             CAST(sum(ba[p.j + 1]) AS HUGEINT) AS sj,
+             CAST(sum(ba[p.i + 1] * ba[p.j + 1]) AS HUGEINT) AS sij
+      FROM rows_, pr GROUP BY p.i, p.j
+    ),
+    phi AS (
+      SELECT i, j,
+             CAST(floor((CAST(n AS DOUBLE) * CAST(sij AS DOUBLE)
+                         - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+                        / sqrt(CAST(si AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - CAST(si AS DOUBLE))
+                               * CAST(sj AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - CAST(sj AS DOUBLE)))
+                        * 1.0e6 + 0.5) AS BIGINT) AS phi_u
+      FROM c
+    )
+    SELECT CAST(i AS BIGINT) AS bit_i, CAST(j AS BIGINT) AS bit_j,
+           phi_u / 1.0e6 AS phi
+    FROM phi ORDER BY abs(phi_u) DESC, bit_i, bit_j LIMIT 10
+    """
+
+
+@_register("similarity_srp_bit_independence", oracle="__WAVE_N12E__")
+def similarity_srp_bit_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise phi correlation of the 32 sign-random-projection bits
+    (the seed-42 hyperplane family behind dedup_embedding_cosine's LSH
+    banding), top-10 by magnitude: band collision probabilities assume
+    ~independent bits, and on ANISOTROPIC embeddings (which the
+    anisotropy audit shows these are) correlated hyperplane pairs make
+    bands collide more than the S-curve predicts — this names the
+    worst offenders. One 496-pair aggregate over map-side-combinable
+    integer sums; deterministic tie-broken top-10."""
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import _EMB_HP
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+
+    def bit(i: int):
+        hp = F.array(*[F.lit(float(v)) for v in _EMB_HP[i]])
+        dot = F.aggregate(
+            F.zip_with(e, hp, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return F.when(dot >= 0, 1).otherwise(0)
+
+    n_bits = len(_EMB_HP)
+    bits = emb.select(
+        F.array(*[bit(i) for i in range(n_bits)]).alias("ba")
+    )
+    pairs = [(i, j) for i in range(n_bits) for j in range(i + 1, n_bits)]
+    pr = spark.createDataFrame(pairs, "i INT, j INT")
+    c = (
+        bits.crossJoin(F.broadcast(pr))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(F.element_at("ba", F.col("i") + 1))
+            .cast("decimal(38,0)")
+            .alias("si"),
+            F.sum(F.element_at("ba", F.col("j") + 1))
+            .cast("decimal(38,0)")
+            .alias("sj"),
+            F.sum(
+                F.element_at("ba", F.col("i") + 1)
+                * F.element_at("ba", F.col("j") + 1)
+            )
+            .cast("decimal(38,0)")
+            .alias("sij"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    si = F.col("si").cast("double")
+    sj = F.col("sj").cast("double")
+    sij = F.col("sij").cast("double")
+    phi_u = F.floor(
+        (nd * sij - si * sj)
+        / F.sqrt(si * (nd - si) * sj * (nd - sj))
+        * 1.0e6
+        + 0.5
+    ).cast("long")
+    return (
+        c.select(
+            F.col("i").cast("long").alias("bit_i"),
+            F.col("j").cast("long").alias("bit_j"),
+            phi_u.alias("phi_u"),
+        )
+        .orderBy(F.abs(F.col("phi_u")).desc(), "bit_i", "bit_j")
+        .limit(10)
+        .select("bit_i", "bit_j", (F.col("phi_u") / 1.0e6).alias("phi"))
+    )
+
+
+STAGED_ORACLES["similarity_srp_bit_independence"] = _srp_independence_oracle()

@@ -121,6 +121,12 @@ STAGED_NAMES: list[str] = [
     "dedup_bucket_cap_sweep",
     "events_dayk_retention_curve",
     "orders_priority_stochastic_dominance",
+    # wave N — slate close-out part 2
+    "sketch_cm_width_sweep",
+    "part_unit_price_dispersion",
+    "partsupp_stock_cover_audit",
+    "customer_discounted_ltv",
+    "similarity_srp_bit_independence",
 ]
 
 
