@@ -390,3 +390,341 @@ def embedding_knn_mutuality(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("mutuality_rate"),
     )
+
+
+# ===========================================================================
+# Wave B — error isolation, optimal allocation, margin and lead-time
+# audits.
+# ===========================================================================
+#: Self-authored MALFORMED sample: unknown timezone 'XQZ' — the
+#: reference's documented crash case (IDT/ObsFile.py kills the batch;
+#: this engine yields an error row instead).
+SAMPLE_IOS_BAD = """*2024/03/01 08:00:00.00
+*IOS HEADER VERSION 2.0      2016/04/28 2016/06/13
+
+*FILE
+    START TIME          : XQZ 2024/02/15 00:00:00.000
+    TIME INCREMENT      : 0 0 30 0 0  ! (day hr min sec ms)
+    NUMBER OF RECORDS   : 2
+    DATA DESCRIPTION    : CTD
+    PAD                 : -99
+    NUMBER OF CHANNELS  : 1
+
+    $TABLE: CHANNELS
+    ! No Name                 Units           Minimum  Maximum
+    !--- -------------------- --------------- -------- --------
+       1 Pressure             decibar         1.0      2.0
+    $END
+
+    $TABLE: CHANNEL DETAIL
+    ! No  Pad   Start  Width  Format  Type  Decimal_Places
+    !---  ----  -----  -----  ------  ----  --------------
+       1  -99   ' '        8  F       ' '     1
+    $END
+
+*END OF HEADER
+     1.0
+     2.0
+"""
+
+
+@_register(
+    "ios_malformed_file_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('sample-2024-001-0007', TRUE,  CAST(NULL AS VARCHAR)),
+      ('sample-2024-002-0003', TRUE,  CAST(NULL AS VARCHAR)),
+      ('sample-bad',           FALSE, 'IosParseError')
+    ) AS t(file_id, parsed_ok, error_class)
+    ORDER BY file_id
+    """,
+)
+def ios_malformed_file_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-isolation audit: parse a batch of two good IOS files plus
+    one with the reference's documented crash case (an unknown START
+    TIME timezone — IDT/ObsFile.py:140-155 calls exit() there, killing
+    the whole batch) and assert the batch SURVIVES with a typed error
+    row for the bad file and intact catalogs for the good ones — the
+    single most important behavioral difference for a 100 TB archive
+    ingest, pinned as a driver-checked query instead of only pytest.
+    The oracle is the golden (file, ok, error-class) table."""
+    from cioos_siooc_data_transform_spark.plans.ios_queries import (
+        SAMPLE_IOS,
+        _parse_cached,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r12 import (
+        SAMPLE_IOS_MOORING,
+    )
+
+    p1 = _parse_cached(
+        spark, "sample", "memory://sample-2024-001-0007.ctd", SAMPLE_IOS
+    )
+    p2 = _parse_cached(
+        spark,
+        "sample_mooring",
+        "memory://sample-2024-002-0003.mctd",
+        SAMPLE_IOS_MOORING,
+    )
+    p3 = _parse_cached(
+        spark, "sample_bad", "memory://sample-bad.ctd", SAMPLE_IOS_BAD
+    )
+    cols = ["file_id", "error"]
+    allp = (
+        p1.select(*cols).unionByName(p2.select(*cols)).unionByName(
+            p3.select(*cols)
+        )
+    )
+    return allp.select(
+        "file_id",
+        F.col("error").isNull().alias("parsed_ok"),
+        F.regexp_extract(F.col("error"), "^([A-Za-z]+):", 1).alias("_ec"),
+    ).select(
+        "file_id",
+        "parsed_ok",
+        F.when(F.col("_ec") == "", F.lit(None).cast("string"))
+        .otherwise(F.col("_ec"))
+        .alias("error_class"),
+    ).orderBy("file_id")
+
+
+@_register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             CAST(CAST(length(text) AS BIGINT) AS HUGEINT) AS n_chars
+      FROM documents
+    ),
+    s AS (
+      SELECT lang, CAST(count(*) AS HUGEINT) AS n, sum(n_chars) AS sx,
+             sum(n_chars * n_chars) AS sxx
+      FROM d GROUP BY lang
+    ),
+    f AS (
+      SELECT lang, CAST(n AS DOUBLE) AS n,
+             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+               AS sd
+      FROM s
+    ),
+    t AS (
+      SELECT sum(n) AS nn, sum(n * sd) AS nsd FROM f
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           floor(sd * 1.0e3 + 0.5) / 1.0e3 AS sd_chars,
+           CAST(floor(1000.0e0 * n / nn + 0.5) AS BIGINT)
+             AS alloc_proportional,
+           CAST(floor(1000.0e0 * n * sd / nsd + 0.5) AS BIGINT)
+             AS alloc_neyman
+    FROM f, t ORDER BY lang
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation of a 1000-doc audit sample across
+    language strata: n_h ∝ N_h·sigma_h (allocate more where the target
+    variable — doc length — varies more) against the proportional
+    baseline — the stratified-sampling theory that says WHERE the audit
+    budget buys variance reduction, next to the balance audits that
+    only check realized rates. Per-stratum sigma from exact integer
+    sums; allocations floored to whole docs."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", F.length("text").cast("decimal(38,0)").alias("n_chars")
+    )
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    f = s.select(
+        "lang",
+        nd.alias("n"),
+        F.sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - F.lit(1.0)))).alias("sd"),
+    )
+    t = f.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("sd")).alias("nsd"),
+    )
+    return (
+        f.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            (F.floor(F.col("sd") * 1.0e3 + 0.5) / 1.0e3).alias("sd_chars"),
+            F.floor(F.lit(1000.0) * F.col("n") / F.col("nn") + 0.5)
+            .cast("long")
+            .alias("alloc_proportional"),
+            F.floor(
+                F.lit(1000.0) * F.col("n") * F.col("sd") / F.col("nsd") + 0.5
+            )
+            .cast("long")
+            .alias("alloc_neyman"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register("part_margin_audit", oracle="__WAVE_B13C__")
+def part_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross-margin audit over the derived partsupp: per brand, the
+    mean and minimum relative margin (retail − min supply cost)/retail
+    — negative minimum margin flags parts listed below their cheapest
+    sourcing cost (pricing errors or loss leaders), the
+    procurement-meets-pricing readout built on the spec's
+    partsupp⋈part topology. Integer cents; per-part margins quantize
+    to 1e-6 before the exact brand mean."""
+    from cioos_siooc_data_transform_spark.sources.partsupp import (
+        ensure_partsupp,
+    )
+
+    ps = ensure_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("retail_cents"),
+    )
+    best = ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").cast("long").alias("cost_cents")
+    )
+    j = part.join(best, part["p_partkey"] == best["ps_partkey"]).select(
+        "p_brand",
+        F.floor(
+            (F.col("retail_cents") - F.col("cost_cents")).cast("double")
+            / F.col("retail_cents")
+            * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("margin_u"),
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (
+                F.floor(
+                    F.sum("margin_u").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_margin"),
+            (F.min("margin_u") / 1.0e6).alias("min_margin"),
+            F.sum(F.when(F.col("margin_u") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_cost"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def _part_margin_oracle() -> str:
+    from cioos_siooc_data_transform_spark.sources.partsupp import PARTSUPP_CTE
+
+    return f"""
+    WITH {PARTSUPP_CTE},
+    best AS (
+      SELECT ps_partkey, CAST(min(ps_supplycost_cents) AS BIGINT)
+               AS cost_cents
+      FROM partsupp GROUP BY 1
+    ),
+    j AS (
+      SELECT p_brand,
+             CAST(floor((CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                         - cost_cents) * 1.0e6
+                        / CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)
+                        + 0.5) AS BIGINT) AS margin_u
+      FROM part JOIN best ON p_partkey = ps_partkey
+    )
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+           floor(CAST(sum(margin_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_margin,
+           min(margin_u) / 1.0e6 AS min_margin,
+           CAST(count(*) FILTER (margin_u < 0) AS BIGINT) AS n_below_cost
+    FROM j GROUP BY p_brand ORDER BY p_brand
+    """
+
+
+STAGED_ORACLES["part_margin_audit"] = _part_margin_oracle()
+
+
+@_register(
+    "supplier_leadtime_consistency",
+    oracle="""
+    WITH lags AS (
+      SELECT l_suppkey,
+             CAST(datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) AS HUGEINT) AS lag
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate
+    ),
+    per AS (
+      SELECT l_suppkey, CAST(count(*) AS HUGEINT) AS n, sum(lag) AS s,
+             sum(lag * lag) AS ss
+      FROM lags GROUP BY 1 HAVING count(*) >= 20
+    ),
+    f AS (
+      SELECT l_suppkey, CAST(n AS BIGINT) AS n_shipments,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_lag,
+             sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0e0)))
+               / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS cv
+      FROM per
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey, n_shipments,
+           floor(mean_lag * 1.0e3 + 0.5) / 1.0e3 AS mean_lag_days,
+           floor(cv * 1.0e6 + 0.5) / 1.0e6 AS lag_cv
+    FROM f ORDER BY cv DESC, suppkey LIMIT 15
+    """,
+)
+def supplier_leadtime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time consistency: the 15 suppliers with the most
+    VARIABLE ship lags (CV of order-to-ship days, min 20 shipments) —
+    safety-stock formulas scale with lead-time variance, so the
+    inconsistent supplier costs more than the slow-but-steady one at
+    the same mean; this ranking is the supply-chain readout that mean
+    lag tables hide. Exact integer day moments per supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lags = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            )
+            .cast("decimal(38,0)")
+            .alias("lag"),
+        )
+    )
+    per = (
+        lags.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("lag").alias("s"),
+            F.sum(F.col("lag") * F.col("lag")).alias("ss"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    mean = sd / nd
+    cv = F.sqrt((nd * ssd - sd * sd) / (nd * (nd - F.lit(1.0)))) / mean
+    return (
+        per.select(
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            F.col("n").cast("long").alias("n_shipments"),
+            (F.floor(mean * 1.0e3 + 0.5) / 1.0e3).alias("mean_lag_days"),
+            (F.floor(cv * 1.0e6 + 0.5) / 1.0e6).alias("lag_cv"),
+        )
+        .orderBy(F.col("lag_cv").desc(), "suppkey")
+        .limit(15)
+    )

@@ -67,6 +67,11 @@ STAGED_NAMES: list[str] = [
     "customer_spend_atkinson_index",
     "orders_seasonal_mann_kendall",
     "embedding_knn_mutuality",
+    # wave B — error isolation, allocation, margin/lead-time audits
+    "ios_malformed_file_audit",
+    "sample_neyman_allocation",
+    "part_margin_audit",
+    "supplier_leadtime_consistency",
 ]
 
 
