@@ -728,3 +728,395 @@ def supplier_leadtime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("lag_cv").desc(), "suppkey")
         .limit(15)
     )
+
+
+# ===========================================================================
+# Wave C — sequential drift, blocked ranks, candidate precision,
+# language-mix audit.
+# ===========================================================================
+@_register(
+    "events_page_hinkley_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu FROM d),
+    ph0 AS (
+      SELECT day, sum(n - mu - 5.0e0) OVER w AS m_t
+      FROM d, t
+      WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ),
+    ph AS (
+      SELECT day, m_t,
+             min(m_t) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS m_min
+      FROM ph0
+    ),
+    s AS (
+      SELECT day,
+             CAST(floor((m_t - m_min) * 1.0e6 + 0.5) AS BIGINT) AS ph_u
+      FROM ph
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           floor(CAST(max(ph_u) AS DOUBLE) / 1.0e6 * 1.0e3 + 0.5) / 1.0e3
+             AS ph_max,
+           min(CASE WHEN ph_u > 50000000 THEN day END) AS first_alarm_day
+    FROM s
+    """,
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page–Hinkley drift detector on daily event counts: PH_t =
+    m_t − min_{s<=t} m_s with m_t = Σ(x_i − mean − delta), delta = 5
+    events of slack — the SEQUENTIAL alarm (first day the statistic
+    crosses lambda = 50) that complements the retrospective CUSUM
+    changepoint locator: one finds when you WOULD have known, the other
+    where the break was. Running sums and running minima over the
+    calendar-bounded day table (the documented idiom); the statistic
+    quantizes to 1e-6 before the threshold compare so the alarm day is
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    t = d.agg((F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    ph = d.crossJoin(F.broadcast(t)).withColumn(
+        "m_t", F.sum(F.col("n") - F.col("mu") - F.lit(5.0)).over(w)
+    )
+    ph = ph.withColumn("m_min", F.min("m_t").over(w))
+    s = ph.select(
+        "day",
+        F.floor((F.col("m_t") - F.col("m_min")) * 1.0e6 + 0.5)
+        .cast("long")
+        .alias("ph_u"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.floor(F.max("ph_u").cast("double") / 1.0e6 * 1.0e3 + 0.5)
+            / 1.0e3
+        ).alias("ph_max"),
+        F.min(F.when(F.col("ph_u") > 50000000, F.col("day"))).alias(
+            "first_alarm_day"
+        ),
+    )
+
+
+@_register(
+    "events_friedman_dow_test",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    wk AS (
+      SELECT (day + 4) // 7 AS week, (day + 4) % 7 AS dow, n FROM d
+    ),
+    full_weeks AS (
+      SELECT week FROM wk GROUP BY week HAVING count(*) = 7
+    ),
+    r AS (
+      SELECT wk.week, dow,
+             CAST(rank() OVER (PARTITION BY wk.week ORDER BY n)
+                  AS BIGINT) AS rk
+      FROM wk JOIN full_weeks USING (week)
+    ),
+    per AS (
+      SELECT dow, CAST(sum(rk) AS BIGINT) AS r_j,
+             CAST(count(*) AS BIGINT) AS b
+      FROM r GROUP BY dow
+    ),
+    t AS (
+      SELECT CAST(max(b) AS DOUBLE) AS b,
+             sum(CAST(r_j AS DOUBLE) * CAST(r_j AS DOUBLE)) AS sr2
+      FROM per
+    )
+    SELECT CAST(b AS BIGINT) AS n_weeks,
+           floor((12.0e0 / (b * 7.0e0 * 8.0e0) * sr2
+                  - 3.0e0 * b * 8.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS friedman_chi2
+    FROM t
+    """,
+)
+def events_friedman_dow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test for a day-of-week effect: within each FULL
+    week (the block) the 7 daily counts are ranked, and chi² =
+    12/(b·k(k+1))·ΣR_j² − 3b(k+1) tests whether some weekday
+    systematically ranks higher — the repeated-measures nonparametric
+    ANOVA that the two-way η² (mean-based) cannot replace when counts
+    are skewed. Ranks are per-week windows (blocks of 7, bounded);
+    epoch day + 4 aligns day 0 (1970-01-01, a Thursday) so dow 0 =
+    Monday on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.floor(F.col("ts").cast("long") / 86400).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wk = d.select(
+        ((F.col("day") + 4) / 7).cast("long").alias("week"),
+        ((F.col("day") + 4) % 7).alias("dow"),
+        "n",
+    )
+    full_weeks = wk.groupBy("week").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).filter(F.col("cnt") == 7).select("week")
+    wrank = Window.partitionBy("week").orderBy("n")
+    r = wk.join(F.broadcast(full_weeks), "week").select(
+        "week", "dow", F.rank().over(wrank).cast("long").alias("rk")
+    )
+    per = r.groupBy("dow").agg(
+        F.sum("rk").cast("long").alias("r_j"),
+        F.count(F.lit(1)).cast("long").alias("b"),
+    )
+    t = per.agg(
+        F.max("b").cast("double").alias("b"),
+        F.sum(F.col("r_j").cast("double") * F.col("r_j").cast("double")).alias(
+            "sr2"
+        ),
+    )
+    return t.select(
+        F.col("b").cast("long").alias("n_weeks"),
+        (
+            F.floor(
+                (
+                    F.lit(12.0)
+                    / (F.col("b") * F.lit(7.0) * F.lit(8.0))
+                    * F.col("sr2")
+                    - F.lit(3.0) * F.col("b") * F.lit(8.0)
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("friedman_chi2"),
+    )
+
+
+def _lsh_precision_oracle() -> str:
+    def hash_sql(k: int) -> str:
+        digest = (k - 1) // 4
+        offset = ((k - 1) % 4) * 8 + 1
+        return f"substr(md5(s || '#{digest}'), {offset}, 8)"
+
+    sig_cols = ", ".join(f"min({hash_sql(k)}) AS h{k}" for k in range(1, 17))
+    buckets = " UNION ALL ".join(
+        "SELECT doc_id, md5('" + str(b) + "' || "
+        + " || ".join(f"h{b * 4 + r + 1}" for r in range(4))
+        + ") AS bucket FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_cols} FROM f GROUP BY doc_id),
+    bk AS ({buckets}),
+    gd AS (
+      SELECT doc_id, bucket FROM (
+        SELECT doc_id, bucket, count(*) OVER (PARTITION BY bucket) AS _n
+        FROM bk
+      ) WHERE _n <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gd a JOIN gd b USING (bucket)
+      WHERE a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(round(count(*) / (sa.n + sb.n - count(*)), 6) * 1000000
+                  AS BIGINT) AS j_u
+      FROM cand c
+      JOIN f a ON a.doc_id = c.doc_a
+      JOIN f b ON b.doc_id = c.doc_b AND b.s = a.s
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      GROUP BY c.doc_a, c.doc_b, sa.n, sb.n
+    ),
+    nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand)
+    SELECT nc.n_candidates,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(count(*) FILTER (j_u >= 500000) AS BIGINT) AS n_true,
+           floor(CAST(count(*) FILTER (j_u >= 500000) AS DOUBLE)
+                 / nc.n_candidates * 1.0e6 + 0.5) / 1.0e6 AS precision_at_05,
+           floor(CAST(sum(j_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_candidate_jaccard
+    FROM jac, nc GROUP BY nc.n_candidates
+    """
+
+
+@_register("dedup_lsh_precision_audit", oracle="__WAVE_C13C__")
+def dedup_lsh_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision side of the LSH candidate pipeline: among the 4x4-band
+    cap-50 candidates (the registered production config), the share
+    whose EXACT Jaccard reaches the 0.5 dedup threshold — recall says
+    what the bands miss, precision says how much confirm-join work the
+    bands waste (1/precision = exact-Jaccard evaluations per accepted
+    pair). Candidates with zero shared capped shingles score 0 via the
+    inverted-index join (absent pairs are below threshold by
+    construction); mean candidate Jaccard quantizes per pair before the
+    exact mean."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh_all = distinct_shingles(spark, sf_dir)
+    w_df = Window.partitionBy("s")
+    f = (
+        sh_all.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .filter(F.col("_df") <= 10)
+        .drop("_df")
+    )
+    sig = minhash_signature(f, "doc_id", "s", num_hashes=16, hash_family="md5")
+    cand = lsh_candidate_pairs(
+        lsh_band_buckets(sig, "doc_id", num_hashes=16, bands=4),
+        "doc_id",
+        max_bucket_size=50,
+    )
+    sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    fa = f.select(F.col("doc_id").alias("doc_a"), "s")
+    fb = f.select(F.col("doc_id").alias("b_id"), F.col("s").alias("s2"))
+    jac = (
+        cand.join(fa, "doc_a")
+        .join(fb, (F.col("doc_b") == F.col("b_id")) & (F.col("s") == F.col("s2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            (
+                F.round(
+                    F.col("n_common")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    6,
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("j_u")
+        )
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    return (
+        jac.crossJoin(F.broadcast(nc))
+        .groupBy("n_candidates")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.when(F.col("j_u") >= 500000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("j_u") >= 500000, 1).otherwise(0)
+                    ).cast("double")
+                    / F.col("n_candidates")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("precision_at_05"),
+            (
+                F.floor(F.sum("j_u").cast("double") / F.count(F.lit(1)) + 0.5)
+                / 1.0e6
+            ).alias("mean_candidate_jaccard"),
+        )
+        .select(
+            "n_candidates",
+            "n_scored",
+            "n_true",
+            "precision_at_05",
+            "mean_candidate_jaccard",
+        )
+    )
+
+
+STAGED_ORACLES["dedup_lsh_precision_audit"] = _lsh_precision_oracle()
+
+
+def _multilingual_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH li AS ({ORACLES["text_langid"]}),
+    s AS (
+      SELECT list_sort([en_hits, es_hits, fr_hits, de_hits]) AS hs FROM li
+    ),
+    cls AS (
+      SELECT CASE
+               WHEN hs[4] = 0 THEN 'c_no_signal'
+               WHEN hs[3] * 2 >= hs[4] THEN 'b_multilingual'
+               ELSE 'a_monolingual'
+             END AS mix_class
+      FROM s
+    ),
+    t AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM cls)
+    SELECT mix_class, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(count(*) AS DOUBLE) / nd * 1.0e6 + 0.5) / 1.0e6
+             AS share
+    FROM cls, t GROUP BY mix_class, nd ORDER BY mix_class
+    """
+
+
+@_register("text_multilingual_doc_audit", oracle="__WAVE_C13D__")
+def text_multilingual_doc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix audit: docs whose runner-up language scores at
+    least HALF the top language's stopword hits are flagged
+    multilingual (code-switched or concatenated-crawl documents — the
+    docs that single-label language filtering silently mis-routes),
+    next to no-signal docs the identifier cannot claim at all. Same
+    stopword-hit machinery as the langid family, classified by the
+    sorted hit vector; one pass, bounded 3-row output."""
+    from cioos_siooc_data_transform_spark.operators.text import (
+        lang_hit_counts,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hits = lang_hit_counts(words_expr(F.col("text")))
+    hs = F.array_sort(
+        F.array(*[hits[lg] for lg in ["en", "es", "fr", "de"]])
+    )
+    cls = docs.select(
+        F.when(F.element_at(hs, 4) == 0, "c_no_signal")
+        .when(
+            F.element_at(hs, 3) * 2 >= F.element_at(hs, 4), "b_multilingual"
+        )
+        .otherwise("a_monolingual")
+        .alias("mix_class")
+    )
+    t = cls.agg(F.count(F.lit(1)).cast("double").alias("nd"))
+    return (
+        cls.groupBy("mix_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "mix_class",
+            "n_docs",
+            (
+                F.floor(
+                    F.col("n_docs").cast("double") / F.col("nd") * 1.0e6 + 0.5
+                )
+                / 1.0e6
+            ).alias("share"),
+        )
+        .orderBy("mix_class")
+    )
+
+
+STAGED_ORACLES["text_multilingual_doc_audit"] = _multilingual_oracle()

@@ -72,6 +72,11 @@ STAGED_NAMES: list[str] = [
     "sample_neyman_allocation",
     "part_margin_audit",
     "supplier_leadtime_consistency",
+    # wave C — sequential drift, blocked ranks, precision, language mix
+    "events_page_hinkley_drift",
+    "events_friedman_dow_test",
+    "dedup_lsh_precision_audit",
+    "text_multilingual_doc_audit",
 ]
 
 
