@@ -1120,3 +1120,366 @@ def text_multilingual_doc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["text_multilingual_doc_audit"] = _multilingual_oracle()
+
+
+# ===========================================================================
+# Wave D — model-adequacy diagnostics and definition sweeps.
+# ===========================================================================
+@_register(
+    "orders_backtest_residual_ljungbox",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT cur.ym, CAST(cur.rev - prev.rev AS BIGINT) AS e
+      FROM m cur JOIN m prev ON cur.ym = prev.ym + 12
+    ),
+    lags AS (SELECT unnest(generate_series(1, 6)) AS k),
+    base AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(e) AS DOUBLE) / count(*) AS mu,
+             sum(CAST(e AS DOUBLE) * e)
+               - count(*) * (CAST(sum(e) AS DOUBLE) / count(*))
+                          * (CAST(sum(e) AS DOUBLE) / count(*)) AS c0
+      FROM r
+    ),
+    rho AS (
+      SELECT k,
+             sum((a.e - mu) * (b.e - mu)) / c0 AS rho_k
+      FROM lags, base, r a JOIN r b ON b.ym = a.ym + lags.k
+      GROUP BY k, c0, mu
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_residuals,
+           floor(max(n) * (max(n) + 2.0e0)
+                 * sum(rho_k * rho_k / (n - k)) * 1.0e6 + 0.5) / 1.0e6
+             AS lb_q6
+    FROM rho, base
+    """,
+)
+def orders_backtest_residual_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box Q(6) on the SEASONAL-NAIVE FORECAST RESIDUALS (rev_m −
+    rev_{m−12}): the model-adequacy closing step of the backtest — the
+    registered MAPE says how big the errors are, this says whether
+    they're still autocorrelated (Q large => a better model exists;
+    that's Hyndman's forecastability checklist, run on residuals, not
+    the raw series like the registered events Ljung–Box). Lagged
+    products via equi-joins on the integer month key over the bounded
+    residual series."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("ym")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    prev = m.select(F.col("ym").alias("ym_p"), F.col("rev").alias("rev_p"))
+    r = m.join(prev, F.col("ym") == F.col("ym_p") + 12).select(
+        "ym", (F.col("rev") - F.col("rev_p")).alias("e")
+    )
+    base = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("e").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            F.sum(F.col("e").cast("double") * F.col("e"))
+            - F.count(F.lit(1))
+            * (F.sum("e").cast("double") / F.count(F.lit(1)))
+            * (F.sum("e").cast("double") / F.count(F.lit(1)))
+        ).alias("c0"),
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("k"))
+    a = r.select(F.col("ym").alias("ym_a"), F.col("e").alias("ea"))
+    b = r.select(F.col("ym").alias("ym_b"), F.col("e").alias("eb"))
+    rho = (
+        lags.crossJoin(F.broadcast(base))
+        .join(a, F.lit(True))
+        .join(b, F.col("ym_b") == F.col("ym_a") + F.col("k"))
+        .groupBy("k", "c0", "mu", "n")
+        .agg(
+            (
+                F.sum((F.col("ea") - F.col("mu")) * (F.col("eb") - F.col("mu")))
+                / F.first("c0")
+            ).alias("rho_k")
+        )
+    )
+    return rho.agg(
+        F.max("n").cast("long").alias("n_residuals"),
+        (
+            F.floor(
+                F.max("n")
+                * (F.max("n") + F.lit(2.0))
+                * F.sum(
+                    F.col("rho_k") * F.col("rho_k") / (F.col("n") - F.col("k"))
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("lb_q6"),
+    )
+
+
+def _langid_budget_oracle() -> str:
+    from cioos_siooc_data_transform_spark.operators.text import (
+        LANG_PRIORITY,
+        LANG_STOPWORDS,
+    )
+
+    rows = []
+    for budget in (4, 8):
+        hits = ", ".join(
+            f"""len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains([{", ".join("'" + w + "'" for w in LANG_STOPWORDS[lg][:budget])}], x)))
+               AS {lg}_hits"""
+            for lg in LANG_PRIORITY
+        )
+        pred = "CASE "
+        for i, lg in enumerate(LANG_PRIORITY):
+            others = " AND ".join(
+                f"{lg}_hits >= {o}_hits" for o in LANG_PRIORITY if o != lg
+            )
+            pred += f"WHEN {others} THEN '{lg}' "
+        pred += "END"
+        rows.append(f"""
+    r{budget} AS (
+      SELECT {budget} AS stopword_budget,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(*) FILTER (pred = lang) AS BIGINT) AS n_correct
+      FROM (
+        SELECT lang, {pred} AS pred FROM (
+          SELECT lang, {hits} FROM documents
+        )
+      )
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{b}" for b in (4, 8))
+    return f"""
+    WITH {", ".join(r.strip() for r in rows)}
+    SELECT CAST(stopword_budget AS BIGINT) AS stopword_budget, n_docs,
+           n_correct,
+           floor(CAST(n_correct AS DOUBLE) / n_docs * 1.0e6 + 0.5) / 1.0e6
+             AS accuracy
+    FROM ({unions}) ORDER BY stopword_budget
+    """
+
+
+@_register("text_langid_stopword_budget", oracle="__WAVE_D13B__")
+def text_langid_stopword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-budget sweep of the language identifier: accuracy
+    against the labeled lang column with only the FIRST 4 stopwords per
+    language versus the full 8 — how much classifier the per-token
+    membership test is worth (each stopword costs a list_contains per
+    token at corpus scale, so half the list at equal accuracy halves
+    the hot-path cost). Prediction rule mirrors the registered
+    priority-order argmax; hit counting over lowercased whitespace
+    tokens on both engines."""
+    from cioos_siooc_data_transform_spark.operators.text import (
+        LANG_PRIORITY,
+        LANG_STOPWORDS,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    out = None
+    for budget in (4, 8):
+        def hit_counter(stop_list):
+            # single-arg lambda: 2-arg functions become (element, index)
+            # in F.filter and shadow the bound list (see memory note)
+            return F.size(F.filter(words, lambda x: x.isin(*stop_list)))
+
+        hits = {
+            lg: hit_counter(LANG_STOPWORDS[lg][:budget])
+            for lg in LANG_PRIORITY
+        }
+        pred = F.lit(None).cast("string")
+        for lg in reversed(LANG_PRIORITY):
+            cond = None
+            for o in LANG_PRIORITY:
+                if o == lg:
+                    continue
+                c = hits[lg] >= hits[o]
+                cond = c if cond is None else (cond & c)
+            pred = F.when(cond, lg).otherwise(pred)
+        row = docs.select(
+            (pred == F.col("lang")).alias("correct")
+        ).agg(
+            F.lit(budget).cast("long").alias("stopword_budget"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("correct"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+        ).select(
+            "stopword_budget",
+            "n_docs",
+            "n_correct",
+            (
+                F.floor(
+                    F.col("n_correct").cast("double")
+                    / F.col("n_docs")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("accuracy"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("stopword_budget")
+
+
+STAGED_ORACLES["text_langid_stopword_budget"] = _langid_budget_oracle()
+
+
+_CHURN_WS = (6, 12, 18)
+
+
+@_register(
+    "customer_churn_window_sweep",
+    oracle=f"""
+    WITH last_o AS (
+      SELECT o_custkey,
+             max(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS last_ym
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT max(last_ym) AS end_ym FROM last_o),
+    ws AS (SELECT unnest([{", ".join(str(w) for w in _CHURN_WS)}]) AS w)
+    SELECT CAST(w AS BIGINT) AS window_months,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (last_ym < end_ym - w) AS BIGINT)
+             AS n_churned,
+           floor(CAST(count(*) FILTER (last_ym < end_ym - w) AS DOUBLE)
+                 / count(*) * 1.0e6 + 0.5) / 1.0e6 AS churn_rate
+    FROM last_o, mx, ws GROUP BY w, end_ym ORDER BY w
+    """,
+)
+def customer_churn_window_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-rate sensitivity to the inactivity-window definition: a
+    customer is 'churned' if their last order predates the data horizon
+    by more than 6/12/18 months — the definitional knob every churn
+    dashboard hardcodes, swept so the metric owner sees how much of
+    'churn' is just the window choice. One last-order aggregate, one
+    1-row horizon broadcast, three threshold counts."""
+    o = _t(spark, sf_dir, "orders")
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    last_o = o.groupBy("o_custkey").agg(F.max(ym).alias("last_ym"))
+    mx = last_o.agg(F.max("last_ym").alias("end_ym"))
+    ws = spark.range(0, 3).select(
+        F.element_at(
+            F.array(*[F.lit(w) for w in _CHURN_WS]), (F.col("id") + 1).cast("int")
+        ).alias("w")
+    )
+    j = last_o.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(ws))
+    churned = F.when(
+        F.col("last_ym") < F.col("end_ym") - F.col("w"), 1
+    ).otherwise(0)
+    return (
+        j.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(churned).cast("long").alias("n_churned"),
+        )
+        .select(
+            F.col("w").cast("long").alias("window_months"),
+            "n_customers",
+            "n_churned",
+            (
+                F.floor(
+                    F.col("n_churned").cast("double")
+                    / F.col("n_customers")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("churn_rate"),
+        )
+        .orderBy("window_months")
+    )
+
+
+_SHINGLE_NS = (2, 3, 5)
+
+
+def _shingle_size_oracle() -> str:
+    rows = []
+    for n in _SHINGLE_NS:
+        join = " || ' ' || ".join(f"words[i+{j}]" for j in range(n))
+        rows.append(f"""
+    sh{n} AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(words) - {n - 1}, 0)),
+                 i -> {join})) AS s
+        FROM w
+      )
+    ),
+    df{n} AS (SELECT s, count(*) AS c FROM sh{n} GROUP BY s),
+    f{n} AS (SELECT sh{n}.doc_id, sh{n}.s FROM sh{n}
+             JOIN df{n} USING (s) WHERE df{n}.c <= 10),
+    sizes{n} AS (SELECT doc_id, count(*) AS nn FROM f{n} GROUP BY doc_id),
+    pairs{n} AS (
+      SELECT count(*) AS n_pairs FROM (
+        SELECT a.doc_id, b.doc_id AS doc_b,
+               round(count(*) / (sa.nn + sb.nn - count(*)), 6) AS j
+        FROM f{n} a JOIN f{n} b ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN sizes{n} sa ON sa.doc_id = a.doc_id
+        JOIN sizes{n} sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, sa.nn, sb.nn
+      ) WHERE j >= 0.5
+    ),
+    r{n} AS (
+      SELECT {n} AS shingle_n,
+             (SELECT CAST(count(*) AS BIGINT) FROM df{n}) AS n_shingle_types,
+             (SELECT CAST(n_pairs AS BIGINT) FROM pairs{n}) AS n_pairs
+    )""")
+    unions = " UNION ALL ".join(f"SELECT * FROM r{n}" for n in _SHINGLE_NS)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    {", ".join(r.strip() for r in rows)}
+    SELECT CAST(shingle_n AS BIGINT) AS shingle_n, n_shingle_types, n_pairs
+    FROM ({unions}) ORDER BY shingle_n
+    """
+
+
+@_register("dedup_shingle_size_sweep", oracle="__WAVE_D13D__")
+def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-size sweep — the FIFTH dedup knob (after threshold,
+    hash width, band layout, bucket cap): near-dup pairs at exact
+    Jaccard >= 0.5 with 2/3/5-word shingles. Short shingles match
+    paraphrase but over-connect via common phrases; long ones only
+    catch verbatim blocks — the pair counts quantify that trade on the
+    actual corpus. Same hot-shingle-capped inverted-index machinery per
+    point."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    out = None
+    for n in _SHINGLE_NS:
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(words_expr(F.col("text")), n))
+            ).alias("s"),
+        )
+        types = sh.select("s").distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingle_types")
+        )
+        pairs = ngram_jaccard_pairs(
+            sh, "doc_id", "s", threshold=0.5, max_doc_freq=10
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        row = types.crossJoin(F.broadcast(pairs)).select(
+            F.lit(n).cast("long").alias("shingle_n"),
+            "n_shingle_types",
+            "n_pairs",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("shingle_n")
+
+
+STAGED_ORACLES["dedup_shingle_size_sweep"] = _shingle_size_oracle()

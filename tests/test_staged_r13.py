@@ -77,6 +77,11 @@ STAGED_NAMES: list[str] = [
     "events_friedman_dow_test",
     "dedup_lsh_precision_audit",
     "text_multilingual_doc_audit",
+    # wave D — model adequacy and definition sweeps
+    "orders_backtest_residual_ljungbox",
+    "text_langid_stopword_budget",
+    "customer_churn_window_sweep",
+    "dedup_shingle_size_sweep",
 ]
 
 
