@@ -1483,3 +1483,404 @@ def dedup_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["dedup_shingle_size_sweep"] = _shingle_size_oracle()
+
+
+# ===========================================================================
+# Wave E — behavioral clumpiness, label-separation AUC, semantic tau
+# sweep, truncation-loss audit.
+# ===========================================================================
+@_register(
+    "customer_purchase_clumpiness",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(datediff('day', DATE '1992-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM orders
+    ),
+    g AS (
+      SELECT o_custkey, n,
+             CAST(d - lag(d) OVER (PARTITION BY o_custkey ORDER BY rn)
+                  AS DOUBLE) + 1.0e0 AS gap,
+             CAST(max(d) OVER (PARTITION BY o_custkey)
+                  - min(d) OVER (PARTITION BY o_custkey)
+                  + n AS DOUBLE) AS span
+      FROM o WHERE n >= 3
+    ),
+    x AS (
+      SELECT o_custkey, n,
+             CAST(floor(gap / span * ln(gap / span) * 1.0e9 + 0.5) AS BIGINT)
+               AS t_u
+      FROM g WHERE gap IS NOT NULL
+    ),
+    per AS (
+      SELECT o_custkey,
+             CAST(floor((1.0e0 + CAST(sum(t_u) AS DOUBLE) / 1.0e9
+                         / ln(CAST(max(n) AS DOUBLE))) * 1.0e6 + 0.5)
+                  AS BIGINT) AS c_u
+      FROM x GROUP BY o_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           floor(CAST(sum(c_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_clumpiness,
+           floor(CAST(max(c_u) AS DOUBLE) + 0.5) / 1.0e6 AS max_clumpiness
+    FROM per
+    """,
+)
+def customer_purchase_clumpiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clumpiness of purchase timing (Zhang, Bradlow & Small 2015):
+    per repeat customer (>= 3 orders), the entropy-based index C = 1 +
+    Σ x·ln(x)/ln(n) over span-normalized inter-event gaps — C near 0 is
+    metronome-regular buying, near 1 is binge-and-die, a CLV signal
+    independent of RFM that the burstiness coefficient (population-
+    level) cannot give per-entity. Gaps from per-customer windows;
+    per-gap entropy terms quantize to 1e-9, per-customer C to 1e-6
+    before the exact means."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01"))
+    g = o.select(
+        "o_custkey",
+        d.alias("d"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        (d - F.lag(d).over(w)).cast("double").alias("gap0"),
+        (
+            F.max(d).over(wp) - F.min(d).over(wp) + F.count(F.lit(1)).over(wp)
+        )
+        .cast("double")
+        .alias("span"),
+    ).filter((F.col("n") >= 3) & F.col("gap0").isNotNull())
+    x = g.select(
+        "o_custkey",
+        "n",
+        F.floor(
+            (F.col("gap0") + 1.0)
+            / F.col("span")
+            * F.log((F.col("gap0") + 1.0) / F.col("span"))
+            * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("t_u"),
+    )
+    per = x.groupBy("o_custkey").agg(
+        F.floor(
+            (
+                F.lit(1.0)
+                + F.sum("t_u").cast("double")
+                / 1.0e9
+                / F.log(F.max("n").cast("double"))
+            )
+            * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("c_u")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (
+            F.floor(F.sum("c_u").cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1.0e6
+        ).alias("mean_clumpiness"),
+        (F.floor(F.max("c_u").cast("double") + 0.5) / 1.0e6).alias(
+            "max_clumpiness"
+        ),
+    )
+
+
+@_register(
+    "embedding_cosine_label_auc",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 500
+    ),
+    p AS (
+      SELECT CAST(floor(round(list_cosine_similarity(a.v, b.v), 4) * 10000
+                        + 0.5) AS BIGINT) AS cu,
+             (a.label = b.label) AS same
+      FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ),
+    c AS (
+      SELECT cu,
+             CAST(count(*) FILTER (same) AS BIGINT) AS cs,
+             CAST(count(*) FILTER (NOT same) AS BIGINT) AS cd
+      FROM p GROUP BY cu
+    ),
+    r AS (
+      SELECT cu, cs, cd,
+             sum(cd) OVER (ORDER BY cu ROWS UNBOUNDED PRECEDING) AS fd
+      FROM c
+    ),
+    t AS (
+      SELECT CAST(sum(cs) AS DOUBLE) AS ns, CAST(sum(cd) AS DOUBLE) AS nd
+      FROM c
+    ),
+    num AS (
+      SELECT CAST(sum(CAST(cs AS HUGEINT)
+                      * (2 * (fd - cd) + cd)) AS DOUBLE) AS num2
+      FROM r
+    )
+    SELECT CAST(ns AS BIGINT) AS n_same_pairs, CAST(nd AS BIGINT)
+             AS n_diff_pairs,
+           floor(num2 / (2.0e0 * ns * nd) * 1.0e6 + 0.5) / 1.0e6 AS auc
+    FROM num, t
+    """,
+)
+def embedding_cosine_label_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of cosine similarity as a same-label classifier over all
+    pairs of the bounded probe subset: AUC = P(cos_same > cos_diff) +
+    ½P(tie) — the single number that says whether a cosine threshold
+    CAN separate same-label from cross-label pairs (margin and
+    silhouette describe the geometry; AUC prices the decision rule).
+    Computed exactly from quantized-cosine counts with a cumulative
+    diff-pair CDF (doubled to keep the tie term integral) — the
+    Mann-Whitney identity, no per-pair ranking materialized."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        cosine_expr,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") < 500).select("vec_id", "label", "embedding")
+    a = sub.select(
+        F.col("vec_id").alias("ia"), F.col("label").alias("la"), F.col("embedding").alias("va")
+    )
+    b = sub.select(
+        F.col("vec_id").alias("ib"), F.col("label").alias("lb"), F.col("embedding").alias("vb")
+    )
+    p = a.join(b, F.col("ia") < F.col("ib")).select(
+        F.floor(
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4) * 10000 + 0.5
+        )
+        .cast("long")
+        .alias("cu"),
+        (F.col("la") == F.col("lb")).alias("same"),
+    )
+    c = p.groupBy("cu").agg(
+        F.sum(F.when(F.col("same"), 1).otherwise(0)).cast("long").alias("cs"),
+        F.sum(F.when(~F.col("same"), 1).otherwise(0)).cast("long").alias("cd"),
+    )
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    c2 = c.withColumn("neg", -F.col("cu"))
+    r = ranked_cumsum_two_pass(c2, "neg", "neg", weight_col="cd", out_cum="fd")
+    t = c.agg(
+        F.sum("cs").cast("double").alias("ns"),
+        F.sum("cd").cast("double").alias("nd"),
+    )
+    num = r.agg(
+        F.sum(
+            F.col("cs").cast("decimal(38,0)")
+            * (2 * (F.col("fd") - F.col("cd")) + F.col("cd")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("num2")
+    )
+    return (
+        num.crossJoin(F.broadcast(t))
+        .select(
+            F.col("ns").cast("long").alias("n_same_pairs"),
+            F.col("nd").cast("long").alias("n_diff_pairs"),
+            (
+                F.floor(
+                    F.col("num2") / (F.lit(2.0) * F.col("ns") * F.col("nd"))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("auc"),
+        )
+    )
+
+
+_SEM_TAUS = (0.35, 0.45, 0.55)
+
+
+def _sem_tau_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _EMB_BUCKET_CAP,
+        _HP_BITS_SQL,
+        _HP_BUCKETS_SQL,
+    )
+
+    taus_list = ", ".join(f"{t}" for t in _SEM_TAUS)
+    return f"""
+    WITH bits AS (
+      SELECT vec_id, {_HP_BITS_SQL}
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    ),
+    bk AS (SELECT vec_id, unnest([{_HP_BUCKETS_SQL}]) AS bucket FROM bits),
+    guarded AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n
+        FROM bk
+      ) WHERE n <= {_EMB_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM guarded a JOIN guarded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT CAST(floor(round(list_cosine_similarity(
+                   CAST(ea.embedding AS DOUBLE[]),
+                   CAST(eb.embedding AS DOUBLE[])), 4) * 10000 + 0.5)
+                  AS BIGINT) AS cu
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = doc_a
+      JOIN embeddings eb ON eb.vec_id = doc_b
+    ),
+    taus AS (SELECT unnest([{taus_list}]) AS tau)
+    SELECT floor(tau * 1.0e6 + 0.5) / 1.0e6 AS tau,
+           CAST(count(CASE WHEN cu >= CAST(floor(tau * 10000 + 0.5) AS BIGINT)
+                           THEN 1 END) AS BIGINT) AS n_pairs
+    FROM taus LEFT JOIN scored ON TRUE
+    GROUP BY tau ORDER BY tau
+    """
+
+
+@_register("dedup_semantic_tau_sweep", oracle="__WAVE_E13C__")
+def dedup_semantic_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold sweep of the embedding near-dup pipeline: pair
+    counts at tau = 0.35/0.45/0.55 over the SAME hyperplane-LSH
+    candidate set the registered dedup_embedding_cosine scores once at
+    0.45 — the semantic-modality twin of the Jaccard threshold sweep
+    (SemDeDup's tau is its single most consequential knob). Candidates
+    and cosines computed once; thresholds compare on the quantized
+    integer grid."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        hyperplane_lsh_buckets,
+        lsh_candidate_pairs,
+    )
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        cosine_expr,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _EMB_BANDS,
+        _EMB_BUCKET_CAP,
+        _EMB_HP,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = hyperplane_lsh_buckets(
+        emb, "vec_id", "embedding", _EMB_HP, bands=_EMB_BANDS
+    )
+    cand = lsh_candidate_pairs(
+        buckets, "vec_id", max_bucket_size=_EMB_BUCKET_CAP
+    )
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    scored = cand.join(ea, "doc_a").join(eb, "doc_b").select(
+        F.floor(
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 4) * 10000 + 0.5
+        )
+        .cast("long")
+        .alias("cu")
+    )
+    taus = spark.range(0, 3).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _SEM_TAUS]), (F.col("id") + 1).cast("int")
+        ).alias("tau")
+    )
+    return (
+        F.broadcast(taus)
+        .join(
+            scored,
+            F.col("cu")
+            >= F.floor(F.col("tau") * 10000 + 0.5).cast("long"),
+            "left",
+        )
+        .groupBy("tau")
+        .agg(F.count("cu").cast("long").alias("n_pairs"))
+        .select(
+            (F.floor(F.col("tau") * 1.0e6 + 0.5) / 1.0e6).alias("tau"),
+            "n_pairs",
+        )
+        .orderBy("tau")
+    )
+
+
+STAGED_ORACLES["dedup_semantic_tau_sweep"] = _sem_tau_oracle()
+
+
+@_register(
+    "pack_truncation_loss_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS HUGEINT) AS tok
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             CAST(count(*) FILTER (tok > 512) AS BIGINT) AS n_truncated,
+             CAST(sum(CASE WHEN tok > 512 THEN tok - 512 ELSE 0 END)
+                  AS BIGINT) AS tokens_lost
+      FROM d
+    )
+    SELECT n_docs, total_tokens, n_truncated, tokens_lost,
+           floor(CAST(tokens_lost AS DOUBLE) / total_tokens * 1.0e6 + 0.5)
+             / 1.0e6 AS loss_share,
+           floor(CAST(n_truncated AS DOUBLE) / n_docs * 1.0e6 + 0.5) / 1.0e6
+             AS doc_share_truncated
+    FROM a
+    """,
+)
+def pack_truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss audit at a 512-token context: tokens and
+    documents lost if long documents are TRUNCATED instead of split —
+    the number that justifies (or kills) the chunking pipeline the
+    pack_* family implements (truncation is the lazy default in most
+    SFT stacks; this is its measured price on the actual corpus). One
+    map-side-combinable aggregate of whitespace token counts."""
+    from cioos_siooc_data_transform_spark.operators.text import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = F.size(F.filter(words_expr(F.col("text")), lambda x: x != "")).cast(
+        "long"
+    )
+    d = docs.select(tok.alias("tok"))
+    a = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("tok") > 512, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum(
+            F.when(F.col("tok") > 512, F.col("tok") - 512).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens_lost"),
+    )
+    return a.select(
+        "n_docs",
+        "total_tokens",
+        "n_truncated",
+        "tokens_lost",
+        (
+            F.floor(
+                F.col("tokens_lost").cast("double")
+                / F.col("total_tokens")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("loss_share"),
+        (
+            F.floor(
+                F.col("n_truncated").cast("double") / F.col("n_docs") * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("doc_share_truncated"),
+    )

@@ -82,6 +82,11 @@ STAGED_NAMES: list[str] = [
     "text_langid_stopword_budget",
     "customer_churn_window_sweep",
     "dedup_shingle_size_sweep",
+    # wave E — clumpiness, label AUC, semantic tau sweep, truncation
+    "customer_purchase_clumpiness",
+    "embedding_cosine_label_auc",
+    "dedup_semantic_tau_sweep",
+    "pack_truncation_loss_audit",
 ]
 
 
