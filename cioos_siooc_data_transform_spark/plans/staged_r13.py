@@ -1884,3 +1884,394 @@ def pack_truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("doc_share_truncated"),
     )
+
+
+# ===========================================================================
+# Wave F — Weibull shape, dup-quality association, header
+# completeness, ice enthalpy at freezing.
+# ===========================================================================
+@_register(
+    "orders_gap_weibull_shape",
+    oracle="""
+    WITH g AS (
+      SELECT datediff('day', lag(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    d AS (SELECT CAST(gap AS BIGINT) AS gap FROM g
+          WHERE gap IS NOT NULL AND gap > 0),
+    c AS (SELECT gap, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    r AS (
+      SELECT gap, n,
+             sum(n) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS f
+      FROM c
+    ),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM c),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(gap AS DOUBLE)) * 1.0e9 + 0.5) AS BIGINT)
+               AS x_u,
+             CAST(floor(ln(-ln(1.0e0 - (f - 0.5e0 * n) / nn)) * 1.0e9 + 0.5)
+                  AS BIGINT) AS y_u
+      FROM r, t WHERE (f - 0.5e0 * n) / nn < 1.0e0
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k,
+             CAST(sum(x_u) AS DOUBLE) / 1.0e9 AS sx,
+             CAST(sum(y_u) AS DOUBLE) / 1.0e9 AS sy,
+             sum(CAST(x_u AS DOUBLE) / 1.0e9 * (CAST(y_u AS DOUBLE) / 1.0e9))
+               AS sxy,
+             sum((CAST(x_u AS DOUBLE) / 1.0e9)
+                 * (CAST(x_u AS DOUBLE) / 1.0e9)) AS sxx
+      FROM pts
+    )
+    SELECT CAST(k AS BIGINT) AS n_support_points,
+           floor((k * sxy - sx * sy) / (k * sxx - sx * sx) * 1.0e6 + 0.5)
+             / 1.0e6 AS weibull_shape_k,
+           floor(exp(-((sy / k)
+                       - (k * sxy - sx * sy) / (k * sxx - sx * sx)
+                         * (sx / k))
+                     / ((k * sxy - sx * sy) / (k * sxx - sx * sx)))
+                 * 1.0e3 + 0.5) / 1.0e3 AS weibull_scale_days
+    FROM s
+    """,
+)
+def orders_gap_weibull_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull shape from the probability plot: regress
+    ln(−ln(1−F(gap))) on ln(gap) over the distinct inter-order gaps
+    (midpoint-corrected empirical CDF from the two-pass cumulative
+    counts) — the slope IS the shape k, the churn-dynamics verdict the
+    exponentiality KS only rejects: k < 1 means the longer a customer
+    has been silent the LESS likely they return (true churn), k > 1
+    means overdue-and-returning. Scale follows as exp(−intercept/k).
+    Per-point logs quantize to 1e-9 before exact sums."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap")
+    ).filter(F.col("gap").isNotNull() & (F.col("gap") > 0))
+    c = g.groupBy("gap").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    c2 = c.withColumn("neg", -F.col("gap"))
+    r = ranked_cumsum_two_pass(c2, "neg", "neg", weight_col="n", out_cum="f")
+    t = c.agg(F.sum("n").cast("double").alias("nn"))
+    fc = (F.col("f") - F.lit(0.5) * F.col("n")) / F.col("nn")
+    pts = (
+        r.crossJoin(F.broadcast(t))
+        .filter(fc < 1.0)
+        .select(
+            F.floor(F.log(F.col("gap").cast("double")) * 1.0e9 + 0.5)
+            .cast("long")
+            .alias("x_u"),
+            F.floor(F.log(-F.log(F.lit(1.0) - fc)) * 1.0e9 + 0.5)
+            .cast("long")
+            .alias("y_u"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        (F.sum("x_u").cast("double") / 1.0e9).alias("sx"),
+        (F.sum("y_u").cast("double") / 1.0e9).alias("sy"),
+        F.sum(
+            (F.col("x_u").cast("double") / 1.0e9)
+            * (F.col("y_u").cast("double") / 1.0e9)
+        ).alias("sxy"),
+        F.sum(
+            (F.col("x_u").cast("double") / 1.0e9)
+            * (F.col("x_u").cast("double") / 1.0e9)
+        ).alias("sxx"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = F.col("sy") / k - slope * F.col("sx") / k
+    return s.select(
+        k.cast("long").alias("n_support_points"),
+        (F.floor(slope * 1.0e6 + 0.5) / 1.0e6).alias("weibull_shape_k"),
+        (F.floor(F.exp(-intercept / slope) * 1.0e3 + 0.5) / 1.0e3).alias(
+            "weibull_scale_days"
+        ),
+    )
+
+
+def _dup_quality_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES
+
+    return f"""
+    WITH q AS ({ORACLES["text_quality_score"]}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    dupids AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION SELECT doc_b FROM pairs
+    ),
+    med AS (SELECT CAST(quantile_cont(quality * 2, 0.5) AS BIGINT) AS m2 FROM q),
+    j AS (
+      SELECT (2 * q.quality < m2) AS low_q,
+             (dupids.doc_id IS NOT NULL) AS is_dup
+      FROM q LEFT JOIN dupids USING (doc_id), med
+    ),
+    c AS (
+      SELECT CAST(count(*) FILTER (is_dup AND low_q) AS DOUBLE) AS n11,
+             CAST(count(*) FILTER (is_dup AND NOT low_q) AS DOUBLE) AS n10,
+             CAST(count(*) FILTER (NOT is_dup AND low_q) AS DOUBLE) AS n01,
+             CAST(count(*) FILTER (NOT is_dup AND NOT low_q) AS DOUBLE)
+               AS n00
+      FROM j
+    )
+    SELECT CAST(n11 + n10 AS BIGINT) AS n_neardup,
+           CAST(n01 + n00 AS BIGINT) AS n_unique,
+           floor(n11 / nullif(n11 + n10, 0.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS low_quality_rate_dup,
+           floor(n01 / nullif(n01 + n00, 0.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS low_quality_rate_unique,
+           floor((n11 * n00 - n10 * n01)
+                 / nullif(sqrt((n11 + n10) * (n01 + n00)
+                               * (n11 + n01) * (n10 + n00)), 0.0e0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS phi
+    FROM c
+    """
+
+
+@_register("text_dup_quality_association", oracle="__WAVE_F13B__")
+def text_dup_quality_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are near-duplicates lower quality? Phi correlation of the 2x2
+    (participates-in-a-Jaccard>=0.5-pair x below-median-quality) table,
+    plus the low-quality rate in each group — the curation question
+    that decides whether dedup doubles as a quality filter (boilerplate
+    and spam duplicate heavily) or removes good content at random.
+    Composes two registered signals: text_quality_score (reused
+    verbatim, median via the doubled-percentile trick) and the
+    hot-shingle-capped near-dup pair machinery; empty cells NULLIF
+    instead of dividing by zero."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+    from cioos_siooc_data_transform_spark.plans.text_queries import (
+        text_quality_score,
+    )
+
+    q = text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    sh = distinct_shingles(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        sh, "doc_id", "s", threshold=0.5, max_doc_freq=10
+    )
+    dupids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    med = q.agg(
+        F.expr("CAST(percentile(quality * 2, 0.5) AS BIGINT)").alias("m2")
+    )
+    j = (
+        q.join(dupids, "doc_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            (2 * F.col("quality") < F.col("m2")).alias("low_q"),
+            F.col("_d").isNotNull().alias("is_dup"),
+        )
+    )
+    c = j.agg(
+        F.sum(F.when(F.col("is_dup") & F.col("low_q"), 1).otherwise(0))
+        .cast("double")
+        .alias("n11"),
+        F.sum(F.when(F.col("is_dup") & ~F.col("low_q"), 1).otherwise(0))
+        .cast("double")
+        .alias("n10"),
+        F.sum(F.when(~F.col("is_dup") & F.col("low_q"), 1).otherwise(0))
+        .cast("double")
+        .alias("n01"),
+        F.sum(F.when(~F.col("is_dup") & ~F.col("low_q"), 1).otherwise(0))
+        .cast("double")
+        .alias("n00"),
+    )
+    n11, n10, n01, n00 = (F.col(x) for x in ("n11", "n10", "n01", "n00"))
+    return c.select(
+        (n11 + n10).cast("long").alias("n_neardup"),
+        (n01 + n00).cast("long").alias("n_unique"),
+        (
+            F.floor(n11 / F.nullif(n11 + n10, F.lit(0.0)) * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("low_quality_rate_dup"),
+        (
+            F.floor(n01 / F.nullif(n01 + n00, F.lit(0.0)) * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("low_quality_rate_unique"),
+        (
+            F.floor(
+                (n11 * n00 - n10 * n01)
+                / F.nullif(
+                    F.sqrt(
+                        (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+                    ),
+                    F.lit(0.0),
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("phi"),
+    )
+
+
+STAGED_ORACLES["text_dup_quality_association"] = _dup_quality_oracle()
+
+
+@_register(
+    "ios_header_completeness_profile",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('event_number', CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+      ('latitude',     CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+      ('longitude',    CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+      ('mission',      CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+      ('start_ts',     CAST(3 AS BIGINT), CAST(2 AS BIGINT)),
+      ('station',      CAST(3 AS BIGINT), CAST(2 AS BIGINT))
+    ) AS t(field, n_files, n_present)
+    ORDER BY field
+    """,
+)
+def ios_header_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-field completeness across the parsed corpus (three
+    self-authored samples including the malformed one): per optional
+    header field, files present vs total — the archive-QC sheet an
+    ingest publishes so downstream users know which metadata they can
+    rely on (the malformed file parses to an error row, so every field
+    counts 2-of-3 present). Golden-profile oracle; the unpivot is a
+    fixed 6-field stack."""
+    from cioos_siooc_data_transform_spark.plans.ios_queries import (
+        SAMPLE_IOS,
+        _parse_cached,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r12 import (
+        SAMPLE_IOS_MOORING,
+    )
+    from cioos_siooc_data_transform_spark.sources.ios_source import ios_catalog
+
+    p1 = _parse_cached(
+        spark, "sample", "memory://sample-2024-001-0007.ctd", SAMPLE_IOS
+    )
+    p2 = _parse_cached(
+        spark,
+        "sample_mooring",
+        "memory://sample-2024-002-0003.mctd",
+        SAMPLE_IOS_MOORING,
+    )
+    p3 = _parse_cached(
+        spark, "sample_bad", "memory://sample-bad.ctd", SAMPLE_IOS_BAD
+    )
+    fields = [
+        "event_number", "latitude", "longitude", "mission", "start_ts",
+        "station",
+    ]
+    cats = [
+        ios_catalog(p) for p in (p1, p2, p3)
+    ]
+    allc = cats[0]
+    for cpart in cats[1:]:
+        allc = allc.unionByName(cpart, allowMissingColumns=True)
+    stack = ", ".join(
+        f"'{f}', CAST(({f} IS NOT NULL) AS INT)" for f in fields
+    )
+    lv = allc.select(
+        F.expr(f"stack({len(fields)}, {stack}) AS (field, present)")
+    )
+    return (
+        lv.groupBy("field")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("present").cast("long").alias("n_present"),
+        )
+        .orderBy("field")
+    )
+
+
+def _poth_ice_freezing_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        t_freezing_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r11 import (
+        _poth_ice_stages,
+    )
+
+    # t at the freezing point of seawater (s, p), then the registered
+    # pt0 -> enthalpy composition evaluated at that temperature.
+    stages: list[tuple[str, str]] = [("t", t_freezing_sql("s", "p"))]
+    stages += _poth_ice_stages()
+    stages.append(("pot_enthalpy_ice_freezing", "pot_enthalpy_ice"))
+    return stages
+
+
+def _poth_ice_freezing_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _IN_SQL
+
+    inner = f"SELECT l_orderkey, l_linenumber, s, p FROM ({_IN_SQL})"
+    staged = _stage_sql_cte(inner, _poth_ice_freezing_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(pot_enthalpy_ice_freezing * 1.0e6 + 0.5) / 1.0e6
+             AS pot_enthalpy_ice_freezing
+    FROM ({staged})
+    """
+
+
+@_register("gsw_pot_enthalpy_ice_freezing", oracle="__WAVE_F13D__")
+def gsw_pot_enthalpy_ice_freezing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential enthalpy of ice AT the seawater freezing temperature
+    (GSW twin: gsw_pot_enthalpy_ice_freezing) — the quantity ice-ocean
+    boundary fluxes are written in (McDougall, Barker et al.): compose
+    the Millero freezing point t_f(SA, p) with the registered
+    pt0_from_t_ice Newton chain and the IAPWS-06 enthalpy readoff at
+    p = 0. Five prefixed Gibbs chains end-to-end, flat-CTE oracle,
+    zero shuffle."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _inputs
+
+    df = _inputs(spark, sf_dir).select("l_orderkey", "l_linenumber", "s", "p")
+    for name, expr in _poth_ice_freezing_stages():
+        df = df.withColumn(name, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(F.col("pot_enthalpy_ice_freezing") * 1.0e6 + 0.5) / 1.0e6
+        ).alias("pot_enthalpy_ice_freezing"),
+    )
+
+
+STAGED_ORACLES["gsw_pot_enthalpy_ice_freezing"] = _poth_ice_freezing_oracle()

@@ -87,6 +87,12 @@ STAGED_NAMES: list[str] = [
     "embedding_cosine_label_auc",
     "dedup_semantic_tau_sweep",
     "pack_truncation_loss_audit",
+    # wave F — Weibull shape, dup-quality, header completeness,
+    # ice enthalpy at freezing
+    "orders_gap_weibull_shape",
+    "text_dup_quality_association",
+    "ios_header_completeness_profile",
+    "gsw_pot_enthalpy_ice_freezing",
 ]
 
 
