@@ -2275,3 +2275,277 @@ def gsw_pot_enthalpy_ice_freezing(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 STAGED_ORACLES["gsw_pot_enthalpy_ice_freezing"] = _poth_ice_freezing_oracle()
+
+
+# ===========================================================================
+# Wave G — rank stability, seasonality growth, char-profile affinity.
+# ===========================================================================
+@_register(
+    "nation_rank_stability_tau",
+    oracle="""
+    WITH r AS (
+      SELECT n_name, year(o_orderdate) AS yr,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE year(o_orderdate) IN (1999, 2000)
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT n_name,
+             max(CASE WHEN yr = 1999 THEN rev END) AS r0,
+             max(CASE WHEN yr = 2000 THEN rev END) AS r1
+      FROM r GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN (a.r0 < b.r0) = (a.r1 < b.r1) THEN 1 ELSE -1 END AS c
+      FROM w a JOIN w b ON a.n_name < b.n_name
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           floor(CAST(sum(c) AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS kendall_tau
+    FROM p
+    """,
+)
+def nation_rank_stability_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year stability of the nation revenue ranking: Kendall
+    tau between the 1999 and 2000 revenue orderings over all nation
+    pairs — tau near 1 means the league table is static (market-share
+    moves are noise), low tau means real reshuffling worth a
+    shift-share look. Revenue cents are exact; the pair comparison is
+    quadratic in NATIONS (25), i.e. bounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .filter(F.year("o_orderdate").isin(1999, 2000))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100.0
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    w = r.groupBy("n_name").agg(
+        F.max(F.when(F.col("yr") == 1999, F.col("rev"))).alias("r0"),
+        F.max(F.when(F.col("yr") == 2000, F.col("rev"))).alias("r1"),
+    )
+    a = w.select(
+        F.col("n_name").alias("na"), F.col("r0").alias("a0"), F.col("r1").alias("a1")
+    )
+    b = w.select(
+        F.col("n_name").alias("nb"), F.col("r0").alias("b0"), F.col("r1").alias("b1")
+    )
+    p = a.join(b, F.col("na") < F.col("nb")).select(
+        F.when(
+            (F.col("a0") < F.col("b0")) == (F.col("a1") < F.col("b1")), 1
+        )
+        .otherwise(-1)
+        .alias("c")
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        (
+            F.floor(F.sum("c").cast("double") / F.count(F.lit(1)) * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("kendall_tau"),
+    )
+
+
+@_register(
+    "orders_seasonal_amplitude_trend",
+    oracle="""
+    WITH m AS (
+      SELECT year(o_orderdate) AS yr, month(o_orderdate) - 1 AS moy,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS HUGEINT) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    full_years AS (
+      SELECT yr FROM m GROUP BY yr HAVING count(*) = 12
+    ),
+    coef AS (
+      SELECT m.yr,
+             sum(CAST(rev AS DOUBLE)
+                 * cos(2.0e0 * 3.141592653589793e0 * moy / 12.0e0)) / 6.0e0
+               AS a1,
+             sum(CAST(rev AS DOUBLE)
+                 * sin(2.0e0 * 3.141592653589793e0 * moy / 12.0e0)) / 6.0e0
+               AS b1
+      FROM m JOIN full_years USING (yr) GROUP BY m.yr
+    ),
+    amp AS (
+      SELECT yr, CAST(floor(sqrt(a1 * a1 + b1 * b1) / 100.0e0 + 0.5)
+                      AS BIGINT) AS amp_dollars
+      FROM coef
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS k, sum(CAST(yr AS DOUBLE)) AS sx,
+             sum(CAST(amp_dollars AS DOUBLE)) AS sy,
+             sum(CAST(yr AS DOUBLE) * amp_dollars) AS sxy,
+             sum(CAST(yr AS DOUBLE) * yr) AS sxx
+      FROM amp
+    )
+    SELECT CAST(k AS BIGINT) AS n_years,
+           CAST(floor((k * sxy - sx * sy) / (k * sxx - sx * sx) + 0.5)
+                AS BIGINT) AS amplitude_slope_dollars_per_year
+    FROM s
+    """,
+)
+def orders_seasonal_amplitude_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is seasonality strengthening? First-harmonic amplitude of the
+    monthly revenue per FULL year (the per-year Fourier projection —
+    the orthogonal-basis trick of the registered annual harmonic fit,
+    applied within years) regressed on the year — a positive slope
+    means the seasonal swing grows in dollar terms, the input to
+    multiplicative-vs-additive seasonality choices. Amplitudes floor to
+    whole dollars before the tiny OLS over years."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        (F.month("o_orderdate") - 1).alias("moy"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("decimal(38,0)")
+        .alias("rev")
+    )
+    full_years = (
+        m.groupBy("yr").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") == 12).select("yr")
+    )
+    pi = 3.141592653589793
+    ang = F.lit(2.0 * pi) * F.col("moy") / F.lit(12.0)
+    coef = (
+        m.join(F.broadcast(full_years), "yr")
+        .groupBy("yr")
+        .agg(
+            (F.sum(F.col("rev").cast("double") * F.cos(ang)) / F.lit(6.0)).alias("a1"),
+            (F.sum(F.col("rev").cast("double") * F.sin(ang)) / F.lit(6.0)).alias("b1"),
+        )
+    )
+    amp = coef.select(
+        "yr",
+        F.floor(
+            F.sqrt(F.col("a1") * F.col("a1") + F.col("b1") * F.col("b1"))
+            / 100.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("amp_dollars"),
+    )
+    s = amp.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("yr").cast("double")).alias("sx"),
+        F.sum(F.col("amp_dollars").cast("double")).alias("sy"),
+        F.sum(F.col("yr").cast("double") * F.col("amp_dollars")).alias("sxy"),
+        F.sum(F.col("yr").cast("double") * F.col("yr")).alias("sxx"),
+    )
+    k = F.col("k")
+    slope = (k * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        k * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        k.cast("long").alias("n_years"),
+        F.floor(slope + 0.5)
+        .cast("long")
+        .alias("amplitude_slope_dollars_per_year"),
+    )
+
+
+@_register(
+    "text_char_trigram_lang_affinity",
+    oracle="""
+    WITH tri AS (
+      SELECT lang, unnest(list_transform(
+               generate_series(1, greatest(length(text) - 2, 0)),
+               i -> substring(text, i, 3))) AS g
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, g, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY 1, 2
+    ),
+    nrm AS (
+      SELECT lang, sqrt(sum(CAST(n AS DOUBLE) * n)) AS l2 FROM c GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             sum(CAST(a.n AS DOUBLE) * b.n) AS dot
+      FROM c a JOIN c b ON a.g = b.g AND a.lang < b.lang
+      GROUP BY 1, 2
+    )
+    SELECT lang_a, lang_b,
+           floor(dot / (na.l2 * nb.l2) * 1.0e6 + 0.5) / 1.0e6
+             AS trigram_cosine
+    FROM dots
+    JOIN nrm na ON na.lang = lang_a
+    JOIN nrm nb ON nb.lang = lang_b
+    ORDER BY lang_a, lang_b
+    """,
+)
+def text_char_trigram_lang_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram profile cosine between every language pair
+    (Cavnar & Trenkle's n-gram profile, as vectors): high affinity
+    pairs (es/fr sharing Romance trigrams) are exactly where the
+    stopword identifier confuses — the geometry BEHIND the confusion
+    matrix, at the character level the word-based JSD can't see.
+    Trigram count vectors meet through an inverted-index join on the
+    trigram key (never a dense |langs|x|vocab| matrix); norms and dots
+    from exact integer counts."""
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    c = tri.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nrm = c.groupBy("lang").agg(
+        F.sqrt(F.sum(F.col("n").cast("double") * F.col("n"))).alias("l2")
+    )
+    a = c.select(F.col("lang").alias("lang_a"), "g", F.col("n").alias("na_"))
+    b = c.select(F.col("lang").alias("lang_b"), F.col("g").alias("g2"), F.col("n").alias("nb_"))
+    dots = (
+        a.join(b, (F.col("g") == F.col("g2")) & (F.col("lang_a") < F.col("lang_b")))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.sum(F.col("na_").cast("double") * F.col("nb_")).alias("dot"))
+    )
+    na = nrm.select(F.col("lang").alias("lang_a"), F.col("l2").alias("l2a"))
+    nb = nrm.select(F.col("lang").alias("lang_b"), F.col("l2").alias("l2b"))
+    return (
+        dots.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            (
+                F.floor(
+                    F.col("dot") / (F.col("l2a") * F.col("l2b")) * 1.0e6 + 0.5
+                )
+                / 1.0e6
+            ).alias("trigram_cosine"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )

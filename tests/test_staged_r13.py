@@ -93,6 +93,10 @@ STAGED_NAMES: list[str] = [
     "text_dup_quality_association",
     "ios_header_completeness_profile",
     "gsw_pot_enthalpy_ice_freezing",
+    # wave G — rank stability, seasonality growth, char affinity
+    "nation_rank_stability_tau",
+    "orders_seasonal_amplitude_trend",
+    "text_char_trigram_lang_affinity",
 ]
 
 
