@@ -2549,3 +2549,314 @@ def text_char_trigram_lang_affinity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang_a", "lang_b")
     )
+
+
+# ===========================================================================
+# Wave H — drift index, percolation robustness, sampling pair bias.
+# ===========================================================================
+@_register(
+    "orders_value_psi_drift",
+    oracle="""
+    WITH y1 AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 1999
+    ),
+    y2 AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE year(o_orderdate) = 2000
+    ),
+    cuts AS (
+      SELECT [CAST(quantile_cont(cents * 10, 0.1) AS BIGINT), CAST(quantile_cont(cents * 10, 0.2) AS BIGINT), CAST(quantile_cont(cents * 10, 0.3) AS BIGINT), CAST(quantile_cont(cents * 10, 0.4) AS BIGINT), CAST(quantile_cont(cents * 10, 0.5) AS BIGINT), CAST(quantile_cont(cents * 10, 0.6) AS BIGINT), CAST(quantile_cont(cents * 10, 0.7) AS BIGINT), CAST(quantile_cont(cents * 10, 0.8) AS BIGINT), CAST(quantile_cont(cents * 10, 0.9) AS BIGINT)] AS c10
+      FROM y1
+    ),
+    b1 AS (
+      SELECT len(list_filter(c10, c -> c < cents * 10)) AS bin,
+             count(*) AS n
+      FROM y1, cuts GROUP BY 1
+    ),
+    b2 AS (
+      SELECT len(list_filter(c10, c -> c < cents * 10)) AS bin,
+             count(*) AS n
+      FROM y2, cuts GROUP BY 1
+    ),
+    t AS (
+      SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM b1) AS n1,
+             (SELECT CAST(sum(n) AS DOUBLE) FROM b2) AS n2
+    ),
+    terms AS (
+      SELECT b1.bin,
+             CAST(floor((b2.n / n2 - b1.n / n1)
+                        * ln((b2.n / n2) / (b1.n / n1)) * 1.0e9 + 0.5)
+                  AS BIGINT) AS psi_u
+      FROM b1 JOIN b2 USING (bin), t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           floor(CAST(sum(psi_u) AS DOUBLE) / 1.0e3 + 0.5) / 1.0e6 AS psi
+    FROM terms
+    """,
+)
+def orders_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution, 1999
+    -> 2000: decile bins FITTED ON THE BASE YEAR (the industry
+    convention — cut points from the reference population, via the
+    10x-integer percentile trick so the cuts are exact), PSI =
+    Σ (p2 − p1)·ln(p2/p1); the credit-risk drift gauge (<0.1 stable,
+    >0.25 act) that the KS family reports less actionably. Bin
+    assignment is an exact integer comparison against the 9 broadcast
+    cuts; per-bin terms quantize to 1e-9 before the exact sum."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    y1 = o.filter(F.year("o_orderdate") == 1999).select(cents.alias("cents"))
+    y2 = o.filter(F.year("o_orderdate") == 2000).select(cents.alias("cents"))
+    cuts = y1.agg(
+        F.array(
+            *[
+                F.expr(
+                    f"CAST(percentile(cents * 10, {i / 10.0}) AS BIGINT)"
+                )
+                for i in range(1, 10)
+            ]
+        ).alias("c10")
+    )
+
+    def bins(df):
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .select(
+                F.size(
+                    F.filter(
+                        F.col("c10"),
+                        lambda c: c < F.col("cents") * 10,
+                    )
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    b1 = bins(y1).withColumnRenamed("n", "n1")
+    b2 = bins(y2).withColumnRenamed("n", "n2")
+    t1 = b1.agg(F.sum("n1").cast("double").alias("t1"))
+    t2 = b2.agg(F.sum("n2").cast("double").alias("t2"))
+    j = (
+        b1.join(b2, "bin")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+    )
+    p1 = F.col("n1") / F.col("t1")
+    p2 = F.col("n2") / F.col("t2")
+    terms = j.select(
+        F.floor((p2 - p1) * F.log(p2 / p1) * 1.0e9 + 0.5)
+        .cast("long")
+        .alias("psi_u")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            F.floor(F.sum("psi_u").cast("double") / 1.0e3 + 0.5) / 1.0e6
+        ).alias("psi"),
+    )
+
+
+@_register(
+    "graph_hub_removal_robustness",
+    oracle="""
+    WITH e AS (
+      SELECT pa AS a, pb AS b FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               count(*) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    adj AS (SELECT a AS u FROM e UNION ALL SELECT b FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    cut AS (
+      SELECT 0.01e0 AS frac,
+             CAST(quantile_cont(d * 2, 0.99e0) AS BIGINT) AS d2_cut FROM deg
+      UNION ALL
+      SELECT 0.05e0,
+             CAST(quantile_cont(d * 2, 0.95e0) AS BIGINT) FROM deg
+      UNION ALL
+      SELECT 0.10e0,
+             CAST(quantile_cont(d * 2, 0.90e0) AS BIGINT) FROM deg
+    ),
+    surv AS (
+      SELECT cut.frac,
+             CAST(count(*) AS BIGINT) AS n_surviving
+      FROM e
+      JOIN deg da ON da.u = e.a
+      JOIN deg db ON db.u = e.b, cut
+      WHERE 2 * da.d <= d2_cut AND 2 * db.d <= d2_cut
+      GROUP BY cut.frac
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT floor(frac * 1.0e6 + 0.5) / 1.0e6 AS hub_fraction_removed,
+           ne.n_edges, n_surviving,
+           floor(CAST(n_surviving AS DOUBLE) / ne.n_edges * 1.0e6 + 0.5)
+             / 1.0e6 AS edge_survival
+    FROM surv, ne ORDER BY hub_fraction_removed
+    """,
+)
+def graph_hub_removal_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation robustness to targeted hub removal: edge survival
+    after deleting the top 1/5/10% highest-degree nodes (an edge dies
+    if EITHER endpoint is removed) — scale-free graphs collapse under
+    targeted attack while staying robust to random failure, and the
+    survival curve quantifies how much of the co-purchase structure
+    rides on the hubs the rich-club coefficient flagged. Degree cut
+    points via the doubled-integer percentile; the removal test is an
+    integer compare on the broadcast cut."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("u")).unionAll(
+        e.select(F.col("b").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    fracs = (0.01, 0.05, 0.10)
+    cut = deg.agg(
+        *[
+            F.expr(
+                f"CAST(percentile(d * 2, {1.0 - f}) AS BIGINT)"
+            ).alias(f"c{int(f * 100)}")
+            for f in fracs
+        ]
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    ed = e.join(da, "a").join(db, "b").crossJoin(F.broadcast(cut))
+    ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    out = None
+    for f in fracs:
+        ccol = F.col(f"c{int(f * 100)}")
+        row = ed.filter(
+            (2 * F.col("da") <= ccol) & (2 * F.col("db") <= ccol)
+        ).agg(
+            F.lit(f).alias("frac"),
+            F.count(F.lit(1)).cast("long").alias("n_surviving"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return (
+        out.crossJoin(F.broadcast(ne))
+        .select(
+            (F.floor(F.col("frac") * 1.0e6 + 0.5) / 1.0e6).alias(
+                "hub_fraction_removed"
+            ),
+            "n_edges",
+            "n_surviving",
+            (
+                F.floor(
+                    F.col("n_surviving").cast("double")
+                    / F.col("n_edges")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("edge_survival"),
+        )
+        .orderBy("hub_fraction_removed")
+    )
+
+
+@_register(
+    "dedup_sample_pair_bias",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    ),
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+      ) WHERE jaccard >= 0.5
+    ),
+    insample AS (
+      SELECT doc_a, doc_b,
+             (((doc_a * 2654435761) % 4294967296) % 64 < 16) AS a_in,
+             (((doc_b * 2654435761) % 4294967296) % 64 < 16) AS b_in
+      FROM pairs
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(count(*) FILTER (a_in AND b_in) AS BIGINT)
+               AS n_pairs_in_sample
+      FROM insample
+    )
+    SELECT n_pairs, n_pairs_in_sample,
+           floor(CAST(n_pairs_in_sample AS DOUBLE)
+                 / nullif(CAST(n_pairs AS DOUBLE), 0.0e0) * 1.0e6 + 0.5)
+             / 1.0e6 AS pair_survival_rate,
+           0.0625e0 AS expected_rate
+    FROM t
+    """,
+)
+def dedup_sample_pair_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quadratic sampling bias of PAIR statistics: under the
+    deterministic 25% doc sample (bucket < 16 of 64, the standard
+    Knuth-hash rule), a near-dup pair survives only if BOTH endpoints
+    are sampled — expected 6.25%, so a duplication rate measured on a
+    sample UNDERSTATES the corpus rate by ~4x. This query measures the
+    realized pair survival against that expectation — the audit that
+    stops teams from QA-ing dedup on subsamples without the p²
+    correction. Membership is pure integer hash arithmetic on the
+    existing pair set."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        distinct_shingles,
+    )
+
+    sh = distinct_shingles(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        sh, "doc_id", "s", threshold=0.5, max_doc_freq=10
+    )
+
+    def in_sample(col):
+        return ((col * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(64) < 16
+
+    t = pairs.select(
+        in_sample(F.col("doc_a")).alias("a_in"),
+        in_sample(F.col("doc_b")).alias("b_in"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("a_in") & F.col("b_in"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pairs_in_sample"),
+    )
+    return t.select(
+        "n_pairs",
+        "n_pairs_in_sample",
+        (
+            F.floor(
+                F.col("n_pairs_in_sample").cast("double")
+                / F.nullif(F.col("n_pairs").cast("double"), F.lit(0.0))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("pair_survival_rate"),
+        F.lit(0.0625).alias("expected_rate"),
+    )

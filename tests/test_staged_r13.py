@@ -97,6 +97,10 @@ STAGED_NAMES: list[str] = [
     "nation_rank_stability_tau",
     "orders_seasonal_amplitude_trend",
     "text_char_trigram_lang_affinity",
+    # wave H — drift index, percolation robustness, sampling pair bias
+    "orders_value_psi_drift",
+    "graph_hub_removal_robustness",
+    "dedup_sample_pair_bias",
 ]
 
 
