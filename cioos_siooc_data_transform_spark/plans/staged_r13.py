@@ -6,9 +6,26 @@ Activation order: staged_r8 (round 8) -> ... -> staged_r12 (round 12)
 -> this module (round 13). Budget: len(STAGED_QUERIES) +
 len(STAGED_REPLACEMENTS) <= 50 fresh names at activation.
 
-Content so far:
-- Wave A — density inversion, welfare inequality, seasonal trend,
-  kNN-graph mutuality.
+Content so far (30 of the 50-name budget):
+- Wave A — CT-from-rho Newton inversion, Atkinson index, seasonal
+  Mann-Kendall, kNN mutuality.
+- Wave B — malformed-file error-isolation audit (third self-authored
+  IOS sample — the reference's exit() crash case survives as an error
+  row), Neyman allocation, partsupp margin audit, lead-time
+  consistency.
+- Wave C — Page-Hinkley sequential drift, Friedman DOW test, LSH
+  precision audit, multilingual-doc audit.
+- Wave D — residual Ljung-Box (backtest adequacy), langid
+  stopword-budget sweep, churn-window sweep, shingle-size sweep.
+- Wave E — purchase clumpiness, cosine-label AUC (Mann-Whitney
+  identity), semantic tau sweep, truncation-loss audit.
+- Wave F — Weibull shape from the probability plot, near-dup quality
+  association, header completeness, potential enthalpy of ice at
+  freezing.
+- Wave G — nation rank-stability tau, seasonal-amplitude growth,
+  char-trigram language affinity.
+- Wave H — PSI drift, hub-removal percolation robustness,
+  sampled-pair quadratic bias.
 """
 
 from __future__ import annotations
