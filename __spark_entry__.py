@@ -152,6 +152,32 @@ _CHECKED = frozenset(
         "events_missing_hours_audit", "embedding_dim_variance",
         "doc_ngram_coverage_curve", "text_word_length_profile",
         "lineitem_returns_rate_by_month", "doc_source_lang_chi2",
+        # round 7 (all 50 green in CORRECTNESS_r07.json)
+        "customer_gini_by_nation", "customer_survival_curve",
+        "customer_type_affinity", "dedup_shingle_df_profile",
+        "doc_dup_rate_by_length", "doc_word_pmi_pairs",
+        "embedding_cell_label_purity", "embedding_fisher_score",
+        "embedding_int8_error_audit", "embedding_pair_distance_histogram",
+        "events_cumulative_reset", "events_dow_hour_heatmap",
+        "events_heavy_hitters", "events_lagged_crosscorr",
+        "events_markov_entropy_rate", "events_markov_stationary",
+        "events_minute_burst_zscore", "events_mood_median_test",
+        "events_peak_to_mean", "events_session_cooccurrence",
+        "events_type_audience_jaccard", "events_user_type_diversity",
+        "events_value_ewma", "events_winsorized_mean",
+        "funnel_window_constrained", "graph_degree_assortativity",
+        "gsw_gravity", "gsw_rt_from_sp", "gsw_specvol_anom",
+        "lineitem_benford_audit", "lineitem_discount_elasticity",
+        "lineitem_price_variance_decomposition", "lineitem_return_by_discount",
+        "orders_lorenz_curve", "orders_null_aware_anti",
+        "orders_percentile_bands_exact", "orders_rolling_12m_revenue",
+        "orders_seasonal_index", "orders_segment_growth_ratio",
+        "orders_ship_lag_histogram", "orders_status_priority_cramers_v",
+        "pack_fill_efficiency_audit", "part_price_size_skyline",
+        "part_size_price_spearman", "part_type_price_anova",
+        "segment_nation_dissimilarity", "supplier_part_bipartite_density",
+        "supplier_share_trend", "table_pk_uniqueness_audit",
+        "text_term_burstiness",
     }
 )
 

@@ -1,6 +1,7 @@
-"""Keep the STAGED round-8 queries green while parked
-(plans/staged_r8.py — the round-8 runway seed; activation order is
-staged_r6 (round 6) -> staged_r7 (round 7) -> this module)."""
+"""The round-8 slate (plans/staged_r8.py) is LIVE as of round 8:
+activated from plans/__init__.py, same cycle the round-5/6/7 slates
+followed (parked one round to respect the driver's 50-fresh-sample
+budget, then activated)."""
 
 from __future__ import annotations
 
@@ -18,13 +19,27 @@ def _staged():
     return STAGED_QUERIES, STAGED_ORACLES
 
 
-def test_staged_not_registered():
-    from cioos_siooc_data_transform_spark.plans import all_queries
+def test_staged_now_registered():
+    """Round 8 activated the slate: every staged name must be live in
+    the registry with its oracle (the reverse of round 7's parked
+    invariant)."""
+    from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_ = _staged()
     assert set(qs) == set(os_)
-    leaked = set(qs) & set(all_queries())
-    assert not leaked, f"staged r8 queries leaked into the live registry: {leaked}"
+    live_q, live_o = all_queries(), all_oracles()
+    missing = set(qs) - set(live_q)
+    assert not missing, f"staged queries not activated: {missing}"
+    missing_o = set(os_) - set(live_o)
+    assert not missing_o, f"staged oracles not activated: {missing_o}"
+
+
+def test_activate_idempotent_after_import():
+    """plans/__init__.py already ran activate(); a second call must be a
+    no-op (0 newly-registered names)."""
+    from cioos_siooc_data_transform_spark.plans import staged_r8
+
+    assert staged_r8.activate() == 0
 
 
 STAGED_NAMES = [

@@ -28,12 +28,12 @@ def test_staged_not_registered():
     assert set(qs) == set(os_)
     leaked = set(qs) & set(all_queries())
     assert not leaked, f"staged r9 queries leaked into the live registry: {leaked}"
-    # replacements, by contract, DO name live queries — but must not be
-    # the registered callables yet
+    # the REPLACEMENTS were pulled forward to round 8 (janino-cliff fix,
+    # round-7 verdict item 3): they must BE the registered callables now
     live = all_queries()
     for name, (fn, _) in reps.items():
         assert name in live, f"replacement {name} has no live twin"
-        assert live[name] is not fn, f"replacement {name} activated early"
+        assert live[name] is fn, f"replacement {name} not applied (round-8 early pull)"
 
 
 STAGED_NAMES = [
@@ -133,16 +133,23 @@ def test_replacement_matches_oracle(spark, name):
 
 
 @pytest.mark.parametrize("name", REPLACEMENT_NAMES)
-def test_replacement_value_identical_to_live(spark, name):
-    """The staged-Horner twin must reproduce the live flat-form query's
-    quantized output row-for-row at the smoke SF (the regrouped tree
-    differs only in last-ulp rounding below the output floor)."""
-    from cioos_siooc_data_transform_spark.plans import all_queries
+def test_replacement_value_identical_to_flat_form(spark, name):
+    """The staged-Horner twin must reproduce the original flat-form
+    query's quantized output row-for-row at the smoke SF (the regrouped
+    tree differs only in last-ulp rounding below the output floor).
+    Since the round-8 early pull the replacement IS the live registry
+    entry, so compare against the retired flat builders kept in
+    plans/staged_r5.py."""
+    from cioos_siooc_data_transform_spark.plans import staged_r5
 
+    flat = {
+        "gsw_dynamic_enthalpy": staged_r5.gsw_dynamic_enthalpy,
+        "gsw_enthalpy": staged_r5.gsw_enthalpy,
+    }[name]
     _, _, reps = _staged()
     fn, _ = reps[name]
     new = {tuple(r) for r in fn(spark, SF_DIR_SMOKE).collect()}
-    old = {tuple(r) for r in all_queries()[name](spark, SF_DIR_SMOKE).collect()}
+    old = {tuple(r) for r in flat(spark, SF_DIR_SMOKE).collect()}
     assert new == old
 
 
