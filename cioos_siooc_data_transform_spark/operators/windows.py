@@ -79,6 +79,8 @@ def ranked_cumsum_two_pass(
     out_rank: str = "rnk",
     out_cum: str = "cum",
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """Global dense ranking + running sum over (value_col DESC,
     tie_col ASC) WITHOUT a single-partition window — the scale-safe
@@ -119,16 +121,43 @@ def ranked_cumsum_two_pass(
     the midrank input for rank statistics like Kruskal–Wallis).
     Bucketing and ordering are still by value_col; weight_col must be
     integer-typed for the exactness contract to hold.
+
+    group_cols (optional): rank/cumsum WITHIN each group instead of
+    globally — the grouped-window escape hatch (e.g. per-nation Gini
+    ranks). Bucket boundaries stay global (a partitioner needs no
+    per-group tuning); offsets come from a window partitioned by group
+    over its ≤ n_buckets bucket rows, and the offsets broadcast is
+    |groups|·n_buckets rows — use this form for FEW groups with LARGE
+    per-group cardinality (the skew case a plain grouped window cannot
+    split); for many small groups a plain grouped window is already the
+    right plan.
+
+    ascending=True ranks by (value_col ASC, tie_col ASC) — no caller-
+    side negation trick needed (bucket 0 then holds the smallest
+    values).
+
+    Tie contract: (group_cols, value_col, tie_col) must identify rows
+    uniquely. The running sums use an explicit ROWS frame, so with
+    duplicate tie pairs each duplicate gets a per-row running sum
+    consistent with its (arbitrary) out_rank — deterministic only when
+    the tie pairs are unique, which every caller guarantees (tie_col is
+    always a key).
     """
     wcol = weight_col if weight_col is not None else value_col
+    gc = list(group_cols or [])
     mm = df.agg(
         F.max(value_col).alias("__mx"),
         F.min(value_col).alias("__mn"),
     )
+    pos = (
+        (F.col(value_col) - F.col("__mn"))
+        if ascending
+        else (F.col("__mx") - F.col(value_col))
+    )
     b = df.crossJoin(F.broadcast(mm)).withColumn(
         "__bucket",
         F.floor(
-            (F.col("__mx") - F.col(value_col))
+            pos
             / F.greatest(
                 F.ceil(
                     (F.col("__mx") - F.col("__mn") + 1) / F.lit(n_buckets)
@@ -137,32 +166,160 @@ def ranked_cumsum_two_pass(
             )
         ).cast("long"),
     ).drop("__mx", "__mn")
-    stats = b.groupBy("__bucket").agg(
+    stats = b.groupBy(*gc, "__bucket").agg(
         F.count(F.lit(1)).cast("long").alias("__bn"),
         F.sum(wcol).cast("long").alias("__bsum"),
     )
     w_off = (
-        Window.orderBy("__bucket")
+        (Window.partitionBy(*gc) if gc else Window)
+        .orderBy("__bucket")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = stats.select(
+        *gc,
         "__bucket",
         F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__off_n"),
         F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__off_sum"),
     )
-    w_in = Window.partitionBy("__bucket").orderBy(
-        F.col(value_col).desc(), F.col(tie_col)
-    )
+    order = [
+        F.col(value_col).asc() if ascending else F.col(value_col).desc(),
+        F.col(tie_col),
+    ]
+    w_in = Window.partitionBy(*gc, "__bucket").orderBy(*order)
+    w_in_rows = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = (
         b.withColumn("__rn_in", F.row_number().over(w_in).cast("long"))
-        .withColumn("__cum_in", F.sum(wcol).over(w_in).cast("long"))
-        .join(F.broadcast(offsets), "__bucket")
+        .withColumn("__cum_in", F.sum(wcol).over(w_in_rows).cast("long"))
+        .join(F.broadcast(offsets), gc + ["__bucket"])
     )
     return (
         ranked.withColumn(out_rank, (F.col("__off_n") + F.col("__rn_in")))
         .withColumn(out_cum, (F.col("__off_sum") + F.col("__cum_in")))
         .drop("__bucket", "__rn_in", "__cum_in", "__off_n", "__off_sum")
     )
+
+
+def ranked_cumsum_range_shuffle(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    num_partitions: int | None = None,
+    out_rank: str = "rnk",
+    out_cum: str = "cum",
+    weight_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Exact global rank + running sum via range repartitioning on the
+    COMPOSITE (value_col, tie_col) key — the peaked-distribution-proof
+    twin of ranked_cumsum_two_pass, and the same mechanism Spark's own
+    global sort uses.
+
+    Why it exists: ranked_cumsum_two_pass buckets by VALUE range, and
+    equal values must share a bucket for the offsets to be exact — so a
+    value held by 90 % of rows puts 90 % of rows in one window task no
+    matter how large n_buckets is. RangePartitioner samples the full
+    composite key, so the hot value splits across tasks by tie_col.
+    Measured (tools/skew_stress.py, ranked_cumsum case): the bucket
+    form's worst task sorts the whole hot value, this form's tasks stay
+    ~|rows|/num_partitions.
+
+    Mechanics: repartitionByRange(num_partitions, value desc/asc, tie)
+    puts partition i entirely before partition i+1 in the total order;
+    per-partition counts/weight-sums (map-side combinable, one
+    num_partitions-row table) get exclusive prefix offsets from a
+    window over that tiny table; rows get within-partition
+    row_number/running-ROWS-sum from a window PARTITIONED by the range
+    partition id. Exactness does not depend on where the sampled
+    boundaries land — offsets come from actual partition contents.
+
+    The lazy localCheckpoint pins the sampled partitioning: the stats
+    aggregate and the rank window must see the SAME assignment, and
+    RangePartitioner's sample seed is not stable across plan re-
+    instantiations. Cost: one range shuffle + one linear, disk-spillable
+    materialization — use the bucket form when value duplicates are
+    bounded, this form when one value can dominate.
+
+    Same contracts as ranked_cumsum_two_pass: integer value/weight
+    columns for bit-exact sums, unique (value_col, tie_col) pairs.
+    """
+    wcol = weight_col if weight_col is not None else value_col
+    order = [
+        F.col(value_col).asc() if ascending else F.col(value_col).desc(),
+        F.col(tie_col).asc(),
+    ]
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    b = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    stats = b.groupBy("__pid").agg(
+        F.count(F.lit(1)).cast("long").alias("__pn"),
+        F.sum(wcol).cast("long").alias("__psum"),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = stats.select(
+        "__pid",
+        F.coalesce(F.sum("__pn").over(w_off), F.lit(0)).alias("__off_n"),
+        F.coalesce(F.sum("__psum").over(w_off), F.lit(0)).alias("__off_sum"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order)
+    w_in_rows = w_in.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        b.withColumn("__rn_in", F.row_number().over(w_in).cast("long"))
+        .withColumn("__cum_in", F.sum(wcol).over(w_in_rows).cast("long"))
+        .join(F.broadcast(offsets), "__pid")
+    )
+    return (
+        ranked.withColumn(out_rank, (F.col("__off_n") + F.col("__rn_in")))
+        .withColumn(out_cum, (F.col("__off_sum") + F.col("__cum_in")))
+        .drop("__pid", "__rn_in", "__cum_in", "__off_n", "__off_sum")
+    )
+
+
+def ntile_two_pass(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    n_tiles: int,
+    out_col: str = "tile",
+    n_buckets: int = 512,
+) -> DataFrame:
+    """Exact SQL ``ntile(n) OVER (ORDER BY value_col, tie_col)`` without
+    a single-partition window: the global ascending rank comes from
+    ranked_cumsum_two_pass and the tile from the standard remainder
+    formula (with N rows and k tiles, the first N % k tiles hold
+    ceil(N/k) rows, the rest floor(N/k)) — bit-identical to the engine
+    builtin for any N, including N < k (each row its own tile). The
+    total row count is a 1-row broadcast aggregate, not a driver
+    collect. Same contracts as the underlying operator: integer
+    value_col, unique (value_col, tie_col) pairs."""
+    ranked = ranked_cumsum_two_pass(
+        df,
+        value_col,
+        tie_col,
+        n_buckets=n_buckets,
+        out_rank="__ntile_rn",
+        out_cum="__ntile_cum",
+        ascending=True,
+    ).drop("__ntile_cum")
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("__ntile_n"))
+    t = ranked.crossJoin(F.broadcast(tot))
+    base = F.floor(F.col("__ntile_n") / n_tiles).cast("long")
+    rem = (F.col("__ntile_n") % n_tiles).cast("long")
+    cutoff = rem * (base + 1)
+    rn = F.col("__ntile_rn")
+    tile = F.when(
+        rn <= cutoff, F.floor((rn - 1) / (base + 1)).cast("long") + 1
+    ).otherwise(
+        rem
+        + F.floor((rn - cutoff - 1) / F.greatest(base, F.lit(1))).cast("long")
+        + 1
+    )
+    return t.withColumn(out_col, tile).drop("__ntile_rn", "__ntile_n")
 
 
 def multi_weighted_cumsum_two_pass(
@@ -222,7 +379,13 @@ def multi_weighted_cumsum_two_pass(
         if descending
         else [F.col(value_col).asc(), F.col(tie_col)]
     )
-    w_in = Window.partitionBy("__bucket").orderBy(*order)
+    # Explicit ROWS frame: per-row running sums consistent with rank
+    # order even under duplicate (value, tie) pairs — deterministic only
+    # when the tie pairs are unique (same contract as
+    # ranked_cumsum_two_pass; every caller ties on a key).
+    w_in = Window.partitionBy("__bucket").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     ranked = b
     for w in weight_cols:
         ranked = ranked.withColumn(

@@ -1782,27 +1782,32 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the running share of total — "what fraction of revenue do the
     top 20% hold". Integer-cents revenue makes the running sums exact;
     the share is one floor-rounded division of exact integers. Shape
-    note: the ranked window is GLOBAL (one ordered pass) — fine for a
-    per-customer aggregate that is already ≪ the fact table, and the
-    fact-table agg below it is map-side combinable; for a truly huge
-    key space, bucket by revenue range first (the RFM cutpoint idiom)."""
+    note (migrated round 8): the global ordered pass runs through
+    ``ranked_cumsum_two_pass`` — no window touches more rows than one
+    value-range bucket (~|keys|/512) and the only single-partition
+    window orders the 512-row bucket table, so the plan survives any
+    customer cardinality. Exact integer cents make the bucketed running
+    sums equal the single-window oracle bit-for-bit (equality pinned by
+    the ``pareto_share_two_pass`` registered twin, which runs this same
+    operator against the identical global-window oracle text)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
         .cast("long")
         .alias("rev_cents")
     )
-    w = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey"))
-    wall = Window.partitionBy()
-    ranked = cust.select(
-        "o_custkey",
-        "rev_cents",
-        F.row_number().over(w).cast("long").alias("rnk"),
-        F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
-        F.sum("rev_cents").over(wall).cast("long").alias("total_cents"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("n_cust"),
+    ranked = ranked_cumsum_two_pass(
+        cust, "rev_cents", "o_custkey", out_rank="rnk", out_cum="cum_cents"
     )
-    return ranked.select(
+    tot = cust.agg(
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    return ranked.crossJoin(F.broadcast(tot)).select(
         "o_custkey", "rev_cents", "rnk",
         (
             F.floor(F.col("cum_cents") * 1000000.0 / F.col("total_cents") + 0.5)

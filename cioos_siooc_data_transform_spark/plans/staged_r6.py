@@ -2461,14 +2461,21 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile is a GLOBAL window over one long per doc — fine to the
-    hundreds of millions of docs a single partition sorts; past that,
-    switch to the two-pass approx-threshold + bin pattern
-    (value_histogram's shape). Deterministic tiebreak on doc_id makes
-    the decile boundaries engine-identical; all stats exact integers."""
+    """Migrated (round 8) onto ntile_two_pass: the global decile
+    assignment runs as range-bucketed rank + the exact ntile remainder
+    formula, so no window sorts more than ~|docs|/512 rows at any
+    corpus size (the old ntile(10) was one single-partition sort over
+    every doc). Deterministic tiebreak on doc_id keeps the decile
+    boundaries engine-identical; all stats exact integers."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    t = docs.select("n_chars", F.ntile(10).over(w).alias("decile"))
+    t = ntile_two_pass(
+        docs.select("n_chars", "doc_id"), "n_chars", "doc_id", 10,
+        out_col="decile",
+    )
     return t.groupBy(F.col("decile").cast("long").alias("decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("n_chars").cast("long").alias("min_chars"),
@@ -2513,26 +2520,29 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The inventory-policy rollup of the Pareto curve. The global
-    cumulative window runs over the PART-level aggregate (bounded by
-    part cardinality — the two-pass threshold pattern applies past
-    ~1e8 parts); class boundaries are exact integer inequalities, so no
-    part can flip class on a different machine."""
+    """The inventory-policy rollup of the Pareto curve. Migrated
+    (round 8) onto ranked_cumsum_two_pass: the cumulative pass over the
+    part-level aggregate runs per value-range bucket (~|parts|/512 rows
+    per window task) instead of one global ordered partition, so the
+    plan survives any part cardinality; exact integer cents keep the
+    bucketed running sums bit-equal to the single-window oracle. Class
+    boundaries are exact integer inequalities, so no part can flip
+    class on a different machine."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .cast("long")
         .alias("cents")
     )
-    wc = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = ranked_cumsum_two_pass(
+        rev, "cents", "l_partkey", out_rank="__rnk", out_cum="cum_cents"
     )
-    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    cum = rev.select(
-        "cents",
-        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
-        F.sum("cents").over(wt).cast("long").alias("total_cents"),
-    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("total_cents"))
+    cum = cum.crossJoin(F.broadcast(tot))
     cls = (
         F.when(F.col("cum_cents") * 100 <= 80 * F.col("total_cents"), "A")
         .when(F.col("cum_cents") * 100 <= 95 * F.col("total_cents"), "B")

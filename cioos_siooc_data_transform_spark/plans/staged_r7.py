@@ -1544,15 +1544,23 @@ def supplier_part_bipartite_density(spark: SparkSession, sf_dir: str) -> DataFra
 def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve at customer deciles (poorest -> richest by
     lifetime revenue): the distribution view behind the Gini scalar
-    already live. ntile runs over the customer-level AGGREGATE with a
-    deterministic tiebreak; cumulative share is exact integers until
-    one rounded division per decile."""
+    already live. Migrated (round 8) onto ntile_two_pass — the decile
+    assignment is range-bucketed rank + the exact remainder formula, so
+    no window sorts more than ~|customers|/512 rows; the remaining
+    ordered window runs over the 10-row decile table (bounded by
+    construction). Cumulative share is exact integers until one rounded
+    division per decile."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(_cents_col(F.col("o_totalprice"))).cast("long").alias("cents")
     )
-    wn = Window.orderBy("cents", "o_custkey")
-    ranked = rev.select("cents", F.ntile(10).over(wn).alias("decile"))
+    ranked = ntile_two_pass(
+        rev, "cents", "o_custkey", 10, out_col="decile"
+    ).select("cents", "decile")
     d = ranked.groupBy("decile").agg(
         F.sum("cents").cast("long").alias("dec_cents"),
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -3031,8 +3039,16 @@ def supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue inequality per nation — the grouped version of the live
-    corpus-wide Gini (25 bounded windows instead of one global). All
-    three sums exact integers; one rounded expression per nation."""
+    corpus-wide Gini. Migrated (round 8) onto the grouped form of
+    ranked_cumsum_two_pass (group_cols=["nk"], ascending): per-nation
+    ranks come from range-bucketed windows, so a hot nation splits
+    across ~512 bucket tasks instead of sorting in one (the skew case a
+    plain 25-partition window cannot split). All three sums exact
+    integers; one rounded expression per nation."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     rev = (
@@ -3040,11 +3056,14 @@ def customer_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nk"), "o_custkey")
         .agg(F.sum(_cents_col(F.col("o_totalprice"))).cast("long").alias("cents"))
     )
-    w = Window.partitionBy("nk").orderBy("cents", "o_custkey")
-    ranked = rev.select(
+    ranked = ranked_cumsum_two_pass(
+        rev, "cents", "o_custkey",
+        out_rank="__i", out_cum="__cum_unused",
+        group_cols=["nk"], ascending=True,
+    ).select(
         "nk",
         F.col("cents").cast("decimal(19,0)").alias("cents"),
-        F.row_number().over(w).cast("decimal(19,0)").alias("i"),
+        F.col("__i").cast("decimal(19,0)").alias("i"),
     )
     s = ranked.groupBy("nk").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -27,6 +27,11 @@ FEATURES = {
     "sort_merge_joins": r"\bSortMergeJoin\b",
     "broadcast_hash_joins": r"\bBroadcastHashJoin\b",
     "nested_loop_joins": r"\bBroadcastNestedLoopJoin\b",
+    # global-window signature: every Exchange SinglePartition left in a
+    # plan must be bounded-input by construction (<=n_buckets bucket
+    # tables, dimension-sized aggregates) — the concentration-family
+    # migration (round 8) removed the scan-sized ones
+    "single_partition_exchanges": r"\bExchange SinglePartition\b",
     "cartesian": r"\bCartesianProduct\b",
     "window_ops": r"\bWindow\b|\bRunningWindowFunction\b",
     "python_ops": r"\bMapInPandas\b|\bFlatMapGroupsInPandas\b|\bArrowEvalPython\b|\bBatchEvalPython\b|\bPythonUDTF\b",

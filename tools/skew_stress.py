@@ -259,9 +259,9 @@ N_POINTS = 500_000
 def _gen_geo() -> None:
     """Synthetic polygon catalog + point set for the grid-path case
     (round-6 verdict item 6: the grid equi-join is threshold-gated but
-    was benched only at 51 polygons). 8k random rectangles (as 5-point
-    rings, so the ray-casting UDF runs the real code path) over a
-    [-180,180]x[-60,60] world, 500k points."""
+    was benched only at 51 polygons). N_POLYGONS random rectangles (as
+    5-point rings, so the ray-casting UDF runs the real code path) over
+    a [-180,180]x[-60,60] world, 500k points."""
     import json as _json
 
     import numpy as np
@@ -314,8 +314,9 @@ def _gen_geo() -> None:
 
 def case_geo_grid(spark, guarded: bool):
     """guarded = grid-cell equi-join candidates (num_polygons passed,
-    8k > threshold); unguarded = the small-catalog default, a broadcast
-    bbox nested-loop scan of all 8k polygons per point."""
+    N_POLYGONS > threshold); unguarded = the small-catalog default, a
+    broadcast bbox nested-loop scan of all N_POLYGONS polygons per
+    point."""
     from cioos_siooc_data_transform_spark.sources.geojson_source import (
         assign_geo_code,
     )
@@ -335,12 +336,45 @@ def case_geo_grid(spark, guarded: bool):
     )
 
 
+N_RANK_ROWS = 20_000_000
+RANK_HOT_FRAC = 0.90
+
+
+def case_ranked_cumsum(spark, guarded: bool):
+    """Peaked global ranking (round-7 verdict item 7): 90 % of 20M rows
+    share ONE value, so value-range bucketing puts 18M rows in a single
+    window task no matter what n_buckets is (equal values must share a
+    bucket for the offsets to stay exact — the degradation the operator
+    docstring admits). guarded = ranked_cumsum_range_shuffle (composite-
+    key range partitioning splits the hot value by tie_col); unguarded =
+    ranked_cumsum_two_pass. Data generated in-flight (spark.range,
+    deterministic) — no corpus file needed."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_range_shuffle,
+        ranked_cumsum_two_pass,
+    )
+
+    n_hot = int(N_RANK_ROWS * RANK_HOT_FRAC)
+    df = spark.range(N_RANK_ROWS).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < n_hot, F.lit(5_000_000))
+        .otherwise((F.col("id") * 2654435761 % 1_000_000).cast("long"))
+        .alias("v"),
+    )
+    if guarded:
+        return ranked_cumsum_range_shuffle(df, "v", "k", num_partitions=64)
+    return ranked_cumsum_two_pass(df, "v", "k")
+
+
 CASES = {
     "ngram_jaccard": case_ngram_jaccard,
     "lsh_topk": case_lsh_topk,
     "triangle_count": case_triangle_count,
     "semantic_dedup": case_semantic_dedup,
     "geo_grid": case_geo_grid,
+    "ranked_cumsum": case_ranked_cumsum,
 }
 
 
