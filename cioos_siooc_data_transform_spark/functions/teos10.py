@@ -429,11 +429,34 @@ def spiciness2_sql(sa: str, ct: str) -> str:
 GSW_P0 = 101325.0  # Pa, one standard atmosphere
 
 
-def internal_energy_sql(sa: str, ct: str, p: str) -> str:
-    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
-        dynamic_enthalpy_sql,
-    )
+def dynamic_enthalpy_sql(sa: str, ct: str, p: str) -> str:
+    """TEOS-10 dynamic enthalpy: the analytic pressure integral of the
+    committed 75-term specific volume — h_dyn(SA, CT, p) =
+    1e8 * sum vIJK * xs^I * ys^J * z^(K+1)/(K+1) J/kg (db2pa * 1e4
+    scale, z = p*1e-4). Every coefficient comes from the SAME table the
+    check-valued density uses; the integration itself is pinned by a
+    derivative property test (dh/dp must reproduce specvol). Flat
+    single-expression form — fine for ONE evaluation per projection;
+    multi-evaluation consumers must use dynamic_enthalpy_stages below
+    (janino 64 KB cliff, SCALE.md). Lived in plans/staged_r5.py through
+    round 7; moved here so the functions->plans dependency points one
+    way (plans re-export it)."""
+    xs = f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"
+    ys = f"(({ct})*0.025e0)"
+    z = f"(({p})*1.0e-4)"
+    terms = []
+    # Coefficient names follow the committed Horner template's
+    # convention: v{ys_power}{xs_power}{z_power} (the first digit nests
+    # under ys, the second under xs — see _SPECVOL_TEMPLATE).
+    for name, v in sorted(SPECVOL_COEFFS.items()):
+        j_ys, i_xs, k_z = int(name[1]), int(name[2]), int(name[3])
+        c = _lit(v / (k_z + 1))
+        factors = [c] + [xs] * i_xs + [ys] * j_ys + [z] * (k_z + 1)
+        terms.append("*".join(factors))
+    return "(1.0e8*(" + " + ".join(terms) + "))"
 
+
+def internal_energy_sql(sa: str, ct: str, p: str) -> str:
     h = f"({_lit(GSW_CP0)}*({ct}) + {dynamic_enthalpy_sql(sa, ct, p)})"
     return (
         f"({h} - ({_lit(GSW_P0)} + 1.0e4*({p}))*{specvol_sql(sa, ct, p)})"
@@ -477,10 +500,6 @@ def sa_from_rho_stages(rho: str, ct: str, p: str) -> list[tuple[str, str]]:
 # gsw_enthalpy; h_dyn is the committed 75-term dynamic enthalpy).
 # ---------------------------------------------------------------------------
 def enthalpy_sql(sa: str, ct: str, p: str) -> str:
-    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
-        dynamic_enthalpy_sql,
-    )
-
     return f"({_lit(GSW_CP0)}*({ct}) + {dynamic_enthalpy_sql(sa, ct, p)})"
 
 
@@ -671,7 +690,7 @@ def latentheat_evap_hs84_sql(t: str) -> str:
 
 # ---------------------------------------------------------------------------
 # Staged dynamic enthalpy — the SAME 75 coefficients as
-# dynamic_enthalpy_sql (plans/staged_r5.py), restructured as stage
+# dynamic_enthalpy_sql (above), restructured as stage
 # columns: a_K(xs, ys) = sum_JI vJIK/(K+1)·xs^I·ys^J per z-power, then
 # a Horner combine in z. Rationale: the flat inline 75-term text
 # expands xs/ys/z textually per term, and consumers composing SEVERAL
@@ -699,16 +718,43 @@ def _hdyn_coeffs_by_k() -> dict[int, list[tuple[int, int, float]]]:
     return by_k
 
 
+def _horner_ys_xs(terms: list[tuple[int, int, float]], xs: str, ys: str) -> str:
+    """Emit Σ c_{ji}·xs^i·ys^j as nested Horner (ys outer, xs inner) —
+    ~3× fewer multiplies and ~3× less text than flat per-term products
+    (round-8 finding: the flat a_K emission made the staged h_dyn only
+    TIE the flat 75-term form at one evaluation, 5.6 s vs 8.5 s at
+    sf0.1; Horner emission is what makes the regrouping actually pay).
+    Evaluation order is fixed by the nesting and shared verbatim with
+    the oracles, so cross-engine parity is unaffected."""
+    by_j: dict[int, dict[int, float]] = {}
+    for j, i, c in terms:
+        by_j.setdefault(j, {})[i] = by_j.setdefault(j, {}).get(i, 0.0) + c
+    if not by_j:
+        return "0.0e0"
+
+    def horner_x(ci: dict[int, float]) -> str:
+        deg = max(ci)
+        txt = _lit(ci.get(deg, 0.0))
+        for i in range(deg - 1, -1, -1):
+            c = ci.get(i, 0.0)
+            txt = f"({_lit(c)} + {xs}*{txt})"
+        return txt
+
+    deg_j = max(by_j)
+    out = horner_x(by_j[deg_j])
+    for j in range(deg_j - 1, -1, -1):
+        inner = horner_x(by_j[j]) if j in by_j else "0.0e0"
+        out = f"({inner} + {ys}*{out})"
+    return out
+
+
 def hdyn_poly_stages(xs: str, ys: str, x: str) -> list[tuple[str, str]]:
     """Stages ``{x}a0``..``{x}a6``: the z-power coefficient polynomials
     a_K(xs, ys). Independent of z, so consumers evaluating h_dyn at
     several pressures with the same (SA, CT) share ONE set."""
     stages = []
     for k, terms in sorted(_hdyn_coeffs_by_k().items()):
-        txt = " + ".join(
-            "*".join([_lit(c)] + [xs] * i + [ys] * j) for j, i, c in terms
-        )
-        stages.append((f"{x}a{k}", f"({txt})"))
+        stages.append((f"{x}a{k}", f"({_horner_ys_xs(terms, xs, ys)})"))
     return stages
 
 
@@ -887,7 +933,7 @@ def hdyn_deriv_poly_stages(
     hdyn_poly_stages."""
     stages = []
     for k, terms in sorted(_hdyn_coeffs_by_k().items()):
-        parts = []
+        dterms = []
         for j, i, c in terms:
             if i < dxs or j < dys:
                 continue
@@ -896,10 +942,8 @@ def hdyn_deriv_poly_stages(
                 cc *= i - d
             for d in range(dys):
                 cc *= j - d
-            parts.append(
-                "*".join([_lit(cc)] + [xs] * (i - dxs) + [ys] * (j - dys))
-            )
-        stages.append((f"{x}a{k}", "(" + (" + ".join(parts) or "0.0e0") + ")"))
+            dterms.append((j - dys, i - dxs, cc))
+        stages.append((f"{x}a{k}", f"({_horner_ys_xs(dterms, xs, ys)})"))
     return stages
 
 

@@ -48,7 +48,19 @@ def asof_join(
     per left row) so the carried values always come from the same right
     row — carrying columns independently would mix columns across right
     rows whenever the latest right row has a NULL field.
+
+    tolerance units: the gap is computed on ``cast('long')`` of the two
+    timestamp columns, so for TIMESTAMP columns tolerance is SECONDS;
+    for integer time columns it is whatever raw unit the column holds
+    (e.g. micros for unix_micros). A match exactly at the tolerance
+    bound is kept (gap <= tolerance). Negative tolerance is rejected —
+    it would silently null every match.
     """
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(
+            f"tolerance must be >= 0 (got {tolerance}); a negative bound "
+            "would null every match"
+        )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (key, right_ts)]
 

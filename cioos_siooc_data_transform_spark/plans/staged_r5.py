@@ -2184,34 +2184,13 @@ def activate() -> int:
 # ===========================================================================
 
 # ---------------------------------------------------------------------------
-# TEOS-10 dynamic enthalpy: the analytic pressure integral of the
-# committed 75-term specific volume — h_dyn(SA, CT, p) =
-# 1e8 * sum vIJK * xs^I * ys^J * z^(K+1)/(K+1) J/kg (db2pa * 1e4 scale,
-# z = p*1e-4). Every coefficient comes from the SAME table the
-# check-valued density uses; the integration itself is pinned by a
-# derivative property test (dh/dp must reproduce specvol).
+# TEOS-10 dynamic enthalpy — moved to functions/teos10.py in round 8 so
+# the functions->plans dependency points one way (round-7 advisor
+# item); re-exported here for the existing consumers of this module.
 # ---------------------------------------------------------------------------
-def dynamic_enthalpy_sql(sa: str, ct: str, p: str) -> str:
-    from cioos_siooc_data_transform_spark.functions.teos10 import (
-        GSW_OFFSET,
-        GSW_SFAC,
-        SPECVOL_COEFFS,
-        _lit,
-    )
-
-    xs = f"sqrt({_lit(GSW_SFAC)}*({sa}) + {_lit(GSW_OFFSET)})"
-    ys = f"(({ct})*0.025e0)"
-    z = f"(({p})*1.0e-4)"
-    terms = []
-    # Coefficient names follow the committed Horner template's
-    # convention: v{ys_power}{xs_power}{z_power} (the first digit nests
-    # under ys, the second under xs — see _SPECVOL_TEMPLATE).
-    for name, v in sorted(SPECVOL_COEFFS.items()):
-        j_ys, i_xs, k_z = int(name[1]), int(name[2]), int(name[3])
-        c = _lit(v / (k_z + 1))
-        factors = [c] + [xs] * i_xs + [ys] * j_ys + [z] * (k_z + 1)
-        terms.append("*".join(factors))
-    return "(1.0e8*(" + " + ".join(terms) + "))"
+from cioos_siooc_data_transform_spark.functions.teos10 import (  # noqa: E402
+    dynamic_enthalpy_sql,
+)
 
 
 @_register("gsw_dynamic_enthalpy", oracle="__LAZY__")
