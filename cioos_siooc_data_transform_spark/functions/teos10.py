@@ -1173,3 +1173,402 @@ def entropy_p0_derivative_sql(sa: str, pt: str, dsa: int, dt: int) -> str:
         .replace(sa_, f"({sa})")
         .replace(t_, f"({pt})")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full Gibbs potential of seawater g(SA, t, p) — IAPWS-08 / Feistel
+# (2008, Deep-Sea Res. I 55, 1639-1671) as adopted by TEOS-10
+# (IOC-2010 manual, appendix G; reference implementation
+# gsw_oceanographic_toolbox.c::gsw_gibbs, the (0,0,0) value branch).
+# The coefficients below are the PUBLISHED constants of that standard,
+# re-extracted from the nested-Horner publication form into exact
+# monomials c·x^i·y^j·z^k (x = sqrt(sfac·SA), y = t/40 °C, z =
+# p/1e4 dbar) by exact polynomial expansion — Horner products only ever
+# multiply a coefficient by a variable, so every monomial coefficient
+# IS a published constant bit-for-bit (expansion cross-checked to
+# <4e-16 relative against direct evaluation at three states).
+#
+# Everything *_t_exact derives from THIS one table via the symbolic
+# differentiator (functions/symdiff.py) — d/dSA chains through
+# sqrt(sfac·SA) and the x²·ln(x) salinity terms automatically, so the
+# per-derivative scalings (0.025/K, 1e-8/Pa, sfac/(2x), ...) that the
+# reference hand-maintains per gibbs branch cannot drift here. Anchors
+# (tests/test_oceanography_checkvalues.py): η = −g_t must match the
+# INDEPENDENT entropy tree above to double precision; cp = −(T0+t)·g_tt
+# is pinned to the published 4002.888003958537 J/(kg·K); v = g_p agrees
+# with the check-valued 75-term polynomial within its published fit
+# error; second derivatives FD-pinned.
+# ---------------------------------------------------------------------------
+GIBBS_SW_G03: dict[str, float] = {
+    "00": 101.342743139674,
+    "01": 100015.695367145,
+    "02": -2544.5765420363,
+    "03": 284.517778446287,
+    "04": -33.3146754253611,
+    "05": 4.20263108803084,
+    "06": -0.546428511471039,
+    "10": 5.90578347909402,
+    "11": -270.983805184062,
+    "12": 776.153611613101,
+    "13": -196.51255088122,
+    "14": 28.9796526294175,
+    "15": -2.13290083518327,
+    "20": -12357.785933039,
+    "21": 1455.0364540468,
+    "22": -756.558385769359,
+    "23": 273.479662323528,
+    "24": -55.5604063817218,
+    "25": 4.34420671917197,
+    "30": 736.741204151612,
+    "31": -672.50778314507,
+    "32": 499.360390819152,
+    "33": -239.545330654412,
+    "34": 48.8012518593872,
+    "35": -1.66307106208905,
+    "40": -148.185936433658,
+    "41": 397.968445406972,
+    "42": -301.815380621876,
+    "43": 152.196371733841,
+    "44": -26.3748377232802,
+    "50": 58.0259125842571,
+    "51": -194.618310617595,
+    "52": 120.520654902025,
+    "53": -55.2723052340152,
+    "54": 6.48190668077221,
+    "60": -18.9843846514172,
+    "61": 63.5113936641785,
+    "62": -22.2897317140459,
+    "63": 8.17060541818112,
+    "70": 3.05081646487967,
+    "71": -9.63108119393062,
+}
+
+GIBBS_SW_G08: dict[str, float] = {
+    "200": 1416.27648484197,
+    "201": -3310.49154044839,
+    "202": 384.794152978599,
+    "203": -96.5324320107458,
+    "204": 15.8408172766824,
+    "205": -2.62480156590992,
+    "210": 168.072408311545,
+    "211": 729.116529735046,
+    "212": -343.956902961561,
+    "213": 124.687671116248,
+    "214": -31.656964386073,
+    "215": 7.04658803315449,
+    "220": 880.031352997204,
+    "221": -860.764303783977,
+    "222": 337.409530269367,
+    "223": -178.314556207638,
+    "224": 44.2040358308,
+    "225": -7.92001547211682,
+    "230": -225.267649263401,
+    "231": 694.244814133268,
+    "232": -204.889641964903,
+    "233": 113.561697840594,
+    "234": -11.1282734326413,
+    "240": 91.4260447751259,
+    "241": -297.728741987187,
+    "242": 74.726141138756,
+    "243": -36.4872919001588,
+    "250": -21.6603240875311,
+    "260": 2.13016970847183,
+    "300": -2432.14662381794,
+    "301": 199.459603073901,
+    "302": -52.2940909281335,
+    "303": 68.0444942726459,
+    "304": -3.41251932441282,
+    "310": -493.407510141682,
+    "311": -175.292041186547,
+    "312": 83.1923927801819,
+    "313": -29.483064349429,
+    "320": -43.0664675978042,
+    "321": 383.058066002476,
+    "322": -54.1917262517112,
+    "323": 25.6398487389914,
+    "330": -10.0227370861875,
+    "331": -460.319931801257,
+    "340": 0.875600661808945,
+    "341": 234.565187611355,
+    "400": 2025.80115603697,
+    "401": -54.7919133532887,
+    "402": -4.08193978912261,
+    "403": -30.1755111971161,
+    "410": 543.835333000098,
+    "411": -22.6683558512829,
+    "420": -68.5572509204491,
+    "430": 49.3667694856254,
+    "440": -17.1397577419788,
+    "450": 2.49697009569508,
+    "500": -1091.66841042967,
+    "501": 36.0284195611086,
+    "510": -196.028306689776,
+    "600": 374.60123787784,
+    "610": 36.7571622995805,
+    "700": -48.5891069025409,
+}
+
+#: x²·(GIBBS_SW_LN0 + GIBBS_SW_LN1·y)·ln(x) — the salinity logarithm
+#: terms (same Feistel 2008 table).
+GIBBS_SW_LN0 = 5812.81456626732
+GIBBS_SW_LN1 = 851.226734946706
+
+_GIBBS_SW_SENTINELS = ("__GWSA__", "__GWT__", "__GWP__")
+_GIBBS_SW_TEMPLATES: dict[str, str] = {}
+
+
+def _horner1(coefs: dict[int, float], var: str) -> str:
+    """Σ c_k·var^k as Horner text (missing powers padded with 0)."""
+    deg = max(coefs)
+    txt = _lit(coefs[deg])
+    for k in range(deg - 1, -1, -1):
+        txt = f"({_lit(coefs.get(k, 0.0))} + {var}*{txt})"
+    return txt
+
+
+def _horner_yz(terms: dict[tuple[int, int], float], y: str, z: str) -> str:
+    """Σ c_{jk}·y^j·z^k as nested Horner (y outer, z inner)."""
+    by_j: dict[int, dict[int, float]] = {}
+    for (j, k), c in terms.items():
+        by_j.setdefault(j, {})[k] = c
+    deg_j = max(by_j)
+    out = _horner1(by_j[deg_j], z)
+    for j in range(deg_j - 1, -1, -1):
+        inner = _horner1(by_j[j], z) if j in by_j else "0.0e0"
+        out = f"({inner} + {y}*{out})"
+    return out
+
+
+def _gibbs_sw_value_template() -> str:
+    """g(SA, t, p) over the physical sentinels: g03 + x²·(Horner core in
+    x of the g08 monomials, absolute powers ≥ 2) + x²·ln(x) terms.
+    Nested Horner keeps the text ~6 KB — inside the janino comfort
+    zone for single evaluations."""
+    sa_, t_, p_ = _GIBBS_SW_SENTINELS
+    x2 = f"({_lit(GSW_SFAC)}*{sa_})"
+    x = f"sqrt({x2})"
+    y = f"({t_}*0.025e0)"
+    z = f"({p_}*1.0e-4)"
+    g03 = _horner_yz(
+        {(int(jk[0]), int(jk[1])): c for jk, c in GIBBS_SW_G03.items()}, y, z
+    )
+    by_i: dict[int, dict[tuple[int, int], float]] = {}
+    for ijk, c in GIBBS_SW_G08.items():
+        i, j, k = int(ijk[0]), int(ijk[1]), int(ijk[2])
+        by_i.setdefault(i - 2, {})[(j, k)] = c  # factor x² out
+    deg = max(by_i)
+    core = _horner_yz(by_i[deg], y, z)
+    for i in range(deg - 1, -1, -1):
+        inner = _horner_yz(by_i[i], y, z) if i in by_i else "0.0e0"
+        core = f"({inner} + {x}*{core})"
+    ln_terms = f"({_lit(GIBBS_SW_LN0)} + {_lit(GIBBS_SW_LN1)}*{y})*ln({x})"
+    return f"({g03} + {x2}*({core} + {ln_terms}))"
+
+
+def gibbs_sw_sql(
+    sa: str, t: str, p: str, dsa: int = 0, dt: int = 0, dp: int = 0
+) -> str:
+    """∂^(dsa+dt+dp) g / ∂SA^dsa ∂t^dt ∂p^dp as portable SQL — the
+    seawater twin of the gibbs_ice machinery. Units are PHYSICAL
+    (J/kg per (g/kg)^dsa per K^dt per dbar^dp): the symbolic d/dSA
+    chains through x = sqrt(sfac·SA) and the x²·ln(x) terms, d/dt and
+    d/dp through the 0.025/K and 1e-4/dbar argument scalings, so e.g.
+    specific volume is 1e-4·gibbs_sw_sql(dp=1) m³/kg (per-dbar →
+    per-Pa; the Pa scalings cancel entirely in the sound-speed and
+    alpha/beta ratios).
+    Templates are differentiated once per order and cached."""
+    key = f"{dsa}{dt}{dp}"
+    if key not in _GIBBS_SW_TEMPLATES:
+        from cioos_siooc_data_transform_spark.functions.symdiff import (
+            diff_sql,
+        )
+
+        sa_, t_, p_ = _GIBBS_SW_SENTINELS
+        expr = _gibbs_sw_value_template()
+        for _ in range(dsa):
+            expr = diff_sql(expr, sa_)
+        for _ in range(dt):
+            expr = diff_sql(expr, t_)
+        for _ in range(dp):
+            expr = diff_sql(expr, p_)
+        _GIBBS_SW_TEMPLATES[key] = expr
+    sa_, t_, p_ = _GIBBS_SW_SENTINELS
+    return (
+        _GIBBS_SW_TEMPLATES[key]
+        .replace(sa_, f"({sa})")
+        .replace(t_, f"({t})")
+        .replace(p_, f"({p})")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GSW freezing polynomial (McDougall, Barker & Feistel fit adopted by
+# TEOS-10; reference gsw_ct_freezing_poly / GSW_FREEZING_POLY_
+# COEFFICIENTS — published constants). CT_freezing(SA, p) as one
+# codegen expression in sa_r = SA/100, x = sqrt(sa_r), p_r = p/1e4;
+# the saturation-fraction air correction uses the published a, b.
+# The exact (Gibbs) freezing temperature already ships as
+# t_freezing_sql (Millero form); this is the _poly family the GSW
+# ufunc surface exposes separately.
+# ---------------------------------------------------------------------------
+FREEZING_POLY_C = [
+    0.017947064327968736, -6.076099099929818, 4.883198653547851,
+    -11.88081601230542, 13.34658511480257, -8.722761043208607,
+    2.082038908808201, -7.389420998107497, -2.110913185058476,
+    0.2295491578006229, -0.9891538123307282, -0.08987150128406496,
+    0.3831132432071728, 1.054318231187074, 1.065556599652796,
+    -0.7997496801694032, 0.3850133554097069, -2.078616693017569,
+    0.8756340772729538, -2.079022768390933, 1.596435439942262,
+    0.1338002171109174, 1.242891021876471,
+]
+FREEZING_POLY_A = 0.014289763856964
+FREEZING_POLY_B = 0.057000649899720
+
+
+def ct_freezing_poly_sql(sa: str, p: str, saturation_fraction: str = "0.0e0") -> str:
+    c = FREEZING_POLY_C
+    sa_r = f"(({sa})*1.0e-2)"
+    x = f"sqrt({sa_r})"
+    p_r = f"(({p})*1.0e-4)"
+    main = (
+        f"({_lit(c[0])}"
+        f" + {sa_r}*({_lit(c[1])} + {x}*({_lit(c[2])} + {x}*({_lit(c[3])}"
+        f" + {x}*({_lit(c[4])} + {x}*({_lit(c[5])} + {_lit(c[6])}*{x})))))"
+        f" + {p_r}*({_lit(c[7])} + {p_r}*({_lit(c[8])} + {_lit(c[9])}*{p_r}))"
+        f" + {sa_r}*{p_r}*({_lit(c[10])} + {p_r}*({_lit(c[12])}"
+        f" + {p_r}*({_lit(c[15])} + {_lit(c[21])}*{sa_r}))"
+        f" + {sa_r}*({_lit(c[13])} + {_lit(c[17])}*{p_r}"
+        f" + {_lit(c[19])}*{sa_r})"
+        f" + {x}*({_lit(c[11])} + {p_r}*({_lit(c[14])} + {_lit(c[18])}*{p_r})"
+        f" + {sa_r}*({_lit(c[16])} + {_lit(c[20])}*{p_r}"
+        f" + {_lit(c[22])}*{sa_r}))))"
+    )
+    air = (
+        f"(({saturation_fraction})*1.0e-3*(2.4e0 - {_lit(FREEZING_POLY_A)}"
+        f"*({sa}))*(1.0e0 + {_lit(FREEZING_POLY_B)}*(1.0e0"
+        f" - ({sa})/{_lit(GSW_SSO)})))"
+    )
+    return f"({main} - {air})"
+
+
+def sa_freezing_from_ct_poly_stages(
+    ct: str, p: str, x: str = "__safr_"
+) -> list[tuple[str, str]]:
+    """SA such that CT_freezing_poly(SA, p) = ct — three Newton steps
+    on the freezing polynomial from SA0 = 35 g/kg with a central-FD
+    slope (dCT_f/dSA ≈ −0.058 K per g/kg; the sqrt(SA) terms leave
+    enough curvature that two steps still carry ~5e-6 g/kg at the far
+    end of the envelope — the third lands < 1e-9, roundtrip-pinned).
+    Final stage ``sa_freezing``."""
+    eps = "1.0e-2"
+    stages: list[tuple[str, str]] = [(f"{x}sa0", "35.0e0")]
+    for i in range(3):
+        cur = f"{x}sa{i}"
+        stages += [
+            (f"{x}r{i}", f"({ct_freezing_poly_sql(cur, p)} - ({ct}))"),
+            (
+                f"{x}d{i}",
+                f"(({ct_freezing_poly_sql(f'({cur} + {eps})', p)}"
+                f" - {ct_freezing_poly_sql(f'({cur} - {eps})', p)})"
+                f"/(2.0e0*{eps}))",
+            ),
+            (f"{x}sa{i + 1}", f"({cur} - {x}r{i}/{x}d{i})"),
+        ]
+    stages.append(("sa_freezing", f"{x}sa3"))
+    return stages
+
+
+# ---------------------------------------------------------------------------
+# Height/pressure conversions (Saunders 1981 as adopted by TEOS-10;
+# reference gsw_z_from_p / gsw_p_from_z / gsw_enthalpy_sso_0 /
+# gsw_specvol_sso_0 — published constants; gamma = 2.26e-7 is the
+# gravity gradient, the h00k are the pressure-integral coefficients of
+# the standard-ocean specific volume).
+# ---------------------------------------------------------------------------
+GSW_GAMMA = 2.26e-7
+_H_SSO = [
+    9.726613854843870e-4, -2.252956605630465e-5, 2.376909655387404e-6,
+    -1.664294869986011e-7, -5.988108894465758e-9, -2.10787688100e-9,
+    2.80192913290e-10,
+]
+_V_SSO = [
+    9.726613854843870e-4, -4.505913211160929e-5, 7.130728965927127e-6,
+    -6.657179479768312e-7, -2.994054447232880e-8, -1.264665057122e-8,
+    1.96207708420e-9,
+]
+
+
+def enthalpy_sso_0_sql(p: str) -> str:
+    """Dynamic enthalpy of the standard ocean (SA = SSO, CT = 0) at p,
+    J/kg: z·Horner(h00k)·db2pa·1e4 with z = p/1e4."""
+    z = f"(({p})*1.0e-4)"
+    inner = _lit(_H_SSO[-1])
+    for c in reversed(_H_SSO[:-1]):
+        inner = f"({_lit(c)} + {z}*{inner})"
+    return f"({z}*{inner}*1.0e8)"
+
+
+def specvol_sso_0_sql(p: str) -> str:
+    """Specific volume of the standard ocean at p (m³/kg)."""
+    z = f"(({p})*1.0e-4)"
+    inner = _lit(_V_SSO[-1])
+    for c in reversed(_V_SSO[:-1]):
+        inner = f"({_lit(c)} + {z}*{inner})"
+    return f"({inner})"
+
+
+def grav_sql(lat: str) -> str:
+    """Surface gravity (Moritz 1980 normal gravity, the GSW grav
+    surface term): 9.780327·(1 + (5.2792e-3 + 2.32e-5·sin²)·sin²)."""
+    sin2 = f"(sin(({lat})*{_lit(3.141592653589793 / 180.0)})"
+    sin2 = f"({sin2}*sin(({lat})*{_lit(3.141592653589793 / 180.0)})))"
+    return (
+        f"(9.780327e0*(1.0e0 + (5.2792e-3 + 2.32e-5*{sin2})*{sin2}))"
+    )
+
+
+def z_from_p_stages(p: str, lat: str, x: str = "__zfp_") -> list[tuple[str, str]]:
+    """Height z (m, NEGATIVE below the surface) from sea pressure
+    (dbar) and latitude — the quadratic-in-z geopotential solve with
+    the standard-ocean enthalpy integral. Final stage ``z_out``."""
+    stages = [
+        (f"{x}b", grav_sql(lat)),
+        (f"{x}a", f"(-0.5e0*{_lit(GSW_GAMMA)}*{x}b)"),
+        (f"{x}c", enthalpy_sso_0_sql(p)),
+        (
+            "z_out",
+            f"(-2.0e0*{x}c/({x}b + sqrt({x}b*{x}b - 4.0e0*{x}a*{x}c)))",
+        ),
+    ]
+    return stages
+
+
+def p_from_z_stages(z: str, lat: str, x: str = "__pfz_") -> list[tuple[str, str]]:
+    """Sea pressure (dbar) from height (m, negative below surface) —
+    Saunders (1981) first estimate + two modified-Newton steps on
+    f(p) = h_SSO(p) + g·(z − γz²/2), derivative db2pa·v_SSO(p).
+    Final stage ``p_out``."""
+    stages = [
+        (f"{x}gs", grav_sql(lat)),
+        (
+            f"{x}c1",
+            f"(5.25e-3*sin(({lat})*{_lit(3.141592653589793 / 180.0)})"
+            f"*sin(({lat})*{_lit(3.141592653589793 / 180.0)}) + 5.92e-3)",
+        ),
+        (
+            f"{x}p0",
+            f"(-2.0e0*({z})/((1.0e0 - {x}c1)"
+            f" + sqrt((1.0e0 - {x}c1)*(1.0e0 - {x}c1) + 8.84e-6*({z}))))",
+        ),
+        (f"{x}df0", f"(1.0e4*{specvol_sso_0_sql(f'{x}p0')})"),
+        (
+            f"{x}f0",
+            f"({enthalpy_sso_0_sql(f'{x}p0')} + {x}gs*(({z})"
+            f" - 0.5e0*{_lit(GSW_GAMMA)}*({z})*({z})))",
+        ),
+        (f"{x}p1", f"({x}p0 - {x}f0/{x}df0)"),
+        (f"{x}pm", f"(0.5e0*({x}p1 + {x}p0))"),
+        (f"{x}dfm", f"(1.0e4*{specvol_sso_0_sql(f'{x}pm')})"),
+        ("p_out", f"({x}p0 - {x}f0/{x}dfm)"),
+    ]
+    return stages

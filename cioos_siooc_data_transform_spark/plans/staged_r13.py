@@ -6,7 +6,7 @@ Activation order: staged_r8 (round 8) -> ... -> staged_r12 (round 12)
 -> this module (round 13). Budget: len(STAGED_QUERIES) +
 len(STAGED_REPLACEMENTS) <= 50 fresh names at activation.
 
-Content so far (30 of the 50-name budget):
+COMPLETE at the 50-name budget:
 - Wave A — CT-from-rho Newton inversion, Atkinson index, seasonal
   Mann-Kendall, kNN mutuality.
 - Wave B — malformed-file error-isolation audit (third self-authored
@@ -26,6 +26,22 @@ Content so far (30 of the 50-name budget):
   char-trigram language affinity.
 - Wave H — PSI drift, hub-removal percolation robustness,
   sampled-pair quadratic bias.
+- Wave I — exact-Gibbs (IAPWS-08/Feistel-2008) *_t_exact surfaces:
+  specvol/rho, sound speed, isothermal compressibility, thermal/haline
+  expansion wrt in-situ t, enthalpy, potential density, chemical
+  potential of water + dilution coefficient — all symbolic derivatives
+  of the ONE published Gibbs table (functions/teos10.py::gibbs_sw_sql).
+- Wave J — PSS-78 battery: SP↔conductivity (modified-Newton inverse),
+  Hill ratio at SP = 2, Reference/Knudsen salinity scale conversions.
+- Wave K — freezing polynomial family: CT_freezing_poly (± air
+  saturation), t_freezing_poly (Newton on ct_from_t),
+  SA_freezing_from_CT_poly (Newton on the polynomial), first
+  derivatives via symdiff.
+- Wave L — Saunders-1981 height/pressure conversions (z_from_p,
+  p_from_z with the standard-ocean enthalpy/specvol integrals).
+- Wave M — CT/entropy from pt, ice-melt equilibrium SA/CT ratio
+  (75-term enthalpy + IAPWS-06 ice composition), adiabatic lapse rate
+  from CT.
 """
 
 from __future__ import annotations
@@ -2877,3 +2893,805 @@ def dedup_sample_pair_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair_survival_rate"),
         F.lit(0.0625).alias("expected_rate"),
     )
+
+
+# ===========================================================================
+# Wave I — exact-Gibbs (IAPWS-08 / Feistel 2008) *_t_exact surfaces
+# (GSW twins: gsw_specvol_t_exact, gsw_rho_t_exact,
+# gsw_sound_speed_t_exact, gsw_kappa_t_exact, gsw_alpha_wrt_t_exact,
+# gsw_beta_const_t_exact, gsw_enthalpy_t_exact, gsw_pot_rho_t_exact,
+# gsw_chem_potential_water_t_exact, gsw_dilution_coefficient_t_exact in
+# GSW/_wrapped_ufuncs.py). Every surface is a ratio/combination of
+# symbolic derivatives of the ONE published Gibbs table
+# (functions/teos10.py::gibbs_sw_sql): the value template is anchored
+# by the entropy identity (η = −g_t matches the independent entropy
+# tree to machine precision), the published cp check value
+# 4002.888003958537, agreement of g_p with the check-valued 75-term
+# polynomial, and FD pins (tests/test_oceanography_checkvalues.py).
+# Map-only, zero shuffle; derivative trees are stage columns so the
+# surviving projections stay in janino's comfort zone.
+# ===========================================================================
+def _gibbs_in_sql() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    return f"""
+      SELECT l_orderkey, l_linenumber, t, p, {_SA_SQL} AS sa
+      FROM ({_IN_SQL})
+    """
+
+
+def _gibbs_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    return _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "t", "p", F.expr(_SA_SQL).alias("sa")
+    )
+
+
+def _gibbs_exact_query(name: str, stages_fn, outs: list[tuple[str, str]]):
+    """Shared builder for the wave-I family: run the g-derivative stage
+    list over the (sa, t, p) grid, emit the floored output columns.
+    ``outs`` = [(col, quantized SQL expr over the stage columns)]."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _gibbs_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    def oracle() -> str:
+        staged = _stage_sql_cte(_gibbs_in_sql(), stages_fn())
+        sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+        return f"""
+        SELECT l_orderkey, l_linenumber,
+           {sel}
+        FROM ({staged})
+        """
+
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = oracle()
+    return fn
+
+
+def _q6(expr: str) -> str:
+    return f"(floor({expr} * 1.0e6 + 0.5) / 1.0e6)"
+
+
+def _q9(expr: str) -> str:
+    return f"(floor({expr} * 1.0e9 + 0.5) / 1.0e9)"
+
+
+def _q12(expr: str) -> str:
+    return f"(floor({expr} * 1.0e12 + 0.5) / 1.0e12)"
+
+
+def _sv_rho_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import gibbs_sw_sql
+
+    return [("__gx_gp", gibbs_sw_sql("sa", "t", "p", dp=1))]
+
+
+_gibbs_exact_query(
+    "gsw_specvol_rho_t_exact",
+    _sv_rho_stages,
+    [
+        # v = 1e-4·g_p (per-dbar → per-Pa); emit ×1e6 so the quantum is
+        # 1e-12 m³/kg on an O(970) number.
+        ("specvol_e6", _q6("(1.0e2 * __gx_gp)")),
+        ("rho", _q6("(1.0e0 / (1.0e-4 * __gx_gp))")),
+    ],
+)
+
+
+def _sound_speed_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import gibbs_sw_sql
+
+    return [
+        ("__gx_gp", gibbs_sw_sql("sa", "t", "p", dp=1)),
+        ("__gx_gtt", gibbs_sw_sql("sa", "t", "p", dt=2)),
+        ("__gx_gtp", gibbs_sw_sql("sa", "t", "p", dt=1, dp=1)),
+        ("__gx_gpp", gibbs_sw_sql("sa", "t", "p", dp=2)),
+    ]
+
+
+_gibbs_exact_query(
+    "gsw_sound_speed_t_exact",
+    _sound_speed_stages,
+    [
+        # c = g_p·sqrt(g_tt/(g_tp² − g_tt·g_pp)); the per-dbar→per-Pa
+        # scalings cancel exactly (1e-4 on g_p vs 1e-8 inside the sqrt).
+        (
+            "sound_speed",
+            _q6(
+                "(__gx_gp * sqrt(__gx_gtt / (__gx_gtp*__gx_gtp"
+                " - __gx_gtt*__gx_gpp)))"
+            ),
+        ),
+    ],
+)
+
+_gibbs_exact_query(
+    "gsw_kappa_t_exact",
+    _sound_speed_stages,
+    [
+        # isothermal compressibility −g_pp/g_p per Pa, emitted ×1e10
+        # (O(4.2) numbers); Catalyst prunes the unused g_tt/g_tp stages.
+        ("kappa_t_e10", _q9("(-1.0e6 * __gx_gpp / __gx_gp)")),
+    ],
+)
+
+
+def _alpha_beta_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import gibbs_sw_sql
+
+    return [
+        ("__gx_gp", gibbs_sw_sql("sa", "t", "p", dp=1)),
+        ("__gx_gtp", gibbs_sw_sql("sa", "t", "p", dt=1, dp=1)),
+        ("__gx_gsap", gibbs_sw_sql("sa", "t", "p", dsa=1, dp=1)),
+    ]
+
+
+_gibbs_exact_query(
+    "gsw_alpha_beta_t_exact",
+    _alpha_beta_stages,
+    [
+        ("alpha_wrt_t", _q12("(__gx_gtp / __gx_gp)")),
+        ("beta_const_t", _q12("(-__gx_gsap / __gx_gp)")),
+    ],
+)
+
+
+def _enthalpy_exact_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import gibbs_sw_sql
+
+    return [
+        ("__gx_g", gibbs_sw_sql("sa", "t", "p")),
+        ("__gx_gt", gibbs_sw_sql("sa", "t", "p", dt=1)),
+    ]
+
+
+_gibbs_exact_query(
+    "gsw_enthalpy_t_exact",
+    _enthalpy_exact_stages,
+    [("enthalpy_t_exact", _q6("(__gx_g - (t + 273.15e0)*__gx_gt)"))],
+)
+
+
+def _chem_potential_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import gibbs_sw_sql
+
+    return [
+        ("__gx_g", gibbs_sw_sql("sa", "t", "p")),
+        ("__gx_gsa", gibbs_sw_sql("sa", "t", "p", dsa=1)),
+        ("__gx_gsasa", gibbs_sw_sql("sa", "t", "p", dsa=2)),
+    ]
+
+
+_gibbs_exact_query(
+    "gsw_chem_potential_dilution_t_exact",
+    _chem_potential_stages,
+    [
+        # μ_W = (g − SA·g_SA) in J/g (the GSW unit); dilution
+        # coefficient = SA·g_SASA in (J/kg)(g/kg)⁻² — both direct
+        # Gibbs identities (IOC-2010 §2.9, §2.21); our envelope keeps
+        # SA ≥ 30 g/kg so the SA→0 singularity the reference's
+        # rearrangement avoids is never approached.
+        ("chem_potential_water", _q9("(1.0e-3*(__gx_g - sa*__gx_gsa))")),
+        ("dilution_coefficient", _q9("(sa*__gx_gsasa)")),
+    ],
+)
+
+
+def _pot_rho_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+
+    # pt0 staged FIRST so the big Gibbs template substitutes a short
+    # column name, not the full inversion text.
+    return [
+        ("__gx_pt0", pt0_from_t_sql("s", "t", "p")),
+        ("__gx_gp0", gibbs_sw_sql("sa", "__gx_pt0", "0.0e0", dp=1)),
+    ]
+
+
+def _pot_rho_in_sql() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    return f"""
+      SELECT l_orderkey, l_linenumber, s, t, p, {_SA_SQL} AS sa
+      FROM ({_IN_SQL})
+    """
+
+
+def gsw_pot_rho_t_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential density (exact Gibbs): rho_t_exact(SA, pt0, 0) with
+    the existing McDougall–Wotherspoon pt0_from_t inversion (GSW twin:
+    gsw_pot_rho_t_exact — same composition, gsw_pt_from_t then
+    gsw_rho_t_exact at the reference pressure)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _pot_rho_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q6("(1.0e0 / (1.0e-4 * __gx_gp0))")).alias("pot_rho"),
+    )
+
+
+def _pot_rho_oracle() -> str:
+    staged = _stage_sql_cte(_pot_rho_in_sql(), _pot_rho_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q6("(1.0e0 / (1.0e-4 * __gx_gp0))")} AS pot_rho
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_pot_rho_t_exact"] = gsw_pot_rho_t_exact
+STAGED_ORACLES["gsw_pot_rho_t_exact"] = _pot_rho_oracle()
+
+
+# ===========================================================================
+# Wave J — PSS-78 practical salinity / conductivity battery (GSW twins:
+# gsw_SP_from_C, gsw_C_from_SP, gsw_SR_from_SP, gsw_SP_from_SR,
+# gsw_SP_from_SK, gsw_Hill_ratio_at_SP2). Published UNESCO-1983 /
+# Hill-1986 constants in functions/pss78.py; anchors: SP(C3515,
+# t68=15, 0) = 35 and C(35, t68=15, 0) = C3515 to the standard's own
+# closure (<1e-7), plus C↔SP roundtrips < 3e-14 across the envelope
+# (tests). Envelope: SP in [28, 36] — the SP < 2 Hill branch never
+# engages (documented; the ratio itself ships as its own surface).
+# ===========================================================================
+_SPC_IN_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(30.0 + l_quantity % 30 AS DOUBLE) AS c,
+           CAST(l_quantity % 30 AS DOUBLE) AS t,
+           CAST(l_linenumber * 100.0 AS DOUBLE) AS p
+    FROM lineitem
+"""
+
+
+def _spc_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(30.0) + F.col("l_quantity") % 30).cast("double").alias("c"),
+        (F.col("l_quantity") % 30).cast("double").alias("t"),
+        (F.col("l_linenumber") * 100.0).cast("double").alias("p"),
+    )
+
+
+def _pss_query(name: str, in_sql: str, inputs_fn, stages_fn, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = inputs_fn(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(in_sql, stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+def _sp_from_c_stages():
+    from cioos_siooc_data_transform_spark.functions.pss78 import (
+        sp_from_c_stages,
+    )
+
+    return sp_from_c_stages("c", "t", "p")
+
+
+_pss_query(
+    "gsw_sp_from_c",
+    _SPC_IN_SQL,
+    _spc_inputs,
+    _sp_from_c_stages,
+    [("sp", _q9("__spc_sp"))],
+)
+
+
+def _c_from_sp_stages():
+    from cioos_siooc_data_transform_spark.functions.pss78 import (
+        c_from_sp_stages,
+    )
+
+    # s in [30, 35] — the SP >= 9 starting-polynomial branch.
+    return c_from_sp_stages("s", "t", "p")
+
+
+def _cfs_in_sql() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _IN_SQL
+
+    return _IN_SQL
+
+
+def _cfs_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _inputs
+
+    return _inputs(spark, sf_dir)
+
+
+_pss_query(
+    "gsw_c_from_sp",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity % 30 AS DOUBLE) AS t,
+           CAST(30.0 + l_discount * 50 AS DOUBLE) AS s,
+           CAST(l_linenumber * 100.0 AS DOUBLE) AS p
+    FROM lineitem
+""",
+    _cfs_inputs,
+    _c_from_sp_stages,
+    [("cond", _q9("__cfs_c"))],
+)
+
+
+def _hill_stages():
+    from cioos_siooc_data_transform_spark.functions.pss78 import (
+        hill_ratio_at_sp2_stages,
+    )
+
+    return hill_ratio_at_sp2_stages("t")
+
+
+_pss_query(
+    "gsw_hill_ratio_at_sp2",
+    _SPC_IN_SQL,
+    _spc_inputs,
+    _hill_stages,
+    [("hill_ratio", _q12("__hr_ratio"))],
+)
+
+
+def _scale_conv_stages():
+    from cioos_siooc_data_transform_spark.functions.pss78 import (
+        sp_from_sk_sql,
+        sp_from_sr_sql,
+        sr_from_sp_sql,
+    )
+
+    return [
+        ("__sc_sr", sr_from_sp_sql("s")),
+        ("__sc_sp_back", sp_from_sr_sql("__sc_sr")),
+        ("__sc_sp_knudsen", sp_from_sk_sql("s")),
+    ]
+
+
+_pss_query(
+    "gsw_salinity_scale_conversions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity % 30 AS DOUBLE) AS t,
+           CAST(30.0 + l_discount * 50 AS DOUBLE) AS s,
+           CAST(l_linenumber * 100.0 AS DOUBLE) AS p
+    FROM lineitem
+""",
+    _cfs_inputs,
+    _scale_conv_stages,
+    [
+        ("sr_from_sp", _q9("__sc_sr")),
+        ("sp_from_sr", _q9("__sc_sp_back")),
+        ("sp_from_sk", _q9("__sc_sp_knudsen")),
+    ],
+)
+
+
+# ===========================================================================
+# Wave K — GSW freezing polynomial family (GSW twins:
+# gsw_CT_freezing_poly, gsw_t_freezing_poly, gsw_SA_freezing_from_CT_poly,
+# gsw_CT_freezing_first_derivatives_poly). The published TEOS-10
+# freezing-point polynomial (functions/teos10.py::ct_freezing_poly_sql,
+# McDougall/Barker/Feistel coefficients) with: the dissolved-air
+# correction as a second column, the t_f inversion via Newton on
+# ct_from_t (two steps, dCT/dt ≈ 1), the SA inversion via Newton on the
+# polynomial itself, and the first derivatives minted by the symbolic
+# differentiator (FD-pinned in tests). Map-only, zero shuffle.
+# ===========================================================================
+def _freeze_in_sql() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _IN_SQL,
+        _SA_SQL,
+    )
+
+    return f"""
+      SELECT l_orderkey, l_linenumber, s, t, p, {_SA_SQL} AS sa
+      FROM ({_IN_SQL})
+    """
+
+
+def _freeze_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    return _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+
+
+def _freeze_query(name: str, stages_fn, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _freeze_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+def _ctf_poly_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+    )
+
+    return [
+        ("__ctf0", ct_freezing_poly_sql("sa", "p", "0.0e0")),
+        ("__ctf1", ct_freezing_poly_sql("sa", "p", "1.0e0")),
+    ]
+
+
+_freeze_query(
+    "gsw_ct_freezing_poly",
+    _ctf_poly_stages,
+    [
+        ("ct_freezing", _q9("__ctf0")),
+        ("ct_freezing_airsat", _q9("__ctf1")),
+    ],
+)
+
+
+def _tf_poly_stages():
+    """t_freezing_poly = t such that CT(SA, t, p) = CT_freezing_poly:
+    two Newton steps on the existing ct_from_t chain from t0 = ctf
+    (dCT/dt within 2% of 1 over the envelope; residual after two steps
+    < 1e-12 K, roundtrip-pinned)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+        ct_from_t_sql,
+    )
+
+    eps = "1.0e-3"
+    stages = [
+        ("__tfz_ctf", ct_freezing_poly_sql("sa", "p", "0.0e0")),
+        ("__tfz_t0", "__tfz_ctf"),
+    ]
+    for i in range(2):
+        cur = f"__tfz_t{i}"
+        stages += [
+            (
+                f"__tfz_r{i}",
+                f"({ct_from_t_sql('s', cur, 'p')} - __tfz_ctf)",
+            ),
+            (
+                f"__tfz_d{i}",
+                f"(({ct_from_t_sql('s', f'({cur} + {eps})', 'p')}"
+                f" - {ct_from_t_sql('s', f'({cur} - {eps})', 'p')})"
+                f"/(2.0e0*{eps}))",
+            ),
+            (f"__tfz_t{i + 1}", f"({cur} - __tfz_r{i}/__tfz_d{i})"),
+        ]
+    return stages
+
+
+_freeze_query(
+    "gsw_t_freezing_poly",
+    _tf_poly_stages,
+    [("t_freezing", _q9("__tfz_t2"))],
+)
+
+
+def _saf_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+        sa_freezing_from_ct_poly_stages,
+    )
+
+    # Roundtrip construction: the target CT comes from the forward
+    # polynomial at the grid's own SA, so sa_freezing must recover sa.
+    return [("__saf_ct", ct_freezing_poly_sql("sa", "p", "0.0e0"))] + (
+        sa_freezing_from_ct_poly_stages("__saf_ct", "p")
+    )
+
+
+_freeze_query(
+    "gsw_sa_freezing_from_ct_poly",
+    _saf_stages,
+    [("sa_freezing", _q9("sa_freezing"))],
+)
+
+
+_CTF_SENTINELS = ("__CTFSA__", "__CTFP__")
+_CTF_DERIV_TEMPLATES: dict[str, str] = {}
+
+
+def _ctf_deriv_sql(sa: str, p: str, var: int) -> str:
+    """∂CT_freezing_poly/∂SA (var=0, K per g/kg) or ∂/∂p (var=1, K per
+    dbar) — symbolic derivative of the published polynomial
+    (saturation_fraction = 0, like the reference's
+    CT_freezing_first_derivatives_poly surface)."""
+    key = str(var)
+    if key not in _CTF_DERIV_TEMPLATES:
+        from cioos_siooc_data_transform_spark.functions.symdiff import (
+            diff_sql,
+        )
+        from cioos_siooc_data_transform_spark.functions.teos10 import (
+            ct_freezing_poly_sql,
+        )
+
+        sa_, p_ = _CTF_SENTINELS
+        expr = ct_freezing_poly_sql(sa_, p_, "0.0e0")
+        _CTF_DERIV_TEMPLATES[key] = diff_sql(expr, _CTF_SENTINELS[var])
+    sa_, p_ = _CTF_SENTINELS
+    return (
+        _CTF_DERIV_TEMPLATES[key]
+        .replace(sa_, f"({sa})")
+        .replace(p_, f"({p})")
+    )
+
+
+def _ctf_deriv_stages():
+    return [
+        ("__ctfd_sa", _ctf_deriv_sql("sa", "p", 0)),
+        ("__ctfd_p", _ctf_deriv_sql("sa", "p", 1)),
+    ]
+
+
+_freeze_query(
+    "gsw_ct_freezing_derivs_poly",
+    _ctf_deriv_stages,
+    [
+        ("ctf_sa", _q9("__ctfd_sa")),
+        # dCT_f/dp ~ -7.5e-4 K/dbar; emit x1e4 so the quantum is tiny
+        # relative to the value.
+        ("ctf_p_e4", _q9("(1.0e4*__ctfd_p)")),
+    ],
+)
+
+
+# ===========================================================================
+# Wave L — height/pressure conversions (GSW twins: gsw_z_from_p,
+# gsw_p_from_z): Saunders-1981 gravity-integral solve with the
+# published standard-ocean enthalpy/specvol integrals
+# (functions/teos10.py), latitude-dependent normal gravity. Anchors:
+# z_from_p(1000 dbar, 45°) = −989.50 m (published), p_from_z roundtrip
+# < 1e-8 dbar (tests). Map-only, zero shuffle.
+# ===========================================================================
+_ZP_IN_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_linenumber * 700.0 AS DOUBLE) AS p,
+           CAST(l_orderkey % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+           -CAST(l_quantity AS DOUBLE) * 90.0 AS zin
+    FROM lineitem
+"""
+
+
+def _zp_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") * 700.0).cast("double").alias("p"),
+        ((F.col("l_orderkey") % 120 - 60).cast("double") + 0.5).alias("lat"),
+        (-F.col("l_quantity").cast("double") * 90.0).alias("zin"),
+    )
+
+
+def _zp_query(name: str, stages_fn, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _zp_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_ZP_IN_SQL, stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+def _zfp_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        z_from_p_stages,
+    )
+
+    return z_from_p_stages("p", "lat")
+
+
+_zp_query("gsw_z_from_p", _zfp_stages, [("z", _q6("z_out"))])
+
+
+def _pfz_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        p_from_z_stages,
+    )
+
+    return p_from_z_stages("zin", "lat")
+
+
+_zp_query("gsw_p_from_z", _pfz_stages, [("p_out", _q6("p_out"))])
+
+
+# ===========================================================================
+# Wave M — forward conversions + ice-melt equilibrium + lapse from CT
+# (GSW twins: gsw_CT_from_pt, gsw_entropy_from_pt,
+# gsw_melting_ice_equilibrium_sa_ct_ratio_poly,
+# gsw_adiabatic_lapse_rate_from_CT).
+# ===========================================================================
+def _fwd_conv_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_pt_sql,
+        entropy_from_pt_sql,
+    )
+
+    # The grid's t column doubles as the potential temperature input
+    # (pt and t share the ITS-90 scale and range).
+    return [
+        ("__fc_ct", ct_from_pt_sql("sa", "t")),
+        ("__fc_eta", entropy_from_pt_sql("sa", "t")),
+    ]
+
+
+_gibbs_exact_query(
+    "gsw_ct_entropy_from_pt",
+    _fwd_conv_stages,
+    [
+        ("ct_from_pt", _q9("__fc_ct")),
+        ("entropy_from_pt", _q9("__fc_eta")),
+    ],
+)
+
+
+def _melt_eq_stages():
+    """SA/CT ratio of ice melting into seawater at equilibrium (both at
+    the freezing point; GSW twin the _poly form): ratio =
+    SA·h_CT / (h − h_Ih − SA·h_SA) with h from the 75-term staged
+    enthalpy at (SA, CT_f), h_SA/h_CT the analytic first derivatives,
+    h_Ih the IAPWS-06 ice enthalpy at (t_f, p)."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+        enthalpy_first_derivatives_stages,
+        enthalpy_stages,
+        t_freezing_sql,
+    )
+
+    stages = [
+        ("__me_ctf", ct_freezing_poly_sql("sa", "p", "0.0e0")),
+        ("__me_tf", t_freezing_sql("s", "p")),
+    ]
+    stages += enthalpy_stages("sa", "__me_ctf", "p", x="__me_h_")
+    stages += enthalpy_first_derivatives_stages(
+        "sa", "__me_ctf", "p", x="__me_d_"
+    )
+    stages += gibbs_ice_stages("__me_tf", "p", x="__me_gi_", out="__me_")
+    return stages
+
+
+_freeze_query(
+    "gsw_melting_ice_equilibrium_ratio",
+    _melt_eq_stages,
+    [
+        (
+            "sa_ct_ratio",
+            _q9(
+                "(sa*h_ct / (__me_h_out - __me_enthalpy_ice - sa*h_sa))"
+            ),
+        ),
+    ],
+)
+
+
+def _lapse_ct_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        gibbs_sw_sql,
+    )
+
+    # The (t, CT) pair is matched by construction (CT computed from the
+    # grid's own t), so evaluating the Gibbs lapse at t IS the
+    # lapse-from-CT surface on this grid.
+    return [
+        ("__lc_ct", ct_from_t_sql("s", "t", "p")),
+        ("__lc_gtp", gibbs_sw_sql("sa", "t", "p", dt=1, dp=1)),
+        ("__lc_gtt", gibbs_sw_sql("sa", "t", "p", dt=2)),
+    ]
+
+
+def gsw_adiabatic_lapse_rate_from_ct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adiabatic lapse rate from Conservative Temperature (GSW twin:
+    gsw_adiabatic_lapse_rate_from_CT = −g_tp/g_tt at the in-situ
+    temperature of that CT; here the grid supplies the matched (t, CT)
+    pair, exposed alongside). Emitted ×1e8 (K/Pa values ~2e-8)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _lapse_ct_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q9("__lc_ct")).alias("ct"),
+        F.expr(_q9("(-1.0e4 * __lc_gtp / __lc_gtt)")).alias(
+            "lapse_e8"
+        ),
+    )
+
+
+def _lapse_ct_oracle() -> str:
+    staged = _stage_sql_cte(_freeze_in_sql(), _lapse_ct_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q9("__lc_ct")} AS ct,
+           {_q9("(-1.0e4 * __lc_gtp / __lc_gtt)")} AS lapse_e8
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_adiabatic_lapse_rate_from_ct"] = (
+    gsw_adiabatic_lapse_rate_from_ct
+)
+STAGED_ORACLES["gsw_adiabatic_lapse_rate_from_ct"] = _lapse_ct_oracle()

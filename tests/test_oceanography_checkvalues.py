@@ -1465,3 +1465,282 @@ def test_entropy_second_derivatives_chain_rule(spark):
     assert r.eta_sa_sa == pytest.approx(-0.0074709, rel=1e-3)
     assert r.eta_sa_ct == pytest.approx(-0.0012002, rel=1e-3)
     assert r.eta_ct_ct == pytest.approx(-0.0480524, rel=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Round-8: full seawater Gibbs potential (IAPWS-08 / Feistel 2008) and
+# the wave-I/J/K/L staged_r13 surfaces built on it.
+# ---------------------------------------------------------------------------
+_GIBBS_STATES = [
+    (35.16504, 15.0, 300.0),
+    (34.7, 28.1, 0.0),
+    (36.5, 2.3, 5000.0),
+    (30.0, 10.0, 100.0),
+]
+
+
+def _dk(v: float) -> str:
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def test_gibbs_sw_entropy_identity():
+    """η = −∂g/∂t must reproduce the INDEPENDENT entropy tree (the
+    hand-built −g_t table) to double precision — the strongest possible
+    anchor that the value template and the symbolic d/dt agree with the
+    published standard."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        entropy_from_t_sql,
+        gibbs_sw_sql,
+    )
+
+    con = duckdb.connect()
+    for sa, t, p in _GIBBS_STATES:
+        a = con.execute(
+            f"SELECT -({gibbs_sw_sql(_dk(sa), _dk(t), _dk(p), dt=1)})"
+        ).fetchone()[0]
+        b = con.execute(
+            f"SELECT {entropy_from_t_sql(_dk(sa), _dk(t), _dk(p))}"
+        ).fetchone()[0]
+        assert abs(a - b) <= 1e-12 * max(abs(b), 1.0), (sa, t, p, a, b)
+
+
+def test_gibbs_sw_cp_published_check_value():
+    """cp = −(T0+t)·g_tt reproduces GSW's published check value
+    4002.888003958537 J/(kg·K) at (34.7118, 28.7856, 10) and matches
+    the independently-shipped cp_t_exact surface everywhere."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        cp_t_exact_sql,
+        gibbs_sw_sql,
+    )
+
+    con = duckdb.connect()
+    sa, t, p = 34.7118, 28.7856, 10.0
+    cp = con.execute(
+        f"SELECT -({_dk(t)}+273.15)"
+        f"*({gibbs_sw_sql(_dk(sa), _dk(t), _dk(p), dt=2)})"
+    ).fetchone()[0]
+    assert cp == pytest.approx(4002.888003958537, abs=2e-9)
+    for sa, t, p in _GIBBS_STATES:
+        a = con.execute(
+            f"SELECT -({_dk(t)}+273.15)"
+            f"*({gibbs_sw_sql(_dk(sa), _dk(t), _dk(p), dt=2)})"
+        ).fetchone()[0]
+        b = con.execute(
+            f"SELECT {cp_t_exact_sql(_dk(sa), _dk(t), _dk(p))}"
+        ).fetchone()[0]
+        assert abs(a - b) <= 1e-9, (sa, t, p, a, b)
+
+
+def test_gibbs_sw_specvol_matches_75term_poly():
+    """v = 1e-4·g_p (per-dbar → per-Pa) must agree with the
+    check-valued 75-term polynomial within its published fit error
+    (~1e-6 relative)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        gibbs_sw_sql,
+        specvol_sql,
+    )
+
+    con = duckdb.connect()
+    for sa, t, p in _GIBBS_STATES:
+        sp = sa / (35.16504 / 35.0)
+        a = con.execute(
+            f"SELECT 1.0e-4*({gibbs_sw_sql(_dk(sa), _dk(t), _dk(p), dp=1)})"
+        ).fetchone()[0]
+        b = con.execute(
+            f"SELECT {specvol_sql(_dk(sa), ct_from_t_sql(_dk(sp), _dk(t), _dk(p)), _dk(p))}"
+        ).fetchone()[0]
+        assert abs(a - b) / b < 2e-6, (sa, t, p, a, b)
+
+
+def test_gibbs_sw_fd_pins():
+    """Symbolic g_SA, g_pp, g_SAp against central finite differences
+    (the same FD contract every symdiff surface carries)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        gibbs_sw_sql,
+    )
+
+    con = duckdb.connect()
+
+    def g(sa, t, p, **kw):
+        return con.execute(
+            f"SELECT {gibbs_sw_sql(_dk(sa), _dk(t), _dk(p), **kw)}"
+        ).fetchone()[0]
+
+    for sa, t, p in _GIBBS_STATES:
+        fd_sa = (g(sa + 1e-4, t, p) - g(sa - 1e-4, t, p)) / 2e-4
+        assert g(sa, t, p, dsa=1) == pytest.approx(fd_sa, rel=5e-9)
+        fd_pp = (g(sa, t, p + 0.1, dp=1) - g(sa, t, p - 0.1, dp=1)) / 0.2
+        assert g(sa, t, p, dp=2) == pytest.approx(fd_pp, rel=5e-8)
+        fd_sap = (g(sa, t, p + 0.1, dsa=1) - g(sa, t, p - 0.1, dsa=1)) / 0.2
+        assert g(sa, t, p, dsa=1, dp=1) == pytest.approx(fd_sap, rel=5e-9)
+
+
+def test_gibbs_sw_sound_speed_plausible_vs_poly():
+    """Exact-Gibbs sound speed lands within the 75-term polynomial's
+    fit error of the ct-native surface (few cm/s) and in the physical
+    ocean band."""
+    import duckdb
+    import math
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        gibbs_sw_sql,
+    )
+
+    con = duckdb.connect()
+    for sa, t, p in _GIBBS_STATES:
+        def g(**kw):
+            return con.execute(
+                f"SELECT {gibbs_sw_sql(_dk(sa), _dk(t), _dk(p), **kw)}"
+            ).fetchone()[0]
+
+        c = g(dp=1) * math.sqrt(
+            g(dt=2) / (g(dt=1, dp=1) ** 2 - g(dt=2) * g(dp=2))
+        )
+        assert 1400.0 < c < 1620.0, (sa, t, p, c)
+
+
+def test_pss78_definition_anchors():
+    """SP(C3515, t68=15, p=0) = 35 and C(35, t68=15, 0) = 42.9140 to
+    the standard's own closure residual (<1e-6), plus C↔SP roundtrips
+    < 1e-12 across the envelope."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.pss78 import (
+        C3515,
+        c_from_sp_stages,
+        sp_from_c_stages,
+    )
+
+    con = duckdb.connect()
+
+    def run(stages, final, binds):
+        prev = "SELECT " + ", ".join(
+            f"CAST({v!r} AS DOUBLE) AS {k}" for k, v in binds.items()
+        )
+        for n, e in stages:
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        return con.execute(f"SELECT {final} FROM ({prev})").fetchone()[0]
+
+    t15 = 15.0 / 1.00024
+    sp = run(sp_from_c_stages("c", "t", "p"), "__spc_sp",
+             {"c": C3515, "t": t15, "p": 0.0})
+    assert sp == pytest.approx(35.0, abs=1e-6)
+    c = run(c_from_sp_stages("sp", "t", "p"), "__cfs_c",
+            {"sp": 35.0, "t": t15, "p": 0.0})
+    assert c == pytest.approx(C3515, abs=1e-6)
+    for spv, t, p in [(28.0, 0.5, 0.0), (33.3, 10.0, 300.0),
+                      (36.0, 25.0, 5000.0)]:
+        cv = run(c_from_sp_stages("sp", "t", "p"), "__cfs_c",
+                 {"sp": spv, "t": t, "p": p})
+        back = run(sp_from_c_stages("c", "t", "p"), "__spc_sp",
+                   {"c": cv, "t": t, "p": p})
+        assert back == pytest.approx(spv, abs=1e-12)
+
+
+def test_freezing_poly_consistency():
+    """CT_freezing_poly vs CT(t_freezing) through the independent
+    Millero freezing line (agreement ~1e-2 K at shelf pressures), and
+    exact Newton roundtrips for the SA and t inversions."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+        ct_from_t_sql,
+        sa_freezing_from_ct_poly_stages,
+        t_freezing_sql,
+    )
+
+    con = duckdb.connect()
+    for sa, p in [(35.16504, 0.0), (30.1, 300.0), (35.2, 700.0)]:
+        sp = sa / (35.16504 / 35.0)
+        ctf = con.execute(
+            f"SELECT {ct_freezing_poly_sql(_dk(sa), _dk(p))}"
+        ).fetchone()[0]
+        tf = con.execute(
+            f"SELECT {t_freezing_sql(_dk(sp), _dk(p))}"
+        ).fetchone()[0]
+        ct_of_tf = con.execute(
+            f"SELECT {ct_from_t_sql(_dk(sp), _dk(tf), _dk(p))}"
+        ).fetchone()[0]
+        assert abs(ctf - ct_of_tf) < 2.5e-2, (sa, p, ctf, ct_of_tf)
+        # SA roundtrip through the Newton inversion
+        prev = (
+            f"SELECT CAST({ctf!r} AS DOUBLE) AS ct, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in sa_freezing_from_ct_poly_stages("ct", "p"):
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        sa_back = con.execute(
+            f"SELECT sa_freezing FROM ({prev})"
+        ).fetchone()[0]
+        assert sa_back == pytest.approx(sa, abs=1e-7)
+
+
+def test_z_from_p_published_anchor_and_roundtrip():
+    """z_from_p(1000 dbar, 45°) = −989.50 m (published Saunders/GSW
+    figure) and p_from_z inverts it to < 1e-7 dbar."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        p_from_z_stages,
+        z_from_p_stages,
+    )
+
+    con = duckdb.connect()
+
+    def run(stages, final, binds):
+        prev = "SELECT " + ", ".join(
+            f"CAST({v!r} AS DOUBLE) AS {k}" for k, v in binds.items()
+        )
+        for n, e in stages:
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        return con.execute(f"SELECT {final} FROM ({prev})").fetchone()[0]
+
+    z = run(z_from_p_stages("p", "lat"), "z_out", {"p": 1000.0, "lat": 45.0})
+    assert z == pytest.approx(-989.5, abs=0.01)
+    for p, lat in [(100.0, 80.0), (1000.0, 45.0), (5000.0, 0.0)]:
+        zz = run(z_from_p_stages("p", "lat"), "z_out", {"p": p, "lat": lat})
+        back = run(p_from_z_stages("z", "lat"), "p_out",
+                   {"z": zz, "lat": lat})
+        assert back == pytest.approx(p, abs=1e-7)
+
+
+def test_melting_ice_equilibrium_ratio_physical_band():
+    """The equilibrium SA/CT melting ratio is a definitional
+    composition of already-anchored pieces (75-term enthalpy + analytic
+    first derivatives + IAPWS-06 ice enthalpy at the freezing line);
+    pin the physical band: the ratio is ≈ SA·cp/L_melt ≈
+    35·3990/3.34e5 ≈ 0.42 (g/kg)/K over ocean states (melting ice
+    absorbs ~84 K-equivalents of heat per kg, so a 1 K CT drop only
+    freshens by ~0.4 g/kg), and distinct values across pressures."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _melt_eq_stages,
+        _q9,
+    )
+
+    con = duckdb.connect()
+    vals = []
+    for sa, sp, p in [(35.16504, 35.0, 100.0), (35.16504, 35.0, 700.0)]:
+        prev = (
+            f"SELECT CAST({sa!r} AS DOUBLE) AS sa,"
+            f" CAST({sp!r} AS DOUBLE) AS s, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in _melt_eq_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        v = con.execute(
+            f"SELECT {_q9('(sa*h_ct / (__me_h_out - __me_enthalpy_ice - sa*h_sa))')}"
+            f" FROM ({prev})"
+        ).fetchone()[0]
+        vals.append(v)
+        assert 0.2 < v < 2.0, (sa, p, v)
+    assert vals[0] != vals[1]

@@ -101,6 +101,31 @@ STAGED_NAMES: list[str] = [
     "orders_value_psi_drift",
     "graph_hub_removal_robustness",
     "dedup_sample_pair_bias",
+    # wave I — exact-Gibbs (IAPWS-08) *_t_exact surfaces via symdiff
+    "gsw_specvol_rho_t_exact",
+    "gsw_sound_speed_t_exact",
+    "gsw_kappa_t_exact",
+    "gsw_alpha_beta_t_exact",
+    "gsw_enthalpy_t_exact",
+    "gsw_chem_potential_dilution_t_exact",
+    "gsw_pot_rho_t_exact",
+    # wave J — PSS-78 conductivity/salinity battery
+    "gsw_sp_from_c",
+    "gsw_c_from_sp",
+    "gsw_hill_ratio_at_sp2",
+    "gsw_salinity_scale_conversions",
+    # wave K — freezing polynomial family
+    "gsw_ct_freezing_poly",
+    "gsw_t_freezing_poly",
+    "gsw_sa_freezing_from_ct_poly",
+    "gsw_ct_freezing_derivs_poly",
+    # wave L — height/pressure conversions
+    "gsw_z_from_p",
+    "gsw_p_from_z",
+    # wave M — forward conversions, ice-melt equilibrium, lapse from CT
+    "gsw_ct_entropy_from_pt",
+    "gsw_melting_ice_equilibrium_ratio",
+    "gsw_adiabatic_lapse_rate_from_ct",
 ]
 
 
