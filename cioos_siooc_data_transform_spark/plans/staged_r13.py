@@ -3291,7 +3291,7 @@ def _scale_conv_stages():
 
 
 _pss_query(
-    "gsw_salinity_scale_conversions",
+    "gsw_salinity_scale_roundtrips",
     """
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity % 30 AS DOUBLE) AS t,

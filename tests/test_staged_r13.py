@@ -113,7 +113,7 @@ STAGED_NAMES: list[str] = [
     "gsw_sp_from_c",
     "gsw_c_from_sp",
     "gsw_hill_ratio_at_sp2",
-    "gsw_salinity_scale_conversions",
+    "gsw_salinity_scale_roundtrips",
     # wave K — freezing polynomial family
     "gsw_ct_freezing_poly",
     "gsw_t_freezing_poly",

@@ -1,0 +1,157 @@
+"""Keep the STAGED round-14 queries green while parked
+(plans/staged_r14.py — the round-14 runway seed; activation order is
+staged_r9 (round 9) -> ... -> staged_r13 (round 13) -> this module)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES
+
+
+def test_staged_not_registered():
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_ = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged r14 queries leaked into the live registry: {leaked}"
+
+
+def test_no_name_collision_with_earlier_slates():
+    from cioos_siooc_data_transform_spark.plans import (
+        staged_r9,
+        staged_r10,
+        staged_r11,
+        staged_r12,
+        staged_r13,
+    )
+
+    qs, _ = _staged()
+    earlier: set[str] = set()
+    for mod in (staged_r9, staged_r10, staged_r11, staged_r12, staged_r13):
+        earlier |= set(mod.STAGED_QUERIES)
+    clash = set(qs) & earlier
+    assert not clash, f"staged_r14 names collide with r9..r13: {clash}"
+
+
+STAGED_NAMES: list[str] = [
+    # wave A — GSW ice-melt / frazil mass-budget tranche
+    "gsw_melting_ice_sa_ct_ratio",
+    "gsw_melting_ice_into_seawater",
+    "gsw_frazil_ratios_adiabatic",
+    "gsw_pot_enthalpy_from_pt_ice",
+    "gsw_pt_from_pot_enthalpy_ice",
+    "gsw_latentheat_melting_exact",
+    "gsw_sigma0",
+    "gsw_rho_specvol_alpha_beta",
+]
+
+
+def test_staged_name_list_is_complete():
+    qs, _ = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_latentheat_exact_agrees_with_polynomial_form(spark):
+    """The exact-Gibbs latent heat (chemical-potential construction)
+    must agree with the registered polynomial-form latentheat_melting
+    (published pure-water anchor 333426.5 J/kg) to within the 75-term
+    polynomial's fit error (measured ≤ 25 J/kg at 500 dbar — ~8e-5
+    relative, consistent with the poly-vs-exact enthalpy gap)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        latentheat_melting_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _latentheat_exact_stages,
+    )
+
+    con = duckdb.connect()
+    for sp, sa, p in [(35.0, 35.16504, 0.0), (31.0, 31.146, 500.0)]:
+        prev = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s,"
+            f" CAST({sa!r} AS DOUBLE) AS sa, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in _latentheat_exact_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        exact = con.execute(f"SELECT latentheat FROM ({prev})").fetchone()[0]
+
+        prev2 = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in latentheat_melting_stages("s", "p"):
+            prev2 = f"SELECT *, {e} AS {n} FROM ({prev2})"
+        poly = con.execute(
+            f"SELECT latentheat_melting FROM ({prev2})"
+        ).fetchone()[0]
+        assert exact == pytest.approx(poly, abs=40.0), (sp, p, exact, poly)
+        assert 320_000.0 < exact < 335_000.0
+
+
+def test_melting_ice_complete_melt_envelope():
+    """The complete-melt assumption behind gsw_melting_ice_into_seawater
+    must hold on the synthetic grid: every final state sits ABOVE the
+    freezing line (no residual ice — the regime where the reference's
+    frazil_properties reduces to bulk mixing + CT<-h inversion).
+    Checked in DuckDB over the shared CTE text (the equivalent Spark
+    filter inlines the whole stage chain into one optimizer tree)."""
+    import os
+
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r11 import (
+        _stage_sql_cte,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _melt_in_sql,
+        _melt_into_stages,
+    )
+
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        STAGED_ORACLES,
+    )
+
+    con = duckdb.connect()
+    path = os.path.join(SF_DIR_SMOKE, "lineitem.parquet")
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{path}')"
+    )
+    # Layered: the query's own oracle text produces (sa_final,
+    # ct_final); the freezing line is evaluated OUTSIDE it (p recomputed
+    # from l_linenumber, the grid definition). Adding the freezing
+    # polynomial as one more CTE stage makes DuckDB's inliner blow up —
+    # ~100 chained stages is its limit, the same parser-cost cliff
+    # _stage_sql_cte exists to avoid.
+    oracle = STAGED_ORACLES["gsw_melting_ice_into_seawater"]
+    res = con.execute(oracle).df()  # materialize: a WHERE pushed into
+    con.register("melt_res", res)  # the CTE chain re-inlines it all
+    ctf = ct_freezing_poly_sql(
+        "o.sa_final", "(o.l_linenumber*100.0e0)", "0.0e0"
+    )
+    bad = con.execute(
+        f"SELECT count(*) FROM melt_res o WHERE o.ct_final <= ({ctf})"
+    ).fetchone()[0]
+    assert bad == 0
