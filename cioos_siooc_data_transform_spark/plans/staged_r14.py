@@ -5,18 +5,25 @@ coverage in tests/test_staged_r14.py, idempotent ``activate()``.
 Activation order: staged_r9 (round 9) -> ... -> staged_r13 (round 13)
 -> this module (round 14). Budget: <= 50 fresh names at activation.
 
-Content so far (wave A, 8 of the 50-name budget) — the GSW ice-melt /
-frazil mass-budget tranche, now that every ingredient ships (75-term
-staged enthalpy + analytic first derivatives, IAPWS-06 ice chain,
-freezing polynomial + symdiff derivatives, the full seawater Gibbs):
+Content so far (13 of the 50-name budget):
 
-- melting_ice_SA_CT_ratio (non-equilibrium, explicit ice temperature),
-- melting_ice_into_seawater under the complete-melt envelope,
-- frazil_ratios_adiabatic (the three dSA/dCT/dP ratios in one pass),
-- potential enthalpy of ice from pt0 + its Newton inverse,
-- latentheat_melting recomputed from the EXACT Gibbs chemical
-  potential (cross-anchor against the registered polynomial form),
-- sigma0 and the rho/specvol_alpha_beta tuple surfaces (75-term).
+- Wave A (8) — the GSW ice-melt / frazil mass-budget tranche, now that
+  every ingredient ships (75-term staged enthalpy + analytic first
+  derivatives, IAPWS-06 ice chain, freezing polynomial + symdiff
+  derivatives, the full seawater Gibbs): melting_ice_SA_CT_ratio
+  (non-equilibrium, explicit ice temperature), melting_ice_into_
+  seawater under the complete-melt envelope, frazil_ratios_adiabatic
+  (the three dSA/dCT/dP ratios in one pass), potential enthalpy of ice
+  from pt0 + its Newton inverse, latentheat_melting recomputed from
+  the EXACT Gibbs chemical potential (cross-anchor against the
+  registered polynomial form), sigma0 and the rho/specvol_alpha_beta
+  tuple surfaces.
+- Wave B (5) — decision-stats battery: Benjamini-Hochberg FDR over the
+  per-nation mean tests (first p-value surface, via the A&S normal
+  tail in functions/stats.py), newsvendor safety-stock/reorder-point
+  policy, 5-fold split balance χ², Freedman-Diaconis bin widths from
+  exact discrete IQRs, and a Gini-gain decision-stump split search
+  that reuses ntile_two_pass for its thresholds.
 """
 
 from __future__ import annotations
@@ -492,3 +499,547 @@ _melt_query(
     _rho_alpha_beta_stages,
     _rab_outs(),
 )
+
+
+# ===========================================================================
+# Wave B — decision-stats battery: BH false-discovery control (the
+# first p-value surface — functions/stats.py ships the A&S 7.1.26
+# normal tail as ONE literal tree so parity is exact), inventory
+# policy quantiles, k-fold split balance, Freedman-Diaconis binning,
+# and a decision-stump split quality search that reuses the scale-safe
+# ntile operator.
+# ===========================================================================
+def _register(name: str, oracle: str):
+    def deco(fn):
+        STAGED_QUERIES[name] = fn
+        STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _bh_oracle() -> str:
+    from cioos_siooc_data_transform_spark.functions.stats import (
+        normal_two_sided_p_sql,
+    )
+
+    return f"""
+    WITH per AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS s,
+             sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS HUGEINT)
+                 * CAST(floor(o.o_totalprice * 100.0 + 0.5) AS HUGEINT)) AS s2
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    ),
+    gstats AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn,
+             CAST(sum(s) AS DOUBLE) AS ss,
+             CAST(sum(s2) AS DOUBLE) AS sss
+      FROM per
+    ),
+    z AS (
+      SELECT nk, n,
+             (CAST(s AS DOUBLE)/CAST(n AS DOUBLE) - ss/nn)
+               / sqrt((sss/nn - (ss/nn)*(ss/nn)) / CAST(n AS DOUBLE)) AS zval
+      FROM per CROSS JOIN gstats
+    ),
+    p AS (
+      SELECT nk, n, zval, {normal_two_sided_p_sql("zval")} AS pval,
+             CAST(row_number() OVER (ORDER BY {normal_two_sided_p_sql("zval")}, nk)
+                  AS DOUBLE) AS k,
+             CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM z
+    ),
+    kmax AS (
+      SELECT coalesce(max(CASE WHEN pval <= 0.05 * k / m THEN k END), 0.0)
+               AS km
+      FROM p
+    )
+    SELECT CAST(nk AS BIGINT) AS nation_key, n AS n_orders,
+           floor(zval * 1.0e6 + 0.5) / 1.0e6 AS z,
+           floor(pval * 1.0e9 + 0.5) / 1.0e9 AS p_value,
+           (k <= kmax.km) AS bh_reject
+    FROM p CROSS JOIN kmax
+    """
+
+
+@_register("orders_bh_fdr_nation_tests", oracle="__LAZY_BH__")
+def orders_bh_fdr_nation_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR (α = 0.05) over the 25 per-nation
+    mean-order-value z-tests — the multiple-comparisons discipline a
+    segment-scan dashboard needs (25 simultaneous tests at α = 0.05
+    expect ~1.25 false positives; BH bounds the EXPECTED false-
+    discovery fraction instead). z from exact integer sums; the p-value
+    is the A&S 7.1.26 normal tail (functions/stats.py — one literal
+    tree, exact parity); the step-up rank pass runs over the 25-row
+    nation aggregate (bounded by the dimension). Scale shape: one
+    map-side-combinable fact agg + broadcast scalars."""
+    from cioos_siooc_data_transform_spark.functions.stats import (
+        normal_two_sided_p_sql,
+    )
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("decimal(19,0)")
+    per = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("decimal(38,0)").alias("s"),
+            F.sum(cents * cents).cast("decimal(38,0)").alias("s2"),
+        )
+    )
+    glob = per.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("s").cast("double").alias("ss"),
+        F.sum("s2").cast("double").alias("sss"),
+    )
+    z = per.crossJoin(F.broadcast(glob)).select(
+        "nk",
+        "n",
+        (
+            (F.col("s").cast("double") / F.col("n").cast("double")
+             - F.col("ss") / F.col("nn"))
+            / F.sqrt(
+                (F.col("sss") / F.col("nn")
+                 - (F.col("ss") / F.col("nn")) * (F.col("ss") / F.col("nn")))
+                / F.col("n").cast("double")
+            )
+        ).alias("zval"),
+    )
+    pcol = F.expr(normal_two_sided_p_sql("zval"))
+    wp = Window.orderBy(pcol, F.col("nk"))
+    p = z.select(
+        "nk",
+        "n",
+        "zval",
+        pcol.alias("pval"),
+        F.row_number().over(wp).cast("double").alias("k"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("double").alias("m"),
+    )
+    kmax = p.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval") <= 0.05 * F.col("k") / F.col("m"),
+                    F.col("k"),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("km")
+    )
+    return p.crossJoin(F.broadcast(kmax)).select(
+        F.col("nk").cast("long").alias("nation_key"),
+        F.col("n").alias("n_orders"),
+        (F.floor(F.col("zval") * 1.0e6 + 0.5) / 1.0e6).alias("z"),
+        (F.floor(F.col("pval") * 1.0e9 + 0.5) / 1.0e9).alias("p_value"),
+        (F.col("k") <= F.col("km")).alias("bh_reject"),
+    )
+
+
+STAGED_ORACLES["orders_bh_fdr_nation_tests"] = _bh_oracle()
+
+
+@_register(
+    "part_safety_stock_policy",
+    oracle="""
+    WITH daily AS (
+      SELECT p.p_brand AS brand, l.l_shipdate AS d,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(qty) AS DOUBLE) AS s1,
+             CAST(sum(CAST(qty AS HUGEINT) * CAST(qty AS HUGEINT)) AS DOUBLE)
+               AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT brand, n_days,
+           floor(s1 / CAST(n_days AS DOUBLE) * 1.0e6 + 0.5) / 1.0e6
+             AS mu_daily,
+           floor(sqrt(s2 / CAST(n_days AS DOUBLE)
+                      - (s1/CAST(n_days AS DOUBLE))*(s1/CAST(n_days AS DOUBLE)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS sigma_daily,
+           floor(1.6448536269514722e0
+                 * sqrt(s2 / CAST(n_days AS DOUBLE)
+                        - (s1/CAST(n_days AS DOUBLE))*(s1/CAST(n_days AS DOUBLE)))
+                 * sqrt(7.0e0) * 1.0e6 + 0.5) / 1.0e6 AS safety_stock,
+           floor((7.0e0 * s1 / CAST(n_days AS DOUBLE)
+                  + 1.6448536269514722e0
+                    * sqrt(s2 / CAST(n_days AS DOUBLE)
+                           - (s1/CAST(n_days AS DOUBLE))
+                             *(s1/CAST(n_days AS DOUBLE)))
+                    * sqrt(7.0e0)) * 1.0e6 + 0.5) / 1.0e6 AS reorder_point
+    FROM s
+    """,
+)
+def part_safety_stock_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor-style inventory policy per brand: daily demand mean/σ
+    from exact integer sums, 95 % service-level safety stock
+    z₀.₉₅·σ·√L (L = 7 days) and reorder point L·µ + SS — the standard
+    base-stock recipe on the fact table. Two map-side-combinable aggs
+    (brand×day, then brand); population σ (the demand history IS the
+    population modeled)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_shipdate").alias("d"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"))
+    )
+    s = daily.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("qty").cast("double").alias("s1"),
+        F.sum(
+            F.col("qty").cast("decimal(19,0)") * F.col("qty").cast("decimal(19,0)")
+        ).cast("double").alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mu = F.col("s1") / nd
+    sig = F.sqrt(F.col("s2") / nd - mu * mu)
+    z95 = 1.6448536269514722
+    import math
+
+    safety = z95 * sig * math.sqrt(7.0)
+    return s.select(
+        "brand",
+        "n_days",
+        (F.floor(mu * 1.0e6 + 0.5) / 1.0e6).alias("mu_daily"),
+        (F.floor(sig * 1.0e6 + 0.5) / 1.0e6).alias("sigma_daily"),
+        (F.floor(safety * 1.0e6 + 0.5) / 1.0e6).alias("safety_stock"),
+        (F.floor((7.0 * mu + safety) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "reorder_point"
+        ),
+    )
+
+
+@_register(
+    "orders_kfold_balance_audit",
+    oracle="""
+    WITH f AS (
+      SELECT ((o.o_custkey * 2654435761) % 4294967296) % 5 AS fold,
+             c.c_mktsegment AS seg
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ct AS (
+      SELECT fold, seg, CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT fold, seg, n,
+             CAST(sum(n) OVER (PARTITION BY fold) AS BIGINT) AS fold_tot,
+             CAST(sum(n) OVER (PARTITION BY seg) AS BIGINT) AS seg_tot,
+             CAST(sum(n) OVER () AS BIGINT) AS grand
+      FROM ct
+    ),
+    chi AS (
+      SELECT fold,
+             CAST(max(fold_tot) AS BIGINT) AS n_orders,
+             floor(sum(
+               (CAST(n AS DOUBLE)
+                - CAST(fold_tot AS DOUBLE)*CAST(seg_tot AS DOUBLE)
+                  /CAST(grand AS DOUBLE))
+               * (CAST(n AS DOUBLE)
+                  - CAST(fold_tot AS DOUBLE)*CAST(seg_tot AS DOUBLE)
+                    /CAST(grand AS DOUBLE))
+               / (CAST(fold_tot AS DOUBLE)*CAST(seg_tot AS DOUBLE)
+                  /CAST(grand AS DOUBLE))) * 1.0e6 + 0.5) / 1.0e6
+               AS chi2_part
+      FROM m GROUP BY fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, n_orders, chi2_part
+    FROM chi
+    """,
+)
+def orders_kfold_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold split balance audit: folds assigned by the deterministic
+    Knuth multiplicative hash on customer key (the engine's standard
+    seedless-split idiom — same arithmetic both engines, no
+    engine-specific hash), then a per-fold χ² contribution against the
+    independence expectation over market segments. A skewed fold shows
+    up as a large chi2_part; expected O(dof) ≈ 4 per fold under random
+    assignment. The window passes run over the 25-row fold×segment
+    contingency table (bounded by both dimensions)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    f = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        (((F.col("o_custkey") * 2654435761) % 4294967296) % 5).alias("fold"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    ct = f.groupBy("fold", "seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = ct.select(
+        "fold",
+        "seg",
+        "n",
+        F.sum("n").over(Window.partitionBy("fold")).cast("long").alias(
+            "fold_tot"
+        ),
+        F.sum("n").over(Window.partitionBy("seg")).cast("long").alias(
+            "seg_tot"
+        ),
+        F.sum("n")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("long")
+        .alias("grand"),
+    )
+    exp = (
+        F.col("fold_tot").cast("double")
+        * F.col("seg_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    dev = F.col("n").cast("double") - exp
+    return m.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.max("fold_tot").cast("long").alias("n_orders"),
+        (F.floor(F.sum(dev * dev / exp) * 1.0e6 + 0.5) / 1.0e6).alias(
+            "chi2_part"
+        ),
+    )
+
+
+@_register(
+    "lineitem_fd_bin_width",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT flag, cents,
+             row_number() OVER (PARTITION BY flag ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY flag) AS n
+      FROM q
+    ),
+    s AS (
+      SELECT flag,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(max(CASE WHEN rn = (n - 1) // 4 + 1 THEN cents END)
+                  AS BIGINT) AS p25,
+             CAST(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents END)
+                  AS BIGINT) AS p75,
+             CAST(min(cents) AS BIGINT) AS lo,
+             CAST(max(cents) AS BIGINT) AS hi
+      FROM ranked GROUP BY flag
+    )
+    SELECT flag, n, CAST(p75 - p25 AS BIGINT) AS iqr_cents,
+           floor(2.0e0 * CAST(p75 - p25 AS DOUBLE)
+                 / pow(CAST(n AS DOUBLE), 1.0e0/3.0e0) * 1.0e6 + 0.5)
+             / 1.0e6 AS fd_width_cents,
+           CAST(ceil(CAST(hi - lo AS DOUBLE)
+                / (2.0e0 * CAST(p75 - p25 AS DOUBLE)
+                   / pow(CAST(n AS DOUBLE), 1.0e0/3.0e0))) AS BIGINT)
+             AS fd_bins
+    FROM s
+    """,
+)
+def lineitem_fd_bin_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman–Diaconis histogram bin-width recommendation per return
+    flag: width = 2·IQR/n^(1/3) with the IQR from EXACT discrete order
+    statistics (the percentile-bands idiom — both engines pick the
+    identical element at index floor((n−1)q)+1), so the only float is
+    the final division. The bin count this recommends feeds the
+    value_histogram family's bucket choice. One rank window per flag
+    (3 balanced groups), then a single agg."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("cents"),
+    )
+    wr = Window.partitionBy("flag").orderBy("cents")
+    wn = Window.partitionBy("flag")
+    ranked = q.select(
+        "flag",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    s = ranked.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") - 1) / 4).cast("long") + 1,
+                F.col("cents"),
+            )
+        ).cast("long").alias("p25"),
+        F.max(
+            F.when(
+                F.col("rn") == ((F.col("n") - 1) * 3 / 4).cast("long") + 1,
+                F.col("cents"),
+            )
+        ).cast("long").alias("p75"),
+        F.min("cents").cast("long").alias("lo"),
+        F.max("cents").cast("long").alias("hi"),
+    )
+    iqr = (F.col("p75") - F.col("p25")).cast("double")
+    width = 2.0 * iqr / F.pow(F.col("n").cast("double"), 1.0 / 3.0)
+    return s.select(
+        "flag",
+        "n",
+        (F.col("p75") - F.col("p25")).cast("long").alias("iqr_cents"),
+        (F.floor(width * 1.0e6 + 0.5) / 1.0e6).alias("fd_width_cents"),
+        F.ceil((F.col("hi") - F.col("lo")).cast("double") / width)
+        .cast("long")
+        .alias("fd_bins"),
+    )
+
+
+def _stump_oracle() -> str:
+    return """
+    WITH lbl AS (
+      SELECT n_chars, doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    dec AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM lbl
+    ),
+    thr AS (
+      SELECT CAST(max(n_chars) AS BIGINT) AS threshold
+      FROM dec GROUP BY decile
+      HAVING decile < 10
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tot,
+             CAST(sum(pos) AS BIGINT) AS pos_tot
+      FROM lbl
+    ),
+    split AS (
+      SELECT t.threshold,
+             CAST(sum(CASE WHEN l.n_chars <= t.threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_le,
+             CAST(sum(CASE WHEN l.n_chars <= t.threshold THEN l.pos ELSE 0 END)
+                  AS BIGINT) AS pos_le
+      FROM lbl l CROSS JOIN thr t
+      GROUP BY t.threshold
+    ),
+    gain AS (
+      SELECT s.threshold, s.n_le, s.pos_le,
+             floor((
+               2.0e0*(CAST(pos_tot AS DOUBLE)/n_tot)
+                    *(1.0e0 - CAST(pos_tot AS DOUBLE)/n_tot)
+               - (CAST(n_le AS DOUBLE)/n_tot)
+                 * 2.0e0*(CAST(pos_le AS DOUBLE)/n_le)
+                       *(1.0e0 - CAST(pos_le AS DOUBLE)/n_le)
+               - (CAST(n_tot - n_le AS DOUBLE)/n_tot)
+                 * 2.0e0*(CAST(pos_tot - pos_le AS DOUBLE)/(n_tot - n_le))
+                       *(1.0e0 - CAST(pos_tot - pos_le AS DOUBLE)
+                                 /(n_tot - n_le))
+             ) * 1.0e9 + 0.5) / 1.0e9 AS gini_gain
+      FROM split s CROSS JOIN tot
+    )
+    SELECT threshold, n_le, pos_le, gini_gain,
+           (gini_gain >= max(gini_gain) OVER ()) AS is_best
+    FROM gain
+    """
+
+
+@_register("doc_quality_stump_split", oracle="__LAZY_STUMP__")
+def doc_quality_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: the Gini-impurity gain of
+    thresholding n_chars at each inner decile boundary for predicting
+    lang = 'en' — the quality-classifier feature-selection primitive
+    (which length cut separates English best). Thresholds come from
+    ntile_two_pass (the scale-safe decile assignment, bit-identical to
+    the builtin), the per-threshold counts from ONE conditional
+    aggregate over a 9-row broadcast, gains from exact integer count
+    ratios. Deciles with duplicate maxima collapse via GROUP BY
+    threshold on both engines identically."""
+    from pyspark.sql import Window
+
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    lbl = docs.select(
+        "n_chars",
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    dec = ntile_two_pass(
+        lbl.select("n_chars", "doc_id"), "n_chars", "doc_id", 10,
+        out_col="decile",
+    )
+    thr = (
+        dec.filter(F.col("decile") < 10)
+        .groupBy("decile")
+        .agg(F.max("n_chars").cast("long").alias("threshold"))
+        .select("threshold")
+    )
+    tot = lbl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum("pos").cast("long").alias("pos_tot"),
+    )
+    split = (
+        lbl.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("n_chars") <= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le"),
+            F.sum(
+                F.when(F.col("n_chars") <= F.col("threshold"), F.col("pos"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("pos_le"),
+        )
+    )
+    g = split.crossJoin(F.broadcast(tot))
+    nt = F.col("n_tot").cast("double")
+    pt = F.col("pos_tot").cast("double")
+    nl = F.col("n_le").cast("double")
+    pl = F.col("pos_le").cast("double")
+    gini_parent = 2.0 * (pt / nt) * (1.0 - pt / nt)
+    gini_le = 2.0 * (pl / nl) * (1.0 - pl / nl)
+    gini_gt = (
+        2.0 * ((pt - pl) / (nt - nl)) * (1.0 - (pt - pl) / (nt - nl))
+    )
+    gain = (
+        gini_parent - (nl / nt) * gini_le - ((nt - nl) / nt) * gini_gt
+    )
+    out = g.select(
+        "threshold",
+        "n_le",
+        "pos_le",
+        (F.floor(gain * 1.0e9 + 0.5) / 1.0e9).alias("gini_gain"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        "threshold",
+        "n_le",
+        "pos_le",
+        "gini_gain",
+        (F.col("gini_gain") >= F.max("gini_gain").over(wall)).alias(
+            "is_best"
+        ),
+    )
+
+
+STAGED_ORACLES["doc_quality_stump_split"] = _stump_oracle()

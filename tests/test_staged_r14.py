@@ -54,6 +54,12 @@ STAGED_NAMES: list[str] = [
     "gsw_latentheat_melting_exact",
     "gsw_sigma0",
     "gsw_rho_specvol_alpha_beta",
+    # wave B — decision-stats battery
+    "orders_bh_fdr_nation_tests",
+    "part_safety_stock_policy",
+    "orders_kfold_balance_audit",
+    "lineitem_fd_bin_width",
+    "doc_quality_stump_split",
 ]
 
 
