@@ -1043,3 +1043,425 @@ def doc_quality_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STAGED_ORACLES["doc_quality_stump_split"] = _stump_oracle()
+
+
+# ===========================================================================
+# Wave C — LLM-pipeline knob/audit round-out: sampling-temperature
+# sweep, exact-dup cluster Zipf slope, quality-score calibration,
+# int4 quantization audit, Fano burstiness, bigram entropy rate.
+# ===========================================================================
+@_register(
+    "mixture_temperature_entropy_sweep",
+    oracle="""
+    WITH n AS (
+      SELECT source, CAST(count(*) AS DOUBLE) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    ts AS (SELECT CAST(unnest([0.5, 0.7, 1.0, 1.5, 2.0]) AS DOUBLE) AS temp),
+    wz AS (
+      SELECT temp, source, pow(n_docs, 1.0e0/temp) AS raw,
+             sum(pow(n_docs, 1.0e0/temp)) OVER (PARTITION BY temp) AS norm
+      FROM n CROSS JOIN ts
+    ),
+    h AS (
+      SELECT temp,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             -sum((raw/norm) * ln(raw/norm)) AS entropy,
+             max(raw/norm) AS max_w
+      FROM wz GROUP BY temp
+    )
+    SELECT temp,
+           n_sources,
+           floor(entropy * 1.0e9 + 0.5) / 1.0e9 AS entropy_nats,
+           floor(exp(entropy) * 1.0e9 + 0.5) / 1.0e9 AS effective_sources,
+           floor(max_w * 1.0e9 + 0.5) / 1.0e9 AS max_weight
+    FROM h
+    """,
+)
+def mixture_temperature_entropy_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampling-temperature knob curve for the source mixture: at each
+    T the per-source weight is n_s^(1/T) normalized; the sweep reports
+    mixture entropy, the effective source count exp(H), and the max
+    weight — the diversity/duplication trade-off LLM data recipes tune
+    (T→0 approaches uniform-over-docs = biggest source dominates,
+    T→∞ approaches uniform-over-sources). Source dimension is tiny, so
+    the per-T window is bounded; the sum over (T × source) has ≤ 5·|S|
+    terms per group with identical fold order on both engines (each
+    group's terms come from one tiny sorted dimension)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    ts = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in (0.5, 0.7, 1.0, 1.5, 2.0)])
+        ).alias("temp")
+    )
+    wz = n.crossJoin(F.broadcast(ts)).select(
+        "temp",
+        "source",
+        F.pow(F.col("n_docs"), 1.0 / F.col("temp")).alias("raw"),
+        F.sum(F.pow(F.col("n_docs"), 1.0 / F.col("temp")))
+        .over(Window.partitionBy("temp"))
+        .alias("norm"),
+    )
+    w = F.col("raw") / F.col("norm")
+    h = wz.groupBy("temp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        (-F.sum(w * F.log(w))).alias("entropy"),
+        F.max(w).alias("max_w"),
+    )
+    return h.select(
+        "temp",
+        "n_sources",
+        (F.floor(F.col("entropy") * 1.0e9 + 0.5) / 1.0e9).alias(
+            "entropy_nats"
+        ),
+        (F.floor(F.exp(F.col("entropy")) * 1.0e9 + 0.5) / 1.0e9).alias(
+            "effective_sources"
+        ),
+        (F.floor(F.col("max_w") * 1.0e9 + 0.5) / 1.0e9).alias("max_weight"),
+    )
+
+
+@_register(
+    "dedup_exact_cluster_size_zipf",
+    oracle="""
+    WITH cl AS (
+      SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS size
+      FROM documents GROUP BY 1
+    ),
+    hist AS (
+      SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+      FROM cl GROUP BY size
+    ),
+    q AS (
+      SELECT size, n_clusters,
+             CAST(floor(ln(CAST(size AS DOUBLE)) * 1.0e9 + 0.5) AS BIGINT)
+               AS lx,
+             CAST(floor(ln(CAST(n_clusters AS DOUBLE)) * 1.0e9 + 0.5)
+                  AS BIGINT) AS ly
+      FROM hist
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(lx) AS DOUBLE) / 1.0e9 AS sx,
+             CAST(sum(ly) AS DOUBLE) / 1.0e9 AS sy,
+             CAST(sum(CAST(lx AS HUGEINT) * CAST(lx AS HUGEINT)) AS DOUBLE)
+               / 1.0e18 AS sxx,
+             CAST(sum(CAST(lx AS HUGEINT) * CAST(ly AS HUGEINT)) AS DOUBLE)
+               / 1.0e18 AS sxy
+      FROM q
+    )
+    SELECT n AS n_distinct_sizes,
+           CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx != 0.0 THEN
+             floor((CAST(n AS DOUBLE)*sxy - sx*sy)
+                   / (CAST(n AS DOUBLE)*sxx - sx*sx) * 1.0e6 + 0.5) / 1.0e6
+           END AS zipf_slope
+    FROM s
+    """,
+)
+def dedup_exact_cluster_size_zipf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Power-law check of the exact-duplicate cluster-size distribution:
+    OLS slope of ln(#clusters) vs ln(size) over the size histogram —
+    the shape statistic that tells a dedup pipeline whether duplication
+    is head-heavy (slope shallower than −2 means mega-clusters carry
+    the mass, so cluster-size caps matter). Per-point logs quantized to
+    integer nano-units before the sums (order-independence rule), the
+    histogram is bounded by #distinct sizes. Same digest group-by shape
+    as dedup_exact — never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    cl = docs.groupBy(F.md5(F.col("text")).alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    hist = cl.groupBy("size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    q = hist.select(
+        F.floor(F.log(F.col("size").cast("double")) * 1.0e9 + 0.5)
+        .cast("decimal(19,0)")
+        .alias("lx"),
+        F.floor(F.log(F.col("n_clusters").cast("double")) * 1.0e9 + 0.5)
+        .cast("decimal(19,0)")
+        .alias("ly"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("lx").cast("double") / 1.0e9).alias("sx"),
+        (F.sum("ly").cast("double") / 1.0e9).alias("sy"),
+        (
+            F.sum(F.col("lx") * F.col("lx")).cast("double") / 1.0e18
+        ).alias("sxx"),
+        (
+            F.sum(F.col("lx") * F.col("ly")).cast("double") / 1.0e18
+        ).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    return s.select(
+        F.col("n").alias("n_distinct_sizes"),
+        F.when(
+            den != F.lit(0.0), F.floor(slope * 1.0e6 + 0.5) / 1.0e6
+        ).alias("zipf_slope"),
+    )
+
+
+@_register(
+    "embedding_int4_quantization_audit",
+    oracle="""
+    WITH per_vec AS (
+      SELECT vec_id,
+             CAST(floor(list_max(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> abs(x - round(x * 7.0 / list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                    * list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), y -> abs(y))) / 7.0)))
+               * 1.0e9 + 0.5) AS BIGINT) AS max_err_nano,
+             CAST(floor(
+               list_reduce(list_transform(
+                 CAST(embedding AS DOUBLE[]),
+                 x -> x * (round(x * 7.0 / list_max(list_transform(
+                        CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                      * list_max(list_transform(
+                        CAST(embedding AS DOUBLE[]), y -> abs(y))) / 7.0)),
+                 (a, b) -> a + b)
+               / sqrt(list_reduce(list_transform(
+                   CAST(embedding AS DOUBLE[]),
+                   x -> (round(x * 7.0 / list_max(list_transform(
+                          CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                        * list_max(list_transform(
+                          CAST(embedding AS DOUBLE[]), y -> abs(y))) / 7.0)
+                       * (round(x * 7.0 / list_max(list_transform(
+                          CAST(embedding AS DOUBLE[]), y -> abs(y))))
+                        * list_max(list_transform(
+                          CAST(embedding AS DOUBLE[]), y -> abs(y))) / 7.0)),
+                   (a, b) -> a + b))
+               * 1.0e9 + 0.5) AS BIGINT) AS cos_nano
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(max(max_err_nano) AS BIGINT) AS worst_err_nano,
+           CAST(floor(sum(max_err_nano) / count(*)) AS BIGINT)
+             AS mean_err_nano,
+           CAST(min(cos_nano) AS BIGINT) AS worst_cos_nano,
+           CAST(floor(sum(CAST(cos_nano AS HUGEINT)) / count(*)) AS BIGINT)
+             AS mean_cos_nano
+    FROM per_vec
+    """,
+)
+def embedding_int4_quantization_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """int4 twin of the registered int8 error audit: symmetric 4-bit
+    quantization (15 levels, scale = max|x|/7) — the aggressive
+    compression tier (8× vs float32). Reports worst/mean absolute
+    reconstruction error AND the cosine between the original and the
+    dequantized vector (unit-norm inputs, so cosine = dot/|q|): the
+    recall-relevant preservation number. Row-local array math (zip-free
+    folds, the fold-parity idiom), one tiny agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    scale = F.array_max(F.transform(e, lambda y: F.abs(y)))
+
+    def deq(x):
+        return F.round(x * 7.0 / scale) * scale / 7.0
+
+    err = F.transform(e, lambda x: F.abs(x - deq(x)))
+    dot = F.aggregate(
+        F.transform(e, lambda x: x * deq(x)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    qnorm2 = F.aggregate(
+        F.transform(e, lambda x: deq(x) * deq(x)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    per_vec = emb.select(
+        "vec_id",
+        F.floor(F.array_max(err) * 1.0e9 + 0.5).cast("long").alias(
+            "max_err_nano"
+        ),
+        F.floor(dot / F.sqrt(qnorm2) * 1.0e9 + 0.5).cast("long").alias(
+            "cos_nano"
+        ),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max("max_err_nano").cast("long").alias("worst_err_nano"),
+        F.floor(F.sum("max_err_nano") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_err_nano"),
+        F.min("cos_nano").cast("long").alias("worst_cos_nano"),
+        F.floor(
+            F.sum(F.col("cos_nano").cast("decimal(19,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_cos_nano"),
+    )
+
+
+@_register(
+    "events_type_fano_factor",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) // 60
+             - CAST(floor(epoch(min(ts))) AS BIGINT) // 60 + 1 AS n_minutes
+      FROM events
+    ),
+    mc AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 60 AS minute,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE)
+               AS sum_c2
+      FROM mc GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           CAST(span.n_minutes AS BIGINT) AS n_minutes,
+           floor((sum_c2 / CAST(span.n_minutes AS DOUBLE)
+                  - (CAST(n_events AS DOUBLE)/span.n_minutes)
+                    * (CAST(n_events AS DOUBLE)/span.n_minutes))
+                 / (CAST(n_events AS DOUBLE)/span.n_minutes)
+                 * 1.0e6 + 0.5) / 1.0e6 AS fano_factor
+    FROM s CROSS JOIN span
+    """,
+)
+def events_type_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of per-minute counts over the FULL
+    observation window, zero minutes included via the span term) per
+    event type — 1 for a Poisson stream, > 1 for bursty arrival, the
+    dispersion diagnostic that decides whether rate-based capacity
+    models apply. Zeros enter exactly (they add nothing to Σc² and the
+    span normalizer counts them), so no dense minute table is
+    materialized; all moments from exact integer sums."""
+    ev = _t(spark, sf_dir, "events")
+    minute_col = (
+        F.floor(F.unix_micros(F.col("ts")) / 1_000_000).cast("long") / 60
+    ).cast("long")
+    span = ev.agg(
+        (
+            F.floor(F.unix_micros(F.max("ts")) / 1_000_000).cast("long") / 60
+        ).cast("long").alias("hi"),
+        (
+            F.floor(F.unix_micros(F.min("ts")) / 1_000_000).cast("long") / 60
+        ).cast("long").alias("lo"),
+    ).select((F.col("hi") - F.col("lo") + 1).alias("n_minutes"))
+    mc = ev.groupBy(
+        "event_type", minute_col.alias("minute")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = mc.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("sum_c2"),
+    )
+    out = s.crossJoin(F.broadcast(span))
+    tm = F.col("n_minutes").cast("double")
+    mu = F.col("n_events").cast("double") / tm
+    var = F.col("sum_c2") / tm - mu * mu
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("n_minutes").cast("long").alias("n_minutes"),
+        (F.floor(var / mu * 1.0e6 + 0.5) / 1.0e6).alias("fano_factor"),
+    )
+
+
+@_register(
+    "text_bigram_entropy_rate",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                    i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w
+    ),
+    bfreq AS (SELECT b, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY b),
+    cfreq AS (
+      SELECT split_part(b, ' ', 1) AS w1, CAST(sum(n12) AS BIGINT) AS n1
+      FROM bfreq GROUP BY 1
+    ),
+    terms AS (
+      SELECT bfreq.n12, cfreq.n1,
+             CAST(floor(CAST(bfreq.n12 AS DOUBLE)
+                        * ln(CAST(bfreq.n12 AS DOUBLE)/CAST(cfreq.n1 AS DOUBLE))
+                        * 1.0e6 - 0.5) AS HUGEINT) AS tq
+      FROM bfreq JOIN cfreq ON split_part(bfreq.b, ' ', 1) = cfreq.w1
+    )
+    SELECT CAST(sum(n12) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS vocab_bigrams,
+           floor(-CAST(sum(tq) AS DOUBLE) / 1.0e6
+                 / CAST(sum(n12) AS DOUBLE) * 1.0e9 + 0.5) / 1.0e9
+             AS entropy_rate_nats,
+           floor(exp(-CAST(sum(tq) AS DOUBLE) / 1.0e6
+                     / CAST(sum(n12) AS DOUBLE)) * 1.0e6 + 0.5) / 1.0e6
+             AS perplexity
+    FROM terms
+    """,
+)
+def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram entropy rate H(W₂|W₁) = −Σ p(w₁,w₂)·ln p(w₂|w₁)
+    and its perplexity — the sequence-predictability number that
+    complements the unigram entropy already live (low rate = templated
+    text, a strong boilerplate signal). Each term n₁₂·ln(n₁₂/n₁) is
+    quantized to integer micro-units BEFORE the global sum
+    (order-independence rule: the bigram vocabulary is large, the terms
+    negative — floor(x − 0.5) is round-half-AWAY on negatives, matching
+    both engines exactly). Counts shuffle map-side-combinably on the
+    bigram key; context counts derive from the bigram table."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = docs.select(
+        F.explode(word_shingles(words_expr(F.col("text")), 2)).alias("b")
+    )
+    bfreq = bg.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    cfreq = bfreq.groupBy(
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("n12").cast("long").alias("n1"))
+    terms = bfreq.join(
+        cfreq,
+        F.split_part(F.col("b"), F.lit(" "), F.lit(1)) == F.col("w1"),
+    ).select(
+        "n12",
+        F.floor(
+            F.col("n12").cast("double")
+            * F.log(
+                F.col("n12").cast("double") / F.col("n1").cast("double")
+            )
+            * 1.0e6
+            - 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("tq"),
+    )
+    s = terms.agg(
+        F.sum("n12").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("vocab_bigrams"),
+        F.sum("tq").cast("double").alias("stq"),
+    )
+    h = -F.col("stq") / 1.0e6 / F.col("n_bigrams").cast("double")
+    return s.select(
+        "n_bigrams",
+        "vocab_bigrams",
+        (F.floor(h * 1.0e9 + 0.5) / 1.0e9).alias("entropy_rate_nats"),
+        (F.floor(F.exp(h) * 1.0e6 + 0.5) / 1.0e6).alias("perplexity"),
+    )

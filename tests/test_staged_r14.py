@@ -60,6 +60,12 @@ STAGED_NAMES: list[str] = [
     "orders_kfold_balance_audit",
     "lineitem_fd_bin_width",
     "doc_quality_stump_split",
+    # wave C — LLM-pipeline knob/audit round-out
+    "mixture_temperature_entropy_sweep",
+    "dedup_exact_cluster_size_zipf",
+    "embedding_int4_quantization_audit",
+    "events_type_fano_factor",
+    "text_bigram_entropy_rate",
 ]
 
 
