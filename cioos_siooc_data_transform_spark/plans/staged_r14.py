@@ -1465,3 +1465,343 @@ def text_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(h * 1.0e9 + 0.5) / 1.0e9).alias("entropy_rate_nats"),
         (F.floor(F.exp(h) * 1.0e6 + 0.5) / 1.0e6).alias("perplexity"),
     )
+
+
+# ===========================================================================
+# Wave D — GSW tail: general-p_ref ice potential temperature, isentropic
+# ice compressibility, exact-Gibbs enthalpy at (SA, CT), the CT
+# derivative triple wrt in-situ t via the entropy chain rule, and the
+# atlas-free Sstar/SP baseline battery.
+# ===========================================================================
+def _ice14_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ice_inputs
+
+    return _ice_inputs(spark, sf_dir)
+
+
+def _ice14_in_sql() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _ICE_IN_SQL
+
+    return _ICE_IN_SQL
+
+
+def _ice14_query(name: str, stages_fn, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _ice14_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_ice14_in_sql(), stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+_PT_ICE_PREF = "200.0e0"  # dbar — exercises the general-p_ref path
+
+
+def _pt_ice_pref_stages():
+    """pt of ice at reference pressure 200 dbar (GSW twin:
+    gsw_pt_from_t_ice, general p_ref — the p_ref = 0 special case is
+    already staged in r10): entropy match η_Ih(pt, p_ref) =
+    η_Ih(t, p), two Newton steps from pt = t with the analytic
+    dη/dT = −g_TT (the r10 recipe at nonzero reference)."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+
+    stages = list(gibbs_ice_stages("t", "p", x="__pi14_0_", out="__pi14_0o_"))
+    stages.append(("__pt14_0", "t"))
+    for k in (1, 2):
+        stages += gibbs_ice_stages(
+            f"__pt14_{k - 1}", _PT_ICE_PREF, x=f"__pi14_{k}_",
+            out=f"__pi14_{k}o_",
+        )
+        stages.append(
+            (
+                f"__pt14_{k}",
+                f"(__pt14_{k - 1}"
+                f" + (__pi14_{k}o_entropy_ice - __pi14_0o_entropy_ice)"
+                f" / __pi14_{k}_gtt)",
+            )
+        )
+    stages.append(("pt_ice_pref", "__pt14_2"))
+    return stages
+
+
+_ice14_query(
+    "gsw_pt_from_t_ice",
+    _pt_ice_pref_stages,
+    [("pt_ice_pref", _q9("pt_ice_pref"))],
+)
+
+
+def _kappa_ice_stages():
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+
+    return list(gibbs_ice_stages("t", "p", x="__ki_", out="__kio_"))
+
+
+_ice14_query(
+    "gsw_kappa_ice",
+    _kappa_ice_stages,
+    [
+        # isentropic compressibility (g_Tp² − g_TT·g_pp)/(g_p·g_TT),
+        # per Pa ~1e-10 — emit ×1e10.
+        (
+            "kappa_ice_e10",
+            _q9(
+                "(1.0e10*(__ki_gtp*__ki_gtp - __ki_gtt*__ki_gpp)"
+                "/(__ki_gp*__ki_gtt))"
+            ),
+        ),
+    ],
+)
+
+
+def _h_ct_exact_stages():
+    """enthalpy_CT_exact(SA, CT, p) = h_t_exact(SA, t(CT), p) with the
+    2-step Newton t(CT) inversion on ct_from_t (dCT/dt within 2 % of 1;
+    residual < 1e-12 K) — the grid's CT comes from the forward
+    conversion, so t is recovered exactly (roundtrip) and h evaluates
+    the full Gibbs there."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        gibbs_sw_sql,
+    )
+
+    eps = "1.0e-3"
+    stages = [
+        ("__hce_ct", ct_from_t_sql("s", "t", "p")),
+        ("__hce_t0", "__hce_ct"),
+    ]
+    for i in range(2):
+        cur = f"__hce_t{i}"
+        stages += [
+            (f"__hce_r{i}", f"({ct_from_t_sql('s', cur, 'p')} - __hce_ct)"),
+            (
+                f"__hce_d{i}",
+                f"(({ct_from_t_sql('s', f'({cur} + {eps})', 'p')}"
+                f" - {ct_from_t_sql('s', f'({cur} - {eps})', 'p')})"
+                f"/(2.0e0*{eps}))",
+            ),
+            (f"__hce_t{i + 1}", f"({cur} - __hce_r{i}/__hce_d{i})"),
+        ]
+    stages += [
+        ("__hce_g", gibbs_sw_sql("sa", "__hce_t2", "p")),
+        ("__hce_gt", gibbs_sw_sql("sa", "__hce_t2", "p", dt=1)),
+        (
+            "h_ct_exact",
+            "(__hce_g - (273.15e0 + __hce_t2)*__hce_gt)",
+        ),
+    ]
+    return stages
+
+
+def gsw_enthalpy_ct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Specific enthalpy at (SA, CT, p) from the FULL Gibbs function
+    (GSW twin: gsw_enthalpy_CT_exact = enthalpy_t_exact at t(CT)); the
+    75-term polynomial twin gsw_enthalpy is already live — this is the
+    exact reference surface it approximates (agreement within the
+    poly's fit error, ≤ ~7 J/kg over the envelope, pinned in tests)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _h_ct_exact_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q6("h_ct_exact")).alias("h_ct_exact"),
+    )
+
+
+def _h_ct_exact_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _h_ct_exact_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q6("h_ct_exact")} AS h_ct_exact
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_enthalpy_ct_exact"] = gsw_enthalpy_ct_exact
+STAGED_ORACLES["gsw_enthalpy_ct_exact"] = _h_ct_exact_oracle()
+
+
+def _ct_derivs_wrt_t_stages():
+    """The CT derivative triple wrt in-situ state (GSW twin:
+    gsw_CT_first_derivatives_wrt_t_exact) assembled by the chain rule
+    through entropy conservation η(SA,t,p) = η₀(SA,pt0) — every piece
+    an existing symbolic-derivative template (η_t, η_SA, η_p on the
+    in-situ side; η₀_t, η₀_SA on the pt0 side; CT_SA, CT_pt from the
+    ct_from_pt surface):
+
+      ∂pt0/∂t  = η_t/η₀_t,   ∂pt0/∂p = η_p/η₀_t,
+      ∂pt0/∂SA = (η_SA − η₀_SA)/η₀_t,
+      CT_x = CT_pt·∂pt0/∂x (+ CT_SA for x = SA).
+
+    The reference hand-maintains differentiated coefficient tables for
+    the same quantities; here they cannot drift from the base surfaces.
+    FD-pinned in tests/test_oceanography_checkvalues.py."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_derivative_sql,
+        entropy_from_pt_sql,
+        entropy_from_t_sql,
+        entropy_p0_derivative_sql,
+        entropy_p_derivative_sql,
+        entropy_sa_derivative_sql,
+        entropy_t_derivative_sql,
+        pt0_from_t_sql,
+    )
+
+    return [
+        # The McDougall-Wotherspoon 1.5-step pt0 is ~1e-5 K off, which
+        # would leak ~2e-6 into the derivative ratios evaluated there —
+        # one extra Newton polish on the exact entropy match puts the
+        # evaluation point at the implicit root to ~1e-10 K, making the
+        # chain-rule triple FD-exact (tests).
+        ("__cdt_pt0a", pt0_from_t_sql("s", "t", "p")),
+        ("__cdt_eta", entropy_from_t_sql("sa", "t", "p")),
+        ("__cdt_eta0a", entropy_from_pt_sql("sa", "__cdt_pt0a")),
+        (
+            "__cdt_eta0ta",
+            entropy_p0_derivative_sql("sa", "__cdt_pt0a", 0, 1),
+        ),
+        (
+            "__cdt_pt0",
+            "(__cdt_pt0a - (__cdt_eta0a - __cdt_eta)/__cdt_eta0ta)",
+        ),
+        ("__cdt_eta_t", entropy_t_derivative_sql("sa", "t", "p")),
+        ("__cdt_eta_sa", entropy_sa_derivative_sql("sa", "t", "p")),
+        ("__cdt_eta_p", entropy_p_derivative_sql("sa", "t", "p")),
+        (
+            "__cdt_eta0_t",
+            entropy_p0_derivative_sql("sa", "__cdt_pt0", 0, 1),
+        ),
+        (
+            "__cdt_eta0_sa",
+            entropy_p0_derivative_sql("sa", "__cdt_pt0", 1, 0),
+        ),
+        ("__cdt_ct_pt", ct_derivative_sql("sa", "__cdt_pt0", 0, 1)),
+        ("__cdt_ct_sa", ct_derivative_sql("sa", "__cdt_pt0", 1, 0)),
+    ]
+
+
+def gsw_ct_first_derivatives_wrt_t_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """See _ct_derivs_wrt_t_stages. ct_p is per dbar (×1e4 emitted —
+    values ~−2e-5 K/dbar)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _ct_derivs_wrt_t_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    ct_t = "(__cdt_ct_pt*__cdt_eta_t/__cdt_eta0_t)"
+    ct_p = "(__cdt_ct_pt*__cdt_eta_p/__cdt_eta0_t)"
+    ct_sa = (
+        "(__cdt_ct_sa + __cdt_ct_pt"
+        "*(__cdt_eta_sa - __cdt_eta0_sa)/__cdt_eta0_t)"
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q9(ct_t)).alias("ct_t_wrt_t"),
+        F.expr(_q9(f"(1.0e4*{ct_p})")).alias("ct_p_wrt_t_e4"),
+        F.expr(_q9(ct_sa)).alias("ct_sa_wrt_t"),
+    )
+
+
+def _ct_derivs_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    ct_t = "(__cdt_ct_pt*__cdt_eta_t/__cdt_eta0_t)"
+    ct_p = "(__cdt_ct_pt*__cdt_eta_p/__cdt_eta0_t)"
+    ct_sa = (
+        "(__cdt_ct_sa + __cdt_ct_pt"
+        "*(__cdt_eta_sa - __cdt_eta0_sa)/__cdt_eta0_t)"
+    )
+    staged = _stage_sql_cte(_freeze_in_sql(), _ct_derivs_wrt_t_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q9(ct_t)} AS ct_t_wrt_t,
+           {_q9(f"(1.0e4*{ct_p})")} AS ct_p_wrt_t_e4,
+           {_q9(ct_sa)} AS ct_sa_wrt_t
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_ct_first_derivatives_wrt_t_exact"] = (
+    gsw_ct_first_derivatives_wrt_t_exact
+)
+STAGED_ORACLES["gsw_ct_first_derivatives_wrt_t_exact"] = _ct_derivs_oracle()
+
+
+@_register(
+    "gsw_salinity_star_baseline",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(CAST(30.0 + l_discount * 50 AS DOUBLE) * (35.16504e0/35.0e0)
+                 / (35.16504e0/35.0e0) * 1.0e9 + 0.5) / 1.0e9 AS sp_from_sa,
+           floor(CAST(30.0 + l_discount * 50 AS DOUBLE) * (35.16504e0/35.0e0)
+                 * 1.0e9 + 0.5) / 1.0e9 AS sstar_from_sp,
+           floor(CAST(30.0 + l_discount * 50 AS DOUBLE) * (35.16504e0/35.0e0)
+                 * 1.0e9 + 0.5) / 1.0e9 AS sa_from_sstar_roundtrip
+    FROM lineitem
+    """,
+)
+def gsw_salinity_star_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atlas-free baseline of the Preformed-Salinity family (GSW twins:
+    gsw_SP_from_SA, gsw_Sstar_from_SP, gsw_Sstar_from_SA,
+    gsw_SA_from_Sstar, gsw_SP_from_Sstar). With the SAAR/deltaSA atlas
+    declared out of scope (COVERAGE.md: it is a binary data artifact,
+    not a formula), GSW's own atlas-absent fallback applies: SAAR = 0,
+    so Sstar = SA = uPS·SP and the five conversions collapse to the
+    reference-composition scaling and its inverse — exactly what this
+    battery ships and what the engine's sa_from_sp (F-series) already
+    uses. sp_from_sa pins the roundtrip SP = SA/uPS; sstar_from_sp the
+    forward scaling; sa_from_sstar_roundtrip the identity Sstar = SA."""
+    li = _t(spark, sf_dir, "lineitem")
+    ups = 35.16504 / 35.0
+    sp = (F.lit(30.0) + F.col("l_discount") * 50).cast("double")
+    sa = sp * ups
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(sa / ups * 1.0e9 + 0.5) / 1.0e9).alias("sp_from_sa"),
+        (F.floor(sp * ups * 1.0e9 + 0.5) / 1.0e9).alias("sstar_from_sp"),
+        (F.floor(sa * 1.0e9 + 0.5) / 1.0e9).alias(
+            "sa_from_sstar_roundtrip"
+        ),
+    )

@@ -66,6 +66,13 @@ STAGED_NAMES: list[str] = [
     "embedding_int4_quantization_audit",
     "events_type_fano_factor",
     "text_bigram_entropy_rate",
+    # wave D — GSW tail: ice p_ref, kappa_ice, exact CT surfaces,
+    # atlas-free Sstar baseline
+    "gsw_pt_from_t_ice",
+    "gsw_kappa_ice",
+    "gsw_enthalpy_ct_exact",
+    "gsw_ct_first_derivatives_wrt_t_exact",
+    "gsw_salinity_star_baseline",
 ]
 
 
@@ -167,3 +174,123 @@ def test_melting_ice_complete_melt_envelope():
         f"SELECT count(*) FROM melt_res o WHERE o.ct_final <= ({ctf})"
     ).fetchone()[0]
     assert bad == 0
+
+
+def test_ct_derivs_wrt_t_fd_pins():
+    """Chain-rule CT derivative triple vs central finite differences of
+    the entropy-EXACT forward surface. NB: FD of the shipped ct_from_t
+    would differentiate the McDougall-Wotherspoon 1.5-step pt0
+    approximation, whose derivative error is ~2e-5 relative — the
+    implicit chain rule (like the reference's hand-differentiated
+    _wrt_t_exact tables) is exact, so the FD reference must resolve pt0
+    to convergence first (three extra Newton polish steps on the
+    entropy match below)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_pt_sql,
+        entropy_from_pt_sql,
+        entropy_from_t_sql,
+        entropy_p0_derivative_sql,
+        pt0_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _ct_derivs_wrt_t_stages,
+    )
+
+    con = duckdb.connect()
+    ups = 35.16504 / 35.0
+
+    def _d(v):
+        return f"CAST({v!r} AS DOUBLE)"
+
+    def ct_exact(spv, sav, tv, pv):
+        pt = con.execute(
+            f"SELECT {pt0_from_t_sql(_d(spv), _d(tv), _d(pv))}"
+        ).fetchone()[0]
+        eta = con.execute(
+            f"SELECT {entropy_from_t_sql(_d(sav), _d(tv), _d(pv))}"
+        ).fetchone()[0]
+        for _ in range(3):  # polish to convergence
+            e0, de = con.execute(
+                f"SELECT {entropy_from_pt_sql(_d(sav), _d(pt))},"
+                f" {entropy_p0_derivative_sql(_d(sav), _d(pt), 0, 1)}"
+            ).fetchone()
+            pt = pt - (e0 - eta) / de
+        return con.execute(
+            f"SELECT {ct_from_pt_sql(_d(sav), _d(pt))}"
+        ).fetchone()[0]
+
+    for sp, t, p in [(35.0, 15.0, 300.0), (31.0, 2.0, 700.0)]:
+        sa = sp * ups
+        prev = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s, CAST({sa!r} AS DOUBLE) AS sa,"
+            f" CAST({t!r} AS DOUBLE) AS t, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in _ct_derivs_wrt_t_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        ct_t, ct_p, ct_sa = con.execute(
+            "SELECT __cdt_ct_pt*__cdt_eta_t/__cdt_eta0_t,"
+            " __cdt_ct_pt*__cdt_eta_p/__cdt_eta0_t,"
+            " __cdt_ct_sa + __cdt_ct_pt*(__cdt_eta_sa - __cdt_eta0_sa)"
+            "/__cdt_eta0_t"
+            f" FROM ({prev})"
+        ).fetchone()
+
+        fd_t = (
+            ct_exact(sp, sa, t + 1e-4, p) - ct_exact(sp, sa, t - 1e-4, p)
+        ) / 2e-4
+        fd_p = (
+            ct_exact(sp, sa, t, p + 1e-1) - ct_exact(sp, sa, t, p - 1e-1)
+        ) / 2e-1
+        # the triple's SA derivative holds PRACTICAL salinity inputs
+        # fixed through sa only (sp enters pt0_from_t separately) — FD
+        # both together, chained to per-(g/kg-of-SA).
+        fd_sa = (
+            ct_exact(sp + 1e-4, sa + 1e-4 * ups, t, p)
+            - ct_exact(sp - 1e-4, sa - 1e-4 * ups, t, p)
+        ) / (2e-4 * ups)
+        assert ct_t == pytest.approx(fd_t, rel=1e-7), (sp, t, p)
+        assert ct_p == pytest.approx(fd_p, rel=1e-5), (sp, t, p)
+        assert ct_sa == pytest.approx(fd_sa, rel=1e-4, abs=1e-7), (sp, t, p)
+
+
+def test_enthalpy_ct_exact_vs_polynomial():
+    """The exact-Gibbs h(SA, CT, p) must agree with the live 75-term
+    polynomial h within the poly's fit error over the envelope."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        enthalpy_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _h_ct_exact_stages,
+    )
+
+    con = duckdb.connect()
+    ups = 35.16504 / 35.0
+    for sp, t, p in [(35.0, 15.0, 300.0), (31.0, 2.0, 700.0)]:
+        sa = sp * ups
+        prev = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s, CAST({sa!r} AS DOUBLE) AS sa,"
+            f" CAST({t!r} AS DOUBLE) AS t, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in _h_ct_exact_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        exact = con.execute(
+            f"SELECT h_ct_exact FROM ({prev})"
+        ).fetchone()[0]
+        poly = con.execute(
+            "SELECT "
+            + enthalpy_sql(
+                f"CAST({sa!r} AS DOUBLE)",
+                ct_from_t_sql(
+                    f"CAST({sp!r} AS DOUBLE)",
+                    f"CAST({t!r} AS DOUBLE)",
+                    f"CAST({p!r} AS DOUBLE)",
+                ),
+                f"CAST({p!r} AS DOUBLE)",
+            )
+        ).fetchone()[0]
+        assert exact == pytest.approx(poly, abs=10.0), (sp, t, p, exact, poly)
