@@ -1805,3 +1805,416 @@ def gsw_salinity_star_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sa_from_sstar_roundtrip"
         ),
     )
+
+
+# ===========================================================================
+# Wave E — trend/network/resampling operations: Sen's slope, co-supply
+# network, deterministic Poisson-bootstrap CI, candidate-period
+# periodogram, corpus compressibility proxy.
+# ===========================================================================
+@_register(
+    "orders_sens_slope_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT (CAST(b.cents AS DOUBLE) - CAST(a.cents AS DOUBLE))
+               / CAST(b.midx - a.midx AS DOUBLE) AS slope
+      FROM m a JOIN m b ON b.midx > a.midx
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           floor(max(CASE WHEN rn = (n - 1) // 2 + 1 THEN slope END)
+                 * 1.0e6 + 0.5) / 1.0e6 AS sens_slope_cents,
+           floor(max(CASE WHEN rn = (n - 1) // 4 + 1 THEN slope END)
+                 * 1.0e6 + 0.5) / 1.0e6 AS slope_p25_cents,
+           floor(max(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN slope END)
+                 * 1.0e6 + 0.5) / 1.0e6 AS slope_p75_cents
+    FROM ranked
+    """,
+)
+def orders_sens_slope_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sen's slope (the median of all pairwise monthly-revenue slopes)
+    with its quartile band — the robust trend magnitude that pairs with
+    the seasonal Mann–Kendall DIRECTION test already staged (r13). The
+    all-pairs join runs on the MONTH aggregate (84 rows → 3,486 pairs —
+    bounded by the time dimension squared, never by the fact table);
+    the median is an exact discrete order statistic."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(b, F.col("b.midx") > F.col("a.midx")).select(
+        (
+            (F.col("b.cents").cast("double") - F.col("a.cents").cast("double"))
+            / (F.col("b.midx") - F.col("a.midx")).cast("double")
+        ).alias("slope")
+    )
+    wr = Window.orderBy("slope")
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def at(idx):
+        return F.max(F.when(F.col("rn") == idx, F.col("slope")))
+
+    med = ((F.col("n") - 1) / 2).cast("long") + 1
+    q1 = ((F.col("n") - 1) / 4).cast("long") + 1
+    q3 = ((F.col("n") - 1) * 3 / 4).cast("long") + 1
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        (F.floor(at(med) * 1.0e6 + 0.5) / 1.0e6).alias("sens_slope_cents"),
+        (F.floor(at(q1) * 1.0e6 + 0.5) / 1.0e6).alias("slope_p25_cents"),
+        (F.floor(at(q3) * 1.0e6 + 0.5) / 1.0e6).alias("slope_p75_cents"),
+    )
+
+
+def _cosupply_oracle() -> str:
+    from cioos_siooc_data_transform_spark.sources.partsupp import (
+        PARTSUPP_CTE,
+    )
+
+    return f"""
+    WITH {PARTSUPP_CTE},
+    pairs AS (
+      SELECT a.ps_suppkey AS s1, b.ps_suppkey AS s2,
+             CAST(count(*) AS BIGINT) AS shared_parts
+      FROM partsupp a JOIN partsupp b
+        ON a.ps_partkey = b.ps_partkey AND a.ps_suppkey < b.ps_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT s1, s2, shared_parts
+    FROM pairs
+    ORDER BY shared_parts DESC, s1, s2
+    LIMIT 20
+    """
+
+
+@_register("supplier_cosupply_topk", oracle="__LAZY_COSUPPLY__")
+def supplier_cosupply_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-supply pairs: suppliers sharing the most parts in the
+    real-shape partsupp relation (the bipartite projection's heaviest
+    edges — the substitution/collusion screen). The per-part self-join
+    fans out to C(4,2) = 6 pairs per part (the partsupp derivation
+    assigns exactly 4 suppliers per part), so candidates are LINEAR in
+    |parts| — a bounded-fanout projection, never all-supplier-pairs.
+    Deterministic tiebreak (count desc, s1, s2)."""
+    from cioos_siooc_data_transform_spark.sources.partsupp import (
+        ensure_partsupp,
+    )
+
+    ps = ensure_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    a = ps.alias("a")
+    b = ps.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ps_partkey") == F.col("b.ps_partkey"))
+            & (F.col("a.ps_suppkey") < F.col("b.ps_suppkey")),
+        )
+        .groupBy(
+            F.col("a.ps_suppkey").alias("s1"),
+            F.col("b.ps_suppkey").alias("s2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_parts"))
+    )
+    return pairs.orderBy(
+        F.col("shared_parts").desc(), F.col("s1"), F.col("s2")
+    ).limit(20)
+
+
+STAGED_ORACLES["supplier_cosupply_topk"] = _cosupply_oracle()
+
+
+@_register(
+    "orders_bootstrap_ci_revenue",
+    oracle="""
+    WITH reps AS (
+      SELECT CAST(unnest(generate_series(0, 31)) AS BIGINT) AS r
+    ),
+    w AS (
+      SELECT reps.r,
+             CASE
+               WHEN ((o_orderkey * 2654435761 + reps.r * 976369) % 4294967296)
+                    % 1000 < 368 THEN 0
+               WHEN ((o_orderkey * 2654435761 + reps.r * 976369) % 4294967296)
+                    % 1000 < 736 THEN 1
+               WHEN ((o_orderkey * 2654435761 + reps.r * 976369) % 4294967296)
+                    % 1000 < 920 THEN 2
+               WHEN ((o_orderkey * 2654435761 + reps.r * 976369) % 4294967296)
+                    % 1000 < 981 THEN 3
+               ELSE 4
+             END AS w,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders CROSS JOIN reps
+    ),
+    totals AS (
+      SELECT r, CAST(sum(w * cents) AS BIGINT) AS total_cents
+      FROM w GROUP BY r
+    ),
+    ranked AS (
+      SELECT total_cents,
+             row_number() OVER (ORDER BY total_cents) AS rn
+      FROM totals
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+           CAST(floor(sum(CAST(total_cents AS HUGEINT)) / count(*))
+                AS BIGINT) AS mean_total_cents,
+           CAST(max(CASE WHEN rn = 2 THEN total_cents END) AS BIGINT)
+             AS ci_lo_cents,
+           CAST(max(CASE WHEN rn = 31 THEN total_cents END) AS BIGINT)
+             AS ci_hi_cents
+    FROM ranked
+    """,
+)
+def orders_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap of total revenue: 32 replicates
+    whose per-order weights follow the Poisson(1) pmf quantized to
+    thousandths (0.368/0.368/0.184/0.061/0.019 — the standard streaming
+    bootstrap; weights come from the seedless multiplicative hash, so
+    both engines draw identical replicates). CI bounds are the 2nd/31st
+    order statistics (~94 % coverage). Scale shape: the 32× row
+    expansion is map-side combinable straight into 32 partial sums —
+    no shuffle grows with the fact table; exact integer totals."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    reps = spark.range(32).select(F.col("id").cast("long").alias("r"))
+    h = (
+        (F.col("o_orderkey") * 2654435761 + F.col("r") * 976369)
+        % 4294967296
+    ) % 1000
+    w = (
+        F.when(h < 368, 0)
+        .when(h < 736, 1)
+        .when(h < 920, 2)
+        .when(h < 981, 3)
+        .otherwise(4)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    totals = (
+        o.crossJoin(F.broadcast(reps))
+        .select("r", (w * cents).alias("wc"))
+        .groupBy("r")
+        .agg(F.sum("wc").cast("long").alias("total_cents"))
+    )
+    ranked = totals.select(
+        "total_cents",
+        F.row_number().over(Window.orderBy("total_cents")).alias("rn"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.floor(
+            F.sum(F.col("total_cents").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_total_cents"),
+        F.max(F.when(F.col("rn") == 2, F.col("total_cents")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.max(F.when(F.col("rn") == 31, F.col("total_cents")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+
+
+@_register(
+    "events_periodogram_candidates",
+    oracle="""
+    WITH periods AS (
+      SELECT CAST(unnest([21600.0, 43200.0, 86400.0, 172800.0,
+                          302400.0, 604800.0]) AS DOUBLE) AS period
+    ),
+    terms AS (
+      SELECT periods.period,
+             CAST(floor(value * cos(2.0 * pi() * CAST(floor(epoch(ts))
+                        AS DOUBLE) / periods.period) * 1.0e6 + 0.5)
+                  AS HUGEINT) AS cq,
+             CAST(floor(value * sin(2.0 * pi() * CAST(floor(epoch(ts))
+                        AS DOUBLE) / periods.period) * 1.0e6 + 0.5)
+                  AS HUGEINT) AS sq
+      FROM events CROSS JOIN periods
+    ),
+    pw AS (
+      SELECT period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cq) AS DOUBLE) / 1.0e6 AS sc,
+             CAST(sum(sq) AS DOUBLE) / 1.0e6 AS ss
+      FROM terms GROUP BY period
+    )
+    SELECT period,
+           floor((sc*sc + ss*ss) / CAST(n AS DOUBLE) * 1.0e2 + 0.5) / 1.0e2
+             AS power,
+           CAST(row_number() OVER (
+             ORDER BY floor((sc*sc + ss*ss) / CAST(n AS DOUBLE) * 1.0e2 + 0.5)
+                      DESC, period) AS BIGINT) AS power_rank
+    FROM pw
+    """,
+)
+def events_periodogram_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lomb-style power at six CANDIDATE periods (6 h … 7 d): the
+    cheap periodicity scan that says which seasonality the windowing
+    queries should target (the single-bin daily/weekly DFT already
+    staged generalizes here to a ranked candidate grid). Per-row
+    cos/sin terms are quantized to integer micro-units before the global
+    sums (order-independence rule); the rank window runs over six rows.
+    Rank ties break on the QUANTIZED power, so both engines agree."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    periods = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.lit(v)
+                    for v in (
+                        21600.0, 43200.0, 86400.0, 172800.0,
+                        302400.0, 604800.0,
+                    )
+                ]
+            )
+        ).alias("period")
+    )
+    tsec = F.floor(F.unix_micros(F.col("ts")) / 1_000_000).cast("double")
+    ang = 2.0 * 3.141592653589793 * tsec / F.col("period")
+    terms = ev.crossJoin(F.broadcast(periods)).select(
+        "period",
+        F.floor(F.col("value") * F.cos(ang) * 1.0e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("cq"),
+        F.floor(F.col("value") * F.sin(ang) * 1.0e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("sq"),
+    )
+    pw = terms.groupBy("period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("cq").cast("double") / 1.0e6).alias("sc"),
+        (F.sum("sq").cast("double") / 1.0e6).alias("ss"),
+    )
+    power_q = (
+        F.floor(
+            (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss"))
+            / F.col("n").cast("double")
+            * 1.0e2
+            + 0.5
+        )
+        / 1.0e2
+    )
+    out = pw.select("period", power_q.alias("power"))
+    wr = Window.orderBy(F.col("power").desc(), F.col("period"))
+    return out.select(
+        "period",
+        "power",
+        F.row_number().over(wr).cast("long").alias("power_rank"),
+    )
+
+
+@_register(
+    "text_compression_ratio_proxy",
+    oracle="""
+    WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+    uni AS (
+      SELECT source, unnest(words) AS tok FROM w
+    ),
+    bg AS (
+      SELECT source,
+             unnest(list_transform(generate_series(1, greatest(len(words) - 1, 0)),
+                    i -> words[i] || ' ' || words[i+1])) AS b
+      FROM w
+    ),
+    us AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT tok) AS BIGINT) AS v_tokens
+      FROM uni GROUP BY 1
+    ),
+    bs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(count(DISTINCT b) AS BIGINT) AS v_bigrams
+      FROM bg GROUP BY 1
+    )
+    SELECT us.source, n_tokens, v_tokens, n_bigrams, v_bigrams,
+           floor(CAST(v_tokens AS DOUBLE) / n_tokens * 1.0e6 + 0.5) / 1.0e6
+             AS ttr,
+           floor(CAST(v_bigrams AS DOUBLE) / n_bigrams * 1.0e6 + 0.5) / 1.0e6
+             AS bigram_distinct_ratio
+    FROM us JOIN bs ON us.source = bs.source
+    """,
+)
+def text_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compressibility proxy per source: type/token ratio and
+    the distinct-bigram ratio — low values mean templated/repetitive
+    text that a compressor (or a dedup pass) would collapse, the cheap
+    screen before paying for MinHash. Distinct counts shuffle on the
+    token/bigram key (map-side combinable partial distincts); both
+    ratios from exact integers."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    uni = docs.select(
+        "source", F.explode(words_expr(F.col("text"))).alias("tok")
+    )
+    bg = docs.select(
+        "source",
+        F.explode(word_shingles(words_expr(F.col("text")), 2)).alias("b"),
+    )
+    us = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("v_tokens"),
+    )
+    bs = bg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.countDistinct("b").cast("long").alias("v_bigrams"),
+    )
+    j = us.join(bs, "source")
+    return j.select(
+        "source",
+        "n_tokens",
+        "v_tokens",
+        "n_bigrams",
+        "v_bigrams",
+        (
+            F.floor(
+                F.col("v_tokens").cast("double") / F.col("n_tokens") * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("ttr"),
+        (
+            F.floor(
+                F.col("v_bigrams").cast("double") / F.col("n_bigrams") * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("bigram_distinct_ratio"),
+    )

@@ -73,6 +73,12 @@ STAGED_NAMES: list[str] = [
     "gsw_enthalpy_ct_exact",
     "gsw_ct_first_derivatives_wrt_t_exact",
     "gsw_salinity_star_baseline",
+    # wave E — trend/network/resampling operations
+    "orders_sens_slope_monthly",
+    "supplier_cosupply_topk",
+    "orders_bootstrap_ci_revenue",
+    "events_periodogram_candidates",
+    "text_compression_ratio_proxy",
 ]
 
 
