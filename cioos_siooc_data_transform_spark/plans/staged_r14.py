@@ -2218,3 +2218,430 @@ def text_compression_ratio_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("bigram_distinct_ratio"),
     )
+
+
+# ===========================================================================
+# Wave F — enthalpy-coordinate derivatives (the (SA, h, p) state space
+# dynamic-height integrals work in), exact enthalpy first derivatives,
+# Erlang-C staffing, naive interval-forecast coverage.
+# ===========================================================================
+def _v_wrt_h_stages():
+    """Stages for v_h = v_CT/h_CT, v_SA_wrt_h = v_SA − v_CT·h_SA/h_CT
+    (GSW twin: gsw_specvol_first_derivatives_wrt_enthalpy) and the
+    second-order pair (GSW twin: gsw_specvol_second_derivatives_wrt_
+    enthalpy): v_h_h = (v_CTCT·h_CT − v_CT·h_CTCT)/h_CT³ and the mixed
+    v_SA_h = [v_CTSA·h_CT − v_CT·h_CTSA]/h_CT²
+             − (h_SA/h_CT)·[v_CTCT·h_CT − v_CT·h_CTCT]/h_CT²
+    (∂/∂SA at FIXED h picks up −h_SA/h_CT·∂/∂CT). Every piece is an
+    analytic 75-term derivative polynomial; FD-pinned in tests."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_OFFSET,
+        GSW_SFAC,
+        _lit,
+        ct_from_t_sql,
+        enthalpy_first_derivatives_stages,
+        hdyn_combine_sql,
+        hdyn_deriv_poly_stages,
+        specvol_deriv_poly_sql,
+    )
+
+    sfac, off = _lit(GSW_SFAC), _lit(GSW_OFFSET)
+    stages = [
+        ("__vh_ct", ct_from_t_sql("s", "t", "p")),
+        ("__vh_xs", f"sqrt({sfac}*sa + {off})"),
+        ("__vh_ys", "(__vh_ct*0.025e0)"),
+        ("__vh_z", "(p*1.0e-4)"),
+        (
+            "__vh_vct",
+            f"(0.025e0*{specvol_deriv_poly_sql('__vh_xs', '__vh_ys', '__vh_z', dys=1)})",
+        ),
+        (
+            "__vh_vctct",
+            f"(6.25e-4*{specvol_deriv_poly_sql('__vh_xs', '__vh_ys', '__vh_z', dys=2)})",
+        ),
+        (
+            "__vh_vsa",
+            f"(({sfac}/(2.0e0*__vh_xs))"
+            f"*{specvol_deriv_poly_sql('__vh_xs', '__vh_ys', '__vh_z', dxs=1)})",
+        ),
+        (
+            "__vh_vctsa",
+            f"(0.025e0*({sfac}/(2.0e0*__vh_xs))"
+            f"*{specvol_deriv_poly_sql('__vh_xs', '__vh_ys', '__vh_z', dxs=1, dys=1)})",
+        ),
+    ]
+    stages += enthalpy_first_derivatives_stages("sa", "__vh_ct", "p", x="__vh_d_")
+    # h second derivatives: h = cp0·CT + h_dyn, so h_CTCT / h_CTSA are
+    # pure h_dyn derivative combines (cp0 term drops out).
+    stages += hdyn_deriv_poly_stages("__vh_d_xs", "__vh_d_ys", "__vh_yy_", dys=2)
+    stages += hdyn_deriv_poly_stages("__vh_d_xs", "__vh_d_ys", "__vh_xy_", dxs=1, dys=1)
+    stages += [
+        (
+            "__vh_hctct",
+            f"(6.25e-4*{hdyn_combine_sql('__vh_d_z', '__vh_yy_')})",
+        ),
+        (
+            "__vh_hctsa",
+            f"(0.025e0*({sfac}/(2.0e0*__vh_d_xs))"
+            f"*{hdyn_combine_sql('__vh_d_z', '__vh_xy_')})",
+        ),
+    ]
+    return stages
+
+
+_V_H = "(__vh_vct/h_ct)"
+_V_SA_WRT_H = "(__vh_vsa - __vh_vct*h_sa/h_ct)"
+_V_H_H = "((__vh_vctct*h_ct - __vh_vct*__vh_hctct)/(h_ct*h_ct*h_ct))"
+_V_SA_H = (
+    "((__vh_vctsa*h_ct - __vh_vct*__vh_hctsa)/(h_ct*h_ct)"
+    " - (h_sa/h_ct)*(__vh_vctct*h_ct - __vh_vct*__vh_hctct)/(h_ct*h_ct))"
+)
+
+
+def _vwh_query(name, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+            _SA_SQL,
+            _inputs,
+        )
+
+        df = _inputs(spark, sf_dir).select(
+            "l_orderkey", "l_linenumber", "s", "t", "p",
+            F.expr(_SA_SQL).alias("sa"),
+        )
+        for sname, expr in _v_wrt_h_stages():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _v_wrt_h_stages())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+# v_h ~ 2.4e-7 (m³/kg)/(J/kg): emit ×1e9; v_h_h ~ -1e-11: ×1e14.
+_vwh_query(
+    "gsw_specvol_first_derivatives_wrt_enthalpy",
+    [
+        ("v_h_e9", _q9(f"(1.0e9*{_V_H})")),
+        ("v_sa_wrt_h_e6", _q9(f"(1.0e6*{_V_SA_WRT_H})")),
+    ],
+)
+_vwh_query(
+    "gsw_specvol_second_derivatives_wrt_enthalpy",
+    [
+        ("v_h_h_e14", _q6(f"(1.0e14*{_V_H_H})")),
+        ("v_sa_h_e12", _q6(f"(1.0e12*{_V_SA_H})")),
+    ],
+)
+
+
+def _h_derivs_ct_exact_stages():
+    """h_CT = cp0·(T0+t)/(T0+pt0) and h_SA = g_SA(SA,t,p) −
+    (T0+t)/(T0+pt0)·g_SA(SA,pt0,0) (GSW twin:
+    gsw_enthalpy_first_derivatives_CT_exact — the reference evaluates
+    hand-differentiated g_SA tables at exactly these two states). t
+    comes from the 2-step Newton t(CT) (the grid's CT is the forward
+    conversion, so this is the roundtrip point), pt0 from the
+    McDougall-Wotherspoon inversion."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+
+    eps = "1.0e-3"
+    stages = [
+        ("__hde_ct", ct_from_t_sql("s", "t", "p")),
+        ("__hde_t0", "__hde_ct"),
+    ]
+    for i in range(2):
+        cur = f"__hde_t{i}"
+        stages += [
+            (f"__hde_r{i}", f"({ct_from_t_sql('s', cur, 'p')} - __hde_ct)"),
+            (
+                f"__hde_d{i}",
+                f"(({ct_from_t_sql('s', f'({cur} + {eps})', 'p')}"
+                f" - {ct_from_t_sql('s', f'({cur} - {eps})', 'p')})"
+                f"/(2.0e0*{eps}))",
+            ),
+            (f"__hde_t{i + 1}", f"({cur} - __hde_r{i}/__hde_d{i})"),
+        ]
+    stages += [
+        ("__hde_pt0", pt0_from_t_sql("s", "__hde_t2", "p")),
+        (
+            "__hde_ratio",
+            "((273.15e0 + __hde_t2)/(273.15e0 + __hde_pt0))",
+        ),
+        ("__hde_gsa", gibbs_sw_sql("sa", "__hde_t2", "p", dsa=1)),
+        (
+            "__hde_gsa0",
+            gibbs_sw_sql("sa", "__hde_pt0", "0.0e0", dsa=1),
+        ),
+    ]
+    return stages
+
+
+def _hde_outs():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+    )
+
+    return [
+        ("h_ct_deriv", _q9(f"({_lit(GSW_CP0)}*__hde_ratio)")),
+        (
+            "h_sa_deriv",
+            _q9("(__hde_gsa - __hde_ratio*__hde_gsa0)"),
+        ),
+    ]
+
+
+def gsw_enthalpy_first_derivatives_ct_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """See _h_derivs_ct_exact_stages — the exact-Gibbs twin of the live
+    analytic-polynomial gsw_enthalpy_first_derivatives (agreement
+    within the poly fit error, pinned in tests)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _h_derivs_ct_exact_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.expr(e).alias(c) for c, e in _hde_outs()],
+    )
+
+
+def _hde_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _h_derivs_ct_exact_stages())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in _hde_outs())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_enthalpy_first_derivatives_ct_exact"] = (
+    gsw_enthalpy_first_derivatives_ct_exact
+)
+STAGED_ORACLES["gsw_enthalpy_first_derivatives_ct_exact"] = _hde_oracle()
+
+
+@_register(
+    "events_erlang_c_staffing",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hod, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 3600)
+                  AS BIGINT) AS n_slots
+      FROM events GROUP BY 1
+    ),
+    lam AS (
+      SELECT hod, n,
+             CAST(n AS DOUBLE) / CAST(n_slots AS DOUBLE) / 60.0e0 AS lam_min
+      FROM hourly
+    ),
+    cand AS (
+      SELECT CAST(unnest(generate_series(1, 24)) AS BIGINT) AS c
+    ),
+    pw AS (
+      SELECT hod, n, lam_min, cand.c,
+             lam_min / 1.2e0 AS a,
+             list_reduce(
+               list_prepend(1.0e0,
+                 list_transform(generate_series(1, CAST(cand.c AS INTEGER)),
+                                k -> CAST(k AS DOUBLE))),
+               (b, k) -> (lam_min/1.2e0)*b/(k + (lam_min/1.2e0)*b))
+               AS erlang_b
+      FROM lam CROSS JOIN cand
+      WHERE lam_min / 1.2e0 < CAST(cand.c AS DOUBLE)
+    ),
+    ec AS (
+      SELECT hod, n, lam_min, c, a,
+             erlang_b / (1.0e0 - (a/CAST(c AS DOUBLE))*(1.0e0 - erlang_b))
+               AS p_wait
+      FROM pw
+    )
+    SELECT hod, n AS n_events,
+           floor(lam_min * 1.0e6 + 0.5) / 1.0e6 AS lambda_per_min,
+           CAST(min(CASE WHEN p_wait <= 0.2e0 THEN c END) AS BIGINT)
+             AS c_required
+    FROM ec
+    GROUP BY hod, n, lam_min
+    """,
+)
+def events_erlang_c_staffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erlang-C staffing per hour-of-day: smallest agent count c with
+    P(wait) ≤ 20 % at the observed arrival rate (service rate fixed at
+    1.2/min). Erlang B comes from the single-accumulator recurrence
+    B_k = a·B_{k−1}/(k + a·B_{k−1}) folded over k = 1..c (the
+    fold-parity idiom — one double accumulator, identical literal fold
+    on both engines), then C = B/(1 − ρ(1 − B)). The candidate grid is
+    24 hours × 24 c values — bounded; the fact table contributes one
+    map-side-combinable count per hour."""
+    ev = _t(spark, sf_dir, "events")
+    hour_slot = (
+        F.floor(F.unix_micros(F.col("ts")) / 1_000_000).cast("long") / 3600
+    ).cast("long")
+    hourly = ev.groupBy(F.hour("ts").cast("long").alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(hour_slot).cast("long").alias("n_slots"),
+    )
+    lam = hourly.select(
+        "hod",
+        "n",
+        (
+            F.col("n").cast("double") / F.col("n_slots").cast("double") / 60.0
+        ).alias("lam_min"),
+    )
+    cand = spark.range(1, 25).select(F.col("id").cast("long").alias("c"))
+    a = F.col("lam_min") / 1.2
+    seq = F.transform(
+        F.sequence(F.lit(1), F.col("c").cast("int")),
+        lambda k: k.cast("double"),
+    )
+    erlang_b = F.aggregate(
+        seq, F.lit(1.0), lambda b, k: a * b / (k + a * b)
+    )
+    pw = (
+        lam.crossJoin(F.broadcast(cand))
+        .filter(a < F.col("c").cast("double"))
+        .select(
+            "hod",
+            "n",
+            "lam_min",
+            "c",
+            a.alias("a"),
+            erlang_b.alias("erlang_b"),
+        )
+    )
+    p_wait = F.col("erlang_b") / (
+        1.0
+        - (F.col("a") / F.col("c").cast("double"))
+        * (1.0 - F.col("erlang_b"))
+    )
+    ec = pw.select("hod", "n", "lam_min", "c", p_wait.alias("p_wait"))
+    return ec.groupBy("hod", "n", "lam_min").agg(
+        F.min(F.when(F.col("p_wait") <= 0.2, F.col("c")))
+        .cast("long")
+        .alias("c_required")
+    ).select(
+        "hod",
+        F.col("n").alias("n_events"),
+        (F.floor(F.col("lam_min") * 1.0e6 + 0.5) / 1.0e6).alias(
+            "lambda_per_min"
+        ),
+        "c_required",
+    )
+
+
+@_register(
+    "orders_naive_interval_coverage",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT midx, cents,
+             CAST(min(cents) OVER (ORDER BY midx
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS lo,
+             CAST(max(cents) OVER (ORDER BY midx
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS hi,
+             CAST(count(*) OVER (ORDER BY midx
+                   ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS n_hist
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_evaluated,
+           CAST(sum(CASE WHEN cents BETWEEN lo AND hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           floor(CAST(sum(CASE WHEN cents BETWEEN lo AND hi THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS coverage_rate,
+           CAST(floor(sum(CAST(hi - lo AS HUGEINT)) / count(*)) AS BIGINT)
+             AS mean_width_cents
+    FROM w WHERE n_hist = 12
+    """,
+)
+def orders_naive_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backtest of the naive min/max interval forecast: for every month
+    with a full 12-month history, does the actual land inside the
+    trailing range? Coverage ≈ 1 − 2/13 for exchangeable data — a
+    calibration audit for range-based capacity planning (the MAPE
+    backtest already staged scores the point forecast; this scores the
+    interval). One ordered window over the 84-row month aggregate."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("midx")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wt = Window.orderBy("midx").rowsBetween(-12, -1)
+    w = m.select(
+        "cents",
+        F.min("cents").over(wt).cast("long").alias("lo"),
+        F.max("cents").over(wt).cast("long").alias("hi"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("n_hist"),
+    ).filter(F.col("n_hist") == 12)
+    cov = F.when(
+        (F.col("cents") >= F.col("lo")) & (F.col("cents") <= F.col("hi")), 1
+    ).otherwise(0)
+    return w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_evaluated"),
+        F.sum(cov).cast("long").alias("n_covered"),
+        (
+            F.floor(
+                F.sum(cov).cast("double") / F.count(F.lit(1)) * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("coverage_rate"),
+        F.floor(
+            F.sum((F.col("hi") - F.col("lo")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_width_cents"),
+    )

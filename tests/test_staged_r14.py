@@ -79,6 +79,13 @@ STAGED_NAMES: list[str] = [
     "orders_bootstrap_ci_revenue",
     "events_periodogram_candidates",
     "text_compression_ratio_proxy",
+    # wave F — enthalpy-coordinate derivatives, exact h derivatives,
+    # Erlang-C staffing, interval-forecast coverage
+    "gsw_specvol_first_derivatives_wrt_enthalpy",
+    "gsw_specvol_second_derivatives_wrt_enthalpy",
+    "gsw_enthalpy_first_derivatives_ct_exact",
+    "events_erlang_c_staffing",
+    "orders_naive_interval_coverage",
 ]
 
 
@@ -300,3 +307,87 @@ def test_enthalpy_ct_exact_vs_polynomial():
             )
         ).fetchone()[0]
         assert exact == pytest.approx(poly, abs=10.0), (sp, t, p, exact, poly)
+
+
+def test_v_wrt_h_fd_pins():
+    """v_h / v_SA_wrt_h / v_h_h / v_SA_h against finite differences of
+    the 75-term v along constant-h directions (h from the analytic
+    staged enthalpy; CT adjusted by dCT = (dh − h_SA·dSA)/h_CT)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        enthalpy_sql,
+        specvol_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _V_H,
+        _V_H_H,
+        _V_SA_H,
+        _V_SA_WRT_H,
+        _v_wrt_h_stages,
+    )
+
+    con = duckdb.connect()
+    ups = 35.16504 / 35.0
+
+    def _d(v):
+        return f"CAST({v!r} AS DOUBLE)"
+
+    for sp, t, p in [(35.0, 15.0, 300.0), (31.0, 2.0, 700.0)]:
+        sa = sp * ups
+        prev = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s, CAST({sa!r} AS DOUBLE) AS sa,"
+            f" CAST({t!r} AS DOUBLE) AS t, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in _v_wrt_h_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        v_h, v_sa_h_fixed, v_hh, v_sah, ct0, h_sa, h_ct = con.execute(
+            f"SELECT {_V_H}, {_V_SA_WRT_H}, {_V_H_H}, {_V_SA_H},"
+            f" __vh_ct, h_sa, h_ct FROM ({prev})"
+        ).fetchone()
+
+        def v_of(sav, ctv, pv):
+            return con.execute(
+                f"SELECT {specvol_sql(_d(sav), _d(ctv), _d(pv))}"
+            ).fetchone()[0]
+
+        def h_of(sav, ctv, pv):
+            return con.execute(
+                f"SELECT {enthalpy_sql(_d(sav), _d(ctv), _d(pv))}"
+            ).fetchone()[0]
+
+        # v_h: perturb h by dh at fixed SA → dCT = dh/h_CT.
+        dh = 50.0
+        fd_vh = (
+            v_of(sa, ct0 + dh / h_ct, p) - v_of(sa, ct0 - dh / h_ct, p)
+        ) / (2 * dh)
+        assert v_h == pytest.approx(fd_vh, rel=2e-4), (sp, t, p)
+        # v_SA at fixed h: dSA with dCT = -h_SA dSA / h_CT.
+        dsa = 1e-2
+        fd_vsa = (
+            v_of(sa + dsa, ct0 - h_sa * dsa / h_ct, p)
+            - v_of(sa - dsa, ct0 + h_sa * dsa / h_ct, p)
+        ) / (2 * dsa)
+        assert v_sa_h_fixed == pytest.approx(fd_vsa, rel=2e-4, abs=1e-12)
+        # v_h_h: second difference along h.
+        fd_vhh = (
+            v_of(sa, ct0 + dh / h_ct, p)
+            - 2 * v_of(sa, ct0, p)
+            + v_of(sa, ct0 - dh / h_ct, p)
+        ) / (dh * dh)
+        assert v_hh == pytest.approx(fd_vhh, rel=5e-3), (sp, t, p)
+        # v_sa_h: d(v_h)/dSA at fixed h — FD the v_h expression itself
+        # via first differences of v along h at SA±dsa (with the
+        # constant-h CT shift).
+        def vh_at(sav, ct_base):
+            return (
+                v_of(sav, ct_base + dh / h_ct, p)
+                - v_of(sav, ct_base - dh / h_ct, p)
+            ) / (2 * dh)
+
+        fd_vsah = (
+            vh_at(sa + dsa, ct0 - h_sa * dsa / h_ct)
+            - vh_at(sa - dsa, ct0 + h_sa * dsa / h_ct)
+        ) / (2 * dsa)
+        assert v_sah == pytest.approx(fd_vsah, rel=2e-2, abs=1e-15), (sp, t, p)
