@@ -1651,7 +1651,7 @@ STAGED_QUERIES["gsw_enthalpy_ct_exact"] = gsw_enthalpy_ct_exact
 STAGED_ORACLES["gsw_enthalpy_ct_exact"] = _h_ct_exact_oracle()
 
 
-def _ct_derivs_wrt_t_stages():
+def _ct_derivs_wrt_t_stages(t_col: str = "t"):
     """The CT derivative triple wrt in-situ state (GSW twin:
     gsw_CT_first_derivatives_wrt_t_exact) assembled by the chain rule
     through entropy conservation η(SA,t,p) = η₀(SA,pt0) — every piece
@@ -1683,8 +1683,8 @@ def _ct_derivs_wrt_t_stages():
         # one extra Newton polish on the exact entropy match puts the
         # evaluation point at the implicit root to ~1e-10 K, making the
         # chain-rule triple FD-exact (tests).
-        ("__cdt_pt0a", pt0_from_t_sql("s", "t", "p")),
-        ("__cdt_eta", entropy_from_t_sql("sa", "t", "p")),
+        ("__cdt_pt0a", pt0_from_t_sql("s", t_col, "p")),
+        ("__cdt_eta", entropy_from_t_sql("sa", t_col, "p")),
         ("__cdt_eta0a", entropy_from_pt_sql("sa", "__cdt_pt0a")),
         (
             "__cdt_eta0ta",
@@ -1694,9 +1694,9 @@ def _ct_derivs_wrt_t_stages():
             "__cdt_pt0",
             "(__cdt_pt0a - (__cdt_eta0a - __cdt_eta)/__cdt_eta0ta)",
         ),
-        ("__cdt_eta_t", entropy_t_derivative_sql("sa", "t", "p")),
-        ("__cdt_eta_sa", entropy_sa_derivative_sql("sa", "t", "p")),
-        ("__cdt_eta_p", entropy_p_derivative_sql("sa", "t", "p")),
+        ("__cdt_eta_t", entropy_t_derivative_sql("sa", t_col, "p")),
+        ("__cdt_eta_sa", entropy_sa_derivative_sql("sa", t_col, "p")),
+        ("__cdt_eta_p", entropy_p_derivative_sql("sa", t_col, "p")),
         (
             "__cdt_eta0_t",
             entropy_p0_derivative_sql("sa", "__cdt_pt0", 0, 1),
@@ -2645,3 +2645,330 @@ def orders_naive_interval_coverage(
         .cast("long")
         .alias("mean_width_cents"),
     )
+
+
+# ===========================================================================
+# Wave G — GSW tail round-out: rho second derivatives wrt enthalpy,
+# t_freezing first derivatives (poly), Baltic SP inverse, O2sol at
+# (SA, CT), salinometer SP.
+# ===========================================================================
+def _rho_wrt_h_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        specvol_sql,
+    )
+
+    return _v_wrt_h_stages() + [
+        ("__vh_v", specvol_sql("sa", "__vh_ct", "p")),
+    ]
+
+
+# rho = 1/v: rho_h = -v_h/v^2 (first wrt h staged r12); second pair:
+# rho_h_h = 2*v_h^2/v^3 - v_h_h/v^2; rho_sa_h = 2*v_sa|h*v_h/v^3 -
+# v_sa_h/v^2 (quotient rule along the same constant-h directions).
+_RHO_H_H = (
+    f"(2.0e0*{_V_H}*{_V_H}/(__vh_v*__vh_v*__vh_v)"
+    f" - {_V_H_H}/(__vh_v*__vh_v))"
+)
+_RHO_SA_H = (
+    f"(2.0e0*{_V_SA_WRT_H}*{_V_H}/(__vh_v*__vh_v*__vh_v)"
+    f" - {_V_SA_H}/(__vh_v*__vh_v))"
+)
+
+
+def _rwh_query():
+    outs = [
+        # rho_h ~ -2.5e-4: x1e9; rho_h_h ~ 1e-11: x1e14; rho_sa_h: x1e12
+        ("rho_h_h_e14", _q6(f"(1.0e14*{_RHO_H_H})")),
+        ("rho_sa_h_e12", _q6(f"(1.0e12*{_RHO_SA_H})")),
+    ]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+            _SA_SQL,
+            _inputs,
+        )
+
+        df = _inputs(spark, sf_dir).select(
+            "l_orderkey", "l_linenumber", "s", "t", "p",
+            F.expr(_SA_SQL).alias("sa"),
+        )
+        for sname, expr in _rho_wrt_h_stages():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _rho_wrt_h_stages())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES["gsw_rho_second_derivatives_wrt_enthalpy"] = fn
+    STAGED_ORACLES["gsw_rho_second_derivatives_wrt_enthalpy"] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+
+
+_rwh_query()
+
+
+def _tf_derivs_stages():
+    """t_freezing_first_derivatives(_poly): the freezing line is the
+    implicit solution of CT(SA, t_f, p) = CT_f(SA, p), so
+    dt_f/dSA = (CTf_SA − CT_SA|t)/CT_t and dt_f/dp = (CTf_p − CT_p|t)/
+    CT_t — the freezing-poly symdiff derivatives combined with the
+    wave-D exact CT derivative triple EVALUATED ON THE FREEZING LINE
+    (t = the r13 Newton t_f_poly, which needs no grid t)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _tf_poly_stages,
+    )
+
+    stages = list(_tf_poly_stages())
+    stages += [
+        ("__tfd_ctf_sa", _ctf_deriv_sql("sa", "p", 0)),
+        ("__tfd_ctf_p", _ctf_deriv_sql("sa", "p", 1)),
+    ]
+    stages += _ct_derivs_wrt_t_stages(t_col="__tfz_t2")
+    return stages
+
+
+def _tfd_outs():
+    ct_t = "(__cdt_ct_pt*__cdt_eta_t/__cdt_eta0_t)"
+    ct_p = "(__cdt_ct_pt*__cdt_eta_p/__cdt_eta0_t)"
+    ct_sa = (
+        "(__cdt_ct_sa + __cdt_ct_pt"
+        "*(__cdt_eta_sa - __cdt_eta0_sa)/__cdt_eta0_t)"
+    )
+    tf_sa = f"((__tfd_ctf_sa - {ct_sa})/{ct_t})"
+    tf_p = f"((__tfd_ctf_p - {ct_p})/{ct_t})"
+    return [
+        ("tfreezing_sa", _q9(tf_sa)),
+        # K/dbar ~ -7.5e-4: emit x1e4.
+        ("tfreezing_p_e4", _q9(f"(1.0e4*{tf_p})")),
+    ]
+
+
+def gsw_t_freezing_first_derivatives_poly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """See _tf_derivs_stages — implicit-function derivatives of the
+    freezing temperature (GSW twins: gsw_t_freezing_first_derivatives
+    / _poly, which hand-differentiate the same construction)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _tf_derivs_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        *[F.expr(e).alias(c) for c, e in _tfd_outs()],
+    )
+
+
+def _tfd_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _tf_derivs_stages())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in _tfd_outs())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_t_freezing_first_derivatives_poly"] = (
+    gsw_t_freezing_first_derivatives_poly
+)
+STAGED_ORACLES["gsw_t_freezing_first_derivatives_poly"] = _tfd_oracle()
+
+
+def _baltic_pts_sql() -> str:
+    return """
+    SELECT l_orderkey, l_linenumber,
+           5.0 + CAST(l_orderkey % 50 AS DOUBLE) AS lon,
+           48.0 + CAST(l_suppkey % 24 AS DOUBLE) AS lat,
+           CAST(30.0 + l_discount * 50 AS DOUBLE) * (35.16504e0/35.0e0) AS sa
+    FROM lineitem
+    """
+
+
+_SP_BALTIC_SQL = """
+    CASE WHEN lat > 50.0e0 AND lat < 69.0e0 AND lon > 7.0e0 AND lon < 45.0e0
+         AND lon >= (CASE WHEN lat < 59.0e0
+                          THEN 12.6e0 + (7.0e0 - 12.6e0)*(lat - 50.0e0)/9.0e0
+                          ELSE 7.0e0 + (26.0e0 - 7.0e0)*(lat - 59.0e0)/10.0e0
+                     END)
+         AND lon <= (45.0e0 + (26.0e0 - 45.0e0)*(lat - 50.0e0)/19.0e0)
+    THEN (sa - 0.087e0)*(35.0e0/(35.16504e0 - 0.087e0))
+    ELSE sa/(35.16504e0/35.0e0)
+    END
+"""
+
+
+@_register(
+    "gsw_sp_from_sa_baltic",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           floor(({_SP_BALTIC_SQL}) * 1.0e9 + 0.5) / 1.0e9 AS sp_baltic
+    FROM ({_baltic_pts_sql().strip()})
+    """,
+)
+def gsw_sp_from_sa_baltic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Practical Salinity from SA with the Baltic special case (GSW
+    twin: gsw_SP_from_SA_Baltic) — the exact inverse of the staged r11
+    gsw_sa_from_sp_baltic linear relation inside the same published
+    polygon, the open-ocean uPS ratio outside. Same synthetic
+    (lon, lat) grid so inside/outside/boundary bands are all hit."""
+    li = _t(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(5.0) + (F.col("l_orderkey") % 50).cast("double")).alias("lon"),
+        (F.lit(48.0) + (F.col("l_suppkey") % 24).cast("double")).alias("lat"),
+        (
+            (F.lit(30.0) + F.col("l_discount") * 50).cast("double")
+            * (35.16504 / 35.0)
+        ).alias("sa"),
+    )
+    return pts.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(F.expr(_SP_BALTIC_SQL) * 1.0e9 + 0.5) / 1.0e9).alias(
+            "sp_baltic"
+        ),
+    )
+
+
+def _o2sol_sa_ct_stages():
+    """O2sol at (SA, CT) (GSW twin: gsw_O2sol): the Garcia-Gordon fit
+    at (SP, pt) with SP = SA/uPS (the atlas-free baseline) and pt from
+    the staged_r6 Newton pt_from_ct inversion."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        _lit,
+        ct_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r6 import (
+        pt_from_ct_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r10 import (
+        _o2sol_sql,
+    )
+
+    stages = [
+        ("__o2c_ct", ct_from_t_sql("s", "t", "p")),
+        ("__o2c_sp", f"(sa/{_lit(GSW_SSO / 35.0)})"),
+    ]
+    stages += pt_from_ct_stages("sa", "__o2c_ct")
+    stages += [("o2sol_sa_ct", _o2sol_sql("__o2c_sp", "pt_from_ct"))]
+    return stages
+
+
+def gsw_o2sol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _o2sol_sa_ct_stages."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _o2sol_sa_ct_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q6("o2sol_sa_ct")).alias("o2sol_sa_ct"),
+    )
+
+
+def _o2sol_sa_ct_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _o2sol_sa_ct_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q6("o2sol_sa_ct")} AS o2sol_sa_ct
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_o2sol"] = gsw_o2sol
+STAGED_ORACLES["gsw_o2sol"] = _o2sol_sa_ct_oracle()
+
+
+def _salinometer_stages():
+    """SP from a salinometer reading (Rt, t) — the PSS-78 core at p = 0
+    (GSW twin: gsw_SP_salinometer): SP(sqrt(Rt), ft68). Synthetic Rt in
+    [0.80, 1.10] spans the instrument's working band (SP ~28-39)."""
+    from cioos_siooc_data_transform_spark.functions.pss78 import (
+        _sp_of_rtx,
+        _t68_ft68,
+    )
+
+    stages = list(_t68_ft68("t", "__sal_"))
+    stages += [
+        ("__sal_rtx", "sqrt(rt)"),
+        ("sp_salinometer", _sp_of_rtx("__sal_rtx", "__sal_ft68")),
+    ]
+    return stages
+
+
+@_register(
+    "gsw_sp_salinometer",
+    oracle="__LAZY_SALINOMETER__",
+)
+def gsw_sp_salinometer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _salinometer_stages."""
+    li = _t(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(0.80) + (F.col("l_quantity") % 31).cast("double") / 100.0)
+        .alias("rt"),
+        (F.col("l_quantity") % 30).cast("double").alias("t"),
+    )
+    for sname, expr in _salinometer_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q9("sp_salinometer")).alias("sp_salinometer"),
+    )
+
+
+def _salinometer_oracle() -> str:
+    inner = """
+    SELECT l_orderkey, l_linenumber,
+           0.80 + CAST(l_quantity % 31 AS DOUBLE) / 100.0 AS rt,
+           CAST(l_quantity % 30 AS DOUBLE) AS t
+    FROM lineitem
+    """
+    staged = _stage_sql_cte(inner, _salinometer_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q9("sp_salinometer")} AS sp_salinometer
+    FROM ({staged})
+    """
+
+
+STAGED_ORACLES["gsw_sp_salinometer"] = _salinometer_oracle()

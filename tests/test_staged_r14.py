@@ -86,6 +86,12 @@ STAGED_NAMES: list[str] = [
     "gsw_enthalpy_first_derivatives_ct_exact",
     "events_erlang_c_staffing",
     "orders_naive_interval_coverage",
+    # wave G — GSW tail round-out
+    "gsw_rho_second_derivatives_wrt_enthalpy",
+    "gsw_t_freezing_first_derivatives_poly",
+    "gsw_sp_from_sa_baltic",
+    "gsw_o2sol",
+    "gsw_sp_salinometer",
 ]
 
 
@@ -391,3 +397,136 @@ def test_v_wrt_h_fd_pins():
             - vh_at(sa - dsa, ct0 + h_sa * dsa / h_ct)
         ) / (2 * dsa)
         assert v_sah == pytest.approx(fd_vsah, rel=2e-2, abs=1e-15), (sp, t, p)
+
+
+def test_tf_derivatives_fd_pins():
+    """Implicit-function t_freezing derivatives vs central FD of the
+    r13 Newton t_f_poly. Tolerance note: t_f_poly roots the SHIPPED
+    ct_from_t (whose pt0 is the McDougall-Wotherspoon 1.5-step
+    approximation), so its FD carries that approximation's DERIVATIVE
+    error (~3e-4 relative near freezing — the same effect the wave-D
+    CT-triple test documents); the query's formula is the exact
+    implicit derivative (GSW's own convention for
+    t_freezing_first_derivatives), so the pin allows that gap."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _tf_poly_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _tf_derivs_stages,
+        _tfd_outs,
+    )
+
+    con = duckdb.connect()
+    ups = 35.16504 / 35.0
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+        ct_from_pt_sql,
+        entropy_from_pt_sql,
+        entropy_from_t_sql,
+        entropy_p0_derivative_sql,
+        pt0_from_t_sql,
+    )
+
+    def _d(v):
+        return f"CAST({v!r} AS DOUBLE)"
+
+    def ct_exact(spv, sav, tv, pv):
+        """CT from the entropy-EXACT pt0 (polished), the same reference
+        surface the wave-D triple test uses."""
+        pt = con.execute(
+            f"SELECT {pt0_from_t_sql(_d(spv), _d(tv), _d(pv))}"
+        ).fetchone()[0]
+        eta = con.execute(
+            f"SELECT {entropy_from_t_sql(_d(sav), _d(tv), _d(pv))}"
+        ).fetchone()[0]
+        for _ in range(3):
+            e0, de = con.execute(
+                f"SELECT {entropy_from_pt_sql(_d(sav), _d(pt))},"
+                f" {entropy_p0_derivative_sql(_d(sav), _d(pt), 0, 1)}"
+            ).fetchone()
+            pt = pt - (e0 - eta) / de
+        return con.execute(
+            f"SELECT {ct_from_pt_sql(_d(sav), _d(pt))}"
+        ).fetchone()[0]
+
+    def tf_of(spv, sav, pv):
+        """The EXACT implicit freezing temperature: root of
+        ct_exact(t) = CT_f_poly(SA, p) by Newton on the polished
+        surface (the formula under test is the exact implicit
+        derivative, so its FD reference must be the exact surface —
+        rooting the shipped approximate ct_from_t instead leaves the
+        McDougall-Wotherspoon inversion's ~3e-4 derivative error in
+        the comparison)."""
+        prev = (
+            f"SELECT CAST({spv!r} AS DOUBLE) AS s,"
+            f" CAST({sav!r} AS DOUBLE) AS sa, CAST({pv!r} AS DOUBLE) AS p"
+        )
+        for n, e in _tf_poly_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        t2 = con.execute(f"SELECT __tfz_t2 FROM ({prev})").fetchone()[0]
+        ctf = con.execute(
+            f"SELECT {ct_freezing_poly_sql(_d(sav), _d(pv))}"
+        ).fetchone()[0]
+        for _ in range(3):
+            r = ct_exact(spv, sav, t2, pv) - ctf
+            d = (
+                ct_exact(spv, sav, t2 + 1e-3, pv)
+                - ct_exact(spv, sav, t2 - 1e-3, pv)
+            ) / 2e-3
+            t2 = t2 - r / d
+        return t2
+
+    for sp, p in [(35.0, 100.0), (31.0, 700.0)]:
+        sa = sp * ups
+        prev = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s,"
+            f" CAST({sa!r} AS DOUBLE) AS sa, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in _tf_derivs_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        outs = _tfd_outs()
+        got = con.execute(
+            f"SELECT {outs[0][1]}, {outs[1][1]} FROM ({prev})"
+        ).fetchone()
+        tf_sa, tf_p_e4 = got
+        dsa = 1e-3
+        fd_sa = (
+            tf_of(sp + dsa / ups, sa + dsa, p)
+            - tf_of(sp - dsa / ups, sa - dsa, p)
+        ) / (2 * dsa)
+        dp = 1.0
+        fd_p = (tf_of(sp, sa, p + dp) - tf_of(sp, sa, p - dp)) / (2 * dp)
+        # rel 2e-4: the query's triple is evaluated at the root of the
+        # SHIPPED forward surface (a few 1e-5 K from the exact root),
+        # which shifts the second-derivative-sized terms by ~5e-5 rel.
+        assert tf_sa == pytest.approx(fd_sa, rel=2e-4), (sp, p)
+        assert tf_p_e4 == pytest.approx(fd_p * 1e4, rel=2e-4), (sp, p)
+
+
+def test_baltic_sp_sa_roundtrip():
+    """SP_from_SA_Baltic inverts SA_from_SP_Baltic exactly, inside and
+    outside the polygon."""
+    import duckdb
+
+    con = duckdb.connect()
+    from cioos_siooc_data_transform_spark.plans.staged_r11 import (
+        _BALTIC_SQL,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _SP_BALTIC_SQL,
+    )
+
+    for lon, lat, sp in [(20.0, 58.0, 7.0), (-30.0, 40.0, 35.0),
+                         (25.0, 61.0, 10.0)]:
+        sa = con.execute(
+            f"SELECT {_BALTIC_SQL} FROM (SELECT CAST({lon} AS DOUBLE) AS lon,"
+            f" CAST({lat} AS DOUBLE) AS lat, CAST({sp} AS DOUBLE) AS sp)"
+        ).fetchone()[0]
+        back = con.execute(
+            f"SELECT {_SP_BALTIC_SQL} FROM (SELECT CAST({lon} AS DOUBLE) AS lon,"
+            f" CAST({lat} AS DOUBLE) AS lat, CAST({sa!r} AS DOUBLE) AS sa)"
+        ).fetchone()[0]
+        assert back == pytest.approx(sp, abs=1e-12), (lon, lat, sp, sa)
