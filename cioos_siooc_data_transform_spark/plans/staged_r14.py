@@ -2972,3 +2972,387 @@ def _salinometer_oracle() -> str:
 
 
 STAGED_ORACLES["gsw_sp_salinometer"] = _salinometer_oracle()
+
+
+# ===========================================================================
+# Wave H — GSW seaice + potential-enthalpy-at-freezing derivatives +
+# the exact CT<-enthalpy inversion.
+# ===========================================================================
+def _pot_h_ice_freezing_derivs_stages():
+    """First derivatives of the r13 pot_enthalpy_ice_freezing surface
+    h_pot(SA, p) = h_pot_Ih(pt0_Ih(t_f(SA, p), p)) — the exact chain
+    through the three shipped pieces (GSW twins:
+    gsw_pot_enthalpy_ice_freezing_first_derivatives / _poly):
+
+      dh/dx = cp_Ih(pt0, 0) · dpt0/dx,
+      dpt0/dt = g_TT(t_f, p)/g_TT(pt0, 0)   (entropy-match implicit),
+      dpt0/dp = g_Tp(t_f, p)/g_TT(pt0, 0),
+      dt_f/dSA, dt_f/dp = symdiff of the shipped Millero line
+      (functions/teos10.py::t_freezing_sql, the same surface the r13
+      query composes — so these ARE its derivatives, FD-pinned).
+    """
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        _lit,
+        t_freezing_sql,
+    )
+
+    ups = _lit(GSW_SSO / 35.0)
+    stages = [
+        ("__phd_tf", t_freezing_sql("s", "p")),
+        ("__phd_tf_sa", f"({_tf_deriv_sql('s', 'p', 0)}/{ups})"),
+        ("__phd_tf_p", _tf_deriv_sql("s", "p", 1)),
+    ]
+    # in-situ ice chain at (tf, p) and the pt0 Newton (r10 recipe).
+    stages += gibbs_ice_stages("__phd_tf", "p", x="__phd_0_", out="__phd_0o_")
+    stages.append(("__phd_pt_0", "__phd_tf"))
+    for k in (1, 2):
+        stages += gibbs_ice_stages(
+            f"__phd_pt_{k - 1}", "0.0e0", x=f"__phd_{k}_", out=f"__phd_{k}o_"
+        )
+        stages.append(
+            (
+                f"__phd_pt_{k}",
+                f"(__phd_pt_{k - 1}"
+                f" + (__phd_{k}o_entropy_ice - __phd_0o_entropy_ice)"
+                f" / __phd_{k}_gtt)",
+            )
+        )
+    # final pt0 chain for cp and g_TT at (pt0, 0).
+    stages += gibbs_ice_stages("__phd_pt_2", "0.0e0", x="__phd_f_", out="__phd_fo_")
+    stages += [
+        ("__phd_dpt_dt", "(__phd_0_gtt/__phd_f_gtt)"),
+        # gtp is per Pa (the ice chain scales by 1e4*p/pt), tf_p per
+        # dbar: convert the direct-p term to per-dbar.
+        ("__phd_dpt_dp", "(1.0e4*__phd_0_gtp/__phd_f_gtt)"),
+        (
+            "pot_h_if_sa",
+            "(__phd_fo_cp_ice*__phd_dpt_dt*__phd_tf_sa)",
+        ),
+        (
+            "pot_h_if_p",
+            "(__phd_fo_cp_ice*(__phd_dpt_dt*__phd_tf_p + __phd_dpt_dp))",
+        ),
+    ]
+    return stages
+
+
+def _freeze14_query(name: str, stages_fn, outs):
+    """Local twin of staged_r13's freeze-grid builder — registration
+    must land in THIS slate's dicts (importing r13's builder would
+    register into the r13 slate and break its 50-name budget)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+        _freeze_inputs,
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _freeze_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+_freeze14_query(
+    "gsw_pot_enthalpy_ice_freezing_derivs",
+    _pot_h_ice_freezing_derivs_stages,
+    [
+        ("pot_h_if_sa", _q6("pot_h_if_sa")),
+        # J/kg per dbar ~ -0.3: plain 1e-6 floor.
+        ("pot_h_if_p", _q6("pot_h_if_p")),
+    ],
+)
+
+
+#: Fixed slope for the brine-salinity inversion (same constant as the
+#: r12 sp_freezing_t inversion).
+_DTF_DSA_14 = -0.0569
+
+
+def _seaice_common_stages():
+    """Shared sea-ice stages: brine salinity from t_seaice (fixed-slope
+    Newton on the Millero line), brine enthalpy (exact Gibbs at
+    (SA_brine, t_seaice, p)), ice enthalpy at t_seaice, the 75-term
+    h and its derivatives at the seawater state."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        _lit,
+        ct_from_t_sql,
+        enthalpy_first_derivatives_stages,
+        enthalpy_stages,
+        gibbs_sw_sql,
+        t_freezing_sql,
+    )
+
+    ups = _lit(GSW_SSO / 35.0)
+    stages = [("__si_ct", ct_from_t_sql("s", "t", "p"))]
+    stages += enthalpy_stages("sa", "__si_ct", "p", x="__si_h_")
+    stages += enthalpy_first_derivatives_stages(
+        "sa", "__si_ct", "p", x="__si_d_"
+    )
+    stages += gibbs_ice_stages("t_si", "p", x="__si_gi_", out="__si_")
+    # brine salinity: 4 fixed-slope steps on tf(sp) = t_si.
+    stages.append(("__si_b0", "32.5e0"))
+    for k in (1, 2, 3, 4):
+        prev = f"__si_b{k - 1}"
+        stages += [
+            (f"__si_tf{k}", t_freezing_sql(prev, "p")),
+            (
+                f"__si_b{k}",
+                f"({prev} - (__si_tf{k} - t_si) / {_DTF_DSA_14:.17g})",
+            ),
+        ]
+    stages += [
+        ("__si_sabr", f"(__si_b4*{ups})"),
+        ("__si_gb", gibbs_sw_sql("__si_sabr", "t_si", "p")),
+        ("__si_gbt", gibbs_sw_sql("__si_sabr", "t_si", "p", dt=1)),
+        (
+            "__si_hbrine",
+            "(__si_gb - (273.15e0 + t_si)*__si_gbt)",
+        ),
+        # sea-ice bulk enthalpy: ice + brine mixture at brine fraction
+        # SA_seaice/SA_brine (McDougall, Barker & Feistel 2013).
+        (
+            "__si_hseaice",
+            "(__si_enthalpy_ice + sa_si*(__si_hbrine - __si_enthalpy_ice)"
+            "/__si_sabr)",
+        ),
+    ]
+    return stages
+
+
+_SEAICE_IN_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity % 30 AS DOUBLE) AS t,
+           CAST(30.0 + l_discount * 50 AS DOUBLE) AS s,
+           CAST(l_linenumber * 100.0 AS DOUBLE) AS p,
+           -CAST(l_quantity % 8 AS DOUBLE) / 10.0 - 1.5 AS t_si,
+           CAST(l_suppkey % 15 AS DOUBLE) AS sa_si,
+           (CAST(l_quantity % 5 AS DOUBLE) + 1.0) / 100.0 AS w_si
+    FROM lineitem
+"""
+
+
+def _seaice_in_sql() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _SA_SQL
+
+    return f"""
+      SELECT *, {_SA_SQL} AS sa
+      FROM ({_SEAICE_IN_SQL})
+    """
+
+
+def _seaice_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _SA_SQL
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") % 30).cast("double").alias("t"),
+        (F.lit(30.0) + F.col("l_discount") * 50).cast("double").alias("s"),
+        (F.col("l_linenumber") * 100.0).cast("double").alias("p"),
+        (-(F.col("l_quantity") % 8).cast("double") / 10.0 - 1.5).alias(
+            "t_si"
+        ),
+        (F.col("l_suppkey") % 15).cast("double").alias("sa_si"),
+        (((F.col("l_quantity") % 5).cast("double") + 1.0) / 100.0).alias(
+            "w_si"
+        ),
+    )
+    return base.withColumn("sa", F.expr(_SA_SQL))
+
+
+def _seaice_query(name: str, stages_fn, outs):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _seaice_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_seaice_in_sql(), stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+# ratio = h_CT·(SA − SA_seaice) / (h − h_Ih − (SA − SA_seaice)·h_SA
+#         − SA_seaice·(h_brine − h_Ih)/SA_brine)  (McDougall et al. 2013;
+# GSW twins gsw_melting_seaice_SA_CT_ratio / _poly). Envelope: warm CT
+# (>> CT_f), t_seaice in [-2.2, -1.5] so SA_brine lands in the valid
+# 26-40 g/kg band and t_seaice < t_f(SA_seaice <= 14, p) at every grid
+# pressure; documented like every other inversion envelope.
+_seaice_query(
+    "gsw_melting_seaice_sa_ct_ratio",
+    _seaice_common_stages,
+    [
+        (
+            "seaice_sa_ct_ratio",
+            _q9(
+                "(h_ct*(sa - sa_si)"
+                " / (__si_h_out - __si_enthalpy_ice - (sa - sa_si)*h_sa"
+                "    - sa_si*(__si_hbrine - __si_enthalpy_ice)/__si_sabr))"
+            ),
+        ),
+        ("sa_brine", _q6("__si_sabr")),
+    ],
+)
+
+
+def _seaice_into_stages():
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_enthalpy_stages,
+    )
+
+    stages = _seaice_common_stages()
+    stages += [
+        ("__si_sab", "((1.0e0 - w_si)*sa + w_si*sa_si)"),
+        (
+            "__si_hb",
+            "((1.0e0 - w_si)*__si_h_out + w_si*__si_hseaice)",
+        ),
+    ]
+    stages += ct_from_enthalpy_stages("__si_hb", "__si_sab", "p")
+    return stages
+
+
+# Complete-melt envelope (w_si <= 6 %, warm seawater) — the regime the
+# wave-A melting_ice_into_seawater pin proves; the sea-ice variant
+# mixes in the brine-corrected bulk enthalpy (GSW twin:
+# gsw_melting_seaice_into_seawater, which errors out when ice would
+# remain — here none can).
+_seaice_query(
+    "gsw_melting_seaice_into_seawater",
+    _seaice_into_stages,
+    [
+        ("sa_final", _q9("__si_sab")),
+        ("ct_final", _q9("ct_from_enthalpy")),
+    ],
+)
+
+
+def _ct_from_h_exact_stages():
+    """CT from specific enthalpy on the EXACT Gibbs surface (GSW twin:
+    gsw_CT_from_enthalpy_exact): target h from the forward exact chain
+    at the grid's CT (roundtrip contract), then two Newton steps
+    ct ← ct − (h_exact(ct) − h)/h_CT_exact with the exact derivative
+    h_CT = cp0·(T0+t)/(T0+pt0) — each h_exact(ct) evaluation runs the
+    2-step t(ct) inversion + one Gibbs (g, g_t) pair."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        ct_from_t_sql,
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+
+    eps = "1.0e-3"
+
+    def h_exact_at(ct_col: str, x: str) -> list[tuple[str, str]]:
+        st = [(f"{x}t0", ct_col)]
+        for i in range(2):
+            cur = f"{x}t{i}"
+            st += [
+                (f"{x}r{i}", f"({ct_from_t_sql('s', cur, 'p')} - {ct_col})"),
+                (
+                    f"{x}d{i}",
+                    f"(({ct_from_t_sql('s', f'({cur} + {eps})', 'p')}"
+                    f" - {ct_from_t_sql('s', f'({cur} - {eps})', 'p')})"
+                    f"/(2.0e0*{eps}))",
+                ),
+                (f"{x}t{i + 1}", f"({cur} - {x}r{i}/{x}d{i})"),
+            ]
+        st += [
+            (f"{x}g", gibbs_sw_sql("sa", f"{x}t2", "p")),
+            (f"{x}gt", gibbs_sw_sql("sa", f"{x}t2", "p", dt=1)),
+            (f"{x}h", f"({x}g - (273.15e0 + {x}t2)*{x}gt)"),
+        ]
+        return st
+
+    stages = [("__cfh_ct", ct_from_t_sql("s", "t", "p"))]
+    stages += h_exact_at("__cfh_ct", "__cfh_tgt_")
+    stages += [("__cfh_h", "__cfh_tgt_h"), ("__cfh_c0", "(__cfh_h/3991.86795711963e0)")]
+    for i in range(3):
+        cur = f"__cfh_c{i}"
+        x = f"__cfh_i{i}_"
+        stages += h_exact_at(cur, x)
+        stages += [
+            (f"{x}pt0", pt0_from_t_sql("s", f"{x}t2", "p")),
+            (
+                f"{x}hct",
+                f"({_lit(GSW_CP0)}*(273.15e0 + {x}t2)"
+                f"/(273.15e0 + {x}pt0))",
+            ),
+            (
+                f"__cfh_c{i + 1}",
+                f"({cur} - ({x}h - __cfh_h)/{x}hct)",
+            ),
+        ]
+    stages.append(("ct_from_enthalpy_exact", "__cfh_c3"))
+    return stages
+
+
+def gsw_ct_from_enthalpy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _ct_from_h_exact_stages (roundtrip: recovers the grid CT)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _ct_from_h_exact_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q9("ct_from_enthalpy_exact")).alias("ct_from_enthalpy_exact"),
+    )
+
+
+def _cfh_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _ct_from_h_exact_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q9("ct_from_enthalpy_exact")} AS ct_from_enthalpy_exact
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_ct_from_enthalpy_exact"] = gsw_ct_from_enthalpy_exact
+STAGED_ORACLES["gsw_ct_from_enthalpy_exact"] = _cfh_oracle()

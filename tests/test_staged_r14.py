@@ -92,6 +92,12 @@ STAGED_NAMES: list[str] = [
     "gsw_sp_from_sa_baltic",
     "gsw_o2sol",
     "gsw_sp_salinometer",
+    # wave H — seaice, pot-enthalpy-at-freezing derivatives, exact
+    # CT<-h inversion
+    "gsw_pot_enthalpy_ice_freezing_derivs",
+    "gsw_melting_seaice_sa_ct_ratio",
+    "gsw_melting_seaice_into_seawater",
+    "gsw_ct_from_enthalpy_exact",
 ]
 
 
@@ -530,3 +536,93 @@ def test_baltic_sp_sa_roundtrip():
             f" CAST({lat} AS DOUBLE) AS lat, CAST({sa!r} AS DOUBLE) AS sa)"
         ).fetchone()[0]
         assert back == pytest.approx(sp, abs=1e-12), (lon, lat, sp, sa)
+
+
+def test_pot_h_ice_freezing_derivs_fd():
+    """Chain derivatives vs FD of the chain's own forward value
+    (__phd_fo_enthalpy_ice = h_pot at the freezing line)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _pot_h_ice_freezing_derivs_stages,
+    )
+
+    con = duckdb.connect()
+    ups = 35.16504 / 35.0
+
+    from cioos_siooc_data_transform_spark.plans.staged_r11 import (
+        _stage_sql_cte,
+    )
+
+    def run(spv, sav, pv):
+        # flat CTE chain — the ~200-stage nested-select form exhausts
+        # DuckDB's parser (the staged_r11 lesson).
+        inner = (
+            f"SELECT CAST({spv!r} AS DOUBLE) AS s,"
+            f" CAST({sav!r} AS DOUBLE) AS sa, CAST({pv!r} AS DOUBLE) AS p"
+        )
+        staged = _stage_sql_cte(inner, _pot_h_ice_freezing_derivs_stages())
+        return con.execute(
+            "SELECT __phd_fo_enthalpy_ice, pot_h_if_sa, pot_h_if_p"
+            f" FROM ({staged})"
+        ).fetchone()
+
+    for sp, p in [(35.0, 100.0), (31.0, 700.0)]:
+        sa = sp * ups
+        _, d_sa, d_p = run(sp, sa, p)
+        dsa = 1e-2
+        h_hi, _, _ = run(sp + dsa / ups, sa + dsa, p)
+        h_lo, _, _ = run(sp - dsa / ups, sa - dsa, p)
+        fd_sa = (h_hi - h_lo) / (2 * dsa)
+        dp = 1.0
+        h_hi, _, _ = run(sp, sa, p + dp)
+        h_lo, _, _ = run(sp, sa, p - dp)
+        fd_p = (h_hi - h_lo) / (2 * dp)
+        assert d_sa == pytest.approx(fd_sa, rel=2e-5), (sp, p)
+        assert d_p == pytest.approx(fd_p, rel=2e-5), (sp, p)
+
+
+def test_ct_from_enthalpy_exact_roundtrip_and_seaice_sanity():
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _ct_from_h_exact_stages,
+        _seaice_common_stages,
+    )
+
+    con = duckdb.connect()
+    ups = 35.16504 / 35.0
+    for sp, t, p in [(35.0, 15.0, 300.0), (31.0, 2.0, 700.0)]:
+        sa = sp * ups
+        prev = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s, CAST({sa!r} AS DOUBLE) AS sa,"
+            f" CAST({t!r} AS DOUBLE) AS t, CAST({p!r} AS DOUBLE) AS p"
+        )
+        for n, e in _ct_from_h_exact_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        ct0, ct_rec = con.execute(
+            f"SELECT __cfh_ct, ct_from_enthalpy_exact FROM ({prev})"
+        ).fetchone()
+        assert ct_rec == pytest.approx(ct0, abs=5e-9), (sp, t, p)
+
+    # sea-ice ratio: physical band + brine salinity in the valid range.
+    for sp, t, p, t_si, sa_si in [(35.0, 10.0, 100.0, -1.8, 5.0),
+                                  (33.0, 20.0, 700.0, -2.1, 0.0)]:
+        sa = sp * ups
+        prev = (
+            f"SELECT CAST({sp!r} AS DOUBLE) AS s, CAST({sa!r} AS DOUBLE) AS sa,"
+            f" CAST({t!r} AS DOUBLE) AS t, CAST({p!r} AS DOUBLE) AS p,"
+            f" CAST({t_si!r} AS DOUBLE) AS t_si,"
+            f" CAST({sa_si!r} AS DOUBLE) AS sa_si, CAST(0.02 AS DOUBLE) AS w_si"
+        )
+        for n, e in _seaice_common_stages():
+            prev = f"SELECT *, {e} AS {n} FROM ({prev})"
+        ratio, sabr = con.execute(
+            "SELECT h_ct*(sa - sa_si)"
+            " / (__si_h_out - __si_enthalpy_ice - (sa - sa_si)*h_sa"
+            "    - sa_si*(__si_hbrine - __si_enthalpy_ice)/__si_sabr),"
+            " __si_sabr"
+            f" FROM ({prev})"
+        ).fetchone()
+        assert 24.0 < sabr < 42.0, (t_si, sabr)
+        assert 0.05 < ratio < 2.0, (sp, t, p, t_si, sa_si, ratio)
