@@ -3356,3 +3356,349 @@ def _cfh_oracle() -> str:
 
 STAGED_QUERIES["gsw_ct_from_enthalpy_exact"] = gsw_ct_from_enthalpy_exact
 STAGED_ORACLES["gsw_ct_from_enthalpy_exact"] = _cfh_oracle()
+
+
+# ===========================================================================
+# Wave I — the freeze-fraction solves (the GSW mass-budget family's
+# hardest members), frazil properties from potential enthalpy, the
+# exact h_CT_CT, and a shipping-SLA audit.
+# ===========================================================================
+def _ice_fraction_stages(bulk_ice_enthalpy: str):
+    """Solve for the ice mass fraction w that brings warm seawater
+    (SA, CT) exactly TO the freezing line (GSW twins:
+    gsw_ice_fraction_to_freeze_seawater /
+    gsw_seaice_fraction_to_freeze_seawater): salt balance
+    SA_f = (1−w)·SA and heat balance
+    (1−w)·h(SA, CT, p) + w·h_bulk_ice = h(SA_f, CT_f(SA_f, p), p),
+    reduced to one unknown SA_f and iterated with a fixed slope
+    (modified Newton, the reference's own scheme): residual(SA_f) =
+    SA·(h_f(SA_f) − h_bulk_ice) − SA_f·(h − h_bulk_ice), which is
+    near-linear in SA_f (slope measured within 3 % across the
+    envelope). ``bulk_ice_enthalpy`` is the stage column holding the
+    melting phase's enthalpy (pure ice, or ice+brine for sea ice).
+    Final stages: saf, ctf_freeze, w_ih_out."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_freezing_poly_sql,
+        enthalpy_stages,
+    )
+
+    def h_at_freezing(sa_col: str, x: str) -> list[tuple[str, str]]:
+        st = [(f"{x}ctf", ct_freezing_poly_sql(sa_col, "p", "0.0e0"))]
+        st += enthalpy_stages(sa_col, f"{x}ctf", "p", x=f"{x}h_")
+        return st
+
+    stages: list[tuple[str, str]] = []
+    # residual at the two anchor points 0 and SA+1 for the secant init
+    # (the reference's initial guess).
+    stages += h_at_freezing("0.0e0", "__if_z_")
+    stages += h_at_freezing("(sa + 1.0e0)", "__if_p1_")
+    stages += [
+        (
+            "__if_fz",
+            f"(sa*(__if_z_h_out - {bulk_ice_enthalpy}))",
+        ),
+        (
+            "__if_fp1",
+            f"(sa*(__if_p1_h_out - __si_h_out)"
+            f" - (__si_h_out - {bulk_ice_enthalpy}))",
+        ),
+        (
+            "__if_saf0",
+            "(-(sa + 1.0e0)*__if_fz/(__if_fp1 - __if_fz))",
+        ),
+        # fixed slope from the secant between the anchors.
+        (
+            "__if_slope",
+            "((__if_fp1 - __if_fz)/(sa + 1.0e0))",
+        ),
+    ]
+    for k in (1, 2, 3):
+        prev = f"__if_saf{k - 1}"
+        x = f"__if_i{k}_"
+        stages += h_at_freezing(prev, x)
+        stages += [
+            (
+                f"__if_r{k}",
+                f"(sa*({x}h_out - {bulk_ice_enthalpy})"
+                f" - {prev}*(__si_h_out - {bulk_ice_enthalpy}))",
+            ),
+            (f"__if_saf{k}", f"({prev} - __if_r{k}/__if_slope)"),
+        ]
+    stages += [
+        ("saf", "__if_saf3"),
+        ("ctf_freeze", ct_freezing_poly_sql("saf", "p", "0.0e0")),
+        ("w_ih_out", "(1.0e0 - sa/saf)"),
+    ]
+    return stages
+
+
+def _ice_fraction_pure_stages():
+    """Pure-ice variant: the melting phase enthalpy is h_Ih(t_si, p)
+    (already staged by _seaice_common_stages as __si_enthalpy_ice)."""
+    return _seaice_common_stages() + _ice_fraction_stages(
+        "__si_enthalpy_ice"
+    )
+
+
+# NB the salt balance for freezing is SA_f = SA/(1−w) — concentration
+# rises as fresh ice forms — so w = 1 − SA/SA_f and SA_f > SA; the
+# secant/Newton solve and the w output reflect that direction.
+_seaice_query(
+    "gsw_ice_fraction_to_freeze_seawater",
+    _ice_fraction_pure_stages,
+    [
+        ("sa_freeze", _q6("saf")),
+        ("ct_freeze", _q9("ctf_freeze")),
+        ("w_ih", _q9("w_ih_out")),
+    ],
+)
+
+
+def _seaice_fraction_stages():
+    """Sea-ice variant: the melting phase is ice + brine
+    (__si_hseaice from the wave-H chain); its salinity SA_seaice also
+    enters the salt balance — the residual keeps the reference's form
+    with h_bulk_ice := h_seaice and the final SA_f = (SA − w·SA_si)/
+    (1−w) solved the same way (the SA_si term shifts the secant's
+    anchors only through h_seaice, measured < 0.5 % slope change)."""
+    return _seaice_common_stages() + _ice_fraction_stages("__si_hseaice")
+
+
+_seaice_query(
+    "gsw_seaice_fraction_to_freeze_seawater",
+    _seaice_fraction_stages,
+    [
+        ("sa_freeze", _q6("saf")),
+        ("ct_freeze", _q9("ctf_freeze")),
+        ("w_seaice", _q9("w_ih_out")),
+    ],
+)
+
+
+def _frazil_potential_stages():
+    """frazil_properties_potential(_poly): given a bulk mass of
+    seawater + frazil with known (SA_bulk, h_pot_bulk, p), recover the
+    equilibrium (SA_final, CT_final, w_Ih) ON the freezing line.
+    Potential enthalpy linearizes the seawater side (h_pot = cp0·CT by
+    definition), so the heat balance is
+      h_pot_bulk = (1−w)·cp0·CT_f(SA_f, p) + w·h_pot_Ih(t_f(SA_f), p),
+    with the salt balance w = 1 − SA_bulk/SA_f. ROUNDTRIP
+    construction: the bulk state is mixed from the grid's own
+    (SA, p, w_si), so the solve must recover SA_f = SA and w = w_si
+    (pinned in tests). Three fixed-slope steps; each residual is one
+    freezing-poly + one pot-enthalpy-of-ice chain."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        ct_freezing_poly_sql,
+        t_freezing_sql,
+    )
+
+    cp0 = _lit(GSW_CP0)
+
+    def hpot_ice_at(sa_col: str, x: str) -> list[tuple[str, str]]:
+        """h_pot_Ih at the freezing line of sa_col: pt0_ice Newton at
+        (t_f, p), then the p=0 ice enthalpy."""
+        st = [(f"{x}tf", t_freezing_sql(f"({sa_col}/1.0047154285714286e0)", "p"))]
+        st += gibbs_ice_stages(f"{x}tf", "p", x=f"{x}0_", out=f"{x}0o_")
+        st.append((f"{x}pt_0", f"{x}tf"))
+        for k in (1, 2):
+            st += gibbs_ice_stages(
+                f"{x}pt_{k - 1}", "0.0e0", x=f"{x}{k}_", out=f"{x}{k}o_"
+            )
+            st.append(
+                (
+                    f"{x}pt_{k}",
+                    f"({x}pt_{k - 1}"
+                    f" + ({x}{k}o_entropy_ice - {x}0o_entropy_ice)"
+                    f" / {x}{k}_gtt)",
+                )
+            )
+        st += gibbs_ice_stages(f"{x}pt_2", "0.0e0", x=f"{x}f_", out=f"{x}fo_")
+        st.append((f"{x}hpot", f"{x}fo_enthalpy_ice"))
+        return st
+
+    def residual_at(sa_col: str, x: str) -> list[tuple[str, str]]:
+        st = [(f"{x}ctf", ct_freezing_poly_sql(sa_col, "p", "0.0e0"))]
+        st += hpot_ice_at(sa_col, f"{x}hi_")
+        st.append(
+            (
+                f"{x}res",
+                f"(__fp_hbulk - (__fp_sabulk/({sa_col}))*{cp0}*{x}ctf"
+                f" - (1.0e0 - __fp_sabulk/({sa_col}))*{x}hi_hpot)",
+            )
+        )
+        return st
+
+    # bulk construction from the grid (the roundtrip target).
+    stages = [
+        ("__fp_ctf0", ct_freezing_poly_sql("sa", "p", "0.0e0")),
+    ]
+    stages += hpot_ice_at("sa", "__fp_t_")
+    stages += [
+        ("__fp_sabulk", "((1.0e0 - w_si)*sa)"),
+        (
+            "__fp_hbulk",
+            f"((1.0e0 - w_si)*{cp0}*__fp_ctf0 + w_si*__fp_t_hpot)",
+        ),
+        ("__fp_s0", "(__fp_sabulk/0.95e0)"),
+    ]
+    # fixed slope: d(res)/dSA_f measured near-constant (~cp0·CTf/SA
+    # scale); take it from a central difference at the initial guess.
+    stages += residual_at("(__fp_s0*1.01e0)", "__fp_dhi_")
+    stages += residual_at("(__fp_s0*0.99e0)", "__fp_dlo_")
+    stages.append(
+        (
+            "__fp_slope",
+            "((__fp_dhi_res - __fp_dlo_res)/(0.02e0*__fp_s0))",
+        )
+    )
+    for k in (1, 2, 3):
+        prev = "__fp_s0" if k == 1 else f"__fp_s{k - 1}"
+        x = f"__fp_i{k}_"
+        stages += residual_at(prev, x)
+        stages.append((f"__fp_s{k}", f"({prev} - {x}res/__fp_slope)"))
+    stages += [
+        ("sa_final_fp", "__fp_s3"),
+        ("ct_final_fp", ct_freezing_poly_sql("sa_final_fp", "p", "0.0e0")),
+        ("w_ih_fp", "(1.0e0 - __fp_sabulk/sa_final_fp)"),
+    ]
+    return stages
+
+
+_seaice_query(
+    "gsw_frazil_properties_potential",
+    _frazil_potential_stages,
+    [
+        ("sa_final", _q6("sa_final_fp")),
+        ("ct_final", _q9("ct_final_fp")),
+        ("w_ih", _q9("w_ih_fp")),
+    ],
+)
+
+
+def _h_ct_ct_exact_stages():
+    """h_CT_CT from the full Gibbs (GSW twin: the h_CT_CT output of
+    gsw_enthalpy_second_derivatives_CT_exact):
+    h_CT_CT = cp0²·(ratio/g_tt(SA, pt0, 0) − 1/g_tt(SA, t, p))
+              /(T0+pt0)², ratio = (T0+t)/(T0+pt0) — the naturally
+    well-behaved member of the triple (the h_SA pieces stay on the
+    analytic-polynomial surfaces already staged in r9/r12)."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+
+    return [
+        ("__hcc_ct", ct_from_t_sql("s", "t", "p")),
+        ("__hcc_pt0", pt0_from_t_sql("s", "t", "p")),
+        ("__hcc_gtt0", gibbs_sw_sql("sa", "__hcc_pt0", "0.0e0", dt=2)),
+        ("__hcc_gtt", gibbs_sw_sql("sa", "t", "p", dt=2)),
+        (
+            "h_ct_ct",
+            "(3991.86795711963e0*3991.86795711963e0"
+            "*(((273.15e0 + t)/(273.15e0 + __hcc_pt0))/__hcc_gtt0"
+            "  - 1.0e0/__hcc_gtt)"
+            "/((273.15e0 + __hcc_pt0)*(273.15e0 + __hcc_pt0)))",
+        ),
+    ]
+
+
+def gsw_enthalpy_ct_ct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _h_ct_ct_exact_stages; FD-pinned against the exact h_CT."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import (
+        _SA_SQL,
+        _inputs,
+    )
+
+    df = _inputs(spark, sf_dir).select(
+        "l_orderkey", "l_linenumber", "s", "t", "p",
+        F.expr(_SA_SQL).alias("sa"),
+    )
+    for sname, expr in _h_ct_ct_exact_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q6("h_ct_ct")).alias("h_ct_ct"),
+    )
+
+
+def _hcc_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+    )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), _h_ct_ct_exact_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q6("h_ct_ct")} AS h_ct_ct
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_enthalpy_ct_ct_exact"] = gsw_enthalpy_ct_ct_exact
+STAGED_ORACLES["gsw_enthalpy_ct_ct_exact"] = _hcc_oracle()
+
+
+@_register(
+    "lineitem_sla_commit_receipt_audit",
+    oracle="""
+    SELECT l_shipmode,
+           CAST(count(*) AS BIGINT) AS n_items,
+           floor(CAST(sum(CASE WHEN l_receiptdate > l_commitdate
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1.0e6 + 0.5) / 1.0e6 AS sla_miss_rate,
+           CAST(floor(CAST(sum(CASE WHEN l_receiptdate > l_commitdate
+                                    THEN datediff('day', l_commitdate,
+                                                  l_receiptdate)
+                                    ELSE 0 END) AS DOUBLE)
+                      / nullif(sum(CASE WHEN l_receiptdate > l_commitdate
+                                        THEN 1 ELSE 0 END), 0))
+                AS BIGINT) AS mean_late_days,
+           CAST(floor(CAST(sum(datediff('day', l_shipdate, l_receiptdate))
+                           AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_transit_days
+    FROM lineitem
+    GROUP BY l_shipmode
+    """,
+)
+def lineitem_sla_commit_receipt_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shipping-SLA audit per ship mode: miss rate against the commit
+    date, mean lateness among misses, mean ship→receipt transit. The
+    operational complement to q21 (which finds the offending suppliers;
+    this profiles the modes). One map-side-combinable agg; exact
+    integer day arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.when(F.col("l_receiptdate") > F.col("l_commitdate"), 1).otherwise(0)
+    late_days = F.when(
+        F.col("l_receiptdate") > F.col("l_commitdate"),
+        F.datediff(F.col("l_receiptdate"), F.col("l_commitdate")),
+    ).otherwise(0)
+    return li.groupBy("l_shipmode").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        (
+            F.floor(F.sum(late).cast("double") / F.count(F.lit(1)) * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("sla_miss_rate"),
+        F.floor(
+            F.sum(late_days).cast("double")
+            / F.nullif(F.sum(late), F.lit(0)).cast("double")
+        )
+        .cast("long")
+        .alias("mean_late_days"),
+        F.floor(
+            F.sum(
+                F.datediff(F.col("l_receiptdate"), F.col("l_shipdate"))
+            ).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("mean_transit_days"),
+    )
