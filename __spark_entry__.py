@@ -123,7 +123,12 @@ _CHECKED = frozenset(
         "dedup_fingerprint_winnowing", "dedup_layer_funnel", "dedup_source_survivorship", "dedup_winnowing_pairs",
         "embedding_binary_signature", "embedding_knn_label_accuracy", "embedding_mahalanobis_diag", "events_dow_seasonality",
         "except_intersect_all", "funnel_conversion_rates", "graph_pagerank_iterations", "grouping_id_flags",
-        "gsw_adiabatic_lapse_rate", "gsw_dynamic_enthalpy", "gsw_enthalpy", "gsw_kappa",
+        # NB: gsw_dynamic_enthalpy and gsw_enthalpy are deliberately NOT
+        # listed: their staged-Horner REPLACEMENT bodies went live in
+        # round 8 (staged_r9.activate_replacements()), so per the
+        # REPLACEMENTS contract they re-sample as FRESH at the round-9
+        # activation until the new expression trees earn driver rows.
+        "gsw_adiabatic_lapse_rate", "gsw_kappa",
         "gsw_potential_density_theta", "gsw_rho_at_pressure", "gsw_sigma1_sigma2", "gsw_sound_speed_ct_native",
         "interval_sweepline_backlog", "ios_profile_sound_speed", "langid_confusion_matrix", "late_data_accounting",
         "left_join_null_skew_isolated", "lm_bigram_logprob", "ngram_novelty_score", "orders_gini_concentration",
@@ -178,6 +183,32 @@ _CHECKED = frozenset(
         "segment_nation_dissimilarity", "supplier_part_bipartite_density",
         "supplier_share_trend", "table_pk_uniqueness_audit",
         "text_term_burstiness",
+        # round 8 (all 50 green in CORRECTNESS_r08.json)
+        "customer_repeat_rate", "embedding_covariance_top_pair",
+        "events_acf_profile", "events_hourly_seasonality_strength",
+        "events_peak_hour_stability", "events_poisson_rate_ci",
+        "events_runlength_profile", "events_user_entropy_vs_volume",
+        "graph_clustering_coefficient", "graph_common_neighbors_linkpred",
+        "gsw_cabbeling", "gsw_conversion_pairs",
+        "gsw_cp_ice", "gsw_ct_freezing",
+        "gsw_ct_from_enthalpy", "gsw_enthalpy_diff",
+        "gsw_enthalpy_ice", "gsw_entropy_from_t",
+        "gsw_entropy_ice", "gsw_internal_energy",
+        "gsw_latentheat_melting", "gsw_rho_ice",
+        "gsw_sa_from_rho", "gsw_spiciness0",
+        "gsw_spiciness_deep", "gsw_t_from_ct",
+        "gsw_thermobaric", "lang_js_divergence_matrix",
+        "latentheat_evap_hs84", "lineitem_partial_corr_price_qty",
+        "lineitem_tax_discount_grid", "nation_trade_balance",
+        "orders_basket_size_distribution", "orders_cohort_ltv_curve",
+        "orders_interpurchase_percentiles", "orders_priority_mix_drift",
+        "orders_weekend_share", "pareto_share_two_pass",
+        "part_brand_price_dispersion", "q11_partsupp_important_stock",
+        "q16_partsupp_supplier_count", "q20_partsupp_promotion",
+        "q2_partsupp_min_cost", "q9_partsupp_profit",
+        "similarity_cosine_histogram", "similarity_ivf_pq_topk",
+        "sketch_countmin_heavy_hitters", "stratified_oversample_balance",
+        "supplier_acctbal_tukey_outliers", "text_yule_k",
     }
 )
 

@@ -92,12 +92,18 @@ STAGED_NAMES: list[str] = [
     "gsw_sp_from_sa_baltic",
     "gsw_o2sol",
     "gsw_sp_salinometer",
+    "lineitem_sla_commit_receipt_audit",
     # wave H — seaice, pot-enthalpy-at-freezing derivatives, exact
-    # CT<-h inversion
+    # CT<-h inversion, exact h second derivative, fraction-to-freeze
+    # mass budgets, frazil properties from potential enthalpy
     "gsw_pot_enthalpy_ice_freezing_derivs",
     "gsw_melting_seaice_sa_ct_ratio",
     "gsw_melting_seaice_into_seawater",
     "gsw_ct_from_enthalpy_exact",
+    "gsw_enthalpy_ct_ct_exact",
+    "gsw_frazil_properties_potential",
+    "gsw_ice_fraction_to_freeze_seawater",
+    "gsw_seaice_fraction_to_freeze_seawater",
 ]
 
 

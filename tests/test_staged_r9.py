@@ -1,8 +1,10 @@
-"""Keep the STAGED round-9 queries green while parked
-(plans/staged_r9.py — the round-9 runway seed; activation order is
-staged_r8 (round 8) -> this module). Includes the REPLACEMENT contract:
-staged twins of live queries must stay value-identical to the live
-form at the smoke SF until activation swaps them in."""
+"""The round-9 slate (plans/staged_r9.py) is LIVE as of round 9:
+activated from plans/__init__.py, same cycle the round-5..8 slates
+followed (parked one round to respect the driver's 50-fresh-sample
+budget, then activated). Includes the REPLACEMENT contract: the
+staged-Horner twins of gsw_dynamic_enthalpy / gsw_enthalpy went live in
+round 8 and left __spark_entry__._CHECKED at this activation so the
+driver re-earns their rows on the new expression trees."""
 
 from __future__ import annotations
 
@@ -21,19 +23,41 @@ def _staged():
     return STAGED_QUERIES, STAGED_ORACLES, STAGED_REPLACEMENTS
 
 
-def test_staged_not_registered():
-    from cioos_siooc_data_transform_spark.plans import all_queries
+def test_staged_now_registered():
+    """Round 9 activated the slate: every staged name must be live in
+    the registry with its oracle (the reverse of round 8's parked
+    invariant), and the REPLACEMENT callables must BE the registered
+    ones."""
+    from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_, reps = _staged()
     assert set(qs) == set(os_)
-    leaked = set(qs) & set(all_queries())
-    assert not leaked, f"staged r9 queries leaked into the live registry: {leaked}"
-    # the REPLACEMENTS were pulled forward to round 8 (janino-cliff fix,
-    # round-7 verdict item 3): they must BE the registered callables now
-    live = all_queries()
+    live_q, live_o = all_queries(), all_oracles()
+    missing = set(qs) - set(live_q)
+    assert not missing, f"staged queries not activated: {missing}"
+    missing_o = set(os_) - set(live_o)
+    assert not missing_o, f"staged oracles not activated: {missing_o}"
     for name, (fn, _) in reps.items():
-        assert name in live, f"replacement {name} has no live twin"
-        assert live[name] is fn, f"replacement {name} not applied (round-8 early pull)"
+        assert name in live_q, f"replacement {name} has no live twin"
+        assert live_q[name] is fn, f"replacement {name} not applied"
+
+
+def test_replacements_resample_fresh():
+    """The REPLACEMENTS contract: at activation the replaced names must
+    NOT be in _CHECKED (they re-earn driver rows on the new trees)."""
+    import __spark_entry__ as e
+
+    _, _, reps = _staged()
+    stale = set(reps) & e._CHECKED
+    assert not stale, f"replacement names still marked checked: {stale}"
+
+
+def test_activate_idempotent_after_import():
+    """plans/__init__.py already ran activate(); a second call must be a
+    no-op (0 newly-registered names)."""
+    from cioos_siooc_data_transform_spark.plans import staged_r9
+
+    assert staged_r9.activate() == 0
 
 
 STAGED_NAMES = [
@@ -153,14 +177,13 @@ def test_replacement_value_identical_to_flat_form(spark, name):
     assert new == old
 
 
-def test_activate_not_called_is_noop_guard():
-    """activate() must be idempotent and must not have touched the live
-    registry during import (parked state)."""
+def test_registered_callables_are_the_staged_ones():
+    """Activation must not have been shadowed by an earlier slate's
+    same-name registration (the silent-no-op trap: activate() skips
+    names that already exist)."""
     from cioos_siooc_data_transform_spark.plans import all_queries
-    from cioos_siooc_data_transform_spark.plans.staged_r9 import (
-        STAGED_QUERIES,
-    )
 
+    qs, _, _ = _staged()
     live = all_queries()
-    for name in STAGED_QUERIES:
-        assert name not in live
+    shadowed = {n for n, fn in qs.items() if live.get(n) is not fn}
+    assert not shadowed, f"staged_r9 names shadowed by earlier slates: {shadowed}"
