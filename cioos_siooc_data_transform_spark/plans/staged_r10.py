@@ -802,10 +802,15 @@ def lineitem_spearman_discount_qty(
     quantity: average ranks (kept exact as 2*rank integers — ties get
     the midrank automatically), then Pearson on the ranks from exact
     HUGEINT/decimal sums via the shared staged_r6 finisher. Scale
-    shape: discount and quantity have tiny distinct sets (11 x 50), so
-    ranks come from per-value marginals (a broadcast-size table) and
-    the heavy work is one map-side-combinable groupBy over the joint
-    cells — never a full-table rank window."""
+    shape: ranks come from per-value marginals (small for discount and
+    quantity, but unbounded for an arbitrary numeric column), so the
+    midrank cumulative sums run through ranked_cumsum_two_pass
+    (round-9 migration — no single-partition window even when the
+    distinct-value set grows with the data); the heavy work is one
+    map-side-combinable groupBy over the joint cells."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
     from cioos_siooc_data_transform_spark.plans.staged_r6 import (
         pearson_r_from_sums,
     )
@@ -816,21 +821,22 @@ def lineitem_spearman_discount_qty(
         F.col("l_quantity").cast("long").alias("y"),
     )
     joint = v.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    xm = joint.groupBy("x").agg(F.sum("cnt").alias("cx"))
-    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    xr = xm.select(
+    xm = joint.groupBy("x").agg(F.sum("cnt").cast("long").alias("cx"))
+    # midrank*2 = 2*(inclusive running count - cx) + cx + 1
+    xr = ranked_cumsum_two_pass(
+        xm, "x", "x", weight_col="cx",
+        out_rank="__rk_unused", out_cum="__cum_cx", ascending=True,
+    ).select(
         "x",
-        (2 * (F.sum("cx").over(wx) - F.col("cx")) + F.col("cx") + 1).alias(
-            "rx2"
-        ),
+        (2 * (F.col("__cum_cx") - F.col("cx")) + F.col("cx") + 1).alias("rx2"),
     )
-    ym = joint.groupBy("y").agg(F.sum("cnt").alias("cy"))
-    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, 0)
-    yr = ym.select(
+    ym = joint.groupBy("y").agg(F.sum("cnt").cast("long").alias("cy"))
+    yr = ranked_cumsum_two_pass(
+        ym, "y", "y", weight_col="cy",
+        out_rank="__rk_unused", out_cum="__cum_cy", ascending=True,
+    ).select(
         "y",
-        (2 * (F.sum("cy").over(wy) - F.col("cy")) + F.col("cy") + 1).alias(
-            "ry2"
-        ),
+        (2 * (F.col("__cum_cy") - F.col("cy")) + F.col("cy") + 1).alias("ry2"),
     )
     dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
     j = (
@@ -915,13 +921,14 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    wall = Window.partitionBy()
-    t = d.select(
-        "day",
-        "c",
-        F.sum("c").over(wall).cast("long").alias("total"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+    # Grand totals as a 1-row broadcast aggregate (round-9 migration:
+    # no single-partition window even over the day table); the ordered
+    # lag below stays a window — the day axis is calendar-bounded.
+    tot = d.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
     )
+    t = d.crossJoin(F.broadcast(tot)).select("day", "c", "total", "nd")
     lab = t.select(
         "day",
         F.when(F.col("c") * F.col("nd") > F.col("total"), 1)
@@ -1281,10 +1288,16 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) quintile segmentation: score 1
     = most recent / most frequent / highest spend (deterministic
     custkey tiebreak), then the 5x5x5 segment census. The per-customer
-    aggregate is map-side combinable; the ntile windows run over the
-    CUSTOMER dimension (bounded — the two-pass global-rank operator in
-    operators/ is the >=1e8-key escape hatch). Integer inputs
+    aggregate is map-side combinable; the three quintile scores come
+    from ntile_two_pass (round-9 migration — the customer dimension
+    scales with SF, so three global ntile windows would each sort it in
+    one task; the two-pass form is bit-identical to the builtin, and
+    DESC ordering is ASC on the negated integer). Integer inputs
     throughout => exact parity."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("dmax"))
     cust = (
@@ -1302,16 +1315,21 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
-    scored = cust.select(
-        F.ntile(5)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey"))
-        .alias("m_score"),
+    neg = cust.select(
+        "o_custkey",
+        "recency_days",
+        (-F.col("frequency")).alias("__neg_f"),
+        (-F.col("monetary_cents")).alias("__neg_m"),
+    )
+    scored = ntile_two_pass(
+        neg, "recency_days", "o_custkey", 5, out_col="__r"
+    )
+    scored = ntile_two_pass(scored, "__neg_f", "o_custkey", 5, out_col="__f")
+    scored = ntile_two_pass(scored, "__neg_m", "o_custkey", 5, out_col="__m")
+    scored = scored.select(
+        F.col("__r").cast("int").alias("r_score"),
+        F.col("__f").cast("int").alias("f_score"),
+        F.col("__m").cast("int").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers")

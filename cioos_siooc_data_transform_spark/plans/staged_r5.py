@@ -1808,9 +1808,10 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives from md5(doc_id) (no RNG state), and engine-stable because
     the key is floor-rounded at 1e-9 BEFORE ranking with a doc_id
     tiebreak (ln is libm on both engines; a last-ulp difference near
-    the top-k boundary would otherwise flip membership). At scale this
-    is a TakeOrdered: per-partition top-k then a k x partitions driver
-    merge — no global sort."""
+    the top-k boundary would otherwise flip membership). The plan IS a
+    TakeOrdered (round-9 migration): orderBy().limit(k) — per-partition
+    top-k then a k x partitions merge, no global sort — and the rank
+    window runs over the k-row result only."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -1818,12 +1819,13 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1.0
     ) / 4294967297.0
     key = F.floor(F.log(u) / F.col("n_chars") * 1.0e9 + 0.5) / 1.0e9
-    w = Window.orderBy(F.col("ares_key").desc(), F.col("doc_id").asc())
-    return (
+    top = (
         docs.select("doc_id", "n_chars", key.alias("ares_key"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= _ARES_K)
+        .orderBy(F.col("ares_key").desc(), F.col("doc_id").asc())
+        .limit(_ARES_K)
     )
+    w = Window.orderBy(F.col("ares_key").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -3425,15 +3427,21 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     would let a .5 boundary flip the 6-dp floor on a different
     machine's partitioning). The scale factors cancel in the slope
     ratio, and the final double arithmetic runs on bit-identical
-    inputs in both engines. The vocabulary is bounded so the agg is
-    one tiny map-side-combinable reduction."""
+    inputs in both engines. Vocabulary ranks come from
+    ranked_cumsum_two_pass (round 9 migration — Heaps-law sublinear,
+    but still unbounded at corpus scale; the range-bucketed form never
+    sorts the vocabulary in one task)."""
     from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(words_expr(F.col("text"))).alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
-    ranked = freq.select("c", F.row_number().over(w).cast("long").alias("r"))
+    ranked = ranked_cumsum_two_pass(
+        freq, "c", "t", out_rank="r", out_cum="__cum_unused",
+    ).select("c", F.col("r").cast("long").alias("r"))
     pts = ranked.select(
         F.log(F.col("r").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
@@ -3568,18 +3576,28 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_vocab = first_seen.groupBy(F.col("fd").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Round-9 migration: the running sums are over |docs| rows, so the
+    # doc_id-ordered global window would sort the corpus in ONE task.
+    # multi_weighted_cumsum_two_pass gives both running sums (tokens
+    # and new-vocab) from one range-bucketed two-pass ranking.
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        multi_weighted_cumsum_two_pass,
+    )
+
+    joined = per_doc.join(new_vocab, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new0"),
     )
     cum = (
-        per_doc.join(new_vocab, "doc_id", "left")
+        multi_weighted_cumsum_two_pass(
+            joined, "doc_id", "doc_id",
+            weight_cols=["n_tok", "n_new0"], descending=False,
+        )
         .select(
             "doc_id",
-            F.sum("n_tok").over(w).cast("long").alias("n_cum"),
-            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
-            .over(w)
-            .cast("long")
-            .alias("v_cum"),
+            F.col("cum_n_tok").cast("long").alias("n_cum"),
+            F.col("cum_n_new0").cast("long").alias("v_cum"),
         )
         .filter(F.col("v_cum") > 0)
     )
@@ -3628,16 +3646,25 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending with a custkey tiebreak — all three sums are exact BIGINTs
     (weighted <= n * max_cents * n ~ 1e17 at sf0.1, inside int64), so
     the coefficient is one rounded expression over identical integers.
-    One agg + one global-order window over the customer-level rollup
-    (bounded), then a scalar."""
+    Ranks come from ranked_cumsum_two_pass (round 9 migration — the
+    customer-level rollup scales with |customers|, so a global-order
+    window would sort it in ONE task; the range-bucketed form splits it
+    across ~512 bounded windows, same math as the migrated
+    customer_gini_by_nation)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
         .cast("long")
         .alias("cents")
     )
-    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    ranked = rev.select("cents", F.row_number().over(w).cast("long").alias("i"))
+    ranked = ranked_cumsum_two_pass(
+        rev, "cents", "o_custkey",
+        out_rank="i", out_cum="__cum_unused", ascending=True,
+    ).select("cents", F.col("i").cast("long").alias("i"))
     s = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total"),

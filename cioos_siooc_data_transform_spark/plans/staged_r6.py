@@ -3117,20 +3117,26 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coverage at three cut points from ONE ranked pass (the rank
-    window runs over the gram-frequency aggregate, deterministic
-    tiebreak on the gram text). Exact integers, rounded division."""
+    """Coverage at three cut points. Round-9 migration: only the top
+    max(k)=1000 grams can ever contribute to a cut point, so the plan
+    is a TakeOrdered (orderBy().limit(1000) — per-partition top-k, no
+    global sort over the distinct-gram table, which is LARGER than the
+    vocabulary) ranked by a window over the 1000-row result; the
+    occurrence total is a 1-row broadcast aggregate. Exact integers,
+    rounded division."""
     docs = _t(spark, sf_dir, "documents")
     gr = docs.select(
         F.explode(word_shingles(words_expr(F.col("text")), 3)).alias("s")
     )
     freq = gr.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = freq.agg(F.sum("c").cast("long").alias("total"))
+    top = freq.orderBy(F.col("c").desc(), F.col("s")).limit(1000)
     wr = Window.orderBy(F.col("c").desc(), F.col("s"))
-    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = freq.select(
-        "c",
-        F.row_number().over(wr).cast("long").alias("r"),
-        F.sum("c").over(wt).cast("long").alias("total"),
+    ranked = (
+        top.select("s", "c")
+        .withColumn("r", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select("c", "r", "total")
     )
     ks = docs.sparkSession.createDataFrame([(10,), (100,), (1000,)], "k LONG")
     cov = F.sum(F.when(F.col("r") <= F.col("k"), F.col("c")).otherwise(0)).cast(

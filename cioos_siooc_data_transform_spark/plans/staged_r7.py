@@ -2920,14 +2920,30 @@ def part_size_price_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes. Ranks use a DETERMINISTIC partkey tiebreak (the tie-broken
     variant rather than midranks, so both engines assign identical
     integer ranks); then the exact-sum Pearson formula on the ranks.
-    Two global rank windows over the part dim (bounded); at fact scale
-    use the two-pass distributed ranking."""
-    p = _t(spark, sf_dir, "part")
-    wx = Window.orderBy("p_size", "p_partkey")
-    wy = Window.orderBy(_cents_col(F.col("p_retailprice")), F.col("p_partkey"))
-    r = p.select(
-        F.row_number().over(wx).cast("decimal(19,0)").alias("rx"),
-        F.row_number().over(wy).cast("decimal(19,0)").alias("ry"),
+    Round-9 migration: both ranks come from ranked_cumsum_two_pass —
+    the part dimension scales with SF, so two global-order windows
+    would each sort it in ONE task; the range-bucketed form splits the
+    sort across ~512 bounded windows per axis."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("__size"),
+        _cents_col(F.col("p_retailprice")).cast("long").alias("__cents"),
+    )
+    rx = ranked_cumsum_two_pass(
+        p, "__size", "p_partkey",
+        out_rank="__rx", out_cum="__cumx", ascending=True,
+    ).drop("__cumx")
+    ry = ranked_cumsum_two_pass(
+        rx, "__cents", "p_partkey",
+        out_rank="__ry", out_cum="__cumy", ascending=True,
+    ).drop("__cumy")
+    r = ry.select(
+        F.col("__rx").cast("decimal(19,0)").alias("rx"),
+        F.col("__ry").cast("decimal(19,0)").alias("ry"),
     )
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3194,7 +3210,15 @@ def doc_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Are duplicates concentrated among short documents (the usual
     boilerplate signature)? Exact-digest dup flag (non-keeper copies)
     crossed with length deciles — the composition of the exact-dedup
-    and decile primitives already live, as one diagnostic."""
+    and decile primitives already live, as one diagnostic. Round-9
+    migration: the deciles come from ntile_two_pass (the global
+    ntile(10) window would sort ALL docs in one task; the two-pass form
+    is bit-identical to the builtin, same migration doc_length_deciles
+    took in round 8)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     wdig = Window.partitionBy(F.md5(F.col("text")))
     dup = docs.select(
@@ -3204,8 +3228,7 @@ def doc_dup_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_dup"),
     )
-    wdec = Window.orderBy("n_chars", "doc_id")
-    dec = dup.select("is_dup", F.ntile(10).over(wdec).alias("decile"))
+    dec = ntile_two_pass(dup, "n_chars", "doc_id", 10, out_col="decile")
     return dec.groupBy(F.col("decile").cast("long").alias("length_decile")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("is_dup").cast("long").alias("n_duplicates"),

@@ -543,15 +543,24 @@ def supplier_acctbal_tukey_outliers(spark: SparkSession, sf_dir: str) -> DataFra
     balances — the boxplot rule with everything in integer cents:
     1.5*IQR is computed as 3*IQR//2 so the fences are exact integers on
     both engines (no .5 float fence). Exact quartiles via the discrete
-    order-statistic; 1-row fence broadcast."""
+    order-statistic; 1-row fence broadcast. Round-9 migration: the rank
+    comes from ranked_cumsum_two_pass (the supplier dim scales with SF;
+    a global-order window would sort it in one task) and the total is a
+    1-row broadcast aggregate instead of an unbounded count window."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     s = _t(spark, sf_dir, "supplier")
     q = s.select("s_suppkey", _cents(F.col("s_acctbal")).alias("cents"))
-    wr = Window.orderBy("cents", "s_suppkey")
-    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = q.select(
-        "cents",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    tot = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        ranked_cumsum_two_pass(
+            q, "cents", "s_suppkey",
+            out_rank="rn", out_cum="__cum_unused", ascending=True,
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("cents", "rn", "n")
     )
     i1 = ((F.col("n") - 1) / 4).cast("long") + 1
     i3 = ((F.col("n") - 1) * 3 / 4).cast("long") + 1

@@ -1872,9 +1872,14 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-D segmentation purchasing planners drive stocking policy from.
     CV thresholds are cross-multiplied exact comparisons
     (n·Σq² − (Σq)² vs multiples of (Σq)² — no float CV); the ABC
-    running share is the global-window shape over the PART-level
-    aggregate (≪ fact table; the two-pass operator is the stated
-    escape hatch)."""
+    running share comes from ranked_cumsum_two_pass (round-9
+    migration: the part-level aggregate scales with SF, so a global
+    cumulative window would sort it in one task) and the grand total
+    from a 1-row broadcast aggregate."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
     pm = li.groupBy(
         F.col("l_partkey").alias("pk"),
@@ -1893,15 +1898,13 @@ def part_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qty").cast("decimal(19,0)") * F.col("qty").cast("decimal(19,0)")
         ).alias("sqq"),
     )
-    w = Window.orderBy(F.col("total_cents").desc(), F.col("pk")).rowsBetween(
-        Window.unboundedPreceding, 0
+    tot = per_part.agg(
+        F.sum("total_cents").cast("long").alias("all_cents")
     )
-    wall = Window.partitionBy()
-    abc = per_part.select(
-        "*",
-        F.sum("total_cents").over(w).alias("cum_cents"),
-        F.sum("total_cents").over(wall).alias("all_cents"),
-    )
+    abc = ranked_cumsum_two_pass(
+        per_part, "total_cents", "pk",
+        out_rank="__rk_unused", out_cum="cum_cents",
+    ).drop("__rk_unused").crossJoin(F.broadcast(tot))
     var_num = (
         F.col("sqq").cast("double") * F.col("n_months")
         - F.col("sq").cast("double") * F.col("sq").cast("double")
@@ -3669,27 +3672,38 @@ def supplier_balance_quantile_normalize(
     balance distribution: supplier at empirical quantile q maps to the
     customer value at the same q — the distribution-matching transform
     feature pipelines use to make two sources comparable. Both sides
-    rank once (the windows run over dimension tables); the index
+    rank once via ranked_cumsum_two_pass (round-9 migration — both
+    sides scale with SF, so global-order windows would sort each in
+    one task; balances are exact 2-dp decimals, so ordering by integer
+    cents is order-identical to ordering by the raw balance); the index
     mapping is exact integer arithmetic with edge clamping; the lookup
     is an equi-join on the target rank."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     s = _t(spark, sf_dir, "supplier")
     c = _t(spark, sf_dir, "customer")
-    ws = Window.orderBy("s_acctbal", "s_suppkey")
-    wc = Window.orderBy("c_acctbal", "c_custkey")
-    sr = s.select(
-        "s_suppkey",
-        F.floor(F.col("s_acctbal") * 100.0 + 0.5)
-        .cast("long")
-        .alias("supplier_cents"),
-        F.row_number().over(ws).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_s"),
-    )
-    cr = c.select(
-        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
-        F.row_number().over(wc).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_c"),
-    )
-    nc = cr.agg(F.max("n_c").alias("n_c"))
+    ns = s.agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    nc = c.agg(F.count(F.lit(1)).cast("long").alias("n_c"))
+    sr = ranked_cumsum_two_pass(
+        s.select(
+            "s_suppkey",
+            F.floor(F.col("s_acctbal") * 100.0 + 0.5)
+            .cast("long")
+            .alias("supplier_cents"),
+        ),
+        "supplier_cents", "s_suppkey",
+        out_rank="r", out_cum="__cum_unused", ascending=True,
+    ).drop("__cum_unused").crossJoin(F.broadcast(ns))
+    cr = ranked_cumsum_two_pass(
+        c.select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+        ),
+        "cents", "c_custkey",
+        out_rank="r", out_cum="__cum_unused", ascending=True,
+    ).select("cents", "r")
     mapped = sr.crossJoin(F.broadcast(nc)).select(
         "s_suppkey",
         "supplier_cents",
@@ -3703,8 +3717,11 @@ def supplier_balance_quantile_normalize(
             F.col("n_c"),
         ).alias("tgt"),
     )
+    # Plain equi-join on the target rank (no broadcast hint: the
+    # customer rank table scales with SF — AQE picks broadcast when it
+    # actually fits).
     return mapped.join(
-        F.broadcast(cr.select(F.col("r").alias("tgt"), "cents")), "tgt"
+        cr.select(F.col("r").alias("tgt"), "cents"), "tgt"
     ).select(
         "s_suppkey",
         "supplier_cents",
