@@ -280,6 +280,71 @@ def ranked_cumsum_range_shuffle(
     )
 
 
+def running_extreme_two_pass(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    agg_col: str,
+    out_col: str = "run_ext",
+    n_buckets: int = 512,
+    agg: str = "max",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Global running max/min of ``agg_col`` over (value_col ASC,
+    tie_col ASC) without a single-partition window — the extreme-value
+    twin of ranked_cumsum_two_pass (max/min are associative, so the
+    bucket decomposition is exact for them just like for sums).
+
+    ``inclusive=False`` gives the EXCLUSIVE frame
+    (``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING``) — NULL for the
+    first row, the skyline/record-breaking shape; ``inclusive=True``
+    includes the current row. Same two-pass mechanics: per-bucket
+    extremes get exclusive prefix extremes via a window over the
+    <= n_buckets bucket table; rows combine their within-bucket running
+    extreme with the broadcast bucket offset (F.greatest/F.least skip
+    NULLs, so bucket boundaries need no special-casing). Same contracts:
+    integer value_col, unique (value_col, tie_col) pairs.
+    """
+    ext = F.max if agg == "max" else F.min
+    comb = F.greatest if agg == "max" else F.least
+    mm = df.agg(
+        F.max(value_col).alias("__mx"),
+        F.min(value_col).alias("__mn"),
+    )
+    b = df.crossJoin(F.broadcast(mm)).withColumn(
+        "__bucket",
+        F.floor(
+            (F.col(value_col) - F.col("__mn"))
+            / F.greatest(
+                F.ceil(
+                    (F.col("__mx") - F.col("__mn") + 1) / F.lit(n_buckets)
+                ),
+                F.lit(1),
+            )
+        ).cast("long"),
+    ).drop("__mx", "__mn")
+    stats = b.groupBy("__bucket").agg(ext(agg_col).alias("__bext"))
+    w_off = Window.orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = stats.select(
+        "__bucket",
+        ext("__bext").over(w_off).alias("__off_ext"),
+    )
+    end = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(F.col(value_col).asc(), F.col(tie_col).asc())
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    return (
+        b.withColumn("__in_ext", ext(agg_col).over(w_in))
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, comb(F.col("__off_ext"), F.col("__in_ext")))
+        .drop("__bucket", "__in_ext", "__off_ext")
+    )
+
+
 def ntile_two_pass(
     df: DataFrame,
     value_col: str,

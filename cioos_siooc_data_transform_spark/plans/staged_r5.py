@@ -2131,22 +2131,26 @@ _WM_DELAY_S = 600
 def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """An event is late-under-delay-d when its event time sits more than
     d seconds behind the event-time high-water-mark of everything that
-    ARRIVED before it (event_id is the arrival sequence). One global
-    running-max window (the arrival ordering is a single logical
-    sequence — at scale, audit per source partition instead of
-    globally) plus a tumbling-hour rollup; this is exactly the
-    accounting that justifies a withWatermark('10 minutes') choice —
-    the fraction of each window the streaming job would drop.
-    date_trunc returns DATE-less TIMESTAMP on both engines (DuckDB's
-    +INTERVAL 0 keeps it TIMESTAMP, never DATE)."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    es = F.col("ts").cast("double")
-    seq = ev.select(
-        "ts",
-        es.alias("es"),
-        F.max(es).over(w).alias("hwm"),
+    ARRIVED before it (event_id is the arrival sequence — a single
+    logical order by semantics). Round-9 migration: the running max
+    over the arrival sequence comes from running_extreme_two_pass
+    (range-bucketed on event_id, exclusive frame — never one task),
+    then a tumbling-hour rollup; this is exactly the accounting that
+    justifies a withWatermark('10 minutes') choice — the fraction of
+    each window the streaming job would drop. date_trunc returns
+    DATE-less TIMESTAMP on both engines (DuckDB's +INTERVAL 0 keeps it
+    TIMESTAMP, never DATE)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        running_extreme_two_pass,
     )
+
+    ev = _t(spark, sf_dir, "events")
+    es = F.col("ts").cast("double")
+    seq = running_extreme_two_pass(
+        ev.select("event_id", "ts", es.alias("es")),
+        "event_id", "event_id", "es",
+        out_col="hwm", agg="max", inclusive=False,
+    ).select("ts", "es", "hwm")
     late = F.when(
         F.col("hwm").isNotNull() & (F.col("es") < F.col("hwm") - float(_WM_DELAY_S)),
         1,

@@ -2045,21 +2045,29 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View->purchase latency summary over the forward-as-of gaps. The
-    median is the exact order statistic (global window over the BOUNDED
-    conversion set — at 100 TB switch to the two-pass count+offset
-    pattern); mean = floor(sum/n) on exact integers."""
+    median is the exact order statistic, ranked via
+    ranked_cumsum_two_pass (round-9 migration — the conversion set
+    scales with the data; duplicate gap values permute ranks only
+    WITHIN equal values, so the rn-th smallest VALUE is unaffected);
+    the total is a 1-row broadcast aggregate; mean = floor(sum/n) on
+    exact integers."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     gaps = (
         STAGED_QUERIES["asof_join_forward"](spark, sf_dir)
         .filter(F.col("gap_us").isNotNull())
         .select("gap_us")
     )
-    w = Window.orderBy("gap_us")
-    ranked = gaps.select(
-        "gap_us",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    tot = gaps.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        ranked_cumsum_two_pass(
+            gaps, "gap_us", "gap_us",
+            out_rank="rn", out_cum="__cum_unused", ascending=True,
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("gap_us", "rn", "n")
     )
     return ranked.agg(
         F.max("n").cast("long").alias("n_conversions"),

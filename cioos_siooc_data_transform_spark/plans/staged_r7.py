@@ -1447,24 +1447,33 @@ def part_type_price_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto-optimal) parts: survive iff no strictly-cheaper
-    part is at least as big AND no same-price part is bigger. One sort
-    (RANGE frame over integer cents) instead of a dominance self-join —
-    the formulation that stays O(n log n) at 100 TB (partition the
-    price axis and merge partial skylines when one sort won't fit)."""
+    part is at least as big AND no same-price part is bigger. Round-9
+    migration of the 'partition the price axis and merge partial
+    skylines' prose into the actual plan: collapse to the DISTINCT-
+    price table (per-price max size — a map-side-combinable agg), run
+    the strictly-cheaper running max through running_extreme_two_pass
+    (range-bucketed, never one task), and join the two per-price
+    columns back to the parts. On the distinct-price table a ROWS
+    1-PRECEDING frame IS the strictly-cheaper RANGE frame."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        running_extreme_two_pass,
+    )
+
     p = _t(spark, sf_dir, "part")
     q = p.select(
         "p_partkey",
         _cents_col(F.col("p_retailprice")).alias("cents"),
         F.col("p_size").cast("long").alias("size"),
     )
-    w_cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
-    w_same = Window.partitionBy("cents")
-    ww = q.select(
-        "p_partkey",
-        "cents",
-        "size",
-        F.max("size").over(w_cheaper).alias("best_cheaper"),
-        F.max("size").over(w_same).alias("best_same_price"),
+    per_price = q.groupBy("cents").agg(
+        F.max("size").alias("best_same_price")
+    )
+    dc = running_extreme_two_pass(
+        per_price, "cents", "cents", "best_same_price",
+        out_col="best_cheaper", agg="max", inclusive=False,
+    )
+    ww = q.join(dc, "cents").select(
+        "p_partkey", "cents", "size", "best_cheaper", "best_same_price"
     )
     return ww.filter(
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))

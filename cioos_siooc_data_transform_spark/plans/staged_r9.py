@@ -3312,9 +3312,15 @@ def lineitem_mannwhitney_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
     tie-corrected normal approximation — the distribution-free
     two-sample test for heavily tied integer data where a t-test's
     normality assumption fails. Average ranks are exact rationals
-    (2·rank = 2·prior + cnt + 1 over the value histogram — the window
-    runs over DISTINCT quantities, 50 rows); the tie term Σ(t³−t) and
-    all rank sums are exact integers."""
+    (2·rank = 2·prior + cnt + 1 over the value histogram); the prior
+    cumulative counts come from ranked_cumsum_two_pass (round-9
+    migration: the distinct-value set is 50 for quantity but unbounded
+    for an arbitrary numeric column — no single-partition window); the
+    tie term Σ(t³−t) and all rank sums are exact integers."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("R", "N")
     )
@@ -3326,12 +3332,14 @@ def lineitem_mannwhitney_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.sum("in_a").cast("long").alias("n_a_v"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_v.select(
+    ranked = ranked_cumsum_two_pass(
+        per_v, "v", "v", weight_col="cnt",
+        out_rank="__rk_unused", out_cum="__cum_cnt", ascending=True,
+    ).select(
         "v",
         "cnt",
         "n_a_v",
-        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("prior"),
+        (F.col("__cum_cnt") - F.col("cnt")).alias("prior"),
     )
     sums = ranked.agg(
         F.sum("n_a_v").cast("long").alias("n_a"),

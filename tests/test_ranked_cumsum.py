@@ -151,3 +151,37 @@ def test_ntile_two_pass_matches_builtin(spark):
             ).collect()
         }
         assert got == want, f"N={n}, k={k}"
+
+
+def test_running_extreme_two_pass_matches_builtin(spark):
+    """Exclusive and inclusive running max/min must match the
+    single-window reference row-for-row, including the NULL first row
+    of the exclusive frame and ties in the ordering value (unique via
+    the tie column)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        running_extreme_two_pass,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 211).cast("long").alias("v"),
+        ((F.col("id") * 13) % 97).cast("long").alias("x"),
+    )
+    for agg in ("max", "min"):
+        for inclusive in (False, True):
+            got = {
+                r.k: r.re
+                for r in running_extreme_two_pass(
+                    df, "v", "k", "x", out_col="re",
+                    n_buckets=8, agg=agg, inclusive=inclusive,
+                ).collect()
+            }
+            ext = F.max if agg == "max" else F.min
+            w = Window.orderBy(F.col("v").asc(), F.col("k").asc()).rowsBetween(
+                Window.unboundedPreceding, 0 if inclusive else -1
+            )
+            want = {
+                r.k: r.re
+                for r in df.select("k", ext("x").over(w).alias("re")).collect()
+            }
+            assert got == want, f"agg={agg}, inclusive={inclusive}"
