@@ -3702,3 +3702,160 @@ def lineitem_sla_commit_receipt_audit(
         .cast("long")
         .alias("mean_transit_days"),
     )
+
+
+# ===========================================================================
+# Wave I — slate completion to the 50-name budget: three more GSW-tail
+# surfaces (the gibbs_ice partial-derivative readoffs, the EXACT-Gibbs
+# melting ratio twin of the wave-H polynomial form, and potential
+# temperature to an arbitrary reference pressure).
+# ===========================================================================
+def _ice14_query(name: str, stages_fn, outs):
+    """Local ice-grid builder (same registration rule as
+    _freeze14_query: this slate's dicts, not r8's)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _ICE_IN_SQL,
+        _ice_inputs,
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _ice_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_ICE_IN_SQL, stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+def _gibbs_ice_parts_stages():
+    """Two IAPWS-06 chains: at (t, p) for gibbs_ice_part_t = g_T, and
+    at (t, 0) treating the grid temperature as pt0 for gibbs_ice_pt0 =
+    g_T(pt0, 0) and gibbs_ice_pt0_pt0 = g_TT(pt0, 0) — the three
+    internal Gibbs readoffs GSW exposes as their own ufuncs
+    (GSW/_wrapped_ufuncs.py: gibbs_ice_part_t, gibbs_ice_pt0,
+    gibbs_ice_pt0_pt0; they feed every ice temperature inversion)."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+
+    stages = list(gibbs_ice_stages("t", "p", x="__gpt_", out="__gpto_"))
+    stages += gibbs_ice_stages("t", "0.0e0", x="__gp0_", out="__gp0o_")
+    return stages
+
+
+_ice14_query(
+    "gsw_gibbs_ice_parts",
+    _gibbs_ice_parts_stages,
+    [
+        # g_T ~ -entropy (O(1e3) J/(kg K)): 1e-9 floor keeps ~12
+        # significant digits; g_TT ~ -cp/T (O(-8)): same floor.
+        ("gibbs_ice_part_t", _q9("__gpt_gt")),
+        ("gibbs_ice_pt0", _q9("__gp0_gt")),
+        ("gibbs_ice_pt0_pt0", _q9("__gp0_gtt")),
+    ],
+)
+
+
+def _melt_ratio_exact_stages():
+    """EXACT-Gibbs twin of the wave-A melting ratio (GSW twin:
+    gsw_melting_ice_SA_CT_ratio — the unsuffixed ufunc; wave A's
+    75-term form maps to _poly): ratio = SA·h_CT/(h − h_Ih − SA·h_SA)
+    with h = g − T·g_T, h_CT = cp0·(T0+t)/(T0+pt0), h_SA = g_SA(t,p) −
+    (T0+t)/(T0+pt0)·g_SA(pt0,0) (IOC-2010 appendix; the same readoffs
+    as the wave-H exact enthalpy derivatives). On this grid CT is the
+    forward conversion of the grid's own t, so t(CT) = t identically —
+    both engines evaluate the one shared stage tree, no inversion
+    noise."""
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+
+    stages = [
+        ("__mex_pt0", pt0_from_t_sql("s", "t", "p")),
+        ("__mex_tr", "((273.15e0 + t)/(273.15e0 + __mex_pt0))"),
+        ("__mex_g", gibbs_sw_sql("sa", "t", "p")),
+        ("__mex_gt", gibbs_sw_sql("sa", "t", "p", dt=1)),
+        ("__mex_h", "(__mex_g - (273.15e0 + t)*__mex_gt)"),
+        ("__mex_gsa", gibbs_sw_sql("sa", "t", "p", dsa=1)),
+        ("__mex_gsa0", gibbs_sw_sql("sa", "__mex_pt0", "0.0e0", dsa=1)),
+        ("__mex_hct", f"({_lit(GSW_CP0)}*__mex_tr)"),
+        ("__mex_hsa", "(__mex_gsa - __mex_tr*__mex_gsa0)"),
+    ]
+    stages += gibbs_ice_stages("t_ih", "p", x="__mex_gi_", out="__mex_")
+    return stages
+
+
+_melt_query(
+    "gsw_melting_ice_sa_ct_ratio_exact",
+    _melt_ratio_exact_stages,
+    [
+        (
+            "sa_ct_ratio_exact",
+            _q9(
+                "(sa*__mex_hct"
+                "/(__mex_h - __mex_enthalpy_ice - sa*__mex_hsa))"
+            ),
+        ),
+    ],
+)
+
+
+def _pt_ref_stages():
+    """UNESCO RK4 potential temperature to a NON-ZERO reference
+    pressure (GSW twin: gsw_pt_from_t(SA, t, p, p_ref) — the live
+    gsw_theta_rk4 / gsw_potential_temperature surfaces are the
+    p_ref = 0 specialization): the same four lapse-rate evaluations
+    through the published Runge-Kutta weights, integrating from p to
+    p_ref = 1000 dbar."""
+    from cioos_siooc_data_transform_spark.functions.oceanography import (
+        theta_rk4_stages,
+    )
+
+    return list(theta_rk4_stages("s", "t", "p", p_ref="1.0e3"))
+
+
+def gsw_pt_from_t_refp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See _pt_ref_stages. Zero shuffle, pure codegen."""
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _inputs
+
+    df = _inputs(spark, sf_dir)
+    for sname, expr in _pt_ref_stages():
+        df = df.withColumn(sname, F.expr(expr))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(_q6("theta_rk4")).alias("pt_ref_1000"),
+    )
+
+
+def _pt_ref_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r5 import _IN_SQL
+
+    staged = _stage_sql_cte(f"SELECT * FROM ({_IN_SQL})", _pt_ref_stages())
+    return f"""
+    SELECT l_orderkey, l_linenumber,
+           {_q6("theta_rk4")} AS pt_ref_1000
+    FROM ({staged})
+    """
+
+
+STAGED_QUERIES["gsw_pt_from_t_refp"] = gsw_pt_from_t_refp
+STAGED_ORACLES["gsw_pt_from_t_refp"] = _pt_ref_oracle()

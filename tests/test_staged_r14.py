@@ -104,6 +104,12 @@ STAGED_NAMES: list[str] = [
     "gsw_frazil_properties_potential",
     "gsw_ice_fraction_to_freeze_seawater",
     "gsw_seaice_fraction_to_freeze_seawater",
+    # wave I — slate completion to 50: gibbs_ice partial readoffs,
+    # EXACT-Gibbs melting ratio (the unsuffixed ufunc; wave A = _poly),
+    # pt to a non-zero reference pressure
+    "gsw_gibbs_ice_parts",
+    "gsw_melting_ice_sa_ct_ratio_exact",
+    "gsw_pt_from_t_refp",
 ]
 
 
