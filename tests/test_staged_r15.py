@@ -1,0 +1,182 @@
+"""Keep the STAGED round-15 queries green while parked
+(plans/staged_r15.py — the round-15 runway seed; activation order is
+staged_r9 (round 9) -> ... -> staged_r14 (round 14) -> this module)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR_SMOKE
+
+
+def _staged():
+    from cioos_siooc_data_transform_spark.plans.staged_r15 import (
+        STAGED_ORACLES,
+        STAGED_QUERIES,
+    )
+
+    return STAGED_QUERIES, STAGED_ORACLES
+
+
+def test_staged_not_registered():
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, os_ = _staged()
+    assert set(qs) == set(os_)
+    leaked = set(qs) & set(all_queries())
+    assert not leaked, f"staged r15 queries leaked into the live registry: {leaked}"
+
+
+def test_no_name_collision_with_earlier_slates():
+    from cioos_siooc_data_transform_spark.plans import (
+        staged_r10,
+        staged_r11,
+        staged_r12,
+        staged_r13,
+        staged_r14,
+    )
+
+    qs, _ = _staged()
+    earlier: set[str] = set()
+    for mod in (staged_r10, staged_r11, staged_r12, staged_r13, staged_r14):
+        earlier |= set(mod.STAGED_QUERIES)
+    clash = set(qs) & earlier
+    assert not clash, f"staged_r15 names collide with r10..r14: {clash}"
+
+
+STAGED_NAMES: list[str] = [
+    # wave A — GSW ledger tail
+    "gsw_pot_enthalpy_ice_poly_pair",
+    "gsw_pot_enthalpy_ice_freezing_poly",
+    "gsw_ct_freezing_first_derivatives",
+    "gsw_melting_equilibrium_ratios_exact",
+    "gsw_frazil_ratios_adiabatic_exact",
+    "gsw_sa_freezing_from_t_poly",
+]
+
+
+def test_staged_name_list_is_complete():
+    qs, _ = _staged()
+    assert sorted(qs) == sorted(STAGED_NAMES)
+
+
+@pytest.mark.parametrize("name", STAGED_NAMES)
+def test_staged_query_matches_oracle(spark, name):
+    from tests.oracle_harness import compare_query
+
+    qs, os_ = _staged()
+    ok, msg = compare_query(spark, SF_DIR_SMOKE, qs[name], os_[name])
+    assert ok, f"{name}: {msg}"
+
+
+def _duck_eval(stages, base, cols):
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.plans.staged_r11 import (
+        _stage_sql_cte,
+    )
+
+    con = duckdb.connect()
+    staged = _stage_sql_cte(base, stages)
+    sel = ", ".join(cols)
+    return con.execute(f"SELECT {sel} FROM ({staged})").fetchone()
+
+
+def _freeze_base(s, p):
+    return (
+        f"SELECT CAST({s!r} AS DOUBLE) AS s,"
+        f" CAST({s!r}*35.16504/35.0 AS DOUBLE) AS sa,"
+        f" CAST({p!r} AS DOUBLE) AS p"
+    )
+
+
+def test_ctf_exact_derivatives_match_finite_differences():
+    """Oracle parity cannot catch a wrong shared formula (both engines
+    run the one stage tree) — pin the chain-rule CT_freezing
+    derivatives against central differences of the CTf VALUE stage."""
+    from cioos_siooc_data_transform_spark.plans.staged_r15 import (
+        _ctf_exact_stages,
+    )
+
+    for s, p in [(33.0, 150.0), (35.5, 700.0)]:
+        ctf0, dsa, dp = _duck_eval(
+            _ctf_exact_stages(),
+            _freeze_base(s, p),
+            ["__cfx_ctf", "__cfx_ctf_sa", "__cfx_ctf_p"],
+        )
+        eps_s, eps_p = 1e-3, 1e-1
+        up = _duck_eval(
+            _ctf_exact_stages(),
+            _freeze_base(s + eps_s, p),
+            ["__cfx_ctf"],
+        )[0]
+        dn = _duck_eval(
+            _ctf_exact_stages(),
+            _freeze_base(s - eps_s, p),
+            ["__cfx_ctf"],
+        )[0]
+        # FD is per PRACTICAL salinity unit; the stage derivative is
+        # per g/kg of SA: ds/dSA = 1/uPS.
+        fd_sa = (up - dn) / (2 * eps_s) / (35.16504 / 35.0)
+        pu = _duck_eval(
+            _ctf_exact_stages(), _freeze_base(s, p + eps_p), ["__cfx_ctf"]
+        )[0]
+        pd = _duck_eval(
+            _ctf_exact_stages(), _freeze_base(s, p - eps_p), ["__cfx_ctf"]
+        )[0]
+        fd_p = (pu - pd) / (2 * eps_p)
+        assert abs(dsa - fd_sa) < 5e-7, (s, p, dsa, fd_sa)
+        assert abs(dp - fd_p) < 5e-8, (s, p, dp, fd_p)
+        assert ctf0 < 0.0  # a freezing temperature
+
+
+def test_poly_pair_agrees_with_exact_ice_chain():
+    """The published pt<->pot-enthalpy polynomial pair must agree with
+    the IAPWS-06 exact pot_enthalpy_from_pt_ice chain (r11) within the
+    documented fit error (6e-3 J/kg... plus the exact chain's own
+    Newton tolerance; assert 0.05 J/kg)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r11 import (
+        _poth_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r15 import (
+        _poth_poly_pair_stages,
+    )
+
+    for t in (-5.5, -20.5, -39.5):
+        base = f"SELECT CAST({t!r} AS DOUBLE) AS t, CAST(0.0 AS DOUBLE) AS p"
+        (poly_h, rt) = _duck_eval(
+            _poth_poly_pair_stages(), base, ["pot_h_poly", "pt_roundtrip"]
+        )
+        (exact_h,) = _duck_eval(
+            _poth_ice_stages(), base, ["pot_enthalpy_ice"]
+        )
+        assert abs(poly_h - exact_h) < 5e-2, (t, poly_h, exact_h)
+        assert abs(rt - t) < 1e-9
+
+
+def test_equilibrium_ratio_exact_vs_poly_form():
+    """The exact-Gibbs equilibrium melting ratio must sit within the
+    75-term/poly-freezing fit error of r13's polynomial-form ratio
+    (relative agreement ~1e-3)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _melt_eq_stages,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r15 import (
+        _ctf_exact_stages,
+    )
+
+    for s, p in [(33.0, 150.0), (35.5, 700.0)]:
+        (exact,) = _duck_eval(
+            _ctf_exact_stages(),
+            _freeze_base(s, p),
+            [
+                "(sa*__cfx_hct/(__cfx_h - __cfx_enthalpy_ice"
+                " - sa*__cfx_hsa))"
+            ],
+        )
+        (poly,) = _duck_eval(
+            _melt_eq_stages(),
+            _freeze_base(s, p),
+            ["(sa*h_ct / (__me_h_out - __me_enthalpy_ice - sa*h_sa))"],
+        )
+        assert abs(exact - poly) / abs(poly) < 2e-3, (s, p, exact, poly)
