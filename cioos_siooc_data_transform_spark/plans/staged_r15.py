@@ -518,3 +518,454 @@ _freeze15_query(
     _sa_freezing_from_t_poly_stages,
     [("sa_freezing_from_t_poly", _q9("sa_freezing_from_t_poly"))],
 )
+
+
+# ---------------------------------------------------------------------------
+# frazil_properties_potential — POLYNOMIAL form (GSW twin:
+# gsw_frazil_properties_potential_poly): same equilibrium solve as the
+# r14 exact-potential query, but with BOTH thermodynamic surfaces the
+# direct published polynomials the reference itself substitutes in its
+# _poly path (reference gsw_oceanographic_toolbox.c:3423 —
+# h_pot_ihf = gsw_pot_enthalpy_ice_freezing_poly(sa, p)):
+#   h_pot_bulk = (1−w)·cp0·CTf_poly(SA_f, p) + w·h_pot_if_poly(SA_f, p),
+#   w = 1 − SA_bulk/SA_f.
+# Because both surfaces are closed-form polynomials, the Newton slope
+# is the SYMBOLIC residual derivative (no fixed-slope approximation):
+#   d/dSA_f [ (SA_b/SA_f)·cp0·CTf + (1−SA_b/SA_f)·h_if ]
+# with every piece a symdiff template. Roundtrip construction: the
+# bulk state is mixed from the grid's own (SA, p, w_ih), so the solve
+# recovers SA_f = SA and w = w_ih (pinned in tests).
+# ---------------------------------------------------------------------------
+def _frazil_potential_poly_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        ct_freezing_poly_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _ctf_deriv_sql,
+    )
+
+    cp0 = _lit(GSW_CP0)
+    stages = [
+        ("__fpp_ctf0", ct_freezing_poly_sql("sa", "p", "0.0e0")),
+        ("__fpp_hif0", _pot_h_ice_freezing_poly_sql("sa", "p")),
+        ("__fpp_sabulk", "((1.0e0 - w_ih)*sa)"),
+        (
+            "__fpp_hbulk",
+            f"((1.0e0 - w_ih)*{cp0}*__fpp_ctf0 + w_ih*__fpp_hif0)",
+        ),
+        ("__fpp_s0", "(__fpp_sabulk/0.95e0)"),
+    ]
+    for k in (1, 2, 3):
+        prev = "__fpp_s0" if k == 1 else f"__fpp_s{k - 1}"
+        x = f"__fpp_i{k}_"
+        stages += [
+            (f"{x}ctf", ct_freezing_poly_sql(prev, "p", "0.0e0")),
+            (f"{x}hif", _pot_h_ice_freezing_poly_sql(prev, "p")),
+            (f"{x}ctf_sa", _ctf_deriv_sql(prev, "p", 0)),
+            (f"{x}hif_sa", _pif_deriv_sql(prev, "p", 0)),
+            (f"{x}wf", f"(__fpp_sabulk/{prev})"),
+            (
+                f"{x}res",
+                f"(__fpp_hbulk - {x}wf*{cp0}*{x}ctf"
+                f" - (1.0e0 - {x}wf)*{x}hif)",
+            ),
+            # d(res)/dSA_f: the weight derivative is +SA_b/SA_f², and
+            # the surfaces differentiate symbolically.
+            (
+                f"{x}dres",
+                f"({x}wf/{prev}*{cp0}*{x}ctf"
+                f" - {x}wf*{cp0}*{x}ctf_sa"
+                f" - {x}wf/{prev}*{x}hif"
+                f" - (1.0e0 - {x}wf)*{x}hif_sa)",
+            ),
+            (f"__fpp_s{k}", f"({prev} - {x}res/{x}dres)"),
+        ]
+    stages += [
+        ("__fpp_saf", "__fpp_s3"),
+        ("__fpp_ctf", ct_freezing_poly_sql("__fpp_s3", "p", "0.0e0")),
+        ("__fpp_w", "(1.0e0 - __fpp_sabulk/__fpp_s3)"),
+    ]
+    return stages
+
+
+_melt15_query(
+    "gsw_frazil_properties_potential_poly",
+    _frazil_potential_poly_stages,
+    [
+        ("sa_final", _q9("__fpp_saf")),
+        ("ct_final", _q9("__fpp_ctf")),
+        ("w_ih_final", _q9("__fpp_w")),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# melting_seaice_SA_CT_ratio — EXACT-enthalpy form (GSW twin: the
+# unsuffixed gsw_melting_seaice_SA_CT_ratio; the r14 query with the
+# 75-term h maps to _poly): same mixture algebra as r14's
+# _seaice_common_stages (brine salinity via the fixed-slope Newton on
+# the Millero line, exact-Gibbs brine enthalpy), with the SEAWATER
+# h / h_SA / h_CT replaced by the exact-Gibbs readoffs at (SA, t, p)
+# (h = g − T·g_T, h_CT = cp0·(T0+t)/(T0+pt0), h_SA = g_SA −
+# (T0+t)/(T0+pt0)·g_SA(pt0, 0)).
+# ---------------------------------------------------------------------------
+def _seaice_ratio_exact_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _seaice_common_stages,
+    )
+
+    stages = list(_seaice_common_stages())
+    stages += [
+        ("__sx_pt0", pt0_from_t_sql("s", "t", "p")),
+        ("__sx_tr", "((273.15e0 + t)/(273.15e0 + __sx_pt0))"),
+        ("__sx_g", gibbs_sw_sql("sa", "t", "p")),
+        ("__sx_gt", gibbs_sw_sql("sa", "t", "p", dt=1)),
+        ("__sx_h", "(__sx_g - (273.15e0 + t)*__sx_gt)"),
+        ("__sx_gsa", gibbs_sw_sql("sa", "t", "p", dsa=1)),
+        ("__sx_gsa0", gibbs_sw_sql("sa", "__sx_pt0", "0.0e0", dsa=1)),
+        ("__sx_hct", f"({_lit(GSW_CP0)}*__sx_tr)"),
+        ("__sx_hsa", "(__sx_gsa - __sx_tr*__sx_gsa0)"),
+    ]
+    return stages
+
+
+def _seaice15_query(name: str, stages_fn, outs):
+    """Sea-ice-grid builder registering into THIS slate's dicts."""
+    from cioos_siooc_data_transform_spark.plans.staged_r14 import (
+        _seaice_in_sql,
+        _seaice_inputs,
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _seaice_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_seaice_in_sql(), stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+_seaice15_query(
+    "gsw_melting_seaice_sa_ct_ratio_exact",
+    _seaice_ratio_exact_stages,
+    [
+        (
+            "seaice_sa_ct_ratio_exact",
+            _q9(
+                "(__sx_hct*(sa - sa_si)"
+                " / (__sx_h - __si_enthalpy_ice - (sa - sa_si)*__sx_hsa"
+                "    - sa_si*(__si_hbrine - __si_enthalpy_ice)/__si_sabr))"
+            ),
+        ),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# pt_second_derivatives (GSW twin: gsw_pt_second_derivatives): the
+# second derivatives of pt(SA, CT) by the implicit-function theorem on
+# the forward CT(SA, pt) surface — differentiating pt_CT = 1/CT_pt and
+# pt_SA = −CT_SA/CT_pt ALONG the level set (d/dx|_CT carries the
+# pt-motion term pt_x):
+#   pt_CT_CT = −CT_ptpt / CT_pt³,
+#   pt_SA_CT = −(CT_SApt + CT_ptpt·pt_SA) / CT_pt²,
+#   pt_SA_SA = −[(CT_SASA + CT_SApt·pt_SA)
+#               + pt_SA·(CT_SApt + CT_ptpt·pt_SA)] / CT_pt.
+# All five forward derivatives are the one symdiff template family the
+# r12 first/second-derivative queries already anchor; evaluated on the
+# (SA, pt) grid at CT = ct_from_pt(SA, pt) (the inversion family's
+# roundtrip contract). FD-pinned against the r12 pt_first_derivatives
+# ratios in tests.
+# ---------------------------------------------------------------------------
+def _pt_second_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_derivative_sql,
+    )
+
+    return [
+        ("__pts_csa", ct_derivative_sql("sa", "pt", 1, 0)),
+        ("__pts_cpt", ct_derivative_sql("sa", "pt", 0, 1)),
+        ("__pts_css", ct_derivative_sql("sa", "pt", 2, 0)),
+        ("__pts_cst", ct_derivative_sql("sa", "pt", 1, 1)),
+        ("__pts_ctt", ct_derivative_sql("sa", "pt", 0, 2)),
+        ("__pts_ptsa", "(-__pts_csa/__pts_cpt)"),
+        (
+            "pt_ct_ct",
+            "(-__pts_ctt/(__pts_cpt*__pts_cpt*__pts_cpt))",
+        ),
+        (
+            "pt_sa_ct",
+            "(-(__pts_cst + __pts_ctt*__pts_ptsa)"
+            "/(__pts_cpt*__pts_cpt))",
+        ),
+        (
+            "pt_sa_sa",
+            "(-((__pts_css + __pts_cst*__pts_ptsa)"
+            " + __pts_ptsa*(__pts_cst + __pts_ctt*__pts_ptsa))"
+            "/__pts_cpt)",
+        ),
+    ]
+
+
+def _ctd15_query(name: str, stages_fn, outs):
+    """(SA, pt)-grid builder registering into THIS slate's dicts."""
+    from cioos_siooc_data_transform_spark.plans.staged_r12 import (
+        _ctd_inner,
+        _ctd_inputs,
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _ctd_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_ctd_inner(), stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+_ctd15_query(
+    "gsw_pt_second_derivatives",
+    _pt_second_stages,
+    [
+        # magnitudes: pt_SA_SA ~1e-4, pt_SA_CT ~1e-3, pt_CT_CT ~1e-3;
+        # x1e6 + 1e-6 floor keeps ~9 significant digits — well above
+        # the cross-engine last-ulp band (a x1e12 emission flipped a
+        # 1e-14-relative floor boundary).
+        ("pt_sa_sa_e6", _q6("(1.0e6*pt_sa_sa)")),
+        ("pt_sa_ct_e6", _q6("(1.0e6*pt_sa_ct)")),
+        ("pt_ct_ct_e6", _q6("(1.0e6*pt_ct_ct)")),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# frazil_properties — IN-SITU-enthalpy form (GSW twin:
+# gsw_frazil_properties, the family head): the equilibrium solve on
+# the heat balance written in in-situ enthalpies,
+#   h_bulk = (1−w)·h(SA_f, CTf(SA_f), p) + w·h_Ih(t_f(SA_f), p),
+# where h at the freezing point is the EXACT Gibbs readoff
+# g − T·g_T evaluated at (SA_f, t_f, p) (no pt0 needed for h itself)
+# and h_Ih is the IAPWS-06 chain — the same surfaces the reference
+# composes (gsw_oceanographic_toolbox.c gsw_frazil_properties:
+# gsw_enthalpy_ct_exact + gsw_enthalpy_ice). Fixed-slope Newton from a
+# central difference at the initial guess (the r14 potential-form
+# recipe); ROUNDTRIP construction — the bulk state is mixed from the
+# grid's own (SA, w_ih), so the solve recovers them (pinned in tests).
+# ---------------------------------------------------------------------------
+def _frazil_insitu_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.ice import (
+        gibbs_ice_stages,
+    )
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_SSO,
+        _lit,
+        gibbs_sw_sql,
+        t_freezing_sql,
+    )
+
+    ups = _lit(GSW_SSO / 35.0)
+
+    def h_at_freezing(sa_col: str, x: str) -> list[tuple[str, str]]:
+        """tf, exact seawater h and IAPWS ice h at the freezing line of
+        sa_col (h = g − T·g_T needs no pt0)."""
+        st = [(f"{x}tf", t_freezing_sql(f"(({sa_col})/{ups})", "p"))]
+        st += [
+            (f"{x}g", gibbs_sw_sql(sa_col, f"{x}tf", "p")),
+            (f"{x}gt", gibbs_sw_sql(sa_col, f"{x}tf", "p", dt=1)),
+            (f"{x}h", f"({x}g - (273.15e0 + {x}tf)*{x}gt)"),
+        ]
+        st += gibbs_ice_stages(f"{x}tf", "p", x=f"{x}i_", out=f"{x}o_")
+        return st
+
+    def residual_at(sa_col: str, x: str) -> list[tuple[str, str]]:
+        st = h_at_freezing(sa_col, x)
+        st.append(
+            (
+                f"{x}res",
+                f"(__fi_hbulk - (__fi_sabulk/({sa_col}))*{x}h"
+                f" - (1.0e0 - __fi_sabulk/({sa_col}))*{x}o_enthalpy_ice)",
+            )
+        )
+        return st
+
+    stages = h_at_freezing("sa", "__fi_b_")
+    stages += [
+        ("__fi_sabulk", "((1.0e0 - w_ih)*sa)"),
+        (
+            "__fi_hbulk",
+            "((1.0e0 - w_ih)*__fi_b_h + w_ih*__fi_b_o_enthalpy_ice)",
+        ),
+        ("__fi_s0", "(__fi_sabulk/0.95e0)"),
+    ]
+    stages += residual_at("(__fi_s0*1.01e0)", "__fi_dhi_")
+    stages += residual_at("(__fi_s0*0.99e0)", "__fi_dlo_")
+    stages.append(
+        ("__fi_slope", "((__fi_dhi_res - __fi_dlo_res)/(0.02e0*__fi_s0))")
+    )
+    for k in (1, 2, 3):
+        prev = "__fi_s0" if k == 1 else f"__fi_s{k - 1}"
+        x = f"__fi_i{k}_"
+        stages += residual_at(prev, x)
+        stages.append((f"__fi_s{k}", f"({prev} - {x}res/__fi_slope)"))
+    stages += h_at_freezing("__fi_s3", "__fi_f_")
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_from_t_sql,
+    )
+
+    stages += [
+        ("__fi_saf", "__fi_s3"),
+        (
+            "__fi_ctf",
+            ct_from_t_sql(f"(__fi_s3/{ups})", "__fi_f_tf", "p"),
+        ),
+        ("__fi_w", "(1.0e0 - __fi_sabulk/__fi_s3)"),
+    ]
+    return stages
+
+
+_melt15_query(
+    "gsw_frazil_properties",
+    _frazil_insitu_stages,
+    [
+        ("sa_final", _q9("__fi_saf")),
+        ("ct_final", _q9("__fi_ctf")),
+        ("w_ih_final", _q9("__fi_w")),
+    ],
+)
+
+
+# ---------------------------------------------------------------------------
+# enthalpy_second_derivatives_CT_exact — the FULL tuple (GSW twin:
+# gsw_enthalpy_second_derivatives_CT_exact; r14's
+# gsw_enthalpy_ct_ct_exact ships the h_CT_CT member alone): the
+# McDougall (2003) identities in Gibbs readoffs at the two states
+# (SA, t, p) and (SA, pt0, 0) —
+#   part_b = (ratio·g_SAT0/g_TT0 − g_SAT/g_TT)/(T0+pt0),
+#   h_SA_CT = cp0·part_b − (g_SA0/cp0)·h_CT_CT,
+#   h_SA_SA = g_SASA − ratio·g_SASA0 + ratio·g_SAT0²/g_TT0
+#             − g_SAT²/g_TT − 2·g_SA0·part_b + (g_SA0/cp0)²·h_CT_CT,
+# every readoff a symdiff template of the one published Gibbs table
+# (reference composes hand-differentiated tables the same way:
+# gsw_oceanographic_toolbox.c gsw_enthalpy_second_derivatives_ct_exact;
+# its small-SA guard is unreachable on this SA >= 30 envelope). On the
+# grid CT is the forward conversion of t, so t(CT) = t and pt0 is the
+# direct inversion. Cross-pinned against the analytic-polynomial
+# h second derivatives (r12) in tests.
+# ---------------------------------------------------------------------------
+def _h_second_ct_exact_stages() -> list[tuple[str, str]]:
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        _lit,
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+
+    cp0 = _lit(GSW_CP0)
+    return [
+        ("__hsd_pt0", pt0_from_t_sql("s", "t", "p")),
+        ("__hsd_rpt0", "(1.0e0/(273.15e0 + __hsd_pt0))"),
+        ("__hsd_ratio", "((273.15e0 + t)*__hsd_rpt0)"),
+        ("__hsd_gtt0", gibbs_sw_sql("sa", "__hsd_pt0", "0.0e0", dt=2)),
+        ("__hsd_gtt", gibbs_sw_sql("sa", "t", "p", dt=2)),
+        (
+            "h_ct_ct",
+            f"({cp0}*{cp0}*(__hsd_ratio/__hsd_gtt0 - 1.0e0/__hsd_gtt)"
+            "*__hsd_rpt0*__hsd_rpt0)",
+        ),
+        ("__hsd_gsat0", gibbs_sw_sql("sa", "__hsd_pt0", "0.0e0", dsa=1, dt=1)),
+        ("__hsd_gsat", gibbs_sw_sql("sa", "t", "p", dsa=1, dt=1)),
+        ("__hsd_gsa0", gibbs_sw_sql("sa", "__hsd_pt0", "0.0e0", dsa=1)),
+        ("__hsd_gsasa0", gibbs_sw_sql("sa", "__hsd_pt0", "0.0e0", dsa=2)),
+        ("__hsd_gsasa", gibbs_sw_sql("sa", "t", "p", dsa=2)),
+        (
+            "__hsd_partb",
+            "((__hsd_ratio*__hsd_gsat0/__hsd_gtt0"
+            " - __hsd_gsat/__hsd_gtt)*__hsd_rpt0)",
+        ),
+        ("__hsd_factor", f"(__hsd_gsa0/{cp0})"),
+        (
+            "h_sa_ct",
+            f"({cp0}*__hsd_partb - __hsd_factor*h_ct_ct)",
+        ),
+        (
+            "h_sa_sa",
+            "(__hsd_gsasa - __hsd_ratio*__hsd_gsasa0"
+            " + __hsd_ratio*__hsd_gsat0*__hsd_gsat0/__hsd_gtt0"
+            " - __hsd_gsat*__hsd_gsat/__hsd_gtt"
+            " - 2.0e0*__hsd_gsa0*__hsd_partb"
+            " + __hsd_factor*__hsd_factor*h_ct_ct)",
+        ),
+    ]
+
+
+def _gibbs15_query(name: str, stages_fn, outs):
+    """(s, t, p, sa)-grid builder registering into THIS slate's dicts."""
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import (
+        _freeze_in_sql,
+        _freeze_inputs,
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = _freeze_inputs(spark, sf_dir)
+        for sname, expr in stages_fn():
+            df = df.withColumn(sname, F.expr(expr))
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            *[F.expr(e).alias(c) for c, e in outs],
+        )
+
+    staged = _stage_sql_cte(_freeze_in_sql(), stages_fn())
+    sel = ",\n           ".join(f"{e} AS {c}" for c, e in outs)
+    STAGED_QUERIES[name] = fn
+    STAGED_ORACLES[name] = f"""
+    SELECT l_orderkey, l_linenumber,
+           {sel}
+    FROM ({staged})
+    """
+    return fn
+
+
+_gibbs15_query(
+    "gsw_enthalpy_second_derivatives_ct_exact",
+    _h_second_ct_exact_stages,
+    [
+        # magnitudes: h_SA_SA ~0.1, h_SA_CT ~1, h_CT_CT ~1e-3 over the
+        # envelope — x1e3/x1e3/x1e6 with a 1e-6 floor keeps ~9 digits.
+        ("h_sa_sa_e3", _q6("(1.0e3*h_sa_sa)")),
+        ("h_sa_ct_e3", _q6("(1.0e3*h_sa_ct)")),
+        ("h_ct_ct_e6", _q6("(1.0e6*h_ct_ct)")),
+    ],
+)

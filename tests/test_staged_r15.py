@@ -52,7 +52,157 @@ STAGED_NAMES: list[str] = [
     "gsw_melting_equilibrium_ratios_exact",
     "gsw_frazil_ratios_adiabatic_exact",
     "gsw_sa_freezing_from_t_poly",
+    "gsw_frazil_properties_potential_poly",
+    "gsw_melting_seaice_sa_ct_ratio_exact",
+    "gsw_pt_second_derivatives",
+    "gsw_frazil_properties",
+    "gsw_enthalpy_second_derivatives_ct_exact",
 ]
+
+
+def test_pt_second_derivatives_match_finite_differences():
+    """Implicit-function-theorem second derivatives vs central
+    differences of the first-derivative ratios (pt_CT = 1/CT_pt,
+    pt_SA = −CT_SA/CT_pt) ALONG the level set — the d/dx|_CT motion
+    term is exactly what the formulas encode."""
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        ct_derivative_sql,
+        ct_from_pt_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r15 import (
+        _pt_second_stages,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+
+    def q(sql):
+        return con.execute(f"SELECT CAST(({sql}) AS DOUBLE)").fetchone()[0]
+
+    def D(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    sa0, pt_c = 34.5, 12.0
+    ct0 = q(ct_from_pt_sql(D(sa0), D(pt_c)))
+
+    def pt_of(sa, ct):
+        pt = ct
+        for _ in range(5):
+            f = q(ct_from_pt_sql(D(sa), D(pt))) - ct
+            d = q(ct_derivative_sql(D(sa), D(pt), 0, 1))
+            pt -= f / d
+        return pt
+
+    base = (
+        f"SELECT {D(sa0)} AS sa, {D(pt_c)} AS pt,"
+        " 1 AS l_orderkey, 1 AS l_linenumber"
+    )
+    ptss, ptsc, ptcc = _duck_eval(
+        _pt_second_stages(), base, ["pt_sa_sa", "pt_sa_ct", "pt_ct_ct"]
+    )
+    eps, de = 0.05, 0.05
+    fd_cc = (pt_of(sa0, ct0 + eps) - 2 * pt_of(sa0, ct0) + pt_of(sa0, ct0 - eps)) / eps**2
+    fd_sc = (
+        pt_of(sa0 + de, ct0 + eps) - pt_of(sa0 + de, ct0 - eps)
+        - pt_of(sa0 - de, ct0 + eps) + pt_of(sa0 - de, ct0 - eps)
+    ) / (4 * de * eps)
+    fd_ss = (pt_of(sa0 + de, ct0) - 2 * pt_of(sa0, ct0) + pt_of(sa0 - de, ct0)) / de**2
+    assert abs(ptcc - fd_cc) < 5e-6, (ptcc, fd_cc)
+    assert abs(ptsc - fd_sc) < 5e-6, (ptsc, fd_sc)
+    assert abs(ptss - fd_ss) < 5e-6, (ptss, fd_ss)
+
+
+def test_h_second_ct_exact_matches_fd_of_exact_first_derivatives():
+    """The (h_SA_SA, h_SA_CT, h_CT_CT) tuple vs central differences of
+    the exact first-derivative identities h_CT = cp0·(T0+t)/(T0+pt0)
+    and h_SA = g_SA − ratio·g_SA0 (moving (t, pt0) with CT at fixed SA
+    — the level-set FD)."""
+    import duckdb
+
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        GSW_CP0,
+        ct_from_t_sql,
+        gibbs_sw_sql,
+        pt0_from_t_sql,
+    )
+    from cioos_siooc_data_transform_spark.plans.staged_r15 import (
+        _h_second_ct_exact_stages,
+    )
+
+    con = duckdb.connect()
+
+    def q(sql):
+        return con.execute(f"SELECT CAST(({sql}) AS DOUBLE)").fetchone()[0]
+
+    def D(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    ups = 35.16504 / 35.0
+    s, t, p = 33.0, 10.0, 300.0
+    sa = s * ups
+    base = (
+        f"SELECT {D(s)} AS s, {D(sa)} AS sa, {D(t)} AS t, {D(p)} AS p,"
+        " 1 AS l_orderkey, 1 AS l_linenumber"
+    )
+    hss, hsc, hcc = _duck_eval(
+        _h_second_ct_exact_stages(), base, ["h_sa_sa", "h_sa_ct", "h_ct_ct"]
+    )
+
+    def t_of(s_, ct):
+        tt = ct
+        for _ in range(6):
+            f = q(ct_from_t_sql(D(s_), D(tt), D(p))) - ct
+            d = (
+                q(ct_from_t_sql(D(s_), D(tt + 1e-4), D(p)))
+                - q(ct_from_t_sql(D(s_), D(tt - 1e-4), D(p)))
+            ) / 2e-4
+            tt -= f / d
+        return tt
+
+    def h_sa_of(sa_, ct):
+        s_ = sa_ / ups
+        tt = t_of(s_, ct)
+        pt = q(pt0_from_t_sql(D(s_), D(tt), D(p)))
+        ratio = (273.15 + tt) / (273.15 + pt)
+        return q(gibbs_sw_sql(D(sa_), D(tt), D(p), dsa=1)) - ratio * q(
+            gibbs_sw_sql(D(sa_), D(pt), "0.0e0", dsa=1)
+        )
+
+    def h_ct_of(sa_, ct):
+        s_ = sa_ / ups
+        tt = t_of(s_, ct)
+        pt = q(pt0_from_t_sql(D(s_), D(tt), D(p)))
+        return GSW_CP0 * (273.15 + tt) / (273.15 + pt)
+
+    ct0 = q(ct_from_t_sql(D(s), D(t), D(p)))
+    eps, de = 0.05, 0.05
+    fd_cc = (h_ct_of(sa, ct0 + eps) - h_ct_of(sa, ct0 - eps)) / (2 * eps)
+    fd_sc = (h_sa_of(sa, ct0 + eps) - h_sa_of(sa, ct0 - eps)) / (2 * eps)
+    fd_ss = (h_sa_of(sa + de, ct0) - h_sa_of(sa - de, ct0)) / (2 * de)
+    assert abs(hcc - fd_cc) < 2e-4, (hcc, fd_cc)
+    assert abs(hsc - fd_sc) < 2e-5, (hsc, fd_sc)
+    assert abs(hss - fd_ss) < 2e-5, (hss, fd_ss)
+
+
+def test_frazil_poly_solve_recovers_the_mixed_state():
+    """The roundtrip contract: the bulk state is mixed from the grid's
+    own (SA, w), so the Newton solve must recover them (machine-
+    precision — the symbolic residual derivative makes three steps
+    quadratic)."""
+    from cioos_siooc_data_transform_spark.plans.staged_r15 import (
+        _frazil_potential_poly_stages,
+    )
+
+    base = (
+        "SELECT CAST(33.0 AS DOUBLE) AS s,"
+        " CAST(33.0*35.16504/35.0 AS DOUBLE) AS sa,"
+        " CAST(300.0 AS DOUBLE) AS p, CAST(0.04 AS DOUBLE) AS w_ih"
+    )
+    saf, w = _duck_eval(
+        _frazil_potential_poly_stages(), base, ["__fpp_saf", "__fpp_w"]
+    )
+    assert abs(saf - 33.0 * 35.16504 / 35.0) < 1e-9
+    assert abs(w - 0.04) < 1e-9
 
 
 def test_staged_name_list_is_complete():

@@ -45,7 +45,7 @@ LEDGER: dict[str, tuple] = {
     "CT_first_derivatives": ("covered", "gsw_ct_first_derivatives"),
     "CT_first_derivatives_wrt_t_exact": ("covered", "gsw_ct_first_derivatives_wrt_t_exact"),
     "CT_freezing": ("covered", "gsw_ct_freezing"),
-    "CT_freezing_first_derivatives": ("planned", "exact twin of gsw_ct_freezing_derivs_poly (chain through t_freezing + ct_from_t)"),
+    "CT_freezing_first_derivatives": ("covered", "gsw_ct_freezing_first_derivatives"),
     "CT_freezing_first_derivatives_poly": ("covered", "gsw_ct_freezing_derivs_poly"),
     "CT_freezing_poly": ("covered", "gsw_ct_freezing_poly"),
     "CT_from_enthalpy": ("covered", "gsw_ct_from_enthalpy"),
@@ -66,7 +66,7 @@ LEDGER: dict[str, tuple] = {
     "SA_freezing_from_CT": ("covered", "gsw_sa_freezing_from_ct"),
     "SA_freezing_from_CT_poly": ("covered", "gsw_sa_freezing_from_ct_poly"),
     "SA_freezing_from_t": ("covered", "gsw_sa_freezing_from_t"),
-    "SA_freezing_from_t_poly": ("planned", "Newton on ctf_poly(SA,p) = ct_from_t(SA,t,p)"),
+    "SA_freezing_from_t_poly": ("covered", "gsw_sa_freezing_from_t_poly"),
     "SA_from_SP": ("baseline", "gsw_sa_from_sp", "atlas-free SAAR=0 semantics (GSW's own atlas-absent fallback)"),
     "SA_from_SP_Baltic": ("covered", "gsw_sa_from_sp_baltic"),
     "SA_from_Sstar": ("baseline", "gsw_salinity_star_baseline", "atlas-free: Sstar = SA"),
@@ -105,7 +105,7 @@ LEDGER: dict[str, tuple] = {
     "enthalpy_first_derivatives_CT_exact": ("covered", "gsw_enthalpy_first_derivatives_ct_exact"),
     "enthalpy_ice": ("covered", "gsw_enthalpy_ice"),
     "enthalpy_second_derivatives": ("covered", "gsw_enthalpy_second_derivatives"),
-    "enthalpy_second_derivatives_CT_exact": ("planned", "h_CT_CT ships (gsw_enthalpy_ct_ct_exact); complete the (h_SA_SA, h_SA_CT) tuple"),
+    "enthalpy_second_derivatives_CT_exact": ("covered", "gsw_enthalpy_second_derivatives_ct_exact"),
     "enthalpy_t_exact": ("covered", "gsw_enthalpy_t_exact"),
     "entropy_first_derivatives": ("covered", "gsw_entropy_first_derivatives"),
     "entropy_from_CT": ("covered", "gsw_entropy_from_ct"),
@@ -113,10 +113,10 @@ LEDGER: dict[str, tuple] = {
     "entropy_from_t": ("covered", "gsw_entropy_from_t"),
     "entropy_ice": ("covered", "gsw_entropy_ice"),
     "entropy_second_derivatives": ("covered", "gsw_entropy_second_derivatives"),
-    "frazil_properties": ("planned", "in-situ-enthalpy twin of gsw_frazil_properties_potential"),
+    "frazil_properties": ("covered", "gsw_frazil_properties"),
     "frazil_properties_potential": ("covered", "gsw_frazil_properties_potential"),
-    "frazil_properties_potential_poly": ("planned", "needs the published pot_enthalpy_from_pt_ice polynomial table"),
-    "frazil_ratios_adiabatic": ("planned", "exact-CT_freezing twin of the shipped poly-form ratios"),
+    "frazil_properties_potential_poly": ("covered", "gsw_frazil_properties_potential_poly"),
+    "frazil_ratios_adiabatic": ("covered", "gsw_frazil_ratios_adiabatic_exact"),
     "frazil_ratios_adiabatic_poly": ("covered", "gsw_frazil_ratios_adiabatic"),
     "gibbs_ice_part_t": ("covered", "gsw_gibbs_ice_parts"),
     "gibbs_ice_pt0": ("covered", "gsw_gibbs_ice_parts"),
@@ -134,21 +134,21 @@ LEDGER: dict[str, tuple] = {
     "latentheat_melting": ("covered", "gsw_latentheat_melting"),
     "melting_ice_SA_CT_ratio": ("covered", "gsw_melting_ice_sa_ct_ratio_exact"),
     "melting_ice_SA_CT_ratio_poly": ("covered", "gsw_melting_ice_sa_ct_ratio"),
-    "melting_ice_equilibrium_SA_CT_ratio": ("planned", "exact-h twin of gsw_melting_ice_equilibrium_ratio"),
+    "melting_ice_equilibrium_SA_CT_ratio": ("covered", "gsw_melting_equilibrium_ratios_exact"),
     "melting_ice_equilibrium_SA_CT_ratio_poly": ("covered", "gsw_melting_ice_equilibrium_ratio"),
     "melting_ice_into_seawater": ("covered", "gsw_melting_ice_into_seawater"),
-    "melting_seaice_SA_CT_ratio": ("planned", "exact-h twin of the shipped poly-form seaice ratio"),
+    "melting_seaice_SA_CT_ratio": ("covered", "gsw_melting_seaice_sa_ct_ratio_exact"),
     "melting_seaice_SA_CT_ratio_poly": ("covered", "gsw_melting_seaice_sa_ct_ratio"),
-    "melting_seaice_equilibrium_SA_CT_ratio": ("planned", "equals the ice equilibrium ratio (McDougall et al. 2013); ships with its exact twin"),
+    "melting_seaice_equilibrium_SA_CT_ratio": ("covered", "gsw_melting_equilibrium_ratios_exact"),
     "melting_seaice_equilibrium_SA_CT_ratio_poly": ("covered", "gsw_melting_ice_equilibrium_ratio"),
     "melting_seaice_into_seawater": ("covered", "gsw_melting_seaice_into_seawater"),
     "p_from_z": ("covered", "gsw_p_from_z"),
     "pot_enthalpy_from_pt_ice": ("covered", "gsw_pot_enthalpy_from_pt_ice"),
-    "pot_enthalpy_from_pt_ice_poly": ("planned", "published polynomial table (one table also serves the Newton inverse)"),
+    "pot_enthalpy_from_pt_ice_poly": ("covered", "gsw_pot_enthalpy_ice_poly_pair"),
     "pot_enthalpy_ice_freezing": ("covered", "gsw_pot_enthalpy_ice_freezing"),
     "pot_enthalpy_ice_freezing_first_derivatives": ("covered", "gsw_pot_enthalpy_ice_freezing_derivs"),
-    "pot_enthalpy_ice_freezing_first_derivatives_poly": ("planned", "poly-freezing twin of the shipped exact derivatives"),
-    "pot_enthalpy_ice_freezing_poly": ("planned", "poly-freezing twin of the shipped exact surface"),
+    "pot_enthalpy_ice_freezing_first_derivatives_poly": ("covered", "gsw_pot_enthalpy_ice_freezing_poly"),
+    "pot_enthalpy_ice_freezing_poly": ("covered", "gsw_pot_enthalpy_ice_freezing_poly"),
     "pot_rho_t_exact": ("covered", "gsw_pot_rho_t_exact"),
     "pressure_coefficient_ice": ("covered", "gsw_ice_expansion_coefficients"),
     "pressure_freezing_CT": ("covered", "gsw_pressure_freezing_ct"),
@@ -158,10 +158,10 @@ LEDGER: dict[str, tuple] = {
     "pt_from_CT": ("covered", "gsw_pt_from_ct"),
     "pt_from_entropy": ("covered", "gsw_pt_from_entropy"),
     "pt_from_pot_enthalpy_ice": ("covered", "gsw_pt_from_pot_enthalpy_ice"),
-    "pt_from_pot_enthalpy_ice_poly": ("planned", "published polynomial table + Newton"),
+    "pt_from_pot_enthalpy_ice_poly": ("covered", "gsw_pot_enthalpy_ice_poly_pair"),
     "pt_from_t": ("covered", "gsw_pt_from_t_refp"),
     "pt_from_t_ice": ("covered", "gsw_pt_from_t_ice"),
-    "pt_second_derivatives": ("planned", "symdiff second pass over the pt_first_derivatives templates"),
+    "pt_second_derivatives": ("covered", "gsw_pt_second_derivatives"),
     "rho": ("covered", "gsw_rho_ct_native"),
     "rho_alpha_beta": ("covered", "gsw_rho_specvol_alpha_beta"),
     "rho_first_derivatives": ("covered", "gsw_rho_first_derivatives"),
