@@ -57,6 +57,21 @@ STAGED_NAMES: list[str] = [
     "gsw_pt_second_derivatives",
     "gsw_frazil_properties",
     "gsw_enthalpy_second_derivatives_ct_exact",
+    # wave B — LLM-pipeline audits
+    "embedding_isotropy_score",
+    "pack_wastage_by_length",
+    "shard_mixing_entropy",
+    "text_stopword_coverage_curve",
+    "orders_benford_second_digit",
+    # wave C — events/time-series battery
+    "events_interarrival_cv2",
+    "events_hazard_rate_profile",
+    "events_turning_points_test",
+    # wave D — robust stats on the two-pass rank machinery + Jaccard
+    "orders_theil_sen_monthly",
+    "customer_mad_robust_outliers",
+    "part_brand_price_kruskal",
+    "graph_jaccard_linkpred",
 ]
 
 
