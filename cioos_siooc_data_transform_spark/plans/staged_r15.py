@@ -1934,3 +1934,770 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard_micro").desc(), F.col("a"), F.col("c")
     ).limit(20)
+
+
+# ===========================================================================
+# Wave E — spectral/information/distribution diagnostics.
+# ===========================================================================
+_PI_LIT = "3.141592653589793e0"
+
+
+@_register(
+    "events_spectral_entropy",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(date_diff('day', mn.d0, d.day) AS BIGINT) AS ti, d.c,
+             CAST(nd.n AS BIGINT) AS n
+      FROM d
+      CROSS JOIN (SELECT min(day) AS d0 FROM d) mn
+      CROSS JOIN (SELECT CAST(max(date_diff('day',
+                        (SELECT min(day) FROM d), day)) + 1 AS BIGINT) AS n
+                  FROM d) nd
+    ),
+    ks AS (SELECT unnest(range(1, 9)) AS k),
+    terms AS (
+      SELECT ks.k,
+             CAST(floor(t.c * cos(2.0e0*{_PI_LIT}*ks.k*t.ti
+                                  / CAST(t.n AS DOUBLE)) * 1.0e6 + 0.5)
+                  AS HUGEINT) AS aq,
+             CAST(floor(t.c * sin(2.0e0*{_PI_LIT}*ks.k*t.ti
+                                  / CAST(t.n AS DOUBLE)) * 1.0e6 + 0.5)
+                  AS HUGEINT) AS bq
+      FROM t CROSS JOIN ks
+    ),
+    power AS (
+      SELECT k,
+             CAST(sum(aq) AS DOUBLE)/1.0e6 AS a,
+             CAST(sum(bq) AS DOUBLE)/1.0e6 AS b
+      FROM terms GROUP BY k
+    ),
+    p AS (
+      SELECT k, a*a + b*b AS pk,
+             sum(a*a + b*b) OVER () AS tot
+      FROM power
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           floor(sum(CASE WHEN pk > 0.0e0
+                          THEN pk/tot * ln(tot/pk) ELSE 0.0e0 END)
+                 / ln(8.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS spectral_entropy_norm
+    FROM p
+    """,
+)
+def events_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized spectral entropy of the daily volume series over the
+    first 8 DFT bins — near 1 means flat/noisy (no dominant cycle),
+    near 0 means one frequency carries the energy (strong weekly or
+    monthly periodicity; the scalar complement of the per-bin
+    periodogram query). Each cos/sin term is micro-quantized BEFORE
+    the per-bin sum (order-independence over partitions); the 8-bin
+    entropy finisher runs on a bounded table."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mn = d.agg(F.min("day").alias("d0"))
+    t0 = d.crossJoin(F.broadcast(mn)).select(
+        F.datediff("day", "d0").cast("long").alias("ti"), "c"
+    )
+    nd = t0.agg((F.max("ti") + 1).cast("long").alias("n"))
+    t = t0.crossJoin(F.broadcast(nd))
+    ks = ev.sparkSession.range(1, 9).select(F.col("id").alias("k"))
+    ang = (
+        2.0 * float(3.141592653589793)
+        * F.col("k")
+        * F.col("ti")
+        / F.col("n").cast("double")
+    )
+    terms = t.crossJoin(F.broadcast(ks)).select(
+        "k",
+        F.floor(F.col("c") * F.cos(ang) * 1.0e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("aq"),
+        F.floor(F.col("c") * F.sin(ang) * 1.0e6 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("bq"),
+    )
+    power = terms.groupBy("k").agg(
+        (F.sum("aq").cast("double") / 1.0e6).alias("a"),
+        (F.sum("bq").cast("double") / 1.0e6).alias("b"),
+    )
+    pk = (F.col("a") * F.col("a") + F.col("b") * F.col("b")).alias("pk")
+    p = power.select(pk)
+    tot = p.agg(F.sum("pk").alias("tot"))
+    j = p.crossJoin(F.broadcast(tot))
+    ent_term = F.when(
+        F.col("pk") > 0.0,
+        F.col("pk") / F.col("tot") * F.log(F.col("tot") / F.col("pk")),
+    ).otherwise(0.0)
+    import math
+
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        (
+            F.floor(F.sum(ent_term) / math.log(8.0) * 1.0e6 + 0.5) / 1.0e6
+        ).alias("spectral_entropy_norm"),
+    )
+
+
+@_register(
+    "lineitem_qty_discount_mutual_info",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cell GROUP BY 1),
+    my AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cell GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cell),
+    terms AS (
+      SELECT CAST(floor(CAST(cell.c AS DOUBLE) / n.n
+                        * ln(CAST(cell.c AS DOUBLE) * n.n
+                             / (CAST(mx.cx AS DOUBLE) * my.cy))
+                        * 1.0e12 + 0.5) AS HUGEINT) AS miq
+      FROM cell JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    )
+    SELECT (SELECT n FROM n) AS n_lines,
+           floor(CAST(sum(miq) AS DOUBLE) / 1.0e6 + 0.5) / 1.0e6
+             AS mutual_info_nats
+    FROM terms
+    """,
+)
+def lineitem_qty_discount_mutual_info(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information between quantity and discount — the
+    dependence screen that catches ANY association (Pearson/Spearman
+    only see monotone ones; pricing rules often tie discount to
+    quantity BANDS). Joint and marginal cells are exact integer
+    counts over a bounded (50 x 11) grid; each MI term pico-quantizes
+    before the sum (order-independence invariant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cell = li.groupBy(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mx = cell.groupBy("x").agg(F.sum("c").cast("long").alias("cx"))
+    my = cell.groupBy("y").agg(F.sum("c").cast("long").alias("cy"))
+    n = cell.agg(F.sum("c").cast("long").alias("n"))
+    j = (
+        cell.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    term = F.floor(
+        F.col("c").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("cx").cast("double") * F.col("cy"))
+        )
+        * 1.0e12
+        + 0.5
+    ).cast("decimal(38,0)")
+    return j.agg(
+        F.max("n").cast("long").alias("n_lines"),
+        (
+            F.floor(F.sum(term).cast("double") / 1.0e6 + 0.5) / 1.0e6
+        ).alias("mutual_info_nats"),
+    )
+
+
+@_register(
+    "embedding_dim_kurtosis",
+    oracle="""
+    WITH x AS (
+      SELECT u.dim, CAST(u.q AS HUGEINT) AS q
+      FROM (
+        SELECT unnest(range(1, 65)) AS dim,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                      v -> CAST(floor(v * 1.0e6 + 0.5) AS BIGINT))) AS q
+        FROM embeddings
+      ) u
+    ),
+    s AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS HUGEINT) AS s1,
+             CAST(sum(q*q) AS HUGEINT) AS s2,
+             CAST(sum(q*q*q) AS HUGEINT) AS s3,
+             CAST(sum(q*q*q*q) AS HUGEINT) AS s4
+      FROM x GROUP BY 1
+    ),
+    mom AS (
+      SELECT dim, n,
+             CAST(s1 AS DOUBLE)/n AS m,
+             CAST(s2 AS DOUBLE)/n AS r2,
+             CAST(s3 AS DOUBLE)/n AS r3,
+             CAST(s4 AS DOUBLE)/n AS r4
+      FROM s
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n AS n_vectors,
+           floor((r2 - m*m) / 1.0e6 + 0.5) / 1.0e6 AS variance,
+           floor(((r4 - 4.0e0*m*r3 + 6.0e0*m*m*r2 - 3.0e0*m*m*m*m)
+                  / ((r2 - m*m)*(r2 - m*m)) - 3.0e0) * 1.0e6 + 0.5) / 1.0e6
+             AS excess_kurtosis
+    FROM mom
+    """,
+)
+def embedding_dim_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension excess kurtosis of the embedding cloud — the
+    heavy-tail audit (a dimension with kurtosis >> 0 carries spiky
+    activations that int8 quantization clips hardest; the variance
+    audit alone misses it). All four raw moments are exact integer
+    sums of micro-quantized components (q^4 <= 1e24 per row, inside
+    decimal(38)); central moments finish in double per dim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d", "v")
+    ).select(
+        (F.col("d") + 1).cast("long").alias("dim"),
+        F.floor(F.col("v") * 1.0e6 + 0.5).cast("decimal(19,0)").alias("q"),
+    )
+    q = F.col("q")
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("decimal(38,0)").alias("s1"),
+        F.sum(q * q).cast("decimal(38,0)").alias("s2"),
+        F.sum(q * q * q).cast("decimal(38,0)").alias("s3"),
+        F.sum(q * q * q * q).cast("decimal(38,0)").alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    var = r2 - m * m
+    kurt = (r4 - 4.0 * m * r3 + 6.0 * m * m * r2 - 3.0 * m * m * m * m) / (
+        var * var
+    ) - 3.0
+    return s.select(
+        "dim",
+        F.col("n").alias("n_vectors"),
+        (F.floor(var / 1.0e6 + 0.5) / 1.0e6).alias("variance"),
+        (F.floor(kurt * 1.0e6 + 0.5) / 1.0e6).alias("excess_kurtosis"),
+    )
+
+
+@_register(
+    "doc_length_lognormal_ks",
+    oracle="""
+    WITH lx AS (
+      SELECT CAST(floor(ln(CAST(n_chars AS DOUBLE)) * 1.0e6 + 0.5) AS BIGINT)
+               AS q
+      FROM documents WHERE n_chars > 0
+    ),
+    hist AS (SELECT q, CAST(count(*) AS BIGINT) AS c FROM lx GROUP BY 1),
+    mom AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(q AS HUGEINT) * c) AS HUGEINT) AS s1,
+             CAST(sum(CAST(q AS HUGEINT) * q * c) AS HUGEINT) AS s2
+      FROM hist
+    ),
+    r AS (
+      SELECT q, c,
+             CAST(sum(c) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum
+      FROM hist
+    ),
+    z AS (
+      SELECT r.q, r.c, r.cum, mom.n,
+             CAST(mom.s1 AS DOUBLE)/mom.n/1.0e6 AS m,
+             sqrt(CAST(mom.s2 AS DOUBLE)/mom.n
+                  - (CAST(mom.s1 AS DOUBLE)/mom.n)
+                    *(CAST(mom.s1 AS DOUBLE)/mom.n))/1.0e6 AS sd
+      FROM r CROSS JOIN mom
+    ),
+    ph AS (
+      SELECT z.*,
+             (CAST(q AS DOUBLE)/1.0e6 - m)/sd AS zz
+      FROM z
+    ),
+    phi AS (
+      SELECT ph.*,
+             CASE WHEN zz >= 0.0e0
+                  THEN 0.5e0*(1.0e0 + (1.0e0 - (1.0e0/(1.0e0 + 0.3275911e0*((zz*0.7071067811865476e0))))*(0.254829592e0 + (1.0e0/(1.0e0 + 0.3275911e0*((zz*0.7071067811865476e0))))*(-0.284496736e0 + (1.0e0/(1.0e0 + 0.3275911e0*((zz*0.7071067811865476e0))))*(1.421413741e0 + (1.0e0/(1.0e0 + 0.3275911e0*((zz*0.7071067811865476e0))))*(-1.453152027e0 + (1.0e0/(1.0e0 + 0.3275911e0*((zz*0.7071067811865476e0))))*1.061405429e0))))*exp(-((zz*0.7071067811865476e0))*((zz*0.7071067811865476e0)))))
+                  ELSE 0.5e0*(1.0e0 - (1.0e0 - (1.0e0/(1.0e0 + 0.3275911e0*((-zz*0.7071067811865476e0))))*(0.254829592e0 + (1.0e0/(1.0e0 + 0.3275911e0*((-zz*0.7071067811865476e0))))*(-0.284496736e0 + (1.0e0/(1.0e0 + 0.3275911e0*((-zz*0.7071067811865476e0))))*(1.421413741e0 + (1.0e0/(1.0e0 + 0.3275911e0*((-zz*0.7071067811865476e0))))*(-1.453152027e0 + (1.0e0/(1.0e0 + 0.3275911e0*((-zz*0.7071067811865476e0))))*1.061405429e0))))*exp(-((-zz*0.7071067811865476e0))*((-zz*0.7071067811865476e0)))))
+             END AS p
+      FROM ph
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           floor(max(m) * 1.0e6 + 0.5) / 1.0e6 AS mu_ln,
+           floor(max(sd) * 1.0e6 + 0.5) / 1.0e6 AS sigma_ln,
+           CAST(max(CAST(floor(greatest(
+             abs(CAST(cum AS DOUBLE)/n - p),
+             abs(p - CAST(cum - c AS DOUBLE)/n)) * 1.0e9 + 0.5) AS BIGINT))
+             AS DOUBLE) / 1.0e9 AS ks_d
+    FROM phi
+""",
+)
+def doc_length_lognormal_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov distance between log document length and the
+    moment-fitted normal — the goodness-of-fit number behind the
+    'doc lengths are lognormal' modeling assumption packing/quality
+    heuristics rely on. ln(n_chars) micro-quantizes per row; (mu,
+    sigma) come from exact integer sums; the ECDF at each distinct
+    quantized value comes from ranked_cumsum_two_pass over the value
+    histogram (inclusive and exclusive steps — KS needs both sides of
+    the jump), so no single-partition sort at any corpus size; Phi is
+    the shared A&S erf tree. D quantizes per value before the final
+    max (max is order-insensitive; the floor just fixes the emitted
+    grid)."""
+    from cioos_siooc_data_transform_spark.functions.stats import erf_as_sql
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    lx = docs.select(
+        F.floor(F.log(F.col("n_chars").cast("double")) * 1.0e6 + 0.5)
+        .cast("long")
+        .alias("q")
+    )
+    hist = lx.groupBy("q").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mom = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("q").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("s1"),
+        F.sum(
+            F.col("q").cast("decimal(19,0)")
+            * F.col("q").cast("decimal(19,0)")
+            * F.col("c").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    r = ranked_cumsum_two_pass(
+        hist, "q", "q", weight_col="c",
+        out_rank="__rk_unused", out_cum="cum", ascending=True,
+    ).crossJoin(F.broadcast(mom))
+    nd = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / nd / 1.0e6
+    sd = F.sqrt(
+        (F.col("s2").cast("double") / nd - (F.col("s1").cast("double") / nd) ** 2)
+    ) / 1.0e6
+    z = (F.col("q").cast("double") / 1.0e6 - m) / sd
+    phi = F.expr(
+        f"CASE WHEN __ks_z >= 0.0e0 THEN 0.5e0*(1.0e0 + {erf_as_sql('(__ks_z*0.7071067811865476e0)')})"
+        f" ELSE 0.5e0*(1.0e0 - {erf_as_sql('(-__ks_z*0.7071067811865476e0)')}) END"
+    )
+    stepped = r.withColumn("__ks_z", z).withColumn("__ks_phi", phi)
+    d_hi = F.abs(F.col("cum").cast("double") / nd - F.col("__ks_phi"))
+    d_lo = F.abs(
+        F.col("__ks_phi") - (F.col("cum") - F.col("c")).cast("double") / nd
+    )
+    dq = F.floor(F.greatest(d_hi, d_lo) * 1.0e9 + 0.5).cast("long")
+    return stepped.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        (F.floor(F.max(m) * 1.0e6 + 0.5) / 1.0e6).alias("mu_ln"),
+        (F.floor(F.max(sd) * 1.0e6 + 0.5) / 1.0e6).alias("sigma_ln"),
+        (F.max(dq).cast("double") / 1.0e9).alias("ks_d"),
+    )
+
+
+# ===========================================================================
+# Wave F — session/grouped-quantile/QQ/dedup-histogram/packing audits.
+# ===========================================================================
+@_register(
+    "events_session_length_powerlaw",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch(ts) AS es FROM events
+    ), flagged AS (
+      SELECT user_id, es, event_id,
+             CASE WHEN es - lag(es) OVER w > 1800.0 OR lag(es) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ), numbered AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), slen AS (
+      SELECT user_id, sid, CAST(count(*) AS BIGINT) AS len
+      FROM numbered GROUP BY 1, 2
+    ), hist AS (
+      SELECT len, CAST(count(*) AS BIGINT) AS c FROM slen GROUP BY 1
+    ), pts AS (
+      SELECT CAST(floor(ln(CAST(len AS DOUBLE)) * 1.0e6 + 0.5) AS HUGEINT)
+               AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1.0e6 + 0.5) AS HUGEINT)
+               AS y
+      FROM hist
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_length_levels,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0.0)
+                 * 1.0e6 + 0.5) / 1.0e6 AS loglog_slope
+    FROM s
+    """,
+)
+def events_session_length_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law slope of the session-length distribution: sessionize
+    by 30-min inactivity (the registered sessionize_gap logic), count
+    events per session, histogram the lengths, and fit the log-log OLS
+    slope over (ln length, ln count) — heavy-tailed session lengths
+    (slope shallow) say a mean-based session metric misleads. Per-user
+    windows only; the histogram is bounded by the max session length;
+    log points micro-quantize before the exact OLS sums (the
+    zipf-slope idiom)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("double").alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            (F.col("es") - F.lag("es").over(w) > 1800.0)
+            | F.lag("es").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id", F.sum("is_new").over(cum).alias("sid")
+    )
+    slen = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    hist = slen.groupBy("len").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pts = hist.select(
+        F.floor(F.log(F.col("len").cast("double")) * 1.0e6 + 0.5)
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1.0e6 + 0.5)
+        .cast("decimal(19,0)")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    return s.select(
+        F.col("n").alias("n_length_levels"),
+        (F.floor(slope * 1.0e6 + 0.5) / 1.0e6).alias("loglog_slope"),
+    )
+
+
+@_register(
+    "supplier_balance_quartiles_by_nation",
+    oracle="""
+    WITH s AS (
+      SELECT s_nationkey AS nk,
+             CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents,
+             s_suppkey
+      FROM supplier
+    ),
+    r AS (
+      SELECT nk, cents,
+             row_number() OVER (PARTITION BY nk
+                                ORDER BY cents, s_suppkey) AS rk,
+             count(*) OVER (PARTITION BY nk) AS n
+      FROM s
+    )
+    SELECT CAST(nk AS BIGINT) AS nation_key,
+           CAST(max(n) AS BIGINT) AS n_suppliers,
+           CAST(max(CASE WHEN rk = (n - 1) // 4 + 1 THEN cents END)
+                AS BIGINT) AS q1_cents,
+           CAST(max(CASE WHEN rk = (n - 1) // 2 + 1 THEN cents END)
+                AS BIGINT) AS median_cents,
+           CAST(max(CASE WHEN rk = ((n - 1) * 3) // 4 + 1 THEN cents END)
+                AS BIGINT) AS q3_cents
+    FROM r GROUP BY nk
+    """,
+)
+def supplier_balance_quartiles_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-nation balance quartiles via the GROUPED form of
+    ranked_cumsum_two_pass (group_cols=['nk']) — the shape a plain
+    grouped window cannot survive when one nation holds most suppliers
+    (the hot group splits across ~512 range-bucket windows instead of
+    one task). Discrete lower order statistics, exact cents."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk"),
+        F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+        "s_suppkey",
+    )
+    n = s.groupBy("nk").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = ranked_cumsum_two_pass(
+        s, "cents", "s_suppkey",
+        out_rank="rk", out_cum="__cum_unused",
+        group_cols=["nk"], ascending=True,
+    ).join(F.broadcast(n), "nk")
+    pick = lambda idx: F.max(  # noqa: E731
+        F.when(F.col("rk") == idx, F.col("cents"))
+    ).cast("long")
+    return r.groupBy(F.col("nk").cast("long").alias("nation_key")).agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        pick(F.floor((F.col("n") - 1) / 4) + 1).alias("q1_cents"),
+        pick(F.floor((F.col("n") - 1) / 2) + 1).alias("median_cents"),
+        pick(F.floor((F.col("n") - 1) * 3 / 4) + 1).alias("q3_cents"),
+    )
+
+
+@_register(
+    "orders_interarrival_exponential_qq",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(date_diff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS BIGINT) AS gap_d
+      FROM orders
+    ),
+    hist AS (
+      SELECT gap_d, CAST(count(*) AS BIGINT) AS c
+      FROM g WHERE gap_d IS NOT NULL AND gap_d > 0 GROUP BY 1
+    ),
+    cum AS (
+      SELECT gap_d, c,
+             CAST(sum(c) OVER (ORDER BY gap_d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumn
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(gap_d AS HUGEINT) * c) AS HUGEINT) AS sg
+      FROM hist
+    ),
+    ps AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
+    emp AS (
+      SELECT ps.d,
+             CAST(min(CASE WHEN cum.cumn >= CAST(ceil(ps.d * 0.1e0 * tot.n)
+                                                 AS BIGINT)
+                           THEN cum.gap_d END) AS BIGINT) AS emp_days
+      FROM ps CROSS JOIN tot CROSS JOIN cum
+      GROUP BY ps.d
+    )
+    SELECT CAST(emp.d AS BIGINT) AS decile,
+           emp.emp_days,
+           floor(-ln(1.0e0 - emp.d * 0.1e0)
+                 * (CAST(tot.sg AS DOUBLE) / tot.n) * 1.0e6 + 0.5) / 1.0e6
+             AS exp_days,
+           floor(CAST(emp.emp_days AS DOUBLE)
+                 / (-ln(1.0e0 - emp.d * 0.1e0)
+                    * (CAST(tot.sg AS DOUBLE) / tot.n)) * 1.0e6 + 0.5)
+             / 1.0e6 AS qq_ratio
+    FROM emp CROSS JOIN tot
+    """,
+)
+def orders_interarrival_exponential_qq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """QQ audit of customer inter-order gaps against the fitted
+    exponential: empirical deciles (lowest value whose cumulative
+    count reaches ceil(p·n) — from ranked_cumsum_two_pass over the
+    gap-day histogram, no single-partition sort) vs −ln(1−p)/λ̂ with
+    λ̂ = 1/mean from exact integer sums. A qq_ratio drifting above 1
+    in the upper deciles is the heavy-tail signature that invalidates
+    memoryless churn models."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_d")
+    ).filter(F.col("gap_d").isNotNull() & (F.col("gap_d") > 0))
+    hist = g.groupBy("gap_d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = ranked_cumsum_two_pass(
+        hist, "gap_d", "gap_d", weight_col="c",
+        out_rank="__rk_unused", out_cum="cumn", ascending=True,
+    )
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("gap_d").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sg"),
+    )
+    ps = o.sparkSession.range(1, 10).select(F.col("id").alias("d"))
+    j = cum.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ps))
+    target = F.ceil(F.col("d") * 0.1 * F.col("n")).cast("long")
+    emp = j.groupBy("d").agg(
+        F.min(F.when(F.col("cumn") >= target, F.col("gap_d")))
+        .cast("long")
+        .alias("emp_days"),
+        F.max(F.col("sg").cast("double") / F.col("n")).alias("mean_gap"),
+    )
+    theo = -F.log(1.0 - F.col("d") * 0.1) * F.col("mean_gap")
+    return emp.select(
+        F.col("d").cast("long").alias("decile"),
+        "emp_days",
+        (F.floor(theo * 1.0e6 + 0.5) / 1.0e6).alias("exp_days"),
+        (
+            F.floor(F.col("emp_days").cast("double") / theo * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("qq_ratio"),
+    )
+
+
+@_register(
+    "dedup_pair_jaccard_histogram",
+    oracle="""
+    WITH 
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    )
+,
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT round(n_common / (sa.n + sb.n - n_common), 6) AS jac
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT CAST(floor(jac * 10.0) AS BIGINT) AS jaccard_band,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY 1
+""",
+)
+def dedup_pair_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of exact 3-gram Jaccard over ALL candidate pairs
+    from the capped inverted index (bands of 0.1) — the threshold-
+    tuning curve for the near-dup pipeline: where the mass sits tells
+    you what a 0.5 vs 0.8 cutoff would keep. Same hot-shingle DF cap
+    as the registered dedup_ngram_jaccard (a DF-k shingle costs k²/2
+    join rows and carries no signal), so the pair set is bounded."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    )
+    df_cap = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 10
+    )
+    f = sh.join(df_cap, "s")
+    sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = f.select(F.col("doc_id").alias("doc_a"), "s")
+    b = f.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jac")
+        )
+    )
+    return j.groupBy(
+        F.floor(F.col("jac") * 10.0).cast("long").alias("jaccard_band")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+@_register(
+    "chunk_boundary_word_audit",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, text, CAST(n_chars AS BIGINT) AS len
+      FROM documents WHERE n_chars > 2048
+    ),
+    b AS (
+      SELECT source,
+             substr(text, k * 2048, 1) AS before_c,
+             substr(text, k * 2048 + 1, 1) AS after_c
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(1,
+                      CAST((len - 1) // 2048 AS BIGINT))) AS k)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_boundaries,
+           CAST(sum(CASE WHEN before_c <> ' ' AND after_c <> ' '
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_midword,
+           floor(sum(CASE WHEN before_c <> ' ' AND after_c <> ' '
+                     THEN 1 ELSE 0 END) * 1.0e6 / count(*) + 0.5) / 1.0e6
+             AS midword_fraction
+    FROM b GROUP BY source
+    """,
+)
+def chunk_boundary_word_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How often a fixed 2048-char chunk boundary lands MID-WORD, per
+    source — the tokenizer-hostile-split rate of naive chunking (the
+    argument for whitespace-snapped boundaries in pack_chunks). One
+    generator explode over interior boundaries (len/2048 per doc,
+    row-local substrings), one map-side-combinable agg."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 2048)
+    c = 2048
+    ks = F.sequence(
+        F.lit(1), F.floor((F.col("n_chars") - 1) / c).cast("int")
+    )
+    b = docs.select(
+        "source", "text", F.explode(ks).alias("k")
+    ).select(
+        "source",
+        F.substring(F.col("text"), F.col("k") * c, 1).alias("before_c"),
+        F.substring(F.col("text"), F.col("k") * c + 1, 1).alias("after_c"),
+    )
+    mid = F.when(
+        (F.col("before_c") != " ") & (F.col("after_c") != " "), 1
+    ).otherwise(0)
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+        F.sum(mid).cast("long").alias("n_midword"),
+        (
+            F.floor(F.sum(mid) * 1.0e6 / F.count(F.lit(1)) + 0.5) / 1.0e6
+        ).alias("midword_fraction"),
+    )

@@ -91,10 +91,15 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         #   the one-row audit result; its pair-generating joins are
         #   bucket/shingle equi-joins (exemption carried over from
         #   test_staged_r6's parked-state test).
+        # - dedup_vocab_impact (activated round 9): the same scalar
+        #   assembly again — the before/after vocabulary counts are two
+        #   SINGLE-ROW aggregates cross-joined; the keeper relation is
+        #   an md5 equi-join.
         if name.startswith("dedup_") and name not in (
             "dedup_semantic_clusters",
             "dedup_layer_funnel",
             "dedup_lsh_recall_audit",
+            "dedup_vocab_impact",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, name
 

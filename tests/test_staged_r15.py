@@ -72,6 +72,17 @@ STAGED_NAMES: list[str] = [
     "customer_mad_robust_outliers",
     "part_brand_price_kruskal",
     "graph_jaccard_linkpred",
+    # wave E — spectral/information/distribution diagnostics
+    "events_spectral_entropy",
+    "lineitem_qty_discount_mutual_info",
+    "embedding_dim_kurtosis",
+    "doc_length_lognormal_ks",
+    # wave F — session/grouped-quantile/QQ/dedup-histogram/packing
+    "events_session_length_powerlaw",
+    "supplier_balance_quartiles_by_nation",
+    "orders_interarrival_exponential_qq",
+    "dedup_pair_jaccard_histogram",
+    "chunk_boundary_word_audit",
 ]
 
 
