@@ -2701,3 +2701,532 @@ def chunk_boundary_word_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum(mid) * 1.0e6 / F.count(F.lit(1)) + 0.5) / 1.0e6
         ).alias("midword_fraction"),
     )
+
+
+# ===========================================================================
+# Wave G — product/growth metrics and corpus-novelty audits.
+# ===========================================================================
+@_register(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT date_trunc('week', ts) AS wk, date_trunc('day', ts) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    wau AS (
+      SELECT date_trunc('week', ts) AS wk,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(dau.wk, '%Y-%m-%d') AS week_start,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(wau.wau) AS BIGINT) AS wau,
+           floor(avg(CAST(dau.dau AS DOUBLE)) * 1.0e2 + 0.5) / 1.0e2
+             AS avg_dau,
+           floor(avg(CAST(dau.dau AS DOUBLE)) / max(wau.wau) * 1.0e6 + 0.5)
+             / 1.0e6 AS stickiness
+    FROM dau JOIN wau ON wau.wk = dau.wk
+    GROUP BY dau.wk
+    """,
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per week — THE product-engagement ratio
+    (how much of the weekly audience shows up on an average day).
+    Two distinct-count rollups on bounded calendar axes; the weekly
+    join is a bounded equi-join. Week starts emitted as ISO strings
+    (the date-output parity rule)."""
+    ev = _t(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("week", "ts").alias("wk"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    wau = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    j = dau.join(wau, "wk")
+    return j.groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week_start")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("wau").cast("long").alias("wau"),
+        (F.floor(F.avg(F.col("dau").cast("double")) * 1.0e2 + 0.5) / 1.0e2).alias(
+            "avg_dau"
+        ),
+        (
+            F.floor(
+                F.avg(F.col("dau").cast("double")) / F.max("wau") * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("stickiness"),
+    )
+
+
+@_register(
+    "customer_repeat_interval_trend",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS BIGINT) AS gap_d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) - 1 AS k
+      FROM orders
+    ),
+    g AS (SELECT o_custkey, k, gap_d FROM seq WHERE gap_d IS NOT NULL),
+    per_c AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS HUGEINT) AS sx,
+             CAST(sum(gap_d) AS HUGEINT) AS sy,
+             CAST(sum(CAST(k AS HUGEINT)*k) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(k AS HUGEINT)*gap_d) AS HUGEINT) AS sxy
+      FROM g GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * 1.0e6 + 0.5) AS BIGINT) AS slope_micro
+      FROM per_c
+      WHERE n >= 3 AND CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           floor(CAST(sum(slope_micro) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_gap_slope_days_per_order,
+           CAST(sum(CASE WHEN slope_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accelerating
+    FROM slopes
+    """,
+)
+def customer_repeat_interval_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is purchase cadence accelerating? Per-customer OLS slope of the
+    inter-order gap on the order index (exact integer sums over each
+    customer's bounded history), then the fleet summary: mean slope
+    and how many customers are speeding up (negative slope). Slopes
+    micro-quantize per customer before the global mean
+    (order-independence invariant)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_d"),
+        (F.row_number().over(w) - 1).cast("long").alias("k"),
+    ).filter(F.col("gap_d").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    per_c = seq.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("k")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("gap_d")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("k") * dec("k")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dec("k") * dec("gap_d")).cast("decimal(38,0)").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    det = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / det
+    slopes = per_c.filter((F.col("n") >= 3) & (det > 0)).select(
+        F.floor(slope * 1.0e6 + 0.5).cast("long").alias("slope_micro")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (
+            F.floor(
+                F.sum("slope_micro").cast("double") / F.count(F.lit(1)) + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_gap_slope_days_per_order"),
+        F.sum(F.when(F.col("slope_micro") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_accelerating"),
+    )
+
+
+@_register(
+    "doc_ngram_novelty_curve",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 10 AS BIGINT) AS bucket
+      FROM documents
+    ),
+    w AS (SELECT bucket, string_split(text, ' ') AS words FROM d),
+    gr AS (
+      SELECT bucket,
+             unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+      FROM w
+    ),
+    per AS (
+      SELECT bucket, s, CAST(count(*) AS BIGINT) AS occ FROM gr GROUP BY 1, 2
+    ),
+    first_seen AS (SELECT s, CAST(min(bucket) AS BIGINT) AS fb FROM per GROUP BY 1),
+    j AS (
+      SELECT per.bucket, per.occ,
+             CASE WHEN first_seen.fb = per.bucket THEN per.occ ELSE 0 END
+               AS novel_occ
+      FROM per JOIN first_seen USING (s)
+    )
+    SELECT bucket,
+           CAST(sum(occ) AS BIGINT) AS n_grams,
+           CAST(sum(novel_occ) AS BIGINT) AS n_novel,
+           floor(CAST(sum(novel_occ) AS DOUBLE) / sum(occ) * 1.0e6 + 0.5)
+             / 1.0e6 AS novelty
+    FROM j GROUP BY bucket
+    """,
+)
+def doc_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram novelty by corpus decile (docs bucketed by id mod 10, a
+    stand-in for ingestion order): the fraction of each bucket's gram
+    occurrences whose gram FIRST appears in that bucket — a novelty
+    curve collapsing toward zero says later data re-treads earlier
+    data (diminishing returns for training). first-seen is one
+    min-aggregate per distinct gram; no windows."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gr = docs.select(
+        (F.col("doc_id") % 10).cast("long").alias("bucket"),
+        F.explode(word_shingles(words_expr(F.col("text")), 3)).alias("s"),
+    )
+    per = gr.groupBy("bucket", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("occ")
+    )
+    first_seen = per.groupBy("s").agg(F.min("bucket").cast("long").alias("fb"))
+    j = per.join(first_seen, "s").select(
+        "bucket",
+        "occ",
+        F.when(F.col("fb") == F.col("bucket"), F.col("occ"))
+        .otherwise(0)
+        .alias("novel_occ"),
+    )
+    return j.groupBy("bucket").agg(
+        F.sum("occ").cast("long").alias("n_grams"),
+        F.sum("novel_occ").cast("long").alias("n_novel"),
+        (
+            F.floor(
+                F.sum("novel_occ").cast("double") / F.sum("occ") * 1.0e6 + 0.5
+            )
+            / 1.0e6
+        ).alias("novelty"),
+    )
+
+
+@_register(
+    "orders_customer_concentration_crk",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS t,
+                   CAST(count(*) AS BIGINT) AS n FROM rev),
+    top AS (
+      SELECT cents, row_number() OVER (ORDER BY cents DESC, o_custkey) AS r
+      FROM rev ORDER BY cents DESC, o_custkey LIMIT 100
+    ),
+    ks AS (SELECT unnest([4, 10, 100]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS top_k,
+           CAST(max(tot.n) AS BIGINT) AS n_customers,
+           floor(CAST(sum(CASE WHEN top.r <= ks.k THEN top.cents ELSE 0 END)
+                      AS DOUBLE) / CAST(max(tot.t) AS DOUBLE) * 1.0e6 + 0.5)
+             / 1.0e6 AS revenue_share
+    FROM top CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.k
+    """,
+)
+def orders_customer_concentration_crk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CR-k concentration ratios (top-4/10/100 customers' revenue
+    share) — the antitrust-style complement to Gini/Lorenz that
+    answers 'how exposed are we to our biggest accounts'. TakeOrdered
+    top-100 + a 1-row broadcast total; no global sort of the customer
+    rollup."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    tot = rev.agg(
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    top = rev.orderBy(F.col("cents").desc(), F.col("o_custkey")).limit(100)
+    wr = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    ranked = top.withColumn("r", F.row_number().over(wr).cast("long"))
+    ks = o.sparkSession.createDataFrame([(4,), (10,), (100,)], "k LONG")
+    share = F.sum(
+        F.when(F.col("r") <= F.col("k"), F.col("cents")).otherwise(0)
+    ).cast("double") / F.max(F.col("t").cast("double"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").alias("top_k"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            (F.floor(share * 1.0e6 + 0.5) / 1.0e6).alias("revenue_share"),
+        )
+    )
+
+
+# ===========================================================================
+# Wave H — growth decomposition, dedup source confusion, acquisition
+# split, frequency-spectrum classes.
+# ===========================================================================
+@_register(
+    "orders_gmv_mix_shift_decomposition",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.yr AS yr_from, b.yr AS yr_to,
+             a.n AS n0, b.n AS n1, a.cents AS c0, b.cents AS c1
+      FROM y a JOIN y b ON b.yr = a.yr + 1
+    )
+    SELECT yr_from, yr_to,
+           CAST(c1 - c0 AS BIGINT) AS gmv_delta_cents,
+           -- volume effect: (n1-n0)*avg0; price effect: n1*(avg1-avg0)
+           CAST(floor((CAST(n1 AS DOUBLE) - n0)
+                      * (CAST(c0 AS DOUBLE)/n0) + 0.5) AS BIGINT)
+             AS volume_effect_cents,
+           CAST(floor(CAST(n1 AS DOUBLE)
+                      * (CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0)
+                      + 0.5) AS BIGINT) AS aov_effect_cents
+    FROM pairs
+    """,
+)
+def orders_gmv_mix_shift_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Year-over-year GMV growth accounting: ΔGMV split into the
+    volume effect (order-count change at last year's average order
+    value) and the AOV effect (this year's volume times the AOV
+    change) — the first decomposition any revenue review asks for.
+    One bounded year rollup + a self-join on consecutive years."""
+    o = _t(spark, sf_dir, "orders")
+    y = o.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    a = y.select(
+        F.col("yr").alias("yr_from"),
+        F.col("n").alias("n0"),
+        F.col("cents").alias("c0"),
+    )
+    b = y.select(
+        F.col("yr").alias("yr_to"),
+        F.col("n").alias("n1"),
+        F.col("cents").alias("c1"),
+    )
+    p = a.join(b, F.col("yr_to") == F.col("yr_from") + 1)
+    avg0 = F.col("c0").cast("double") / F.col("n0")
+    avg1 = F.col("c1").cast("double") / F.col("n1")
+    return p.select(
+        "yr_from",
+        "yr_to",
+        (F.col("c1") - F.col("c0")).cast("long").alias("gmv_delta_cents"),
+        F.floor((F.col("n1").cast("double") - F.col("n0")) * avg0 + 0.5)
+        .cast("long")
+        .alias("volume_effect_cents"),
+        F.floor(F.col("n1").cast("double") * (avg1 - avg0) + 0.5)
+        .cast("long")
+        .alias("aov_effect_cents"),
+    )
+
+
+@_register(
+    "doc_exact_dup_source_confusion",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS dig, source FROM documents
+    ),
+    cell AS (
+      SELECT dig, source, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared_digests
+      FROM cell a JOIN cell b
+        ON a.dig = b.dig AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared_digests
+    FROM pairs
+    """,
+)
+def doc_exact_dup_source_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate confusion matrix: how many content
+    digests appear in BOTH sources of each pair — the mirrored-corpus
+    detector (a high off-diagonal cell says two 'sources' are the same
+    crawl twice, and per-source dedup alone would keep both copies).
+    The self-join runs on the (digest, source) rollup — bounded by
+    sources-per-digest, never all duplicate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    cell = docs.select(F.md5("text").alias("dig"), "source").groupBy(
+        "dig", "source"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    a = cell.select(F.col("dig"), F.col("source").alias("source_a"))
+    b = cell.select(F.col("dig").alias("dig_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(
+            b,
+            (F.col("dig") == F.col("dig_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_digests"))
+    )
+
+
+@_register(
+    "orders_acquisition_retention_gmv_split",
+    oracle="""
+    WITH first_o AS (
+      SELECT o_custkey, CAST(year(min(o_orderdate)) AS BIGINT) AS first_yr
+      FROM orders GROUP BY 1
+    ),
+    lab AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CASE WHEN CAST(year(o.o_orderdate) AS BIGINT) = f.first_yr
+                  THEN 'new' ELSE 'returning' END AS cohort,
+             CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+    )
+    SELECT yr, cohort,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS gmv_cents
+    FROM lab GROUP BY 1, 2
+    """,
+)
+def orders_acquisition_retention_gmv_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GMV split into acquisition (orders in the customer's first
+    calendar year) vs retention (every later year), per year — the
+    growth-quality decomposition ('are we growing by acquiring or by
+    retaining'). One per-customer min-aggregate broadcast back onto
+    the fact; exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    first_o = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("long").alias("first_yr")
+    )
+    lab = o.join(first_o, "o_custkey").select(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.when(
+            F.year("o_orderdate").cast("long") == F.col("first_yr"), "new"
+        )
+        .otherwise("returning")
+        .alias("cohort"),
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    return lab.groupBy("yr", "cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("gmv_cents"),
+    )
+
+
+@_register(
+    "text_freq_spectrum_classes",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS m
+      FROM tok WHERE w <> '' GROUP BY 1
+    ),
+    cls AS (
+      SELECT CASE WHEN m = 1 THEN 'hapax'
+                  WHEN m = 2 THEN 'dis'
+                  WHEN m <= 10 THEN 'rare_3_10'
+                  ELSE 'common_11_plus' END AS freq_class,
+             m
+      FROM freq
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(m) AS BIGINT) AS n
+      FROM freq
+    )
+    SELECT cls.freq_class,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(cls.m) AS BIGINT) AS n_tokens,
+           floor(CAST(count(*) AS DOUBLE) / max(tot.v) * 1.0e6 + 0.5) / 1.0e6
+             AS type_share,
+           floor(CAST(sum(cls.m) AS DOUBLE) / max(tot.n) * 1.0e6 + 0.5) / 1.0e6
+             AS token_share
+    FROM cls CROSS JOIN tot
+    GROUP BY cls.freq_class
+    """,
+)
+def text_freq_spectrum_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary frequency-spectrum classes: hapax (freq 1), dis
+    (freq 2), rare (3-10), common (11+) — type and token shares. A
+    hapax TYPE share far above ~50 % is the OCR-shred / id-spam
+    signature (novel garbage tokens); the token shares say how much
+    mass a min-frequency vocab cutoff would drop. One vocabulary agg,
+    exact integers."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words_expr(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    cls = freq.select(
+        F.when(F.col("m") == 1, "hapax")
+        .when(F.col("m") == 2, "dis")
+        .when(F.col("m") <= 10, "rare_3_10")
+        .otherwise("common_11_plus")
+        .alias("freq_class"),
+        "m",
+    )
+    tot = freq.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("m").cast("long").alias("n"),
+    )
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy("freq_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("m").cast("long").alias("n_tokens"),
+            (
+                F.floor(
+                    F.count(F.lit(1)).cast("double") / F.max("v") * 1.0e6 + 0.5
+                )
+                / 1.0e6
+            ).alias("type_share"),
+            (
+                F.floor(
+                    F.sum("m").cast("double") / F.max("n") * 1.0e6 + 0.5
+                )
+                / 1.0e6
+            ).alias("token_share"),
+        )
+    )

@@ -83,6 +83,17 @@ STAGED_NAMES: list[str] = [
     "orders_interarrival_exponential_qq",
     "dedup_pair_jaccard_histogram",
     "chunk_boundary_word_audit",
+    # wave G — product/growth metrics and corpus-novelty audits
+    "events_dau_wau_stickiness",
+    "customer_repeat_interval_trend",
+    "doc_ngram_novelty_curve",
+    "orders_customer_concentration_crk",
+    # wave H — growth decomposition, dedup source confusion,
+    # acquisition split, frequency spectrum
+    "orders_gmv_mix_shift_decomposition",
+    "doc_exact_dup_source_confusion",
+    "orders_acquisition_retention_gmv_split",
+    "text_freq_spectrum_classes",
 ]
 
 
