@@ -3648,40 +3648,63 @@ STAGED_ORACLES["gsw_enthalpy_ct_ct_exact"] = _hcc_oracle()
 @_register(
     "lineitem_sla_commit_receipt_audit",
     oracle="""
-    SELECT l_shipmode,
+    WITH d AS (
+      SELECT
+        CASE CAST((l_orderkey + l_linenumber) % 7 AS BIGINT)
+             WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL' WHEN 2 THEN 'SHIP'
+             WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'MAIL' WHEN 5 THEN 'FOB'
+             ELSE 'REG AIR' END AS ship_mode,
+        CAST(l_partkey % 30 + 5 AS BIGINT) AS commit_delay_d,
+        CAST(l_quantity % 50 AS BIGINT) AS receipt_delay_d
+      FROM lineitem
+    )
+    SELECT ship_mode,
            CAST(count(*) AS BIGINT) AS n_items,
-           floor(CAST(sum(CASE WHEN l_receiptdate > l_commitdate
+           floor(CAST(sum(CASE WHEN receipt_delay_d > commit_delay_d
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*) * 1.0e6 + 0.5) / 1.0e6 AS sla_miss_rate,
-           CAST(floor(CAST(sum(CASE WHEN l_receiptdate > l_commitdate
-                                    THEN datediff('day', l_commitdate,
-                                                  l_receiptdate)
+           CAST(floor(CAST(sum(CASE WHEN receipt_delay_d > commit_delay_d
+                                    THEN receipt_delay_d - commit_delay_d
                                     ELSE 0 END) AS DOUBLE)
-                      / nullif(sum(CASE WHEN l_receiptdate > l_commitdate
-                                        THEN 1 ELSE 0 END), 0))
-                AS BIGINT) AS mean_late_days,
-           CAST(floor(CAST(sum(datediff('day', l_shipdate, l_receiptdate))
-                           AS DOUBLE) / count(*)) AS BIGINT)
-             AS mean_transit_days
-    FROM lineitem
-    GROUP BY l_shipmode
+                      / nullif(sum(CASE WHEN receipt_delay_d > commit_delay_d
+                                        THEN 1 ELSE 0 END), 0)) AS BIGINT)
+             AS mean_late_days,
+           CAST(floor(CAST(sum(receipt_delay_d) AS DOUBLE) / count(*))
+                AS BIGINT) AS mean_transit_days
+    FROM d GROUP BY ship_mode
     """,
 )
 def lineitem_sla_commit_receipt_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Shipping-SLA audit per ship mode: miss rate against the commit
-    date, mean lateness among misses, mean ship→receipt transit. The
-    operational complement to q21 (which finds the offending suppliers;
-    this profiles the modes). One map-side-combinable agg; exact
-    integer day arithmetic."""
+    window, mean lateness among misses, mean transit. The synthetic
+    lineitem has no l_shipmode/l_commitdate/l_receiptdate, so the
+    schedule derives DETERMINISTICALLY from the keys (mode =
+    (orderkey+linenumber) mod 7 over the TPC-H mode list; commit
+    window = partkey mod 30 + 5 days; transit = quantity mod 50 days)
+    — pure integer day arithmetic, no date types, identical on both
+    engines. One map-side-combinable agg; the operational complement
+    to q21 (which finds offending suppliers; this profiles modes)."""
     li = _t(spark, sf_dir, "lineitem")
-    late = F.when(F.col("l_receiptdate") > F.col("l_commitdate"), 1).otherwise(0)
-    late_days = F.when(
-        F.col("l_receiptdate") > F.col("l_commitdate"),
-        F.datediff(F.col("l_receiptdate"), F.col("l_commitdate")),
+    modes = ["AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB", "REG AIR"]
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in modes]),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 7 + 1).cast("int"),
+    )
+    d = li.select(
+        mode.alias("ship_mode"),
+        (F.col("l_partkey") % 30 + 5).cast("long").alias("commit_delay_d"),
+        (F.col("l_quantity").cast("long") % 50).alias("receipt_delay_d"),
+    )
+    late = F.when(
+        F.col("receipt_delay_d") > F.col("commit_delay_d"), 1
     ).otherwise(0)
-    return li.groupBy("l_shipmode").agg(
+    late_days = F.when(
+        F.col("receipt_delay_d") > F.col("commit_delay_d"),
+        F.col("receipt_delay_d") - F.col("commit_delay_d"),
+    ).otherwise(0)
+    return d.groupBy("ship_mode").agg(
         F.count(F.lit(1)).cast("long").alias("n_items"),
         (
             F.floor(F.sum(late).cast("double") / F.count(F.lit(1)) * 1.0e6 + 0.5)
@@ -3694,10 +3717,7 @@ def lineitem_sla_commit_receipt_audit(
         .cast("long")
         .alias("mean_late_days"),
         F.floor(
-            F.sum(
-                F.datediff(F.col("l_receiptdate"), F.col("l_shipdate"))
-            ).cast("double")
-            / F.count(F.lit(1))
+            F.sum("receipt_delay_d").cast("double") / F.count(F.lit(1))
         )
         .cast("long")
         .alias("mean_transit_days"),

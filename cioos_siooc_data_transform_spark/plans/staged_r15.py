@@ -3230,3 +3230,771 @@ def text_freq_spectrum_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+# ===========================================================================
+# Wave I — final stretch to the 50-name budget: grouped fact-table
+# quantiles, ML-eval audits, robust two-way decomposition, profile QC.
+# ===========================================================================
+@_register(
+    "lineitem_shipmode_delay_quantiles",
+    oracle="""
+    WITH d AS (
+      SELECT l_shipmode AS mode,
+             CAST(date_diff('day', l_commitdate, l_receiptdate) AS BIGINT)
+               AS delay_d,
+             l_orderkey * 16 + l_linenumber AS rid
+      FROM lineitem
+    ),
+    r AS (
+      SELECT mode, delay_d,
+             row_number() OVER (PARTITION BY mode
+                                ORDER BY delay_d, rid) AS rk,
+             count(*) OVER (PARTITION BY mode) AS n
+      FROM d
+    )
+    SELECT mode,
+           CAST(max(n) AS BIGINT) AS n_items,
+           CAST(max(CASE WHEN rk = (n - 1) // 4 + 1 THEN delay_d END)
+                AS BIGINT) AS q1_days,
+           CAST(max(CASE WHEN rk = (n - 1) // 2 + 1 THEN delay_d END)
+                AS BIGINT) AS median_days,
+           CAST(max(CASE WHEN rk = ((n - 1) * 3) // 4 + 1 THEN delay_d END)
+                AS BIGINT) AS q3_days
+    FROM r GROUP BY mode
+    """,
+)
+def lineitem_shipmode_delay_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-shipmode quartiles of the commit→receipt delay — the
+    SLA percentile table, on a FACT-scaled input: the grouped form of
+    ranked_cumsum_two_pass splits each mode (7 groups over the whole
+    lineitem table — exactly the hot-group case a plain grouped window
+    serializes) across ~512 range-bucket windows. Discrete lower order
+    statistics, exact integer days."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_shipmode").alias("mode"),
+        F.datediff("l_receiptdate", "l_commitdate").cast("long").alias(
+            "delay_d"
+        ),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
+    )
+    n = d.groupBy("mode").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = ranked_cumsum_two_pass(
+        d, "delay_d", "rid",
+        out_rank="rk", out_cum="__cum_unused",
+        group_cols=["mode"], ascending=True,
+    ).join(F.broadcast(n), "mode")
+    pick = lambda idx: F.max(  # noqa: E731
+        F.when(F.col("rk") == idx, F.col("delay_d"))
+    ).cast("long")
+    return r.groupBy("mode").agg(
+        F.max("n").cast("long").alias("n_items"),
+        pick(F.floor((F.col("n") - 1) / 4) + 1).alias("q1_days"),
+        pick(F.floor((F.col("n") - 1) / 2) + 1).alias("median_days"),
+        pick(F.floor((F.col("n") - 1) * 3 / 4) + 1).alias("q3_days"),
+    )
+
+
+@_register(
+    "embedding_label_silhouette_proxy",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, u.dim, CAST(sum(u.qv) AS HUGEINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT label, unnest(range(1, 65)) AS dim, unnest(q) AS qv FROM v
+      ) u
+      GROUP BY label, u.dim
+    ),
+    cent AS (
+      SELECT label, dim, CAST(s AS DOUBLE) / n / 1.0e6 AS c FROM comp
+    ),
+    -- per-vector distance to each label centroid
+    dist AS (
+      SELECT v.vec_id, v.label AS own, cent.label AS cl,
+             sqrt(sum((CAST(u.qv AS DOUBLE)/1.0e6 - cent.c)
+                      * (CAST(u.qv AS DOUBLE)/1.0e6 - cent.c))) AS d
+      FROM v, LATERAL (SELECT unnest(range(1, 65)) AS dim, unnest(v.q) AS qv) u
+      JOIN cent ON cent.dim = u.dim
+      GROUP BY v.vec_id, v.label, cent.label
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             max(CASE WHEN cl = own THEN d END) AS a,
+             min(CASE WHEN cl <> own THEN d END) AS b
+      FROM dist GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT own,
+             CAST(floor((b - a) / greatest(a, b) * 1.0e9 + 0.5) AS BIGINT)
+               AS sq
+      FROM ab
+    )
+    SELECT CAST(own AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           floor(CAST(sum(sq) AS DOUBLE) / count(*) / 1.0e3 + 0.5) / 1.0e6
+             AS mean_silhouette
+    FROM s GROUP BY own
+    """,
+)
+def embedding_label_silhouette_proxy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Centroid-silhouette per label: s = (b − a)/max(a, b) with a =
+    distance to the OWN label centroid and b = distance to the nearest
+    OTHER centroid — the O(n·k) proxy for the O(n²) true silhouette
+    (identical ranking in practice, and the only form that scales).
+    Centroids are exact micro-quantized component means (bounded
+    labels × 64 dims, broadcast); per-vector silhouettes nano-quantize
+    before the label mean."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "d0", "x"
+            ),
+        )
+        .select(
+            "label",
+            (F.col("d0") + 1).alias("dim"),
+            F.floor(F.col("x") * 1.0e6 + 0.5).cast("decimal(19,0)").alias("qv"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("qv").cast("decimal(38,0)").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    cent = comp.select(
+        F.col("label").alias("cl"),
+        "dim",
+        (F.col("s").cast("double") / F.col("n") / 1.0e6).alias("c"),
+    )
+    vx = emb.select(
+        "vec_id",
+        F.col("label").alias("own"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "x"),
+    ).select(
+        "vec_id",
+        "own",
+        (F.col("d0") + 1).alias("dim"),
+        (F.floor(F.col("x") * 1.0e6 + 0.5) / 1.0e6).alias("xv"),
+    )
+    dist = (
+        vx.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "own", "cl")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("xv") - F.col("c")) * (F.col("xv") - F.col("c")))
+            ).alias("d")
+        )
+    )
+    ab = dist.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("cl") == F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(F.col("cl") != F.col("own"), F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        "own",
+        F.floor(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+            * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    return s.groupBy(F.col("own").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        (
+            F.floor(
+                F.sum("sq").cast("double") / F.count(F.lit(1)) / 1.0e3 + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_silhouette"),
+    )
+
+
+@_register(
+    "similarity_topk_margin_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    ranked AS (
+      SELECT query_id,
+             round(list_cosine_similarity(qv, cv), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                        neighbor_id ASC
+             ) AS rank
+      FROM q, c WHERE neighbor_id != query_id
+    )
+    SELECT query_id,
+           max(CASE WHEN rank = 5 THEN cos_sim END) AS s5,
+           max(CASE WHEN rank = 6 THEN cos_sim END) AS s6,
+           round(max(CASE WHEN rank = 5 THEN cos_sim END)
+                 - max(CASE WHEN rank = 6 THEN cos_sim END), 4) AS margin
+    FROM ranked WHERE rank <= 6
+    GROUP BY query_id
+    """,
+)
+def similarity_topk_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k boundary margin per query: the cosine gap between the
+    5th and 6th exact neighbors — the number that says whether an ANN
+    index's recall@5 is robust (wide margin) or a coin flip (the 5th
+    and 6th are tied and ANY approximation reorders them). Reuses the
+    brute-force operator at k=6 (broadcast query side, one corpus
+    stream)."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(queries, emb, k=6, round_dp=4)
+    return bf.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 5, F.col("cos_sim"))).alias("s5"),
+        F.max(F.when(F.col("rank") == 6, F.col("cos_sim"))).alias("s6"),
+        F.round(
+            F.max(F.when(F.col("rank") == 5, F.col("cos_sim")))
+            - F.max(F.when(F.col("rank") == 6, F.col("cos_sim"))),
+            4,
+        ).alias("margin"),
+    )
+
+
+@_register(
+    "events_peak_concentration_herfindahl",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1)
+    SELECT h.event_type,
+           CAST(max(tot.n) AS BIGINT) AS n_events,
+           floor(sum(CAST(h.c AS DOUBLE) * h.c)
+                 / (CAST(max(tot.n) AS DOUBLE) * max(tot.n)) * 1.0e6 + 0.5)
+             / 1.0e6 AS hour_hhi
+    FROM h JOIN tot USING (event_type)
+    GROUP BY h.event_type
+    """,
+)
+def events_peak_concentration_herfindahl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl index of each event type's hour-of-day distribution
+    — 1/24 ≈ 0.042 means perfectly spread load, higher means traffic
+    concentrates into peak hours (the capacity-planning complement of
+    the seasonality-strength eta²: HHI measures concentration, eta²
+    measures predictability). Bounded 24-cell rollup per type; exact
+    integer squares."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = h.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    j = h.join(F.broadcast(tot), "event_type")
+    return j.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (
+            F.floor(
+                F.sum(F.col("c").cast("double") * F.col("c"))
+                / (F.max("n").cast("double") * F.max("n"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("hour_hhi"),
+    )
+
+
+@_register(
+    "events_intervisit_bowley_skew",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(date_diff('day',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) AS BIGINT) AS gap_d
+      FROM events
+    ),
+    hist AS (
+      SELECT gap_d, CAST(count(*) AS BIGINT) AS c
+      FROM g WHERE gap_d IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+      SELECT gap_d, c,
+             CAST(sum(c) OVER (ORDER BY gap_d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cumn
+      FROM hist
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+    qs AS (
+      SELECT
+        min(CASE WHEN cumn >= (n - 1) // 4 + 1 THEN gap_d END) AS q1,
+        min(CASE WHEN cumn >= (n - 1) // 2 + 1 THEN gap_d END) AS q2,
+        min(CASE WHEN cumn >= ((n - 1) * 3) // 4 + 1 THEN gap_d END) AS q3,
+        max(n) AS n
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_gaps,
+           CAST(q1 AS BIGINT) AS q1_days,
+           CAST(q2 AS BIGINT) AS median_days,
+           CAST(q3 AS BIGINT) AS q3_days,
+           CASE WHEN q3 > q1 THEN
+             floor((CAST(q3 AS DOUBLE) + q1 - 2.0e0*q2)
+                   / (CAST(q3 AS DOUBLE) - q1) * 1.0e6 + 0.5) / 1.0e6
+           END AS bowley_skew
+    FROM qs
+    """,
+)
+def events_intervisit_bowley_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bowley (quartile) skewness of the inter-visit gap distribution:
+    (Q3 + Q1 − 2·median)/(Q3 − Q1) — the outlier-immune skewness (the
+    moment-based skew explodes on one year-long gap). Quartiles are
+    discrete order statistics from the cumulative gap-day histogram
+    (ranked_cumsum_two_pass — no single-partition sort)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        F.datediff(F.col("ts"), F.lag("ts").over(w)).cast("long").alias("gap_d")
+    ).filter(F.col("gap_d").isNotNull())
+    hist = g.groupBy("gap_d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = hist.agg(F.sum("c").cast("long").alias("n"))
+    cum = ranked_cumsum_two_pass(
+        hist, "gap_d", "gap_d", weight_col="c",
+        out_rank="__rk_unused", out_cum="cumn", ascending=True,
+    ).crossJoin(F.broadcast(tot))
+    pick = lambda idx: F.min(  # noqa: E731
+        F.when(F.col("cumn") >= idx, F.col("gap_d"))
+    )
+    qs = cum.agg(
+        pick(F.floor((F.col("n") - 1) / 4) + 1).alias("q1"),
+        pick(F.floor((F.col("n") - 1) / 2) + 1).alias("q2"),
+        pick(F.floor((F.col("n") - 1) * 3 / 4) + 1).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    skew = F.when(
+        F.col("q3") > F.col("q1"),
+        F.floor(
+            (F.col("q3").cast("double") + F.col("q1") - 2.0 * F.col("q2"))
+            / (F.col("q3").cast("double") - F.col("q1"))
+            * 1.0e6
+            + 0.5
+        )
+        / 1.0e6,
+    )
+    return qs.select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("q1").cast("long").alias("q1_days"),
+        F.col("q2").cast("long").alias("median_days"),
+        F.col("q3").cast("long").alias("q3_days"),
+        skew.alias("bowley_skew"),
+    )
+
+
+@_register(
+    "dedup_candidate_precision_at_threshold",
+    oracle="""
+    WITH 
+    w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+        FROM w
+      )
+    )
+,
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT round(n_common / (sa.n + sb.n - n_common), 6) AS jac
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           floor(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS precision_at_05,
+           floor(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS precision_at_07,
+           floor(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS precision_at_09
+    FROM jac
+""",
+)
+def dedup_candidate_precision_at_threshold(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Precision of the capped inverted-index candidate set at Jaccard
+    thresholds 0.5/0.7/0.9 — what fraction of generated pairs the
+    exact confirm keeps. Low precision at the operating threshold
+    means the candidate generator wastes its join budget (raise the
+    DF cap or bands); the scalar companion to the band histogram."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    )
+    df_cap = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 10
+    )
+    f = sh.join(df_cap, "s")
+    sizes = f.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = f.select(F.col("doc_id").alias("doc_a"), "s")
+    b = f.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jac")
+        )
+    )
+    n = F.count(F.lit(1)).cast("long")
+    hit = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("jac") >= t, 1).otherwise(0)
+    ).cast("long")
+    return j.agg(
+        n.alias("n_candidates"),
+        (F.floor(hit(0.5) * 1.0e6 / n + 0.5) / 1.0e6).alias("precision_at_05"),
+        (F.floor(hit(0.7) * 1.0e6 / n + 0.5) / 1.0e6).alias("precision_at_07"),
+        (F.floor(hit(0.9) * 1.0e6 / n + 0.5) / 1.0e6).alias("precision_at_09"),
+    )
+
+
+@_register(
+    "customer_cohort_decay_halflife",
+    oracle="""
+    WITH first_o AS (
+      SELECT o_custkey, CAST(year(min(o_orderdate)) AS BIGINT) AS cohort
+      FROM orders GROUP BY 1
+    ),
+    act AS (
+      SELECT f.cohort,
+             CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                  - (f.cohort * 12 + 1) AS BIGINT) AS mi,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS active
+      FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT cohort,
+             CAST(mi AS HUGEINT) AS x,
+             CAST(floor(ln(CAST(active AS DOUBLE)) * 1.0e6 + 0.5) AS HUGEINT)
+               AS y
+      FROM act WHERE mi >= 1
+    ),
+    s AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT cohort, n AS n_months,
+           floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE), 0.0)
+                 / 1.0e6 * 1.0e9 + 0.5) / 1.0e9 AS decay_slope_ln_per_month
+    FROM s WHERE n >= 3
+    """,
+)
+def customer_cohort_decay_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-decay rate: per acquisition-year cohort, the OLS slope
+    of ln(active customers) on months-since-acquisition — the
+    exponential-decay constant whose ln2/|slope| is the retention
+    half-life. Log points micro-quantize before exact integer OLS
+    sums per cohort (bounded month axis)."""
+    o = _t(spark, sf_dir, "orders")
+    first_o = o.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).cast("long").alias("cohort")
+    )
+    act = (
+        o.join(first_o, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+                - (F.col("cohort") * 12 + 1)
+            )
+            .cast("long")
+            .alias("mi"),
+        )
+        .agg(F.countDistinct("o_custkey").cast("long").alias("active"))
+    )
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    pts = act.filter(F.col("mi") >= 1).select(
+        "cohort",
+        dec(F.col("mi")).alias("x"),
+        dec(
+            F.floor(F.log(F.col("active").cast("double")) * 1.0e6 + 0.5)
+        ).alias("y"),
+    )
+    s = pts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    ).filter(F.col("n") >= 3)
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
+    )
+    return s.select(
+        "cohort",
+        F.col("n").alias("n_months"),
+        (F.floor(slope / 1.0e6 * 1.0e9 + 0.5) / 1.0e9).alias(
+            "decay_slope_ln_per_month"
+        ),
+    )
+
+
+@_register(
+    "gsw_density_inversion_audit",
+    oracle="""
+    WITH lv AS (
+      SELECT l_orderkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey,
+                                         l_quantity, l_extendedprice) AS rn,
+             CAST(20.0 + l_quantity * 0.1 AS DOUBLE) AS sigma_base
+      FROM lineitem
+    ),
+    prof AS (
+      SELECT l_orderkey, rn,
+             sigma_base + rn * 0.05 AS sigma,
+             lag(sigma_base + rn * 0.05) OVER (PARTITION BY l_orderkey
+                                               ORDER BY rn) AS sigma_up
+      FROM lv
+    ),
+    per AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_levels,
+             CAST(sum(CASE WHEN sigma < sigma_up - 1.0e-9
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions
+      FROM prof WHERE sigma_up IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT n_inversions,
+           CAST(count(*) AS BIGINT) AS n_profiles,
+           CAST(max(n_levels) AS BIGINT) AS max_levels
+    FROM per GROUP BY 1
+    """,
+)
+def gsw_density_inversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-inversion QC census over the synthetic profile grid (the
+    gsw_nsquared_profile construction): per profile, count adjacent
+    level pairs where sigma DECREASES with depth (statically unstable
+    water — the flag real CTD QC raises before N² goes negative), then
+    the corpus-wide histogram of inversion counts. Per-profile windows
+    only (bounded levels per cast); 1e-9 tolerance keeps float noise
+    out of the strict comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lv = li.select(
+        "l_orderkey",
+        F.row_number().over(w).alias("rn"),
+        (F.lit(20.0) + F.col("l_quantity") * 0.1).cast("double").alias(
+            "sigma_base"
+        ),
+    )
+    wp = Window.partitionBy("l_orderkey").orderBy("rn")
+    prof = lv.select(
+        "l_orderkey",
+        (F.col("sigma_base") + F.col("rn") * 0.05).alias("sigma"),
+        F.lag(F.col("sigma_base") + F.col("rn") * 0.05).over(wp).alias(
+            "sigma_up"
+        ),
+    ).filter(F.col("sigma_up").isNotNull())
+    per = prof.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum(
+            F.when(F.col("sigma") < F.col("sigma_up") - 1.0e-9, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inversions"),
+    )
+    return per.groupBy("n_inversions").agg(
+        F.count(F.lit(1)).cast("long").alias("n_profiles"),
+        F.max("n_levels").cast("long").alias("max_levels"),
+    )
+
+
+@_register(
+    "embedding_hubness_audit",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 50
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY round(list_cosine_similarity(qv, cv), 4) DESC,
+                          neighbor_id ASC
+               ) AS rank
+        FROM q, c WHERE neighbor_id != query_id
+      ) WHERE rank <= 5
+    ),
+    occ AS (
+      SELECT neighbor_id, CAST(count(*) AS BIGINT) AS n_lists
+      FROM topk GROUP BY 1
+    )
+    SELECT n_lists AS appears_in_k_lists,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM occ GROUP BY 1
+    """,
+)
+def embedding_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: over a deterministic 50-query probe set, how many
+    distinct top-5 lists each corpus vector appears in — the histogram
+    whose long tail (one vector in MANY lists) is the high-dimensional
+    hubness pathology that silently degrades cosine retrieval (hub
+    results look relevant to everything). Brute-force operator with
+    the probe side broadcast; one corpus stream."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    bf = brute_force_topk(queries, emb, k=5, round_dp=4)
+    occ = bf.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists")
+    )
+    return occ.groupBy(F.col("n_lists").alias("appears_in_k_lists")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
+@_register(
+    "orders_median_polish_residuals",
+    oracle="""
+    WITH cell AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             o_orderpriority AS pri,
+             CAST(floor(avg(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        + 0.5) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    rowmed AS (
+      SELECT yr,
+             CAST(list_sort(list(cents))[(len(list(cents)) + 1) // 2]
+                  AS BIGINT) AS rmed
+      FROM cell GROUP BY yr
+    ),
+    r1 AS (
+      SELECT cell.yr, cell.pri, cell.cents - rowmed.rmed AS res1
+      FROM cell JOIN rowmed USING (yr)
+    ),
+    colmed AS (
+      SELECT pri,
+             CAST(list_sort(list(res1))[(len(list(res1)) + 1) // 2]
+                  AS BIGINT) AS cmed
+      FROM r1 GROUP BY pri
+    )
+    SELECT r1.yr, r1.pri,
+           CAST(r1.res1 - colmed.cmed AS BIGINT) AS residual_cents
+    FROM r1 JOIN colmed USING (pri)
+    """,
+)
+def orders_median_polish_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sweep Tukey median polish of the (year x priority) average-
+    order-value grid: subtract row (year) medians, then column
+    (priority) medians of the residuals — what is left is the
+    INTERACTION structure no additive year+priority model explains
+    (robust two-way ANOVA). The grid is bounded (years x 5
+    priorities); medians are exact lower-medians over collected sorted
+    lists of <= 7 integers."""
+    o = _t(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+    ).agg(
+        F.floor(
+            F.avg(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    med = lambda c: F.element_at(  # noqa: E731
+        F.sort_array(F.collect_list(c)),
+        F.floor((F.size(F.collect_list(c)) + 1) / 2).cast("int"),
+    )
+    rowmed = cell.groupBy("yr").agg(med("cents").cast("long").alias("rmed"))
+    r1 = cell.join(F.broadcast(rowmed), "yr").select(
+        "yr", "pri", (F.col("cents") - F.col("rmed")).alias("res1")
+    )
+    colmed = r1.groupBy("pri").agg(med("res1").cast("long").alias("cmed"))
+    return r1.join(F.broadcast(colmed), "pri").select(
+        "yr",
+        "pri",
+        (F.col("res1") - F.col("cmed")).cast("long").alias("residual_cents"),
+    )

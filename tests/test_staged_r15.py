@@ -94,6 +94,17 @@ STAGED_NAMES: list[str] = [
     "doc_exact_dup_source_confusion",
     "orders_acquisition_retention_gmv_split",
     "text_freq_spectrum_classes",
+    # wave I — slate completion to the 50-name budget
+    "lineitem_shipmode_delay_quantiles",
+    "embedding_label_silhouette_proxy",
+    "similarity_topk_margin_audit",
+    "events_peak_concentration_herfindahl",
+    "events_intervisit_bowley_skew",
+    "dedup_candidate_precision_at_threshold",
+    "customer_cohort_decay_halflife",
+    "gsw_density_inversion_audit",
+    "embedding_hubness_audit",
+    "orders_median_polish_residuals",
 ]
 
 
