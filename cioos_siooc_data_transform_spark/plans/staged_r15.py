@@ -19,6 +19,13 @@ Content so far:
 - Wave B — queueing/forecast/robust-stat battery over events/orders.
 - Wave C — LLM-pipeline audits: isotropy, split contamination,
   packing wastage, shard mixing entropy.
+
+ACTIVATION NOTE (round 15): three queries carry a bounded
+unpartitioned window the registry-wide detector will flag — add them
+to tests/test_plans.py::_ALLOWED_UNPARTITIONED_WINDOWS in the
+activation commit: events_turning_points_test (per-DAY rollup),
+orders_customer_concentration_crk and text_stopword_coverage_curve
+(TakeOrdered(limit=100) results).
 """
 
 from __future__ import annotations
@@ -3240,9 +3247,12 @@ def text_freq_spectrum_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_shipmode_delay_quantiles",
     oracle="""
     WITH d AS (
-      SELECT l_shipmode AS mode,
-             CAST(date_diff('day', l_commitdate, l_receiptdate) AS BIGINT)
-               AS delay_d,
+      SELECT CASE CAST((l_orderkey + l_linenumber) % 7 AS BIGINT)
+                  WHEN 0 THEN 'AIR' WHEN 1 THEN 'RAIL' WHEN 2 THEN 'SHIP'
+                  WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'MAIL' WHEN 5 THEN 'FOB'
+                  ELSE 'REG AIR' END AS mode,
+             CAST(l_quantity % 50 AS BIGINT)
+             - CAST(l_partkey % 30 + 5 AS BIGINT) AS delay_d,
              l_orderkey * 16 + l_linenumber AS rid
       FROM lineitem
     ),
@@ -3267,8 +3277,11 @@ def text_freq_spectrum_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lineitem_shipmode_delay_quantiles(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Exact per-shipmode quartiles of the commit→receipt delay — the
-    SLA percentile table, on a FACT-scaled input: the grouped form of
+    """Exact per-shipmode quartiles of the schedule slack (receipt
+    delay minus commit window, the r14 SLA audit's deterministic
+    key-derived schedule — the synthetic lineitem carries no
+    shipmode/commit/receipt columns) — the SLA percentile table, on a
+    FACT-scaled input: the grouped form of
     ranked_cumsum_two_pass splits each mode (7 groups over the whole
     lineitem table — exactly the hot-group case a plain grouped window
     serializes) across ~512 range-bucket windows. Discrete lower order
@@ -3278,11 +3291,19 @@ def lineitem_shipmode_delay_quantiles(
     )
 
     li = _t(spark, sf_dir, "lineitem")
+    modes = ["AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB", "REG AIR"]
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in modes]),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 7 + 1).cast("int"),
+    )
     d = li.select(
-        F.col("l_shipmode").alias("mode"),
-        F.datediff("l_receiptdate", "l_commitdate").cast("long").alias(
-            "delay_d"
-        ),
+        mode.alias("mode"),
+        (
+            (F.col("l_quantity").cast("long") % 50)
+            - (F.col("l_partkey") % 30 + 5)
+        )
+        .cast("long")
+        .alias("delay_d"),
         (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("rid"),
     )
     n = d.groupBy("mode").agg(F.count(F.lit(1)).cast("long").alias("n"))
