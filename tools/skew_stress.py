@@ -368,6 +368,64 @@ def case_ranked_cumsum(spark, guarded: bool):
     return ranked_cumsum_two_pass(df, "v", "k")
 
 
+def case_grouped_rank(spark, guarded: bool):
+    """Hot-GROUP grouped ranking (the round-9 grouped-quantile family:
+    supplier_balance_quartiles_by_nation, lineitem_shipmode_delay_
+    quantiles): one group holds 90 % of 20M rows. guarded = the grouped
+    mode of ranked_cumsum_two_pass (the hot group splits across ~512
+    (group, value-bucket) windows); unguarded = the plain grouped
+    row_number window (the whole hot group sorts in ONE task)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    n_hot = int(N_RANK_ROWS * RANK_HOT_FRAC)
+    df = spark.range(N_RANK_ROWS).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < n_hot, F.lit(0))
+        .otherwise((F.col("id") % 24 + 1))
+        .cast("long")
+        .alias("g"),
+        ((F.col("id") * 2654435761) % 1_000_000).cast("long").alias("v"),
+    )
+    if guarded:
+        return ranked_cumsum_two_pass(
+            df, "v", "k", group_cols=["g"], ascending=True
+        )
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("k").asc())
+    return df.select(
+        "g", "v", F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
+def case_running_extreme(spark, guarded: bool):
+    """Global running max over 20M unique keys (the round-9
+    late_data_accounting / skyline shape). guarded =
+    running_extreme_two_pass (range-bucketed, ~512 bounded windows);
+    unguarded = the plain unpartitioned running-max window (ONE task
+    sorts and scans everything)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        running_extreme_two_pass,
+    )
+
+    df = spark.range(N_RANK_ROWS).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 1_000_000_000).cast("double").alias("x"),
+    )
+    if guarded:
+        return running_extreme_two_pass(
+            df, "k", "k", "x", out_col="hwm", agg="max", inclusive=False
+        )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    return df.select("k", F.max("x").over(w).alias("hwm"))
+
+
 CASES = {
     "ngram_jaccard": case_ngram_jaccard,
     "lsh_topk": case_lsh_topk,
@@ -375,6 +433,8 @@ CASES = {
     "semantic_dedup": case_semantic_dedup,
     "geo_grid": case_geo_grid,
     "ranked_cumsum": case_ranked_cumsum,
+    "grouped_rank": case_grouped_rank,
+    "running_extreme": case_running_extreme,
 }
 
 
