@@ -1572,3 +1572,102 @@ def p_from_z_stages(z: str, lat: str, x: str = "__pfz_") -> list[tuple[str, str]
         ("p_out", f"({x}p0 - {x}f0/{x}dfm)"),
     ]
     return stages
+
+
+# ---------------------------------------------------------------------------
+# Potential enthalpy of ice at the seawater freezing point — the
+# published direct polynomial fit h_pot_If(SA, p), and the published
+# pt0_ice <-> pot_enthalpy_ice polynomial pair (TEOS-10 fit constants;
+# reference parity anchors: GSW-Python src/c_gsw/
+# gsw_oceanographic_toolbox.c gsw_pot_enthalpy_ice_freezing_poly /
+# gsw_pt_from_pot_enthalpy_ice_poly / gsw_pot_enthalpy_from_pt_ice_poly).
+# Derivatives are minted by the symbolic differentiator, never hand
+# tables. Promoted here from plans/staged_r15.py so both the r14 and
+# r15 slates (and any future frazil composition) share one definition.
+# ---------------------------------------------------------------------------
+POT_H_ICE_FREEZING_POLY_C = [
+    -3.333548730778702e5, -1.249490228128056e4, 0.891189273859881e4,
+    -2.405994758887321e4, 3.217945710496395e4, -2.374817375023954e4,
+    0.651630522289954e4, -2.034535061416256e4, -0.252580687014574e4,
+    0.021290274388826e4, 0.315423710959628e3, -0.239518382138314e3,
+    0.379377450285737e3, 0.822414256564615e3, -1.781443326566310e3,
+    -0.160245473297112e3, -1.923856387576336e3, 2.522158744711316e3,
+    0.268604113069031e3, 0.967023925992424e3, -1.052684746354551e3,
+    -0.184147500983788e3, -0.263384562367307e3,
+]
+PT_FROM_POT_H_ICE_POLY_Q = [
+    2.533588268773218e2, 2.594351081876611e-3, 1.765077810213815e-8,
+    7.768070564290540e-14, 2.034842254277530e-19, 3.220014531712841e-25,
+    2.845172809636068e-31, 1.094005878892950e-37,
+]
+POT_H_FROM_PT_ICE_POLY_P = [
+    -3.333601570157700e5, 2.096693916810367e3, 3.687110754043292,
+    4.559401565980682e-4, -2.516011957758120e-6, -1.040364574632784e-8,
+    -1.701786588412454e-10, -7.667191301635057e-13,
+]
+
+_PIF_SENTINELS = ("__PIFSA__", "__PIFP__")
+_PIF_TEMPLATES: dict[int, str] = {}
+_PTQ_SENTINEL = "__PTQH__"
+_PTQ_DERIV_TEMPLATE: list[str] = []
+
+
+def _horner_lit(coeffs: list[float], var: str) -> str:
+    expr = f"{coeffs[-1]:.16e}"
+    for c in reversed(coeffs[:-1]):
+        expr = f"({c:.16e} + {var}*{expr})"
+    return expr
+
+
+def pot_enthalpy_ice_freezing_poly_sql(sa: str, p: str) -> str:
+    c = [f"{v:.16e}" for v in POT_H_ICE_FREEZING_POLY_C]
+    sa_r = f"(({sa})*1.0e-2)"
+    x = f"sqrt({sa_r})"
+    p_r = f"(({p})*1.0e-4)"
+    return (
+        f"({c[0]} + {sa_r}*({c[1]} + {x}*({c[2]} + {x}*({c[3]} + {x}*({c[4]}"
+        f" + {x}*({c[5]} + {c[6]}*{x})))))"
+        f" + {p_r}*({c[7]} + {p_r}*({c[8]} + {c[9]}*{p_r}))"
+        f" + {sa_r}*{p_r}*({c[10]} + {p_r}*({c[12]} + {p_r}*({c[15]}"
+        f" + {c[21]}*{sa_r})) + {sa_r}*({c[13]} + {c[17]}*{p_r}"
+        f" + {c[19]}*{sa_r}) + {x}*({c[11]} + {p_r}*({c[14]}"
+        f" + {c[18]}*{p_r}) + {sa_r}*({c[16]} + {c[20]}*{p_r}"
+        f" + {c[22]}*{sa_r}))))"
+    )
+
+
+def pot_enthalpy_ice_freezing_poly_deriv_sql(sa: str, p: str, var: int) -> str:
+    """Symbolic d/dSA (var=0) or d/dp (var=1) of the freezing fit."""
+    if var not in _PIF_TEMPLATES:
+        from cioos_siooc_data_transform_spark.functions.symdiff import (
+            diff_sql,
+        )
+
+        sa_, p_ = _PIF_SENTINELS
+        _PIF_TEMPLATES[var] = diff_sql(
+            pot_enthalpy_ice_freezing_poly_sql(sa_, p_), _PIF_SENTINELS[var]
+        )
+    sa_, p_ = _PIF_SENTINELS
+    return _PIF_TEMPLATES[var].replace(sa_, f"({sa})").replace(p_, f"({p})")
+
+
+def pt_from_pot_enthalpy_ice_poly_sql(h: str) -> str:
+    return _horner_lit(PT_FROM_POT_H_ICE_POLY_Q, f"({h})")
+
+
+def pt_from_pot_enthalpy_ice_poly_deriv_sql(h: str) -> str:
+    if not _PTQ_DERIV_TEMPLATE:
+        from cioos_siooc_data_transform_spark.functions.symdiff import (
+            diff_sql,
+        )
+
+        _PTQ_DERIV_TEMPLATE.append(
+            diff_sql(pt_from_pot_enthalpy_ice_poly_sql(_PTQ_SENTINEL), _PTQ_SENTINEL)
+        )
+    return _PTQ_DERIV_TEMPLATE[0].replace(_PTQ_SENTINEL, f"({h})")
+
+
+def pot_enthalpy_from_pt_ice_poly_estimate_sql(pt: str) -> str:
+    """The published degree-7 initial-estimate polynomial GSW's own
+    Newton inverse starts from."""
+    return _horner_lit(POT_H_FROM_PT_ICE_POLY_P, f"({pt})")

@@ -3485,8 +3485,10 @@ def _frazil_potential_stages():
     with the salt balance w = 1 − SA_bulk/SA_f. ROUNDTRIP
     construction: the bulk state is mixed from the grid's own
     (SA, p, w_si), so the solve must recover SA_f = SA and w = w_si
-    (pinned in tests). Three fixed-slope steps; each residual is one
-    freezing-poly + one pot-enthalpy-of-ice chain."""
+    (pinned in tests). Three fixed-slope Newton steps — the slope is
+    the SYMBOLIC derivative on the cheap polynomial twins (exactness of
+    the ROOT needs only exact residuals); each residual is one
+    freezing-poly + one exact pot-enthalpy-of-ice chain."""
     from cioos_siooc_data_transform_spark.functions.ice import (
         gibbs_ice_stages,
     )
@@ -3546,16 +3548,35 @@ def _frazil_potential_stages():
         ),
         ("__fp_s0", "(__fp_sabulk/0.95e0)"),
     ]
-    # fixed slope: d(res)/dSA_f measured near-constant (~cp0·CTf/SA
-    # scale); take it from a central difference at the initial guess.
-    stages += residual_at("(__fp_s0*1.01e0)", "__fp_dhi_")
-    stages += residual_at("(__fp_s0*0.99e0)", "__fp_dlo_")
-    stages.append(
+    # Fixed Newton slope from the SYMBOLIC derivative of the residual
+    # written on the cheap published POLYNOMIAL surfaces (ctf_poly and
+    # the direct pot-enthalpy-at-freezing fit + their symdiff
+    # derivatives): the slope need not be exact for Newton to converge
+    # to the EXACT residual's root — and it replaces the two
+    # central-difference probe instances of the heavy exact chain that
+    # pushed the plan past Catalyst's recursion depth AND DuckDB's
+    # 1000-deep expression limit (the class this query regressed on
+    # before the round-9 roster repair exposed it).
+    from cioos_siooc_data_transform_spark.functions.teos10 import (
+        pot_enthalpy_ice_freezing_poly_deriv_sql,
+        pot_enthalpy_ice_freezing_poly_sql,
+    )
+
+    s0 = "__fp_s0"
+    stages += [
+        ("__fp_sl_ctf", ct_freezing_poly_sql(s0, "p", "0.0e0")),
+        ("__fp_sl_ctf_sa", _ctf_deriv_sql(s0, "p", 0)),
+        ("__fp_sl_hif", pot_enthalpy_ice_freezing_poly_sql(s0, "p")),
+        ("__fp_sl_hif_sa", pot_enthalpy_ice_freezing_poly_deriv_sql(s0, "p", 0)),
+        ("__fp_sl_w", f"(__fp_sabulk/{s0})"),
         (
             "__fp_slope",
-            "((__fp_dhi_res - __fp_dlo_res)/(0.02e0*__fp_s0))",
-        )
-    )
+            f"(__fp_sl_w/{s0}*{cp0}*__fp_sl_ctf"
+            f" - __fp_sl_w*{cp0}*__fp_sl_ctf_sa"
+            f" - __fp_sl_w/{s0}*__fp_sl_hif"
+            f" - (1.0e0 - __fp_sl_w)*__fp_sl_hif_sa)",
+        ),
+    ]
     for k in (1, 2, 3):
         prev = "__fp_s0" if k == 1 else f"__fp_s{k - 1}"
         x = f"__fp_i{k}_"
@@ -3578,6 +3599,13 @@ _seaice_query(
         ("w_ih", _q9("w_ih_fp")),
     ],
 )
+# NB: this is the package's deepest single plan (~860 stages after the
+# symbolic-slope rewrite; the earlier central-difference slope probes
+# pushed it to ~1280, which overflowed Catalyst's optimizer stack AND
+# DuckDB's default 1000-deep expression limit). ~60 s of the runtime is
+# driver-side optimization; a lazy-checkpoint segmentation was measured
+# WORSE (86 s — barriers block cross-segment column pruning, forcing
+# every intermediate Gibbs column to materialize).
 
 
 def _h_ct_ct_exact_stages():

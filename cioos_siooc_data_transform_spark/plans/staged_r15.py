@@ -72,43 +72,16 @@ def activate() -> int:
 # error <= 6e-3 J/kg over pt0 in [-100, 2] degC); the Newton derivative
 # is the SYMBOLIC q'(h) (functions/symdiff.py), not a hand-coded table.
 # ---------------------------------------------------------------------------
-_PT_FROM_POTH_Q = [
-    2.533588268773218e2, 2.594351081876611e-3, 1.765077810213815e-8,
-    7.768070564290540e-14, 2.034842254277530e-19, 3.220014531712841e-25,
-    2.845172809636068e-31, 1.094005878892950e-37,
-]
-_POTH_FROM_PT_P = [
-    -3.333601570157700e5, 2.096693916810367e3, 3.687110754043292,
-    4.559401565980682e-4, -2.516011957758120e-6, -1.040364574632784e-8,
-    -1.701786588412454e-10, -7.667191301635057e-13,
-]
-
-
-def _horner(coeffs: list[float], var: str) -> str:
-    expr = f"{coeffs[-1]:.16e}"
-    for c in reversed(coeffs[:-1]):
-        expr = f"({c:.16e} + {var}*{expr})"
-    return expr
-
-
-_PTQ_SENTINEL = "__PTQH__"
-_PTQ_DERIV_TEMPLATE: list[str] = []
-
-
-def _pt_from_poth_poly_sql(h: str) -> str:
-    return _horner(_PT_FROM_POTH_Q, f"({h})")
-
-
-def _pt_from_poth_poly_deriv_sql(h: str) -> str:
-    if not _PTQ_DERIV_TEMPLATE:
-        from cioos_siooc_data_transform_spark.functions.symdiff import (
-            diff_sql,
-        )
-
-        _PTQ_DERIV_TEMPLATE.append(
-            diff_sql(_pt_from_poth_poly_sql(_PTQ_SENTINEL), _PTQ_SENTINEL)
-        )
-    return _PTQ_DERIV_TEMPLATE[0].replace(_PTQ_SENTINEL, f"({h})")
+# The published polynomial tables and their symbolic derivatives live
+# in functions/teos10.py (promoted there so the r14 frazil composition
+# can share them without a circular slate import).
+from cioos_siooc_data_transform_spark.functions.teos10 import (  # noqa: E402
+    pot_enthalpy_from_pt_ice_poly_estimate_sql as _poth_estimate_sql,
+    pot_enthalpy_ice_freezing_poly_deriv_sql as _pif_deriv_sql,
+    pot_enthalpy_ice_freezing_poly_sql as _pot_h_ice_freezing_poly_sql,
+    pt_from_pot_enthalpy_ice_poly_deriv_sql as _pt_from_poth_poly_deriv_sql,
+    pt_from_pot_enthalpy_ice_poly_sql as _pt_from_poth_poly_sql,
+)
 
 
 def _poth_poly_pair_stages() -> list[tuple[str, str]]:
@@ -118,7 +91,7 @@ def _poth_poly_pair_stages() -> list[tuple[str, str]]:
     [-39.5, -0.5] envelope two plain steps land the residual below the
     1e-9 output floor, and BOTH engines evaluate the one shared
     tree)."""
-    stages = [("__php_h0", _horner(_POTH_FROM_PT_P, "t"))]
+    stages = [("__php_h0", _poth_estimate_sql("t"))]
     cur = "__php_h0"
     for i in range(2):
         stages += [
@@ -189,51 +162,6 @@ _ice15_query(
 # BOTH first derivatives minted by the symbolic differentiator — the
 # d/dSA chain passes through x = sqrt(SA/100) mechanically.
 # ---------------------------------------------------------------------------
-_PIF_C = [
-    -3.333548730778702e5, -1.249490228128056e4, 0.891189273859881e4,
-    -2.405994758887321e4, 3.217945710496395e4, -2.374817375023954e4,
-    0.651630522289954e4, -2.034535061416256e4, -0.252580687014574e4,
-    0.021290274388826e4, 0.315423710959628e3, -0.239518382138314e3,
-    0.379377450285737e3, 0.822414256564615e3, -1.781443326566310e3,
-    -0.160245473297112e3, -1.923856387576336e3, 2.522158744711316e3,
-    0.268604113069031e3, 0.967023925992424e3, -1.052684746354551e3,
-    -0.184147500983788e3, -0.263384562367307e3,
-]
-_PIF_SENTINELS = ("__PIFSA__", "__PIFP__")
-_PIF_TEMPLATES: dict[int, str] = {}
-
-
-def _pot_h_ice_freezing_poly_sql(sa: str, p: str) -> str:
-    c = [f"{v:.16e}" for v in _PIF_C]
-    sa_r = f"(({sa})*1.0e-2)"
-    x = f"sqrt({sa_r})"
-    p_r = f"(({p})*1.0e-4)"
-    return (
-        f"({c[0]} + {sa_r}*({c[1]} + {x}*({c[2]} + {x}*({c[3]} + {x}*({c[4]}"
-        f" + {x}*({c[5]} + {c[6]}*{x})))))"
-        f" + {p_r}*({c[7]} + {p_r}*({c[8]} + {c[9]}*{p_r}))"
-        f" + {sa_r}*{p_r}*({c[10]} + {p_r}*({c[12]} + {p_r}*({c[15]}"
-        f" + {c[21]}*{sa_r})) + {sa_r}*({c[13]} + {c[17]}*{p_r}"
-        f" + {c[19]}*{sa_r}) + {x}*({c[11]} + {p_r}*({c[14]}"
-        f" + {c[18]}*{p_r}) + {sa_r}*({c[16]} + {c[20]}*{p_r}"
-        f" + {c[22]}*{sa_r}))))"
-    )
-
-
-def _pif_deriv_sql(sa: str, p: str, var: int) -> str:
-    if var not in _PIF_TEMPLATES:
-        from cioos_siooc_data_transform_spark.functions.symdiff import (
-            diff_sql,
-        )
-
-        sa_, p_ = _PIF_SENTINELS
-        _PIF_TEMPLATES[var] = diff_sql(
-            _pot_h_ice_freezing_poly_sql(sa_, p_), _PIF_SENTINELS[var]
-        )
-    sa_, p_ = _PIF_SENTINELS
-    return _PIF_TEMPLATES[var].replace(sa_, f"({sa})").replace(p_, f"({p})")
-
-
 def _freeze15_query(name: str, stages_fn, outs):
     """Freeze-grid builder registering into THIS slate's dicts."""
     from cioos_siooc_data_transform_spark.plans.staged_r13 import (

@@ -36,6 +36,13 @@ def get_spark(app_name: str = "cioos-siooc-spark", shuffle_partitions: int | Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # The deep GSW stage chains (hundreds of stacked projections)
+        # drive Catalyst's recursive rules (CollapseProject) past the
+        # default 1 MB thread stack — a StackOverflowError that
+        # surfaces as a hung/respinning optimizer. 64 MB driver stacks
+        # are standard practice for deep-plan workloads.
+        .config("spark.driver.extraJavaOptions", "-Xss64m")
+        .config("spark.executor.extraJavaOptions", "-Xss64m")
     )
     return builder.getOrCreate()
 
