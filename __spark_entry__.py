@@ -209,6 +209,33 @@ _CHECKED = frozenset(
         "similarity_cosine_histogram", "similarity_ivf_pq_topk",
         "sketch_countmin_heavy_hitters", "stratified_oversample_balance",
         "supplier_acctbal_tukey_outliers", "text_yule_k",
+        # round 9 (all 50 green in CORRECTNESS_r09.json, incl. the two
+        # staged-Horner REPLACEMENT re-samples)
+        "dedup_vocab_impact", "doc_quality_cohen_kappa",
+        "embedding_label_centroid_drift", "events_block_maxima_gumbel",
+        "events_changepoint_location", "events_circular_mean_hour",
+        "events_dft_power_daily_weekly", "events_mean_imputation_audit",
+        "events_out_of_order_profile", "events_pareto_tail_index",
+        "events_record_breaks", "events_weekday_hour_twoway_anova",
+        "graph_degree_powerlaw_fit", "graph_two_hop_reach_profile",
+        "gsw_alpha_beta_75term", "gsw_chem_potential_water_ice",
+        "gsw_ct_maxdensity", "gsw_dynamic_enthalpy",
+        "gsw_enthalpy", "gsw_enthalpy_first_derivatives",
+        "gsw_helmholtz_energy_ice", "gsw_internal_energy_ice",
+        "gsw_kappa_const_t_ice", "gsw_mixed_layer_pressure",
+        "gsw_pot_enthalpy_from_pt", "gsw_rho_first_derivatives",
+        "gsw_sound_speed_ice", "gsw_t_freezing_derivatives",
+        "interval_union_coverage", "lineitem_kendall_tau_contingency",
+        "lineitem_mannwhitney_returnflag", "lineitem_price_index_laspeyres",
+        "lineitem_simpson_paradox_audit", "lm_trigram_backoff_logprob",
+        "multimodal_chunk_manifest", "orders_backlog_aging",
+        "orders_first_vs_repeat_value", "orders_lognormal_fit_audit",
+        "orders_seasonal_trend_decomposition", "part_abc_xyz_matrix",
+        "part_brand_price_theil_index", "part_name_token_topk",
+        "quality_filter_funnel", "sessionize_gap_sensitivity",
+        "similarity_int8_recall_audit", "similarity_ivf_nprobe_curve",
+        "sketch_kmv_distinct", "supplier_balance_quantile_normalize",
+        "temporal_split_leakage_audit", "user_growth_accounting",
     }
 )
 

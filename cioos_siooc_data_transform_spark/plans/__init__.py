@@ -77,3 +77,15 @@ staged_r8.activate()
 from cioos_siooc_data_transform_spark.plans import staged_r9  # noqa: E402
 
 staged_r9.activate()
+
+# Round-10 activation: the 49 queries staged during rounds 8-9 (tri-scale
+# green via tools/staged_sim.py and re-verified by the round-9 judge)
+# plus the round-10 top-up (doc_context_overflow_rate) join the live
+# registry — exactly the driver's 50-fresh-name sample. Pre-activation
+# migration: graph_degree_gini moved onto ranked_cumsum_two_pass (the
+# round-9 verdict's one parked key-scaled window). The matching 50
+# round-9-green names moved to _CHECKED in __spark_entry__.py in the
+# same change.
+from cioos_siooc_data_transform_spark.plans import staged_r10  # noqa: E402
+
+staged_r10.activate()

@@ -2138,9 +2138,15 @@ STAGED_ORACLES["graph_adamic_adar_linkpred"] = _adamic_adar_oracle()
 def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of the co-purchase degree distribution (hub
     concentration): with degrees sorted ascending, G = 2*sum(i*d_i) /
-    (n*sum(d_i)) - (n+1)/n, every sum exact over integers. The rank
-    window runs over the node dimension (bounded by |parts|; the
-    two-pass global-rank operator is the >=1e8 escape hatch)."""
+    (n*sum(d_i)) - (n+1)/n, every sum exact over integers. Ranks come
+    from ranked_cumsum_two_pass (round-10 pre-activation migration —
+    the per-node degree table scales with |parts|, so a global-order
+    window would sort it in ONE task; the range-bucketed form splits
+    it across ~512 bounded windows, same math as the migrated
+    orders_gini_concentration / customer_gini_by_nation twins)."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
     from cioos_siooc_data_transform_spark.plans.staged_r8 import (
         _copurchase_edges,
     )
@@ -2152,10 +2158,10 @@ def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
-    w = Window.orderBy("deg", "u")
-    ranked = deg.select(
-        "deg", F.row_number().over(w).cast("long").alias("i")
-    )
+    ranked = ranked_cumsum_two_pass(
+        deg, "deg", "u",
+        out_rank="i", out_cum="__cum_unused", ascending=True,
+    ).select("deg", F.col("i").cast("long").alias("i"))
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     s = ranked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -4728,4 +4734,67 @@ def events_kruskal_wallis_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(h * 1.0e6 + 0.5) / 1.0e6).alias("h_stat"),
         (F.floor(corr * 1.0e9 + 0.5) / 1.0e9).alias("tie_correction"),
         (F.floor(h / corr * 1.0e6 + 0.5) / 1.0e6).alias("h_tie_corrected"),
+    )
+
+
+# ===========================================================================
+# Wave H (round-10 top-up) — context-length budget audit for the LLM
+# training pipeline: per source, how many documents overflow the packing
+# context windows? The direct upstream signal for pack_chunks_fixed /
+# pack_training_shards sizing (an overflowing doc either truncates or
+# splits — both change the training mix). Exact integers until the two
+# final rate divisions (floor-quantized, order-independent).
+# ===========================================================================
+@_register(
+    "doc_context_overflow_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_tok > 32 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_32,
+           CAST(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) AS BIGINT)
+             AS over_64,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens,
+           floor(sum(CASE WHEN n_tok > 32 THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS rate_32,
+           floor(sum(CASE WHEN n_tok > 64 THEN 1 ELSE 0 END) * 1.0e6
+                 / count(*) + 0.5) / 1.0e6 AS rate_64
+    FROM tok GROUP BY source
+    """,
+)
+def doc_context_overflow_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source context-window overflow audit: share of documents
+    whose whitespace token count exceeds the 32- and 64-token packing
+    budgets (thresholds sized to the synthetic corpus's 10–99 token
+    range; in production these are the model context windows). One
+    tokenize-once projection into one map-side-combinable aggregate —
+    no shuffle beyond the |sources|-bounded group-by, no window. Counts
+    are exact longs; the rates divide once and floor-quantize at 1e-6
+    (addition-order-proof vs the DuckDB oracle)."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(words_expr(F.col("text"))).cast("long")
+    agg = docs.select("source", n_tok.alias("n_tok")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_tok") > 32, 1).otherwise(0))
+        .cast("long")
+        .alias("over_32"),
+        F.sum(F.when(F.col("n_tok") > 64, 1).otherwise(0))
+        .cast("long")
+        .alias("over_64"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+    rate = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * 1.0e6 / F.col("n_docs") + 0.5) / 1.0e6
+    )
+    return agg.select(
+        "source", "n_docs", "over_32", "over_64", "max_tokens",
+        rate("over_32").alias("rate_32"),
+        rate("over_64").alias("rate_64"),
     )
