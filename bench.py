@@ -90,6 +90,10 @@ HEADLINE = [
     "doc_dup_rate_by_length",    # ntile_two_pass deciles x exact-digest dup flag
     "part_abc_xyz_matrix",       # two-pass ABC cumshare x exact-CV XYZ classes
     "part_price_size_skyline",   # distinct-price rollup + two-pass running extreme
+    # round-10 families (staged_r10 activation):
+    "events_kruskal_wallis_value",  # weighted two-pass midranks (k-sample rank test)
+    "text_bm25_topk",            # query-term-filtered posting list + broadcast stats
+    "dedup_sorted_neighborhood",  # sort-key blocking dedup (window-adjacent pairs)
 ]
 
 

@@ -716,8 +716,8 @@ def part_brand_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r").cast("long").alias("rsum"),
         F.count(F.lit(1)).cast("long").alias("m"),
     )
-    wk = Window.partitionBy()
-    rj2 = rj.withColumn("k", F.count(F.lit(1)).over(wk).cast("long"))
+    kk = rj.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    rj2 = rj.crossJoin(F.broadcast(kk))
     s = rj2.agg(
         F.max("k").alias("k"),
         F.max("m").alias("m"),
@@ -2849,4 +2849,2311 @@ def similarity_relative_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("relative_contrast"),
         )
         .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (Cormack et al. 2009) of the exact-cosine
+# ranking with the int8-quantized ranking: RRF(d) = Σ 1/(60 + rank_m(d))
+# — the standard zero-tuning way to combine retrieval channels; the
+# audit shows how much a cheap quantized channel perturbs the fused
+# top-k. Rankings partition by query (5-query broadcast baseline shape,
+# same contract as the registered brute-force top-k).
+# ---------------------------------------------------------------------------
+_RRF_SQL = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> greatest(-127, least(127,
+                      CAST(floor(x * 64.0 + 0.5) AS BIGINT)))) AS q8
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv, q8 AS q8q FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, v.ev), 4) AS cs,
+             CAST(list_aggregate(list_transform(range(64),
+               i -> CAST(q.q8q[i + 1] * v.q8[i + 1] AS DOUBLE)), 'sum')
+               AS BIGINT) AS dot8
+      FROM q, v WHERE v.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS ra,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot8 DESC, neighbor_id ASC) AS rb
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, neighbor_id, ra AS rank_exact, rb AS rank_int8,
+             CAST(floor((1.0 / (60 + ra) + 1.0 / (60 + rb)) * 1.0e9 + 0.5)
+                  AS BIGINT) AS rrf_u
+      FROM ranked
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rank_exact AS BIGINT) AS rank_exact,
+           CAST(rank_int8 AS BIGINT) AS rank_int8,
+           CAST(rrf_u AS DOUBLE) / 1.0e9 AS rrf_score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_u DESC, neighbor_id ASC) AS rf
+      FROM fused
+    ) WHERE rf <= 5
+    ORDER BY query_id, rrf_score DESC, neighbor_id
+"""
+
+
+@_register("similarity_rrf_fusion_topk", oracle=_RRF_SQL)
+def similarity_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF fusion of exact-cosine and int8-dot rankings per query: one
+    broadcast-query scoring pass computes BOTH channel scores, two
+    query-partitioned rank windows, fused score quantized at 1e-9
+    before the final per-query top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    q8 = F.transform(
+        e,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x * 64.0 + 0.5).cast("long")),
+        ),
+    )
+    v = emb.select("vec_id", e.alias("ev"), q8.alias("q8"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("ev").alias("qv"),
+        F.col("q8").alias("q8q"),
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("ev"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("qv"), lambda a: a * a),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("ev"), lambda a: a * a),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        ),
+        4,
+    )
+    dot8 = F.aggregate(
+        F.zip_with(
+            F.col("q8q"), F.col("q8"), lambda a, b: (a * b).cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cs"),
+            dot8.alias("dot8"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc()
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("dot8").desc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    fused = ranked.select(
+        "query_id",
+        "neighbor_id",
+        F.col("ra").cast("long").alias("rank_exact"),
+        F.col("rb").cast("long").alias("rank_int8"),
+        F.floor(
+            (1.0 / (60 + F.col("ra")) + 1.0 / (60 + F.col("rb"))) * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("rrf_u"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank_exact",
+            "rank_int8",
+            (F.col("rrf_u").cast("double") / 1.0e9).alias("rrf_score"),
+        )
+        .orderBy("query_id", F.col("rrf_score").desc(), "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JL distortion sweep: pairwise-distance distortion of the seed-11
+# Gaussian projection bank at k = 8 / 16 / 32 output dims, measured
+# over the 8-query × corpus pair sample. ratio = ||P(x−y)||/(√k·σ_unit)
+# vs ||x−y||; the per-pair ratio quantizes at 1e-6 before the per-k
+# mean/max rollup.
+# ---------------------------------------------------------------------------
+from cioos_siooc_data_transform_spark.operators.dedup import (  # noqa: E402
+    random_hyperplanes as _rh16,
+)
+
+_JL16_ROWS = [
+    [int(round(v * 10000.0)) for v in row]
+    for row in _rh16(32, 64, seed=11)
+]
+
+
+def _jl16_proj_sql(k: int) -> str:
+    rows = _JL16_ROWS[:k]
+    terms = " + ".join(
+        "pow(list_aggregate(list_transform(range(64), i -> CAST(d[i + 1] AS DOUBLE) * ("
+        + "[" + ", ".join(str(h) for h in row) + "][i + 1]"
+        + ")), 'sum') / 1.0e4, 2)"
+        for row in rows
+    )
+    return f"sqrt(({terms}) / {k}.0)"
+
+
+def _jl16_oracle() -> str:
+    selects = []
+    for k in (8, 16, 32):
+        selects.append(f"""
+    SELECT {k} AS k_dims, CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(CAST(floor({_jl16_proj_sql(k)}
+                 / sqrt(list_aggregate(list_transform(range(64),
+                     i -> CAST(d[i + 1] AS DOUBLE) * d[i + 1]), 'sum'))
+                 * 1.0e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_ratio,
+           floor(CAST(max(CAST(floor({_jl16_proj_sql(k)}
+                 / sqrt(list_aggregate(list_transform(range(64),
+                     i -> CAST(d[i + 1] AS DOUBLE) * d[i + 1]), 'sum'))
+                 * 1.0e6 + 0.5) AS BIGINT)) AS DOUBLE)) / 1.0e6 AS max_ratio
+    FROM pd""")
+    union = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qv FROM v WHERE vec_id < 8),
+    pd AS (
+      SELECT list_transform(range(64),
+               i -> qs.qv[i + 1] - v.q[i + 1]) AS d
+      FROM qs, v WHERE v.vec_id > qs.query_id
+    )
+    {union}
+    ORDER BY k_dims
+    """
+
+
+@_register("embedding_jl_distortion_sweep", oracle="__JL16__")
+def embedding_jl_distortion_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """JL distance-distortion curve at 3 projection widths over the
+    broadcast 8-query pair sample: difference vectors project through
+    the fixed seed-11 bank (column expressions — zero shuffle beyond
+    the 3-row rollup); per-pair distortion ratios quantize at 1e-6."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * 1.0e6 + 0.5).cast("long"))
+    v = emb.select("vec_id", q.alias("q"))
+    qs = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    pd = (
+        F.broadcast(qs)
+        .join(v, F.col("vec_id") > F.col("query_id"))
+        .select(
+            F.zip_with(
+                F.col("qv"), F.col("q"), lambda a, b: a - b
+            ).alias("d")
+        )
+    )
+    orig = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("d"), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    out = None
+    for k in (8, 16, 32):
+        terms = []
+        for row in _JL16_ROWS[:k]:
+            h = F.array(*[F.lit(float(c)) for c in row])
+            dot = (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("d"), h, lambda a, b: a.cast("double") * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / 1.0e4
+            )
+            terms.append(F.pow(dot, 2))
+        proj = F.sqrt(sum(terms) / float(k))
+        ratio_u = F.floor(proj / orig * 1.0e6 + 0.5).cast("long")
+        agg = pd.select(ratio_u.alias("r_u")).agg(
+            F.lit(k).cast("int").alias("k_dims"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (
+                F.floor(
+                    F.sum("r_u").cast("double") / F.count(F.lit(1)) + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_ratio"),
+            (F.floor(F.max("r_u").cast("double")) / 1.0e6).alias("max_ratio"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("k_dims")
+
+
+STAGED_ORACLES["embedding_jl_distortion_sweep"] = _jl16_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MinHash split-half (jackknife) stability: per LSH candidate pair,
+# the Jaccard estimate from hashes 1-4 vs hashes 5-8 — the spread
+# between half-signatures is the cheap variance readout that says
+# whether 8 hashes are enough at the chosen threshold.
+# ---------------------------------------------------------------------------
+def _jack_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _LSH_CAND_CTES,
+        _SHINGLES_CTE,
+    )
+
+    m_a = " + ".join(f"(sa.h{k} = sb.h{k})::int" for k in range(1, 5))
+    m_b = " + ".join(f"(sa.h{k} = sb.h{k})::int" for k in range(5, 9))
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST({m_a} AS BIGINT) AS ma, CAST({m_b} AS BIGINT) AS mb
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(abs(ma - mb)) AS DOUBLE) / 4.0 / count(*) * 1.0e6
+                 + 0.5) / 1.0e6 AS mean_half_gap,
+           floor(CAST(sum(CASE WHEN (ma >= 2) != (mb >= 2) THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS threshold_flip_rate
+    FROM est
+"""
+
+
+@_register("dedup_minhash_jackknife", oracle="__JACK__")
+def dedup_minhash_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half MinHash stability over LSH candidates: the mean
+    |half-estimate gap| and the rate at which a 0.5-threshold decision
+    FLIPS between halves — pure column arithmetic over the existing
+    signature join, one scalar rollup."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _distinct_shingles,
+    )
+
+    shingles = _distinct_shingles(spark, sf_dir)
+    sig = minhash_signature(
+        shingles, "doc_id", "s", num_hashes=8, hash_family="md5"
+    )
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(1, 9)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(1, 9)],
+    )
+    ma = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(1, 5)
+    ).cast("long")
+    mb = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(5, 9)
+    ).cast("long")
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(ma.alias("ma"), mb.alias("mb"))
+    )
+    q6 = lambda e2: F.floor(e2 * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        q6(
+            F.sum(F.abs(F.col("ma") - F.col("mb"))).cast("double")
+            / 4.0
+            / F.count(F.lit(1))
+        ).alias("mean_half_gap"),
+        q6(
+            F.sum(
+                F.when(
+                    (F.col("ma") >= 2) != (F.col("mb") >= 2), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("threshold_flip_rate"),
+    )
+
+
+STAGED_ORACLES["dedup_minhash_jackknife"] = _jack_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Label projection separation: project every embedding onto the exact
+# INTEGER centroid-difference axis of labels 0 and 1 (w_d = S1_d·n0 −
+# S0_d·n1 — scaling cancels in Cohen's d), then the standardized mean
+# gap of the two projected clouds. The supervised twin of the
+# registered label-margin audit: separation along ONE axis, not to
+# centroids.
+# ---------------------------------------------------------------------------
+_PROJ_SQL = """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    el AS (
+      SELECT vec_id, label, unnest(range(64)) AS d, unnest(q) AS x FROM v
+    ),
+    cstat AS (
+      SELECT d,
+             CAST(sum(CASE WHEN label = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+             CAST(sum(CASE WHEN label = 1 THEN x ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM el WHERE label IN (0, 1) GROUP BY d
+    ),
+    axis AS (
+      SELECT d, CAST(s1 AS HUGEINT) * max(n0) OVER ()
+                - CAST(s0 AS HUGEINT) * max(n1) OVER () AS w
+      FROM cstat
+    ),
+    t AS (
+      SELECT e.vec_id, e.label,
+             sum(CAST(e.x AS DOUBLE) * a.w) / 1.0e18 AS tproj
+      FROM el e JOIN axis a ON e.d = a.d
+      WHERE e.label IN (0, 1)
+      GROUP BY e.vec_id, e.label
+    ),
+    g AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n, sum(tproj) AS st,
+             sum(tproj * tproj) AS qt
+      FROM t GROUP BY label
+    ),
+    s AS (
+      SELECT max(n) FILTER (label = 0) AS n0,
+             max(n) FILTER (label = 1) AS n1,
+             max(st / n) FILTER (label = 0) AS m0,
+             max(st / n) FILTER (label = 1) AS m1,
+             max((qt - st * st / n) / (n - 1)) FILTER (label = 0) AS v0,
+             max((qt - st * st / n) / (n - 1)) FILTER (label = 1) AS v1
+      FROM g
+    )
+    SELECT n0, n1,
+           floor((m1 - m0) / sqrt((v0 + v1) / 2.0) * 1.0e6 + 0.5) / 1.0e6
+             AS cohens_d
+    FROM s
+"""
+
+
+@_register("embedding_label_projection_gap", oracle=_PROJ_SQL)
+def embedding_label_projection_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohen's d of labels 0/1 projected on their exact integer
+    centroid-difference axis: one dim rollup builds the 64-row
+    broadcast axis, one vec-keyed rollup projects, a 2-row group
+    assembles the standardized gap."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * 1.0e6 + 0.5).cast("long"))
+    el = emb.select("vec_id", "label", F.posexplode(q).alias("d", "x"))
+    cstat = el.groupBy("d").agg(
+        F.sum(F.when(F.col("label") == 0, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("label") == 1, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    nn = cstat.agg(
+        F.max("n0").cast("long").alias("tn0"),
+        F.max("n1").cast("long").alias("tn1"),
+    )
+    axis = cstat.crossJoin(F.broadcast(nn)).select(
+        "d",
+        (
+            F.col("s1").cast("decimal(38,0)")
+            * F.col("tn0").cast("decimal(19,0)")
+            - F.col("s0").cast("decimal(38,0)")
+            * F.col("tn1").cast("decimal(19,0)")
+        ).alias("w"),
+    )
+    t = (
+        el.join(F.broadcast(axis), "d")
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double") * F.col("w").cast("double"))
+                / 1.0e18
+            ).alias("tproj")
+        )
+    )
+    g = t.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tproj").alias("st"),
+        F.sum(F.col("tproj") * F.col("tproj")).alias("qt"),
+    )
+    pick = lambda expr, lab: F.max(  # noqa: E731
+        F.when(F.col("label") == lab, expr)
+    )
+    s = g.agg(
+        pick(F.col("n"), 0).alias("n0"),
+        pick(F.col("n"), 1).alias("n1"),
+        pick(F.col("st") / F.col("n"), 0).alias("m0"),
+        pick(F.col("st") / F.col("n"), 1).alias("m1"),
+        pick(
+            (F.col("qt") - F.col("st") * F.col("st") / F.col("n"))
+            / (F.col("n") - 1),
+            0,
+        ).alias("v0"),
+        pick(
+            (F.col("qt") - F.col("st") * F.col("st") / F.col("n"))
+            / (F.col("n") - 1),
+            1,
+        ).alias("v1"),
+    )
+    return s.select(
+        "n0",
+        "n1",
+        (
+            F.floor(
+                (F.col("m1") - F.col("m0"))
+                / F.sqrt((F.col("v0") + F.col("v1")) / 2.0)
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("cohens_d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size under soft dedup: with per-doc weight 1/c
+# (c = exact-dup cluster size), ESS = (Σw)²/Σw² = n_clusters² / Σ(1/c)
+# — the number that says what a weighted-keep policy is actually worth
+# vs keep-one-per-cluster. Exact md5 clustering; 1/c quantized 1e-9.
+# ---------------------------------------------------------------------------
+_ESS_SQL = """
+    WITH cl AS (
+      SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY md5(text)
+    ),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(CAST(floor(1.0e9 / c + 0.5) AS BIGINT)) AS BIGINT)
+               AS inv_u,
+             CAST(sum(toks) AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(floor(CAST(toks AS DOUBLE) / c + 0.5) AS BIGINT))
+                  AS BIGINT) AS kept_tokens
+      FROM cl
+    )
+    SELECT n_docs, n_clusters,
+           floor(CAST(n_clusters AS DOUBLE) * n_clusters
+                 / (CAST(inv_u AS DOUBLE) / 1.0e9) * 1.0e6 + 0.5) / 1.0e6
+             AS effective_sample_size,
+           floor(CAST(n_clusters AS DOUBLE) / n_docs * 1.0e6 + 0.5) / 1.0e6
+             AS keep_one_ratio,
+           total_tokens, kept_tokens
+    FROM s
+"""
+
+
+@_register("dedup_effective_sample_size", oracle=_ESS_SQL)
+def dedup_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESS of the corpus under 1/cluster-size soft-dedup weights vs the
+    keep-one ratio, plus the token yield of mean-per-cluster keeping.
+    One digest group-by (the exact-dedup shape), one scalar rollup."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    cl = docs.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.size(words_expr(F.col("text"))).cast("long"))
+        .cast("long")
+        .alias("toks"),
+    )
+    s = cl.agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.floor(1.0e9 / F.col("c") + 0.5).cast("long"))
+        .cast("long")
+        .alias("inv_u"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum(
+            F.floor(F.col("toks").cast("double") / F.col("c") + 0.5).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    q6 = lambda e2: F.floor(e2 * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return s.select(
+        "n_docs",
+        "n_clusters",
+        q6(
+            F.col("n_clusters").cast("double")
+            * F.col("n_clusters")
+            / (F.col("inv_u").cast("double") / 1.0e9)
+        ).alias("effective_sample_size"),
+        q6(F.col("n_clusters").cast("double") / F.col("n_docs")).alias(
+            "keep_one_ratio"
+        ),
+        "total_tokens",
+        "kept_tokens",
+    )
+
+
+# ===========================================================================
+# Wave E — text / language-model analytics.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Log-odds ratio with informative Dirichlet prior (Monroe, Colaresi &
+# Quinn 2008, "Fightin' Words"): which words distinguish English docs
+# from the rest, shrunk toward the corpus prior. z_w = δ_w/√var —
+# per-word algebra over three bounded frequency tables, top-10 by
+# quantized |z| with a word tiebreak.
+# ---------------------------------------------------------------------------
+_LOGODDS_SQL = """
+    WITH tok AS (
+      SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT w,
+             CAST(sum(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+             CAST(sum(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS yb
+      FROM tok GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
+             CAST(sum(ya + yb) AS BIGINT) AS n0
+      FROM cnt
+    ),
+    z AS (
+      SELECT w,
+             CAST(floor((
+               ln((ya + 100.0 * (ya + yb) / n0)
+                  / (na + 100.0 - ya - 100.0 * (ya + yb) / n0))
+               - ln((yb + 100.0 * (ya + yb) / n0)
+                    / (nb + 100.0 - yb - 100.0 * (ya + yb) / n0))
+             ) / sqrt(1.0 / (ya + 100.0 * (ya + yb) / n0)
+                      + 1.0 / (yb + 100.0 * (ya + yb) / n0))
+             * 1.0e6 + 0.5) AS BIGINT) AS z_u
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT w AS word, CAST(z_u AS DOUBLE) / 1.0e6 AS log_odds_z
+    FROM z ORDER BY abs(z_u) DESC, w LIMIT 10
+"""
+
+
+@_register("text_log_odds_dirichlet", oracle=_LOGODDS_SQL)
+def text_log_odds_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin'-Words z-scores (α0=100 informative Dirichlet prior)
+    for English-vs-rest word usage: one vocab rollup + a 1-row totals
+    broadcast, z quantized at 1e-6, deterministic top-10."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("grp"),
+        F.explode(words_expr(F.col("text"))).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0))
+        .cast("long")
+        .alias("ya"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0))
+        .cast("long")
+        .alias("yb"),
+    )
+    tot = cnt.agg(
+        F.sum("ya").cast("long").alias("na"),
+        F.sum("yb").cast("long").alias("nb"),
+        F.sum(F.col("ya") + F.col("yb")).cast("long").alias("n0"),
+    )
+    prior = 100.0 * (F.col("ya") + F.col("yb")) / F.col("n0")
+    da = F.log(
+        (F.col("ya") + prior) / (F.col("na") + 100.0 - F.col("ya") - prior)
+    )
+    db = F.log(
+        (F.col("yb") + prior) / (F.col("nb") + 100.0 - F.col("yb") - prior)
+    )
+    var = 1.0 / (F.col("ya") + prior) + 1.0 / (F.col("yb") + prior)
+    z_u = F.floor((da - db) / F.sqrt(var) * 1.0e6 + 0.5).cast("long")
+    z = cnt.crossJoin(F.broadcast(tot)).select(
+        F.col("w").alias("word"), z_u.alias("z_u")
+    )
+    return (
+        z.orderBy(F.abs(F.col("z_u")).desc(), "word")
+        .limit(10)
+        .select("word", (F.col("z_u").cast("double") / 1.0e6).alias("log_odds_z"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser–Ney bigram cross-entropy (Kneser & Ney 1995;
+# Chen & Goodman 1999, D=0.75): P(w|v) = max(c(vw)−D,0)/c(v·) +
+# D·N1+(v·)/c(v·) · N1+(·w)/N1+(··). The corpus-level bits/bigram —
+# all five count tables are vocab-bounded rollups; per-bigram terms
+# quantize at 1e-9 weighted by occurrence count.
+# ---------------------------------------------------------------------------
+_KN_SQL = """
+    WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    bg AS (
+      SELECT words[i] AS v, words[i + 1] AS w
+      FROM w2, unnest(generate_series(1, len(words) - 1)) AS u(i)
+    ),
+    cvw AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    cv AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+                  CAST(count(*) AS BIGINT) AS n1fwd
+           FROM cvw GROUP BY v),
+    cont AS (SELECT w, CAST(count(*) AS BIGINT) AS n1bwd FROM cvw GROUP BY w),
+    totc AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM cvw),
+    terms AS (
+      SELECT CAST(sum(CAST(floor(
+               -x.c * ln(
+                 (greatest(CAST(x.c AS DOUBLE) - 0.75, 0.0) / cv.cv)
+                 + 0.75 * cv.n1fwd / cv.cv
+                   * (CAST(ct.n1bwd AS DOUBLE) / t.n1all)
+               ) / ln(2.0) * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_u,
+             CAST(sum(x.c) AS BIGINT) AS n
+      FROM cvw x
+      JOIN cv ON x.v = cv.v
+      JOIN cont ct ON x.w = ct.w
+      CROSS JOIN totc t
+    )
+    SELECT n AS n_bigrams,
+           floor(CAST(s_u AS DOUBLE) / 1.0e9 / n * 1.0e6 + 0.5) / 1.0e6
+             AS kn_bits_per_bigram,
+           floor(pow(2.0, CAST(s_u AS DOUBLE) / 1.0e9 / n) * 1.0e4 + 0.5)
+             / 1.0e4 AS kn_perplexity
+    FROM terms
+"""
+
+
+@_register("lm_kneser_ney_bigram", oracle=_KN_SQL)
+def lm_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model scored on its own corpus
+    (training cross-entropy): bigram/context/continuation tables are
+    three vocab-bounded group-bys, the model is pure column algebra,
+    per-bigram -c·log2 P terms quantize at 1e-9."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    bg = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                F.slice(
+                    words, 2, F.greatest(F.size(words) - 1, F.lit(0))
+                ),
+                lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+            )
+        ).alias("p")
+    ).select(F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    cvw = bg.groupBy("v", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("c").cast("long").alias("cv"),
+        F.count(F.lit(1)).cast("long").alias("n1fwd"),
+    )
+    cont = cvw.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n1bwd"))
+    totc = cvw.agg(F.count(F.lit(1)).cast("long").alias("n1all"))
+    p = (
+        F.greatest(F.col("c").cast("double") - 0.75, F.lit(0.0)) / F.col("cv")
+        + 0.75
+        * F.col("n1fwd")
+        / F.col("cv")
+        * (F.col("n1bwd").cast("double") / F.col("n1all"))
+    )
+    term_u = F.floor(
+        -F.col("c") * F.log(p) / math.log(2.0) * 1.0e9 + 0.5
+    ).cast("long")
+    terms = (
+        cvw.join(F.broadcast(cv), "v")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(totc))
+        .agg(
+            F.sum(term_u).cast("long").alias("s_u"),
+            F.sum("c").cast("long").alias("n"),
+        )
+    )
+    bits = F.col("s_u").cast("double") / 1.0e9 / F.col("n")
+    return terms.select(
+        F.col("n").alias("n_bigrams"),
+        (F.floor(bits * 1.0e6 + 0.5) / 1.0e6).alias("kn_bits_per_bigram"),
+        (F.floor(F.pow(F.lit(2.0), bits) * 1.0e4 + 0.5) / 1.0e4).alias(
+            "kn_perplexity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Held-out unigram perplexity: train on odd-numbered sources, evaluate
+# add-one-smoothed unigram cross-entropy on the even-numbered held-out
+# half. V = full-corpus vocabulary (deterministic smoothing support).
+# ---------------------------------------------------------------------------
+_HELDOUT_SQL = """
+    WITH tok AS (
+      SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 1 AS is_train,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+    train AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok WHERE is_train GROUP BY w
+    ),
+    ntr AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM train),
+    held AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS h
+      FROM tok WHERE NOT is_train GROUP BY w
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(floor(
+               -h.h * ln((coalesce(t.c, 0) + 1.0) / (ntr.nt + vocab.v))
+               / ln(2.0) * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_u,
+             CAST(sum(h.h) AS BIGINT) AS n
+      FROM held h
+      LEFT JOIN train t ON h.w = t.w
+      CROSS JOIN ntr CROSS JOIN vocab
+    )
+    SELECT n AS n_held_tokens,
+           floor(CAST(s_u AS DOUBLE) / 1.0e9 / n * 1.0e6 + 0.5) / 1.0e6
+             AS bits_per_token,
+           floor(pow(2.0, CAST(s_u AS DOUBLE) / 1.0e9 / n) * 1.0e4 + 0.5)
+             / 1.0e4 AS heldout_perplexity
+    FROM terms
+"""
+
+
+@_register("lm_unigram_heldout_perplexity", oracle=_HELDOUT_SQL)
+def lm_unigram_heldout_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Add-one unigram model trained on odd sources, perplexity on even
+    sources: two vocab rollups + a broadcast join, per-word terms
+    weighted by held-out count and quantized at 1e-9."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.substring(F.col("source"), 4, 10).cast("long") % 2 == 1).alias(
+            "is_train"
+        ),
+        F.explode(words_expr(F.col("text"))).alias("w"),
+    )
+    vocab = tok.agg(F.countDistinct("w").cast("long").alias("v"))
+    train = tok.filter(F.col("is_train")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ntr = train.agg(F.sum("c").cast("long").alias("nt"))
+    held = tok.filter(~F.col("is_train")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    term_u = F.floor(
+        -F.col("h")
+        * F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+            / (F.col("nt") + F.col("v"))
+        )
+        / math.log(2.0)
+        * 1.0e9
+        + 0.5
+    ).cast("long")
+    terms = (
+        held.join(F.broadcast(train), "w", "left")
+        .crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(vocab))
+        .agg(
+            F.sum(term_u).cast("long").alias("s_u"),
+            F.sum("h").cast("long").alias("n"),
+        )
+    )
+    bits = F.col("s_u").cast("double") / 1.0e9 / F.col("n")
+    return terms.select(
+        F.col("n").alias("n_held_tokens"),
+        (F.floor(bits * 1.0e6 + 0.5) / 1.0e6).alias("bits_per_token"),
+        (F.floor(F.pow(F.lit(2.0), bits) * 1.0e4 + 0.5) / 1.0e4).alias(
+            "heldout_perplexity"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 parameter sweep: retrieval-score statistics for the fixed query
+# {scan, join, stream} at k1 ∈ {0.9, 1.2, 1.8} (b = 0.75) — the tuning
+# curve next to the registered single-point text_bm25_topk. Same
+# bounded shape, swept against a 3-row broadcast parameter table.
+# ---------------------------------------------------------------------------
+_BM25S_TERMS = ("scan", "join", "stream")
+_BM25S_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), corpus AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS sdl
+      FROM (SELECT doc_id, any_value(dl) AS dl FROM tok GROUP BY 1)
+    ), tf AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf,
+             any_value(dl) AS dl
+      FROM tok
+      WHERE t IN ({", ".join(f"'{w}'" for w in _BM25S_TERMS)})
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), ks AS (SELECT unnest([0.9, 1.2, 1.8]) AS k1),
+    scored AS (
+      SELECT ks.k1, tf.doc_id,
+             CAST(floor(
+               ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0)
+                  / (CAST(df AS DOUBLE) + 0.5e0) + 1.0e0)
+               * (CAST(tf AS DOUBLE) * (ks.k1 + 1.0e0))
+               / (CAST(tf AS DOUBLE) + ks.k1
+                  * (1.0e0 - 0.75e0
+                     + 0.75e0 * CAST(dl AS DOUBLE)
+                       * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE)))
+               * 1.0e9 + 0.5) AS BIGINT) AS s_nano
+      FROM tf JOIN df ON df.t = tf.t CROSS JOIN corpus CROSS JOIN ks
+    ), total AS (
+      SELECT k1, doc_id, CAST(sum(s_nano) AS BIGINT) AS sn
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT floor(k1 * 1.0e6 + 0.5) / 1.0e6 AS k1,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           floor(CAST(sum(sn) AS DOUBLE) / count(*) / 1.0e9 * 1.0e6 + 0.5)
+             / 1.0e6 AS mean_score,
+           floor(CAST(max(sn) AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS max_score
+    FROM total GROUP BY k1 ORDER BY k1
+"""
+
+
+@_register("text_bm25_parameter_sweep", oracle=_BM25S_SQL)
+def text_bm25_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 k1 sweep over one tokenize pass: the per-(k1, doc) scores
+    come from crossing the term-frequency table with a 3-row broadcast
+    parameter table — the sweep costs 3× the (tiny, query-term-
+    filtered) posting list, not 3 corpus scans."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", words.alias("w"), F.size(words).cast("long").alias("dl")
+    )
+    tok = base.select(
+        "doc_id", F.explode("w").alias("t"), "dl"
+    ).filter(F.col("t").isin(*_BM25S_TERMS))
+    corpus = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("sdl"),
+    )
+    tf = tok.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    dfc = tf.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ks = spark.createDataFrame(
+        [(0.9,), (1.2,), (1.8,)], "k1 double"
+    )
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    s_nano = F.floor(
+        idf
+        * (F.col("tf").cast("double") * (F.col("k1") + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.col("k1")
+            * (
+                1.0
+                - 0.75
+                + 0.75
+                * F.col("dl").cast("double")
+                * F.col("n").cast("double")
+                / F.col("sdl").cast("double")
+            )
+        )
+        * 1.0e9
+        + 0.5
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfc), "t")
+        .crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(ks))
+        .select("k1", "doc_id", s_nano.alias("s_nano"))
+    )
+    total = scored.groupBy("k1", "doc_id").agg(
+        F.sum("s_nano").cast("long").alias("sn")
+    )
+    return (
+        total.groupBy(
+            (F.floor(F.col("k1") * 1.0e6 + 0.5) / 1.0e6).alias("k1")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            (
+                F.floor(
+                    F.sum("sn").cast("double")
+                    / F.count(F.lit(1))
+                    / 1.0e9
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_score"),
+            (
+                F.floor(F.max("sn").cast("double") / 1.0e9 * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("max_score"),
+        )
+        .orderBy("k1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary overlap by frequency-rank band: head terms are shared
+# across sources, tail terms are source-specific — this measures where
+# the crossover sits. Global vocab ranks come from the two-pass
+# range-bucket operator (no key-scaled window even at web-corpus
+# vocabulary sizes).
+# ---------------------------------------------------------------------------
+_RANKBAND_SQL = """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    ranked AS (
+      SELECT w, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS r
+      FROM vocab
+    ),
+    banded AS (
+      SELECT w, CASE WHEN r <= 10 THEN 'head'
+                     WHEN r <= 25 THEN 'mid' ELSE 'tail' END AS band
+      FROM ranked
+    ),
+    presence AS (SELECT DISTINCT w, source FROM tok),
+    cover AS (
+      SELECT b.band, b.w, CAST(count(*) AS BIGINT) AS n_src
+      FROM banded b JOIN presence p ON b.w = p.w
+      GROUP BY 1, 2
+    ),
+    ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS s FROM tok)
+    SELECT band, CAST(count(*) AS BIGINT) AS n_words,
+           floor(CAST(sum(n_src) AS DOUBLE) / count(*) / max(ns.s) * 1.0e6
+                 + 0.5) / 1.0e6 AS mean_coverage,
+           floor(CAST(sum(CASE WHEN n_src = ns.s THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1.0e6 + 0.5) / 1.0e6 AS universal_share
+    FROM cover CROSS JOIN ns GROUP BY band ORDER BY band
+"""
+
+
+@_register("source_vocab_overlap_by_rank_band", oracle=_RANKBAND_SQL)
+def source_vocab_overlap_by_rank_band(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-band source coverage of the vocabulary: global frequency
+    ranks via ranked_cumsum_two_pass (range-bucketed — scale-safe at
+    any vocab size), presence joined word-keyed, 3-row band rollup."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(words_expr(F.col("text"))).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ranked = ranked_cumsum_two_pass(
+        vocab, "c", "w", out_rank="r", out_cum="__cum", ascending=False
+    )
+    banded = ranked.select(
+        "w",
+        F.when(F.col("r") <= 10, "head")
+        .when(F.col("r") <= 25, "mid")
+        .otherwise("tail")
+        .alias("band"),
+    )
+    presence = tok.distinct()
+    cover = (
+        banded.join(presence, "w")
+        .groupBy("band", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    )
+    ns = tok.agg(F.countDistinct("source").cast("long").alias("s"))
+    return (
+        cover.crossJoin(F.broadcast(ns))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            (
+                F.floor(
+                    F.sum("n_src").cast("double")
+                    / F.count(F.lit(1))
+                    / F.max("s")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("mean_coverage"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("n_src") == F.col("s"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("universal_share"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law per language: V(N) ≈ K·N^β fit in log-log space PER
+# LANGUAGE — the grouped twin of the registered corpus-level fit,
+# riding the grouped two-pass running sums (group_cols=['lang']).
+# ---------------------------------------------------------------------------
+_HEAPS_LANG_SQL = """
+    WITH tok AS (
+      SELECT lang, doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    first_seen AS (
+      SELECT lang, t, CAST(min(doc_id) AS BIGINT) AS fd FROM tok GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM tok GROUP BY 1, 2
+    ),
+    new_vocab AS (
+      SELECT lang, fd AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT p.lang, p.doc_id, p.n_tok, coalesce(v.n_new, 0) AS n_new
+      FROM per_doc p LEFT JOIN new_vocab v
+        ON p.lang = v.lang AND p.doc_id = v.doc_id
+    ),
+    cum AS (
+      SELECT lang,
+             CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                  AS BIGINT) AS n_cum,
+             CAST(sum(n_new) OVER (PARTITION BY lang ORDER BY doc_id)
+                  AS BIGINT) AS v_cum
+      FROM joined
+    ),
+    pts AS (
+      SELECT lang, ln(CAST(n_cum AS DOUBLE)) AS x,
+             ln(CAST(v_cum AS DOUBLE)) AS y
+      FROM cum WHERE v_cum > 0
+    ),
+    ols AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS np, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, np AS n_docs,
+           floor((np * sxy - sx * sy) / (np * sxx - sx * sx) * 1.0e6 + 0.5)
+             / 1.0e6 AS heaps_beta
+    FROM ols ORDER BY lang
+"""
+
+
+@_register("text_heaps_law_by_lang", oracle=_HEAPS_LANG_SQL)
+def text_heaps_law_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Heaps' β: first-seen trick per language, BOTH
+    running sums from grouped ranked_cumsum_two_pass calls
+    (group_cols=['lang'] — bounded bucket windows even when one
+    language dominates the corpus), per-language OLS in log-log."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", "doc_id", F.explode(words_expr(F.col("text"))).alias("t")
+    )
+    first_seen = tok.groupBy("lang", "t").agg(
+        F.min("doc_id").cast("long").alias("fd")
+    )
+    per_doc = tok.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    new_vocab = first_seen.groupBy(
+        "lang", F.col("fd").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    joined = per_doc.join(new_vocab, ["lang", "doc_id"], "left").select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    )
+    c1 = ranked_cumsum_two_pass(
+        joined, "doc_id", "doc_id",
+        weight_col="n_tok", group_cols=["lang"], ascending=True,
+        out_rank="__r1", out_cum="n_cum",
+    ).select("lang", "doc_id", "n_new", F.col("n_cum").cast("long").alias("n_cum"))
+    c2 = ranked_cumsum_two_pass(
+        c1, "doc_id", "doc_id",
+        weight_col="n_new", group_cols=["lang"], ascending=True,
+        out_rank="__r2", out_cum="v_cum",
+    ).select("lang", "n_cum", F.col("v_cum").cast("long").alias("v_cum"))
+    pts = c2.filter(F.col("v_cum") > 0).select(
+        "lang",
+        F.log(F.col("n_cum").cast("double")).alias("x"),
+        F.log(F.col("v_cum").cast("double")).alias("y"),
+    )
+    ols = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return (
+        ols.select(
+            "lang",
+            F.col("np").alias("n_docs"),
+            (
+                F.floor(
+                    (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (
+                        F.col("np") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    )
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("heaps_beta"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-repetition curve: fraction of token positions repeating a token
+# from the previous d ∈ {8, 16} positions — the memorization/loop
+# texture of generated text. Entirely row-local (zero shuffle before
+# the 2-row rollup).
+# ---------------------------------------------------------------------------
+def _selfrep_sql() -> str:
+    selects = []
+    for d in (8, 16):
+        selects.append(f"""
+    SELECT {d} AS distance, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(CAST(floor(
+             len(list_filter(generate_series({d} + 1, len(words)),
+                 i -> list_contains(words[i - {d}:i - 1], words[i])))
+             * 1.0e6 / (len(words) - {d}) + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) + 0.5) / 1.0e6 AS mean_repetition_rate
+    FROM w2 WHERE len(words) > {d}""")
+    union = "\n    UNION ALL\n".join(selects)
+    return f"""
+    WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    {union}
+    ORDER BY distance
+    """
+
+
+@_register("text_self_repetition_curve", oracle="__SELFREP__")
+def text_self_repetition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed self-repetition at lookback 8 and 16: per-position
+    membership checks fold over the token array row-locally; per-doc
+    rates quantize at 1e-6 before the per-distance mean."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    base = docs.select(words.alias("words"), F.size(words).alias("n"))
+    out = None
+    for d in (8, 16):
+        reps = F.aggregate(
+            F.sequence(F.lit(d + 1), F.col("n")),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                F.exists(
+                    F.slice(F.col("words"), i - F.lit(d), d),
+                    lambda t: t == F.element_at(F.col("words"), i),
+                ),
+                1,
+            ).otherwise(0),
+        )
+        rate_u = F.floor(
+            reps * 1.0e6 / (F.col("n") - d) + 0.5
+        ).cast("long")
+        agg = (
+            base.filter(F.col("n") > d)
+            .select(rate_u.alias("r_u"))
+            .agg(
+                F.lit(d).cast("int").alias("distance"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                (
+                    F.floor(
+                        F.sum("r_u").cast("double") / F.count(F.lit(1)) + 0.5
+                    )
+                    / 1.0e6
+                ).alias("mean_repetition_rate"),
+            )
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("distance")
+
+
+STAGED_ORACLES["text_self_repetition_curve"] = _selfrep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Character-vs-token entropy ratio per language: H_char/H_token — a
+# compression-style signal (token entropy saturates with a tiny
+# vocabulary while character entropy tracks orthography).
+# ---------------------------------------------------------------------------
+_CHARTOK_SQL = """
+    WITH tokf AS (
+      SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents
+      ) GROUP BY 1, 2
+    ),
+    tokt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM tokf GROUP BY lang),
+    htok AS (
+      SELECT f.lang,
+             CAST(sum(CAST(floor(-CAST(f.c AS DOUBLE) / t.n
+                   * ln(CAST(f.c AS DOUBLE) / t.n) * 1.0e9 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS h_u,
+             max(t.n) AS n
+      FROM tokf f JOIN tokt t ON f.lang = t.lang GROUP BY f.lang
+    ),
+    chf AS (
+      SELECT lang, ch, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT lang, unnest(string_split(text, '')) AS ch FROM documents
+      ) WHERE ch != '' GROUP BY 1, 2
+    ),
+    cht AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM chf GROUP BY lang),
+    hch AS (
+      SELECT f.lang,
+             CAST(sum(CAST(floor(-CAST(f.c AS DOUBLE) / t.n
+                   * ln(CAST(f.c AS DOUBLE) / t.n) * 1.0e9 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS h_u,
+             max(t.n) AS n
+      FROM chf f JOIN cht t ON f.lang = t.lang GROUP BY f.lang
+    )
+    SELECT htok.lang,
+           floor(CAST(htok.h_u AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS token_entropy,
+           floor(CAST(hch.h_u AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS char_entropy,
+           floor(CAST(hch.h_u AS DOUBLE) / CAST(htok.h_u AS DOUBLE) * 1.0e6
+                 + 0.5) / 1.0e6 AS char_token_ratio
+    FROM htok JOIN hch ON htok.lang = hch.lang
+    ORDER BY htok.lang
+"""
+
+
+@_register("text_char_token_entropy_ratio", oracle=_CHARTOK_SQL)
+def text_char_token_entropy_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shannon entropy of the character stream vs the token stream per
+    language: two bounded-alphabet rollups, per-symbol terms quantized
+    at 1e-9."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _h(sym_df, key):
+        f = sym_df.groupBy("lang", key).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        t = f.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+        return (
+            f.join(F.broadcast(t), "lang")
+            .groupBy("lang")
+            .agg(
+                F.sum(
+                    F.floor(
+                        -F.col("c").cast("double")
+                        / F.col("n")
+                        * F.log(F.col("c").cast("double") / F.col("n"))
+                        * 1.0e9
+                        + 0.5
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("h_u")
+            )
+        )
+
+    htok = _h(
+        docs.select("lang", F.explode(words_expr(F.col("text"))).alias("t")),
+        "t",
+    ).select("lang", F.col("h_u").alias("ht_u"))
+    hch = _h(
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), "")).alias("ch")
+        ).filter(F.col("ch") != ""),
+        "ch",
+    ).select("lang", F.col("h_u").alias("hc_u"))
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return (
+        htok.join(hch, "lang")
+        .select(
+            "lang",
+            q6(F.col("ht_u").cast("double") / 1.0e9).alias("token_entropy"),
+            q6(F.col("hc_u").cast("double") / 1.0e9).alias("char_entropy"),
+            q6(F.col("hc_u").cast("double") / F.col("ht_u")).alias(
+                "char_token_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ===========================================================================
+# Wave F — oceanographic profile integrals on the shared synthetic
+# profile substrate (the gsw_nsquared_profile convention: level rn per
+# orderkey, depth = rn·10 m, sigma = 20 + qty·0.1 + rn·0.05;
+# T = qty mod 30 degC, S = 30 + discount·50 PSU where T/S are needed).
+# Reference parity anchors: Simpson & Hunter 1974 (potential-energy
+# anomaly), the standard 0-100 m ocean heat content integral.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Potential-energy anomaly φ = (g/H)·Σ (ρ̄ − ρ(z))·z·Δz — the
+# stratification energy (J/m³) a mixing event must supply; the water-
+# column summary built on the same N² substrate.
+# ---------------------------------------------------------------------------
+_PEA_SQL = """
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ), prof AS (
+      SELECT l_orderkey,
+             CAST(rn * 10.0 AS DOUBLE) AS z,
+             CAST(1000.0 + 20.0 + l_quantity * 0.1 + rn * 0.05 AS DOUBLE)
+               AS rho
+      FROM levels
+    ), pstat AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_levels,
+             max(z) AS h, avg(rho) AS rho_bar
+      FROM prof GROUP BY l_orderkey
+    ), terms AS (
+      SELECT p.l_orderkey, s.n_levels,
+             CAST(floor((s.rho_bar - p.rho) * p.z * 10.0 * 1.0e6 + 0.5)
+                  AS BIGINT) AS t_u,
+             s.h
+      FROM prof p JOIN pstat s ON p.l_orderkey = s.l_orderkey
+    )
+    SELECT l_orderkey, max(n_levels) AS n_levels,
+           floor(9.80665 / max(h) * CAST(sum(t_u) AS DOUBLE) / 1.0e6 * 1.0e6
+                 + 0.5) / 1.0e6 AS phi_j_per_m3
+    FROM terms GROUP BY l_orderkey
+"""
+
+
+@_register("ios_potential_energy_anomaly", oracle=_PEA_SQL)
+def ios_potential_energy_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson–Hunter potential-energy anomaly per profile: level
+    numbering is the key-partitioned profile window, the column mean is
+    one grouped aggregate broadcast back, per-level terms quantize at
+    1e-6 before the profile sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    levels = li.withColumn("rn", F.row_number().over(w))
+    prof = levels.select(
+        "l_orderkey",
+        (F.col("rn") * 10.0).cast("double").alias("z"),
+        (F.lit(1000.0 + 20.0) + F.col("l_quantity") * 0.1 + F.col("rn") * 0.05)
+        .cast("double")
+        .alias("rho"),
+    )
+    pstat = prof.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.max("z").alias("h"),
+        F.avg("rho").alias("rho_bar"),
+    )
+    terms = prof.join(pstat, "l_orderkey").select(
+        "l_orderkey",
+        "n_levels",
+        F.floor(
+            (F.col("rho_bar") - F.col("rho")) * F.col("z") * 10.0 * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("t_u"),
+        "h",
+    )
+    return terms.groupBy("l_orderkey").agg(
+        F.max("n_levels").alias("n_levels"),
+        (
+            F.floor(
+                F.lit(9.80665)
+                / F.max("h")
+                * F.sum("t_u").cast("double")
+                / 1.0e6
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("phi_j_per_m3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T-S water-mass census: every observation classified into named T-S
+# classes (the T-S diagram turned into a bounded rollup), with counts
+# and share — the first chart an oceanographer draws from a cruise.
+# ---------------------------------------------------------------------------
+_WATERMASS_SQL = """
+    WITH obs AS (
+      SELECT CAST(l_quantity % 30 AS DOUBLE) AS t,
+             CAST(30.0 + l_discount * 50 AS DOUBLE) AS s
+      FROM lineitem
+    ),
+    classed AS (
+      SELECT CASE
+               WHEN t < 4 AND s >= 34 THEN 'deep'
+               WHEN t < 10 AND s < 33 THEN 'subpolar_fresh'
+               WHEN t < 10 THEN 'intermediate'
+               WHEN t < 20 AND s >= 34 THEN 'central'
+               WHEN t >= 20 AND s < 33 THEN 'tropical_fresh'
+               ELSE 'surface'
+             END AS water_mass,
+             t, s
+      FROM obs
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs)
+    SELECT water_mass, CAST(count(*) AS BIGINT) AS n_obs,
+           floor(CAST(count(*) AS DOUBLE) / max(tot.n) * 1.0e6 + 0.5) / 1.0e6
+             AS share,
+           floor(avg(t) * 1.0e4 + 0.5) / 1.0e4 AS mean_t,
+           floor(avg(s) * 1.0e4 + 0.5) / 1.0e4 AS mean_s
+    FROM classed CROSS JOIN tot
+    GROUP BY water_mass ORDER BY water_mass
+"""
+
+
+@_register("ios_ts_watermass_census", oracle=_WATERMASS_SQL)
+def ios_ts_watermass_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-mass census over the T-S plane: one bounded-alphabet
+    rollup (6 named classes), shares against a 1-row broadcast total."""
+    li = _t(spark, sf_dir, "lineitem")
+    obs = li.select(
+        (F.col("l_quantity") % 30).cast("double").alias("t"),
+        (F.lit(30.0) + F.col("l_discount") * 50).cast("double").alias("s"),
+    )
+    wm = (
+        F.when((F.col("t") < 4) & (F.col("s") >= 34), "deep")
+        .when((F.col("t") < 10) & (F.col("s") < 33), "subpolar_fresh")
+        .when(F.col("t") < 10, "intermediate")
+        .when((F.col("t") < 20) & (F.col("s") >= 34), "central")
+        .when((F.col("t") >= 20) & (F.col("s") < 33), "tropical_fresh")
+        .otherwise("surface")
+    )
+    classed = obs.select(wm.alias("water_mass"), "t", "s")
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    q4 = lambda e: F.floor(e * 1.0e4 + 0.5) / 1.0e4  # noqa: E731
+    return (
+        classed.crossJoin(F.broadcast(tot))
+        .groupBy("water_mass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            (
+                F.floor(
+                    F.count(F.lit(1)).cast("double") / F.max("n") * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("share"),
+            q4(F.avg("t")).alias("mean_t"),
+            q4(F.avg("s")).alias("mean_s"),
+        )
+        .orderBy("water_mass")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upper-column heat content per profile: OHC = ρ0·cp0·Σ T_i·Δz over
+# the top 100 m (10 uniform levels), reported in MJ/m².
+# ---------------------------------------------------------------------------
+_OHC_SQL = """
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ), prof AS (
+      SELECT l_orderkey,
+             CAST(l_quantity % 30 AS DOUBLE) AS t
+      FROM levels WHERE rn * 10.0 <= 100.0
+    )
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_levels,
+           floor(CAST(1025.0 AS DOUBLE) * 3991.86795711963e0 / 1.0e6
+                 * CAST(sum(CAST(floor(t * 10.0 * 1.0e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1.0e6 * 1.0e4 + 0.5) / 1.0e4
+             AS ohc_mj_per_m2
+    FROM prof GROUP BY l_orderkey
+"""
+
+
+@_register("ios_profile_heat_content", oracle=_OHC_SQL)
+def ios_profile_heat_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """0-100 m heat content per profile (ρ0 = 1025, cp0 = TEOS-10's
+    3991.86795711963 J/(kg·K)): per-level T·Δz terms quantize at 1e-6
+    before the profile sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    levels = li.withColumn("rn", F.row_number().over(w))
+    prof = levels.filter(F.col("rn") * 10.0 <= 100.0).select(
+        "l_orderkey", (F.col("l_quantity") % 30).cast("double").alias("t")
+    )
+    return prof.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        (
+            F.floor(
+                F.lit(1025.0 * 3991.86795711963 / 1.0e6)
+                * F.sum(
+                    F.floor(F.col("t") * 10.0 * 1.0e6 + 0.5).cast("long")
+                ).cast("double")
+                / 1.0e6
+                * 1.0e4
+                + 0.5
+            )
+            / 1.0e4
+        ).alias("ohc_mj_per_m2"),
+    )
+
+
+# ===========================================================================
+# Wave G — training-pipeline ops & audits.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Curriculum buckets: documents ordered by quality score into 4 stages
+# (easy→hard curriculum), token budget and mean quality per stage.
+# The global ordering is ntile_two_pass — no single-task sort at any
+# corpus size.
+# ---------------------------------------------------------------------------
+_CURRICULUM_SQL = """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(floor(
+               (len(list_filter(string_split(text, ' '), t -> strlen(t) >= 5))
+                * 1.0 / len(string_split(text, ' ')))
+               * 1.0e6 + 0.5) AS BIGINT) AS q_u
+      FROM documents
+    ),
+    tiled AS (
+      SELECT doc_id, n_tok, q_u,
+             CAST(ntile(4) OVER (ORDER BY q_u ASC, doc_id ASC) AS BIGINT)
+               AS stage
+      FROM q
+    )
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS stage_tokens,
+           floor(CAST(sum(q_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_quality
+    FROM tiled GROUP BY stage ORDER BY stage
+"""
+
+
+@_register("pack_curriculum_quality_buckets", oracle=_CURRICULUM_SQL)
+def pack_curriculum_quality_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """4-stage quality curriculum: the long-word-ratio quality proxy
+    quantized to integer micro-units, global ntile from ntile_two_pass
+    (range-bucketed — the scale-safe ORDER BY), per-stage token budget."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    long_ratio = F.size(
+        F.filter(words, lambda t: F.length(t) >= 5)
+    ) * 1.0 / F.size(words)
+    q = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tok"),
+        F.floor(long_ratio * 1.0e6 + 0.5).cast("long").alias("q_u"),
+    )
+    tiled = ntile_two_pass(q, "q_u", "doc_id", n_tiles=4, out_col="stage")
+    return (
+        tiled.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("stage_tokens"),
+            (
+                F.floor(F.sum("q_u").cast("double") / F.count(F.lit(1)) + 0.5)
+                / 1.0e6
+            ).alias("mean_quality"),
+        )
+        .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion power audit: is the URGENT-vs-LOW order-fulfilment
+# comparison POWERED at the current sample sizes? Closed-form normal
+# approximation (z_{0.975} = 1.959964, z_{0.80} = 0.841621) — the
+# pre-experiment sanity check run straight from the warehouse.
+# ---------------------------------------------------------------------------
+_POWER_SQL = """
+    WITH g AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END
+               AS grp,
+             CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT)
+               AS conv
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    s AS (
+      SELECT max(n) FILTER (grp = 'a') AS n1,
+             max(n) FILTER (grp = 'b') AS n2,
+             max(c) FILTER (grp = 'a') AS c1,
+             max(c) FILTER (grp = 'b') AS c2
+      FROM (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+        FROM g GROUP BY grp
+      )
+    )
+    SELECT n1, n2,
+           floor(CAST(c1 AS DOUBLE) / n1 * 1.0e6 + 0.5) / 1.0e6 AS p1,
+           floor(CAST(c2 AS DOUBLE) / n2 * 1.0e6 + 0.5) / 1.0e6 AS p2,
+           floor(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                 * 1.0e6 + 0.5) / 1.0e6 AS observed_diff,
+           floor((1.959964 + 0.841621)
+                 * sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)) * 1.0e6 + 0.5) / 1.0e6
+             AS mde_80,
+           CAST(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+                >= (1.959964 + 0.841621)
+                   * sqrt((CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                          * (1.0 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                          * (1.0 / n1 + 1.0 / n2)) AS BOOLEAN) AS is_powered
+    FROM s
+"""
+
+
+@_register("sample_two_proportion_power", oracle=_POWER_SQL)
+def sample_two_proportion_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% alpha for the
+    URGENT-vs-LOW fulfilment-rate comparison: one bounded group-by,
+    closed-form normal approximation, exact integer counts."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    g = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a")
+        .otherwise("b")
+        .alias("grp"),
+        F.when(F.col("o_orderstatus") == "F", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("conv"),
+    )
+    gg = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    pick = lambda col, grp: F.max(  # noqa: E731
+        F.when(F.col("grp") == grp, F.col(col))
+    )
+    s = gg.agg(
+        pick("n", "a").alias("n1"),
+        pick("n", "b").alias("n2"),
+        pick("c", "a").alias("c1"),
+        pick("c", "b").alias("c2"),
+    )
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    p2 = F.col("c2").cast("double") / F.col("n2")
+    pbar = (F.col("c1") + F.col("c2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    mde = (1.959964 + 0.841621) * F.sqrt(
+        pbar * (1.0 - pbar) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return s.select(
+        "n1",
+        "n2",
+        q6(p1).alias("p1"),
+        q6(p2).alias("p2"),
+        q6(F.abs(p1 - p2)).alias("observed_diff"),
+        q6(mde).alias("mde_80"),
+        (F.abs(p1 - p2) >= mde).alias("is_powered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly value-Gini: per ISO week, the Gini of per-user event value —
+# concentration drift week over week. Ranks come from the GROUPED
+# two-pass operator (group_cols=['wk']), the form that splits a hot
+# week across bounded bucket windows.
+# ---------------------------------------------------------------------------
+_WGINI_SQL = """
+    WITH rev AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, user_id,
+             CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS vq
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT wk, vq,
+             CAST(row_number() OVER (PARTITION BY wk ORDER BY vq, user_id)
+                  AS BIGINT) AS i
+      FROM rev
+    ),
+    s AS (
+      SELECT wk, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) AS HUGEINT) AS total,
+             CAST(sum(CAST(i AS HUGEINT) * vq) AS HUGEINT) AS weighted
+      FROM ranked GROUP BY wk
+    )
+    SELECT wk AS week_start, n AS n_users,
+           floor((2.0 * CAST(weighted AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / n) * 1.0e6 + 0.5) / 1.0e6
+             AS gini
+    FROM s ORDER BY wk
+"""
+
+
+@_register("events_weekly_value_gini", oracle=_WGINI_SQL)
+def events_weekly_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly Gini of per-user value: grouped ranked_cumsum_two_pass
+    ranks within each week (hot weeks split across bounded bucket
+    windows), exact integer weighted sums, one division per week."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    rev = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("wk"), "user_id"
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1.0e6 + 0.5).cast("long"))
+        .cast("long")
+        .alias("vq")
+    )
+    ranked = ranked_cumsum_two_pass(
+        rev, "vq", "user_id", group_cols=["wk"], ascending=True,
+        out_rank="i", out_cum="__cum",
+    ).select("wk", "vq", F.col("i").cast("long").alias("i"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = ranked.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("vq").cast("decimal(38,0)").alias("total"),
+        F.sum(dec("i") * dec("vq")).cast("decimal(38,0)").alias("weighted"),
+    )
+    nd = F.col("n").cast("double")
+    return (
+        s.select(
+            F.col("wk").alias("week_start"),
+            F.col("n").alias("n_users"),
+            (
+                F.floor(
+                    (
+                        2.0
+                        * F.col("weighted").cast("double")
+                        / (nd * F.col("total").cast("double"))
+                        - (nd + 1.0) / nd
+                    )
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("gini"),
+        )
+        .orderBy("week_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncation-loss sweep: token loss when packing documents into
+# fixed chunks that DROP the final partial chunk, at chunk sizes
+# 32/64/128 — the size-selection curve next to the registered
+# single-size truncation audit.
+# ---------------------------------------------------------------------------
+_TRUNC_SQL = """
+    WITH lens AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+    ),
+    sizes AS (SELECT unnest([32, 64, 128]) AS c),
+    s AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS total_tokens,
+             CAST(sum(CAST(floor(n / c) AS BIGINT) * c) AS BIGINT)
+               AS kept_tokens,
+             CAST(sum(CASE WHEN n < c THEN 1 ELSE 0 END) AS BIGINT)
+               AS fully_dropped_docs
+      FROM lens CROSS JOIN sizes GROUP BY c
+    )
+    SELECT c AS chunk_tokens, n_docs, total_tokens, kept_tokens,
+           fully_dropped_docs,
+           floor((1.0 - CAST(kept_tokens AS DOUBLE) / total_tokens) * 1.0e6
+                 + 0.5) / 1.0e6 AS loss_rate
+    FROM s ORDER BY c
+"""
+
+
+@_register("pack_truncation_loss_sweep", oracle=_TRUNC_SQL)
+def pack_truncation_loss_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-chunks-only packing loss at three chunk sizes from one
+    length projection crossed with a 3-row broadcast size table."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(F.size(words_expr(F.col("text"))).cast("long").alias("n"))
+    sizes = spark.createDataFrame([(32,), (64,), (128,)], "c int").select(
+        F.col("c").cast("long").alias("c")
+    )
+    s = (
+        lens.crossJoin(F.broadcast(sizes))
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.floor(F.col("n") / F.col("c")).cast("long") * F.col("c"))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.sum(F.when(F.col("n") < F.col("c"), 1).otherwise(0))
+            .cast("long")
+            .alias("fully_dropped_docs"),
+        )
+    )
+    return (
+        s.select(
+            F.col("c").alias("chunk_tokens"),
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "fully_dropped_docs",
+            (
+                F.floor(
+                    (
+                        1.0
+                        - F.col("kept_tokens").cast("double")
+                        / F.col("total_tokens")
+                    )
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("loss_rate"),
+        )
+        .orderBy("chunk_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata consistency: the fake-decoder contract says
+# width = bytes%64+16, height = bytes%48+16 — a corrupted payload or a
+# drifted decoder breaks the relation. The audit recomputes the
+# expected dims from payload size and counts mismatches per source
+# (here 0 by construction — the shape is the product; in production
+# the decode side comes from the codec).
+# ---------------------------------------------------------------------------
+_MMC_SQL = """
+    WITH media AS (
+      SELECT doc_id, source, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CAST((strlen(text) % 64) + 16 AS BIGINT) AS width,
+             CAST((strlen(text) % 48) + 16 AS BIGINT) AS height
+      FROM documents
+    ),
+    checked AS (
+      SELECT source,
+             CAST(CASE WHEN width = (n_bytes % 64) + 16
+                        AND height = (n_bytes % 48) + 16
+                   THEN 0 ELSE 1 END AS BIGINT) AS bad,
+             CAST(width * height AS BIGINT) AS n_pixels
+      FROM media
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(bad) AS BIGINT) AS n_inconsistent,
+           CAST(sum(n_pixels) AS BIGINT) AS total_pixels,
+           CAST(floor(CAST(sum(n_pixels) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_pixels
+    FROM checked GROUP BY source ORDER BY source
+"""
+
+
+@_register("multimodal_metadata_consistency", oracle=_MMC_SQL)
+def multimodal_metadata_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Payload-vs-metadata consistency per source over the binary
+    payload substrate: recomputed dims compared against the decoder's
+    metadata columns, one bounded rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        "source",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        ((F.octet_length("text") % 64) + 16).cast("long").alias("width"),
+        ((F.octet_length("text") % 48) + 16).cast("long").alias("height"),
+    )
+    checked = media.select(
+        "source",
+        F.when(
+            (F.col("width") == (F.col("n_bytes") % 64) + 16)
+            & (F.col("height") == (F.col("n_bytes") % 48) + 16),
+            0,
+        )
+        .otherwise(1)
+        .cast("long")
+        .alias("bad"),
+        (F.col("width") * F.col("height")).cast("long").alias("n_pixels"),
+    )
+    return (
+        checked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("bad").cast("long").alias("n_inconsistent"),
+            F.sum("n_pixels").cast("long").alias("total_pixels"),
+            F.floor(
+                F.sum("n_pixels").cast("double") / F.count(F.lit(1)) + 0.5
+            ).alias("mean_pixels"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexicon polarity by source: broadcast positive/negative word lists
+# (rule-based weak labeling — the cheap first-pass label a training
+# pipeline bootstraps from), polarity = (p − n)/(p + n).
+# ---------------------------------------------------------------------------
+_POS_WORDS = ("fast", "small")
+_NEG_WORDS = ("slow", "big", "error")
+_POLARITY_SQL = f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(sum(CASE WHEN t IN ({", ".join(f"'{w}'" for w in _POS_WORDS)})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN t IN ({", ".join(f"'{w}'" for w in _NEG_WORDS)})
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM tok GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CASE WHEN n_pos + n_neg = 0 THEN NULL
+                ELSE floor(CAST(n_pos - n_neg AS DOUBLE) / (n_pos + n_neg)
+                           * 1.0e6 + 0.5) / 1.0e6
+           END AS polarity
+    FROM s ORDER BY source
+"""
+
+
+@_register("doc_lexicon_polarity_by_source", oracle=_POLARITY_SQL)
+def doc_lexicon_polarity_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weak-label polarity per source from broadcast lexicon literals:
+    one tokenize pass, conditional sums, one bounded rollup."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(words_expr(F.col("text"))).alias("t"))
+    s = tok.groupBy("source").agg(
+        F.sum(F.when(F.col("t").isin(*_POS_WORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("t").isin(*_NEG_WORDS), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
+    )
+    return (
+        s.select(
+            "source",
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") + F.col("n_neg")) == 0, F.lit(None)
+            )
+            .otherwise(
+                F.floor(
+                    (F.col("n_pos") - F.col("n_neg")).cast("double")
+                    / (F.col("n_pos") + F.col("n_neg"))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            )
+            .alias("polarity"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price statistics by quantity decile: deciles of l_quantity via
+# ntile_two_pass over a unique composite row key, then exact integer
+# price stats per decile — the binned-trend audit (does unit economics
+# shift with order size?).
+# ---------------------------------------------------------------------------
+_QTY_DECILE_SQL = """
+    WITH rows_ AS (
+      SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qq,
+             l_orderkey * 10 + l_linenumber AS rk,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+      FROM lineitem
+    ),
+    tiled AS (
+      SELECT price_c,
+             CAST(ntile(10) OVER (ORDER BY qq ASC, rk ASC) AS BIGINT)
+               AS decile
+      FROM rows_
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(price_c) AS BIGINT) AS min_price_cents,
+           CAST(max(price_c) AS BIGINT) AS max_price_cents,
+           CAST(floor(CAST(sum(price_c) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS mean_price_cents
+    FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+
+@_register("lineitem_price_by_qty_decile", oracle=_QTY_DECILE_SQL)
+def lineitem_price_by_qty_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity deciles (ntile_two_pass over integer centi-units
+    with a unique composite tiebreak) and integer price stats per
+    decile."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("qq"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("rk"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_c"),
+    )
+    tiled = ntile_two_pass(rows, "qq", "rk", n_tiles=10, out_col="decile")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("price_c").cast("long").alias("min_price_cents"),
+            F.max("price_c").cast("long").alias("max_price_cents"),
+            F.floor(
+                F.sum("price_c").cast("double") / F.count(F.lit(1)) + 0.5
+            ).alias("mean_price_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusability margin by source: hits against the four
+# broadcast stopword lists (the registered text_langid scoring), margin
+# = top1 − top2 hit counts; low-margin docs are the routing risk.
+# ---------------------------------------------------------------------------
+def _margin_oracle() -> str:
+    from cioos_siooc_data_transform_spark.operators.text import LANG_STOPWORDS
+
+    def lst(lang):
+        return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS dw
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source,
+             [CAST(len(list_intersect(dw, {lst("en")})) AS BIGINT),
+              CAST(len(list_intersect(dw, {lst("es")})) AS BIGINT),
+              CAST(len(list_intersect(dw, {lst("fr")})) AS BIGINT),
+              CAST(len(list_intersect(dw, {lst("de")})) AS BIGINT)] AS hits
+      FROM w
+    ),
+    m AS (
+      SELECT source,
+             list_sort(hits)[4] - list_sort(hits)[3] AS margin
+      FROM h
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(margin) AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS mean_margin,
+           floor(CAST(sum(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1.0e6 + 0.5) / 1.0e6 AS ambiguous_share
+    FROM m GROUP BY source ORDER BY source
+    """
+
+
+@_register("doc_langid_margin_by_source", oracle="__MARGIN__")
+def doc_langid_margin_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit margin (top1 − top2 of the 4 language scores) per
+    source: row-local intersections against broadcast literals, sorted
+    4-element array — margin 0 means the router is guessing."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.text import LANG_STOPWORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    dw = F.array_distinct(words_expr(F.col("text")))
+    hits = F.array(
+        *[
+            F.size(
+                F.array_intersect(
+                    dw, F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+                )
+            ).cast("long")
+            for lang in ("en", "es", "fr", "de")
+        ]
+    )
+    srt = F.array_sort(hits)
+    m = docs.select(
+        "source",
+        (F.element_at(srt, 4) - F.element_at(srt, 3)).alias("margin"),
+    )
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            q6(F.sum("margin").cast("double") / F.count(F.lit(1))).alias(
+                "mean_margin"
+            ),
+            q6(
+                F.sum(F.when(F.col("margin") == 0, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("ambiguous_share"),
+        )
+        .orderBy("source")
+    )
+
+
+STAGED_ORACLES["doc_langid_margin_by_source"] = _margin_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Sourcing-depth price spread: parts grouped by how many distinct
+# suppliers ship them; deeper sourcing should compress the price
+# spread — the multi-sourcing audit.
+# ---------------------------------------------------------------------------
+_SOURCING_SQL = """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             CAST(max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                  - min(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS spread_c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT n_supp AS sourcing_depth, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(floor(CAST(sum(spread_c) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS mean_spread_cents,
+           CAST(max(spread_c) AS BIGINT) AS max_spread_cents
+    FROM per_part GROUP BY n_supp ORDER BY n_supp
+"""
+
+
+@_register("part_sourcing_depth_price_spread", oracle=_SOURCING_SQL)
+def part_sourcing_depth_price_spread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Price spread per sourcing depth: one part-keyed rollup (distinct
+    suppliers + integer price spread), one bounded depth rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    pc = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        (F.max(pc) - F.min(pc)).cast("long").alias("spread_c"),
+    )
+    return (
+        per_part.groupBy(F.col("n_supp").alias("sourcing_depth"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.floor(
+                F.sum("spread_c").cast("double") / F.count(F.lit(1)) + 0.5
+            ).alias("mean_spread_cents"),
+            F.max("spread_c").cast("long").alias("max_spread_cents"),
+        )
+        .orderBy("sourcing_depth")
     )

@@ -426,6 +426,48 @@ def case_running_extreme(spark, guarded: bool):
     return df.select("k", F.max("x").over(w).alias("hwm"))
 
 
+def case_km_risk_set(spark, guarded: bool):
+    """Kaplan–Meier risk-set build over CONTINUOUS durations (the
+    round-10 orders_kaplan_meier shape pushed past its bounded-axis
+    assumption): 20M subjects with ~20M distinct micro-second
+    durations, so the event-time table scales with |rows| and the
+    running leave-count decides the plan. guarded = the weighted
+    running count from ranked_cumsum_two_pass (range-bucketed, ~512
+    bounded windows); unguarded = the plain ORDER BY t cumulative
+    window (ONE task sorts and scans every distinct duration)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    dur = spark.range(N_RANK_ROWS).select(
+        ((F.col("id") * 2654435761) % 900_000_000_000).cast("long").alias("t"),
+        (F.col("id") % 10 != 0).cast("long").alias("ev"),
+    )
+    ev_t = dur.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_all"),
+    )
+    if guarded:
+        r = ranked_cumsum_two_pass(
+            ev_t, "t", "t", weight_col="leave_all", ascending=True,
+            out_rank="__rn", out_cum="cum_leave",
+        )
+        return r.select(
+            "t", "d", (F.col("cum_leave") - F.col("leave_all")).alias("left_before")
+        )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    return ev_t.select(
+        "t",
+        "d",
+        F.coalesce(F.sum("leave_all").over(w).cast("long"), F.lit(0)).alias(
+            "left_before"
+        ),
+    )
+
+
 CASES = {
     "ngram_jaccard": case_ngram_jaccard,
     "lsh_topk": case_lsh_topk,
@@ -435,6 +477,7 @@ CASES = {
     "ranked_cumsum": case_ranked_cumsum,
     "grouped_rank": case_grouped_rank,
     "running_extreme": case_running_extreme,
+    "km_risk_set": case_km_risk_set,
 }
 
 
