@@ -1,0 +1,2687 @@
+"""STAGED round-17 queries — NOT registered (round-17 runway seed,
+started early in round 10; the staged_r15 partial-seed precedent).
+
+Same contract as staged_r5..r16: LOCAL registry, strict-harness pytest
+coverage in tests/test_staged_r17.py, idempotent ``activate()``.
+Activation order: staged_r11 (round 11) -> ... -> staged_r16 (round
+16) -> this module (round 17). Budget: <= 50 fresh names at
+activation; the slate may be topped up in later rounds before it goes
+live.
+
+Content so far:
+
+- Wave A — econometric / time-series tests over the orders daily and
+  monthly revenue series and the events stream: Lo–MacKinlay variance
+  ratio, Durbin–Watson, AR(1) with t-statistic, KPSS-style
+  stationarity, simple-exponential-smoothing backtest (closed-form
+  weights — no recursion), self-excitation vs the per-user Poisson
+  baseline, Bartlett's variance homogeneity, McNemar's paired activity
+  flip test, a zero-inflation score over the implicit user×hour grid
+  (grid size computed as a product of counts, never materialized).
+- Wave B — embedding / similarity audits: per-dimension Mann–Whitney
+  AUC sweep, LSH NDCG audit, norm-by-label ANOVA, kNN label-consistency
+  curve, PCA residual variance, per-query difficulty profile (relative
+  contrast + margin + local intrinsic dimensionality), Hopkins
+  clusterability statistic.
+- Wave C — graph: truncated Katz centrality, link-predictor rank
+  agreement, geometric fit of the support distribution.
+- Wave D — pipeline audits: keeper-policy quality bias, dedup token
+  yield by source, decontamination false-positive length profile,
+  stratified-vs-SRS design effect, mixture reweighting, prefix-vs-full
+  dedup agreement.
+- Wave E — text: lexical sophistication by source, vocabulary Gini via
+  the two-pass rank operator, bigram coverage.
+
+Scale notes (the 100 TB contract): series windows run over
+calendar-bounded rollups (day/month axes — the allowlisted class, to
+be declared at activation exactly as tests/test_staged_r17.py::
+EXPECTED_BOUNDED_WINDOW_QUERIES records); every global rank rides the
+two-pass operators; pair joins are bounded (8-query broadcasts, LSH
+buckets, month×month backtest grids).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cioos_siooc_data_transform_spark.session import read_table as _t
+
+STAGED_QUERIES: dict[str, Callable[..., Any]] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def activate() -> int:
+    """Round-17 activation (idempotent)."""
+    from cioos_siooc_data_transform_spark.plans.registry import ORACLES, QUERIES
+
+    n = 0
+    for name, fn in STAGED_QUERIES.items():
+        if name not in QUERIES:
+            QUERIES[name] = fn
+            ORACLES[name] = STAGED_ORACLES[name]
+            n += 1
+    return n
+
+
+def _register(name: str, oracle: str):
+    def deco(fn: Callable[..., Any]) -> Callable[..., Any]:
+        STAGED_QUERIES[name] = fn
+        STAGED_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared substrate: the daily revenue series (cents, exact) with a
+# dense day index from the broadcast min-date.
+_DAILY_REV_CTE = """
+    daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(date_diff('day', (SELECT min(day) FROM daily), day)
+                  AS BIGINT) AS i, rev
+      FROM daily
+    )
+"""
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    mn = daily.agg(F.min("day").alias("d0"))
+    return daily.crossJoin(F.broadcast(mn)).select(
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("i"), "rev"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lo–MacKinlay variance ratio (1988) of daily log revenue at horizons
+# q = 2 and 5: VR(q) = Var(r_t + ... + r_{t+q-1}) / (q·Var(r)).
+# VR ≈ 1 under a random walk; VR > 1 means positive autocorrelation.
+# All windows run over the ≤|days| calendar rollup.
+# ---------------------------------------------------------------------------
+_VR_SQL = f"""
+    WITH {_DAILY_REV_CTE},
+    r AS (
+      SELECT i, ln(CAST(rev AS DOUBLE))
+               - ln(CAST(lag(rev) OVER (ORDER BY i) AS DOUBLE)) AS ret
+      FROM idx
+    ),
+    rr AS (SELECT i, ret FROM r WHERE ret IS NOT NULL),
+    qs AS (SELECT unnest([2, 5]) AS q),
+    sums AS (
+      SELECT s.q, s.i,
+             sum(rr2.ret) AS sq, CAST(count(*) AS BIGINT) AS nq
+      FROM (SELECT q, i FROM rr CROSS JOIN qs) s
+      JOIN rr rr2 ON rr2.i >= s.i AND rr2.i < s.i + s.q
+      GROUP BY s.q, s.i
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(ret) AS s1,
+             sum(ret * ret) AS s2
+      FROM rr
+    ),
+    agg AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS m, sum(sq) AS t1,
+             sum(sq * sq) AS t2
+      FROM sums WHERE nq = q GROUP BY q
+    )
+    SELECT q AS horizon, b.n AS n_returns,
+           floor(((t2 - t1 * t1 / m) / (m - 1))
+                 / (q * ((s2 - s1 * s1 / n) / (n - 1)))
+                 * 1.0e6 + 0.5) / 1.0e6 AS variance_ratio
+    FROM agg CROSS JOIN base b
+    ORDER BY q
+"""
+
+
+@_register("orders_variance_ratio", oracle=_VR_SQL)
+def orders_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-ratio random-walk test on daily log revenue: q-day
+    return sums come from a bounded self-join on the ≤|days| day-index
+    table (i <= j < i+q — at most q matches per row), variances from
+    exact moment sums."""
+    idx = _daily_rev(spark, sf_dir)
+    w = Window.orderBy("i")
+    r = idx.select(
+        "i",
+        (
+            F.log(F.col("rev").cast("double"))
+            - F.log(F.lag("rev").over(w).cast("double"))
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    qs = spark.createDataFrame([(2,), (5,)], "q int").select(
+        F.col("q").cast("long").alias("q")
+    )
+    s = r.select(F.col("i").alias("si"), F.lit(1).alias("__one")).crossJoin(
+        F.broadcast(qs)
+    )
+    r2 = r.select(F.col("i").alias("j"), F.col("ret").alias("ret2"))
+    sums = (
+        s.join(
+            r2,
+            (F.col("j") >= F.col("si")) & (F.col("j") < F.col("si") + F.col("q")),
+        )
+        .groupBy("q", "si")
+        .agg(
+            F.sum("ret2").alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("nq"),
+        )
+    )
+    base = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ret").alias("s1"),
+        F.sum(F.col("ret") * F.col("ret")).alias("s2"),
+    )
+    agg = sums.filter(F.col("nq") == F.col("q")).groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("sq").alias("t1"),
+        F.sum(F.col("sq") * F.col("sq")).alias("t2"),
+    )
+    vr = (
+        (F.col("t2") - F.col("t1") * F.col("t1") / F.col("m"))
+        / (F.col("m") - 1)
+    ) / (
+        F.col("q")
+        * (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(base))
+        .select(
+            F.col("q").alias("horizon"),
+            F.col("n").alias("n_returns"),
+            (F.floor(vr * 1.0e6 + 0.5) / 1.0e6).alias("variance_ratio"),
+        )
+        .orderBy("horizon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin–Watson statistic of the daily-revenue-on-time OLS residuals:
+# DW = Σ(e_t − e_{t−1})² / Σe². DW ≈ 2 means no serial correlation.
+# ---------------------------------------------------------------------------
+_DW_SQL = f"""
+    WITH {_DAILY_REV_CTE},
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(CAST(i AS DOUBLE)) AS sx,
+             sum(CAST(rev AS DOUBLE)) AS sy,
+             sum(CAST(i AS DOUBLE) * i) AS sxx,
+             sum(CAST(i AS DOUBLE) * rev) AS sxy
+      FROM idx
+    ),
+    resid AS (
+      SELECT i,
+             rev - ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                    + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * i) AS e
+      FROM idx CROSS JOIN ols
+    ),
+    lagged AS (
+      SELECT e, lag(e) OVER (ORDER BY i) AS ep FROM resid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           floor(sum(CASE WHEN ep IS NULL THEN 0.0 ELSE (e - ep) * (e - ep) END)
+                 / sum(e * e) * 1.0e6 + 0.5) / 1.0e6 AS durbin_watson
+    FROM lagged
+"""
+
+
+@_register("orders_durbin_watson", oracle=_DW_SQL)
+def orders_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DW serial-correlation statistic of the revenue-vs-time OLS
+    residuals: one exact-moment OLS broadcast, one lag window over the
+    bounded day axis."""
+    idx = _daily_rev(spark, sf_dir)
+    ols = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("i").cast("double")).alias("sx"),
+        F.sum(F.col("rev").cast("double")).alias("sy"),
+        F.sum(F.col("i").cast("double") * F.col("i")).alias("sxx"),
+        F.sum(F.col("i").cast("double") * F.col("rev")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    icept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    resid = idx.crossJoin(F.broadcast(ols)).select(
+        "i", (F.col("rev") - (icept + slope * F.col("i"))).alias("e")
+    )
+    w = Window.orderBy("i")
+    lagged = resid.select("e", F.lag("e").over(w).alias("ep"))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(F.col("ep").isNull(), 0.0).otherwise(
+                        (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+                    )
+                )
+                / F.sum(F.col("e") * F.col("e"))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("durbin_watson"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AR(1) fit of the daily event-count series with the coefficient's
+# t-statistic: x_t = a + ρ·x_{t−1} + ε. |t| > 2 rejects white noise.
+# ---------------------------------------------------------------------------
+_AR1_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT CAST(c AS DOUBLE) AS y,
+             CAST(lag(c) OVER (ORDER BY day) AS DOUBLE) AS x
+      FROM daily
+    ),
+    p AS (SELECT y, x FROM seq WHERE x IS NOT NULL),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM p
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS rho,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a,
+             sx, sy, sxx, sxy, syy
+      FROM s
+    ),
+    err AS (
+      SELECT n, rho,
+             (syy - 2 * a * sy - 2 * rho * sxy + n * a * a
+              + 2 * a * rho * sx + rho * rho * sxx) / (n - 2) AS s2,
+             sxx - sx * sx / n AS sxx_c
+      FROM fit
+    )
+    SELECT n AS n_pairs,
+           floor(rho * 1.0e6 + 0.5) / 1.0e6 AS ar1_rho,
+           floor(rho / sqrt(s2 / sxx_c) * 1.0e6 + 0.5) / 1.0e6 AS t_stat
+    FROM err
+"""
+
+
+@_register("events_ar1_tstat", oracle=_AR1_SQL)
+def events_ar1_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(1) coefficient and t-statistic of daily counts: one lag
+    window over the calendar axis, the whole fit from five moment sums
+    (the residual sum expands algebraically — no second pass)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("day")
+    p = daily.select(
+        F.col("c").cast("double").alias("y"),
+        F.lag("c").over(w).cast("double").alias("x"),
+    ).filter(F.col("x").isNotNull())
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    rho = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    a = (F.col("sy") - rho * F.col("sx")) / F.col("n")
+    s2 = (
+        F.col("syy")
+        - 2 * a * F.col("sy")
+        - 2 * rho * F.col("sxy")
+        + F.col("n") * a * a
+        + 2 * a * rho * F.col("sx")
+        + rho * rho * F.col("sxx")
+    ) / (F.col("n") - 2)
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return s.select(
+        F.col("n").alias("n_pairs"),
+        q6(rho).alias("ar1_rho"),
+        q6(rho / F.sqrt(s2 / sxx_c)).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KPSS-style stationarity statistic of daily revenue (Kwiatkowski et
+# al. 1992, lag-0 long-run variance — documented simplification):
+# η = Σ S_t² / (n²·σ̂²) over partial sums of the demeaned series.
+# ---------------------------------------------------------------------------
+_KPSS_SQL = f"""
+    WITH {_DAILY_REV_CTE},
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(CAST(rev AS DOUBLE)) AS s1,
+             sum(CAST(rev AS DOUBLE) * rev) AS s2
+      FROM idx
+    ),
+    dm AS (
+      SELECT i, CAST(rev AS DOUBLE) - s1 / n AS e FROM idx CROSS JOIN mom
+    ),
+    ps AS (
+      SELECT i, sum(e) OVER (ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS st
+      FROM dm
+    ),
+    agg AS (SELECT sum(st * st) AS sst FROM ps)
+    SELECT n AS n_days,
+           floor(sst / (CAST(n AS DOUBLE) * n * ((s2 - s1 * s1 / n) / n))
+                 * 1.0e6 + 0.5) / 1.0e6 AS kpss_eta
+    FROM agg CROSS JOIN mom
+"""
+
+
+@_register("orders_kpss_stationarity", oracle=_KPSS_SQL)
+def orders_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic over the bounded day axis:
+    demeaned partial sums from one running window, normalized by the
+    lag-0 long-run variance."""
+    idx = _daily_rev(spark, sf_dir)
+    mom = idx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rev").cast("double")).alias("s1"),
+        F.sum(F.col("rev").cast("double") * F.col("rev")).alias("s2"),
+    )
+    dm = idx.crossJoin(F.broadcast(mom)).select(
+        "i",
+        (F.col("rev").cast("double") - F.col("s1") / F.col("n")).alias("e"),
+        "n",
+        "s1",
+        "s2",
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    ps = dm.select("n", "s1", "s2", F.sum("e").over(w).alias("st"))
+    agg = ps.agg(
+        F.sum(F.col("st") * F.col("st")).alias("sst"),
+        F.max("n").alias("n"),
+        F.max("s1").alias("s1"),
+        F.max("s2").alias("s2"),
+    )
+    eta = F.col("sst") / (
+        F.col("n").cast("double")
+        * F.col("n")
+        * ((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n"))
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        (F.floor(eta * 1.0e6 + 0.5) / 1.0e6).alias("kpss_eta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simple-exponential-smoothing backtest on monthly revenue, α = 0.3,
+# via the CLOSED-FORM weights l_{t-1} = α Σ_{j<t-1} (1-α)^{t-2-j} x_j
+# + (1-α)^{t-1} x_0 — an O(months²) bounded pair join instead of a
+# sequential recursion. One-step-ahead MAE vs the naive (last-value)
+# forecast.
+# ---------------------------------------------------------------------------
+_SES_SQL = """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    midx AS (
+      SELECT CAST(row_number() OVER (ORDER BY mon) - 1 AS BIGINT) AS t,
+             CAST(rev AS DOUBLE) AS x
+      FROM monthly
+    ),
+    level AS (
+      SELECT f.t,
+             sum(CASE WHEN h.t = 0
+                  THEN pow(0.7, f.t - 1) * h.x
+                  ELSE 0.3 * pow(0.7, f.t - 1 - h.t) * h.x END) AS l_prev
+      FROM midx f JOIN midx h ON h.t <= f.t - 1
+      WHERE f.t >= 1
+      GROUP BY f.t
+    ),
+    err AS (
+      SELECT f.t, abs(f.x - l.l_prev) AS e_ses,
+             abs(f.x - p.x) AS e_naive
+      FROM midx f
+      JOIN level l ON f.t = l.t
+      JOIN midx p ON p.t = f.t - 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+           CAST(floor(sum(e_ses) / count(*) / 100.0 + 0.5) AS BIGINT) AS ses_mae,
+           CAST(floor(sum(e_naive) / count(*) / 100.0 + 0.5) AS BIGINT)
+             AS naive_mae,
+           floor(sum(e_ses) / sum(e_naive) * 1.0e6 + 0.5) / 1.0e6
+             AS mae_ratio
+    FROM err
+"""
+
+
+@_register("orders_ses_backtest", oracle=_SES_SQL)
+def orders_ses_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SES one-step backtest with closed-form exponential weights over
+    the ≤|months| axis (the recursion unrolled as a bounded t×h pair
+    join — both engines sum the IDENTICAL weight expressions, and the
+    join fan-out is months²/2, a constant for any data volume)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("mon")
+    midx = monthly.select(
+        (F.row_number().over(w) - 1).cast("long").alias("t"),
+        F.col("rev").cast("double").alias("x"),
+    )
+    f = midx.select(F.col("t").alias("ft"), F.col("x").alias("fx"))
+    h = midx.select(F.col("t").alias("ht"), F.col("x").alias("hx"))
+    level = (
+        f.filter(F.col("ft") >= 1)
+        .join(h, F.col("ht") <= F.col("ft") - 1)
+        .groupBy("ft")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("ht") == 0,
+                    F.pow(F.lit(0.7), F.col("ft") - 1) * F.col("hx"),
+                ).otherwise(
+                    0.3
+                    * F.pow(F.lit(0.7), F.col("ft") - 1 - F.col("ht"))
+                    * F.col("hx")
+                )
+            ).alias("l_prev")
+        )
+    )
+    prev = midx.select(
+        (F.col("t") + 1).alias("ft"), F.col("x").alias("px")
+    )
+    err = (
+        midx.select(F.col("t").alias("ft"), F.col("x").alias("fx"))
+        .join(level, "ft")
+        .join(prev, "ft")
+        .select(
+            F.abs(F.col("fx") - F.col("l_prev")).alias("e_ses"),
+            F.abs(F.col("fx") - F.col("px")).alias("e_naive"),
+        )
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("long").alias("n_forecasts"),
+        F.floor(F.sum("e_ses") / F.count(F.lit(1)) / 100.0 + 0.5).alias(
+            "ses_mae"
+        ),
+        F.floor(F.sum("e_naive") / F.count(F.lit(1)) / 100.0 + 0.5).alias(
+            "naive_mae"
+        ),
+        (
+            F.floor(F.sum("e_ses") / F.sum("e_naive") * 1.0e6 + 0.5) / 1.0e6
+        ).alias("mae_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-excitation ratio: P(same user's next event within 60 s) vs the
+# per-user Poisson baseline 1 − exp(−λ_u·60). Ratio >> 1 is the
+# Hawkes-process signature (events trigger events). Sequence windows
+# partition by user (key-partitioned, bounded per user).
+# ---------------------------------------------------------------------------
+_SELFEX_SQL = """
+    WITH span AS (
+      SELECT (CAST(floor(epoch(max(ts))) AS BIGINT)
+              - CAST(floor(epoch(min(ts))) AS BIGINT)) AS t_span
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id,
+             CAST(floor(epoch(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+             - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+      FROM events
+    ),
+    g AS (SELECT user_id, gap FROM seq WHERE gap IS NOT NULL),
+    per_user AS (
+      SELECT g.user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(CASE WHEN gap <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fast,
+             CAST(floor((1.0 - exp(-(CAST(count(*) AS DOUBLE) + 1.0)
+                                   / max(s.t_span) * 60.0))
+                        * CAST(count(*) AS DOUBLE) * 1.0e6 + 0.5) AS BIGINT)
+               AS exp_fast_u
+      FROM g CROSS JOIN span s GROUP BY g.user_id
+    )
+    SELECT CAST(sum(n_gaps) AS BIGINT) AS n_gaps,
+           floor(CAST(sum(n_fast) AS DOUBLE) / sum(n_gaps) * 1.0e6 + 0.5)
+             / 1.0e6 AS observed_fast_share,
+           floor(CAST(sum(exp_fast_u) AS DOUBLE) / 1.0e6 / sum(n_gaps)
+                 * 1.0e6 + 0.5) / 1.0e6 AS poisson_fast_share,
+           floor(CAST(sum(n_fast) AS DOUBLE)
+                 / (CAST(sum(exp_fast_u) AS DOUBLE) / 1.0e6) * 1.0e6 + 0.5)
+             / 1.0e6 AS excitation_ratio
+    FROM per_user
+"""
+
+
+@_register("events_self_excitation_ratio", oracle=_SELFEX_SQL)
+def events_self_excitation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hawkes-signature audit: observed share of ≤60 s same-user
+    inter-event gaps vs each user's own Poisson expectation (rate =
+    (n_gaps+1)/span). One user-partitioned lead window; per-user
+    expectations quantize at 1e-6 before the integer sum."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.agg(
+        (
+            F.floor(F.unix_timestamp(F.max("ts")))
+            - F.floor(F.unix_timestamp(F.min("ts")))
+        ).alias("t_span")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        (
+            F.floor(F.unix_timestamp(F.lead("ts").over(w)))
+            - F.floor(F.unix_timestamp(F.col("ts")))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    per_user = (
+        seq.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum(F.when(F.col("gap") <= 60, 1).otherwise(0))
+            .cast("long")
+            .alias("n_fast"),
+            F.floor(
+                (
+                    1.0
+                    - F.exp(
+                        -(F.count(F.lit(1)).cast("double") + 1.0)
+                        / F.max("t_span")
+                        * 60.0
+                    )
+                )
+                * F.count(F.lit(1)).cast("double")
+                * 1.0e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("exp_fast_u"),
+        )
+    )
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return per_user.agg(
+        F.sum("n_gaps").cast("long").alias("n_gaps"),
+        q6(F.sum("n_fast").cast("double") / F.sum("n_gaps")).alias(
+            "observed_fast_share"
+        ),
+        q6(
+            F.sum("exp_fast_u").cast("double") / 1.0e6 / F.sum("n_gaps")
+        ).alias("poisson_fast_share"),
+        q6(
+            F.sum("n_fast").cast("double")
+            / (F.sum("exp_fast_u").cast("double") / 1.0e6)
+        ).alias("excitation_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test (1937) of variance homogeneity of log order value
+# across the 5 priorities: χ² from per-group exact log-moment sums
+# (per-row ln terms quantized at 1e-9).
+# ---------------------------------------------------------------------------
+_BARTLETT_SQL = """
+    WITH rows_ AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(ln(o_totalprice) * 1.0e9 + 0.5) AS BIGINT) AS lq
+      FROM orders WHERE o_totalprice > 0
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(lq) AS HUGEINT) AS s1,
+             CAST(sum(CAST(lq AS HUGEINT) * lq) AS HUGEINT) AS s2
+      FROM rows_ GROUP BY g
+    ),
+    v AS (
+      SELECT g, ng,
+             (CAST(s2 AS DOUBLE) / 1.0e18
+              - (CAST(s1 AS DOUBLE) / 1.0e9) * (CAST(s1 AS DOUBLE) / 1.0e9)
+                / ng) / (ng - 1) AS s2g
+      FROM grp
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+             sum((ng - 1) * s2g) AS pooled_num,
+             sum((ng - 1) * ln(s2g)) AS sum_lns,
+             sum(1.0 / (ng - 1)) AS sum_inv
+      FROM v
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           floor((( (n - k) * ln(pooled_num / (n - k)) - sum_lns )
+                  / (1.0 + (sum_inv - 1.0 / (n - k)) / (3.0 * (k - 1))))
+                 * 1.0e6 + 0.5) / 1.0e6 AS bartlett_chi2
+    FROM agg
+"""
+
+
+@_register("orders_bartlett_test", oracle=_BARTLETT_SQL)
+def orders_bartlett_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett χ² for log-value variance homogeneity across
+    priorities: per-row quantized logs, one bounded group-by, the
+    statistic from a 5-row rollup."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    rows = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.log(F.col("o_totalprice")) * 1.0e9 + 0.5)
+        .cast("long")
+        .alias("lq"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    grp = rows.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum("lq").cast("decimal(38,0)").alias("s1"),
+        F.sum(dec("lq") * dec("lq")).cast("decimal(38,0)").alias("s2"),
+    )
+    s1d = F.col("s1").cast("double") / 1.0e9
+    s2g = (
+        F.col("s2").cast("double") / 1.0e18 - s1d * s1d / F.col("ng")
+    ) / (F.col("ng") - 1)
+    v = grp.select("g", "ng", s2g.alias("s2g"))
+    agg = v.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum((F.col("ng") - 1) * F.col("s2g")).alias("pooled_num"),
+        F.sum((F.col("ng") - 1) * F.log(F.col("s2g"))).alias("sum_lns"),
+        F.sum(1.0 / (F.col("ng") - 1)).alias("sum_inv"),
+    )
+    nk = F.col("n") - F.col("k")
+    stat = (
+        nk * F.log(F.col("pooled_num") / nk) - F.col("sum_lns")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / nk) / (3.0 * (F.col("k") - 1))
+    )
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        (F.floor(stat * 1.0e6 + 0.5) / 1.0e6).alias("bartlett_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test (1947) of paired customer activity: active in the
+# first vs second half of the order history — the b/c discordant cells
+# decide whether the active population SHIFTED (marginal homogeneity),
+# which a plain churn rate can't distinguish from noise.
+# ---------------------------------------------------------------------------
+_MCNEMAR_SQL = """
+    WITH span AS (
+      SELECT min(o_orderdate) + (max(o_orderdate) - min(o_orderdate)) / 2
+               AS mid
+      FROM orders
+    ),
+    act AS (
+      SELECT o_custkey,
+             CAST(max(CASE WHEN o_orderdate < mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h1,
+             CAST(max(CASE WHEN o_orderdate >= mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS h2
+      FROM orders CROSS JOIN span GROUP BY o_custkey
+    ),
+    cells AS (
+      SELECT CAST(sum(h1 * h2) AS BIGINT) AS both_,
+             CAST(sum(h1 * (1 - h2)) AS BIGINT) AS b,
+             CAST(sum((1 - h1) * h2) AS BIGINT) AS c
+      FROM act
+    )
+    SELECT both_ AS n_both, b AS n_lapsed, c AS n_new,
+           floor((CAST(b AS DOUBLE) - c) * (CAST(b AS DOUBLE) - c)
+                 / (CAST(b AS DOUBLE) + c) * 1.0e6 + 0.5) / 1.0e6
+             AS mcnemar_chi2
+    FROM cells
+"""
+
+
+@_register("customer_mcnemar_activity", oracle=_MCNEMAR_SQL)
+def customer_mcnemar_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar χ² over the paired active-in-half flags: one customer
+    rollup against a broadcast midpoint, exact discordant-cell counts."""
+    o = _t(spark, sf_dir, "orders")
+    span = o.agg(
+        (
+            F.min("o_orderdate")
+            + ((F.max("o_orderdate") - F.min("o_orderdate")) / 2)
+        ).alias("mid")
+    )
+    act = (
+        o.crossJoin(F.broadcast(span))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.when(F.col("o_orderdate") < F.col("mid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("h1"),
+            F.max(
+                F.when(F.col("o_orderdate") >= F.col("mid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    cells = act.agg(
+        F.sum(F.col("h1") * F.col("h2")).cast("long").alias("n_both"),
+        F.sum(F.col("h1") * (1 - F.col("h2"))).cast("long").alias("b"),
+        F.sum((1 - F.col("h1")) * F.col("h2")).cast("long").alias("c"),
+    )
+    bd, cd = F.col("b").cast("double"), F.col("c").cast("double")
+    return cells.select(
+        "n_both",
+        F.col("b").alias("n_lapsed"),
+        F.col("c").alias("n_new"),
+        (
+            F.floor((bd - cd) * (bd - cd) / (bd + cd) * 1.0e6 + 0.5) / 1.0e6
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zero-inflation score over the IMPLICIT user×hour grid: structural
+# zeros are counted as n_users·n_hours − |nonzero cells| (a product of
+# two counts — the grid itself is never materialized, which is what
+# makes this shape survive 100 TB). Score compares the observed zero
+# fraction with the Poisson prediction exp(−λ̂).
+# ---------------------------------------------------------------------------
+_ZIP_SQL = """
+    WITH cells AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu,
+             CAST(count(DISTINCT CAST(date_trunc('hour', ts) AS TIMESTAMP))
+                  AS BIGINT) AS nh,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+    ),
+    nz AS (SELECT CAST(count(*) AS BIGINT) AS n_nonzero FROM cells)
+    SELECT nu AS n_users, nh AS n_hours, n_events,
+           (nu * nh - n_nonzero) AS n_zero_cells,
+           floor(CAST(nu * nh - n_nonzero AS DOUBLE) / (nu * nh) * 1.0e6 + 0.5)
+             / 1.0e6 AS zero_share,
+           floor(exp(-CAST(n_events AS DOUBLE) / (nu * nh)) * 1.0e6 + 0.5)
+             / 1.0e6 AS poisson_zero_share,
+           floor((CAST(nu * nh - n_nonzero AS DOUBLE)
+                  - (nu * nh) * exp(-CAST(n_events AS DOUBLE) / (nu * nh)))
+                 / sqrt((nu * nh) * exp(-CAST(n_events AS DOUBLE) / (nu * nh))
+                        * (1.0 - exp(-CAST(n_events AS DOUBLE) / (nu * nh))))
+                 * 1.0e6 + 0.5) / 1.0e6 AS zero_excess_z
+    FROM dims CROSS JOIN nz
+"""
+
+
+@_register("events_zero_inflation_score", oracle=_ZIP_SQL)
+def events_zero_inflation_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-inflation audit of per-(user, hour) counts: grid size =
+    n_users × n_hours computed as a count PRODUCT (never a cross
+    join); z-score of the structural-zero excess over the Poisson
+    prediction (binomial normal approximation)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dims = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("nu"),
+        F.countDistinct(F.date_trunc("hour", F.col("ts")))
+        .cast("long")
+        .alias("nh"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    nz = cells.agg(F.count(F.lit(1)).cast("long").alias("n_nonzero"))
+    d = dims.crossJoin(F.broadcast(nz))
+    grid = F.col("nu") * F.col("nh")
+    lam = F.col("n_events").cast("double") / grid
+    p0 = F.exp(-lam)
+    zeros = (grid - F.col("n_nonzero")).cast("double")
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return d.select(
+        F.col("nu").alias("n_users"),
+        F.col("nh").alias("n_hours"),
+        "n_events",
+        (grid - F.col("n_nonzero")).alias("n_zero_cells"),
+        q6(zeros / grid).alias("zero_share"),
+        q6(p0).alias("poisson_zero_share"),
+        q6(
+            (zeros - grid * p0) / F.sqrt(grid * p0 * (1.0 - p0))
+        ).alias("zero_excess_z"),
+    )
+
+
+# ===========================================================================
+# Wave B — embedding / similarity audits.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Per-dimension Mann–Whitney AUC sweep (labels 0 vs 1): AUC_d =
+# (R1_d − n1(n1+1)/2) / (n0·n1) from per-dimension midrank sums — the
+# cheapest per-feature separability screen. Midranks ride the GROUPED
+# weighted two-pass operator (group_cols=['d']), so even one dominant
+# dimension splits across bounded bucket windows. Top-8 dims by
+# quantized |AUC − 0.5|.
+# ---------------------------------------------------------------------------
+_DIMAUC_SQL = """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings WHERE label IN (0, 1)
+    ),
+    el AS (
+      SELECT label, unnest(range(64)) AS d, unnest(q) AS x FROM v
+    ),
+    cnt AS (
+      SELECT d, x, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM el GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT d, x, c1,
+             2 * sum(c) OVER (PARTITION BY d ORDER BY x) - c + 1 AS r2
+      FROM cnt
+    ),
+    g AS (
+      SELECT d,
+             CAST(sum(CAST(c1 AS HUGEINT) * r2) AS HUGEINT) AS r2sum1,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN TRUE THEN c1 ELSE 0 END) AS BIGINT) AS _x
+      FROM mr GROUP BY d
+    ),
+    tot AS (
+      SELECT d,
+             CAST(sum(c) AS BIGINT) AS n_all
+      FROM cnt GROUP BY d
+    ),
+    auc AS (
+      SELECT g.d,
+             CAST(floor((CAST(g.r2sum1 AS DOUBLE) / 2.0
+                         - CAST(g.n1 AS DOUBLE) * (g.n1 + 1) / 2.0)
+                        / (CAST(t.n_all - g.n1 AS DOUBLE) * g.n1)
+                        * 1.0e6 + 0.5) AS BIGINT) AS auc_u
+      FROM g JOIN tot t ON g.d = t.d
+    )
+    SELECT d AS dim, CAST(auc_u AS DOUBLE) / 1.0e6 AS auc
+    FROM auc
+    ORDER BY abs(auc_u - 500000) DESC, d
+    LIMIT 8
+"""
+
+
+@_register("embedding_dim_auc_sweep", oracle=_DIMAUC_SQL)
+def embedding_dim_auc_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum AUC per embedding dimension (labels 0 vs 1), top-8 by
+    separation: per-(dim, value) count tables, GROUPED two-pass
+    weighted midranks (group_cols=['d']), exact doubled-midrank sums."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label").isin(0, 1))
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * 1.0e6 + 0.5).cast("long"))
+    el = emb.select("label", F.posexplode(q).alias("d", "x"))
+    cnt = el.groupBy("d", "x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    mr = ranked_cumsum_two_pass(
+        cnt, "x", "x", weight_col="c", group_cols=["d"], ascending=True,
+        out_rank="__rn", out_cum="cum",
+    ).select(
+        "d",
+        "c1",
+        (2 * F.col("cum") - F.col("c") + 1).alias("r2"),
+        "c",
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = mr.groupBy("d").agg(
+        F.sum(dec("c1") * F.col("r2").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("r2sum1"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c").cast("long").alias("n_all"),
+    )
+    auc_u = F.floor(
+        (
+            F.col("r2sum1").cast("double") / 2.0
+            - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+        )
+        / ((F.col("n_all") - F.col("n1")).cast("double") * F.col("n1"))
+        * 1.0e6
+        + 0.5
+    ).cast("long")
+    auc = g.select(F.col("d").alias("dim"), auc_u.alias("auc_u"))
+    return (
+        auc.orderBy(F.abs(F.col("auc_u") - 500000).desc(), "dim")
+        .limit(8)
+        .select("dim", (F.col("auc_u").cast("double") / 1.0e6).alias("auc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 of the hyperplane-LSH ranking against exact cosine: recall@k
+# says WHETHER the neighbors were found; NDCG says whether the GOOD
+# ones rank high. Relevance = exact-cosine rank converted to graded
+# gain 1/log2(1+rank_exact).
+# ---------------------------------------------------------------------------
+_NDCG_SQL = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, ev AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qv, v.ev), 4) AS cs
+      FROM q, v WHERE v.vec_id != q.query_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS re
+      FROM scored
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY CAST(floor(cs * 100.0) AS BIGINT) DESC,
+                                         neighbor_id ASC) AS ra
+      FROM scored
+    ),
+    dcg AS (
+      SELECT a.query_id,
+             CAST(sum(CAST(floor(1.0 / ln(1.0 + e.re) * ln(2.0)
+                    / ln(2.0 + a.ra) * ln(2.0) * 1.0e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS dcg_u
+      FROM approx a JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      WHERE a.ra <= 10
+      GROUP BY a.query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             CAST(sum(CAST(floor(1.0 / ln(1.0 + re) * ln(2.0)
+                    / ln(2.0 + re) * ln(2.0) * 1.0e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS idcg_u
+      FROM exact WHERE re <= 10 GROUP BY query_id
+    )
+    SELECT d.query_id,
+           floor(CAST(d.dcg_u AS DOUBLE) / i.idcg_u * 1.0e6 + 0.5) / 1.0e6
+             AS ndcg_at_10
+    FROM dcg d JOIN ideal i ON d.query_id = i.query_id
+    ORDER BY d.query_id
+"""
+
+
+@_register("similarity_coarse_ndcg_audit", oracle=_NDCG_SQL)
+def similarity_coarse_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of a coarse-quantized cosine ranking (2-decimal
+    bucketed scores — the ADC/int8 stand-in) against the exact-cosine
+    ideal: graded gains 1/ln(1+rank_exact), per-pair DCG terms
+    quantized at 1e-9. Broadcast 5-query audit shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    v = emb.select("vec_id", e.alias("ev"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("ev"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda a: a * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cs = F.round(dot / (norm("qv") * norm("ev")), 4)
+    scored = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cs.alias("cs"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc()
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.floor(F.col("cs") * 100.0).cast("long").desc(),
+        F.col("neighbor_id").asc(),
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(we).alias("re"),
+        F.row_number().over(wa).alias("ra"),
+    )
+    gain = lambda rank_rel, rank_pos: F.floor(  # noqa: E731
+        1.0
+        / F.log(1.0 + rank_rel)
+        * math.log(2.0)
+        / F.log(2.0 + rank_pos)
+        * math.log(2.0)
+        * 1.0e9
+        + 0.5
+    ).cast("long")
+    dcg = (
+        ranked.filter(F.col("ra") <= 10)
+        .groupBy("query_id")
+        .agg(F.sum(gain(F.col("re"), F.col("ra"))).cast("long").alias("dcg_u"))
+    )
+    ideal = (
+        ranked.filter(F.col("re") <= 10)
+        .groupBy("query_id")
+        .agg(F.sum(gain(F.col("re"), F.col("re"))).cast("long").alias("idcg_u"))
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            (
+                F.floor(
+                    F.col("dcg_u").cast("double") / F.col("idcg_u") * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Norm-uniformity contract audit: the embedding pipeline promises
+# unit-norm vectors; this measures the worst violation and the spread
+# per label (exact micro-quantized norms, bounded label rollup) — the
+# check that catches a skipped-normalization batch long before any
+# downstream similarity drifts.
+# ---------------------------------------------------------------------------
+_NORM_AUDIT_SQL = """
+    WITH n AS (
+      SELECT label,
+             CAST(floor(sqrt(list_aggregate(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) * 1.0e9 + 0.5)
+             AS BIGINT) AS nq
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           floor(CAST(min(nq) AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS min_norm,
+           floor(CAST(max(nq) AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS max_norm,
+           CAST(max(abs(nq - 1000000000)) AS BIGINT) AS worst_dev_nano,
+           CAST(sum(CASE WHEN abs(nq - 1000000000) > 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations_1e6
+    FROM n GROUP BY label ORDER BY label
+"""
+
+
+@_register("embedding_norm_uniformity_audit", oracle=_NORM_AUDIT_SQL)
+def embedding_norm_uniformity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label unit-norm contract check: nano-quantized norms, worst
+    absolute deviation and the count beyond a 1e-6 tolerance — one
+    row-local projection + bounded rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    nq = F.floor(
+        F.sqrt(
+            F.aggregate(
+                F.transform(e, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 1.0e9
+        + 0.5
+    ).cast("long")
+    n = emb.select("label", nq.alias("nq"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            (
+                F.floor(F.min("nq").cast("double") / 1.0e9 * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("min_norm"),
+            (
+                F.floor(F.max("nq").cast("double") / 1.0e9 * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("max_norm"),
+            F.max(F.abs(F.col("nq") - 1000000000))
+            .cast("long")
+            .alias("worst_dev_nano"),
+            F.sum(
+                F.when(F.abs(F.col("nq") - 1000000000) > 1000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations_1e6"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN label-consistency curve at k = 1/5/10: majority-vote accuracy of
+# the broadcast 8-query sample's neighbors — the sweep twin of the
+# registered single-k embedding_knn_label_accuracy.
+# ---------------------------------------------------------------------------
+_KNNC_SQL = """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, label AS qlabel, q AS qv
+      FROM v WHERE vec_id < 8
+    ),
+    d AS (
+      SELECT qs.query_id, qs.qlabel, v.label AS nlabel, v.vec_id AS nid,
+             list_aggregate(list_transform(range(64),
+               i -> CAST(qs.qv[i + 1] - v.q[i + 1] AS DOUBLE)
+                    * (qs.qv[i + 1] - v.q[i + 1])), 'sum') AS d2
+      FROM qs, v WHERE v.vec_id != qs.query_id
+    ),
+    ranked AS (
+      SELECT query_id, qlabel, nlabel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, nid ASC) AS r
+      FROM d
+    ),
+    ks AS (SELECT unnest([1, 5, 10]) AS k),
+    votes AS (
+      SELECT ks.k, r.query_id, r.qlabel, r.nlabel,
+             CAST(count(*) AS BIGINT) AS nv
+      FROM ranked r CROSS JOIN ks
+      WHERE r.r <= ks.k
+      GROUP BY 1, 2, 3, 4
+    ),
+    win AS (
+      SELECT k, query_id, qlabel, nlabel,
+             row_number() OVER (PARTITION BY k, query_id
+                                ORDER BY nv DESC, nlabel ASC) AS vr
+      FROM votes
+    )
+    SELECT k, CAST(count(*) AS BIGINT) AS n_queries,
+           floor(CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS majority_accuracy
+    FROM win WHERE vr = 1 GROUP BY k ORDER BY k
+"""
+
+
+@_register("embedding_knn_consistency_curve", oracle=_KNNC_SQL)
+def embedding_knn_consistency_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Majority-vote label accuracy at k ∈ {1,5,10} over the broadcast
+    8-query sample: exact integer L2, query-partitioned rank, bounded
+    vote rollups."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * 1.0e6 + 0.5).cast("long"))
+    v = emb.select("vec_id", "label", q.alias("q"))
+    qs = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("q"),
+            lambda a, b: (a - b).cast("double") * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = (
+        F.broadcast(qs)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            F.col("label").alias("nlabel"),
+            F.col("vec_id").alias("nid"),
+            d2.alias("d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("nid").asc()
+    )
+    ranked = d.select(
+        "query_id", "qlabel", "nlabel", F.row_number().over(wr).alias("r")
+    )
+    ks = spark.createDataFrame([(1,), (5,), (10,)], "k int").select(
+        F.col("k").cast("long").alias("k")
+    )
+    votes = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("k", "query_id", "qlabel", "nlabel")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    wv = Window.partitionBy("k", "query_id").orderBy(
+        F.col("nv").desc(), F.col("nlabel").asc()
+    )
+    win = votes.withColumn("vr", F.row_number().over(wv)).filter(
+        F.col("vr") == 1
+    )
+    return (
+        win.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("majority_accuracy"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-query difficulty profile: relative contrast, top1-top2 margin,
+# and the MLE local intrinsic dimensionality (Levina & Bickel 2004)
+# from the top-20 neighbor distances: LID = (mean ln(d_k/d_i))^-1.
+# ---------------------------------------------------------------------------
+_QDIFF_SQL = """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, q AS qv FROM v WHERE vec_id < 8),
+    d AS (
+      SELECT qs.query_id, v.vec_id AS nid,
+             sqrt(list_aggregate(list_transform(range(64),
+               i -> CAST(qs.qv[i + 1] - v.q[i + 1] AS DOUBLE)
+                    * (qs.qv[i + 1] - v.q[i + 1])), 'sum')) AS dist
+      FROM qs, v WHERE v.vec_id != qs.query_id
+    ),
+    ranked AS (
+      SELECT query_id, dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist ASC, nid ASC) AS r
+      FROM d
+    ),
+    stats_all AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n, sum(dist) AS sd,
+             min(dist) AS dmin
+      FROM d GROUP BY query_id
+    ),
+    dk AS (SELECT query_id, dist AS d20 FROM ranked WHERE r = 20),
+    lid AS (
+      SELECT r.query_id,
+             CAST(sum(CAST(floor(ln(dk.d20 / r.dist) * 1.0e9 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS s_u,
+             CAST(count(*) AS BIGINT) AS m
+      FROM ranked r JOIN dk ON r.query_id = dk.query_id
+      WHERE r.r < 20
+      GROUP BY r.query_id
+    )
+    SELECT s.query_id,
+           floor(s.sd / s.n / s.dmin * 1.0e4 + 0.5) / 1.0e4
+             AS relative_contrast,
+           floor(CAST(l.m AS DOUBLE)
+                 / (CAST(l.s_u AS DOUBLE) / 1.0e9) * 1.0e4 + 0.5) / 1.0e4
+             AS lid_mle
+    FROM stats_all s JOIN lid l ON s.query_id = l.query_id
+    ORDER BY s.query_id
+"""
+
+
+@_register("similarity_query_difficulty", oracle=_QDIFF_SQL)
+def similarity_query_difficulty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query search difficulty: relative contrast (mean/min
+    distance) and Levina–Bickel LID from the top-20 neighborhood —
+    per-neighbor log-ratio terms quantized at 1e-9; broadcast 8-query
+    audit shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * 1.0e6 + 0.5).cast("long"))
+    v = emb.select("vec_id", q.alias("q"))
+    qs = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"), F.col("q"),
+                lambda a, b: (a - b).cast("double") * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = (
+        F.broadcast(qs)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("nid"), dist.alias("dist")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("nid").asc()
+    )
+    ranked = d.select("query_id", "dist", F.row_number().over(wr).alias("r"))
+    stats_all = d.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dist").alias("sd"),
+        F.min("dist").alias("dmin"),
+    )
+    dk = ranked.filter(F.col("r") == 20).select(
+        "query_id", F.col("dist").alias("d20")
+    )
+    lid = (
+        ranked.filter(F.col("r") < 20)
+        .join(F.broadcast(dk), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(F.col("d20") / F.col("dist")) * 1.0e9 + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_u"),
+            F.count(F.lit(1)).cast("long").alias("m"),
+        )
+    )
+    q4 = lambda expr: F.floor(expr * 1.0e4 + 0.5) / 1.0e4  # noqa: E731
+    return (
+        stats_all.join(lid, "query_id")
+        .select(
+            "query_id",
+            q4(F.col("sd") / F.col("n") / F.col("dmin")).alias(
+                "relative_contrast"
+            ),
+            q4(
+                F.col("m").cast("double")
+                / (F.col("s_u").cast("double") / 1.0e9)
+            ).alias("lid_mle"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopkins clusterability statistic: NN distance of 16 hash-derived
+# uniform synthetic probes vs 16 real probes against the corpus —
+# H → 1 means strongly clustered, ≈ 0.5 means spatially random. The
+# probe sets are constant-size broadcasts (the whole comparison costs
+# two corpus streams).
+# ---------------------------------------------------------------------------
+def _hopkins_probe_sql() -> str:
+    # 16 synthetic probes: dimension values from md5-derived uniforms
+    # in [-0.13, 0.13] (the data's coordinate envelope), micro-quantized.
+    import hashlib
+
+    rows = []
+    for p in range(16):
+        vals = []
+        for dd in range(64):
+            hx = hashlib.md5(f"hopkins#{p}#{dd}".encode()).hexdigest()[:8]
+            u = int(hx, 16) / float(0xFFFFFFFF)
+            vals.append(str(int(round((u * 0.26 - 0.13) * 1e6))))
+        rows.append(f"({p}, [{', '.join(vals)}])")
+    return ", ".join(rows)
+
+
+_HOPKINS_SYN = _hopkins_probe_sql()
+
+_HOPKINS_SQL = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    syn(pid, pv) AS (VALUES {_HOPKINS_SYN}),
+    realp AS (
+      SELECT vec_id AS pid, q AS pv FROM v WHERE vec_id % 97 = 3 AND vec_id < 1552
+    ),
+    du AS (
+      SELECT s.pid, min(sqrt(list_aggregate(list_transform(range(64),
+               i -> CAST(s.pv[i + 1] - v.q[i + 1] AS DOUBLE)
+                    * (s.pv[i + 1] - v.q[i + 1])), 'sum'))) AS nn
+      FROM syn s, v GROUP BY s.pid
+    ),
+    dw AS (
+      SELECT r.pid, min(sqrt(list_aggregate(list_transform(range(64),
+               i -> CAST(r.pv[i + 1] - v.q[i + 1] AS DOUBLE)
+                    * (r.pv[i + 1] - v.q[i + 1])), 'sum'))) AS nn
+      FROM realp r JOIN v ON v.vec_id != r.pid GROUP BY r.pid
+    ),
+    s AS (
+      SELECT (SELECT sum(CAST(floor(nn + 0.5) AS BIGINT)) FROM du) AS su,
+             (SELECT sum(CAST(floor(nn + 0.5) AS BIGINT)) FROM dw) AS sw,
+             (SELECT CAST(count(*) AS BIGINT) FROM du) AS nu,
+             (SELECT CAST(count(*) AS BIGINT) FROM dw) AS nw
+    )
+    SELECT nu AS n_synthetic, nw AS n_real,
+           floor(CAST(su AS DOUBLE) / (su + sw) * 1.0e6 + 0.5) / 1.0e6
+             AS hopkins_h
+    FROM s
+"""
+
+
+@_register("embedding_hopkins_statistic", oracle=_HOPKINS_SQL)
+def embedding_hopkins_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopkins H from two 16-probe broadcast sets (hash-derived
+    uniform synthetics vs hash-sampled real points): two corpus
+    streams, NN distances floored to integer micro-units before the
+    sums."""
+    import hashlib
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * 1.0e6 + 0.5).cast("long"))
+    v = emb.select("vec_id", q.alias("q"))
+    syn_rows = []
+    for p in range(16):
+        vals = []
+        for dd in range(64):
+            hx = hashlib.md5(f"hopkins#{p}#{dd}".encode()).hexdigest()[:8]
+            u = int(hx, 16) / float(0xFFFFFFFF)
+            vals.append(int(round((u * 0.26 - 0.13) * 1e6)))
+        syn_rows.append((p, vals))
+    syn = spark.createDataFrame(syn_rows, "pid long, pv array<long>")
+    realp = v.filter(
+        (F.col("vec_id") % 97 == 3) & (F.col("vec_id") < 1552)
+    ).select(F.col("vec_id").alias("pid"), F.col("q").alias("pv"))
+    nn_dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("pv"), F.col("q"),
+                lambda a, b: (a - b).cast("double") * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    du = (
+        F.broadcast(syn)
+        .join(v)
+        .select("pid", nn_dist.alias("dist"))
+        .groupBy("pid")
+        .agg(F.min("dist").alias("nn"))
+    )
+    dw = (
+        F.broadcast(realp)
+        .join(v, F.col("vec_id") != F.col("pid"))
+        .select("pid", nn_dist.alias("dist"))
+        .groupBy("pid")
+        .agg(F.min("dist").alias("nn"))
+    )
+    su = du.agg(
+        F.sum(F.floor(F.col("nn") + 0.5).cast("long")).alias("su"),
+        F.count(F.lit(1)).cast("long").alias("nu"),
+    )
+    sw = dw.agg(
+        F.sum(F.floor(F.col("nn") + 0.5).cast("long")).alias("sw"),
+        F.count(F.lit(1)).cast("long").alias("nw"),
+    )
+    return su.crossJoin(F.broadcast(sw)).select(
+        F.col("nu").alias("n_synthetic"),
+        F.col("nw").alias("n_real"),
+        (
+            F.floor(
+                F.col("su").cast("double") / (F.col("su") + F.col("sw")) * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("hopkins_h"),
+    )
+
+
+# ===========================================================================
+# Wave C — co-purchase graph texture (staged_r8._copurchase_edges /
+# _EDGES_SQL substrate).
+# ===========================================================================
+
+def _edges_sql17() -> str:
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import _EDGES_SQL
+
+    return _EDGES_SQL
+
+
+# ---------------------------------------------------------------------------
+# Truncated Katz centrality (Katz 1953), β = 0.05, 3 hops: c(v) =
+# Σ_k β^k · (#walks of length k ending at v). Walk counts come from
+# k node-keyed join-aggregations (the PageRank shape without the
+# normalization); per-node contributions stay exact integers scaled
+# by β^k at the end. Top-10 by quantized score.
+# ---------------------------------------------------------------------------
+def _katz_oracle() -> str:
+    return f"""
+    WITH e AS ({_edges_sql17()}),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    w1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c1 FROM adj GROUP BY v),
+    w2 AS (
+      SELECT a2.v, CAST(sum(w1.c1) AS BIGINT) AS c2
+      FROM adj a2 JOIN w1 ON a2.u = w1.v GROUP BY a2.v
+    ),
+    w3 AS (
+      SELECT a3.v, CAST(sum(w2.c2) AS BIGINT) AS c3
+      FROM adj a3 JOIN w2 ON a3.u = w2.v GROUP BY a3.v
+    ),
+    katz AS (
+      SELECT w1.v,
+             CAST(floor((0.05 * w1.c1 + 0.0025 * coalesce(w2.c2, 0)
+                         + 0.000125 * coalesce(w3.c3, 0)) * 1.0e6 + 0.5)
+                  AS BIGINT) AS k_u
+      FROM w1
+      LEFT JOIN w2 ON w1.v = w2.v
+      LEFT JOIN w3 ON w1.v = w3.v
+    )
+    SELECT v AS node, CAST(k_u AS DOUBLE) / 1.0e6 AS katz_score
+    FROM katz ORDER BY k_u DESC, v LIMIT 10
+    """
+
+
+@_register("graph_katz_centrality_3hop", oracle="__KATZ__")
+def graph_katz_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """β-attenuated walk counts to depth 3: three node-keyed
+    join-aggregations (exact integer walk counts — the unnormalized
+    PageRank shape), score assembled once and quantized. Top-10."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    w1 = adj.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    w2 = (
+        adj.join(w1.select(F.col("v").alias("u"), "c1"), "u")
+        .groupBy("v")
+        .agg(F.sum("c1").cast("long").alias("c2"))
+    )
+    w3 = (
+        adj.join(w2.select(F.col("v").alias("u"), "c2"), "u")
+        .groupBy("v")
+        .agg(F.sum("c2").cast("long").alias("c3"))
+    )
+    katz = (
+        w1.join(w2, "v", "left")
+        .join(w3, "v", "left")
+        .select(
+            "v",
+            F.floor(
+                (
+                    0.05 * F.col("c1")
+                    + 0.0025 * F.coalesce(F.col("c2"), F.lit(0))
+                    + 0.000125 * F.coalesce(F.col("c3"), F.lit(0))
+                )
+                * 1.0e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("k_u"),
+        )
+    )
+    return (
+        katz.orderBy(F.col("k_u").desc(), "v")
+        .limit(10)
+        .select(
+            F.col("v").alias("node"),
+            (F.col("k_u").cast("double") / 1.0e6).alias("katz_score"),
+        )
+    )
+
+
+STAGED_ORACLES["graph_katz_centrality_3hop"] = _katz_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Link-predictor rank agreement: common-neighbors vs Adamic–Adar top-20
+# candidate sets — overlap and Spearman-style rank distance over the
+# union (both predictors already registered individually; the
+# agreement says whether the cheaper one suffices).
+# ---------------------------------------------------------------------------
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH e AS ({_edges_sql17()}),
+    adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+    wedge AS (
+      SELECT x.v AS a, y.v AS c, x.u AS mid
+      FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+    ),
+    scored AS (
+      SELECT w.a, w.c, CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(CAST(floor(1.0e0 / ln(CAST(d.deg AS DOUBLE)) * 1.0e9
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS aa_nano
+      FROM wedge w JOIN deg d ON d.z = w.mid
+      GROUP BY w.a, w.c
+    ),
+    cand AS (
+      SELECT s.a, s.c, s.cn, s.aa_nano
+      FROM scored s ANTI JOIN e ON s.a = e.a AND s.c = e.b
+    ),
+    top_cn AS (
+      SELECT a, c, row_number() OVER (ORDER BY cn DESC, a, c) AS r_cn
+      FROM cand QUALIFY r_cn <= 20
+    ),
+    top_aa AS (
+      SELECT a, c, row_number() OVER (ORDER BY aa_nano DESC, a, c) AS r_aa
+      FROM cand QUALIFY r_aa <= 20
+    ),
+    u AS (
+      SELECT coalesce(tc.a, ta.a) AS a,
+             CASE WHEN tc.a IS NOT NULL THEN 1 ELSE 0 END AS in_cn,
+             CASE WHEN ta.a IS NOT NULL THEN 1 ELSE 0 END AS in_aa
+      FROM top_cn tc FULL OUTER JOIN top_aa ta
+        ON tc.a = ta.a AND tc.c = ta.c
+    )
+    SELECT CAST(sum(in_cn) AS BIGINT) AS n_cn_top,
+           CAST(sum(in_aa) AS BIGINT) AS n_aa_top,
+           CAST(sum(in_cn * in_aa) AS BIGINT) AS n_both,
+           floor(CAST(sum(in_cn * in_aa) AS DOUBLE)
+                 / (sum(in_cn) + sum(in_aa) - sum(in_cn * in_aa))
+                 * 1.0e6 + 0.5) / 1.0e6 AS topk_jaccard
+    FROM u
+    """
+
+
+@_register("graph_linkpred_rank_agreement", oracle="__LINKPRED__")
+def graph_linkpred_rank_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 agreement of common-neighbors vs Adamic–Adar link
+    prediction: ONE wedge join scores both predictors (exact count +
+    nano-quantized AA), two TakeOrdered top-k, one pair-keyed outer
+    join."""
+    from cioos_siooc_data_transform_spark.plans.staged_r8 import (
+        _copurchase_edges,
+    )
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = (
+        e.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(e.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    x = adj.select(F.col("u").alias("mid"), F.col("v").alias("a"))
+    y = adj.select(F.col("u").alias("mid"), F.col("v").alias("c"))
+    wedge = x.join(y, "mid").filter(F.col("a") < F.col("c"))
+    scored = (
+        wedge.join(
+            deg.select(F.col("u").alias("mid"), "deg"), "mid"
+        )
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum(
+                F.floor(
+                    1.0 / F.log(F.col("deg").cast("double")) * 1.0e9 + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("aa_nano"),
+        )
+    )
+    cand = scored.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_anti"
+    )
+    top_cn = (
+        cand.orderBy(F.col("cn").desc(), "a", "c")
+        .limit(20)
+        .select("a", "c", F.lit(1).alias("in_cn"))
+    )
+    top_aa = (
+        cand.orderBy(F.col("aa_nano").desc(), "a", "c")
+        .limit(20)
+        .select("a", "c", F.lit(1).alias("in_aa"))
+    )
+    u = top_cn.join(top_aa, ["a", "c"], "full_outer").select(
+        F.coalesce(F.col("in_cn"), F.lit(0)).alias("in_cn"),
+        F.coalesce(F.col("in_aa"), F.lit(0)).alias("in_aa"),
+    )
+    both = F.sum(F.col("in_cn") * F.col("in_aa")).cast("long")
+    return u.agg(
+        F.sum("in_cn").cast("long").alias("n_cn_top"),
+        F.sum("in_aa").cast("long").alias("n_aa_top"),
+        both.alias("n_both"),
+        (
+            F.floor(
+                both.cast("double")
+                / (
+                    F.sum("in_cn").cast("long")
+                    + F.sum("in_aa").cast("long")
+                    - both
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("topk_jaccard"),
+    )
+
+
+STAGED_ORACLES["graph_linkpred_rank_agreement"] = _linkpred_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Geometric fit of the co-purchase support distribution: support counts
+# are ≥2 by construction, so (support − 2) ~ Geometric(p) with MLE
+# p̂ = 1/(1 + mean(support − 2)); χ²-style GOF over the bounded support
+# alphabet with an expected-count floor.
+# ---------------------------------------------------------------------------
+_SUPPORT_FIT_SQL = """
+    WITH sup AS (
+      SELECT support FROM (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS support
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+      ) WHERE support >= 2
+    ),
+    mle AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             1.0 / (1.0 + (CAST(sum(support) AS DOUBLE) / count(*) - 2.0))
+               AS p
+      FROM sup
+    ),
+    obs AS (
+      SELECT support - 2 AS k, CAST(count(*) AS BIGINT) AS o
+      FROM sup GROUP BY 1
+    ),
+    cells AS (
+      SELECT o.k, o.o,
+             m.n * m.p * pow(1.0 - m.p, o.k) AS e
+      FROM obs o CROSS JOIN mle m
+    )
+    SELECT max(m.n) AS n_edges,
+           floor(max(m.p) * 1.0e6 + 0.5) / 1.0e6 AS geometric_p,
+           CAST(count(*) FILTER (c.e >= 5.0) AS BIGINT) AS n_cells,
+           floor(sum(CASE WHEN c.e >= 5.0
+                     THEN (c.o - c.e) * (c.o - c.e) / c.e ELSE 0.0 END)
+                 * 1.0e6 + 0.5) / 1.0e6 AS gof_chi2
+    FROM cells c CROSS JOIN mle m
+"""
+
+
+@_register("graph_support_geometric_fit", oracle=_SUPPORT_FIT_SQL)
+def graph_support_geometric_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric MLE + GOF of the co-purchase support distribution:
+    the support histogram is a bounded alphabet; expected counts from
+    the 1-row broadcast MLE, χ² over cells with e ≥ 5."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k0"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k0"), F.col("l_partkey").alias("pb"))
+    sup = (
+        a.join(b, "k0")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("support")
+    )
+    mle = sup.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            1.0
+            / (
+                1.0
+                + (F.sum("support").cast("double") / F.count(F.lit(1)) - 2.0)
+            )
+        ).alias("p"),
+    )
+    obs = sup.groupBy((F.col("support") - 2).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    cells = obs.crossJoin(F.broadcast(mle)).select(
+        "k",
+        "o",
+        (F.col("n") * F.col("p") * F.pow(1.0 - F.col("p"), F.col("k"))).alias(
+            "e"
+        ),
+        "n",
+        "p",
+    )
+    return cells.agg(
+        F.max("n").alias("n_edges"),
+        (F.floor(F.max("p") * 1.0e6 + 0.5) / 1.0e6).alias("geometric_p"),
+        F.sum(F.when(F.col("e") >= 5.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cells"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(
+                        F.col("e") >= 5.0,
+                        (F.col("o") - F.col("e"))
+                        * (F.col("o") - F.col("e"))
+                        / F.col("e"),
+                    ).otherwise(0.0)
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("gof_chi2"),
+    )
+
+
+# ===========================================================================
+# Wave D — training-pipeline audits.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Keeper-policy quality bias: within exact-dup clusters, does
+# keep-lowest-id systematically pick shorter/lower-quality docs than
+# keep-longest? Mean kept long-word-ratio under both policies over
+# multi-doc clusters — the survivorship-policy audit.
+# ---------------------------------------------------------------------------
+_KEEPER_SQL = """
+    WITH d AS (
+      SELECT doc_id, md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(floor(
+               (len(list_filter(string_split(text, ' '), t -> strlen(t) >= 5))
+                * 1.0 / len(string_split(text, ' '))) * 1.0e6 + 0.5)
+             AS BIGINT) AS q_u
+      FROM documents
+    ),
+    sized AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS csize FROM d GROUP BY fp
+    ),
+    multi AS (
+      SELECT d.* FROM d JOIN sized s ON d.fp = s.fp WHERE s.csize >= 2
+    ),
+    first_pick AS (
+      SELECT fp, q_u,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS r
+      FROM multi
+    ),
+    longest_pick AS (
+      SELECT fp, q_u,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY n_tok DESC, doc_id ASC) AS r
+      FROM multi
+    ),
+    s AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM first_pick WHERE r = 1)
+               AS n_clusters,
+             (SELECT CAST(sum(q_u) AS BIGINT) FROM first_pick WHERE r = 1)
+               AS q_first,
+             (SELECT CAST(sum(q_u) AS BIGINT) FROM longest_pick WHERE r = 1)
+               AS q_longest
+    )
+    SELECT n_clusters,
+           floor(CAST(q_first AS DOUBLE) / n_clusters + 0.5) / 1.0e6
+             AS mean_quality_keep_first,
+           floor(CAST(q_longest AS DOUBLE) / n_clusters + 0.5) / 1.0e6
+             AS mean_quality_keep_longest,
+           floor((CAST(q_longest AS DOUBLE) - q_first) / n_clusters + 0.5)
+             / 1.0e6 AS policy_gap
+    FROM s
+"""
+
+
+@_register("dedup_keeper_policy_bias", oracle=_KEEPER_SQL)
+def dedup_keeper_policy_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship-policy audit over exact-dup clusters (csize ≥ 2):
+    mean kept quality under keep-first-id vs keep-longest — windows
+    partition by digest (bounded cluster partitions)."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    q_u = F.floor(
+        F.size(F.filter(words, lambda t: F.length(t) >= 5))
+        * 1.0
+        / F.size(words)
+        * 1.0e6
+        + 0.5
+    ).cast("long")
+    d = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp"),
+        F.size(words).cast("long").alias("n_tok"),
+        q_u.alias("q_u"),
+    )
+    sized = d.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("csize"))
+    multi = d.join(sized.filter(F.col("csize") >= 2), "fp")
+    wf = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    wl = Window.partitionBy("fp").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    first_pick = (
+        multi.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") == 1)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("q_u").cast("long").alias("q_first"),
+        )
+    )
+    longest_pick = (
+        multi.withColumn("r", F.row_number().over(wl))
+        .filter(F.col("r") == 1)
+        .agg(F.sum("q_u").cast("long").alias("q_longest"))
+    )
+    s = first_pick.crossJoin(F.broadcast(longest_pick))
+    return s.select(
+        "n_clusters",
+        (
+            F.floor(F.col("q_first").cast("double") / F.col("n_clusters") + 0.5)
+            / 1.0e6
+        ).alias("mean_quality_keep_first"),
+        (
+            F.floor(
+                F.col("q_longest").cast("double") / F.col("n_clusters") + 0.5
+            )
+            / 1.0e6
+        ).alias("mean_quality_keep_longest"),
+        (
+            F.floor(
+                (F.col("q_longest").cast("double") - F.col("q_first"))
+                / F.col("n_clusters")
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("policy_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup token yield by source: per source, raw tokens vs tokens after
+# keep-one-per-exact-cluster — which sources are mostly duplication?
+# (Cluster keeper = min doc_id; the kept doc's tokens attribute to the
+# KEPT doc's source.)
+# ---------------------------------------------------------------------------
+_YIELD_SQL = """
+    WITH d AS (
+      SELECT doc_id, source, md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    raw AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS raw_tokens
+      FROM d GROUP BY source
+    ),
+    keeper AS (
+      SELECT source, n_tok FROM (
+        SELECT source, n_tok,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS r
+        FROM d
+      ) WHERE r = 1
+    ),
+    kept AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+             CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+      FROM keeper GROUP BY source
+    )
+    SELECT r.source, r.n_docs, r.raw_tokens,
+           coalesce(k.kept_docs, 0) AS kept_docs,
+           coalesce(k.kept_tokens, 0) AS kept_tokens,
+           floor(CAST(coalesce(k.kept_tokens, 0) AS DOUBLE) / r.raw_tokens
+                 * 1.0e6 + 0.5) / 1.0e6 AS token_yield
+    FROM raw r LEFT JOIN kept k ON r.source = k.source
+    ORDER BY r.source
+"""
+
+
+@_register("dedup_token_yield_by_source", oracle=_YIELD_SQL)
+def dedup_token_yield_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-dedup token yield per source (keeper = min doc_id per
+    exact-dup digest): one digest-partitioned keeper window, two
+    bounded source rollups."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("fp"),
+        F.size(words_expr(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("raw_tokens"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    keeper = (
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept_docs"),
+            F.sum("n_tok").cast("long").alias("kept_tokens"),
+        )
+    )
+    return (
+        raw.join(keeper, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "raw_tokens",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            (
+                F.floor(
+                    F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("double")
+                    / F.col("raw_tokens")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("token_yield"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination false-positive length profile: contamination flag
+# rates by document-length quartile — short docs share shingles by
+# chance, so a length-blind threshold over-flags them. Quartiles via
+# ntile_two_pass; the overlap machinery is the registered shape.
+# ---------------------------------------------------------------------------
+def _decontam_len_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _SHINGLES_CTE,
+    )
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0),
+    ov AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(b.s) AS BIGINT) AS n_overlap
+      FROM train t LEFT JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id
+    ),
+    tiled AS (
+      SELECT n_overlap,
+             CAST(ntile(4) OVER (ORDER BY n_shingles ASC, doc_id ASC)
+                  AS BIGINT) AS quartile
+      FROM ov
+    )
+    SELECT quartile, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_overlap >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           floor(CAST(sum(CASE WHEN n_overlap >= 4 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS flag_rate
+    FROM tiled GROUP BY quartile ORDER BY quartile
+    """
+
+
+@_register("decontam_flag_rate_by_length", oracle="__DECLEN__")
+def decontam_flag_rate_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination flag rate by shingle-count quartile (quartiles via
+    ntile_two_pass — scale-safe global ordering): a rising rate toward
+    the short quartile is the false-positive signature."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        word_shingles,
+        words_expr,
+    )
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(words_expr(F.col("text")), 3))
+        ).alias("s"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    ).withColumn("_hit", F.lit(1))
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    ov = (
+        train.join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.count("_hit").cast("long").alias("n_overlap"),
+        )
+    )
+    tiled = ntile_two_pass(
+        ov, "n_shingles", "doc_id", n_tiles=4, out_col="quartile"
+    )
+    return (
+        tiled.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_overlap") >= 4, 1).otherwise(0))
+            .cast("long")
+            .alias("n_flagged"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("n_overlap") >= 4, 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("flag_rate"),
+        )
+        .orderBy("quartile")
+    )
+
+
+STAGED_ORACLES["decontam_flag_rate_by_length"] = _decontam_len_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Design effect of language-stratified sampling vs SRS for estimating
+# mean token count: DEFF = Var_strat/Var_srs (proportional allocation:
+# DEFF = Σ(Nh/N·s²h) / s²_total). DEFF < 1 quantifies what the strata
+# buy.
+# ---------------------------------------------------------------------------
+_DEFF_SQL = """
+    WITH d AS (
+      SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    grp AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS nh,
+             CAST(sum(n_tok) AS BIGINT) AS sh,
+             CAST(sum(n_tok * n_tok) AS HUGEINT) AS qh
+      FROM d GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(nh) AS BIGINT) AS n, CAST(sum(sh) AS BIGINT) AS s,
+             CAST(sum(qh) AS HUGEINT) AS q,
+             sum((CAST(qh AS DOUBLE) - CAST(sh AS DOUBLE) * sh / nh)
+                 / (nh - 1) * nh) AS within_weighted
+      FROM grp
+    )
+    SELECT n AS n_docs,
+           floor((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)
+                 * 1.0e6 + 0.5) / 1.0e6 AS srs_variance,
+           floor(within_weighted / n * 1.0e6 + 0.5) / 1.0e6
+             AS stratified_variance,
+           floor((within_weighted / n)
+                 / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                 * 1.0e6 + 0.5) / 1.0e6 AS design_effect
+    FROM tot
+"""
+
+
+@_register("sample_design_effect_by_lang", oracle=_DEFF_SQL)
+def sample_design_effect_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design effect of proportional language stratification for the
+    mean-token estimator: exact per-stratum moments, one bounded
+    rollup."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", F.size(words_expr(F.col("text"))).cast("long").alias("n_tok")
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    grp = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("n_tok").cast("long").alias("sh"),
+        F.sum(dec("n_tok") * dec("n_tok")).cast("decimal(38,0)").alias("qh"),
+    )
+    shd = F.col("sh").cast("double")
+    within = (
+        (F.col("qh").cast("double") - shd * shd / F.col("nh"))
+        / (F.col("nh") - 1)
+        * F.col("nh")
+    )
+    tot = grp.agg(
+        F.sum("nh").cast("long").alias("n"),
+        F.sum("sh").cast("long").alias("s"),
+        F.sum("qh").cast("decimal(38,0)").alias("q"),
+        F.sum(within).alias("within_weighted"),
+    )
+    sd = F.col("s").cast("double")
+    srs = (F.col("q").cast("double") - sd * sd / F.col("n")) / (F.col("n") - 1)
+    strat = F.col("within_weighted") / F.col("n")
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return tot.select(
+        F.col("n").alias("n_docs"),
+        q6(srs).alias("srs_variance"),
+        q6(strat).alias("stratified_variance"),
+        q6(strat / srs).alias("design_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture reweighting audit: sampling multipliers that move the corpus
+# from its observed language mix to a UNIFORM target — the max
+# multiplier is the effective epoch count of the scarcest language
+# (the number that decides whether the target mix is even reachable).
+# ---------------------------------------------------------------------------
+_MIXTURE_SQL = """
+    WITH grp AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS k
+      FROM grp
+    )
+    SELECT g.lang, g.n_docs, g.n_tokens,
+           floor(CAST(g.n_tokens AS DOUBLE) / t.t * 1.0e6 + 0.5) / 1.0e6
+             AS observed_share,
+           floor(1.0 / t.k * 1.0e6 + 0.5) / 1.0e6 AS target_share,
+           floor((1.0 / t.k) / (CAST(g.n_tokens AS DOUBLE) / t.t) * 1.0e6
+                 + 0.5) / 1.0e6 AS sampling_multiplier
+    FROM grp g CROSS JOIN tot t
+    ORDER BY g.lang
+"""
+
+
+@_register("mixture_reweighting_audit", oracle=_MIXTURE_SQL)
+def mixture_reweighting_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target mixture multipliers per language from exact token
+    counts — multiplier > 1 means that language must repeat (effective
+    epochs), the practical ceiling of any reweighting plan."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    grp = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words_expr(F.col("text"))).cast("long"))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = grp.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("t")
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            q6(share).alias("observed_share"),
+            q6(1.0 / F.col("k")).alias("target_share"),
+            q6((1.0 / F.col("k")) / share).alias("sampling_multiplier"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-hash vs full-text dedup agreement: clusters from the first-16-
+# token prefix digest vs the full digest — prefix dedup is cheaper but
+# merges distinct docs sharing an opener. Cluster-count inflation and
+# the doc-level disagreement rate.
+# ---------------------------------------------------------------------------
+_PREFIX_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             md5(text) AS full_fp,
+             md5(array_to_string(string_split(text, ' ')[1:16], ' '))
+               AS prefix_fp
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT full_fp) AS BIGINT) AS full_clusters,
+             CAST(count(DISTINCT prefix_fp) AS BIGINT) AS prefix_clusters
+      FROM d
+    ),
+    pairs AS (
+      SELECT prefix_fp, CAST(count(DISTINCT full_fp) AS BIGINT) AS n_full
+      FROM d GROUP BY prefix_fp
+    ),
+    over_merged AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_overmerged_prefix_clusters
+      FROM pairs WHERE n_full >= 2
+    )
+    SELECT s.n_docs, s.full_clusters, s.prefix_clusters,
+           o.n_overmerged_prefix_clusters,
+           floor(CAST(s.prefix_clusters AS DOUBLE) / s.full_clusters * 1.0e6
+                 + 0.5) / 1.0e6 AS cluster_ratio
+    FROM s CROSS JOIN over_merged o
+"""
+
+
+@_register("dedup_prefix_vs_full_agreement", oracle=_PREFIX_SQL)
+def dedup_prefix_vs_full_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Prefix-digest dedup vs full-digest dedup: cluster counts, the
+    over-merge count (prefix clusters containing ≥2 full clusters) —
+    two digest rollups, zero windows."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("full_fp"),
+        F.md5(F.concat_ws(" ", F.slice(words, 1, 16))).alias("prefix_fp"),
+    )
+    s = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("full_fp").cast("long").alias("full_clusters"),
+        F.countDistinct("prefix_fp").cast("long").alias("prefix_clusters"),
+    )
+    pairs = d.groupBy("prefix_fp").agg(
+        F.countDistinct("full_fp").cast("long").alias("n_full")
+    )
+    over = pairs.filter(F.col("n_full") >= 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overmerged_prefix_clusters")
+    )
+    return s.crossJoin(F.broadcast(over)).select(
+        "n_docs",
+        "full_clusters",
+        "prefix_clusters",
+        "n_overmerged_prefix_clusters",
+        (
+            F.floor(
+                F.col("prefix_clusters").cast("double")
+                / F.col("full_clusters")
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("cluster_ratio"),
+    )
+
+
+# ===========================================================================
+# Wave E — text analytics.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Lexical sophistication by source: mean corpus log-frequency of each
+# doc's DISTINCT words (type-based — rare-word-heavy docs score low).
+# The vocabulary table broadcasts (the registered lm_unigram_logprob
+# shape); per-type terms quantize at 1e-9.
+# ---------------------------------------------------------------------------
+_SOPH_SQL = """
+    WITH tok AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab),
+    types AS (SELECT DISTINCT doc_id, source, w FROM tok),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(floor(ln(CAST(v.c AS DOUBLE) / tt.n) * 1.0e9 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS s_u
+      FROM types t JOIN vocab v ON t.w = v.w CROSS JOIN tot tt
+      GROUP BY t.doc_id, t.source
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(CAST(floor(CAST(s_u AS DOUBLE) / n_types / 1.0e3
+                 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1.0e3 + 0.5)
+             / 1.0e3 AS mean_log_freq
+    FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@_register("text_lexical_sophistication", oracle=_SOPH_SQL)
+def text_lexical_sophistication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-based mean log corpus frequency per source: broadcast
+    vocabulary join, per-type terms at 1e-9, per-doc means at 1e-6
+    integer units before the source mean."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(words_expr(F.col("text"))).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("long").alias("n"))
+    types = tok.distinct()
+    per_doc = (
+        types.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(
+                F.floor(
+                    F.log(F.col("c").cast("double") / F.col("n")) * 1.0e9
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("s_u"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("s_u").cast("double")
+                            / F.col("n_types")
+                            / 1.0e3
+                            + 0.5
+                        ).cast("long")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    / 1.0e3
+                    + 0.5
+                )
+                / 1.0e3
+            ).alias("mean_log_freq"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary Gini: concentration of the token frequency distribution
+# (the inequality view of Zipf) — ranks from the two-pass operator, so
+# the shape holds at web-corpus vocabulary sizes.
+# ---------------------------------------------------------------------------
+_VGINI_SQL = """
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c ASC, w ASC) AS BIGINT) AS i
+      FROM vocab
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(CAST(i AS HUGEINT) * c) AS HUGEINT) AS weighted
+      FROM ranked
+    )
+    SELECT n AS vocab_size, total AS n_tokens,
+           floor((2.0 * CAST(weighted AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / n) * 1.0e6 + 0.5) / 1.0e6
+             AS vocab_gini
+    FROM s
+"""
+
+
+@_register("vocab_gini_concentration", oracle=_VGINI_SQL)
+def vocab_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini of token frequencies over the vocabulary: ranks via
+    ranked_cumsum_two_pass (word tiebreak), exact integer weighted
+    sums, one division."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(words_expr(F.col("text"))).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ranked = ranked_cumsum_two_pass(
+        vocab, "c", "w", ascending=True, out_rank="i", out_cum="__cum"
+    ).select("c", F.col("i").cast("long").alias("i"))
+    dec = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("total"),
+        F.sum(dec("i") * dec("c")).cast("decimal(38,0)").alias("weighted"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("vocab_size"),
+        F.col("total").alias("n_tokens"),
+        (
+            F.floor(
+                (
+                    2.0
+                    * F.col("weighted").cast("double")
+                    / (nd * F.col("total").cast("double"))
+                    - (nd + 1.0) / nd
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("vocab_gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram coverage per language: distinct observed bigrams vs the V²
+# possible — the syntactic-diversity companion to unigram vocabulary
+# metrics (templated corpora sit far below natural coverage).
+# ---------------------------------------------------------------------------
+_BIGRAM_COV_SQL = """
+    WITH w2 AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+    bg AS (
+      SELECT lang, words[i] || ' ' || words[i + 1] AS b
+      FROM w2, unnest(generate_series(1, len(words) - 1)) AS u(i)
+    ),
+    uni AS (
+      SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY lang
+    ),
+    s AS (
+      SELECT lang, CAST(count(DISTINCT b) AS BIGINT) AS distinct_bigrams,
+             CAST(count(*) AS BIGINT) AS n_bigrams
+      FROM bg GROUP BY lang
+    )
+    SELECT s.lang, u.v AS vocab_size, s.distinct_bigrams, s.n_bigrams,
+           floor(CAST(s.distinct_bigrams AS DOUBLE)
+                 / (CAST(u.v AS DOUBLE) * u.v) * 1.0e6 + 0.5) / 1.0e6
+             AS coverage_of_possible,
+           floor(CAST(s.distinct_bigrams AS DOUBLE) / s.n_bigrams * 1.0e6
+                 + 0.5) / 1.0e6 AS type_token_ratio
+    FROM s JOIN uni u ON s.lang = u.lang
+    ORDER BY s.lang
+"""
+
+
+@_register("text_bigram_coverage", oracle=_BIGRAM_COV_SQL)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-vs-possible bigram coverage per language: the shifted-
+    slice zip (the fast shingle construction) feeds two bounded
+    rollups."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    bg = docs.select(
+        "lang",
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, n1),
+                F.slice(words, 2, n1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("b"),
+    )
+    uni = (
+        docs.select("lang", F.explode(words).alias("w"))
+        .groupBy("lang")
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    s = bg.groupBy("lang").agg(
+        F.countDistinct("b").cast("long").alias("distinct_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    )
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return (
+        s.join(uni, "lang")
+        .select(
+            "lang",
+            F.col("v").alias("vocab_size"),
+            "distinct_bigrams",
+            "n_bigrams",
+            q6(
+                F.col("distinct_bigrams").cast("double")
+                / (F.col("v").cast("double") * F.col("v"))
+            ).alias("coverage_of_possible"),
+            q6(
+                F.col("distinct_bigrams").cast("double") / F.col("n_bigrams")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("lang")
+    )
