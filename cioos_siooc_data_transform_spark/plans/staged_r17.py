@@ -2685,3 +2685,520 @@ def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ===========================================================================
+# Wave F — round-10 top-up batch 2 (apportionment, G-test, profile
+# gradients, dose-response, transition lift, day-of-month seasonality).
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) frame-budget apportionment: distribute a
+# global budget of B = 4·|videos| frame slots proportionally to video
+# duration, exactly — floor allocations plus one extra for the top-R
+# fractional remainders, R = B − Σfloor. The remainder ranking rides
+# ranked_cumsum_two_pass; the audit's invariant is Σallocated == B
+# bit-exactly (the property floating-point proportional splits break).
+# ---------------------------------------------------------------------------
+_APPORTION_SQL = """
+    WITH media AS (
+      SELECT doc_id, CAST(strlen(text) % 240 + 8 AS BIGINT) AS dur
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(sum(dur) AS BIGINT) AS total_dur,
+             CAST(count(*) * 4 AS BIGINT) AS budget
+      FROM media
+    ),
+    quota AS (
+      SELECT doc_id,
+             CAST(floor(CAST(dur AS HUGEINT) * budget / total_dur) AS BIGINT)
+               AS base,
+             CAST((CAST(dur AS HUGEINT) * budget) % total_dur AS BIGINT)
+               AS rem_num
+      FROM media CROSS JOIN tot
+    ),
+    resid AS (
+      SELECT CAST(budget - (SELECT sum(base) FROM quota) AS BIGINT) AS r
+      FROM tot
+    ),
+    ranked AS (
+      SELECT doc_id, base,
+             CAST(row_number() OVER (ORDER BY rem_num DESC, doc_id ASC)
+                  AS BIGINT) AS rr
+      FROM quota
+    ),
+    alloc AS (
+      SELECT doc_id,
+             base + CASE WHEN rr <= (SELECT r FROM resid) THEN 1 ELSE 0 END
+               AS frames
+      FROM ranked
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_videos,
+           CAST(max(t.budget) AS BIGINT) AS budget,
+           CAST(sum(a.frames) AS BIGINT) AS allocated,
+           CAST(max(t.budget) - sum(a.frames) AS BIGINT) AS shortfall,
+           CAST(min(a.frames) AS BIGINT) AS min_frames,
+           CAST(max(a.frames) AS BIGINT) AS max_frames
+    FROM alloc a CROSS JOIN tot t
+"""
+
+
+@_register("multimodal_frame_budget_apportionment", oracle=_APPORTION_SQL)
+def multimodal_frame_budget_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamilton apportionment of a global frame budget over the fake
+    video durations: integer quotas (HUGEINT/decimal cross-multiplied —
+    no float division), fractional-remainder ranks via
+    ranked_cumsum_two_pass, invariant Σframes == budget exactly."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        (F.octet_length("text") % 240 + 8).cast("long").alias("dur"),
+    )
+    tot = media.agg(
+        F.sum("dur").cast("long").alias("total_dur"),
+        (F.count(F.lit(1)) * 4).cast("long").alias("budget"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    quota = media.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.floor(
+            (dec("dur") * dec("budget")).cast("decimal(38,0)")
+            / dec("total_dur")
+        )
+        .cast("long")
+        .alias("base"),
+        (
+            (dec("dur") * dec("budget")).cast("decimal(38,0)")
+            % dec("total_dur")
+        )
+        .cast("long")
+        .alias("rem_num"),
+        "budget",
+    )
+    resid = quota.agg(
+        (F.max("budget") - F.sum("base")).cast("long").alias("r")
+    )
+    ranked = ranked_cumsum_two_pass(
+        quota, "rem_num", "doc_id", ascending=False,
+        out_rank="rr", out_cum="__cum",
+    )
+    alloc = ranked.crossJoin(F.broadcast(resid)).select(
+        "doc_id",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("r"), 1).otherwise(0)
+        ).alias("frames"),
+    )
+    return alloc.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_videos"),
+        F.max("budget").cast("long").alias("budget"),
+        F.sum("frames").cast("long").alias("allocated"),
+        (F.max("budget") - F.sum("frames")).cast("long").alias("shortfall"),
+        F.min("frames").cast("long").alias("min_frames"),
+        F.max("frames").cast("long").alias("max_frames"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G-test (log-likelihood ratio χ² alternative) of nation × market
+# segment independence: G = 2 Σ O ln(O/E) over the bounded 25×5
+# contingency table — more accurate than Pearson for small cells.
+# ---------------------------------------------------------------------------
+_GTEST_SQL = """
+    WITH joint AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS o
+      FROM customer GROUP BY 1, 2
+    ),
+    mn AS (SELECT nk, CAST(sum(o) AS BIGINT) AS rn FROM joint GROUP BY nk),
+    ms AS (SELECT seg, CAST(sum(o) AS BIGINT) AS cs FROM joint GROUP BY seg),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM joint),
+    g AS (
+      SELECT CAST(sum(CAST(floor(
+               2.0 * j.o * ln(CAST(j.o AS DOUBLE) * t.n
+                              / (CAST(mn.rn AS DOUBLE) * ms.cs))
+               * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS g_u,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             max((SELECT count(*) FROM mn)) AS r,
+             max((SELECT count(*) FROM ms)) AS c
+      FROM joint j JOIN mn ON j.nk = mn.nk JOIN ms ON j.seg = ms.seg
+      CROSS JOIN tot t
+    )
+    SELECT n_cells, CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+           floor(CAST(g_u AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS g_statistic
+    FROM g
+"""
+
+
+@_register("customer_nation_segment_gtest", oracle=_GTEST_SQL)
+def customer_nation_segment_gtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """G-test of nation × segment independence: bounded contingency
+    rollup, marginals broadcast, per-cell 2·O·ln(O·N/(R·C)) terms
+    quantized at 1e-9."""
+    cust = _t(spark, sf_dir, "customer")
+    joint = cust.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    mn = joint.groupBy("nk").agg(F.sum("o").cast("long").alias("rn"))
+    ms = joint.groupBy("seg").agg(F.sum("o").cast("long").alias("cs"))
+    tot = joint.agg(F.sum("o").cast("long").alias("n"))
+    nr = mn.agg(F.count(F.lit(1)).cast("long").alias("r"))
+    nc = ms.agg(F.count(F.lit(1)).cast("long").alias("c"))
+    term = F.floor(
+        2.0
+        * F.col("o")
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n")
+            / (F.col("rn").cast("double") * F.col("cs"))
+        )
+        * 1.0e9
+        + 0.5
+    ).cast("long")
+    g = (
+        joint.join(F.broadcast(mn), "nk")
+        .join(F.broadcast(ms), "seg")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(term).cast("long").alias("g_u"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    return g.select(
+        "n_cells",
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+        (F.floor(F.col("g_u").cast("double") / 1.0e9 * 1.0e6 + 0.5) / 1.0e6)
+        .alias("g_statistic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Thermocline depth per profile: the mid-depth of the adjacent-level
+# pair with the max |dT/dz| (T from the shared synthetic convention) —
+# the vertical-gradient companion to the registered N² and MLD
+# queries. Profile windows are key-partitioned.
+# ---------------------------------------------------------------------------
+_THERMO_SQL = """
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ), prof AS (
+      SELECT l_orderkey, CAST(rn * 10.0 AS DOUBLE) AS z,
+             CAST(l_quantity % 30 AS DOUBLE) AS t
+      FROM levels
+    ), grad AS (
+      SELECT l_orderkey,
+             (z + lag(z) OVER (PARTITION BY l_orderkey ORDER BY z)) / 2.0
+               AS mid_z,
+             CAST(floor(abs(t - lag(t) OVER (PARTITION BY l_orderkey
+                                             ORDER BY z))
+                        / (z - lag(z) OVER (PARTITION BY l_orderkey
+                                            ORDER BY z))
+                        * 1.0e9 + 0.5) AS BIGINT) AS g_u
+      FROM prof
+    ), best AS (
+      SELECT l_orderkey, mid_z, g_u,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY g_u DESC, mid_z ASC) AS r
+      FROM grad WHERE g_u IS NOT NULL
+    )
+    SELECT l_orderkey, mid_z AS thermocline_depth,
+           CAST(g_u AS DOUBLE) / 1.0e9 AS max_gradient
+    FROM best WHERE r = 1
+"""
+
+
+@_register("ios_profile_thermocline_depth", oracle=_THERMO_SQL)
+def ios_profile_thermocline_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Max |dT/dz| mid-depth per profile: two key-partitioned profile
+    windows (lag + argmax), gradients nano-quantized before the
+    tie-broken pick."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    levels = li.withColumn("rn", F.row_number().over(w))
+    prof = levels.select(
+        "l_orderkey",
+        (F.col("rn") * 10.0).cast("double").alias("z"),
+        (F.col("l_quantity") % 30).cast("double").alias("t"),
+    )
+    wz = Window.partitionBy("l_orderkey").orderBy("z")
+    grad = prof.select(
+        "l_orderkey",
+        ((F.col("z") + F.lag("z").over(wz)) / 2.0).alias("mid_z"),
+        F.floor(
+            F.abs(F.col("t") - F.lag("t").over(wz))
+            / (F.col("z") - F.lag("z").over(wz))
+            * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("g_u"),
+    ).filter(F.col("g_u").isNotNull())
+    wb = Window.partitionBy("l_orderkey").orderBy(
+        F.col("g_u").desc(), F.col("mid_z").asc()
+    )
+    best = grad.withColumn("r", F.row_number().over(wb)).filter(
+        F.col("r") == 1
+    )
+    return best.select(
+        "l_orderkey",
+        F.col("mid_z").alias("thermocline_depth"),
+        (F.col("g_u").cast("double") / 1.0e9).alias("max_gradient"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount dose-response monotonicity audit: mean quantity per discount
+# bracket with the count of adjacent-bracket monotonicity violations —
+# the sanity check under the registered elasticity regression (a
+# non-monotone dose-response usually means confounding).
+# ---------------------------------------------------------------------------
+_DOSE_SQL = """
+    WITH bracket AS (
+      SELECT CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc
+      FROM lineitem
+    ),
+    g AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(sum(qc) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+               AS mean_qc
+      FROM bracket GROUP BY d
+    ),
+    lagged AS (
+      SELECT d, n, mean_qc,
+             lag(mean_qc) OVER (ORDER BY d) AS prev_qc
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_brackets,
+             CAST(sum(CASE WHEN prev_qc IS NOT NULL AND mean_qc < prev_qc
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      FROM lagged
+    )
+    SELECT n_brackets, n_violations,
+           floor(CAST(n_violations AS DOUBLE) / (n_brackets - 1) * 1.0e6
+                 + 0.5) / 1.0e6 AS violation_rate
+    FROM s
+"""
+
+
+@_register("lineitem_dose_response_monotonicity", oracle=_DOSE_SQL)
+def lineitem_dose_response_monotonicity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adjacent-bracket monotonicity violations of mean quantity vs
+    discount: bounded 11-bracket rollup + one lag over that alphabet."""
+    li = _t(spark, sf_dir, "lineitem")
+    bracket = li.select(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("long").alias("d"),
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("qc"),
+    )
+    g = bracket.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.floor(F.sum("qc").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("mean_qc"),
+    )
+    w = Window.orderBy("d")
+    lagged = g.select(
+        "d", "n", "mean_qc", F.lag("mean_qc").over(w).alias("prev_qc")
+    )
+    s = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_brackets"),
+        F.sum(
+            F.when(
+                F.col("prev_qc").isNotNull()
+                & (F.col("mean_qc") < F.col("prev_qc")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )
+    return s.select(
+        "n_brackets",
+        "n_violations",
+        (
+            F.floor(
+                F.col("n_violations").cast("double")
+                / (F.col("n_brackets") - 1)
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("violation_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition lift: observed next-type rates vs the
+# independence baseline P(next=b) — lift > 1 marks behavioral chains
+# the raw transition matrix hides behind popularity.
+# ---------------------------------------------------------------------------
+_TRANSLIFT_SQL = """
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    pair AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM pair GROUP BY a),
+    mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM pair GROUP BY b),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pair)
+    SELECT p.a AS from_type, p.b AS to_type, p.n AS n_transitions,
+           floor(CAST(p.n AS DOUBLE) * t.t
+                 / (CAST(ma.na AS DOUBLE) * mb.nb) * 1.0e6 + 0.5) / 1.0e6
+             AS lift
+    FROM pair p
+    JOIN ma ON p.a = ma.a JOIN mb ON p.b = mb.b CROSS JOIN tot t
+    ORDER BY from_type, to_type
+"""
+
+
+@_register("events_type_transition_lift", oracle=_TRANSLIFT_SQL)
+def events_type_transition_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition lift over the bounded 5×5 type matrix: user-
+    partitioned lead window, marginals broadcast, one division per
+    cell."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    pair = seq.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ma = pair.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    mb = pair.groupBy("b").agg(F.sum("n").cast("long").alias("nb"))
+    tot = pair.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        pair.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("from_type"),
+            F.col("b").alias("to_type"),
+            F.col("n").alias("n_transitions"),
+            (
+                F.floor(
+                    F.col("n").cast("double")
+                    * F.col("t")
+                    / (F.col("na").cast("double") * F.col("nb"))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("lift"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-month order seasonality: χ² against the uniform expectation
+# with month-length weighting (day 31 exists in only ~7/12 months) —
+# the billing-cycle detector the day-of-week profile can't see.
+# ---------------------------------------------------------------------------
+_DOM_SQL = """
+    WITH dom AS (
+      SELECT CAST(day(o_orderdate) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1
+    ),
+    days AS (
+      SELECT CAST(day(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP))
+                  AS BIGINT) AS d,
+             CAST(count(DISTINCT CAST(date_trunc('day', o_orderdate)
+                                      AS TIMESTAMP)) AS BIGINT) AS n_days
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             (SELECT CAST(sum(n_days) AS BIGINT) FROM days) AS total_days
+      FROM dom
+    ),
+    cells AS (
+      SELECT dom.d, dom.o,
+             CAST(t.n AS DOUBLE) * dy.n_days / t.total_days AS e
+      FROM dom JOIN days dy ON dom.d = dy.d CROSS JOIN tot t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days_of_month,
+           floor(sum((o - e) * (o - e) / e) * 1.0e6 + 0.5) / 1.0e6
+             AS dom_chi2
+    FROM cells
+"""
+
+
+@_register("orders_dom_seasonality_chisq", oracle=_DOM_SQL)
+def orders_dom_seasonality_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month χ² with calendar-exposure weighting (expected
+    counts proportional to how many of each DOM actually occur in the
+    span): two bounded rollups, one division per cell."""
+    o = _t(spark, sf_dir, "orders")
+    dom = o.groupBy(F.dayofmonth("o_orderdate").cast("long").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    days = o.groupBy(
+        F.dayofmonth(F.date_trunc("day", F.col("o_orderdate")))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.countDistinct(F.date_trunc("day", F.col("o_orderdate")))
+        .cast("long")
+        .alias("n_days")
+    )
+    tot = dom.agg(F.sum("o").cast("long").alias("n")).crossJoin(
+        F.broadcast(days.agg(F.sum("n_days").cast("long").alias("total_days")))
+    )
+    cells = (
+        dom.join(days, "d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "o",
+            (
+                F.col("n").cast("double")
+                * F.col("n_days")
+                / F.col("total_days")
+            ).alias("e"),
+        )
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_of_month"),
+        (
+            F.floor(
+                F.sum(
+                    (F.col("o") - F.col("e"))
+                    * (F.col("o") - F.col("e"))
+                    / F.col("e")
+                )
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("dom_chi2"),
+    )

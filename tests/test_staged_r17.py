@@ -91,6 +91,13 @@ STAGED_NAMES = [
     "text_lexical_sophistication",
     "vocab_gini_concentration",
     "text_bigram_coverage",
+    # wave F — top-up batch 2
+    "multimodal_frame_budget_apportionment",
+    "customer_nation_segment_gtest",
+    "ios_profile_thermocline_depth",
+    "lineitem_dose_response_monotonicity",
+    "events_type_transition_lift",
+    "orders_dom_seasonality_chisq",
 ]
 
 # Seed-time detector results (plan_guards.find_unpartitioned_windows,
@@ -103,6 +110,7 @@ EXPECTED_BOUNDED_WINDOW_QUERIES = {
     "orders_kpss_stationarity": "running sum over the per-DAY rollup (calendar-bounded axis)",
     "orders_ses_backtest": "row_number over the per-MONTH rollup (calendar-bounded axis)",
     "orders_variance_ratio": "lag window over the per-DAY rollup (calendar-bounded axis)",
+    "lineitem_dose_response_monotonicity": "lag over the 11-bracket discount alphabet (bounded)",
 }
 
 
