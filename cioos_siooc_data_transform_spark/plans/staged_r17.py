@@ -3202,3 +3202,1409 @@ def orders_dom_seasonality_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1.0e6
         ).alias("dom_chi2"),
     )
+
+
+# ===========================================================================
+# Wave G — round-10 top-up batch 3.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Welch's heteroskedastic one-way ANOVA (Welch 1951) of supplier
+# balance across nations — the k-sample generalization of the
+# registered Welch t-test, valid when variances differ (Bartlett's
+# complement). Closed form from per-nation exact moments.
+# ---------------------------------------------------------------------------
+_WELCH_ANOVA_SQL = """
+    WITH rows_ AS (
+      SELECT s_nationkey AS g,
+             CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS x
+      FROM supplier
+    ),
+    grp AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(x) AS HUGEINT) AS s1,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+      FROM rows_ GROUP BY g HAVING count(*) >= 3
+    ),
+    w AS (
+      SELECT g, ng,
+             CAST(s1 AS DOUBLE) / ng AS m,
+             ng / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / ng)
+                   / (ng - 1)) AS wi
+      FROM grp
+    ),
+    tw AS (
+      SELECT CAST(count(*) AS BIGINT) AS k, sum(wi) AS sw,
+             sum(wi * m) AS swm
+      FROM w
+    ),
+    parts AS (
+      SELECT w.g, w.ng, w.wi,
+             (w.m - t.swm / t.sw) * (w.m - t.swm / t.sw) AS dev2,
+             (1.0 - w.wi / t.sw) * (1.0 - w.wi / t.sw) / (w.ng - 1) AS hterm
+      FROM w CROSS JOIN tw t
+    ),
+    agg AS (
+      SELECT max(t.k) AS k, sum(p.wi * p.dev2) AS num, sum(p.hterm) AS h
+      FROM parts p CROSS JOIN tw t
+    )
+    SELECT k AS n_groups,
+           floor((num / (k - 1))
+                 / (1.0 + 2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1.0) * h)
+                 * 1.0e6 + 0.5) / 1.0e6 AS welch_f
+    FROM agg
+"""
+
+
+@_register("supplier_welch_anova_nation", oracle=_WELCH_ANOVA_SQL)
+def supplier_welch_anova_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch F* for balance across nations (groups with n ≥ 3):
+    variance-weighted means from exact cents moments, one bounded
+    rollup."""
+    s = _t(spark, sf_dir, "supplier")
+    rows = s.select(
+        F.col("s_nationkey").alias("g"),
+        F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast("long").alias("x"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    grp = (
+        rows.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum("x").cast("decimal(38,0)").alias("s1"),
+            F.sum(dec("x") * dec("x")).cast("decimal(38,0)").alias("s2"),
+        )
+        .filter(F.col("ng") >= 3)
+    )
+    s1d = F.col("s1").cast("double")
+    var = (F.col("s2").cast("double") - s1d * s1d / F.col("ng")) / (
+        F.col("ng") - 1
+    )
+    w = grp.select(
+        "g", "ng", (s1d / F.col("ng")).alias("m"), (F.col("ng") / var).alias("wi")
+    )
+    tw = w.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("wi").alias("sw"),
+        F.sum(F.col("wi") * F.col("m")).alias("swm"),
+    )
+    parts = w.crossJoin(F.broadcast(tw)).select(
+        "k",
+        (
+            F.col("wi")
+            * (F.col("m") - F.col("swm") / F.col("sw"))
+            * (F.col("m") - F.col("swm") / F.col("sw"))
+        ).alias("wdev2"),
+        (
+            (1.0 - F.col("wi") / F.col("sw"))
+            * (1.0 - F.col("wi") / F.col("sw"))
+            / (F.col("ng") - 1)
+        ).alias("hterm"),
+    )
+    agg = parts.agg(
+        F.max("k").alias("k"),
+        F.sum("wdev2").alias("num"),
+        F.sum("hterm").alias("h"),
+    )
+    kd = F.col("k").cast("double")
+    f = (F.col("num") / (F.col("k") - 1)) / (
+        1.0 + 2.0 * (F.col("k") - 2) / (kd * kd - 1.0) * F.col("h")
+    )
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        (F.floor(f * 1.0e6 + 0.5) / 1.0e6).alias("welch_f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ subspace variance balance: total variance per 8-dim subspace (the
+# 8×8 product-quantizer layout) — an unbalanced split wastes codebook
+# bits on dead subspaces. Exact integer moments per (subspace, dim).
+# ---------------------------------------------------------------------------
+_SUBSPACE_SQL = """
+    WITH el AS (
+      SELECT unnest(range(64)) AS d,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(floor(x * 1.0e6 + 0.5) AS BIGINT))) AS x
+      FROM embeddings
+    ),
+    dimvar AS (
+      SELECT CAST(floor(d / 8) AS BIGINT) AS sub,
+             (CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE)
+              - CAST(sum(x) AS DOUBLE) * sum(x) / count(*)) / count(*)
+               AS v
+      FROM el GROUP BY d
+    ),
+    subvar AS (
+      SELECT sub, sum(v) / 1.0e12 AS sv FROM dimvar GROUP BY sub
+    ),
+    tot AS (SELECT sum(sv) AS t FROM subvar)
+    SELECT sub AS subspace,
+           floor(sv * 1.0e9 + 0.5) / 1.0e9 AS subspace_variance,
+           floor(sv / t.t * 1.0e6 + 0.5) / 1.0e6 AS variance_share
+    FROM subvar CROSS JOIN tot t
+    ORDER BY sub
+"""
+
+
+@_register("embedding_subspace_variance_balance", oracle=_SUBSPACE_SQL)
+def embedding_subspace_variance_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance per 8-dim PQ subspace from exact integer per-dim
+    moments: one dim rollup (64 rows), one 8-row subspace rollup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    q = F.transform(e, lambda x: F.floor(x * 1.0e6 + 0.5).cast("long"))
+    el = emb.select(F.posexplode(q).alias("d", "x"))
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    dimvar = el.groupBy("d").agg(
+        (
+            (
+                F.sum(dec("x") * dec("x")).cast("double")
+                - F.sum("x").cast("double")
+                * F.sum("x").cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    subvar = dimvar.groupBy(
+        F.floor(F.col("d") / 8).cast("long").alias("sub")
+    ).agg((F.sum("v") / 1.0e12).alias("sv"))
+    tot = subvar.agg(F.sum("sv").alias("t"))
+    return (
+        subvar.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sub").alias("subspace"),
+            (F.floor(F.col("sv") * 1.0e9 + 0.5) / 1.0e9).alias(
+                "subspace_variance"
+            ),
+            (F.floor(F.col("sv") / F.col("t") * 1.0e6 + 0.5) / 1.0e6).alias(
+                "variance_share"
+            ),
+        )
+        .orderBy("subspace")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional token entropy: vocabulary entropy at position buckets
+# (1-5, 6-10, ...) — templated corpora show collapsed entropy at the
+# positions the template pins. Bounded bucket × vocab rollups.
+# ---------------------------------------------------------------------------
+_POSENT_SQL = """
+    WITH tok AS (
+      SELECT CAST(floor((u.i - 1) / 5.0) AS BIGINT) AS bucket, words[i] AS w
+      FROM (SELECT string_split(text, ' ') AS words FROM documents) t,
+           unnest(generate_series(1, len(words))) AS u(i)
+      WHERE u.i <= 30
+    ),
+    f AS (
+      SELECT bucket, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ),
+    t2 AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY bucket),
+    h AS (
+      SELECT f.bucket,
+             CAST(sum(CAST(floor(-CAST(f.c AS DOUBLE) / t2.n
+                   * ln(CAST(f.c AS DOUBLE) / t2.n) * 1.0e9 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS h_u,
+             max(t2.n) AS n, CAST(count(*) AS BIGINT) AS vocab
+      FROM f JOIN t2 ON f.bucket = t2.bucket GROUP BY f.bucket
+    )
+    SELECT bucket AS position_bucket, n AS n_tokens, vocab,
+           floor(CAST(h_u AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS entropy_nats
+    FROM h ORDER BY bucket
+"""
+
+
+@_register("text_positional_entropy_profile", oracle=_POSENT_SQL)
+def text_positional_entropy_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token entropy by position bucket (first 30 positions, width-5
+    buckets): positional explode, bounded bucket×vocab rollup,
+    per-type terms at 1e-9."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.posexplode(words_expr(F.col("text"))).alias("p", "w"))
+        .filter(F.col("p") < 30)
+        .select(F.floor(F.col("p") / 5.0).cast("long").alias("bucket"), "w")
+    )
+    f = tok.groupBy("bucket", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t2 = f.groupBy("bucket").agg(F.sum("c").cast("long").alias("n"))
+    h = (
+        f.join(F.broadcast(t2), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.sum(
+                F.floor(
+                    -F.col("c").cast("double")
+                    / F.col("n")
+                    * F.log(F.col("c").cast("double") / F.col("n"))
+                    * 1.0e9
+                    + 0.5
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("h_u"),
+            F.max("n").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+        )
+    )
+    return (
+        h.select(
+            F.col("bucket").alias("position_bucket"),
+            F.col("n").alias("n_tokens"),
+            "vocab",
+            (F.floor(F.col("h_u").cast("double") / 1.0e9 * 1.0e6 + 0.5) / 1.0e6)
+            .alias("entropy_nats"),
+        )
+        .orderBy("position_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-opener share by source: the most common first token per
+# source and its share — a high opener share is the template signature.
+# ---------------------------------------------------------------------------
+_OPENER_SQL = """
+    WITH first_tok AS (
+      SELECT source, string_split(text, ' ')[1] AS w FROM documents
+    ),
+    f AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM first_tok GROUP BY 1, 2
+    ),
+    t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM f GROUP BY source),
+    ranked AS (
+      SELECT source, w, c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, w ASC) AS r
+      FROM f
+    )
+    SELECT r.source, r.w AS top_opener, r.c AS opener_count, t.n AS n_docs,
+           floor(CAST(r.c AS DOUBLE) / t.n * 1.0e6 + 0.5) / 1.0e6
+             AS opener_share
+    FROM ranked r JOIN t ON r.source = t.source
+    WHERE r.r = 1 ORDER BY r.source
+"""
+
+
+@_register("doc_opener_share_by_source", oracle=_OPENER_SQL)
+def doc_opener_share_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top first-token share per source: bounded (source × vocab)
+    rollup, source-partitioned argmax window."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    first_tok = docs.select(
+        "source", F.element_at(words_expr(F.col("text")), 1).alias("w")
+    )
+    f = first_tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    t = f.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    ranked = f.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+    return (
+        ranked.join(F.broadcast(t), "source")
+        .select(
+            "source",
+            F.col("w").alias("top_opener"),
+            F.col("c").alias("opener_count"),
+            F.col("n").alias("n_docs"),
+            (
+                F.floor(F.col("c").cast("double") / F.col("n") * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("opener_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly value PSI: population-stability index of the event-value
+# distribution, each week vs week 1, over fixed value-decade bins —
+# the standard production drift monitor as a weekly trend.
+# ---------------------------------------------------------------------------
+_WPSI_SQL = """
+    WITH binned AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+             least(CAST(floor(ln(greatest(value, 0.011) / 0.01) / ln(4.0))
+                        AS BIGINT), 7) AS bin
+      FROM events
+    ),
+    cnt AS (
+      SELECT wk, bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY 1, 2
+    ),
+    wt AS (SELECT wk, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY wk),
+    base AS (
+      SELECT c.bin, CAST(c.c AS DOUBLE) / w.n AS p0
+      FROM cnt c JOIN wt w ON c.wk = w.wk
+      WHERE c.wk = (SELECT min(wk) FROM wt)
+    ),
+    cur AS (
+      SELECT c.wk, c.bin, CAST(c.c AS DOUBLE) / w.n AS p
+      FROM cnt c JOIN wt w ON c.wk = w.wk
+      WHERE c.wk > (SELECT min(wk) FROM wt)
+    ),
+    terms AS (
+      SELECT cur.wk,
+             CAST(floor((cur.p - coalesce(b.p0, 1.0e-6))
+                        * ln(cur.p / coalesce(b.p0, 1.0e-6)) * 1.0e9 + 0.5)
+                  AS BIGINT) AS t_u
+      FROM cur LEFT JOIN base b ON cur.bin = b.bin
+    )
+    SELECT wk AS week_start,
+           floor(CAST(sum(t_u) AS DOUBLE) / 1.0e9 * 1.0e6 + 0.5) / 1.0e6
+             AS psi_vs_week1
+    FROM terms GROUP BY wk ORDER BY wk
+"""
+
+
+@_register("events_weekly_value_psi", oracle=_WPSI_SQL)
+def events_weekly_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the value distribution per week vs week 1 over 8
+    fixed log-spaced bins: bounded (week × bin) rollups, per-bin terms
+    at 1e-9; absent baseline bins floor at 1e-6 (documented
+    convention)."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor(
+            F.log(F.greatest(F.col("value"), F.lit(0.011)) / 0.01)
+            / math.log(4.0)
+        ).cast("long"),
+        F.lit(7),
+    )
+    binned = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("wk"), bin_.alias("bin")
+    )
+    cnt = binned.groupBy("wk", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wt = cnt.groupBy("wk").agg(F.sum("c").cast("long").alias("n"))
+    w0 = wt.agg(F.min("wk").alias("wk0"))
+    p = cnt.join(wt, "wk").select(
+        "wk", "bin", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    base = (
+        p.crossJoin(F.broadcast(w0))
+        .filter(F.col("wk") == F.col("wk0"))
+        .select("bin", F.col("p").alias("p0"))
+    )
+    cur = (
+        p.crossJoin(F.broadcast(w0))
+        .filter(F.col("wk") > F.col("wk0"))
+        .select("wk", "bin", "p")
+    )
+    terms = cur.join(F.broadcast(base), "bin", "left").select(
+        "wk",
+        F.floor(
+            (F.col("p") - F.coalesce(F.col("p0"), F.lit(1.0e-6)))
+            * F.log(F.col("p") / F.coalesce(F.col("p0"), F.lit(1.0e-6)))
+            * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("t_u"),
+    )
+    return (
+        terms.groupBy(F.col("wk").alias("week_start"))
+        .agg(
+            (
+                F.floor(F.sum("t_u").cast("double") / 1.0e9 * 1.0e6 + 0.5)
+                / 1.0e6
+            ).alias("psi_vs_week1")
+        )
+        .orderBy("week_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplicate embedding audit: digest of the micro-quantized
+# vector — duplicated vectors inflate ANN recall metrics and waste
+# index space; the standard hygiene check before building an index.
+# ---------------------------------------------------------------------------
+_EMBDUP_SQL = """
+    WITH d AS (
+      SELECT md5(array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(CAST(floor(x * 1.0e6 + 0.5) AS BIGINT) AS VARCHAR)),
+             ',')) AS fp
+      FROM embeddings
+    ),
+    cl AS (SELECT fp, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY fp)
+    SELECT CAST(sum(c) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS max_cluster,
+           floor((1.0 - CAST(count(*) AS DOUBLE) / sum(c)) * 1.0e6 + 0.5)
+             / 1.0e6 AS duplicate_rate
+    FROM cl
+"""
+
+
+@_register("embedding_exact_duplicate_audit", oracle=_EMBDUP_SQL)
+def embedding_exact_duplicate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Digest-level duplicate rate of micro-quantized vectors: the
+    exact-dedup shape applied to the embedding table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                e,
+                lambda x: F.floor(x * 1.0e6 + 0.5).cast("long").cast("string"),
+            ),
+        )
+    )
+    cl = emb.select(fp.alias("fp")).groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return cl.agg(
+        F.sum("c").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_cluster"),
+        (
+            F.floor(
+                (1.0 - F.count(F.lit(1)).cast("double") / F.sum("c")) * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("duplicate_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Add-k smoothing sweep: held-out unigram perplexity at k ∈
+# {0.1, 1, 10} — the tuning curve over the registered add-one model
+# (same odd/even source split).
+# ---------------------------------------------------------------------------
+_ADDK_SQL = """
+    WITH tok AS (
+      SELECT CAST(substr(source, 4) AS BIGINT) % 2 = 1 AS is_train,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+    train AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok WHERE is_train GROUP BY w
+    ),
+    ntr AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM train),
+    held AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS h
+      FROM tok WHERE NOT is_train GROUP BY w
+    ),
+    ks AS (SELECT unnest([0.1, 1.0, 10.0]) AS k),
+    terms AS (
+      SELECT ks.k,
+             CAST(sum(CAST(floor(
+               -h.h * ln((coalesce(t.c, 0) + ks.k)
+                         / (ntr.nt + ks.k * vocab.v))
+               / ln(2.0) * 1.0e9 + 0.5) AS BIGINT)) AS BIGINT) AS s_u,
+             CAST(sum(h.h) AS BIGINT) AS n
+      FROM held h
+      LEFT JOIN train t ON h.w = t.w
+      CROSS JOIN ntr CROSS JOIN vocab CROSS JOIN ks
+      GROUP BY ks.k
+    )
+    SELECT floor(k * 1.0e6 + 0.5) / 1.0e6 AS add_k, n AS n_held_tokens,
+           floor(pow(2.0, CAST(s_u AS DOUBLE) / 1.0e9 / n) * 1.0e4 + 0.5)
+             / 1.0e4 AS heldout_perplexity
+    FROM terms ORDER BY k
+"""
+
+
+@_register("lm_addk_smoothing_sweep", oracle=_ADDK_SQL)
+def lm_addk_smoothing_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity at three add-k strengths from ONE scoring
+    pass crossed with a 3-row broadcast parameter table."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.substring(F.col("source"), 4, 10).cast("long") % 2 == 1).alias(
+            "is_train"
+        ),
+        F.explode(words_expr(F.col("text"))).alias("w"),
+    )
+    vocab = tok.agg(F.countDistinct("w").cast("long").alias("v"))
+    train = tok.filter(F.col("is_train")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ntr = train.agg(F.sum("c").cast("long").alias("nt"))
+    held = tok.filter(~F.col("is_train")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    ks = spark.createDataFrame([(0.1,), (1.0,), (10.0,)], "k double")
+    term_u = F.floor(
+        -F.col("h")
+        * F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.col("k"))
+            / (F.col("nt") + F.col("k") * F.col("v"))
+        )
+        / math.log(2.0)
+        * 1.0e9
+        + 0.5
+    ).cast("long")
+    terms = (
+        held.join(F.broadcast(train), "w", "left")
+        .crossJoin(F.broadcast(ntr))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(term_u).cast("long").alias("s_u"),
+            F.sum("h").cast("long").alias("n"),
+        )
+    )
+    bits = F.col("s_u").cast("double") / 1.0e9 / F.col("n")
+    return (
+        terms.select(
+            (F.floor(F.col("k") * 1.0e6 + 0.5) / 1.0e6).alias("add_k"),
+            F.col("n").alias("n_held_tokens"),
+            (F.floor(F.pow(F.lit(2.0), bits) * 1.0e4 + 0.5) / 1.0e4).alias(
+                "heldout_perplexity"
+            ),
+        )
+        .orderBy("add_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope by rank band: OLS log-log slope over head (ranks 1-10)
+# vs tail (11+) — a natural corpus steepens in the head; a templated
+# one is near-flat. Ranks ride the two-pass operator.
+# ---------------------------------------------------------------------------
+_ZIPF_BAND_SQL = """
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT) AS r
+      FROM vocab
+    ),
+    pts AS (
+      SELECT CASE WHEN r <= 10 THEN 'head' ELSE 'tail' END AS band,
+             ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    ols AS (
+      SELECT band, CAST(count(*) AS BIGINT) AS np, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts GROUP BY band
+    )
+    SELECT band, np AS n_ranks,
+           floor((np * sxy - sx * sy) / (np * sxx - sx * sx) * 1.0e6 + 0.5)
+             / 1.0e6 AS zipf_slope
+    FROM ols ORDER BY band
+"""
+
+
+@_register("vocab_zipf_slope_by_band", oracle=_ZIPF_BAND_SQL)
+def vocab_zipf_slope_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-vs-tail Zipf slopes: frequency ranks via
+    ranked_cumsum_two_pass, per-band log-log OLS."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = docs.select(
+        F.explode(words_expr(F.col("text"))).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ranked = ranked_cumsum_two_pass(
+        vocab, "c", "w", ascending=False, out_rank="r", out_cum="__cum"
+    ).select("c", F.col("r").cast("long").alias("r"))
+    pts = ranked.select(
+        F.when(F.col("r") <= 10, "head").otherwise("tail").alias("band"),
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    ols = pts.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return (
+        ols.select(
+            "band",
+            F.col("np").alias("n_ranks"),
+            (
+                F.floor(
+                    (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("zipf_slope"),
+        )
+        .orderBy("band")
+    )
+
+
+# ===========================================================================
+# Wave H — slate completion (50/50).
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# VaR(95) and expected shortfall of daily revenue: the worst-5%-days
+# tail mean — the ops-finance summary of revenue risk. The day axis is
+# calendar-bounded; the 95th-percentile cut uses the exact rank.
+# ---------------------------------------------------------------------------
+_CVAR_SQL = f"""
+    WITH {_DAILY_REV_CTE},
+    ranked AS (
+      SELECT rev, CAST(row_number() OVER (ORDER BY rev ASC, i ASC) AS BIGINT)
+               AS r,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM idx
+    ),
+    cut AS (
+      SELECT CAST(greatest(floor(0.05 * max(n)), 1) AS BIGINT) AS k,
+             max(n) AS n
+      FROM ranked
+    )
+    SELECT c.n AS n_days, c.k AS n_tail_days,
+           CAST((SELECT max(rev) FROM ranked, cut WHERE r <= cut.k) AS BIGINT)
+             AS var95_cents,
+           CAST(floor((SELECT CAST(sum(rev) AS DOUBLE) FROM ranked, cut
+                       WHERE r <= cut.k) / c.k + 0.5) AS BIGINT)
+             AS expected_shortfall_cents
+    FROM cut c
+"""
+
+
+@_register("orders_daily_revenue_cvar", oracle=_CVAR_SQL)
+def orders_daily_revenue_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR(95)/CVaR of daily revenue over the calendar-bounded day
+    axis: one ascending rank window, exact integer tail mean."""
+    idx = _daily_rev(spark, sf_dir)
+    w = Window.orderBy(F.col("rev").asc(), F.col("i").asc())
+    n_tot = idx.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = (
+        idx.withColumn("r", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(n_tot))
+    )
+    cut = ranked.agg(
+        F.greatest(F.floor(0.05 * F.max("n")), F.lit(1))
+        .cast("long")
+        .alias("k")
+    )
+    tail = (
+        ranked.crossJoin(F.broadcast(cut)).filter(F.col("r") <= F.col("k"))
+    )
+    agg = tail.agg(
+        F.max("rev").cast("long").alias("var95_cents"),
+        F.floor(F.sum("rev").cast("double") / F.max("k") + 0.5)
+        .cast("long")
+        .alias("expected_shortfall_cents"),
+        F.max("n").alias("n_days"),
+        F.max("k").alias("n_tail_days"),
+    )
+    return agg.select(
+        "n_days", "n_tail_days", "var95_cents", "expected_shortfall_cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Negative-binomial moment fit of daily event counts with χ² GOF over
+# count bins: r = μ²/(σ²−μ), p = μ/σ² — the overdispersion model the
+# Fano factor hints at, now fit and tested.
+# ---------------------------------------------------------------------------
+_NBFIT_SQL = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS DOUBLE) / count(*) AS mu,
+             (CAST(sum(c * c) AS DOUBLE)
+              - CAST(sum(c) AS DOUBLE) * sum(c) / count(*)) / (count(*) - 1)
+               AS v
+      FROM daily
+    )
+    SELECT n AS n_days,
+           floor(mu * 1.0e4 + 0.5) / 1.0e4 AS mean_daily,
+           floor(v * 1.0e4 + 0.5) / 1.0e4 AS var_daily,
+           floor(v / mu * 1.0e6 + 0.5) / 1.0e6 AS dispersion_index,
+           CASE WHEN v > mu
+                THEN floor(mu * mu / (v - mu) * 1.0e6 + 0.5) / 1.0e6
+                ELSE NULL END AS nb_r,
+           CASE WHEN v > mu
+                THEN floor(mu / v * 1.0e6 + 0.5) / 1.0e6
+                ELSE NULL END AS nb_p
+    FROM mom
+"""
+
+
+@_register("events_daily_counts_nb_fit", oracle=_NBFIT_SQL)
+def events_daily_counts_nb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment-matched negative-binomial parameters of the daily count
+    series (r = μ²/(σ²−μ), p = μ/σ², NULL when underdispersed): one
+    calendar rollup, exact moments."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (
+            (
+                F.sum(F.col("c") * F.col("c")).cast("double")
+                - F.sum("c").cast("double")
+                * F.sum("c")
+                / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v"),
+    )
+    q4 = lambda e: F.floor(e * 1.0e4 + 0.5) / 1.0e4  # noqa: E731
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return mom.select(
+        F.col("n").alias("n_days"),
+        q4(F.col("mu")).alias("mean_daily"),
+        q4(F.col("v")).alias("var_daily"),
+        q6(F.col("v") / F.col("mu")).alias("dispersion_index"),
+        F.when(
+            F.col("v") > F.col("mu"),
+            q6(F.col("mu") * F.col("mu") / (F.col("v") - F.col("mu"))),
+        ).alias("nb_r"),
+        F.when(
+            F.col("v") > F.col("mu"), q6(F.col("mu") / F.col("v"))
+        ).alias("nb_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical LSH S-curve: recall of the banded-LSH candidate set within
+# exact-Jaccard bins — the measured version of P(candidate) =
+# 1−(1−j^r)^b. Ground truth = the inverted-index exact pair set
+# (hot-shingle-capped, never quadratic).
+# ---------------------------------------------------------------------------
+def _scurve_oracle() -> str:
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _LSH_CAND_CTES,
+        _SHINGLES_CTE,
+    )
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    {_LSH_CAND_CTES},
+    df AS (SELECT s, count(*) AS c FROM sh GROUP BY s),
+    f AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.c <= 10),
+    sizes AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM f a JOIN f b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(floor(n_common * 10.0
+                        / (sa.n + sb.n - n_common)) AS BIGINT) AS jbin
+      FROM common
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE n_common * 5 >= (sa.n + sb.n - n_common)
+    ),
+    hit AS (
+      SELECT t.jbin,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_candidates
+      FROM truth t
+      LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+      GROUP BY t.jbin
+    )
+    SELECT jbin AS jaccard_decile, n_pairs, n_candidates,
+           floor(CAST(n_candidates AS DOUBLE) / n_pairs * 1.0e6 + 0.5) / 1.0e6
+             AS empirical_recall
+    FROM hit ORDER BY jbin
+    """
+
+
+@_register("dedup_lsh_recall_by_similarity_bin", oracle="__SCURVE__")
+def dedup_lsh_recall_by_similarity_bin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The measured LSH S-curve: exact pairs (Jaccard ≥ 0.2 via the
+    capped inverted index) binned by Jaccard decile, recall = share
+    also emitted by the banded LSH candidates. Pair-keyed left join of
+    two bounded pair sets."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+    from cioos_siooc_data_transform_spark.plans.dedup_queries import (
+        _distinct_shingles,
+    )
+
+    shingles = _distinct_shingles(spark, sf_dir)
+    truth = ngram_jaccard_pairs(
+        shingles, "doc_id", "s", threshold=0.2, max_doc_freq=10
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * 10.0).cast("long").alias("jbin"),
+    )
+    sig = minhash_signature(
+        shingles, "doc_id", "s", num_hashes=8, hash_family="md5"
+    )
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cand = lsh_candidate_pairs(buckets, "doc_id", max_bucket_size=50).withColumn(
+        "_hit", F.lit(1)
+    )
+    hit = (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .groupBy("jbin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.count("_hit").cast("long").alias("n_candidates"),
+        )
+    )
+    return (
+        hit.select(
+            F.col("jbin").alias("jaccard_decile"),
+            "n_pairs",
+            "n_candidates",
+            (
+                F.floor(
+                    F.col("n_candidates").cast("double")
+                    / F.col("n_pairs")
+                    * 1.0e6
+                    + 0.5
+                )
+                / 1.0e6
+            ).alias("empirical_recall"),
+        )
+        .orderBy("jaccard_decile")
+    )
+
+
+STAGED_ORACLES["dedup_lsh_recall_by_similarity_bin"] = _scurve_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MLD / thermocline consistency: physically, the mixed layer (uniform
+# density) must reach at most the thermocline — profiles violating
+# MLD > thermocline depth flag synthetic-profile or threshold bugs.
+# Joins the two registered per-profile diagnostics.
+# ---------------------------------------------------------------------------
+_MLDCONS_SQL = """
+    WITH levels AS (
+      SELECT l_orderkey, l_quantity,
+             row_number() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ) AS rn
+      FROM lineitem
+    ), prof AS (
+      SELECT l_orderkey, CAST(rn * 10.0 AS DOUBLE) AS z,
+             CAST(20.0 + l_quantity * 0.1 + rn * 0.05 AS DOUBLE) AS sigma,
+             CAST(l_quantity % 30 AS DOUBLE) AS t
+      FROM levels
+    ), surf AS (
+      SELECT p.l_orderkey, min(p.sigma) FILTER (p.z <= 10.0) AS sigma_surf
+      FROM prof p GROUP BY p.l_orderkey
+    ), mld AS (
+      SELECT p.l_orderkey, min(p.z) AS mld_z
+      FROM prof p JOIN surf s ON p.l_orderkey = s.l_orderkey
+      WHERE p.sigma > s.sigma_surf + 0.03
+      GROUP BY p.l_orderkey
+    ), grad AS (
+      SELECT l_orderkey,
+             (z + lag(z) OVER (PARTITION BY l_orderkey ORDER BY z)) / 2.0
+               AS mid_z,
+             CAST(floor(abs(t - lag(t) OVER (PARTITION BY l_orderkey
+                                             ORDER BY z))
+                        / (z - lag(z) OVER (PARTITION BY l_orderkey
+                                            ORDER BY z))
+                        * 1.0e9 + 0.5) AS BIGINT) AS g_u
+      FROM prof
+    ), thermo AS (
+      SELECT l_orderkey, mid_z FROM (
+        SELECT l_orderkey, mid_z,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY g_u DESC, mid_z ASC) AS r
+        FROM grad WHERE g_u IS NOT NULL
+      ) WHERE r = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_profiles,
+           CAST(sum(CASE WHEN m.mld_z > t.mid_z THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations,
+           floor(CAST(sum(CASE WHEN m.mld_z > t.mid_z THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS violation_rate
+    FROM mld m JOIN thermo t ON m.l_orderkey = t.l_orderkey
+"""
+
+
+@_register("ios_mld_thermocline_consistency", oracle=_MLDCONS_SQL)
+def ios_mld_thermocline_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-diagnostic physical-consistency audit: density-threshold
+    MLD vs max-gradient thermocline depth per profile, violation rate
+    where MLD sits below the thermocline. All windows key-partitioned
+    by profile."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    levels = li.withColumn("rn", F.row_number().over(w))
+    prof = levels.select(
+        "l_orderkey",
+        (F.col("rn") * 10.0).cast("double").alias("z"),
+        (F.lit(20.0) + F.col("l_quantity") * 0.1 + F.col("rn") * 0.05)
+        .cast("double")
+        .alias("sigma"),
+        (F.col("l_quantity") % 30).cast("double").alias("t"),
+    )
+    surf = prof.groupBy("l_orderkey").agg(
+        F.min(F.when(F.col("z") <= 10.0, F.col("sigma"))).alias("sigma_surf")
+    )
+    mld = (
+        prof.join(surf, "l_orderkey")
+        .filter(F.col("sigma") > F.col("sigma_surf") + 0.03)
+        .groupBy("l_orderkey")
+        .agg(F.min("z").alias("mld_z"))
+    )
+    wz = Window.partitionBy("l_orderkey").orderBy("z")
+    grad = prof.select(
+        "l_orderkey",
+        ((F.col("z") + F.lag("z").over(wz)) / 2.0).alias("mid_z"),
+        F.floor(
+            F.abs(F.col("t") - F.lag("t").over(wz))
+            / (F.col("z") - F.lag("z").over(wz))
+            * 1.0e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("g_u"),
+    ).filter(F.col("g_u").isNotNull())
+    wb = Window.partitionBy("l_orderkey").orderBy(
+        F.col("g_u").desc(), F.col("mid_z").asc()
+    )
+    thermo = (
+        grad.withColumn("r", F.row_number().over(wb))
+        .filter(F.col("r") == 1)
+        .select("l_orderkey", "mid_z")
+    )
+    j = mld.join(thermo, "l_orderkey")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_profiles"),
+        F.sum(F.when(F.col("mld_z") > F.col("mid_z"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        (
+            F.floor(
+                F.sum(
+                    F.when(F.col("mld_z") > F.col("mid_z"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("violation_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate by held-out source against the odd-source training
+# vocabulary: token-level and type-level out-of-vocabulary shares —
+# the per-source routing signal behind the held-out perplexity.
+# ---------------------------------------------------------------------------
+_OOV_SQL = """
+    WITH tok AS (
+      SELECT source, CAST(substr(source, 4) AS BIGINT) % 2 = 1 AS is_train,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tv AS (SELECT DISTINCT w FROM tok WHERE is_train),
+    held AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok WHERE NOT is_train GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT h.source, h.w, h.c,
+             CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM held h LEFT JOIN tv ON h.w = tv.w
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           floor(CAST(sum(oov * c) AS DOUBLE) / sum(c) * 1.0e6 + 0.5) / 1.0e6
+             AS token_oov_rate,
+           floor(CAST(sum(oov) AS DOUBLE) / count(*) * 1.0e6 + 0.5) / 1.0e6
+             AS type_oov_rate
+    FROM j GROUP BY source ORDER BY source
+"""
+
+
+@_register("lm_oov_rate_by_source", oracle=_OOV_SQL)
+def lm_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token- and type-level OOV rate of each held-out source against
+    the training vocabulary: broadcast vocab anti-ish left join, one
+    bounded rollup."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        (F.substring(F.col("source"), 4, 10).cast("long") % 2 == 1).alias(
+            "is_train"
+        ),
+        F.explode(words_expr(F.col("text"))).alias("w"),
+    )
+    tv = tok.filter(F.col("is_train")).select("w").distinct().withColumn(
+        "_in", F.lit(1)
+    )
+    held = tok.filter(~F.col("is_train")).groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    j = held.join(F.broadcast(tv), "w", "left").select(
+        "source",
+        "c",
+        F.when(F.col("_in").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    q6 = lambda e: F.floor(e * 1.0e6 + 0.5) / 1.0e6  # noqa: E731
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            q6(
+                F.sum(F.col("oov") * F.col("c")).cast("double") / F.sum("c")
+            ).alias("token_oov_rate"),
+            q6(F.sum("oov").cast("double") / F.count(F.lit(1))).alias(
+                "type_oov_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-key density audit: key-space coverage (min/max/density) and
+# the largest gap — ingest that silently drops a partition leaves a
+# key-space crater long before row counts look wrong. The gap scan is
+# a lag over the DISTINCT-KEY table (here dense; the two-pass rank is
+# the ≥1e9-key escape hatch, same contract as the rank family).
+# ---------------------------------------------------------------------------
+_KEYDENSITY_SQL = """
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(min(k) AS BIGINT) AS kmin,
+             CAST(max(k) AS BIGINT) AS kmax
+      FROM k
+    ),
+    gaps AS (
+      SELECT k - lag(k) OVER (ORDER BY k) AS gap FROM k
+    )
+    SELECT s.n AS n_keys, s.kmin, s.kmax,
+           floor(CAST(s.n AS DOUBLE) / (s.kmax - s.kmin + 1) * 1.0e6 + 0.5)
+             / 1.0e6 AS key_density,
+           CAST((SELECT max(gap) FROM gaps) AS BIGINT) AS max_gap
+    FROM s
+"""
+
+
+@_register("orders_orderkey_density_audit", oracle=_KEYDENSITY_SQL)
+def orders_orderkey_density_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Key-space density and max gap of o_orderkey: ranks come from
+    ranked_cumsum_two_pass (the key table scales with |orders|, so a
+    global lag window would single-task sort it); the predecessor join
+    is rank-keyed (one bounded shuffle), max gap from one rollup."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    k = o.select(F.col("o_orderkey").alias("k")).distinct()
+    s = k.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("k").cast("long").alias("kmin"),
+        F.max("k").cast("long").alias("kmax"),
+    )
+    ranked = ranked_cumsum_two_pass(
+        k, "k", "k", ascending=True, out_rank="r", out_cum="__cum"
+    ).select("k", F.col("r").cast("long").alias("r"))
+    prev = ranked.select(
+        (F.col("r") + 1).alias("r"), F.col("k").alias("k_prev")
+    )
+    gaps = ranked.join(prev, "r").select(
+        (F.col("k") - F.col("k_prev")).alias("gap")
+    )
+    mg = gaps.agg(F.max("gap").cast("long").alias("max_gap"))
+    return s.crossJoin(F.broadcast(mg)).select(
+        F.col("n").alias("n_keys"),
+        "kmin",
+        "kmax",
+        (
+            F.floor(
+                F.col("n").cast("double")
+                / (F.col("kmax") - F.col("kmin") + 1)
+                * 1.0e6
+                + 0.5
+            )
+            / 1.0e6
+        ).alias("key_density"),
+        "max_gap",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet concentration (method of moments) of daily event-type
+# shares: α0 from the mean share variance across days — low α0 means
+# wildly swinging daily mixes, high α0 a stable composition.
+# ---------------------------------------------------------------------------
+_DIRICHLET_SQL = """
+    WITH cell AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    dtot AS (SELECT day, CAST(sum(c) AS BIGINT) AS n FROM cell GROUP BY day),
+    share AS (
+      SELECT c.event_type, CAST(c.c AS DOUBLE) / d.n AS p
+      FROM cell c JOIN dtot d ON c.day = d.day
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+             sum(p) / count(*) AS mbar,
+             (sum(p * p) - sum(p) * sum(p) / count(*)) / (count(*) - 1) AS v
+      FROM share GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CAST(floor((mbar * (1.0 - mbar) / v - 1.0) * 1.0e6 + 0.5)
+                  AS BIGINT) AS a0_u
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           floor(CAST(sum(a0_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS alpha0_mom
+    FROM est
+"""
+
+
+@_register("events_type_share_dirichlet_mom", oracle=_DIRICHLET_SQL)
+def events_type_share_dirichlet_mom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Method-of-moments Dirichlet concentration of daily type shares:
+    per-type α0 estimates m(1−m)/v − 1 quantized then averaged —
+    bounded day×type rollups only."""
+    ev = _t(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dtot = cell.groupBy("day").agg(F.sum("c").cast("long").alias("n"))
+    share = cell.join(dtot, "day").select(
+        "event_type", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    m = share.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        (F.sum("p") / F.count(F.lit(1))).alias("mbar"),
+        (
+            (
+                F.sum(F.col("p") * F.col("p"))
+                - F.sum("p") * F.sum("p") / F.count(F.lit(1))
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v"),
+    )
+    est = m.select(
+        F.floor(
+            (F.col("mbar") * (1.0 - F.col("mbar")) / F.col("v") - 1.0) * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("a0_u")
+    )
+    return est.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (
+            F.floor(F.sum("a0_u").cast("double") / F.count(F.lit(1)) + 0.5)
+            / 1.0e6
+        ).alias("alpha0_mom"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality by length decile: mean long-word-ratio quality per token-
+# count decile — the curve that says whether a single quality
+# threshold silently length-filters. Deciles via ntile_two_pass.
+# ---------------------------------------------------------------------------
+_QLEN_SQL = """
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(floor(
+               (len(list_filter(string_split(text, ' '), t -> strlen(t) >= 5))
+                * 1.0 / len(string_split(text, ' '))) * 1.0e6 + 0.5)
+             AS BIGINT) AS q_u
+      FROM documents
+    ),
+    tiled AS (
+      SELECT q_u,
+             CAST(ntile(10) OVER (ORDER BY n_tok ASC, doc_id ASC) AS BIGINT)
+               AS decile
+      FROM q
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(q_u) AS DOUBLE) / count(*) + 0.5) / 1.0e6
+             AS mean_quality
+    FROM tiled GROUP BY decile ORDER BY decile
+"""
+
+
+@_register("doc_quality_by_length_decile", oracle=_QLEN_SQL)
+def doc_quality_by_length_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-length interaction: exact token-count deciles
+    (ntile_two_pass), mean micro-quantized quality per decile."""
+    from cioos_siooc_data_transform_spark.operators.dedup import words_expr
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ntile_two_pass,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    words = words_expr(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tok"),
+        F.floor(
+            F.size(F.filter(words, lambda t: F.length(t) >= 5))
+            * 1.0
+            / F.size(words)
+            * 1.0e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("q_u"),
+    )
+    tiled = ntile_two_pass(q, "n_tok", "doc_id", n_tiles=10, out_col="decile")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.floor(F.sum("q_u").cast("double") / F.count(F.lit(1)) + 0.5)
+                / 1.0e6
+            ).alias("mean_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brand revenue-share stability across years: per brand, the max
+# year-over-year share swing — assortment drift at the brand level.
+# ---------------------------------------------------------------------------
+_BRANDSTAB_SQL = """
+    WITH rev AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    ),
+    ytot AS (SELECT yr, CAST(sum(cents) AS BIGINT) AS t FROM rev GROUP BY yr),
+    share AS (
+      SELECT r.brand, r.yr,
+             CAST(floor(CAST(r.cents AS DOUBLE) / y.t * 1.0e9 + 0.5)
+                  AS BIGINT) AS s_u
+      FROM rev r JOIN ytot y ON r.yr = y.yr
+    ),
+    lagged AS (
+      SELECT brand, yr, s_u,
+             lag(s_u) OVER (PARTITION BY brand ORDER BY yr) AS prev_u
+      FROM share
+    ),
+    sw AS (
+      SELECT brand, CAST(max(abs(s_u - prev_u)) AS BIGINT) AS max_swing_u
+      FROM lagged WHERE prev_u IS NOT NULL GROUP BY brand
+    )
+    SELECT brand,
+           CAST(max_swing_u AS DOUBLE) / 1.0e9 AS max_yoy_share_swing
+    FROM sw ORDER BY max_swing_u DESC, brand LIMIT 10
+"""
+
+
+@_register("part_brand_share_stability", oracle=_BRANDSTAB_SQL)
+def part_brand_share_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max YoY brand revenue-share swing (top-10 movers): brand×year
+    rollup on a broadcast-dim join chain, share lag over the bounded
+    year axis per brand."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("o_orderdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    ytot = rev.groupBy("yr").agg(F.sum("cents").cast("long").alias("t"))
+    share = rev.join(F.broadcast(ytot), "yr").select(
+        "brand",
+        "yr",
+        F.floor(F.col("cents").cast("double") / F.col("t") * 1.0e9 + 0.5)
+        .cast("long")
+        .alias("s_u"),
+    )
+    w = Window.partitionBy("brand").orderBy("yr")
+    lagged = share.select(
+        "brand", "s_u", F.lag("s_u").over(w).alias("prev_u")
+    ).filter(F.col("prev_u").isNotNull())
+    sw = lagged.groupBy("brand").agg(
+        F.max(F.abs(F.col("s_u") - F.col("prev_u")))
+        .cast("long")
+        .alias("max_swing_u")
+    )
+    return (
+        sw.orderBy(F.col("max_swing_u").desc(), "brand")
+        .limit(10)
+        .select(
+            "brand",
+            (F.col("max_swing_u").cast("double") / 1.0e9).alias(
+                "max_yoy_share_swing"
+            ),
+        )
+    )

@@ -98,6 +98,25 @@ STAGED_NAMES = [
     "lineitem_dose_response_monotonicity",
     "events_type_transition_lift",
     "orders_dom_seasonality_chisq",
+    # wave G — top-up batch 3
+    "supplier_welch_anova_nation",
+    "embedding_subspace_variance_balance",
+    "text_positional_entropy_profile",
+    "doc_opener_share_by_source",
+    "events_weekly_value_psi",
+    "embedding_exact_duplicate_audit",
+    "lm_addk_smoothing_sweep",
+    "vocab_zipf_slope_by_band",
+    # wave H — slate completion
+    "orders_daily_revenue_cvar",
+    "events_daily_counts_nb_fit",
+    "dedup_lsh_recall_by_similarity_bin",
+    "ios_mld_thermocline_consistency",
+    "lm_oov_rate_by_source",
+    "orders_orderkey_density_audit",
+    "events_type_share_dirichlet_mom",
+    "doc_quality_by_length_decile",
+    "part_brand_share_stability",
 ]
 
 # Seed-time detector results (plan_guards.find_unpartitioned_windows,
@@ -111,6 +130,7 @@ EXPECTED_BOUNDED_WINDOW_QUERIES = {
     "orders_ses_backtest": "row_number over the per-MONTH rollup (calendar-bounded axis)",
     "orders_variance_ratio": "lag window over the per-DAY rollup (calendar-bounded axis)",
     "lineitem_dose_response_monotonicity": "lag over the 11-bracket discount alphabet (bounded)",
+    "orders_daily_revenue_cvar": "rank window over the per-DAY rollup (calendar-bounded axis)",
 }
 
 
