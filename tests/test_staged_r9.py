@@ -42,14 +42,20 @@ def test_staged_now_registered():
         assert live_q[name] is fn, f"replacement {name} not applied"
 
 
-def test_replacements_resample_fresh():
-    """The REPLACEMENTS contract: at activation the replaced names must
-    NOT be in _CHECKED (they re-earn driver rows on the new trees)."""
+def test_replacements_recheck_completed():
+    """The REPLACEMENTS contract, final state: the replaced names left
+    _CHECKED at the round-9 activation, re-earned green driver rows on
+    the new expression trees (CORRECTNESS_r09.json has both), and
+    returned to _CHECKED at the round-10 activation. If this fails
+    because a replacement is missing from _CHECKED, its re-check never
+    landed — do NOT just add it; find the green row first."""
     import __spark_entry__ as e
 
     _, _, reps = _staged()
-    stale = set(reps) & e._CHECKED
-    assert not stale, f"replacement names still marked checked: {stale}"
+    unrechecked = set(reps) - e._CHECKED
+    assert not unrechecked, (
+        f"replacement names never re-checked after activation: {unrechecked}"
+    )
 
 
 def test_activate_idempotent_after_import():
