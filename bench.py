@@ -125,6 +125,25 @@ def main() -> None:
         calib_secs.append(round(time.time() - t0, 3))
     calibration = min(calib_secs)
 
+    # Second canary, SHUFFLE-bound (round-10 addition): the round-10
+    # re-measure showed the arithmetic canary under-normalizes
+    # arithmetic-DENSE queries under CPU throttling (zorder/JL/PQ moved
+    # 1.3-1.6x canary-normalized while shuffle-bound queries tracked the
+    # canary). A fixed-size repartition+agg canary separates the two
+    # failure modes: CPU throttle moves BOTH canaries together; a
+    # shuffle/IO problem (disk, spill, network at cluster scale) moves
+    # only this one.
+    shuffle_secs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(30_000_000).selectExpr(
+            "id", "id % 1000000 AS k", "CAST(id % 97 AS DOUBLE) AS v"
+        ).repartition(64, "k").groupBy("k").agg(
+            {"v": "sum", "id": "max"}
+        ).selectExpr("sum(`sum(v)`)", "max(`max(id)`)").collect()
+        shuffle_secs.append(round(time.time() - t0, 3))
+    shuffle_calibration = min(shuffle_secs)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(n_runs):
@@ -276,6 +295,7 @@ def main() -> None:
                     "runs_sec": runs,
                     "n_runs": n_runs,
                     "calibration_runs_sec": calib_secs,
+                    "shuffle_calibration_runs_sec": shuffle_secs,
                     "ios_ingest": ios_ingest,
                     "ios_ingest_50k": ios_ingest_50k,
                     "semantic_dedup_trained": sem_trained,
@@ -299,6 +319,7 @@ def main() -> None:
                 "detail": "bench_sidecar",
                 "n_runs": n_runs,
                 "calibration_sec": calibration,
+                "shuffle_calibration_sec": shuffle_calibration,
                 "total_over_calibration": round(total / calibration, 2),
                 "ios_ingest": ios_ingest,
                 "ios_ingest_50k": ios_ingest_50k,
