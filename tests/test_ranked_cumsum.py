@@ -185,3 +185,53 @@ def test_running_extreme_two_pass_matches_builtin(spark):
                 for r in df.select("k", ext("x").over(w).alias("re")).collect()
             }
             assert got == want, f"agg={agg}, inclusive={inclusive}"
+
+
+def test_two_pass_grouped_weighted_mode(spark):
+    """group_cols + weight_col TOGETHER (the grouped midrank substrate
+    behind Brunner-Munzel, the per-dimension AUC sweep, and the
+    per-language Heaps fit): per-group running WEIGHT sums must match a
+    grouped weighted window bit-for-bit, including the doubled-midrank
+    identity 2*cum - w + 1 on a distinct-value count table."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    # A per-(group, value) count table — unique (g, v) pairs, the
+    # contract every midrank caller guarantees.
+    df = (
+        spark.range(3000)
+        .select(
+            (F.col("id") % 5).alias("g"),
+            ((F.col("id") * 17) % 211).cast("long").alias("v"),
+        )
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    got = {
+        (r.g, r.v): (r.rnk, r.cum)
+        for r in ranked_cumsum_two_pass(
+            df, "v", "v", n_buckets=16,
+            group_cols=["g"], weight_col="w", ascending=True,
+        )
+        .select("g", "v", "rnk", "cum")
+        .collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("v").asc())
+    wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        (r.g, r.v): (r.rnk, r.cum)
+        for r in df.select(
+            "g",
+            "v",
+            F.row_number().over(w).cast("long").alias("rnk"),
+            F.sum("w").over(wr).cast("long").alias("cum"),
+        ).collect()
+    }
+    assert got == want
+    # Doubled midranks 2*cum - w + 1 are odd/even-consistent integers
+    # (the exactness the rank statistics depend on).
+    wmap = {(r.g, r.v): r.w for r in df.collect()}
+    for key, (_rnk, cum) in got.items():
+        r2 = 2 * cum - wmap[key] + 1
+        assert r2 >= 1
