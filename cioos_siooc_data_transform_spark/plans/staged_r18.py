@@ -1193,3 +1193,80 @@ def dedup_candidate_budget_by_cap(
 
 
 STAGED_ORACLES["dedup_candidate_budget_by_cap"] = _budget_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Pareto crossing point: the smallest customer-share p with revenue
+# share >= 80% — the single-number inverse of the Lorenz curve (the
+# "is it 80/20 or 80/5?" KPI). Rides the two-pass running revenue sum.
+# ---------------------------------------------------------------------------
+_PARETO_X_SQL = """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+                  AS BIGINT) AS r,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum
+      FROM rev
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS t
+      FROM rev
+    ),
+    crossing AS (
+      SELECT min(r) AS r80
+      FROM ranked CROSS JOIN tot
+      WHERE CAST(cum AS DOUBLE) / t >= 0.8
+    )
+    SELECT t.n AS n_customers, c.r80 AS customers_for_80pct,
+           floor(CAST(c.r80 AS DOUBLE) / t.n * 1.0e6 + 0.5) / 1.0e6
+             AS pareto_crossing_share
+    FROM crossing c CROSS JOIN tot t
+"""
+
+
+@_register("orders_pareto_crossing_point", oracle=_PARETO_X_SQL)
+def orders_pareto_crossing_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smallest top-customer share holding >= 80% of revenue: running
+    revenue share from ranked_cumsum_two_pass (descending, custkey
+    tiebreak), crossing found by one min aggregate."""
+    from cioos_siooc_data_transform_spark.operators.windows import (
+        ranked_cumsum_two_pass,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = ranked_cumsum_two_pass(
+        rev, "cents", "o_custkey", ascending=False, out_rank="r", out_cum="cum"
+    ).select(
+        F.col("r").cast("long").alias("r"),
+        F.col("cum").cast("long").alias("cum"),
+    )
+    tot = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+    )
+    crossing = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum").cast("double") / F.col("t") >= 0.8)
+        .agg(F.min("r").alias("r80"))
+    )
+    return crossing.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_customers"),
+        F.col("r80").alias("customers_for_80pct"),
+        (
+            F.floor(F.col("r80").cast("double") / F.col("n") * 1.0e6 + 0.5)
+            / 1.0e6
+        ).alias("pareto_crossing_share"),
+    )

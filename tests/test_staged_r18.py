@@ -76,6 +76,7 @@ STAGED_NAMES = [
     "decontam_perplexity_outliers",
     "multimodal_modality_mix",
     "dedup_candidate_budget_by_cap",
+    "orders_pareto_crossing_point",
 ]
 
 # Seed-time detector results (plan_guards.find_unpartitioned_windows,
