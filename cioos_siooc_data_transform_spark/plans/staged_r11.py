@@ -23,6 +23,29 @@ COMPLETE at the 50-name budget (50 new, 0 replacements):
 - Wave F — GSW twins: ice expansion/pressure coefficients,
   spiciness1/2, Baltic SA special case.
 - Wave G — Grubbs test, Allan variance, Breusch-Pagan LM.
+
+ACTIVATION NOTE (round 11, pre-audited in round 10 via
+plan_guards.find_unpartitioned_windows at sf0.001): exactly THREE
+queries carry a bounded unpartitioned window — add them to
+tests/test_plans.py::_ALLOWED_UNPARTITIONED_WINDOWS in the activation
+commit with these justifications; everything else in the slate is
+detector-clean:
+- events_changepoint_binseg2: "runs over the per-DAY rollup +
+  TakeOrdered(limit=1) split picks (calendar-bounded axis)"
+- orders_max_drawdown: "runs over the per-MONTH revenue rollup
+  (calendar-bounded axis)"
+- orders_rolling_corr_12m: "runs over the per-MONTH rollup
+  (calendar-bounded axis)"
+Activation checklist (the staged_r10/round-10 precedent, commit
+56e1d83): (1) move the 50 round-10-green names from
+CORRECTNESS_r10.json into __spark_entry__._CHECKED; (2) import +
+activate() in plans/__init__.py; (3) flip tests/test_staged_r11.py
+from the parked to the activated form (test_staged_now_registered /
+test_activate_idempotent_after_import /
+test_registered_callables_are_the_staged_ones); (4) add the three
+allowlist entries above; (5) re-run tools/driver_sim.py full sweep +
+tools/plan_audit.py; (6) regenerate tri-scale artifacts.
+
 - Wave H — SimHash bit balance, brand modularity, partsupp
   price-spread audit.
 - Wave I — pt/CT from entropy (Newton on symbolic eta_t), two-sample
