@@ -27,6 +27,12 @@ COMPLETE at the 50-name budget (50 new, 0 replacements):
   dispersion, stock cover, triangle config-null, price
   assortativity, CR4, IOS channel-unit profile (second self-authored
   sample), chars-per-token (r11), STTR, block-entropy curve.
+
+ACTIVATION NOTE (round 12, pre-audited in round 10 via
+plan_guards.find_unpartitioned_windows at sf0.001): the slate is
+DETECTOR-CLEAN — zero non-operator-internal unpartitioned windows; no
+allowlist entries needed at activation. Follow the staged_r11
+checklist otherwise.
 """
 
 from __future__ import annotations

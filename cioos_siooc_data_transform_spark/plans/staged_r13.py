@@ -42,6 +42,12 @@ COMPLETE at the 50-name budget:
 - Wave M — CT/entropy from pt, ice-melt equilibrium SA/CT ratio
   (75-term enthalpy + IAPWS-06 ice composition), adiabatic lapse rate
   from CT.
+
+ACTIVATION NOTE (round 13, pre-audited in round 10 via
+plan_guards.find_unpartitioned_windows at sf0.001): ONE bounded hit —
+events_page_hinkley_drift ("runs over the per-DAY rollup crossed with
+1-row broadcast scalars (calendar-bounded axis)") — add that allowlist
+entry at activation; everything else is detector-clean.
 """
 
 from __future__ import annotations

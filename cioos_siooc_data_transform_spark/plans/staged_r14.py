@@ -24,6 +24,17 @@ Content so far (13 of the 50-name budget):
   policy, 5-fold split balance χ², Freedman-Diaconis bin widths from
   exact discrete IQRs, and a Gini-gain decision-stump split search
   that reuses ntile_two_pass for its thresholds.
+
+ACTIVATION NOTE (round 14, pre-audited in round 10 via
+plan_guards.find_unpartitioned_windows at sf0.001): SEVEN bounded hits
+to allowlist at activation, all bounded-axis shapes —
+doc_quality_stump_split (bounded candidate-threshold table + scalar
+assembly), events_periodogram_candidates (bounded period alphabet),
+orders_bh_fdr_nation_tests (25-nation p-value table),
+orders_bootstrap_ci_revenue (32 bounded replicates),
+orders_kfold_balance_audit (fold x segment table),
+orders_naive_interval_coverage and orders_sens_slope_monthly
+(per-MONTH rollups; the Sen pair join is months x months, bounded).
 """
 
 from __future__ import annotations
