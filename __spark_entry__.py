@@ -236,8 +236,44 @@ _CHECKED = frozenset(
         "similarity_int8_recall_audit", "similarity_ivf_nprobe_curve",
         "sketch_kmv_distinct", "supplier_balance_quantile_normalize",
         "temporal_split_leakage_audit", "user_growth_accounting",
+        # round 10 (all 50 green in CORRECTNESS_r10.json)
+        "customer_acctbal_levene_test", "customer_rfm_segments",
+        "customer_segment_migration", "dedup_blocking_quality_audit",
+        "dedup_jaccard_threshold_sweep", "dedup_sorted_neighborhood",
+        "doc_context_overflow_rate", "embedding_anisotropy_audit",
+        "embedding_knn_hubness", "embedding_label_margin",
+        "embedding_pca_power_iteration", "embedding_triplet_margin_violations",
+        "events_daily_mad_anomalies", "events_dispersion_index",
+        "events_ewma_daily", "events_interarrival_burstiness",
+        "events_kruskal_wallis_value", "events_ljung_box",
+        "events_pot_gpd_fit", "events_runs_test",
+        "graph_adamic_adar_linkpred", "graph_degree_gini",
+        "graph_kcore3_peeling", "gsw_adiabatic_lapse_rate_ice",
+        "gsw_o2sol_sp_pt", "gsw_pressure_freezing_ct",
+        "gsw_pt0_from_t_ice", "gsw_rho_second_derivatives",
+        "gsw_sa_freezing_from_ct", "gsw_salinity_scale_conversions",
+        "gsw_specvol_first_derivatives", "gsw_specvol_ice",
+        "gsw_temperature_scale_conversions", "lineitem_cramers_v",
+        "lineitem_spearman_discount_qty", "lineitem_welch_ttest",
+        "orders_association_lift", "orders_bollinger_bands",
+        "orders_diff_in_diff_holiday", "orders_kaplan_meier",
+        "orders_seasonal_naive_backtest", "sample_hash_uniformity_chisq",
+        "sample_stratified_split_audit", "sketch_bloom_fpr_audit",
+        "source_vocab_jaccard", "text_bm25_topk",
+        "text_readability_flesch", "text_sentence_length_profile",
+        "text_source_unigram_jsd", "tpch_referential_integrity_profile",
     }
 )
+
+# ROTATION POLICY (adopted round 11, per the round-10 verdict): the
+# driver's fresh-first sample has never re-checked an old green name, so
+# starting with the ROUND-12 activation each round activates at most 45
+# new staged names and REMOVES ~5 of the oldest green names from
+# _CHECKED (round 12 starts with round-1's most-load-bearing:
+# q1_pricing_summary, geo_containment_join, dedup_minhash_lsh,
+# similarity_ivf_topk, ios_parse_measurements). The driver then
+# re-earns driver-grade rows on many-rounds-moved code for free; the
+# removed names rejoin _CHECKED once their fresh CORRECTNESS rows land.
 
 
 def _priority_order(names) -> list[str]:

@@ -327,6 +327,9 @@ def main() -> None:
             }
         )
     )
+    # Round-10 verdict item 6: both canaries ride the FINAL line (the
+    # driver-visible artifact), not just the sidecar — two short float
+    # fields, well inside the 1900-B capture guard.
     for dp in (2, 1):
         line = json.dumps(
             {
@@ -335,6 +338,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, dp) for k, v in timings.items()},
                 "sf": sf_val,
+                "calibration": round(calibration, 3),
+                "shuffle_calibration": round(shuffle_calibration, 3),
             }
         )
         if len(line) <= 1900:

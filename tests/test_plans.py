@@ -102,12 +102,20 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         #   intended stream-vs-broadcast sweep shape; its
         #   pair-generating join remains a shingle equi-join, which the
         #   CartesianProduct assertion above still covers.
+        # - dedup_transitivity_audit (activated round 11): the same
+        #   scalar assembly — its one-row result cross-joins THREE
+        #   SINGLE-ROW aggregates (edge count x degree stats x triangle
+        #   count); every pair-generating join (hot-shingle-capped
+        #   inverted-index pairs, a<b<c triangle closure on the bounded
+        #   near-dup edge set) is an equi-join, which the
+        #   CartesianProduct assertion above still covers.
         if name.startswith("dedup_") and name not in (
             "dedup_semantic_clusters",
             "dedup_layer_funnel",
             "dedup_lsh_recall_audit",
             "dedup_vocab_impact",
             "dedup_jaccard_threshold_sweep",
+            "dedup_transitivity_audit",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -281,6 +289,13 @@ _EAGER_BY_DESIGN = {
     # Power iteration cuts each round's matvec with a lazy checkpoint
     # (u and v are each referenced twice per round).
     "embedding_pca_power_iteration",
+    # Round-11 runway (plans/staged_r11.py): source-purity audit runs
+    # the pointer-jumping connected-components operator (per-round
+    # checkpoints ARE the algorithm — the dedup_components pattern),
+    # and the PQ utilization audit shares similarity_pq_adc_topk's
+    # documented 16-row bounded codebook collect.
+    "dedup_component_source_purity",
+    "similarity_pq_codebook_utilization",
 }
 
 
@@ -350,6 +365,14 @@ _ALLOWED_UNPARTITIONED_WINDOWS = {
     "lineitem_cramers_v": "runs over the returnflag x shipdate-dow contingency table (bounded alphabets)",
     "orders_bollinger_bands": "runs over the per-DAY revenue rollup (calendar-bounded axis)",
     "orders_kaplan_meier": "runs over the per-DAY risk-set table (calendar-bounded axis)",
+    # round-11 activations (pre-audited at staging; recorded in the
+    # activation note at plans/staged_r11.py:30-50)
+    "events_changepoint_binseg2": (
+        "runs over the per-DAY rollup + TakeOrdered(limit=1) split picks "
+        "(calendar-bounded axis)"
+    ),
+    "orders_max_drawdown": "runs over the per-MONTH revenue rollup (calendar-bounded axis)",
+    "orders_rolling_corr_12m": "runs over the per-MONTH rollup (calendar-bounded axis)",
 }
 
 

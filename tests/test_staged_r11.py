@@ -1,7 +1,11 @@
-"""Keep the STAGED round-11 queries green while parked
-(plans/staged_r11.py — the round-11 runway seed; activation order is
-staged_r8 (round 8) -> staged_r9 (round 9) -> staged_r10 (round 10)
--> this module)."""
+"""The round-11 slate (plans/staged_r11.py) is LIVE as of round 11:
+activated from plans/__init__.py, same cycle the round-5..10 slates
+followed (parked one round to respect the driver's 50-fresh-sample
+budget, then activated per the pre-audited activation note at
+plans/staged_r11.py:30-50). The three calendar-bounded windows in the
+slate (events_changepoint_binseg2, orders_max_drawdown,
+orders_rolling_corr_12m) carry justified allowlist entries in
+tests/test_plans.py."""
 
 from __future__ import annotations
 
@@ -20,46 +24,49 @@ def _staged():
     return STAGED_QUERIES, STAGED_ORACLES, STAGED_REPLACEMENTS
 
 
-def test_staged_not_registered():
-    from cioos_siooc_data_transform_spark.plans import all_queries
+def test_staged_now_registered():
+    """Round 11 activated the slate: every staged name must be live in
+    the registry with its oracle (the reverse of round 10's parked
+    invariant)."""
+    from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_, reps = _staged()
     assert set(qs) == set(os_)
-    leaked = set(qs) & set(all_queries())
-    assert not leaked, f"staged r11 queries leaked into the live registry: {leaked}"
-    live = all_queries()
+    live_q, live_o = all_queries(), all_oracles()
+    missing = set(qs) - set(live_q)
+    assert not missing, f"staged queries not activated: {missing}"
+    missing_o = set(os_) - set(live_o)
+    assert not missing_o, f"staged oracles not activated: {missing_o}"
     for name, (fn, _) in reps.items():
-        assert name in live, f"replacement {name} has no live twin"
-        assert live[name] is not fn, f"replacement {name} activated early"
+        assert name in live_q, f"replacement {name} has no live twin"
+        assert live_q[name] is fn, f"replacement {name} not applied"
 
 
 def test_budget():
-    """Fresh-name budget: the driver samples 50 names per round."""
+    """Fresh-name budget: the driver samples 50 names per round, and
+    this slate activated at exactly 50 (50 new, 0 replacements)."""
     qs, _, reps = _staged()
-    assert len(qs) + len(reps) <= 50
+    assert len(qs) + len(reps) == 50
 
 
-def test_no_collision_with_earlier_slates():
-    """A staged_r11 name colliding with the (not-yet-activated)
-    r8/r9/r10 slates would silently no-op at round-11 activation —
-    catch it at build time instead (the lineitem_benford_audit
-    lesson)."""
-    from cioos_siooc_data_transform_spark.plans import (
-        staged_r8,
-        staged_r9,
-        staged_r10,
-    )
+def test_activate_idempotent_after_import():
+    """plans/__init__.py already ran activate(); a second call must be a
+    no-op (0 newly-registered names)."""
+    from cioos_siooc_data_transform_spark.plans import staged_r11
 
-    qs, _, reps = _staged()
-    earlier = (
-        set(staged_r8.STAGED_QUERIES)
-        | set(staged_r9.STAGED_QUERIES)
-        | set(staged_r9.STAGED_REPLACEMENTS)
-        | set(staged_r10.STAGED_QUERIES)
-        | set(staged_r10.STAGED_REPLACEMENTS)
-    )
-    clash = (set(qs) | set(reps)) & earlier
-    assert not clash, f"staged_r11 names collide with r8/r9/r10: {clash}"
+    assert staged_r11.activate() == 0
+
+
+def test_registered_callables_are_the_staged_ones():
+    """Activation must not have been shadowed by an earlier slate's
+    same-name registration (the silent-no-op trap: activate() skips
+    names that already exist)."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, _, _ = _staged()
+    live = all_queries()
+    shadowed = {n for n, fn in qs.items() if live.get(n) is not fn}
+    assert not shadowed, f"staged_r11 names shadowed by earlier slates: {shadowed}"
 
 
 STAGED_NAMES: list[str] = [
@@ -156,15 +163,3 @@ def test_replacement_matches_oracle(spark, name):
     ok, msg = compare_query(spark, SF_DIR_SMOKE, fn, oracle)
     assert ok, f"{name}: {msg}"
 
-
-def test_activate_not_called_is_noop_guard():
-    """Importing the module must not mutate the live registry."""
-    import importlib
-
-    from cioos_siooc_data_transform_spark.plans import all_queries
-
-    before = set(all_queries())
-    import cioos_siooc_data_transform_spark.plans.staged_r11 as m
-
-    importlib.reload(m)
-    assert set(all_queries()) == before

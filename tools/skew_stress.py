@@ -252,6 +252,175 @@ def case_semantic_dedup(spark, guarded: bool):
     )
 
 
+N_VECS_XL = 600_000
+MEGA_CLUSTER_XL = 150_000
+N_ORDERS_XL = 2_000_000
+N_PARTS_XL = 200_000
+HUB_ORDER_FRAC_XL = 0.25
+PR_ITERS_XL = 8
+
+
+def _gen_xl() -> None:
+    """XL corpus for the two heaviest headline queries (round-10
+    verdict item 4): >=10x the sf0.1 bench scale. 600k unit-norm 64-dim
+    vectors with a 150k near-identical mega-cluster (every one lands in
+    the same IVF cell AND the same hyperplane-LSH bucket per band), and
+    a 2M-order basket over 200k parts whose hub part co-occurs in 25 %
+    of orders — the support>=2 co-purchase graph comes out at ~5M+
+    directed edges with a ~200k-degree hub."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DATA, exist_ok=True)
+    rng = np.random.default_rng(1117)
+
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    out = os.path.join(DATA, "embeddings_xl.parquet")
+    writer = None
+    chunk = 100_000
+    for lo in range(0, N_VECS_XL, chunk):
+        hi = min(lo + chunk, N_VECS_XL)
+        vecs = rng.standard_normal((hi - lo, 64))
+        n_mega = max(0, min(hi, MEGA_CLUSTER_XL) - lo)
+        if n_mega:
+            vecs[:n_mega] = base + 1e-4 * rng.standard_normal((n_mega, 64))
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        tbl = pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in vecs], pa.list_(pa.float64())
+            ),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(out, tbl.schema)
+        writer.write_table(tbl)
+    if writer is not None:
+        writer.close()
+
+    rows_o, rows_p = [], []
+    ps_all = rng.integers(1, N_PARTS_XL, (N_ORDERS_XL, 4))
+    hub_mask = rng.random(N_ORDERS_XL) < HUB_ORDER_FRAC_XL
+    hub = N_PARTS_XL // 2
+    for o in range(N_ORDERS_XL):
+        for p in ps_all[o]:
+            rows_o.append(o)
+            rows_p.append(int(p))
+        if hub_mask[o]:
+            rows_o.append(o)
+            rows_p.append(hub)
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array(rows_o, pa.int64()),
+                  "l_partkey": pa.array(rows_p, pa.int64())}),
+        os.path.join(DATA, "basket_xl.parquet"),
+    )
+    with open(os.path.join(DATA, "_COMPLETE_XL"), "w") as f:
+        f.write("ok\n")
+    print(f"wrote XL corpus to {DATA}")
+
+
+def _ensure_xl() -> None:
+    if not os.path.exists(os.path.join(DATA, "_COMPLETE_XL")):
+        _gen_xl()
+
+
+def case_semantic_dedup_xl(spark, guarded: bool):
+    """dedup_semantic_clusters at >=10x bench scale (600k vectors,
+    150k-vector mega-cluster — every mega vector shares one IVF cell
+    and one LSH bucket per band). guarded = the production bucket cap;
+    unguarded = no cap, so the mega bucket alone generates
+    ~150k^2/2 = 11G candidate pairs and the run is expected to blow
+    the budget."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    _ensure_xl()
+    emb = spark.read.parquet(os.path.join(DATA, "embeddings_xl.parquet"))
+    cent = emb.filter(F.col("vec_id") % (N_VECS_XL // 16) == 1).limit(16)
+    hp = random_hyperplanes(32, 64, seed=42)
+    return semantic_dedup(
+        emb, cent, hyperplanes=hp, bands=8,
+        bucket_cap=400 if guarded else 1 << 40, tau=0.9,
+    )
+
+
+def case_pagerank_xl(spark, guarded: bool):
+    """graph_pagerank_iterations' loop at >=10x bench scale: the
+    co-occurrence graph of a 2M-order basket over 200k parts. The
+    registered query's support>=2 cut would leave random baskets with
+    almost no surviving pairs, so this case keeps support>=1 —
+    ~25M directed edges, with the hub part co-occurring with
+    essentially the whole catalog (degree ~200k). Same integer-exact
+    update as the registered query. guarded = the production lineage
+    idiom (edge set + degree table localCheckpoint'd once, so the
+    expensive derivation join is computed exactly once and every
+    iteration is one uniform-key shuffle); unguarded = no checkpoint,
+    so all PR_ITERS_XL iterations carry the full derivation subtree in
+    their lineage (re-derived unless exchange reuse happens to fire)
+    and the one-DAG plan grows with the iteration count."""
+    from pyspark.sql import functions as F
+
+    _ensure_xl()
+    li = spark.read.parquet(os.path.join(DATA, "basket_xl.parquet"))
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 1)
+        .select("pa", "pb")
+    )
+    edges = und.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    if guarded:
+        edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    if guarded:
+        deg = deg.localCheckpoint(eager=False)
+    unit = 10**12
+    # fixed node-count constant (no eager count: both modes must build
+    # ONE lazy DAG so the checkpoint is the only difference)
+    init = unit // N_PARTS_XL
+    teleport = (15 * init) // 100
+    score = deg.select(F.col("src").alias("node"), F.lit(init).alias("score"))
+    deg_r = deg.select(F.col("src").alias("dnode"), "outdeg")
+    edges_r = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
+    for _ in range(PR_ITERS_XL):
+        contrib = (
+            score.join(deg_r, score["node"] == deg_r["dnode"])
+            .join(edges_r, score["node"] == edges_r["esrc"])
+            .select(
+                F.col("edst").alias("node"),
+                F.expr("score DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("incoming"))
+        )
+        score = (
+            deg.select(F.col("src").alias("node"))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(incoming, 0) DIV 100")
+                ).alias("score"),
+            )
+        )
+    return score
+
+
 N_POLYGONS = 40_000
 N_POINTS = 500_000
 
@@ -478,6 +647,8 @@ CASES = {
     "grouped_rank": case_grouped_rank,
     "running_extreme": case_running_extreme,
     "km_risk_set": case_km_risk_set,
+    "semantic_dedup_xl": case_semantic_dedup_xl,
+    "pagerank_xl": case_pagerank_xl,
 }
 
 
@@ -534,11 +705,23 @@ def run_one(case: str, mode: str) -> None:
     spark.stop()
 
 
-def run_all() -> None:
+def run_all(only: list[str] | None = None) -> None:
+    """Run the matrix. With `only`, run just those cases and MERGE
+    into the existing results file (keeping other cases' rows)."""
     if not os.path.exists(os.path.join(DATA, "_COMPLETE")):
         gen()
+    out_path = os.path.join(REPO, "tools", "skew_stress_results.json")
     results = []
-    for case in CASES:
+    if only:
+        try:
+            with open(out_path) as f:
+                results = [
+                    r for r in json.load(f).get("results", [])
+                    if r.get("case") not in only
+                ]
+        except (OSError, ValueError):
+            results = []
+    for case in only if only else CASES:
         for mode in ("guarded", "unguarded"):
             cmd = [sys.executable, os.path.abspath(__file__), "run", case, mode]
             t0 = time.time()
@@ -565,13 +748,18 @@ def run_all() -> None:
                     "killed_at_sec": BUDGET_SEC,
                 })
             print(json.dumps(results[-1]))
-    with open(os.path.join(REPO, "tools", "skew_stress_results.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(
             {"budget_sec": BUDGET_SEC, "corpus": {
                 "n_docs": N_DOCS, "hot_doc_frac": HOT_DOC_FRAC,
                 "n_vecs": N_VECS, "mega_cluster": MEGA_CLUSTER,
                 "n_orders": N_ORDERS, "n_parts": N_PARTS,
                 "hub_order_frac": HUB_ORDER_FRAC,
+            }, "corpus_xl": {
+                "n_vecs_xl": N_VECS_XL, "mega_cluster_xl": MEGA_CLUSTER_XL,
+                "n_orders_xl": N_ORDERS_XL, "n_parts_xl": N_PARTS_XL,
+                "hub_order_frac_xl": HUB_ORDER_FRAC_XL,
+                "pr_iters_xl": PR_ITERS_XL,
             }, "results": results},
             f, indent=1,
         )
@@ -583,5 +771,7 @@ if __name__ == "__main__":
         gen()
     elif len(sys.argv) >= 4 and sys.argv[1] == "run":
         run_one(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "all":
+        run_all(sys.argv[2:] or None)
     else:
         run_all()
