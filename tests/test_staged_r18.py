@@ -77,12 +77,69 @@ STAGED_NAMES = [
     "multimodal_modality_mix",
     "dedup_candidate_budget_by_cap",
     "orders_pareto_crossing_point",
+    # wave E — classical statistics (round-11 top-up to the 50 budget)
+    "events_value_cramer_von_mises",
+    "orders_price_dagostino_skew_test",
+    "events_type_engagement_cronbach_alpha",
+    "lineitem_brand_return_eb_shrinkage",
+    "events_interarrival_memory_coeff",
+    # wave F — business / finance series
+    "orders_qoq_growth_profile",
+    "orders_nation_market_beta",
+    "orders_conformal_forecast_coverage",
+    "orders_price_digit_preference",
+    "orders_trailing_30d_revenue",
+    # wave G — relational surface (ROLLUP, PIVOT, equi-depth ntile)
+    "orders_revenue_grouping_sets",
+    "orders_priority_year_pivot",
+    "events_equi_depth_value_histogram",
+    # wave H — data-quality / contract audits
+    "orders_amount_reconciliation_audit",
+    "lineitem_linenumber_bias_profile",
+    "lineitem_order_fanout_histogram",
+    "orders_same_day_multiorder_profile",
+    "orders_orderkey_gap_profile",
+    "part_brand_type_coverage",
+    "lineitem_amount_rounding_audit",
+    # wave I — LLM-pipeline operators
+    "docs_dedup_survivor_length_bias",
+    "source_temperature_sampling_mix",
+    "docs_code_switching_share",
+    "embedding_quantization_bits_sweep",
+    "multimodal_payload_exact_dedup",
+    "events_value_overlap_coefficient",
+    "pack_waste_vs_lower_bound",
+    # wave J — event-stream health
+    "events_zero_activity_windows",
+    "events_bot_rate_heuristic",
+    "streaming_dedup_state_sweep",
+    # wave K — embedding-index audits
+    "similarity_metric_rank_agreement",
+    "similarity_topk_diversity_audit",
+    "embedding_norm_by_label_audit",
+    # wave L — oceanographic QC on the real IOS parse path
+    "ios_depth_bin_climatology",
+    "ios_spike_test_qc",
+    "ios_monotonic_depth_audit",
+    "ios_channel_unit_consistency",
 ]
 
 # Seed-time detector results (plan_guards.find_unpartitioned_windows,
 # sf0.001): declared bounded-axis windows that need an
 # _ALLOWED_UNPARTITIONED_WINDOWS entry at activation.
-EXPECTED_BOUNDED_WINDOW_QUERIES: dict[str, str] = {}
+EXPECTED_BOUNDED_WINDOW_QUERIES: dict[str, str] = {
+    "orders_qoq_growth_profile": (
+        "runs over the per-QUARTER rollup (calendar-bounded axis)"
+    ),
+    "orders_conformal_forecast_coverage": (
+        "runs over the per-DAY calibration residual table "
+        "(calendar-bounded axis)"
+    ),
+    "events_zero_activity_windows": (
+        "runs over the missing-minute subset of the calendar minute grid "
+        "(calendar-bounded axis)"
+    ),
+}
 
 
 def test_staged_name_list_is_complete():
