@@ -340,7 +340,9 @@ def main() -> None:
                 "sf": sf_val,
                 "calibration": round(calibration, 3),
                 "shuffle_calibration": round(shuffle_calibration, 3),
-            }
+            },
+            separators=(",", ":"),  # compact: the 60-query dict + two
+            # canaries must fit the driver's ~2000-char stdout capture
         )
         if len(line) <= 1900:
             break

@@ -340,7 +340,12 @@ def case_semantic_dedup_xl(spark, guarded: bool):
     )
 
     _ensure_xl()
-    emb = spark.read.parquet(os.path.join(DATA, "embeddings_xl.parquet"))
+    # single-file parquet reads as a handful of splits; spread the
+    # corpus so the broadcast-K assignment pass measures the operator,
+    # not a 3-task scan (the geo_grid precedent)
+    emb = spark.read.parquet(
+        os.path.join(DATA, "embeddings_xl.parquet")
+    ).repartition(64)
     cent = emb.filter(F.col("vec_id") % (N_VECS_XL // 16) == 1).limit(16)
     hp = random_hyperplanes(32, 64, seed=42)
     return semantic_dedup(
