@@ -644,7 +644,7 @@ def semantic_dedup(
     two shuffles (bucket self-join + final group-by).
     """
     from cioos_siooc_data_transform_spark.operators.similarity import (
-        cosine_expr,
+        dot_expr,
         ivf_assign,
     )
 
@@ -698,8 +698,24 @@ def semantic_dedup(
         )
         .distinct()
     )
-    ea = vectors.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    eb = vectors.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    # Norms are projected BEFORE the pair join, so each vector pays its
+    # sqrt(dot(v,v)) once instead of once per candidate pair: cosine_expr
+    # inlined per pair evaluates THREE higher-order aggregates (dot(a,b),
+    # dot(a,a), dot(b,b)) and the XL skew-stress straggler (600k vectors,
+    # 150k mega-cluster) attributed its 28-44 s worst task to exactly
+    # this pair-pricing stage. dot/(na*nb) is the same doubles in the
+    # same order as cosine_expr, so the rounded scores are bit-identical.
+    nrm = F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col)))
+    ea = vectors.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("va"),
+        nrm.alias("na"),
+    )
+    eb = vectors.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("vb"),
+        nrm.alias("nb"),
+    )
     near = (
         cand.join(ea, "doc_a")
         .join(eb, "doc_b")
@@ -707,7 +723,11 @@ def semantic_dedup(
             "doc_a",
             "doc_b",
             "cell_id",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(tau))
     )
