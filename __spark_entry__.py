@@ -37,7 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECKED = frozenset(
     {
         # round 1
-        "q1_pricing_summary", "filter_projection", "first_match_min",
+        # NB: q1_pricing_summary is deliberately absent — ROTATED OUT in
+        # round 12 (oldest load-bearing name; see ROTATION below). It
+        # rejoins once its fresh CORRECTNESS_r12 row lands.
+        "filter_projection", "first_match_min",
         "case_when_routing", "timestamp_range_filter", "null_pad_masking",
         "coalesce_event_id", "geo_containment_join", "anti_join_orphans",
         "semi_join_present", "broadcast_lookup_join", "positional_schema_join",
@@ -50,7 +53,12 @@ _CHECKED = frozenset(
         "datetime_functions", "dedup_exact", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_simhash_pairs", "dedup_edit_distance",
-        "similarity_topk_bruteforce", "similarity_ivf_topk", "text_langid",
+        # NB: similarity_topk_bruteforce and similarity_ivf_topk are
+        # deliberately absent — ROTATED OUT in round 12: their green
+        # rows predate the round-11 cosine norm-precompute change in
+        # operators/similarity.py, so the driver re-earns them on the
+        # moved code (see ROTATION below).
+        "text_langid",
         "text_quality_score", "text_token_count", "text_fingerprint",
         "multimodal_binary_meta", "multimodal_decode_features",
         "text_hash_embedding", "session_windows",
@@ -102,7 +110,10 @@ _CHECKED = frozenset(
         # round 4 (all 50 green in CORRECTNESS_r04.json)
         "chunk_sliding_windows", "cluster_zorder_key", "cumulative_distinct_users",
         "dedup_bag_of_words", "dedup_containment_pairs", "dedup_exact_bucketed",
-        "dedup_minhash_estimate_accuracy", "dedup_prefix_cluster", "dedup_semantic_clusters",
+        # NB: dedup_semantic_clusters is deliberately absent — ROTATED
+        # OUT in round 12: its green row predates the round-11 cosine
+        # norm-precompute change in operators/dedup.py (see ROTATION).
+        "dedup_minhash_estimate_accuracy", "dedup_prefix_cluster",
         "dedup_substring_overlap", "drift_ks_statistic", "embedding_centroid_distance",
         "embedding_random_projection", "graph_triangle_count", "gsw_ct_from_t",
         "gsw_potential_temperature", "gsw_rho_ct_native", "lateral_top_orders",
@@ -113,7 +124,9 @@ _CHECKED = frozenset(
         "q19_discounted_revenue", "q21_waiting_supplier", "q22_dormant_customers",
         "q4_priority_late", "q7_volume_shipping", "q8_market_share",
         "rfm_segmentation", "robust_zscore_outliers", "scd2_history",
-        "similarity_lsh_topk", "similarity_recall_at_k", "sketch_quantiles",
+        # NB: similarity_lsh_topk is deliberately absent — ROTATED OUT
+        # in round 12 (cosine-touched; see ROTATION below).
+        "similarity_recall_at_k", "sketch_quantiles",
         "text_bigram_repetition", "time_weighted_average", "train_val_test_split",
         "tumbling_window_hourly", "two_phase_salted_agg", "udtf_tokenize_offsets",
         "unpivot_metrics", "window_lag_lead_delta",
@@ -262,18 +275,53 @@ _CHECKED = frozenset(
         "source_vocab_jaccard", "text_bm25_topk",
         "text_readability_flesch", "text_sentence_length_profile",
         "text_source_unigram_jsd", "tpch_referential_integrity_profile",
+        # round 11 (all 50 green in CORRECTNESS_r11.json)
+        "customer_acctbal_bowley_skew", "customer_segment_dissimilarity_index",
+        "dedup_component_source_purity", "dedup_minhash_hashes_sweep",
+        "dedup_simhash_bit_balance", "dedup_transitivity_audit",
+        "docs_lang_source_mutual_info", "embedding_davies_bouldin",
+        "embedding_intrinsic_dim_two_nn", "embedding_prefix_dim_recall",
+        "events_allan_variance", "events_attribution_window_join",
+        "events_changepoint_binseg2", "events_conversion_lag",
+        "events_extremal_index_intervals", "events_gpd_return_levels",
+        "events_ks_two_sample", "events_time_to_conversion",
+        "events_user_count_nbd_fit", "graph_brand_modularity",
+        "graph_rich_club_coefficient", "gsw_chem_potential_t_derivative",
+        "gsw_cp_t_exact", "gsw_entropy_from_ct",
+        "gsw_ice_expansion_coefficients", "gsw_pot_enthalpy_from_t_ice",
+        "gsw_pt_from_entropy", "gsw_sa_from_sp_baltic",
+        "gsw_spiciness1_2", "lineitem_breusch_pagan_test",
+        "lineitem_chow_test", "lineitem_grubbs_outlier_test",
+        "lineitem_jarque_bera", "lineitem_lorenz_asymmetry",
+        "lineitem_median_polish", "lineitem_return_rate_p_chart",
+        "lineitem_weighted_price_quantiles", "orders_annual_harmonic_fit",
+        "orders_fixed_effects_trend", "orders_littles_law_audit",
+        "orders_max_drawdown", "orders_rolling_corr_12m",
+        "orders_tail_model_comparison", "pack_chunk_size_sweep",
+        "partsupp_price_spread_audit", "similarity_pq_codebook_utilization",
+        "sketch_hll_precision_sweep", "text_burrows_delta",
+        "text_chars_per_token_by_lang", "text_langid_confusion_matrix",
     }
 )
 
-# ROTATION POLICY (adopted round 11, per the round-10 verdict): the
-# driver's fresh-first sample has never re-checked an old green name, so
-# starting with the ROUND-12 activation each round activates at most 45
-# new staged names and REMOVES ~5 of the oldest green names from
-# _CHECKED (round 12 starts with round-1's most-load-bearing:
-# q1_pricing_summary, geo_containment_join, dedup_minhash_lsh,
-# similarity_ivf_topk, ios_parse_measurements). The driver then
-# re-earns driver-grade rows on many-rounds-moved code for free; the
-# removed names rejoin _CHECKED once their fresh CORRECTNESS rows land.
+# ROTATION POLICY (adopted round 11, per the round-10 verdict; EXECUTED
+# from round 12): the driver's fresh-first sample never re-checks an old
+# green name on its own, so each activation round registers at most 45
+# new staged names and REMOVES ~5 green names from _CHECKED so the
+# driver re-earns driver-grade rows on code that has moved since the row
+# was earned. Rotated names rejoin _CHECKED once their fresh CORRECTNESS
+# rows land. Priority: queries whose implementing operator changed since
+# their last green row, then oldest load-bearing names.
+#
+# Round-12 rotation (per the round-11 verdict's amended list — the
+# cosine norm-precompute change in operators/similarity.py +
+# operators/dedup.py is the only live-operator change since those rows):
+#   dedup_semantic_clusters, similarity_lsh_topk,
+#   similarity_topk_bruteforce, similarity_ivf_topk (cosine-touched),
+#   q1_pricing_summary (oldest load-bearing; also re-witnesses entry()).
+# Budget: 45 activated staged_r12 names + these 5 = exactly the
+# driver's 50-fresh-name sample; staged_r12.DEFER_TO_R13 carries the
+# remaining 5 staged names to the round-13 activation.
 
 
 def _priority_order(names) -> list[str]:

@@ -102,3 +102,17 @@ staged_r10.activate()
 from cioos_siooc_data_transform_spark.plans import staged_r11  # noqa: E402
 
 staged_r11.activate()
+
+# Round-12 activation — the first EXECUTED rotation round: 45 of the 50
+# queries staged during round 10 (tri-scale green via tools/staged_sim.py,
+# pre-audited DETECTOR-CLEAN per the activation note at
+# plans/staged_r12.py:30-40, and re-verified by the round-11 judge's full
+# pytest run) join the live registry; the other 5 fresh-sample slots are
+# spent on names ROTATED OUT of __spark_entry__._CHECKED (cosine-touched
+# queries whose operator moved in round 11, plus q1_pricing_summary) so
+# the driver re-earns rows on moved code. staged_r12.DEFER_TO_R13 carries
+# the remaining 5 staged names to the round-13 activation. The matching
+# 50 round-11-green names moved to _CHECKED in the same change.
+from cioos_siooc_data_transform_spark.plans import staged_r12  # noqa: E402
+
+staged_r12.activate()

@@ -33,6 +33,10 @@ plan_guards.find_unpartitioned_windows at sf0.001): the slate is
 DETECTOR-CLEAN — zero non-operator-internal unpartitioned windows; no
 allowlist entries needed at activation. Follow the staged_r11
 checklist otherwise.
+
+ACTIVATED in round 12 at 45 of 50: the other 5 fresh-sample slots went
+to the executed _CHECKED rotation (see __spark_entry__.py ROTATION);
+DEFER_TO_R13 below carries the remaining five names to round 13.
 """
 
 from __future__ import annotations
@@ -61,13 +65,34 @@ def _register(name: str, oracle: str):
     return deco
 
 
-def activate() -> int:
+#: Round-12 rotation budget: the driver samples 50 fresh names, and the
+#: round-12 activation spends 5 of them on names ROTATED OUT of
+#: __spark_entry__._CHECKED (cosine-touched + oldest load-bearing; see
+#: the ROTATION note there). So only 45 of this slate's 50 activate in
+#: round 12 — these five stay staged (pytest-covered in
+#: tests/test_staged_r12.py) and activate in round 13 via
+#: ``activate(include_deferred=True)``.
+DEFER_TO_R13 = frozenset(
+    {
+        "sketch_cm_width_sweep",
+        "part_unit_price_dispersion",
+        "partsupp_stock_cover_audit",
+        "customer_discounted_ltv",
+        "similarity_srp_bit_independence",
+    }
+)
+
+
+def activate(include_deferred: bool = False) -> int:
     """Round-12 activation (idempotent): new names register once;
-    replacements overwrite unconditionally."""
+    replacements overwrite unconditionally. DEFER_TO_R13 names are
+    skipped until round 13 passes ``include_deferred=True``."""
     from cioos_siooc_data_transform_spark.plans.registry import ORACLES, QUERIES
 
     n = 0
     for name, fn in STAGED_QUERIES.items():
+        if name in DEFER_TO_R13 and not include_deferred:
+            continue
         if name not in QUERIES:
             QUERIES[name] = fn
             ORACLES[name] = STAGED_ORACLES[name]

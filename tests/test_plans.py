@@ -109,6 +109,14 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         #   inverted-index pairs, a<b<c triangle closure on the bounded
         #   near-dup edge set) is an equi-join, which the
         #   CartesianProduct assertion above still covers.
+        # - dedup_lsh_band_tradeoff / dedup_bucket_cap_sweep (activated
+        #   round 12): the same scalar assembly per sweep point — each
+        #   output row cross-joins three SINGLE-ROW aggregates
+        #   (candidate count x hit count x exact-pair count); the
+        #   pair-generating joins (banded LSH bucket equi-join with the
+        #   mega-bucket cap, hot-shingle-capped inverted-index exact
+        #   pairs) remain equi-joins, which the CartesianProduct
+        #   assertion above still covers.
         if name.startswith("dedup_") and name not in (
             "dedup_semantic_clusters",
             "dedup_layer_funnel",
@@ -116,6 +124,8 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
             "dedup_vocab_impact",
             "dedup_jaccard_threshold_sweep",
             "dedup_transitivity_audit",
+            "dedup_lsh_band_tradeoff",
+            "dedup_bucket_cap_sweep",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -296,6 +306,11 @@ _EAGER_BY_DESIGN = {
     # documented 16-row bounded codebook collect.
     "dedup_component_source_purity",
     "similarity_pq_codebook_utilization",
+    # Round-12 activation (plans/staged_r12.py): ADC rank correlation
+    # shares similarity_pq_adc_topk's documented bounded codebook
+    # collect (4 seed vectors) plus a corpus count() that sizes k_top
+    # to the whole corpus for the full-ordering comparison.
+    "similarity_adc_rank_correlation",
 }
 
 

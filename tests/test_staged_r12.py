@@ -1,7 +1,9 @@
-"""Keep the STAGED round-12 queries green while parked
-(plans/staged_r12.py — the round-12 runway seed; activation order is
-staged_r8 (round 8) -> ... -> staged_r11 (round 11) -> this
-module)."""
+"""The round-12 slate (plans/staged_r12.py) is LIVE as of round 12 —
+at 45 of its 50 names: round 12 is the first EXECUTED rotation round
+(see __spark_entry__.py ROTATION), so 5 fresh-sample slots went to
+names rotated out of _CHECKED and staged_r12.DEFER_TO_R13 carries the
+remaining five staged names to the round-13 activation. The slate was
+pre-audited DETECTOR-CLEAN (zero allowlist entries needed)."""
 
 from __future__ import annotations
 
@@ -20,30 +22,117 @@ def _staged():
     return STAGED_QUERIES, STAGED_ORACLES, STAGED_REPLACEMENTS
 
 
-def test_staged_not_registered():
-    from cioos_siooc_data_transform_spark.plans import all_queries
+def _deferred():
+    from cioos_siooc_data_transform_spark.plans.staged_r12 import DEFER_TO_R13
+
+    return DEFER_TO_R13
+
+
+def test_staged_now_registered_except_deferred():
+    """Round 12 activated the slate minus DEFER_TO_R13: every
+    non-deferred staged name must be live in the registry with its
+    oracle; every deferred name must still be parked (the round-13
+    fresh-sample budget depends on it)."""
+    from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_, reps = _staged()
+    deferred = _deferred()
     assert set(qs) == set(os_)
-    leaked = set(qs) & set(all_queries())
-    assert not leaked, f"staged r11 queries leaked into the live registry: {leaked}"
-    live = all_queries()
+    assert deferred <= set(qs), "DEFER_TO_R13 names must be staged names"
+    live_q, live_o = all_queries(), all_oracles()
+    missing = (set(qs) - deferred) - set(live_q)
+    assert not missing, f"staged queries not activated: {missing}"
+    missing_o = (set(os_) - deferred) - set(live_o)
+    assert not missing_o, f"staged oracles not activated: {missing_o}"
+    leaked = deferred & set(live_q)
+    assert not leaked, f"deferred r12 queries leaked into the live registry: {leaked}"
     for name, (fn, _) in reps.items():
-        assert name in live, f"replacement {name} has no live twin"
-        assert live[name] is not fn, f"replacement {name} activated early"
+        assert name in live_q, f"replacement {name} has no live twin"
+        assert live_q[name] is fn, f"replacement {name} not applied"
 
 
 def test_budget():
-    """Fresh-name budget: the driver samples 50 names per round."""
+    """Fresh-name budget: the driver samples 50 names per round.
+    Round 12 spends them as 45 activated staged names + 5 rotated
+    _CHECKED names (the executed rotation)."""
     qs, _, reps = _staged()
-    assert len(qs) + len(reps) <= 50
+    deferred = _deferred()
+    assert len(qs) + len(reps) == 50
+    assert len(deferred) == 5
+    assert len(set(qs) - deferred) + len(reps) == 45
+
+
+def test_rotation_names_are_fresh():
+    """The 5 rotated names must be absent from _CHECKED (so the driver
+    re-samples them) while still being live registry entries."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    import __spark_entry__ as entrymod
+
+    rotated = {
+        "q1_pricing_summary",
+        "dedup_semantic_clusters",
+        "similarity_lsh_topk",
+        "similarity_topk_bruteforce",
+        "similarity_ivf_topk",
+    }
+    still_checked = rotated & entrymod._CHECKED
+    assert not still_checked, f"rotated names still in _CHECKED: {still_checked}"
+    live = set(all_queries())
+    assert rotated <= live, f"rotated names missing from registry: {rotated - live}"
+
+
+def test_fresh_sample_is_exactly_fifty():
+    """The driver takes the FIRST 50 names in dict order; the fresh
+    (not-in-_CHECKED) prefix must be exactly the 45 activated
+    staged_r12 names + the 5 rotated names."""
+    import __spark_entry__ as entrymod
+
+    qs, _, _ = _staged()
+    deferred = _deferred()
+    names = list(entrymod.queries())
+    fresh = [n for n in names if n not in entrymod._CHECKED]
+    expected = (set(qs) - deferred) | {
+        "q1_pricing_summary",
+        "dedup_semantic_clusters",
+        "similarity_lsh_topk",
+        "similarity_topk_bruteforce",
+        "similarity_ivf_topk",
+    }
+    assert len(fresh) == 50
+    assert set(fresh) == expected
+    assert names[:50] == fresh, "fresh names must lead the dict order"
+
+
+def test_activate_idempotent_after_import():
+    """plans/__init__.py already ran activate(); a second call must be a
+    no-op (0 newly-registered names) — and it must NOT sneak the
+    deferred names in."""
+    from cioos_siooc_data_transform_spark.plans import all_queries, staged_r12
+
+    assert staged_r12.activate() == 0
+    assert not _deferred() & set(all_queries())
+
+
+def test_registered_callables_are_the_staged_ones():
+    """Activation must not have been shadowed by an earlier slate's
+    same-name registration (the silent-no-op trap: activate() skips
+    names that already exist)."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, _, _ = _staged()
+    deferred = _deferred()
+    live = all_queries()
+    shadowed = {
+        n for n, fn in qs.items() if n not in deferred and live.get(n) is not fn
+    }
+    assert not shadowed, f"staged_r12 names shadowed by earlier slates: {shadowed}"
 
 
 def test_no_collision_with_earlier_slates():
-    """A staged_r12 name colliding with the (not-yet-activated)
-    r8..r11 slates would silently no-op at round-12 activation —
-    catch it at build time instead (the lineitem_benford_audit
-    lesson)."""
+    """A staged_r12 name colliding with the earlier slates would have
+    silently no-opped at round-12 activation — catch it at build time
+    instead (the lineitem_benford_audit lesson)."""
     from cioos_siooc_data_transform_spark.plans import (
         staged_r8,
         staged_r9,
@@ -121,7 +210,7 @@ STAGED_NAMES: list[str] = [
     "dedup_bucket_cap_sweep",
     "events_dayk_retention_curve",
     "orders_priority_stochastic_dominance",
-    # wave N — slate close-out part 2
+    # wave N — slate close-out part 2 (== DEFER_TO_R13: carries to r13)
     "sketch_cm_width_sweep",
     "part_unit_price_dispersion",
     "partsupp_stock_cover_audit",
@@ -137,6 +226,7 @@ def test_staged_name_list_is_complete():
     qs, _, reps = _staged()
     assert sorted(qs) == sorted(STAGED_NAMES)
     assert sorted(reps) == sorted(REPLACEMENT_NAMES)
+    assert _deferred() <= set(STAGED_NAMES)
 
 
 @pytest.mark.parametrize("name", STAGED_NAMES)
@@ -158,8 +248,9 @@ def test_replacement_matches_oracle(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_activate_not_called_is_noop_guard():
-    """Importing the module must not mutate the live registry."""
+def test_reload_does_not_mutate_registry():
+    """Re-importing the module must not mutate the live registry
+    (activation happens only from plans/__init__.py)."""
     import importlib
 
     from cioos_siooc_data_transform_spark.plans import all_queries
