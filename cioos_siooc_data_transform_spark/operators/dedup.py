@@ -627,6 +627,7 @@ def semantic_dedup(
     bands: int = 8,
     bucket_cap: int = 400,
     tau: float = 0.45,
+    overcap: str = "drop",
 ) -> DataFrame:
     """SemDeDup restated Spark-first (ref: Abbas et al. 2023 sketch —
     cluster, then drop within-cluster near-duplicates): a vector is
@@ -642,6 +643,21 @@ def semantic_dedup(
     guarded candidates. At 100 TB: train centroids on a sample
     (train_ivf_centroids), broadcast them, and this whole pipeline is
     two shuffles (bucket self-join + final group-by).
+
+    overcap decides what happens to buckets LARGER than bucket_cap:
+
+    - "drop" (default, the oracle-paired live behavior): the bucket is
+      excluded from pairing entirely. Bounded, but a tight mega-cluster
+      (every member in ONE bucket) contributes no candidates at all —
+      the round-11 XL stress measured ~0 recall on a 150k-vector
+      mega-cluster for exactly this reason.
+    - "star": over-cap buckets pair each member with the bucket's
+      MIN-id member only — O(n) pairs instead of O(n^2), still exact-
+      cosine priced. For a tight cluster (pairwise cos ~ 1) the star
+      captures every member, so mega-cluster recall is ~100 % at
+      linear cost; for a loose over-cap bucket it under-links (a
+      member is dropped only if it matches the bucket minimum), which
+      is the documented recall trade vs the unbounded all-pairs join.
     """
     from cioos_siooc_data_transform_spark.operators.similarity import (
         dot_expr,
@@ -680,24 +696,39 @@ def semantic_dedup(
         )
         .distinct()
     )
+    if overcap not in ("drop", "star"):
+        raise ValueError(f"semantic_dedup: unknown overcap mode {overcap!r}")
     wb = Window.partitionBy("bucket")
-    guarded = cb.withColumn("_n", F.count(F.lit(1)).over(wb)).filter(
-        F.col("_n") <= bucket_cap
-    )
+    counted = cb.withColumn("_n", F.count(F.lit(1)).over(wb))
+    if overcap == "star":
+        # min shares the count's window pass (same partition spec, no
+        # ordering): one WindowExec either way.
+        counted = counted.withColumn("_min", F.min(id_col).over(wb))
+    guarded = counted.filter(F.col("_n") <= bucket_cap)
     a = guarded.select(F.col(id_col).alias("doc_a"), "bucket")
     b = guarded.select(F.col(id_col).alias("doc_b"), "bucket")
+    cell_of_bucket = (
+        F.split_part(F.col("bucket"), F.lit("/"), F.lit(1))
+        .cast("long")
+        .alias("cell_id")
+    )
     cand = (
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.split_part(F.col("bucket"), F.lit("/"), F.lit(1))
-            .cast("long")
-            .alias("cell_id"),
-        )
+        .select("doc_a", "doc_b", cell_of_bucket)
         .distinct()
     )
+    if overcap == "star":
+        star = (
+            counted.filter(F.col("_n") > bucket_cap)
+            .filter(F.col(id_col) != F.col("_min"))
+            .select(
+                F.col("_min").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                cell_of_bucket,
+            )
+        )
+        cand = cand.unionByName(star).distinct()
     # Norms are projected BEFORE the pair join, so each vector pays its
     # sqrt(dot(v,v)) once instead of once per candidate pair: cosine_expr
     # inlined per pair evaluates THREE higher-order aggregates (dot(a,b),

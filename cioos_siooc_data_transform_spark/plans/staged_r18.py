@@ -1348,17 +1348,16 @@ _CVM_SQL = """
              AS BIGINT) AS n,
         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
              AS BIGINT) AS m,
-        CAST(sum(CASE WHEN event_type = 'click'
-                 THEN CAST(rc - rw AS HUGEINT) * (rc - rw) END)
-             AS BIGINT) AS uc,
-        CAST(sum(CASE WHEN event_type = 'view'
-                 THEN CAST(rc - rw AS HUGEINT) * (rc - rw) END)
-             AS BIGINT) AS uv
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(rc - rw AS HUGEINT) * (rc - rw) END) AS uc,
+        sum(CASE WHEN event_type = 'view'
+                 THEN CAST(rc - rw AS HUGEINT) * (rc - rw) END) AS uv
       FROM r
     )
     SELECT n AS n_click, m AS n_view,
            floor((
-             (CAST(n AS DOUBLE) * uc + CAST(m AS DOUBLE) * uv)
+             (CAST(n AS DOUBLE) * CAST(uc AS DOUBLE)
+              + CAST(m AS DOUBLE) * CAST(uv AS DOUBLE))
              / (CAST(n AS DOUBLE) * m * (n + m))
              - (4.0 * n * m - 1.0) / (6.0 * (n + m))
            ) * 1.0e6 + 0.5) / 1.0e6 AS cvm_t
@@ -1373,7 +1372,9 @@ def events_value_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame
     tests (CvM weights the whole curve, not the max gap). Combined
     AND within-sample ranks both come from ranked_cumsum_two_pass
     (never a single-partition window); the U statistic is an exact
-    integer sum of squared rank offsets."""
+    integer sum of squared rank offsets, accumulated in DECIMAL(38,0)
+    to mirror the oracle's HUGEINT (a BIGINT accumulator would wrap
+    around sf>=10, ~3M click/view rows)."""
     from cioos_siooc_data_transform_spark.operators.windows import (
         ranked_cumsum_two_pass,
     )
@@ -1399,11 +1400,16 @@ def events_value_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame
         out_rank="rw",
         out_cum="__c2",
     ).drop("__c2")
+    # Squared rank offsets accumulate in DECIMAL(38,0), not BIGINT: each
+    # d2 <= (min(n,m))^2 is long-safe, but the SUM over ~rows values
+    # wraps a BIGINT around sf>=10 (~3M click/view rows). DECIMAL keeps
+    # Spark exact wherever the DuckDB oracle's HUGEINT accumulator is.
     d = within.select(
         "event_type",
-        ((F.col("rc") - F.col("rw")) * (F.col("rc") - F.col("rw")))
-        .cast("long")
-        .alias("d2"),
+        (
+            (F.col("rc") - F.col("rw")).cast("decimal(19,0)")
+            * (F.col("rc") - F.col("rw"))
+        ).alias("d2"),
     )
     agg = d.groupBy().agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
@@ -1413,15 +1419,16 @@ def events_value_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("m"),
         F.sum(F.when(F.col("event_type") == "click", F.col("d2")))
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("uc"),
         F.sum(F.when(F.col("event_type") == "view", F.col("d2")))
-        .cast("long")
+        .cast("decimal(38,0)")
         .alias("uv"),
     )
     n, m = F.col("n").cast("double"), F.col("m").cast("double")
     t_stat = (
-        (n * F.col("uc") + m * F.col("uv")) / (n * m * (n + m))
+        (n * F.col("uc").cast("double") + m * F.col("uv").cast("double"))
+        / (n * m * (n + m))
         - (4.0 * n * m - 1.0) / (6.0 * (n + m))
     )
     return agg.select(

@@ -293,3 +293,45 @@ def test_semantic_dedup_empty_input_raises_clearly(spark):
     hp = random_hyperplanes(32, 64, seed=42)
     out = semantic_dedup(empty, cent, hyperplanes=hp)
     assert out.count() == 0
+
+
+def test_semantic_dedup_overcap_star_links_mega_bucket(spark):
+    """The overcap="star" scale knob (round-12, XL pair-count lever):
+    a tight mega-cluster that outgrows bucket_cap contributes ZERO
+    candidates under the default drop policy (the round-11 XL stress
+    measured ~0 mega recall for exactly this reason), while star mode
+    pairs each over-cap bucket member with the bucket minimum — O(n)
+    pairs, and for an exact-duplicate cluster every member is dropped
+    with the min id as keeper. Under-cap behavior is identical in both
+    modes, and an unknown mode fails loudly."""
+    import pytest as _pytest
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    base = _planted_corpus(spark).filter(F.col("vec_id") < 100)
+    v0 = base.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    copies = spark.createDataFrame(
+        [(100 + i, v0) for i in range(30)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    corpus = base.unionByName(copies)
+    cent = corpus.filter(F.col("vec_id") < 16)
+    hp = random_hyperplanes(32, 64, seed=42)
+    common = dict(hyperplanes=hp, bands=8, bucket_cap=10, tau=0.99)
+
+    # Mega bucket (vec 0 + 30 exact copies = 31 members in the SAME
+    # cell/band bucket) exceeds cap=10 everywhere: drop mode loses it.
+    dropped_default = semantic_dedup(corpus, cent, **common).collect()
+    assert dropped_default == []
+
+    rows = semantic_dedup(corpus, cent, overcap="star", **common).collect()
+    got = {r.dropped_id: r for r in rows}
+    assert set(got) == {100 + i for i in range(30)}
+    for r in rows:
+        assert r.keeper_id == 0  # bucket min is the original vector
+        assert r.n_partners >= 1
+
+    with _pytest.raises(ValueError, match="unknown overcap mode"):
+        semantic_dedup(corpus, cent, overcap="sample", **common)

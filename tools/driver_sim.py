@@ -1,6 +1,18 @@
 """Driver simulation: run every registered query against its oracle at
 sf0.01 with the strict (driver-faithful) harness, in __spark_entry__
-priority order. Usage: python tools/driver_sim.py [sf_dir] [name ...]"""
+priority order. Usage: python tools/driver_sim.py [--alpha] [sf_dir] [name ...]
+
+--alpha runs the sweep in fixed ALPHABETICAL order. Use it for the
+committed sf0.1 TIMING artifact: the default fresh-first priority order
+changes every round, so per-query sweep seconds are position-confounded
+(the round-11 filter_projection adjudication: 6.0 s when run first in a
+fresh session, 0.29 s deep in a warm one) and tools/sweep_movers.py
+would compare unlike-positioned runs. Correctness sweeps keep the
+driver-faithful priority order.
+
+Full sweeps also smoke the driver's FIRST contract call — entry(spark)
+at sf0.001 — and record row count + schema as `entry_smoke` in the
+artifact."""
 
 from __future__ import annotations
 
@@ -13,8 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--alpha"]
+    alpha = "--alpha" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "16")
     from cioos_siooc_data_transform_spark.session import get_spark
@@ -27,9 +41,22 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    entry_smoke = None
+    if not only:
+        try:
+            edf = entrymod.entry(spark)
+            entry_smoke = {
+                "rows": edf.count(),
+                "schema": edf.schema.simpleString()[:400],
+            }
+        except Exception as exc:  # noqa: BLE001
+            entry_smoke = {"error": repr(exc)[:400]}
+        print(f"entry_smoke: {entry_smoke}", flush=True)
+
     results = {}
     n_fail = 0
-    for name, fn in qs.items():
+    items = sorted(qs.items()) if alpha else list(qs.items())
+    for name, fn in items:
         if only and name not in only:
             continue
         oracle = oracles.get(name)
@@ -55,6 +82,8 @@ def main() -> int:
         "sf_dir": sf_dir,
         "n": len(results),
         "n_fail": n_fail,
+        "order": "alphabetical" if alpha else "priority",
+        "entry_smoke": entry_smoke,
         "results": results,
     }
     # Persist artifacts only for FULL sweeps — a name-filtered run must

@@ -258,6 +258,7 @@ N_ORDERS_XL = 2_000_000
 N_PARTS_XL = 200_000
 HUB_ORDER_FRAC_XL = 0.25
 PR_ITERS_XL = 8
+PR_CKPT_EVERY = 3
 
 
 def _gen_xl() -> None:
@@ -354,20 +355,24 @@ def case_semantic_dedup_xl(spark, guarded: bool):
     )
 
 
-def case_pagerank_xl(spark, guarded: bool):
-    """graph_pagerank_iterations' loop at >=10x bench scale: the
-    co-occurrence graph of a 2M-order basket over 200k parts. The
-    registered query's support>=2 cut would leave random baskets with
-    almost no surviving pairs, so this case keeps support>=1 —
-    ~25M directed edges, with the hub part co-occurring with
-    essentially the whole catalog (degree ~200k). Same integer-exact
-    update as the registered query. guarded = the production lineage
-    idiom (edge set + degree table localCheckpoint'd once, so the
-    expensive derivation join is computed exactly once and every
-    iteration is one uniform-key shuffle); unguarded = no checkpoint,
-    so all PR_ITERS_XL iterations carry the full derivation subtree in
-    their lineage (re-derived unless exchange reuse happens to fire)
-    and the one-DAG plan grows with the iteration count."""
+def _pagerank_xl_loop(spark, variant: str):
+    """Shared PageRank-XL loop with three lineage idioms:
+
+    - "none":    no checkpoint anywhere — one DAG carries every
+      iteration's full derivation subtree (exchange reuse dedupes the
+      recomputation at runtime, but plan size and recovery depth grow
+      with the iteration count).
+    - "full":    the original guarded idiom — directed edge set AND
+      degree table localCheckpoint'd (materializes the 2x post-union
+      50M-row edge set; measured +28 % wall at XL in round 11).
+    - "cadence": the adaptive idiom (round-11 verdict item 7) — only
+      the HALF-SIZE undirected pair set is checkpointed (the expensive
+      self-join+groupBy derivation is what recovery must never replay),
+      edges/degrees re-derive from it as narrow ops, and the small
+      score table (one row per node) localCheckpoints every
+      PR_CKPT_EVERY-th iteration so plan size stays O(cadence) instead
+      of O(iterations). All checkpoints lazy: one DAG in every variant.
+    """
     from pyspark.sql import functions as F
 
     _ensure_xl()
@@ -383,25 +388,27 @@ def case_pagerank_xl(spark, guarded: bool):
         .filter(F.col("support") >= 1)
         .select("pa", "pb")
     )
+    if variant == "cadence":
+        und = und.localCheckpoint(eager=False)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    if guarded:
+    if variant == "full":
         edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
-    if guarded:
+    if variant == "full":
         deg = deg.localCheckpoint(eager=False)
     unit = 10**12
-    # fixed node-count constant (no eager count: both modes must build
-    # ONE lazy DAG so the checkpoint is the only difference)
+    # fixed node-count constant (no eager count: every variant must
+    # build ONE lazy DAG so the lineage idiom is the only difference)
     init = unit // N_PARTS_XL
     teleport = (15 * init) // 100
     score = deg.select(F.col("src").alias("node"), F.lit(init).alias("score"))
     deg_r = deg.select(F.col("src").alias("dnode"), "outdeg")
     edges_r = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
-    for _ in range(PR_ITERS_XL):
+    for i in range(PR_ITERS_XL):
         contrib = (
             score.join(deg_r, score["node"] == deg_r["dnode"])
             .join(edges_r, score["node"] == edges_r["esrc"])
@@ -423,7 +430,81 @@ def case_pagerank_xl(spark, guarded: bool):
                 ).alias("score"),
             )
         )
+        if (
+            variant == "cadence"
+            and (i + 1) % PR_CKPT_EVERY == 0
+            and (i + 1) < PR_ITERS_XL
+        ):
+            score = score.localCheckpoint(eager=False)
     return score
+
+
+# Round-11 verdict item 3 — the XL pair-count lever, priced by recall.
+# Each config runs via `run semantic_dedup_xl_knob LABEL`; the harness
+# records wall + worst task AND re-executes the plan once more for
+# (rows, mega-cluster recall): recall = dropped mega vectors /
+# (MEGA_CLUSTER_XL - 1), the ideal drop set for the near-identical
+# 150k-vector cluster (random 64-dim vectors never reach tau=0.9, so
+# drops are mega-only). bands stays 8; hp is TOTAL hyperplanes, so
+# hp32 = 4 bits/band (production), hp64 = 8 bits/band (16x smaller
+# buckets per band); overcap per operators/dedup.py::semantic_dedup.
+SEMDD_KNOBS = {
+    "cap400_hp32_drop": {"cap": 400, "hp": 32, "overcap": "drop"},  # production baseline
+    "cap200_hp32_drop": {"cap": 200, "hp": 32, "overcap": "drop"},  # tighter cap
+    "cap400_hp64_drop": {"cap": 400, "hp": 64, "overcap": "drop"},  # more bits/band
+    "cap400_hp32_star": {"cap": 400, "hp": 32, "overcap": "star"},  # star fallback
+    "cap400_hp64_star": {"cap": 400, "hp": 64, "overcap": "star"},  # bits + star combo
+}
+
+
+def case_semantic_dedup_xl_knob(spark, label: str):
+    """semantic_dedup_xl with one SEMDD_KNOBS config (the pair-count
+    lever): tighter caps shrink the per-bucket all-pairs join, more
+    bits per band shrink the buckets themselves, and overcap="star"
+    keeps over-cap buckets linked at O(n) instead of dropping them."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    cfg = SEMDD_KNOBS[label]
+    _ensure_xl()
+    emb = spark.read.parquet(
+        os.path.join(DATA, "embeddings_xl.parquet")
+    ).repartition(64)
+    cent = emb.filter(F.col("vec_id") % (N_VECS_XL // 16) == 1).limit(16)
+    hp = random_hyperplanes(cfg["hp"], 64, seed=42)
+    return semantic_dedup(
+        emb, cent, hyperplanes=hp, bands=8,
+        bucket_cap=cfg["cap"], tau=0.9, overcap=cfg["overcap"],
+    )
+
+
+def case_pagerank_xl(spark, guarded: bool):
+    """graph_pagerank_iterations' loop at >=10x bench scale: the
+    co-occurrence graph of a 2M-order basket over 200k parts. The
+    registered query's support>=2 cut would leave random baskets with
+    almost no surviving pairs, so this case keeps support>=1 —
+    ~25M directed edges, with the hub part co-occurring with
+    essentially the whole catalog (degree ~200k). Same integer-exact
+    update as the registered query. guarded = the ORIGINAL lineage
+    idiom (edge set + degree table localCheckpoint'd once); unguarded =
+    no checkpoint (exchange reuse dedupes re-derivation within the one
+    action, but plan size/recovery depth grow with iterations)."""
+    return _pagerank_xl_loop(spark, "full" if guarded else "none")
+
+
+def case_pagerank_xl_cadence(spark, guarded: bool):
+    """Round-11 verdict item 7 — the ADAPTIVE checkpoint cadence:
+    guarded = checkpoint the half-size undirected pair set (the
+    expensive derivation) + the small score table every
+    PR_CKPT_EVERY-th iteration, instead of materializing the full
+    post-union edge set + degree table; unguarded = the same
+    no-checkpoint baseline as case_pagerank_xl, re-measured in THIS
+    session so the guarded/unguarded ratio is host-condition-clean."""
+    return _pagerank_xl_loop(spark, "cadence" if guarded else "none")
 
 
 N_POLYGONS = 40_000
@@ -654,7 +735,14 @@ CASES = {
     "km_risk_set": case_km_risk_set,
     "semantic_dedup_xl": case_semantic_dedup_xl,
     "pagerank_xl": case_pagerank_xl,
+    "pagerank_xl_cadence": case_pagerank_xl_cadence,
+    "semantic_dedup_xl_knob": case_semantic_dedup_xl_knob,
 }
+
+# The knob case re-executes its plan for the recall count on top of the
+# timed noop write, so it needs more than the kill budget that bounds
+# the unguarded blow-up runs.
+CASE_BUDGET = {"semantic_dedup_xl_knob": 420}
 
 
 def _max_task_ms(spark) -> float | None:
@@ -692,11 +780,12 @@ def _max_task_ms(spark) -> float | None:
 
 
 def run_one(case: str, mode: str) -> None:
-    guarded = mode == "guarded"
     spark = _spark()
-    fn = CASES[case]
     t0 = time.time()
-    df = fn(spark, guarded)
+    if case == "semantic_dedup_xl_knob":
+        df = case_semantic_dedup_xl_knob(spark, mode)
+    else:
+        df = CASES[case](spark, mode == "guarded")
     df.write.format("noop").mode("overwrite").save()
     wall = round(time.time() - t0, 2)
     out = {
@@ -706,6 +795,19 @@ def run_one(case: str, mode: str) -> None:
         "max_task_ms": _max_task_ms(spark),
         "rows": None,
     }
+    if case == "semantic_dedup_xl_knob":
+        from pyspark.sql import functions as F
+
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("dropped_id") < MEGA_CLUSTER_XL, 1).otherwise(0)
+            ).alias("mega"),
+        ).collect()[0]
+        mega = int(r["mega"] or 0)
+        out["rows"] = int(r["n"])
+        out["mega_dropped"] = mega
+        out["mega_recall"] = round(mega / (MEGA_CLUSTER_XL - 1), 4)
     print("RESULT " + json.dumps(out))
     spark.stop()
 
@@ -727,12 +829,18 @@ def run_all(only: list[str] | None = None) -> None:
         except (OSError, ValueError):
             results = []
     for case in only if only else CASES:
-        for mode in ("guarded", "unguarded"):
+        modes = (
+            tuple(SEMDD_KNOBS)
+            if case == "semantic_dedup_xl_knob"
+            else ("guarded", "unguarded")
+        )
+        budget = CASE_BUDGET.get(case, BUDGET_SEC)
+        for mode in modes:
             cmd = [sys.executable, os.path.abspath(__file__), "run", case, mode]
             t0 = time.time()
             try:
                 proc = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=BUDGET_SEC,
+                    cmd, capture_output=True, text=True, timeout=budget,
                     cwd=REPO,
                 )
                 line = next(
@@ -750,7 +858,7 @@ def run_all(only: list[str] | None = None) -> None:
             except subprocess.TimeoutExpired:
                 results.append({
                     "case": case, "mode": mode,
-                    "killed_at_sec": BUDGET_SEC,
+                    "killed_at_sec": budget,
                 })
             print(json.dumps(results[-1]))
     with open(out_path, "w") as f:

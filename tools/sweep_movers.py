@@ -34,7 +34,7 @@ import statistics
 import sys
 
 
-def load_secs(path: str) -> dict[str, float]:
+def load_secs(path: str) -> tuple[dict[str, float], str]:
     with open(path) as fh:
         doc = json.load(fh)
     results = doc.get("results", doc)
@@ -42,7 +42,8 @@ def load_secs(path: str) -> dict[str, float]:
     for name, row in results.items():
         if isinstance(row, dict) and isinstance(row.get("sec"), (int, float)):
             out[name] = float(row["sec"])
-    return out
+    order = doc.get("order", "priority") if isinstance(doc, dict) else "priority"
+    return out, order
 
 
 def movers(
@@ -90,12 +91,26 @@ def main() -> int:
     ap.add_argument("--json", dest="out_json", default=None)
     args = ap.parse_args()
 
+    old_secs, old_order = load_secs(args.old)
+    new_secs, new_order = load_secs(args.new)
+    if old_order != new_order:
+        # Position-confounded comparison (the round-11 lesson): a query
+        # that ran first-in-session in one sweep and deep-warm in the
+        # other can flag 5-20x without any code change. Flags from a
+        # mixed-order diff are candidates AT BEST.
+        print(
+            f"WARNING: sweep orders differ (old={old_order}, "
+            f"new={new_order}) — per-query positions are not comparable; "
+            "treat every flag as a position artifact until isolated "
+            "re-measure"
+        )
     rep = movers(
-        load_secs(args.old),
-        load_secs(args.new),
+        old_secs,
+        new_secs,
         threshold=args.threshold,
         min_sec=args.min_sec,
     )
+    rep["order"] = {"old": old_order, "new": new_order}
     if args.out_json:
         with open(args.out_json, "w") as fh:
             json.dump(rep, fh, indent=1, sort_keys=True)
