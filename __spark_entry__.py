@@ -322,6 +322,14 @@ _CHECKED = frozenset(
 # Budget: 45 activated staged_r12 names + these 5 = exactly the
 # driver's 50-fresh-name sample; staged_r12.DEFER_TO_R13 carries the
 # remaining 5 staged names to the round-13 activation.
+#
+# Round-13 rotation list (queued per the policy's priority rule —
+# operators that MOVED in round 12 rotate first):
+#   graph_pagerank_iterations (lineage idiom changed to the eager
+#     und-checkpoint, plans/staged_r5.py — see SCALE.md round 12),
+# then continue with the oldest load-bearing round-1 names from the
+# original list (geo_containment_join, dedup_minhash_lsh,
+# ios_parse_measurements, filter_projection).
 
 
 def _priority_order(names) -> list[str]:

@@ -1309,12 +1309,18 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph. Integer 1e-12-unit scores make the iteration
     engine-exact: contribution = score // outdeg, update =
     (15*(U//N))//100 + (85*sum)//100 — no float summation anywhere, so
-    neither engine's aggregation order matters. The edge set (with
-    degrees) is checkpointed once (the dedup_components lineage idiom);
-    each round is one (uniform-key) shuffle: contributions aggregate by
-    target. Driver holds only the loop counter — no per-round actions.
-    At 100 TB the same loop runs with the degree table bucketed and
-    AQE skew-splitting hub nodes."""
+    neither engine's aggregation order matters. The UNDIRECTED pair
+    set (half the post-union edge volume) is checkpointed EAGERLY
+    before the loop — the GraphX idiom, and the measured winner of the
+    round-12 lineage-idiom sweep at 25M edges (tools/
+    skew_stress_results.json: eager-und 39.3 s vs full edge+degree
+    checkpoint 58.2 s vs no checkpoint 43.1 s vs per-3-iteration score
+    cadence 72.0 s; lazy variants lose to concurrent AQE stages each
+    computing the unmaterialized RDD, score-cadence loses cross-
+    segment exchange reuse). Each round is one (uniform-key) shuffle:
+    contributions aggregate by target. Driver holds only the loop
+    counter — no per-round actions. At 100 TB the same loop runs with
+    the degree table bucketed and AQE skew-splitting hub nodes."""
     li = _t(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
@@ -1327,10 +1333,10 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
+    und = und.localCheckpoint(eager=True)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
     n_nodes = deg.count()  # scalar: node count (bounded driver value)
     if n_nodes == 0:

@@ -372,6 +372,12 @@ def _pagerank_xl_loop(spark, variant: str):
       score table (one row per node) localCheckpoints every
       PR_CKPT_EVERY-th iteration so plan size stays O(cadence) instead
       of O(iterations). All checkpoints lazy: one DAG in every variant.
+    - "und": checkpoint ONLY the undirected pair set — the recovery
+      bound on the expensive derivation at the cost of one half-size
+      materialization, with the whole loop still one plan (per-
+      iteration edge exchanges dedupe via exchange reuse, which the
+      cadence variant's plan segmentation defeats — measured round 12:
+      cadence 72.0 s vs unguarded 42.6 s).
     """
     from pyspark.sql import functions as F
 
@@ -388,8 +394,14 @@ def _pagerank_xl_loop(spark, variant: str):
         .filter(F.col("support") >= 1)
         .select("pa", "pb")
     )
-    if variant == "cadence":
+    if variant in ("cadence", "und"):
         und = und.localCheckpoint(eager=False)
+    elif variant == "und_eager":
+        # Eager: materialize the derivation ONCE before the loop (the
+        # GraphX idiom). A lazy checkpoint here measured 86.7 s vs this
+        # variant — with AQE, the edge and degree stages launch
+        # concurrently and BOTH compute the not-yet-materialized RDD.
+        und = und.localCheckpoint(eager=True)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -505,6 +517,23 @@ def case_pagerank_xl_cadence(spark, guarded: bool):
     no-checkpoint baseline as case_pagerank_xl, re-measured in THIS
     session so the guarded/unguarded ratio is host-condition-clean."""
     return _pagerank_xl_loop(spark, "cadence" if guarded else "none")
+
+
+def case_pagerank_xl_undonly(spark, guarded: bool):
+    """Lazy und-only checkpoint (round 12, measured and REJECTED —
+    86.7 s vs the same-session 37.9 s baseline: concurrent AQE stages
+    each compute the unmaterialized checkpoint RDD): guarded =
+    checkpoint only the half-size undirected pair set, lazily;
+    unguarded = no-checkpoint baseline re-measured in the same
+    session."""
+    return _pagerank_xl_loop(spark, "und" if guarded else "none")
+
+
+def case_pagerank_xl_und_eager(spark, guarded: bool):
+    """EAGER und-only checkpoint: materialize the expensive derivation
+    once before the loop, keep the loop itself one plan; unguarded =
+    no-checkpoint baseline re-measured in the same session."""
+    return _pagerank_xl_loop(spark, "und_eager" if guarded else "none")
 
 
 N_POLYGONS = 40_000
@@ -736,6 +765,8 @@ CASES = {
     "semantic_dedup_xl": case_semantic_dedup_xl,
     "pagerank_xl": case_pagerank_xl,
     "pagerank_xl_cadence": case_pagerank_xl_cadence,
+    "pagerank_xl_undonly": case_pagerank_xl_undonly,
+    "pagerank_xl_und_eager": case_pagerank_xl_und_eager,
     "semantic_dedup_xl_knob": case_semantic_dedup_xl_knob,
 }
 
