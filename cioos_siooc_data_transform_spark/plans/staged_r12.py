@@ -3184,7 +3184,9 @@ _QTE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
       FROM g GROUP BY treat
     ),
     lv AS (
-      SELECT treat, u.q_level, u.v4 FROM q,
+      -- q_level must leave as DOUBLE: the struct literal types it
+      -- DECIMAL(3,2), a banned driver-canon result type (type lint)
+      SELECT treat, CAST(u.q_level AS DOUBLE) AS q_level, u.v4 FROM q,
         unnest([{", ".join(f"{{'q_level': {q}, 'v4': q{int(q*100)}}}" for q in _QTE_QS)}])
           AS t(u)
     ),
