@@ -2808,7 +2808,9 @@ _TEMPMIX_SQL = """
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY source
     ),
-    a AS (SELECT unnest([0.3, 0.5, 0.7, 1.0]) AS alpha),
+    -- alpha must leave as DOUBLE: the bare list literal types it
+    -- DECIMAL(2,1), a banned driver-canon result type (type lint)
+    a AS (SELECT CAST(unnest([0.3, 0.5, 0.7, 1.0]) AS DOUBLE) AS alpha),
     p AS (
       SELECT a.alpha, n.source, n.n_docs,
              pow(CAST(n.n_docs AS DOUBLE), a.alpha) AS raw

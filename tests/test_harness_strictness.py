@@ -108,3 +108,36 @@ def test_registry_oracles_pass_type_lint():
         if hits:
             findings[name] = hits
     assert findings == {}, f"banned oracle result types: {findings}"
+
+
+def test_staged_oracles_pass_type_lint():
+    """The SAME driver-canon type lint over every PARKED staged slate:
+    round 12's first full-suite run caught a just-activated query
+    (orders_quantile_treatment_effect) whose oracle typed a struct-
+    literal column DECIMAL(3,2) — it hash-matched at tested scales but
+    was latently canon-divergent, and the registry-wide lint only sees
+    a slate AFTER activation. Linting the runway keeps each future
+    activation round from inheriting the bug class."""
+    import importlib
+
+    from tests.oracle_harness import duckdb_connection, lint_oracle_types
+
+    con = duckdb_connection(SF_DIR_SMOKE)
+    findings = {}
+    for mod_name in (
+        "staged_r13", "staged_r14", "staged_r15",
+        "staged_r16", "staged_r17", "staged_r18",
+    ):
+        mod = importlib.import_module(
+            f"cioos_siooc_data_transform_spark.plans.{mod_name}"
+        )
+        oracles = dict(mod.STAGED_ORACLES)
+        for name, (_fn, orc) in getattr(mod, "STAGED_REPLACEMENTS", {}).items():
+            oracles[f"{name} [repl]"] = orc
+        for name, sql in oracles.items():
+            if sql is None:
+                continue
+            hits = lint_oracle_types(con, sql)
+            if hits:
+                findings[f"{mod_name}.{name}"] = hits
+    assert findings == {}, f"banned staged oracle result types: {findings}"
