@@ -37,27 +37,28 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHECKED = frozenset(
     {
         # round 1
-        # NB: q1_pricing_summary is deliberately absent — ROTATED OUT in
-        # round 12 (oldest load-bearing name; see ROTATION below). It
-        # rejoins once its fresh CORRECTNESS_r12 row lands.
+        # NB: q1_pricing_summary rotated out in round 12, re-earned its
+        # row (CORRECTNESS_r12), and rejoined via the round-12 block.
+        # NB: geo_containment_join, ranking_window_bodc, tz_fixed_offset
+        # and dedup_exact are deliberately absent — ROTATED OUT in round
+        # 13 (oldest load-bearing round-1 names; see ROTATION below).
+        # They rejoin once their fresh CORRECTNESS_r13 rows land.
         "filter_projection", "first_match_min",
         "case_when_routing", "timestamp_range_filter", "null_pad_masking",
-        "coalesce_event_id", "geo_containment_join", "anti_join_orphans",
+        "coalesce_event_id", "anti_join_orphans",
         "semi_join_present", "broadcast_lookup_join", "positional_schema_join",
         "minmax_per_group", "count_validation", "time_increment_inference",
-        "ranking_window_bodc", "sequence_timeseries", "sort_limit_topk",
+        "sequence_timeseries", "sort_limit_topk",
         "except_missing_keys", "intersect_common_keys", "dms_to_decimal",
-        "tz_fixed_offset", "time_increment_decode", "epoch_seconds",
+        "time_increment_decode", "epoch_seconds",
         "id_formatting", "substring_extract", "json_serialize",
         "unit_canonicalization", "basename_key_extract", "string_functions",
-        "datetime_functions", "dedup_exact", "dedup_minhash_lsh",
+        "datetime_functions", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
         "dedup_simhash_pairs", "dedup_edit_distance",
-        # NB: similarity_topk_bruteforce and similarity_ivf_topk are
-        # deliberately absent — ROTATED OUT in round 12: their green
-        # rows predate the round-11 cosine norm-precompute change in
-        # operators/similarity.py, so the driver re-earns them on the
-        # moved code (see ROTATION below).
+        # NB: similarity_topk_bruteforce and similarity_ivf_topk rotated
+        # out in round 12, re-earned their rows on the norm-precompute
+        # code (CORRECTNESS_r12), and rejoined via the round-12 block.
         "text_langid",
         "text_quality_score", "text_token_count", "text_fingerprint",
         "multimodal_binary_meta", "multimodal_decode_features",
@@ -110,9 +111,8 @@ _CHECKED = frozenset(
         # round 4 (all 50 green in CORRECTNESS_r04.json)
         "chunk_sliding_windows", "cluster_zorder_key", "cumulative_distinct_users",
         "dedup_bag_of_words", "dedup_containment_pairs", "dedup_exact_bucketed",
-        # NB: dedup_semantic_clusters is deliberately absent — ROTATED
-        # OUT in round 12: its green row predates the round-11 cosine
-        # norm-precompute change in operators/dedup.py (see ROTATION).
+        # NB: dedup_semantic_clusters rotated out in round 12, re-earned
+        # its row (CORRECTNESS_r12), and rejoined via the round-12 block.
         "dedup_minhash_estimate_accuracy", "dedup_prefix_cluster",
         "dedup_substring_overlap", "drift_ks_statistic", "embedding_centroid_distance",
         "embedding_random_projection", "graph_triangle_count", "gsw_ct_from_t",
@@ -124,8 +124,8 @@ _CHECKED = frozenset(
         "q19_discounted_revenue", "q21_waiting_supplier", "q22_dormant_customers",
         "q4_priority_late", "q7_volume_shipping", "q8_market_share",
         "rfm_segmentation", "robust_zscore_outliers", "scd2_history",
-        # NB: similarity_lsh_topk is deliberately absent — ROTATED OUT
-        # in round 12 (cosine-touched; see ROTATION below).
+        # NB: similarity_lsh_topk rotated out in round 12, re-earned its
+        # row (CORRECTNESS_r12), and rejoined via the round-12 block.
         "similarity_recall_at_k", "sketch_quantiles",
         "text_bigram_repetition", "time_weighted_average", "train_val_test_split",
         "tumbling_window_hourly", "two_phase_salted_agg", "udtf_tokenize_offsets",
@@ -135,7 +135,12 @@ _CHECKED = frozenset(
         "dedup_bag_jaccard_pairs", "dedup_bbit_minhash", "dedup_component_size_histogram", "dedup_exact_normalized",
         "dedup_fingerprint_winnowing", "dedup_layer_funnel", "dedup_source_survivorship", "dedup_winnowing_pairs",
         "embedding_binary_signature", "embedding_knn_label_accuracy", "embedding_mahalanobis_diag", "events_dow_seasonality",
-        "except_intersect_all", "funnel_conversion_rates", "graph_pagerank_iterations", "grouping_id_flags",
+        # NB: graph_pagerank_iterations is deliberately absent — ROTATED
+        # OUT in round 13: its lineage idiom changed to the eager
+        # und-checkpoint in round 12 (plans/staged_r5.py), AFTER its last
+        # green row, so per the moved-code-rotates-first rule it leads
+        # the round-13 rotation (see ROTATION below).
+        "except_intersect_all", "funnel_conversion_rates", "grouping_id_flags",
         # NB: gsw_dynamic_enthalpy and gsw_enthalpy are deliberately NOT
         # listed: their staged-Horner REPLACEMENT bodies went live in
         # round 8 (staged_r9.activate_replacements()), so per the
@@ -301,6 +306,37 @@ _CHECKED = frozenset(
         "partsupp_price_spread_audit", "similarity_pq_codebook_utilization",
         "sketch_hll_precision_sweep", "text_burrows_delta",
         "text_chars_per_token_by_lang", "text_langid_confusion_matrix",
+        # round 12 (all 50 green in CORRECTNESS_r12.json: the 45
+        # activated staged_r12 names + the 5 round-12 rotation re-earns
+        # — q1_pricing_summary, dedup_semantic_clusters,
+        # similarity_lsh_topk, similarity_topk_bruteforce,
+        # similarity_ivf_topk — which hereby rejoin)
+        "customer_energy_distance_segments", "customer_order_count_ztp_fit",
+        "customer_spend_intraclass_corr", "decontam_ngram_size_sweep",
+        "dedup_bucket_cap_sweep", "dedup_lsh_band_tradeoff",
+        "dedup_semantic_clusters", "dedup_winnowing_window_sweep",
+        "embedding_centroid_classifier_confusion",
+        "events_dayk_retention_curve", "events_spectral_flatness",
+        "events_type_hour_stdres_outliers", "graph_price_assortativity",
+        "graph_support_threshold_sweep", "graph_triangle_config_null",
+        "gsw_ct_first_derivatives", "gsw_ct_second_derivatives",
+        "gsw_enthalpy_second_derivatives", "gsw_entropy_first_derivatives",
+        "gsw_entropy_second_derivatives", "gsw_pt_first_derivatives",
+        "gsw_rho_first_derivatives_wrt_enthalpy", "gsw_sa_freezing_from_t",
+        "gsw_specvol_second_derivatives", "gsw_t_from_pt0_ice",
+        "ios_channel_unit_profile", "multimodal_fps_sweep",
+        "multimodal_frame_hash_dedup", "nation_revenue_shift_share",
+        "orders_gap_exponentiality_ks", "orders_new_customer_share_trend",
+        "orders_priority_stochastic_dominance",
+        "orders_quantile_treatment_effect", "orders_theil_sen_trend",
+        "orders_wilcoxon_signed_rank", "part_demand_sbc_classification",
+        "part_price_ending_digits", "q1_pricing_summary",
+        "sample_pps_horvitz_thompson", "similarity_adc_rank_correlation",
+        "similarity_ivf_cell_balance", "similarity_ivf_topk",
+        "similarity_lsh_topk", "similarity_topk_bruteforce",
+        "supplier_type_concentration_cr4", "text_langid_calibration_curve",
+        "text_ngram_entropy_rate_curve", "text_oov_vocab_curve",
+        "text_sttr_by_source", "tpch_fd_violation_audit",
     }
 )
 
@@ -310,26 +346,38 @@ _CHECKED = frozenset(
 # new staged names and REMOVES ~5 green names from _CHECKED so the
 # driver re-earns driver-grade rows on code that has moved since the row
 # was earned. Rotated names rejoin _CHECKED once their fresh CORRECTNESS
-# rows land. Priority: queries whose implementing operator changed since
-# their last green row, then oldest load-bearing names.
+# rows land.
 #
-# Round-12 rotation (per the round-11 verdict's amended list — the
-# cosine norm-precompute change in operators/similarity.py +
-# operators/dedup.py is the only live-operator change since those rows):
+# PRIORITY RULE (codified round 13 per the round-12 verdict): ANY live
+# query whose implementing operator code changes in round N goes to the
+# FRONT of round N+1's rotation list — a green row must never silently
+# describe code older than the row. After moved-code names, rotate the
+# oldest load-bearing greens. Round 12 applied this ad hoc (the cosine
+# norm-precompute family); round 13 applies it as policy
+# (graph_pagerank_iterations).
+#
+# Round-12 rotation (EXECUTED; all 5 re-earned green in
+# CORRECTNESS_r12 and rejoined via the round-12 block above):
 #   dedup_semantic_clusters, similarity_lsh_topk,
 #   similarity_topk_bruteforce, similarity_ivf_topk (cosine-touched),
 #   q1_pricing_summary (oldest load-bearing; also re-witnesses entry()).
-# Budget: 45 activated staged_r12 names + these 5 = exactly the
-# driver's 50-fresh-name sample; staged_r12.DEFER_TO_R13 carries the
-# remaining 5 staged names to the round-13 activation.
 #
-# Round-13 rotation list (queued per the policy's priority rule —
-# operators that MOVED in round 12 rotate first):
-#   graph_pagerank_iterations (lineage idiom changed to the eager
-#     und-checkpoint, plans/staged_r5.py — see SCALE.md round 12),
-# then continue with the oldest load-bearing round-1 names from the
-# original list (geo_containment_join, dedup_minhash_lsh,
-# ios_parse_measurements, filter_projection).
+# Round-13 rotation (EXECUTED in this change):
+#   graph_pagerank_iterations (moved-code: eager und-checkpoint landed
+#     in round 12, plans/staged_r5.py — see SCALE.md round 12),
+#   geo_containment_join, ranking_window_bodc, tz_fixed_offset,
+#   dedup_exact (oldest load-bearing round-1 names).
+# Budget: 5 staged_r12.DEFER_TO_R13 carry-overs + 40 activated
+# staged_r13 names + these 5 = exactly the driver's 50-fresh-name
+# sample; staged_r13.DEFER_TO_R14 carries the remaining 10 staged
+# names (the GSW freezing-poly + Saunders + wave-M family) to the
+# round-14 activation.
+#
+# Round-14 rotation queue (per the priority rule — no live-operator
+# code has moved yet this round; extend this list if round-13 work
+# touches a live operator): start with the oldest load-bearing round-1
+# names (dedup_minhash_lsh, ios_parse_measurements, filter_projection,
+# anti_join_orphans, minmax_per_group).
 
 
 def _priority_order(names) -> list[str]:

@@ -281,6 +281,33 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
             trained_secs.append(round(time.time() - t0, 3))
         sem_trained = {"sec": min(trained_secs)}
+        # Over-cap invariant audit (round-12 advice, OUTSIDE the timed
+        # loop): the vertical's star==drop claim rests on no bucket
+        # exceeding the cap at this SF — record the actual over-cap
+        # bucket count in the sidecar so data/cap drift that silently
+        # changes what this vertical measures becomes visible. Uses the
+        # operator's own bucket assembly (semantic_bucket_counts) with
+        # the same seeded training, not a re-derived approximation.
+        from cioos_siooc_data_transform_spark.operators.dedup import (
+            semantic_bucket_counts,
+        )
+        from cioos_siooc_data_transform_spark.operators.similarity import (
+            train_ivf_centroids,
+        )
+
+        cent = train_ivf_centroids(
+            emb, id_col="vec_id", vec_col="embedding", n_cells=16, seed=42
+        )
+        sem_trained["overcap_buckets"] = (
+            semantic_bucket_counts(
+                emb, cent, id_col="vec_id", vec_col="embedding",
+                hyperplanes=_EMB_HP, bands=_EMB_BANDS,
+            )
+            .filter(F.col("_n") > _EMB_BUCKET_CAP)
+            .select("bucket")
+            .distinct()
+            .count()
+        )
     except Exception as exc:  # keep the headline line alive regardless
         sem_trained = {"error": str(exc)[:200]}
 

@@ -618,6 +618,43 @@ def substring_overlap_pairs(
 # a bounded sample) while the oracle-paired query keeps its
 # deterministic first-N-rows centroid twin.
 # ---------------------------------------------------------------------------
+def semantic_bucket_counts(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hyperplanes: list[list[float]] | None = None,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, composite ``cell/band-bucket``, windowed count ``_n``) — the
+    guarded-join input of :func:`semantic_dedup`, exposed so audits and
+    bench sidecars can check the over-cap invariant (e.g. "no sf0.1
+    bucket exceeds bucket_cap, so star == drop") against the SAME
+    assembly the operator prices, not a re-derived approximation."""
+    from cioos_siooc_data_transform_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
+        id_col, "centroid_id"
+    )
+    buckets = hyperplane_lsh_buckets(vectors, id_col, vec_col, hyperplanes, bands)
+    # distinct is a near-no-op on unique (id, bucket) rows, but its
+    # Exchange is reused by both self-join sides, so the
+    # centroid-assignment subtree computes once (A/B in the registered
+    # query's docstring: 4.5 s stable vs 4.8-8.8 s cold recompute).
+    cb = (
+        buckets.join(assigned, id_col)
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.col("centroid_id").cast("string"), F.lit("/"), F.col("bucket")
+            ).alias("bucket"),
+        )
+        .distinct()
+    )
+    wb = Window.partitionBy("bucket")
+    return cb.withColumn("_n", F.count(F.lit(1)).over(wb))
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -659,10 +696,7 @@ def semantic_dedup(
       member is dropped only if it matches the bucket minimum), which
       is the documented recall trade vs the unbounded all-pairs join.
     """
-    from cioos_siooc_data_transform_spark.operators.similarity import (
-        dot_expr,
-        ivf_assign,
-    )
+    from cioos_siooc_data_transform_spark.operators.similarity import dot_expr
 
     if hyperplanes is None:
         # Plan composition must stay fully lazy (no hidden Spark jobs
@@ -678,28 +712,13 @@ def semantic_dedup(
             "semantic_dedup_trained which derives them from its trained "
             "centroids"
         )
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
-        id_col, "centroid_id"
-    )
-    buckets = hyperplane_lsh_buckets(vectors, id_col, vec_col, hyperplanes, bands)
-    # distinct is a near-no-op on unique (id, bucket) rows, but its
-    # Exchange is reused by both self-join sides, so the
-    # centroid-assignment subtree computes once (A/B in the registered
-    # query's docstring: 4.5 s stable vs 4.8-8.8 s cold recompute).
-    cb = (
-        buckets.join(assigned, id_col)
-        .select(
-            F.col(id_col),
-            F.concat(
-                F.col("centroid_id").cast("string"), F.lit("/"), F.col("bucket")
-            ).alias("bucket"),
-        )
-        .distinct()
-    )
     if overcap not in ("drop", "star"):
         raise ValueError(f"semantic_dedup: unknown overcap mode {overcap!r}")
+    counted = semantic_bucket_counts(
+        vectors, centroids, id_col=id_col, vec_col=vec_col,
+        hyperplanes=hyperplanes, bands=bands,
+    )
     wb = Window.partitionBy("bucket")
-    counted = cb.withColumn("_n", F.count(F.lit(1)).over(wb))
     if overcap == "star":
         # min shares the count's window pass (same partition spec, no
         # ordering): one WindowExec either way.
@@ -716,9 +735,13 @@ def semantic_dedup(
         a.join(b, "bucket")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", cell_of_bucket)
-        .distinct()
     )
     if overcap == "star":
+        # A pair lands in cand once per shared band-bucket and a star
+        # pair can coincide with a guarded-bucket pair, so ONE distinct
+        # after the union covers both sides — distinct-ing cand first
+        # would add a second full shuffle on the pipeline's largest
+        # intermediate for no semantic gain (round-12 advice).
         star = (
             counted.filter(F.col("_n") > bucket_cap)
             .filter(F.col(id_col) != F.col("_min"))
@@ -729,6 +752,8 @@ def semantic_dedup(
             )
         )
         cand = cand.unionByName(star).distinct()
+    else:
+        cand = cand.distinct()
     # Norms are projected BEFORE the pair join, so each vector pays its
     # sqrt(dot(v,v)) once instead of once per candidate pair: cosine_expr
     # inlined per pair evaluates THREE higher-order aggregates (dot(a,b),

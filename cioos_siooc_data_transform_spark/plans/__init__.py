@@ -116,3 +116,21 @@ staged_r11.activate()
 from cioos_siooc_data_transform_spark.plans import staged_r12  # noqa: E402
 
 staged_r12.activate()
+
+# Round-13 activation — second rotation round: the 5 staged_r12
+# DEFER_TO_R13 carry-overs plus 40 of the 50 queries staged during
+# rounds 10-11 (tri-scale green via tools/staged_sim.py, pre-checked
+# 55/55 at sf0.01 on the frozen round-12 tree per COVERAGE.md, and
+# swept by the staged-oracle type lint) join the live registry; the
+# other 5 fresh-sample slots are spent on names ROTATED OUT of
+# __spark_entry__._CHECKED, led by graph_pagerank_iterations (its
+# eager-und-checkpoint lineage change in round 12 postdates its green
+# row) plus the oldest load-bearing round-1 greens. staged_r13
+# DEFER_TO_R14 carries the remaining 10 staged names (the GSW
+# freezing-poly + Saunders + wave-M family) to the round-14 activation.
+# The 50 round-12-green names moved to _CHECKED in the same change.
+staged_r12.activate(include_deferred=True)
+
+from cioos_siooc_data_transform_spark.plans import staged_r13  # noqa: E402
+
+staged_r13.activate()

@@ -119,15 +119,22 @@ def test_staged_oracles_pass_type_lint():
     a slate AFTER activation. Linting the runway keeps each future
     activation round from inheriting the bug class."""
     import importlib
+    from pathlib import Path
 
+    from cioos_siooc_data_transform_spark import plans as plans_pkg
+    from cioos_siooc_data_transform_spark.plans import all_oracles
     from tests.oracle_harness import duckdb_connection, lint_oracle_types
 
+    # Derive the slate list from disk so a future staged_r19+ slate is
+    # linted automatically (a hardcoded list silently skips new files).
+    mod_names = sorted(
+        p.stem for p in Path(plans_pkg.__file__).parent.glob("staged_r*.py")
+    )
+    assert len(mod_names) >= 6, f"staged slate glob broke: {mod_names}"
+    live = set(all_oracles())
     con = duckdb_connection(SF_DIR_SMOKE)
     findings = {}
-    for mod_name in (
-        "staged_r13", "staged_r14", "staged_r15",
-        "staged_r16", "staged_r17", "staged_r18",
-    ):
+    for mod_name in mod_names:
         mod = importlib.import_module(
             f"cioos_siooc_data_transform_spark.plans.{mod_name}"
         )
@@ -135,7 +142,8 @@ def test_staged_oracles_pass_type_lint():
         for name, (_fn, orc) in getattr(mod, "STAGED_REPLACEMENTS", {}).items():
             oracles[f"{name} [repl]"] = orc
         for name, sql in oracles.items():
-            if sql is None:
+            if sql is None or name in live:
+                # activated names are swept by the registry-wide lint
                 continue
             hits = lint_oracle_types(con, sql)
             if hits:

@@ -117,6 +117,25 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
         #   mega-bucket cap, hot-shingle-capped inverted-index exact
         #   pairs) remain equi-joins, which the CartesianProduct
         #   assertion above still covers.
+        # - dedup_lsh_precision_audit (activated round 13): the same
+        #   scalar assembly — the per-pair exact-Jaccard relation
+        #   cross-joins the SINGLE-ROW candidate count so precision can
+        #   divide by it; the pair-generating joins (4x4-band cap-50
+        #   LSH bucket equi-join, hot-shingle-capped inverted-index
+        #   confirm join) remain equi-joins, which the CartesianProduct
+        #   assertion above still covers.
+        # - dedup_shingle_size_sweep (activated round 13): the same
+        #   scalar assembly per sweep point — each output row
+        #   cross-joins TWO SINGLE-ROW aggregates (shingle-type count x
+        #   pair count); the pair-generating join per shingle size
+        #   remains the hot-shingle-capped inverted-index equi-join.
+        # - dedup_semantic_tau_sweep (activated round 13): the bounded
+        #   candidate-pair set (cap-guarded hyperplane-LSH bucket
+        #   equi-join, never quadratic) theta-joins a 3-ROW broadcast
+        #   tau table — the same intended stream-vs-broadcast sweep
+        #   shape as dedup_jaccard_threshold_sweep; its pair-generating
+        #   join remains a bucket equi-join, which the CartesianProduct
+        #   assertion above still covers.
         if name.startswith("dedup_") and name not in (
             "dedup_semantic_clusters",
             "dedup_layer_funnel",
@@ -126,6 +145,9 @@ def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
             "dedup_transitivity_audit",
             "dedup_lsh_band_tradeoff",
             "dedup_bucket_cap_sweep",
+            "dedup_lsh_precision_audit",
+            "dedup_shingle_size_sweep",
+            "dedup_semantic_tau_sweep",
         ):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
@@ -388,6 +410,12 @@ _ALLOWED_UNPARTITIONED_WINDOWS = {
     ),
     "orders_max_drawdown": "runs over the per-MONTH revenue rollup (calendar-bounded axis)",
     "orders_rolling_corr_12m": "runs over the per-MONTH rollup (calendar-bounded axis)",
+    # round-13 activations (pre-audited at staging; recorded in the
+    # activation note at plans/staged_r13.py:45-50)
+    "events_page_hinkley_drift": (
+        "runs over the per-DAY rollup crossed with 1-row broadcast "
+        "scalars (calendar-bounded axis)"
+    ),
 }
 
 

@@ -28,11 +28,11 @@ def _deferred():
     return DEFER_TO_R13
 
 
-def test_staged_now_registered_except_deferred():
-    """Round 12 activated the slate minus DEFER_TO_R13: every
-    non-deferred staged name must be live in the registry with its
-    oracle; every deferred name must still be parked (the round-13
-    fresh-sample budget depends on it)."""
+def test_staged_now_fully_registered():
+    """Round 12 activated the slate minus DEFER_TO_R13; round 13
+    activated the deferred carry-overs via
+    ``activate(include_deferred=True)`` — every staged name must now be
+    live in the registry with its oracle."""
     from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_, reps = _staged()
@@ -40,12 +40,10 @@ def test_staged_now_registered_except_deferred():
     assert set(qs) == set(os_)
     assert deferred <= set(qs), "DEFER_TO_R13 names must be staged names"
     live_q, live_o = all_queries(), all_oracles()
-    missing = (set(qs) - deferred) - set(live_q)
+    missing = set(qs) - set(live_q)
     assert not missing, f"staged queries not activated: {missing}"
-    missing_o = (set(os_) - deferred) - set(live_o)
+    missing_o = set(os_) - set(live_o)
     assert not missing_o, f"staged oracles not activated: {missing_o}"
-    leaked = deferred & set(live_q)
-    assert not leaked, f"deferred r12 queries leaked into the live registry: {leaked}"
     for name, (fn, _) in reps.items():
         assert name in live_q, f"replacement {name} has no live twin"
         assert live_q[name] is fn, f"replacement {name} not applied"
@@ -62,9 +60,10 @@ def test_budget():
     assert len(set(qs) - deferred) + len(reps) == 45
 
 
-def test_rotation_names_are_fresh():
-    """The 5 rotated names must be absent from _CHECKED (so the driver
-    re-samples them) while still being live registry entries."""
+def test_rotation_names_rejoined_checked():
+    """The 5 round-12 rotated names earned fresh green rows
+    (CORRECTNESS_r12) and must have REJOINED _CHECKED in round 13 —
+    a rotated name left fresh would burn a round-13 sample slot."""
     from cioos_siooc_data_transform_spark.plans import all_queries
 
     import __spark_entry__ as entrymod
@@ -76,32 +75,26 @@ def test_rotation_names_are_fresh():
         "similarity_topk_bruteforce",
         "similarity_ivf_topk",
     }
-    still_checked = rotated & entrymod._CHECKED
-    assert not still_checked, f"rotated names still in _CHECKED: {still_checked}"
+    not_back = rotated - entrymod._CHECKED
+    assert not not_back, f"r12-rotated names did not rejoin _CHECKED: {not_back}"
     live = set(all_queries())
     assert rotated <= live, f"rotated names missing from registry: {rotated - live}"
 
 
-def test_fresh_sample_is_exactly_fifty():
-    """The driver takes the FIRST 50 names in dict order; the fresh
-    (not-in-_CHECKED) prefix must be exactly the 45 activated
-    staged_r12 names + the 5 rotated names."""
+def test_activated_names_are_checked():
+    """Every round-12-green name (the 45 activated + the 5 rotation
+    re-earns, per CORRECTNESS_r12.json) must sit in _CHECKED so the
+    round-13 fresh sample is spent on never-checked names only."""
     import __spark_entry__ as entrymod
 
     qs, _, _ = _staged()
     deferred = _deferred()
-    names = list(entrymod.queries())
-    fresh = [n for n in names if n not in entrymod._CHECKED]
-    expected = (set(qs) - deferred) | {
-        "q1_pricing_summary",
-        "dedup_semantic_clusters",
-        "similarity_lsh_topk",
-        "similarity_topk_bruteforce",
-        "similarity_ivf_topk",
-    }
-    assert len(fresh) == 50
-    assert set(fresh) == expected
-    assert names[:50] == fresh, "fresh names must lead the dict order"
+    missing = (set(qs) - deferred) - entrymod._CHECKED
+    assert not missing, f"r12-green staged names not in _CHECKED: {missing}"
+    leaked_deferred = deferred & entrymod._CHECKED
+    assert not leaked_deferred, (
+        f"DEFER_TO_R13 names have no green row yet, must stay fresh: {leaked_deferred}"
+    )
 
 
 def test_activate_idempotent_after_import():
@@ -111,7 +104,8 @@ def test_activate_idempotent_after_import():
     from cioos_siooc_data_transform_spark.plans import all_queries, staged_r12
 
     assert staged_r12.activate() == 0
-    assert not _deferred() & set(all_queries())
+    assert staged_r12.activate(include_deferred=True) == 0
+    assert _deferred() <= set(all_queries())
 
 
 def test_registered_callables_are_the_staged_ones():
@@ -121,11 +115,8 @@ def test_registered_callables_are_the_staged_ones():
     from cioos_siooc_data_transform_spark.plans import all_queries
 
     qs, _, _ = _staged()
-    deferred = _deferred()
     live = all_queries()
-    shadowed = {
-        n for n, fn in qs.items() if n not in deferred and live.get(n) is not fn
-    }
+    shadowed = {n for n, fn in qs.items() if live.get(n) is not fn}
     assert not shadowed, f"staged_r12 names shadowed by earlier slates: {shadowed}"
 
 

@@ -1,7 +1,12 @@
-"""Keep the STAGED round-13 queries green while parked
-(plans/staged_r13.py — the round-13 runway seed; activation order is
-staged_r8 (round 8) -> ... -> staged_r11 (round 11) -> this
-module)."""
+"""The round-13 slate (plans/staged_r13.py) is LIVE as of round 13
+minus DEFER_TO_R14: activated from plans/__init__.py in the second
+rotation round (40 slate names + the 5 staged_r12.DEFER_TO_R13
+carry-overs + 5 rotated _CHECKED names = the driver's 50-fresh
+sample). The GSW freezing-poly + Saunders + wave-M family
+(DEFER_TO_R14) stays parked until round 14's
+``activate(include_deferred=True)``. The one calendar-bounded window
+in the slate (events_page_hinkley_drift) carries its justified
+allowlist entry in tests/test_plans.py."""
 
 from __future__ import annotations
 
@@ -20,23 +25,86 @@ def _staged():
     return STAGED_QUERIES, STAGED_ORACLES, STAGED_REPLACEMENTS
 
 
-def test_staged_not_registered():
-    from cioos_siooc_data_transform_spark.plans import all_queries
+def _deferred():
+    from cioos_siooc_data_transform_spark.plans.staged_r13 import DEFER_TO_R14
+
+    return DEFER_TO_R14
+
+
+def test_staged_now_registered_except_deferred():
+    """Round 13 activated the slate minus DEFER_TO_R14: every
+    non-deferred staged name must be live in the registry with its
+    oracle; every deferred name must still be parked (the round-14
+    fresh-sample budget depends on it)."""
+    from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_, reps = _staged()
+    deferred = _deferred()
     assert set(qs) == set(os_)
-    leaked = set(qs) & set(all_queries())
-    assert not leaked, f"staged r11 queries leaked into the live registry: {leaked}"
-    live = all_queries()
+    assert deferred <= set(qs), "DEFER_TO_R14 names must be staged names"
+    live_q, live_o = all_queries(), all_oracles()
+    missing = (set(qs) - deferred) - set(live_q)
+    assert not missing, f"staged queries not activated: {missing}"
+    missing_o = (set(os_) - deferred) - set(live_o)
+    assert not missing_o, f"staged oracles not activated: {missing_o}"
+    leaked = deferred & set(live_q)
+    assert not leaked, f"deferred r13 queries leaked into the live registry: {leaked}"
     for name, (fn, _) in reps.items():
-        assert name in live, f"replacement {name} has no live twin"
-        assert live[name] is not fn, f"replacement {name} activated early"
+        assert name in live_q, f"replacement {name} has no live twin"
+        assert live_q[name] is fn, f"replacement {name} not applied"
 
 
 def test_budget():
-    """Fresh-name budget: the driver samples 50 names per round."""
+    """Fresh-name budget: the driver samples 50 names per round.
+    Round 13 spends them as 5 staged_r12.DEFER_TO_R13 carry-overs +
+    40 activated slate names + 5 rotated _CHECKED names (the second
+    executed rotation)."""
     qs, _, reps = _staged()
-    assert len(qs) + len(reps) <= 50
+    deferred = _deferred()
+    assert len(qs) + len(reps) == 50
+    assert len(deferred) == 10
+    assert len(set(qs) - deferred) + len(reps) == 40
+
+
+ROTATED_R13 = {
+    "graph_pagerank_iterations",
+    "geo_containment_join",
+    "ranking_window_bodc",
+    "tz_fixed_offset",
+    "dedup_exact",
+}
+
+
+def test_rotation_names_are_fresh():
+    """The 5 rotated names must be absent from _CHECKED (so the driver
+    re-samples them) while still being live registry entries."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    import __spark_entry__ as entrymod
+
+    still_checked = ROTATED_R13 & entrymod._CHECKED
+    assert not still_checked, f"rotated names still in _CHECKED: {still_checked}"
+    live = set(all_queries())
+    assert ROTATED_R13 <= live, f"rotated names missing from registry: {ROTATED_R13 - live}"
+
+
+def test_fresh_sample_is_exactly_fifty():
+    """The driver takes the FIRST 50 names in dict order; the fresh
+    (not-in-_CHECKED) prefix must be exactly the 40 activated
+    staged_r13 names + the 5 staged_r12.DEFER_TO_R13 carry-overs +
+    the 5 rotated names."""
+    from cioos_siooc_data_transform_spark.plans.staged_r12 import DEFER_TO_R13
+
+    import __spark_entry__ as entrymod
+
+    qs, _, _ = _staged()
+    deferred = _deferred()
+    names = list(entrymod.queries())
+    fresh = [n for n in names if n not in entrymod._CHECKED]
+    expected = (set(qs) - deferred) | set(DEFER_TO_R13) | ROTATED_R13
+    assert len(fresh) == 50
+    assert set(fresh) == expected
+    assert names[:50] == fresh, "fresh names must lead the dict order"
 
 
 def test_no_collision_with_earlier_slates():
@@ -158,8 +226,34 @@ def test_replacement_matches_oracle(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_activate_not_called_is_noop_guard():
-    """Importing the module must not mutate the live registry."""
+def test_activate_idempotent_after_import():
+    """plans/__init__.py already ran activate(); a second call must be a
+    no-op (0 newly-registered names) — and it must NOT sneak the
+    deferred names in."""
+    from cioos_siooc_data_transform_spark.plans import all_queries, staged_r13
+
+    assert staged_r13.activate() == 0
+    assert not _deferred() & set(all_queries())
+
+
+def test_registered_callables_are_the_staged_ones():
+    """Activation must not have been shadowed by an earlier slate's
+    same-name registration (the silent-no-op trap: activate() skips
+    names that already exist)."""
+    from cioos_siooc_data_transform_spark.plans import all_queries
+
+    qs, _, _ = _staged()
+    deferred = _deferred()
+    live = all_queries()
+    shadowed = {
+        n for n, fn in qs.items() if n not in deferred and live.get(n) is not fn
+    }
+    assert not shadowed, f"staged_r13 names shadowed by earlier slates: {shadowed}"
+
+
+def test_reload_does_not_mutate_registry():
+    """Re-importing the module must not mutate the live registry
+    (activation happens only from plans/__init__.py)."""
     import importlib
 
     from cioos_siooc_data_transform_spark.plans import all_queries
