@@ -326,6 +326,122 @@ def _ensure_xl() -> None:
         _gen_xl()
 
 
+N_VECS_LOOSE = 600_000
+LOOSE_CLUSTER = 5_000
+LOOSE_THETA_MAX_DEG = 45.0
+
+
+def _gen_loose() -> None:
+    """LOOSE over-cap bucket corpus (round-12 verdict item 2): the XL
+    mega-cluster is TIGHT (pairwise cos ~ 1), where star-mode recall is
+    provably complete; this corpus prices the documented under-linking
+    corner instead. Ids 0..LOOSE_CLUSTER-1 are a band-collision
+    cluster: every member shares the SIGN of dot(v, h_k) with the base
+    direction for all 32 production hyperplanes (members are
+    cos(theta)*b + sin(theta)*w with w orthogonal to b AND every
+    hyperplane, so the LSH signature never flips), hence ONE over-cap
+    bucket per band — but theta is seeded-uniform in
+    [0, LOOSE_THETA_MAX_DEG], so pairwise cosine ~= cos(t_i)cos(t_j)
+    spans [0.5, 1] and only SOME pairs clear tau=0.9. The true
+    drop-set is whatever the unbounded all-pairs run says; star links
+    members only to the bucket-min id, whose own theta draw decides
+    how much of the truth it can see."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+    )
+
+    os.makedirs(DATA, exist_ok=True)
+    rng = np.random.default_rng(2027)
+
+    hp = np.array(random_hyperplanes(32, 64, seed=42))  # production knob
+    base = rng.standard_normal(64)
+    base /= np.linalg.norm(base)
+    # Orthonormal basis of the complement of span(hyperplanes + base):
+    # null space of the 33 x 64 constraint matrix.
+    constraints = np.vstack([hp, base])
+    _, s, vt = np.linalg.svd(constraints, full_matrices=True)
+    null_basis = vt[np.sum(s > 1e-10):]  # (64 - rank) x 64
+    assert null_basis.shape[0] >= 8, "no null space left for loose noise"
+
+    out = os.path.join(DATA, "embeddings_loose.parquet")
+    writer = None
+    chunk = 100_000
+    theta_max = np.deg2rad(LOOSE_THETA_MAX_DEG)
+    for lo in range(0, N_VECS_LOOSE, chunk):
+        hi = min(lo + chunk, N_VECS_LOOSE)
+        vecs = rng.standard_normal((hi - lo, 64))
+        n_loose = max(0, min(hi, LOOSE_CLUSTER) - lo)
+        if n_loose:
+            theta = rng.uniform(0.0, theta_max, n_loose)
+            coeffs = rng.standard_normal((n_loose, null_basis.shape[0]))
+            w = coeffs @ null_basis
+            w /= np.linalg.norm(w, axis=1, keepdims=True)
+            vecs[:n_loose] = (
+                np.cos(theta)[:, None] * base + np.sin(theta)[:, None] * w
+            )
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        tbl = pa.table({
+            "vec_id": pa.array(range(lo, hi), pa.int64()),
+            "embedding": pa.array(
+                [row.tolist() for row in vecs], pa.list_(pa.float64())
+            ),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(out, tbl.schema)
+        writer.write_table(tbl)
+    if writer is not None:
+        writer.close()
+    with open(os.path.join(DATA, "_COMPLETE_LOOSE"), "w") as f:
+        f.write("ok\n")
+    print(f"wrote LOOSE corpus to {DATA}")
+
+
+def _ensure_loose() -> None:
+    if not os.path.exists(os.path.join(DATA, "_COMPLETE_LOOSE")):
+        _gen_loose()
+
+
+#: Loose-bucket policy modes: the uncapped all-pairs TRUTH run
+#: (feasible here: the loose bucket is 5k members -> 12.5M distinct
+#: pairs, not the XL mega-cluster's 11G), then the production cap with
+#: drop / star. Order matters: run_all runs `unbounded` FIRST so its
+#: persisted drop-set exists when drop/star compute recall against it.
+SEMDD_LOOSE_MODES = ("unbounded", "drop", "star")
+
+
+def case_semantic_dedup_loose_knob(spark, label: str):
+    """semantic_dedup over the LOOSE over-cap corpus with the
+    production cap400/hp32 knob: 'drop' excludes the over-cap bucket,
+    'star' pairs members to the bucket min only, 'unbounded' removes
+    the cap (ground truth). run_one computes drop-set recall vs the
+    unbounded truth after the timed write."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    if label not in SEMDD_LOOSE_MODES:
+        raise ValueError(f"unknown loose mode {label!r}")
+    _ensure_loose()
+    emb = spark.read.parquet(
+        os.path.join(DATA, "embeddings_loose.parquet")
+    ).repartition(64)
+    cent = emb.filter(F.col("vec_id") % (N_VECS_LOOSE // 16) == 1).limit(16)
+    hp = random_hyperplanes(32, 64, seed=42)
+    return semantic_dedup(
+        emb, cent, hyperplanes=hp, bands=8,
+        bucket_cap=1 << 40 if label == "unbounded" else 400,
+        tau=0.9,
+        overcap="star" if label == "star" else "drop",
+    )
+
+
 def case_semantic_dedup_xl(spark, guarded: bool):
     """dedup_semantic_clusters at >=10x bench scale (600k vectors,
     150k-vector mega-cluster — every mega vector shares one IVF cell
@@ -491,6 +607,129 @@ def case_semantic_dedup_xl_knob(spark, label: str):
     return semantic_dedup(
         emb, cent, hyperplanes=hp, bands=8,
         bucket_cap=cfg["cap"], tau=0.9, overcap=cfg["overcap"],
+    )
+
+
+N_DOCS_XL = 300_000
+MEGA_DOCS_XL = 30_000
+
+
+def _gen_xl_docs() -> None:
+    """XL document corpus for the cross-snapshot case (round-12 verdict
+    item 7): ~2.5x the base stress corpus and >=10x bench sf0.1's
+    documents table, with a 30k-doc NEAR-IDENTICAL mega-group (each
+    member is one fixed 60-word base text with 2 random word
+    substitutions, so pairwise 3-shingle Jaccard ~ 0.66 >= the 0.5
+    threshold and most members share full minhash bands -> one mega
+    bucket per band). Unguarded, the NEW x PRIOR bucket join inside the
+    mega buckets is ~(24k x 6k) candidate pairs before distinct, each
+    paying an exact-Jaccard confirm over ~58-shingle sets; the cap-50
+    guard drops the mega buckets and bounds the join."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(DATA, exist_ok=True)
+    rng = np.random.default_rng(777)
+    vocab = np.array([f"w{i}" for i in range(30_000)])
+    base_words = vocab[rng.integers(0, len(vocab), 60)]
+    out = os.path.join(DATA, "documents_xl.parquet")
+    writer = None
+    chunk = 50_000
+    for lo in range(0, N_DOCS_XL, chunk):
+        hi = min(lo + chunk, N_DOCS_XL)
+        texts = []
+        for i in range(lo, hi):
+            if i < MEGA_DOCS_XL:
+                words = base_words.copy()
+                pos = rng.integers(0, 60, 2)
+                words[pos] = vocab[rng.integers(0, len(vocab), 2)]
+            else:
+                words = vocab[rng.integers(0, len(vocab), 60)]
+            texts.append(" ".join(words.tolist()))
+        tbl = pa.table({
+            "doc_id": pa.array(range(lo, hi), pa.int64()),
+            "text": pa.array(texts),
+        })
+        if writer is None:
+            writer = pq.ParquetWriter(out, tbl.schema)
+        writer.write_table(tbl)
+    if writer is not None:
+        writer.close()
+    with open(os.path.join(DATA, "_COMPLETE_XL_DOCS"), "w") as f:
+        f.write("ok\n")
+    print(f"wrote XL documents corpus to {DATA}")
+
+
+def _ensure_xl_docs() -> None:
+    if not os.path.exists(os.path.join(DATA, "_COMPLETE_XL_DOCS")):
+        _gen_xl_docs()
+
+
+def case_cross_snapshot_xl(spark, guarded: bool):
+    """dedup_cross_snapshot's exact plan shape at XL scale: digest
+    membership (uniform-key equi-join, never the problem) + the
+    two-sided NEW x PRIOR LSH near-dup layer with the shared mega-bucket
+    guard (cap 50) ON vs OFF. Mirrors the registered query's body
+    (plans/dedup_queries.py::dedup_cross_snapshot) over the XL corpus:
+    md5 minhash family, 8 hashes / 4 bands, Jaccard >= 0.5 confirm over
+    candidates only."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        jaccard_for_pairs,
+        lsh_band_buckets,
+        minhash_signature,
+        word_shingles,
+    )
+
+    _ensure_xl_docs()
+    docs = spark.read.parquet(os.path.join(DATA, "documents_xl.parquet"))
+    is_prior = F.col("doc_id") % 5 == 0
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.split(F.col("text"), " "), 3))
+        ).alias("s"),
+    ).distinct()
+    sig = minhash_signature(shingles, "doc_id", "s", num_hashes=8, hash_family="md5")
+    buckets = lsh_band_buckets(sig, "doc_id", num_hashes=8, bands=4)
+    cap = 50 if guarded else 1 << 40
+    w = Window.partitionBy("bucket")
+    guarded_b = buckets.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("_n") <= cap
+    )
+    new_b = guarded_b.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("doc_a"), "bucket"
+    )
+    prior_b = guarded_b.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("doc_b"), "bucket"
+    )
+    cand = new_b.join(prior_b, "bucket").select("doc_a", "doc_b").distinct()
+    near = (
+        jaccard_for_pairs(cand, shingles, "doc_id", "s")
+        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("_near", F.lit(1))
+    )
+    prior_dig = (
+        docs.filter(is_prior).select(F.md5("text").alias("digest")).distinct()
+        .withColumn("_exact", F.lit(1))
+    )
+    new_docs = docs.filter(~is_prior).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    return (
+        new_docs.join(prior_dig, "digest", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_exact").isNotNull().alias("exact_dup"),
+            F.col("_near").isNotNull().alias("near_dup"),
+            (F.col("_exact").isNull() & F.col("_near").isNull()).alias("keep"),
+        )
     )
 
 
@@ -768,12 +1007,18 @@ CASES = {
     "pagerank_xl_undonly": case_pagerank_xl_undonly,
     "pagerank_xl_und_eager": case_pagerank_xl_und_eager,
     "semantic_dedup_xl_knob": case_semantic_dedup_xl_knob,
+    "semantic_dedup_loose_knob": case_semantic_dedup_loose_knob,
+    "cross_snapshot_xl": case_cross_snapshot_xl,
 }
 
-# The knob case re-executes its plan for the recall count on top of the
-# timed noop write, so it needs more than the kill budget that bounds
-# the unguarded blow-up runs.
-CASE_BUDGET = {"semantic_dedup_xl_knob": 420}
+# The knob cases re-execute their plan for the recall accounting on top
+# of the timed noop write, so they need more than the kill budget that
+# bounds the unguarded blow-up runs.
+CASE_BUDGET = {
+    "semantic_dedup_xl_knob": 420,
+    "semantic_dedup_loose_knob": 420,
+    "cross_snapshot_xl": 300,
+}
 
 
 def _max_task_ms(spark) -> float | None:
@@ -811,10 +1056,24 @@ def _max_task_ms(spark) -> float | None:
 
 
 def run_one(case: str, mode: str) -> None:
+    if case == "semantic_dedup_xl_knob" and mode not in SEMDD_KNOBS:
+        sys.exit(
+            f"unknown knob label {mode!r}; one of {sorted(SEMDD_KNOBS)}"
+        )
+    if case == "semantic_dedup_loose_knob" and mode not in SEMDD_LOOSE_MODES:
+        sys.exit(
+            f"unknown loose mode {mode!r}; one of {sorted(SEMDD_LOOSE_MODES)}"
+        )
+    if case not in CASES and case not in (
+        "semantic_dedup_xl_knob", "semantic_dedup_loose_knob"
+    ):
+        sys.exit(f"unknown case {case!r}; one of {sorted(CASES)}")
     spark = _spark()
     t0 = time.time()
     if case == "semantic_dedup_xl_knob":
         df = case_semantic_dedup_xl_knob(spark, mode)
+    elif case == "semantic_dedup_loose_knob":
+        df = case_semantic_dedup_loose_knob(spark, mode)
     else:
         df = CASES[case](spark, mode == "guarded")
     df.write.format("noop").mode("overwrite").save()
@@ -839,6 +1098,36 @@ def run_one(case: str, mode: str) -> None:
         out["rows"] = int(r["n"])
         out["mega_dropped"] = mega
         out["mega_recall"] = round(mega / (MEGA_CLUSTER_XL - 1), 4)
+    elif case == "semantic_dedup_loose_knob":
+        from pyspark.sql import functions as F
+
+        # Unlike the XL mega-cluster (tight: the ideal drop set is known
+        # analytically), the loose cluster's true drop set depends on
+        # each member's theta draw — so the TRUTH is the persisted
+        # unbounded run's drop-set, and recall for drop/star is measured
+        # against it. Persist once, count from the parquet (no plan
+        # re-execution per metric).
+        path = os.path.join(DATA, f"loose_dropset_{mode}.parquet")
+        df.select("dropped_id").write.mode("overwrite").parquet(path)
+        dropped = spark.read.parquet(path)
+        out["rows"] = dropped.count()
+        loose = dropped.filter(F.col("dropped_id") < LOOSE_CLUSTER)
+        out["loose_dropped"] = loose.count()
+        truth_path = os.path.join(DATA, "loose_dropset_unbounded.parquet")
+        if mode == "unbounded":
+            out["loose_recall"] = 1.0
+        elif os.path.exists(truth_path):
+            truth = spark.read.parquet(truth_path).filter(
+                F.col("dropped_id") < LOOSE_CLUSTER
+            )
+            denom = truth.count()
+            hits = truth.join(loose, "dropped_id", "left_semi").count()
+            out["loose_truth"] = denom
+            out["loose_recall"] = (
+                round(hits / denom, 4) if denom else None
+            )
+        else:
+            out["loose_recall"] = None  # truth run missing
     print("RESULT " + json.dumps(out))
     spark.stop()
 
@@ -860,11 +1149,12 @@ def run_all(only: list[str] | None = None) -> None:
         except (OSError, ValueError):
             results = []
     for case in only if only else CASES:
-        modes = (
-            tuple(SEMDD_KNOBS)
-            if case == "semantic_dedup_xl_knob"
-            else ("guarded", "unguarded")
-        )
+        if case == "semantic_dedup_xl_knob":
+            modes = tuple(SEMDD_KNOBS)
+        elif case == "semantic_dedup_loose_knob":
+            modes = SEMDD_LOOSE_MODES
+        else:
+            modes = ("guarded", "unguarded")
         budget = CASE_BUDGET.get(case, BUDGET_SEC)
         for mode in modes:
             cmd = [sys.executable, os.path.abspath(__file__), "run", case, mode]

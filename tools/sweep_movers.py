@@ -46,22 +46,59 @@ def load_secs(path: str) -> tuple[dict[str, float], str]:
     return out, order
 
 
+def load_classes(plan_stats_path: str) -> dict[str, str]:
+    """Per-query canary class from the committed plan-shape audit
+    (round-12 verdict "What's wrong #1": mover adjudication should name
+    which canary class each flag belongs to, because CPU throttle and
+    shuffle/IO pressure move different query populations).
+
+    shuffle-bound = the plan has >=2 REAL shuffles (Exchange minus
+    BroadcastExchange — broadcasts are collect+rebroadcast, not a
+    hash-partition round-trip); everything else (scan + broadcast-join
+    + codegen arithmetic) is arith-bound. The class median ratio then
+    plays the role the matching bench canary plays in BENCH
+    adjudications — derived from the sweep itself, per class.
+    """
+    with open(plan_stats_path) as fh:
+        doc = json.load(fh)
+    classes = {}
+    for name, feats in doc.get("queries", {}).items():
+        real_shuffles = feats.get("exchanges", 0) - feats.get(
+            "broadcast_exchanges", 0
+        )
+        classes[name] = "shuffle" if real_shuffles >= 2 else "arith"
+    return classes
+
+
 def movers(
     old: dict[str, float],
     new: dict[str, float],
     threshold: float = 1.5,
     min_sec: float = 0.5,
+    classes: dict[str, str] | None = None,
 ) -> dict:
     shared = sorted(set(old) & set(new))
     ratios = {n: new[n] / old[n] for n in shared if old[n] > 0}
     if not ratios:
         return {"shared": 0, "median_ratio": None, "movers": {}}
     median = statistics.median(ratios.values())
+    class_medians: dict[str, float] = {}
+    if classes:
+        by_class: dict[str, list[float]] = {}
+        for n, r in ratios.items():
+            by_class.setdefault(classes.get(n, "arith"), []).append(r)
+        class_medians = {
+            c: round(statistics.median(rs), 4) for c, rs in by_class.items()
+        }
     flagged = {}
     for n, r in ratios.items():
         if max(old[n], new[n]) < min_sec:
             continue
-        norm = r / median if median > 0 else r
+        # Normalize by the MATCHING canary: the query's own class median
+        # when a classification is supplied, the global median otherwise.
+        cls = classes.get(n, "arith") if classes else None
+        denom = class_medians.get(cls, median) if classes else median
+        norm = r / denom if denom > 0 else r
         if norm > threshold:
             flagged[n] = {
                 "old_sec": old[n],
@@ -69,11 +106,15 @@ def movers(
                 "ratio": round(r, 3),
                 "normalized": round(norm, 3),
             }
+            if cls is not None:
+                flagged[n]["canary_class"] = cls
+                flagged[n]["class_median_ratio"] = class_medians.get(cls)
     return {
         "shared": len(shared),
         "only_old": sorted(set(old) - set(new)),
         "only_new": sorted(set(new) - set(old)),
         "median_ratio": round(median, 4),
+        "class_median_ratios": class_medians or None,
         "threshold": threshold,
         "min_sec": min_sec,
         "movers": dict(
@@ -89,10 +130,17 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=1.5)
     ap.add_argument("--min-sec", type=float, default=0.5)
     ap.add_argument("--json", dest="out_json", default=None)
+    ap.add_argument(
+        "--plan-stats",
+        default=None,
+        help="tools/plan_stats.json path; enables per-class (arith vs "
+        "shuffle) canary normalization of flags",
+    )
     args = ap.parse_args()
 
     old_secs, old_order = load_secs(args.old)
     new_secs, new_order = load_secs(args.new)
+    classes = load_classes(args.plan_stats) if args.plan_stats else None
     if old_order != new_order:
         # Position-confounded comparison (the round-11 lesson): a query
         # that ran first-in-session in one sweep and deep-warm in the
@@ -109,6 +157,7 @@ def main() -> int:
         new_secs,
         threshold=args.threshold,
         min_sec=args.min_sec,
+        classes=classes,
     )
     rep["order"] = {"old": old_order, "new": new_order}
     if args.out_json:
@@ -119,10 +168,14 @@ def main() -> int:
         f"flagged={len(rep['movers'])} (>{args.threshold}x normalized, "
         f"min {args.min_sec}s)"
     )
+    if rep.get("class_median_ratios"):
+        print(f"class median ratios: {rep['class_median_ratios']}")
     for name, row in rep["movers"].items():
+        cls = row.get("canary_class")
+        tag = f", {cls}-bound" if cls else ""
         print(
             f"  {name}: {row['old_sec']:.2f}s -> {row['new_sec']:.2f}s "
-            f"(x{row['ratio']}, normalized x{row['normalized']})"
+            f"(x{row['ratio']}, normalized x{row['normalized']}{tag})"
         )
     return 1 if rep["movers"] else 0
 
