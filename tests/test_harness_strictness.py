@@ -149,3 +149,66 @@ def test_staged_oracles_pass_type_lint():
             if hits:
                 findings[f"{mod_name}.{name}"] = hits
     assert findings == {}, f"banned staged oracle result types: {findings}"
+
+
+def test_sweep_movers_class_normalization():
+    """tools/sweep_movers.py --plan-stats (round-12 verdict item 3):
+    flags are normalized by their OWN canary class's median ratio, not
+    the global median — a uniform slowdown of the shuffle-bound
+    population must not flag arith-bound queries (and vice versa), and
+    each flag carries its class tag for adjudication."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sweep_movers",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "sweep_movers.py"),
+    )
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    # A MINORITY shuffle-bound population uniformly 2x slower (host
+    # shuffle pressure: the round-10 finding), the arith majority flat —
+    # plus one GENUINE arith regression.
+    old = {f"s{i}": 2.0 for i in range(4)} | {f"a{i}": 2.0 for i in range(10)}
+    new = {f"s{i}": 4.0 for i in range(4)} | {f"a{i}": 2.0 for i in range(10)}
+    new["a0"] = 8.0
+    classes = {f"s{i}": "shuffle" for i in range(4)} | {
+        f"a{i}": "arith" for i in range(10)
+    }
+
+    rep = sm.movers(old, new, threshold=1.5, min_sec=0.5, classes=classes)
+    assert rep["class_median_ratios"] == {"shuffle": 2.0, "arith": 1.0}
+    # With class normalization only the genuine regression flags: the
+    # shuffle 2x IS its class's median (normalized 1.0), while a0's 4x
+    # ratio over the arith median 1.0 stays 4x.
+    assert set(rep["movers"]) == {"a0"}
+    assert rep["movers"]["a0"]["canary_class"] == "arith"
+    assert rep["movers"]["a0"]["normalized"] == 4.0
+
+    # Without classes the global median (1.0, set by the arith majority)
+    # under-divides the shuffle population: all 4 shuffle queries flag —
+    # exactly the false-positive class the classification removes.
+    rep_global = sm.movers(old, new, threshold=1.5, min_sec=0.5)
+    assert {f"s{i}" for i in range(4)} <= set(rep_global["movers"])
+
+    # load_classes: >=2 real (non-broadcast) shuffles = shuffle-bound.
+    import json
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fh:
+        json.dump(
+            {
+                "queries": {
+                    "q_shuffle": {"exchanges": 5, "broadcast_exchanges": 2},
+                    "q_arith": {"exchanges": 3, "broadcast_exchanges": 2},
+                }
+            },
+            fh,
+        )
+        path = fh.name
+    try:
+        got = sm.load_classes(path)
+    finally:
+        os.unlink(path)
+    assert got == {"q_shuffle": "shuffle", "q_arith": "arith"}

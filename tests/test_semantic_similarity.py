@@ -335,3 +335,39 @@ def test_semantic_dedup_overcap_star_links_mega_bucket(spark):
 
     with _pytest.raises(ValueError, match="unknown overcap mode"):
         semantic_dedup(corpus, cent, overcap="sample", **common)
+
+
+def test_semantic_dedup_star_equals_drop_when_under_cap(spark):
+    """The bench trained-vertical's invariant (recorded per round-12
+    advice as `overcap_buckets` in the sidecar): when NO bucket exceeds
+    bucket_cap, star and drop are result-identical — the star branch
+    contributes zero pairs and the single post-union distinct (round-13
+    refactor) dedups exactly what drop's single distinct would. Also
+    pins semantic_bucket_counts against the operator's own assembly:
+    the planted corpus (2 exact dups of vec 0) must show its max bucket
+    size and zero over-cap buckets at the production cap."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_bucket_counts,
+        semantic_dedup,
+    )
+
+    corpus = _planted_corpus(spark)
+    cent = corpus.filter(F.col("vec_id") < 16)
+    hp = random_hyperplanes(32, 64, seed=42)
+    common = dict(hyperplanes=hp, bands=8, bucket_cap=400, tau=0.99)
+
+    drop_rows = sorted(
+        map(tuple, semantic_dedup(corpus, cent, overcap="drop", **common).collect())
+    )
+    star_rows = sorted(
+        map(tuple, semantic_dedup(corpus, cent, overcap="star", **common).collect())
+    )
+    assert drop_rows == star_rows
+    assert len(drop_rows) == 2  # the two planted exact duplicates
+
+    counts = semantic_bucket_counts(corpus, cent, hyperplanes=hp, bands=8)
+    over = counts.filter(F.col("_n") > 400).count()
+    assert over == 0
+    max_n = counts.agg(F.max("_n")).head()[0]
+    assert max_n >= 3  # vec 0 + its two exact copies share every bucket
