@@ -373,11 +373,14 @@ _CHECKED = frozenset(
 # names (the GSW freezing-poly + Saunders + wave-M family) to the
 # round-14 activation.
 #
-# Round-14 rotation queue (per the priority rule — no live-operator
-# code has moved yet this round; extend this list if round-13 work
-# touches a live operator): start with the oldest load-bearing round-1
-# names (dedup_minhash_lsh, ios_parse_measurements, filter_projection,
-# anti_join_orphans, minmax_per_group).
+# Round-14 rotation queue (per the priority rule):
+#   dedup_semantic_clusters FIRST — round-13 work restructured
+#     operators/dedup.py::semantic_dedup (overcap="medoid"/"refine"
+#     modes + the shared candidate-union path; the query's own drop
+#     branch is logically unchanged, but the row must be re-earned on
+#     the moved file), then the oldest load-bearing round-1 names
+#     (dedup_minhash_lsh, ios_parse_measurements, filter_projection,
+#     anti_join_orphans).
 
 
 def _priority_order(names) -> list[str]:

@@ -263,11 +263,14 @@ def main() -> None:
         trained_secs = []
         for _ in range(2):
             t0 = time.time()
-            # overcap="star" is the round-12 chosen production config
-            # (SCALE.md: recall 1.0 on the XL mega-cluster at lower
-            # cost than drop's recall-0 baseline); at sf0.1 no bucket
-            # exceeds the cap, so results are identical to drop and
-            # the vertical tracks the production plan's cost.
+            # overcap="medoid" is the round-13 production config
+            # (SCALE.md round 13: mean-hub recall 0.85 on the LOOSE
+            # over-cap stress cluster where round-12's star measured
+            # 0.0, and 1.0 on the tight XL mega-cluster with the
+            # survivor guarantee); at sf0.1 no bucket exceeds the cap,
+            # so results are identical to drop/star and the vertical
+            # tracks the production plan's cost (the sidecar's
+            # overcap_buckets count below pins that invariant).
             semantic_dedup_trained(
                 emb,
                 id_col="vec_id",
@@ -277,7 +280,7 @@ def main() -> None:
                 bands=_EMB_BANDS,
                 bucket_cap=_EMB_BUCKET_CAP,
                 tau=_SEM_TAU,
-                overcap="star",
+                overcap="medoid",
             ).write.format("noop").mode("overwrite").save()
             trained_secs.append(round(time.time() - t0, 3))
         sem_trained = {"sec": min(trained_secs)}

@@ -655,6 +655,112 @@ def semantic_bucket_counts(
     return cb.withColumn("_n", F.count(F.lit(1)).over(wb))
 
 
+def _mean_hub_pairs(
+    members: DataFrame,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    key_col: str,
+    sample_mod: int = 50,
+) -> DataFrame:
+    """Hub pairs for over-cap groups: for each ``key_col`` group, the
+    hub is the member most similar to the group's MEAN vector (the
+    "medoid" in the SemDeDup sense — the best single representative),
+    and every other member pairs with it: O(n) pairs, exact-cosine
+    priced downstream like any candidate.
+
+    Scale shape: the mean comes from a deterministic hash sample
+    (xxhash64(id) % sample_mod == 0, min-id always included so no group
+    samples empty) — an over-cap group has > bucket_cap members, so the
+    sample is a law-of-large-numbers estimate of the mean DIRECTION,
+    which is all the argmax needs. The sampled members posexplode to
+    (key, dim, x) for one partial-agg sum, the per-key mean is
+    reassembled into a single ARRAY row (64 collect_list elements,
+    bounded by the dimension), and ALL members score against it with a
+    JVM higher-order dot — no corpus-wide explode, no per-pair work.
+    The hub argmax is a per-key max over (rounded score, -id): rounding
+    to 4 dp makes float-sum reorder noise lose to the deterministic id
+    tiebreak. Returns (doc_a=hub, doc_b=member, key_col).
+
+    Survivor guarantee: a pair whose MEMBER side is itself another
+    key's hub is re-oriented to canonical id order (smaller id keeps).
+    Without this, two over-cap buckets sharing a tight clique but
+    electing different hubs (their means differ with their co-tenants)
+    drop each other's hub and the clique loses EVERY copy — observed
+    on the XL stress before the fix: mega_dropped == 150000, keeper
+    included. With it, any pair that targets a hub is id-ordered, so
+    the minimum-id hub can never appear on a dropped side of a hub
+    pair: every tight clique keeps exactly its min-id hub (sub-tau
+    hubs of foreign buckets cannot drop it either — the cosine
+    confirm rejects those pairs downstream)."""
+    mem = members.join(
+        vectors.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(key_col, id_col, vec_col)
+    wk = Window.partitionBy(key_col)
+    mem = mem.withColumn("_kmin", F.min(id_col).over(wk))
+    sampled = mem.filter(
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
+        | (F.col(id_col) == F.col("_kmin"))
+    )
+    dims = sampled.select(
+        key_col, F.posexplode(F.col(vec_col)).alias("_pos", "_x")
+    )
+    mean_arr = (
+        dims.groupBy(key_col, "_pos")
+        .agg(F.sum("_x").alias("_mx"))
+        .groupBy(key_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_mx"))),
+                lambda s: s["_mx"],
+            ).alias("_mv")
+        )
+    )
+    from cioos_siooc_data_transform_spark.operators.similarity import dot_expr
+
+    scored = mem.join(mean_arr, key_col).select(
+        key_col,
+        id_col,
+        F.round(
+            dot_expr(F.col(vec_col), F.col("_mv"))
+            / F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))),
+            4,
+        ).alias("_ms"),
+    )
+    hubs = (
+        scored.groupBy(key_col)
+        .agg(
+            F.max(F.struct(F.col("_ms"), (-F.col(id_col)).alias("_ni"))).alias("_b")
+        )
+        .select(key_col, (-F.col("_b._ni")).alias("_hub"))
+    )
+    pairs = (
+        members.join(hubs, key_col)
+        .filter(F.col(id_col) != F.col("_hub"))
+        .select(
+            F.col("_hub").alias("doc_a"),
+            F.col(id_col).alias("doc_b"),
+            key_col,
+        )
+    )
+    # survivor guarantee (docstring): member-side hubs get id-ordered.
+    # hub_set is one row per over-cap group — usually broadcast-sized
+    # next to the pair relation it guards, but that's AQE's call (no
+    # hint): a corpus whose whole bucket space is over-cap has millions
+    # of groups, and a forced broadcast would stage them all on the
+    # driver.
+    hub_set = hubs.select(F.col("_hub").alias("_h2")).distinct()
+    flip = F.col("_h2").isNotNull() & (F.col("doc_b") < F.col("doc_a"))
+    return (
+        pairs.join(hub_set, pairs["doc_b"] == hub_set["_h2"], "left")
+        .select(
+            F.when(flip, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_a"),
+            F.when(flip, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_b"),
+            key_col,
+        )
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -665,6 +771,8 @@ def semantic_dedup(
     bucket_cap: int = 400,
     tau: float = 0.45,
     overcap: str = "drop",
+    hub_sample_mod: int = 50,
+    refine_hyperplanes: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup restated Spark-first (ref: Abbas et al. 2023 sketch —
     cluster, then drop within-cluster near-duplicates): a vector is
@@ -695,6 +803,53 @@ def semantic_dedup(
       linear cost; for a loose over-cap bucket it under-links (a
       member is dropped only if it matches the bucket minimum), which
       is the documented recall trade vs the unbounded all-pairs join.
+      Round 13 measured exactly how bad that trade gets: on a 5k-member
+      loose band-collision cluster (pairwise cos in [0.5, 1]) the
+      min-id member's own angle draw decides everything, and the
+      measured star recall was 0.0000 (tools/skew_stress_results.json,
+      semantic_dedup_loose_knob).
+    - "medoid": like star, but the hub is the member most similar to
+      the bucket's MEAN vector — the best possible single
+      representative (see :func:`_mean_hub_pairs`; a cheaper hub
+      candidate, the member with the highest centroid-assignment
+      cosine, was tried first and REFUTED on the loose stress corpus:
+      with member-sampled centroids the "most central member" is just
+      whichever member happens to be the centroid, whose angle draw is
+      as arbitrary as star's min id — measured recall 0.0000). Same
+      O(n) pair count as star plus a sampled-mean pass; on a tight
+      cluster any hub works (recall ~100 %), and on the loose stress
+      cluster the mean-hub is the best single hub: numpy ground truth
+      puts the ceiling of ANY single-hub policy at 0.833 there,
+      because the residual truth pairs exist only between specific
+      mid-angle member pairs. Pairs are oriented hub -> member (the
+      member is the dropped side), so the keeper of an over-cap drop
+      may have a HIGHER id than the dropped row — a documented
+      deviation from the lower-id-keeper contract that only over-cap
+      buckets exhibit. A medoid that is itself a near-dup of a
+      lower-id vector via an under-cap bucket can still be dropped by
+      that pair (keeper chains, resolve with
+      dedup_connected_components — the same chain class the base
+      semantics already has).
+    - "refine": over-cap buckets are RE-BUCKETED with a fresh,
+      2x-wider hyperplane family (``refine_hyperplanes``, default
+      random_hyperplanes(2*len(hyperplanes), dim, seed=43)) keyed by
+      (cell, refined band-bucket) — one recursion level, no loop.
+      Members of an over-cap bucket that are genuinely similar keep
+      colliding under the finer bits (P ~ (1 - theta/pi)^bits per
+      band), while loose co-tenants separate; refined sub-buckets
+      under the cap get the normal all-pairs join, and sub-buckets
+      STILL over the cap (a tight mega-cluster never splits — its
+      members are near-identical under any hyperplane) fall back to
+      the medoid hub. Cost: a linear re-hash of over-cap members plus
+      capped sub-bucket pairs. On the loose stress cluster this lifts
+      recall past any single-hub ceiling (numpy simulation 0.957 vs
+      0.833 medoid / 0.0 star, at ~1.1M confirm pairs vs 12.5M
+      unbounded); on the tight XL mega-cluster it degrades to exactly
+      the medoid path (recall 1.0).
+
+    hub_sample_mod controls the deterministic mean-sample density for
+    the medoid/refine hub (1 = every member; 50 = ~2 % of an over-cap
+    bucket, plenty for a >400-member mean direction).
     """
     from cioos_siooc_data_transform_spark.operators.similarity import dot_expr
 
@@ -712,7 +867,7 @@ def semantic_dedup(
             "semantic_dedup_trained which derives them from its trained "
             "centroids"
         )
-    if overcap not in ("drop", "star"):
+    if overcap not in ("drop", "star", "medoid", "refine"):
         raise ValueError(f"semantic_dedup: unknown overcap mode {overcap!r}")
     counted = semantic_bucket_counts(
         vectors, centroids, id_col=id_col, vec_col=vec_col,
@@ -736,13 +891,14 @@ def semantic_dedup(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", cell_of_bucket)
     )
+    # A pair lands in cand once per shared band-bucket and an over-cap
+    # pair can coincide with a guarded-bucket pair, so ONE distinct
+    # after the union covers every branch — distinct-ing cand first
+    # would add a second full shuffle on the pipeline's largest
+    # intermediate for no semantic gain (round-12 advice).
     if overcap == "star":
-        # A pair lands in cand once per shared band-bucket and a star
-        # pair can coincide with a guarded-bucket pair, so ONE distinct
-        # after the union covers both sides — distinct-ing cand first
-        # would add a second full shuffle on the pipeline's largest
-        # intermediate for no semantic gain (round-12 advice).
-        star = (
+        # hub -> member with hub = bucket min, so doc_a < doc_b always.
+        extra = (
             counted.filter(F.col("_n") > bucket_cap)
             .filter(F.col(id_col) != F.col("_min"))
             .select(
@@ -751,7 +907,62 @@ def semantic_dedup(
                 cell_of_bucket,
             )
         )
-        cand = cand.unionByName(star).distinct()
+        cand = cand.unionByName(extra).distinct()
+    elif overcap == "medoid":
+        # hub -> member with hub = mean-nearest member (doc_a may
+        # exceed doc_b — see the docstring).
+        over = counted.filter(F.col("_n") > bucket_cap).select(id_col, "bucket")
+        extra = _mean_hub_pairs(
+            over, vectors, id_col, vec_col, "bucket", sample_mod=hub_sample_mod
+        ).select("doc_a", "doc_b", cell_of_bucket)
+        cand = cand.unionByName(extra).distinct()
+    elif overcap == "refine":
+        if refine_hyperplanes is None:
+            refine_hyperplanes = random_hyperplanes(
+                2 * len(hyperplanes), len(hyperplanes[0]), seed=43
+            )
+        # One distinct row per over-cap member (cells are unique per
+        # id, so this is |over-cap ids| rows), re-hashed with the
+        # finer family; the refined key is (cell | refined band
+        # bucket) — the top-level band that flagged the member as
+        # over-cap already served its purpose, keeping it in the key
+        # would only duplicate every candidate across band pairs.
+        over_ids = (
+            counted.filter(F.col("_n") > bucket_cap)
+            .select(F.col(id_col), cell_of_bucket)
+            .distinct()
+        )
+        refined = hyperplane_lsh_buckets(
+            vectors.join(over_ids.select(id_col), id_col, "left_semi"),
+            id_col, vec_col, refine_hyperplanes, bands,
+        )
+        sub = (
+            over_ids.join(refined, id_col)
+            .select(
+                F.col(id_col),
+                F.col("cell_id"),
+                F.concat(
+                    F.col("cell_id").cast("string"), F.lit("|"), F.col("bucket")
+                ).alias("_rkey"),
+            )
+        )
+        wr = Window.partitionBy("_rkey")
+        sub = sub.withColumn("_rn", F.count(F.lit(1)).over(wr))
+        sub_ok = sub.filter(F.col("_rn") <= bucket_cap)
+        ra = sub_ok.select(F.col(id_col).alias("doc_a"), "_rkey", "cell_id")
+        rb = sub_ok.select(F.col(id_col).alias("doc_b"), "_rkey")
+        sub_pairs = (
+            ra.join(rb, "_rkey")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", "cell_id")
+        )
+        leaf = sub.filter(F.col("_rn") > bucket_cap).select(id_col, "_rkey")
+        leaf_pairs = _mean_hub_pairs(
+            leaf, vectors, id_col, vec_col, "_rkey", sample_mod=hub_sample_mod
+        ).join(
+            sub.select("_rkey", "cell_id").distinct(), "_rkey"
+        ).select("doc_a", "doc_b", "cell_id")
+        cand = cand.unionByName(sub_pairs).unionByName(leaf_pairs).distinct()
     else:
         cand = cand.distinct()
     # Norms are projected BEFORE the pair join, so each vector pays its

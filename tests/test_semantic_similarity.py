@@ -371,3 +371,192 @@ def test_semantic_dedup_star_equals_drop_when_under_cap(spark):
     assert over == 0
     max_n = counts.agg(F.max("_n")).head()[0]
     assert max_n >= 3  # vec 0 + its two exact copies share every bucket
+
+
+def test_semantic_dedup_overcap_medoid_picks_central_hub(spark):
+    """The round-13 overcap="medoid" upgrade: star's bucket-min hub is
+    an ARBITRARY angle draw, so on a loose over-cap bucket (pairwise
+    cosine spans [tau-eps, 1]) its recall collapses when the min-id
+    member sits at the cluster edge — the loose skew-stress corpus
+    measured star recall 0.0 (theta_min-id = 39 deg). Medoid picks the
+    member nearest the bucket's MEAN vector instead (the best single
+    representative) at the same O(n) pair cost. This test plants
+    exactly that geometry in a plane: members at angles t from a base
+    direction (pairwise cos = cos(t_i - t_j)), min-id at 40 deg, mean
+    direction at ~23.5 deg — star drops only members near the 40-deg
+    EDGE, medoid's hub is id 9 (24 deg, nearest the mean) and every
+    other member is within acos(0.9)=25.8 deg of it, so ALL of them
+    drop with keeper 9: the keeper id EXCEEDS every dropped id, the
+    documented over-cap deviation from the lower-id-keeper contract."""
+    import math
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # hyperplanes test the tiny positive dims 1..5 -> every member
+    # shares all sign bits (one bucket per band); the (e0, e7) plane
+    # carries the angles.
+    hp = [[0.0] * 8 for _ in range(8)]
+    for i, h in enumerate(hp):
+        h[1 + (i % 5)] = 1.0
+    thetas = {0: 40, 1: 30, 2: 28, 3: 35, 4: 33, 5: 1, 6: 10, 7: 14, 8: 20, 9: 24}
+    rows = []
+    for i, t in thetas.items():
+        r = math.radians(t)
+        v = [math.cos(r), 0.001, 0.001, 0.001, 0.001, 0.001, 0.0, math.sin(r)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cent = emb.filter(F.col("vec_id") == 5)  # one cell
+    common = dict(
+        hyperplanes=hp, bands=2, bucket_cap=4, tau=0.9, hub_sample_mod=1
+    )
+
+    star = {
+        r.dropped_id: r.keeper_id
+        for r in semantic_dedup(emb, cent, overcap="star", **common).collect()
+    }
+    medoid = {
+        r.dropped_id: r.keeper_id
+        for r in semantic_dedup(emb, cent, overcap="medoid", **common).collect()
+    }
+    # star hub = min id 0 at 40 deg: drops members within acos(0.9)=25.8
+    # deg of 40 deg -> ids {1,2,3,4,8,9}, the cluster EDGE.
+    assert star == {1: 0, 2: 0, 3: 0, 4: 0, 8: 0, 9: 0}
+    # medoid hub = id 9 at 24 deg (angle of the mean direction is
+    # atan2(sum sin, sum cos) ~ 23.5 deg): every other member is within
+    # 25.8 deg of 24 deg (furthest: id 5 at 1 deg -> 23 deg away).
+    assert medoid == {i: 9 for i in range(9)}
+
+
+def test_semantic_dedup_overcap_refine_splits_loose_bucket(spark):
+    """overcap="refine" re-buckets over-cap members with a finer
+    hyperplane family: genuinely-similar members keep colliding and
+    get the normal all-pairs join, loose co-tenants separate. Planted
+    geometry: a 6-member over-cap bucket (cap 4) holding two tight
+    sub-groups 90 deg apart — no single hub can link both groups
+    (medoid's hub sits in one of them), but refinement with a
+    hyperplane between the groups splits them into two under-cap
+    sub-buckets whose all-pairs joins recover every within-group
+    near-dup; a still-over-cap leaf degrades to the medoid hub (the
+    tight-mega-cluster path, pinned by the XL stress)."""
+    import math
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    hp = [[0.0] * 8 for _ in range(8)]
+    for i, h in enumerate(hp):
+        h[1 + (i % 5)] = 1.0
+    # group A: ids 0,1,2 at ~0 deg; group B: ids 3,4,5 at ~90 deg
+    rows = []
+    for i, t in {0: 0, 1: 4, 2: 8, 3: 90, 4: 94, 5: 98}.items():
+        r = math.radians(t)
+        v = [math.cos(r), 0.001, 0.001, 0.001, 0.001, 0.001, 0.0, math.sin(r)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cent = emb.filter(F.col("vec_id") == 0)
+    # refine family: one plane at 45 deg in the (e0, e7) plane per band
+    # slot separates the groups (group A: e0-e7 component positive,
+    # group B: negative); the rest re-test the shared tiny dims.
+    rhp = [[0.0] * 8 for _ in range(16)]
+    for i, h in enumerate(rhp):
+        if i % 8 == 0:
+            h[0], h[7] = 1.0, -1.0
+        else:
+            h[1 + (i % 5)] = 1.0
+    common = dict(hyperplanes=hp, bands=2, bucket_cap=4, tau=0.9)
+
+    medoid = {
+        r.dropped_id
+        for r in semantic_dedup(
+            emb, cent, overcap="medoid", hub_sample_mod=1, **common
+        ).collect()
+    }
+    refined = {
+        r.dropped_id: r.keeper_id
+        for r in semantic_dedup(
+            emb, cent, overcap="refine", refine_hyperplanes=rhp,
+            hub_sample_mod=1, **common
+        ).collect()
+    }
+    # single mean-hub: the mean sits between the groups; whichever
+    # member wins the argmax is within 25.8 deg of only ITS OWN group,
+    # so at most one group's members drop.
+    assert len(medoid) <= 3
+    # refine: groups split into two under-cap sub-buckets; all-pairs
+    # within each recovers both groups' near-dups with canonical
+    # lower-id keepers.
+    assert refined == {1: 0, 2: 0, 4: 3, 5: 3}
+
+
+def test_semantic_dedup_medoid_equals_drop_when_under_cap(spark):
+    """Like star, medoid is pure over-cap policy: with no over-cap
+    bucket the hub branch contributes zero pairs and results are
+    bit-identical to drop (the bench trained-vertical invariant keeps
+    holding if the production config moves to medoid)."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    corpus = _planted_corpus(spark)
+    cent = corpus.filter(F.col("vec_id") < 16)
+    hp = random_hyperplanes(32, 64, seed=42)
+    common = dict(hyperplanes=hp, bands=8, bucket_cap=400, tau=0.99)
+    drop_rows = sorted(
+        map(tuple, semantic_dedup(corpus, cent, overcap="drop", **common).collect())
+    )
+    medoid_rows = sorted(
+        map(tuple, semantic_dedup(corpus, cent, overcap="medoid", **common).collect())
+    )
+    assert drop_rows == medoid_rows
+    assert len(drop_rows) == 2
+
+
+def test_semantic_dedup_medoid_clique_keeps_a_survivor(spark):
+    """Survivor-guarantee regression (the XL stress caught this live:
+    before the fix, medoid mode dropped all 150,000 mega-cluster
+    copies — keeper included — because the 8 top-band buckets hold
+    different noise co-tenants, elect different mean-hubs, and the
+    hubs dropped each other). Minimal reproduction: one four-member
+    near-dup clique {A=0@5deg, B=1@10deg, C=2@0deg, D=3@15deg} split
+    over two over-cap band buckets — band 1 sees {A,B,C} (mean ~5deg
+    -> hub A), band 2 sees {A,B,D} (mean ~10deg -> hub B). Without
+    re-orientation the pairs (A->B) and (B->A) both survive and the
+    whole clique drops; with it, any pair targeting a hub is
+    id-ordered, so min-id hub A survives and the other three drop
+    with canonical keepers."""
+    import math
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    # band 1 = hyperplanes testing dims 1-2, band 2 = dims 3-4; the
+    # (e0, e7) plane carries the angles. C flips band 2's dims (same
+    # bucket as A/B only in band 1), D flips band 1's.
+    hp = [[0.0] * 8 for _ in range(4)]
+    hp[0][1] = hp[1][2] = hp[2][3] = hp[3][4] = 1.0
+
+    def vec(theta_deg, d12, d34):
+        r = math.radians(theta_deg)
+        return [math.cos(r), d12, d12, d34, d34, 0.0, 0.0, math.sin(r)]
+
+    rows = [
+        (0, vec(5, 0.001, 0.001)),    # A: in both buckets
+        (1, vec(10, 0.001, 0.001)),   # B: in both buckets
+        (2, vec(0, 0.001, -0.001)),   # C: band-1 bucket only
+        (3, vec(15, -0.001, 0.001)),  # D: band-2 bucket only
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cent = emb.filter(F.col("vec_id") == 0)
+    out = {
+        r.dropped_id: r.keeper_id
+        for r in semantic_dedup(
+            emb, cent, hyperplanes=hp, bands=2, bucket_cap=2, tau=0.9,
+            overcap="medoid", hub_sample_mod=1,
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1}

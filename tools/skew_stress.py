@@ -405,20 +405,33 @@ def _ensure_loose() -> None:
         _gen_loose()
 
 
-#: Loose-bucket policy modes: the uncapped all-pairs TRUTH run
-#: (feasible here: the loose bucket is 5k members -> 12.5M distinct
-#: pairs, not the XL mega-cluster's 11G), then the production cap with
-#: drop / star. Order matters: run_all runs `unbounded` FIRST so its
-#: persisted drop-set exists when drop/star compute recall against it.
-SEMDD_LOOSE_MODES = ("unbounded", "drop", "star")
+#: Loose-bucket policy modes: the uncapped all-pairs TRUTH run, then
+#: the production cap with drop / star / medoid. Order matters:
+#: run_all runs `unbounded` FIRST so its persisted drop-set exists when
+#: the capped modes compute recall against it.
+#:
+#: The truth run is CLUSTER-ONLY (vec_id < LOOSE_CLUSTER): uncapping
+#: the FULL corpus is infeasible (with the production 4-bit bands,
+#: 600k vectors land ~2.3k per composite bucket, so "unbounded" means
+#: ~45G mostly-noise pairs — the first attempt was killed at 420 s),
+#: and it is also unnecessary: 64-dim random unit vectors pairwise
+#: cosine is ~N(0, 1/64), so tau=0.9 sits 7.2 sigma out and no noise
+#: vector can form a true pair with anything. The full-corpus truth
+#: drop-set restricted to cluster ids therefore equals the
+#: cluster-only truth drop-set (noise ids are all larger than cluster
+#: ids, so they never steal keeper slots either), and 5k members is
+#: 12.5M distinct pairs — a ~1-minute exact-cosine job.
+SEMDD_LOOSE_MODES = ("unbounded", "drop", "star", "medoid", "refine")
 
 
 def case_semantic_dedup_loose_knob(spark, label: str):
     """semantic_dedup over the LOOSE over-cap corpus with the
-    production cap400/hp32 knob: 'drop' excludes the over-cap bucket,
-    'star' pairs members to the bucket min only, 'unbounded' removes
-    the cap (ground truth). run_one computes drop-set recall vs the
-    unbounded truth after the timed write."""
+    production cap400/hp32 knob: 'drop' excludes over-cap buckets,
+    'star' pairs members to the bucket min only, 'medoid' pairs them
+    to the most-cell-central member, 'unbounded' removes the cap on
+    the CLUSTER-ONLY sub-corpus (ground truth; see SEMDD_LOOSE_MODES).
+    run_one computes drop-set recall vs the unbounded truth after the
+    timed write."""
     from pyspark.sql import functions as F
 
     from cioos_siooc_data_transform_spark.operators.dedup import (
@@ -432,13 +445,63 @@ def case_semantic_dedup_loose_knob(spark, label: str):
     emb = spark.read.parquet(
         os.path.join(DATA, "embeddings_loose.parquet")
     ).repartition(64)
+    # centroids come from the FULL corpus in every mode so the truth
+    # run prices the same cell assignment the capped modes see
     cent = emb.filter(F.col("vec_id") % (N_VECS_LOOSE // 16) == 1).limit(16)
+    if label == "unbounded":
+        emb = emb.filter(F.col("vec_id") < LOOSE_CLUSTER)
     hp = random_hyperplanes(32, 64, seed=42)
     return semantic_dedup(
         emb, cent, hyperplanes=hp, bands=8,
         bucket_cap=1 << 40 if label == "unbounded" else 400,
         tau=0.9,
-        overcap="star" if label == "star" else "drop",
+        overcap=label if label in ("star", "medoid", "refine") else "drop",
+    )
+
+
+#: RARE-over-cap variant (production shape): 60k-vector slice of the
+#: loose corpus (the 5k cluster + 55k noise). Per band the bucket space
+#: is 16 cells x 16 values = 256 keys, so noise sits ~230/bucket —
+#: UNDER the 400 cap — and only the cluster's buckets are over-cap.
+#: This is the regime the overcap policies are designed for (the
+#: 600k corpus floods EVERY bucket over-cap, where the honest answer
+#: is re-provisioning the bucket space, and where "refine" re-admits
+#: ~n*cap/2 under-cap pairs whose embedding-array confirm join is a
+#: hundreds-of-GB shuffle — measured killed at 1800 s).
+SEMDD_RARE_MODES = ("unbounded", "drop", "star", "medoid", "refine")
+N_VECS_RARE = 60_000
+
+
+def case_semantic_dedup_rare_knob(spark, label: str):
+    """semantic_dedup over the RARE-over-cap corpus (see
+    SEMDD_RARE_MODES): same cluster, 1/10th the noise, so the guard
+    flags ONLY the cluster's buckets and every policy prices just the
+    flagged structure. 'unbounded' is the cluster-only ground truth
+    with the same centroids (noise cannot reach tau — 7 sigma)."""
+    from pyspark.sql import functions as F
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        random_hyperplanes,
+        semantic_dedup,
+    )
+
+    if label not in SEMDD_RARE_MODES:
+        raise ValueError(f"unknown rare mode {label!r}")
+    _ensure_loose()
+    emb = (
+        spark.read.parquet(os.path.join(DATA, "embeddings_loose.parquet"))
+        .filter(F.col("vec_id") < N_VECS_RARE)
+        .repartition(32)
+    )
+    cent = emb.filter(F.col("vec_id") % (N_VECS_RARE // 16) == 1).limit(16)
+    if label == "unbounded":
+        emb = emb.filter(F.col("vec_id") < LOOSE_CLUSTER)
+    hp = random_hyperplanes(32, 64, seed=42)
+    return semantic_dedup(
+        emb, cent, hyperplanes=hp, bands=8,
+        bucket_cap=1 << 40 if label == "unbounded" else 400,
+        tau=0.9,
+        overcap=label if label in ("star", "medoid", "refine") else "drop",
     )
 
 
@@ -582,6 +645,8 @@ SEMDD_KNOBS = {
     "cap400_hp64_drop": {"cap": 400, "hp": 64, "overcap": "drop"},  # more bits/band
     "cap400_hp32_star": {"cap": 400, "hp": 32, "overcap": "star"},  # star fallback
     "cap400_hp64_star": {"cap": 400, "hp": 64, "overcap": "star"},  # bits + star combo
+    "cap400_hp32_medoid": {"cap": 400, "hp": 32, "overcap": "medoid"},  # r13 mean-hub
+    "cap400_hp32_refine": {"cap": 400, "hp": 32, "overcap": "refine"},  # r13 re-bucket
 }
 
 
@@ -1008,6 +1073,7 @@ CASES = {
     "pagerank_xl_und_eager": case_pagerank_xl_und_eager,
     "semantic_dedup_xl_knob": case_semantic_dedup_xl_knob,
     "semantic_dedup_loose_knob": case_semantic_dedup_loose_knob,
+    "semantic_dedup_rare_knob": case_semantic_dedup_rare_knob,
     "cross_snapshot_xl": case_cross_snapshot_xl,
 }
 
@@ -1017,6 +1083,7 @@ CASES = {
 CASE_BUDGET = {
     "semantic_dedup_xl_knob": 420,
     "semantic_dedup_loose_knob": 420,
+    "semantic_dedup_rare_knob": 420,
     "cross_snapshot_xl": 300,
 }
 
@@ -1064,8 +1131,13 @@ def run_one(case: str, mode: str) -> None:
         sys.exit(
             f"unknown loose mode {mode!r}; one of {sorted(SEMDD_LOOSE_MODES)}"
         )
+    if case == "semantic_dedup_rare_knob" and mode not in SEMDD_RARE_MODES:
+        sys.exit(
+            f"unknown rare mode {mode!r}; one of {sorted(SEMDD_RARE_MODES)}"
+        )
     if case not in CASES and case not in (
-        "semantic_dedup_xl_knob", "semantic_dedup_loose_knob"
+        "semantic_dedup_xl_knob", "semantic_dedup_loose_knob",
+        "semantic_dedup_rare_knob",
     ):
         sys.exit(f"unknown case {case!r}; one of {sorted(CASES)}")
     spark = _spark()
@@ -1074,6 +1146,8 @@ def run_one(case: str, mode: str) -> None:
         df = case_semantic_dedup_xl_knob(spark, mode)
     elif case == "semantic_dedup_loose_knob":
         df = case_semantic_dedup_loose_knob(spark, mode)
+    elif case == "semantic_dedup_rare_knob":
+        df = case_semantic_dedup_rare_knob(spark, mode)
     else:
         df = CASES[case](spark, mode == "guarded")
     df.write.format("noop").mode("overwrite").save()
@@ -1098,22 +1172,25 @@ def run_one(case: str, mode: str) -> None:
         out["rows"] = int(r["n"])
         out["mega_dropped"] = mega
         out["mega_recall"] = round(mega / (MEGA_CLUSTER_XL - 1), 4)
-    elif case == "semantic_dedup_loose_knob":
+    elif case in ("semantic_dedup_loose_knob", "semantic_dedup_rare_knob"):
         from pyspark.sql import functions as F
 
         # Unlike the XL mega-cluster (tight: the ideal drop set is known
         # analytically), the loose cluster's true drop set depends on
         # each member's theta draw — so the TRUTH is the persisted
-        # unbounded run's drop-set, and recall for drop/star is measured
-        # against it. Persist once, count from the parquet (no plan
-        # re-execution per metric).
-        path = os.path.join(DATA, f"loose_dropset_{mode}.parquet")
+        # unbounded run's drop-set, and recall for the capped modes is
+        # measured against it. Persist once, count from the parquet (no
+        # plan re-execution per metric). The loose and rare cases keep
+        # separate truth files: their centroids (hence cells, hence
+        # candidate structure) differ.
+        tag = "loose" if case == "semantic_dedup_loose_knob" else "rare"
+        path = os.path.join(DATA, f"{tag}_dropset_{mode}.parquet")
         df.select("dropped_id").write.mode("overwrite").parquet(path)
         dropped = spark.read.parquet(path)
         out["rows"] = dropped.count()
         loose = dropped.filter(F.col("dropped_id") < LOOSE_CLUSTER)
         out["loose_dropped"] = loose.count()
-        truth_path = os.path.join(DATA, "loose_dropset_unbounded.parquet")
+        truth_path = os.path.join(DATA, f"{tag}_dropset_unbounded.parquet")
         if mode == "unbounded":
             out["loose_recall"] = 1.0
         elif os.path.exists(truth_path):
@@ -1153,6 +1230,8 @@ def run_all(only: list[str] | None = None) -> None:
             modes = tuple(SEMDD_KNOBS)
         elif case == "semantic_dedup_loose_knob":
             modes = SEMDD_LOOSE_MODES
+        elif case == "semantic_dedup_rare_knob":
+            modes = SEMDD_RARE_MODES
         else:
             modes = ("guarded", "unguarded")
         budget = CASE_BUDGET.get(case, BUDGET_SEC)
