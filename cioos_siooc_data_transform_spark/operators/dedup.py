@@ -670,10 +670,11 @@ def _mean_hub_pairs(
     priced downstream like any candidate.
 
     Scale shape: the mean comes from a deterministic hash sample
-    (xxhash64(id) % sample_mod == 0, min-id always included so no group
-    samples empty) — an over-cap group has > bucket_cap members, so the
-    sample is a law-of-large-numbers estimate of the mean DIRECTION,
-    which is all the argmax needs. The sampled members posexplode to
+    (xxhash64(id) % sample_mod == 0) — an over-cap group has >
+    bucket_cap members, so the sample is a law-of-large-numbers
+    estimate of the mean DIRECTION, which is all the argmax needs; the
+    rare group whose sample comes up empty degrades to the min-id
+    (star) hub via a null score. The sampled members posexplode to
     (key, dim, x) for one partial-agg sum, the per-key mean is
     reassembled into a single ARRAY row (64 collect_list elements,
     bounded by the dimension), and ALL members score against it with a
@@ -696,11 +697,13 @@ def _mean_hub_pairs(
     mem = members.join(
         vectors.select(F.col(id_col), F.col(vec_col)), id_col
     ).select(key_col, id_col, vec_col)
-    wk = Window.partitionBy(key_col)
-    mem = mem.withColumn("_kmin", F.min(id_col).over(wk))
+    # No per-key "guaranteed member" window here: a key whose hash
+    # sample comes up empty (P ~ (1-1/mod)^cap, ~0.03 % at the
+    # production cap) simply finds no mean and falls back to the
+    # min-id hub below (the star rule) via the left join's null score —
+    # cheaper than the full window pass a guarantee would cost.
     sampled = mem.filter(
-        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0)
-        | (F.col(id_col) == F.col("_kmin"))
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0
     )
     dims = sampled.select(
         key_col, F.posexplode(F.col(vec_col)).alias("_pos", "_x")
@@ -718,46 +721,50 @@ def _mean_hub_pairs(
     )
     from cioos_siooc_data_transform_spark.operators.similarity import dot_expr
 
-    scored = mem.join(mean_arr, key_col).select(
+    scored = mem.join(mean_arr, key_col, "left").select(
         key_col,
         id_col,
-        F.round(
-            dot_expr(F.col(vec_col), F.col("_mv"))
-            / F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))),
-            4,
+        F.coalesce(
+            F.round(
+                dot_expr(F.col(vec_col), F.col("_mv"))
+                / F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))),
+                4,
+            ),
+            F.lit(0.0),
         ).alias("_ms"),
     )
-    hubs = (
-        scored.groupBy(key_col)
-        .agg(
-            F.max(F.struct(F.col("_ms"), (-F.col(id_col)).alias("_ni"))).alias("_b")
+    # Hub election and the survivor guarantee are BOTH window functions
+    # over the single scored relation — per-key argmax, then a
+    # per-ID max marking "is a hub of ANY key" (the flip test). The
+    # first cut built these as a groupBy + two joins (members x hubs
+    # for pairs, pairs x distinct-hub-set for the flip) and paid for it
+    # in lineage: every consumer re-derived the whole bucket-count
+    # subtree, and the sf0.1 bench vertical (zero over-cap buckets, so
+    # ALL of this is empty) measured a 46 % premium over drop. Stacked
+    # windows keep one consumer chain; re-measured premium ~9-17 %,
+    # and the XL all-over-cap stress wall fell 295 -> 100 s.
+    wk2 = Window.partitionBy(key_col)
+    wid = Window.partitionBy(id_col)
+    scored = (
+        scored.withColumn(
+            "_hub",
+            -F.max(
+                F.struct(F.col("_ms"), (-F.col(id_col)).alias("_ni"))
+            ).over(wk2)["_ni"],
         )
-        .select(key_col, (-F.col("_b._ni")).alias("_hub"))
-    )
-    pairs = (
-        members.join(hubs, key_col)
-        .filter(F.col(id_col) != F.col("_hub"))
-        .select(
-            F.col("_hub").alias("doc_a"),
-            F.col(id_col).alias("doc_b"),
-            key_col,
+        .withColumn(
+            "_hub_any",
+            F.max(
+                F.when(F.col(id_col) == F.col("_hub"), 1).otherwise(0)
+            ).over(wid),
         )
     )
     # survivor guarantee (docstring): member-side hubs get id-ordered.
-    # hub_set is one row per over-cap group — usually broadcast-sized
-    # next to the pair relation it guards, but that's AQE's call (no
-    # hint): a corpus whose whole bucket space is over-cap has millions
-    # of groups, and a forced broadcast would stage them all on the
-    # driver.
-    hub_set = hubs.select(F.col("_hub").alias("_h2")).distinct()
-    flip = F.col("_h2").isNotNull() & (F.col("doc_b") < F.col("doc_a"))
-    return (
-        pairs.join(hub_set, pairs["doc_b"] == hub_set["_h2"], "left")
-        .select(
-            F.when(flip, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_a"),
-            F.when(flip, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_b"),
-            key_col,
-        )
+    flip = (F.col("_hub_any") == 1) & (F.col(id_col) < F.col("_hub"))
+    return scored.filter(F.col(id_col) != F.col("_hub")).select(
+        F.when(flip, F.col(id_col)).otherwise(F.col("_hub")).alias("doc_a"),
+        F.when(flip, F.col("_hub")).otherwise(F.col(id_col)).alias("doc_b"),
+        key_col,
     )
 
 

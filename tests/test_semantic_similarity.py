@@ -560,3 +560,53 @@ def test_semantic_dedup_medoid_clique_keeps_a_survivor(spark):
         ).collect()
     }
     assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_semantic_dedup_medoid_empty_sample_falls_back_to_star(spark):
+    """_mean_hub_pairs samples the bucket mean with a hash filter and
+    deliberately has NO per-key guaranteed member (a guarantee window
+    costs a full pass; an empty sample is ~0.03 % at the production
+    cap): a key whose sample comes up empty scores every member 0.0
+    via the left join's null and the (score, -id) argmax degrades to
+    the MIN-ID hub — exactly star's rule. Pinned with a sample_mod
+    chosen so no tiny-corpus id hashes to 0."""
+    import math
+
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    hp = [[0.0] * 8 for _ in range(8)]
+    for i, h in enumerate(hp):
+        h[1 + (i % 5)] = 1.0
+    thetas = {0: 40, 1: 30, 2: 28, 3: 35, 4: 33, 5: 1, 6: 10, 7: 14, 8: 20, 9: 24}
+    rows = []
+    for i, t in thetas.items():
+        r = math.radians(t)
+        v = [math.cos(r), 0.001, 0.001, 0.001, 0.001, 0.001, 0.0, math.sin(r)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cent = emb.filter(F.col("vec_id") == 5)
+    common = dict(hyperplanes=hp, bands=2, bucket_cap=4, tau=0.9)
+    star = {
+        r.dropped_id: r.keeper_id
+        for r in semantic_dedup(emb, cent, overcap="star", **common).collect()
+    }
+    # find a sample_mod where no id 0..9 samples in (xxhash64 % mod != 0
+    # for all ten ids) -> every bucket's sample is empty
+    mod_row = spark.range(10).agg(
+        *[
+            F.max(
+                F.when(F.pmod(F.xxhash64(F.col("id")), F.lit(m)) == 0, 1).otherwise(0)
+            ).alias(f"m{m}")
+            for m in range(11, 40)
+        ]
+    ).head()
+    empty_mod = next(m for m in range(11, 40) if mod_row[f"m{m}"] == 0)
+    medoid_fallback = {
+        r.dropped_id: r.keeper_id
+        for r in semantic_dedup(
+            emb, cent, overcap="medoid", hub_sample_mod=empty_mod, **common
+        ).collect()
+    }
+    assert medoid_fallback == star
