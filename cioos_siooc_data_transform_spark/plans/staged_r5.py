@@ -1346,13 +1346,21 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     init = _PR_UNIT // n_nodes
     teleport = (15 * init) // 100
-    score = deg.select(F.col("src").alias("node"), F.lit(init).alias("score"))
-    deg_r = deg.select(F.col("src").alias("dnode"), "outdeg")
+    # round-13: the score relation CARRIES outdeg across iterations, so
+    # each round is one edges join + one agg + one left join — the
+    # separate score x deg join (and its per-iteration re-derivation of
+    # the degree aggregate from the checkpointed RDD) is gone: 2 joins
+    # per iteration instead of 3, and the update's node base is the
+    # score relation itself (same keys as deg by construction). Exact
+    # integer arithmetic unchanged — results bit-identical (exceptAll
+    # both ways = 0 at sf0.1; isolated A/B 2.96 -> 2.74 s).
+    score = deg.select(
+        F.col("src").alias("node"), "outdeg", F.lit(init).alias("score")
+    )
     edges_r = edges.select(F.col("src").alias("esrc"), F.col("dst").alias("edst"))
     for _ in range(_PR_ITERS):
         contrib = (
-            score.join(deg_r, score["node"] == deg_r["dnode"])
-            .join(edges_r, score["node"] == edges_r["esrc"])
+            score.join(edges_r, score["node"] == edges_r["esrc"])
             .select(
                 F.col("edst").alias("node"),
                 F.expr("score DIV outdeg").alias("c"),
@@ -1361,10 +1369,11 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("incoming"))
         )
         score = (
-            deg.select(F.col("src").alias("node"))
+            score.select("node", "outdeg")
             .join(contrib, "node", "left")
             .select(
                 "node",
+                "outdeg",
                 (
                     F.lit(teleport)
                     + F.expr("85 * coalesce(incoming, 0) DIV 100")
@@ -2561,14 +2570,19 @@ def dedup_fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = F.transform(
         F.sequence(F.lit(1), F.size("h") - w + 1), lambda j: fp(j)
     )
+    # round-13: duplicate fingerprints can only occur WITHIN a doc (the
+    # distinct key includes doc_id and every fp row of a doc comes from
+    # one array), so array_distinct before the explode replaces the
+    # global .distinct() — the plan's ONLY Exchange — with row-local
+    # dedup: the whole query is now map-side. Result-identical
+    # (exceptAll both ways = 0 at sf0.1); isolated A/B 2.21 -> 1.99 s.
     return (
-        staged.select("doc_id", F.explode(fps).alias("u"))
+        staged.select("doc_id", F.explode(F.array_distinct(fps)).alias("u"))
         .select(
             "doc_id",
             F.col("u.fp_pos").alias("fp_pos"),
             F.col("u.fp_hash").alias("fp_hash"),
         )
-        .distinct()
     )
 
 
