@@ -375,21 +375,23 @@ def train_pq_codebooks(
     return books
 
 
+#: Per-process memo of codebook literals (same rationale as
+#: operators/dedup._hyperplane_matrix_lit: element-wise F.lit chains pay
+#: one py4j round trip per float at every query construction; one nested
+#: F.lit is a single Literal node built once per process).
+_CB_LIT_CACHE: dict[tuple, Column] = {}
+
+
 def _codebook_lit(books: list[list[list[float]]]) -> Column:
     """The m×k×sub codebook as a nested array literal (small by
     construction: m·k·sub floats — broadcast into every task as part of
     the plan, no join)."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in center])
-                    for center in book
-                ]
-            )
-            for book in books
-        ]
-    )
+    key = tuple(tuple(tuple(float(x) for x in center) for center in book) for book in books)
+    col = _CB_LIT_CACHE.get(key)
+    if col is None:
+        col = F.lit([[[float(x) for x in center] for center in book] for book in books])
+        _CB_LIT_CACHE[key] = col
+    return col
 
 
 def _sub_l2(sub_vec: Column, center: Column) -> Column:

@@ -35,6 +35,21 @@ def get_spark(app_name: str = "cioos-siooc-spark", shuffle_partitions: int | Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Round-13 (guide §6): this engine's first-class ingest workload
+        # is many SMALL text files (the IOS corpus: ~KB-sized profiles).
+        # The 4 MB default open cost packs at most 32 such files per
+        # 128 MB split — the 50k-file vertical ran 1,563 tasks and was
+        # pure scheduler overhead. 1 MB packs ~128 files/split (measured
+        # sweep at 50k files: 4MB 19.7 s, 1MB 8.0 s, 128KB 15.2 s — too
+        # few tasks under-parallelizes, so 1 MB is the balance point;
+        # 5k corpus 2.2 -> 0.95 s). For large-file scans (parquet at
+        # cluster scale, 128MB-1GB files) open cost is negligible
+        # relative to file size, so the change is inert there.
+        # Parameterised for cluster tuning.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         # The deep GSW stage chains (hundreds of stacked projections)
         # drive Catalyst's recursive rules (CollapseProject) past the
