@@ -378,9 +378,21 @@ _CHECKED = frozenset(
 #     operators/dedup.py::semantic_dedup (overcap="medoid"/"refine"
 #     modes + the shared candidate-union path; the query's own drop
 #     branch is logically unchanged, but the row must be re-earned on
-#     the moved file), then the oldest load-bearing round-1 names
-#     (dedup_minhash_lsh, ios_parse_measurements, filter_projection,
-#     anti_join_orphans).
+#     the moved file), then the round-13 OPTIMIZATION-moved names
+#     whose green rows predate the optimization (all re-verified
+#     result-identical against their oracles this round, but the
+#     policy wants driver-grade rows on moved code):
+#     similarity_lsh_topk (hyperplane_lsh_buckets restructure),
+#     dedup_embedding_cosine + knn_graph_degree_stats (same operator),
+#     dedup_fingerprint_winnowing (distinct -> array_distinct),
+#     embedding_random_projection (JL matrix literal),
+#     similarity_pq_adc_topk (memoized _codebook_lit, shared PQ
+#     family). graph_pagerank_iterations and dedup_semantic_tau_sweep
+#     also moved in round 13 but sample FRESH in the round-13 driver
+#     run itself (rotation / staged_r13 activation), so their rows
+#     land on the new code already. Then the oldest load-bearing
+#     round-1 names (dedup_minhash_lsh, ios_parse_measurements,
+#     filter_projection, anti_join_orphans) as budget allows.
 
 
 def _priority_order(names) -> list[str]:
