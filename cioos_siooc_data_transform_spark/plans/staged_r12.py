@@ -4857,23 +4857,32 @@ def similarity_srp_bit_independence(spark: SparkSession, sf_dir: str) -> DataFra
     bands collide more than the S-curve predicts — this names the
     worst offenders. One 496-pair aggregate over map-side-combinable
     integer sums; deterministic tie-broken top-10."""
+    from cioos_siooc_data_transform_spark.operators.dedup import (
+        _hyperplane_matrix_lit,
+    )
     from cioos_siooc_data_transform_spark.plans.dedup_queries import _EMB_HP
 
     emb = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
 
-    def bit(i: int):
-        hp = F.array(*[F.lit(float(v)) for v in _EMB_HP[i]])
-        dot = F.aggregate(
-            F.zip_with(e, hp, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        return F.when(dot >= 0, 1).otherwise(0)
-
+    # round-13 (same fix as hyperplane_lsh_buckets): one memoized bank
+    # literal + a single transform producing all 32 sign bits — same
+    # left-to-right double accumulation, bit-identical output.
     n_bits = len(_EMB_HP)
+    hmat = _hyperplane_matrix_lit(_EMB_HP)
     bits = emb.select(
-        F.array(*[bit(i) for i in range(n_bits)]).alias("ba")
+        F.transform(
+            hmat,
+            lambda h: F.when(
+                F.aggregate(
+                    F.zip_with(e, h, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t,
+                )
+                >= 0,
+                1,
+            ).otherwise(0),
+        ).alias("ba")
     )
     pairs = [(i, j) for i in range(n_bits) for j in range(i + 1, n_bits)]
     pr = spark.createDataFrame(pairs, "i INT, j INT")
