@@ -2419,7 +2419,13 @@ def nation_rank_stability_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = w.select(
         F.col("n_name").alias("nb"), F.col("r0").alias("b0"), F.col("r1").alias("b1")
     )
-    p = a.join(b, F.col("na") < F.col("nb")).select(
+    # round-13: broadcast the (≤|nations|-row) right side so the
+    # inequality theta join plans as the repo's bounded
+    # BroadcastNestedLoopJoin pattern instead of a CartesianProduct
+    # (the only cartesian in the 630-plan registry; both sides are
+    # nation-bounded, but the plan guard counts cartesians as always
+    # wrong because a true one never is bounded).
+    p = a.join(F.broadcast(b), F.col("na") < F.col("nb")).select(
         F.when(
             (F.col("a0") < F.col("b0")) == (F.col("a1") < F.col("b1")), 1
         )
