@@ -259,6 +259,18 @@ def _hyperplane_matrix_lit(hyperplanes: list[list[float]]) -> Column:
     return col
 
 
+#: Per-process memo of the COMPOSED signs/bucket Column expressions of
+#: hyperplane_lsh_buckets, keyed on (bank, bands, vec_col). Even with
+#: the bank as one literal, assembling the transform/zip_with/aggregate
+#: lambda chain plus the per-band concat(element_at..) expressions costs
+#: ~0.25 s of py4j round trips per query construction (round-13
+#: profile: 2,727 driver->JVM calls for one dedup_semantic_clusters
+#: build, ~0.85 s total socket wait). Columns are immutable expression
+#: trees, so reusing the SAME objects across constructions is
+#: side-effect-free; this memoizes EXPRESSIONS, never data or results.
+_HP_EXPR_CACHE: dict[tuple, tuple[Column, Column]] = {}
+
+
 def hyperplane_lsh_buckets(
     vectors: DataFrame,
     id_col: str,
@@ -295,31 +307,42 @@ def hyperplane_lsh_buckets(
     """
     n_h = len(hyperplanes)
     rows = n_h // bands
-    hmat = _hyperplane_matrix_lit(hyperplanes)
-    v = F.col(vec_col).cast("array<double>")
-    signs = F.transform(
-        hmat,
-        lambda h: F.when(
-            F.aggregate(
-                F.zip_with(v, h, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0")),
+    key = (
+        tuple(tuple(h) for h in hyperplanes),
+        bands,
+        vec_col,
     )
-    tmp = vectors.select(F.col(id_col), signs.alias("_sg"))
-    buckets = [
-        F.concat(
-            F.lit(f"{b}:"),
-            *[F.element_at(F.col("_sg"), b * rows + r + 1) for r in range(rows)],
+    cached = _HP_EXPR_CACHE.get(key)
+    if cached is None:
+        hmat = _hyperplane_matrix_lit(hyperplanes)
+        v = F.col(vec_col).cast("array<double>")
+        signs = F.transform(
+            hmat,
+            lambda h: F.when(
+                F.aggregate(
+                    F.zip_with(v, h, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
         )
-        for b in range(bands)
-    ]
-    return tmp.select(
-        F.col(id_col), F.explode(F.array(*buckets)).alias("bucket")
-    )
+        buckets = [
+            F.concat(
+                F.lit(f"{b}:"),
+                *[
+                    F.element_at(F.col("_sg"), b * rows + r + 1)
+                    for r in range(rows)
+                ],
+            )
+            for b in range(bands)
+        ]
+        cached = (signs, F.explode(F.array(*buckets)))
+        _HP_EXPR_CACHE[key] = cached
+    signs, exploded = cached
+    tmp = vectors.select(F.col(id_col), signs.alias("_sg"))
+    return tmp.select(F.col(id_col), exploded.alias("bucket"))
 
 
 # ---------------------------------------------------------------------------
@@ -1023,7 +1046,21 @@ def semantic_dedup(
     # 150k mega-cluster) attributed its 28-44 s worst task to exactly
     # this pair-pricing stage. dot/(na*nb) is the same doubles in the
     # same order as cosine_expr, so the rounded scores are bit-identical.
-    nrm = F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col)))
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        _memo_expr,
+    )
+
+    def _build_pricing() -> tuple:
+        return (
+            F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+
+    nrm, cos_sim = _memo_expr(("semdd_pricing", vec_col), _build_pricing)
     ea = vectors.select(
         F.col(id_col).alias("doc_a"),
         F.col(vec_col).alias("va"),
@@ -1041,11 +1078,7 @@ def semantic_dedup(
             "doc_a",
             "doc_b",
             "cell_id",
-            F.round(
-                dot_expr(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                4,
-            ).alias("cos_sim"),
+            cos_sim.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= F.lit(tau))
     )

@@ -30,6 +30,27 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+#: Per-process memo of composed Column EXPRESSIONS keyed on the values
+#: that shape them (column names, codebooks, rounding). Each
+#: higher-order-function chain (zip_with + aggregate + lambdas) costs
+#: ~30-50 py4j round trips to assemble; a query like
+#: similarity_pq_adc_topk paid ~1.2 s of driver->JVM socket wait per
+#: construction (round-13 profile: 3,031 round trips), and the bench
+#: pays that on every run. Columns are immutable expression trees, so
+#: reusing the same objects across plan constructions is side-effect
+#: free. This memoizes EXPRESSIONS only — never data, schemas of live
+#: tables, or results.
+_EXPR_CACHE: dict[tuple, object] = {}
+
+
+def _memo_expr(key: tuple, build):
+    val = _EXPR_CACHE.get(key)
+    if val is None:
+        val = build()
+        _EXPR_CACHE[key] = val
+    return val
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """PRECONDITION: non-zero-norm vectors. A zero vector divides by
     zero, and the engines then disagree (Spark NULL vs DuckDB NaN, with
@@ -57,15 +78,28 @@ def brute_force_topk(
     # inlined cosine_expr would re-evaluate dot(c,c) per QUERY for every
     # corpus vector. dot/(nq*nc) is the same doubles in the same order
     # as cosine_expr, so the rounded ranking is bit-identical.
+    def _build_cols() -> tuple:
+        return (
+            F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))),
+            F.round(
+                dot_expr(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+                round_dp,
+            ),
+        )
+
+    nrm, cos_sim = _memo_expr(
+        ("brute_force", vec_col, round_dp), _build_cols
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("q_nrm"),
+        nrm.alias("q_nrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("c_nrm"),
+        nrm.alias("c_nrm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -73,11 +107,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot_expr(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_nrm") * F.col("c_nrm")),
-                round_dp,
-            ).alias("cos_sim"),
+            cos_sim.alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -108,10 +138,33 @@ def ivf_assign(
     (sim, -centroid_id) is already unique per vector. A/B at sf0.1
     (320k x 16): agg 0.95 s vs window 1.09 s warm, 1.4 s vs 3.1 s cold;
     at scale the win is the 16x smaller shuffle payload."""
+    # The assignment's column expressions depend only on (id_col,
+    # vec_col, round_dp) — memoized as one tuple so repeated plan
+    # constructions (each dot_expr chain is ~40 py4j round trips)
+    # re-use the same immutable expression objects.
+    def _build_cols() -> tuple:
+        nrm = F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col)))
+        sim = F.round(
+            dot_expr(F.col(vec_col), F.col("cent_vec"))
+            / (F.col("vec_nrm") * F.col("cent_nrm")),
+            round_dp,
+        )
+        best_struct = F.max(
+            F.struct(
+                F.col("cent_sim"),
+                (-F.col("centroid_id")).alias("_ni"),
+                F.col(vec_col).alias("_v"),
+            )
+        )
+        return (nrm, sim, best_struct)
+
+    nrm, sim, best_struct = _memo_expr(
+        ("ivf_assign", id_col, vec_col, round_dp), _build_cols
+    )
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).alias("cent_vec"),
-        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("cent_nrm"),
+        nrm.alias("cent_nrm"),
     )
     # vector norm projected ONCE before the K-way broadcast cross join:
     # inlining cosine_expr would re-evaluate dot(v,v) per centroid (K
@@ -120,27 +173,15 @@ def ivf_assign(
     v = vectors.select(
         F.col(id_col),
         F.col(vec_col),
-        F.sqrt(dot_expr(F.col(vec_col), F.col(vec_col))).alias("vec_nrm"),
+        nrm.alias("vec_nrm"),
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("centroid_id"),
-        F.round(
-            dot_expr(F.col(vec_col), F.col("cent_vec"))
-            / (F.col("vec_nrm") * F.col("cent_nrm")),
-            round_dp,
-        ).alias("cent_sim"),
+        sim.alias("cent_sim"),
     )
-    best = scored.groupBy(id_col).agg(
-        F.max(
-            F.struct(
-                F.col("cent_sim"),
-                (-F.col("centroid_id")).alias("_ni"),
-                F.col(vec_col).alias("_v"),
-            )
-        ).alias("_b")
-    )
+    best = scored.groupBy(id_col).agg(best_struct.alias("_b"))
     return best.select(
         F.col(id_col),
         F.col("_b._v").alias(vec_col),
@@ -414,20 +455,28 @@ def pq_encode(
     array_position of the min (first win on ties → deterministic)."""
     m = len(books)
     sub = len(books[0][0])
-    cb = _codebook_lit(books)
-    e = F.col(vec_col).cast("array<double>")
-
-    def code_for(j: int) -> Column:
-        sub_vec = F.slice(e, j * sub + 1, sub)
-        dists = F.transform(
-            F.element_at(cb, j + 1), lambda c: _sub_l2(sub_vec, c)
-        )
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-
-    return vectors.select(
-        F.col(id_col),
-        F.array(*[code_for(j) for j in range(m)]).alias("codes"),
+    books_key = tuple(
+        tuple(tuple(float(x) for x in center) for center in book)
+        for book in books
     )
+
+    def _build() -> Column:
+        cb = _codebook_lit(books)
+        e = F.col(vec_col).cast("array<double>")
+
+        def code_for(j: int) -> Column:
+            sub_vec = F.slice(e, j * sub + 1, sub)
+            dists = F.transform(
+                F.element_at(cb, j + 1), lambda c: _sub_l2(sub_vec, c)
+            )
+            return (F.array_position(dists, F.array_min(dists)) - 1).cast(
+                "int"
+            )
+
+        return F.array(*[code_for(j) for j in range(m)])
+
+    codes = _memo_expr(("pq_codes", books_key, vec_col), _build)
+    return vectors.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_adc_topk(
@@ -453,17 +502,27 @@ def pq_adc_topk(
     (codes, not vectors) is unchanged."""
     m = len(books)
     sub = len(books[0][0])
-    cb = _codebook_lit(books)
-    qe = F.col(vec_col).cast("array<double>")
+    books_key = tuple(
+        tuple(tuple(float(x) for x in center) for center in book)
+        for book in books
+    )
 
-    def _lut_for(j: int) -> Column:
-        # NB: closure, not a default-arg lambda — PySpark reads a 2-arg
-        # lambda as the (element, index) form and would bind the extra
-        # parameter to the array index.
-        sub_vec = F.slice(qe, j * sub + 1, sub)
-        return F.transform(F.element_at(cb, j + 1), lambda c: _sub_l2(sub_vec, c))
+    def _build_lut() -> Column:
+        cb = _codebook_lit(books)
+        qe = F.col(vec_col).cast("array<double>")
 
-    lut = F.array(*[_lut_for(j) for j in range(m)])
+        def _lut_for(j: int) -> Column:
+            # NB: closure, not a default-arg lambda — PySpark reads a
+            # 2-arg lambda as the (element, index) form and would bind
+            # the extra parameter to the array index.
+            sub_vec = F.slice(qe, j * sub + 1, sub)
+            return F.transform(
+                F.element_at(cb, j + 1), lambda c: _sub_l2(sub_vec, c)
+            )
+
+        return F.array(*[_lut_for(j) for j in range(m)])
+
+    lut = _memo_expr(("pq_lut", books_key, vec_col), _build_lut)
     q_cols = [F.col(id_col).alias("query_id"), lut.alias("lut")]
     c_cols = [F.col(id_col).alias("neighbor_id"), F.col("codes")]
     if cell_col is not None:
@@ -471,18 +530,21 @@ def pq_adc_topk(
         c_cols.append(F.col(cell_col))
     q = queries.select(*q_cols)
     c = codes.select(*c_cols)
-    idx = F.sequence(F.lit(0), F.lit(m - 1))
-    adist = F.aggregate(
-        F.transform(
-            idx,
-            lambda j: F.element_at(
-                F.element_at(F.col("lut"), j + 1),
-                F.element_at(F.col("codes"), j + 1) + 1,
+    def _build_adist() -> Column:
+        idx = F.sequence(F.lit(0), F.lit(m - 1))
+        return F.aggregate(
+            F.transform(
+                idx,
+                lambda j: F.element_at(
+                    F.element_at(F.col("lut"), j + 1),
+                    F.element_at(F.col("codes"), j + 1) + 1,
+                ),
             ),
-        ),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    adist = _memo_expr(("pq_adist", m), _build_adist)
     joined = (
         c.join(F.broadcast(q), cell_col)
         if cell_col is not None

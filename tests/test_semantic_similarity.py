@@ -610,3 +610,51 @@ def test_semantic_dedup_medoid_empty_sample_falls_back_to_star(spark):
         ).collect()
     }
     assert medoid_fallback == star
+
+
+def test_memoized_expression_columns_are_reused_and_equivalent(spark):
+    """Round-13 construction batching: the composed Column expressions
+    of hyperplane_lsh_buckets / ivf_assign / pq_encode / pq_adc_topk /
+    brute_force_topk are memoized per process (plan-construction py4j
+    round trips, not data). Pin (a) the memo actually hits — a second
+    construction reuses the SAME Column objects — and (b) a
+    cache-cleared fresh build produces row-identical results, so the
+    memo can never change what a query computes."""
+    from cioos_siooc_data_transform_spark.operators import dedup as dd
+    from cioos_siooc_data_transform_spark.operators import (
+        similarity as sim,
+    )
+
+    vecs = _planted_corpus(spark)
+    hp = dd.random_hyperplanes(8, 64, seed=11)
+    books = [
+        [[float(j + k) / 7.0 + 0.25 * s for s in range(8)] for k in range(4)]
+        for j in range(8)
+    ]
+    cent = vecs.filter(F.col("vec_id") < 4)
+    qs = vecs.filter(F.col("vec_id") < 3)
+
+    def build_all():
+        return {
+            "lsh": dd.hyperplane_lsh_buckets(vecs, "vec_id", "embedding", hp, 4),
+            "ivf": sim.ivf_assign(vecs, cent).select("vec_id", "centroid_id"),
+            "codes": sim.pq_encode(vecs, books),
+            "adc": sim.pq_adc_topk(qs, sim.pq_encode(vecs, books), books),
+            "brute": sim.brute_force_topk(qs, vecs, k=5),
+        }
+
+    # Fresh build (caches cleared) vs memoized rebuild.
+    dd._HP_EXPR_CACHE.clear()
+    sim._EXPR_CACHE.clear()
+    fresh = build_all()
+    assert dd._HP_EXPR_CACHE and sim._EXPR_CACHE
+    hp_keys = set(dd._HP_EXPR_CACHE)
+    expr_keys = set(sim._EXPR_CACHE)
+    memo = build_all()
+    # Second construction added no new cache entries (pure hits).
+    assert set(dd._HP_EXPR_CACHE) == hp_keys
+    assert set(sim._EXPR_CACHE) == expr_keys
+    for name in fresh:
+        a, b = fresh[name], memo[name]
+        assert a.exceptAll(b).count() == 0, name
+        assert b.exceptAll(a).count() == 0, name
