@@ -122,12 +122,19 @@ def minhash_signature_sets(
     Use this form when a query consumes the signatures exactly once (no
     reuse to exploit) or when cluster shuffle capacity — not CPU — is the
     binding constraint; the registered queries use the exploded form."""
-    cols = [
-        F.array_min(
-            F.transform(F.col(set_col), _minhash_fn(k, hash_family))
-        ).alias(f"h{k}")
-        for k in range(1, num_hashes + 1)
-    ]
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        _memo_expr,
+    )
+
+    cols = _memo_expr(
+        ("minhash_sets", set_col, num_hashes, hash_family),
+        lambda: [
+            F.array_min(
+                F.transform(F.col(set_col), _minhash_fn(k, hash_family))
+            ).alias(f"h{k}")
+            for k in range(1, num_hashes + 1)
+        ],
+    )
     return doc_sets.select(F.col(id_col), *cols)
 
 
@@ -171,20 +178,34 @@ def minhash_signature(
     takes the lexicographic min of the hex digest — portable to any engine.
     hash_family='xxhash64' is the fast JVM-side default.
     """
-    aggs = []
-    for k in range(1, num_hashes + 1):
-        if hash_family == "md5":
-            # 4 hash functions per digest: the 128-bit md5 is sliced into
-            # four independent 8-hex-char (32-bit) chunks, so k functions
-            # cost ceil(k/4) digests instead of k.
-            digest_idx = (k - 1) // 4
-            offset = ((k - 1) % 4) * 8 + 1
-            h = F.substring(
-                F.md5(F.concat(F.col(shingle_col), F.lit(f"#{digest_idx}"))), offset, 8
-            )
-        else:
-            h = F.xxhash64(F.col(shingle_col), F.lit(k))
-        aggs.append(F.min(h).alias(f"h{k}"))
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        _memo_expr,
+    )
+
+    def _build_aggs() -> list:
+        aggs = []
+        for k in range(1, num_hashes + 1):
+            if hash_family == "md5":
+                # 4 hash functions per digest: the 128-bit md5 is sliced
+                # into four independent 8-hex-char (32-bit) chunks, so k
+                # functions cost ceil(k/4) digests instead of k.
+                digest_idx = (k - 1) // 4
+                offset = ((k - 1) % 4) * 8 + 1
+                h = F.substring(
+                    F.md5(
+                        F.concat(F.col(shingle_col), F.lit(f"#{digest_idx}"))
+                    ),
+                    offset,
+                    8,
+                )
+            else:
+                h = F.xxhash64(F.col(shingle_col), F.lit(k))
+            aggs.append(F.min(h).alias(f"h{k}"))
+        return aggs
+
+    aggs = _memo_expr(
+        ("minhash_sig", shingle_col, num_hashes, hash_family), _build_aggs
+    )
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -193,16 +214,24 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """Signature → (doc, bucket) rows; bucket embeds the band index so
     equal hashes from different bands never collide."""
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.lit(str(b))] + [
-            F.col(f"h{b * rows + r + 1}").cast("string") for r in range(rows)
-        ]
-        band_cols.append(F.md5(F.concat(*parts)))
-    return signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        _memo_expr,
     )
+
+    rows = num_hashes // bands
+
+    def _build() -> Column:
+        band_cols = []
+        for b in range(bands):
+            parts = [F.lit(str(b))] + [
+                F.col(f"h{b * rows + r + 1}").cast("string")
+                for r in range(rows)
+            ]
+            band_cols.append(F.md5(F.concat(*parts)))
+        return F.explode(F.array(*band_cols))
+
+    exploded = _memo_expr(("lsh_bands", num_hashes, bands), _build)
+    return signatures.select(F.col(id_col), exploded.alias("bucket"))
 
 
 def lsh_candidate_pairs(
@@ -364,18 +393,32 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash: majority vote of each hash bit over the doc's
     distinct tokens (+1 if set, −1 if not; bit set iff sum > 0)."""
-    v = simhash_token_value(F.col(token_col), hex_chars=bits // 4)
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        _memo_expr,
+    )
+
+    def _build() -> tuple:
+        v = simhash_token_value(F.col(token_col), hex_chars=bits // 4)
+        bit_sums = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("_v"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+        hash_expr = F.lit(0).cast("long")
+        for i in range(bits):
+            hash_expr = hash_expr + F.when(
+                F.col(f"s{i}") > 0, F.lit(1 << i)
+            ).otherwise(0)
+        return (v, bit_sums, hash_expr)
+
+    v, bit_sums, hash_expr = _memo_expr(
+        ("simhash", token_col, bits), _build
+    )
     with_v = exploded.withColumn("_v", v)
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("_v"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
     summed = with_v.groupBy(id_col).agg(*bit_sums)
-    hash_expr = F.lit(0).cast("long")
-    for i in range(bits):
-        hash_expr = hash_expr + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
     return summed.select(F.col(id_col), hash_expr.alias("simhash"))
 
 

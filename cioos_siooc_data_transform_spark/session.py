@@ -51,6 +51,20 @@ def get_spark(app_name: str = "cioos-siooc-spark", shuffle_partitions: int | Non
             os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(1024 * 1024)),
         )
         .config("spark.ui.enabled", "false")
+        # Round-13 (guide §1/§7.3: plan-construction time is driver-side
+        # work inside every timed bench region): PySpark 4's DataFrame
+        # debugging decorates EVERY DataFrame/Column API call with a
+        # Python stack walk plus a JVM PySparkCurrentOrigin round trip,
+        # purely to enrich error messages with user call sites. Off, a
+        # 60-query construction pass drops ~35 % of its py4j traffic
+        # (measured round 13; errors still carry the full JVM stack
+        # trace — only the "user file:line" hint is lost). Semantics
+        # and plans are unchanged; parameterised to re-enable when
+        # debugging a query interactively.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         # The deep GSW stage chains (hundreds of stacked projections)
         # drive Catalyst's recursive rules (CollapseProject) past the
         # default 1 MB thread stack — a StackOverflowError that

@@ -634,13 +634,27 @@ def test_memoized_expression_columns_are_reused_and_equivalent(spark):
     cent = vecs.filter(F.col("vec_id") < 4)
     qs = vecs.filter(F.col("vec_id") < 3)
 
+    tok = vecs.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("embedding"), 1, 6),
+                lambda x: F.format_number(x, 2),
+            )
+        ).alias("t"),
+    )
+
     def build_all():
+        sig = dd.minhash_signature(tok, "vec_id", "t", num_hashes=8)
         return {
             "lsh": dd.hyperplane_lsh_buckets(vecs, "vec_id", "embedding", hp, 4),
             "ivf": sim.ivf_assign(vecs, cent).select("vec_id", "centroid_id"),
             "codes": sim.pq_encode(vecs, books),
             "adc": sim.pq_adc_topk(qs, sim.pq_encode(vecs, books), books),
             "brute": sim.brute_force_topk(qs, vecs, k=5),
+            "minhash": sig,
+            "bands": dd.lsh_band_buckets(sig, "vec_id", 8, 4),
+            "simhash": dd.simhash(tok, "vec_id", "t"),
         }
 
     # Fresh build (caches cleared) vs memoized rebuild.
