@@ -1338,6 +1338,17 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    # Round-13 (optimization): checkpoint deg too — |V| rows, negligible
+    # memory next to the und checkpoint — so the n_nodes count below
+    # reads materialized data and the FINAL action no longer re-derives
+    # the degree aggregate from 2×|und| edge rows (the count's work was
+    # thrown away and recomputed). Additive to the round-12 XL-measured
+    # und idiom (that sweep's "full" mode checkpointed the fat post-
+    # union EDGE set instead of und — a different, losing shape; this
+    # keeps und and materializes only the node-sized aggregate).
+    # Bit-identical (exceptAll both ways = 0 at sf0.1); isolated A/B
+    # min 3.27 → 2.63 s, median 3.49 → 3.03 s (idle host, min-of-5).
+    deg = deg.localCheckpoint(eager=True)
     n_nodes = deg.count()  # scalar: node count (bounded driver value)
     if n_nodes == 0:
         # empty support->=2 graph: the oracle yields an empty result
