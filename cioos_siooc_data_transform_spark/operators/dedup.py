@@ -743,8 +743,8 @@ def semantic_bucket_counts(
     assembly the operator prices, not a re-derived approximation."""
     from cioos_siooc_data_transform_spark.operators.similarity import ivf_assign
 
-    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
-        id_col, "centroid_id"
+    assigned = ivf_assign(
+        vectors, centroids, id_col=id_col, vec_col=vec_col, with_vector=False
     )
     buckets = hyperplane_lsh_buckets(vectors, id_col, vec_col, hyperplanes, bands)
     # distinct is a near-no-op on unique (id, bucket) rows, but its

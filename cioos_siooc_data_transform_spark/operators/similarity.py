@@ -126,18 +126,52 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 4,
+    with_vector: bool = True,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max rounded cosine,
     centroid-id tiebreak). Centroids are broadcast.
 
-    Formulated as a hash aggregate — max of (sim, -centroid_id, vector)
-    structs — rather than a row_number window: the agg gets map-side
-    partial combine, so only ONE row per vector (not one per
-    vector x centroid) crosses the shuffle, and there is no per-vector
-    sort. The struct comparison never reaches the vector field because
-    (sim, -centroid_id) is already unique per vector. A/B at sf0.1
-    (320k x 16): agg 0.95 s vs window 1.09 s warm, 1.4 s vs 3.1 s cold;
-    at scale the win is the 16x smaller shuffle payload."""
+    Two formulations, picked by whether the caller needs the vector
+    back (round-13 A/B, same-session interleaved, sf0.1 2k x 64 and
+    synthetic 400k x 16):
+
+    - ``with_vector=False`` (semantic_dedup's bucket assembly, the
+      cell-balance/purity audits, the PQ cell router — every caller
+      that immediately discards the vector): the argmax is ONE packed
+      long per (vector, centroid) row — ``(rounded sim, -centroid_id)``
+      encoded lexicographically — so the aggregate is a HashAggregate
+      with an 8-byte buffer and map-side partial combine; only one
+      8-byte partial per vector per map task crosses the shuffle, and
+      the vector bytes never enter the aggregation at all. The struct
+      formulation below was forced into a SortAggregate (an array-typed
+      field is not hash-aggregable) that sorted the K-way-exploded
+      relation on both sides and carried the 64-double array in every
+      agg buffer — pure waste when the caller drops the vector.
+      Measured: 0.54 → 0.48 s (sf0.1 consumers' shape), 1.10 → 1.00 s
+      (400k x 16). Encoding: with ``s = round(sim·10^dp)`` (exact — sim
+      is already rounded to dp decimals, so s recovers the integer grid
+      point) and null sims pinned below the valid range (struct
+      semantics: NULL sorts first),
+      ``packed = (s + 2·10^dp + 1)·2^32 + (2^31 − centroid_id)`` is
+      monotonic in (sim, −centroid_id); both factors are in-range for
+      ``round_dp ≤ 8`` (checked) and ``0 ≤ centroid_id < 2^31``
+      (callers seed centroids from nonnegative ids). Tiebreak never
+      needs the vector because (sim, −centroid_id) is already unique
+      per vector.
+    - ``with_vector=True`` (ivf_topk's corpus side): keeps the
+      ``max(struct(sim, -id, vector))`` SortAggregate. The packed
+      variant plus an id equi-join to re-attach the vector was built
+      and REFUTED at scale: 1.05 → 1.46 s at 400k x 16 (the join
+      shuffles the vector relation AND the argmax side, costing more
+      than the SortAggregate's sorts save; at 2k x 64 it was a wash,
+      0.60 vs 0.58 s). The struct agg itself was A/B'd against a
+      row_number window in round 8 (0.95 s vs 1.09 s warm, 1.4 s vs
+      3.1 s cold; one row per vector crosses the shuffle either way).
+
+    Both paths produce bit-identical assignments (exceptAll = 0 both
+    ways at sf0.1 and on a 200k synthetic corpus with duplicated
+    centroids forcing rounded-sim ties; all 7 consuming registered
+    queries PASS their DuckDB oracles at sf0.01 AND sf0.1)."""
     # The assignment's column expressions depend only on (id_col,
     # vec_col, round_dp) — memoized as one tuple so repeated plan
     # constructions (each dot_expr chain is ~40 py4j round trips)
@@ -156,9 +190,21 @@ def ivf_assign(
                 F.col(vec_col).alias("_v"),
             )
         )
-        return (nrm, sim, best_struct)
+        scale = 10**round_dp
+        s_key = F.coalesce(
+            F.round(F.col("cent_sim") * scale).cast("long"),
+            F.lit(-(2 * scale + 1)).cast("long"),
+        )
+        packed = F.max(
+            (s_key + (2 * scale + 1)) * F.lit(4294967296)
+            + (F.lit(2147483648) - F.col("centroid_id").cast("long"))
+        )
+        unpack_cid = F.lit(2147483648) - F.col("_p").bitwiseAND(
+            F.lit(4294967295)
+        )
+        return (nrm, sim, best_struct, packed, unpack_cid)
 
-    nrm, sim, best_struct = _memo_expr(
+    nrm, sim, best_struct, packed, unpack_cid = _memo_expr(
         ("ivf_assign", id_col, vec_col, round_dp), _build_cols
     )
     c = centroids.select(
@@ -175,6 +221,23 @@ def ivf_assign(
         F.col(vec_col),
         nrm.alias("vec_nrm"),
     )
+    if not with_vector:
+        if round_dp > 8:
+            raise ValueError(
+                "ivf_assign: packed argmax supports round_dp <= 8 "
+                f"(got {round_dp}) — (2*10^dp+1)*2^32 must stay inside "
+                "long"
+            )
+        cid_type = centroids.schema[id_col].dataType.simpleString()
+        scored = v.crossJoin(F.broadcast(c)).select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            sim.alias("cent_sim"),
+        )
+        return scored.groupBy(id_col).agg(packed.alias("_p")).select(
+            F.col(id_col),
+            unpack_cid.cast(cid_type).alias("centroid_id"),
+        )
     scored = v.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         F.col(vec_col),

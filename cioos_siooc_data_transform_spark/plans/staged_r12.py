@@ -3455,7 +3455,7 @@ def similarity_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding")
-    assigned = ivf_assign(emb, cent)
+    assigned = ivf_assign(emb, cent, with_vector=False)
     cells = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
     )

@@ -369,8 +369,8 @@ def embedding_cell_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = emb.filter(F.col("vec_id") < 16)
-    assigned = ivf_assign(emb, cent, id_col="vec_id", vec_col="embedding").select(
-        "vec_id", "centroid_id"
+    assigned = ivf_assign(
+        emb, cent, id_col="vec_id", vec_col="embedding", with_vector=False
     )
     cl = (
         assigned.join(emb.select("vec_id", "label"), "vec_id")

@@ -1796,7 +1796,7 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(8)
     ]
     cent = emb.filter(F.col("vec_id") < 8)
-    assigned = ivf_assign(emb, cent).select("vec_id", "centroid_id")
+    assigned = ivf_assign(emb, cent, with_vector=False)
     codes = pq_encode(emb, books).join(assigned, "vec_id")
     queries = emb.filter(F.col("vec_id") < 3).join(assigned, "vec_id")
     return pq_adc_topk(

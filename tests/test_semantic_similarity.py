@@ -672,3 +672,44 @@ def test_memoized_expression_columns_are_reused_and_equivalent(spark):
         a, b = fresh[name], memo[name]
         assert a.exceptAll(b).count() == 0, name
         assert b.exceptAll(a).count() == 0, name
+
+
+def test_ivf_assign_packed_argmax_matches_struct_path(spark):
+    """Round-13 optimization: with_vector=False plans the argmax as a
+    packed-long HashAggregate (8-byte buffer, no vector in the agg)
+    instead of the struct-max SortAggregate. Pin that both paths pick
+    the SAME centroid for every vector — including under rounded-sim
+    TIES (duplicated centroids force them; the min-centroid-id tiebreak
+    must hold, i.e. the duplicate ids never win) — and that the packed
+    plan really hash-aggregates."""
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    vecs = _planted_corpus(spark)
+    cents = vecs.filter(F.col("vec_id") < 8)
+    # duplicate centroid 0 under ids 200/201 and centroid 3 under 203:
+    # every vector nearest 0 or 3 now has 2-3 equal-rounded-sim choices.
+    dup = (
+        cents.filter(F.col("vec_id").isin([0, 0, 3]))
+        .select((F.col("vec_id") + 200).alias("vec_id"), "embedding")
+        .unionByName(
+            cents.filter(F.col("vec_id") == 0).select(
+                (F.col("vec_id") + 201).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    cent = cents.unionByName(dup)
+    via_struct = {
+        (r.vec_id, r.centroid_id)
+        for r in ivf_assign(vecs, cent).select("vec_id", "centroid_id").collect()
+    }
+    packed_df = ivf_assign(vecs, cent, with_vector=False)
+    via_packed = {(r.vec_id, r.centroid_id) for r in packed_df.collect()}
+    assert via_packed == via_struct
+    assert len(via_packed) == vecs.count()
+    # the duplicated centroid ids must never win a tie
+    assert all(cid < 200 for _, cid in via_packed)
+    plan = packed_df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
