@@ -43,9 +43,14 @@ _CHECKED = frozenset(
         # and dedup_exact are deliberately absent — ROTATED OUT in round
         # 13 (oldest load-bearing round-1 names; see ROTATION below).
         # They rejoin once their fresh CORRECTNESS_r13 rows land.
-        "filter_projection", "first_match_min",
+        # NB: filter_projection, anti_join_orphans, dedup_minhash_lsh and
+        # dedup_embedding_cosine are deliberately absent — ROTATED OUT in
+        # round 14 (dedup_embedding_cosine is moved-code: the round-13
+        # hyperplane_lsh_buckets restructure postdates its green row; the
+        # others are the oldest load-bearing round-1 names per the queue).
+        "first_match_min",
         "case_when_routing", "timestamp_range_filter", "null_pad_masking",
-        "coalesce_event_id", "anti_join_orphans",
+        "coalesce_event_id",
         "semi_join_present", "broadcast_lookup_join", "positional_schema_join",
         "minmax_per_group", "count_validation", "time_increment_inference",
         "sequence_timeseries", "sort_limit_topk",
@@ -53,8 +58,8 @@ _CHECKED = frozenset(
         "time_increment_decode", "epoch_seconds",
         "id_formatting", "substring_extract", "json_serialize",
         "unit_canonicalization", "basename_key_extract", "string_functions",
-        "datetime_functions", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+        "datetime_functions",
+        "dedup_simhash", "dedup_ngram_jaccard",
         "dedup_simhash_pairs", "dedup_edit_distance",
         # NB: similarity_topk_bruteforce and similarity_ivf_topk rotated
         # out in round 12, re-earned their rows on the norm-precompute
@@ -75,7 +80,9 @@ _CHECKED = frozenset(
         "text_gopher_filter", "cap_per_source", "mixture_temperature_weights",
         "lm_unigram_logprob", "text_pii_scrub", "vocab_top_tokens",
         "vocab_bpe_pair_counts", "running_user_totals_batch", "funnel_stages",
-        "gap_fill_locf", "sessionize_gap", "ios_parse_measurements",
+        # NB: ios_parse_measurements rotated out in round 14 (oldest
+        # load-bearing round-1/2 ingest name per the committed queue).
+        "gap_fill_locf", "sessionize_gap",
         "ios_parse_catalog", "ios_bodc_codes", "ios_observation_times",
         "ios_mooring_inferred_dt", "ios_mooring_timeseries", "gsw_sound_speed",
         "gsw_practical_salinity",
@@ -114,8 +121,11 @@ _CHECKED = frozenset(
         # NB: dedup_semantic_clusters rotated out in round 12, re-earned
         # its row (CORRECTNESS_r12), and rejoined via the round-12 block.
         "dedup_minhash_estimate_accuracy", "dedup_prefix_cluster",
+        # NB: embedding_random_projection rotated out in round 14
+        # (moved-code: the round-13 JL matrix-literal rewrite postdates
+        # its green row).
         "dedup_substring_overlap", "drift_ks_statistic", "embedding_centroid_distance",
-        "embedding_random_projection", "graph_triangle_count", "gsw_ct_from_t",
+        "graph_triangle_count", "gsw_ct_from_t",
         "gsw_potential_temperature", "gsw_rho_ct_native", "lateral_top_orders",
         "markov_transitions", "mode_per_group", "pack_chunks_fixed",
         "pack_greedy_nosplit", "pack_training_shards", "pareto_revenue_share",
@@ -132,8 +142,11 @@ _CHECKED = frozenset(
         "unpivot_metrics", "window_lag_lead_delta",
         # round 5 (all 50 green in CORRECTNESS_r05.json)
         "ab_test_lift", "asof_nearest_tolerance", "bucketed_colocated_join", "cusum_range_drift",
+        # NB: dedup_fingerprint_winnowing rotated out in round 14
+        # (moved-code: the round-13 distinct -> array_distinct rewrite
+        # postdates its green row).
         "dedup_bag_jaccard_pairs", "dedup_bbit_minhash", "dedup_component_size_histogram", "dedup_exact_normalized",
-        "dedup_fingerprint_winnowing", "dedup_layer_funnel", "dedup_source_survivorship", "dedup_winnowing_pairs",
+        "dedup_layer_funnel", "dedup_source_survivorship", "dedup_winnowing_pairs",
         "embedding_binary_signature", "embedding_knn_label_accuracy", "embedding_mahalanobis_diag", "events_dow_seasonality",
         # NB: graph_pagerank_iterations is deliberately absent — ROTATED
         # OUT in round 13: its lineage idiom changed to the eager
@@ -162,13 +175,17 @@ _CHECKED = frozenset(
         "events_value_entropy", "customer_first_last_delta", "events_top2_share",
         "nation_revenue_share", "customer_recency_bands",
         "text_duplicate_ngram_fraction", "vocab_js_divergence",
-        "embedding_energy_outliers", "knn_graph_degree_stats",
+        # NB: knn_graph_degree_stats rotated out in round 14 (moved-code:
+        # shares the restructured hyperplane_lsh_buckets operator).
+        "embedding_energy_outliers",
         "dedup_window_lines", "contamination_split_audit",
         "text_char_class_profile", "minhash_band_tuning_audit",
         "sketch_hll_merge_daily", "sketch_hll_intersection",
         "ios_profile_sigma_theta", "asof_join_forward", "funnel_time_to_convert",
         "lineitem_corr_matrix", "lineitem_hist2d", "gsw_pressure_from_depth",
-        "similarity_pq_adc_topk", "text_hapax_ratio", "events_interarrival_stats",
+        # NB: similarity_pq_adc_topk rotated out in round 14 (moved-code:
+        # the round-13 memoized _codebook_lit rewrite postdates its row).
+        "text_hapax_ratio", "events_interarrival_stats",
         "doc_length_deciles", "orders_abc_classification", "events_cdf_at_values",
         "basket_rule_metrics", "dedup_lsh_recall_audit", "events_ohlc_downsample",
         "doc_diversity_length_corr", "supplier_nation_herfindahl",
@@ -311,10 +328,14 @@ _CHECKED = frozenset(
         # — q1_pricing_summary, dedup_semantic_clusters,
         # similarity_lsh_topk, similarity_topk_bruteforce,
         # similarity_ivf_topk — which hereby rejoin)
+        # NB: dedup_semantic_clusters and similarity_lsh_topk rotated out
+        # AGAIN in round 14 (moved-code: the round-13 semantic_dedup
+        # overcap modes + hyperplane_lsh_buckets restructure postdate
+        # their round-12 rows; they lead the committed round-14 queue).
         "customer_energy_distance_segments", "customer_order_count_ztp_fit",
         "customer_spend_intraclass_corr", "decontam_ngram_size_sweep",
         "dedup_bucket_cap_sweep", "dedup_lsh_band_tradeoff",
-        "dedup_semantic_clusters", "dedup_winnowing_window_sweep",
+        "dedup_winnowing_window_sweep",
         "embedding_centroid_classifier_confusion",
         "events_dayk_retention_curve", "events_spectral_flatness",
         "events_type_hour_stdres_outliers", "graph_price_assortativity",
@@ -333,10 +354,41 @@ _CHECKED = frozenset(
         "part_price_ending_digits", "q1_pricing_summary",
         "sample_pps_horvitz_thompson", "similarity_adc_rank_correlation",
         "similarity_ivf_cell_balance", "similarity_ivf_topk",
-        "similarity_lsh_topk", "similarity_topk_bruteforce",
+        "similarity_topk_bruteforce",
         "supplier_type_concentration_cr4", "text_langid_calibration_curve",
         "text_ngram_entropy_rate_curve", "text_oov_vocab_curve",
         "text_sttr_by_source", "tpch_fd_violation_audit",
+        # round 13 (all 50 green in CORRECTNESS_r13.json: the 40
+        # activated staged_r13 names + 5 staged_r12.DEFER_TO_R13
+        # carry-overs + the 5 round-13 rotation re-earns —
+        # graph_pagerank_iterations, geo_containment_join,
+        # ranking_window_bodc, tz_fixed_offset, dedup_exact — which
+        # hereby rejoin)
+        "customer_churn_window_sweep", "customer_discounted_ltv",
+        "customer_purchase_clumpiness", "customer_spend_atkinson_index",
+        "dedup_exact", "dedup_lsh_precision_audit",
+        "dedup_sample_pair_bias", "dedup_semantic_tau_sweep",
+        "dedup_shingle_size_sweep", "embedding_cosine_label_auc",
+        "embedding_knn_mutuality", "events_friedman_dow_test",
+        "events_page_hinkley_drift", "geo_containment_join",
+        "graph_hub_removal_robustness", "graph_pagerank_iterations",
+        "gsw_alpha_beta_t_exact", "gsw_c_from_sp",
+        "gsw_chem_potential_dilution_t_exact", "gsw_ct_from_rho",
+        "gsw_enthalpy_t_exact", "gsw_hill_ratio_at_sp2",
+        "gsw_kappa_t_exact", "gsw_pot_enthalpy_ice_freezing",
+        "gsw_pot_rho_t_exact", "gsw_sound_speed_t_exact",
+        "gsw_sp_from_c", "gsw_specvol_rho_t_exact",
+        "ios_header_completeness_profile", "ios_malformed_file_audit",
+        "nation_rank_stability_tau", "orders_backtest_residual_ljungbox",
+        "orders_gap_weibull_shape", "orders_seasonal_amplitude_trend",
+        "orders_seasonal_mann_kendall", "orders_value_psi_drift",
+        "pack_truncation_loss_audit", "part_margin_audit",
+        "part_unit_price_dispersion", "partsupp_stock_cover_audit",
+        "ranking_window_bodc", "sample_neyman_allocation",
+        "similarity_srp_bit_independence", "sketch_cm_width_sweep",
+        "supplier_leadtime_consistency", "text_char_trigram_lang_affinity",
+        "text_dup_quality_association", "text_langid_stopword_budget",
+        "text_multilingual_doc_audit", "tz_fixed_offset",
     }
 )
 
@@ -373,7 +425,22 @@ _CHECKED = frozenset(
 # names (the GSW freezing-poly + Saunders + wave-M family) to the
 # round-14 activation.
 #
-# Round-14 rotation queue (per the priority rule):
+# Round-14 rotation (EXECUTED in this change, per the queue committed
+# in round 13): the 50 round-13 greens joined _CHECKED above; the 10
+# staged_r13.DEFER_TO_R14 names activated (registry 630 -> 640); and
+# these 11 names rotated OUT so the driver re-earns rows on moved code —
+#   dedup_semantic_clusters, similarity_lsh_topk, dedup_embedding_cosine,
+#   knn_graph_degree_stats, dedup_fingerprint_winnowing,
+#   embedding_random_projection, similarity_pq_adc_topk (round-13
+#   optimization-moved), then dedup_minhash_lsh, ios_parse_measurements,
+#   filter_projection, anti_join_orphans (oldest round-1 greens).
+# Fresh-name budget: 10 activations + 11 rotations = 21 fresh; the
+# driver's remaining 29 sample slots fall to the earliest _CHECKED names
+# in registry order as regression coverage. Names whose operator code
+# moves during round 14 itself are appended to the fresh set in the same
+# change as the move (see the round-14 NB notes above).
+#
+# The queue as committed in round 13 (retained for audit):
 #   dedup_semantic_clusters FIRST — round-13 work restructured
 #     operators/dedup.py::semantic_dedup (overcap="medoid"/"refine"
 #     modes + the shared candidate-union path; the query's own drop

@@ -134,3 +134,15 @@ staged_r12.activate(include_deferred=True)
 from cioos_siooc_data_transform_spark.plans import staged_r13  # noqa: E402
 
 staged_r13.activate()
+
+# Round-14 activation — third rotation round (optimization round 2 of 2,
+# no new staged slate): the 10 staged_r13.DEFER_TO_R14 carry-overs (the
+# GSW freezing-poly + Saunders + wave-M family, tri-scale green via
+# tools/staged_sim.py and pytest-covered since round 13) join the live
+# registry. The 50 round-13-green names moved to _CHECKED in
+# __spark_entry__.py in the same change, and the round-14 rotation queue
+# committed there in round 13 is EXECUTED: the round-13
+# optimization-moved names (led by dedup_semantic_clusters) plus the
+# oldest load-bearing round-1 greens leave _CHECKED so the driver
+# re-earns rows on moved code. Registry: 630 -> 640.
+staged_r13.activate(include_deferred=True)
