@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 
 
 # ---------------------------------------------------------------------------
@@ -446,11 +447,11 @@ def connected_components(
     # convergence probe), and without the checkpoint each of those jobs
     # would re-run the entire upstream candidate-pair pipeline (LSH,
     # minhash, shingling) — 3-4 full recomputations per round.
-    edges = (
+    edges = checkpoint_df(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        eager=True,
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -490,7 +491,7 @@ def connected_components(
         )
         # Checkpoint FIRST so the convergence probe reads materialized
         # labels instead of re-running the round's two joins.
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        new_labels = checkpoint_df(new_labels, eager=True)  # cut lineage per round
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 
 
 def vertex_degrees(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
@@ -77,7 +78,7 @@ def enumerate_triangles(
     edges were oriented. Three equi-joins, edge set localCheckpointed
     once (eager=False: lineage truncation without executing the edge
     job at plan-build time)."""
-    e = oriented.select(src, dst).localCheckpoint(eager=False)
+    e = checkpoint_df(oriented.select(src, dst), eager=False)
     e1 = e
     e2 = e.select(F.col(src).alias("_v"), F.col(dst).alias("_w"))
     e3 = e.select(F.col(src).alias("_u3"), F.col(dst).alias("_w3"))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 
 _PACK_SCHEMA = "source string, doc_id long, tokens long, bin_id long"
 
@@ -154,7 +155,7 @@ def pack_greedy_nosplit(
     # The pandas packing feeds BOTH the offsets aggregate and the final
     # join; without lineage truncation the expensive applyInPandas stage
     # executes twice. eager=False: materializes on first action.
-    packed = packed_raw.localCheckpoint(eager=False)
+    packed = checkpoint_df(packed_raw, eager=False)
     shard_bins = packed.groupBy("source", "shard").agg(
         F.max("bin_id").alias("nbins")
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 
 
 def occurrence_numbering(
@@ -251,10 +252,10 @@ def ranked_cumsum_range_shuffle(
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-    b = (
+    b = checkpoint_df(
         df.repartitionByRange(num_partitions, *order)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .withColumn("__pid", F.spark_partition_id()),
+        eager=False,
     )
     stats = b.groupBy("__pid").agg(
         F.count(F.lit(1)).cast("long").alias("__pn"),

@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 from cioos_siooc_data_transform_spark.plans.registry import register
 from cioos_siooc_data_transform_spark.session import read_table as _t
 
@@ -1677,7 +1678,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct+join+agg as a side effect of merely constructing /
     # EXPLAINing the query); the checkpoint materializes on the first
     # real action and the other join legs reuse it.
-    e = e.localCheckpoint(eager=False)
+    e = checkpoint_df(e, eager=False)
     e1 = e
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("b3"))

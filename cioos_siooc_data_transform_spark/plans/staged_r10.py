@@ -61,6 +61,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 from cioos_siooc_data_transform_spark.plans.staged_r5 import (
     _IN_SQL,
     _SA_SQL,
@@ -2001,7 +2002,7 @@ def graph_kcore3_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = checkpoint_df(_copurchase_edges(spark, sf_dir), eager=False)
     out = None
     for r in range(7):
         # Each round references the current edge set three times (the
@@ -2010,12 +2011,12 @@ def graph_kcore3_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recomputation multiplies ~3x per round (3^6 at round 6).
         # The lazy checkpoints make every round's relation compute
         # once and be block-reused by all downstream references.
-        deg = (
+        deg = checkpoint_df(
             e.select(F.col("a").alias("u"))
             .unionAll(e.select(F.col("b").alias("u")))
             .groupBy("u")
-            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-            .localCheckpoint(eager=False)
+            .agg(F.count(F.lit(1)).cast("long").alias("deg")),
+            eager=False,
         )
         row = deg.agg(
             F.lit(r).cast("long").alias("round"),
@@ -2024,11 +2025,13 @@ def graph_kcore3_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = row if out is None else out.unionByName(row)
         if r < 6:
             keep = deg.filter(F.col("deg") >= 3).select("u")
-            e = (
+            e = checkpoint_df(
                 e.join(
                     keep.select(F.col("u").alias("a")), "a", "left_semi"
                 ).join(keep.select(F.col("u").alias("b")), "b", "left_semi")
-            ).select("a", "b").localCheckpoint(eager=False)
+                .select("a", "b"),
+                eager=False,
+            )
     return out
 
 
@@ -2062,7 +2065,7 @@ def graph_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         _copurchase_edges,
     )
 
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = checkpoint_df(_copurchase_edges(spark, sf_dir), eager=False)
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -2508,26 +2511,26 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         * (F.col("sj").cast("double") / 1.0e6)
         / n_d
     ) / n_d
-    cov = (
+    cov = checkpoint_df(
         mom.join(F.broadcast(s), "i")
         .join(F.broadcast(sj), "j")
         .select(
             "i",
             "j",
             F.floor(c_d * 1.0e12 + 0.5).cast("long").alias("cq"),
-        )
-        .localCheckpoint(eager=False)
+        ),
+        eager=False,
     )
     v = cov.select("j").distinct().select(
         "j", F.lit(125000000).cast("long").alias("vq")
     )
     u = None
     for _ in range(8):
-        u = (
+        u = checkpoint_df(
             cov.join(F.broadcast(v), "j")
             .groupBy("i")
-            .agg(F.sum(dec("cq") * dec("vq")).cast("decimal(38,0)").alias("u"))
-            .localCheckpoint(eager=False)
+            .agg(F.sum(dec("cq") * dec("vq")).cast("decimal(38,0)").alias("u")),
+            eager=False,
         )
         u_d = F.col("u").cast("double") / 1.0e21
         nrm = u.agg(
@@ -2537,21 +2540,21 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("double")
             .alias("n2")
         )
-        v = (
+        v = checkpoint_df(
             u.crossJoin(F.broadcast(nrm))
             .select(
                 F.col("i").alias("j"),
                 F.floor(u_d / F.sqrt(F.col("n2") / 1.0e18) * 1.0e9 + 0.5)
                 .cast("long")
                 .alias("vq"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
-    u9 = (
+    u9 = checkpoint_df(
         cov.join(F.broadcast(v), "j")
         .groupBy("i")
-        .agg(F.sum(dec("cq") * dec("vq")).cast("decimal(38,0)").alias("u"))
-        .localCheckpoint(eager=False)
+        .agg(F.sum(dec("cq") * dec("vq")).cast("decimal(38,0)").alias("u")),
+        eager=False,
     )
     vi = v.select(F.col("j").alias("i"), "vq")
     pair = u9.join(vi, "i")

@@ -81,6 +81,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 from cioos_siooc_data_transform_spark.plans.dedup_queries import (
     _LSH_CAND_CTES,
     _SHINGLES_CTE,
@@ -1333,7 +1334,7 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )
-    und = und.localCheckpoint(eager=True)
+    und = checkpoint_df(und, eager=True)
     edges = und.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -1348,7 +1349,7 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps und and materializes only the node-sized aggregate).
     # Bit-identical (exceptAll both ways = 0 at sf0.1); isolated A/B
     # min 3.27 → 2.63 s, median 3.49 → 3.03 s (idle host, min-of-5).
-    deg = deg.localCheckpoint(eager=True)
+    deg = checkpoint_df(deg, eager=True)
     n_nodes = deg.count()  # scalar: node count (bounded driver value)
     if n_nodes == 0:
         # empty support->=2 graph: the oracle yields an empty result

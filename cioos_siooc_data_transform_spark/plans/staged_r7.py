@@ -76,6 +76,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 from cioos_siooc_data_transform_spark.plans.staged_r6 import (
     _cents as _cents_col,
     ols_slope_from_sums,
@@ -1640,7 +1641,7 @@ def _transition_counts(spark: SparkSession, sf_dir: str):
         .groupBy("prev", "next")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    t = t.localCheckpoint(eager=False)
+    t = checkpoint_df(t, eager=False)
     rt = (
         t.groupBy("prev")
         .agg(F.sum("c").cast("long").alias("total"))
@@ -2554,7 +2555,7 @@ def events_lagged_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    m = m.localCheckpoint(eager=False)
+    m = checkpoint_df(m, eager=False)
     lags = ev.sparkSession.createDataFrame([(i,) for i in range(6)], "lag LONG")
     a = m.select(F.col("minute_idx").alias("mi"), F.col("x").cast("decimal(19,0)").alias("x"))
     b = m.select(F.col("minute_idx").alias("mj"), F.col("y").cast("decimal(19,0)").alias("y"))

@@ -49,6 +49,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cioos_siooc_data_transform_spark.session import checkpoint_df
 from cioos_siooc_data_transform_spark.plans.staged_r6 import (
     _cents,
     pearson_r_from_sums,
@@ -2552,7 +2553,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     picounits (1e-12) BEFORE the group sum on both engines, so the sum
     is exact; the final mean floors at 1e-6, six decades above the
     quantum."""
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = checkpoint_df(_copurchase_edges(spark, sf_dir), eager=False)
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
     tri = e.join(e2, e.b == e2.b2a).join(
@@ -2626,7 +2627,7 @@ def graph_common_neighbors_linkpred(
     never a full sort; the wedge fan-out is bounded by the support>=2
     degree cap here — operators/graphs.py's degree-oriented machinery
     is the adversarial-hub escape hatch."""
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = checkpoint_df(_copurchase_edges(spark, sf_dir), eager=False)
     adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )

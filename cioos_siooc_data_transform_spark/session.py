@@ -76,6 +76,31 @@ def get_spark(app_name: str = "cioos-siooc-spark", shuffle_partitions: int | Non
     return builder.getOrCreate()
 
 
+def checkpoint_df(df, eager: bool):
+    """Lineage-truncation point for iterative / multi-consumer plans.
+
+    Default: ``DataFrame.localCheckpoint(eager)`` — executor-local
+    shuffle-free materialization, measured-best locally and at XL
+    (SCALE.md round 12). localCheckpoint blocks live only on the
+    executors that wrote them: on a real cluster an executor loss makes
+    them unrecoverable (no lineage to rebuild from), which is fine for
+    a re-runnable batch query but wrong on preemptible nodes (round-13
+    verdict item 3). Escape hatch: set ``$SPARK_GRAFT_CHECKPOINT_DIR``
+    to an HDFS/object-store path and every call site switches to the
+    RELIABLE ``checkpoint()`` into that directory — blocks survive
+    executor loss at the cost of one write+read through the filesystem.
+    Local default unchanged; results identical either way (both
+    materialize the same rows; only the storage tier differs).
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 #: path -> (inferred Spark StructType, [TIMESTAMP(NANOS) column names]).
 #: Metadata-only memo (see the block comment inside read_table); the
 #: testdata fixtures are immutable per path, and a changed path is a
