@@ -105,7 +105,11 @@ _CHECKED = frozenset(
         "gsw_rho_sigma0", "gsw_sa_from_sp", "incremental_agg_merge",
         "interval_bin_join", "ios_fortran_format_parse",
         "json_malformed_tolerance", "json_props_extract", "key_skew_profile",
-        "linear_trend_per_type", "map_roundtrip", "market_basket_pairs",
+        # NB: market_basket_pairs rotated out MID-round-14 (moved-code:
+        # its pair-support base moved to the shared collect_set
+        # pair-generation operator, operators/graphs.py::
+        # copurchase_pair_support, in the same change as this NB).
+        "linear_trend_per_type", "map_roundtrip",
         "merge_upsert_latest", "multimodal_frame_sample_fps",
         "ntile_quartile_buckets", "null_profile", "null_safe_join",
         "percent_rank_cume_dist", "q18_large_orders", "q6_forecast_revenue",
@@ -124,8 +128,10 @@ _CHECKED = frozenset(
         # NB: embedding_random_projection rotated out in round 14
         # (moved-code: the round-13 JL matrix-literal rewrite postdates
         # its green row).
+        # NB: graph_triangle_count rotated out MID-round-14 (moved-code:
+        # edge derivation moved to copurchase_pair_support).
         "dedup_substring_overlap", "drift_ks_statistic", "embedding_centroid_distance",
-        "graph_triangle_count", "gsw_ct_from_t",
+        "gsw_ct_from_t",
         "gsw_potential_temperature", "gsw_rho_ct_native", "lateral_top_orders",
         "markov_transitions", "mode_per_group", "pack_chunks_fixed",
         "pack_greedy_nosplit", "pack_training_shards", "pareto_revenue_share",

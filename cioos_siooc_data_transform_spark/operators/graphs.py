@@ -25,6 +25,54 @@ from pyspark.sql import functions as F
 from cioos_siooc_data_transform_spark.session import checkpoint_df
 
 
+def copurchase_pair_support(
+    items: DataFrame,
+    order_col: str = "l_orderkey",
+    part_col: str = "l_partkey",
+) -> DataFrame:
+    """(pa, pb, support) for every unordered part pair co-occurring in
+    at least one order, pa < pb, support = number of distinct orders
+    containing both.
+
+    Round-14 form (guide §2.4 — remove the shuffle): ONE shuffle
+    assembles each order's distinct part set (``collect_set`` — the
+    combiner dedups map-side, so sorted-by-order parquet collapses to
+    ~1 row/order before the exchange), pairs are generated IN-ARRAY
+    with higher-order functions (no self-join, no second scan-side
+    exchange), and the pair count stays the same combiner-friendly
+    hash agg. Replaces distinct + self-join + pair agg: 3 Exchanges
+    and a sort-merge join -> 2 Exchanges, no join. Equivalence:
+    ``sort_array(collect_set(p))`` = the order's distinct parts
+    ascending, and element i paired with every later element is
+    exactly the pa < pb pair set of the old distinct+self-join
+    (exceptAll both ways = 0 at sf0.001/0.01/0.1).
+
+    Scale note: baskets are bounded (TPC-H orders hold <= 7 items; any
+    100 TB co-occurrence job caps basket size first — the LSH
+    mega-bucket guard), so the per-order array and its pair fan-out
+    are O(1) and the pair aggregation keys stay uniform."""
+    arrs = items.groupBy(order_col).agg(
+        F.sort_array(F.collect_set(part_col)).alias("__ps")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__ps"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ps"), i + F.lit(2), F.size(F.col("__ps"))),
+                    lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+                ),
+            )
+        )
+    )
+    return (
+        arrs.select(pair.alias("__p"))
+        .select("__p.pa", "__p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
 def vertex_degrees(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
     """(vertex, degree) over an undirected edge set given as one row per
     edge (either direction, no duplicates). One explode + one

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.session import checkpoint_df
+from cioos_siooc_data_transform_spark.operators.graphs import copurchase_pair_support
 from cioos_siooc_data_transform_spark.plans.registry import register
 from cioos_siooc_data_transform_spark.session import read_table as _t
 
@@ -1235,15 +1236,17 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies, exactly the LSH mega-bucket pattern). The pair count is a
     combiner-friendly hash agg on the (uniform) pair key."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    # Round-14: shared collect_set pair-generation derivation (one
+    # exchange + in-array pair explode, no self-join) — see
+    # operators/graphs.py::copurchase_pair_support.
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        copurchase_pair_support(li.select("l_orderkey", "l_partkey"))
         .filter(F.col("support") >= 2)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("support").cast("long").alias("support"),
+        )
     )
 
 
@@ -1655,14 +1658,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_graphs.py). Three shuffles: the edge agg and the two
     hash joins (edge set reused — one scan)."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # Round-14: the decomposition showed the edge DERIVATION is ~100%
+    # of this query's wall (edges-only 1.57 s vs full 1.54 s min,
+    # interleaved A/B at sf0.1) — the wedge joins downstream handle
+    # only the ~3.6k support>=2 edges. The derivation now comes from
+    # the shared collect_set pair-generation operator (one exchange
+    # assembles per-order part sets, pairs explode in-array, no
+    # self-join — operators/graphs.py::copurchase_pair_support).
     e = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
+        copurchase_pair_support(li.select("l_orderkey", "l_partkey"))
         .filter(F.col("support") >= 2)
         .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )

@@ -82,6 +82,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cioos_siooc_data_transform_spark.session import checkpoint_df
+from cioos_siooc_data_transform_spark.operators.graphs import copurchase_pair_support
 from cioos_siooc_data_transform_spark.plans.dedup_queries import (
     _LSH_CAND_CTES,
     _SHINGLES_CTE,
@@ -1323,14 +1324,13 @@ def graph_pagerank_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter — no per-round actions. At 100 TB the same loop runs with
     the degree table bucketed and AQE skew-splitting hub nodes."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    # Round-14: edge derivation via the shared collect_set
+    # pair-generation operator (one exchange + in-array pair explode,
+    # no distinct+self-join — operators/graphs.py::
+    # copurchase_pair_support); the derivation was ~70% of this
+    # query's wall in the round-14 decomposition.
     und = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
+        copurchase_pair_support(li.select("l_orderkey", "l_partkey"))
         .filter(F.col("support") >= 2)
         .select("pa", "pb")
     )

@@ -2494,15 +2494,16 @@ _EDGES_SQL = """
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-14: shared collect_set pair-generation derivation (one
+    # exchange + in-array pair explode, no distinct+self-join) —
+    # operators/graphs.py::copurchase_pair_support.
+    from cioos_siooc_data_transform_spark.operators.graphs import (
+        copurchase_pair_support,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     return (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
+        copurchase_pair_support(li.select("l_orderkey", "l_partkey"))
         .filter(F.col("support") >= 2)
         .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )

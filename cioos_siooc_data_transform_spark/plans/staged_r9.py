@@ -2029,15 +2029,16 @@ def _copurchase_edges_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared support>=2 co-purchase edge list (same construction
     as staged_r8's wave M; duplicated here so the parked modules stay
     import-independent after activation ordering)."""
+    # Round-14: shared collect_set pair-generation derivation (one
+    # exchange + in-array pair explode, no distinct+self-join) —
+    # operators/graphs.py::copurchase_pair_support.
+    from cioos_siooc_data_transform_spark.operators.graphs import (
+        copurchase_pair_support,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
     return (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("support"))
+        copurchase_pair_support(li.select("l_orderkey", "l_partkey"))
         .filter(F.col("support") >= 2)
         .select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     )

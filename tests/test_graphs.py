@@ -110,3 +110,39 @@ def test_degree_orientation_flattens_hub_fanout(spark):
         for r in triangle_count(edges, orientation="degree").collect()
     }
     assert got == {0: 199}
+
+
+def test_copurchase_pair_support_matches_self_join(spark):
+    """The round-14 collect_set pair-generation derivation must yield
+    exactly the distinct+self-join pair-support relation (same pairs,
+    same support counts), including duplicate item rows per order and
+    singleton orders."""
+    from cioos_siooc_data_transform_spark.operators.graphs import (
+        copurchase_pair_support,
+    )
+
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for k in range(40):
+        # baskets of 1..7 items, with deliberate duplicate rows
+        items = rng.sample(range(25), rng.randint(1, 7))
+        for p in items:
+            rows.append((k, p))
+            if rng.random() < 0.3:
+                rows.append((k, p))  # duplicate lineitem row
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+
+    items = df.distinct()
+    a = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    old = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    new = copurchase_pair_support(df)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0

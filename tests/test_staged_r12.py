@@ -62,8 +62,11 @@ def test_budget():
 
 def test_rotation_names_rejoined_checked():
     """The 5 round-12 rotated names earned fresh green rows
-    (CORRECTNESS_r12) and must have REJOINED _CHECKED in round 13 —
-    a rotated name left fresh would burn a round-13 sample slot."""
+    (CORRECTNESS_r12) and REJOINED _CHECKED in round 13. In round 14,
+    two of them (dedup_semantic_clusters, similarity_lsh_topk) rotated
+    OUT again per the moved-code-rotates-first policy (their operators
+    were restructured by the round-13 optimizations); those two must be
+    fresh, the other three must still be checked, and all five live."""
     from cioos_siooc_data_transform_spark.plans import all_queries
 
     import __spark_entry__ as entrymod
@@ -75,8 +78,11 @@ def test_rotation_names_rejoined_checked():
         "similarity_topk_bruteforce",
         "similarity_ivf_topk",
     }
-    not_back = rotated - entrymod._CHECKED
+    rerotated_r14 = {"dedup_semantic_clusters", "similarity_lsh_topk"}
+    not_back = (rotated - rerotated_r14) - entrymod._CHECKED
     assert not not_back, f"r12-rotated names did not rejoin _CHECKED: {not_back}"
+    stale = rerotated_r14 & entrymod._CHECKED
+    assert not stale, f"round-14 re-rotated names still in _CHECKED: {stale}"
     live = set(all_queries())
     assert rotated <= live, f"rotated names missing from registry: {rotated - live}"
 
@@ -84,16 +90,19 @@ def test_rotation_names_rejoined_checked():
 def test_activated_names_are_checked():
     """Every round-12-green name (the 45 activated + the 5 rotation
     re-earns, per CORRECTNESS_r12.json) must sit in _CHECKED so the
-    round-13 fresh sample is spent on never-checked names only."""
+    fresh sample is spent on never-checked names only. The
+    DEFER_TO_R13 carry-overs earned their green rows in round 13 and
+    must now be checked too."""
     import __spark_entry__ as entrymod
 
     qs, _, _ = _staged()
     deferred = _deferred()
     missing = (set(qs) - deferred) - entrymod._CHECKED
     assert not missing, f"r12-green staged names not in _CHECKED: {missing}"
-    leaked_deferred = deferred & entrymod._CHECKED
-    assert not leaked_deferred, (
-        f"DEFER_TO_R13 names have no green row yet, must stay fresh: {leaked_deferred}"
+    unchecked_deferred = deferred - entrymod._CHECKED
+    assert not unchecked_deferred, (
+        f"DEFER_TO_R13 names earned green rows in round 13, must be "
+        f"checked now: {unchecked_deferred}"
     )
 
 

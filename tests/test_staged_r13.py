@@ -1,10 +1,9 @@
-"""The round-13 slate (plans/staged_r13.py) is LIVE as of round 13
-minus DEFER_TO_R14: activated from plans/__init__.py in the second
-rotation round (40 slate names + the 5 staged_r12.DEFER_TO_R13
-carry-overs + 5 rotated _CHECKED names = the driver's 50-fresh
-sample). The GSW freezing-poly + Saunders + wave-M family
-(DEFER_TO_R14) stays parked until round 14's
-``activate(include_deferred=True)``. The one calendar-bounded window
+"""The round-13 slate (plans/staged_r13.py) is FULLY LIVE as of round
+14: round 13 activated 40 slate names (+ the 5 staged_r12
+DEFER_TO_R13 carry-overs + 5 rotated _CHECKED names = that round's
+50-fresh sample); round 14's ``activate(include_deferred=True)``
+brought in the GSW freezing-poly + Saunders + wave-M family
+(DEFER_TO_R14), registry 630 -> 640. The one calendar-bounded window
 in the slate (events_page_hinkley_drift) carries its justified
 allowlist entry in tests/test_plans.py."""
 
@@ -32,10 +31,10 @@ def _deferred():
 
 
 def test_staged_now_registered_except_deferred():
-    """Round 13 activated the slate minus DEFER_TO_R14: every
-    non-deferred staged name must be live in the registry with its
-    oracle; every deferred name must still be parked (the round-14
-    fresh-sample budget depends on it)."""
+    """Round 14 activated the slate fully (round 13 brought the
+    non-deferred 40, round 14's activate(include_deferred=True) the
+    DEFER_TO_R14 GSW family): every staged name must be live in the
+    registry with its oracle."""
     from cioos_siooc_data_transform_spark.plans import all_oracles, all_queries
 
     qs, os_, reps = _staged()
@@ -43,12 +42,10 @@ def test_staged_now_registered_except_deferred():
     assert set(qs) == set(os_)
     assert deferred <= set(qs), "DEFER_TO_R14 names must be staged names"
     live_q, live_o = all_queries(), all_oracles()
-    missing = (set(qs) - deferred) - set(live_q)
+    missing = set(qs) - set(live_q)
     assert not missing, f"staged queries not activated: {missing}"
-    missing_o = (set(os_) - deferred) - set(live_o)
+    missing_o = set(os_) - set(live_o)
     assert not missing_o, f"staged oracles not activated: {missing_o}"
-    leaked = deferred & set(live_q)
-    assert not leaked, f"deferred r13 queries leaked into the live registry: {leaked}"
     for name, (fn, _) in reps.items():
         assert name in live_q, f"replacement {name} has no live twin"
         assert live_q[name] is fn, f"replacement {name} not applied"
@@ -76,35 +73,59 @@ ROTATED_R13 = {
 
 
 def test_rotation_names_are_fresh():
-    """The 5 rotated names must be absent from _CHECKED (so the driver
-    re-samples them) while still being live registry entries."""
+    """The 5 round-13 rotated names earned their fresh green rows
+    (CORRECTNESS_r13) and must have REJOINED _CHECKED in round 14,
+    and still be live registry entries."""
     from cioos_siooc_data_transform_spark.plans import all_queries
 
     import __spark_entry__ as entrymod
 
-    still_checked = ROTATED_R13 & entrymod._CHECKED
-    assert not still_checked, f"rotated names still in _CHECKED: {still_checked}"
+    not_back = ROTATED_R13 - entrymod._CHECKED
+    assert not not_back, f"r13-rotated names did not rejoin _CHECKED: {not_back}"
     live = set(all_queries())
     assert ROTATED_R13 <= live, f"rotated names missing from registry: {ROTATED_R13 - live}"
 
 
-def test_fresh_sample_is_exactly_fifty():
-    """The driver takes the FIRST 50 names in dict order; the fresh
-    (not-in-_CHECKED) prefix must be exactly the 40 activated
-    staged_r13 names + the 5 staged_r12.DEFER_TO_R13 carry-overs +
-    the 5 rotated names."""
-    from cioos_siooc_data_transform_spark.plans.staged_r12 import DEFER_TO_R13
+ROTATED_R14 = {
+    # round-13 optimization-moved names (moved-code-rotates-first)
+    "dedup_semantic_clusters",
+    "similarity_lsh_topk",
+    "dedup_embedding_cosine",
+    "knn_graph_degree_stats",
+    "dedup_fingerprint_winnowing",
+    "embedding_random_projection",
+    "similarity_pq_adc_topk",
+    # oldest load-bearing round-1 greens
+    "dedup_minhash_lsh",
+    "ios_parse_measurements",
+    "filter_projection",
+    "anti_join_orphans",
+    # mid-round-14 moves: edge derivation moved to
+    # operators/graphs.py::copurchase_pair_support
+    "market_basket_pairs",
+    "graph_triangle_count",
+}
 
+
+def test_fresh_sample_leads_round14():
+    """The driver takes the FIRST 50 names in dict order; the fresh
+    (not-in-_CHECKED) prefix must be exactly the 10 activated
+    DEFER_TO_R14 names + the 13 round-14 rotated names (11 from the
+    committed queue + 2 mid-round moved-code rotations), and must
+    lead the dict order so the driver's 50-name sample covers them
+    all (the remaining slots fall to _CHECKED names as regression
+    coverage)."""
     import __spark_entry__ as entrymod
 
-    qs, _, _ = _staged()
     deferred = _deferred()
     names = list(entrymod.queries())
     fresh = [n for n in names if n not in entrymod._CHECKED]
-    expected = (set(qs) - deferred) | set(DEFER_TO_R13) | ROTATED_R13
-    assert len(fresh) == 50
-    assert set(fresh) == expected
-    assert names[:50] == fresh, "fresh names must lead the dict order"
+    expected = set(deferred) | ROTATED_R14
+    assert set(fresh) == expected, (
+        f"unexpected fresh set: +{set(fresh) - expected} -{expected - set(fresh)}"
+    )
+    assert len(fresh) <= 50, "fresh names must fit the driver's 50-name sample"
+    assert names[: len(fresh)] == fresh, "fresh names must lead the dict order"
 
 
 def test_no_collision_with_earlier_slates():
@@ -227,13 +248,14 @@ def test_replacement_matches_oracle(spark, name):
 
 
 def test_activate_idempotent_after_import():
-    """plans/__init__.py already ran activate(); a second call must be a
-    no-op (0 newly-registered names) — and it must NOT sneak the
-    deferred names in."""
+    """plans/__init__.py already ran activate(include_deferred=True)
+    in round 14; further calls must be no-ops (0 newly-registered
+    names) and the deferred family must be live."""
     from cioos_siooc_data_transform_spark.plans import all_queries, staged_r13
 
     assert staged_r13.activate() == 0
-    assert not _deferred() & set(all_queries())
+    assert staged_r13.activate(include_deferred=True) == 0
+    assert _deferred() <= set(all_queries())
 
 
 def test_registered_callables_are_the_staged_ones():
