@@ -171,7 +171,18 @@ def ivf_assign(
     Both paths produce bit-identical assignments (exceptAll = 0 both
     ways at sf0.1 and on a 200k synthetic corpus with duplicated
     centroids forcing rounded-sim ties; all 7 consuming registered
-    queries PASS their DuckDB oracles at sf0.01 AND sf0.1)."""
+    queries PASS their DuckDB oracles at sf0.01 AND sf0.1).
+
+    PRECONDITIONS (round-14 ADVICE hardening): non-zero-norm vectors
+    AND centroids — cosine_expr's precondition applies; a zero norm
+    makes cent_sim NaN, and the two formulations then diverge (the
+    struct max treats NaN as the greatest double, the packed key
+    rounds it to 0) — callers on possibly-degenerate data must filter
+    zero norms first (tests pin that the synthetic embeddings contain
+    none at any SF). Centroid ids must satisfy 0 <= id < 2^31 for the
+    packed encoding; the packed path VALIDATES this at runtime on the
+    broadcast-sized centroid relation (raise_error — cost is K rows)
+    instead of silently overflowing the low 32-bit field."""
     # The assignment's column expressions depend only on (id_col,
     # vec_col, round_dp) — memoized as one tuple so repeated plan
     # constructions (each dot_expr chain is ~40 py4j round trips)
@@ -229,6 +240,23 @@ def ivf_assign(
                 "long"
             )
         cid_type = centroids.schema[id_col].dataType.simpleString()
+        # Validate the packed-encoding id invariant on the K-row
+        # broadcast side: a negative or >= 2^31 id would overflow the
+        # low 32-bit field into the sim field and silently mis-assign.
+        cid_ok = (F.col("centroid_id") >= 0) & (
+            F.col("centroid_id").cast("long") < F.lit(2147483648)
+        )
+        c = c.withColumn(
+            "cent_nrm",
+            F.when(cid_ok, F.col("cent_nrm")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "ivf_assign: packed argmax requires "
+                        "0 <= centroid_id < 2^31"
+                    )
+                )
+            ),
+        )
         scored = v.crossJoin(F.broadcast(c)).select(
             F.col(id_col),
             F.col("centroid_id"),

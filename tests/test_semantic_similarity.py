@@ -713,3 +713,28 @@ def test_ivf_assign_packed_argmax_matches_struct_path(spark):
     plan = packed_df._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
     assert "SortAggregate" not in plan
+
+
+def test_ivf_assign_packed_argmax_rejects_out_of_range_ids(spark):
+    """Round-14 ADVICE hardening: the packed encoding requires
+    0 <= centroid_id < 2^31; ids outside that range would overflow the
+    low 32-bit field into the sim field and silently mis-assign. The
+    packed path must now raise at runtime (validated on the K-row
+    broadcast centroid relation), while in-range ids are untouched."""
+    import pytest as _pytest
+
+    from cioos_siooc_data_transform_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    vecs = _planted_corpus(spark)
+    cents = vecs.filter(F.col("vec_id") < 8)
+    bad_neg = cents.select((F.col("vec_id") - 100).alias("vec_id"), "embedding")
+    with _pytest.raises(Exception, match="0 <= centroid_id < 2\\^31"):
+        ivf_assign(vecs, bad_neg, with_vector=False).collect()
+    bad_big = cents.select(
+        (F.col("vec_id") + F.lit(2147483648).cast("long")).alias("vec_id"),
+        "embedding",
+    )
+    with _pytest.raises(Exception, match="0 <= centroid_id < 2\\^31"):
+        ivf_assign(vecs, bad_big, with_vector=False).collect()
