@@ -56,20 +56,18 @@ def test_no_cartesian_in_asof(spark):
     assert "Window" in plan  # union+window formulation, not a range join
 
 
-def test_no_cartesian_in_any_dedup_or_similarity_plan(spark):
+def test_no_cartesian_in_any_dedup_or_similarity_plan(spark, registry_plans):
     """Every dedup/similarity operator must be blocked (equi-join on a
     bucket/block key) — an all-pairs cartesian is the one plan shape that
     can never survive 100 TB. brute-force top-k is exempt: its crossJoin
     against the BROADCAST query set is the intended streaming plan."""
-    from cioos_siooc_data_transform_spark.plans import all_queries
-
     names = [
-        n for n in all_queries()
+        n for n in registry_plans
         if n.startswith("dedup_") or n.startswith("similarity_")
     ]
     assert len(names) >= 8
     for name in names:
-        plan = _plan(spark, name)
+        plan = registry_plans[name].formatted
         # A true cartesian (two unbounded sides) is always wrong.
         assert "CartesianProduct" not in plan, name
         # Pair-generating dedup ops must be bucket equi-joins; a nested
@@ -336,7 +334,7 @@ _EAGER_BY_DESIGN = {
 }
 
 
-def test_plan_construction_runs_no_hidden_actions(spark):
+def test_plan_construction_runs_no_hidden_actions(registry_plans):
     """Building EVERY registered query plan must be lazy: the only
     Spark jobs allowed during construction are parquet footer/schema
     reads ('parquet at ...' stages — unavoidable, schema inference IS
@@ -344,30 +342,16 @@ def test_plan_construction_runs_no_hidden_actions(spark):
     materialization surfaces as a non-parquet stage and fails the
     audit. (Round-5 verdict: sketch_frequent_items hid a
     freqItems().collect(); it is lazy now, and this pins the whole
-    registry.)"""
-    from cioos_siooc_data_transform_spark.plans import all_queries
-
-    sc = spark.sparkContext
-    tracker = sc.statusTracker()
-    offenders = {}
-    for name, fn in all_queries().items():
-        if name in _EAGER_BY_DESIGN or name.startswith("ios_"):
-            continue
-        group = f"plan-build-audit-{name}"
-        sc.setJobGroup(group, "plan construction laziness audit")
-        try:
-            fn(spark, SF_DIR_SMOKE)
-        finally:
-            sc.setJobGroup(None, None)
-        bad_stages = []
-        for jid in tracker.getJobIdsForGroup(group):
-            info = tracker.getJobInfo(jid)
-            for sid in info.stageIds if info else []:
-                sinfo = tracker.getStageInfo(sid)
-                if sinfo and "parquet at" not in sinfo.name:
-                    bad_stages.append(sinfo.name)
-        if bad_stages:
-            offenders[name] = bad_stages
+    registry.) The per-name job-group tracking happens once in the
+    session-scoped registry_plans fixture (conftest.py) that all the
+    registry-wide audits share."""
+    offenders = {
+        name: rec.hidden_stages
+        for name, rec in registry_plans.items()
+        if rec.hidden_stages
+        and name not in _EAGER_BY_DESIGN
+        and not name.startswith("ios_")
+    }
     assert not offenders, (
         "plan construction ran hidden non-schema Spark work: "
         f"{offenders}"
@@ -419,27 +403,25 @@ _ALLOWED_UNPARTITIONED_WINDOWS = {
 }
 
 
-def test_no_unbounded_unpartitioned_window_registry_wide(spark):
+def test_no_unbounded_unpartitioned_window_registry_wide(registry_plans):
     """The round-8/9 migration invariant, pinned: no registered query
     may plan a Window over a single partition unless its input is
     bounded by construction — either the two-pass operators' internal
     bucket/pid offset tables (detected structurally) or a named
     allowlist entry above. This is what turns 'correct at sf0.1,
     one-task sort at 100 TB' from a per-round judge finding into a CI
-    failure."""
+    failure. Plans come from the shared registry_plans fixture."""
     from cioos_siooc_data_transform_spark.plan_guards import (
         find_unpartitioned_windows,
         is_operator_internal,
     )
-    from cioos_siooc_data_transform_spark.plans import all_queries
 
     offenders: dict[str, list[str]] = {}
-    stale_allowlist = set(_ALLOWED_UNPARTITIONED_WINDOWS) - set(all_queries())
-    for name, fn in all_queries().items():
-        plan = fn(spark, SF_DIR_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    stale_allowlist = set(_ALLOWED_UNPARTITIONED_WINDOWS) - set(registry_plans)
+    for name, rec in registry_plans.items():
         found = [
             sig
-            for (_w, sig) in find_unpartitioned_windows(plan)
+            for (_w, sig) in find_unpartitioned_windows(rec.executed)
             if not is_operator_internal(sig)
         ]
         if found and name not in _ALLOWED_UNPARTITIONED_WINDOWS:

@@ -8,18 +8,13 @@ from __future__ import annotations
 
 from pyspark.sql.types import ArrayType, DateType, MapType, StructType
 
-from tests.conftest import SF_DIR_SMOKE
-
 _FORBIDDEN = (ArrayType, StructType, MapType, DateType)
 
 
-def test_no_query_emits_canon_unsafe_types(spark):
-    from cioos_siooc_data_transform_spark.plans import all_queries
-
+def test_no_query_emits_canon_unsafe_types(registry_plans):
     offenders = []
-    for name, fn in sorted(all_queries().items()):
-        df = fn(spark, SF_DIR_SMOKE)
-        for f in df.schema.fields:
+    for name in sorted(registry_plans):
+        for f in registry_plans[name].schema.fields:
             if isinstance(f.dataType, _FORBIDDEN):
                 offenders.append((name, f.name, str(f.dataType)))
     assert not offenders, f"canon-unsafe output columns: {offenders}"

@@ -6,7 +6,13 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_DIR_SMOKE
+from tests.conftest import SF_DIR_SMOKE, slow_gate
+
+# Parked slate: not in the live registry, never sampled by the
+# grading driver. Full coverage re-runs behind SPARK_GRAFT_SLOW_TESTS=1
+# and at activation time (round 14, VERDICT item 1: keep the default
+# pytest run inside the driver's verify window).
+pytestmark = slow_gate
 
 
 def _staged():
