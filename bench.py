@@ -146,6 +146,13 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # Round-14 (verdict item 8): record the plan-CONSTRUCTION seconds of
+    # each timed run separately, so §7.3 construction-floor wins and
+    # plan/execution wins are separable round over round. The timed span
+    # is UNCHANGED (t0 before construction, stop after the noop sink
+    # finishes); this only captures one extra timestamp between the two
+    # phases inside the same span.
+    cons: dict[str, list[float]] = {name: [] for name in HEADLINE}
     # Measurement-hygiene fix (round 13, documented in
     # OPTIMIZATION_r13.md with the pre-fix numbers kept): collect
     # Python garbage BETWEEN timed regions. Plan construction churns
@@ -165,8 +172,10 @@ def main() -> None:
             gc.collect()
             t0 = time.time()
             df = fn(spark, SF_DIR)
+            t_built = time.time()
             df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
+            cons[name].append(round(t_built - t0, 3))
 
     # Sub-second queries sit near the scheduler's noise floor, where
     # min-of-2 flaps +/-40% round to round (round-5 verdict: the
@@ -178,13 +187,20 @@ def main() -> None:
         for name in sub_second:
             gc.collect()
             t0 = time.time()
-            queries[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            df = queries[name](spark, SF_DIR)
+            t_built = time.time()
+            df.write.format("noop").mode("overwrite").save()
             runs[name].append(round(time.time() - t0, 3))
+            cons[name].append(round(t_built - t0, 3))
 
     timings = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Pair each query's construction split with the SAME run that won
+    # min(total), so queries[name] - construction_sec[name] is a real
+    # execution time, not a mix of two different runs.
+    construction = {
+        name: cons[name][ts.index(min(ts))] for name, ts in runs.items()
+    }
 
     # IOS whole-file ingest vertical (binaryFile scan -> mapInPandas
     # parse): files/s over a 5k-file synthetic corpus, the number
@@ -347,6 +363,7 @@ def main() -> None:
             json.dump(
                 {
                     "runs_sec": runs,
+                    "construction_runs_sec": cons,
                     "n_runs": n_runs,
                     "calibration_runs_sec": calib_secs,
                     "shuffle_calibration_runs_sec": shuffle_secs,
@@ -372,6 +389,13 @@ def main() -> None:
             {
                 "detail": "bench_sidecar",
                 "n_runs": n_runs,
+                # Round-14 (verdict item 8): per-query plan-CONSTRUCTION
+                # seconds of the best run, so §7.3 construction wins and
+                # plan/execution wins are separable. Execution time for a
+                # query = queries[name] - construction_sec[name].
+                "construction_sec": {
+                    k: round(v, 3) for k, v in construction.items()
+                },
                 "calibration_sec": calibration,
                 "shuffle_calibration_sec": shuffle_calibration,
                 "total_over_calibration": round(total / calibration, 2),
