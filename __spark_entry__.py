@@ -59,7 +59,12 @@ _CHECKED = frozenset(
         "id_formatting", "substring_extract", "json_serialize",
         "unit_canonicalization", "basename_key_extract", "string_functions",
         "datetime_functions",
-        "dedup_simhash", "dedup_ngram_jaccard",
+        # NB: dedup_ngram_jaccard rotated out MID-round-14 (moved-code:
+        # the shared _distinct_shingles reuse anchor changed from a
+        # global distinct to repartition(doc_id) — same rows, new plan —
+        # in the same change as this NB; all 24 checked consumers of the
+        # helper rotate with it, marked "shingle-anchor" below).
+        "dedup_simhash",
         "dedup_simhash_pairs", "dedup_edit_distance",
         # NB: similarity_topk_bruteforce and similarity_ivf_topk rotated
         # out in round 12, re-earned their rows on the norm-precompute
@@ -72,8 +77,9 @@ _CHECKED = frozenset(
         # integer-quantized units in round 4, so it re-samples as fresh
         "daily_top_event",
         # round 2
-        "dedup_pipeline_pairs", "dedup_pipeline_pairs_xxhash",
-        "dedup_components", "decontaminate_benchmark_overlap",
+        # NB: dedup_pipeline_pairs, dedup_pipeline_pairs_xxhash and
+        # dedup_components rotated out MID-round-14 (shingle-anchor).
+        "decontaminate_benchmark_overlap",
         "dedup_canonical_keeper", "dedup_ngram_jaccard_hashed",
         "embedding_quantize_int8", "embedding_normalize",
         "text_repetition_ratio", "multimodal_frame_sample",
@@ -100,7 +106,9 @@ _CHECKED = frozenset(
         "exact_percentiles",
         # round 3 (all 50 green in CORRECTNESS_r03.json)
         "anomaly_zscore", "array_functions", "asof_join_events",
-        "bool_bitwise_aggregates", "cohort_retention", "dedup_cross_snapshot",
+        "bool_bitwise_aggregates", "cohort_retention",
+        # NB: dedup_cross_snapshot rotated out MID-round-14
+        # (shingle-anchor).
         "deterministic_sample", "gsw_alpha_beta", "gsw_freezing_point",
         "gsw_rho_sigma0", "gsw_sa_from_sp", "incremental_agg_merge",
         "interval_bin_join", "ios_fortran_format_parse",
@@ -121,10 +129,12 @@ _CHECKED = frozenset(
         "window_range_frame", "window_rank_family",
         # round 4 (all 50 green in CORRECTNESS_r04.json)
         "chunk_sliding_windows", "cluster_zorder_key", "cumulative_distinct_users",
-        "dedup_bag_of_words", "dedup_containment_pairs", "dedup_exact_bucketed",
+        # NB: dedup_containment_pairs and dedup_minhash_estimate_accuracy
+        # rotated out MID-round-14 (shingle-anchor).
+        "dedup_bag_of_words", "dedup_exact_bucketed",
         # NB: dedup_semantic_clusters rotated out in round 12, re-earned
         # its row (CORRECTNESS_r12), and rejoined via the round-12 block.
-        "dedup_minhash_estimate_accuracy", "dedup_prefix_cluster",
+        "dedup_prefix_cluster",
         # NB: embedding_random_projection rotated out in round 14
         # (moved-code: the round-13 JL matrix-literal rewrite postdates
         # its green row).
@@ -151,8 +161,11 @@ _CHECKED = frozenset(
         # NB: dedup_fingerprint_winnowing rotated out in round 14
         # (moved-code: the round-13 distinct -> array_distinct rewrite
         # postdates its green row).
-        "dedup_bag_jaccard_pairs", "dedup_bbit_minhash", "dedup_component_size_histogram", "dedup_exact_normalized",
-        "dedup_layer_funnel", "dedup_source_survivorship", "dedup_winnowing_pairs",
+        # NB: dedup_bag_jaccard_pairs, dedup_bbit_minhash,
+        # dedup_component_size_histogram and dedup_layer_funnel rotated
+        # out MID-round-14 (shingle-anchor).
+        "dedup_exact_normalized",
+        "dedup_source_survivorship", "dedup_winnowing_pairs",
         "embedding_binary_signature", "embedding_knn_label_accuracy", "embedding_mahalanobis_diag", "events_dow_seasonality",
         # NB: graph_pagerank_iterations is deliberately absent — ROTATED
         # OUT in round 13: its lineage idiom changed to the eager
@@ -185,7 +198,9 @@ _CHECKED = frozenset(
         # shares the restructured hyperplane_lsh_buckets operator).
         "embedding_energy_outliers",
         "dedup_window_lines", "contamination_split_audit",
-        "text_char_class_profile", "minhash_band_tuning_audit",
+        # NB: minhash_band_tuning_audit and dedup_lsh_recall_audit
+        # rotated out MID-round-14 (shingle-anchor).
+        "text_char_class_profile",
         "sketch_hll_merge_daily", "sketch_hll_intersection",
         "ios_profile_sigma_theta", "asof_join_forward", "funnel_time_to_convert",
         "lineitem_corr_matrix", "lineitem_hist2d", "gsw_pressure_from_depth",
@@ -193,14 +208,16 @@ _CHECKED = frozenset(
         # the round-13 memoized _codebook_lit rewrite postdates its row).
         "text_hapax_ratio", "events_interarrival_stats",
         "doc_length_deciles", "orders_abc_classification", "events_cdf_at_values",
-        "basket_rule_metrics", "dedup_lsh_recall_audit", "events_ohlc_downsample",
+        "basket_rule_metrics", "events_ohlc_downsample",
         "doc_diversity_length_corr", "supplier_nation_herfindahl",
         "events_missing_hours_audit", "embedding_dim_variance",
         "doc_ngram_coverage_curve", "text_word_length_profile",
         "lineitem_returns_rate_by_month", "doc_source_lang_chi2",
         # round 7 (all 50 green in CORRECTNESS_r07.json)
         "customer_gini_by_nation", "customer_survival_curve",
-        "customer_type_affinity", "dedup_shingle_df_profile",
+        # NB: dedup_shingle_df_profile rotated out MID-round-14
+        # (shingle-anchor).
+        "customer_type_affinity",
         "doc_dup_rate_by_length", "doc_word_pmi_pairs",
         "embedding_cell_label_purity", "embedding_fisher_score",
         "embedding_int8_error_audit", "embedding_pair_distance_histogram",
@@ -280,7 +297,8 @@ _CHECKED = frozenset(
         # round 10 (all 50 green in CORRECTNESS_r10.json)
         "customer_acctbal_levene_test", "customer_rfm_segments",
         "customer_segment_migration", "dedup_blocking_quality_audit",
-        "dedup_jaccard_threshold_sweep", "dedup_sorted_neighborhood",
+        # NB: dedup_jaccard_threshold_sweep and dedup_sorted_neighborhood
+        # rotated out MID-round-14 (shingle-anchor).
         "doc_context_overflow_rate", "embedding_anisotropy_audit",
         "embedding_knn_hubness", "embedding_label_margin",
         "embedding_pca_power_iteration", "embedding_triplet_margin_violations",
@@ -305,8 +323,10 @@ _CHECKED = frozenset(
         "text_source_unigram_jsd", "tpch_referential_integrity_profile",
         # round 11 (all 50 green in CORRECTNESS_r11.json)
         "customer_acctbal_bowley_skew", "customer_segment_dissimilarity_index",
-        "dedup_component_source_purity", "dedup_minhash_hashes_sweep",
-        "dedup_simhash_bit_balance", "dedup_transitivity_audit",
+        # NB: dedup_component_source_purity, dedup_minhash_hashes_sweep
+        # and dedup_transitivity_audit rotated out MID-round-14
+        # (shingle-anchor).
+        "dedup_simhash_bit_balance",
         "docs_lang_source_mutual_info", "embedding_davies_bouldin",
         "embedding_intrinsic_dim_two_nn", "embedding_prefix_dim_recall",
         "events_allan_variance", "events_attribution_window_join",
@@ -340,7 +360,8 @@ _CHECKED = frozenset(
         # their round-12 rows; they lead the committed round-14 queue).
         "customer_energy_distance_segments", "customer_order_count_ztp_fit",
         "customer_spend_intraclass_corr", "decontam_ngram_size_sweep",
-        "dedup_bucket_cap_sweep", "dedup_lsh_band_tradeoff",
+        # NB: dedup_bucket_cap_sweep and dedup_lsh_band_tradeoff rotated
+        # out MID-round-14 (shingle-anchor).
         "dedup_winnowing_window_sweep",
         "embedding_centroid_classifier_confusion",
         "events_dayk_retention_curve", "events_spectral_flatness",
@@ -372,8 +393,10 @@ _CHECKED = frozenset(
         # hereby rejoin)
         "customer_churn_window_sweep", "customer_discounted_ltv",
         "customer_purchase_clumpiness", "customer_spend_atkinson_index",
-        "dedup_exact", "dedup_lsh_precision_audit",
-        "dedup_sample_pair_bias", "dedup_semantic_tau_sweep",
+        # NB: dedup_lsh_precision_audit, dedup_sample_pair_bias and
+        # text_dup_quality_association rotated out MID-round-14
+        # (shingle-anchor).
+        "dedup_exact", "dedup_semantic_tau_sweep",
         "dedup_shingle_size_sweep", "embedding_cosine_label_auc",
         "embedding_knn_mutuality", "events_friedman_dow_test",
         "events_page_hinkley_drift", "geo_containment_join",
@@ -393,7 +416,7 @@ _CHECKED = frozenset(
         "ranking_window_bodc", "sample_neyman_allocation",
         "similarity_srp_bit_independence", "sketch_cm_width_sweep",
         "supplier_leadtime_consistency", "text_char_trigram_lang_affinity",
-        "text_dup_quality_association", "text_langid_stopword_budget",
+        "text_langid_stopword_budget",
         "text_multilingual_doc_audit", "tz_fixed_offset",
     }
 )

@@ -97,8 +97,14 @@ def test_activated_names_are_checked():
 
     qs, _, _ = _staged()
     deferred = _deferred()
-    missing = (set(qs) - deferred) - entrymod._CHECKED
+    # dedup_bucket_cap_sweep and dedup_lsh_band_tradeoff rotated OUT
+    # again MID-round-14: they consume the shared _distinct_shingles
+    # helper, whose reuse anchor changed (moved-code-rotates-first).
+    rerotated_r14 = {"dedup_bucket_cap_sweep", "dedup_lsh_band_tradeoff"}
+    missing = (set(qs) - deferred - rerotated_r14) - entrymod._CHECKED
     assert not missing, f"r12-green staged names not in _CHECKED: {missing}"
+    stale = rerotated_r14 & entrymod._CHECKED
+    assert not stale, f"round-14 re-rotated names still in _CHECKED: {stale}"
     unchecked_deferred = deferred - entrymod._CHECKED
     assert not unchecked_deferred, (
         f"DEFER_TO_R13 names earned green rows in round 13, must be "

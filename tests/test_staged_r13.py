@@ -104,17 +104,32 @@ ROTATED_R14 = {
     # operators/graphs.py::copurchase_pair_support
     "market_basket_pairs",
     "graph_triangle_count",
+    # mid-round-14 moves: the shared _distinct_shingles reuse anchor
+    # changed from a global distinct to repartition(doc_id) (same rows,
+    # new plan) — all 24 checked consumers rotate with it
+    "dedup_transitivity_audit", "dedup_component_source_purity",
+    "dedup_minhash_hashes_sweep", "dedup_shingle_df_profile",
+    "dedup_pipeline_pairs", "dedup_pipeline_pairs_xxhash",
+    "dedup_ngram_jaccard", "dedup_components", "dedup_cross_snapshot",
+    "dedup_minhash_estimate_accuracy", "dedup_containment_pairs",
+    "dedup_lsh_precision_audit", "text_dup_quality_association",
+    "dedup_sample_pair_bias", "dedup_lsh_band_tradeoff",
+    "dedup_bucket_cap_sweep", "dedup_bbit_minhash",
+    "dedup_bag_jaccard_pairs", "dedup_component_size_histogram",
+    "dedup_layer_funnel", "dedup_sorted_neighborhood",
+    "dedup_jaccard_threshold_sweep", "minhash_band_tuning_audit",
+    "dedup_lsh_recall_audit",
 }
 
 
 def test_fresh_sample_leads_round14():
     """The driver takes the FIRST 50 names in dict order; the fresh
     (not-in-_CHECKED) prefix must be exactly the 10 activated
-    DEFER_TO_R14 names + the 13 round-14 rotated names (11 from the
-    committed queue + 2 mid-round moved-code rotations), and must
-    lead the dict order so the driver's 50-name sample covers them
-    all (the remaining slots fall to _CHECKED names as regression
-    coverage)."""
+    DEFER_TO_R14 names + the 37 round-14 rotated names (11 from the
+    committed queue + 2 copurchase moved-code rotations + 24
+    shingle-anchor moved-code rotations), and must lead the dict order
+    so the driver's 50-name sample covers them all (the remaining
+    slots fall to _CHECKED names as regression coverage)."""
     import __spark_entry__ as entrymod
 
     deferred = _deferred()
