@@ -107,6 +107,24 @@ def checkpoint_df(df, eager: bool):
 #: different key.
 _SCHEMA_CACHE: dict = {}
 
+#: SparkSession -> {path: temp-view name}. Round 14 (§7.3 construction
+#: floor): even with the schema memo, every `spark.read.schema(...)
+#: .parquet(path)` re-resolves the data source and re-lists the path —
+#: ~30 ms of driver work per read_table call, ~2.4 s of a 60-query
+#: construction pass. Registering ONE temp view per (session, path) and
+#: serving later calls with spark.table(view) is the catalog idiom: the
+#: view stores the ANALYZED relation (schema + file index — metadata
+#: only, the same thing a catalog table or the session file-listing
+#: cache of guide §6 holds); every execution still scans the parquet
+#: files. Self-joins stay sound: each spark.table() reference is a
+#: fresh UnresolvedRelation and Spark's DeduplicateRelations assigns
+#: fresh attribute ids per join side, exactly as for catalog tables.
+#: WeakKeyDictionary so a stopped session's views never leak into a new
+#: session (temp views are per-session).
+import weakref
+
+_VIEW_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic parquet table, handling nanosecond timestamps.
@@ -124,13 +142,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     # Timestamps must collect as UTC to hash-match the (naive) DuckDB
     # oracle values, regardless of how the caller's session was built.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    views = _VIEW_CACHE.get(spark)
+    if views is None:
+        views = _VIEW_CACHE[spark] = {}
+    view = views.get(path)
+    if view is not None:
+        # Cached path: ONE py4j call. The view's analyzed plan embeds
+        # the schema and file index; execution scans parquet as always.
+        return spark.table(view)
+
     # Tz-naive parquet timestamps must read as TIMESTAMP_LTZ (interpreted
     # as UTC), not TIMESTAMP_NTZ: NTZ refuses numeric casts (epoch math in
     # several plans) and the UTC-pinned LTZ collects the same wall-clock
     # values DuckDB sees.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-
-    path = os.path.join(sf_dir, f"{name}.parquet")
     cached = _SCHEMA_CACHE.get(path)
     if cached is None:
         schema = pq.read_schema(path)
@@ -155,6 +182,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.schema(spark_schema).parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Register the finished relation (ns-truncation included) as this
+    # session's temp view for the path; later calls become spark.table.
+    view = f"__spark_graft_src_{len(views)}_{name}"
+    df.createOrReplaceTempView(view)
+    views[path] = view
     return df
 
 
