@@ -22,11 +22,21 @@ from pyspark.sql import functions as F
 
 
 def dot_expr(a: Column, b: Column) -> Column:
-    """Σ a_i·b_i as a JVM-side array expression (double accumulation)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    """Σ a_i·b_i as a JVM-side array expression (double accumulation).
+
+    Memoized on the operands' expression TEXT (round 14, §7.3): the
+    zip_with + aggregate + two lambdas cost ~15 py4j round trips to
+    assemble vs 1 for the key's toString; unresolved Column trees that
+    print identically are interchangeable (resolution happens per-plan
+    later), and the memo stores only the composed expression — never
+    data or results."""
+    return _memo_expr(
+        ("dot", str(a), str(b)),
+        lambda: F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
 
 
@@ -57,8 +67,13 @@ def cosine_expr(a: Column, b: Column) -> Column:
     different ordering AND comparison semantics) — callers on possibly-
     degenerate data must filter zero norms first (see
     embedding_normalize's nrm > 0 guard); tests pin that the synthetic
-    embeddings contain none at any SF."""
-    return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
+    embeddings contain none at any SF. Memoized like dot_expr (~45
+    round trips per build)."""
+    return _memo_expr(
+        ("cosine", str(a), str(b)),
+        lambda: dot_expr(a, b)
+        / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b))),
+    )
 
 
 def brute_force_topk(
